@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every engine capability is registered as a [[GraftQuery]] in one of
+  * the module objects below; this object just concatenates them. The
+  * driver runs each `queries(name)(spark, sfDir)` and compares against
+  * `oracleSql(name)` executed by DuckDB over the same parquet tables.
+  */
 object SparkEntry {
+
+  /** All registered capabilities, in module order. */
+  def all: Seq[GraftQuery] =
+    operators.Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.q10(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Headline subset used by Bench (fast feedback; representative of
+    * scan, join-tree, agg, window, and the extension surfaces). */
+  def benchNames: Seq[String] = {
+    val preferred = Seq(
+      "q10_flagship", "join_tree_full", "agg_sum_groupby", "window_rank",
+      "topk_orderby_limit", "dedup_exact", "dedup_minhash_pairs",
+      "ann_bruteforce_topk", "text_quality_score", "incremental_q10")
+    val have = queries.keySet
+    preferred.filter(have)
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfTiny}
+
+  test("every registered query runs and returns a non-empty schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfTiny)
+      assert(df.schema.nonEmpty, s"$name has empty schema")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("entry (flagship Q10) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q10 revenue equals hand-computed join+agg") {
+    // Independent recomputation through a different plan shape: filter
+    // after a plain 4-way join, sum in double, compare within rounding.
+    val li = Tables.lineitem(spark, sfTiny)
+    val o  = Tables.orders(spark, sfTiny)
+    val c  = Tables.customer(spark, sfTiny)
+    val n  = Tables.nation(spark, sfTiny)
+    val flat = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") <  to_timestamp(lit("1996-04-01")))
+      .groupBy(col("c_custkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val expected = flat.orderBy(col("rev").desc, col("c_custkey")).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = operators.Relational.q10(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 0.011, s"custkey $k") }
+  }
+
+  test("semi and anti join partition the customer set over the window") {
+    val semi = SparkEntry.queries("semi_join")(spark, sfTiny).count()
+    val anti = SparkEntry.queries("anti_join")(spark, sfTiny).count()
+    val all  = Tables.customer(spark, sfTiny).count()
+    assert(semi + anti == all)
+  }
+
+  test("window_rank keeps at most 3 rows per nation") {
+    val df = SparkEntry.queries("window_rank")(spark, sfTiny)
+    val maxPerNation = df.groupBy("c_nationkey").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerNation <= 3)
+  }
+
+  test("events ts is read as microsecond timestamps (ns parquet)") {
+    val ev = Tables.events(spark, sfTiny)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ev.filter(col("ts") >= to_timestamp(lit("2024-01-01"))).count() > 0)
+  }
+}
