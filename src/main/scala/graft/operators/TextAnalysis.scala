@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.{rowsOnly, sql}
+import graft.functions.RollingHash.rolling_hash
+
+/** Text-analysis operators over the `documents` table — the pieces a
+  * training-data pipeline runs before anything else: token counting,
+  * quality scoring, language ID, and document fingerprinting.
+  *
+  * Everything here is built from codegen'd `functions._` expressions
+  * (regexp_extract_all / higher-order array functions), so each query
+  * is a single parquet scan with no shuffle — embarrassingly parallel
+  * at any scale. The DuckDB oracles mirror the exact same expression
+  * so the driver's value-hash compare is meaningful.
+  *
+  * Cross-engine determinism notes:
+  *  - token sets come from `regexp_extract_all(lower(text), '[a-z0-9]+')`
+  *    — same semantics in Java regex (Spark) and RE2 (DuckDB).
+  *  - DuckDB `regexp_replace` needs the explicit 'g' flag; Spark is
+  *    global by default.
+  *  - ratios are plain IEEE divisions of exact integers → bit-identical
+  *    in both engines, no rounding needed.
+  */
+object TextAnalysis {
+
+  private val tokenPattern = "[a-z0-9]+"
+
+  /** Language marker sets for the n-gram/stopword language-ID
+    * heuristic. Checked in fixed priority order (en, fr, es, de) with
+    * >= so ties resolve identically in both engines; CJK characters
+    * short-circuit to zh.
+    */
+  private val enStops = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val frStops = Seq("le", "la", "les", "et", "de", "un", "est")
+  private val esStops = Seq("el", "los", "y", "que", "en", "un", "es")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "ein")
+
+  private def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(tokenPattern), lit(0))
+
+  private def countIn(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  private def sqlCountIn(words: Seq[String]): String =
+    s"len(list_filter(regexp_extract_all(lower(text), '$tokenPattern'), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // --- token counting ------------------------------------------------
+    sql("text_token_count",
+      s"""SELECT doc_id,
+         | len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+         | len(regexp_extract_all(lower(text), '$tokenPattern')) AS n_tokens,
+         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_pieces,
+         | length(text) AS n_chars_measured
+         |FROM documents""".stripMargin) {
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_ws_tokens"),
+        size(tokens(col("text"))).as("n_tokens"),
+        // BPE-ish pre-tokenization: letter runs | digit runs | single
+        // punctuation — the shape GPT-style byte-pair encoders split on.
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_pieces"),
+        length(col("text")).as("n_chars_measured"))
+    },
+
+    // --- quality scoring ----------------------------------------------
+    sql("text_quality_score",
+      s"""SELECT doc_id, length(text) AS n_chars,
+         | len(regexp_extract_all(lower(text), '$tokenPattern')) AS n_tokens,
+         | length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         | CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+         |   / greatest(length(text), 1) AS punct_ratio,
+         | CAST(${sqlCountIn(enStops)} AS DOUBLE)
+         |   / greatest(len(regexp_extract_all(lower(text), '$tokenPattern')), 1) AS stop_ratio,
+         | (length(text) >= 50 AND length(text) <= 10000
+         |   AND len(regexp_extract_all(lower(text), '$tokenPattern')) >= 10
+         |   AND CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+         |     / greatest(length(text), 1) < 0.1) AS quality_ok
+         |FROM documents""".stripMargin) {
+      (s, d) =>
+        val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(tokens(col("text"))).as("n_tokens"),
+          length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"),
+          countIn(tokens(col("text")), enStops).as("n_stop"))
+        base.select(
+          col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
+          (col("n_punct").cast("double") / greatest(col("n_chars"), lit(1))).as("punct_ratio"),
+          (col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1))).as("stop_ratio"),
+          (col("n_chars") >= 50 && col("n_chars") <= 10000 &&
+            col("n_tokens") >= 10 &&
+            col("n_punct").cast("double") / greatest(col("n_chars"), lit(1)) < 0.1).as("quality_ok"))
+    },
+
+    // --- language identification ---------------------------------------
+    // Marker-word scoring with a CJK short-circuit; priority-ordered >=
+    // comparisons keep tie-breaks identical across engines. (The
+    // synthetic corpus is English-vocabulary, so the interesting part
+    // the oracle checks is that both engines score identically, not
+    // that the label matches the random `lang` column.)
+    sql("text_langid",
+      s"""SELECT doc_id, lang,
+         | CASE
+         |  WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |  WHEN ${sqlCountIn(enStops)} >= ${sqlCountIn(frStops)}
+         |   AND ${sqlCountIn(enStops)} >= ${sqlCountIn(esStops)}
+         |   AND ${sqlCountIn(enStops)} >= ${sqlCountIn(deStops)} THEN 'en'
+         |  WHEN ${sqlCountIn(frStops)} >= ${sqlCountIn(esStops)}
+         |   AND ${sqlCountIn(frStops)} >= ${sqlCountIn(deStops)} THEN 'fr'
+         |  WHEN ${sqlCountIn(esStops)} >= ${sqlCountIn(deStops)} THEN 'es'
+         |  ELSE 'de'
+         | END AS lang_pred
+         |FROM documents""".stripMargin) {
+      (s, d) =>
+        val t = tokens(col("text"))
+        val (en, fr, es, de) =
+          (countIn(t, enStops), countIn(t, frStops), countIn(t, esStops), countIn(t, deStops))
+        val cjk = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+        Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          when(cjk > 0, "zh")
+            .when(en >= fr && en >= es && en >= de, "en")
+            .when(fr >= es && fr >= de, "fr")
+            .when(es >= de, "es")
+            .otherwise("de").as("lang_pred"))
+    },
+
+    // --- fingerprinting ------------------------------------------------
+    // Whitespace-normalized md5 — the canonical exact-dedup key; checked
+    // byte-for-byte against DuckDB.
+    sql("text_fingerprint",
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin) {
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(to_binary(trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit("utf-8"))).as("fp"))
+    },
+
+    // Engine-native 64-bit rolling-hash fingerprint (custom Catalyst
+    // expression with codegen, graft.functions.RollingHash) — cheaper
+    // than md5 by ~an order of magnitude; unit-tested against a
+    // reference implementation (no SQL oracle: DuckDB has no matching
+    // hash).
+    rowsOnly("text_rolling_fingerprint") {
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        rolling_hash(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp64"))
+    })
+}

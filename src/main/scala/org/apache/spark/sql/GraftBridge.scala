@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters that
+  * Spark 4 moved behind `org.apache.spark.sql.classic.ExpressionUtils`
+  * (columnNodeSupport.scala). Extension libraries that define native
+  * Catalyst expressions need exactly these two hops; placing the
+  * bridge inside the `org.apache.spark.sql` package is the standard
+  * technique (same as spark-packages like sedona/delta do).
+  */
+object GraftBridge {
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfTiny}
+  import spark.implicits._
+
+  test("rolling_hash matches the reference implementation (codegen path)") {
+    val inputs = Seq("", "a", "hello world", "ünïcödé ✓", "x" * 10000)
+    val got = inputs.toDF("s")
+      .select(RollingHash.rolling_hash(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    val expected = inputs.map(s => RollingHash.hashBytes(s.getBytes("UTF-8")))
+    assert(got.toSeq == expected)
+  }
+
+  test("rolling_hash is null-safe") {
+    val got = Seq(Option("abc"), None).toDF("s")
+      .select(RollingHash.rolling_hash(col("s")).as("h"))
+      .collect()
+    assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
+  }
+
+  test("rolling_hash distinguishes all documents at sf0.001 (no collisions)") {
+    val docs = Tables.documents(spark, sfTiny)
+    val n = docs.count()
+    val distinctHashes = docs
+      .select(RollingHash.rolling_hash(col("text")).as("h")).distinct().count()
+    assert(distinctHashes == n)
+  }
+
+  test("text fingerprint md5 equals JVM md5 of normalized text") {
+    val row = Tables.documents(spark, sfTiny).limit(1)
+      .select(col("text"),
+        md5(to_binary(trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit("utf-8"))).as("fp"))
+      .collect()(0)
+    val norm = row.getString(0).toLowerCase.replaceAll("\\s+", " ").trim
+    val jvm = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getString(1) == jvm)
+  }
+}
