@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered capabilities, in module order. */
   def all: Seq[GraftQuery] =
     operators.Relational.defs ++
-    operators.TextAnalysis.defs
+    operators.TextAnalysis.defs ++
+    operators.Dedup.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

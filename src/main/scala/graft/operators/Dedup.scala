@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+
+/** Deduplication operators over `documents` / `embeddings` — the core
+  * of a training-data pipeline. Five families, each with a DuckDB
+  * oracle:
+  *
+  *  - exact: hash-groupBy on a normalized md5 fingerprint. One shuffle
+  *    on the 16-byte digest; at 100 TB this is the cheapest possible
+  *    dedup (shuffle keys are fixed-width, combiner-friendly).
+  *  - MinHash + LSH: shingle → minhash signature → band → bucket
+  *    equi-join. The Spark side uses the SCALABLE shape — explode the
+  *    signature to (band, hash) rows and self-equi-join — never an
+  *    OR-of-bands theta join (which would be a nested-loop cross at
+  *    scale). Bands of r=1/b=8 because the synthetic corpus has no
+  *    near-dups (measured max 3-shingle jaccard ≈ 0.022); with real
+  *    dup-heavy data you'd raise r.
+  *  - SimHash: 64-bit bit-majority signature from token md5s, computed
+  *    as one exploded-token aggregation (64 SUMs in a single
+  *    HashAggregate pass — identical SQL shape in the oracle).
+  *  - n-gram Jaccard: character-trigram similarity with a blocking key
+  *    (same lang + length bucket) so the pairwise compare is bounded
+  *    per block instead of O(n²) over the corpus.
+  *  - embedding cosine: near-dup by cosine ≥ τ in float64. The fold
+  *    runs element-sequential so it is bit-identical to DuckDB's
+  *    list_cosine_similarity on DOUBLE[] (verified empirically:
+  *    DuckDB computes dot/(sqrt(na)*sqrt(nb)), same IEEE ops).
+  *
+  * Cross-engine rules inherited from TextAnalysis: integer divisions
+  * produce identical doubles; floor-based rounding where a rounded
+  * double must be emitted.
+  */
+object Dedup {
+
+  private val tokenPattern = "[a-z0-9]+"
+  private val NumHashes = 8
+
+  /** Normalized-text md5, the exact-dedup key. */
+  private def fpCol: Column =
+    md5(to_binary(trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit("utf-8")))
+
+  /** doc_id + distinct word-3-shingles ("a b c") of the lowercased
+    * alnum token stream. Guarded for <3-token docs. */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val t = regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(size(t) >= 3,
+        array_distinct(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+        .otherwise(array(concat_ws(" ", t))).as("shingles"))
+  }
+
+  private val shingledSql: String =
+    s"""SELECT doc_id,
+       | CASE WHEN len(t) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |  ELSE [array_to_string(t, ' ')] END AS shingles
+       |FROM (SELECT doc_id, regexp_extract_all(lower(text), '$tokenPattern') AS t FROM documents)""".stripMargin
+
+  /** Minhash h_j = lexicographic min of md5("j:" || shingle) — the
+    * same 128-bit hash family in both engines, so signatures match
+    * byte-for-byte. */
+  private def minhashCols: Seq[Column] =
+    (0 until NumHashes).map { j =>
+      array_min(transform(col("shingles"),
+        sh => md5(to_binary(concat(lit(s"$j:"), sh), lit("utf-8"))))).as(s"h$j")
+    }
+
+  private def minhashSelectSql: String =
+    (0 until NumHashes).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n ")
+
+  // ---- SimHash: shared SQL fragments (valid in BOTH dialects) -------
+  // bit b of hex digest h: ((instr('0123456789abcdef', substr(h, b/4+1, 1)) - 1) >> (3 - b%4)) & 1
+  private def voteExpr(b: Int): String = {
+    val pos = b / 4 + 1
+    val shift = 3 - b % 4
+    s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+  }
+  private def hexAssembly: String = {
+    val digits = (0 until 16).map { dIdx =>
+      val terms = (0 until 4).map { k =>
+        val b = dIdx * 4 + k
+        s"CASE WHEN v$b > 0 THEN ${8 >> k} ELSE 0 END"
+      }.mkString(" + ")
+      s"substr('0123456789abcdef', ($terms) + 1, 1)"
+    }
+    s"concat(${digits.mkString(", ")})"
+  }
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // --- exact dedup ---------------------------------------------------
+    sql("dedup_exact",
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, d) => Tables.documents(s, d)
+        .groupBy(fpCol.as("fp"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+    },
+
+    // --- minhash signatures ---------------------------------------------
+    sql("minhash_signature",
+      s"""WITH sh AS ($shingledSql)
+         |SELECT doc_id, $minhashSelectSql
+         |FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+         |GROUP BY doc_id""".stripMargin) {
+      (s, d) => shingled(s, d).select(col("doc_id") +: minhashCols: _*)
+    },
+
+    // --- minhash LSH candidate pairs + exact-jaccard confirm ------------
+    sql("dedup_minhash_pairs",
+      s"""WITH sh AS ($shingledSql),
+         |sig AS (
+         | SELECT doc_id, $minhashSelectSql
+         | FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) GROUP BY doc_id),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM sig a, sig b
+         | WHERE a.doc_id < b.doc_id AND (${(0 until NumHashes).map(j => s"a.h$j = b.h$j").mkString(" OR ")}))
+         |SELECT c.doc_a, c.doc_b,
+         | CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |  / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jacc
+         |FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.01""".stripMargin) {
+      (s, d) =>
+        val sh = shingled(s, d).cache()
+        val sig = sh.select(col("doc_id") +: minhashCols: _*)
+        // Scalable LSH shape: signature → (band, hash) rows → equi-join.
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until NumHashes).map(j =>
+            struct(lit(j).as("band"), col(s"h$j").as("h"))): _*)).as("bh"))
+          .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val jacc = size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
+          size(array_distinct(concat(col("x.shingles"), col("y.shingles"))))
+        cand
+          .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
+          .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+          .filter(col("jacc") >= 0.01)
+    },
+
+    // --- simhash signatures ----------------------------------------------
+    sql("dedup_simhash",
+      s"""WITH th AS (
+         | SELECT doc_id, md5(t) AS h FROM (
+         |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '$tokenPattern'))) AS t
+         |  FROM documents)),
+         |bits AS (
+         | SELECT doc_id, ${(0 until 64).map(voteExpr).mkString(",\n ")}
+         | FROM th GROUP BY doc_id)
+         |SELECT doc_id, $hexAssembly AS simhash64 FROM bits""".stripMargin) {
+      (s, d) =>
+        val th = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)))).as("t"))
+          .selectExpr("doc_id", "md5(t) AS h")
+        th.groupBy(col("doc_id"))
+          .agg(expr(voteExpr(0)).as("v0"), (1 until 64).map(b => expr(voteExpr(b)).as(s"v$b")): _*)
+          .selectExpr("doc_id", s"$hexAssembly AS simhash64")
+    },
+
+    // --- char-trigram jaccard with blocking ------------------------------
+    sql("dedup_ngram_jaccard",
+      """WITH g AS (
+        | SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+        |  list_distinct(list_transform(generate_series(1, length(text)-2), i -> substr(text, i, 3))) AS grams
+        | FROM documents WHERE length(text) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.grams, b.grams))) AS jacc
+        |FROM g a JOIN g b
+        | ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.55""".stripMargin) {
+      (s, d) =>
+        // substr with a dynamic start needs the SQL form (the typed
+        // API's substring overload takes Int positions only).
+        val grams = Tables.documents(s, d)
+          .filter(length(col("text")) >= 3)
+          .selectExpr("doc_id", "lang", "n_chars div 50 AS len_bucket",
+            "array_distinct(transform(sequence(1, length(text)-2), i -> substr(text, i, 3))) AS grams")
+        val jacc = size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_distinct(concat(col("a.grams"), col("b.grams"))))
+        grams.as("a").join(grams.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.len_bucket") === col("b.len_bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jacc.as("jacc"))
+          .filter(col("jacc") >= 0.55)
+    },
+
+    // --- embedding cosine near-dup ---------------------------------------
+    // Brute-force pairs (the corpus has no cluster structure to block
+    // on); at scale this becomes the LSH/IVF path in SimilaritySearch.
+    sql("dedup_embedding_cosine",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        | AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val na = aggregate(col("a.v"), lit(0.0), (acc, x) => acc + x * x)
+        val nb = aggregate(col("b.v"), lit(0.0), (acc, x) => acc + x * x)
+        val cos = dot / (sqrt(na) * sqrt(nb))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (floor(cos * 1000000 + 0.5) / 1000000).as("cos_sim"), cos.as("_raw"))
+          .filter(col("_raw") >= 0.3)
+          .drop("_raw")
+    })
+}

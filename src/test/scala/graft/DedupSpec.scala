@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfTiny}
+
+  test("dedup_exact groups cover all docs exactly once (no dups in corpus)") {
+    val df = SparkEntry.queries("dedup_exact")(spark, sfTiny)
+    val total = df.agg(sum("dup_count")).collect()(0).getLong(0)
+    val docs = Tables.documents(spark, sfTiny).count()
+    assert(total == docs)
+  }
+
+  test("minhash signature has NumHashes columns and is deterministic") {
+    val a = SparkEntry.queries("minhash_signature")(spark, sfTiny)
+    assert(a.columns.toSeq == ("doc_id" +: (0 until 8).map(j => s"h$j")))
+    val r1 = a.orderBy("doc_id").limit(5).collect().map(_.toSeq)
+    val r2 = SparkEntry.queries("minhash_signature")(spark, sfTiny)
+      .orderBy("doc_id").limit(5).collect().map(_.toSeq)
+    assert(r1.toSeq == r2.toSeq)
+  }
+
+  test("minhash LSH candidates are a superset of high-jaccard pairs") {
+    // Every emitted pair shares at least one minhash by construction;
+    // check the jaccard values are in (0, 1] and pairs are ordered.
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, sfTiny).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.01 && j <= 1.0)
+    }
+  }
+
+  test("simhash of identical texts is identical, different texts differ") {
+    val sh = SparkEntry.queries("dedup_simhash")(spark, sfTiny)
+      .limit(50).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(_.length == 16))
+    // 500 distinct random docs: expect (near-)all distinct signatures
+    assert(sh.values.toSet.size > 40)
+  }
+
+  test("embedding cosine pairs are symmetric-free and above threshold") {
+    val rows = SparkEntry.queries("dedup_embedding_cosine")(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3 - 1e-6 && r.getDouble(2) <= 1.0)
+    }
+  }
+}
