@@ -15,7 +15,8 @@ object SparkEntry {
   def all: Seq[GraftQuery] =
     operators.Relational.defs ++
     operators.TextAnalysis.defs ++
-    operators.Dedup.defs
+    operators.Dedup.defs ++
+    operators.SimilaritySearch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
