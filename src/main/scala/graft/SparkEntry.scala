@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Relational.defs ++
     operators.TextAnalysis.defs ++
     operators.Dedup.defs ++
-    operators.SimilaritySearch.defs
+    operators.SimilaritySearch.defs ++
+    streaming.IncrementalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Parser for the reference's CDC text format (DataFlow.java:63-119):
+  * each line is `<7-char header><sep><pipe-separated row>`, where the
+  * header is `Add`/`Sub` + a 4-char relation code —
+  * `AddLINE|SubLINE|AddORDE|SubORDE|AddCUST|SubCUST|AddNATI|SubNATI`
+  * (DataFlow.java:74-81) — and `Add` means Insert, `Sub` Delete.
+  *
+  * The reference demuxes with Flink side outputs (OutputTags,
+  * DataFlow.java:21-24); Spark has no side outputs, so the idiom is N
+  * filters over one shared scan — Catalyst collapses the shared parse
+  * into each branch, and at scale the text scan is read once per
+  * branch from the page cache (or `.cache()` the parsed frame when
+  * branches are consumed together).
+  *
+  * Everything is built from codegen'd expressions (`substring`,
+  * `split`, `cast`) — one WholeStageCodegen stage from text line to
+  * typed row, exactly the hot path §3.2 of SURVEY.md describes.
+  */
+object CdcParser {
+
+  /** Relation code → (relation name, ordered column schema). */
+  type RelationSchema = Seq[(String, DataType)]
+
+  /** Parse a frame of raw CDC lines (column `value`, as produced by
+    * `spark.read.text` / `spark.readStream.text`).
+    *
+    * @return frame with `action` (Insert/Delete), `relation`, and the
+    *         typed columns of `schema`, filtered to `relCode`.
+    */
+  def parseRelation(lines: DataFrame, relCode: String, schema: RelationSchema): DataFrame = {
+    val header = substring(col("value"), 1, 7)
+    val body = expr("substring(value, 9)") // 7-char header + 1 separator (DataFlow.java:70-71)
+    val parts = split(body, "\\|")
+    val typedCols = schema.zipWithIndex.map { case ((name, dt), i) =>
+      element_at(parts, i + 1).cast(dt).as(name)
+    }
+    lines
+      .filter(substring(header, 4, 4) === relCode)
+      .select(
+        (when(substring(header, 1, 3) === "Add", "Insert").otherwise("Delete").as("action") +:
+          lit(relCode).as("rel_code") +:
+          typedCols): _*)
+  }
+
+  /** Inverse of [[parseRelation]]: render typed rows back to CDC lines
+    * (used by the round-trip correctness query and test fixtures). */
+  def toCdcLines(df: DataFrame, add: Boolean, relCode: String, cols: Seq[String]): DataFrame = {
+    val headerStr = (if (add) "Add" else "Sub") + relCode
+    df.select(concat_ws("|", (lit(headerStr) +: cols.map(c => col(c).cast("string"))): _*).as("value"))
+  }
+}

@@ -1,0 +1,232 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The incremental acyclic-FK-join-tree engine — the Cquirrel/AJU
+  * capability that is the reference's distinguishing feature
+  * (SURVEY.md §2 J0–J3, §4 "incremental view maintenance").
+  *
+  * A query's join graph is processed as a rooted FK tree; each node is
+  * a stateful keyed operator tracking which of its tuples are "alive"
+  * (pass the local predicate AND have an alive parent); alive/dead
+  * deltas propagate root→leaf; the leaf emits signed deltas of the
+  * full join result which a signed-sum aggregate folds incrementally.
+  *
+  * The reference's quirks are deliberately FIXED here (SURVEY.md
+  * "Reference quirks" Q1–Q6): content-equality dedup (Q1/Q2), matched
+  * retraction tags (Q3), predicate orthogonal to insert/delete (Q4),
+  * `aliveParents > 0` rather than `== 1` (Q6), and the aggregate
+  * grouped by the query's GROUP BY columns rather than the leaf
+  * routing key (Q5).
+  *
+  * Rows travel as `Map[String, String]` with canonical string values
+  * (cast at ingest); state per key is ghost-tolerant signed multisets,
+  * so the NET result is independent of event order while emission
+  * order stays deterministic (events sorted by (seq, parent-first,
+  * canonical row) inside each key).
+  *
+  * Scale notes: each node is one `groupByKey` shuffle on its join key
+  * — the same 4 exchanges as the reference's `keyBy` chain (SURVEY.md
+  * §3.3). State lives per key in the state store (streaming) or the
+  * group iterator (batch simulation); fan-out on a parent flip is
+  * O(buffered children of that key), exactly the reference's cost
+  * model, but distributed over all executors holding that key range.
+  */
+object DeltaEngine {
+
+  /** One changelog/delta event.
+    *
+    * @param seq   logical time (events within a key are folded in seq
+    *              order; deletes must carry a later seq than the
+    *              matching insert)
+    * @param fromParent true when this is an alive/dead delta from the
+    *              parent node, false for the relation's own changelog
+    * @param tag   +1 insert/alive, -1 delete/dead
+    * @param mult  multiplicity (parent flips multiply by child counts)
+    * @param key   current routing key (reference: Payload.key)
+    * @param cols  the row, column name → canonical string value
+    */
+  final case class Evt(seq: Long, fromParent: Boolean, tag: Int, mult: Int,
+                       key: String, cols: Map[String, String])
+
+  /** Configuration of one join-tree node.
+    *
+    * @param relation    relation name (changelog lookup key)
+    * @param childKeyCol column of this relation that joins to the parent
+    *                    (also the node's routing key)
+    * @param nextKeyCol  column of the MERGED row to key the next hop by
+    *                    (reference: setKey re-keying, Payload.java:35-37)
+    * @param predicate   local filter, applied orthogonally to the
+    *                    action (fix of quirk Q4)
+    * @param isRoot      true for the tree root (no parent input)
+    * @param setSemantics root-node dedup: emit only on 0→1 / 1→0
+    *                    transitions (reference J0)
+    */
+  final case class NodeSpec(
+      relation: String,
+      childKeyCol: String,
+      nextKeyCol: String,
+      predicate: Map[String, String] => Boolean = _ => true,
+      isRoot: Boolean = false,
+      setSemantics: Boolean = false)
+
+  // ---- canonical row serialization (state-store friendly) -----------
+  private val KV = '\u0001'; private val FS = '\u0002'
+
+  def canon(cols: Map[String, String]): String =
+    cols.toSeq.sortBy(_._1).map { case (k, v) => s"$k$KV$v" }.mkString(FS.toString)
+
+  def uncanon(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split(FS).map { kv =>
+      val i = kv.indexOf(KV)
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+
+  /** Per-key node state: signed child multiset (canonical row →
+    * count), alive-parent counter, and the latest alive parent row
+    * (reference: Set<Payload>/numAlive/latestAlive,
+    * Q10CustomerProcessFunction.java:18-20). */
+  final case class NState(children: Map[String, Int], aliveParents: Int, parentCanon: String)
+  val emptyState: NState = NState(Map.empty, 0, "")
+
+  /** Join-merge: keep the child's columns, append the parent's new
+    * ones (fixed-Q2 semantics of collectPayload,
+    * Q10CustomerProcessFunction.java:48-62). */
+  def merge(child: Map[String, String], parent: Map[String, String]): Map[String, String] =
+    parent.foldLeft(child) { case (m, kv) => if (m.contains(kv._1)) m else m + kv }
+
+  /** Fold one event into the state; returns emissions as
+    * (tag, mult, mergedRow). Pure — shared verbatim by the batch
+    * simulation (flatMapGroups) and streaming
+    * (flatMapGroupsWithState) drivers. */
+  def step(spec: NodeSpec, st: NState, ev: Evt): (NState, Seq[(Int, Int, Map[String, String])]) = {
+    if (ev.fromParent) {
+      val newAlive = st.aliveParents + ev.tag * ev.mult
+      val wasAlive = st.aliveParents > 0
+      val isAlive = newAlive > 0
+      val parentCanonAfter = if (ev.tag > 0) canon(ev.cols) else st.parentCanon
+      val parentRow = if (ev.tag > 0) ev.cols else uncanon(st.parentCanon)
+      val out =
+        if (wasAlive == isAlive) Nil
+        else st.children.toSeq.filter(_._2 != 0).sortBy(_._1).map { case (c, cnt) =>
+          // liveness flip replays the buffered child set (reference
+          // processElement1, Q10CustomerProcessFunction.java:68-84).
+          // A negative (ghost) count contributes with inverted sign so
+          // the NET stays order-independent.
+          val signed = (if (isAlive) 1 else -1) * cnt
+          (if (signed > 0) 1 else -1, signed.abs, merge(uncanon(c), parentRow))
+        }
+      (NState(st.children, newAlive, parentCanonAfter), out)
+    } else {
+      if (!spec.predicate(ev.cols)) (st, Nil)
+      else {
+        val c = canon(ev.cols)
+        val before = st.children.getOrElse(c, 0)
+        val after = before + ev.tag * ev.mult
+        val children =
+          if (after == 0) st.children - c else st.children + (c -> after)
+        val emitCount =
+          if (spec.setSemantics) {
+            // root dedup: only 0→1 / 1→0 transitions emit (reference J0,
+            // Q10NationProcessFunction.java:41-57, with Q1 fixed)
+            if (before <= 0 && after > 0) 1
+            else if (before > 0 && after <= 0) -1
+            else 0
+          } else ev.tag * ev.mult
+        val parentOk = spec.isRoot || st.aliveParents > 0
+        val out =
+          if (emitCount == 0 || !parentOk) Nil
+          else {
+            val parent = if (spec.isRoot) Map.empty[String, String] else uncanon(st.parentCanon)
+            Seq((if (emitCount > 0) 1 else -1, emitCount.abs, merge(ev.cols, parent)))
+          }
+        (NState(children, st.aliveParents, st.parentCanon), out)
+      }
+    }
+  }
+
+  /** Fold a whole per-key event sequence (sorted deterministically)
+    * from empty state; emissions become parent deltas for the next
+    * node, re-keyed by `nextKeyCol`. */
+  def processKeyBatch(spec: NodeSpec)(key: String, events: Iterator[Evt]): Iterator[Evt] = {
+    val sorted = events.toVector.sortBy(e => (e.seq, !e.fromParent, canon(e.cols)))
+    var st = emptyState
+    val out = Vector.newBuilder[Evt]
+    sorted.foreach { ev =>
+      val (st2, emitted) = step(spec, st, ev)
+      st = st2
+      emitted.foreach { case (tag, mult, row) =>
+        out += Evt(ev.seq, fromParent = true, tag, mult,
+          row.getOrElse(spec.nextKeyCol, ""), row)
+      }
+    }
+    out.result().iterator
+  }
+
+  /** Run the tree in batch-simulation mode: each node is a
+    * `groupByKey(joinKey).flatMapGroups` over the union of the
+    * parent's deltas and the node's own changelog — the exact
+    * micro-batch the streaming engine would process, replayed in one
+    * batch. Returns the leaf's signed join-result deltas.
+    */
+  def runBatch(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]]): Dataset[Evt] = {
+    require(specs.nonEmpty)
+    val spark = changelogs(specs.head.relation).sparkSession
+    import spark.implicits._
+    var parentDeltas: Dataset[Evt] = null
+    specs.foreach { spec =>
+      val own = changelogs(spec.relation)
+      val events = if (parentDeltas == null) own else own.union(parentDeltas)
+      parentDeltas = events
+        .groupByKey(_.key)
+        .flatMapGroups((k: String, it: Iterator[Evt]) => processKeyBatch(spec)(k, it))
+    }
+    parentDeltas
+  }
+
+  /** Streaming flavor of [[processKeyBatch]]: same fold, with state
+    * carried across micro-batches in the state store. */
+  def processKeyStream(spec: NodeSpec)(
+      key: String, events: Iterator[Evt],
+      state: org.apache.spark.sql.streaming.GroupState[NState]): Iterator[Evt] = {
+    var st = state.getOption.getOrElse(emptyState)
+    val sorted = events.toVector.sortBy(e => (e.seq, !e.fromParent, canon(e.cols)))
+    val out = Vector.newBuilder[Evt]
+    sorted.foreach { ev =>
+      val (st2, emitted) = step(spec, st, ev)
+      st = st2
+      emitted.foreach { case (tag, mult, row) =>
+        out += Evt(ev.seq, fromParent = true, tag, mult,
+          row.getOrElse(spec.nextKeyCol, ""), row)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Run the tree in Structured Streaming: a chain of
+    * `flatMapGroupsWithState` stages in Append mode (Spark supports
+    * chained stateful operators in append since 3.4). Emissions stay
+    * in the signed-delta domain end to end; sinks consume them via
+    * `foreachBatch` upsert (Spark's native sinks take no retractions —
+    * SURVEY.md §7 phase 3).
+    */
+  def runStream(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]]): Dataset[Evt] = {
+    require(specs.nonEmpty)
+    val spark = changelogs(specs.head.relation).sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    var parentDeltas: Dataset[Evt] = null
+    specs.foreach { spec =>
+      val own = changelogs(spec.relation)
+      val events = if (parentDeltas == null) own else own.union(parentDeltas)
+      parentDeltas = events
+        .groupByKey(_.key)
+        .flatMapGroupsWithState[NState, Evt](
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (k, it, st) => processKeyStream(spec)(k, it, st))
+    }
+    parentDeltas
+  }
+}

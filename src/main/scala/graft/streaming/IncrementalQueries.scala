@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+import graft.sources.CdcParser
+import graft.streaming.DeltaEngine._
+
+/** The incremental (changelog) query surface, registered against the
+  * driver's correctness gate:
+  *
+  *  - `cdc_roundtrip_lineitem`: parquet rows → reference CDC text
+  *    lines → [[CdcParser]] → typed rows; the oracle reads the same
+  *    columns straight from parquet, so any parse/cast drift fails the
+  *    value hash.
+  *
+  *  - `incremental_q10`: TPC-H Q10 maintained by the [[DeltaEngine]]
+  *    join tree over a synthetic changelog (insert everything, then
+  *    delete every lineitem with linenumber 3 and every order with
+  *    orderkey % 50 == 0 — exercising child retraction AND parent
+  *    death fan-out). The oracle is plain SQL over the net surviving
+  *    tuples: incremental-equals-batch is exactly the AJU correctness
+  *    property (SURVEY.md §5.2).
+  *
+  * Revenue folds in integer 1e-4 units (`revenue_e4`) so incremental
+  * double-summation order can never drift from the decimal oracle.
+  */
+object IncrementalQueries {
+
+  private val dateLo = "1996-01-01"
+  private val dateHi = "1996-04-01"
+
+  /** Build one relation's changelog as Dataset[Evt]. */
+  private def changelog(df: DataFrame, keyCol: String, cols: Seq[String],
+                        deleteWhen: Option[org.apache.spark.sql.Column]): Dataset[Evt] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val colMap = map(cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+    val inserts = df.select(lit(0L).as("seq"), lit(false).as("fromParent"),
+      lit(1).as("tag"), lit(1).as("mult"),
+      col(keyCol).cast("string").as("key"), colMap.as("cols")).as[Evt]
+    deleteWhen match {
+      case None => inserts
+      case Some(cond) =>
+        val deletes = df.filter(cond).select(lit(1L).as("seq"), lit(false).as("fromParent"),
+          lit(-1).as("tag"), lit(1).as("mult"),
+          col(keyCol).cast("string").as("key"), colMap.as("cols")).as[Evt]
+        inserts.union(deletes)
+    }
+  }
+
+  /** The Q10 FK tree (reference DataFlow.java:45-56), quirks fixed. */
+  val q10Tree: Seq[NodeSpec] = Seq(
+    NodeSpec("nation", "n_nationkey", "n_nationkey", isRoot = true, setSemantics = true),
+    NodeSpec("customer", "c_nationkey", "c_custkey"),
+    NodeSpec("orders", "o_custkey", "o_orderkey",
+      predicate = r => {
+        val d = r.getOrElse("o_orderdate", "")
+        d >= dateLo && d < dateHi  // ISO strings compare lexicographically
+      }),
+    NodeSpec("lineitem", "l_orderkey", "l_orderkey",
+      predicate = _.getOrElse("l_returnflag", "") == "R"))
+
+  /** Run the engine over the synthetic changelog and fold the leaf
+    * deltas into the Q10 aggregate. */
+  def incrementalQ10(s: SparkSession, dir: String): DataFrame = {
+    val logs = Map(
+      "nation" -> changelog(Tables.nation(s, dir), "n_nationkey",
+        Seq("n_nationkey", "n_name"), None),
+      "customer" -> changelog(Tables.customer(s, dir), "c_nationkey",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"), None),
+      "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
+        Seq("o_orderkey", "o_custkey", "o_orderdate"),
+        Some(col("o_orderkey") % 50 === 0)),
+      "lineitem" -> changelog(Tables.lineitem(s, dir), "l_orderkey",
+        Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"),
+        Some(col("l_linenumber") === 3)))
+    val leaf = runBatch(q10Tree, logs)
+    val df = leaf.toDF()
+    val c = col("cols")
+    // signed integer fold: rev_e4 = round(extprice * (1-disc) * 1e4),
+    // exact because the true product has 4 decimals (2dp × 2dp)
+    df.select(
+        (col("tag") * col("mult")).as("sign"),
+        c.getItem("c_custkey").cast(LongType).as("c_custkey"),
+        c.getItem("c_name").as("c_name"),
+        c.getItem("c_acctbal").cast(DoubleType).as("c_acctbal"),
+        c.getItem("n_name").as("n_name"),
+        round(c.getItem("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+          .cast(LongType).as("rev_e4"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
+        sum(col("sign")).cast(LongType).as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
+  private val lineitemCdcCols =
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    sql("cdc_roundtrip_lineitem",
+      """SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'Insert' ELSE 'Delete' END AS action,
+        | l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity, l_extendedprice, l_returnflag, l_shipdate
+        |FROM lineitem""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d)
+        val lines = CdcParser.toCdcLines(li.filter(col("l_orderkey") % 2 === 0),
+            add = true, "LINE", lineitemCdcCols)
+          .unionAll(CdcParser.toCdcLines(li.filter(col("l_orderkey") % 2 =!= 0),
+            add = false, "LINE", lineitemCdcCols))
+        CdcParser.parseRelation(lines, "LINE", Seq(
+            "l_orderkey" -> LongType, "l_linenumber" -> LongType,
+            "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+            "l_returnflag" -> StringType, "l_shipdate" -> TimestampType))
+          .select("action", "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_shipdate")
+    },
+
+    sql("incremental_q10",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10))
+}

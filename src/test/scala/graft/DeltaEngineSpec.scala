@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.DeltaEngine._
+
+/** Property tests of the pure AJU state machine — the semantic heart
+  * of the incremental engine (SURVEY.md §5.2: incremental == batch
+  * over the net surviving tuples, under arbitrary interleavings).
+  * These are exactly the bug classes the reference itself has (quirks
+  * Q1–Q6).
+  */
+class DeltaEngineSpec extends AnyFunSuite {
+
+  /** Deterministic ScalaCheck sampling (the scalatest-scalacheck
+    * bridge isn't in the offline cache — sample seeded generators by
+    * hand). */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // -- tiny 2-level tree: parent P(pk) → child C(fk, val>=threshold) --
+  private val parentSpec = NodeSpec("P", "pk", "pk", isRoot = true, setSemantics = true)
+  private val childSpec = NodeSpec("C", "fk", "fk",
+    predicate = _.getOrElse("v", "").toInt >= 10)
+
+  private def parentRow(k: Int) = Map("pk" -> k.toString, "pname" -> s"p$k")
+  private def childRow(k: Int, id: Int, v: Int) =
+    Map("fk" -> k.toString, "cid" -> id.toString, "v" -> v.toString)
+
+  /** Drive the two-node chain entirely in-process (no Spark): node 1
+    * per-key fold, route emissions, node 2 per-key fold. */
+  private def runChain(parentEvts: Seq[Evt], childEvts: Seq[Evt]): Seq[(Int, Int, Map[String, String])] = {
+    val p1 = parentEvts.groupBy(_.key).toSeq.flatMap { case (k, evs) =>
+      processKeyBatch(parentSpec)(k, evs.iterator).toSeq
+    }
+    val all = childEvts ++ p1
+    all.groupBy(_.key).toSeq.flatMap { case (k, evs) =>
+      processKeyBatch(childSpec)(k, evs.iterator).toSeq
+        .map(e => (e.tag, e.mult, e.cols))
+    }
+  }
+
+  /** Brute-force oracle: net surviving joined multiset. */
+  private def bruteForce(ops: Seq[(Boolean, Boolean, Int, Int, Int)]): Map[(Int, Int, Int), Int] = {
+    // (isParent, isInsert, key, id, v)
+    val pNet = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    val cNet = scala.collection.mutable.Map[(Int, Int, Int), Int]().withDefaultValue(0)
+    ops.foreach {
+      case (true, ins, k, _, _)  => pNet(k) += (if (ins) 1 else -1)
+      case (false, ins, k, id, v) => cNet((k, id, v)) += (if (ins) 1 else -1)
+    }
+    cNet.toMap.collect {
+      case ((k, id, v), n) if n != 0 && v >= 10 && pNet(k) > 0 => (k, id, v) -> n
+    }
+  }
+
+  private val opGen: Gen[(Boolean, Boolean, Int, Int, Int)] = for {
+    isParent <- Gen.oneOf(true, false)
+    isInsert <- Gen.frequency(3 -> true, 1 -> false)
+    key <- Gen.choose(0, 3)
+    id <- Gen.choose(0, 4)
+    v <- Gen.choose(5, 15)
+  } yield (isParent, isInsert, key, id, v)
+
+  test("incremental net == batch over net tuples, any interleaving (AJU property)") {
+    samples(Gen.listOfN(40, opGen), 60).foreach { ops =>
+      // deletes get a later seq than inserts of the same tuple: use the
+      // op index as seq (a delete that precedes its insert is a ghost;
+      // the brute force handles it identically via signed counts)
+      val evts = ops.zipWithIndex.map { case ((isP, ins, k, id, v), i) =>
+        val row = if (isP) parentRow(k) else childRow(k, id, v)
+        val key = if (isP) k.toString else k.toString
+        (isP, Evt(i.toLong, fromParent = false, if (ins) 1 else -1, 1, key, row))
+      }
+      val leaf = runChain(evts.filter(_._1).map(_._2), evts.filterNot(_._1).map(_._2))
+      val got = scala.collection.mutable.Map[(Int, Int, Int), Int]().withDefaultValue(0)
+      leaf.foreach { case (tag, mult, row) =>
+        val k = (row("fk").toInt, row("cid").toInt, row("v").toInt)
+        got(k) += tag * mult
+      }
+      val expected = bruteForce(ops)
+      assert(got.filter(_._2 != 0).toMap == expected)
+    }
+  }
+
+  test("parent death retracts all buffered children (fan-out)") {
+    val pIns = Evt(0, false, 1, 1, "1", parentRow(1))
+    val cs = (0 until 5).map(i => Evt(1, false, 1, 1, "1", childRow(1, i, 12)))
+    val pDel = Evt(2, false, -1, 1, "1", parentRow(1))
+    val leaf = runChain(Seq(pIns, pDel), cs)
+    val net = leaf.map { case (t, m, _) => t * m }.sum
+    assert(net == 0)
+    assert(leaf.count(_._1 == 1) == 5 && leaf.count(_._1 == -1) == 5)
+  }
+
+  test("predicate is orthogonal to action (quirk Q4 fixed)") {
+    // insert then delete of a PASSING tuple must retract (the reference
+    // drops the delete because it only checks Delete when the predicate
+    // FAILS, Q10OrdersProcessFunction.java:102-122)
+    val p = Evt(0, false, 1, 1, "1", parentRow(1))
+    val ins = Evt(1, false, 1, 1, "1", childRow(1, 0, 12))
+    val del = Evt(2, false, -1, 1, "1", childRow(1, 0, 12))
+    val leaf = runChain(Seq(p), Seq(ins, del))
+    assert(leaf.map { case (t, m, _) => t * m }.sum == 0)
+  }
+
+  test("root dedup is set-semantic with content equality (quirks Q1/Q2 fixed)") {
+    // duplicate parent insert emits exactly one Alive
+    val p1 = Evt(0, false, 1, 1, "1", parentRow(1))
+    val p2 = Evt(1, false, 1, 1, "1", parentRow(1))
+    val c = Evt(2, false, 1, 1, "1", childRow(1, 0, 12))
+    val leaf = runChain(Seq(p1, p2), Seq(c))
+    assert(leaf.map { case (t, m, _) => t * m }.sum == 1)
+  }
+
+  test("canon/uncanon round-trips arbitrary column maps") {
+    samples(Gen.mapOf(Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.alphaNumStr)), 100)
+      .foreach(m => assert(uncanon(canon(m)) == m))
+  }
+}
