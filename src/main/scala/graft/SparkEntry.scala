@@ -17,6 +17,7 @@ object SparkEntry {
     operators.TextAnalysis.defs ++
     operators.Dedup.defs ++
     operators.SimilaritySearch.defs ++
+    operators.Multimodal.defs ++
     streaming.IncrementalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
