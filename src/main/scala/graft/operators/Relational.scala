@@ -328,6 +328,50 @@ object Relational {
     // Changelog fold as signed-delta aggregation (A1's retraction-correct
     // form, SURVEY.md §2 A1 Spark mapping): '+' events add, '-' events
     // retract; built-in sum over signed deltas IS retraction handling.
+    // Tumbling event-time window aggregation — the batch form of the
+    // Structured Streaming `groupBy(window($"ts", ...))` pipeline (the
+    // same expression works under readStream + watermark; see
+    // StreamingSpec for the stateful streaming surface).
+    sql("events_tumbling_window",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DecimalType(18, 2))), 2).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    },
+
+    // Sessionization: 30-minute-gap sessions via lag + running sum of
+    // session-start markers — the standard scalable shape (two window
+    // passes over the same user partitioning, ONE shuffle total).
+    sql("events_sessionize",
+      """SELECT event_id, user_id, session_id FROM (
+        | SELECT event_id, user_id,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM (
+        |  SELECT event_id, user_id, ts,
+        |   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events) t) s""".stripMargin) {
+      (s, d) =>
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(byUser)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(prev.isNull ||
+              unix_micros(col("ts")) - unix_micros(prev) > 1800L * 1000000L, 1)
+              .otherwise(0).as("is_new"))
+          .select(col("event_id"), col("user_id"),
+            sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("session_id"))
+    },
+
     sql("events_cdc_net_sum",
       """SELECT user_id,
         | CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'error' THEN -value ELSE value END AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_value,
