@@ -44,16 +44,15 @@ object Dedup {
     md5(to_binary(trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit("utf-8")))
 
   /** doc_id + distinct word-3-shingles ("a b c") of the lowercased
-    * alnum token stream. Guarded for <3-token docs. */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
-    val t = regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0))
+    * alnum token stream (single joined string for <3-token docs).
+    * Native [[graft.functions.WordShingles]] — one linear codegen'd
+    * pass; see its scaladoc for why the composed HOF form is O(n²). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      when(size(t) >= 3,
-        array_distinct(transform(sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-        .otherwise(array(concat_ws(" ", t))).as("shingles"))
-  }
+      graft.functions.WordShingles.word_shingles(
+        regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)), 3)
+        .as("shingles"))
 
   private val shingledSql: String =
     s"""SELECT doc_id,
@@ -63,17 +62,44 @@ object Dedup {
        |  ELSE [array_to_string(t, ' ')] END AS shingles
        |FROM (SELECT doc_id, regexp_extract_all(lower(text), '$tokenPattern') AS t FROM documents)""".stripMargin
 
-  /** Minhash h_j = lexicographic min of md5("j:" || shingle) — the
-    * same 128-bit hash family in both engines, so signatures match
-    * byte-for-byte. */
-  private def minhashCols: Seq[Column] =
+  /** Minhash via universal hashing from ONE md5 per shingle: the
+    * 60-bit base h = first 15 hex digits of md5(shingle), reduced mod
+    * P = 2^31−1, then h_j = (a_j·h + b_j) mod P. One digest per
+    * shingle instead of NumHashes digests, and the signature / band
+    * keys are BIGINTs, not 32-char strings — an 8× hash-work and ~4×
+    * shuffle-width saving that matters at corpus scale. The identical
+    * integer arithmetic runs on both engines, so signatures match
+    * exactly. */
+  private val P = 2147483647L // 2^31 − 1, prime
+  private val hashA = Seq(1664525L, 22695477L, 1103515245L, 214013L,
+    69069L, 134775813L, 1140671485L, 65793L)
+  private val hashB = Seq(1013904223L, 1L, 12345L, 2531011L,
+    362437L, 2147483587L, 12820163L, 4282663L)
+
+  /** Spark base hash of a shingle string (matches the DuckDB fragment
+    * in [[baseHashSql]] bit-for-bit). */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast("long") % P
+
+  private val baseHashSql = s"('0x' || substr(md5(s), 1, 15))::BIGINT % $P"
+
+  /** (doc_id, h) rows: one 31-bit base hash per distinct shingle. */
+  private def baseHashed(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), baseHash(col("s")).as("h"))
+
+  /** The 8 min-aggregates over the rehashed base — ONE HashAggregate
+    * pass with map-side partials (the scalable signature shape: no
+    * per-row arrays, narrow long columns through the shuffle). */
+  private def minhashAggCols: Seq[Column] =
     (0 until NumHashes).map { j =>
-      array_min(transform(col("shingles"),
-        sh => md5(to_binary(concat(lit(s"$j:"), sh), lit("utf-8"))))).as(s"h$j")
+      min((lit(hashA(j)) * col("h") + lit(hashB(j))) % P).as(s"h$j")
     }
 
   private def minhashSelectSql: String =
-    (0 until NumHashes).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n ")
+    (0 until NumHashes).map(j =>
+      s"min((${hashA(j)} * h + ${hashB(j)}) % $P) AS h$j").mkString(",\n ")
 
   // ---- SimHash: shared SQL fragments (valid in BOTH dialects) -------
   // bit b of hex digest h: ((instr('0123456789abcdef', substr(h, b/4+1, 1)) - 1) >> (3 - b%4)) & 1
@@ -109,17 +135,26 @@ object Dedup {
     sql("minhash_signature",
       s"""WITH sh AS ($shingledSql)
          |SELECT doc_id, $minhashSelectSql
-         |FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+         |FROM (SELECT doc_id, $baseHashSql AS h
+         |      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh))
          |GROUP BY doc_id""".stripMargin) {
-      (s, d) => shingled(s, d).select(col("doc_id") +: minhashCols: _*)
+      (s, d) => baseHashed(s, d).groupBy(col("doc_id")).agg(minhashAggCols.head, minhashAggCols.tail: _*)
     },
 
     // --- minhash LSH candidate pairs + exact-jaccard confirm ------------
+    // The confirm computes |A∩B| by exploded equi-join + count rather
+    // than per-pair array_intersect: narrow (doc_id, shingle) rows
+    // through codegen'd hash joins instead of multi-KB array cells
+    // through a shuffle — the shape that survives a 1e9-doc corpus.
+    // jacc = ni / (na + nb − ni) over the same integers DuckDB's
+    // len(∩)/len(∪) produces, so the doubles match exactly.
     sql("dedup_minhash_pairs",
       s"""WITH sh AS ($shingledSql),
          |sig AS (
          | SELECT doc_id, $minhashSelectSql
-         | FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) GROUP BY doc_id),
+         | FROM (SELECT doc_id, $baseHashSql AS h
+         |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh))
+         | GROUP BY doc_id),
          |cand AS (
          | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          | FROM sig a, sig b
@@ -131,9 +166,12 @@ object Dedup {
          |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
          |  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.01""".stripMargin) {
       (s, d) =>
-        val sh = shingled(s, d).cache()
-        val sig = sh.select(col("doc_id") +: minhashCols: _*)
-        // Scalable LSH shape: signature → (band, hash) rows → equi-join.
+        val sh = shingled(s, d)
+        val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+        val sig = baseHashed(s, d).groupBy(col("doc_id"))
+          .agg(minhashAggCols.head, minhashAggCols.tail: _*)
+        // Scalable LSH shape: signature → (band, hash) rows → equi-join
+        // on long keys (never an OR-of-bands theta join).
         val bands = sig.select(col("doc_id"),
           explode(array((0 until NumHashes).map(j =>
             struct(lit(j).as("band"), col(s"h$j").as("h"))): _*)).as("bh"))
@@ -143,12 +181,18 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val jacc = size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
-          size(array_distinct(concat(col("x.shingles"), col("y.shingles"))))
-        cand
-          .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
-          .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+        val nDf = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+        val inter = cand
+          .join(ex.as("xa"), col("xa.doc_id") === col("doc_a"))
+          .join(ex.as("xb"),
+            col("xb.doc_id") === col("doc_b") && col("xa.s") === col("xb.s"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+        inter
+          .join(nDf.as("na"), col("na.doc_id") === col("doc_a"))
+          .join(nDf.as("nb"), col("nb.doc_id") === col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni")))
+              .as("jacc"))
           .filter(col("jacc") >= 0.01)
     },
 

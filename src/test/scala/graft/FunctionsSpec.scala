@@ -32,6 +32,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(distinctHashes == n)
   }
 
+  test("word_shingles equals the composed HOF formulation") {
+    import graft.functions.WordShingles.word_shingles
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b",      // duplicate shingles → dedup
+      "one two",          // < n tokens → single joined shingle
+      "solo", "")
+      .toDF("text")
+    val t = col("t")
+    val got = docs
+      .select(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("t"))
+      .select(word_shingles(t, 3).as("s"), t)
+      .select(col("s"),
+        when(size(t) >= 3,
+          array_distinct(transform(sequence(lit(1), size(t) - 2),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+          .otherwise(array(concat_ws(" ", t))).as("expected"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("word_shingles is null-safe") {
+    val got = Seq(Option(Seq("a", "b", "c", "d")), None).toDF("t")
+      .select(graft.functions.WordShingles.word_shingles(col("t"), 3).as("s"))
+      .collect()
+    assert(got(0).getSeq[String](0) == Seq("a b c", "b c d") && got(1).isNullAt(0))
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
