@@ -19,11 +19,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * grouped by the query's GROUP BY columns rather than the leaf
   * routing key (Q5).
   *
-  * Rows travel as `Map[String, String]` with canonical string values
-  * (cast at ingest); state per key is ghost-tolerant signed multisets,
-  * so the NET result is independent of event order while emission
-  * order stays deterministic (events sorted by (seq, parent-first,
-  * canonical row) inside each key).
+  * Rows travel as ONE canonical string (`name\u0001value` pairs sorted
+  * by name, `\u0002`-separated) rather than a `Map`: the hop-to-hop
+  * shuffles then move a single UTF8String per event instead of running
+  * the map<string,string> converter per row, the per-key deterministic
+  * sort keys on the string directly (no re-canonicalization), and the
+  * join-merge is a linear merge of two sorted pair lists. State per
+  * key is a ghost-tolerant signed multiset of canonical rows, so the
+  * NET result is independent of event order while emission order stays
+  * deterministic (events sorted by (seq, parent-first, row) inside
+  * each key).
   *
   * Scale notes: each node is one `groupByKey` shuffle on its join key
   * — the same 4 exchanges as the reference's `keyBy` chain (SURVEY.md
@@ -44,10 +49,20 @@ object DeltaEngine {
     * @param tag   +1 insert/alive, -1 delete/dead
     * @param mult  multiplicity (parent flips multiply by child counts)
     * @param key   current routing key (reference: Payload.key)
-    * @param cols  the row, column name → canonical string value
+    * @param row   the row in canonical string form (see [[canon]])
     */
   final case class Evt(seq: Long, fromParent: Boolean, tag: Int, mult: Int,
-                       key: String, cols: Map[String, String])
+                       key: String, row: String) {
+    /** Row as a map (convenience/test surface; allocates). */
+    def cols: Map[String, String] = uncanon(row)
+  }
+
+  object Evt {
+    /** Map-typed constructor (test/builder convenience). */
+    def apply(seq: Long, fromParent: Boolean, tag: Int, mult: Int,
+              key: String, cols: Map[String, String]): Evt =
+      new Evt(seq, fromParent, tag, mult, key, canon(cols))
+  }
 
   /** Configuration of one join-tree node.
     *
@@ -70,8 +85,8 @@ object DeltaEngine {
       isRoot: Boolean = false,
       setSemantics: Boolean = false)
 
-  // ---- canonical row serialization (state-store friendly) -----------
-  private val KV = '\u0001'; private val FS = '\u0002'
+  // ---- canonical row form (state-store and shuffle friendly) --------
+  val KV = '\u0001'; val FS = '\u0002'
 
   def canon(cols: Map[String, String]): String =
     cols.toSeq.sortBy(_._1).map { case (k, v) => s"$k$KV$v" }.mkString(FS.toString)
@@ -83,6 +98,53 @@ object DeltaEngine {
       kv.substring(0, i) -> kv.substring(i + 1)
     }.toMap
 
+  /** Value of one column in a canonical row ("" if absent) — linear
+    * scan, no allocation beyond the result. */
+  def canonGet(row: String, name: String): String = {
+    var start = 0
+    val n = row.length
+    while (start < n) {
+      val end = row.indexOf(FS, start)
+      val stop = if (end < 0) n else end
+      val kvIdx = row.indexOf(KV, start)
+      if (kvIdx >= 0 && kvIdx < stop &&
+          kvIdx - start == name.length && row.startsWith(name, start))
+        return row.substring(kvIdx + 1, stop)
+      if (end < 0) return ""
+      start = end + 1
+    }
+    ""
+  }
+
+  /** Join-merge on canonical rows: keep the child's columns, append
+    * the parent's new ones (fixed-Q2 semantics of collectPayload,
+    * Q10CustomerProcessFunction.java:48-62). Both inputs are sorted
+    * pair lists, so this is a single merge pass and the output is
+    * canonical by construction. */
+  def mergeCanon(child: String, parent: String): String = {
+    if (parent.isEmpty) return child
+    if (child.isEmpty) return parent
+    val a = child.split(FS)
+    val b = parent.split(FS)
+    def keyOf(s: String): String = s.substring(0, s.indexOf(KV))
+    val sb = new java.lang.StringBuilder(child.length + parent.length + 1)
+    var i = 0; var j = 0
+    while (i < a.length || j < b.length) {
+      val take =
+        if (j >= b.length) { val s = a(i); i += 1; s }
+        else if (i >= a.length) { val s = b(j); j += 1; s }
+        else {
+          val cmp = keyOf(a(i)).compareTo(keyOf(b(j)))
+          if (cmp == 0) { val s = a(i); i += 1; j += 1; s }      // child wins
+          else if (cmp < 0) { val s = a(i); i += 1; s }
+          else { val s = b(j); j += 1; s }
+        }
+      if (sb.length > 0) sb.append(FS)
+      sb.append(take)
+    }
+    sb.toString
+  }
+
   /** Per-key node state: signed child multiset (canonical row →
     * count), alive-parent counter, and the latest alive parent row
     * (reference: Set<Payload>/numAlive/latestAlive,
@@ -90,23 +152,17 @@ object DeltaEngine {
   final case class NState(children: Map[String, Int], aliveParents: Int, parentCanon: String)
   val emptyState: NState = NState(Map.empty, 0, "")
 
-  /** Join-merge: keep the child's columns, append the parent's new
-    * ones (fixed-Q2 semantics of collectPayload,
-    * Q10CustomerProcessFunction.java:48-62). */
-  def merge(child: Map[String, String], parent: Map[String, String]): Map[String, String] =
-    parent.foldLeft(child) { case (m, kv) => if (m.contains(kv._1)) m else m + kv }
-
   /** Fold one event into the state; returns emissions as
-    * (tag, mult, mergedRow). Pure — shared verbatim by the batch
-    * simulation (flatMapGroups) and streaming
+    * (tag, mult, mergedCanonicalRow). Pure — shared verbatim by the
+    * batch simulation (flatMapGroups) and streaming
     * (flatMapGroupsWithState) drivers. */
-  def step(spec: NodeSpec, st: NState, ev: Evt): (NState, Seq[(Int, Int, Map[String, String])]) = {
+  def step(spec: NodeSpec, st: NState, ev: Evt): (NState, Seq[(Int, Int, String)]) = {
     if (ev.fromParent) {
       val newAlive = st.aliveParents + ev.tag * ev.mult
       val wasAlive = st.aliveParents > 0
       val isAlive = newAlive > 0
-      val parentCanonAfter = if (ev.tag > 0) canon(ev.cols) else st.parentCanon
-      val parentRow = if (ev.tag > 0) ev.cols else uncanon(st.parentCanon)
+      val parentCanonAfter = if (ev.tag > 0) ev.row else st.parentCanon
+      val parentRow = if (ev.tag > 0) ev.row else st.parentCanon
       val out =
         if (wasAlive == isAlive) Nil
         else st.children.toSeq.filter(_._2 != 0).sortBy(_._1).map { case (c, cnt) =>
@@ -115,13 +171,13 @@ object DeltaEngine {
           // A negative (ghost) count contributes with inverted sign so
           // the NET stays order-independent.
           val signed = (if (isAlive) 1 else -1) * cnt
-          (if (signed > 0) 1 else -1, signed.abs, merge(uncanon(c), parentRow))
+          (if (signed > 0) 1 else -1, signed.abs, mergeCanon(c, parentRow))
         }
       (NState(st.children, newAlive, parentCanonAfter), out)
     } else {
-      if (!spec.predicate(ev.cols)) (st, Nil)
+      if (!spec.predicate(uncanon(ev.row))) (st, Nil)
       else {
-        val c = canon(ev.cols)
+        val c = ev.row
         val before = st.children.getOrElse(c, 0)
         val after = before + ev.tag * ev.mult
         val children =
@@ -137,10 +193,8 @@ object DeltaEngine {
         val parentOk = spec.isRoot || st.aliveParents > 0
         val out =
           if (emitCount == 0 || !parentOk) Nil
-          else {
-            val parent = if (spec.isRoot) Map.empty[String, String] else uncanon(st.parentCanon)
-            Seq((if (emitCount > 0) 1 else -1, emitCount.abs, merge(ev.cols, parent)))
-          }
+          else Seq((if (emitCount > 0) 1 else -1, emitCount.abs,
+            if (spec.isRoot) ev.row else mergeCanon(ev.row, st.parentCanon)))
         (NState(children, st.aliveParents, st.parentCanon), out)
       }
     }
@@ -150,15 +204,15 @@ object DeltaEngine {
     * from empty state; emissions become parent deltas for the next
     * node, re-keyed by `nextKeyCol`. */
   def processKeyBatch(spec: NodeSpec)(key: String, events: Iterator[Evt]): Iterator[Evt] = {
-    val sorted = events.toVector.sortBy(e => (e.seq, !e.fromParent, canon(e.cols)))
+    val sorted = events.toVector.sortBy(e => (e.seq, !e.fromParent, e.row))
     var st = emptyState
     val out = Vector.newBuilder[Evt]
     sorted.foreach { ev =>
       val (st2, emitted) = step(spec, st, ev)
       st = st2
       emitted.foreach { case (tag, mult, row) =>
-        out += Evt(ev.seq, fromParent = true, tag, mult,
-          row.getOrElse(spec.nextKeyCol, ""), row)
+        out += new Evt(ev.seq, fromParent = true, tag, mult,
+          canonGet(row, spec.nextKeyCol), row)
       }
     }
     out.result().iterator
@@ -191,14 +245,14 @@ object DeltaEngine {
       key: String, events: Iterator[Evt],
       state: org.apache.spark.sql.streaming.GroupState[NState]): Iterator[Evt] = {
     var st = state.getOption.getOrElse(emptyState)
-    val sorted = events.toVector.sortBy(e => (e.seq, !e.fromParent, canon(e.cols)))
+    val sorted = events.toVector.sortBy(e => (e.seq, !e.fromParent, e.row))
     val out = Vector.newBuilder[Evt]
     sorted.foreach { ev =>
       val (st2, emitted) = step(spec, st, ev)
       st = st2
       emitted.foreach { case (tag, mult, row) =>
-        out += Evt(ev.seq, fromParent = true, tag, mult,
-          row.getOrElse(spec.nextKeyCol, ""), row)
+        out += new Evt(ev.seq, fromParent = true, tag, mult,
+          canonGet(row, spec.nextKeyCol), row)
       }
     }
     state.update(st)

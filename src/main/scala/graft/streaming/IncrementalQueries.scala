@@ -32,21 +32,24 @@ object IncrementalQueries {
   private val dateLo = "1996-01-01"
   private val dateHi = "1996-04-01"
 
-  /** Build one relation's changelog as Dataset[Evt]. */
+  /** Build one relation's changelog as Dataset[Evt]. The canonical row
+    * string is assembled by codegen'd `concat_ws` at ingest — events
+    * shuffle as one UTF8String, never as map<string,string>. */
   private def changelog(df: DataFrame, keyCol: String, cols: Seq[String],
                         deleteWhen: Option[org.apache.spark.sql.Column]): Dataset[Evt] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val colMap = map(cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+    val rowCanon = concat_ws(FS.toString,
+      cols.sorted.map(c => concat(lit(c + KV.toString), col(c).cast("string"))): _*)
     val inserts = df.select(lit(0L).as("seq"), lit(false).as("fromParent"),
       lit(1).as("tag"), lit(1).as("mult"),
-      col(keyCol).cast("string").as("key"), colMap.as("cols")).as[Evt]
+      col(keyCol).cast("string").as("key"), rowCanon.as("row")).as[Evt]
     deleteWhen match {
       case None => inserts
       case Some(cond) =>
         val deletes = df.filter(cond).select(lit(1L).as("seq"), lit(false).as("fromParent"),
           lit(-1).as("tag"), lit(1).as("mult"),
-          col(keyCol).cast("string").as("key"), colMap.as("cols")).as[Evt]
+          col(keyCol).cast("string").as("key"), rowCanon.as("row")).as[Evt]
         inserts.union(deletes)
     }
   }
@@ -79,7 +82,7 @@ object IncrementalQueries {
         Some(col("l_linenumber") === 3)))
     val leaf = runBatch(q10Tree, logs)
     val df = leaf.toDF()
-    val c = col("cols")
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     // signed integer fold: rev_e4 = round(extprice * (1-disc) * 1e4),
     // exact because the true product has 4 decimals (2dp × 2dp)
     df.select(
