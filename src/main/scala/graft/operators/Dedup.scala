@@ -230,19 +230,34 @@ object Dedup {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.55""".stripMargin) {
       (s, d) =>
-        // substr with a dynamic start needs the SQL form (the typed
-        // API's substring overload takes Int positions only).
-        val grams = Tables.documents(s, d)
-          .filter(length(col("text")) >= 3)
-          .selectExpr("doc_id", "lang", "n_chars div 50 AS len_bucket",
-            "array_distinct(transform(sequence(1, length(text)-2), i -> substr(text, i, 3))) AS grams")
-        val jacc = size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_distinct(concat(col("a.grams"), col("b.grams"))))
-        grams.as("a").join(grams.as("b"),
+        // Native char_ngrams: the composed substr-in-a-lambda form is
+        // O(chars²) per doc (each substr seeks from the buffer start,
+        // interpreted) — see CharNgrams scaladoc.
+        //
+        // Pair enumeration is split from the heavy per-pair set ops:
+        // joining gram ARRAYS in the block self-join puts every pair of
+        // a block into one task (block-level skew) and lets predicate
+        // pushdown duplicate the jaccard expression into a Filter.
+        // Instead: narrow (doc_a, doc_b) pairs from a metadata-only
+        // block join, gram arrays re-joined per side (doc-level hash
+        // distribution), jaccard evaluated ONCE under an aggregation
+        // barrier the filter cannot be pushed through.
+        val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
+        val meta = docs.select(col("doc_id"), col("lang"),
+          expr("n_chars div 50").as("len_bucket"))
+        val grams = docs.select(col("doc_id"),
+          graft.functions.CharNgrams.char_ngrams(col("text"), 3).as("grams"))
+        val pairs = meta.as("a").join(meta.as("b"),
             col("a.lang") === col("b.lang") &&
               col("a.len_bucket") === col("b.len_bucket") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jacc.as("jacc"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val jacc = graft.functions.JaccardSim.jaccard_sim(col("x.grams"), col("y.grams"))
+        pairs
+          .join(grams.as("x"), col("x.doc_id") === col("doc_a"))
+          .join(grams.as("y"), col("y.doc_id") === col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(jacc).as("jacc"))
           .filter(col("jacc") >= 0.55)
     },
 

@@ -60,6 +60,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0).getSeq[String](0) == Seq("a b c", "b c d") && got(1).isNullAt(0))
   }
 
+  test("char_ngrams equals the composed substr formulation (incl. non-ASCII)") {
+    import graft.functions.CharNgrams.char_ngrams
+    val docs = Seq("abcdef", "aaaa", "ab", "", "ünïcödé ✓ tëst").toDF("text")
+    val got = docs
+      .select(char_ngrams(col("text"), 3).as("s"),
+        expr("""CASE WHEN length(text) >= 3
+               | THEN array_distinct(transform(sequence(1, length(text)-2), i -> substr(text, i, 3)))
+               | ELSE cast(array() AS array<string>) END""".stripMargin)
+          .as("expected"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("jaccard_sim equals the composed intersect/union formulation") {
+    import graft.functions.JaccardSim.jaccard_sim
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "a", "b"), Seq("b", "b", "a")), // dup elements → set semantics
+      (Seq.empty[String], Seq("x")))
+      .toDF("a", "b")
+    val got = pairs.select(
+        jaccard_sim(col("a"), col("b")).as("j"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_distinct(concat(col("a"), col("b"))))).as("expected"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
