@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  import org.apache.spark.sql.GraftBridge
+
   /** Cast a float array to double (element-wise) once, up front. */
   def toDoubleVec(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Native sequential fold (see [[VecDot]]) — same IEEE sequence as
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, but codegen'd. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    GraftBridge.toColumn(VecDot(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 
   def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    GraftBridge.toColumn(VecNormSq(GraftBridge.toExpression(a)))
 
   /** cosine(a, b) = dot / (sqrt(|a|²) * sqrt(|b|²)) — the exact
     * DuckDB-compatible formula (NOT dot/sqrt(na*nb), which differs in

@@ -271,12 +271,14 @@ object Dedup {
         |WHERE a.vec_id < b.vec_id
         | AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin) {
       (s, d) =>
+        import graft.functions.VectorOps.{dot, normSq, toDoubleVec}
+        // Per-vector norms precomputed BEFORE the O(n²) pair join —
+        // sqrt(Σx²) is the same double whether computed per pair or
+        // per vector, so only the dot product remains pairwise.
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        val na = aggregate(col("a.v"), lit(0.0), (acc, x) => acc + x * x)
-        val nb = aggregate(col("b.v"), lit(0.0), (acc, x) => acc + x * x)
-        val cos = dot / (sqrt(na) * sqrt(nb))
+          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(normSq(col("v"))))
+        val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             (floor(cos * 1000000 + 0.5) / 1000000).as("cos_sim"), cos.as("_raw"))

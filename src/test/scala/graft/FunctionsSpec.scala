@@ -90,6 +90,21 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("vec_dot / vec_norm_sq are bit-identical to the HOF fold") {
+    val vecs = Tables.embeddings(spark, sfTiny).limit(200)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val got = vecs.select(
+        graft.functions.VectorOps.dot(col("v"), col("v")).as("d"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d_hof"),
+        graft.functions.VectorOps.normSq(col("v")).as("n"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x).as("n_hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) == java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) == java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
