@@ -66,21 +66,25 @@ object IncrementalQueries {
     NodeSpec("lineitem", "l_orderkey", "l_orderkey",
       predicate = _.getOrElse("l_returnflag", "") == "R"))
 
+  /** The synthetic Q10 changelog set: insert every row, then delete
+    * every lineitem with linenumber 3 and every order with
+    * orderkey % 50 == 0 (child retraction AND parent-death fan-out). */
+  def q10Changelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
+    "nation" -> changelog(Tables.nation(s, dir), "n_nationkey",
+      Seq("n_nationkey", "n_name"), None),
+    "customer" -> changelog(Tables.customer(s, dir), "c_nationkey",
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"), None),
+    "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
+      Seq("o_orderkey", "o_custkey", "o_orderdate"),
+      Some(col("o_orderkey") % 50 === 0)),
+    "lineitem" -> changelog(Tables.lineitem(s, dir), "l_orderkey",
+      Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"),
+      Some(col("l_linenumber") === 3)))
+
   /** Run the engine over the synthetic changelog and fold the leaf
     * deltas into the Q10 aggregate. */
   def incrementalQ10(s: SparkSession, dir: String): DataFrame = {
-    val logs = Map(
-      "nation" -> changelog(Tables.nation(s, dir), "n_nationkey",
-        Seq("n_nationkey", "n_name"), None),
-      "customer" -> changelog(Tables.customer(s, dir), "c_nationkey",
-        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"), None),
-      "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
-        Seq("o_orderkey", "o_custkey", "o_orderdate"),
-        Some(col("o_orderkey") % 50 === 0)),
-      "lineitem" -> changelog(Tables.lineitem(s, dir), "l_orderkey",
-        Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"),
-        Some(col("l_linenumber") === 3)))
-    val leaf = runBatch(q10Tree, logs)
+    val leaf = runBatch(q10Tree, q10Changelogs(s, dir))
     val df = leaf.toDF()
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     // signed integer fold: rev_e4 = round(extprice * (1-disc) * 1e4),

@@ -49,4 +49,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(byTuple.forall(_._2 == 0))
     } finally query.stop()
   }
+
+  test("streaming Q10 tree over micro-batches equals the batch run (sf0.001)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IncrementalQueries
+    val dir = SparkTestSession.sfTiny
+
+    val logs = IncrementalQueries.q10Changelogs(spark, dir)
+      .view.mapValues(_.collect().toSeq).toMap
+    // micro-batch plan: 1 = first half of the inserts, 2 = the rest of
+    // the inserts, 3 = all deletes (seq=1) — state must carry across
+    // batches and parent deaths must fan out to children inserted in
+    // EARLIER batches.
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val out = runStream(IncrementalQueries.q10Tree, streams.map { case (r, ms) => r -> ms.toDS() })
+    val query = out.writeStream
+      .format("memory").queryName("q10_leaf").outputMode("append").start()
+    try {
+      def half(evs: Seq[Evt], first: Boolean): Seq[Evt] =
+        evs.filter(e => (e.key.hashCode & 1) == (if (first) 0 else 1))
+      streams.foreach { case (rel, ms) =>
+        val ins = logs(rel).filter(_.seq == 0L)
+        if (half(ins, first = true).nonEmpty) ms.addData(half(ins, first = true))
+      }
+      query.processAllAvailable()
+      streams.foreach { case (rel, ms) =>
+        val ins = logs(rel).filter(_.seq == 0L)
+        if (half(ins, first = false).nonEmpty) ms.addData(half(ins, first = false))
+      }
+      query.processAllAvailable()
+      streams.foreach { case (rel, ms) =>
+        val dels = logs(rel).filter(_.seq == 1L)
+        if (dels.nonEmpty) ms.addData(dels)
+      }
+      query.processAllAvailable()
+
+      def fold(evts: Seq[Evt]): Map[String, Int] =
+        evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+          .filter(_._2 != 0).toMap
+
+      val streamed = fold(spark.table("q10_leaf").as[Evt].collect().toSeq)
+      val batched = fold(
+        runBatch(IncrementalQueries.q10Tree,
+          IncrementalQueries.q10Changelogs(spark, dir)).collect().toSeq)
+      assert(batched.nonEmpty, "batch leaf view must be non-trivial")
+      assert(streamed == batched)
+    } finally query.stop()
+  }
 }
