@@ -328,21 +328,16 @@ object Relational {
     // Changelog fold as signed-delta aggregation (A1's retraction-correct
     // form, SURVEY.md §2 A1 Spark mapping): '+' events add, '-' events
     // retract; built-in sum over signed deltas IS retraction handling.
-    // Tumbling event-time window aggregation — the batch form of the
-    // Structured Streaming `groupBy(window($"ts", ...))` pipeline (the
-    // same expression works under readStream + watermark; see
-    // StreamingSpec for the stateful streaming surface).
+    // Tumbling event-time window aggregation — the SAME builder serves
+    // batch (watermark no-op; what the oracle checks here) and
+    // readStream (watermark-bounded state, late-data fencing; see
+    // StreamingSpec "watermarked tumbling windows").
     sql("events_tumbling_window",
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | COUNT(*) AS n_events,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) {
-      (s, d) => Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value").cast(DecimalType(18, 2))), 2).cast("double").as("sum_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n_events"), col("sum_value"))
+      (s, d) => graft.streaming.StreamingAnalytics.tumblingAgg(Tables.events(s, d))
     },
 
     // Sessionization: 30-minute-gap sessions via lag + running sum of

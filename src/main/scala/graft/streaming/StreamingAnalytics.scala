@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time streaming analytics over the `events` shape
+  * `(event_id, user_id, ts, event_type, value)` — the watermark +
+  * windowed-state surface of Structured Streaming (the reference runs
+  * processing-time only, SURVEY.md §2 "watermarks ABSENT"; this is the
+  * Spark-native upgrade the north star asks for).
+  *
+  * Each builder takes a plain DataFrame and works on BOTH surfaces:
+  * under `readStream` the watermark bounds state and admits/fences
+  * late data; in batch `withWatermark` is a no-op and the same
+  * expressions compute the full-history answer (that equivalence is
+  * what the DuckDB oracle checks for `events_tumbling_window`).
+  *
+  * Scale: a tumbling-window aggregate shuffles once on
+  * (window, group); state per key is one partial aggregate row, evicted
+  * at `watermark - delay` — bounded regardless of stream length.
+  * Sums fold in DECIMAL(18,2) (exact) and cast back, so float
+  * accumulation order across partitions can never change the result.
+  */
+object StreamingAnalytics {
+
+  /** Tumbling event-time window counts + exact value sums. */
+  def tumblingAgg(events: DataFrame, delay: String = "1 hour", width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 2))), 2).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Exact streaming dedup on a key set, with state bounded by the
+    * watermark (built-in `dropDuplicatesWithinWatermark` — duplicates
+    * arriving within `delay` of each other are guaranteed dropped,
+    * state evicted after). Batch flavor: plain `dropDuplicates`. */
+  def dedupWithinWatermark(events: DataFrame, delay: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+}

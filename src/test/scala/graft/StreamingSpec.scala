@@ -50,6 +50,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("watermarked tumbling windows finalize in append mode and drop late data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    val src = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = src.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val agg = graft.streaming.StreamingAnalytics.tumblingAgg(events, delay = "10 minutes")
+    val query = agg.writeStream
+      .format("memory").queryName("wm_windows").outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // window 10:00–11:00 gets two events
+      src.addData((1L, 1L, t("2026-01-01 10:05:00"), "click", 1.0),
+                  (2L, 1L, t("2026-01-01 10:20:00"), "click", 2.0))
+      query.processAllAvailable()
+      assert(spark.table("wm_windows").count() == 0, "window not finalized yet")
+
+      // event time advances past 11:00 + 10min watermark → 10:00 window closes
+      src.addData((3L, 2L, t("2026-01-01 11:30:00"), "click", 5.0))
+      query.processAllAvailable()
+      val closed = spark.table("wm_windows").collect()
+      assert(closed.length == 1 && closed(0).getLong(2) == 2L &&
+        closed(0).getDouble(3) == 3.0, s"10:00 window finalized: ${closed.toSeq}")
+
+      // a LATE event for the already-closed 10:00 window must be dropped
+      src.addData((4L, 3L, t("2026-01-01 10:40:00"), "click", 100.0))
+      src.addData((5L, 2L, t("2026-01-01 12:30:00"), "click", 7.0))
+      query.processAllAvailable()
+      val rows = spark.table("wm_windows").collect().toSeq
+      val win10 = rows.filter(_.getTimestamp(0) == t("2026-01-01 10:00:00"))
+      assert(win10.length == 1 && win10.head.getDouble(3) == 3.0,
+        s"late event did not reopen/alter the closed window: $rows")
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate keys across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    val src = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = src.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dd = graft.streaming.StreamingAnalytics.dedupWithinWatermark(
+      events, "30 minutes", Seq("event_id"))
+    val query = dd.writeStream
+      .format("memory").queryName("wm_dedup").outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      src.addData((1L, 1L, t("2026-01-01 10:00:00"), "click", 1.0),
+                  (1L, 1L, t("2026-01-01 10:01:00"), "click", 1.0)) // same batch dup
+      query.processAllAvailable()
+      src.addData((1L, 1L, t("2026-01-01 10:02:00"), "click", 1.0)) // cross-batch dup
+      src.addData((2L, 1L, t("2026-01-01 10:03:00"), "view", 2.0))
+      query.processAllAvailable()
+      val ids = spark.table("wm_dedup").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L), s"exactly one row per event_id: $ids")
+    } finally query.stop()
+  }
+
   test("streaming Q10 tree over micro-batches equals the batch run (sf0.001)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
