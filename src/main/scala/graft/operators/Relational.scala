@@ -237,6 +237,37 @@ object Relational {
           .unionAll(ev.filter(col("event_type") === "purchase"))
     },
 
+    // INTERSECT / EXCEPT — set semantics (dedup built in); Spark plans
+    // both as aggregated semi/anti joins, one shuffle per side.
+    sql("set_intersect",
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'""".stripMargin) {
+      (s, d) =>
+        val o = Tables.orders(s, d)
+        o.filter(col("o_totalprice") > 150000).select("o_custkey")
+          .intersect(o.filter(col("o_orderdate") >= lit("1996-01-01")).select("o_custkey"))
+    },
+
+    sql("set_except",
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'""".stripMargin) {
+      (s, d) =>
+        val o = Tables.orders(s, d)
+        o.select("o_custkey")
+          .except(o.filter(col("o_orderdate") >= lit("1996-01-01")).select("o_custkey"))
+    },
+
+    // CUBE — all grouping-set combinations in one pass (Expand + agg).
+    sql("agg_cube",
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    },
+
     // Semi join — the reference's "liveness" propagation is semantically
     // an existential semijoin from parent to child (SURVEY.md §2 joins row).
     sql("semi_join",
