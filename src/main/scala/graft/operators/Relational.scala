@@ -165,6 +165,43 @@ object Relational {
             decCol(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"))
     },
 
+    // Beyond the reference's 4-table tree: a TPC-H-Q5-flavored 4-hop
+    // join through the OTHER branch of the star (region→nation→
+    // supplier→lineitem) — region/nation broadcast, supplier/lineitem
+    // shuffle-joined on suppkey.
+    sql("q5_like_supplier_revenue",
+      """SELECT n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM region, nation, supplier, lineitem
+        |WHERE n_regionkey = r_regionkey AND s_nationkey = n_nationkey
+        | AND l_suppkey = s_suppkey AND r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name""".stripMargin) {
+      (s, d) =>
+        val region = Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.lineitem(s, d), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+    },
+
+    // part ⋈ lineitem brand rollup — the dimension-broadcast pattern on
+    // the part branch.
+    sql("part_brand_agg",
+      """SELECT p_brand, ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty, COUNT(*) AS n
+        |FROM part, lineitem WHERE p_partkey = l_partkey
+        |GROUP BY p_brand""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(decSum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+    },
+
     // J0 set-semantics dedup (Q10NationProcessFunction.java:41-57) as
     // batch DISTINCT.
     sql("dedup_distinct",

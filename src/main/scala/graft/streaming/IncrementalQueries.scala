@@ -104,6 +104,47 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** A SECOND join tree — region→nation→supplier→lineitem — through
+    * the same engine: the AJU capability is generic over NodeSpec
+    * trees, not Q10-specific. Root predicate (region filter), a
+    * numeric leaf predicate, supplier deletes (parent-death fan-out
+    * over that supplier's lineitems) and lineitem deletes. */
+  val supplierTree: Seq[NodeSpec] = Seq(
+    NodeSpec("region", "r_regionkey", "r_regionkey", isRoot = true, setSemantics = true,
+      predicate = r => { val n = r.getOrElse("r_name", ""); n == "ASIA" || n == "EUROPE" }),
+    NodeSpec("nation", "n_regionkey", "n_nationkey"),
+    NodeSpec("supplier", "s_nationkey", "s_suppkey"),
+    NodeSpec("lineitem", "l_suppkey", "l_suppkey",
+      predicate = r => r.getOrElse("l_quantity", "0").toDouble >= 25.0))
+
+  def supplierChangelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
+    "region" -> changelog(Tables.region(s, dir), "r_regionkey",
+      Seq("r_regionkey", "r_name"), None),
+    "nation" -> changelog(Tables.nation(s, dir), "n_regionkey",
+      Seq("n_nationkey", "n_name", "n_regionkey"), None),
+    "supplier" -> changelog(Tables.supplier(s, dir), "s_nationkey",
+      Seq("s_suppkey", "s_nationkey"),
+      Some(col("s_suppkey") % 20 === 0)),
+    "lineitem" -> changelog(Tables.lineitem(s, dir), "l_suppkey",
+      Seq("l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
+      Some(col("l_linenumber") === 2)))
+
+  def incrementalSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val leaf = runBatch(supplierTree, supplierChangelogs(s, dir))
+    val df = leaf.toDF()
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    df.select(
+        (col("tag") * col("mult")).as("sign"),
+        c.getItem("n_name").as("n_name"),
+        round(c.getItem("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+          .cast(LongType).as("rev_e4"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
+        sum(col("sign")).cast(LongType).as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
   private val lineitemCdcCols =
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
 
@@ -138,5 +179,15 @@ object IncrementalQueries {
          | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
-         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10))
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10),
+
+    sql("incremental_supplier_rev",
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM region, nation, supplier, lineitem
+        |WHERE n_regionkey = r_regionkey AND s_nationkey = n_nationkey
+        | AND l_suppkey = s_suppkey AND r_name IN ('ASIA', 'EUROPE')
+        | AND l_quantity >= 25 AND l_linenumber <> 2 AND s_suppkey % 20 <> 0
+        |GROUP BY n_name""".stripMargin)(incrementalSupplierRevenue))
 }
