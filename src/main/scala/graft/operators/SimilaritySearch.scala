@@ -65,6 +65,68 @@ object SimilaritySearch {
             floorRound6(col("c")).as("cos_sim"))
     },
 
+    // IVF (inverted-file) ANN — the production scale path: a coarse
+    // quantizer (deterministic centroid sample) partitions the corpus
+    // into cells; a query probes only its nprobe nearest cells, so the
+    // per-query scan is corpus/C × nprobe instead of the whole corpus.
+    // Assignment is corpus × C dots with the (small) centroid set
+    // broadcast; the cell id becomes the partition key of the index —
+    // at 100 TB the assigned table is written partitioned/bucketed by
+    // cent_id and a probe reads only its cells.
+    sql("ann_ivf_topk",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 23 = 0),
+         |assigned AS (
+         | SELECT vec_id, v, cent_id FROM (
+         |  SELECT e.vec_id, e.v, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS r
+         |  FROM e, c) t WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize),
+         |probe AS (
+         | SELECT query_id, qv, cent_id FROM (
+         |  SELECT q.query_id, q.qv, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cent_id) AS r
+         |  FROM q, c) t WHERE r <= 2),
+         |cand AS (
+         | SELECT p.query_id, p.qv, a.vec_id, a.v
+         | FROM probe p JOIN assigned a ON a.cent_id = p.cent_id
+         | WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
+         | SELECT query_id, vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rnk,
+         |  FLOOR(list_cosine_similarity(qv, v) * 1000000 + 0.5) / 1000000 AS cos_sim
+         | FROM cand) t WHERE rnk <= $K""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        val cents = e.filter(col("vec_id") % 23 === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val assignW = Window.partitionBy(col("vec_id"))
+          .orderBy(cosine(col("v"), col("cv")).desc, col("cent_id"))
+        val assigned = e.join(broadcast(cents))
+          .withColumn("r", row_number().over(assignW)).filter(col("r") === 1)
+          .select(col("vec_id"), col("v"), col("cent_id"))
+        val q = e.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val probeW = Window.partitionBy(col("query_id"))
+          .orderBy(cosine(col("qv"), col("cv")).desc, col("cent_id"))
+        val probes = q.join(broadcast(cents))
+          .withColumn("r", row_number().over(probeW)).filter(col("r") <= 2)
+          .select(col("query_id"), col("qv"), col("cent_id"))
+        val rankW = Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
+        probes.join(assigned, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(rankW)).filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            floorRound6(col("c")).as("cos_sim"))
+    },
+
     sql("ann_lsh_topk",
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT vec_id, v, ${signBucketSql("v")} AS bucket FROM e),
