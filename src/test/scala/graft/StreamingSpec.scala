@@ -108,6 +108,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("CDC text file source streams through parseRelation (reference ingest path)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.sources.CdcParser
+    val dir = java.nio.file.Files.createTempDirectory("cdc_stream").toFile
+    val li = Tables.lineitem(spark, SparkTestSession.sfTiny).limit(100)
+    CdcParser.toCdcLines(li, add = true, "LINE", Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      .coalesce(1).write.mode("overwrite").text(dir.getAbsolutePath)
+    val parsed = CdcParser.parseRelation(
+      spark.readStream.text(dir.getAbsolutePath), "LINE", Seq(
+        "l_orderkey" -> LongType, "l_linenumber" -> LongType, "l_quantity" -> DoubleType))
+    val query = parsed.writeStream
+      .format("memory").queryName("cdc_stream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("cdc_stream")
+      assert(got.count() == 100)
+      assert(got.filter(col("action") === "Insert").count() == 100)
+      val sumQty = got.agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0).getDouble(0)
+      val expect = li.agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0).getDouble(0)
+      assert(sumQty == expect, "typed cast round-trips through the text stream")
+    } finally query.stop()
+  }
+
+  test("signed-delta sum in update mode + foreachBatch upsert sink (A1 streaming form)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val src = MemoryStream[(String, Int, Double)]
+    val agg = src.toDF().toDF("g", "sign", "v")
+      .groupBy("g").agg(sum(col("sign") * col("v")).as("net"))
+    val state = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val query = agg.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => state.put(r.getString(0), r.getDouble(1)))
+      }.start()
+    try {
+      src.addData(("a", 1, 10.0), ("a", 1, 5.0), ("b", 1, 7.0))
+      query.processAllAvailable()
+      assert(state.get("a") == 15.0 && state.get("b") == 7.0)
+      src.addData(("a", -1, 10.0)) // retraction: signed delta decrements
+      query.processAllAvailable()
+      assert(state.get("a") == 5.0, "retraction folded by built-in sum")
+      assert(state.get("b") == 7.0, "untouched group not re-emitted wrongly")
+    } finally query.stop()
+  }
+
   test("streaming Q10 tree over micro-batches equals the batch run (sf0.001)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
