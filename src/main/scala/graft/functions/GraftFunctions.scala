@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration of the engine's native expressions, so
+  * `spark.sql("SELECT word_shingles(tokens, 3) ...")` works like any
+  * built-in:
+  *
+  *  - new sessions: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (the standard library extension point);
+  *  - an existing session: `GraftFunctions.register(spark)`.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(n: Int, IntegerType) => n
+    case other => throw new IllegalArgumentException(
+      s"$fn: the n argument must be an INT literal, got $other")
+  }
+
+  /** (name, usage, builder) for every native function. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash of the UTF-8 bytes",
+      { case Seq(c) => RollingHash(c) }),
+    ("word_shingles", "word_shingles(tokens, n) - distinct word n-shingles of a string array",
+      { case Seq(c, n) => WordShingles(c, intLit(n, "word_shingles")) }),
+    ("char_ngrams", "char_ngrams(str, n) - distinct character n-grams",
+      { case Seq(c, n) => CharNgrams(c, intLit(n, "char_ngrams")) }),
+    ("jaccard_sim", "jaccard_sim(a, b) - set Jaccard similarity of two string arrays",
+      { case Seq(a, b) => JaccardSim(a, b) }),
+    ("vec_dot", "vec_dot(a, b) - sequential-fold dot product of two double arrays",
+      { case Seq(a, b) => VecDot(a, b) }),
+    ("vec_norm_sq", "vec_norm_sq(a) - sequential-fold squared L2 norm",
+      { case Seq(a) => VecNormSq(a) }))
+
+  /** Register into an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, usage, builder) =>
+      GraftBridge.registerFunction(spark, name, info(name, usage), builder)
+    }
+
+  /** Inject into a SparkSessionExtensions (used by [[graft.GraftExtensions]]). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}

@@ -49,19 +49,25 @@ case class VecDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: two vector expressions in one projection must not
+      // collide in the generated locals
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  int n = $a.numElements();
-         |  for (int i = 0; i < n; i++) {
-         |    acc += $a.getDouble(i) * $b.getDouble(i);
+         |  double $acc = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
@@ -93,16 +99,21 @@ case class VecNormSq(child: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
       s"""
-         |double acc = 0.0;
-         |int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  double v = $a.getDouble(i);
-         |  acc += v * v;
+         |double $acc = 0.0;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $acc += $v * $v;
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): VecNormSq =
     copy(child = newChild)

@@ -12,4 +12,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Register a function builder into an EXISTING session's registry
+    * (`sessionState` is `private[sql]`; new sessions should prefer
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

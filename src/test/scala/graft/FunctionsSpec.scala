@@ -105,6 +105,32 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native functions are callable from SQL text after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles(array('a','b','c','d'), 3) AS s,
+        |       char_ngrams('abcd', 3) AS g,
+        |       jaccard_sim(array('x','y'), array('y','z')) AS j,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       vec_norm_sq(array(3.0d, 4.0d)) AS n,
+        |       rolling_hash('abc') AS h""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) == Seq("abc", "bcd"))
+    assert(r.getDouble(2) == 1.0 / 3)
+    assert(r.getDouble(3) == 11.0 && r.getDouble(4) == 25.0)
+    assert(r.getLong(5) == graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
+  }
+
+  test("GraftExtensions applies all native functions to a SparkSessionExtensions") {
+    // the shared test session pre-dates any extension conf, so apply
+    // the injector directly (what spark.sql.extensions would do at
+    // session build) and check it accepts every registration
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    assert(graft.functions.GraftFunctions.all.map(_._1).toSet ==
+      Set("rolling_hash", "word_shingles", "char_ngrams", "jaccard_sim", "vec_dot", "vec_norm_sq"))
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
