@@ -2,10 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark main: runs the headline query set
-  * (SparkEntry.benchNames) on SPARK_GRAFT_SF_DIR and prints exactly
-  * one JSON line for the driver. `df.count()` forces the full plan;
-  * a warm-up query first so JIT/session init doesn't pollute q1. */
+/** Per-round benchmark main: runs the HEADLINE query set
+  * (SparkEntry.benchNames — a fixed 10-query subset representative of
+  * scan, join-tree, agg, window, dedup, ANN, text and the incremental
+  * engine; "total" sums exactly these, round-over-round comparable) on
+  * SPARK_GRAFT_SF_DIR and prints exactly one JSON line for the driver.
+  * `df.count()` forces the full plan; a warm-up query first so
+  * JIT/session init doesn't pollute q1. Full-inventory timings:
+  * `runMain graft.Profile`. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -25,7 +25,7 @@ object GraftFunctions {
   }
 
   /** (name, usage, builder) for every native function. */
-  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  val all: Seq[(String, String, PartialFunction[Seq[Expression], Expression])] = Seq(
     ("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash of the UTF-8 bytes",
       { case Seq(c) => RollingHash(c) }),
     ("word_shingles", "word_shingles(tokens, n) - distinct word n-shingles of a string array",
@@ -39,15 +39,22 @@ object GraftFunctions {
     ("vec_norm_sq", "vec_norm_sq(a) - sequential-fold squared L2 norm",
       { case Seq(a) => VecNormSq(a) }))
 
+  /** Wrong arity → a named error instead of a bare MatchError. */
+  private def totalBuilder(name: String, usage: String,
+      b: PartialFunction[Seq[Expression], Expression]): Seq[Expression] => Expression =
+    args => b.applyOrElse(args, (bad: Seq[Expression]) =>
+      throw new IllegalArgumentException(
+        s"$name: wrong number of arguments (${bad.length}); usage: $usage"))
+
   /** Register into an existing session. */
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, usage, builder) =>
-      GraftBridge.registerFunction(spark, name, info(name, usage), builder)
+      GraftBridge.registerFunction(spark, name, info(name, usage), totalBuilder(name, usage, builder))
     }
 
   /** Inject into a SparkSessionExtensions (used by [[graft.GraftExtensions]]). */
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach { case (name, usage, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), totalBuilder(name, usage, builder)))
     }
 }

@@ -24,6 +24,7 @@ case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes() =
     (left.dataType, right.dataType) match {
@@ -34,12 +35,17 @@ case class JaccardSim(left: Expression, right: Expression)
           s"jaccard_sim expects (ARRAY<STRING>, ARRAY<STRING>), got $other")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    JaccardSim.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = JaccardSim.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r.isNaN) null else r // 0/0 (both sets empty) → NULL, like Divide
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.JaccardSim.jaccard($a, $b);")
+      s"""
+         |${ev.value} = graft.functions.JaccardSim.jaccard($a, $b);
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
     copy(left = newLeft, right = newRight)

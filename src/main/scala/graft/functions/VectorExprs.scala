@@ -38,12 +38,16 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null
+    val n = x.numElements()
+    if (n != y.numElements()) null
     else {
       var acc = 0.0
       var i = 0
-      val n = x.numElements()
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null // null poisons, like the HOF fold
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       acc
     }
   }
@@ -56,13 +60,17 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
-         |  int $n = $a.numElements();
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
          |  ${ev.value} = $acc;
          |}
@@ -89,12 +97,19 @@ case class VecNormSq(child: Expression)
           s"vec_norm_sq expects ARRAY<DOUBLE>, got $other")
     }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var acc = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null // null poisons, like the HOF fold
+      val v = x.getDouble(i)
+      acc += v * v
+      i += 1
+    }
     acc
   }
 
@@ -107,9 +122,13 @@ case class VecNormSq(child: Expression)
       s"""
          |double $acc = 0.0;
          |int $n = $a.numElements();
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = $a.getDouble($i);
-         |  $acc += $v * $v;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $v = $a.getDouble($i);
+         |    $acc += $v * $v;
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

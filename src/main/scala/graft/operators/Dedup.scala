@@ -166,6 +166,11 @@ object Dedup {
          |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
          |  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.01""".stripMargin) {
       (s, d) =>
+        // `sh` is referenced from several subtrees (sig, both confirm
+        // sides, the counts) and deliberately NOT cached: one
+        // WordShingles pass over the scan is ~0.3s at sf0.1, while
+        // materializing array<string> into the columnar cache measured
+        // 10.3s — recompute-per-reference wins by an order of magnitude.
         val sh = shingled(s, d)
         val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
         val sig = baseHashed(s, d).groupBy(col("doc_id"))

@@ -18,20 +18,27 @@ import org.apache.spark.sql.functions._
   * aggregations over the join output, storage-partitioned layouts, or
   * skew known up front).
   *
-  * The salt is `pmod(hash(all big-side columns), salts)` — stable
-  * under task retries (a `rand()` salt is not: a re-executed partition
-  * would re-salt differently mid-shuffle).
+  * The salt is `pmod(hash(monotonically_increasing_id, all big-side
+  * columns), salts)`: the row-id term spreads hot keys even when their
+  * rows are byte-identical (a pure content hash would send 1M copies
+  * of the same row to one sub-key — the exact straggler this utility
+  * exists to prevent), and it stays stable under task retries for
+  * deterministic sources, unlike a `rand()` salt (a re-executed
+  * partition would re-salt differently mid-shuffle).
   */
 object SkewJoin {
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val saltedBig = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
-    val replicatedSmall = small.withColumn("_salt",
+    // pick a scratch column name no input actually uses
+    val taken = (big.columns ++ small.columns).toSet
+    val saltCol = LazyList.from(0).map(i => s"_graft_salt$i").find(!taken.contains(_)).get
+    val saltedBig = big.withColumn(saltCol,
+      pmod(hash(monotonically_increasing_id() +: big.columns.map(col): _*), lit(salts)))
+    val replicatedSmall = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig
-      .join(replicatedSmall, Seq(key, "_salt"))
-      .drop("_salt")
+      .join(replicatedSmall, Seq(key, saltCol))
+      .drop(saltCol)
   }
 }

@@ -39,8 +39,12 @@ object IncrementalQueries {
                         deleteWhen: Option[org.apache.spark.sql.Column]): Dataset[Evt] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // coalesce to the literal "null": concat_ws would otherwise DROP a
+    // null column's whole pair, losing the name for mergeCanon's
+    // child-wins dedup and for canonGet routing
     val rowCanon = concat_ws(FS.toString,
-      cols.sorted.map(c => concat(lit(c + KV.toString), col(c).cast("string"))): _*)
+      cols.sorted.map(c =>
+        concat(lit(c + KV.toString), coalesce(col(c).cast("string"), lit("null")))): _*)
     val inserts = df.select(lit(0L).as("seq"), lit(false).as("fromParent"),
       lit(1).as("tag"), lit(1).as("mult"),
       col(keyCol).cast("string").as("key"), rowCanon.as("row")).as[Evt]

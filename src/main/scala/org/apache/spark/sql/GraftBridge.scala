@@ -13,6 +13,16 @@ object GraftBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Apply the function injections of a SparkSessionExtensions to a
+    * registry (what session construction does with
+    * `spark.sql.extensions`; `registerFunctions` is `private[sql]`).
+    * Test seam for extension classes. */
+  def applyInjectedFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
+
   /** Register a function builder into an EXISTING session's registry
     * (`sessionState` is `private[sql]`; new sessions should prefer
     * `spark.sql.extensions=graft.GraftExtensions`). */

@@ -73,6 +73,20 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("vector kernels null-poison like the HOF fold; jaccard of empty sets is NULL") {
+    val r = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) AS hof,
+        |       a, b FROM VALUES (array(1.0d, cast(null AS double)), array(1.0d, 1.0d)) t(a, b)""".stripMargin)
+      .select(graft.functions.VectorOps.dot(col("a"), col("b")).as("d"),
+        graft.functions.VectorOps.normSq(col("a")).as("n"), col("hof"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    val j = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(graft.functions.JaccardSim.jaccard_sim(col("a"), col("b")).as("j"))
+      .collect()(0)
+    assert(j.isNullAt(0), "0/0 jaccard is NULL, like Divide")
+  }
+
   test("jaccard_sim equals the composed intersect/union formulation") {
     import graft.functions.JaccardSim.jaccard_sim
     val pairs = Seq(
@@ -121,14 +135,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(5) == graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
   }
 
-  test("GraftExtensions applies all native functions to a SparkSessionExtensions") {
-    // the shared test session pre-dates any extension conf, so apply
-    // the injector directly (what spark.sql.extensions would do at
-    // session build) and check it accepts every registration
+  test("GraftExtensions injections land in a function registry") {
+    // apply the injector exactly the way session construction does with
+    // spark.sql.extensions, against a cloned builtin registry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
-    assert(graft.functions.GraftFunctions.all.map(_._1).toSet ==
-      Set("rolling_hash", "word_shingles", "char_ngrams", "jaccard_sim", "vec_dot", "vec_norm_sq"))
+    val registry = org.apache.spark.sql.GraftBridge.applyInjectedFunctions(
+      ext, org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    graft.functions.GraftFunctions.all.foreach { case (name, _, _) =>
+      assert(registry.functionExists(FunctionIdentifier(name)), s"$name registered")
+    }
+  }
+
+  test("registered SQL functions reject wrong arity with a named error") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT rolling_hash('a', 'b')").collect())
+    assert(e.getMessage.contains("rolling_hash"), s"got: ${e.getMessage}")
   }
 
   test("text fingerprint md5 equals JVM md5 of normalized text") {

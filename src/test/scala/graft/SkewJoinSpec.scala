@@ -23,12 +23,27 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
-  test("salt spreads a hot key across sub-keys") {
-    val big = spark.range(10000).select(lit(7L).as("k"), col("id").as("payload"))
-    val salts = big.withColumn("_salt",
-        pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(8)))
-      .groupBy("_salt").count().collect()
+  test("salt spreads a hot key even when its rows are byte-identical") {
+    // the hard case: a pure content hash would put all 10k copies in
+    // ONE sub-key; the row-id term must spread them
+    val big = spark.range(10000).select(lit(7L).as("k"), lit(1L).as("payload"))
+    val salts = big.withColumn("_s",
+        pmod(hash(monotonically_increasing_id() +: big.columns.map(col): _*), lit(8)))
+      .groupBy("_s").count().collect()
     assert(salts.length == 8, "all 8 salt buckets populated")
     assert(salts.map(_.getLong(1)).max < 10000 * 0.3, "no bucket holds the whole key")
+    // and the join stays correct on identical rows
+    val small = Seq((7L, "x")).toDF("k", "name")
+    assert(SkewJoin.saltedJoin(big, small, "k", 8).count() == 10000)
+  }
+
+  test("saltedJoin tolerates an existing _salt-like column on the inputs") {
+    val big = spark.range(100).select((col("id") % 5).as("k"), col("id").as("_graft_salt0"))
+    val small = Seq((0L, "a"), (3L, "b")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(big, small, "k", 4)
+    val plain = big.join(small, Seq("k"))
+    assert(out.count() == plain.count())
+    assert(out.columns.contains("_graft_salt0"), "user column preserved")
+    assert(out.except(plain).isEmpty && plain.except(out).isEmpty)
   }
 }
