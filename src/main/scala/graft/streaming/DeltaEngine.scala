@@ -224,13 +224,22 @@ object DeltaEngine {
     * micro-batch the streaming engine would process, replayed in one
     * batch. Returns the leaf's signed join-result deltas.
     */
+  /** Own-changelog events failing the node's local predicate never
+    * change state and never emit (step() drops them), so they are
+    * filtered BEFORE the shuffle — the reference's pre-state
+    * `validTuple` gate (Q10OrdersProcessFunction.java:102), applied
+    * map-side. For a selective leaf predicate this removes most of the
+    * largest relation's events from the exchange. */
+  private def predicatePushdown(spec: NodeSpec, own: Dataset[Evt]): Dataset[Evt] =
+    own.filter((e: Evt) => spec.predicate(uncanon(e.row)))
+
   def runBatch(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]]): Dataset[Evt] = {
     require(specs.nonEmpty)
     val spark = changelogs(specs.head.relation).sparkSession
     import spark.implicits._
     var parentDeltas: Dataset[Evt] = null
     specs.foreach { spec =>
-      val own = changelogs(spec.relation)
+      val own = predicatePushdown(spec, changelogs(spec.relation))
       val events = if (parentDeltas == null) own else own.union(parentDeltas)
       parentDeltas = events
         .groupByKey(_.key)
@@ -273,7 +282,7 @@ object DeltaEngine {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     var parentDeltas: Dataset[Evt] = null
     specs.foreach { spec =>
-      val own = changelogs(spec.relation)
+      val own = predicatePushdown(spec, changelogs(spec.relation))
       val events = if (parentDeltas == null) own else own.union(parentDeltas)
       parentDeltas = events
         .groupByKey(_.key)
