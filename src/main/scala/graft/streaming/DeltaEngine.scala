@@ -152,36 +152,64 @@ object DeltaEngine {
   final case class NState(children: Map[String, Int], aliveParents: Int, parentCanon: String)
   val emptyState: NState = NState(Map.empty, 0, "")
 
-  /** Fold one event into the state; returns emissions as
-    * (tag, mult, mergedCanonicalRow). Pure — shared verbatim by the
-    * batch simulation (flatMapGroups) and streaming
-    * (flatMapGroupsWithState) drivers. */
-  def step(spec: NodeSpec, st: NState, ev: Evt): (NState, Seq[(Int, Int, String)]) = {
-    if (ev.fromParent) {
-      val newAlive = st.aliveParents + ev.tag * ev.mult
-      val wasAlive = st.aliveParents > 0
-      val isAlive = newAlive > 0
-      val parentCanonAfter = if (ev.tag > 0) ev.row else st.parentCanon
-      val parentRow = if (ev.tag > 0) ev.row else st.parentCanon
-      val out =
-        if (wasAlive == isAlive) Nil
-        else st.children.toSeq.filter(_._2 != 0).sortBy(_._1).map { case (c, cnt) =>
+  /** Deterministic per-key event order: seq, then parent deltas before
+    * own events, then canonical row. */
+  private val evtOrder: java.util.Comparator[Evt] = new java.util.Comparator[Evt] {
+    override def compare(a: Evt, b: Evt): Int = {
+      val c1 = java.lang.Long.compare(a.seq, b.seq)
+      if (c1 != 0) return c1
+      val c2 = java.lang.Boolean.compare(!a.fromParent, !b.fromParent)
+      if (c2 != 0) return c2
+      a.row.compareTo(b.row)
+    }
+  }
+
+  /** The per-key node state machine — ONE mutable fold shared verbatim
+    * by the batch (flatMapGroups) and streaming
+    * (flatMapGroupsWithState) drivers; the streaming driver imports
+    * from / exports to the immutable [[NState]] at the state-store
+    * boundary. Mutable internally because this is the engine's hot
+    * loop (hundreds of thousands of events per replay). */
+  private final class NodeFold(spec: NodeSpec, init: NState) {
+    private val children = new java.util.HashMap[String, Int]()
+    init.children.foreach { case (k, v) => children.put(k, v) }
+    private var aliveParents: Int = init.aliveParents
+    private var parentCanon: String = init.parentCanon
+
+    /** Fold one event; append (tag, mult, mergedCanonicalRow)
+      * emissions to `out`. */
+    def feed(ev: Evt, out: scala.collection.mutable.ArrayBuffer[(Int, Int, String)]): Unit = {
+      if (ev.fromParent) {
+        val newAlive = aliveParents + ev.tag * ev.mult
+        val wasAlive = aliveParents > 0
+        val isAlive = newAlive > 0
+        val parentRow = if (ev.tag > 0) ev.row else parentCanon
+        if (wasAlive != isAlive) {
           // liveness flip replays the buffered child set (reference
-          // processElement1, Q10CustomerProcessFunction.java:68-84).
-          // A negative (ghost) count contributes with inverted sign so
-          // the NET stays order-independent.
-          val signed = (if (isAlive) 1 else -1) * cnt
-          (if (signed > 0) 1 else -1, signed.abs, mergeCanon(c, parentRow))
+          // processElement1, Q10CustomerProcessFunction.java:68-84),
+          // sorted for deterministic emission order. A negative
+          // (ghost) count contributes with inverted sign so the NET
+          // stays order-independent.
+          val keys = new Array[String](children.size())
+          var i = 0
+          val it = children.keySet().iterator()
+          while (it.hasNext) { keys(i) = it.next(); i += 1 }
+          java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+          keys.foreach { c =>
+            val cnt = children.get(c)
+            if (cnt != 0) {
+              val signed = (if (isAlive) 1 else -1) * cnt
+              out += ((if (signed > 0) 1 else -1, signed.abs, mergeCanon(c, parentRow)))
+            }
+          }
         }
-      (NState(st.children, newAlive, parentCanonAfter), out)
-    } else {
-      if (!spec.predicate(uncanon(ev.row))) (st, Nil)
-      else {
+        aliveParents = newAlive
+        if (ev.tag > 0) parentCanon = ev.row
+      } else if (spec.predicate(uncanon(ev.row))) {
         val c = ev.row
-        val before = st.children.getOrElse(c, 0)
+        val before = children.getOrDefault(c, 0)
         val after = before + ev.tag * ev.mult
-        val children =
-          if (after == 0) st.children - c else st.children + (c -> after)
+        if (after == 0) children.remove(c) else children.put(c, after)
         val emitCount =
           if (spec.setSemantics) {
             // root dedup: only 0→1 / 1→0 transitions emit (reference J0,
@@ -190,33 +218,44 @@ object DeltaEngine {
             else if (before > 0 && after <= 0) -1
             else 0
           } else ev.tag * ev.mult
-        val parentOk = spec.isRoot || st.aliveParents > 0
-        val out =
-          if (emitCount == 0 || !parentOk) Nil
-          else Seq((if (emitCount > 0) 1 else -1, emitCount.abs,
-            if (spec.isRoot) ev.row else mergeCanon(ev.row, st.parentCanon)))
-        (NState(children, st.aliveParents, st.parentCanon), out)
+        if (emitCount != 0 && (spec.isRoot || aliveParents > 0)) {
+          out += ((if (emitCount > 0) 1 else -1, emitCount.abs,
+            if (spec.isRoot) ev.row else mergeCanon(ev.row, parentCanon)))
+        }
       }
+    }
+
+    def exportState: NState = {
+      val b = Map.newBuilder[String, Int]
+      val it = children.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      NState(b.result(), aliveParents, parentCanon)
     }
   }
 
-  /** Fold a whole per-key event sequence (sorted deterministically)
-    * from empty state; emissions become parent deltas for the next
-    * node, re-keyed by `nextKeyCol`. */
-  def processKeyBatch(spec: NodeSpec)(key: String, events: Iterator[Evt]): Iterator[Evt] = {
-    val sorted = events.toVector.sortBy(e => (e.seq, !e.fromParent, e.row))
-    var st = emptyState
+  private def foldKey(spec: NodeSpec, events: Iterator[Evt], init: NState,
+                      exportState: Boolean): (Iterator[Evt], Option[NState]) = {
+    val arr = events.toArray
+    java.util.Arrays.sort(arr, evtOrder)
+    val fold = new NodeFold(spec, init)
     val out = Vector.newBuilder[Evt]
-    sorted.foreach { ev =>
-      val (st2, emitted) = step(spec, st, ev)
-      st = st2
+    val emitted = new scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    arr.foreach { ev =>
+      emitted.clear()
+      fold.feed(ev, emitted)
       emitted.foreach { case (tag, mult, row) =>
         out += new Evt(ev.seq, fromParent = true, tag, mult,
           canonGet(row, spec.nextKeyCol), row)
       }
     }
-    out.result().iterator
+    (out.result().iterator, if (exportState) Some(fold.exportState) else None)
   }
+
+  /** Fold a whole per-key event sequence (sorted deterministically)
+    * from empty state; emissions become parent deltas for the next
+    * node, re-keyed by `nextKeyCol`. */
+  def processKeyBatch(spec: NodeSpec)(key: String, events: Iterator[Evt]): Iterator[Evt] =
+    foldKey(spec, events, emptyState, exportState = false)._1
 
   /** Run the tree in batch-simulation mode: each node is a
     * `groupByKey(joinKey).flatMapGroups` over the union of the
@@ -253,19 +292,10 @@ object DeltaEngine {
   def processKeyStream(spec: NodeSpec)(
       key: String, events: Iterator[Evt],
       state: org.apache.spark.sql.streaming.GroupState[NState]): Iterator[Evt] = {
-    var st = state.getOption.getOrElse(emptyState)
-    val sorted = events.toVector.sortBy(e => (e.seq, !e.fromParent, e.row))
-    val out = Vector.newBuilder[Evt]
-    sorted.foreach { ev =>
-      val (st2, emitted) = step(spec, st, ev)
-      st = st2
-      emitted.foreach { case (tag, mult, row) =>
-        out += new Evt(ev.seq, fromParent = true, tag, mult,
-          canonGet(row, spec.nextKeyCol), row)
-      }
-    }
-    state.update(st)
-    out.result().iterator
+    val (out, st) = foldKey(spec, events,
+      state.getOption.getOrElse(emptyState), exportState = true)
+    state.update(st.get)
+    out
   }
 
   /** Run the tree in Structured Streaming: a chain of
