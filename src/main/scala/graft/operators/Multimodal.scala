@@ -36,6 +36,10 @@ object Multimodal {
   /** One sampled "frame". */
   final case class FrameSample(doc_id: Long, frame_idx: Int, byte_offset: Int, frame_hash: Long)
 
+  /** A resized payload (thumbnail): target dims + new bytes. */
+  final case class ResizedAsset(doc_id: Long, media_type: String,
+                                target_w: Int, target_h: Int, payload: Array[Byte])
+
   /** STUB decoder — deterministic fake features derived from the raw
     * bytes. Replace `decode` with the real codec (e.g. javax.imageio /
     * ffmpeg JNI) in production; signature and call pattern stay. */
@@ -48,6 +52,22 @@ object Multimodal {
       val luma = if (n == 0) 0.0
         else a.payload.iterator.map(b => (b & 0xff).toDouble).sum / n / 255.0
       MediaFeatures(a.doc_id, a.media_type, n, width, height, luma)
+    }
+
+    /** STUB resize — strided byte sampling to exactly w·h output
+      * bytes (a real implementation decodes, scales, re-encodes; the
+      * deterministic fake keeps the contract: output size is a pure
+      * function of the target dims). */
+    def resize(a: MediaAsset, w: Int, h: Int): ResizedAsset = {
+      val n = a.payload.length
+      val out = new Array[Byte](w * h)
+      // ??? real scaler goes here — below is a deterministic fake
+      var i = 0
+      while (i < out.length) {
+        out(i) = if (n == 0) 0 else a.payload((i.toLong * n / out.length).toInt)
+        i += 1
+      }
+      ResizedAsset(a.doc_id, a.media_type, w, h, out)
     }
 
     def sampleFrames(a: MediaAsset, frames: Int): Seq[FrameSample] = {
@@ -85,6 +105,14 @@ object Multimodal {
     ds.flatMap(MediaStub.sampleFrames(_, frames))
   }
 
+  def resizeAll(ds: Dataset[MediaAsset], w: Int, h: Int): Dataset[ResizedAsset] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition scaler initialization would go here
+      it.map(MediaStub.resize(_, w, h))
+    }
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // Binary-column metadata — fully SQL-expressible, oracle-checked:
@@ -112,5 +140,11 @@ object Multimodal {
 
     rowsOnly("multimodal_frame_sample") {
       (s, d) => sampleFrames(assets(s, d), frames = 8).toDF()
+    },
+
+    rowsOnly("multimodal_resize") {
+      (s, d) => resizeAll(assets(s, d), w = 32, h = 32).toDF()
+        .select(col("doc_id"), col("target_w"), col("target_h"),
+          octet_length(col("payload")).as("n_bytes"))
     })
 }

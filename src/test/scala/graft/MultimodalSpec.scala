@@ -37,4 +37,18 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sorted.map(_.byte_offset).toSeq == sorted.map(_.byte_offset).sorted.toSeq)
     }
   }
+
+  test("resize produces exactly w*h bytes, deterministically") {
+    val resized = Multimodal.resizeAll(Multimodal.assets(spark, sfTiny), 32, 32).collect()
+    val docs = Tables.documents(spark, sfTiny).count()
+    assert(resized.length == docs)
+    resized.foreach { r =>
+      assert(r.payload.length == 32 * 32 && r.target_w == 32 && r.target_h == 32)
+    }
+    // deterministic: a second run yields identical bytes
+    val again = Multimodal.resizeAll(Multimodal.assets(spark, sfTiny), 32, 32).collect()
+    val a = resized.sortBy(_.doc_id).map(_.payload.toSeq)
+    val b = again.sortBy(_.doc_id).map(_.payload.toSeq)
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
 }
