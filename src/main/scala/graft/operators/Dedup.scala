@@ -173,6 +173,9 @@ object Dedup {
         // 10.3s — recompute-per-reference wins by an order of magnitude.
         val sh = shingled(s, d)
         val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+        // NOT cached: AQE reuses the identical sig exchange across the
+        // bands self-join at runtime; an explicit .cache() measured
+        // neutral-to-slower (materialization serializes the first use)
         val sig = baseHashed(s, d).groupBy(col("doc_id"))
           .agg(minhashAggCols.head, minhashAggCols.tail: _*)
         // Scalable LSH shape: signature → (band, hash) rows → equi-join
