@@ -435,6 +435,28 @@ object Relational {
               .as("session_id"))
     },
 
+    // As-of join — for each purchase, the user's latest click at or
+    // before it (AsOfJoin scaladoc explains the union-window shape;
+    // DuckDB oracles it with native ASOF LEFT JOIN). Clicks are
+    // deduped to one per (user, ts) so the match is deterministic.
+    sql("events_asof_join",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOfJoin.asOfLeft(purchases, clicks, keyCols = Seq("user_id"), ts = "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_click_id"), col("asof_ts").as("asof_click_ts"))
+    },
+
     sql("events_cdc_net_sum",
       """SELECT user_id,
         | CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'error' THEN -value ELSE value END AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_value,

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("asOfLeft picks the latest right row at-or-before each left ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "lval")
+    val right = Seq((1L, 5L, "r5"), (1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 9L, "r9"))
+      .toDF("k", "ts", "rval")
+    val got = AsOfJoin.asOfLeft(left, right, Seq("k"), "ts")
+      .select("lval", "asof_rval").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got("p1") == "r10", "inclusive: right at equal ts matches")
+    assert(got("p2") == "r15", "latest preceding wins")
+    assert(got("p3") == null, "no right row at-or-before → NULL (left join)")
+  }
+
+  test("asOfLeft keeps every left row and all its columns") {
+    val left = Seq((1L, 1L, "a", 3.5)).toDF("k", "ts", "s", "x")
+    val right = Seq((9L, 1L, "z")).toDF("k", "ts", "rv") // different key → no match
+    val out = AsOfJoin.asOfLeft(left, right, Seq("k"), "ts")
+    assert(out.columns.toSeq == Seq("k", "ts", "s", "x", "asof_ts", "asof_rv"))
+    val r = out.collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(2) == "a" && r.getDouble(3) == 3.5 && r.isNullAt(5))
+  }
+}
