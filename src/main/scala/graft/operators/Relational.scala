@@ -457,6 +457,26 @@ object Relational {
             col("asof_click_id"), col("asof_ts").as("asof_click_ts"))
     },
 
+    // Range join — purchases within 6 hours AFTER a click by the same
+    // user, via window-sized time bins + hash equi-join (RangeJoin
+    // scaladoc; the oracle is DuckDB's native inequality join).
+    sql("events_range_join",
+      """SELECT a.event_id AS click_id, a.user_id, a.ts AS click_ts,
+        | b.event_id AS purchase_id, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        RangeJoin.withinAfter(clicks, purchases, Seq("user_id"), "ts", windowSec = 6 * 3600)
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"),
+            col("r_event_id").as("purchase_id"), col("r_ts").as("purchase_ts"))
+    },
+
     sql("events_cdc_net_sum",
       """SELECT user_id,
         | CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'error' THEN -value ELSE value END AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_value,
