@@ -119,6 +119,65 @@ object Dedup {
     s"concat(${digits.mkString(", ")})"
   }
 
+  /** The full minhash-LSH pair pipeline (shared by the pairs query and
+    * the connected-components resolution). */
+  private val minhashPairsSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |sig AS (
+       | SELECT doc_id, $minhashSelectSql
+       | FROM (SELECT doc_id, $baseHashSql AS h
+       |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh))
+       | GROUP BY doc_id),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM sig a, sig b
+       | WHERE a.doc_id < b.doc_id AND (${(0 until NumHashes).map(j => s"a.h$j = b.h$j").mkString(" OR ")}))
+       |SELECT c.doc_a, c.doc_b,
+       | CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |  / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jacc
+       |FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+       |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.01""".stripMargin
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // `sh` is referenced from several subtrees (sig, both confirm
+    // sides, the counts) and deliberately NOT cached: one WordShingles
+    // pass over the scan is ~0.3s at sf0.1, while materializing
+    // array<string> into the columnar cache measured 10.3s —
+    // recompute-per-reference wins by an order of magnitude.
+    val sh = shingled(s, d)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // NOT cached either: AQE reuses the identical sig exchange across
+    // the bands self-join at runtime; an explicit .cache() measured
+    // neutral-to-slower (materialization serializes the first use)
+    val sig = baseHashed(s, d).groupBy(col("doc_id"))
+      .agg(minhashAggCols.head, minhashAggCols.tail: _*)
+    // Scalable LSH shape: signature → (band, hash) rows → equi-join
+    // on long keys (never an OR-of-bands theta join).
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until NumHashes).map(j =>
+        struct(lit(j).as("band"), col(s"h$j").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nDf = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val inter = cand
+      .join(ex.as("xa"), col("xa.doc_id") === col("doc_a"))
+      .join(ex.as("xb"),
+        col("xb.doc_id") === col("doc_b") && col("xa.s") === col("xb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(nDf.as("na"), col("na.doc_id") === col("doc_a"))
+      .join(nDf.as("nb"), col("nb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni")))
+          .as("jacc"))
+      .filter(col("jacc") >= 0.01)
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // --- exact dedup ---------------------------------------------------
@@ -148,60 +207,50 @@ object Dedup {
     // through a shuffle — the shape that survives a 1e9-doc corpus.
     // jacc = ni / (na + nb − ni) over the same integers DuckDB's
     // len(∩)/len(∪) produces, so the doubles match exactly.
-    sql("dedup_minhash_pairs",
-      s"""WITH sh AS ($shingledSql),
-         |sig AS (
-         | SELECT doc_id, $minhashSelectSql
-         | FROM (SELECT doc_id, $baseHashSql AS h
-         |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh))
-         | GROUP BY doc_id),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM sig a, sig b
-         | WHERE a.doc_id < b.doc_id AND (${(0 until NumHashes).map(j => s"a.h$j = b.h$j").mkString(" OR ")}))
-         |SELECT c.doc_a, c.doc_b,
-         | CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-         |  / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jacc
-         |FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
-         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-         |  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.01""".stripMargin) {
+    sql("dedup_minhash_pairs", minhashPairsSql)(minhashPairs),
+
+    // --- near-dup cluster resolution (connected components) -------------
+    // The step a training pipeline actually needs: minhash pairs at
+    // τ=0.5 become edges; iterative min-label propagation (Pregel-lite:
+    // a driver-side convergence loop, data stays distributed, lineage
+    // truncated per round) assigns each doc its component's smallest
+    // doc_id as cluster_id. Iterations ≤ component diameter; for
+    // planet-scale graphs swap the loop body for the alternating
+    // large-star/small-star algorithm — the per-round join shape is
+    // the same. Oracle: recursive CTE over the identical edge set.
+    sql("dedup_connected_components",
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         | SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jacc >= 0.5
+         | UNION ALL
+         | SELECT doc_b, doc_a FROM pairs WHERE jacc >= 0.5),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach(doc, lbl) AS (
+         | SELECT doc, doc FROM nodes
+         | UNION
+         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src)
+         |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin) {
       (s, d) =>
-        // `sh` is referenced from several subtrees (sig, both confirm
-        // sides, the counts) and deliberately NOT cached: one
-        // WordShingles pass over the scan is ~0.3s at sf0.1, while
-        // materializing array<string> into the columnar cache measured
-        // 10.3s — recompute-per-reference wins by an order of magnitude.
-        val sh = shingled(s, d)
-        val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-        // NOT cached: AQE reuses the identical sig exchange across the
-        // bands self-join at runtime; an explicit .cache() measured
-        // neutral-to-slower (materialization serializes the first use)
-        val sig = baseHashed(s, d).groupBy(col("doc_id"))
-          .agg(minhashAggCols.head, minhashAggCols.tail: _*)
-        // Scalable LSH shape: signature → (band, hash) rows → equi-join
-        // on long keys (never an OR-of-bands theta join).
-        val bands = sig.select(col("doc_id"),
-          explode(array((0 until NumHashes).map(j =>
-            struct(lit(j).as("band"), col(s"h$j").as("h"))): _*)).as("bh"))
-          .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val nDf = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-        val inter = cand
-          .join(ex.as("xa"), col("xa.doc_id") === col("doc_a"))
-          .join(ex.as("xb"),
-            col("xb.doc_id") === col("doc_b") && col("xa.s") === col("xb.s"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
-        inter
-          .join(nDf.as("na"), col("na.doc_id") === col("doc_a"))
-          .join(nDf.as("nb"), col("nb.doc_id") === col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            (col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni")))
-              .as("jacc"))
-          .filter(col("jacc") >= 0.01)
+        val p = minhashPairs(s, d).filter(col("jacc") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").localCheckpoint()
+        var labels = edges.select(col("src").as("doc")).distinct()
+          .withColumn("lbl", col("doc")).localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val prop = labels.join(edges, col("doc") === col("src"))
+            .select(col("dst").as("doc"), col("lbl"))
+          val next = labels.unionByName(prop)
+            .groupBy("doc").agg(min("lbl").as("lbl")).localCheckpoint()
+          changed = next.as("n")
+            .join(labels.as("o"), col("n.doc") === col("o.doc"))
+            .filter(col("n.lbl") =!= col("o.lbl")).count()
+          labels = next
+          iter += 1
+        }
+        labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
     },
 
     // --- simhash signatures ----------------------------------------------
