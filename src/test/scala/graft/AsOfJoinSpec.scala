@@ -20,6 +20,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("p3") == null, "no right row at-or-before → NULL (left join)")
   }
 
+  test("asOfLeft equals the brute-force definition on random data") {
+    val rnd = new scala.util.Random(42)
+    // right unique per (k, ts) by construction (ts drawn without replacement per key)
+    val right = (0 until 4).flatMap { k =>
+      rnd.shuffle((0 until 200).toList).take(60).map(ts => (k.toLong, ts.toLong, s"r$k-$ts"))
+    }
+    val left = (0 until 4).flatMap { k =>
+      (0 until 80).map(_ => (k.toLong, rnd.nextInt(220).toLong, rnd.nextInt(100000).toLong))
+    }
+    val got = AsOfJoin.asOfLeft(left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "rv"),
+        Seq("k"), "ts")
+      .select("k", "ts", "lid", "asof_rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    val rightByKey = right.groupBy(_._1)
+    left.foreach { case (k, ts, lid) =>
+      val expected = rightByKey.getOrElse(k, Nil).filter(_._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3).orNull
+      assert(got((k, ts, lid)) == expected, s"k=$k ts=$ts")
+    }
+  }
+
   test("asOfLeft keeps every left row and all its columns") {
     val left = Seq((1L, 1L, "a", 3.5)).toDF("k", "ts", "s", "x")
     val right = Seq((9L, 1L, "z")).toDF("k", "ts", "rv") // different key → no match

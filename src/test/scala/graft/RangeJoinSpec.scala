@@ -26,6 +26,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set("in-bin0", "in-bin1", "boundary"))
   }
 
+  test("withinAfter equals the brute-force definition on random data") {
+    val rnd = new scala.util.Random(7)
+    def randRows(n: Int, tag: String) = (0 until n).map { i =>
+      (rnd.nextInt(3).toLong, t(f"2026-01-01 0${rnd.nextInt(3)}%d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"), s"$tag$i")
+    }
+    val left = randRows(120, "L")
+    val right = randRows(120, "R")
+    val w = 300L // 5 minutes
+    val got = RangeJoin.withinAfter(left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "rid"),
+        Seq("k"), "ts", windowSec = w)
+      .select("lid", "r_rid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (for {
+      (lk, lts, lid) <- left
+      (rk, rts, rid) <- right
+      if lk == rk && rts.getTime > lts.getTime && rts.getTime <= lts.getTime + w * 1000
+    } yield (lid, rid)).toSet
+    assert(got == expected)
+  }
+
   test("each matching pair appears exactly once despite the 2-bin fan-out") {
     val left = (0 until 100).map(i => (1L, t(f"2026-01-01 00:00:${i % 60}%02d"), i)).toDF("k", "ts", "lid")
     val right = (0 until 100).map(i => (1L, t(f"2026-01-01 00:00:${i % 60}%02d"), i)).toDF("k", "ts", "rid")
