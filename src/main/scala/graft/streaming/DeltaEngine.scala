@@ -288,14 +288,24 @@ object DeltaEngine {
   }
 
   /** Streaming flavor of [[processKeyBatch]]: same fold, with state
-    * carried across micro-batches in the state store. */
-  def processKeyStream(spec: NodeSpec)(
+    * carried across micro-batches in the state store. With a TTL the
+    * key's state is dropped after `ttl` of processing-time inactivity
+    * — the unbounded-child-set mitigation SURVEY.md §7 flags; events
+    * for an evicted key thereafter see empty state (an explicit
+    * correctness-for-boundedness trade the caller opts into). */
+  def processKeyStream(spec: NodeSpec, ttl: Option[java.time.Duration] = None)(
       key: String, events: Iterator[Evt],
       state: org.apache.spark.sql.streaming.GroupState[NState]): Iterator[Evt] = {
-    val (out, st) = foldKey(spec, events,
-      state.getOption.getOrElse(emptyState), exportState = true)
-    state.update(st.get)
-    out
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val (out, st) = foldKey(spec, events,
+        state.getOption.getOrElse(emptyState), exportState = true)
+      state.update(st.get)
+      ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      out
+    }
   }
 
   /** Run the tree in Structured Streaming: a chain of
@@ -305,11 +315,15 @@ object DeltaEngine {
     * `foreachBatch` upsert (Spark's native sinks take no retractions —
     * SURVEY.md §7 phase 3).
     */
-  def runStream(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]]): Dataset[Evt] = {
+  def runStream(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]],
+                stateTtl: Option[java.time.Duration] = None): Dataset[Evt] = {
     require(specs.nonEmpty)
     val spark = changelogs(specs.head.relation).sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     var parentDeltas: Dataset[Evt] = null
     specs.foreach { spec =>
       val own = predicatePushdown(spec, changelogs(spec.relation))
@@ -317,8 +331,8 @@ object DeltaEngine {
       parentDeltas = events
         .groupByKey(_.key)
         .flatMapGroupsWithState[NState, Evt](
-          OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          (k, it, st) => processKeyStream(spec)(k, it, st))
+          OutputMode.Append, timeout)(
+          (k, it, st) => processKeyStream(spec, stateTtl)(k, it, st))
     }
     parentDeltas
   }

@@ -108,6 +108,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("state TTL evicts an idle key's join state (bounded-state mode)") {
+    // deterministic TestGroupState harness (a wall-clock TTL inside a
+    // live chained stream re-arms timeouts per batch — untestably racy)
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = Some(java.time.Duration.ofMinutes(10))
+    val parentAlive = NState(Map.empty, 1, canon(Map("pk" -> "1", "pname" -> "p1")))
+
+    // 1. a live key arms the timeout after processing
+    val armed = TestGroupState.create[NState](
+      org.apache.spark.api.java.Optional.of(parentAlive), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val ev = Evt(5, false, 1, 1, "1", Map("fk" -> "1", "cid" -> "a", "v" -> "12"))
+    val out1 = processKeyStream(childSpec, ttl)("1", Iterator(ev), armed).toSeq
+    assert(out1.size == 1, "alive parent + passing child emits")
+    assert(armed.getTimeoutTimestampMs.isPresent &&
+      armed.getTimeoutTimestampMs.get == 1000L + ttl.get.toMillis)
+
+    // 2. the timeout firing removes the key's state entirely
+    val expired = TestGroupState.create[NState](
+      org.apache.spark.api.java.Optional.of(parentAlive), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out2 = processKeyStream(childSpec, ttl)("1", Iterator.empty, expired).toSeq
+    assert(out2.isEmpty && expired.isRemoved, "eviction clears state, emits nothing")
+
+    // 3. a later child for the evicted key sees empty state → no match
+    val fresh = TestGroupState.create[NState](
+      org.apache.spark.api.java.Optional.empty[NState](), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out3 = processKeyStream(childSpec, ttl)("1",
+      Iterator(Evt(6, false, 1, 1, "1", Map("fk" -> "1", "cid" -> "b", "v" -> "12"))), fresh).toSeq
+    assert(out3.isEmpty, "post-eviction child must not match the forgotten parent")
+  }
+
   test("CDC text file source streams through parseRelation (reference ingest path)") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{DoubleType, LongType}
