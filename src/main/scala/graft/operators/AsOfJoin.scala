@@ -35,10 +35,16 @@ object AsOfJoin {
     val lType = StructType(left.columns.map(c => left.schema(c)))
     val rType = StructType(rValCols.map(c => right.schema(c)))
 
+    // Equality-join semantics: a NULL key or NULL ts on the right can
+    // never legitimately match (NULL = NULL is not true), but
+    // Window.partitionBy groups NULLs together and NULL ts sorts
+    // first — drop them up front instead of fabricating matches.
+    val rightClean = (keyCols :+ ts).foldLeft(right)((df, c) => df.filter(col(c).isNotNull))
+
     val lTagged = left.select(
       (keyCols.map(col) :+ col(ts).as("_ts") :+ lit(1).as("_side") :+
         lStruct.as("_l") :+ lit(null).cast(rType).as("_r")): _*)
-    val rTagged = right.select(
+    val rTagged = rightClean.select(
       (keyCols.map(col) :+ col(ts).as("_ts") :+ lit(0).as("_side") :+
         lit(null).cast(lType).as("_l") :+ rStruct.as("_r")): _*)
 

@@ -239,17 +239,25 @@ object Dedup {
           .withColumn("lbl", col("doc")).localCheckpoint()
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < 20) {
+        val maxIter = 100 // safety net only; real bound is component diameter
+        while (changed > 0 && iter < maxIter) {
           val prop = labels.join(edges, col("doc") === col("src"))
             .select(col("dst").as("doc"), col("lbl"))
-          val next = labels.unionByName(prop)
-            .groupBy("doc").agg(min("lbl").as("lbl")).localCheckpoint()
+          var next = labels.unionByName(prop)
+            .groupBy("doc").agg(min("lbl").as("lbl"))
+          // truncate lineage every few rounds (every round would retain
+          // a checkpointed copy per iteration for the session lifetime)
+          if (iter % 4 == 3) next = next.localCheckpoint()
           changed = next.as("n")
             .join(labels.as("o"), col("n.doc") === col("o.doc"))
             .filter(col("n.lbl") =!= col("o.lbl")).count()
           labels = next
           iter += 1
         }
+        // silent non-convergence would emit WRONG labels (a split
+        // cluster) — fail loudly instead
+        require(changed == 0,
+          s"connected components did not converge in $maxIter rounds (component diameter > $maxIter?)")
         labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
     },
 

@@ -30,18 +30,25 @@ object RangeJoin {
     val w = windowSec * 1000000L // microseconds
     val rValCols = right.columns.filterNot(keyCols.contains).toSeq
 
+    // scratch names no input actually uses (same pattern as SkewJoin)
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      LazyList.from(0).map(i => s"$base$i").find(!taken.contains(_)).get
+    val binCol = fresh("_graft_bin")
+    val rCol = fresh("_graft_r")
+
     val lBin = floor(unix_micros(col(ts)) / w).cast("long")
     val lExploded = left
-      .withColumn("_bin", explode(array(lBin, lBin + 1)))
+      .withColumn(binCol, explode(array(lBin, lBin + 1)))
     val rBinned = right
-      .select((keyCols.map(col) :+ floor(unix_micros(col(ts)) / w).cast("long").as("_bin") :+
-        struct(rValCols.map(col): _*).as("_r")): _*)
+      .select((keyCols.map(col) :+ floor(unix_micros(col(ts)) / w).cast("long").as(binCol) :+
+        struct(rValCols.map(col): _*).as(rCol)): _*)
 
     lExploded
-      .join(rBinned, keyCols :+ "_bin")
-      .filter(unix_micros(col(s"_r.$ts")) > unix_micros(col(ts)) &&
-        unix_micros(col(s"_r.$ts")) <= unix_micros(col(ts)) + w)
+      .join(rBinned, keyCols :+ binCol)
+      .filter(unix_micros(col(s"$rCol.$ts")) > unix_micros(col(ts)) &&
+        unix_micros(col(s"$rCol.$ts")) <= unix_micros(col(ts)) + w)
       .select(left.columns.map(col).toSeq ++
-        rValCols.map(c => col(s"_r.$c").as(s"$rightPrefix$c")): _*)
+        rValCols.map(c => col(s"$rCol.$c").as(s"$rightPrefix$c")): _*)
   }
 }
