@@ -457,6 +457,24 @@ object Relational {
             col("asof_click_id"), col("asof_ts").as("asof_click_ts"))
     },
 
+    // Exact interpolated percentiles — Spark percentile_cont and DuckDB
+    // quantile_cont share the linear-interpolation definition, so the
+    // doubles match bit-for-bit. (A sort-based exact aggregate; at
+    // 100 TB prefer approx_percentile, which has no cross-engine
+    // oracle and is deliberately not registered here.)
+    sql("events_percentiles",
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.95) AS p95, quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+            expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)").as("p95"),
+            expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
+    },
+
     // Range join — purchases within 6 hours AFTER a click by the same
     // user, via window-sized time bins + hash equi-join (RangeJoin
     // scaladoc; the oracle is DuckDB's native inequality join).
