@@ -7,10 +7,18 @@ import org.apache.spark.sql.SparkSession
   * scan, join-tree, agg, window, dedup, ANN, text and the incremental
   * engine; "total" sums exactly these, round-over-round comparable) on
   * SPARK_GRAFT_SF_DIR and prints exactly one JSON line for the driver.
-  * `df.count()` forces the full plan; a warm-up query first so
-  * JIT/session init doesn't pollute q1. Full-inventory timings:
+  * Each query is forced via `queryExecution.toRdd.count()` — that runs
+  * the optimized physical plan AS WRITTEN (every projected expression
+  * evaluates), unlike `df.count()` which rewrites to Aggregate(count(1))
+  * and lets column pruning delete pure projections (a pure-`select`
+  * query would then time only a parquet footer count). A warm-up first
+  * so JIT/session init doesn't pollute q1. Full-inventory timings:
   * `runMain graft.Profile`. */
 object Bench {
+  /** Runs the full physical plan, immune to count-pruning. */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.count(): Unit
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,11 +32,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: session init, JIT, codegen compilation and parquet
-    // footer caches — the flagship pipeline on the TINY fixture
-    // compiles the join+agg codegen without touching the measured data
+    // footer caches — scan + flagship pipeline on the TINY fixture so
+    // codegen compiles without pre-warming the measured data's page cache
     try {
-      SparkEntry.queries("scan_project")(spark, sfDir).count()
-      SparkEntry.entry(spark).count()
+      force(SparkEntry.queries("scan_project")(spark, "/root/testdata/sf0.001"))
+      force(SparkEntry.entry(spark))
     } catch { case _: Throwable => () }
 
     // failures report as -1 (never as a plausible-looking timing) and
@@ -37,7 +45,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       name -> sec
     }

@@ -30,9 +30,16 @@ object Tables {
     * conf) and truncate to a microsecond `TimestampType` — integer
     * division, NOT double division: ns-since-epoch (~1.7e18) exceeds
     * double's 53-bit mantissa.
+    *
+    * NOTE: `nanosAsLong` has no per-read DataFrameReader option
+    * (verified against ParquetOptions in Spark 4.1.2), so this loader
+    * must go through the session conf. The set is guarded so repeat
+    * calls don't churn the conf map, and it is a documented, visible
+    * side effect of loading `events`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
     val raw = load(s, d, "events")
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(

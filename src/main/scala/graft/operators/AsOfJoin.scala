@@ -35,6 +35,16 @@ object AsOfJoin {
     val lType = StructType(left.columns.map(c => left.schema(c)))
     val rType = StructType(rValCols.map(c => right.schema(c)))
 
+    // scratch names no input actually uses (same pattern as RangeJoin /
+    // SkewJoin) — fixed names like "_ts" would collide with inputs that
+    // already carry such a column and fail analysis as ambiguous
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      LazyList.from(0).map(i => s"$base$i").find(!taken.contains(_)).get
+    val tsCol = fresh("_graft_ts"); val sideCol = fresh("_graft_side")
+    val lCol = fresh("_graft_l"); val rCol = fresh("_graft_r")
+    val matchCol = fresh("_graft_match")
+
     // Equality-join semantics: a NULL key or NULL ts on the right can
     // never legitimately match (NULL = NULL is not true), but
     // Window.partitionBy groups NULLs together and NULL ts sorts
@@ -42,21 +52,21 @@ object AsOfJoin {
     val rightClean = (keyCols :+ ts).foldLeft(right)((df, c) => df.filter(col(c).isNotNull))
 
     val lTagged = left.select(
-      (keyCols.map(col) :+ col(ts).as("_ts") :+ lit(1).as("_side") :+
-        lStruct.as("_l") :+ lit(null).cast(rType).as("_r")): _*)
+      (keyCols.map(col) :+ col(ts).as(tsCol) :+ lit(1).as(sideCol) :+
+        lStruct.as(lCol) :+ lit(null).cast(rType).as(rCol)): _*)
     val rTagged = rightClean.select(
-      (keyCols.map(col) :+ col(ts).as("_ts") :+ lit(0).as("_side") :+
-        lit(null).cast(lType).as("_l") :+ rStruct.as("_r")): _*)
+      (keyCols.map(col) :+ col(ts).as(tsCol) :+ lit(0).as(sideCol) :+
+        lit(null).cast(lType).as(lCol) :+ rStruct.as(rCol)): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col(tsCol), col(sideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val out = lTagged.unionByName(rTagged)
-      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn(matchCol, last(col(rCol), ignoreNulls = true).over(w))
+      .filter(col(sideCol) === 1)
     out.select(
-      left.columns.map(c => col(s"_l.$c").as(c)).toSeq ++
-        rValCols.map(c => col(s"_match.$c").as(s"$rightPrefix$c")): _*)
+      left.columns.map(c => col(s"$lCol.$c").as(c)).toSeq ++
+        rValCols.map(c => col(s"$matchCol.$c").as(s"$rightPrefix$c")): _*)
   }
 }

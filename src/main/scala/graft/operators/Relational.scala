@@ -411,8 +411,12 @@ object Relational {
     // Sessionization: 30-minute-gap sessions via lag + running sum of
     // session-start markers — the standard scalable shape (two window
     // passes over the same user partitioning, ONE shuffle total).
+    // NB oracle: DuckDB's windowed SUM over INTEGER yields HUGEINT while
+    // Spark's sum(int) window yields BIGINT — cast the oracle output so
+    // the driver's value hash compares like-for-like (same convention as
+    // window_running_sum above).
     sql("events_sessionize",
-      """SELECT event_id, user_id, session_id FROM (
+      """SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
         | SELECT event_id, user_id,
         |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id

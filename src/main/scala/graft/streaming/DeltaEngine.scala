@@ -170,7 +170,7 @@ object DeltaEngine {
     * from / exports to the immutable [[NState]] at the state-store
     * boundary. Mutable internally because this is the engine's hot
     * loop (hundreds of thousands of events per replay). */
-  private final class NodeFold(spec: NodeSpec, init: NState) {
+  private final class NodeFold(spec: NodeSpec, init: NState, preFiltered: Boolean) {
     private val children = new java.util.HashMap[String, Int]()
     init.children.foreach { case (k, v) => children.put(k, v) }
     private var aliveParents: Int = init.aliveParents
@@ -205,7 +205,11 @@ object DeltaEngine {
         }
         aliveParents = newAlive
         if (ev.tag > 0) parentCanon = ev.row
-      } else if (spec.predicate(uncanon(ev.row))) {
+      } else if (preFiltered || spec.predicate(uncanon(ev.row))) {
+        // `preFiltered` short-circuits the predicate: the run drivers
+        // already applied it map-side (predicatePushdown), and the
+        // uncanon here would otherwise allocate a Map per event in the
+        // engine's hottest loop.
         val c = ev.row
         val before = children.getOrDefault(c, 0)
         val after = before + ev.tag * ev.mult
@@ -234,10 +238,10 @@ object DeltaEngine {
   }
 
   private def foldKey(spec: NodeSpec, events: Iterator[Evt], init: NState,
-                      exportState: Boolean): (Iterator[Evt], Option[NState]) = {
+                      exportState: Boolean, preFiltered: Boolean): (Iterator[Evt], Option[NState]) = {
     val arr = events.toArray
     java.util.Arrays.sort(arr, evtOrder)
-    val fold = new NodeFold(spec, init)
+    val fold = new NodeFold(spec, init, preFiltered)
     val out = Vector.newBuilder[Evt]
     val emitted = new scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
     arr.foreach { ev =>
@@ -253,9 +257,13 @@ object DeltaEngine {
 
   /** Fold a whole per-key event sequence (sorted deterministically)
     * from empty state; emissions become parent deltas for the next
-    * node, re-keyed by `nextKeyCol`. */
-  def processKeyBatch(spec: NodeSpec)(key: String, events: Iterator[Evt]): Iterator[Evt] =
-    foldKey(spec, events, emptyState, exportState = false)._1
+    * node, re-keyed by `nextKeyCol`. `preFiltered = true` asserts
+    * own-changelog events already passed `spec.predicate` (the run
+    * drivers guarantee it via [[predicatePushdown]]) so the fold skips
+    * the per-event re-evaluation. */
+  def processKeyBatch(spec: NodeSpec, preFiltered: Boolean = false)(
+      key: String, events: Iterator[Evt]): Iterator[Evt] =
+    foldKey(spec, events, emptyState, exportState = false, preFiltered)._1
 
   /** Run the tree in batch-simulation mode: each node is a
     * `groupByKey(joinKey).flatMapGroups` over the union of the
@@ -282,7 +290,8 @@ object DeltaEngine {
       val events = if (parentDeltas == null) own else own.union(parentDeltas)
       parentDeltas = events
         .groupByKey(_.key)
-        .flatMapGroups((k: String, it: Iterator[Evt]) => processKeyBatch(spec)(k, it))
+        .flatMapGroups((k: String, it: Iterator[Evt]) =>
+          processKeyBatch(spec, preFiltered = true)(k, it))
     }
     parentDeltas
   }
@@ -293,7 +302,8 @@ object DeltaEngine {
     * — the unbounded-child-set mitigation SURVEY.md §7 flags; events
     * for an evicted key thereafter see empty state (an explicit
     * correctness-for-boundedness trade the caller opts into). */
-  def processKeyStream(spec: NodeSpec, ttl: Option[java.time.Duration] = None)(
+  def processKeyStream(spec: NodeSpec, ttl: Option[java.time.Duration] = None,
+      preFiltered: Boolean = false)(
       key: String, events: Iterator[Evt],
       state: org.apache.spark.sql.streaming.GroupState[NState]): Iterator[Evt] = {
     if (state.hasTimedOut) {
@@ -301,7 +311,7 @@ object DeltaEngine {
       Iterator.empty
     } else {
       val (out, st) = foldKey(spec, events,
-        state.getOption.getOrElse(emptyState), exportState = true)
+        state.getOption.getOrElse(emptyState), exportState = true, preFiltered)
       state.update(st.get)
       ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
       out
@@ -332,7 +342,7 @@ object DeltaEngine {
         .groupByKey(_.key)
         .flatMapGroupsWithState[NState, Evt](
           OutputMode.Append, timeout)(
-          (k, it, st) => processKeyStream(spec, stateTtl)(k, it, st))
+          (k, it, st) => processKeyStream(spec, stateTtl, preFiltered = true)(k, it, st))
     }
     parentDeltas
   }
