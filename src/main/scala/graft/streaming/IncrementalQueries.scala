@@ -149,6 +149,45 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** Per-event running-output parity with the reference's A1 (one
+    * `Output` row per delta, Q10AggregateProcessFunction.java:75-80):
+    * every leaf delta becomes a row carrying the group's running
+    * revenue at that point of the replay. The replay order is the
+    * deterministic (seq, l_orderkey, l_linenumber) — the engine's
+    * emission multiset is order-independent (ghost-tolerant signed
+    * folds), so parity over a deterministic order checks every
+    * intermediate aggregate value, not just the net.
+    *
+    * The oracle reconstructs the same delta multiset in SQL: +1 per
+    * qualifying join row at seq 0; at seq 1, −1 for every child of a
+    * deleted order (parent-death fan-out replays the buffered set) and
+    * −1 for deleted lineitems of SURVIVING orders only (own deletes
+    * under a dead parent don't emit — the engine suppresses them, and
+    * so must the oracle). */
+  def incrementalQ10Running(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leaf = runBatch(q10Tree, q10Changelogs(s, dir)).toDF()
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    val ev = leaf.select(
+      col("seq"),
+      (col("tag") * col("mult")).cast(LongType).as("sign"),
+      c.getItem("c_custkey").cast(LongType).as("c_custkey"),
+      c.getItem("l_orderkey").cast(LongType).as("l_orderkey"),
+      c.getItem("l_linenumber").cast(LongType).as("l_linenumber"),
+      round(c.getItem("l_extendedprice").cast(DoubleType) *
+        (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+        .cast(LongType).as("rev_e4"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
+    // (no composite-PK guarantee), so sign + rev_e4 join the sort key;
+    // fully identical events commute without changing the trajectory
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("seq"), col("l_orderkey"), col("l_linenumber"),
+        col("sign"), col("rev_e4"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("c_custkey"), col("seq"), col("l_orderkey"), col("l_linenumber"),
+      col("sign"), sum(col("sign") * col("rev_e4")).over(w).as("running_revenue_e4"))
+  }
+
   private val lineitemCdcCols =
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
 
@@ -184,6 +223,28 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10),
+
+    sql("incremental_q10_running",
+      s"""WITH base AS (
+         | SELECT c_custkey, o_orderkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT) AS rev_e4
+         | FROM customer, orders, lineitem, nation
+         | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
+         |  AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |  AND l_returnflag = 'R'),
+         |ev AS (
+         | SELECT 0 AS seq, 1 AS sign, c_custkey, l_orderkey, l_linenumber, rev_e4 FROM base
+         | UNION ALL
+         | SELECT 1, -1, c_custkey, l_orderkey, l_linenumber, rev_e4 FROM base WHERE o_orderkey % 50 = 0
+         | UNION ALL
+         | SELECT 1, -1, c_custkey, l_orderkey, l_linenumber, rev_e4 FROM base
+         | WHERE l_linenumber = 3 AND o_orderkey % 50 <> 0)
+         |SELECT c_custkey, CAST(seq AS BIGINT) AS seq, l_orderkey, l_linenumber,
+         | CAST(sign AS BIGINT) AS sign,
+         | CAST(SUM(sign * rev_e4) OVER (PARTITION BY c_custkey
+         |   ORDER BY seq, l_orderkey, l_linenumber, sign, rev_e4
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_revenue_e4
+         |FROM ev""".stripMargin)(incrementalQ10Running),
 
     sql("incremental_supplier_rev",
       """SELECT n_name,

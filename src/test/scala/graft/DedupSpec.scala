@@ -49,4 +49,24 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.3 - 1e-6 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("embedding LSH near-dup: subset of brute force, >=85% recall, no cartesian") {
+    val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sfTiny)
+    // the plan must have NO cartesian/nested-loop join anywhere — the
+    // whole point of the bucketed path
+    val physical = lsh.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+
+    val brute = SparkEntry.queries("dedup_embedding_cosine")(spark, sfTiny)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = lsh.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH pair passed the exact-cosine confirm → subset of brute
+    assert(found.subsetOf(brute))
+    // banding is 16 bands × 4 bits: 92% recall measured on this fixture
+    // (near-orthogonal Gaussian — LSH's hard case); assert a margin below
+    val recall = found.size.toDouble / brute.size
+    assert(recall >= 0.85, s"recall $recall (${found.size}/${brute.size})")
+  }
 }
