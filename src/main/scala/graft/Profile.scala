@@ -20,7 +20,9 @@ object Profile {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (name <- names) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, d).count()
+      // toRdd.count() like Bench: runs the plan as written (df.count()
+      // would let column pruning delete pure projections)
+      val n = SparkEntry.queries(name)(spark, d).queryExecution.toRdd.count()
       println(f"[prof] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     spark.stop()

@@ -20,7 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row — at 300k candidate pairs per block-join that allocation
   * churn is the dominant cost. One hash set per side, sizes only.
   */
-case class JaccardSim(left: Expression, right: Expression)
+/** @param sortedDistinct when true, both inputs are PROMISED to be
+  *   duplicate-free and sorted by UTF8String binary order (e.g.
+  *   `array_sort(char_ngrams(...))`): the kernel then runs a
+  *   zero-allocation linear merge instead of building two hash sets
+  *   per row — the per-pair cost in a candidate-verify join drops to
+  *   pure byte compares. Results are WRONG if the promise is broken;
+  *   callers own the invariant. */
+case class JaccardSim(left: Expression, right: Expression,
+    sortedDistinct: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -36,16 +44,22 @@ case class JaccardSim(left: Expression, right: Expression)
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val r = JaccardSim.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val r =
+      if (sortedDistinct)
+        JaccardSim.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      else
+        JaccardSim.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (r.isNaN) null else r // 0/0 (both sets empty) → NULL, like Divide
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (sortedDistinct) "jaccardSorted" else "jaccard"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |${ev.value} = graft.functions.JaccardSim.jaccard($a, $b);
+         |${ev.value} = graft.functions.JaccardSim.$fn($a, $b);
          |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
     copy(left = newLeft, right = newRight)
@@ -78,9 +92,31 @@ object JaccardSim {
     ni.toDouble / (na + nb - ni)
   }
 
+  /** Merge-count intersection of two sorted duplicate-free arrays —
+    * the [[JaccardSim.sortedDistinct]] fast path. Same integers as
+    * [[jaccard]] when the promise holds (UTF8String.compareTo is the
+    * binary order `array_sort` produces). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var ni = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { ni += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    ni.toDouble / (na + nb - ni)
+  }
+
   import org.apache.spark.sql.GraftBridge
 
   /** Column API: `jaccard_sim($"a", $"b")`. */
   def jaccard_sim(a: Column, b: Column): Column =
     GraftBridge.toColumn(JaccardSim(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Column API, sorted-distinct promise (see [[JaccardSim]]). */
+  def jaccard_sim_presorted(a: Column, b: Column): Column =
+    GraftBridge.toColumn(JaccardSim(GraftBridge.toExpression(a),
+      GraftBridge.toExpression(b), sortedDistinct = true))
 }

@@ -336,17 +336,46 @@ object Dedup {
         // block join, gram arrays re-joined per side (doc-level hash
         // distribution), jaccard evaluated ONCE under an aggregation
         // barrier the filter cannot be pushed through.
+        //
+        // Two skew guards, both exact (a minhash prefilter was measured
+        // and rejected: in-block trigram jaccard centers at ~0.5 against
+        // τ=0.55, so any probabilistic band drops true pairs):
+        //  - SALTED TRIANGLE enumeration: the left side fans out to S
+        //    partner-salt copies and the right side joins on its own
+        //    doc_id salt, so one block's O(block²) pair generation
+        //    spreads over S tasks instead of one (at corpus scale a
+        //    popular (lang, len-bucket) block would otherwise pin a
+        //    whole reducer);
+        //  - REPARTITION by pair before the confirm: the verify work
+        //    distributes over the full cluster regardless of how few
+        //    tasks the enumeration ran in (locally the grams joins
+        //    broadcast-fuse into the scan stage — 3.3M JaccardSim calls
+        //    on 2 tasks, measured 7.6 s → 2.1 s; at 100 TB the exchange
+        //    is needed for the grams equi-join anyway).
+        val S = 16
         val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
         val meta = docs.select(col("doc_id"), col("lang"),
           expr("n_chars div 50").as("len_bucket"))
+        // sorted ONCE per doc so the per-pair kernel can run the
+        // zero-allocation merge path (jaccard_sim_presorted) instead of
+        // two hash sets per candidate pair
         val grams = docs.select(col("doc_id"),
-          graft.functions.CharNgrams.char_ngrams(col("text"), 3).as("grams"))
-        val pairs = meta.as("a").join(meta.as("b"),
+          array_sort(graft.functions.CharNgrams.char_ngrams(col("text"), 3)).as("grams"))
+        val aSide = meta.withColumn("psalt",
+          explode(array((0 until S).map(lit): _*)))
+        val bSide = meta.withColumn("salt", pmod(hash(col("doc_id")), lit(S)))
+        val pairs = aSide.as("a").join(bSide.as("b"),
             col("a.lang") === col("b.lang") &&
               col("a.len_bucket") === col("b.len_bucket") &&
+              col("a.psalt") === col("b.salt") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val jacc = graft.functions.JaccardSim.jaccard_sim(col("x.grams"), col("y.grams"))
+          // explicit N: AQE would coalesce the (narrow, ~16 B/row) pair
+          // exchange to 1-2 partitions by SIZE, but the downstream cost
+          // is per-pair CPU, not bytes
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("doc_a"), col("doc_b"))
+        val jacc = graft.functions.JaccardSim.jaccard_sim_presorted(col("x.grams"), col("y.grams"))
         pairs
           .join(grams.as("x"), col("x.doc_id") === col("doc_a"))
           .join(grams.as("y"), col("y.doc_id") === col("doc_b"))

@@ -104,6 +104,20 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("jaccard_sim_presorted merge path equals hash path on real trigram sets") {
+    import graft.functions.JaccardSim.{jaccard_sim, jaccard_sim_presorted}
+    val g = Tables.documents(spark, sfTiny).limit(60)
+      .select(col("doc_id"),
+        array_sort(graft.functions.CharNgrams.char_ngrams(col("text"), 3)).as("grams"))
+    val got = g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(
+        jaccard_sim_presorted(col("x.grams"), col("y.grams")).as("merge"),
+        jaccard_sim(col("x.grams"), col("y.grams")).as("hash"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("vec_dot / vec_norm_sq are bit-identical to the HOF fold") {
     val vecs = Tables.embeddings(spark, sfTiny).limit(200)
       .select(transform(col("embedding"), _.cast("double")).as("v"))
