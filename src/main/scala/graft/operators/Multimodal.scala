@@ -9,18 +9,20 @@ import graft.GraftQuery.{rowsOnly, sql}
   * opaque `binary` columns with typed metadata, processed by
   * per-partition batch operators.
   *
-  * The container has no image/audio libraries, so the DECODE step is a
-  * clearly-marked deterministic STUB ([[MediaStub]]); everything
-  * around it — schema, binary encoding, partition-batched iteration,
-  * frame-sampling fan-out, feature schema — is real and tested. In
-  * production the stub body is replaced by the actual codec call; the
-  * Spark plumbing (a `mapPartitions` over a typed Dataset, so the
-  * codec context is initialized once per partition, not per row — the
-  * Scala analogue of `mapInPandas` batching) does not change.
+  * IMAGE decode and resize are REAL: [[MediaCodec]] sniffs the payload
+  * magic bytes and runs the JDK's built-in `javax.imageio` (PNG, BMP,
+  * JPEG, GIF — no external libraries) for true width/height/luma and a
+  * bilinear rescale re-encoded as PNG. Payloads that aren't a
+  * supported image (this fixture carries text bytes) fall back to the
+  * deterministic [[MediaStub]], so the pipeline is total either way.
+  * Video frame-sampling stays a declared stub — the JDK ships no video
+  * codec; the byte-offset sampling keeps the contract and shape.
   *
   * Scale: decode is the canonical CPU-heavy embarrassingly-parallel
   * stage. No shuffle anywhere in this module; payload bytes stream
-  * straight from the parquet scan through the partition iterator.
+  * straight from the parquet scan through the partition iterator
+  * (`mapPartitions`, so codec init happens once per partition — the
+  * Scala analogue of `mapInPandas` batching).
   * `spark.sql.files.maxPartitionBytes` controls batch granularity at
   * 100 TB.
   */
@@ -41,8 +43,9 @@ object Multimodal {
                                 target_w: Int, target_h: Int, payload: Array[Byte])
 
   /** STUB decoder — deterministic fake features derived from the raw
-    * bytes. Replace `decode` with the real codec (e.g. javax.imageio /
-    * ffmpeg JNI) in production; signature and call pattern stay. */
+    * bytes; the fallback [[MediaCodec]] uses when the payload is not a
+    * decodable image (and the only path for video, which the JDK has
+    * no codec for). */
   object MediaStub {
     def decode(a: MediaAsset): MediaFeatures = {
       val n = a.payload.length
@@ -81,6 +84,74 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on the JDK's javax.imageio — decode, luma and
+    * bilinear resize for PNG/BMP/JPEG/GIF payloads, identified by
+    * MAGIC BYTES (metadata is advisory; bytes are the truth). Anything
+    * else falls back to [[MediaStub]]. */
+  object MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Magic-byte sniff. None = not an image this JVM can decode. */
+    def sniff(p: Array[Byte]): Option[String] = {
+      def at(i: Int, v: Int) = i < p.length && (p(i) & 0xff) == v
+      if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("image/png")
+      else if (at(0, 'B') && at(1, 'M')) Some("image/bmp")
+      else if (at(0, 0xff) && at(1, 0xd8)) Some("image/jpeg")
+      else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) Some("image/gif")
+      else None
+    }
+
+    private def read(p: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(p)))
+      catch { case _: Exception => None }
+
+    /** Mean Rec.601 luma in [0, 1] over all pixels. */
+    private def meanLuma(img: BufferedImage): Double = {
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sum += 0.299 * r + 0.587 * g + 0.114 * b
+          x += 1
+        }
+        y += 1
+      }
+      sum / (img.getWidth.toLong * img.getHeight) / 255.0
+    }
+
+    def decode(a: MediaAsset): MediaFeatures = sniff(a.payload) match {
+      case Some(fmt) => read(a.payload) match {
+        case Some(img) =>
+          MediaFeatures(a.doc_id, fmt, a.payload.length,
+            img.getWidth, img.getHeight, meanLuma(img))
+        case None => MediaStub.decode(a) // sniffed but corrupt → stub
+      }
+      case None => MediaStub.decode(a)
+    }
+
+    /** Real bilinear rescale, re-encoded as PNG. */
+    def resize(a: MediaAsset, w: Int, h: Int): ResizedAsset =
+      sniff(a.payload).flatMap(_ => read(a.payload)) match {
+        case Some(img) =>
+          val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, w, h, null)
+          } finally g2.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          ResizedAsset(a.doc_id, "image/png", w, h, bos.toByteArray)
+        case None => MediaStub.resize(a, w, h)
+      }
+  }
+
   /** documents → media assets (text bytes stand in for image bytes). */
   def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
@@ -95,8 +166,9 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition codec initialization would go here
-      it.map(MediaStub.decode)
+      // per-partition codec init: disk-cache off once, not per image
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(MediaCodec.decode)
     }
   }
 
@@ -108,8 +180,8 @@ object Multimodal {
   def resizeAll(ds: Dataset[MediaAsset], w: Int, h: Int): Dataset[ResizedAsset] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition scaler initialization would go here
-      it.map(MediaStub.resize(_, w, h))
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(MediaCodec.resize(_, w, h))
     }
   }
 

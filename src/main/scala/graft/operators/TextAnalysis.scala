@@ -146,10 +146,35 @@ object TextAnalysis {
 
     // Engine-native 64-bit rolling-hash fingerprint (custom Catalyst
     // expression with codegen, graft.functions.RollingHash) — cheaper
-    // than md5 by ~an order of magnitude; unit-tested against a
-    // reference implementation (no SQL oracle: DuckDB has no matching
-    // hash).
-    rowsOnly("text_rolling_fingerprint") {
+    // than md5 by ~an order of magnitude. The oracle reproduces the
+    // exact polynomial in DuckDB: normalized text → codepoints →
+    // UTF-8 bytes (manual encode: unicode() gives codepoints, the CASE
+    // re-derives the byte sequence) → list_reduce fold in HUGEINT with
+    // mod 2^64 wraparound, reinterpreted as signed BIGINT at the end.
+    // Verified bit-identical on ASCII, Latin-1, CJK and 4-byte emoji.
+    sql("text_rolling_fingerprint",
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+         |           FROM documents),
+         |h AS (
+         | SELECT doc_id, list_reduce(
+         |   list_prepend(${graft.functions.RollingHash.Seed}::HUGEINT,
+         |     flatten(list_transform(
+         |       list_transform(generate_series(1, length(s)), i -> unicode(substr(s, i, 1))),
+         |       cp -> CASE
+         |         WHEN cp < 128 THEN [cp::HUGEINT]
+         |         WHEN cp < 2048 THEN [(192 + cp // 64)::HUGEINT, (128 + cp % 64)::HUGEINT]
+         |         WHEN cp < 65536 THEN [(224 + cp // 4096)::HUGEINT,
+         |           (128 + (cp // 64) % 64)::HUGEINT, (128 + cp % 64)::HUGEINT]
+         |         ELSE [(240 + cp // 262144)::HUGEINT, (128 + (cp // 4096) % 64)::HUGEINT,
+         |           (128 + (cp // 64) % 64)::HUGEINT, (128 + cp % 64)::HUGEINT]
+         |       END))),
+         |   (acc, b) -> (acc * ${graft.functions.RollingHash.Prime}::HUGEINT + b)
+         |     % 18446744073709551616::HUGEINT) AS h
+         | FROM n)
+         |SELECT doc_id,
+         | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp64
+         |FROM h""".stripMargin) {
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         rolling_hash(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp64"))

@@ -2,10 +2,21 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaAsset, MediaStub}
+import graft.operators.Multimodal.{MediaAsset, MediaCodec, MediaStub}
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfTiny}
+
+  /** A real w×h image: left half pure white, right half pure black. */
+  private def makeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
 
   test("feature extraction is deterministic and schema-complete") {
     val feats = Multimodal.extractFeatures(Multimodal.assets(spark, sfTiny)).collect()
@@ -25,6 +36,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.width == 64 + 16 % 448 && f.height == 64 + (16 * 7) % 448)
     val expectedLuma = a.payload.map(b => (b & 0xff).toDouble).sum / 16 / 255.0
     assert(math.abs(f.mean_luma - expectedLuma) < 1e-12)
+  }
+
+  test("real PNG/BMP decode through the Dataset pipeline: true dims and luma") {
+    import spark.implicits._
+    val assets = Seq(
+      MediaAsset(1L, "application/octet-stream", makeImage(12, 7, "png")),
+      MediaAsset(2L, "whatever", makeImage(9, 4, "bmp")), // sniffed by bytes, not metadata
+      MediaAsset(3L, "image/stub", "not an image".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.extractFeatures(assets).collect().sortBy(_.doc_id)
+
+    val png = feats(0)
+    assert(png.media_type == "image/png")
+    assert(png.width == 12 && png.height == 7)
+    // left half (6 of 12 cols) white → mean luma = 0.5 exactly
+    assert(math.abs(png.mean_luma - 0.5) < 1e-9, s"luma ${png.mean_luma}")
+
+    val bmp = feats(1)
+    assert(bmp.media_type == "image/bmp")
+    assert(bmp.width == 9 && bmp.height == 4)
+    // 4 of 9 columns white (x < 9/2 = 4) → luma = 4/9
+    assert(math.abs(bmp.mean_luma - 4.0 / 9.0) < 1e-9, s"luma ${bmp.mean_luma}")
+
+    // non-image payload falls back to the deterministic stub
+    val stub = feats(2)
+    assert(stub == MediaStub.decode(MediaAsset(3L, "image/stub", "not an image".getBytes("UTF-8"))))
+  }
+
+  test("real resize: output re-decodes to the target dims with preserved structure") {
+    val resized = MediaCodec.resize(
+      MediaAsset(5L, "x", makeImage(32, 20, "png")), 8, 5)
+    assert(resized.target_w == 8 && resized.target_h == 5)
+    assert(MediaCodec.sniff(resized.payload).contains("image/png"))
+    val back = MediaCodec.decode(MediaAsset(5L, "x", resized.payload))
+    assert(back.width == 8 && back.height == 5)
+    // white-left/black-right structure survives the rescale: luma ≈ 0.5
+    assert(math.abs(back.mean_luma - 0.5) < 0.1, s"luma ${back.mean_luma}")
   }
 
   test("frame sampling fans out exactly n frames with increasing offsets") {
