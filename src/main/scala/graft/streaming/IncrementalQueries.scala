@@ -149,6 +149,47 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** A THIRD tree — and this one is COMPILED from parquet FK metadata
+    * ([[TreeCompiler]]) rather than hand-built: the key/routing
+    * columns of region→nation→customer→orders are all derived from the
+    * schemas. Deletes hit customer (a MID-CHAIN node: death fans out
+    * through its orders) and orders — coverage the other two trees
+    * don't have. */
+  def orderRevenueTree(s: SparkSession, dir: String): Seq[NodeSpec] = {
+    val rels = TreeCompiler.fromParquet(s, dir, Seq("region", "nation", "customer", "orders"))
+    TreeCompiler.compile(rels, Seq("region", "nation", "customer", "orders"),
+      predicates = Map(
+        "region" -> (r => r.getOrElse("r_name", "") != "AFRICA"),
+        "orders" -> (r => r.getOrElse("o_orderstatus", "") == "F")))
+  }
+
+  def orderRevenueChangelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
+    "region" -> changelog(Tables.region(s, dir), "r_regionkey",
+      Seq("r_regionkey", "r_name"), None),
+    "nation" -> changelog(Tables.nation(s, dir), "n_regionkey",
+      Seq("n_nationkey", "n_name", "n_regionkey"), None),
+    "customer" -> changelog(Tables.customer(s, dir), "c_nationkey",
+      Seq("c_custkey", "c_nationkey"),
+      Some(col("c_custkey") % 11 === 0)),
+    "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+      Some(col("o_orderkey") % 7 === 0)))
+
+  def incrementalOrderRevenue(s: SparkSession, dir: String): DataFrame = {
+    val leaf = runBatch(orderRevenueTree(s, dir), orderRevenueChangelogs(s, dir))
+    val df = leaf.toDF()
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    df.select(
+        (col("tag") * col("mult")).as("sign"),
+        c.getItem("n_name").as("n_name"),
+        round(c.getItem("o_totalprice").cast(DoubleType) * 100, 0)
+          .cast(LongType).as("price_e2"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("sign") * col("price_e2")).as("totalprice_e2"),
+        sum(col("sign")).cast(LongType).as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** Per-event running-output parity with the reference's A1 (one
     * `Output` row per delta, Q10AggregateProcessFunction.java:75-80):
     * every leaf delta becomes a row carrying the group's running
@@ -223,6 +264,16 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10),
+
+    sql("incremental_order_revenue",
+      """SELECT n_name,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS totalprice_e2,
+        | COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin)(incrementalOrderRevenue),
 
     sql("incremental_q10_running",
       s"""WITH base AS (

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.DeltaEngine.NodeSpec
+
+/** Compiles [[DeltaEngine.NodeSpec]] chains from FK metadata derived
+  * off the parquet schemas — the step that turns the AJU engine from
+  * two hand-built trees into an API: name the relation path (or just
+  * the root and leaf when the FK graph makes it unique) and every
+  * routing/re-keying column is inferred.
+  *
+  * FK discovery is by the TPC-H prefix-naming convention the fixtures
+  * follow (reference DataFlow.java wires the same joins by hand):
+  *
+  *  - every column is `<table-prefix>_<suffix>`;
+  *  - a relation's PRIMARY KEY is its column whose suffix is
+  *    `<stem>key` with `stem` a prefix of the table name
+  *    (`n_nationkey` ← nation, `c_custkey` ← customer); composite-key
+  *    relations like lineitem have none, which is fine — a chain leaf
+  *    needs no PK;
+  *  - a FOREIGN KEY edge child→parent exists where a child column's
+  *    suffix equals the parent PK's suffix (`c_nationkey` →
+  *    `n_nationkey`).
+  *
+  * Validation is loud: unknown relations, a hop with no FK edge, or an
+  * ambiguous root→leaf path (e.g. nation→lineitem reaches the leaf via
+  * customer∘orders AND via supplier) all throw with the alternatives
+  * spelled out rather than guessing.
+  */
+object TreeCompiler {
+
+  final case class RelationSchema(name: String, columns: Seq[String])
+
+  /** One FK edge: `child.fkCol` references `parent.parentCol`. */
+  final case class FkEdge(child: String, fkCol: String, parent: String, parentCol: String)
+
+  /** Read just the schemas (footer-only, no data scan) of the named
+    * parquet tables. */
+  def fromParquet(s: SparkSession, dir: String, names: Seq[String]): Seq[RelationSchema] =
+    names.map(n => RelationSchema(n, s.read.parquet(s"$dir/$n.parquet").columns.toSeq))
+
+  private def suffix(col: String): String = {
+    val i = col.indexOf('_')
+    if (i < 0) col else col.substring(i + 1)
+  }
+
+  /** `<stem>key` column whose stem prefixes the table name. */
+  def primaryKey(r: RelationSchema): Option[String] =
+    r.columns.find { c =>
+      val sfx = suffix(c)
+      sfx.endsWith("key") && sfx.length > 3 && r.name.startsWith(sfx.dropRight(3))
+    }
+
+  /** All child→parent FK edges derivable from the schemas. */
+  def fkEdges(rels: Seq[RelationSchema]): Seq[FkEdge] =
+    for {
+      child <- rels
+      parent <- rels if parent.name != child.name
+      pk <- primaryKey(parent).toSeq
+      fk <- child.columns.find(c => suffix(c) == suffix(pk)).toSeq
+    } yield FkEdge(child.name, fk, parent.name, pk)
+
+  /** Compile an EXPLICIT relation path (root first) into a NodeSpec
+    * chain; key columns come from the FK edges, predicates attach by
+    * relation name. The root gets set-semantics dedup (the reference's
+    * J0 behavior). */
+  def compile(rels: Seq[RelationSchema], path: Seq[String],
+              predicates: Map[String, Map[String, String] => Boolean] = Map.empty)
+      : Seq[NodeSpec] = {
+    require(path.size >= 2, s"a join chain needs >= 2 relations, got $path")
+    val byName = rels.map(r => r.name -> r).toMap
+    path.foreach(n => require(byName.contains(n),
+      s"unknown relation '$n' (have ${rels.map(_.name).sorted.mkString(", ")})"))
+    val edges = fkEdges(rels)
+    // edge i: path(i+1) → path(i)
+    val chain = path.sliding(2).map { case Seq(parent, child) =>
+      edges.find(e => e.child == child && e.parent == parent).getOrElse(
+        throw new IllegalArgumentException(
+          s"no FK edge $child → $parent derivable from the schemas " +
+            s"(edges: ${edges.map(e => s"${e.child}.${e.fkCol}→${e.parent}.${e.parentCol}").mkString(", ")})"))
+    }.toSeq
+    def pred(name: String) = predicates.getOrElse(name, (_: Map[String, String]) => true)
+    val root = NodeSpec(path.head,
+      childKeyCol = chain.head.parentCol, nextKeyCol = chain.head.parentCol,
+      predicate = pred(path.head), isRoot = true, setSemantics = true)
+    val rest = chain.zipWithIndex.map { case (e, i) =>
+      val nextKey = if (i + 1 < chain.size) chain(i + 1).parentCol else e.fkCol
+      NodeSpec(e.child, childKeyCol = e.fkCol, nextKeyCol = nextKey,
+        predicate = pred(e.child))
+    }
+    root +: rest
+  }
+
+  /** Find the UNIQUE FK path root→leaf and compile it; throws listing
+    * the alternatives when the FK graph offers more than one. */
+  def compileUnique(rels: Seq[RelationSchema], root: String, leaf: String,
+                    predicates: Map[String, Map[String, String] => Boolean] = Map.empty)
+      : Seq[NodeSpec] = {
+    val edges = fkEdges(rels)
+    def paths(from: String, seen: Set[String]): Seq[List[String]] =
+      if (from == root) Seq(List(root))
+      else edges.filter(e => e.child == from && !seen(e.parent))
+        .flatMap(e => paths(e.parent, seen + e.parent).map(p => p :+ from))
+    val found = paths(leaf, Set(leaf))
+    found match {
+      case Seq(p) => compile(rels, p, predicates)
+      case Seq() => throw new IllegalArgumentException(
+        s"no FK path $root → $leaf in the derived graph")
+      case many => throw new IllegalArgumentException(
+        s"ambiguous FK path $root → $leaf; name the chain explicitly via compile(): " +
+          many.map(_.mkString("→")).mkString("; "))
+    }
+  }
+}

@@ -118,4 +118,57 @@ class DeltaEngineSpec extends AnyFunSuite {
     samples(Gen.mapOf(Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.alphaNumStr)), 100)
       .foreach(m => assert(uncanon(canon(m)) == m))
   }
+
+  // ---- TreeCompiler: FK-metadata-derived chains ----------------------
+
+  import graft.streaming.TreeCompiler
+  import graft.streaming.IncrementalQueries
+
+  private def keyFields(t: Seq[NodeSpec]) =
+    t.map(n => (n.relation, n.childKeyCol, n.nextKeyCol, n.isRoot, n.setSemantics))
+
+  test("TreeCompiler derives the hand-built q10 and supplier trees from schemas") {
+    val rels = TreeCompiler.fromParquet(SparkTestSession.spark, SparkTestSession.sfTiny,
+      Seq("region", "nation", "customer", "supplier", "orders", "lineitem", "part"))
+    val q10 = TreeCompiler.compile(rels, Seq("nation", "customer", "orders", "lineitem"))
+    assert(keyFields(q10) == keyFields(IncrementalQueries.q10Tree))
+    val sup = TreeCompiler.compile(rels, Seq("region", "nation", "supplier", "lineitem"))
+    assert(keyFields(sup) == keyFields(IncrementalQueries.supplierTree))
+  }
+
+  test("TreeCompiler finds unique paths and refuses ambiguous ones loudly") {
+    val rels = TreeCompiler.fromParquet(SparkTestSession.spark, SparkTestSession.sfTiny,
+      Seq("region", "nation", "customer", "supplier", "orders", "lineitem", "part"))
+    // region → orders is unique: region→nation→customer→orders
+    val t = TreeCompiler.compileUnique(rels, "region", "orders")
+    assert(t.map(_.relation) == Seq("region", "nation", "customer", "orders"))
+    // nation → lineitem has two FK paths (via customer∘orders, via supplier)
+    val ex = intercept[IllegalArgumentException] {
+      TreeCompiler.compileUnique(rels, "nation", "lineitem")
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+    // no path at all
+    intercept[IllegalArgumentException] {
+      TreeCompiler.compileUnique(rels, "part", "region")
+    }
+  }
+
+  test("compiled third tree: engine result equals batch join over survivors") {
+    val s = SparkTestSession.spark
+    val d = SparkTestSession.sfTiny
+    import org.apache.spark.sql.functions._
+    val got = IncrementalQueries.incrementalOrderRevenue(s, d)
+      .orderBy("n_name").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = Tables.region(s, d).filter(col("r_name") =!= "AFRICA")
+      .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d).filter(col("c_custkey") % 11 =!= 0),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0 &&
+        col("o_orderstatus") === "F"), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("totalprice_e2"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("n_name").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
 }
