@@ -77,11 +77,16 @@ object DeltaEngine {
     * @param setSemantics root-node dedup: emit only on 0→1 / 1→0
     *                    transitions (reference J0)
     */
+  /** Shared no-op predicate; [[predicatePushdown]] recognizes it by
+    * reference and skips the per-event deserialize+uncanon filter a
+    * fresh `_ => true` lambda would silently cost. */
+  val NoPredicate: Map[String, String] => Boolean = _ => true
+
   final case class NodeSpec(
       relation: String,
       childKeyCol: String,
       nextKeyCol: String,
-      predicate: Map[String, String] => Boolean = _ => true,
+      predicate: Map[String, String] => Boolean = NoPredicate,
       isRoot: Boolean = false,
       setSemantics: Boolean = false)
 
@@ -276,17 +281,28 @@ object DeltaEngine {
     * filtered BEFORE the shuffle — the reference's pre-state
     * `validTuple` gate (Q10OrdersProcessFunction.java:102), applied
     * map-side. For a selective leaf predicate this removes most of the
-    * largest relation's events from the exchange. */
+    * largest relation's events from the exchange.
+    *
+    * This is a typed filter (deserialize + uncanon per event), so it
+    * is skipped when the predicate is [[NoPredicate]] — and callers
+    * whose changelogs are ALREADY predicate-filtered at the source
+    * (a `Column` filter pushed into the parquet scan, see
+    * `IncrementalQueries.changelog`) skip it wholesale via
+    * `sourceFiltered = true`: codegen'd scan-side filtering beats a
+    * post-hoc object filter at any scale. */
   private def predicatePushdown(spec: NodeSpec, own: Dataset[Evt]): Dataset[Evt] =
-    own.filter((e: Evt) => spec.predicate(uncanon(e.row)))
+    if (spec.predicate eq NoPredicate) own
+    else own.filter((e: Evt) => spec.predicate(uncanon(e.row)))
 
-  def runBatch(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]]): Dataset[Evt] = {
+  def runBatch(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]],
+               sourceFiltered: Boolean = false): Dataset[Evt] = {
     require(specs.nonEmpty)
     val spark = changelogs(specs.head.relation).sparkSession
     import spark.implicits._
     var parentDeltas: Dataset[Evt] = null
     specs.foreach { spec =>
-      val own = predicatePushdown(spec, changelogs(spec.relation))
+      val own = if (sourceFiltered) changelogs(spec.relation)
+                else predicatePushdown(spec, changelogs(spec.relation))
       val events = if (parentDeltas == null) own else own.union(parentDeltas)
       parentDeltas = events
         .groupByKey(_.key)
@@ -326,7 +342,8 @@ object DeltaEngine {
     * SURVEY.md §7 phase 3).
     */
   def runStream(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]],
-                stateTtl: Option[java.time.Duration] = None): Dataset[Evt] = {
+                stateTtl: Option[java.time.Duration] = None,
+                sourceFiltered: Boolean = false): Dataset[Evt] = {
     require(specs.nonEmpty)
     val spark = changelogs(specs.head.relation).sparkSession
     import spark.implicits._
@@ -336,7 +353,8 @@ object DeltaEngine {
       else GroupStateTimeout.NoTimeout
     var parentDeltas: Dataset[Evt] = null
     specs.foreach { spec =>
-      val own = predicatePushdown(spec, changelogs(spec.relation))
+      val own = if (sourceFiltered) changelogs(spec.relation)
+                else predicatePushdown(spec, changelogs(spec.relation))
       val events = if (parentDeltas == null) own else own.union(parentDeltas)
       parentDeltas = events
         .groupByKey(_.key)

@@ -34,9 +34,19 @@ object IncrementalQueries {
 
   /** Build one relation's changelog as Dataset[Evt]. The canonical row
     * string is assembled by codegen'd `concat_ws` at ingest — events
-    * shuffle as one UTF8String, never as map<string,string>. */
-  private def changelog(df: DataFrame, keyCol: String, cols: Seq[String],
-                        deleteWhen: Option[org.apache.spark.sql.Column]): Dataset[Evt] = {
+    * shuffle as one UTF8String, never as map<string,string>.
+    *
+    * `where` is the node's local predicate as a `Column`: applying it
+    * HERE (before canon-building) pushes it into the parquet scan
+    * (`PushedFilters`), so rows failing it are never materialized,
+    * canon-encoded, or shuffled — the Spark-native form of the
+    * engine's predicate pushdown. The caller must keep it equivalent
+    * to the matching NodeSpec.predicate and run the tree with
+    * `sourceFiltered = true`. */
+  private def changelog(df0: DataFrame, keyCol: String, cols: Seq[String],
+                        deleteWhen: Option[org.apache.spark.sql.Column],
+                        where: Option[org.apache.spark.sql.Column] = None): Dataset[Evt] = {
+    val df = where.map(df0.filter).getOrElse(df0)
     val spark = df.sparkSession
     import spark.implicits._
     // coalesce to the literal "null": concat_ws would otherwise DROP a
@@ -72,7 +82,10 @@ object IncrementalQueries {
 
   /** The synthetic Q10 changelog set: insert every row, then delete
     * every lineitem with linenumber 3 and every order with
-    * orderkey % 50 == 0 (child retraction AND parent-death fan-out). */
+    * orderkey % 50 == 0 (child retraction AND parent-death fan-out).
+    * Node predicates ride along as scan-pushed `where` filters
+    * (mirroring q10Tree's functional predicates), so the engine runs
+    * with `sourceFiltered = true`. */
   def q10Changelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
     "nation" -> changelog(Tables.nation(s, dir), "n_nationkey",
       Seq("n_nationkey", "n_name"), None),
@@ -80,15 +93,17 @@ object IncrementalQueries {
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"), None),
     "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
       Seq("o_orderkey", "o_custkey", "o_orderdate"),
-      Some(col("o_orderkey") % 50 === 0)),
+      Some(col("o_orderkey") % 50 === 0),
+      where = Some(col("o_orderdate") >= dateLo && col("o_orderdate") < dateHi)),
     "lineitem" -> changelog(Tables.lineitem(s, dir), "l_orderkey",
       Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"),
-      Some(col("l_linenumber") === 3)))
+      Some(col("l_linenumber") === 3),
+      where = Some(col("l_returnflag") === "R")))
 
   /** Run the engine over the synthetic changelog and fold the leaf
     * deltas into the Q10 aggregate. */
   def incrementalQ10(s: SparkSession, dir: String): DataFrame = {
-    val leaf = runBatch(q10Tree, q10Changelogs(s, dir))
+    val leaf = runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true)
     val df = leaf.toDF()
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     // signed integer fold: rev_e4 = round(extprice * (1-disc) * 1e4),
@@ -123,7 +138,8 @@ object IncrementalQueries {
 
   def supplierChangelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
     "region" -> changelog(Tables.region(s, dir), "r_regionkey",
-      Seq("r_regionkey", "r_name"), None),
+      Seq("r_regionkey", "r_name"), None,
+      where = Some(col("r_name").isin("ASIA", "EUROPE"))),
     "nation" -> changelog(Tables.nation(s, dir), "n_regionkey",
       Seq("n_nationkey", "n_name", "n_regionkey"), None),
     "supplier" -> changelog(Tables.supplier(s, dir), "s_nationkey",
@@ -131,10 +147,11 @@ object IncrementalQueries {
       Some(col("s_suppkey") % 20 === 0)),
     "lineitem" -> changelog(Tables.lineitem(s, dir), "l_suppkey",
       Seq("l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
-      Some(col("l_linenumber") === 2)))
+      Some(col("l_linenumber") === 2),
+      where = Some(col("l_quantity") >= 25.0)))
 
   def incrementalSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
-    val leaf = runBatch(supplierTree, supplierChangelogs(s, dir))
+    val leaf = runBatch(supplierTree, supplierChangelogs(s, dir), sourceFiltered = true)
     val df = leaf.toDF()
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     df.select(
@@ -165,7 +182,8 @@ object IncrementalQueries {
 
   def orderRevenueChangelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
     "region" -> changelog(Tables.region(s, dir), "r_regionkey",
-      Seq("r_regionkey", "r_name"), None),
+      Seq("r_regionkey", "r_name"), None,
+      where = Some(col("r_name") =!= "AFRICA")),
     "nation" -> changelog(Tables.nation(s, dir), "n_regionkey",
       Seq("n_nationkey", "n_name", "n_regionkey"), None),
     "customer" -> changelog(Tables.customer(s, dir), "c_nationkey",
@@ -173,10 +191,12 @@ object IncrementalQueries {
       Some(col("c_custkey") % 11 === 0)),
     "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
-      Some(col("o_orderkey") % 7 === 0)))
+      Some(col("o_orderkey") % 7 === 0),
+      where = Some(col("o_orderstatus") === "F")))
 
   def incrementalOrderRevenue(s: SparkSession, dir: String): DataFrame = {
-    val leaf = runBatch(orderRevenueTree(s, dir), orderRevenueChangelogs(s, dir))
+    val leaf = runBatch(orderRevenueTree(s, dir), orderRevenueChangelogs(s, dir),
+      sourceFiltered = true)
     val df = leaf.toDF()
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     df.select(
@@ -207,7 +227,7 @@ object IncrementalQueries {
     * so must the oracle). */
   def incrementalQ10Running(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val leaf = runBatch(q10Tree, q10Changelogs(s, dir)).toDF()
+    val leaf = runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true).toDF()
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     val ev = leaf.select(
       col("seq"),

@@ -79,7 +79,7 @@ object TreeCompiler {
           s"no FK edge $child → $parent derivable from the schemas " +
             s"(edges: ${edges.map(e => s"${e.child}.${e.fkCol}→${e.parent}.${e.parentCol}").mkString(", ")})"))
     }.toSeq
-    def pred(name: String) = predicates.getOrElse(name, (_: Map[String, String]) => true)
+    def pred(name: String) = predicates.getOrElse(name, DeltaEngine.NoPredicate)
     val root = NodeSpec(path.head,
       childKeyCol = chain.head.parentCol, nextKeyCol = chain.head.parentCol,
       predicate = pred(path.head), isRoot = true, setSemantics = true)
