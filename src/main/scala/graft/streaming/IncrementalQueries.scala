@@ -43,7 +43,7 @@ object IncrementalQueries {
     * engine's predicate pushdown. The caller must keep it equivalent
     * to the matching NodeSpec.predicate and run the tree with
     * `sourceFiltered = true`. */
-  private def changelog(df0: DataFrame, keyCol: String, cols: Seq[String],
+  private[streaming] def changelog(df0: DataFrame, keyCol: String, cols: Seq[String],
                         deleteWhen: Option[org.apache.spark.sql.Column],
                         where: Option[org.apache.spark.sql.Column] = None): Dataset[Evt] = {
     val df = where.map(df0.filter).getOrElse(df0)
@@ -294,6 +294,37 @@ object IncrementalQueries {
         | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
         | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
         |GROUP BY n_name""".stripMargin)(incrementalOrderRevenue),
+
+    // The SAME query as incremental_q10, but compiled FROM SQL TEXT by
+    // [[SqlCompiler]] (Catalyst parser → FK-graph validation → NodeSpec
+    // chain): the reference's "continuous sql query" pitch as an
+    // actual API. Deletes mirror the q10 changelog set; the oracle is
+    // the plain-SQL survivors query.
+    sql("incremental_sql_q10",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+           | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+           | COUNT(*) AS n_rows
+           |FROM nation, customer, orders, lineitem
+           |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           | AND c_nationkey = n_nationkey
+           | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+           | AND l_returnflag = 'R'
+           |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin,
+        deletes = Map(
+          "lineitem" -> (col("l_linenumber") === 3),
+          "orders" -> (col("o_orderkey") % 50 === 0)))
+    },
 
     sql("incremental_q10_running",
       s"""WITH base AS (

@@ -1,0 +1,267 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import graft.Tables
+import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
+
+/** SQL-text front end for the incremental engine — the capability the
+  * reference advertises ("flink handling continuous sql query",
+  * reference README.md:1) but wires by hand in DataFlow.java. Here the
+  * text IS the interface: the query is parsed with Spark's own
+  * Catalyst parser (`sessionState.sqlParser.parsePlan`), its conjuncts
+  * are classified into FK join conditions (validated against the
+  * FK graph [[TreeCompiler]] derives from the parquet schemas) and
+  * per-relation local predicates, and the result is compiled onto the
+  * [[DeltaEngine]] NodeSpec chain.
+  *
+  * Supported shape — exactly the reference's query class, i.e. an
+  * acyclic FK join tree under a grouped aggregate:
+  *
+  * {{{
+  * SELECT <group cols...>, SUM(<expr>) AS a [, COUNT(*) AS n ...]
+  * FROM r1, r2, ... | r1 JOIN r2 ON ... [JOIN ...]
+  * WHERE <fk equi-join conjuncts AND single-relation predicates>
+  * GROUP BY <group cols>
+  * }}}
+  *
+  * Anything else (HAVING, ORDER BY, non-FK join conditions, cyclic
+  * or ambiguous join graphs, unaliased aggregates) fails loudly at
+  * compile time — never a silent wrong plan.
+  *
+  * Scale design: local predicates are NOT interpreted per event — each
+  * one is re-emitted as a `Column` filter on its relation's changelog
+  * source (via the expression's original SQL fragment, recovered from
+  * Catalyst `Origin`), so it reaches the parquet scan as a pushed
+  * filter and the tree runs `sourceFiltered`. Only the columns the
+  * query references travel in the canonical rows.
+  */
+object SqlCompiler {
+
+  /** One aggregate output: `kind` is "sum" or "count", `frag` the
+    * original SQL text of the SUM argument ("" for count). */
+  final case class AggSpec(kind: String, frag: String, alias: String)
+
+  final case class Compiled(
+      path: Seq[String],
+      tree: Seq[NodeSpec],
+      wheres: Map[String, String],
+      needed: Map[String, Seq[String]],
+      groupCols: Seq[String],
+      aggs: Seq[AggSpec],
+      outputCols: Seq[String],
+      colType: Map[String, DataType]) {
+
+    /** Run incrementally over insert-everything changelogs plus the
+      * given per-relation delete conditions; returns the maintained
+      * aggregate (groups with net rows > 0, like any GROUP BY). */
+    def run(spark: SparkSession, dir: String,
+            deletes: Map[String, Column] = Map.empty): DataFrame = {
+      val logs: Map[String, Dataset] = path.zip(tree).map { case (rel, spec) =>
+        rel -> IncrementalQueries.changelog(
+          Tables.load(spark, dir, rel), spec.childKeyCol, needed(rel),
+          deletes.get(rel), wheres.get(rel).map(expr))
+      }.toMap
+      val leaf = DeltaEngine.runBatch(tree, logs, sourceFiltered = true).toDF()
+      val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+      val dataCols = (groupCols ++ aggs.flatMap(a =>
+        if (a.frag.isEmpty) Nil else exprColumns(spark, a.frag))).distinct
+      val typed = leaf.select(
+        (col("tag") * col("mult")).cast(LongType).as("__sign") +:
+          dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
+      val aggExprs = aggs.map { a =>
+        if (a.kind == "count") sum(col("__sign")).cast(LongType).as(a.alias)
+        else sum(col("__sign") * expr(a.frag)).as(a.alias)
+      } :+ sum(col("__sign")).as("__net")
+      typed.groupBy(groupCols.map(col): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .filter(col("__net") > 0)
+        .select(outputCols.map(col): _*)
+    }
+
+    /** Column names a SQL fragment references (via the parser — no
+      * regex guessing). */
+    private def exprColumns(spark: SparkSession, frag: String): Seq[String] =
+      spark.sessionState.sqlParser.parseExpression(frag).collect {
+        case a: UnresolvedAttribute => a.nameParts.last
+      }.distinct
+  }
+
+  private type Dataset = org.apache.spark.sql.Dataset[Evt]
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  /** Original SQL text of a parsed expression, recovered from its
+    * Catalyst Origin (inclusive stopIndex). */
+  private def fragment(e: Expression): String = {
+    val o = e.origin
+    (o.sqlText, o.startIndex, o.stopIndex) match {
+      case (Some(t), Some(a), Some(b)) => t.substring(a, b + 1)
+      case _ => fail(s"cannot recover the SQL fragment of $e")
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  def compile(spark: SparkSession, dir: String, sqlText: String): Compiled = {
+    val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
+
+    val (groupExprs, selectExprs, belowAgg) = plan match {
+      case Aggregate(g, a, child, _) => (g, a, child)
+      case other => fail(s"expected a grouped aggregate query, got ${other.nodeName} " +
+        "(the incremental engine maintains GROUP BY aggregates; ORDER BY/LIMIT/HAVING " +
+        "belong on the consumer side)")
+    }
+
+    // WHERE conjuncts + the join forest under them
+    val (filterConjuncts, joinPlan) = belowAgg match {
+      case Filter(cond, child) => (splitConjuncts(cond), child)
+      case child => (Seq.empty[Expression], child)
+    }
+
+    // relations + ON-clause conjuncts
+    def walkJoins(p: LogicalPlan): (Seq[String], Seq[Expression]) = p match {
+      case Join(l, r, Inner, cond, _) =>
+        val (lr, lc) = walkJoins(l); val (rr, rc) = walkJoins(r)
+        (lr ++ rr, lc ++ rc ++ cond.toSeq.flatMap(splitConjuncts))
+      case u: UnresolvedRelation => (Seq(u.multipartIdentifier.last), Nil)
+      case other => fail(s"unsupported FROM shape: ${other.nodeName} " +
+        "(only inner FK joins of base relations are incrementally maintainable here)")
+    }
+    val (relations, onConjuncts) = walkJoins(joinPlan)
+    if (relations.distinct.size != relations.size)
+      fail(s"self-joins are not supported: $relations")
+
+    val schemas: Map[String, StructType] =
+      relations.map(n => n -> Tables.load(spark, dir, n).schema).toMap
+    val owner: Map[String, String] = {
+      val pairs = for ((rel, sch) <- schemas.toSeq; f <- sch.fields) yield f.name -> rel
+      pairs.groupBy(_._1).map { case (c, rs) =>
+        if (rs.size > 1) fail(s"column $c exists in ${rs.map(_._2).mkString(",")}")
+        c -> rs.head._2
+      }
+    }
+    def ownerOf(a: UnresolvedAttribute): String =
+      owner.getOrElse(a.nameParts.last,
+        fail(s"column ${a.nameParts.mkString(".")} not found in ${relations.mkString(",")}"))
+
+    // classify conjuncts: FK equi-joins vs single-relation predicates
+    val conjuncts = filterConjuncts ++ onConjuncts
+    val (joinConds, localPreds) = conjuncts.partition {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) => ownerOf(a) != ownerOf(b)
+      case c =>
+        val owners = c.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct
+        if (owners.size > 1) fail(s"non-equi condition spans ${owners.mkString(",")}: " +
+          s"'${fragment(c)}' — only FK equi-joins are incrementally maintainable")
+        false
+    }
+
+    // validate join conditions against the schema-derived FK graph and
+    // orient each as child→parent
+    val rels = relations.map(n => TreeCompiler.RelationSchema(n, schemas(n).fieldNames.toSeq))
+    val fkEdges = TreeCompiler.fkEdges(rels)
+    val queryEdges = joinConds.map {
+      case eq @ EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        val (an, bn) = (a.nameParts.last, b.nameParts.last)
+        val (ar, br) = (ownerOf(a), ownerOf(b))
+        fkEdges.find(e => e.child == ar && e.fkCol == an && e.parent == br && e.parentCol == bn)
+          .orElse(fkEdges.find(e => e.child == br && e.fkCol == bn && e.parent == ar && e.parentCol == an))
+          .getOrElse(fail(s"'${fragment(eq)}' is not an FK edge of the derived graph " +
+            s"(edges: ${fkEdges.map(e => s"${e.child}.${e.fkCol}→${e.parent}.${e.parentCol}").mkString(", ")})"))
+      case other => fail(s"unsupported join condition '${fragment(other)}'")
+    }
+    if (queryEdges.size != relations.size - 1)
+      fail(s"need ${relations.size - 1} FK join conditions linking ${relations.size} " +
+        s"relations, got ${queryEdges.size}")
+
+    // the edges must form a root→leaf chain (the engine's tree shape)
+    val parents = queryEdges.map(e => e.child -> e.parent).toMap
+    if (parents.size != queryEdges.size) fail("two join conditions claim the same child " +
+      s"relation: ${queryEdges.map(e => s"${e.child}→${e.parent}").mkString(", ")}")
+    val roots = relations.filterNot(parents.contains)
+    if (roots.size != 1) fail(s"join graph is not a single tree; roots: $roots")
+    val childOf = queryEdges.map(e => e.parent -> e.child).toMap
+    if (childOf.size != queryEdges.size)
+      fail("join graph branches (a relation parents two others); only chains are " +
+        s"supported: ${queryEdges.map(e => s"${e.child}→${e.parent}").mkString(", ")}")
+    val path = Iterator.iterate(Option(roots.head))(_.flatMap(childOf.get))
+      .takeWhile(_.isDefined).flatten.toSeq
+    if (path.size != relations.size) fail(s"join graph is disconnected: chained $path " +
+      s"of $relations")
+
+    // local predicates become per-relation scan filters (original text)
+    val wheres: Map[String, String] = localPreds.groupBy { c =>
+      c.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct match {
+        case Seq(r) => r
+        case Seq() => fail(s"constant predicate '${fragment(c)}' is unsupported")
+      }
+    }.map { case (rel, cs) => rel -> cs.map(c => s"(${fragment(c)})").mkString(" AND ") }
+
+    // SELECT list → group columns (plain refs) + aliased aggregates
+    val groupCols = groupExprs.map {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => fail(s"GROUP BY supports plain columns only, got '${fragment(other)}'")
+    }
+    def aggOf(e: Expression, alias: String): AggSpec = e match {
+      case f: UnresolvedFunction =>
+        (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
+          case ("count", Seq(_: UnresolvedStar)) => AggSpec("count", "", alias)
+          case ("count", args) if args.forall(_.foldable) => AggSpec("count", "", alias)
+          case ("sum", Seq(arg)) if !f.isDistinct => AggSpec("sum", fragment(arg), alias)
+          case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
+            "(retractable aggregates here: SUM, COUNT(*))")
+        }
+      case other => fail(s"expected an aggregate function under alias '$alias', " +
+        s"got '${fragment(other)}'")
+    }
+    val (aggs, outputCols) = {
+      val items = selectExprs.map {
+        case a: UnresolvedAttribute =>
+          val n = a.nameParts.last
+          if (!groupCols.contains(n)) fail(s"non-aggregated column $n not in GROUP BY")
+          (None, n)
+        case Alias(child, name) => (Some(aggOf(child, name)), name)
+        case UnresolvedAlias(child, _) =>
+          fail(s"alias every aggregate ('${fragment(child)}' has no AS name; the " +
+            "driver's oracle compare matches columns by name)")
+        case other => fail(s"unsupported SELECT item '${fragment(other)}'")
+      }
+      (items.flatMap(_._1), items.map(_._2))
+    }
+    if (aggs.isEmpty) fail("at least one SUM/COUNT(*) aggregate is required")
+
+    // compile the chain (TreeCompiler re-derives the same edges) with
+    // no functional predicates — filtering is at the changelog source
+    val tree = TreeCompiler.compile(rels, path)
+
+    // per-relation columns that must travel in canonical rows:
+    // referenced by GROUP BY / SUM args, plus each node's key columns
+    val colType: Map[String, DataType] =
+      schemas.values.flatMap(s => s.fields.map(f => f.name -> f.dataType)).toMap
+    val referenced: Seq[String] = groupCols ++ aggs.flatMap(a =>
+      if (a.frag.isEmpty) Nil
+      else spark.sessionState.sqlParser.parseExpression(a.frag).collect {
+        case a2: UnresolvedAttribute => a2.nameParts.last
+      })
+    val needed: Map[String, Seq[String]] = path.zip(tree).map { case (rel, spec) =>
+      val own = schemas(rel).fieldNames.toSet
+      rel -> ((referenced.filter(own) ++ Seq(spec.childKeyCol, spec.nextKeyCol).filter(own))
+        .distinct)
+    }.toMap
+
+    Compiled(path, tree, wheres, needed, groupCols, aggs, outputCols, colType)
+  }
+
+  /** compile + run in one call. */
+  def run(spark: SparkSession, dir: String, sqlText: String,
+          deletes: Map[String, Column] = Map.empty): DataFrame =
+    compile(spark, dir, sqlText).run(spark, dir, deletes)
+}

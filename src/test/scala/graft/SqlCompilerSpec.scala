@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{IncrementalQueries, SqlCompiler}
+
+class SqlCompilerSpec extends AnyFunSuite {
+  private def s = SparkTestSession.spark
+  private val d = SparkTestSession.sfTiny
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+      | COUNT(*) AS n_rows
+      |FROM nation, customer, orders, lineitem
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
+      | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      | AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin
+
+  test("compile recovers the q10 chain, predicates, and aggregates from SQL text") {
+    val c = SqlCompiler.compile(s, d, q10Sql)
+    assert(c.path == Seq("nation", "customer", "orders", "lineitem"))
+    assert(c.tree.map(_.relation) == c.path)
+    assert(c.tree.head.isRoot && c.tree.head.setSemantics)
+    assert(c.wheres.keySet == Set("orders", "lineitem"))
+    assert(c.wheres("lineitem").contains("l_returnflag = 'R'"))
+    assert(c.groupCols == Seq("c_custkey", "c_name", "c_acctbal", "n_name"))
+    assert(c.aggs.map(a => (a.kind, a.alias)) ==
+      Seq(("sum", "revenue_e4"), ("count", "n_rows")))
+    // key/routing columns always travel in the canonical rows
+    assert(c.needed("orders").contains("o_orderkey") && c.needed("orders").contains("o_custkey"))
+  }
+
+  test("compiled q10 SQL equals the hand-built incremental query under the same deletes") {
+    val got = SqlCompiler.run(s, d, q10Sql, deletes = Map(
+        "lineitem" -> (col("l_linenumber") === 3),
+        "orders" -> (col("o_orderkey") % 50 === 0)))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue_e4")
+      .orderBy("c_custkey").collect().toSeq
+    val want = IncrementalQueries.incrementalQ10(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue_e4")
+      .orderBy("c_custkey").collect().toSeq
+    assert(got == want)
+  }
+
+  test("insert-only compiled run equals plain Spark SQL over the base tables") {
+    Seq("region", "nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val sqlText =
+      """SELECT n_name, SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+        | COUNT(*) AS n_rows
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        |WHERE r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        |GROUP BY n_name""".stripMargin
+    val got = SqlCompiler.run(s, d, sqlText)
+      .orderBy("n_name").collect().toSeq
+    val want = s.sql(sqlText).orderBy("n_name").collect().toSeq
+    assert(got == want)
+  }
+
+  test("unsupported shapes fail loudly") {
+    def bad(sqlText: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
+      assert(ex.getMessage.contains(needle), s"message: ${ex.getMessage}")
+    }
+    // no aggregate
+    bad("SELECT c_custkey FROM customer, nation WHERE c_nationkey = n_nationkey",
+      "grouped aggregate")
+    // non-FK join condition
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer
+          |WHERE c_custkey = n_nationkey GROUP BY n_name""".stripMargin, "not an FK edge")
+    // cross-relation non-equi predicate
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer
+          |WHERE c_nationkey = n_nationkey AND c_custkey > n_regionkey
+          |GROUP BY n_name""".stripMargin, "non-equi")
+    // unaliased aggregate
+    bad("""SELECT n_name, COUNT(*) FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin, "alias")
+    // unsupported aggregate
+    bad("""SELECT n_name, AVG(c_acctbal) AS a FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "unsupported aggregate")
+    // branching join graph (nation parents both customer and supplier)
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer, supplier
+          |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin, "branches")
+  }
+}
