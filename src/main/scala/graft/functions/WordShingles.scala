@@ -90,4 +90,63 @@ object WordShingles {
   /** Column API: `word_shingles($"tokens", 3)`. */
   def word_shingles(c: Column, n: Int): Column =
     GraftBridge.toColumn(WordShingles(GraftBridge.toExpression(c), n))
+
+  /** Column API: `word_ngrams($"tokens", 2)` — like word_shingles but
+    * KEEPS duplicates (frequency-preserving), for n-gram concentration
+    * statistics where multiplicity is the signal. Arrays shorter than
+    * n yield an EMPTY array (matching `generate_series(1, len-n+1)`
+    * semantics), unlike word_shingles' collapse-to-one. */
+  def word_ngrams(c: Column, n: Int): Column =
+    GraftBridge.toColumn(WordNgrams(GraftBridge.toExpression(c), n))
+}
+
+/** All word n-grams of a token array, in order, WITH duplicates:
+  * `["a","b","a","b"]` → `["a b","b a","a b"]` for n=2. The
+  * multiplicity-preserving sibling of [[WordShingles]] (which dedups);
+  * used for repetition/concentration quality signals where the
+  * duplicate count IS the measurement. Shorter-than-n arrays yield an
+  * empty array. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    child.dataType match {
+      case ArrayType(StringType, _) if n >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams expects ARRAY<STRING> and n >= 1, got ${child.dataType}, n=$n")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgrams.ngrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
+}
+
+object WordNgrams {
+  private val Sep = UTF8String.fromString(" ")
+
+  def ngrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= len) {
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

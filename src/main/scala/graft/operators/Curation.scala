@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+import graft.functions.WordShingles.word_ngrams
+
+/** Data-curation operators — the filtering/sampling/packing layer a
+  * training-data pipeline runs between raw text and the tokenizer:
+  * PII redaction, repetition-based quality signals (the Gopher-rule
+  * family), deterministic stratified sampling, and capacity-bounded
+  * sequence packing.
+  *
+  * Scale design notes:
+  *  - PII redaction and sampling are pure per-row projections/filters
+  *    — single parquet scan, no shuffle, embarrassingly parallel.
+  *  - Repetition signals use the explode → hash-aggregate shape (one
+  *    shuffle on doc_id, map-side combine) rather than per-row
+  *    interpreted array HOFs — the measured O(n²)-inlining trap from
+  *    round 1 ([[graft.functions.WordShingles]] scaladoc).
+  *  - Packing is greedy-sequential PER BOUNDED BUCKET (lang,
+  *    doc_id-range): each task packs an id-range it can hold in
+  *    memory, bins never cross buckets, so the operator stays
+  *    embarrassingly parallel at corpus scale instead of serializing
+  *    the whole corpus through one task.
+  */
+object Curation {
+
+  // ---- PII synthesis + redaction -------------------------------------
+  // The synthetic corpus carries no PII, so the query plants
+  // deterministic email/phone/IP strings derived from doc_id and then
+  // redacts them: the oracle checks the regex machinery end-to-end on
+  // text where every pattern actually fires.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  // ---- deterministic sampling ----------------------------------------
+  // keep iff the first 4 hex chars of md5(doc_id:lang) sort below the
+  // language's threshold — a portable, engine-independent coin flip
+  // (string comparison of hex, no integer parsing): '8000' keeps
+  // 0x8000/0x10000 = 50%.
+  private val sampleRates = Seq("en" -> "8000", "fr" -> "c000", "es" -> "4000", "de" -> "2000")
+
+  // ---- sequence packing ----------------------------------------------
+  private val packCapacity = 128L // tokens per packed sequence
+  private val packBucket = 200L   // doc_ids per packing task (bounded memory)
+
+  // NOT private: the Dataset encoder's generated code must reach them
+  final case class PackIn(lang: String, bucket: Long, doc_id: Long, n_tokens: Long)
+  final case class PackOut(doc_id: Long, lang: String, bucket: Long,
+                           bin: Long, n_tokens: Long)
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // --- PII redaction -------------------------------------------------
+    sql("text_pii_redact",
+      s"""WITH pii AS (
+         | SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+         |    || CAST(doc_id % 10 AS VARCHAR) || '.example.com or +1 555-'
+         |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+         | FROM documents)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(t,
+         |   '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g'),
+         |   '$ipPat', '<IP>', 'g') AS clean_text,
+         | len(regexp_extract_all(t, '$emailPat')) AS n_emails,
+         | len(regexp_extract_all(t, '$phonePat')) AS n_phones,
+         | len(regexp_extract_all(t, '$ipPat')) AS n_ips
+         |FROM pii""".stripMargin) {
+      (s, d) =>
+        val t = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 10).cast("string"), lit(".example.com or +1 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string"))
+        Tables.documents(s, d).select(col("doc_id"), t.as("t")).select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>").as("clean_text"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("t"), lit(ipPat), lit(0))).as("n_ips"))
+    },
+
+    // --- repetition / duplication quality signals (Gopher rules) -------
+    // Word and bigram frequency concentration per document. Shape:
+    // explode → (doc_id, gram) hash-aggregate → per-doc max/sum — two
+    // shuffles on doc_id with map-side combine, no interpreted HOFs.
+    sql("text_repetition",
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS g
+        |           FROM documents),
+        |wc AS (SELECT doc_id, g, COUNT(*) AS c FROM w GROUP BY doc_id, g),
+        |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |              CAST(MAX(c) AS BIGINT) AS top_word_c
+        |       FROM wc GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1),
+        |               i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |            FROM documents)),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g),
+        |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |              CAST(MAX(c) AS BIGINT) AS top_bigram_c
+        |       FROM bc GROUP BY doc_id)
+        |SELECT ws.doc_id, n_words, n_distinct, top_word_c, n_bigrams, top_bigram_c,
+        | 1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+        | CAST(top_word_c AS DOUBLE) / n_words AS top_word_frac,
+        | CAST(top_bigram_c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        | (1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.85
+        |  AND CAST(top_word_c AS DOUBLE) / n_words <= 0.30
+        |  AND CAST(top_bigram_c AS DOUBLE) / n_bigrams <= 0.18) AS repetition_ok
+        |FROM ws JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin) {
+      (s, d) =>
+        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"), explode(toks).as("g"))
+          .groupBy("doc_id", "g").count()
+          .groupBy("doc_id").agg(
+            sum("count").cast(LongType).as("n_words"),
+            count(lit(1)).cast(LongType).as("n_distinct"),
+            max("count").cast(LongType).as("top_word_c"))
+        // bigrams via the native codegen'd multiplicity-preserving
+        // n-gram expression (the interpreted transform-over-sequence
+        // HOF re-inlines the tokenizer per element — round-1 trap);
+        // docs with < 2 tokens produce no bigrams and drop out, same
+        // as the oracle's empty generate_series
+        val bigrams = docs
+          .select(col("doc_id"), explode(word_ngrams(toks, 2)).as("g"))
+          .groupBy("doc_id", "g").count()
+          .groupBy("doc_id").agg(
+            sum("count").cast(LongType).as("n_bigrams"),
+            max("count").cast(LongType).as("top_bigram_c"))
+        val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_words")
+        val topWordFrac = col("top_word_c").cast("double") / col("n_words")
+        val topBigramFrac = col("top_bigram_c").cast("double") / col("n_bigrams")
+        words.join(bigrams, "doc_id").select(
+          col("doc_id"), col("n_words"), col("n_distinct"), col("top_word_c"),
+          col("n_bigrams"), col("top_bigram_c"),
+          dupFrac.as("dup_word_frac"),
+          topWordFrac.as("top_word_frac"),
+          topBigramFrac.as("top_bigram_frac"),
+          (dupFrac <= 0.85 && topWordFrac <= 0.30 && topBigramFrac <= 0.18)
+            .as("repetition_ok"))
+    },
+
+    // --- deterministic stratified sampling -----------------------------
+    sql("sample_stratified",
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) <
+         | CASE ${sampleRates.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")}
+         |  ELSE 'g' END""".stripMargin) {
+      (s, d) =>
+        // 'g' sorts above every hex digest prefix → keep-all for
+        // languages without a configured rate
+        val threshold = sampleRates.foldLeft(lit("g")) { case (acc, (l, t)) =>
+          when(col("lang") === l, lit(t)).otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .filter(substring(md5(to_binary(
+            concat(col("doc_id").cast("string"), lit(":"), col("lang")), lit("utf-8"))),
+            1, 4) < threshold)
+          .select("doc_id", "lang", "source")
+    },
+
+    // --- capacity-bounded sequence packing -----------------------------
+    // Greedy first-fit-in-order packing of documents into <=128-token
+    // bins, per (lang, doc_id-range bucket). The oracle replays the
+    // same greedy recurrence as a recursive CTE.
+    sql("pack_sequences",
+      s"""WITH RECURSIVE docs AS (
+         | SELECT doc_id, lang, doc_id // $packBucket AS bucket,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |ord AS (SELECT *, row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) AS rn
+         |        FROM docs),
+         |rec AS (
+         | SELECT lang, bucket, rn, doc_id, n_tokens,
+         |  CAST(0 AS BIGINT) AS bin, n_tokens AS running
+         | FROM ord WHERE rn = 1
+         | UNION ALL
+         | SELECT o.lang, o.bucket, o.rn, o.doc_id, o.n_tokens,
+         |  CASE WHEN r.running + o.n_tokens > $packCapacity THEN r.bin + 1 ELSE r.bin END,
+         |  CASE WHEN r.running + o.n_tokens > $packCapacity THEN o.n_tokens
+         |       ELSE r.running + o.n_tokens END
+         | FROM rec r JOIN ord o
+         |  ON o.lang = r.lang AND o.bucket = r.bucket AND o.rn = r.rn + 1)
+         |SELECT doc_id, lang, bucket, bin, n_tokens FROM rec""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        Tables.documents(s, d).select(
+            col("lang"),
+            (col("doc_id").cast(LongType) / packBucket).cast(LongType).as("bucket"),
+            col("doc_id").cast(LongType).as("doc_id"),
+            size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+              .cast(LongType).as("n_tokens"))
+          .as[PackIn]
+          .groupByKey(p => (p.lang, p.bucket))
+          .flatMapGroups { (key: (String, Long), it: Iterator[PackIn]) =>
+            val (lang, bucket) = key
+            val arr = it.toArray.sortBy(_.doc_id)
+            var bin = 0L
+            var running = 0L
+            arr.iterator.map { p =>
+              if (running > 0 && running + p.n_tokens > packCapacity) {
+                bin += 1; running = 0L
+              }
+              running += p.n_tokens
+              PackOut(p.doc_id, lang, bucket, bin, p.n_tokens)
+            }
+          }
+          .toDF()
+    })
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.WordShingles.word_ngrams
+
+class CurationSpec extends AnyFunSuite {
+  private def s = SparkTestSession.spark
+  private val d = SparkTestSession.sfTiny
+  private def q(name: String) = SparkEntry.queries(name)(s, d)
+
+  test("word_ngrams keeps duplicates and ordering; short arrays yield empty") {
+    val ss = s
+    import ss.implicits._
+    val rows = Seq("a b a b", "a", "").toDF("t")
+      .select(word_ngrams(split(col("t"), " "), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b", "b a", "a b"))
+    assert(rows(1) == Seq.empty)
+    // split("") = [""], one token, still shorter than 2
+    assert(rows(2) == Seq.empty)
+  }
+
+  test("pii redaction removes every planted pattern") {
+    val rows = q("text_pii_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("clean_text")
+      assert(t.contains("<EMAIL>") && t.contains("<PHONE>") && t.contains("<IP>"))
+      assert(!t.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"))
+      assert(r.getAs[Int]("n_emails") >= 1 && r.getAs[Int]("n_ips") >= 1)
+    }
+  }
+
+  test("repetition signals bound their ratios") {
+    q("text_repetition").collect().foreach { r =>
+      val dup = r.getAs[Double]("dup_word_frac")
+      val top = r.getAs[Double]("top_word_frac")
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("stratified sampling is deterministic and rate-plausible") {
+    val a = q("sample_stratified").collect().map(_.getLong(0)).sorted.toSeq
+    val b = q("sample_stratified").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    val total = Tables.documents(s, d).filter(col("lang") === "en").count()
+    val kept = q("sample_stratified").filter(col("lang") === "en").count()
+    // en rate is 0.5; allow generous noise on the tiny fixture
+    assert(kept > total * 0.3 && kept < total * 0.7, s"kept $kept of $total")
+  }
+
+  test("packing fills bins to capacity without splitting or reordering docs") {
+    val rows = q("pack_sequences").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("bin"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+    assert(rows.length == Tables.documents(s, d).count())
+    rows.groupBy(t => (t._1, t._2, t._3)).foreach { case ((_, _, _), docs) =>
+      val total = docs.map(_._5).sum
+      // a bin exceeds capacity only when a single long doc owns it
+      assert(total <= 128 || docs.length == 1, s"bin $total tokens, ${docs.length} docs")
+    }
+    // greedy in doc_id order: bins are monotone within a (lang, bucket)
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, docs) =>
+      val byId = docs.sortBy(_._4).map(_._3)
+      assert(byId.zip(byId.drop(1)).forall { case (x, y) => x <= y })
+    }
+  }
+}
