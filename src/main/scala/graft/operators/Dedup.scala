@@ -450,5 +450,79 @@ object Dedup {
             floorRound6(cos).as("cos_sim"), cos.as("_raw"))
           .filter(col("_raw") >= 0.3)
           .drop("_raw")
+    },
+
+    // --- semantic dedup (SemDeDup shape): k-means, then in-cluster -------
+    // Lloyd's algorithm made cross-engine deterministic: seed centroids
+    // are a fixed id-sample, assignment ties break by cent_id, and the
+    // centroid mean is a DECIMAL-exact sum divided in double — so the
+    // summation order of a distributed aggregate cannot drift the
+    // centroids from DuckDB's sequential ones. Pairs then come from an
+    // EQUI-join on the final cluster id (no cartesian): the cluster
+    // structure does the blocking that dedup_embedding_cosine lacks.
+    // At 100 TB: assignment is corpus × k with the centroid set
+    // broadcast; recompute is one explode + hash-aggregate per
+    // iteration; the pair join partitions by cluster id.
+    sql("dedup_semantic_kmeans", {
+      def assignSql(cents: String, out: String) =
+        s"""$out AS (SELECT vec_id, v, cent_id FROM (
+           | SELECT e.vec_id, e.v, c.cent_id,
+           |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS r
+           | FROM e, $cents c) t WHERE r = 1)""".stripMargin
+      def recomputeSql(assigned: String, out: String) =
+        s"""$out AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM (
+           | SELECT cent_id, i, CAST(SUM(CAST(x AS DECIMAL(27,14))) AS DOUBLE)/COUNT(*) AS m
+           | FROM (SELECT cent_id, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+           |       FROM $assigned) z
+           | GROUP BY cent_id, i) s GROUP BY cent_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 17 = 0),
+         |${assignSql("c0", "a1")},
+         |${recomputeSql("a1", "c1")},
+         |${assignSql("c1", "a2")},
+         |${recomputeSql("a2", "c2")},
+         |${assignSql("c2", "a3")}
+         |SELECT x.cent_id AS cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b,
+         | FLOOR(list_cosine_similarity(x.v, y.v) * 1000000 + 0.5) / 1000000 AS cos_sim
+         |FROM a3 x JOIN a3 y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+         |WHERE list_cosine_similarity(x.v, y.v) >= 0.3""".stripMargin
+    }) {
+      (s, d) =>
+        import graft.functions.VectorOps.{cosine, dot, floorRound6, normSq, toDoubleVec}
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        def assign(cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(cosine(col("v"), col("cv")).desc, col("cent_id"))
+          e.join(broadcast(cents))
+            .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+            .select(col("vec_id"), col("v"), col("cent_id"))
+        }
+        var cents = e.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        for (_ <- 1 to 2) {
+          // decimal-exact elementwise mean; reassembled in index order
+          // (collect_list order is nondeterministic, the sort fixes it)
+          cents = assign(cents)
+            .select(col("cent_id"), posexplode(col("v")).as(Seq("p", "x")))
+            .groupBy(col("cent_id"), (col("p") + 1).as("i"))
+            .agg((sum(col("x").cast(DecimalType(27, 14))).cast("double")
+              / count(lit(1))).as("m"))
+            .groupBy("cent_id")
+            .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+              s => s.getField("m")).as("cv"))
+        }
+        val fin = assign(cents).withColumn("nrm", sqrt(normSq(col("v"))))
+        val cos = dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
+        fin.as("x").join(fin.as("y"),
+            col("x.cent_id") === col("y.cent_id") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.cent_id").as("cluster_id"),
+            col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+            floorRound6(cos).as("cos_sim"), cos.as("_raw"))
+          .filter(col("_raw") >= 0.3)
+          .drop("_raw")
     })
 }

@@ -69,4 +69,26 @@ class DedupSpec extends AnyFunSuite {
     val recall = found.size.toDouble / brute.size
     assert(recall >= 0.85, s"recall $recall (${found.size}/${brute.size})")
   }
+
+  test("semantic kmeans dedup: pairs share a cluster, no cartesian, subset of brute") {
+    val km = SparkEntry.queries("dedup_semantic_kmeans")(spark, sfTiny)
+    // centroid assignment is corpus × broadcast(k centroids) — a
+    // BroadcastNestedLoopJoin with a tiny broadcast side is the
+    // intended shape (same as IVF); what must never appear is a
+    // large×large CartesianProduct (the pair join must stay an
+    // equi-join on the cluster id)
+    val physical = km.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    val rows = km.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))
+      assert(r.getDouble(3) >= 0.3 - 1e-6 && r.getDouble(3) <= 1.0)
+    }
+    // in-cluster pairing only confirms pairs brute force also finds
+    val brute = SparkEntry.queries("dedup_embedding_cosine")(spark, sfTiny)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = rows.map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(found.subsetOf(brute))
+  }
 }
