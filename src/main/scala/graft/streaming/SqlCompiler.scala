@@ -55,19 +55,54 @@ object SqlCompiler {
       groupCols: Seq[String],
       aggs: Seq[AggSpec],
       outputCols: Seq[String],
-      colType: Map[String, DataType]) {
+      colType: Map[String, DataType],
+      neededRaw: Map[String, Seq[String]]) {
 
-    /** Run incrementally over insert-everything changelogs plus the
-      * given per-relation delete conditions; returns the maintained
-      * aggregate (groups with net rows > 0, like any GROUP BY). */
-    def run(spark: SparkSession, dir: String,
-            deletes: Map[String, Column] = Map.empty): DataFrame = {
-      val logs: Map[String, Dataset] = path.zip(tree).map { case (rel, spec) =>
+    /** The parquet-backed changelog set this query runs over:
+      * insert-everything plus the given per-relation delete conditions.
+      * `filtered = true` (the normal path) applies each relation's
+      * local predicate at the scan; `filtered = false` yields the raw
+      * changelogs (for exercising [[eventFilter]]). */
+    def sourceChangelogs(spark: SparkSession, dir: String,
+                         deletes: Map[String, Column] = Map.empty,
+                         filtered: Boolean = true): Map[String, Dataset] =
+      path.zip(tree).map { case (rel, spec) =>
+        // raw changelogs must CARRY the predicate columns (the filter
+        // reads them from the canonical row); scan-filtered ones never
+        // read them again, so they stay out of the shuffle
         rel -> IncrementalQueries.changelog(
-          Tables.load(spark, dir, rel), spec.childKeyCol, needed(rel),
-          deletes.get(rel), wheres.get(rel).map(expr))
+          Tables.load(spark, dir, rel), spec.childKeyCol,
+          if (filtered) needed(rel) else neededRaw(rel),
+          deletes.get(rel), if (filtered) wheres.get(rel).map(expr) else None)
       }.toMap
-      val leaf = DeltaEngine.runBatch(tree, logs, sourceFiltered = true).toDF()
+
+    /** This query's local predicate for `rel`, rewritten to apply to a
+      * RAW [[Evt]] stream: every column reference in the original SQL
+      * fragment is spliced (by Catalyst Origin offsets) into a typed
+      * lookup on the canonical row string, so the filter stays a
+      * codegen'd Column expression — callers feeding unfiltered
+      * event streams apply it and then run `sourceFiltered`. */
+    def eventFilter(spark: SparkSession, rel: String): Option[Column] =
+      wheres.get(rel).map { frag =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(frag)
+        val attrs = parsed.collect { case a: UnresolvedAttribute => a }
+          .filter(a => a.origin.startIndex.isDefined)
+          .sortBy(-_.origin.startIndex.get)
+        val rewritten = attrs.foldLeft(frag) { (text, a) =>
+          val name = a.nameParts.last
+          val (from, to) = (a.origin.startIndex.get, a.origin.stopIndex.get)
+          text.substring(0, from) +
+            s"CAST(str_to_map(row, '$FS', '$KV')['$name'] AS ${colType(name).sql})" +
+            text.substring(to + 1)
+        }
+        expr(rewritten)
+      }
+
+    /** Fold the engine's leaf deltas into the query's aggregate —
+      * shared by [[run]] and any `foreachBatch` consumer of
+      * [[runStream]] output. */
+    def aggregate(leaf: DataFrame): DataFrame = {
+      val spark = leaf.sparkSession
       val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
       val dataCols = (groupCols ++ aggs.flatMap(a =>
         if (a.frag.isEmpty) Nil else exprColumns(spark, a.frag))).distinct
@@ -82,6 +117,27 @@ object SqlCompiler {
         .agg(aggExprs.head, aggExprs.tail: _*)
         .filter(col("__net") > 0)
         .select(outputCols.map(col): _*)
+    }
+
+    /** Run incrementally over insert-everything changelogs plus the
+      * given per-relation delete conditions; returns the maintained
+      * aggregate (groups with net rows > 0, like any GROUP BY). */
+    def run(spark: SparkSession, dir: String,
+            deletes: Map[String, Column] = Map.empty): DataFrame =
+      aggregate(DeltaEngine.runBatch(tree,
+        sourceChangelogs(spark, dir, deletes), sourceFiltered = true).toDF())
+
+    /** The continuous form — the reference's actual deployment shape:
+      * raw streaming changelogs in, signed leaf deltas out (consume
+      * with `foreachBatch` + [[aggregate]] upsert). Local predicates
+      * are applied per stream via [[eventFilter]]. */
+    def runStream(changelogs: Map[String, Dataset],
+                  stateTtl: Option[java.time.Duration] = None): Dataset = {
+      val spark = changelogs(path.head).sparkSession
+      val filtered = changelogs.map { case (rel, ds) =>
+        rel -> eventFilter(spark, rel).map(ds.filter).getOrElse(ds)
+      }
+      DeltaEngine.runStream(tree, filtered, stateTtl, sourceFiltered = true)
     }
 
     /** Column names a SQL fragment references (via the parser — no
@@ -256,8 +312,16 @@ object SqlCompiler {
       rel -> ((referenced.filter(own) ++ Seq(spec.childKeyCol, spec.nextKeyCol).filter(own))
         .distinct)
     }.toMap
+    // + predicate columns, for raw-stream callers (eventFilter reads
+    // them out of the canonical row)
+    val predCols: Map[String, Seq[String]] = localPreds
+      .flatMap(c => c.collect { case a: UnresolvedAttribute => a.nameParts.last })
+      .distinct.groupBy(owner)
+    val neededRaw: Map[String, Seq[String]] = needed.map { case (rel, cols) =>
+      rel -> (cols ++ predCols.getOrElse(rel, Nil)).distinct
+    }
 
-    Compiled(path, tree, wheres, needed, groupCols, aggs, outputCols, colType)
+    Compiled(path, tree, wheres, needed, groupCols, aggs, outputCols, colType, neededRaw)
   }
 
   /** compile + run in one call. */

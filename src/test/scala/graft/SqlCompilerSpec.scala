@@ -61,6 +61,62 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("eventFilter over raw changelogs equals scan-filtered sources") {
+    val c = SqlCompiler.compile(s, d, q10Sql)
+    val deletes = Map(
+      "lineitem" -> (col("l_linenumber") === 3),
+      "orders" -> (col("o_orderkey") % 50 === 0))
+    val raw = c.sourceChangelogs(s, d, deletes, filtered = false)
+    val filtered = raw.map { case (rel, ds) =>
+      rel -> c.eventFilter(s, rel).map(ds.filter).getOrElse(ds)
+    }
+    // raw orders/lineitem changelogs are strictly larger…
+    assert(raw("lineitem").count() > filtered("lineitem").count())
+    assert(raw("orders").count() > filtered("orders").count())
+    // …and the event-level filter reproduces the scan-level one exactly
+    val got = c.aggregate(
+        graft.streaming.DeltaEngine.runBatch(c.tree, filtered, sourceFiltered = true).toDF())
+      .orderBy("c_custkey").collect().toSeq
+    val want = c.run(s, d, deletes).orderBy("c_custkey").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("compiled SQL runs continuously: streamed micro-batches equal the batch run") {
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DeltaEngine.Evt
+    val sparkS = s
+    import sparkS.implicits._
+    val c = SqlCompiler.compile(s, d, q10Sql)
+    val deletes = Map(
+      "lineitem" -> (col("l_linenumber") === 3),
+      "orders" -> (col("o_orderkey") % 50 === 0))
+    // feed RAW (unfiltered) events — runStream applies eventFilter
+    val logs = c.sourceChangelogs(s, d, deletes, filtered = false)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val out = c.runStream(streams.map { case (r, ms) => r -> ms.toDS() })
+    val query = out.writeStream
+      .format("memory").queryName("sql_q10_leaf").outputMode("append").start()
+    try {
+      // batch 1: inserts; batch 2: deletes — state carries across
+      streams.foreach { case (rel, ms) =>
+        val ins = logs(rel).filter(_.seq == 0L)
+        if (ins.nonEmpty) ms.addData(ins)
+      }
+      query.processAllAvailable()
+      streams.foreach { case (rel, ms) =>
+        val dels = logs(rel).filter(_.seq == 1L)
+        if (dels.nonEmpty) ms.addData(dels)
+      }
+      query.processAllAvailable()
+      val got = c.aggregate(s.table("sql_q10_leaf"))
+        .orderBy("c_custkey").collect().toSeq
+      val want = c.run(s, d, deletes).orderBy("c_custkey").collect().toSeq
+      assert(got == want && got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("unsupported shapes fail loudly") {
     def bad(sqlText: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
