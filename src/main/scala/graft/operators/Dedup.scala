@@ -266,26 +266,38 @@ object Dedup {
           .toDF("src", "dst").localCheckpoint()
         var labels = edges.select(col("src").as("doc")).distinct()
           .withColumn("lbl", col("doc")).localCheckpoint()
-        var changed = 1L
+        // labels only ever DECREASE (min-propagation), so the exact
+        // decimal sum of labels is strictly monotone until the fixed
+        // point: comparing it round-over-round detects convergence
+        // with one cheap aggregate instead of a next⋈old diff join.
+        // DECIMAL(38,0), not BIGINT — at corpus scale sum(doc_id)
+        // overflows a long.
+        def lblSum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("lbl").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
+            .getDecimal(0)
+        var prevSum = lblSum(labels)
+        var converged = false
         var iter = 0
         val maxIter = 100 // safety net only; real bound is component diameter
-        while (changed > 0 && iter < maxIter) {
+        while (!converged && iter < maxIter) {
           val prop = labels.join(edges, col("doc") === col("src"))
             .select(col("dst").as("doc"), col("lbl"))
-          var next = labels.unionByName(prop)
+          // eager checkpoint per round: each iteration's plan stays
+          // one-join shallow (a deep lineage would recompute every
+          // prior round inside every later one)
+          val next = labels.unionByName(prop)
             .groupBy("doc").agg(min("lbl").as("lbl"))
-          // truncate lineage every few rounds (every round would retain
-          // a checkpointed copy per iteration for the session lifetime)
-          if (iter % 4 == 3) next = next.localCheckpoint()
-          changed = next.as("n")
-            .join(labels.as("o"), col("n.doc") === col("o.doc"))
-            .filter(col("n.lbl") =!= col("o.lbl")).count()
+            .localCheckpoint()
+          val nextSum = lblSum(next)
+          converged = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
           labels = next
           iter += 1
         }
         // silent non-convergence would emit WRONG labels (a split
         // cluster) — fail loudly instead
-        require(changed == 0,
+        require(converged,
           s"connected components did not converge in $maxIter rounds (component diameter > $maxIter?)")
         labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
     },
@@ -301,13 +313,16 @@ object Dedup {
          | FROM th GROUP BY doc_id)
          |SELECT doc_id, $hexAssembly AS simhash64 FROM bits""".stripMargin) {
       (s, d) =>
+        // one-pass native vote aggregate (each row decodes its 16 hex
+        // nibbles once) instead of 64 SUM(substr/instr CASE) columns —
+        // see SimHashAgg; the oracle keeps the composed 64-column form
+        // as the independent definition of record
         val th = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(array_distinct(regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)))).as("t"))
           .selectExpr("doc_id", "md5(t) AS h")
         th.groupBy(col("doc_id"))
-          .agg(expr(voteExpr(0)).as("v0"), (1 until 64).map(b => expr(voteExpr(b)).as(s"v$b")): _*)
-          .selectExpr("doc_id", s"$hexAssembly AS simhash64")
+          .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash64"))
     },
 
     // --- char-trigram jaccard with blocking ------------------------------
@@ -489,24 +504,33 @@ object Dedup {
          |WHERE list_cosine_similarity(x.v, y.v) >= 0.3""".stripMargin
     }) {
       (s, d) =>
-        import graft.functions.VectorOps.{cosine, dot, floorRound6, normSq, toDoubleVec}
-        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorOps.{dot, floorRound6, normSq, toDoubleVec}
         import org.apache.spark.sql.types.DecimalType
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+          .withColumn("vnrm", sqrt(normSq(col("v"))))
+        // argmin as a min_by HASH-AGGREGATE, not a row_number window:
+        // map-side combinable, no per-vector sort of the corpus × k
+        // assignment rows. Norms are hoisted per side, so each pair
+        // costs one VecDot. The (-cos, cent_id) order key is unique
+        // per group → deterministic, same tie-break as the oracle's
+        // (cos DESC, cent_id) window.
         def assign(cents: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(cosine(col("v"), col("cv")).desc, col("cent_id"))
+          val cos = dot(col("v"), col("cv")) / (col("vnrm") * col("cnrm"))
           e.join(broadcast(cents))
-            .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-            .select(col("vec_id"), col("v"), col("cent_id"))
+            .groupBy(col("vec_id"))
+            .agg(min_by(struct(col("cent_id"), col("v")),
+              struct(-cos, col("cent_id"))).as("best"))
+            .select(col("vec_id"), col("best.v").as("v"), col("best.cent_id").as("cent_id"))
         }
+        def withCnrm(cents: DataFrame): DataFrame =
+          cents.withColumn("cnrm", sqrt(normSq(col("cv"))))
         var cents = e.filter(col("vec_id") % 17 === 0)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
         for (_ <- 1 to 2) {
           // decimal-exact elementwise mean; reassembled in index order
           // (collect_list order is nondeterministic, the sort fixes it)
-          cents = assign(cents)
+          cents = assign(withCnrm(cents))
             .select(col("cent_id"), posexplode(col("v")).as(Seq("p", "x")))
             .groupBy(col("cent_id"), (col("p") + 1).as("i"))
             .agg((sum(col("x").cast(DecimalType(27, 14))).cast("double")
@@ -515,7 +539,7 @@ object Dedup {
             .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
               s => s.getField("m")).as("cv"))
         }
-        val fin = assign(cents).withColumn("nrm", sqrt(normSq(col("v"))))
+        val fin = assign(withCnrm(cents)).withColumn("nrm", sqrt(normSq(col("v"))))
         val cos = dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
         fin.as("x").join(fin.as("y"),
             col("x.cent_id") === col("y.cent_id") && col("x.vec_id") < col("y.vec_id"))

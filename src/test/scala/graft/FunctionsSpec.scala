@@ -168,6 +168,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rolling_hash"), s"got: ${e.getMessage}")
   }
 
+  test("simhash_agg equals the composed 64-column SUM(CASE) vote form") {
+    import graft.functions.SimHashAgg.simhash_agg
+    def voteExpr(b: Int): String = {
+      val pos = b / 4 + 1
+      val shift = 3 - b % 4
+      s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }
+    val hexAssembly = {
+      val digits = (0 until 16).map { dIdx =>
+        val terms = (0 until 4).map { k =>
+          val b = dIdx * 4 + k
+          s"CASE WHEN v$b > 0 THEN ${8 >> k} ELSE 0 END"
+        }.mkString(" + ")
+        s"substr('0123456789abcdef', ($terms) + 1, 1)"
+      }
+      s"concat(${digits.mkString(", ")})"
+    }
+    val th = Tables.documents(spark, sfTiny).limit(100)
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))).as("t"))
+      .selectExpr("doc_id", "md5(t) AS h")
+    val native = th.groupBy("doc_id").agg(simhash_agg(col("h")).as("sh"))
+    val composed = th.groupBy(col("doc_id"))
+      .agg(expr(voteExpr(0)).as("v0"), (1 until 64).map(b => expr(voteExpr(b)).as(s"v$b")): _*)
+      .selectExpr("doc_id", s"$hexAssembly AS sh")
+    val got = native.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = composed.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
