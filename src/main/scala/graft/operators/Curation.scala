@@ -171,6 +171,65 @@ object Curation {
           .select("doc_id", "lang", "source")
     },
 
+    // --- the composed pipeline -----------------------------------------
+    // The stages a real corpus actually flows through, composed as ONE
+    // query: quality gate → repetition gate (explode + hash-agg with a
+    // HAVING) → exact dedup (min doc_id per normalized fingerprint) →
+    // deterministic stratified sample. Every join is an equi-join on
+    // doc_id/fingerprint; nothing in the plan depends on corpus-sized
+    // state in one task. The oracle chains the same CTEs, so the gate
+    // checks stage COMPOSITION, not just each stage alone.
+    sql("curation_pipeline",
+      s"""WITH base AS (
+         | SELECT doc_id, text, lang, source, length(text) AS n_chars,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+         | FROM documents),
+         |q AS (SELECT * FROM base
+         |      WHERE n_chars >= 50 AND n_chars <= 10000 AND n_tokens >= 10),
+         |w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS g
+         |      FROM q),
+         |wc AS (SELECT doc_id, g, COUNT(*) AS c FROM w GROUP BY doc_id, g),
+         |rep AS (SELECT doc_id FROM wc GROUP BY doc_id
+         |        HAVING 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) <= 0.85
+         |           AND CAST(MAX(c) AS DOUBLE) / SUM(c) <= 0.30),
+         |fp AS (SELECT q.doc_id, lang, source, n_tokens,
+         |        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |       FROM q JOIN rep ON rep.doc_id = q.doc_id),
+         |dd AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
+         |SELECT f.doc_id, f.lang, f.source, f.n_tokens, f.fp
+         |FROM fp f JOIN dd ON dd.doc_id = f.doc_id AND dd.fp = f.fp
+         |WHERE substring(md5(CAST(f.doc_id AS VARCHAR) || ':' || f.lang), 1, 4) <
+         | CASE ${sampleRates.map { case (l, t) => s"WHEN f.lang = '$l' THEN '$t'" }.mkString(" ")}
+         |  ELSE 'g' END""".stripMargin) {
+      (s, d) =>
+        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        val base = Tables.documents(s, d).select(
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).as("n_chars"), size(toks).as("n_tokens"))
+        val q = base.filter(col("n_chars") >= 50 && col("n_chars") <= 10000 &&
+          col("n_tokens") >= 10)
+        val rep = q.select(col("doc_id"), explode(toks).as("g"))
+          .groupBy("doc_id", "g").count()
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("nd"), sum("count").as("nw"), max("count").as("tc"))
+          .filter(lit(1.0) - col("nd").cast("double") / col("nw") <= 0.85 &&
+            col("tc").cast("double") / col("nw") <= 0.30)
+          .select("doc_id")
+        val fp = q.join(rep, "doc_id").select(
+          col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          md5(to_binary(trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+            lit("utf-8"))).as("fp"))
+        val dd = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val threshold = sampleRates.foldLeft(lit("g")) { case (acc, (l, t)) =>
+          when(col("lang") === l, lit(t)).otherwise(acc)
+        }
+        fp.join(dd, Seq("fp", "doc_id"))
+          .filter(substring(md5(to_binary(
+            concat(col("doc_id").cast("string"), lit(":"), col("lang")), lit("utf-8"))),
+            1, 4) < threshold)
+          .select("doc_id", "lang", "source", "n_tokens", "fp")
+    },
+
     // --- capacity-bounded sequence packing -----------------------------
     // Greedy first-fit-in-order packing of documents into <=128-token
     // bins, per (lang, doc_id-range bucket). The oracle replays the

@@ -102,12 +102,15 @@ object IncrementalQueries {
 
   /** Run the engine over the synthetic changelog and fold the leaf
     * deltas into the Q10 aggregate. */
-  def incrementalQ10(s: SparkSession, dir: String): DataFrame = {
-    val leaf = runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true)
+  def incrementalQ10(s: SparkSession, dir: String): DataFrame =
+    q10Aggregate(runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true))
+
+  /** The Q10 signed-delta fold (shared by the parquet-changelog and
+    * CDC-text paths): rev_e4 = round(extprice * (1-disc) * 1e4),
+    * exact because the true product has 4 decimals (2dp × 2dp). */
+  private def q10Aggregate(leaf: Dataset[Evt]): DataFrame = {
     val df = leaf.toDF()
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
-    // signed integer fold: rev_e4 = round(extprice * (1-disc) * 1e4),
-    // exact because the true product has 4 decimals (2dp × 2dp)
     df.select(
         (col("tag") * col("mult")).as("sign"),
         c.getItem("c_custkey").cast(LongType).as("c_custkey"),
@@ -210,6 +213,72 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** [[Evt]] changelog from a [[CdcParser.parseRelation]] frame:
+    * tag/seq derive from the parsed `action` (Insert → +1 @ seq 0,
+    * Delete → −1 @ seq 1), `where` is the node predicate on the
+    * parsed typed columns. */
+  private def cdcChangelog(parsed: DataFrame, keyCol: String, cols: Seq[String],
+                           where: Option[org.apache.spark.sql.Column]): Dataset[Evt] = {
+    val df = where.map(parsed.filter).getOrElse(parsed)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowCanon = concat_ws(FS.toString,
+      cols.sorted.map(c =>
+        concat(lit(c + KV.toString), coalesce(col(c).cast("string"), lit("null")))): _*)
+    df.select(
+      when(col("action") === "Insert", 0L).otherwise(1L).as("seq"),
+      lit(false).as("fromParent"),
+      when(col("action") === "Insert", 1).otherwise(-1).as("tag"),
+      lit(1).as("mult"),
+      col(keyCol).cast("string").as("key"),
+      rowCanon.as("row")).as[Evt]
+  }
+
+  def incrementalQ10FromCdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType => Dbl, LongType => Lng,
+      StringType => Str, TimestampType => Tst}
+    val nationCols = Seq("n_nationkey", "n_name")
+    val custCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val ordCols = Seq("o_orderkey", "o_custkey", "o_orderdate")
+    val liCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag")
+    def render(df: DataFrame, code: String, cols: Seq[String],
+               deleteWhen: Option[org.apache.spark.sql.Column]): DataFrame = {
+      val ins = CdcParser.toCdcLines(df, add = true, code, cols)
+      deleteWhen.map(cond =>
+        ins.unionAll(CdcParser.toCdcLines(df.filter(cond), add = false, code, cols)))
+        .getOrElse(ins)
+    }
+    // ONE interleaved line stream, like the reference's single source
+    val lines =
+      render(Tables.nation(s, dir), "NATI", nationCols, None)
+        .unionAll(render(Tables.customer(s, dir), "CUST", custCols, None))
+        .unionAll(render(Tables.orders(s, dir), "ORDE", ordCols,
+          Some(col("o_orderkey") % 50 === 0)))
+        .unionAll(render(Tables.lineitem(s, dir), "LINE", liCols,
+          Some(col("l_linenumber") === 3)))
+    def parse(code: String, schema: Seq[(String, org.apache.spark.sql.types.DataType)]) =
+      CdcParser.parseRelation(lines, code, schema)
+    val logs: Map[String, Dataset[Evt]] = Map(
+      "nation" -> cdcChangelog(
+        parse("NATI", Seq("n_nationkey" -> Lng, "n_name" -> Str)),
+        "n_nationkey", nationCols, None),
+      "customer" -> cdcChangelog(
+        parse("CUST", Seq("c_custkey" -> Lng, "c_name" -> Str,
+          "c_nationkey" -> Lng, "c_acctbal" -> Dbl)),
+        "c_nationkey", custCols, None),
+      "orders" -> cdcChangelog(
+        parse("ORDE", Seq("o_orderkey" -> Lng, "o_custkey" -> Lng, "o_orderdate" -> Tst)),
+        "o_custkey", ordCols,
+        Some(col("o_orderdate") >= dateLo && col("o_orderdate") < dateHi)),
+      "lineitem" -> cdcChangelog(
+        parse("LINE", Seq("l_orderkey" -> Lng, "l_linenumber" -> Lng,
+          "l_extendedprice" -> Dbl, "l_discount" -> Dbl, "l_returnflag" -> Str)),
+        "l_orderkey", liCols,
+        Some(col("l_returnflag") === "R")))
+    val leaf = runBatch(q10Tree, logs, sourceFiltered = true)
+    q10Aggregate(leaf)
+  }
+
   /** Per-event running-output parity with the reference's A1 (one
     * `Output` row per delta, Q10AggregateProcessFunction.java:75-80):
     * every leaf delta becomes a row carrying the group's running
@@ -294,6 +363,25 @@ object IncrementalQueries {
         | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
         | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
         |GROUP BY n_name""".stripMargin)(incrementalOrderRevenue),
+
+    // The reference's FULL dataflow end to end (DataFlow.java:63-119):
+    // the changelog rendered as its CDC text format (one line stream,
+    // Add/Sub + 4-char relation codes), demuxed + parsed back by
+    // CdcParser, node predicates applied to the PARSED frames (the
+    // pushdown now reaches the text scan), events canon-encoded, and
+    // the same Q10 tree + aggregate. A reference user's actual input
+    // files drive the engine; the oracle is incremental_q10's.
+    sql("incremental_q10_from_cdc",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10FromCdc),
 
     // The SAME query as incremental_q10, but compiled FROM SQL TEXT by
     // [[SqlCompiler]] (Catalyst parser → FK-graph validation → NodeSpec

@@ -52,6 +52,23 @@ class CurationSpec extends AnyFunSuite {
     assert(kept > total * 0.3 && kept < total * 0.7, s"kept $kept of $total")
   }
 
+  test("curation pipeline output is a subset of each stage's own gate") {
+    val out = q("curation_pipeline").collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    // every surviving doc passes the standalone quality + sampling gates
+    val quality = q("text_quality_score").filter(col("quality_ok"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // pipeline's quality gate is the length/token part of quality_ok
+    // (punct_ratio is vacuous on this corpus), so subset must hold
+    assert(ids.subsetOf(quality))
+    val sampled = q("sample_stratified").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(sampled))
+    // dedup kept one representative per fingerprint
+    val fps = out.map(_.getString(4))
+    assert(fps.length == fps.distinct.length)
+  }
+
   test("packing fills bins to capacity without splitting or reordering docs") {
     val rows = q("pack_sequences").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"),
