@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The incremental acyclic-FK-join-tree engine — the Cquirrel/AJU
   * capability that is the reference's distinguishing feature
@@ -243,13 +244,23 @@ object DeltaEngine {
   }
 
   private def foldKey(spec: NodeSpec, events: Iterator[Evt], init: NState,
-                      exportState: Boolean, preFiltered: Boolean): (Iterator[Evt], Option[NState]) = {
-    val arr = events.toArray
-    java.util.Arrays.sort(arr, evtOrder)
+                      exportState: Boolean, preFiltered: Boolean,
+                      preSorted: Boolean = false): (Iterator[Evt], Option[NState]) = {
+    // the batch driver delivers each group already in evtOrder via
+    // flatMapSortedGroups (the ordering rides the Tungsten shuffle
+    // sort); the streaming driver's state-store groups arrive
+    // unordered and sort here
+    val ordered: Iterator[Evt] =
+      if (preSorted) events
+      else {
+        val arr = events.toArray
+        java.util.Arrays.sort(arr, evtOrder)
+        arr.iterator
+      }
     val fold = new NodeFold(spec, init, preFiltered)
     val out = Vector.newBuilder[Evt]
     val emitted = new scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
-    arr.foreach { ev =>
+    ordered.foreach { ev =>
       emitted.clear()
       fold.feed(ev, emitted)
       emitted.foreach { case (tag, mult, row) =>
@@ -266,9 +277,10 @@ object DeltaEngine {
     * own-changelog events already passed `spec.predicate` (the run
     * drivers guarantee it via [[predicatePushdown]]) so the fold skips
     * the per-event re-evaluation. */
-  def processKeyBatch(spec: NodeSpec, preFiltered: Boolean = false)(
+  def processKeyBatch(spec: NodeSpec, preFiltered: Boolean = false,
+                      preSorted: Boolean = false)(
       key: String, events: Iterator[Evt]): Iterator[Evt] =
-    foldKey(spec, events, emptyState, exportState = false, preFiltered)._1
+    foldKey(spec, events, emptyState, exportState = false, preFiltered, preSorted)._1
 
   /** Run the tree in batch-simulation mode: each node is a
     * `groupByKey(joinKey).flatMapGroups` over the union of the
@@ -304,10 +316,15 @@ object DeltaEngine {
       val own = if (sourceFiltered) changelogs(spec.relation)
                 else predicatePushdown(spec, changelogs(spec.relation))
       val events = if (parentDeltas == null) own else own.union(parentDeltas)
+      // intra-group evtOrder rides the shuffle's Tungsten sort (binary,
+      // spill-safe) instead of a per-key toArray + JVM comparator sort
+      // in the fold — `fromParent DESC` puts parent deltas first,
+      // matching evtOrder's parent-before-own rule
       parentDeltas = events
         .groupByKey(_.key)
-        .flatMapGroups((k: String, it: Iterator[Evt]) =>
-          processKeyBatch(spec, preFiltered = true)(k, it))
+        .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(
+          (k: String, it: Iterator[Evt]) =>
+            processKeyBatch(spec, preFiltered = true, preSorted = true)(k, it))
     }
     parentDeltas
   }
