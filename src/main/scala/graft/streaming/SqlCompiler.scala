@@ -152,14 +152,19 @@ object SqlCompiler {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
-  /** Original SQL text of a parsed expression, recovered from its
-    * Catalyst Origin (inclusive stopIndex). */
+  /** Original SQL text of a parsed expression, recovered from Catalyst
+    * Origins (inclusive stopIndex). The span is the min/max over the
+    * WHOLE subtree, not the root's own origin: for `x BETWEEN a AND b`
+    * / `x IN (...)` the parser anchors the root origin at the keyword,
+    * excluding the left operand — the operand's own origin restores
+    * it. */
   private def fragment(e: Expression): String = {
-    val o = e.origin
-    (o.sqlText, o.startIndex, o.stopIndex) match {
-      case (Some(t), Some(a), Some(b)) => t.substring(a, b + 1)
-      case _ => fail(s"cannot recover the SQL fragment of $e")
-    }
+    val text = e.origin.sqlText.getOrElse(
+      fail(s"cannot recover the SQL fragment of $e"))
+    val starts = e.collect { case x if x.origin.startIndex.isDefined => x.origin.startIndex.get }
+    val stops = e.collect { case x if x.origin.stopIndex.isDefined => x.origin.stopIndex.get }
+    if (starts.isEmpty || stops.isEmpty) fail(s"cannot recover the SQL fragment of $e")
+    text.substring(starts.min, stops.max + 1)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

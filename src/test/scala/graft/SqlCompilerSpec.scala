@@ -117,6 +117,28 @@ class SqlCompilerSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("BETWEEN and IN predicates compile and match spark.sql insert-only") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val sqlText =
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_totalprice BETWEEN 1000 AND 150000
+        | AND o_orderstatus IN ('F', 'O')
+        | AND c_acctbal > 0
+        |GROUP BY n_name""".stripMargin
+    val c = SqlCompiler.compile(s, d, sqlText)
+    // BETWEEN splits into two conjuncts; IN stays one — all three land
+    // on their owning relations as scan filters
+    assert(c.wheres.keySet == Set("orders", "customer"))
+    assert(c.wheres("orders").contains("IN"))
+    val got = SqlCompiler.run(s, d, sqlText).orderBy("n_name").collect().toSeq
+    val want = s.sql(sqlText).orderBy("n_name").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("unsupported shapes fail loudly") {
     def bad(sqlText: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
