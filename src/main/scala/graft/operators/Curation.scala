@@ -171,6 +171,45 @@ object Curation {
           .select("doc_id", "lang", "source")
     },
 
+    // --- per-document salient terms (tf·N/df keyword extraction) -------
+    // The log-free cousin of TF-IDF: saliency = tf × N / df, with N the
+    // corpus size and df the term's document frequency — same ordering
+    // as tf·idf for ranking within a document, but every value is a
+    // ratio of exact integers, so both engines produce identical
+    // doubles (ln() is libm-dependent and would risk last-ulp drift).
+    // Shapes: explode → (doc, term) counts; df is a second aggregate of
+    // the SAME counts (no re-scan); per-doc top-3 via a window over
+    // doc_id (keys are documents — no skew).
+    sql("text_top_terms",
+      """WITH tf AS (
+        | SELECT doc_id, g AS term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS g
+        |  FROM documents) w GROUP BY doc_id, g),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term,
+        |  CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df AS saliency,
+        |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df DESC, tf.term) AS rnk
+        | FROM tf JOIN df ON df.term = tf.term)
+        |SELECT doc_id, term, saliency, rnk FROM scored WHERE rnk <= 3""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val tf = docs.select(col("doc_id"),
+            explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val saliency = col("tf").cast("double") * n / col("df")
+        val w = Window.partitionBy(col("doc_id")).orderBy(saliency.desc, col("term"))
+        tf.join(df, "term")
+          .select(col("doc_id"), col("term"), saliency.as("saliency"),
+            row_number().over(w).as("rnk"))
+          .filter(col("rnk") <= 3)
+    },
+
     // --- the composed pipeline -----------------------------------------
     // The stages a real corpus actually flows through, composed as ONE
     // query: quality gate → repetition gate (explode + hash-agg with a

@@ -52,6 +52,20 @@ class CurationSpec extends AnyFunSuite {
     assert(kept > total * 0.3 && kept < total * 0.7, s"kept $kept of $total")
   }
 
+  test("top terms: 3 per doc, rank-ordered by saliency with term tie-break") {
+    val rows = q("text_top_terms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, ts) =>
+      assert(ts.map(_._4).sorted.toSeq == (1 to ts.length))
+      val ordered = ts.sortBy(_._4)
+      ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+      }
+    }
+  }
+
   test("curation pipeline output is a subset of each stage's own gate") {
     val out = q("curation_pipeline").collect()
     assert(out.nonEmpty)
