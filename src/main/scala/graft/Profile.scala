@@ -19,6 +19,9 @@ object Profile {
     spark.read.parquet(s"$d/nation.parquet").count() // session warm-up
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (name <- names) {
+      // queries that cache/checkpoint (CDC lines, connected components)
+      // must not distort later measurements in a full sweep
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // toRdd.count() like Bench: runs the plan as written (df.count()
       // would let column pruning delete pure projections)
