@@ -108,6 +108,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming curation: quality gate + fingerprint dedup over micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // a document INGESTION stream: the curation front line (quality
+    // filter, then exact dedup on the normalized fingerprint) runs as
+    // a continuous pipeline with watermark-bounded dedup state
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val docs = src.toDF().toDF("doc_id", "ts", "text")
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val gated = docs
+      .filter(length(col("text")) >= 15 && size(toks) >= 3)
+      .withColumn("fp", md5(to_binary(
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit("utf-8"))))
+    val dd = graft.streaming.StreamingAnalytics.dedupWithinWatermark(
+      gated, "30 minutes", Seq("fp"))
+    val query = dd.writeStream
+      .format("memory").queryName("stream_curation").outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      src.addData(
+        (1L, t("2026-01-01 10:00:00"), "the quick brown fox jumps"),
+        (2L, t("2026-01-01 10:00:30"), "short"),                       // fails quality
+        (3L, t("2026-01-01 10:01:00"), "The  Quick Brown FOX jumps")) // near-dup of 1 (normalizes equal)
+      query.processAllAvailable()
+      src.addData(
+        (4L, t("2026-01-01 10:02:00"), "the quick brown fox jumps"),  // cross-batch dup
+        (5L, t("2026-01-01 10:03:00"), "a completely different document"))
+      query.processAllAvailable()
+      val kept = spark.table("stream_curation").collect().map(_.getLong(0)).toSeq.sorted
+      // one representative per fingerprint, quality failures gone
+      assert(kept.length == 2, s"kept $kept")
+      assert(!kept.contains(2L))
+      val fps = spark.table("stream_curation").collect().map(_.getAs[String]("fp"))
+      assert(fps.distinct.length == fps.length)
+    } finally query.stop()
+  }
+
   test("state TTL evicts an idle key's join state (bounded-state mode)") {
     // deterministic TestGroupState harness (a wall-clock TTL inside a
     // live chained stream re-arms timeouts per batch — untestably racy)
