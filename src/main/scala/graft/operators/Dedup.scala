@@ -517,11 +517,15 @@ object Dedup {
         // (cos DESC, cent_id) window.
         def assign(cents: DataFrame): DataFrame = {
           val cos = dot(col("v"), col("cv")) / (col("vnrm") * col("cnrm"))
+          // argmin carries ONLY the centroid id — putting `v` in the
+          // min_by struct would copy the 512-byte vector into the
+          // aggregation buffer on every winning row; the (tiny)
+          // vec_id→v join restores it afterwards
           e.join(broadcast(cents))
             .groupBy(col("vec_id"))
-            .agg(min_by(struct(col("cent_id"), col("v")),
-              struct(-cos, col("cent_id"))).as("best"))
-            .select(col("vec_id"), col("best.v").as("v"), col("best.cent_id").as("cent_id"))
+            .agg(min_by(col("cent_id"), struct(-cos, col("cent_id"))).as("cent_id"))
+            .join(e.select(col("vec_id"), col("v")), "vec_id")
+            .select(col("vec_id"), col("v"), col("cent_id"))
         }
         def withCnrm(cents: DataFrame): DataFrame =
           cents.withColumn("cnrm", sqrt(normSq(col("cv"))))
