@@ -171,6 +171,83 @@ object Curation {
           .select("doc_id", "lang", "source")
     },
 
+    // --- decontamination: eval-set n-gram overlap ----------------------
+    // The check a training pipeline runs against its benchmark suite:
+    // flag training documents sharing >= 3 distinct word 5-grams with
+    // any eval document (here the held-out set is doc_id % 97 = 0, the
+    // fixture stand-in for a real benchmark). Shapes: distinct shingles
+    // exploded on BOTH sides, candidates from the gram equi-join (hash
+    // partitioned on the gram — never an all-pairs compare), overlap =
+    // count of distinct shared grams per (train, eval) pair. 5-grams
+    // keep the join selective at corpus scale; the same pipeline as
+    // minhash-LSH confirm, so it inherits the 100 TB shape.
+    sql("decontaminate_ngram_overlap",
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS grams
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |       FROM documents) z
+        | WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |ev AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_id, g FROM ex WHERE doc_id % 97 <> 0)
+        |SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY train_id, eval_id
+        |HAVING COUNT(*) >= 3""".stripMargin) {
+      (s, d) =>
+        import graft.functions.WordShingles.word_shingles
+        // word_shingles collapses <5-token docs to one joined shingle;
+        // the oracle's generate_series yields none — filter those
+        // docs BEFORE shingling so both sides agree
+        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 5)
+          .select(col("doc_id"), explode(word_shingles(col("t"), 5)).as("g"))
+        val ev = ex.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("g"))
+        val tr = ex.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id").as("train_id"), col("g"))
+        tr.join(ev, "g")
+          .groupBy("train_id", "eval_id")
+          .agg(count(lit(1)).cast(LongType).as("shared_grams"))
+          .filter(col("shared_grams") >= 3)
+    },
+
+    // --- mixture weights: per-source rates toward a token budget -------
+    // Given a total token budget split equally across sources, emit
+    // each source's deterministic keep-rate (capped at 1): the number
+    // a weighted-mixture sampler feeds into the md5-threshold trick of
+    // sample_stratified. Pure two-level aggregate — integer token
+    // sums, one exact division at the end.
+    sql("mixture_weights",
+      s"""WITH per_src AS (
+         | SELECT source, CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         | FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM per_src)
+         |SELECT source, n_docs, n_tokens,
+         | CAST(total AS DOUBLE) / n_sources AS target_tokens,
+         | least(1.0, (CAST(total AS DOUBLE) / n_sources) / n_tokens) AS keep_rate
+         |FROM per_src, tot""".stripMargin) {
+      (s, d) =>
+        val perSrc = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+            .cast(LongType).as("n_tokens"),
+            count(lit(1)).cast(LongType).as("n_docs"))
+        val tot = perSrc.agg(sum("n_tokens").cast(LongType).as("total"),
+          count(lit(1)).cast(LongType).as("n_sources"))
+        val target = col("total").cast("double") / col("n_sources")
+        perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            target.as("target_tokens"),
+            least(lit(1.0), target / col("n_tokens")).as("keep_rate"))
+    },
+
     // --- per-document salient terms (tf·N/df keyword extraction) -------
     // The log-free cousin of TF-IDF: saliency = tf × N / df, with N the
     // corpus size and df the term's document frequency — same ordering

@@ -52,6 +52,37 @@ class CurationSpec extends AnyFunSuite {
     assert(kept > total * 0.3 && kept < total * 0.7, s"kept $kept of $total")
   }
 
+  test("decontamination flags only cross-set pairs with real 5-gram overlap") {
+    val rows = q("decontaminate_ngram_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (train, eval_, shared) =>
+      assert(train % 97 != 0 && eval_ % 97 == 0)
+      assert(shared >= 3)
+    }
+    // spot-check one flagged pair's overlap against a direct count
+    val (train, eval_, shared) = rows.head
+    val texts = Tables.documents(s, d).filter(col("doc_id").isin(train, eval_))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    assert(grams(texts(train)).intersect(grams(texts(eval_))).size == shared)
+  }
+
+  test("mixture weights hit the equal-split token budget, capped at 1") {
+    val rows = q("mixture_weights").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val target = total.toDouble / rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Double]("target_tokens") == target)
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      val expected = math.min(1.0, target / r.getAs[Long]("n_tokens"))
+      assert(rate == expected)
+    }
+  }
+
   test("top terms: 3 per doc, rank-ordered by saliency with term tie-break") {
     val rows = q("text_top_terms").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
