@@ -306,8 +306,18 @@ object DeltaEngine {
     if (spec.predicate eq NoPredicate) own
     else own.filter((e: Evt) => spec.predicate(uncanon(e.row)))
 
+  /** Per-node volume counters from one [[runBatch]] execution —
+    * `events` is what entered the node's fold (own + parent deltas,
+    * post-pushdown), `emitted` what it sent downstream. The
+    * events/emitted ratio per hop is the first thing to read when a
+    * tree is slow or skewed at scale. */
+  final case class NodeStats(relation: String,
+                             events: org.apache.spark.util.LongAccumulator,
+                             emitted: org.apache.spark.util.LongAccumulator)
+
   def runBatch(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]],
-               sourceFiltered: Boolean = false): Dataset[Evt] = {
+               sourceFiltered: Boolean = false,
+               stats: Option[scala.collection.mutable.Buffer[NodeStats]] = None): Dataset[Evt] = {
     require(specs.nonEmpty)
     val spark = changelogs(specs.head.relation).sparkSession
     import spark.implicits._
@@ -316,6 +326,13 @@ object DeltaEngine {
       val own = if (sourceFiltered) changelogs(spec.relation)
                 else predicatePushdown(spec, changelogs(spec.relation))
       val events = if (parentDeltas == null) own else own.union(parentDeltas)
+      val nodeStats = stats.map { buf =>
+        val st = NodeStats(spec.relation,
+          spark.sparkContext.longAccumulator(s"graft.${spec.relation}.events"),
+          spark.sparkContext.longAccumulator(s"graft.${spec.relation}.emitted"))
+        buf += st
+        st
+      }
       // intra-group evtOrder rides the shuffle's Tungsten sort (binary,
       // spill-safe) instead of a per-key toArray + JVM comparator sort
       // in the fold — `fromParent DESC` puts parent deltas first,
@@ -323,8 +340,11 @@ object DeltaEngine {
       parentDeltas = events
         .groupByKey(_.key)
         .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(
-          (k: String, it: Iterator[Evt]) =>
-            processKeyBatch(spec, preFiltered = true, preSorted = true)(k, it))
+          (k: String, it: Iterator[Evt]) => {
+            val out = processKeyBatch(spec, preFiltered = true, preSorted = true)(
+              k, nodeStats.map(st => it.map { e => st.events.add(1); e }).getOrElse(it))
+            nodeStats.map(st => out.map { e => st.emitted.add(1); e }).getOrElse(out)
+          })
     }
     parentDeltas
   }

@@ -119,6 +119,25 @@ class DeltaEngineSpec extends AnyFunSuite {
       .foreach(m => assert(uncanon(canon(m)) == m))
   }
 
+  test("runBatch node stats count per-hop events and emissions") {
+    import graft.streaming.{DeltaEngine, IncrementalQueries}
+    val s = SparkTestSession.spark
+    val d = SparkTestSession.sfTiny
+    val buf = scala.collection.mutable.Buffer.empty[DeltaEngine.NodeStats]
+    val leaf = DeltaEngine.runBatch(IncrementalQueries.q10Tree,
+      IncrementalQueries.q10Changelogs(s, d), sourceFiltered = true, stats = Some(buf))
+    val leafCount = leaf.count()
+    assert(buf.map(_.relation) == Seq("nation", "customer", "orders", "lineitem"))
+    // the leaf node's emissions ARE the result deltas
+    assert(buf.last.emitted.value == leafCount && leafCount > 0)
+    // each hop's input includes the previous hop's emissions
+    buf.sliding(2).foreach { case scala.collection.mutable.Buffer(p, c) =>
+      assert(c.events.value >= p.emitted.value)
+    }
+    // nation root: 25 nations in, 25 alive deltas out (no deletes)
+    assert(buf.head.events.value == 25 && buf.head.emitted.value == 25)
+  }
+
   // ---- TreeCompiler: FK-metadata-derived chains ----------------------
 
   import graft.streaming.TreeCompiler
