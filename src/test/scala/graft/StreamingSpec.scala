@@ -227,6 +227,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("tree stream recovers from a checkpoint restart with state intact") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IncrementalQueries
+    val dir = SparkTestSession.sfTiny
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val logs = IncrementalQueries.q10Changelogs(spark, dir)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    // the memory sink can't recover from a checkpoint; foreachBatch
+    // can — batches are stored by batchId, so a replayed batch after
+    // restart overwrites itself (idempotent, the production upsert
+    // pattern)
+    val sunk = new scala.collection.concurrent.TrieMap[Long, Seq[Evt]]
+    def startQuery() = {
+      val out = runStream(IncrementalQueries.q10Tree,
+        streams.map { case (r, ms) => r -> ms.toDS() })
+      out.writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[Evt], batchId: Long) =>
+          sunk.put(batchId, df.collect().toSeq): Unit)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    // batch 1 (inserts) under the FIRST query incarnation
+    val q1 = startQuery()
+    try {
+      streams.foreach { case (rel, ms) =>
+        val ins = logs(rel).filter(_.seq == 0L)
+        if (ins.nonEmpty) ms.addData(ins)
+      }
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // deletes under a RESTARTED query: parent-death fan-out and child
+    // retraction must hit state recovered from the checkpoint, not
+    // fresh empty state
+    val q2 = startQuery()
+    try {
+      streams.foreach { case (rel, ms) =>
+        val dels = logs(rel).filter(_.seq == 1L)
+        if (dels.nonEmpty) ms.addData(dels)
+      }
+      q2.processAllAvailable()
+      def fold(evts: Seq[Evt]): Map[String, Int] =
+        evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+          .filter(_._2 != 0).toMap
+      val streamed = fold(sunk.values.flatten.toSeq)
+      val batched = fold(
+        runBatch(IncrementalQueries.q10Tree,
+          IncrementalQueries.q10Changelogs(spark, dir)).collect().toSeq)
+      assert(batched.nonEmpty && streamed == batched)
+    } finally q2.stop()
+  }
+
   test("streaming Q10 tree over micro-batches equals the batch run (sf0.001)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
