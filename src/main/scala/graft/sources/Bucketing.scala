@@ -34,4 +34,23 @@ object Bucketing {
     * the same key and bucket count — planned with no shuffle. */
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Write a DataFrame as a DIRECTORY-PARTITIONED parquet layout (one
+    * directory per value of `partitionCol`) — the persisted form of an
+    * IVF index: the coarse-quantizer cell id becomes the physical
+    * layout, so a probe that filters on its nprobe cells reads ONLY
+    * those directories (partition pruning, `PartitionFilters` in the
+    * scan — asserted in SimilaritySpec). At 100 TB this is the
+    * difference between a probe scanning the corpus and scanning
+    * corpus/C × nprobe. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Read back a partitioned layout with a partition-value filter the
+    * planner prunes against the directory structure. */
+  def readPartition(spark: SparkSession, path: String, partitionCol: String,
+                    values: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col(partitionCol)
+        .isin(values.map(Long.box): _*))
 }
