@@ -171,6 +171,45 @@ object Curation {
           .select("doc_id", "lang", "source")
     },
 
+    // --- document chunking: token windows with stride ------------------
+    // The preprocessing step before embedding/pretraining: split each
+    // document into windows of 64 tokens at stride 48 (16-token
+    // overlap), final partial window kept iff it adds >= 1 new token.
+    // Pure per-row explode over computed indices — scan + Generate, no
+    // shuffle; chunk count per doc is ceil((n-64)/48)+1, so output
+    // scales linearly with corpus tokens.
+    sql("text_chunk_windows",
+      """WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |c AS (
+        | SELECT doc_id, lang,
+        |  unnest(generate_series(0,
+        |    CASE WHEN len(toks) <= 64 THEN 0
+        |         ELSE CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 48) AS BIGINT) END)) AS chunk_id,
+        |  toks
+        | FROM t WHERE len(toks) >= 1)
+        |SELECT doc_id, lang, chunk_id,
+        | array_to_string(list_slice(toks, chunk_id * 48 + 1,
+        |   least(chunk_id * 48 + 64, len(toks))), ' ') AS chunk,
+        | least(chunk_id * 48 + 64, len(toks)) - chunk_id * 48 AS n_tokens
+        |FROM c""".stripMargin) {
+      (s, d) =>
+        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), toks.as("toks"))
+          .filter(size(col("toks")) >= 1)
+        val nChunksMinus1 = when(size(col("toks")) <= 64, lit(0L))
+          .otherwise(ceil((size(col("toks")) - lit(64)).cast("double") / 48).cast(LongType))
+        t.select(col("doc_id"), col("lang"), col("toks"),
+            explode(sequence(lit(0L), nChunksMinus1)).as("chunk_id"))
+          .select(col("doc_id"), col("lang"), col("chunk_id"),
+            concat_ws(" ", slice(col("toks"), (col("chunk_id") * 48 + 1).cast("int"),
+              (least(col("chunk_id") * 48 + 64, size(col("toks")))
+                - col("chunk_id") * 48).cast("int"))).as("chunk"),
+            (least(col("chunk_id") * 48 + 64, size(col("toks")))
+              - col("chunk_id") * 48).as("n_tokens"))
+    },
+
     // --- decontamination: eval-set n-gram overlap ----------------------
     // The check a training pipeline runs against its benchmark suite:
     // flag training documents sharing >= 3 distinct word 5-grams with

@@ -207,6 +207,70 @@ object Dedup {
       s"(CASE WHEN v[$LshBits*j+$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Shared oracle CTE chain: minhash pairs at τ=0.5 → symmetric edge
+    * set → recursive min-label reachability (`reach(doc, lbl)`). */
+  private val ccCteSql: String =
+    s"""pairs AS ($minhashPairsSql),
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jacc >= 0.5
+       | UNION ALL
+       | SELECT doc_b, doc_a FROM pairs WHERE jacc >= 0.5),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach(doc, lbl) AS (
+       | SELECT doc, doc FROM nodes
+       | UNION
+       | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src)""".stripMargin
+
+  /** Near-dup connected components: minhash pairs at τ=0.5 become
+    * edges; iterative min-label propagation (Pregel-lite: driver-side
+    * convergence loop, data stays distributed, lineage truncated per
+    * round) assigns each doc its component's smallest doc_id as
+    * cluster_id. Iterations ≤ component diameter; for planet-scale
+    * graphs swap the loop body for alternating large-star/small-star —
+    * the per-round join shape is the same. */
+  private def connectedComponents(s: SparkSession, d: String): DataFrame = {
+    val p = minhashPairs(s, d).filter(col("jacc") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint()
+    // labels only ever DECREASE (min-propagation), so the exact
+    // decimal sum of labels is strictly monotone until the fixed
+    // point: comparing it round-over-round detects convergence
+    // with one cheap aggregate instead of a next⋈old diff join.
+    // DECIMAL(38,0), not BIGINT — at corpus scale sum(doc_id)
+    // overflows a long.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
+        .getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    var iter = 0
+    val maxIter = 100 // safety net only; real bound is component diameter
+    while (!converged && iter < maxIter) {
+      val prop = labels.join(edges, col("doc") === col("src"))
+        .select(col("dst").as("doc"), col("lbl"))
+      // eager checkpoint per round: each iteration's plan stays
+      // one-join shallow (a deep lineage would recompute every
+      // prior round inside every later one)
+      val next = labels.unionByName(prop)
+        .groupBy("doc").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    // silent non-convergence would emit WRONG labels (a split
+    // cluster) — fail loudly instead
+    require(converged,
+      s"connected components did not converge in $maxIter rounds (component diameter > $maxIter?)")
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // --- exact dedup ---------------------------------------------------
@@ -238,68 +302,48 @@ object Dedup {
     // len(∩)/len(∪) produces, so the doubles match exactly.
     sql("dedup_minhash_pairs", minhashPairsSql)(minhashPairs),
 
-    // --- near-dup cluster resolution (connected components) -------------
-    // The step a training pipeline actually needs: minhash pairs at
-    // τ=0.5 become edges; iterative min-label propagation (Pregel-lite:
-    // a driver-side convergence loop, data stays distributed, lineage
-    // truncated per round) assigns each doc its component's smallest
-    // doc_id as cluster_id. Iterations ≤ component diameter; for
-    // planet-scale graphs swap the loop body for the alternating
-    // large-star/small-star algorithm — the per-round join shape is
-    // the same. Oracle: recursive CTE over the identical edge set.
+    // --- near-dup cluster resolution (see [[connectedComponents]]) ------
     sql("dedup_connected_components",
-      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
-         |edges AS (
-         | SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jacc >= 0.5
-         | UNION ALL
-         | SELECT doc_b, doc_a FROM pairs WHERE jacc >= 0.5),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach(doc, lbl) AS (
-         | SELECT doc, doc FROM nodes
-         | UNION
-         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src)
-         |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin) {
+      s"""WITH RECURSIVE $ccCteSql
+         |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin)(
+      connectedComponents),
+
+    // --- cluster representative selection --------------------------------
+    // The RESOLUTION step after clustering: per near-dup cluster keep
+    // the best document (max token count, doc_id tie-break) — what a
+    // pipeline actually writes out after detect → cluster. Window over
+    // cluster_id; cluster sizes are near-dup groups (small by nature),
+    // so the partition key is never corpus-skewed.
+    sql("dedup_cluster_keepers",
+      s"""WITH RECURSIVE $ccCteSql,
+         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |stats AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '$tokenPattern')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |ranked AS (
+         | SELECT l.cluster_id, l.doc_id, s.n_tokens,
+         |  ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |    ORDER BY s.n_tokens DESC, l.doc_id) AS rnk,
+         |  CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS n_members
+         | FROM labels l JOIN stats s ON s.doc_id = l.doc_id)
+         |SELECT cluster_id, doc_id AS keeper_doc_id, n_tokens, n_members
+         |FROM ranked WHERE rnk = 1""".stripMargin) {
       (s, d) =>
-        val p = minhashPairs(s, d).filter(col("jacc") >= 0.5)
-          .select(col("doc_a"), col("doc_b"))
-        val edges = p.union(p.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").localCheckpoint()
-        var labels = edges.select(col("src").as("doc")).distinct()
-          .withColumn("lbl", col("doc")).localCheckpoint()
-        // labels only ever DECREASE (min-propagation), so the exact
-        // decimal sum of labels is strictly monotone until the fixed
-        // point: comparing it round-over-round detects convergence
-        // with one cheap aggregate instead of a next⋈old diff join.
-        // DECIMAL(38,0), not BIGINT — at corpus scale sum(doc_id)
-        // overflows a long.
-        def lblSum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("lbl").cast(
-            org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
-            .getDecimal(0)
-        var prevSum = lblSum(labels)
-        var converged = false
-        var iter = 0
-        val maxIter = 100 // safety net only; real bound is component diameter
-        while (!converged && iter < maxIter) {
-          val prop = labels.join(edges, col("doc") === col("src"))
-            .select(col("dst").as("doc"), col("lbl"))
-          // eager checkpoint per round: each iteration's plan stays
-          // one-join shallow (a deep lineage would recompute every
-          // prior round inside every later one)
-          val next = labels.unionByName(prop)
-            .groupBy("doc").agg(min("lbl").as("lbl"))
-            .localCheckpoint()
-          val nextSum = lblSum(next)
-          converged = nextSum.compareTo(prevSum) == 0
-          prevSum = nextSum
-          labels = next
-          iter += 1
-        }
-        // silent non-convergence would emit WRONG labels (a split
-        // cluster) — fail loudly instead
-        require(converged,
-          s"connected components did not converge in $maxIter rounds (component diameter > $maxIter?)")
-        labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+        import org.apache.spark.sql.expressions.Window
+        val labels = connectedComponents(s, d)
+        val stats = Tables.documents(s, d).select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)))
+            .cast("long").as("n_tokens"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        val cnt = Window.partitionBy(col("cluster_id"))
+        labels.join(stats, "doc_id")
+          .select(col("cluster_id"), col("doc_id"), col("n_tokens"),
+            row_number().over(w).as("rnk"),
+            count(lit(1)).over(cnt).cast("long").as("n_members"))
+          .filter(col("rnk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+            col("n_tokens"), col("n_members"))
     },
 
     // --- simhash signatures ----------------------------------------------
