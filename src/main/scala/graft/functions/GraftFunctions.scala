@@ -37,7 +37,14 @@ object GraftFunctions {
     ("vec_dot", "vec_dot(a, b) - sequential-fold dot product of two double arrays",
       { case Seq(a, b) => VecDot(a, b) }),
     ("vec_norm_sq", "vec_norm_sq(a) - sequential-fold squared L2 norm",
-      { case Seq(a) => VecNormSq(a) }))
+      { case Seq(a) => VecNormSq(a) }),
+    ("word_ngrams", "word_ngrams(tokens, n) - all word n-grams WITH duplicates",
+      { case Seq(c, n) => WordNgrams(c, intLit(n, "word_ngrams")) }),
+    ("simhash_agg", "simhash_agg(md5hex) - aggregate: 64-bit SimHash of a group's md5 hex values",
+      { case Seq(c) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+          SimHashAgg(c), org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false) }))
 
   /** Wrong arity → a named error instead of a bare MatchError. */
   private def totalBuilder(name: String, usage: String,

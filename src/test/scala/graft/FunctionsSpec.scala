@@ -147,6 +147,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 / 3)
     assert(r.getDouble(3) == 11.0 && r.getDouble(4) == 25.0)
     assert(r.getLong(5) == graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
+    val r2 = spark.sql(
+      "SELECT word_ngrams(array('a','b','a','b'), 2) AS g").collect()(0)
+    assert(r2.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    // the aggregate registers too: one group, one token hash
+    val r3 = spark.sql(
+      "SELECT simhash_agg(h) AS sh FROM (SELECT md5('tok') AS h)").collect()(0)
+    assert(r3.getString(0) == java.security.MessageDigest.getInstance("MD5")
+      .digest("tok".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
   }
 
   test("GraftExtensions injections land in a function registry") {
