@@ -139,6 +139,34 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("randomized predicate shapes: compiled insert-only always equals spark.sql") {
+    Seq("region", "nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val rnd = new scala.util.Random(42)
+    val statuses = Seq("'F'", "'O'", "'P'")
+    (1 to 5).foreach { i =>
+      val lo = 1000 + rnd.nextInt(50000)
+      val hi = lo + 20000 + rnd.nextInt(100000)
+      val bal = rnd.nextInt(5000) - 1000
+      val st = rnd.shuffle(statuses).take(1 + rnd.nextInt(2)).mkString(", ")
+      val regionPred = if (rnd.nextBoolean()) "r_name <> 'AFRICA'" else "r_name IS NOT NULL"
+      val sqlText =
+        s"""SELECT n_name, COUNT(*) AS n,
+           | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2
+           |FROM region, nation, customer, orders
+           |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+           | AND o_custkey = c_custkey
+           | AND $regionPred
+           | AND o_totalprice BETWEEN $lo AND $hi
+           | AND o_orderstatus IN ($st)
+           | AND c_acctbal >= $bal
+           |GROUP BY n_name""".stripMargin
+      val got = SqlCompiler.run(s, d, sqlText).orderBy("n_name").collect().toSeq
+      val want = s.sql(sqlText).orderBy("n_name").collect().toSeq
+      assert(got == want, s"case $i diverged:\n$sqlText")
+    }
+  }
+
   test("unsupported shapes fail loudly") {
     def bad(sqlText: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
