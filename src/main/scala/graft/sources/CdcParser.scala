@@ -36,8 +36,12 @@ object CdcParser {
     val header = substring(col("value"), 1, 7)
     val body = expr("substring(value, 9)") // 7-char header + 1 separator (DataFlow.java:70-71)
     val parts = split(body, "\\|")
+    // try_element_at + try_cast: a truncated or malformed line must
+    // yield null fields, not an INVALID_ARRAY_INDEX / CAST_INVALID_INPUT
+    // error killing the whole job under ANSI mode — [[rejects]] routes
+    // such lines to quarantine; the demux itself must stay TOTAL
     val typedCols = schema.zipWithIndex.map { case ((name, dt), i) =>
-      element_at(parts, i + 1).cast(dt).as(name)
+      try_element_at(parts, lit(i + 1)).try_cast(dt).as(name)
     }
     lines
       .filter(substring(header, 4, 4) === relCode)
@@ -52,5 +56,35 @@ object CdcParser {
   def toCdcLines(df: DataFrame, add: Boolean, relCode: String, cols: Seq[String]): DataFrame = {
     val headerStr = (if (add) "Add" else "Sub") + relCode
     df.select(concat_ws("|", (lit(headerStr) +: cols.map(c => col(c).cast("string"))): _*).as("value"))
+  }
+
+  /** Dead-letter routing: lines the N-filter demux would otherwise
+    * lose SILENTLY — unknown/short header, wrong field count, or a
+    * field whose cast fails while the raw text isn't the literal
+    * "null". The reference has no such path (bad lines vanish inside
+    * its per-relation filters); real ingest needs the rejects routed
+    * to a quarantine sink with a `reason`, not dropped. Pure
+    * per-line expressions — same single-scan cost model as the demux
+    * itself. */
+  def rejects(lines: DataFrame, schemas: Map[String, RelationSchema]): DataFrame = {
+    val action = substring(col("value"), 1, 3)
+    val codeCol = substring(col("value"), 4, 4)
+    val parts = split(expr("substring(value, 9)"), "\\|")
+    val headerBad = length(col("value")) < lit(9) ||
+      !action.isin("Add", "Sub") ||
+      !codeCol.isin(schemas.keys.toSeq.map(lit): _*)
+    // per-relation: arity mismatch, or cast-failure on a non-"null" field
+    val perCode = schemas.map { case (code, schema) =>
+      val arityBad = size(parts) =!= lit(schema.size)
+      val castBad = schema.zipWithIndex.map { case ((_, dt), i) =>
+        val raw = try_element_at(parts, lit(i + 1))
+        raw.isNotNull && raw =!= "null" && raw.try_cast(dt).isNull
+      }.reduce(_ || _)
+      (codeCol === code) && (arityBad || castBad)
+    }.reduce(_ || _)
+    lines
+      .filter(headerBad || perCode)
+      .select(col("value"),
+        when(headerBad, "bad_header").otherwise("bad_fields").as("reason"))
   }
 }

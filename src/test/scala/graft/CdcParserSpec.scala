@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.CdcParser
+
+class CdcParserSpec extends AnyFunSuite {
+  private def s = SparkTestSession.spark
+
+  test("rejects routes exactly the malformed lines, with reasons") {
+    val ss = s
+    import ss.implicits._
+    val schemas: Map[String, CdcParser.RelationSchema] = Map(
+      "LINE" -> Seq("l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_returnflag" -> StringType))
+    val good1 = "AddLINE|42|12.5|R"
+    val good2 = "SubLINE|7|null|N"        // explicit null field is legal
+    val badHeader1 = "ZapLINE|1|2.0|R"    // unknown action
+    val badHeader2 = "AddXXXX|1|2.0|R"    // unknown relation code
+    val badHeader3 = "AddLIN"             // truncated
+    val badArity = "AddLINE|1|2.0"        // missing field
+    val badCast = "AddLINE|notanum|2.0|R" // unparseable bigint
+    val lines = Seq(good1, good2, badHeader1, badHeader2, badHeader3, badArity, badCast)
+      .toDF("value")
+
+    val rej = CdcParser.rejects(lines, schemas).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rej.keySet ==
+      Set(badHeader1, badHeader2, badHeader3, badArity, badCast))
+    assert(rej(badHeader1) == "bad_header" && rej(badHeader3) == "bad_header")
+    assert(rej(badArity) == "bad_fields" && rej(badCast) == "bad_fields")
+
+    // the clean remainder parses fully typed with no null surprises
+    val clean = lines.join(CdcParser.rejects(lines, schemas).select("value"),
+      Seq("value"), "left_anti")
+    val parsed = CdcParser.parseRelation(clean, "LINE", schemas("LINE"))
+      .orderBy("l_orderkey").collect()
+    assert(parsed.length == 2)
+    assert(parsed(0).getString(0) == "Delete" && parsed(0).getLong(2) == 7L
+      && parsed(0).isNullAt(3))
+    assert(parsed(1).getString(0) == "Insert" && parsed(1).getLong(2) == 42L
+      && parsed(1).getDouble(3) == 12.5)
+  }
+}
