@@ -34,14 +34,17 @@ object Bench {
     // warm-up: session init, JIT, codegen compilation and parquet
     // footer caches — EVERY headline pipeline once on the TINY fixture,
     // so each measured run times the query's work, not its codegen/JIT
-    // compile, while the measured data's page cache stays cold
-    try {
-      force(SparkEntry.queries("scan_project")(spark, "/root/testdata/sf0.001"))
-      SparkEntry.benchNames.foreach { name =>
-        try force(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
-        catch { case _: Throwable => () }
+    // compile, while the measured data's page cache stays cold. A
+    // failed warm-up is REPORTED (stderr, not the JSON line): silently
+    // swallowing it would let the first measured query absorb compile
+    // cost — exactly the pollution this exists to prevent.
+    val tinyDir = sys.env.getOrElse("SPARK_GRAFT_TINY_DIR", "/root/testdata/sf0.001")
+    ("scan_project" +: SparkEntry.benchNames).foreach { name =>
+      try force(SparkEntry.queries(name)(spark, tinyDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up of $name on $tinyDir failed: ${e.getMessage}")
       }
-    } catch { case _: Throwable => () }
+    }
 
     // failures report as -1 (never as a plausible-looking timing) and
     // are excluded from the total

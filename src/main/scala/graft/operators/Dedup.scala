@@ -241,10 +241,12 @@ object Dedup {
     // with one cheap aggregate instead of a next⋈old diff join.
     // DECIMAL(38,0), not BIGINT — at corpus scale sum(doc_id)
     // overflows a long.
+    // sum() of an EMPTY frame is null — a clean corpus (no pair at
+    // τ≥0.5) must yield an empty result, not an NPE in compareTo
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast(
+      Option(df.agg(sum(col("lbl").cast(
         org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
-        .getDecimal(0)
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var converged = false
     var iter = 0

@@ -29,6 +29,11 @@ object CdcParser {
   /** Parse a frame of raw CDC lines (column `value`, as produced by
     * `spark.read.text` / `spark.readStream.text`).
     *
+    * TOTAL over malformed input (truncated/uncastable fields become
+    * nulls rather than ANSI errors) — when the stream may contain
+    * garbage, split it with [[cleanLines]]/[[rejects]] first so
+    * quarantined lines don't double as null-padded relation rows.
+    *
     * @return frame with `action` (Insert/Delete), `relation`, and the
     *         typed columns of `schema`, filtered to `relCode`.
     */
@@ -67,6 +72,19 @@ object CdcParser {
     * per-line expressions — same single-scan cost model as the demux
     * itself. */
   def rejects(lines: DataFrame, schemas: Map[String, RelationSchema]): DataFrame = {
+    rejectsOrClean(lines, schemas, wantRejects = true)
+  }
+
+  /** The complement of [[rejects]]: lines safe to feed to
+    * [[parseRelation]]. ALWAYS split the stream with this pair —
+    * `parseRelation` alone is total (null-pads malformed fields), so
+    * feeding it unsplit input would let a quarantined line ALSO appear
+    * as a null-padded row in the relation output. */
+  def cleanLines(lines: DataFrame, schemas: Map[String, RelationSchema]): DataFrame =
+    rejectsOrClean(lines, schemas, wantRejects = false).drop("reason")
+
+  private def rejectsOrClean(lines: DataFrame, schemas: Map[String, RelationSchema],
+                             wantRejects: Boolean): DataFrame = {
     val action = substring(col("value"), 1, 3)
     val codeCol = substring(col("value"), 4, 4)
     val parts = split(expr("substring(value, 9)"), "\\|")
@@ -82,8 +100,9 @@ object CdcParser {
       }.reduce(_ || _)
       (codeCol === code) && (arityBad || castBad)
     }.reduce(_ || _)
+    val bad = headerBad || perCode
     lines
-      .filter(headerBad || perCode)
+      .filter(if (wantRejects) bad else !bad)
       .select(col("value"),
         when(headerBad, "bad_header").otherwise("bad_fields").as("reason"))
   }

@@ -158,15 +158,41 @@ object DeltaEngine {
   final case class NState(children: Map[String, Int], aliveParents: Int, parentCanon: String)
   val emptyState: NState = NState(Map.empty, 0, "")
 
+  /** Unicode CODE-POINT order — the order UTF-8 byte comparison gives,
+    * which is what the batch driver's `flatMapSortedGroups` sorts row
+    * strings by (UTF8String is byte-compared). Plain
+    * `String.compareTo` is UTF-16 code-UNIT order, which disagrees for
+    * supplementary characters vs U+E000..U+FFFF — using it here would
+    * make batch and streaming fold non-ASCII same-seq events in
+    * different orders. Standard surrogate fix-up on the first
+    * differing char. */
+  private def compareCodePoint(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca < 0xD800 && cb < 0xD800) return ca - cb
+        def fix(c: Char): Int = if (c >= 0xE000) c - 0x800 else c + 0x2000
+        val fa = if (ca >= 0xD800) fix(ca) else ca.toInt
+        val fb = if (cb >= 0xD800) fix(cb) else cb.toInt
+        return fa - fb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Deterministic per-key event order: seq, then parent deltas before
-    * own events, then canonical row. */
+    * own events, then canonical row (code-point order — see
+    * [[compareCodePoint]]). */
   private val evtOrder: java.util.Comparator[Evt] = new java.util.Comparator[Evt] {
     override def compare(a: Evt, b: Evt): Int = {
       val c1 = java.lang.Long.compare(a.seq, b.seq)
       if (c1 != 0) return c1
       val c2 = java.lang.Boolean.compare(!a.fromParent, !b.fromParent)
       if (c2 != 0) return c2
-      a.row.compareTo(b.row)
+      compareCodePoint(a.row, b.row)
     }
   }
 

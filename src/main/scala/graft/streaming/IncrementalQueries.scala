@@ -248,21 +248,26 @@ object IncrementalQueries {
         ins.unionAll(CdcParser.toCdcLines(df.filter(cond), add = false, code, cols)))
         .getOrElse(ins)
     }
-    // ONE interleaved line stream, like the reference's single source.
-    // CACHED: all four demux branches scan it, and without the cache
-    // each branch re-renders every table (16 parquet scans + 4 full
-    // line passes — measured 5.4 s vs 2.6 s at sf0.1). In production
-    // the lines ARE a file and the page cache does this; a single
-    // narrow string column is cheap to materialize (NOT the measured
-    // 40× array-cache trap, which is about wide array<string> cells).
-    val lines =
+    // ONE interleaved line stream, like the reference's single source —
+    // MATERIALIZED TO A TEMP TEXT FILE and read back, so this query
+    // exercises the reference's true input shape (spark.read.text) and
+    // all four demux branches scan the file through the page cache.
+    // Without sharing, each branch re-renders every table (16 parquet
+    // scans + 4 full line passes — measured 5.4 s vs 2.6 s at sf0.1);
+    // a .cache() would do too, but it pins executor storage memory for
+    // the rest of the session with no unpersist point.
+    val rendered =
       render(Tables.nation(s, dir), "NATI", nationCols, None)
         .unionAll(render(Tables.customer(s, dir), "CUST", custCols, None))
         .unionAll(render(Tables.orders(s, dir), "ORDE", ordCols,
           Some(col("o_orderkey") % 50 === 0)))
         .unionAll(render(Tables.lineitem(s, dir), "LINE", liCols,
           Some(col("l_linenumber") === 3)))
-        .cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_lines")
+    tmp.toFile.deleteOnExit()
+    val path = tmp.resolve("lines").toString
+    rendered.write.mode("overwrite").text(path)
+    val lines = s.read.text(path)
     def parse(code: String, schema: Seq[(String, org.apache.spark.sql.types.DataType)]) =
       CdcParser.parseRelation(lines, code, schema)
     val logs: Map[String, Dataset[Evt]] = Map(
@@ -305,15 +310,21 @@ object IncrementalQueries {
     import org.apache.spark.sql.expressions.Window
     val leaf = runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true).toDF()
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
-    val ev = leaf.select(
-      col("seq"),
-      (col("tag") * col("mult")).cast(LongType).as("sign"),
-      c.getItem("c_custkey").cast(LongType).as("c_custkey"),
-      c.getItem("l_orderkey").cast(LongType).as("l_orderkey"),
-      c.getItem("l_linenumber").cast(LongType).as("l_linenumber"),
-      round(c.getItem("l_extendedprice").cast(DoubleType) *
-        (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
-        .cast(LongType).as("rev_e4"))
+    // mult > 1 events (a parent flip replaying n identical buffered
+    // children) EXPAND to n unit rows: the reference emits one Output
+    // per base row, and the oracle counts per-row — a packed sign=±n
+    // row would diverge from it exactly when duplicates exist
+    val ev = leaf
+      .withColumn("_unit", explode(sequence(lit(1), col("mult"))))
+      .select(
+        col("seq"),
+        col("tag").cast(LongType).as("sign"),
+        c.getItem("c_custkey").cast(LongType).as("c_custkey"),
+        c.getItem("l_orderkey").cast(LongType).as("l_orderkey"),
+        c.getItem("l_linenumber").cast(LongType).as("l_linenumber"),
+        round(c.getItem("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+          .cast(LongType).as("rev_e4"))
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
     // (no composite-PK guarantee), so sign + rev_e4 join the sort key;
     // fully identical events commute without changing the trajectory

@@ -46,9 +46,23 @@ object TreeCompiler {
 
   /** `<stem>key` column whose stem prefixes the table name. */
   def primaryKey(r: RelationSchema): Option[String] =
+    primaryKeyIn(r, Seq(r))
+
+  /** [[primaryKey]] with cross-relation disambiguation: a candidate
+    * whose stem is the EXACT name of a DIFFERENT relation in the set
+    * is that relation's key travelling as a foreign key, not this
+    * relation's PK (partsupp.ps_partkey has stem "part", which
+    * prefixes "partsupp" — but with `part` present the claim is
+    * resolved to part's PK and partsupp correctly gets none, matching
+    * its composite-key reality). */
+  def primaryKeyIn(r: RelationSchema, all: Seq[RelationSchema]): Option[String] =
     r.columns.find { c =>
       val sfx = suffix(c)
-      sfx.endsWith("key") && sfx.length > 3 && r.name.startsWith(sfx.dropRight(3))
+      sfx.endsWith("key") && sfx.length > 3 && {
+        val stem = sfx.dropRight(3)
+        r.name.startsWith(stem) &&
+          !all.exists(o => o.name != r.name && o.name == stem)
+      }
     }
 
   /** All child→parent FK edges derivable from the schemas. */
@@ -56,7 +70,7 @@ object TreeCompiler {
     for {
       child <- rels
       parent <- rels if parent.name != child.name
-      pk <- primaryKey(parent).toSeq
+      pk <- primaryKeyIn(parent, rels).toSeq
       fk <- child.columns.find(c => suffix(c) == suffix(pk)).toSeq
     } yield FkEdge(child.name, fk, parent.name, pk)
 

@@ -32,8 +32,8 @@ class CdcParserSpec extends AnyFunSuite {
     assert(rej(badArity) == "bad_fields" && rej(badCast) == "bad_fields")
 
     // the clean remainder parses fully typed with no null surprises
-    val clean = lines.join(CdcParser.rejects(lines, schemas).select("value"),
-      Seq("value"), "left_anti")
+    val clean = CdcParser.cleanLines(lines, schemas)
+    assert(clean.count() + rej.size == lines.count(), "clean/rejects partition the stream")
     val parsed = CdcParser.parseRelation(clean, "LINE", schemas("LINE"))
       .orderBy("l_orderkey").collect()
     assert(parsed.length == 2)
