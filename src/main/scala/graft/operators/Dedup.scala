@@ -140,17 +140,20 @@ object Dedup {
        |  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.01""".stripMargin
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // `sh` is referenced from several subtrees (sig, both confirm
-    // sides, the counts) and deliberately NOT cached: one WordShingles
-    // pass over the scan is ~0.3s at sf0.1, while materializing
-    // array<string> into the columnar cache measured 10.3s —
-    // recompute-per-reference wins by an order of magnitude.
-    val sh = shingled(s, d)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    // NOT cached either: AQE reuses the identical sig exchange across
-    // the bands self-join at runtime; an explicit .cache() measured
-    // neutral-to-slower (materialization serializes the first use)
-    val sig = baseHashed(s, d).groupBy(col("doc_id"))
+    // The shingle pipeline feeds FOUR consumers (sig, both confirm
+    // sides, the per-doc counts). The wide array<string> `sh` frame
+    // must NOT be cached (materializing array cells into the columnar
+    // cache measured 10.3s vs 0.3s/recompute — round-1 trap #2), but
+    // the EXPLODED (doc_id, shingle) rows are narrow strings: one
+    // eager localCheckpoint materializes the tokenize+shingle work
+    // once (~10 MB at sf0.1) and every consumer reads rows, not
+    // array cells.
+    val ex = shingled(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .localCheckpoint()
+    val sig = ex
+      .select(col("doc_id"), baseHash(col("s")).as("h"))
+      .groupBy(col("doc_id"))
       .agg(minhashAggCols.head, minhashAggCols.tail: _*)
     // Scalable LSH shape: signature → (band, hash) rows → equi-join
     // on long keys (never an OR-of-bands theta join).
@@ -163,7 +166,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val nDf = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    // shingles are distinct per doc, so the per-doc count IS the
+    // exploded row count — derived from `ex`, no re-shingle
+    val nDf = ex.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
     val inter = cand
       .join(ex.as("xa"), col("xa.doc_id") === col("doc_a"))
       .join(ex.as("xb"),
