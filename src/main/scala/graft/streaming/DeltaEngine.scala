@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The incremental acyclic-FK-join-tree engine — the Cquirrel/AJU
   * capability that is the reference's distinguishing feature
@@ -308,6 +308,68 @@ object DeltaEngine {
       key: String, events: Iterator[Evt]): Iterator[Evt] =
     foldKey(spec, events, emptyState, exportState = false, preFiltered, preSorted)._1
 
+  /** One liveness stage of a (possibly BRANCHING) FK join tree.
+    *
+    * The AJU model is defined over trees: a fact like lineitem may
+    * reference orders AND part, and is alive iff ALL parents are
+    * alive. A distributed engine cannot co-partition one state store
+    * on two different FKs, so the conjunction is decomposed into a
+    * CHAIN OF PER-PARENT STAGES — stage i is keyed by FK_i, buffers
+    * the tuples that survived stages < i, tracks parent_i's liveness
+    * with the unchanged [[NodeSpec]]/NState fold, and emits merged
+    * deltas re-keyed for stage i+1. Retractions w.r.t. an earlier
+    * parent arrive as own-event deletions and flow through; the NET
+    * stays order-independent (ghost-tolerant signed multisets), so
+    * the decomposition preserves exactly the "alive iff all parents
+    * alive" semantics while giving each conjunct its own
+    * co-partitioned shuffle — the shape this takes on a real cluster.
+    *
+    * @param name        unique stage id (stats + upstream references)
+    * @param spec        the per-key fold config; `spec.relation` names
+    *                    the base changelog when `ownStage` is None
+    * @param ownStage    upstream stage whose emissions are this
+    *                    stage's OWN changelog (multi-parent chaining);
+    *                    None → `changelogs(spec.relation)`
+    * @param parentStage upstream stage providing parent deltas; None
+    *                    for branch roots
+    */
+  final case class Stage(
+      name: String,
+      spec: NodeSpec,
+      ownStage: Option[String] = None,
+      parentStage: Option[String] = None)
+
+  /** A root→leaf chain as stages — the original [[runBatch]] shape. */
+  def chainStages(specs: Seq[NodeSpec]): Seq[Stage] =
+    specs.zipWithIndex.map { case (sp, i) =>
+      Stage(sp.relation, sp,
+        parentStage = if (i == 0) None else Some(specs(i - 1).relation))
+    }
+
+  private def checkStages(stages: Seq[Stage]): Unit = {
+    require(stages.nonEmpty)
+    val names = stages.map(_.name)
+    require(names.distinct.size == names.size, s"duplicate stage names: $names")
+    val byName = stages.map(s => s.name -> s).toMap
+    val seen = scala.collection.mutable.Set[String]()
+    stages.foreach { st =>
+      (st.ownStage.toSeq ++ st.parentStage.toSeq).foreach { ref =>
+        require(seen(ref),
+          s"stage '${st.name}' references '$ref', which must precede it")
+      }
+      // an own-stage upstream must emit keyed by THIS stage's routing
+      // key — its merged rows contain childKeyCol (same relation), so
+      // the contract is a plain column-name equality
+      st.ownStage.foreach { ref =>
+        val up = byName(ref).spec.nextKeyCol
+        require(up == st.spec.childKeyCol,
+          s"stage '${st.name}' takes own events from '$ref', whose nextKeyCol " +
+            s"'$up' != childKeyCol '${st.spec.childKeyCol}' — emissions would be mis-keyed")
+      }
+      seen += st.name
+    }
+  }
+
   /** Run the tree in batch-simulation mode: each node is a
     * `groupByKey(joinKey).flatMapGroups` over the union of the
     * parent's deltas and the node's own changelog — the exact
@@ -343,36 +405,61 @@ object DeltaEngine {
 
   def runBatch(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]],
                sourceFiltered: Boolean = false,
-               stats: Option[scala.collection.mutable.Buffer[NodeStats]] = None): Dataset[Evt] = {
-    require(specs.nonEmpty)
-    val spark = changelogs(specs.head.relation).sparkSession
+               stats: Option[scala.collection.mutable.Buffer[NodeStats]] = None): Dataset[Evt] =
+    runTree(chainStages(specs), changelogs, sourceFiltered, stats)
+
+  /** [[runBatch]] generalized to BRANCHING trees (see [[Stage]]): the
+    * stages run in order, each one a `groupByKey` on its own FK; the
+    * last stage's emissions are the full join-result deltas. A stage
+    * output referenced by several consumers (a shared dimension) is
+    * recomputed per consumer up to Spark's exchange reuse — persist it
+    * upstream if that ever matters. */
+  def runTree(stages: Seq[Stage], changelogs: Map[String, Dataset[Evt]],
+              sourceFiltered: Boolean = false,
+              stats: Option[scala.collection.mutable.Buffer[NodeStats]] = None): Dataset[Evt] = {
+    checkStages(stages)
+    val spark = changelogs.head._2.sparkSession
     import spark.implicits._
-    var parentDeltas: Dataset[Evt] = null
-    specs.foreach { spec =>
-      val own = if (sourceFiltered) changelogs(spec.relation)
-                else predicatePushdown(spec, changelogs(spec.relation))
-      val events = if (parentDeltas == null) own else own.union(parentDeltas)
+    val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
+    stages.foreach { st =>
+      val spec = st.spec
+      val own = st.ownStage match {
+        case None =>
+          val base = changelogs.getOrElse(spec.relation, throw new IllegalArgumentException(
+            s"stage '${st.name}': no changelog for relation '${spec.relation}'"))
+          if (sourceFiltered) base else predicatePushdown(spec, base)
+        case Some(ref) =>
+          // the upstream stage's emissions become this stage's OWN
+          // changelog (the next conjunct of a multi-parent node): they
+          // arrive already keyed by this stage's childKeyCol (checked
+          // in [[checkStages]]), so only fromParent flips — a plain
+          // codegen'd projection, no object deserialization
+          outputs(ref).toDF()
+            .withColumn("fromParent", lit(false))
+            .as[Evt]
+      }
+      val events = st.parentStage.map(r => own.union(outputs(r))).getOrElse(own)
       val nodeStats = stats.map { buf =>
-        val st = NodeStats(spec.relation,
-          spark.sparkContext.longAccumulator(s"graft.${spec.relation}.events"),
-          spark.sparkContext.longAccumulator(s"graft.${spec.relation}.emitted"))
-        buf += st
-        st
+        val s = NodeStats(st.name,
+          spark.sparkContext.longAccumulator(s"graft.${st.name}.events"),
+          spark.sparkContext.longAccumulator(s"graft.${st.name}.emitted"))
+        buf += s
+        s
       }
       // intra-group evtOrder rides the shuffle's Tungsten sort (binary,
       // spill-safe) instead of a per-key toArray + JVM comparator sort
       // in the fold — `fromParent DESC` puts parent deltas first,
       // matching evtOrder's parent-before-own rule
-      parentDeltas = events
+      outputs(st.name) = events
         .groupByKey(_.key)
         .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(
           (k: String, it: Iterator[Evt]) => {
             val out = processKeyBatch(spec, preFiltered = true, preSorted = true)(
-              k, nodeStats.map(st => it.map { e => st.events.add(1); e }).getOrElse(it))
-            nodeStats.map(st => out.map { e => st.emitted.add(1); e }).getOrElse(out)
+              k, nodeStats.map(s => it.map { e => s.events.add(1); e }).getOrElse(it))
+            nodeStats.map(s => out.map { e => s.emitted.add(1); e }).getOrElse(out)
           })
     }
-    parentDeltas
+    outputs(stages.last.name)
   }
 
   /** Streaming flavor of [[processKeyBatch]]: same fold, with state
@@ -406,25 +493,41 @@ object DeltaEngine {
     */
   def runStream(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]],
                 stateTtl: Option[java.time.Duration] = None,
-                sourceFiltered: Boolean = false): Dataset[Evt] = {
-    require(specs.nonEmpty)
-    val spark = changelogs(specs.head.relation).sparkSession
+                sourceFiltered: Boolean = false): Dataset[Evt] =
+    runStreamTree(chainStages(specs), changelogs, stateTtl, sourceFiltered)
+
+  /** [[runStream]] generalized to branching trees — the streaming twin
+    * of [[runTree]] (chained `flatMapGroupsWithState` stages in Append
+    * mode; Spark supports chained stateful operators in append since
+    * 3.4). */
+  def runStreamTree(stages: Seq[Stage], changelogs: Map[String, Dataset[Evt]],
+                    stateTtl: Option[java.time.Duration] = None,
+                    sourceFiltered: Boolean = false): Dataset[Evt] = {
+    checkStages(stages)
+    val spark = changelogs.head._2.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val timeout =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    var parentDeltas: Dataset[Evt] = null
-    specs.foreach { spec =>
-      val own = if (sourceFiltered) changelogs(spec.relation)
-                else predicatePushdown(spec, changelogs(spec.relation))
-      val events = if (parentDeltas == null) own else own.union(parentDeltas)
-      parentDeltas = events
+    val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
+    stages.foreach { st =>
+      val spec = st.spec
+      val own = st.ownStage match {
+        case None =>
+          val base = changelogs.getOrElse(spec.relation, throw new IllegalArgumentException(
+            s"stage '${st.name}': no changelog for relation '${spec.relation}'"))
+          if (sourceFiltered) base else predicatePushdown(spec, base)
+        case Some(ref) =>
+          outputs(ref).toDF().withColumn("fromParent", lit(false)).as[Evt]
+      }
+      val events = st.parentStage.map(r => own.union(outputs(r))).getOrElse(own)
+      outputs(st.name) = events
         .groupByKey(_.key)
         .flatMapGroupsWithState[NState, Evt](
           OutputMode.Append, timeout)(
-          (k, it, st) => processKeyStream(spec, stateTtl, preFiltered = true)(k, it, st))
+          (k, it, s) => processKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
     }
-    parentDeltas
+    outputs(stages.last.name)
   }
 }

@@ -213,6 +213,71 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** A BRANCHING FK tree — the Q10 chain joined with a SECOND
+    * dimension branch: nation→customer→orders→lineitem←part. The
+    * multi-parent lineitem node (alive iff its orders-chain parent AND
+    * its part parent are both alive) decomposes into two liveness
+    * stages ([[DeltaEngine.Stage]]): ⋈orders keyed `l_orderkey`
+    * emitting re-keyed by `l_partkey`, then ⋈part keyed `l_partkey`.
+    * Deletes hit BOTH branches — orders (%50: parent-death fan-out
+    * into stage 1) and part (%10: parent-death fan-out into stage 2) —
+    * plus the fact itself (linenumber 3), so retractions cross the
+    * stage boundary in both directions. */
+  val partRevenueStages: Seq[Stage] = Seq(
+    Stage("nation", NodeSpec("nation", "n_nationkey", "n_nationkey",
+      isRoot = true, setSemantics = true)),
+    Stage("customer", NodeSpec("customer", "c_nationkey", "c_custkey"),
+      parentStage = Some("nation")),
+    Stage("orders", NodeSpec("orders", "o_custkey", "o_orderkey",
+      predicate = r => {
+        val d = r.getOrElse("o_orderdate", "")
+        d >= dateLo && d < dateHi
+      }), parentStage = Some("customer")),
+    Stage("lineitem", NodeSpec("lineitem", "l_orderkey", "l_partkey",
+      predicate = _.getOrElse("l_returnflag", "") == "R"),
+      parentStage = Some("orders")),
+    Stage("part", NodeSpec("part", "p_partkey", "p_partkey",
+      isRoot = true, setSemantics = true,
+      predicate = r => r.getOrElse("p_size", "99").toDouble <= 25)),
+    Stage("lineitem_part", NodeSpec("lineitem", "l_partkey", "l_partkey"),
+      ownStage = Some("lineitem"), parentStage = Some("part")))
+
+  def partRevenueChangelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
+    "nation" -> changelog(Tables.nation(s, dir), "n_nationkey",
+      Seq("n_nationkey", "n_name"), None),
+    "customer" -> changelog(Tables.customer(s, dir), "c_nationkey",
+      Seq("c_custkey", "c_nationkey"), None),
+    "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
+      Seq("o_orderkey", "o_custkey", "o_orderdate"),
+      Some(col("o_orderkey") % 50 === 0),
+      where = Some(col("o_orderdate") >= dateLo && col("o_orderdate") < dateHi)),
+    "lineitem" -> changelog(Tables.lineitem(s, dir), "l_orderkey",
+      Seq("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_returnflag"),
+      Some(col("l_linenumber") === 3),
+      where = Some(col("l_returnflag") === "R")),
+    "part" -> changelog(Tables.part(s, dir), "p_partkey",
+      Seq("p_partkey", "p_brand", "p_size"),
+      Some(col("p_partkey") % 10 === 0),
+      where = Some(col("p_size") <= 25)))
+
+  def incrementalPartRevenue(s: SparkSession, dir: String): DataFrame = {
+    val leaf = runTree(partRevenueStages, partRevenueChangelogs(s, dir),
+      sourceFiltered = true).toDF()
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    leaf.select(
+        (col("tag") * col("mult")).as("sign"),
+        c.getItem("n_name").as("n_name"),
+        c.getItem("p_brand").as("p_brand"),
+        round(c.getItem("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+          .cast(LongType).as("rev_e4"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
+        sum(col("sign")).cast(LongType).as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** [[Evt]] changelog from a [[CdcParser.parseRelation]] frame:
     * tag/seq derive from the parsed `action` (Insert → +1 @ seq 0,
     * Delete → −1 @ seq 1), `where` is the node predicate on the
@@ -462,5 +527,21 @@ object IncrementalQueries {
         |WHERE n_regionkey = r_regionkey AND s_nationkey = n_nationkey
         | AND l_suppkey = s_suppkey AND r_name IN ('ASIA', 'EUROPE')
         | AND l_quantity >= 25 AND l_linenumber <> 2 AND s_suppkey % 20 <> 0
-        |GROUP BY n_name""".stripMargin)(incrementalSupplierRevenue))
+        |GROUP BY n_name""".stripMargin)(incrementalSupplierRevenue),
+
+    // BRANCHING tree (multi-parent lineitem: orders-chain AND part) —
+    // the AJU capability beyond a chain. The oracle is the plain-SQL
+    // survivors query over the five-way join with deletes excluded on
+    // both branches.
+    sql("incremental_part_revenue",
+      s"""SELECT n_name, p_brand,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation, customer, orders, lineitem, part
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND l_orderkey = o_orderkey AND l_partkey = p_partkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R' AND p_size <= 25
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0 AND p_partkey % 10 <> 0
+         |GROUP BY n_name, p_brand""".stripMargin)(incrementalPartRevenue))
 }

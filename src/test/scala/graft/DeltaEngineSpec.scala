@@ -138,10 +138,149 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(buf.head.events.value == 25 && buf.head.emitted.value == 25)
   }
 
+  // ---- branching trees: multi-parent conjunction via stages ----------
+
+  import graft.streaming.IncrementalQueries
+
+  // child C references P1 (via fk1) AND P2 (via fk2): alive iff BOTH
+  // alive. The stage decomposition: fold-wrt-P1 keyed fk1, emissions
+  // re-keyed by fk2 and fed as OWN events into fold-wrt-P2.
+  private val p1Spec = NodeSpec("P1", "pk1", "pk1", isRoot = true, setSemantics = true)
+  private val p2Spec = NodeSpec("P2", "pk2", "pk2", isRoot = true, setSemantics = true)
+  private val c1Spec = NodeSpec("C", "fk1", "fk2",
+    predicate = _.getOrElse("v", "").toInt >= 10)
+  private val c2Spec = NodeSpec("C2", "fk2", "fk2")
+
+  private def p1Row(k: Int) = Map("pk1" -> k.toString, "pname" -> s"p$k")
+  private def p2Row(k: Int) = Map("pk2" -> k.toString, "qname" -> s"q$k")
+  private def childRow2(k1: Int, k2: Int, id: Int, v: Int) =
+    Map("fk1" -> k1.toString, "fk2" -> k2.toString, "cid" -> id.toString, "v" -> v.toString)
+
+  /** Drive the branching tree entirely in-process (no Spark) through
+    * the same per-key folds the Spark runner shuffles between. */
+  private def runTreeLocal(p1: Seq[Evt], p2: Seq[Evt], c: Seq[Evt])
+      : Seq[(Int, Int, Map[String, String])] = {
+    def fold(spec: NodeSpec, evs: Seq[Evt]): Seq[Evt] =
+      evs.groupBy(_.key).toSeq.flatMap { case (k, g) =>
+        processKeyBatch(spec)(k, g.iterator).toSeq
+      }
+    val s1Out = fold(c1Spec, c ++ fold(p1Spec, p1))
+    val s2In = s1Out.map(e => e.copy(fromParent = false)) ++ fold(p2Spec, p2)
+    fold(c2Spec, s2In).map(e => (e.tag, e.mult, e.cols))
+  }
+
+  // (who: 0=P1 1=P2 2=C, isInsert, k1, k2, id, v)
+  private type TreeOp = (Int, Boolean, Int, Int, Int, Int)
+
+  private def bruteForceTree(ops: Seq[TreeOp]): Map[(Int, Int, Int, Int), Int] = {
+    val p1Net = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    val p2Net = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    val cNet = scala.collection.mutable.Map[(Int, Int, Int, Int), Int]().withDefaultValue(0)
+    ops.foreach {
+      case (0, ins, k1, _, _, _)      => p1Net(k1) += (if (ins) 1 else -1)
+      case (1, ins, _, k2, _, _)      => p2Net(k2) += (if (ins) 1 else -1)
+      case (_, ins, k1, k2, id, v)    => cNet((k1, k2, id, v)) += (if (ins) 1 else -1)
+    }
+    cNet.toMap.collect {
+      case ((k1, k2, id, v), n) if n != 0 && v >= 10 && p1Net(k1) > 0 && p2Net(k2) > 0 =>
+        (k1, k2, id, v) -> n
+    }
+  }
+
+  private val treeOpGen: Gen[TreeOp] = for {
+    who <- Gen.oneOf(0, 1, 2, 2)
+    isInsert <- Gen.frequency(3 -> true, 1 -> false)
+    k1 <- Gen.choose(0, 2); k2 <- Gen.choose(0, 2)
+    id <- Gen.choose(0, 3); v <- Gen.choose(5, 15)
+  } yield (who, isInsert, k1, k2, id, v)
+
+  test("branching tree: net == batch over net tuples, both parents conjunctive") {
+    samples(Gen.listOfN(48, treeOpGen), 60).foreach { ops =>
+      val evts = ops.zipWithIndex.map { case ((who, ins, k1, k2, id, v), i) =>
+        val (row, key) = who match {
+          case 0 => (p1Row(k1), k1.toString)
+          case 1 => (p2Row(k2), k2.toString)
+          case _ => (childRow2(k1, k2, id, v), k1.toString) // C routes by fk1 first
+        }
+        (who, Evt(i.toLong, fromParent = false, if (ins) 1 else -1, 1, key, row))
+      }
+      val leaf = runTreeLocal(
+        evts.filter(_._1 == 0).map(_._2),
+        evts.filter(_._1 == 1).map(_._2),
+        evts.filter(_._1 == 2).map(_._2))
+      val got = scala.collection.mutable.Map[(Int, Int, Int, Int), Int]().withDefaultValue(0)
+      leaf.foreach { case (tag, mult, row) =>
+        got((row("fk1").toInt, row("fk2").toInt, row("cid").toInt, row("v").toInt)) += tag * mult
+      }
+      assert(got.filter(_._2 != 0).toMap == bruteForceTree(ops))
+      // the merged leaf rows carry BOTH parents' payload columns
+      leaf.headOption.foreach { case (_, _, row) =>
+        assert(row.contains("pname") && row.contains("qname"))
+      }
+    }
+  }
+
+  test("second-parent death retracts exactly that branch's joined rows") {
+    val p1 = Seq(Evt(0, false, 1, 1, "1", p1Row(1)))
+    val p2 = Seq(
+      Evt(0, false, 1, 1, "7", p2Row(7)),
+      Evt(3, false, -1, 1, "7", p2Row(7)))
+    val cs = (0 until 4).map(i => Evt(1, false, 1, 1, "1", childRow2(1, 7, i, 12)))
+    val leaf = runTreeLocal(p1, p2, cs)
+    // all four joined rows appear and are then fully retracted
+    assert(leaf.count(_._1 == 1) == 4 && leaf.count(_._1 == -1) == 4)
+    assert(leaf.map { case (t, m, _) => t * m }.sum == 0)
+  }
+
+  test("runTree: Spark branching tree equals the five-way survivor join") {
+    val s = SparkTestSession.spark
+    val d = SparkTestSession.sfTiny
+    import org.apache.spark.sql.functions._
+    val got = IncrementalQueries.incrementalPartRevenue(s, d)
+      .orderBy("n_name", "p_brand").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = Tables.nation(s, d)
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).filter(
+        col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01" &&
+          col("o_orderkey") % 50 =!= 0), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d).filter(
+        col("l_returnflag") === "R" && col("l_linenumber") =!= 3),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(s, d).filter(col("p_size") <= 25 && col("p_partkey") % 10 =!= 0),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("n_name", "p_brand")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("revenue_e4"), count(lit(1)).as("n_rows"))
+      .orderBy("n_name", "p_brand").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("stage validation fails loudly on mis-keyed or out-of-order graphs") {
+    import graft.streaming.DeltaEngine
+    val s = SparkTestSession.spark
+    val logs = IncrementalQueries.partRevenueChangelogs(s, SparkTestSession.sfTiny)
+    // ownStage whose nextKeyCol doesn't match the consumer's childKeyCol
+    val misKeyed = IncrementalQueries.partRevenueStages.map {
+      case st if st.name == "lineitem" =>
+        st.copy(spec = st.spec.copy(nextKeyCol = "l_orderkey"))
+      case st => st
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaEngine.runTree(misKeyed, logs, sourceFiltered = true)
+    }
+    assert(e1.getMessage.contains("mis-keyed"))
+    // a stage referencing one that comes after it
+    val reordered = IncrementalQueries.partRevenueStages.sortBy(_.name)
+    intercept[IllegalArgumentException] {
+      DeltaEngine.runTree(reordered, logs, sourceFiltered = true)
+    }
+  }
+
   // ---- TreeCompiler: FK-metadata-derived chains ----------------------
 
   import graft.streaming.TreeCompiler
-  import graft.streaming.IncrementalQueries
 
   private def keyFields(t: Seq[NodeSpec]) =
     t.map(n => (n.relation, n.childKeyCol, n.nextKeyCol, n.isRoot, n.setSemantics))
