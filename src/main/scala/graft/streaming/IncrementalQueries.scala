@@ -543,5 +543,34 @@ object IncrementalQueries {
          | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND l_returnflag = 'R' AND p_size <= 25
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0 AND p_partkey % 10 <> 0
-         |GROUP BY n_name, p_brand""".stripMargin)(incrementalPartRevenue))
+         |GROUP BY n_name, p_brand""".stripMargin)(incrementalPartRevenue),
+
+    // The SAME branching query compiled FROM SQL TEXT: SqlCompiler
+    // linearizes the multi-parent lineitem into per-FK stages.
+    sql("incremental_sql_part_revenue",
+      s"""SELECT n_name, p_brand,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation, customer, orders, lineitem, part
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND l_orderkey = o_orderkey AND l_partkey = p_partkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R' AND p_size <= 25
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0 AND p_partkey % 10 <> 0
+         |GROUP BY n_name, p_brand""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        s"""SELECT n_name, p_brand,
+           | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+           | COUNT(*) AS n_rows
+           |FROM nation, customer, orders, lineitem, part
+           |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+           | AND l_orderkey = o_orderkey AND l_partkey = p_partkey
+           | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+           | AND l_returnflag = 'R' AND p_size <= 25
+           |GROUP BY n_name, p_brand""".stripMargin,
+        deletes = Map(
+          "lineitem" -> (col("l_linenumber") === 3),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "part" -> (col("p_partkey") % 10 === 0)))
+    })
 }

@@ -17,8 +17,11 @@ import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
   * Catalyst parser (`sessionState.sqlParser.parsePlan`), its conjuncts
   * are classified into FK join conditions (validated against the
   * FK graph [[TreeCompiler]] derives from the parquet schemas) and
-  * per-relation local predicates, and the result is compiled onto the
-  * [[DeltaEngine]] NodeSpec chain.
+  * per-relation local predicates, and the result is compiled onto
+  * [[DeltaEngine.Stage]]s via [[TreeCompiler.stagesFor]] — chains AND
+  * branching in-trees (a fact referencing several dimensions, e.g.
+  * lineitem ⋈ orders ⋈ part); only shared dimensions (many-to-many
+  * join graphs) are rejected.
   *
   * Supported shape — exactly the reference's query class, i.e. an
   * acyclic FK join tree under a grouped aggregate:
@@ -49,7 +52,7 @@ object SqlCompiler {
 
   final case class Compiled(
       path: Seq[String],
-      tree: Seq[NodeSpec],
+      stages: Seq[DeltaEngine.Stage],
       wheres: Map[String, String],
       needed: Map[String, Seq[String]],
       groupCols: Seq[String],
@@ -57,6 +60,12 @@ object SqlCompiler {
       outputCols: Seq[String],
       colType: Map[String, DataType],
       neededRaw: Map[String, Seq[String]]) {
+
+    /** Each relation's changelog routing key = the childKeyCol of its
+      * FIRST stage (later stages of a multi-parent relation re-key
+      * engine-side). */
+    def keyCol(rel: String): String =
+      stages.find(st => st.spec.relation == rel && st.ownStage.isEmpty).get.spec.childKeyCol
 
     /** The parquet-backed changelog set this query runs over:
       * insert-everything plus the given per-relation delete conditions.
@@ -66,12 +75,12 @@ object SqlCompiler {
     def sourceChangelogs(spark: SparkSession, dir: String,
                          deletes: Map[String, Column] = Map.empty,
                          filtered: Boolean = true): Map[String, Dataset] =
-      path.zip(tree).map { case (rel, spec) =>
+      path.map { rel =>
         // raw changelogs must CARRY the predicate columns (the filter
         // reads them from the canonical row); scan-filtered ones never
         // read them again, so they stay out of the shuffle
         rel -> IncrementalQueries.changelog(
-          Tables.load(spark, dir, rel), spec.childKeyCol,
+          Tables.load(spark, dir, rel), keyCol(rel),
           if (filtered) needed(rel) else neededRaw(rel),
           deletes.get(rel), if (filtered) wheres.get(rel).map(expr) else None)
       }.toMap
@@ -124,7 +133,7 @@ object SqlCompiler {
       * aggregate (groups with net rows > 0, like any GROUP BY). */
     def run(spark: SparkSession, dir: String,
             deletes: Map[String, Column] = Map.empty): DataFrame =
-      aggregate(DeltaEngine.runBatch(tree,
+      aggregate(DeltaEngine.runTree(stages,
         sourceChangelogs(spark, dir, deletes), sourceFiltered = true).toDF())
 
     /** The continuous form — the reference's actual deployment shape:
@@ -137,7 +146,7 @@ object SqlCompiler {
       val filtered = changelogs.map { case (rel, ds) =>
         rel -> eventFilter(spark, rel).map(ds.filter).getOrElse(ds)
       }
-      DeltaEngine.runStream(tree, filtered, stateTtl, sourceFiltered = true)
+      DeltaEngine.runStreamTree(stages, filtered, stateTtl, sourceFiltered = true)
     }
 
     /** Column names a SQL fragment references (via the parser — no
@@ -243,20 +252,13 @@ object SqlCompiler {
       fail(s"need ${relations.size - 1} FK join conditions linking ${relations.size} " +
         s"relations, got ${queryEdges.size}")
 
-    // the edges must form a root→leaf chain (the engine's tree shape)
-    val parents = queryEdges.map(e => e.child -> e.parent).toMap
-    if (parents.size != queryEdges.size) fail("two join conditions claim the same child " +
-      s"relation: ${queryEdges.map(e => s"${e.child}→${e.parent}").mkString(", ")}")
-    val roots = relations.filterNot(parents.contains)
-    if (roots.size != 1) fail(s"join graph is not a single tree; roots: $roots")
-    val childOf = queryEdges.map(e => e.parent -> e.child).toMap
-    if (childOf.size != queryEdges.size)
-      fail("join graph branches (a relation parents two others); only chains are " +
-        s"supported: ${queryEdges.map(e => s"${e.child}→${e.parent}").mkString(", ")}")
-    val path = Iterator.iterate(Option(roots.head))(_.flatMap(childOf.get))
-      .takeWhile(_.isDefined).flatten.toSeq
-    if (path.size != relations.size) fail(s"join graph is disconnected: chained $path " +
-      s"of $relations")
+    // the edges must orient into an IN-TREE converging at one fact —
+    // multi-parent facts (branching trees) are supported, shared
+    // dimensions (many-to-many) are rejected; stagesFor validates both
+    val stages = TreeCompiler.stagesFor(queryEdges, relations)
+    // relation order with every parent before its children (the order
+    // the stages consume their changelogs in)
+    val path = stages.filter(_.ownStage.isEmpty).map(_.spec.relation)
 
     // local predicates become per-relation scan filters (original text)
     val wheres: Map[String, String] = localPreds.groupBy { c =>
@@ -299,12 +301,9 @@ object SqlCompiler {
     }
     if (aggs.isEmpty) fail("at least one SUM/COUNT(*) aggregate is required")
 
-    // compile the chain (TreeCompiler re-derives the same edges) with
-    // no functional predicates — filtering is at the changelog source
-    val tree = TreeCompiler.compile(rels, path)
-
     // per-relation columns that must travel in canonical rows:
-    // referenced by GROUP BY / SUM args, plus each node's key columns
+    // referenced by GROUP BY / SUM args, plus every key column any of
+    // the relation's stages routes or re-keys by
     val colType: Map[String, DataType] =
       schemas.values.flatMap(s => s.fields.map(f => f.name -> f.dataType)).toMap
     val referenced: Seq[String] = groupCols ++ aggs.flatMap(a =>
@@ -312,10 +311,11 @@ object SqlCompiler {
       else spark.sessionState.sqlParser.parseExpression(a.frag).collect {
         case a2: UnresolvedAttribute => a2.nameParts.last
       })
-    val needed: Map[String, Seq[String]] = path.zip(tree).map { case (rel, spec) =>
+    val needed: Map[String, Seq[String]] = path.map { rel =>
       val own = schemas(rel).fieldNames.toSet
-      rel -> ((referenced.filter(own) ++ Seq(spec.childKeyCol, spec.nextKeyCol).filter(own))
-        .distinct)
+      val keyCols = stages.filter(_.spec.relation == rel)
+        .flatMap(st => Seq(st.spec.childKeyCol, st.spec.nextKeyCol))
+      rel -> ((referenced.filter(own) ++ keyCols.filter(own)).distinct)
     }.toMap
     // + predicate columns, for raw-stream callers (eventFilter reads
     // them out of the canonical row)
@@ -326,7 +326,7 @@ object SqlCompiler {
       rel -> (cols ++ predCols.getOrElse(rel, Nil)).distinct
     }
 
-    Compiled(path, tree, wheres, needed, groupCols, aggs, outputCols, colType, neededRaw)
+    Compiled(path, stages, wheres, needed, groupCols, aggs, outputCols, colType, neededRaw)
   }
 
   /** compile + run in one call. */

@@ -105,6 +105,100 @@ object TreeCompiler {
     root +: rest
   }
 
+  /** Compile a general FK IN-TREE — a fact plus any number of
+    * dimension branches, multi-parent nodes included — into
+    * [[DeltaEngine.Stage]]s for `runTree`/`runStreamTree`.
+    *
+    * The edge set must orient into an in-tree converging at one fact:
+    * every relation is the PARENT of at most one edge (a dimension
+    * feeding two different children makes the join many-to-many — not
+    * an FK tree — and is rejected loudly), exactly one relation is
+    * the parent of none (the fact), and every relation reaches the
+    * fact along child-ward edges. A relation that is the CHILD of
+    * several edges (the fact referencing two dimensions) is the
+    * branching case: its conjunctive liveness decomposes into one
+    * stage per parent (see [[DeltaEngine.Stage]]).
+    *
+    * @param edges      validated FK edges used by the query
+    * @param order      deterministic relation order (e.g. the
+    *                   FROM-clause order) — fixes parent processing
+    *                   order for multi-parent nodes
+    * @param predicates local predicates, attached to a relation's
+    *                   FIRST stage (later stages see pre-filtered rows)
+    */
+  def stagesFor(edges: Seq[FkEdge], order: Seq[String],
+                predicates: Map[String, Map[String, String] => Boolean] = Map.empty)
+      : Seq[DeltaEngine.Stage] = {
+    import DeltaEngine.Stage
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    val rels = order.distinct
+    require(rels.size == order.size, s"duplicate relations in $order")
+    edges.foreach(e => require(rels.contains(e.child) && rels.contains(e.parent),
+      s"edge ${e.child}→${e.parent} references a relation outside $order"))
+    if (edges.size != rels.size - 1)
+      fail(s"need ${rels.size - 1} FK edges linking ${rels.size} relations, got ${edges.size}")
+    // each relation feeds at most one consumer (else many-to-many)
+    val consumer: Map[String, FkEdge] = {
+      val byParent = edges.groupBy(_.parent)
+      byParent.foreach { case (p, es) =>
+        if (es.size > 1) fail(s"shared dimension '$p' feeds two branches " +
+          s"(${es.map(_.child).sorted.mkString(", ")}) — the join graph branches into " +
+          "a many-to-many join, not an FK in-tree")
+      }
+      byParent.view.mapValues(_.head).toMap
+    }
+    val facts = rels.filterNot(consumer.contains)
+    if (facts.size != 1) fail(s"join graph is not a single in-tree; " +
+      s"relations referenced by nobody: $facts")
+    val fact = facts.head
+    // every relation must reach the fact along consumer edges (this
+    // also rules out cycles, which would never terminate at the fact)
+    rels.foreach { r =>
+      var cur = r; var hops = 0
+      while (cur != fact) {
+        cur = consumer.getOrElse(cur, fail(s"join graph is disconnected at '$cur'")).child
+        hops += 1
+        if (hops > rels.size) fail(s"join graph has a cycle through '$r'")
+      }
+    }
+    val parentsOf: Map[String, Seq[FkEdge]] = edges.groupBy(_.child).view
+      .mapValues(_.sortBy(e => order.indexOf(e.parent))).toMap
+    def pred(name: String) = predicates.getOrElse(name, DeltaEngine.NoPredicate)
+    def finalStageName(r: String): String = parentsOf.get(r) match {
+      case Some(ps) if ps.size > 1 => s"${r}__${ps.last.parent}"
+      case _ => r
+    }
+    // Kahn order over `order`: a relation's stages run after all its
+    // parents' final stages
+    val emitted = scala.collection.mutable.LinkedHashSet[String]()
+    while (emitted.size < rels.size) {
+      val next = rels.find(r => !emitted(r) &&
+        parentsOf.getOrElse(r, Nil).forall(e => emitted(e.parent)))
+        .getOrElse(fail(s"join graph has a cycle among ${rels.filterNot(emitted)}"))
+      emitted += next
+    }
+    emitted.toSeq.flatMap { r =>
+      parentsOf.get(r) match {
+        case None => // branch root: keyed + emitting by its consumer-facing PK
+          val pk = consumer(r).parentCol
+          Seq(Stage(r, DeltaEngine.NodeSpec(r, pk, pk,
+            predicate = pred(r), isRoot = true, setSemantics = true)))
+        case Some(ps) =>
+          ps.zipWithIndex.map { case (e, i) =>
+            val name = if (i == 0) r else s"${r}__${e.parent}"
+            val nextKey =
+              if (i + 1 < ps.size) ps(i + 1).fkCol
+              else consumer.get(r).map(_.parentCol).getOrElse(e.fkCol)
+            Stage(name,
+              DeltaEngine.NodeSpec(r, e.fkCol, nextKey,
+                predicate = if (i == 0) pred(r) else DeltaEngine.NoPredicate),
+              ownStage = if (i == 0) None else Some(if (i == 1) r else s"${r}__${ps(i - 1).parent}"),
+              parentStage = Some(finalStageName(e.parent)))
+          }
+      }
+    }
+  }
+
   /** Find the UNIQUE FK path root→leaf and compile it; throws listing
     * the alternatives when the FK graph offers more than one. */
   def compileUnique(rels: Seq[RelationSchema], root: String, leaf: String,

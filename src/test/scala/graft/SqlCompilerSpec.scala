@@ -21,8 +21,8 @@ class SqlCompilerSpec extends AnyFunSuite {
   test("compile recovers the q10 chain, predicates, and aggregates from SQL text") {
     val c = SqlCompiler.compile(s, d, q10Sql)
     assert(c.path == Seq("nation", "customer", "orders", "lineitem"))
-    assert(c.tree.map(_.relation) == c.path)
-    assert(c.tree.head.isRoot && c.tree.head.setSemantics)
+    assert(c.stages.map(_.spec.relation) == c.path)
+    assert(c.stages.head.spec.isRoot && c.stages.head.spec.setSemantics)
     assert(c.wheres.keySet == Set("orders", "lineitem"))
     assert(c.wheres("lineitem").contains("l_returnflag = 'R'"))
     assert(c.groupCols == Seq("c_custkey", "c_name", "c_acctbal", "n_name"))
@@ -75,7 +75,7 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(raw("orders").count() > filtered("orders").count())
     // …and the event-level filter reproduces the scan-level one exactly
     val got = c.aggregate(
-        graft.streaming.DeltaEngine.runBatch(c.tree, filtered, sourceFiltered = true).toDF())
+        graft.streaming.DeltaEngine.runTree(c.stages, filtered, sourceFiltered = true).toDF())
       .orderBy("c_custkey").collect().toSeq
     val want = c.run(s, d, deletes).orderBy("c_custkey").collect().toSeq
     assert(got == want && got.nonEmpty)
@@ -115,6 +115,46 @@ class SqlCompilerSpec extends AnyFunSuite {
       val want = c.run(s, d, deletes).orderBy("c_custkey").collect().toSeq
       assert(got == want && got.nonEmpty)
     } finally query.stop()
+  }
+
+  private val partRevSql =
+    """SELECT n_name, p_brand,
+      | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+      | COUNT(*) AS n_rows
+      |FROM nation, customer, orders, lineitem, part
+      |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+      | AND l_orderkey = o_orderkey AND l_partkey = p_partkey
+      | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      | AND l_returnflag = 'R' AND p_size <= 25
+      |GROUP BY n_name, p_brand""".stripMargin
+
+  test("BRANCHING tree compiles from SQL text: stages split lineitem per parent") {
+    val c = SqlCompiler.compile(s, d, partRevSql)
+    // lineitem gets TWO stages (⋈orders then ⋈part); everyone else one
+    assert(c.stages.map(_.name) ==
+      Seq("nation", "customer", "orders", "part", "lineitem", "lineitem__part"))
+    val li2 = c.stages.last
+    assert(li2.ownStage.contains("lineitem") && li2.parentStage.contains("part"))
+    assert(li2.spec.childKeyCol == "l_partkey")
+    // the first lineitem stage re-keys its emissions for the second
+    assert(c.stages.find(_.name == "lineitem").get.spec.nextKeyCol == "l_partkey")
+    // part's local predicate landed as its scan filter
+    assert(c.wheres("part").contains("p_size"))
+    // both lineitem FKs travel in its canonical rows
+    assert(c.needed("lineitem").contains("l_orderkey") &&
+      c.needed("lineitem").contains("l_partkey"))
+  }
+
+  test("compiled branching SQL equals the hand-built branching tree under the same deletes") {
+    val got = SqlCompiler.run(s, d, partRevSql, deletes = Map(
+        "lineitem" -> (col("l_linenumber") === 3),
+        "orders" -> (col("o_orderkey") % 50 === 0),
+        "part" -> (col("p_partkey") % 10 === 0)))
+      .orderBy("n_name", "p_brand").collect().toSeq
+    val want = IncrementalQueries.incrementalPartRevenue(s, d)
+      .select("n_name", "p_brand", "revenue_e4", "n_rows")
+      .orderBy("n_name", "p_brand").collect().toSeq
+    assert(got == want && got.nonEmpty)
   }
 
   test("BETWEEN and IN predicates compile and match spark.sql insert-only") {
