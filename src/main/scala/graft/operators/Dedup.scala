@@ -39,6 +39,37 @@ object Dedup {
   private val tokenPattern = "[a-z0-9]+"
   private val NumHashes = 8
 
+  /** k-means cluster count for semantic dedup — a parameter (≈ √n in
+    * production), never a function of the corpus size. */
+  private val KmeansK = 64
+
+  /** Brute-force cosine near-dup pairs — the RECALL ORACLE for
+    * [[dedup_embedding_lsh]], NOT a production operator: the plan is
+    * an O(n²) cartesian (BNLJ) that cannot run at corpus scale, which
+    * is why it is deliberately NOT in `SparkEntry.queries` (every
+    * registered dedup path is bucketed/equi-joined). DedupSpec drives
+    * it at fixture scale to measure LSH recall; refuses larger inputs
+    * so a caller cannot mistake it for the dedup path. */
+  def bruteCosinePairs(s: SparkSession, d: String, maxRows: Long = 20000): DataFrame = {
+    import graft.functions.VectorOps.{dot, normSq, toDoubleVec}
+    // Per-vector norms precomputed BEFORE the O(n²) pair join —
+    // sqrt(Σx²) is the same double whether computed per pair or per
+    // vector, so only the dot product remains pairwise.
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(normSq(col("v"))))
+    val n = e.count()
+    require(n <= maxRows,
+      s"bruteCosinePairs is the fixture-scale recall oracle (O(n²) cartesian); " +
+        s"corpus has $n > $maxRows vectors — use dedup_embedding_lsh / ann_* instead")
+    val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (floor(cos * 1000000 + 0.5) / 1000000).as("cos_sim"), cos.as("_raw"))
+      .filter(col("_raw") >= 0.3)
+      .drop("_raw")
+  }
+
   /** Normalized-text md5, the exact-dedup key. */
   private def fpCol: Column =
     md5(to_binary(trim(regexp_replace(lower(col("text")), "\\s+", " ")), lit("utf-8")))
@@ -450,31 +481,6 @@ object Dedup {
           .filter(col("jacc") >= 0.55)
     },
 
-    // --- embedding cosine near-dup ---------------------------------------
-    // Brute-force pairs (the corpus has no cluster structure to block
-    // on); at scale this becomes the LSH/IVF path in SimilaritySearch.
-    sql("dedup_embedding_cosine",
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        | FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000 + 0.5) / 1000000 AS cos_sim
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        | AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin) {
-      (s, d) =>
-        import graft.functions.VectorOps.{dot, normSq, toDoubleVec}
-        // Per-vector norms precomputed BEFORE the O(n²) pair join —
-        // sqrt(Σx²) is the same double whether computed per pair or
-        // per vector, so only the dot product remains pairwise.
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-          .withColumn("nrm", sqrt(normSq(col("v"))))
-        val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            (floor(cos * 1000000 + 0.5) / 1000000).as("cos_sim"), cos.as("_raw"))
-          .filter(col("_raw") >= 0.3)
-          .drop("_raw")
-    },
-
     // --- embedding near-dup, LSH-bucketed (the 100 TB path) --------------
     // Banded sign-LSH candidates + exact-cosine confirm: vectors explode
     // to (band, bucket) keys, candidates come from a hash EQUI-join on
@@ -520,15 +526,18 @@ object Dedup {
 
     // --- semantic dedup (SemDeDup shape): k-means, then in-cluster -------
     // Lloyd's algorithm made cross-engine deterministic: seed centroids
-    // are a fixed id-sample, assignment ties break by cent_id, and the
-    // centroid mean is a DECIMAL-exact sum divided in double — so the
-    // summation order of a distributed aggregate cannot drift the
-    // centroids from DuckDB's sequential ones. Pairs then come from an
-    // EQUI-join on the final cluster id (no cartesian): the cluster
-    // structure does the blocking that dedup_embedding_cosine lacks.
-    // At 100 TB: assignment is corpus × k with the centroid set
-    // broadcast; recompute is one explode + hash-aggregate per
-    // iteration; the pair join partitions by cluster id.
+    // are a FIXED-SIZE id-hash sample (SimilaritySearch.seedCentroids —
+    // k is a parameter, not corpus/17, so the broadcast cannot outgrow
+    // an executor), assignment ties break by cent_id, and the centroid
+    // mean is a DECIMAL-exact sum divided in double — so the summation
+    // order of a distributed aggregate cannot drift the centroids from
+    // DuckDB's sequential ones. Pairs then come from an EQUI-join on
+    // the final cluster id (no cartesian): the cluster structure does
+    // the blocking that dedup_embedding_cosine lacks. At 100 TB:
+    // assignment is corpus × k with the constant-size centroid set
+    // broadcast (size k ≈ √n in production); recompute is one explode
+    // + hash-aggregate per iteration; the pair join partitions by
+    // cluster id.
     sql("dedup_semantic_kmeans", {
       def assignSql(cents: String, out: String) =
         s"""$out AS (SELECT vec_id, v, cent_id FROM (
@@ -543,7 +552,7 @@ object Dedup {
            |       FROM $assigned) z
            | GROUP BY cent_id, i) s GROUP BY cent_id)""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 17 = 0),
+         |c0 AS ${SimilaritySearch.seedCentroidsSql(KmeansK)},
          |${assignSql("c0", "a1")},
          |${recomputeSql("a1", "c1")},
          |${assignSql("c1", "a2")},
@@ -580,8 +589,7 @@ object Dedup {
         }
         def withCnrm(cents: DataFrame): DataFrame =
           cents.withColumn("cnrm", sqrt(normSq(col("cv"))))
-        var cents = e.filter(col("vec_id") % 17 === 0)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        var cents = SimilaritySearch.seedCentroids(e, KmeansK)
         for (_ <- 1 to 2) {
           // decimal-exact elementwise mean; reassembled in index order
           // (collect_list order is nondeterministic, the sort fixes it)

@@ -32,6 +32,28 @@ object SimilaritySearch {
   private val K = 10
   private val QuerySetSize = 5  // vec_id < 5 are the probe queries
 
+  /** IVF cell count — a PARAMETER, not a function of the corpus (take
+    * ≈ √n in production; 32 suits the fixture). The broadcast centroid
+    * set and the per-vector assignment cost stay k × dim at any scale. */
+  val IvfCells = 32
+
+  /** Bounded deterministic coarse centroids: the `k` vectors with the
+    * smallest `md5(vec_id)` — an id-hash sample that is uniform-ish in
+    * the id space, cross-engine reproducible (md5 is the one hash both
+    * engines share), and FIXED-SIZE: unlike a modulo-of-id seed, the
+    * centroid count does not grow with the corpus, so assignment stays
+    * O(n·k) with a constant-size broadcast instead of O(n²/c) with a
+    * corpus-proportional one. Runs as one distributed top-k
+    * (TakeOrdered) over a scan. */
+  def seedCentroids(e: DataFrame, k: Int): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+  /** [[seedCentroids]] as its DuckDB mirror (the oracle must pick the
+    * identical seed set). */
+  def seedCentroidsSql(k: Int): String =
+    s"(SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)"
+
   val defs: Seq[GraftQuery] = Seq(
 
     sql("ann_bruteforce_topk",
@@ -66,16 +88,17 @@ object SimilaritySearch {
     },
 
     // IVF (inverted-file) ANN — the production scale path: a coarse
-    // quantizer (deterministic centroid sample) partitions the corpus
-    // into cells; a query probes only its nprobe nearest cells, so the
-    // per-query scan is corpus/C × nprobe instead of the whole corpus.
-    // Assignment is corpus × C dots with the (small) centroid set
-    // broadcast; the cell id becomes the partition key of the index —
-    // at 100 TB the assigned table is written partitioned/bucketed by
-    // cent_id and a probe reads only its cells.
+    // quantizer (FIXED-SIZE deterministic centroid sample, see
+    // seedCentroids) partitions the corpus into cells; a query probes
+    // only its nprobe nearest cells, so the per-query scan is
+    // corpus/C × nprobe instead of the whole corpus. Assignment is
+    // corpus × C dots with the constant-size centroid set broadcast;
+    // the cell id becomes the partition key of the index — at 100 TB
+    // the assigned table is written partitioned/bucketed by cent_id
+    // and a probe reads only its cells.
     sql("ann_ivf_topk",
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 23 = 0),
+         |c AS ${seedCentroidsSql(IvfCells)},
          |assigned AS (
          | SELECT vec_id, v, cent_id FROM (
          |  SELECT e.vec_id, e.v, c.cent_id,
@@ -102,8 +125,7 @@ object SimilaritySearch {
       (s, d) =>
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-        val cents = e.filter(col("vec_id") % 23 === 0)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val cents = seedCentroids(e, IvfCells)
         val assignW = Window.partitionBy(col("vec_id"))
           .orderBy(cosine(col("v"), col("cv")).desc, col("cent_id"))
         val assigned = e.join(broadcast(cents))

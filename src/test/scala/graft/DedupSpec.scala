@@ -42,7 +42,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("embedding cosine pairs are symmetric-free and above threshold") {
-    val rows = SparkEntry.queries("dedup_embedding_cosine")(spark, sfTiny).collect()
+    val rows = graft.operators.Dedup.bruteCosinePairs(spark, sfTiny).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
@@ -58,7 +58,7 @@ class DedupSpec extends AnyFunSuite {
     assert(!physical.contains("CartesianProduct"), physical)
     assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
 
-    val brute = SparkEntry.queries("dedup_embedding_cosine")(spark, sfTiny)
+    val brute = graft.operators.Dedup.bruteCosinePairs(spark, sfTiny)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = lsh.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -86,7 +86,7 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(3) >= 0.3 - 1e-6 && r.getDouble(3) <= 1.0)
     }
     // in-cluster pairing only confirms pairs brute force also finds
-    val brute = SparkEntry.queries("dedup_embedding_cosine")(spark, sfTiny)
+    val brute = graft.operators.Dedup.bruteCosinePairs(spark, sfTiny)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = rows.map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(found.subsetOf(brute))

@@ -34,8 +34,8 @@ class SimilaritySpec extends AnyFunSuite {
     // build the IVF assignment exactly as ann_ivf_topk does...
     val e = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val cents = e.filter(col("vec_id") % 23 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = graft.operators.SimilaritySearch.seedCentroids(
+      e, graft.operators.SimilaritySearch.IvfCells)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(cosine(col("v"), col("cv")).desc, col("cent_id"))
     val assigned = e.join(broadcast(cents))
