@@ -490,6 +490,21 @@ object DeltaEngine {
     * in the signed-delta domain end to end; sinks consume them via
     * `foreachBatch` upsert (Spark's native sinks take no retractions —
     * SURVEY.md §7 phase 3).
+    *
+    * Observability: each stage surfaces its keyed-state volume in
+    * `StreamingQueryProgress.stateOperators` (one entry per node,
+    * `numRowsTotal`/`numRowsUpdated`) — watch those to see a hop's
+    * state grow or a TTL hold it flat (spec-asserted in
+    * StreamingSpec). Cluster deployments should also set
+    * {{{
+    * spark.sql.streaming.stateStore.providerClass =
+    *   org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    * spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled = true
+    * }}}
+    * so per-key tree state spills to executor-local RocksDB instead of
+    * the JVM heap and checkpoints upload changelogs rather than full
+    * snapshots — at 100 TB the buffered-children state is far larger
+    * than any executor heap.
     */
   def runStream(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]],
                 stateTtl: Option[java.time.Duration] = None,

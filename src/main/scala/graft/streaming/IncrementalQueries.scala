@@ -278,6 +278,41 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** The CONTINUOUS engine itself behind the correctness gate — not
+    * its batch simulation: the q10 changelog replays through
+    * [[DeltaEngine.runStream]] as real Structured Streaming
+    * micro-batches (inserts in batch 1, deletes in batch 2, node state
+    * carried across batches in the state store), the leaf deltas land
+    * in a memory sink, and the same signed fold produces the
+    * maintained aggregate. The oracle is incremental_q10's plain-SQL
+    * survivors query, so a streaming-vs-batch divergence fails the
+    * hash. MemoryStream is the replay harness (the production shape is
+    * readStream + foreachBatch upsert, StreamingSpec covers recovery);
+    * the collect() here materializes the fixture changelog for
+    * addData, not an engine step. */
+  def incrementalQ10Stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val logs = q10Changelogs(s, dir).view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val leaf = runStream(q10Tree, streams.map { case (r, ms) => r -> ms.toDS() },
+      sourceFiltered = true)
+    val query = leaf.writeStream
+      .format("memory").queryName("incremental_q10_stream_leaf")
+      .outputMode("append").start()
+    try {
+      Seq(0L, 1L).foreach { seq =>
+        streams.foreach { case (rel, ms) =>
+          val evs = logs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    q10Aggregate(s.table("incremental_q10_stream_leaf").as[Evt])
+  }
+
   /** [[Evt]] changelog from a [[CdcParser.parseRelation]] frame:
     * tag/seq derive from the parsed `action` (Insert → +1 @ seq 0,
     * Delete → −1 @ seq 1), `where` is the node predicate on the
@@ -496,6 +531,20 @@ object IncrementalQueries {
           "lineitem" -> (col("l_linenumber") === 3),
           "orders" -> (col("o_orderkey") % 50 === 0)))
     },
+
+    // The streaming engine (runStream), not its batch simulation,
+    // behind the hash gate — same oracle as incremental_q10.
+    sql("incremental_q10_stream",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Stream),
 
     sql("incremental_q10_running",
       s"""WITH base AS (

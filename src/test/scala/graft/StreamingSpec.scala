@@ -279,6 +279,96 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("branching tree streams: runStreamTree micro-batches equal runTree (sf0.001)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IncrementalQueries
+    val dir = SparkTestSession.sfTiny
+    val logs = IncrementalQueries.partRevenueChangelogs(spark, dir)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val out = runStreamTree(IncrementalQueries.partRevenueStages,
+      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
+    val query = out.writeStream
+      .format("memory").queryName("part_rev_leaf").outputMode("append").start()
+    try {
+      // batch 1: half the inserts; batch 2: the rest; batch 3: deletes
+      // on BOTH branches — cross-batch fan-out through both stages
+      def half(evs: Seq[Evt], first: Boolean): Seq[Evt] =
+        evs.filter(e => (e.key.hashCode & 1) == (if (first) 0 else 1))
+      Seq(
+        (e: Seq[Evt]) => half(e.filter(_.seq == 0L), first = true),
+        (e: Seq[Evt]) => half(e.filter(_.seq == 0L), first = false),
+        (e: Seq[Evt]) => e.filter(_.seq == 1L)
+      ).foreach { pick =>
+        streams.foreach { case (rel, ms) =>
+          val evs = pick(logs(rel))
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+      def fold(evts: Seq[Evt]): Map[String, Int] =
+        evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+          .filter(_._2 != 0).toMap
+      val streamed = fold(spark.table("part_rev_leaf").as[Evt].collect().toSeq)
+      val batched = fold(
+        runTree(IncrementalQueries.partRevenueStages,
+          IncrementalQueries.partRevenueChangelogs(spark, dir),
+          sourceFiltered = true).collect().toSeq)
+      assert(batched.nonEmpty && streamed == batched)
+    } finally query.stop()
+  }
+
+  test("stateOperators expose per-node state rows; TTL eviction drains them") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IncrementalQueries
+    val dir = SparkTestSession.sfTiny
+    val logs = IncrementalQueries.q10Changelogs(spark, dir)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    // a processing-time TTL makes the query SELF-TRIGGERING (Spark's
+    // shouldRunAnotherBatch is unconditionally true for
+    // ProcessingTimeTimeout so expired timers get checked), which
+    // means processAllAvailable() would never observe quiescence and
+    // hang — this test polls lastProgress instead, and is the reason
+    // the TTL-semantics spec above uses the TestGroupState harness
+    val out = runStream(IncrementalQueries.q10Tree,
+      streams.map { case (r, ms) => r -> ms.toDS() },
+      stateTtl = Some(java.time.Duration.ofSeconds(8)), sourceFiltered = true)
+    val query = out.writeStream
+      .format("memory").queryName("ttl_obs_leaf").outputMode("append").start()
+    try {
+      streams.foreach { case (rel, ms) =>
+        val ins = logs(rel).filter(_.seq == 0L)
+        if (ins.nonEmpty) ms.addData(ins)
+      }
+      def stateRows(deadlineMs: Long)(done: Seq[Long] => Boolean): Seq[Long] = {
+        val until = System.currentTimeMillis() + deadlineMs
+        var last: Seq[Long] = Nil
+        while (System.currentTimeMillis() < until) {
+          val p = query.lastProgress
+          if (p != null && p.stateOperators.nonEmpty) {
+            last = p.stateOperators.map(_.numRowsTotal).toSeq
+            if (done(last)) return last
+          }
+          Thread.sleep(100)
+        }
+        last
+      }
+      // one stateful operator per tree node, each reporting its keyed
+      // state volume — the first thing to watch on a long-running tree
+      val populated = stateRows(60000)(_.sum > 0)
+      assert(populated.length == IncrementalQueries.q10Tree.size, populated.toString)
+      assert(populated.sum > 0)
+      // with no further input, every key idles past the TTL and the
+      // self-triggered batches evict it: state must drain to EMPTY
+      val drained = stateRows(120000)(_.sum == 0)
+      assert(drained.sum == 0,
+        s"TTL must bound state: still ${drained.sum} rows after eviction deadline")
+    } finally query.stop()
+  }
+
   test("streaming Q10 tree over micro-batches equals the batch run (sf0.001)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
