@@ -181,7 +181,11 @@ object SqlCompiler {
     case x => Seq(x)
   }
 
-  def compile(spark: SparkSession, dir: String, sqlText: String): Compiled = {
+  /** `explicitFk` supplies the FK graph for schemas the TPC-H naming
+    * convention can't describe (the caller's catalog); omitted, the
+    * graph derives from the parquet schemas via [[TreeCompiler.fkEdges]]. */
+  def compile(spark: SparkSession, dir: String, sqlText: String,
+              explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): Compiled = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
 
     val (groupExprs, selectExprs, belowAgg) = plan match {
@@ -237,7 +241,7 @@ object SqlCompiler {
     // validate join conditions against the schema-derived FK graph and
     // orient each as child→parent
     val rels = relations.map(n => TreeCompiler.RelationSchema(n, schemas(n).fieldNames.toSeq))
-    val fkEdges = TreeCompiler.fkEdges(rels)
+    val fkEdges = explicitFk.getOrElse(TreeCompiler.fkEdges(rels))
     val queryEdges = joinConds.map {
       case eq @ EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
         val (an, bn) = (a.nameParts.last, b.nameParts.last)
@@ -331,6 +335,7 @@ object SqlCompiler {
 
   /** compile + run in one call. */
   def run(spark: SparkSession, dir: String, sqlText: String,
-          deletes: Map[String, Column] = Map.empty): DataFrame =
-    compile(spark, dir, sqlText).run(spark, dir, deletes)
+          deletes: Map[String, Column] = Map.empty,
+          explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): DataFrame =
+    compile(spark, dir, sqlText, explicitFk).run(spark, dir, deletes)
 }

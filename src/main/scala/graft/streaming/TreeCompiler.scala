@@ -65,6 +65,18 @@ object TreeCompiler {
       }
     }
 
+  /** A caller-supplied edge must reference real relations/columns —
+    * catch catalog typos at compile time, not as empty joins. */
+  private def validateEdge(byName: Map[String, RelationSchema], e: FkEdge): Unit = {
+    def col(rel: String, c: String): Unit = {
+      val r = byName.getOrElse(rel, throw new IllegalArgumentException(
+        s"FK edge ${e.child}.${e.fkCol}→${e.parent}.${e.parentCol}: unknown relation '$rel'"))
+      require(r.columns.contains(c), s"FK edge ${e.child}.${e.fkCol}→${e.parent}." +
+        s"${e.parentCol}: relation '$rel' has no column '$c' (has ${r.columns.mkString(", ")})")
+    }
+    col(e.child, e.fkCol); col(e.parent, e.parentCol)
+  }
+
   /** All child→parent FK edges derivable from the schemas. */
   def fkEdges(rels: Seq[RelationSchema]): Seq[FkEdge] =
     for {
@@ -77,15 +89,22 @@ object TreeCompiler {
   /** Compile an EXPLICIT relation path (root first) into a NodeSpec
     * chain; key columns come from the FK edges, predicates attach by
     * relation name. The root gets set-semantics dedup (the reference's
-    * J0 behavior). */
+    * J0 behavior).
+    *
+    * `explicitEdges` supplies the FK graph directly — the API for any
+    * schema NOT named by the TPC-H convention (the caller's catalog,
+    * information_schema constraints, a config file); omitted, the
+    * convention-based [[fkEdges]] derivation is the fallback. */
   def compile(rels: Seq[RelationSchema], path: Seq[String],
-              predicates: Map[String, Map[String, String] => Boolean] = Map.empty)
+              predicates: Map[String, Map[String, String] => Boolean] = Map.empty,
+              explicitEdges: Option[Seq[FkEdge]] = None)
       : Seq[NodeSpec] = {
     require(path.size >= 2, s"a join chain needs >= 2 relations, got $path")
     val byName = rels.map(r => r.name -> r).toMap
     path.foreach(n => require(byName.contains(n),
       s"unknown relation '$n' (have ${rels.map(_.name).sorted.mkString(", ")})"))
-    val edges = fkEdges(rels)
+    val edges = explicitEdges.getOrElse(fkEdges(rels))
+    edges.foreach(e => validateEdge(byName, e))
     // edge i: path(i+1) → path(i)
     val chain = path.sliding(2).map { case Seq(parent, child) =>
       edges.find(e => e.child == child && e.parent == parent).getOrElse(
@@ -202,16 +221,17 @@ object TreeCompiler {
   /** Find the UNIQUE FK path root→leaf and compile it; throws listing
     * the alternatives when the FK graph offers more than one. */
   def compileUnique(rels: Seq[RelationSchema], root: String, leaf: String,
-                    predicates: Map[String, Map[String, String] => Boolean] = Map.empty)
+                    predicates: Map[String, Map[String, String] => Boolean] = Map.empty,
+                    explicitEdges: Option[Seq[FkEdge]] = None)
       : Seq[NodeSpec] = {
-    val edges = fkEdges(rels)
+    val edges = explicitEdges.getOrElse(fkEdges(rels))
     def paths(from: String, seen: Set[String]): Seq[List[String]] =
       if (from == root) Seq(List(root))
       else edges.filter(e => e.child == from && !seen(e.parent))
         .flatMap(e => paths(e.parent, seen + e.parent).map(p => p :+ from))
     val found = paths(leaf, Set(leaf))
     found match {
-      case Seq(p) => compile(rels, p, predicates)
+      case Seq(p) => compile(rels, p, predicates, explicitEdges)
       case Seq() => throw new IllegalArgumentException(
         s"no FK path $root → $leaf in the derived graph")
       case many => throw new IllegalArgumentException(

@@ -311,6 +311,47 @@ class DeltaEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit FK metadata compiles trees over non-TPC-H-named relations") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    import graft.streaming.SqlCompiler
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    // schemas the naming convention cannot describe
+    Seq((1L, "alpha"), (2L, "beta")).toDF("squad_id", "squad_name")
+      .write.mode("overwrite").parquet(s"$dir/squad.parquet")
+    Seq((10L, 1L, 7.5), (11L, 1L, 2.0), (12L, 2L, 9.0), (13L, 2L, 1.0))
+      .toDF("member_id", "squad_ref", "score")
+      .write.mode("overwrite").parquet(s"$dir/member.parquet")
+    val rels = TreeCompiler.fromParquet(s, dir, Seq("squad", "member"))
+    // the convention derives NO edges here — the explicit catalog is
+    // the only way in
+    assert(TreeCompiler.fkEdges(rels).isEmpty)
+    val edges = Seq(TreeCompiler.FkEdge("member", "squad_ref", "squad", "squad_id"))
+    val tree = TreeCompiler.compile(rels, Seq("squad", "member"),
+      explicitEdges = Some(edges))
+    assert(keyFields(tree) == Seq(
+      ("squad", "squad_id", "squad_id", true, true),
+      ("member", "squad_ref", "squad_ref", false, false)))
+    // SqlCompiler takes the same catalog and compiles the text unchanged
+    val sqlText =
+      """SELECT squad_name, COUNT(*) AS n,
+        | SUM(CAST(round(score * 10, 0) AS BIGINT)) AS score_e1
+        |FROM squad, member WHERE squad_ref = squad_id AND score >= 2.0
+        |GROUP BY squad_name""".stripMargin
+    val got = SqlCompiler.run(s, dir, sqlText, explicitFk = Some(edges))
+      .orderBy("squad_name").collect().toSeq
+    Seq("squad", "member").foreach(t =>
+      Tables.load(s, dir, t).createOrReplaceTempView(t))
+    val want = s.sql(sqlText).orderBy("squad_name").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // a catalog typo fails loudly at compile time, not as an empty join
+    val ex = intercept[IllegalArgumentException] {
+      TreeCompiler.compile(rels, Seq("squad", "member"), explicitEdges =
+        Some(Seq(TreeCompiler.FkEdge("member", "squad_key", "squad", "squad_id"))))
+    }
+    assert(ex.getMessage.contains("no column 'squad_key'"))
+  }
+
   test("compiled third tree: engine result equals batch join over survivors") {
     val s = SparkTestSession.spark
     val d = SparkTestSession.sfTiny
