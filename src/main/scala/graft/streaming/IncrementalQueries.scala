@@ -578,6 +578,36 @@ object IncrementalQueries {
         | AND l_quantity >= 25 AND l_linenumber <> 2 AND s_suppkey % 20 <> 0
         |GROUP BY n_name""".stripMargin)(incrementalSupplierRevenue),
 
+    // AVG maintained incrementally — compiled by SqlCompiler to the
+    // retractable SUM/COUNT pair (exact integral folds, one double
+    // division per group; FP arguments are rejected at compile time).
+    // The oracle mirrors the same exact-sum-then-divide so the double
+    // is bit-identical.
+    sql("incremental_sql_avg",
+      """SELECT n_name,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |   / COUNT(*) AS avg_price_e2,
+        | COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name,
+          | AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS avg_price_e2,
+          | COUNT(*) AS n_rows
+          |FROM region, nation, customer, orders
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND o_custkey = c_custkey
+          | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
     // BRANCHING tree (multi-parent lineitem: orders-chain AND part) —
     // the AJU capability beyond a chain. The oracle is the plain-SQL
     // survivors query over the five-way join with deletes excluded on

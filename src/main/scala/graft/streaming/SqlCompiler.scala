@@ -119,8 +119,19 @@ object SqlCompiler {
         (col("tag") * col("mult")).cast(LongType).as("__sign") +:
           dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
       val aggExprs = aggs.map { a =>
-        if (a.kind == "count") sum(col("__sign")).cast(LongType).as(a.alias)
-        else sum(col("__sign") * expr(a.frag)).as(a.alias)
+        a.kind match {
+          case "count" => sum(col("__sign")).cast(LongType).as(a.alias)
+          case "avg" =>
+            // the retractable SUM/COUNT pair, divided once per group:
+            // both components fold exactly (integral/DECIMAL argument
+            // enforced at compile time), so the single double division
+            // is bit-reproducible. NULL arguments stay out of both the
+            // numerator (sum skips them) and the denominator.
+            (sum(col("__sign") * expr(a.frag)).cast("double") /
+              sum(when(expr(a.frag).isNotNull, col("__sign")).otherwise(lit(0))))
+              .as(a.alias)
+          case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
+        }
       } :+ sum(col("__sign")).as("__net")
       typed.groupBy(groupCols.map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
@@ -283,8 +294,13 @@ object SqlCompiler {
           case ("count", Seq(_: UnresolvedStar)) => AggSpec("count", "", alias)
           case ("count", args) if args.forall(_.foldable) => AggSpec("count", "", alias)
           case ("sum", Seq(arg)) if !f.isDistinct => AggSpec("sum", fragment(arg), alias)
+          case ("avg", Seq(arg)) if !f.isDistinct => AggSpec("avg", fragment(arg), alias)
+          case (name @ ("min" | "max"), _) => fail(s"unsupported aggregate $name in " +
+            s"'$alias': MIN/MAX are not retractable — undoing a delete of the current " +
+            "extreme needs the full per-group value multiset, state this engine " +
+            "deliberately does not keep (retractable aggregates: SUM, COUNT(*), AVG)")
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
-            "(retractable aggregates here: SUM, COUNT(*))")
+            "(retractable aggregates here: SUM, COUNT(*), AVG)")
         }
       case other => fail(s"expected an aggregate function under alias '$alias', " +
         s"got '${fragment(other)}'")
@@ -303,13 +319,38 @@ object SqlCompiler {
       }
       (items.flatMap(_._1), items.map(_._2))
     }
-    if (aggs.isEmpty) fail("at least one SUM/COUNT(*) aggregate is required")
+    if (aggs.isEmpty) fail("at least one SUM/COUNT(*)/AVG aggregate is required")
 
     // per-relation columns that must travel in canonical rows:
     // referenced by GROUP BY / SUM args, plus every key column any of
     // the relation's stages routes or re-keys by
     val colType: Map[String, DataType] =
       schemas.values.flatMap(s => s.fields.map(f => f.name -> f.dataType)).toMap
+
+    // fail-loud on floating-point SUM/AVG arguments: the engine folds
+    // signed deltas, and double addition is not associative — a
+    // retraction leaves order-dependent residue, so the maintained
+    // value can silently drift from the batch answer. Resolve the
+    // argument's type against the relations' union schema (names are
+    // unique — checked above) and demand an exact (integral/DECIMAL)
+    // type.
+    {
+      val unionSchema = StructType(colType.toSeq.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) })
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
+      aggs.filter(a => a.kind == "sum" || a.kind == "avg").foreach { a =>
+        val t = probe.select(expr(a.frag)).schema.head.dataType
+        if (t == org.apache.spark.sql.types.DoubleType ||
+            t == org.apache.spark.sql.types.FloatType)
+          fail(s"${a.kind.toUpperCase}(${a.frag}) folds FLOATING-POINT " +
+            s"(${t.simpleString}) deltas: retractions leave order-dependent FP " +
+            "residue and the maintained value drifts from the batch answer — " +
+            "scale the argument to an exact type, e.g. " +
+            "CAST(round(x * 100, 0) AS BIGINT)")
+      }
+    }
+
     val referenced: Seq[String] = groupCols ++ aggs.flatMap(a =>
       if (a.frag.isEmpty) Nil
       else spark.sessionState.sqlParser.parseExpression(a.frag).collect {

@@ -157,6 +157,34 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("AVG compiles as the retractable SUM/COUNT pair and survives deletes") {
+    val sqlText =
+      """SELECT n_name, AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS avg_price_e2,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    val got = SqlCompiler.run(s, d, sqlText,
+        deletes = Map("orders" -> (col("o_orderkey") % 7 === 0)))
+      .orderBy("n_name").collect().toSeq
+    // oracle: exact integer sum over the survivors, one double divide
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val want = s.sql(
+      """SELECT n_name, AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS avg_price_e2,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin).orderBy("n_name").collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(2))) ==
+      want.map(r => (r.getString(0), r.getLong(2))))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.getDouble(1) - w.getDouble(1)) < 1e-9, s"$g vs $w")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("BETWEEN and IN predicates compile and match spark.sql insert-only") {
     Seq("nation", "customer", "orders").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
@@ -225,10 +253,17 @@ class SqlCompilerSpec extends AnyFunSuite {
     // unaliased aggregate
     bad("""SELECT n_name, COUNT(*) FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin, "alias")
-    // unsupported aggregate
+    // floating-point fold arguments drift under retraction → rejected
     bad("""SELECT n_name, AVG(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
-      "unsupported aggregate")
+      "FLOATING-POINT")
+    bad("""SELECT n_name, SUM(c_acctbal) AS a FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "FLOATING-POINT")
+    // MIN/MAX are not retractable without the full value multiset
+    bad("""SELECT n_name, MIN(c_acctbal) AS a FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "not retractable")
     // branching join graph (nation parents both customer and supplier)
     bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer, supplier
           |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
