@@ -152,6 +152,37 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic PNG per document: a solid-color image
+    * whose dims and RGB are pure functions of doc_id, encoded by the
+    * real codec in-query. PNG is lossless, so the REAL decode's
+    * width/height/mean-luma become SQL-expressible constants per
+    * doc_id — this is what puts `javax.imageio` behind the hash gate.
+    * (The luma oracle is FP-safe: luma·10⁶ has fractional part a
+    * multiple of 5/255, never within 0.0098 of the rounding boundary,
+    * while the codec-vs-formula FP difference is ~1e-13.) */
+  def synthAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id * 3) % 24).toInt
+        val rgb = ((id * 37 % 256) << 16 | (id * 59 % 256) << 8 | (id * 83 % 256)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaAsset(id, "image/png", bos.toByteArray)
+      }
+    }
+  }
+
   /** documents → media assets (text bytes stand in for image bytes). */
   def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
@@ -204,10 +235,26 @@ object Multimodal {
         (lit(64) + (octet_length(encode(col("text"), "UTF-8")) * 7) % 448).as("height"))
     },
 
-    // The stubbed decode pipeline (JVM-side stub → no SQL oracle;
-    // covered by MultimodalSpec instead).
-    rowsOnly("multimodal_features") {
-      (s, d) => extractFeatures(assets(s, d)).toDF()
+    // REAL image decode behind the hash gate: payloads are PNGs the
+    // codec itself encoded in-query ([[synthAssets]]), so the decoded
+    // width/height/luma must equal the oracle's closed-form values —
+    // any codec, sniff, or luma drift fails the hash. (n_bytes is the
+    // PNG encoder's output size — encoder-dependent, so not part of
+    // the oracle projection.)
+    sql("multimodal_features",
+      """SELECT doc_id, 'image/png' AS media_type,
+        | CAST(8 + doc_id % 24 AS BIGINT) AS width,
+        | CAST(8 + (doc_id * 3) % 24 AS BIGINT) AS height,
+        | FLOOR((0.299 * (doc_id * 37 % 256) + 0.587 * (doc_id * 59 % 256)
+        |   + 0.114 * (doc_id * 83 % 256)) / 255 * 1000000 + 0.5) / 1000000 AS mean_luma
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        import graft.functions.VectorOps.floorRound6
+        extractFeatures(synthAssets(s, d)).toDF()
+          .select(col("doc_id"), col("media_type"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            floorRound6(col("mean_luma")).as("mean_luma"))
     },
 
     rowsOnly("multimodal_frame_sample") {
