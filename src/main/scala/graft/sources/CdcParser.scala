@@ -45,8 +45,16 @@ object CdcParser {
     // yield null fields, not an INVALID_ARRAY_INDEX / CAST_INVALID_INPUT
     // error killing the whole job under ANSI mode — [[rejects]] routes
     // such lines to quarantine; the demux itself must stay TOTAL
+    // the literal "null" is the format's null marker ([[toCdcLines]]
+    // renders nulls that way so they don't vanish from concat_ws and
+    // shift later fields): map it back to a typed null — for non-string
+    // types try_cast does this anyway; for strings it must be explicit
+    // (a true string value "null" is ambiguous in the text format and
+    // round-trips to null — the format's documented limitation)
     val typedCols = schema.zipWithIndex.map { case ((name, dt), i) =>
-      try_element_at(parts, lit(i + 1)).try_cast(dt).as(name)
+      val raw = try_element_at(parts, lit(i + 1))
+      when(raw === "null", lit(null).cast(dt))
+        .otherwise(raw.try_cast(dt)).as(name)
     }
     lines
       .filter(substring(header, 4, 4) === relCode)
@@ -57,10 +65,15 @@ object CdcParser {
   }
 
   /** Inverse of [[parseRelation]]: render typed rows back to CDC lines
-    * (used by the round-trip correctness query and test fixtures). */
+    * (used by the round-trip correctness query and test fixtures).
+    * Null fields render as the literal "null" — concat_ws would
+    * otherwise DROP them entirely, silently shifting every later field
+    * left (an arity mismatch the dead-letter path would quarantine). */
   def toCdcLines(df: DataFrame, add: Boolean, relCode: String, cols: Seq[String]): DataFrame = {
     val headerStr = (if (add) "Add" else "Sub") + relCode
-    df.select(concat_ws("|", (lit(headerStr) +: cols.map(c => col(c).cast("string"))): _*).as("value"))
+    df.select(concat_ws("|",
+      (lit(headerStr) +: cols.map(c => coalesce(col(c).cast("string"), lit("null")))): _*)
+      .as("value"))
   }
 
   /** Dead-letter routing: lines the N-filter demux would otherwise

@@ -398,7 +398,13 @@ object DeltaEngine {
     * `events` is what entered the node's fold (own + parent deltas,
     * post-pushdown), `emitted` what it sent downstream. The
     * events/emitted ratio per hop is the first thing to read when a
-    * tree is slow or skewed at scale. */
+    * tree is slow or skewed at scale.
+    *
+    * CAVEAT: these are Spark accumulators incremented inside a
+    * TRANSFORMATION, so task retries and speculative duplicates
+    * re-apply them — treat the values as a skew/volume triage signal
+    * (order-of-magnitude truth), not exact counts. For exact numbers
+    * derive them from a counted action on the stage outputs. */
   final case class NodeStats(relation: String,
                              events: org.apache.spark.util.LongAccumulator,
                              emitted: org.apache.spark.util.LongAccumulator)

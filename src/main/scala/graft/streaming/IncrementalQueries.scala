@@ -363,9 +363,15 @@ object IncrementalQueries {
           Some(col("o_orderkey") % 50 === 0)))
         .unionAll(render(Tables.lineitem(s, dir), "LINE", liCols,
           Some(col("l_linenumber") === 3)))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_lines")
-    tmp.toFile.deleteOnExit()
-    val path = tmp.resolve("lines").toString
+    // deterministic per-fixture path + overwrite: a fresh
+    // createTempDirectory per invocation would leak one full rendered
+    // copy of four tables PER RUN for the JVM lifetime and beyond
+    // (deleteOnExit only removes empty directories) — Bench warm-ups,
+    // Profile sweeps, and Verify all call this repeatedly
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_cdc_lines", key, "lines").toString
     rendered.write.mode("overwrite").text(path)
     val lines = s.read.text(path)
     def parse(code: String, schema: Seq[(String, org.apache.spark.sql.types.DataType)]) =

@@ -8,6 +8,34 @@ import graft.sources.CdcParser
 class CdcParserSpec extends AnyFunSuite {
   private def s = SparkTestSession.spark
 
+  test("render→parse round-trips NULL fields without shifting columns") {
+    val sp = s
+    import sp.implicits._
+    // nullable data: a null mid-row would vanish from concat_ws and
+    // shift every later field left without the "null" coalesce
+    val df = Seq(
+      (1L, Option("alpha"), Option(2.5)),
+      (2L, None: Option[String], Option(7.0)),
+      (3L, Option("gamma"), None: Option[Double])
+    ).toDF("id", "name", "score")
+    val lines = CdcParser.toCdcLines(df, add = true, "TEST", Seq("id", "name", "score"))
+    // no arity mismatches: nothing lands in the dead-letter path
+    val schemas = Map("TEST" -> Seq("id" -> LongType, "name" -> StringType,
+      "score" -> DoubleType))
+    assert(CdcParser.rejects(lines, schemas).count() == 0)
+    val back = CdcParser.parseRelation(lines, "TEST",
+        Seq("id" -> LongType, "name" -> StringType, "score" -> DoubleType))
+      .select("id", "name", "score").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, Some("alpha"), Some(2.5)),
+      (2L, None, Some(7.0)),
+      (3L, Some("gamma"), None)))
+  }
+
   test("rejects routes exactly the malformed lines, with reasons") {
     val ss = s
     import ss.implicits._
