@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{array, col, concat, explode, hash, lit, pmod}
 
 /** The incremental acyclic-FK-join-tree engine — the Cquirrel/AJU
   * capability that is the reference's distinguishing feature
@@ -332,12 +332,29 @@ object DeltaEngine {
     *                    None → `changelogs(spec.relation)`
     * @param parentStage upstream stage providing parent deltas; None
     *                    for branch roots
+    * @param salts       sub-key salting factor for a SKEWED hop
+    *                    (default 1 = off) — see the skew note below
     */
+  /** SKEW: the AJU cost model's hot spot is a parent flip replaying
+    * the ENTIRE buffered child set of that key inside one task — a
+    * hot key (one customer with millions of orders) serializes its
+    * whole replay no matter how many executors exist. `salts = S`
+    * splits the hop's key space into S sub-keys: each own event
+    * routes to one deterministic bucket (hash of its row) while every
+    * parent delta REPLICATES to all S buckets, so each bucket folds a
+    * full copy of the (tiny per-key) liveness state over a 1/S slice
+    * of the (huge) child buffer. The child multiset partitions across
+    * buckets and the liveness fold is replicated identically, so the
+    * union of bucket emissions EQUALS the unsalted emissions
+    * (mergeable liveness — spec-asserted on a hot-key fixture).
+    * Cost: parent-delta volume ×S and S state rows per key; apply it
+    * to the skewed hop only, sized so hot-key-children/S fits a task. */
   final case class Stage(
       name: String,
       spec: NodeSpec,
       ownStage: Option[String] = None,
-      parentStage: Option[String] = None)
+      parentStage: Option[String] = None,
+      salts: Int = 1)
 
   /** A root→leaf chain as stages — the original [[runBatch]] shape. */
   def chainStages(specs: Seq[NodeSpec]): Seq[Stage] =
@@ -366,8 +383,33 @@ object DeltaEngine {
           s"stage '${st.name}' takes own events from '$ref', whose nextKeyCol " +
             s"'$up' != childKeyCol '${st.spec.childKeyCol}' — emissions would be mis-keyed")
       }
+      require(st.salts >= 1, s"stage '${st.name}': salts must be >= 1, got ${st.salts}")
       seen += st.name
     }
+  }
+
+  /** Own events route to one deterministic sub-key bucket (Murmur3 of
+    * the canonical row — identical rows land together, keeping root
+    * set-semantics content-correct); codegen'd projection. */
+  private def saltOwn(own: Dataset[Evt], salts: Int): Dataset[Evt] = {
+    val spark = own.sparkSession
+    import spark.implicits._
+    own.toDF()
+      .withColumn("key", concat(col("key"), lit("#"),
+        pmod(hash(col("row")), lit(salts)).cast("string")))
+      .as[Evt]
+  }
+
+  /** Parent deltas replicate to every sub-key bucket — the replicated
+    * copy of the liveness state each bucket folds. */
+  private def saltParent(parent: Dataset[Evt], salts: Int): Dataset[Evt] = {
+    val spark = parent.sparkSession
+    import spark.implicits._
+    parent.toDF()
+      .withColumn("__salt", explode(array((0 until salts).map(i => lit(i.toString)): _*)))
+      .withColumn("key", concat(col("key"), lit("#"), col("__salt")))
+      .drop("__salt")
+      .as[Evt]
   }
 
   /** Run the tree in batch-simulation mode: each node is a
@@ -444,7 +486,11 @@ object DeltaEngine {
             .withColumn("fromParent", lit(false))
             .as[Evt]
       }
-      val events = st.parentStage.map(r => own.union(outputs(r))).getOrElse(own)
+      val ownS = if (st.salts > 1) saltOwn(own, st.salts) else own
+      val events = st.parentStage.map { r =>
+        val p = if (st.salts > 1) saltParent(outputs(r), st.salts) else outputs(r)
+        ownS.union(p)
+      }.getOrElse(ownS)
       val nodeStats = stats.map { buf =>
         val s = NodeStats(st.name,
           spark.sparkContext.longAccumulator(s"graft.${st.name}.events"),
@@ -542,7 +588,11 @@ object DeltaEngine {
         case Some(ref) =>
           outputs(ref).toDF().withColumn("fromParent", lit(false)).as[Evt]
       }
-      val events = st.parentStage.map(r => own.union(outputs(r))).getOrElse(own)
+      val ownS = if (st.salts > 1) saltOwn(own, st.salts) else own
+      val events = st.parentStage.map { r =>
+        val p = if (st.salts > 1) saltParent(outputs(r), st.salts) else outputs(r)
+        ownS.union(p)
+      }.getOrElse(ownS)
       outputs(st.name) = events
         .groupByKey(_.key)
         .flatMapGroupsWithState[NState, Evt](

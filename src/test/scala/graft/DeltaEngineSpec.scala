@@ -257,6 +257,40 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("salted stage: hot-key fan-out equals unsalted run (mergeable liveness)") {
+    import graft.streaming.DeltaEngine
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // the AJU hot spot: ONE key buffers 5000 children, then its parent
+    // dies — unsalted, that whole replay happens inside a single task
+    val pEvts =
+      Seq(Evt(0, false, 1, 1, "hot", Map("pk" -> "hot", "pname" -> "P")),
+          Evt(2, false, -1, 1, "hot", Map("pk" -> "hot", "pname" -> "P"))) ++
+        (0 until 10).map(i =>
+          Evt(0, false, 1, 1, s"cold$i", Map("pk" -> s"cold$i", "pname" -> s"C$i")))
+    val cEvts = (0 until 5000).map(i =>
+        Evt(1, false, 1, 1, "hot", Map("fk" -> "hot", "cid" -> i.toString, "v" -> "12"))) ++
+      (0 until 10).map(i =>
+        Evt(1, false, 1, 1, s"cold$i", Map("fk" -> s"cold$i", "cid" -> s"c$i", "v" -> "12")))
+    val logs = Map("P" -> s.createDataset(pEvts), "C" -> s.createDataset(cEvts))
+    def stages(salts: Int) = Seq(
+      Stage("P", NodeSpec("P", "pk", "pk", isRoot = true, setSemantics = true)),
+      Stage("C", NodeSpec("C", "fk", "fk"), parentStage = Some("P"), salts = salts))
+    def fold(evts: Seq[Evt]): Map[String, Int] =
+      evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+        .filter(_._2 != 0).toMap
+    val statsBuf = scala.collection.mutable.Buffer.empty[DeltaEngine.NodeStats]
+    val salted = DeltaEngine.runTree(stages(8), logs, stats = Some(statsBuf)).collect().toSeq
+    val unsalted = DeltaEngine.runTree(stages(1), logs).collect().toSeq
+    // the union of the 8 buckets' emissions equals the unsalted run
+    assert(fold(salted) == fold(unsalted))
+    assert(fold(salted).values.sum == 10) // hot branch nets to zero
+    // the documented cost is visible in the stats: every parent delta
+    // (12 alive/dead emissions) replicated to all 8 buckets
+    val cStats = statsBuf.find(_.relation == "C").get
+    assert(cStats.events.value == 5010 + 12 * 8, cStats.events.value.toString)
+  }
+
   test("stage validation fails loudly on mis-keyed or out-of-order graphs") {
     import graft.streaming.DeltaEngine
     val s = SparkTestSession.spark
