@@ -9,6 +9,14 @@ object Verify {
     // optional extra args: restrict the dump to the named queries
     // (dev loops); the driver always passes exactly two
     val only: Option[Set[String]] = if (args.length > 2) Some(args.drop(2).toSet) else None
+    // a typo'd name must not silently verify nothing
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[verify] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -187,10 +187,15 @@ object Dedup {
   private val shingleRowCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    // purge entries of stopped sessions — a JVM that cycles sessions
+    // (sbt server running Verify then Bench) must not pin dead plan
+    // graphs for its lifetime
+    shingleRowCache.keySet.removeIf(_._1.sparkContext.isStopped)
     shingleRowCache.computeIfAbsent((s, d), _ =>
       shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
         .localCheckpoint())
+  }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // The shingle pipeline feeds FOUR consumers (sig, both confirm

@@ -363,16 +363,24 @@ object IncrementalQueries {
           Some(col("o_orderkey") % 50 === 0)))
         .unionAll(render(Tables.lineitem(s, dir), "LINE", liCols,
           Some(col("l_linenumber") === 3)))
-    // deterministic per-fixture path + overwrite: a fresh
-    // createTempDirectory per invocation would leak one full rendered
-    // copy of four tables PER RUN for the JVM lifetime and beyond
-    // (deleteOnExit only removes empty directories) — Bench warm-ups,
-    // Profile sweeps, and Verify all call this repeatedly
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_cdc_lines", key, "lines").toString
-    rendered.write.mode("overwrite").text(path)
+    // ONE rendered copy per (JVM, fixture): the render is deterministic,
+    // so repeat callers (Bench warm-ups, Profile sweeps, Verify) reuse
+    // the first write instead of leaking a fresh temp directory each —
+    // and the directory is process-unique (createTempDirectory), so
+    // concurrent JVMs on the same fixture never overwrite each other's
+    // files mid-scan. A shutdown hook deletes it recursively
+    // (deleteOnExit alone only removes empty directories).
+    val path = cdcLineDirs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_lines")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => p.toFile.delete())
+      }))
+      val p = tmp.resolve("lines").toString
+      rendered.write.mode("overwrite").text(p)
+      p
+    })
     val lines = s.read.text(path)
     def parse(code: String, schema: Seq[(String, org.apache.spark.sql.types.DataType)]) =
       CdcParser.parseRelation(lines, code, schema)
@@ -441,6 +449,9 @@ object IncrementalQueries {
     ev.select(col("c_custkey"), col("seq"), col("l_orderkey"), col("l_linenumber"),
       col("sign"), sum(col("sign") * col("rev_e4")).over(w).as("running_revenue_e4"))
   }
+
+  /** Rendered-CDC-lines directory per fixture dir, for this JVM. */
+  private val cdcLineDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val lineitemCdcCols =
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")

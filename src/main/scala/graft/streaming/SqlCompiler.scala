@@ -46,8 +46,8 @@ import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
   */
 object SqlCompiler {
 
-  /** One aggregate output: `kind` is "sum" or "count", `frag` the
-    * original SQL text of the SUM argument ("" for count). */
+  /** One aggregate output: `kind` is "sum", "count", or "avg"; `frag`
+    * is the original SQL text of the argument ("" for count). */
   final case class AggSpec(kind: String, frag: String, alias: String)
 
   final case class Compiled(

@@ -152,6 +152,9 @@ object TreeCompiler {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
     val rels = order.distinct
     require(rels.size == order.size, s"duplicate relations in $order")
+    if (rels.size < 2)
+      fail(s"an incremental join tree needs >= 2 relations, got $rels " +
+        "(a single-relation aggregate has no liveness to maintain — run it as plain SQL)")
     edges.foreach(e => require(rels.contains(e.child) && rels.contains(e.parent),
       s"edge ${e.child}→${e.parent} references a relation outside $order"))
     if (edges.size != rels.size - 1)
@@ -169,17 +172,10 @@ object TreeCompiler {
     val facts = rels.filterNot(consumer.contains)
     if (facts.size != 1) fail(s"join graph is not a single in-tree; " +
       s"relations referenced by nobody: $facts")
-    val fact = facts.head
-    // every relation must reach the fact along consumer edges (this
-    // also rules out cycles, which would never terminate at the fact)
-    rels.foreach { r =>
-      var cur = r; var hops = 0
-      while (cur != fact) {
-        cur = consumer.getOrElse(cur, fail(s"join graph is disconnected at '$cur'")).child
-        hops += 1
-        if (hops > rels.size) fail(s"join graph has a cycle through '$r'")
-      }
-    }
+    // (connectivity and acyclicity need no separate walk: with n-1
+    // edges, one fact, and every other relation feeding exactly one
+    // consumer, any cycle or disconnected island stalls the Kahn loop
+    // below, which fails naming the stuck relations)
     val parentsOf: Map[String, Seq[FkEdge]] = edges.groupBy(_.child).view
       .mapValues(_.sortBy(e => order.indexOf(e.parent))).toMap
     def pred(name: String) = predicates.getOrElse(name, DeltaEngine.NoPredicate)

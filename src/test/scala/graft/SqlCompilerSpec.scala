@@ -243,6 +243,9 @@ class SqlCompilerSpec extends AnyFunSuite {
     // no aggregate
     bad("SELECT c_custkey FROM customer, nation WHERE c_nationkey = n_nationkey",
       "grouped aggregate")
+    // single relation: nothing to maintain incrementally
+    bad("SELECT n_name, COUNT(*) AS n FROM nation GROUP BY n_name",
+      ">= 2 relations")
     // non-FK join condition
     bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer
           |WHERE c_custkey = n_nationkey GROUP BY n_name""".stripMargin, "not an FK edge")
