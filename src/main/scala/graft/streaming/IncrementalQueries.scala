@@ -278,6 +278,18 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** The Q10 tree with its heaviest hop SALTED (S = 8): lineitem
+    * events bucket by row hash while orders' liveness deltas replicate
+    * to every bucket ([[DeltaEngine.Stage]] skew note). Behind the
+    * same survivors oracle as incremental_q10 — the de-skew must be
+    * answer-invariant, not just spec-asserted. */
+  def incrementalQ10Salted(s: SparkSession, dir: String): DataFrame = {
+    val stages = chainStages(q10Tree) match {
+      case init :+ last => init :+ last.copy(salts = 8)
+    }
+    q10Aggregate(runTree(stages, q10Changelogs(s, dir), sourceFiltered = true))
+  }
+
   /** The CONTINUOUS engine itself behind the correctness gate — not
     * its batch simulation: the q10 changelog replays through
     * [[DeltaEngine.runStream]] as real Structured Streaming
@@ -548,6 +560,20 @@ object IncrementalQueries {
           "lineitem" -> (col("l_linenumber") === 3),
           "orders" -> (col("o_orderkey") % 50 === 0)))
     },
+
+    // The skew mitigation behind the hash gate — q10 with the
+    // lineitem hop salted; same oracle as incremental_q10.
+    sql("incremental_q10_salted",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Salted),
 
     // The streaming engine (runStream), not its batch simulation,
     // behind the hash gate — same oracle as incremental_q10.
