@@ -40,7 +40,9 @@ object SparkEntry {
     val preferred = Seq(
       "q10_flagship", "join_tree_full", "agg_sum_groupby", "window_rank",
       "topk_orderby_limit", "dedup_exact", "dedup_minhash_pairs",
-      "ann_bruteforce_topk", "text_quality_score", "incremental_q10")
+      "ann_bruteforce_topk", "text_quality_score", "incremental_q10",
+      // round 3: the branching (multi-parent) incremental tree
+      "incremental_part_revenue")
     val have = queries.keySet
     preferred.filter(have)
   }
