@@ -651,6 +651,30 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // COUNT(DISTINCT) maintained incrementally — no extra engine
+    // state: the leaf delta multiset nets per (group, value), so the
+    // compiler derives it with a per-value rollup joined back on the
+    // group keys.
+    sql("incremental_sql_count_distinct",
+      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
+          |FROM region, nation, customer, orders
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND o_custkey = c_custkey
+          | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
     // BRANCHING tree (multi-parent lineitem: orders-chain AND part) —
     // the AJU capability beyond a chain. The oracle is the plain-SQL
     // survivors query over the five-way join with deletes excluded on

@@ -118,7 +118,8 @@ object SqlCompiler {
       val typed = leaf.select(
         (col("tag") * col("mult")).cast(LongType).as("__sign") +:
           dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
-      val aggExprs = aggs.map { a =>
+      val (distinctAggs, plainAggs) = aggs.partition(_.kind == "count_distinct")
+      val aggExprs = plainAggs.map { a =>
         a.kind match {
           case "count" => sum(col("__sign")).cast(LongType).as(a.alias)
           case "avg" =>
@@ -133,10 +134,25 @@ object SqlCompiler {
           case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
         }
       } :+ sum(col("__sign")).as("__net")
-      typed.groupBy(groupCols.map(col): _*)
+      val main = typed.groupBy(groupCols.map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
         .filter(col("__net") > 0)
-        .select(outputCols.map(col): _*)
+      // COUNT(DISTINCT x) needs NO extra engine state: the leaf delta
+      // multiset already nets per (group, value) — a value is present
+      // iff its signed count is positive. Two hash aggregates (both
+      // map-side combinable, partitioned by group) and an equi-join
+      // back on the group keys; null values don't count, groups whose
+      // values all netted away count 0.
+      distinctAggs.foldLeft(main) { (df, a) =>
+        val perValue = typed
+          .groupBy((groupCols.map(col) :+ expr(a.frag).as("__dv")): _*)
+          .agg(sum(col("__sign")).as("__dn"))
+          .filter(col("__dn") > 0 && col("__dv").isNotNull)
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).cast(LongType).as(a.alias))
+        df.join(perValue, groupCols, "left")
+          .withColumn(a.alias, coalesce(col(a.alias), lit(0L)))
+      }.select(outputCols.map(col): _*)
     }
 
     /** Run incrementally over insert-everything changelogs plus the
@@ -292,15 +308,18 @@ object SqlCompiler {
       case f: UnresolvedFunction =>
         (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
           case ("count", Seq(_: UnresolvedStar)) => AggSpec("count", "", alias)
+          case ("count", Seq(arg)) if f.isDistinct =>
+            AggSpec("count_distinct", fragment(arg), alias)
           case ("count", args) if args.forall(_.foldable) => AggSpec("count", "", alias)
           case ("sum", Seq(arg)) if !f.isDistinct => AggSpec("sum", fragment(arg), alias)
           case ("avg", Seq(arg)) if !f.isDistinct => AggSpec("avg", fragment(arg), alias)
           case (name @ ("min" | "max"), _) => fail(s"unsupported aggregate $name in " +
             s"'$alias': MIN/MAX are not retractable — undoing a delete of the current " +
             "extreme needs the full per-group value multiset, state this engine " +
-            "deliberately does not keep (retractable aggregates: SUM, COUNT(*), AVG)")
+            "deliberately does not keep (retractable aggregates: SUM, COUNT(*), " +
+            "COUNT(DISTINCT x), AVG)")
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
-            "(retractable aggregates here: SUM, COUNT(*), AVG)")
+            "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), AVG)")
         }
       case other => fail(s"expected an aggregate function under alias '$alias', " +
         s"got '${fragment(other)}'")
@@ -320,6 +339,9 @@ object SqlCompiler {
       (items.flatMap(_._1), items.map(_._2))
     }
     if (aggs.isEmpty) fail("at least one SUM/COUNT(*)/AVG aggregate is required")
+    if (groupCols.isEmpty && aggs.exists(_.kind == "count_distinct"))
+      fail("COUNT(DISTINCT x) needs at least one GROUP BY column here " +
+        "(the per-value rollup joins back on the group keys)")
 
     // per-relation columns that must travel in canonical rows:
     // referenced by GROUP BY / SUM args, plus every key column any of

@@ -185,6 +185,28 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("COUNT(DISTINCT x) nets per (group, value) and survives deletes") {
+    val sqlText =
+      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    // deletes remove ALL orders of one priority for some customers —
+    // the distinct count must drop only where the last value vanished
+    val got = SqlCompiler.run(s, d, sqlText,
+        deletes = Map("orders" -> (col("o_orderpriority") === "1-URGENT")))
+      .orderBy("n_name").collect().toSeq
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val want = s.sql(
+      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderpriority <> '1-URGENT'
+        |GROUP BY n_name""".stripMargin).orderBy("n_name").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("BETWEEN and IN predicates compile and match spark.sql insert-only") {
     Seq("nation", "customer", "orders").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
