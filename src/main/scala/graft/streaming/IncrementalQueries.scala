@@ -675,6 +675,30 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // MIN/MAX maintained via the same per-value netting — deleting
+    // the current extreme must re-expose the runner-up.
+    sql("incremental_sql_minmax",
+      """SELECT n_name, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        | COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_totalprice <= 400000
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+          | COUNT(*) AS n_rows
+          |FROM region, nation, customer, orders
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND o_custkey = c_custkey
+          | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_totalprice") > 400000)))
+    },
+
     // BRANCHING tree (multi-parent lineitem: orders-chain AND part) —
     // the AJU capability beyond a chain. The oracle is the plain-SQL
     // survivors query over the five-way join with deletes excluded on

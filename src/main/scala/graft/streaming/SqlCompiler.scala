@@ -118,7 +118,8 @@ object SqlCompiler {
       val typed = leaf.select(
         (col("tag") * col("mult")).cast(LongType).as("__sign") +:
           dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
-      val (distinctAggs, plainAggs) = aggs.partition(_.kind == "count_distinct")
+      val (valueAggs, plainAggs) =
+        aggs.partition(a => Set("count_distinct", "min", "max")(a.kind))
       val aggExprs = plainAggs.map { a =>
         a.kind match {
           case "count" => sum(col("__sign")).cast(LongType).as(a.alias)
@@ -137,21 +138,33 @@ object SqlCompiler {
       val main = typed.groupBy(groupCols.map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
         .filter(col("__net") > 0)
-      // COUNT(DISTINCT x) needs NO extra engine state: the leaf delta
-      // multiset already nets per (group, value) — a value is present
-      // iff its signed count is positive. Two hash aggregates (both
-      // map-side combinable, partitioned by group) and an equi-join
-      // back on the group keys; null values don't count, groups whose
-      // values all netted away count 0.
-      distinctAggs.foldLeft(main) { (df, a) =>
+      // COUNT(DISTINCT x) / MIN(x) / MAX(x) need NO extra engine
+      // state: the leaf delta multiset already nets per (group,
+      // value) — a value is present iff its signed count is positive,
+      // and counting/min-ing/max-ing the present values is exact
+      // under retraction (deleting the current extreme re-exposes the
+      // runner-up because the runner-up's net is still positive). Two
+      // hash aggregates per such agg (both map-side combinable,
+      // partitioned by group) and an equi-join back on the group
+      // keys. Nulls don't participate (SQL semantics); a group whose
+      // values all netted away counts 0 / is NULL for MIN/MAX.
+      valueAggs.foldLeft(main) { (df, a) =>
         val perValue = typed
           .groupBy((groupCols.map(col) :+ expr(a.frag).as("__dv")): _*)
           .agg(sum(col("__sign")).as("__dn"))
           .filter(col("__dn") > 0 && col("__dv").isNotNull)
-          .groupBy(groupCols.map(col): _*)
-          .agg(count(lit(1)).cast(LongType).as(a.alias))
-        df.join(perValue, groupCols, "left")
-          .withColumn(a.alias, coalesce(col(a.alias), lit(0L)))
+        val rolled = a.kind match {
+          case "count_distinct" => perValue.groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).cast(LongType).as(a.alias))
+          case "min" => perValue.groupBy(groupCols.map(col): _*)
+            .agg(min(col("__dv")).as(a.alias))
+          case _ => perValue.groupBy(groupCols.map(col): _*)
+            .agg(max(col("__dv")).as(a.alias))
+        }
+        val joined = df.join(rolled, groupCols, "left")
+        if (a.kind == "count_distinct")
+          joined.withColumn(a.alias, coalesce(col(a.alias), lit(0L)))
+        else joined
       }.select(outputCols.map(col): _*)
     }
 
@@ -313,13 +326,10 @@ object SqlCompiler {
           case ("count", args) if args.forall(_.foldable) => AggSpec("count", "", alias)
           case ("sum", Seq(arg)) if !f.isDistinct => AggSpec("sum", fragment(arg), alias)
           case ("avg", Seq(arg)) if !f.isDistinct => AggSpec("avg", fragment(arg), alias)
-          case (name @ ("min" | "max"), _) => fail(s"unsupported aggregate $name in " +
-            s"'$alias': MIN/MAX are not retractable — undoing a delete of the current " +
-            "extreme needs the full per-group value multiset, state this engine " +
-            "deliberately does not keep (retractable aggregates: SUM, COUNT(*), " +
-            "COUNT(DISTINCT x), AVG)")
+          case (name @ ("min" | "max"), Seq(arg)) => AggSpec(name, fragment(arg), alias)
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
-            "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), AVG)")
+            "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
+            "MIN, MAX, AVG)")
         }
       case other => fail(s"expected an aggregate function under alias '$alias', " +
         s"got '${fragment(other)}'")
@@ -339,8 +349,9 @@ object SqlCompiler {
       (items.flatMap(_._1), items.map(_._2))
     }
     if (aggs.isEmpty) fail("at least one SUM/COUNT(*)/AVG aggregate is required")
-    if (groupCols.isEmpty && aggs.exists(_.kind == "count_distinct"))
-      fail("COUNT(DISTINCT x) needs at least one GROUP BY column here " +
+    if (groupCols.isEmpty &&
+        aggs.exists(a => Set("count_distinct", "min", "max")(a.kind)))
+      fail("COUNT(DISTINCT x)/MIN/MAX need at least one GROUP BY column here " +
         "(the per-value rollup joins back on the group keys)")
 
     // per-relation columns that must travel in canonical rows:

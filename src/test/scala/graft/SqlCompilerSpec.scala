@@ -207,6 +207,30 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("MIN/MAX re-expose the runner-up when deletes remove the extreme") {
+    val sqlText =
+      """SELECT n_name, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    // delete the top decile of prices: most groups lose their MAX and
+    // must fall back to the surviving runner-up
+    val got = SqlCompiler.run(s, d, sqlText,
+        deletes = Map("orders" -> (col("o_totalprice") > 400000)))
+      .orderBy("n_name").collect().toSeq
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val want = s.sql(
+      """SELECT n_name, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_totalprice <= 400000
+        |GROUP BY n_name""".stripMargin).orderBy("n_name").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("BETWEEN and IN predicates compile and match spark.sql insert-only") {
     Seq("nation", "customer", "orders").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
@@ -285,10 +309,10 @@ class SqlCompilerSpec extends AnyFunSuite {
     bad("""SELECT n_name, SUM(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "FLOATING-POINT")
-    // MIN/MAX are not retractable without the full value multiset
-    bad("""SELECT n_name, MIN(c_acctbal) AS a FROM nation, customer
+    // an aggregate with no retractable derivation
+    bad("""SELECT n_name, median(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
-      "not retractable")
+      "unsupported aggregate")
     // branching join graph (nation parents both customer and supplier)
     bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer, supplier
           |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
