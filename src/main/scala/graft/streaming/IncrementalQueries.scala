@@ -675,6 +675,42 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // The reference's FULL flagship shape — grouped aggregate + HAVING
+    // + ORDER BY + LIMIT — compiled from one SQL text: the wrappers
+    // are presentation over the maintained view (deterministic via the
+    // c_custkey tie-break), the fold underneath is the same q10 tree.
+    sql("incremental_sql_q10_full",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |HAVING COUNT(*) >= 2
+         |ORDER BY revenue_e4 DESC, c_custkey
+         |LIMIT 20""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+           | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+           | COUNT(*) AS n_rows
+           |FROM nation, customer, orders, lineitem
+           |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           | AND c_nationkey = n_nationkey
+           | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+           | AND l_returnflag = 'R'
+           |GROUP BY c_custkey, c_name, c_acctbal, n_name
+           |HAVING n_rows >= 2
+           |ORDER BY revenue_e4 DESC, c_custkey
+           |LIMIT 20""".stripMargin,
+        deletes = Map(
+          "lineitem" -> (col("l_linenumber") === 3),
+          "orders" -> (col("o_orderkey") % 50 === 0)))
+    },
+
     // MIN/MAX maintained via the same per-value netting — deleting
     // the current extreme must re-expose the runner-up.
     sql("incremental_sql_minmax",

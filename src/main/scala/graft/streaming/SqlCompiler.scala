@@ -1,10 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, EqualTo, Expression, Literal, NullsFirst}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Sort}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import graft.Tables
@@ -59,7 +59,8 @@ object SqlCompiler {
       aggs: Seq[AggSpec],
       outputCols: Seq[String],
       colType: Map[String, DataType],
-      neededRaw: Map[String, Seq[String]]) {
+      neededRaw: Map[String, Seq[String]],
+      present: Seq[DataFrame => DataFrame] = Nil) {
 
     /** Each relation's changelog routing key = the childKeyCol of its
       * FIRST stage (later stages of a multi-parent relation re-key
@@ -166,6 +167,8 @@ object SqlCompiler {
           joined.withColumn(a.alias, coalesce(col(a.alias), lit(0L)))
         else joined
       }.select(outputCols.map(col): _*)
+        // HAVING / ORDER BY / LIMIT, in SQL order, over the view
+        .transform(df => present.foldLeft(df)((d, f) => f(d)))
     }
 
     /** Run incrementally over insert-everything changelogs plus the
@@ -221,18 +224,64 @@ object SqlCompiler {
     case x => Seq(x)
   }
 
+  /** Peel HAVING / ORDER BY / LIMIT off the top of the parse tree —
+    * they are PRESENTATION over the maintained aggregate view, not
+    * part of the incremental fold, so each compiles to a
+    * post-transform applied to the aggregate's output (in SQL order:
+    * HAVING, then ORDER BY, then LIMIT). Conditions and sort keys
+    * must reference SELECT aliases or group columns; aggregate calls
+    * inside them fail loudly (alias the aggregate in SELECT instead —
+    * the compiler cannot re-derive an un-aliased fold). */
+  private def unwrapPresentation(p: LogicalPlan)
+      : (LogicalPlan, Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]) = {
+    def noAggCalls(e: Expression, what: String): Unit =
+      if (e.exists(_.isInstanceOf[UnresolvedFunction]))
+        fail(s"$what must reference SELECT aliases or group columns, not aggregate " +
+          s"calls: '${fragment(e)}' (alias the aggregate in SELECT and use the alias)")
+    p match {
+      case gl: GlobalLimit =>
+        val n = gl.limitExpr match {
+          case Literal(v: Int, _) => v
+          case other => fail(s"LIMIT must be an integer literal, got '${fragment(other)}'")
+        }
+        val inner = gl.child match { case ll: LocalLimit => ll.child; case c => c }
+        val (core, fs) = unwrapPresentation(inner)
+        (core, fs :+ ((df: DataFrame) => df.limit(n)))
+      case srt: Sort =>
+        val cols = srt.order.map { so =>
+          noAggCalls(so.child, "ORDER BY")
+          val c = expr(fragment(so.child))
+          (so.direction == Ascending, so.nullOrdering == NullsFirst) match {
+            case (true, true) => c.asc_nulls_first
+            case (true, false) => c.asc_nulls_last
+            case (false, true) => c.desc_nulls_first
+            case (false, false) => c.desc_nulls_last
+          }
+        }
+        val (core, fs) = unwrapPresentation(srt.child)
+        (core, fs :+ ((df: DataFrame) => df.orderBy(cols: _*)))
+      case h: UnresolvedHaving =>
+        noAggCalls(h.havingCondition, "HAVING")
+        val frag = fragment(h.havingCondition)
+        val (core, fs) = unwrapPresentation(h.child)
+        (core, fs :+ ((df: DataFrame) => df.filter(expr(frag))))
+      case other => (other, Nil)
+    }
+  }
+
   /** `explicitFk` supplies the FK graph for schemas the TPC-H naming
     * convention can't describe (the caller's catalog); omitted, the
     * graph derives from the parquet schemas via [[TreeCompiler.fkEdges]]. */
   def compile(spark: SparkSession, dir: String, sqlText: String,
               explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): Compiled = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    val (corePlan, present) = unwrapPresentation(plan)
 
-    val (groupExprs, selectExprs, belowAgg) = plan match {
+    val (groupExprs, selectExprs, belowAgg) = corePlan match {
       case Aggregate(g, a, child, _) => (g, a, child)
       case other => fail(s"expected a grouped aggregate query, got ${other.nodeName} " +
-        "(the incremental engine maintains GROUP BY aggregates; ORDER BY/LIMIT/HAVING " +
-        "belong on the consumer side)")
+        "(the incremental engine maintains GROUP BY aggregates, with HAVING/ORDER " +
+        "BY/LIMIT as presentation over the maintained view)")
     }
 
     // WHERE conjuncts + the join forest under them
@@ -404,7 +453,8 @@ object SqlCompiler {
       rel -> (cols ++ predCols.getOrElse(rel, Nil)).distinct
     }
 
-    Compiled(path, stages, wheres, needed, groupCols, aggs, outputCols, colType, neededRaw)
+    Compiled(path, stages, wheres, needed, groupCols, aggs, outputCols, colType,
+      neededRaw, present)
   }
 
   /** compile + run in one call. */

@@ -185,6 +185,32 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("HAVING / ORDER BY / LIMIT compile as presentation over the view") {
+    Seq("nation", "customer", "orders", "lineitem").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // the reference's full flagship shape, pasted verbatim
+    val fullQ10 =
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        | AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |HAVING n_rows >= 2
+        |ORDER BY revenue_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin
+    val got = SqlCompiler.run(s, d, fullQ10).collect().toSeq
+    val want = s.sql(fullQ10).collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // sort keys / having conditions over aggregate CALLS fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      SqlCompiler.compile(s, d, q10Sql + "\nORDER BY SUM(l_discount) DESC")
+    }
+    assert(ex.getMessage.contains("alias the aggregate"))
+  }
+
   test("COUNT(DISTINCT x) nets per (group, value) and survives deletes") {
     val sqlText =
       """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
