@@ -144,28 +144,34 @@ object SqlCompiler {
       // value) — a value is present iff its signed count is positive,
       // and counting/min-ing/max-ing the present values is exact
       // under retraction (deleting the current extreme re-exposes the
-      // runner-up because the runner-up's net is still positive). Two
-      // hash aggregates per such agg (both map-side combinable,
-      // partitioned by group) and an equi-join back on the group
-      // keys. Nulls don't participate (SQL semantics); a group whose
-      // values all netted away counts 0 / is NULL for MIN/MAX.
-      valueAggs.foldLeft(main) { (df, a) =>
+      // runner-up because the runner-up's net is still positive).
+      // All such aggs over the SAME argument share one per-value
+      // rollup and one join; the repeated scans of the leaf lineage
+      // inside the one final plan dedupe via Spark's exchange reuse.
+      // Nulls don't participate (SQL semantics); a group whose values
+      // all netted away counts 0 / is NULL for MIN/MAX. The join back
+      // is NULL-SAFE on the group keys (a NULL-keyed group must match
+      // its own rollup row, as groupBy semantics treat NULL as a key).
+      valueAggs.groupBy(_.frag).toSeq.sortBy(_._1).foldLeft(main) { case (df, (frag, as)) =>
         val perValue = typed
-          .groupBy((groupCols.map(col) :+ expr(a.frag).as("__dv")): _*)
+          .groupBy((groupCols.map(col) :+ expr(frag).as("__dv")): _*)
           .agg(sum(col("__sign")).as("__dn"))
           .filter(col("__dn") > 0 && col("__dv").isNotNull)
-        val rolled = a.kind match {
-          case "count_distinct" => perValue.groupBy(groupCols.map(col): _*)
-            .agg(count(lit(1)).cast(LongType).as(a.alias))
-          case "min" => perValue.groupBy(groupCols.map(col): _*)
-            .agg(min(col("__dv")).as(a.alias))
-          case _ => perValue.groupBy(groupCols.map(col): _*)
-            .agg(max(col("__dv")).as(a.alias))
+        val rollExprs = as.map { a =>
+          a.kind match {
+            case "count_distinct" => count(lit(1)).cast(LongType).as(a.alias)
+            case "min" => min(col("__dv")).as(a.alias)
+            case _ => max(col("__dv")).as(a.alias)
+          }
         }
-        val joined = df.join(rolled, groupCols, "left")
-        if (a.kind == "count_distinct")
-          joined.withColumn(a.alias, coalesce(col(a.alias), lit(0L)))
-        else joined
+        val rolled = perValue.groupBy(groupCols.map(col): _*)
+          .agg(rollExprs.head, rollExprs.tail: _*)
+          .withColumnsRenamed(groupCols.map(c => c -> s"__g_$c").toMap)
+        val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+        val joined = df.join(rolled, cond, "left")
+          .drop(groupCols.map(c => s"__g_$c"): _*)
+        as.filter(_.kind == "count_distinct").foldLeft(joined)((j, a) =>
+          j.withColumn(a.alias, coalesce(col(a.alias), lit(0L))))
       }.select(outputCols.map(col): _*)
         // HAVING / ORDER BY / LIMIT, in SQL order, over the view
         .transform(df => present.foldLeft(df)((d, f) => f(d)))
@@ -234,10 +240,20 @@ object SqlCompiler {
     * the compiler cannot re-derive an un-aliased fold). */
   private def unwrapPresentation(p: LogicalPlan)
       : (LogicalPlan, Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]) = {
+    // reject AGGREGATE calls (they cannot be re-derived over the
+    // already-aggregated view); scalar functions are fine — they
+    // evaluate per output row
+    val aggNames = Set("sum", "count", "avg", "min", "max", "mean", "median",
+      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+      "collect_list", "collect_set", "first", "last", "any_value")
     def noAggCalls(e: Expression, what: String): Unit =
-      if (e.exists(_.isInstanceOf[UnresolvedFunction]))
-        fail(s"$what must reference SELECT aliases or group columns, not aggregate " +
-          s"calls: '${fragment(e)}' (alias the aggregate in SELECT and use the alias)")
+      e.foreach {
+        case f: UnresolvedFunction
+            if aggNames(f.nameParts.map(_.toLowerCase).mkString(".")) =>
+          fail(s"$what cannot contain aggregate calls: '${fragment(e)}' — " +
+            "alias the aggregate in SELECT and use the alias")
+        case _ =>
+      }
     p match {
       case gl: GlobalLimit =>
         val n = gl.limitExpr match {
@@ -248,18 +264,33 @@ object SqlCompiler {
         val (core, fs) = unwrapPresentation(inner)
         (core, fs :+ ((df: DataFrame) => df.limit(n)))
       case srt: Sort =>
-        val cols = srt.order.map { so =>
-          noAggCalls(so.child, "ORDER BY")
-          val c = expr(fragment(so.child))
-          (so.direction == Ascending, so.nullOrdering == NullsFirst) match {
-            case (true, true) => c.asc_nulls_first
-            case (true, false) => c.asc_nulls_last
-            case (false, true) => c.desc_nulls_first
-            case (false, false) => c.desc_nulls_last
+        // keys resolve lazily against the output frame so ORDER BY
+        // ordinals (the parser's UnresolvedOrdinal) map to the n-th
+        // output column, matching SQL semantics
+        val keyOf: Seq[DataFrame => Column] = srt.order.map { so =>
+          val base: DataFrame => Column = so.child match {
+            case uo: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal =>
+              (df: DataFrame) => {
+                if (uo.ordinal < 1 || uo.ordinal > df.columns.length)
+                  fail(s"ORDER BY ordinal ${uo.ordinal} out of range " +
+                    s"(query has ${df.columns.length} output columns)")
+                col(df.columns(uo.ordinal - 1))
+              }
+            case e =>
+              noAggCalls(e, "ORDER BY")
+              val frag = fragment(e)
+              (_: DataFrame) => expr(frag)
+          }
+          val flags = (so.direction == Ascending, so.nullOrdering == NullsFirst)
+          (df: DataFrame) => flags match {
+            case (true, true) => base(df).asc_nulls_first
+            case (true, false) => base(df).asc_nulls_last
+            case (false, true) => base(df).desc_nulls_first
+            case (false, false) => base(df).desc_nulls_last
           }
         }
         val (core, fs) = unwrapPresentation(srt.child)
-        (core, fs :+ ((df: DataFrame) => df.orderBy(cols: _*)))
+        (core, fs :+ ((df: DataFrame) => df.orderBy(keyOf.map(_(df)): _*)))
       case h: UnresolvedHaving =>
         noAggCalls(h.havingCondition, "HAVING")
         val frag = fragment(h.havingCondition)
@@ -368,6 +399,11 @@ object SqlCompiler {
     }
     def aggOf(e: Expression, alias: String): AggSpec = e match {
       case f: UnresolvedFunction =>
+        // a silently dropped FILTER clause would maintain the WRONG sum
+        if (f.filter.isDefined)
+          fail(s"aggregate FILTER clauses are not supported in '$alias' — " +
+            "move the condition into WHERE (same result for an inner-join query) " +
+            "or a CASE expression inside the aggregate argument")
         (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
           case ("count", Seq(_: UnresolvedStar)) => AggSpec("count", "", alias)
           case ("count", Seq(arg)) if f.isDistinct =>
@@ -397,7 +433,8 @@ object SqlCompiler {
       }
       (items.flatMap(_._1), items.map(_._2))
     }
-    if (aggs.isEmpty) fail("at least one SUM/COUNT(*)/AVG aggregate is required")
+    if (aggs.isEmpty) fail("at least one aggregate is required " +
+      "(SUM, COUNT(*), COUNT(DISTINCT x), MIN, MAX, AVG)")
     if (groupCols.isEmpty &&
         aggs.exists(a => Set("count_distinct", "min", "max")(a.kind)))
       fail("COUNT(DISTINCT x)/MIN/MAX need at least one GROUP BY column here " +

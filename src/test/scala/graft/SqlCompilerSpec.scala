@@ -209,6 +209,17 @@ class SqlCompilerSpec extends AnyFunSuite {
       SqlCompiler.compile(s, d, q10Sql + "\nORDER BY SUM(l_discount) DESC")
     }
     assert(ex.getMessage.contains("alias the aggregate"))
+    // ordinals resolve to the n-th output column (SQL semantics) —
+    // compiling them as literal constants would silently unsort
+    val ordQ = fullQ10.replace("ORDER BY revenue_e4 DESC, c_custkey", "ORDER BY 5 DESC, 1")
+    assert(SqlCompiler.run(s, d, ordQ).collect().toSeq ==
+      s.sql(ordQ).collect().toSeq)
+    val ex2 = intercept[IllegalArgumentException] {
+      SqlCompiler.run(s, d, q10Sql + "\nORDER BY 9 DESC")
+    }
+    assert(ex2.getMessage.contains("out of range"))
+    // scalar functions in sort keys are fine (evaluate per output row)
+    SqlCompiler.compile(s, d, q10Sql + "\nORDER BY upper(c_name) DESC")
   }
 
   test("COUNT(DISTINCT x) nets per (group, value) and survives deletes") {
@@ -339,6 +350,12 @@ class SqlCompilerSpec extends AnyFunSuite {
     bad("""SELECT n_name, median(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "unsupported aggregate")
+    // a FILTER clause silently dropped would maintain the wrong sum
+    bad("""SELECT n_name, COUNT(*) AS n,
+          | SUM(c_custkey) FILTER (WHERE c_acctbal > 0) AS s
+          |FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "FILTER clauses")
     // branching join graph (nation parents both customer and supplier)
     bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer, supplier
           |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
