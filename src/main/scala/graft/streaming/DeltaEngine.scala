@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.{array, col, concat, explode, hash, lit, pmod}
+import org.apache.spark.sql.functions.{array, col, concat, explode, hash, lit, lpad, pmod}
+import org.apache.spark.sql.Column
 
 /** The incremental acyclic-FK-join-tree engine — the Cquirrel/AJU
   * capability that is the reference's distinguishing feature
@@ -388,15 +389,28 @@ object DeltaEngine {
     }
   }
 
+  /** Sub-key encoding: the bucket is appended LAST at a FIXED width
+    * (6 zero-padded digits), so the suffix length is constant and no
+    * (key, bucket) pair can alias another — a variable-width
+    * `key + "#" + bucket` would collide for keys that themselves
+    * contain '#' ("x#1" bucket 0 vs "x" bucket 10), silently merging
+    * two distinct key groups into one fold. 6 digits bounds salts at
+    * 1,000,000 — far past useful (each salt replicates parent-delta
+    * volume). */
+  private val SaltWidth = 6
+  private def saltSuffix(bucket: Column): Column =
+    concat(lit("#"), lpad(bucket.cast("string"), SaltWidth, "0"))
+
   /** Own events route to one deterministic sub-key bucket (Murmur3 of
     * the canonical row — identical rows land together, keeping root
     * set-semantics content-correct); codegen'd projection. */
   private def saltOwn(own: Dataset[Evt], salts: Int): Dataset[Evt] = {
     val spark = own.sparkSession
     import spark.implicits._
+    require(salts < 1000000, s"salts must be < 1e6, got $salts")
     own.toDF()
-      .withColumn("key", concat(col("key"), lit("#"),
-        pmod(hash(col("row")), lit(salts)).cast("string")))
+      .withColumn("key", concat(col("key"),
+        saltSuffix(pmod(hash(col("row")), lit(salts)))))
       .as[Evt]
   }
 
@@ -405,9 +419,10 @@ object DeltaEngine {
   private def saltParent(parent: Dataset[Evt], salts: Int): Dataset[Evt] = {
     val spark = parent.sparkSession
     import spark.implicits._
+    require(salts < 1000000, s"salts must be < 1e6, got $salts")
     parent.toDF()
-      .withColumn("__salt", explode(array((0 until salts).map(i => lit(i.toString)): _*)))
-      .withColumn("key", concat(col("key"), lit("#"), col("__salt")))
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+      .withColumn("key", concat(col("key"), saltSuffix(col("__salt"))))
       .drop("__salt")
       .as[Evt]
   }

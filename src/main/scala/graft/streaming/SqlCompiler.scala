@@ -129,9 +129,15 @@ object SqlCompiler {
             // both components fold exactly (integral/DECIMAL argument
             // enforced at compile time), so the single double division
             // is bit-reproducible. NULL arguments stay out of both the
-            // numerator (sum skips them) and the denominator.
+            // numerator (sum skips them) and the denominator. The
+            // denominator is nullif-guarded: a group can survive the
+            // __net > 0 gate while its non-NULL-argument rows net to
+            // exactly zero (NULL-argument rows keeping it alive), and
+            // SQL's answer there is AVG = NULL — without the guard,
+            // ANSI mode (default in Spark 4) throws DIVIDE_BY_ZERO.
             (sum(col("__sign") * expr(a.frag)).cast("double") /
-              sum(when(expr(a.frag).isNotNull, col("__sign")).otherwise(lit(0))))
+              nullif(sum(when(expr(a.frag).isNotNull, col("__sign"))
+                .otherwise(lit(0))), lit(0)))
               .as(a.alias)
           case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
         }
@@ -238,18 +244,38 @@ object SqlCompiler {
     * must reference SELECT aliases or group columns; aggregate calls
     * inside them fail loudly (alias the aggregate in SELECT instead —
     * the compiler cannot re-derive an un-aliased fold). */
-  private def unwrapPresentation(p: LogicalPlan)
+  private def unwrapPresentation(spark: SparkSession, p: LogicalPlan)
       : (LogicalPlan, Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]) = {
     // reject AGGREGATE calls (they cannot be re-derived over the
     // already-aggregated view); scalar functions are fine — they
-    // evaluate per output row
-    val aggNames = Set("sum", "count", "avg", "min", "max", "mean", "median",
-      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
-      "collect_list", "collect_set", "first", "last", "any_value")
+    // evaluate per output row. Detection goes through the session's
+    // FunctionRegistry — a fixed name list would let count_if /
+    // percentile / bool_and / UDAFs slip through to an obscure
+    // runtime AnalysisException instead of this loud compile error.
+    def isAggregateCall(f: UnresolvedFunction): Boolean = {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+      import scala.util.control.NonFatal
+      val ident = FunctionIdentifier(f.nameParts.last,
+        if (f.nameParts.size > 1) Some(f.nameParts.init.mkString(".")) else None)
+      // group metadata covers every builtin (incl. count(*), whose
+      // star argument the constructor path below can't build)
+      val byInfo =
+        try spark.sessionState.catalog.lookupFunctionInfo(ident).getGroup == "agg_funcs"
+        catch { case NonFatal(_) => false }
+      // constructing the expression covers registered UDAFs, whose
+      // ExpressionInfo carries no group
+      byInfo || {
+        try spark.sessionState.catalog.lookupFunction(ident, f.arguments) match {
+          case _: AggregateExpression => true
+          case _: AggregateFunction => true
+          case _ => false
+        } catch { case NonFatal(_) => false }
+      }
+    }
     def noAggCalls(e: Expression, what: String): Unit =
       e.foreach {
-        case f: UnresolvedFunction
-            if aggNames(f.nameParts.map(_.toLowerCase).mkString(".")) =>
+        case f: UnresolvedFunction if isAggregateCall(f) =>
           fail(s"$what cannot contain aggregate calls: '${fragment(e)}' — " +
             "alias the aggregate in SELECT and use the alias")
         case _ =>
@@ -261,7 +287,7 @@ object SqlCompiler {
           case other => fail(s"LIMIT must be an integer literal, got '${fragment(other)}'")
         }
         val inner = gl.child match { case ll: LocalLimit => ll.child; case c => c }
-        val (core, fs) = unwrapPresentation(inner)
+        val (core, fs) = unwrapPresentation(spark, inner)
         (core, fs :+ ((df: DataFrame) => df.limit(n)))
       case srt: Sort =>
         // keys resolve lazily against the output frame so ORDER BY
@@ -289,12 +315,12 @@ object SqlCompiler {
             case (false, false) => base(df).desc_nulls_last
           }
         }
-        val (core, fs) = unwrapPresentation(srt.child)
+        val (core, fs) = unwrapPresentation(spark, srt.child)
         (core, fs :+ ((df: DataFrame) => df.orderBy(keyOf.map(_(df)): _*)))
       case h: UnresolvedHaving =>
         noAggCalls(h.havingCondition, "HAVING")
         val frag = fragment(h.havingCondition)
-        val (core, fs) = unwrapPresentation(h.child)
+        val (core, fs) = unwrapPresentation(spark, h.child)
         (core, fs :+ ((df: DataFrame) => df.filter(expr(frag))))
       case other => (other, Nil)
     }
@@ -306,7 +332,7 @@ object SqlCompiler {
   def compile(spark: SparkSession, dir: String, sqlText: String,
               explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): Compiled = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
-    val (corePlan, present) = unwrapPresentation(plan)
+    val (corePlan, present) = unwrapPresentation(spark, plan)
 
     val (groupExprs, selectExprs, belowAgg) = corePlan match {
       case Aggregate(g, a, child, _) => (g, a, child)

@@ -291,6 +291,39 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(cStats.events.value == 5010 + 12 * 8, cStats.events.value.toString)
   }
 
+  test("salted stage: keys containing '#' never alias across sub-key buckets") {
+    import graft.streaming.DeltaEngine
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // adversarial key family for the sub-key encoding: "x", "x#1",
+    // "x#10", "x#1#0" are all DISTINCT join keys. The bucket suffix is
+    // fixed-width, appended last, so no (key, bucket) pair can alias
+    // another — a variable-width "key#bucket" scheme must also prove
+    // the bucket token can't absorb part of a neighboring key. Kill
+    // only "x"'s parent: with aliasing, its death delta would leak
+    // into (or miss) another key's fold and the net counts would skew.
+    val keys = Seq("x", "x#1", "x#10", "x#1#0", "x#0", "x#00001")
+    val pEvts = keys.flatMap(k =>
+      Seq(Evt(0, false, 1, 1, k, Map("pk" -> k, "pname" -> s"P$k"))) ++
+        (if (k == "x") Seq(Evt(2, false, -1, 1, k, Map("pk" -> k, "pname" -> s"P$k"))) else Nil))
+    val cEvts = keys.zipWithIndex.flatMap { case (k, i) =>
+      (0 until 20).map(j =>
+        Evt(1, false, 1, 1, k, Map("fk" -> k, "cid" -> s"$i-$j", "v" -> "7")))
+    }
+    val logs = Map("P" -> s.createDataset(pEvts), "C" -> s.createDataset(cEvts))
+    def stages(salts: Int) = Seq(
+      Stage("P", NodeSpec("P", "pk", "pk", isRoot = true, setSemantics = true)),
+      Stage("C", NodeSpec("C", "fk", "fk"), parentStage = Some("P"), salts = salts))
+    def fold(evts: Seq[Evt]): Map[String, Int] =
+      evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+        .filter(_._2 != 0).toMap
+    val salted = DeltaEngine.runTree(stages(11), logs).collect().toSeq
+    val unsalted = DeltaEngine.runTree(stages(1), logs).collect().toSeq
+    assert(fold(salted) == fold(unsalted))
+    // "x"'s 20 children netted away; the 5 surviving '#' keys kept theirs
+    assert(fold(salted).values.sum == 100)
+  }
+
   test("stage validation fails loudly on mis-keyed or out-of-order graphs") {
     import graft.streaming.DeltaEngine
     val s = SparkTestSession.spark

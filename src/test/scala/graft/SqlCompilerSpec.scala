@@ -185,6 +185,28 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("AVG yields NULL, not an ANSI divide-by-zero, when the non-NULL subset nets away") {
+    // the argument is NULL except on o_orderkey % 7 = 0 rows, and the
+    // deletes remove exactly those rows: every group stays alive
+    // (__net > 0 via its NULL-argument rows) while the AVG denominator
+    // nets to zero — SQL's answer is NULL; an unguarded division
+    // throws DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    val sqlText =
+      """SELECT n_name,
+        | AVG(CASE WHEN o_orderkey % 7 = 0
+        |          THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS avg_e2,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    val got = SqlCompiler.run(s, d, sqlText,
+        deletes = Map("orders" -> (col("o_orderkey") % 7 === 0)))
+      .orderBy("n_name").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_.isNullAt(1)), got.mkString(", "))
+    assert(got.forall(_.getLong(2) > 0))
+  }
+
   test("HAVING / ORDER BY / LIMIT compile as presentation over the view") {
     Seq("nation", "customer", "orders", "lineitem").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
@@ -220,6 +242,17 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("out of range"))
     // scalar functions in sort keys are fine (evaluate per output row)
     SqlCompiler.compile(s, d, q10Sql + "\nORDER BY upper(c_name) DESC")
+    // aggregate detection goes through the FunctionRegistry, so
+    // aggregates OUTSIDE any fixed name list are also caught at
+    // compile time instead of surfacing as a runtime AnalysisException
+    Seq("count_if(c_acctbal > 0)", "bool_and(c_acctbal > 0)",
+        "percentile(c_acctbal, 0.5)", "approx_count_distinct(c_name)",
+        "count(*)").foreach { call =>
+      val exr = intercept[IllegalArgumentException] {
+        SqlCompiler.compile(s, d, q10Sql + s"\nORDER BY $call DESC")
+      }
+      assert(exr.getMessage.contains("alias the aggregate"), s"$call: ${exr.getMessage}")
+    }
   }
 
   test("COUNT(DISTINCT x) nets per (group, value) and survives deletes") {
