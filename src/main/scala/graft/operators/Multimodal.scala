@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.GraftQuery.{rowsOnly, sql}
+import graft.GraftQuery.sql
 
 /** Multimodal-column plumbing: image/audio/video payloads modeled as
   * opaque `binary` columns with typed metadata, processed by
@@ -257,13 +257,57 @@ object Multimodal {
             floorRound6(col("mean_luma")).as("mean_luma"))
     },
 
-    rowsOnly("multimodal_frame_sample") {
+    // Frame sampling behind the hash gate: offsets are integer
+    // arithmetic over the payload length, and the 16-byte frame hash
+    // is the same rolling polynomial `text_rolling_fingerprint`
+    // mirrors — here DuckDB reads the exact payload bytes through
+    // hex(encode(text)) (two hex chars per byte, decoded by strpos
+    // lookup), so any drift in offset math, slicing, or the hash
+    // kernel fails the value hash.
+    sql("multimodal_frame_sample",
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text)) AS n FROM documents),
+         |f AS (SELECT doc_id, n, hx, i FROM b, generate_series(0, 7) t(i)),
+         |s AS (SELECT doc_id, i, (i * n) // 8 AS off,
+         |       substr(hx, 2 * ((i * n) // 8) + 1, 32) AS hs FROM f),
+         |h AS (SELECT doc_id, i, off, list_reduce(
+         |   list_prepend(${graft.functions.RollingHash.Seed}::HUGEINT,
+         |     list_transform(generate_series(1, length(hs) // 2),
+         |       j -> (16 * (strpos('0123456789ABCDEF', substr(hs, 2*j - 1, 1)) - 1)
+         |           + strpos('0123456789ABCDEF', substr(hs, 2*j, 1)) - 1)::HUGEINT)),
+         |   (acc, v) -> (acc * ${graft.functions.RollingHash.Prime}::HUGEINT + v)
+         |     % 18446744073709551616::HUGEINT) AS h
+         | FROM s)
+         |SELECT doc_id, i AS frame_idx, off AS byte_offset,
+         | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS frame_hash
+         |FROM h""".stripMargin) {
       (s, d) => sampleFrames(assets(s, d), frames = 8).toDF()
     },
 
-    rowsOnly("multimodal_resize") {
-      (s, d) => resizeAll(assets(s, d), w = 32, h = 32).toDF()
-        .select(col("doc_id"), col("target_w"), col("target_h"),
-          octet_length(col("payload")).as("n_bytes"))
+    // REAL bilinear resize behind the hash gate: solid-color synth
+    // PNGs resize to a solid image of the same color (verified exact
+    // for Java2D's fixed-point bilinear kernel), so decoding the
+    // resized payload back must reproduce the target dims and the
+    // SAME closed-form luma as `multimodal_features`. A stub fallback
+    // anywhere in the path (sniff failure, codec error) would emit
+    // non-PNG bytes whose re-decode produces stub dims — hash
+    // mismatch. Same FP-safety argument as the features oracle.
+    sql("multimodal_resize",
+      """SELECT doc_id, 'image/png' AS media_type,
+        | CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        | FLOOR((0.299 * (doc_id * 37 % 256) + 0.587 * (doc_id * 59 % 256)
+        |   + 0.114 * (doc_id * 83 % 256)) / 255 * 1000000 + 0.5) / 1000000 AS mean_luma
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        import graft.functions.VectorOps.floorRound6
+        val resized = resizeAll(synthAssets(s, d), w = 16, h = 12)
+          .map(r => MediaAsset(r.doc_id, r.media_type, r.payload))
+        extractFeatures(resized).toDF()
+          .select(col("doc_id"), col("media_type"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            floorRound6(col("mean_luma")).as("mean_luma"))
     })
 }
