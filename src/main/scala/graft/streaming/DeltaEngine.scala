@@ -309,6 +309,125 @@ object DeltaEngine {
       key: String, events: Iterator[Evt]): Iterator[Evt] =
     foldKey(spec, events, emptyState, exportState = false, preFiltered, preSorted)._1
 
+  // ---- pair (shared-dimension product) stages ----------------------
+
+  /** Per-key state of a PAIR stage: both sides' signed multisets of
+    * canonical rows. Unlike [[NState]] there is no liveness counter —
+    * a pair stage joins two DELTA STREAMS of equal standing (each side
+    * may hold many alive rows per key), which is exactly the
+    * many-to-many shape the liveness fold cannot express. */
+  final case class PairNState(left: Map[String, Int], right: Map[String, Int])
+  val emptyPairState: PairNState = PairNState(Map.empty, Map.empty)
+
+  /** The per-key incremental product fold — the textbook bilinear
+    * delta-join Δ(L⋈R) = ΔL⋈R + L'⋈ΔR, specialised to one key of the
+    * shared dimension: a left delta cross-merges the right state and
+    * vice versa, so the NET emission telescopes to
+    * L_final⋈R_final − L_initial⋈R_initial under ANY event
+    * interleaving (transient mixed pairs emit +1 then −1 of the same
+    * merged row and cancel). Ghost-tolerant like [[NodeFold]]:
+    * negative counts invert the emitted sign, keeping the net
+    * order-independent.
+    *
+    * Sides ride the [[Evt.fromParent]] flag: own/left events are
+    * `false` (and, when the left input is a base changelog, pass the
+    * spec predicate), paired/right events are `true` — the same wire
+    * format as liveness stages, so pair stages compose freely with
+    * them in one tree. */
+  private final class PairFold(spec: NodeSpec, init: PairNState, preFiltered: Boolean) {
+    private val left = new java.util.HashMap[String, Int]()
+    private val right = new java.util.HashMap[String, Int]()
+    init.left.foreach { case (k, v) => left.put(k, v) }
+    init.right.foreach { case (k, v) => right.put(k, v) }
+
+    def feed(ev: Evt, out: scala.collection.mutable.ArrayBuffer[(Int, Int, String)]): Unit = {
+      val isRight = ev.fromParent
+      if (!isRight && !preFiltered && !spec.predicate(uncanon(ev.row))) return
+      val d = ev.tag * ev.mult
+      val mine = if (isRight) right else left
+      val other = if (isRight) left else right
+      if (!other.isEmpty) {
+        // deterministic emission order over the other side's rows
+        val keys = new Array[String](other.size())
+        var i = 0
+        val it = other.keySet().iterator()
+        while (it.hasNext) { keys(i) = it.next(); i += 1 }
+        java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+        keys.foreach { o =>
+          val c = other.get(o)
+          val prod = d.toLong * c
+          if (prod != 0L) {
+            // merged row is (left, right) regardless of which side the
+            // delta arrived on; toIntExact fails loud on the (absurd)
+            // 2^31 pair-multiplicity rather than wrapping silently
+            val merged = if (isRight) mergeCanon(o, ev.row) else mergeCanon(ev.row, o)
+            out += ((if (prod > 0) 1 else -1, Math.toIntExact(Math.abs(prod)), merged))
+          }
+        }
+      }
+      val before = mine.getOrDefault(ev.row, 0)
+      val after = before + d
+      if (after == 0) mine.remove(ev.row) else mine.put(ev.row, after)
+    }
+
+    def exportState: PairNState = {
+      def toMap(m: java.util.HashMap[String, Int]): Map[String, Int] = {
+        val b = Map.newBuilder[String, Int]
+        val it = m.entrySet().iterator()
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+        b.result()
+      }
+      PairNState(toMap(left), toMap(right))
+    }
+  }
+
+  private def foldPairKey(spec: NodeSpec, events: Iterator[Evt], init: PairNState,
+                          exportState: Boolean, preFiltered: Boolean,
+                          preSorted: Boolean = false): (Iterator[Evt], Option[PairNState]) = {
+    val ordered: Iterator[Evt] =
+      if (preSorted) events
+      else {
+        val arr = events.toArray
+        java.util.Arrays.sort(arr, evtOrder)
+        arr.iterator
+      }
+    val fold = new PairFold(spec, init, preFiltered)
+    val out = Vector.newBuilder[Evt]
+    val emitted = new scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    ordered.foreach { ev =>
+      emitted.clear()
+      fold.feed(ev, emitted)
+      emitted.foreach { case (tag, mult, row) =>
+        out += new Evt(ev.seq, fromParent = true, tag, mult,
+          canonGet(row, spec.nextKeyCol), row)
+      }
+    }
+    (out.result().iterator, if (exportState) Some(fold.exportState) else None)
+  }
+
+  def processPairKeyBatch(spec: NodeSpec, preFiltered: Boolean = false,
+                          preSorted: Boolean = false)(
+      key: String, events: Iterator[Evt]): Iterator[Evt] =
+    foldPairKey(spec, events, emptyPairState, exportState = false, preFiltered, preSorted)._1
+
+  /** Streaming flavor — state carried across micro-batches; TTL
+    * eviction identical to [[processKeyStream]]. */
+  def processPairKeyStream(spec: NodeSpec, ttl: Option[java.time.Duration] = None,
+      preFiltered: Boolean = false)(
+      key: String, events: Iterator[Evt],
+      state: org.apache.spark.sql.streaming.GroupState[PairNState]): Iterator[Evt] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val (out, st) = foldPairKey(spec, events,
+        state.getOption.getOrElse(emptyPairState), exportState = true, preFiltered)
+      state.update(st.get)
+      ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      out
+    }
+  }
+
   /** One liveness stage of a (possibly BRANCHING) FK join tree.
     *
     * The AJU model is defined over trees: a fact like lineitem may
@@ -350,12 +469,21 @@ object DeltaEngine {
     * (mergeable liveness — spec-asserted on a hot-key fixture).
     * Cost: parent-delta volume ×S and S state rows per key; apply it
     * to the skewed hop only, sized so hot-key-children/S fits a task. */
+  /** `pairStage`: when set, this stage is a PAIR (shared-dimension
+    * product) node instead of a liveness node — its own input (the
+    * LEFT side: `ownStage` emissions or the base changelog) is
+    * incrementally cross-merged with the named stage's emissions (the
+    * RIGHT side) per routing key, via [[PairFold]]. Pair stages take
+    * no `parentStage` (both inputs are full delta streams, not
+    * liveness toggles) and no salting (the product's key space cannot
+    * be split one-sidedly). */
   final case class Stage(
       name: String,
       spec: NodeSpec,
       ownStage: Option[String] = None,
       parentStage: Option[String] = None,
-      salts: Int = 1)
+      salts: Int = 1,
+      pairStage: Option[String] = None)
 
   /** A root→leaf chain as stages — the original [[runBatch]] shape. */
   def chainStages(specs: Seq[NodeSpec]): Seq[Stage] =
@@ -371,7 +499,7 @@ object DeltaEngine {
     val byName = stages.map(s => s.name -> s).toMap
     val seen = scala.collection.mutable.Set[String]()
     stages.foreach { st =>
-      (st.ownStage.toSeq ++ st.parentStage.toSeq).foreach { ref =>
+      (st.ownStage.toSeq ++ st.parentStage.toSeq ++ st.pairStage.toSeq).foreach { ref =>
         require(seen(ref),
           s"stage '${st.name}' references '$ref', which must precede it")
       }
@@ -383,6 +511,14 @@ object DeltaEngine {
         require(up == st.spec.childKeyCol,
           s"stage '${st.name}' takes own events from '$ref', whose nextKeyCol " +
             s"'$up' != childKeyCol '${st.spec.childKeyCol}' — emissions would be mis-keyed")
+      }
+      st.pairStage.foreach { _ =>
+        require(st.parentStage.isEmpty,
+          s"pair stage '${st.name}' cannot also take a parentStage — both pair " +
+            "inputs are full delta streams; gate liveness upstream instead")
+        require(st.salts == 1,
+          s"pair stage '${st.name}' cannot be salted: the product's key space " +
+            "cannot be split on one side only")
       }
       require(st.salts >= 1, s"stage '${st.name}': salts must be >= 1, got ${st.salts}")
       seen += st.name
@@ -502,7 +638,10 @@ object DeltaEngine {
             .as[Evt]
       }
       val ownS = if (st.salts > 1) saltOwn(own, st.salts) else own
-      val events = st.parentStage.map { r =>
+      // the second input: parent liveness deltas (liveness stage) or
+      // the paired side's join deltas (pair stage) — both arrive with
+      // fromParent = true on the wire
+      val events = (st.parentStage orElse st.pairStage).map { r =>
         val p = if (st.salts > 1) saltParent(outputs(r), st.salts) else outputs(r)
         ownS.union(p)
       }.getOrElse(ownS)
@@ -517,11 +656,14 @@ object DeltaEngine {
       // spill-safe) instead of a per-key toArray + JVM comparator sort
       // in the fold — `fromParent DESC` puts parent deltas first,
       // matching evtOrder's parent-before-own rule
+      val fold: (String, Iterator[Evt]) => Iterator[Evt] =
+        if (st.pairStage.isDefined) processPairKeyBatch(spec, preFiltered = true, preSorted = true)
+        else processKeyBatch(spec, preFiltered = true, preSorted = true)
       outputs(st.name) = events
         .groupByKey(_.key)
         .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(
           (k: String, it: Iterator[Evt]) => {
-            val out = processKeyBatch(spec, preFiltered = true, preSorted = true)(
+            val out = fold(
               k, nodeStats.map(s => it.map { e => s.events.add(1); e }).getOrElse(it))
             nodeStats.map(s => out.map { e => s.emitted.add(1); e }).getOrElse(out)
           })
@@ -604,15 +746,21 @@ object DeltaEngine {
           outputs(ref).toDF().withColumn("fromParent", lit(false)).as[Evt]
       }
       val ownS = if (st.salts > 1) saltOwn(own, st.salts) else own
-      val events = st.parentStage.map { r =>
+      val events = (st.parentStage orElse st.pairStage).map { r =>
         val p = if (st.salts > 1) saltParent(outputs(r), st.salts) else outputs(r)
         ownS.union(p)
       }.getOrElse(ownS)
-      outputs(st.name) = events
-        .groupByKey(_.key)
-        .flatMapGroupsWithState[NState, Evt](
-          OutputMode.Append, timeout)(
-          (k, it, s) => processKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
+      outputs(st.name) =
+        if (st.pairStage.isDefined)
+          events.groupByKey(_.key)
+            .flatMapGroupsWithState[PairNState, Evt](
+              OutputMode.Append, timeout)(
+              (k, it, s) => processPairKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
+        else
+          events.groupByKey(_.key)
+            .flatMapGroupsWithState[NState, Evt](
+              OutputMode.Append, timeout)(
+              (k, it, s) => processKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
     }
     outputs(stages.last.name)
   }

@@ -278,6 +278,61 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** A SHARED-DIMENSION join graph — nation referenced by BOTH the
+    * customer→orders trunk and the supplier branch
+    * (`c_nationkey = n_nationkey AND s_nationkey = n_nationkey`). The
+    * join is genuinely many-to-many per nation key (every surviving
+    * order pairs with every surviving supplier of that nation) — the
+    * class an in-tree liveness fold cannot express and round 3's
+    * planner rejected loudly. [[TreeCompiler.stagesFor]] now plans it:
+    * trunk liveness stages nation→customer→orders re-keyed onto
+    * `c_nationkey`, plus one PAIR stage incrementally cross-merging
+    * the trunk's join deltas with supplier's changelog per nation key
+    * ([[DeltaEngine.PairFold]]). Deletes hit both sides of the
+    * product, so pair retractions propagate in both directions. */
+  val sharedDimEdges: Seq[TreeCompiler.FkEdge] = Seq(
+    TreeCompiler.FkEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+    TreeCompiler.FkEdge("orders", "o_custkey", "customer", "c_custkey"),
+    TreeCompiler.FkEdge("supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  val sharedDimStages: Seq[Stage] = TreeCompiler.stagesFor(
+    sharedDimEdges, Seq("nation", "customer", "orders", "supplier"),
+    predicates = Map(
+      "orders" -> (r => {
+        val d = r.getOrElse("o_orderdate", "")
+        d >= dateLo && d < dateHi
+      }),
+      "supplier" -> (r => r.getOrElse("s_acctbal", "-1").toDouble >= 0)))
+
+  def sharedDimChangelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
+    "nation" -> changelog(Tables.nation(s, dir), "n_nationkey",
+      Seq("n_nationkey", "n_name"), None),
+    "customer" -> changelog(Tables.customer(s, dir), "c_nationkey",
+      Seq("c_custkey", "c_nationkey"), None),
+    "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
+      Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      Some(col("o_orderkey") % 7 === 0),
+      where = Some(col("o_orderdate") >= dateLo && col("o_orderdate") < dateHi)),
+    "supplier" -> changelog(Tables.supplier(s, dir), "s_nationkey",
+      Seq("s_suppkey", "s_nationkey", "s_acctbal"),
+      Some(col("s_suppkey") % 5 === 0),
+      where = Some(col("s_acctbal") >= 0)))
+
+  def incrementalSharedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val leaf = runTree(sharedDimStages, sharedDimChangelogs(s, dir),
+      sourceFiltered = true).toDF()
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    leaf.select(
+        (col("tag") * col("mult")).as("sign"),
+        c.getItem("n_name").as("n_name"),
+        round(c.getItem("o_totalprice").cast(DoubleType) * 100, 0)
+          .cast(LongType).as("price_e2"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("sign") * col("price_e2")).as("revenue_e2"),
+        sum(col("sign")).cast(LongType).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   /** The Q10 tree with its heaviest hop SALTED (S = 8): lineitem
     * events bucket by row hash while orders' liveness deltas replicate
     * to every bucket ([[DeltaEngine.Stage]] skew note). Behind the
@@ -750,6 +805,48 @@ object IncrementalQueries {
          | AND l_returnflag = 'R' AND p_size <= 25
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0 AND p_partkey % 10 <> 0
          |GROUP BY n_name, p_brand""".stripMargin)(incrementalPartRevenue),
+
+    // SHARED DIMENSION (many-to-many): nation referenced by both the
+    // customer→orders trunk and the supplier branch. The maintained
+    // aggregate folds signed PAIR deltas — every (order, supplier)
+    // pair of a nation — against the plain-SQL survivors oracle, with
+    // deletes on both sides of the product.
+    sql("incremental_shared_dim",
+      s"""SELECT n_name,
+         | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+         | COUNT(*) AS n_pairs
+         |FROM nation, customer, orders, supplier
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND s_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
+         |GROUP BY n_name""".stripMargin)(incrementalSharedRevenue),
+
+    // The SAME shared-dimension query compiled FROM SQL TEXT.
+    sql("incremental_sql_shared_dim",
+      s"""SELECT n_name,
+         | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+         | COUNT(*) AS n_pairs
+         |FROM nation, customer, orders, supplier
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND s_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
+         |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        s"""SELECT n_name,
+           | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+           | COUNT(*) AS n_pairs
+           |FROM nation, customer, orders, supplier
+           |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+           | AND s_nationkey = n_nationkey
+           | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+           | AND s_acctbal >= 0
+           |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "orders" -> (col("o_orderkey") % 7 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)))
+    },
 
     // The SAME branching query compiled FROM SQL TEXT: SqlCompiler
     // linearizes the multi-parent lineitem into per-FK stages.

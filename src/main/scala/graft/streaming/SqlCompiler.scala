@@ -18,10 +18,12 @@ import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
   * are classified into FK join conditions (validated against the
   * FK graph [[TreeCompiler]] derives from the parquet schemas) and
   * per-relation local predicates, and the result is compiled onto
-  * [[DeltaEngine.Stage]]s via [[TreeCompiler.stagesFor]] — chains AND
+  * [[DeltaEngine.Stage]]s via [[TreeCompiler.stagesFor]] — chains,
   * branching in-trees (a fact referencing several dimensions, e.g.
-  * lineitem ⋈ orders ⋈ part); only shared dimensions (many-to-many
-  * join graphs) are rejected.
+  * lineitem ⋈ orders ⋈ part), AND shared dimensions (a dimension
+  * referenced by several branches, e.g. nation by customer and
+  * supplier — the many-to-many case, glued with incremental pair
+  * stages): every connected acyclic FK join graph compiles.
   *
   * Supported shape — exactly the reference's query class, i.e. an
   * acyclic FK join tree under a grouped aggregate:
@@ -33,9 +35,10 @@ import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
   * GROUP BY <group cols>
   * }}}
   *
-  * Anything else (HAVING, ORDER BY, non-FK join conditions, cyclic
-  * or ambiguous join graphs, unaliased aggregates) fails loudly at
-  * compile time — never a silent wrong plan.
+  * HAVING / ORDER BY / LIMIT compile as presentation over the
+  * maintained view; anything else (non-FK join conditions, cyclic
+  * join graphs, unaliased aggregates, non-retractable folds) fails
+  * loudly at compile time — never a silent wrong plan.
   *
   * Scale design: local predicates are NOT interpreted per event — each
   * one is re-emitted as a `Column` filter on its relation's changelog
@@ -402,9 +405,10 @@ object SqlCompiler {
       fail(s"need ${relations.size - 1} FK join conditions linking ${relations.size} " +
         s"relations, got ${queryEdges.size}")
 
-    // the edges must orient into an IN-TREE converging at one fact —
-    // multi-parent facts (branching trees) are supported, shared
-    // dimensions (many-to-many) are rejected; stagesFor validates both
+    // the edges must form a connected acyclic FK join graph —
+    // multi-parent facts decompose into per-FK liveness stages, shared
+    // dimensions glue their branches with pair stages; stagesFor
+    // validates and plans both
     val stages = TreeCompiler.stagesFor(queryEdges, relations)
     // relation order with every parent before its children (the order
     // the stages consume their changelogs in)

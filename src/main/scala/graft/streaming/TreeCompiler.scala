@@ -124,24 +124,36 @@ object TreeCompiler {
     root +: rest
   }
 
-  /** Compile a general FK IN-TREE — a fact plus any number of
-    * dimension branches, multi-parent nodes included — into
+  /** Compile a general ACYCLIC FK join tree into
     * [[DeltaEngine.Stage]]s for `runTree`/`runStreamTree`.
     *
-    * The edge set must orient into an in-tree converging at one fact:
-    * every relation is the PARENT of at most one edge (a dimension
-    * feeding two different children makes the join many-to-many — not
-    * an FK tree — and is rejected loudly), exactly one relation is
-    * the parent of none (the fact), and every relation reaches the
-    * fact along child-ward edges. A relation that is the CHILD of
-    * several edges (the fact referencing two dimensions) is the
-    * branching case: its conjunctive liveness decomposes into one
-    * stage per parent (see [[DeltaEngine.Stage]]).
+    * Two shapes compose:
+    *
+    *  - **In-tree** (every relation feeds at most one consumer,
+    *    converging at one fact): compiled to liveness stages; a
+    *    relation that is the CHILD of several edges (a fact
+    *    referencing two dimensions) decomposes into one stage per
+    *    parent (see [[DeltaEngine.Stage]]).
+    *  - **Shared dimension** (a relation that ≥2 children reference —
+    *    nation referenced by customer AND supplier): the join is
+    *    genuinely many-to-many per dimension key, beyond any liveness
+    *    fold. The planner splits each extra branch off as its own
+    *    component (planned recursively), re-keys its output onto the
+    *    shared key, and glues it to the trunk with a PAIR stage
+    *    (incremental Δ(L⋈R) product — [[DeltaEngine.Stage.pairStage]]).
+    *    The trunk keeps the dimension itself, so its liveness gates
+    *    the trunk side BEFORE the product: pair state stays linear
+    *    (alive-trunk rows + branch rows per key), never |L|×|R|.
+    *
+    * Together these cover every connected acyclic FK join graph —
+    * the reference's own "acyclic schema" class — with one
+    * co-partitioned shuffle per FK hop plus one per pair glue.
     *
     * @param edges      validated FK edges used by the query
     * @param order      deterministic relation order (e.g. the
     *                   FROM-clause order) — fixes parent processing
-    *                   order for multi-parent nodes
+    *                   order for multi-parent nodes and which branch
+    *                   stays on the trunk at a shared dimension
     * @param predicates local predicates, attached to a relation's
     *                   FIRST stage (later stages see pre-filtered rows)
     */
@@ -159,16 +171,20 @@ object TreeCompiler {
       s"edge ${e.child}→${e.parent} references a relation outside $order"))
     if (edges.size != rels.size - 1)
       fail(s"need ${rels.size - 1} FK edges linking ${rels.size} relations, got ${edges.size}")
-    // each relation feeds at most one consumer (else many-to-many)
-    val consumer: Map[String, FkEdge] = {
-      val byParent = edges.groupBy(_.parent)
-      byParent.foreach { case (p, es) =>
-        if (es.size > 1) fail(s"shared dimension '$p' feeds two branches " +
-          s"(${es.map(_.child).sorted.mkString(", ")}) — the join graph branches into " +
-          "a many-to-many join, not an FK in-tree")
-      }
-      byParent.view.mapValues(_.head).toMap
+
+    // a dimension feeding several children makes the join many-to-many
+    // on its key — peel each extra branch into its own component and
+    // glue with pair stages (earliest shared dim in `order`, so the
+    // plan is deterministic)
+    val byParent = edges.groupBy(_.parent)
+    val sharedDims = byParent.filter(_._2.size > 1).keySet
+    order.find(sharedDims) match {
+      case Some(sharedDim) =>
+        return sharedDimStages(edges, order, predicates, sharedDim)
+      case None =>
     }
+
+    val consumer: Map[String, FkEdge] = byParent.view.mapValues(_.head).toMap
     val facts = rels.filterNot(consumer.contains)
     if (facts.size != 1) fail(s"join graph is not a single in-tree; " +
       s"relations referenced by nobody: $facts")
@@ -212,6 +228,82 @@ object TreeCompiler {
           }
       }
     }
+  }
+
+  /** Plan a join graph whose `dim` is referenced by ≥2 children: keep
+    * the FIRST child branch (by `order`) plus the dimension itself on
+    * the TRUNK (planned recursively — the dimension's liveness gates
+    * the trunk side before any product), peel every other child's
+    * component off as an independent sub-plan keyed by its FK to the
+    * dimension, and chain them onto the trunk with PAIR stages.
+    *
+    * State stays linear per key: the pair buffers alive-trunk join
+    * rows and branch rows, never their product. A branch row whose
+    * dimension key matches nothing buffers unmatched (the AJU
+    * buffered-children model); a dimension flip retracts the trunk
+    * side, and the pair fold re-derives exactly the pairs that had
+    * been emitted. */
+  private def sharedDimStages(edges: Seq[FkEdge], order: Seq[String],
+                              predicates: Map[String, Map[String, String] => Boolean],
+                              dim: String): Seq[DeltaEngine.Stage] = {
+    import DeltaEngine.Stage
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    def pred(name: String) = predicates.getOrElse(name, DeltaEngine.NoPredicate)
+    val rels = order.distinct
+    val childEdges = edges.filter(_.parent == dim).sortBy(e => order.indexOf(e.child))
+    // relations reachable from `start` without crossing the cut edge
+    def component(start: String, cut: FkEdge): Set[String] = {
+      val adj = edges.filterNot(_ == cut)
+        .flatMap(e => Seq(e.child -> e.parent, e.parent -> e.child))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val seen = scala.collection.mutable.Set(start)
+      val queue = scala.collection.mutable.Queue(start)
+      while (queue.nonEmpty)
+        adj.getOrElse(queue.dequeue(), Nil).foreach { n =>
+          if (!seen(n)) { seen += n; queue += n }
+        }
+      seen.toSet
+    }
+    val extras: Seq[(FkEdge, Set[String])] =
+      childEdges.tail.map(e => e -> component(e.child, e))
+    extras.foreach { case (e, c) =>
+      if (c.contains(dim)) fail(s"join graph has a cycle through shared " +
+        s"dimension '$dim' and '${e.child}'")
+    }
+    val trunkSet = rels.toSet -- extras.flatMap(_._2)
+    if (extras.map(_._2.size).sum + trunkSet.size != rels.size)
+      fail(s"join graph around shared dimension '$dim' is not a tree")
+    // a recursive sub-plan, re-keyed so its final emissions route by
+    // the shared dimension's key value (`keyCol` is a column of the
+    // sub-plan's full join row)
+    def subPlan(subRels: Set[String], keyCol: String): Seq[Stage] = {
+      val subEdges = edges.filter(e => subRels(e.child) && subRels(e.parent))
+      val stages = stagesFor(subEdges, order.filter(subRels), predicates)
+      stages.init :+ stages.last.copy(
+        spec = stages.last.spec.copy(nextKeyCol = keyCol))
+    }
+    val trunk = subPlan(trunkSet, childEdges.head.fkCol)
+    val out = scala.collection.mutable.ArrayBuffer[Stage](trunk: _*)
+    var leftRef = trunk.last.name
+    extras.foreach { case (e, comp) =>
+      val pairName = s"${e.child}__pair"
+      if (comp.size == 1) {
+        // single-relation branch: pair straight off its changelog — no
+        // pass-through stage, no extra shuffle
+        out += Stage(pairName,
+          DeltaEngine.NodeSpec(e.child, e.fkCol, e.fkCol, predicate = pred(e.child)),
+          pairStage = Some(leftRef))
+      } else {
+        val branch = subPlan(comp, e.fkCol)
+        out ++= branch
+        out += Stage(pairName,
+          DeltaEngine.NodeSpec(e.child, e.fkCol, e.fkCol),
+          ownStage = Some(branch.last.name),
+          pairStage = Some(leftRef))
+      }
+      leftRef = pairName
+    }
+    out.toSeq
   }
 
   /** Find the UNIQUE FK path root→leaf and compile it; throws listing

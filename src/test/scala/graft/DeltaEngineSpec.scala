@@ -324,6 +324,85 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(fold(salted).values.sum == 100)
   }
 
+  test("pair stage: shared-dimension product equals the survivors cross join") {
+    import graft.streaming.{DeltaEngine, TreeCompiler}
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // shared dim P referenced by A and B; deletes hit all three
+    // relations, including killing dim key 1 entirely
+    val pEvts = (0 until 4).map(k =>
+      Evt(0, false, 1, 1, k.toString, Map("pk" -> k.toString, "pname" -> s"p$k"))) :+
+      Evt(5, false, -1, 1, "1", Map("pk" -> "1", "pname" -> "p1"))
+    val aEvts = (0 until 12).map(i =>
+      Evt(1, false, 1, 1, (i % 4).toString,
+        Map("a_fk" -> (i % 4).toString, "aid" -> i.toString))) ++
+      Seq(3, 7).map(i => Evt(4, false, -1, 1, (i % 4).toString,
+        Map("a_fk" -> (i % 4).toString, "aid" -> i.toString)))
+    val bEvts = (0 until 9).map(i =>
+      Evt(2, false, 1, 1, (i % 3).toString,
+        Map("b_fk" -> (i % 3).toString, "bid" -> i.toString))) :+
+      Evt(6, false, -1, 1, "0", Map("b_fk" -> "0", "bid" -> "6"))
+    val edges = Seq(
+      TreeCompiler.FkEdge("A", "a_fk", "P", "pk"),
+      TreeCompiler.FkEdge("B", "b_fk", "P", "pk"))
+    val stages = TreeCompiler.stagesFor(edges, Seq("P", "A", "B"))
+    // plan shape: trunk P→A (liveness), B glued via one pair stage
+    assert(stages.map(_.name) == Seq("P", "A", "B__pair"))
+    assert(stages.last.pairStage == Some("A"))
+    val logs = Map(
+      "P" -> s.createDataset(pEvts), "A" -> s.createDataset(aEvts),
+      "B" -> s.createDataset(bEvts))
+    val got = DeltaEngine.runTree(stages, logs).collect().toSeq
+      .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+      .filter(_._2 != 0).toMap
+    // oracle: survivors cross join per dim key, in canonical-row space
+    val pAlive = Set(0, 2, 3)
+    val aAlive = (0 until 12).filterNot(Set(3, 7)).map(i => (i % 4, i))
+    val bAlive = (0 until 9).filterNot(_ == 6).map(i => (i % 3, i))
+    val want = (for {
+      k <- pAlive.toSeq
+      (ak, aid) <- aAlive if ak == k
+      (bk, bid) <- bAlive if bk == k
+    } yield mergeCanon(
+      mergeCanon(canon(Map("a_fk" -> k.toString, "aid" -> aid.toString)),
+        canon(Map("pk" -> k.toString, "pname" -> s"p$k"))),
+      canon(Map("b_fk" -> k.toString, "bid" -> bid.toString))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("pair fold: net is order-independent under shuffled interleavings") {
+    import graft.streaming.DeltaEngine
+    // one key's event stream for a pair stage: left rows (fromParent
+    // false) and right rows (fromParent true) with inserts, deletes,
+    // and a ghost delete; any processing order must net identically
+    val spec = NodeSpec("L", "k", "k")
+    val base = Seq(
+      Evt(0, false, 1, 1, "k", Map("k" -> "1", "l" -> "x")),
+      Evt(0, true, 1, 1, "k", Map("k" -> "1", "r" -> "u")),
+      Evt(1, false, 1, 2, "k", Map("k" -> "1", "l" -> "y")),
+      Evt(1, true, 1, 1, "k", Map("k" -> "1", "r" -> "v")),
+      Evt(2, false, -1, 1, "k", Map("k" -> "1", "l" -> "x")),
+      Evt(3, true, -1, 1, "k", Map("k" -> "1", "r" -> "u")),
+      Evt(4, true, -1, 1, "k", Map("k" -> "1", "r" -> "ghost")))
+    def net(evts: Seq[Evt]): Map[String, Int] =
+      DeltaEngine.processPairKeyBatch(spec)("k", evts.iterator).toSeq
+        .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+        .filter(_._2 != 0).toMap
+    val expected = net(base)
+    // survivors: left {y:2}, right {v:1, ghost:-1} → y×v:2, y×ghost:-2
+    assert(expected.values.toSeq.sorted == Seq(-2, 2))
+    val rnd = new scala.util.Random(7)
+    (0 until 30).foreach { _ =>
+      // shuffle seq stamps too: re-stamp events with a random order
+      val shuffled = rnd.shuffle(base).zipWithIndex.map { case (e, i) =>
+        e.copy(seq = i.toLong)
+      }
+      assert(net(shuffled) == expected)
+    }
+  }
+
   test("stage validation fails loudly on mis-keyed or out-of-order graphs") {
     import graft.streaming.DeltaEngine
     val s = SparkTestSession.spark

@@ -389,9 +389,34 @@ class SqlCompilerSpec extends AnyFunSuite {
           |FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "FILTER clauses")
-    // branching join graph (nation parents both customer and supplier)
-    bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer, supplier
-          |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
-          |GROUP BY n_name""".stripMargin, "branches")
+  }
+
+  test("shared-dimension SQL compiles to a pair plan and equals spark.sql") {
+    Seq("nation", "customer", "orders", "supplier").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // nation referenced by BOTH branches → many-to-many per nation key
+    def q(from: String) =
+      s"""SELECT n_name, COUNT(*) AS n_pairs,
+         | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+         |FROM $from
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND s_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin
+    val deletes = Map(
+      "orders" -> (col("o_orderkey") % 3 === 0),
+      "supplier" -> (col("s_suppkey") % 4 === 0))
+    val want = s.sql(q("nation, customer, orders, supplier")
+        .replace("GROUP BY", "AND o_orderkey % 3 <> 0 AND s_suppkey % 4 <> 0\nGROUP BY"))
+      .orderBy("n_name").collect().toSeq
+    assert(want.nonEmpty)
+    // FROM order decides which branch stays on the trunk — both plans
+    // must produce the identical maintained view
+    Seq("nation, customer, orders, supplier",
+        "nation, supplier, customer, orders").foreach { from =>
+      val compiled = SqlCompiler.compile(s, d, q(from))
+      assert(compiled.stages.exists(_.pairStage.isDefined), from)
+      val got = compiled.run(s, d, deletes).orderBy("n_name").collect().toSeq
+      assert(got == want, from)
+    }
   }
 }

@@ -319,6 +319,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("pair stage streams: shared-dimension product equals the batch run (sf0.001)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IncrementalQueries
+    val dir = SparkTestSession.sfTiny
+    val logs = IncrementalQueries.sharedDimChangelogs(spark, dir)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val out = runStreamTree(IncrementalQueries.sharedDimStages,
+      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
+    val query = out.writeStream
+      .format("memory").queryName("shared_dim_leaf").outputMode("append").start()
+    try {
+      // batch 1: half the inserts; batch 2: the rest; batch 3: deletes
+      // on BOTH sides of the product — pair state (trunk rows +
+      // supplier rows) must carry across micro-batches and retract in
+      // both directions
+      def half(evs: Seq[Evt], first: Boolean): Seq[Evt] =
+        evs.filter(e => (e.key.hashCode & 1) == (if (first) 0 else 1))
+      Seq(
+        (e: Seq[Evt]) => half(e.filter(_.seq == 0L), first = true),
+        (e: Seq[Evt]) => half(e.filter(_.seq == 0L), first = false),
+        (e: Seq[Evt]) => e.filter(_.seq == 1L)
+      ).foreach { pick =>
+        streams.foreach { case (rel, ms) =>
+          val evs = pick(logs(rel))
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+      def fold(evts: Seq[Evt]): Map[String, Int] =
+        evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+          .filter(_._2 != 0).toMap
+      val streamed = fold(spark.table("shared_dim_leaf").as[Evt].collect().toSeq)
+      val batched = fold(
+        runTree(IncrementalQueries.sharedDimStages,
+          IncrementalQueries.sharedDimChangelogs(spark, dir),
+          sourceFiltered = true).collect().toSeq)
+      assert(batched.nonEmpty && streamed == batched)
+    } finally query.stop()
+  }
+
   test("stateOperators expose per-node state rows; TTL eviction drains them") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
