@@ -42,7 +42,9 @@ object SparkEntry {
       "topk_orderby_limit", "dedup_exact", "dedup_minhash_pairs",
       "ann_bruteforce_topk", "text_quality_score", "incremental_q10",
       // round 3: the branching (multi-parent) incremental tree
-      "incremental_part_revenue")
+      "incremental_part_revenue",
+      // round 4: the shared-dimension (many-to-many pair) tree
+      "incremental_shared_dim")
     val have = queries.keySet
     preferred.filter(have)
   }
