@@ -372,6 +372,63 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("NESTED shared dimensions compose: two pair glues, one inside the other") {
+    import graft.streaming.{DeltaEngine, TreeCompiler}
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // P shared by A and B; A itself shared by F1 and F2:
+    //   F1 → A ← F2,  A → P ← B
+    // full join = P ⋈ A ⋈ F1 ⋈ F2 ⋈ B (F1/F2 on A's pk, A/B on P's pk)
+    val edges = Seq(
+      TreeCompiler.FkEdge("A", "a_fk", "P", "ppk"),
+      TreeCompiler.FkEdge("B", "b_fk", "P", "ppk"),
+      TreeCompiler.FkEdge("F1", "f1_fk", "A", "apk"),
+      TreeCompiler.FkEdge("F2", "f2_fk", "A", "apk"))
+    val stages = TreeCompiler.stagesFor(edges, Seq("P", "A", "F1", "F2", "B"))
+    assert(stages.count(_.pairStage.isDefined) == 2, stages.map(_.name))
+    // fixture: 2 P keys (one dies), A rows per P, F1/F2 rows per A
+    // (with deletes), B rows per P (with a delete)
+    val pE = Seq(
+      Evt(0, false, 1, 1, "p0", Map("ppk" -> "p0", "pn" -> "x")),
+      Evt(0, false, 1, 1, "p1", Map("ppk" -> "p1", "pn" -> "y")),
+      Evt(9, false, -1, 1, "p1", Map("ppk" -> "p1", "pn" -> "y")))
+    val aE = (0 until 4).map(i => Evt(1, false, 1, 1, s"p${i % 2}",
+      Map("a_fk" -> s"p${i % 2}", "apk" -> s"a$i")))
+    val f1E = (0 until 8).map(i => Evt(2, false, 1, 1, s"a${i % 4}",
+      Map("f1_fk" -> s"a${i % 4}", "f1id" -> i.toString))) :+
+      Evt(8, false, -1, 1, "a0", Map("f1_fk" -> "a0", "f1id" -> "4"))
+    val f2E = (0 until 6).map(i => Evt(3, false, 1, 1, s"a${i % 4}",
+      Map("f2_fk" -> s"a${i % 4}", "f2id" -> i.toString)))
+    val bE = (0 until 5).map(i => Evt(4, false, 1, 1, s"p${i % 2}",
+      Map("b_fk" -> s"p${i % 2}", "bid" -> i.toString))) :+
+      Evt(7, false, -1, 1, "p0", Map("b_fk" -> "p0", "bid" -> "2"))
+    val logs = Map("P" -> s.createDataset(pE), "A" -> s.createDataset(aE),
+      "F1" -> s.createDataset(f1E), "F2" -> s.createDataset(f2E),
+      "B" -> s.createDataset(bE))
+    val got = DeltaEngine.runTree(stages, logs).collect().toSeq
+      .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+      .filter(_._2 != 0).toMap
+    // oracle: nested survivors product in plain Scala
+    val pAlive = Map("p0" -> Map("ppk" -> "p0", "pn" -> "x"))
+    val aRows = (0 until 4).map(i => (s"p${i % 2}", s"a$i"))
+    val f1Rows = (0 until 8).filterNot(_ == 4).map(i => (s"a${i % 4}", i))
+    val f2Rows = (0 until 6).map(i => (s"a${i % 4}", i))
+    val bRows = (0 until 5).filterNot(_ == 2).map(i => (s"p${i % 2}", i))
+    val want = (for {
+      (pk, pRow) <- pAlive.toSeq
+      (afk, apk) <- aRows if afk == pk
+      (ffk, f1) <- f1Rows if ffk == apk
+      (gfk, f2) <- f2Rows if gfk == apk
+      (bfk, b) <- bRows if bfk == pk
+    } yield canon(pRow ++ Map("a_fk" -> afk, "apk" -> apk,
+      "f1_fk" -> apk, "f1id" -> f1.toString,
+      "f2_fk" -> apk, "f2id" -> f2.toString,
+      "b_fk" -> bfk, "bid" -> b.toString)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("pair fold: net is order-independent under shuffled interleavings") {
     import graft.streaming.DeltaEngine
     // one key's event stream for a pair stage: left rows (fromParent
