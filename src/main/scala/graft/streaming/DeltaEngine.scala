@@ -475,8 +475,17 @@ object DeltaEngine {
     * incrementally cross-merged with the named stage's emissions (the
     * RIGHT side) per routing key, via [[PairFold]]. Pair stages take
     * no `parentStage` (both inputs are full delta streams, not
-    * liveness toggles) and no salting (the product's key space cannot
-    * be split one-sidedly). */
+    * liveness toggles).
+    *
+    * Pair stages SALT like liveness stages, and need it more: the
+    * routing key is the shared DIMENSION's key, whose cardinality can
+    * be tiny (25 nations caps the stage at 25 tasks regardless of
+    * cluster size). With `salts = S` the own/left rows bucket by row
+    * hash while the paired side replicates to all S buckets — each
+    * bucket pairs a 1/S slice of the left multiset against a full
+    * right copy, so the bucket products partition the full product
+    * (spec-asserted). Put the BIGGER side on `ownStage` when salting:
+    * the replicated side's state is ×S. */
   final case class Stage(
       name: String,
       spec: NodeSpec,
@@ -516,9 +525,6 @@ object DeltaEngine {
         require(st.parentStage.isEmpty,
           s"pair stage '${st.name}' cannot also take a parentStage — both pair " +
             "inputs are full delta streams; gate liveness upstream instead")
-        require(st.salts == 1,
-          s"pair stage '${st.name}' cannot be salted: the product's key space " +
-            "cannot be split on one side only")
       }
       require(st.salts >= 1, s"stage '${st.name}': salts must be >= 1, got ${st.salts}")
       seen += st.name

@@ -318,11 +318,13 @@ object IncrementalQueries {
       Some(col("s_suppkey") % 5 === 0),
       where = Some(col("s_acctbal") >= 0)))
 
-  def incrementalSharedRevenue(s: SparkSession, dir: String): DataFrame = {
-    val leaf = runTree(sharedDimStages, sharedDimChangelogs(s, dir),
-      sourceFiltered = true).toDF()
+  def incrementalSharedRevenue(s: SparkSession, dir: String): DataFrame =
+    sharedAggregate(runTree(sharedDimStages, sharedDimChangelogs(s, dir),
+      sourceFiltered = true))
+
+  private def sharedAggregate(leaf: Dataset[Evt]): DataFrame = {
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
-    leaf.select(
+    leaf.toDF().select(
         (col("tag") * col("mult")).as("sign"),
         c.getItem("n_name").as("n_name"),
         round(c.getItem("o_totalprice").cast(DoubleType) * 100, 0)
@@ -331,6 +333,22 @@ object IncrementalQueries {
       .agg(sum(col("sign") * col("price_e2")).as("revenue_e2"),
         sum(col("sign")).cast(LongType).as("n_pairs"))
       .filter(col("n_pairs") > 0)
+  }
+
+  /** The shared-dim tree with its PAIR stage SALTED (S = 8): the pair
+    * stage's routing key is the DIMENSION's key — 25 nations cap the
+    * product at 25 tasks on any cluster, so this is where de-skew
+    * matters most. Left/trunk rows bucket by row hash; supplier deltas
+    * replicate to every bucket; each bucket pairs a 1/S trunk slice
+    * against a full supplier copy. Behind the SAME survivors oracle as
+    * incremental_shared_dim — the bucketed product must be
+    * answer-invariant, not just spec-asserted. */
+  def incrementalSharedRevenueSalted(s: SparkSession, dir: String): DataFrame = {
+    val stages = sharedDimStages match {
+      case init :+ last => init :+ last.copy(salts = 8)
+    }
+    sharedAggregate(runTree(stages, sharedDimChangelogs(s, dir),
+      sourceFiltered = true))
   }
 
   /** The Q10 tree with its heaviest hop SALTED (S = 8): lineitem
@@ -830,6 +848,19 @@ object IncrementalQueries {
          | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
          |GROUP BY n_name""".stripMargin)(incrementalSharedRevenue),
+
+    // The shared-dim tree with its pair stage salted (S = 8) behind
+    // the SAME oracle — bucketing the product must be answer-invariant.
+    sql("incremental_shared_dim_salted",
+      s"""SELECT n_name,
+         | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+         | COUNT(*) AS n_pairs
+         |FROM nation, customer, orders, supplier
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND s_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
+         |GROUP BY n_name""".stripMargin)(incrementalSharedRevenueSalted),
 
     // The SAME shared-dimension query compiled FROM SQL TEXT.
     sql("incremental_sql_shared_dim",

@@ -429,6 +429,44 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("salted pair stage: bucketed product equals unsalted (hot dimension key)") {
+    import graft.streaming.{DeltaEngine, TreeCompiler}
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // ONE hot dim key with a large left side — the shape where the
+    // shared-dim key's tiny cardinality caps parallelism and salting
+    // must partition the product without changing it
+    val pEvts = Seq(
+      Evt(0, false, 1, 1, "hot", Map("pk" -> "hot", "pname" -> "P")),
+      Evt(0, false, 1, 1, "cold", Map("pk" -> "cold", "pname" -> "Q")))
+    val aEvts = (0 until 500).map(i =>
+      Evt(1, false, 1, 1, "hot", Map("a_fk" -> "hot", "aid" -> i.toString))) ++
+      Seq(Evt(1, false, 1, 1, "cold", Map("a_fk" -> "cold", "aid" -> "c0"))) ++
+      (0 until 50).map(i => Evt(4, false, -1, 1, "hot",
+        Map("a_fk" -> "hot", "aid" -> i.toString)))
+    val bEvts = (0 until 6).map(i =>
+      Evt(2, false, 1, 1, "hot", Map("b_fk" -> "hot", "bid" -> i.toString))) ++
+      Seq(Evt(2, false, 1, 1, "cold", Map("b_fk" -> "cold", "bid" -> "c1")),
+        Evt(5, false, -1, 1, "hot", Map("b_fk" -> "hot", "bid" -> "3")))
+    val edges = Seq(
+      TreeCompiler.FkEdge("A", "a_fk", "P", "pk"),
+      TreeCompiler.FkEdge("B", "b_fk", "P", "pk"))
+    val base = TreeCompiler.stagesFor(edges, Seq("P", "A", "B"))
+    def stages(salts: Int) = base match {
+      case init :+ last => init :+ last.copy(salts = salts)
+    }
+    val logs = Map("P" -> s.createDataset(pEvts), "A" -> s.createDataset(aEvts),
+      "B" -> s.createDataset(bEvts))
+    def fold(evts: Seq[Evt]): Map[String, Int] =
+      evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+        .filter(_._2 != 0).toMap
+    val salted = fold(DeltaEngine.runTree(stages(8), logs).collect().toSeq)
+    val unsalted = fold(DeltaEngine.runTree(stages(1), logs).collect().toSeq)
+    assert(salted == unsalted)
+    // hot: 450 alive A × 5 alive B; cold: 1 × 1
+    assert(salted.values.sum == 450 * 5 + 1)
+  }
+
   test("pair fold: net is order-independent under shuffled interleavings") {
     import graft.streaming.DeltaEngine
     // one key's event stream for a pair stage: left rows (fromParent
