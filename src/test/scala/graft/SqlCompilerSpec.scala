@@ -419,4 +419,35 @@ class SqlCompilerSpec extends AnyFunSuite {
       assert(got == want, from)
     }
   }
+
+  test("full aggregate vocabulary composes with shared-dimension plans") {
+    // AVG / COUNT(DISTINCT) / MIN / MAX operate on the leaf delta
+    // multiset, orthogonal to how the tree was glued — they must fold
+    // pair-stage emissions exactly like liveness emissions
+    Seq("nation", "customer", "orders", "supplier").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val sqlText =
+      """SELECT n_name,
+        | AVG(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS avg_sbal_e2,
+        | COUNT(DISTINCT s_suppkey) AS n_supp,
+        | MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+        | COUNT(*) AS n_pairs
+        |FROM nation, customer, orders, supplier
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin
+    val got = SqlCompiler.run(s, d, sqlText, deletes = Map(
+        "orders" -> (col("o_orderkey") % 3 === 0),
+        "supplier" -> (col("s_suppkey") % 4 === 0)))
+      .orderBy("n_name").collect().toSeq
+    val want = s.sql(sqlText.replace("GROUP BY",
+        "AND o_orderkey % 3 <> 0 AND s_suppkey % 4 <> 0\nGROUP BY"))
+      .orderBy("n_name").collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))) ==
+      want.map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.getDouble(1) - w.getDouble(1)) < 1e-9, s"$g vs $w")
+    }
+    assert(got.nonEmpty)
+  }
 }
