@@ -270,13 +270,16 @@ object DeltaEngine {
     }
   }
 
-  private def foldKey(spec: NodeSpec, events: Iterator[Evt], init: NState,
-                      exportState: Boolean, preFiltered: Boolean,
-                      preSorted: Boolean = false): (Iterator[Evt], Option[NState]) = {
-    // the batch driver delivers each group already in evtOrder via
-    // flatMapSortedGroups (the ordering rides the Tungsten shuffle
-    // sort); the streaming driver's state-store groups arrive
-    // unordered and sort here
+  /** The shared per-key fold driver: order events (the batch driver
+    * delivers each group already in evtOrder via flatMapSortedGroups —
+    * the ordering rides the Tungsten shuffle sort; the streaming
+    * driver's state-store groups arrive unordered and sort here), feed
+    * them to the fold, and re-key emissions by `nextKeyCol` for the
+    * next hop. One loop for both fold kinds — liveness [[NodeFold]]
+    * and pair [[PairFold]] share the `feed(ev, out)` shape. */
+  private def foldEvents(nextKeyCol: String, events: Iterator[Evt], preSorted: Boolean,
+      feed: (Evt, scala.collection.mutable.ArrayBuffer[(Int, Int, String)]) => Unit)
+      : Iterator[Evt] = {
     val ordered: Iterator[Evt] =
       if (preSorted) events
       else {
@@ -284,18 +287,25 @@ object DeltaEngine {
         java.util.Arrays.sort(arr, evtOrder)
         arr.iterator
       }
-    val fold = new NodeFold(spec, init, preFiltered)
     val out = Vector.newBuilder[Evt]
     val emitted = new scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
     ordered.foreach { ev =>
       emitted.clear()
-      fold.feed(ev, emitted)
+      feed(ev, emitted)
       emitted.foreach { case (tag, mult, row) =>
         out += new Evt(ev.seq, fromParent = true, tag, mult,
-          canonGet(row, spec.nextKeyCol), row)
+          canonGet(row, nextKeyCol), row)
       }
     }
-    (out.result().iterator, if (exportState) Some(fold.exportState) else None)
+    out.result().iterator
+  }
+
+  private def foldKey(spec: NodeSpec, events: Iterator[Evt], init: NState,
+                      exportState: Boolean, preFiltered: Boolean,
+                      preSorted: Boolean = false): (Iterator[Evt], Option[NState]) = {
+    val fold = new NodeFold(spec, init, preFiltered)
+    val out = foldEvents(spec.nextKeyCol, events, preSorted, fold.feed)
+    (out, if (exportState) Some(fold.exportState) else None)
   }
 
   /** Fold a whole per-key event sequence (sorted deterministically)
@@ -384,25 +394,9 @@ object DeltaEngine {
   private def foldPairKey(spec: NodeSpec, events: Iterator[Evt], init: PairNState,
                           exportState: Boolean, preFiltered: Boolean,
                           preSorted: Boolean = false): (Iterator[Evt], Option[PairNState]) = {
-    val ordered: Iterator[Evt] =
-      if (preSorted) events
-      else {
-        val arr = events.toArray
-        java.util.Arrays.sort(arr, evtOrder)
-        arr.iterator
-      }
     val fold = new PairFold(spec, init, preFiltered)
-    val out = Vector.newBuilder[Evt]
-    val emitted = new scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
-    ordered.foreach { ev =>
-      emitted.clear()
-      fold.feed(ev, emitted)
-      emitted.foreach { case (tag, mult, row) =>
-        out += new Evt(ev.seq, fromParent = true, tag, mult,
-          canonGet(row, spec.nextKeyCol), row)
-      }
-    }
-    (out.result().iterator, if (exportState) Some(fold.exportState) else None)
+    val out = foldEvents(spec.nextKeyCol, events, preSorted, fold.feed)
+    (out, if (exportState) Some(fold.exportState) else None)
   }
 
   def processPairKeyBatch(spec: NodeSpec, preFiltered: Boolean = false,
@@ -521,6 +515,15 @@ object DeltaEngine {
           s"stage '${st.name}' takes own events from '$ref', whose nextKeyCol " +
             s"'$up' != childKeyCol '${st.spec.childKeyCol}' — emissions would be mis-keyed")
       }
+      // CONTRACT (not name-checkable): a pair stage's two inputs must
+      // be keyed by the same dimension-key VALUES — the column NAMES
+      // legitimately differ (c_nationkey vs s_nationkey), so unlike
+      // the ownStage check above there is no structural equality to
+      // assert here. TreeCompiler guarantees it by construction (both
+      // sides' key columns are FKs to the same shared dimension);
+      // hand-built graphs that mis-key a side produce disjoint groups
+      // and an empty product — validate against an oracle, as every
+      // registered pair query does.
       st.pairStage.foreach { _ =>
         require(st.parentStage.isEmpty,
           s"pair stage '${st.name}' cannot also take a parentStage — both pair " +

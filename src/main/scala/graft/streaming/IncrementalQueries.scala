@@ -338,15 +338,30 @@ object IncrementalQueries {
   /** The shared-dim tree with its PAIR stage SALTED (S = 8): the pair
     * stage's routing key is the DIMENSION's key — 25 nations cap the
     * product at 25 tasks on any cluster, so this is where de-skew
-    * matters most. Left/trunk rows bucket by row hash; supplier deltas
-    * replicate to every bucket; each bucket pairs a 1/S trunk slice
-    * against a full supplier copy. Behind the SAME survivors oracle as
+    * matters most. Salting buckets the OWN side and replicates the
+    * paired side ×S, and the planner's default orientation (branch on
+    * own, zero extra shuffle) would bucket the small supplier side
+    * while replicating the big trunk — backwards. So the salted plan
+    * SWAPS the pair: supplier runs through a pass-through stage (one
+    * extra shuffle) and the trunk becomes the own side — trunk join
+    * deltas bucket by row hash, supplier deltas replicate to the 8
+    * buckets, and each bucket pairs a 1/8 trunk slice against a full
+    * supplier copy. Behind the SAME survivors oracle as
     * incremental_shared_dim — the bucketed product must be
     * answer-invariant, not just spec-asserted. */
   def incrementalSharedRevenueSalted(s: SparkSession, dir: String): DataFrame = {
-    val stages = sharedDimStages match {
-      case init :+ last => init :+ last.copy(salts = 8)
-    }
+    val trunk = sharedDimStages.filter(_.pairStage.isEmpty)
+    val stages = trunk ++ Seq(
+      // pass-through: supplier deltas keyed by nation key (bag
+      // semantics — isRoot emits own rows ungated; predicate already
+      // applied at the scan via sourceFiltered)
+      Stage("supplier", NodeSpec("supplier", "s_nationkey", "s_nationkey",
+        isRoot = true)),
+      // the swapped glue: own = trunk emissions (keyed c_nationkey),
+      // paired = the supplier pass-through
+      Stage("product", NodeSpec("product", "c_nationkey", "c_nationkey"),
+        ownStage = Some(trunk.last.name),
+        pairStage = Some("supplier"), salts = 8))
     sharedAggregate(runTree(stages, sharedDimChangelogs(s, dir),
       sourceFiltered = true))
   }

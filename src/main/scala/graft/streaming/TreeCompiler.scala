@@ -286,7 +286,11 @@ object TreeCompiler {
     val out = scala.collection.mutable.ArrayBuffer[Stage](trunk: _*)
     var leftRef = trunk.last.name
     extras.foreach { case (e, comp) =>
-      val pairName = s"${e.child}__pair"
+      // the glue name carries BOTH endpoints: a relation referencing
+      // two shared dimensions is glued twice (once per dim, at
+      // different recursion levels) and bare "<rel>__pair" would
+      // collide — checkStages would then reject a valid acyclic graph
+      val pairName = s"${e.child}__pair_$dim"
       if (comp.size == 1) {
         // single-relation branch: pair straight off its changelog — no
         // pass-through stage, no extra shuffle

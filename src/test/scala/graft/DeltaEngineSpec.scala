@@ -347,7 +347,7 @@ class DeltaEngineSpec extends AnyFunSuite {
       TreeCompiler.FkEdge("B", "b_fk", "P", "pk"))
     val stages = TreeCompiler.stagesFor(edges, Seq("P", "A", "B"))
     // plan shape: trunk P→A (liveness), B glued via one pair stage
-    assert(stages.map(_.name) == Seq("P", "A", "B__pair"))
+    assert(stages.map(_.name) == Seq("P", "A", "B__pair_P"))
     assert(stages.last.pairStage == Some("A"))
     val logs = Map(
       "P" -> s.createDataset(pEvts), "A" -> s.createDataset(aEvts),
@@ -424,6 +424,66 @@ class DeltaEngineSpec extends AnyFunSuite {
       "f1_fk" -> apk, "f1id" -> f1.toString,
       "f2_fk" -> apk, "f2id" -> f2.toString,
       "b_fk" -> bfk, "bid" -> b.toString)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("a relation glued at TWO shared dimensions gets distinct pair-stage names") {
+    import graft.streaming.{DeltaEngine, TreeCompiler}
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // X references BOTH shared dims: X→P1←Y and X→P2←Z. X is glued
+    // twice (once per dim, at different recursion levels) — bare
+    // "<rel>__pair" naming collided here and a valid acyclic graph
+    // failed checkStages with 'duplicate stage names'
+    val edges = Seq(
+      TreeCompiler.FkEdge("X", "x1_fk", "P1", "p1pk"),
+      TreeCompiler.FkEdge("Y", "y_fk", "P1", "p1pk"),
+      TreeCompiler.FkEdge("X", "x2_fk", "P2", "p2pk"),
+      TreeCompiler.FkEdge("Z", "z_fk", "P2", "p2pk"))
+    val stages = TreeCompiler.stagesFor(edges, Seq("P1", "Y", "P2", "Z", "X"))
+    assert(stages.map(_.name).distinct.size == stages.size, stages.map(_.name))
+    assert(stages.count(_.pairStage.isDefined) == 2)
+    val p1E = Seq("q0", "q1").map(k =>
+      Evt(0, false, 1, 1, k, Map("p1pk" -> k, "p1n" -> s"n$k")))
+    val p2E = Seq("r0", "r1").map(k =>
+      Evt(0, false, 1, 1, k, Map("p2pk" -> k, "p2n" -> s"m$k"))) :+
+      Evt(9, false, -1, 1, "r1", Map("p2pk" -> "r1", "p2n" -> "mr1"))
+    val yE = (0 until 4).map(i => Evt(1, false, 1, 1, s"q${i % 2}",
+      Map("y_fk" -> s"q${i % 2}", "yid" -> i.toString))) :+
+      Evt(8, false, -1, 1, "q0", Map("y_fk" -> "q0", "yid" -> "0"))
+    val zE = (0 until 3).map(i => Evt(2, false, 1, 1, s"r${i % 2}",
+      Map("z_fk" -> s"r${i % 2}", "zid" -> i.toString)))
+    // X's changelog routes by its FIRST consuming stage's key — the
+    // inner glue at P2 — so events carry x2_fk values as Evt.key
+    // (exactly what SqlCompiler's Compiled.keyCol derives)
+    val xE = (for {
+      a <- 0 until 2; b <- 0 until 2
+    } yield Evt(3, false, 1, 1, s"r$b",
+      Map("x1_fk" -> s"q$a", "x2_fk" -> s"r$b", "xid" -> s"$a$b"))) :+
+      Evt(7, false, -1, 1, "r0",
+        Map("x1_fk" -> "q1", "x2_fk" -> "r0", "xid" -> "10"))
+    val logs = Map("P1" -> s.createDataset(p1E), "P2" -> s.createDataset(p2E),
+      "Y" -> s.createDataset(yE), "Z" -> s.createDataset(zE),
+      "X" -> s.createDataset(xE))
+    val got = DeltaEngine.runTree(stages, logs).collect().toSeq
+      .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+      .filter(_._2 != 0).toMap
+    // survivors product in plain Scala
+    val p2Alive = Set("r0")
+    val yAlive = Seq(("q0", 2), ("q1", 1), ("q1", 3))
+    val zAlive = (0 until 3).map(i => (s"r${i % 2}", i)).filter(p => p2Alive(p._1))
+    val xAlive = Seq(("q0", "r0", "00"), ("q0", "r1", "01"), ("q1", "r1", "11"))
+      .filter(t => p2Alive(t._2))
+    val want = (for {
+      (yk, y) <- yAlive
+      (x1, x2, xid) <- xAlive if x1 == yk
+      (zk, z) <- zAlive if zk == x2
+    } yield canon(Map(
+      "p1pk" -> yk, "p1n" -> s"n$yk", "y_fk" -> yk, "yid" -> y.toString,
+      "x1_fk" -> x1, "x2_fk" -> x2, "xid" -> xid,
+      "p2pk" -> x2, "p2n" -> s"m$x2", "z_fk" -> x2, "zid" -> z.toString)))
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(got == want)
     assert(got.nonEmpty)
