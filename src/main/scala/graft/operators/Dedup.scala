@@ -334,6 +334,72 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the PLANET-SCALE path: converges in O(log²) rounds
+    * regardless of component DIAMETER, where min-label propagation
+    * ([[connectedComponents]]) needs diameter-many rounds and a
+    * gradual-drift near-dup chain can make the diameter linear.
+    *
+    *  - large-star (per node u over undirected neighbors): connect
+    *    every neighbor v > u to m = min(N(u) ∪ u);
+    *  - small-star (per node u over its ≤-oriented neighbors):
+    *    connect u and every smaller neighbor to that set's minimum.
+    *
+    * Both steps are one groupBy + one equi-join over the (shrinking)
+    * edge set — no per-round growth, lineage truncated per round. At
+    * the fixed point the edges are stars centered at each component's
+    * minimum doc_id. Convergence = exact edge-set equality (count +
+    * both-ways exceptAll), not a hash heuristic; non-convergence
+    * inside the safety bound fails loudly. Spec-asserted equal to the
+    * propagation CC on adversarial graph shapes (chains, cliques,
+    * stars, random), and registered behind the SAME recursive-CTE
+    * oracle. */
+  private[graft] def ccLargeSmallStar(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.toDF("a", "b")
+      .filter(col("a") =!= col("b")).localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val m = und.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      und.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val m = or.groupBy("a").agg(min(col("b")).as("m"))
+      val nb = or.join(m, "a")
+      nb.select(col("b").as("a"), col("m").as("b"))
+        .union(m.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def sameEdgeSet(x: DataFrame, y: DataFrame): Boolean =
+      x.count() == y.count() && x.exceptAll(y).isEmpty
+    var edges = pairs
+    var converged = edges.isEmpty
+    var iter = 0
+    val maxIter = 50 // safety net; real bound is O(log² n) rounds
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = sameEdgeSet(next, edges)
+      edges = next
+      iter += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $maxIter rounds")
+    // fixed point: every edge is (member, component-min); centers
+    // label themselves
+    edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .union(edges.select(col("b").as("doc_id"), col("b").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+  }
+
+  private def connectedComponentsStars(s: SparkSession, d: String): DataFrame =
+    ccLargeSmallStar(minhashPairs(s, d).filter(col("jacc") >= 0.5)
+      .select(col("doc_a"), col("doc_b")))
+
   val defs: Seq[GraftQuery] = Seq(
 
     // --- exact dedup ---------------------------------------------------
@@ -370,6 +436,14 @@ object Dedup {
       s"""WITH RECURSIVE $ccCteSql
          |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin)(
       connectedComponents),
+
+    // The SAME clustering by alternating large-star/small-star (see
+    // [[ccLargeSmallStar]]) — diameter-independent round count, the
+    // path for planet-scale graphs — behind the SAME oracle.
+    sql("dedup_cc_largestar",
+      s"""WITH RECURSIVE $ccCteSql
+         |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin)(
+      connectedComponentsStars),
 
     // --- cluster representative selection --------------------------------
     // The RESOLUTION step after clustering: per near-dup cluster keep

@@ -33,6 +33,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star CC equals brute components on adversarial graphs") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // shapes that stress different failure modes: a LONG CHAIN (linear
+    // diameter — the case propagation CC is slow on and star CC must
+    // still get right), a clique, a star centered at the LARGEST id
+    // (forces relabeling through small-star), isolated pairs, and
+    // seeded random graphs
+    val chain = (0L until 60L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val clique = for (i <- 100L to 106L; j <- (i + 1) to 106L) yield (i, j)
+    val bigStar = (200L until 210L).map(i => (299L, i))
+    val pairs = Seq((400L, 401L), (402L, 403L))
+    val rnd = new scala.util.Random(11)
+    val randoms = (0 until 3).map { g =>
+      val base = 1000L * (g + 1)
+      (0 until 40).map(_ => (base + rnd.nextInt(30), base + rnd.nextInt(30)))
+        .filter(p => p._1 != p._2)
+    }
+    val allEdges = (chain ++ clique ++ bigStar ++ pairs ++ randoms.flatten)
+    // brute oracle: union-find in plain Scala
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    allEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = graft.operators.Dedup.ccLargeSmallStar(
+        allEdges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.toSet.size > 5) // several distinct components
+  }
+
   test("simhash of identical texts is identical, different texts differ") {
     val sh = SparkEntry.queries("dedup_simhash")(spark, sfTiny)
       .limit(50).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
