@@ -422,6 +422,37 @@ object IncrementalQueries {
     q10Aggregate(ss.table("incremental_q10_stream_leaf").as[Evt](implicitly))
   }
 
+  /** The CONTINUOUS pair stage behind the correctness gate — the
+    * shared-dim changelog replays through [[DeltaEngine.runStreamTree]]
+    * as real micro-batches (inserts then deletes, pair state carried
+    * across batches in the state store), against the same survivors
+    * oracle as incremental_shared_dim. Same replay harness and
+    * micro-batch-sized child session as [[incrementalQ10Stream]]. */
+  def incrementalSharedStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 8)
+    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import s.implicits._
+    val logs = sharedDimChangelogs(s, dir).view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val leaf = runStreamTree(sharedDimStages,
+      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
+    val query = leaf.writeStream
+      .format("memory").queryName("incremental_shared_stream_leaf")
+      .outputMode("append").start()
+    try {
+      Seq(0L, 1L).foreach { seq =>
+        streams.foreach { case (rel, ms) =>
+          val evs = logs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    sharedAggregate(ss.table("incremental_shared_stream_leaf").as[Evt](implicitly))
+  }
+
   /** [[Evt]] changelog from a [[CdcParser.parseRelation]] frame:
     * tag/seq derive from the parsed `action` (Insert → +1 @ seq 0,
     * Delete → −1 @ seq 1), `where` is the node predicate on the
@@ -876,6 +907,19 @@ object IncrementalQueries {
          | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
          |GROUP BY n_name""".stripMargin)(incrementalSharedRevenueSalted),
+
+    // The CONTINUOUS pair stage itself (runStreamTree micro-batches,
+    // state across batches) behind the same survivors oracle.
+    sql("incremental_shared_dim_stream",
+      s"""SELECT n_name,
+         | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+         | COUNT(*) AS n_pairs
+         |FROM nation, customer, orders, supplier
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND s_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
+         |GROUP BY n_name""".stripMargin)(incrementalSharedStream),
 
     // The SAME shared-dimension query compiled FROM SQL TEXT.
     sql("incremental_sql_shared_dim",
