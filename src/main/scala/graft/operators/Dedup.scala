@@ -375,8 +375,13 @@ object Dedup {
         .union(m.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct()
     }
+    // one symmetric-diff aggregation instead of count + exceptAll:
+    // both sides are DISTINCT edge sets, so they are equal iff no
+    // (a, b) nets to a nonzero weight — a single job per round
     def sameEdgeSet(x: DataFrame, y: DataFrame): Boolean =
-      x.count() == y.count() && x.exceptAll(y).isEmpty
+      x.withColumn("w", lit(1)).union(y.withColumn("w", lit(-1)))
+        .groupBy("a", "b").agg(sum("w").as("w"))
+        .filter(col("w") =!= 0).isEmpty
     var edges = pairs
     var converged = edges.isEmpty
     var iter = 0
