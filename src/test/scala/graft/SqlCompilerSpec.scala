@@ -426,6 +426,8 @@ class SqlCompilerSpec extends AnyFunSuite {
     // pair-stage emissions exactly like liveness emissions
     Seq("nation", "customer", "orders", "supplier").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
+    // includes a local predicate ON the shared dimension itself —
+    // it lands on the trunk root's scan like any other relation's
     val sqlText =
       """SELECT n_name,
         | AVG(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS avg_sbal_e2,
@@ -434,7 +436,7 @@ class SqlCompilerSpec extends AnyFunSuite {
         | COUNT(*) AS n_pairs
         |FROM nation, customer, orders, supplier
         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
-        | AND s_nationkey = n_nationkey
+        | AND s_nationkey = n_nationkey AND n_name <> 'FRANCE'
         |GROUP BY n_name""".stripMargin
     val got = SqlCompiler.run(s, d, sqlText, deletes = Map(
         "orders" -> (col("o_orderkey") % 3 === 0),
