@@ -81,6 +81,28 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("eventFilter + pair plan: raw shared-dim changelogs equal scan-filtered run") {
+    val sqlText =
+      """SELECT n_name, COUNT(*) AS n_pairs
+        |FROM nation, customer, orders, supplier
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND s_nationkey = n_nationkey AND s_suppkey % 3 <> 0
+        | AND o_orderkey % 2 = 0
+        |GROUP BY n_name""".stripMargin
+    val c = SqlCompiler.compile(s, d, sqlText)
+    val deletes = Map("supplier" -> (col("s_suppkey") % 4 === 0))
+    val raw = c.sourceChangelogs(s, d, deletes, filtered = false)
+    val filtered = raw.map { case (rel, ds) =>
+      rel -> c.eventFilter(s, rel).map(ds.filter).getOrElse(ds)
+    }
+    assert(raw("supplier").count() > filtered("supplier").count())
+    val got = c.aggregate(
+        graft.streaming.DeltaEngine.runTree(c.stages, filtered, sourceFiltered = true).toDF())
+      .orderBy("n_name").collect().toSeq
+    val want = c.run(s, d, deletes).orderBy("n_name").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("compiled SQL runs continuously: streamed micro-batches equal the batch run") {
     implicit val sq = s.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
