@@ -385,7 +385,10 @@ object Dedup {
     var edges = pairs
     var converged = edges.isEmpty
     var iter = 0
-    val maxIter = 50 // safety net; real bound is O(log² n) rounds
+    // safety net against a non-terminating BUG, sized ABOVE the
+    // algorithm's own worst case so it can never abort a legitimately
+    // convergent run: O(log² n) rounds is ≈1600 at n = 10¹²
+    val maxIter = 2000
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       converged = sameEdgeSet(next, edges)

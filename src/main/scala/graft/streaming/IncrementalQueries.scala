@@ -338,33 +338,16 @@ object IncrementalQueries {
   /** The shared-dim tree with its PAIR stage SALTED (S = 8): the pair
     * stage's routing key is the DIMENSION's key — 25 nations cap the
     * product at 25 tasks on any cluster, so this is where de-skew
-    * matters most. Salting buckets the OWN side and replicates the
-    * paired side ×S, and the planner's default orientation (branch on
-    * own, zero extra shuffle) would bucket the small supplier side
-    * while replicating the big trunk — backwards. So the salted plan
-    * SWAPS the pair: supplier runs through a pass-through stage (one
-    * extra shuffle) and the trunk becomes the own side — trunk join
-    * deltas bucket by row hash, supplier deltas replicate to the 8
-    * buckets, and each bucket pairs a 1/8 trunk slice against a full
-    * supplier copy. Behind the SAME survivors oracle as
-    * incremental_shared_dim — the bucketed product must be
-    * answer-invariant, not just spec-asserted. */
-  def incrementalSharedRevenueSalted(s: SparkSession, dir: String): DataFrame = {
-    val trunk = sharedDimStages.filter(_.pairStage.isEmpty)
-    val stages = trunk ++ Seq(
-      // pass-through: supplier deltas keyed by nation key (bag
-      // semantics — isRoot emits own rows ungated; predicate already
-      // applied at the scan via sourceFiltered)
-      Stage("supplier", NodeSpec("supplier", "s_nationkey", "s_nationkey",
-        isRoot = true)),
-      // the swapped glue: own = trunk emissions (keyed c_nationkey),
-      // paired = the supplier pass-through
-      Stage("product", NodeSpec("product", "c_nationkey", "c_nationkey"),
-        ownStage = Some(trunk.last.name),
-        pairStage = Some("supplier"), salts = 8))
-    sharedAggregate(runTree(stages, sharedDimChangelogs(s, dir),
-      sourceFiltered = true))
-  }
+    * matters most. [[TreeCompiler.swapPairOrientation]] swaps the glue
+    * so the BIG trunk side buckets by row hash while the small
+    * supplier side replicates to the 8 buckets — each bucket pairs a
+    * 1/8 trunk slice against a full supplier copy. Behind the SAME
+    * survivors oracle as incremental_shared_dim — the bucketed product
+    * must be answer-invariant, not just spec-asserted. */
+  def incrementalSharedRevenueSalted(s: SparkSession, dir: String): DataFrame =
+    sharedAggregate(runTree(
+      TreeCompiler.swapPairOrientation(sharedDimStages, salts = 8),
+      sharedDimChangelogs(s, dir), sourceFiltered = true))
 
   /** The Q10 tree with its heaviest hop SALTED (S = 8): lineitem
     * events bucket by row hash while orders' liveness deltas replicate
@@ -390,28 +373,37 @@ object IncrementalQueries {
     * readStream + foreachBatch upsert, StreamingSpec covers recovery);
     * the collect() here materializes the fixture changelog for
     * addData, not an engine step. */
-  def incrementalQ10Stream(s: SparkSession, dir: String): DataFrame = {
+  /** Shared micro-batch replay harness for the gated stream entries:
+    * runs `stages` through [[DeltaEngine.runStreamTree]] in a CHILD
+    * session, replaying each changelog seq value as its own
+    * micro-batch (state carries across batches in the state store),
+    * and returns the collected leaf deltas.
+    *
+    * The child session is sized to the micro-batch volume: chained
+    * stateful operators pin ONE state-store instance per shuffle
+    * partition per operator per micro-batch — at replay scale (two
+    * small batches) those state commits dominate the wall clock
+    * (8 partitions: measured 16.4 s → 8.3 s at sf0.1) without
+    * touching the outer session's batch-sized setting. Production
+    * guidance is unchanged: size state partitions to the data. */
+  private def replayStream(s: SparkSession, stages: Seq[Stage],
+      logs0: Map[String, Dataset[Evt]], sinkName: String): Dataset[Evt] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    // Chained stateful operators pin ONE state-store instance per
-    // shuffle partition per operator per micro-batch — at replay scale
-    // (two small batches) those state commits dominate the wall clock,
-    // so the stream runs in a child session sized to the micro-batch
-    // volume (8 partitions: measured 16.4 s → 8.3 s at sf0.1 without
-    // touching the outer session's batch-sized setting). Production
-    // guidance is unchanged: size state partitions to the data.
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", 8)
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
-    val logs = q10Changelogs(s, dir).view.mapValues(_.collect().toSeq).toMap
+    val logs = logs0.view.mapValues(_.collect().toSeq).toMap
     val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
-    val leaf = runStream(q10Tree, streams.map { case (r, ms) => r -> ms.toDS() },
-      sourceFiltered = true)
+    val leaf = runStreamTree(stages,
+      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
     val query = leaf.writeStream
-      .format("memory").queryName("incremental_q10_stream_leaf")
+      .format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
-      Seq(0L, 1L).foreach { seq =>
+      // replay the changelogs' actual seq values in order, one
+      // micro-batch per seq, instead of assuming {0, 1}
+      logs.values.flatten.map(_.seq).toSeq.distinct.sorted.foreach { seq =>
         streams.foreach { case (rel, ms) =>
           val evs = logs(rel).filter(_.seq == seq)
           if (evs.nonEmpty) ms.addData(evs)
@@ -419,39 +411,21 @@ object IncrementalQueries {
         query.processAllAvailable()
       }
     } finally query.stop()
-    q10Aggregate(ss.table("incremental_q10_stream_leaf").as[Evt](implicitly))
+    ss.table(sinkName).as[Evt](implicitly)
   }
+
+  def incrementalQ10Stream(s: SparkSession, dir: String): DataFrame =
+    q10Aggregate(replayStream(s, chainStages(q10Tree), q10Changelogs(s, dir),
+      "incremental_q10_stream_leaf"))
 
   /** The CONTINUOUS pair stage behind the correctness gate — the
     * shared-dim changelog replays through [[DeltaEngine.runStreamTree]]
     * as real micro-batches (inserts then deletes, pair state carried
     * across batches in the state store), against the same survivors
-    * oracle as incremental_shared_dim. Same replay harness and
-    * micro-batch-sized child session as [[incrementalQ10Stream]]. */
-  def incrementalSharedStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", 8)
-    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
-    import s.implicits._
-    val logs = sharedDimChangelogs(s, dir).view.mapValues(_.collect().toSeq).toMap
-    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
-    val leaf = runStreamTree(sharedDimStages,
-      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
-    val query = leaf.writeStream
-      .format("memory").queryName("incremental_shared_stream_leaf")
-      .outputMode("append").start()
-    try {
-      Seq(0L, 1L).foreach { seq =>
-        streams.foreach { case (rel, ms) =>
-          val evs = logs(rel).filter(_.seq == seq)
-          if (evs.nonEmpty) ms.addData(evs)
-        }
-        query.processAllAvailable()
-      }
-    } finally query.stop()
-    sharedAggregate(ss.table("incremental_shared_stream_leaf").as[Evt](implicitly))
-  }
+    * oracle as incremental_shared_dim. */
+  def incrementalSharedStream(s: SparkSession, dir: String): DataFrame =
+    sharedAggregate(replayStream(s, sharedDimStages, sharedDimChangelogs(s, dir),
+      "incremental_shared_stream_leaf"))
 
   /** [[Evt]] changelog from a [[CdcParser.parseRelation]] frame:
     * tag/seq derive from the parsed `action` (Insert → +1 @ seq 0,

@@ -310,6 +310,34 @@ object TreeCompiler {
     out.toSeq
   }
 
+  /** Swap the orientation of a plan's final PAIR stage — for SALTING:
+    * salting buckets the OWN side and replicates the PAIRED side ×S,
+    * and the planner's default orientation (branch on own — zero extra
+    * shuffle) replicates the trunk, which is usually the BIG side.
+    * The swap runs the branch input through a pass-through stage (one
+    * extra shuffle, predicate and key columns preserved from the
+    * original glue spec) and makes the trunk the own side, so trunk
+    * join deltas bucket while the small branch replicates.
+    *
+    * Derives everything from the plan itself (no caller-restated key
+    * columns): the pass-through inherits the glue's spec, the swapped
+    * glue keys by the trunk's emission column. */
+  def swapPairOrientation(stages: Seq[DeltaEngine.Stage], salts: Int = 1)
+      : Seq[DeltaEngine.Stage] = {
+    import DeltaEngine.Stage
+    val glue = stages.last
+    require(glue.pairStage.isDefined,
+      s"last stage '${glue.name}' is not a pair stage — nothing to swap")
+    val byName = stages.map(s => s.name -> s).toMap
+    val trunkRef = glue.pairStage.get
+    val trunkKey = byName(trunkRef).spec.nextKeyCol
+    val pass = Stage(s"${glue.name}__pass",
+      glue.spec.copy(isRoot = true), ownStage = glue.ownStage)
+    val swapped = Stage(glue.name, glue.spec.copy(childKeyCol = trunkKey),
+      ownStage = Some(trunkRef), pairStage = Some(pass.name), salts = salts)
+    stages.init ++ Seq(pass, swapped)
+  }
+
   /** Find the UNIQUE FK path root→leaf and compile it; throws listing
     * the alternatives when the FK graph offers more than one. */
   def compileUnique(rels: Seq[RelationSchema], root: String, leaf: String,
