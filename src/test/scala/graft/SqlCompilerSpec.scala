@@ -442,6 +442,54 @@ class SqlCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("shared dim WITH a parent above it: region→nation trunk compiles and streams") {
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DeltaEngine.Evt
+    val sparkS = s
+    import sparkS.implicits._
+    Seq("region", "nation", "customer", "supplier").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // nation is BOTH a child (of region) and a shared dimension (of
+    // customer and supplier) — the trunk recursion must thread
+    // region's liveness through before the product
+    val sqlText =
+      """SELECT n_name, COUNT(*) AS n_pairs
+        |FROM region, nation, customer, supplier
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND s_nationkey = n_nationkey AND r_name <> 'ASIA'
+        |GROUP BY n_name""".stripMargin
+    val c = SqlCompiler.compile(s, d, sqlText)
+    assert(c.stages.exists(_.pairStage.isDefined))
+    val deletes = Map("customer" -> (col("c_custkey") % 5 === 0))
+    val want = s.sql(sqlText.replace("GROUP BY",
+        "AND c_custkey % 5 <> 0\nGROUP BY"))
+      .orderBy("n_name").collect().toSeq
+    assert(want.nonEmpty)
+    // batch
+    assert(c.run(s, d, deletes).orderBy("n_name").collect().toSeq == want)
+    // continuous: Compiled.runStream drives the pair plan over raw
+    // micro-batched changelogs (eventFilter applied per stream)
+    val logs = c.sourceChangelogs(s, d, deletes, filtered = false)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val out = c.runStream(streams.map { case (r, ms) => r -> ms.toDS() })
+    val query = out.writeStream
+      .format("memory").queryName("shared_parent_leaf").outputMode("append").start()
+    try {
+      Seq(0L, 1L).foreach { seq =>
+        streams.foreach { case (rel, ms) =>
+          val evs = logs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+      val got = c.aggregate(s.table("shared_parent_leaf"))
+        .orderBy("n_name").collect().toSeq
+      assert(got == want)
+    } finally query.stop()
+  }
+
   test("full aggregate vocabulary composes with shared-dimension plans") {
     // AVG / COUNT(DISTINCT) / MIN / MAX operate on the leaf delta
     // multiset, orthogonal to how the tree was glued — they must fold
