@@ -527,6 +527,87 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(salted.values.sum == 450 * 5 + 1)
   }
 
+  test("PROPERTY: random acyclic FK graphs — any tree shape, any edge orientation") {
+    import graft.streaming.{DeltaEngine, TreeCompiler}
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // The planner claims EVERY connected acyclic FK graph compiles:
+    // random trees with random edge ORIENTATIONS probe arbitrary
+    // mixes of chains, multi-parent facts, and (nested) shared
+    // dimensions. Oracle: survivors joined in plain Scala. Rows are
+    // unique per relation (set/bag semantics coincide at roots) and
+    // pk values are unique per relation (the FK model's assumption);
+    // dangling FKs and deletes on every relation are exercised.
+    val rnd = new scala.util.Random(2026)
+    (0 until 12).foreach { trial =>
+      val k = 3 + rnd.nextInt(4) // relations
+      val names = (0 until k).map(i => s"R$i")
+      // random tree: node i>0 attaches to a random earlier node;
+      // random orientation: child references parent OR vice versa
+      val edges = (1 until k).map { i =>
+        val other = rnd.nextInt(i)
+        if (rnd.nextBoolean())
+          TreeCompiler.FkEdge(s"R$i", s"r${i}fk$other", s"R$other", s"r${other}pk")
+        else
+          TreeCompiler.FkEdge(s"R$other", s"r${other}fk$i", s"R$i", s"r${i}pk")
+      }
+      val stages = TreeCompiler.stagesFor(edges, names)
+      // rows: unique pk per relation; fks drawn from a small pool
+      // (some dangle); ~30% of rows deleted at seq 1
+      val pool = (0 until 4).map(j => s"v$j")
+      val rows: Map[String, Seq[Map[String, String]]] = names.map { rel =>
+        val i = rel.drop(1).toInt
+        val fkCols = edges.filter(_.child == rel).map(_.fkCol)
+        rel -> (0 until (2 + rnd.nextInt(4))).map { r =>
+          Map(s"r${i}pk" -> s"p$r", s"r${i}v" -> s"$trial-$r") ++
+            fkCols.map(f => f -> pool(rnd.nextInt(pool.size))).toMap
+        }
+      }.toMap
+      // pk values are p0..p3 but fks draw v0..v3 — remap so SOME match:
+      // half the fk draws map onto pk space
+      val fixed = rows.map { case (rel, rs) =>
+        rel -> rs.map(_.map { case (c, v) =>
+          c -> (if (v.startsWith("v") && rnd.nextBoolean()) "p" + v.drop(1) else v)
+        })
+      }
+      val deleted: Map[String, Set[Map[String, String]]] = fixed.map { case (rel, rs) =>
+        rel -> rs.filter(_ => rnd.nextInt(10) < 3).toSet
+      }
+      val keyColOf: Map[String, String] = names.map { rel =>
+        rel -> stages.find(st => st.spec.relation == rel && st.ownStage.isEmpty)
+          .get.spec.childKeyCol
+      }.toMap
+      val logs = fixed.map { case (rel, rs) =>
+        val kc = keyColOf(rel)
+        rel -> s.createDataset(
+          rs.map(r => Evt(0, false, 1, 1, r(kc), r)) ++
+            deleted(rel).toSeq.map(r => Evt(1, false, -1, 1, r(kc), r)))
+      }
+      val got = DeltaEngine.runTree(stages, logs).collect().toSeq
+        .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+        .filter(_._2 != 0).toMap
+      // oracle: survivors, then iterative tree join
+      val surv = fixed.map { case (rel, rs) => rel -> rs.filterNot(deleted(rel)) }
+      var joinedRels = Set(names.head)
+      var tuples: Seq[Map[String, String]] = surv(names.head)
+      var remaining = edges
+      while (remaining.nonEmpty) {
+        val e = remaining.find(e => joinedRels(e.child) ^ joinedRels(e.parent)).get
+        val (newRel, leftCol, rightCol) =
+          if (joinedRels(e.child)) (e.parent, e.fkCol, e.parentCol)
+          else (e.child, e.parentCol, e.fkCol)
+        tuples = for {
+          t <- tuples; r <- surv(newRel) if t(leftCol) == r(rightCol)
+        } yield t ++ r
+        joinedRels += newRel
+        remaining = remaining.filterNot(_ == e)
+      }
+      val want = tuples.map(t => canon(t)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      assert(got == want, s"trial $trial: k=$k edges=$edges")
+    }
+  }
+
   test("pair fold: net is order-independent under shuffled interleavings") {
     import graft.streaming.DeltaEngine
     // one key's event stream for a pair stage: left rows (fromParent
