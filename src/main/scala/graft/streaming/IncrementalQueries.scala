@@ -921,6 +921,32 @@ object IncrementalQueries {
           "supplier" -> (col("s_suppkey") % 5 === 0)))
     },
 
+    // Shared dimension WITH a parent above it: region's liveness
+    // threads through the trunk (region→nation→customer) before the
+    // supplier product — five relations, one pair glue, compiled from
+    // text.
+    sql("incremental_sql_shared_parent",
+      """SELECT n_name,
+        | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2,
+        | COUNT(*) AS n_pairs
+        |FROM region, nation, customer, supplier
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND s_nationkey = n_nationkey
+        | AND r_name <> 'ASIA' AND c_custkey % 6 <> 0 AND s_suppkey % 5 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name,
+          | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2,
+          | COUNT(*) AS n_pairs
+          |FROM region, nation, customer, supplier
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND s_nationkey = n_nationkey AND r_name <> 'ASIA'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 6 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)))
+    },
+
     // The SAME branching query compiled FROM SQL TEXT: SqlCompiler
     // linearizes the multi-parent lineitem into per-FK stages.
     sql("incremental_sql_part_revenue",
