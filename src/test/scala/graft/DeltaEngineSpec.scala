@@ -551,7 +551,23 @@ class DeltaEngineSpec extends AnyFunSuite {
         else
           TreeCompiler.FkEdge(s"R$other", s"r${other}fk$i", s"R$i", s"r${i}pk")
       }
-      val stages = TreeCompiler.stagesFor(edges, names)
+      // ~half the relations carry a random LOCAL PREDICATE (drops the
+      // rows whose payload index is ≡ m mod 3) — the planner must
+      // attach each to the relation's first stage, including branch
+      // pass-throughs and pair glue own-inputs
+      val predMod: Map[String, Int] = names.flatMap { rel =>
+        if (rnd.nextBoolean()) Some(rel -> rnd.nextInt(3)) else None
+      }.toMap
+      def keep(rel: String, row: Map[String, String]): Boolean =
+        predMod.get(rel) match {
+          case Some(m) =>
+            val i = rel.drop(1).toInt
+            row(s"r${i}v").split("-").last.toInt % 3 != m
+          case None => true
+        }
+      val predicates: Map[String, Map[String, String] => Boolean] =
+        predMod.keys.map(rel => rel -> ((r: Map[String, String]) => keep(rel, r))).toMap
+      val stages = TreeCompiler.stagesFor(edges, names, predicates)
       // rows: unique pk per relation; fks drawn from a small pool
       // (some dangle); ~30% of rows deleted at seq 1
       val pool = (0 until 4).map(j => s"v$j")
@@ -586,8 +602,11 @@ class DeltaEngineSpec extends AnyFunSuite {
       val got = DeltaEngine.runTree(stages, logs).collect().toSeq
         .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
         .filter(_._2 != 0).toMap
-      // oracle: survivors, then iterative tree join
-      val surv = fixed.map { case (rel, rs) => rel -> rs.filterNot(deleted(rel)) }
+      // oracle: survivors (deletes AND local predicates), then
+      // iterative tree join
+      val surv = fixed.map { case (rel, rs) =>
+        rel -> rs.filterNot(deleted(rel)).filter(r => keep(rel, r))
+      }
       var joinedRels = Set(names.head)
       var tuples: Seq[Map[String, String]] = surv(names.head)
       var remaining = edges
