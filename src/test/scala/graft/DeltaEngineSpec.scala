@@ -527,6 +527,46 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(salted.values.sum == 450 * 5 + 1)
   }
 
+  test("SELF-JOIN recipe: one relation as two aliased changelogs (hierarchy)") {
+    import graft.streaming.{DeltaEngine, TreeCompiler}
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // SqlCompiler rejects self-joins (canonical rows key columns by
+    // NAME, so one relation joined to itself would collide) — but the
+    // ENGINE is alias-agnostic: register the same logical relation
+    // twice under different names with per-alias column prefixes, and
+    // an employee→manager hierarchy is just another FK tree. This is
+    // the documented recipe, not a compiler feature.
+    val people = Seq(
+      // (id, mgr, name) — mgr 0 = the root, which we model as dangling
+      (1L, 0L, "ceo"), (2L, 1L, "vp_a"), (3L, 1L, "vp_b"),
+      (4L, 2L, "eng1"), (5L, 2L, "eng2"), (6L, 3L, "ops1"))
+    val mgrEvts = people.map { case (id, _, nm) =>
+      Evt(0, false, 1, 1, id.toString,
+        Map("m_id" -> id.toString, "m_name" -> nm))
+    } :+ Evt(2, false, -1, 1, "2", Map("m_id" -> "2", "m_name" -> "vp_a"))
+    val empEvts = people.map { case (id, mgr, nm) =>
+      Evt(1, false, 1, 1, mgr.toString,
+        Map("e_id" -> id.toString, "e_mgr" -> mgr.toString, "e_name" -> nm))
+    }
+    val edges = Seq(TreeCompiler.FkEdge("emp", "e_mgr", "mgr", "m_id"))
+    val stages = TreeCompiler.stagesFor(edges, Seq("mgr", "emp"))
+    val logs = Map("mgr" -> s.createDataset(mgrEvts), "emp" -> s.createDataset(empEvts))
+    val got = DeltaEngine.runTree(stages, logs).collect().toSeq
+      .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+      .filter(_._2 != 0).toMap
+    // survivors: manager 2 deleted → its reports (4, 5) drop out; the
+    // CEO's dangling mgr 0 buffers unmatched (correct inner-join
+    // semantics for a root with no manager row)
+    val want = Seq((2L, 1L, "vp_a", "ceo"), (3L, 1L, "vp_b", "ceo"),
+        (6L, 3L, "ops1", "vp_b"))
+      .map { case (id, mgr, nm, mnm) =>
+        canon(Map("e_id" -> id.toString, "e_mgr" -> mgr.toString,
+          "e_name" -> nm, "m_id" -> mgr.toString, "m_name" -> mnm)) -> 1
+      }.toMap
+    assert(got == want)
+  }
+
   test("PROPERTY: random acyclic FK graphs — any tree shape, any edge orientation") {
     import graft.streaming.{DeltaEngine, TreeCompiler}
     val s = SparkTestSession.spark
