@@ -361,7 +361,11 @@ object SqlCompiler {
     }
     val (relations, onConjuncts) = walkJoins(joinPlan)
     if (relations.distinct.size != relations.size)
-      fail(s"self-joins are not supported: $relations")
+      fail(s"self-joins are not supported in SQL text: $relations — canonical " +
+        "rows key columns by NAME, so one relation joined to itself would " +
+        "collide. Recipe: register the relation twice under aliased column " +
+        "prefixes and run TreeCompiler.stagesFor directly (see DeltaEngineSpec " +
+        "\"SELF-JOIN recipe\")")
 
     val schemas: Map[String, StructType] =
       relations.map(n => n -> Tables.load(spark, dir, n).schema).toMap
