@@ -607,7 +607,20 @@ class DeltaEngineSpec extends AnyFunSuite {
         }
       val predicates: Map[String, Map[String, String] => Boolean] =
         predMod.keys.map(rel => rel -> ((r: Map[String, String]) => keep(rel, r))).toMap
-      val stages = TreeCompiler.stagesFor(edges, names, predicates)
+      // a random NON-ROOT stage gets a random salt factor — bucketed
+      // sub-keys must be answer-invariant on every graph shape
+      // (root stages take no parent/pair input, so salting them would
+      // only fragment their own fold)
+      val stages0 = TreeCompiler.stagesFor(edges, names, predicates)
+      val saltable = stages0.zipWithIndex.collect {
+        case (st, i) if st.parentStage.isDefined || st.pairStage.isDefined => i
+      }
+      val stages =
+        if (saltable.isEmpty || rnd.nextBoolean()) stages0
+        else {
+          val i = saltable(rnd.nextInt(saltable.size))
+          stages0.updated(i, stages0(i).copy(salts = 2 + rnd.nextInt(3)))
+        }
       // rows: unique pk per relation; fks drawn from a small pool
       // (some dangle); ~30% of rows deleted at seq 1
       val pool = (0 until 4).map(j => s"v$j")
