@@ -345,8 +345,13 @@ object DeltaEngine {
     * format as liveness stages, so pair stages compose freely with
     * them in one tree. */
   private final class PairFold(spec: NodeSpec, init: PairNState, preFiltered: Boolean) {
-    private val left = new java.util.HashMap[String, Int]()
-    private val right = new java.util.HashMap[String, Int]()
+    // TreeMaps: the cross-merge enumerates the OTHER side per delta in
+    // deterministic order, and a sorted map gives that for free —
+    // re-sorting a key array per event would pay O(|other|·log) on
+    // every single delta of the product's hot loop. Natural String
+    // order matches NodeFold's child-replay enumeration convention.
+    private val left = new java.util.TreeMap[String, Int]()
+    private val right = new java.util.TreeMap[String, Int]()
     init.left.foreach { case (k, v) => left.put(k, v) }
     init.right.foreach { case (k, v) => right.put(k, v) }
 
@@ -356,23 +361,17 @@ object DeltaEngine {
       val d = ev.tag * ev.mult
       val mine = if (isRight) right else left
       val other = if (isRight) left else right
-      if (!other.isEmpty) {
-        // deterministic emission order over the other side's rows
-        val keys = new Array[String](other.size())
-        var i = 0
-        val it = other.keySet().iterator()
-        while (it.hasNext) { keys(i) = it.next(); i += 1 }
-        java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
-        keys.foreach { o =>
-          val c = other.get(o)
-          val prod = d.toLong * c
-          if (prod != 0L) {
-            // merged row is (left, right) regardless of which side the
-            // delta arrived on; toIntExact fails loud on the (absurd)
-            // 2^31 pair-multiplicity rather than wrapping silently
-            val merged = if (isRight) mergeCanon(o, ev.row) else mergeCanon(ev.row, o)
-            out += ((if (prod > 0) 1 else -1, Math.toIntExact(Math.abs(prod)), merged))
-          }
+      val it = other.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val prod = d.toLong * e.getValue
+        if (prod != 0L) {
+          // merged row is (left, right) regardless of which side the
+          // delta arrived on; toIntExact fails loud on the (absurd)
+          // 2^31 pair-multiplicity rather than wrapping silently
+          val merged =
+            if (isRight) mergeCanon(e.getKey, ev.row) else mergeCanon(ev.row, e.getKey)
+          out += ((if (prod > 0) 1 else -1, Math.toIntExact(Math.abs(prod)), merged))
         }
       }
       val before = mine.getOrDefault(ev.row, 0)
@@ -381,7 +380,7 @@ object DeltaEngine {
     }
 
     def exportState: PairNState = {
-      def toMap(m: java.util.HashMap[String, Int]): Map[String, Int] = {
+      def toMap(m: java.util.TreeMap[String, Int]): Map[String, Int] = {
         val b = Map.newBuilder[String, Int]
         val it = m.entrySet().iterator()
         while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
