@@ -239,6 +239,23 @@ object SqlCompiler {
     case x => Seq(x)
   }
 
+  /** Strip table-alias qualifiers from a SQL fragment (`r.r_name` →
+    * `r_name`), splicing by Catalyst Origin offsets: fragments are
+    * re-applied to bare-columned DataFrames (scan filters, the typed
+    * aggregate frame), where a qualified reference cannot resolve.
+    * Sound because column names are unique across the query's
+    * relations (enforced by the `owner` map). */
+  private def dequalify(spark: SparkSession, frag: String): String = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(frag)
+    val attrs = parsed.collect {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 => a
+    }.filter(_.origin.startIndex.isDefined).sortBy(-_.origin.startIndex.get)
+    attrs.foldLeft(frag) { (text, a) =>
+      text.substring(0, a.origin.startIndex.get) + a.nameParts.last +
+        text.substring(a.origin.stopIndex.get + 1)
+    }
+  }
+
   /** Peel HAVING / ORDER BY / LIMIT off the top of the parse tree —
     * they are PRESENTATION over the maintained aggregate view, not
     * part of the incremental fold, so each compiles to a
@@ -350,11 +367,17 @@ object SqlCompiler {
       case child => (Seq.empty[Expression], child)
     }
 
-    // relations + ON-clause conjuncts
+    // relations + ON-clause conjuncts. Table aliases (SubqueryAlias)
+    // unwrap to their base relation: columns resolve by bare name
+    // (unique across the FK graph — enforced below), so the alias is
+    // presentation; this also routes aliased SELF-joins to the
+    // dedicated error instead of a generic FROM-shape rejection.
     def walkJoins(p: LogicalPlan): (Seq[String], Seq[Expression]) = p match {
       case Join(l, r, Inner, cond, _) =>
         val (lr, lc) = walkJoins(l); val (rr, rc) = walkJoins(r)
         (lr ++ rr, lc ++ rc ++ cond.toSeq.flatMap(splitConjuncts))
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        walkJoins(a.child)
       case u: UnresolvedRelation => (Seq(u.multipartIdentifier.last), Nil)
       case other => fail(s"unsupported FROM shape: ${other.nodeName} " +
         "(only inner FK joins of base relations are incrementally maintainable here)")
@@ -424,7 +447,7 @@ object SqlCompiler {
         case Seq(r) => r
         case Seq() => fail(s"constant predicate '${fragment(c)}' is unsupported")
       }
-    }.map { case (rel, cs) => rel -> cs.map(c => s"(${fragment(c)})").mkString(" AND ") }
+    }.map { case (rel, cs) => rel -> cs.map(c => s"(${dequalify(spark, fragment(c))})").mkString(" AND ") }
 
     // SELECT list → group columns (plain refs) + aliased aggregates
     val groupCols = groupExprs.map {
@@ -441,11 +464,11 @@ object SqlCompiler {
         (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
           case ("count", Seq(_: UnresolvedStar)) => AggSpec("count", "", alias)
           case ("count", Seq(arg)) if f.isDistinct =>
-            AggSpec("count_distinct", fragment(arg), alias)
+            AggSpec("count_distinct", dequalify(spark, fragment(arg)), alias)
           case ("count", args) if args.forall(_.foldable) => AggSpec("count", "", alias)
-          case ("sum", Seq(arg)) if !f.isDistinct => AggSpec("sum", fragment(arg), alias)
-          case ("avg", Seq(arg)) if !f.isDistinct => AggSpec("avg", fragment(arg), alias)
-          case (name @ ("min" | "max"), Seq(arg)) => AggSpec(name, fragment(arg), alias)
+          case ("sum", Seq(arg)) if !f.isDistinct => AggSpec("sum", dequalify(spark, fragment(arg)), alias)
+          case ("avg", Seq(arg)) if !f.isDistinct => AggSpec("avg", dequalify(spark, fragment(arg)), alias)
+          case (name @ ("min" | "max"), Seq(arg)) => AggSpec(name, dequalify(spark, fragment(arg)), alias)
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
             "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
             "MIN, MAX, AVG)")

@@ -13,6 +13,12 @@ import graft.streaming.DeltaEngine._
   */
 class DeltaEngineSpec extends AnyFunSuite {
 
+  /** Net signed multiset of emitted rows — the spec-side fold every
+    * engine test compares on (nonzero nets only). */
+  private def netRows(evts: Seq[Evt]): Map[String, Int] =
+    evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+      .filter(_._2 != 0).toMap
+
   /** Deterministic ScalaCheck sampling (the scalatest-scalacheck
     * bridge isn't in the offline cache — sample seeded generators by
     * hand). */
@@ -276,9 +282,7 @@ class DeltaEngineSpec extends AnyFunSuite {
     def stages(salts: Int) = Seq(
       Stage("P", NodeSpec("P", "pk", "pk", isRoot = true, setSemantics = true)),
       Stage("C", NodeSpec("C", "fk", "fk"), parentStage = Some("P"), salts = salts))
-    def fold(evts: Seq[Evt]): Map[String, Int] =
-      evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-        .filter(_._2 != 0).toMap
+    def fold(evts: Seq[Evt]): Map[String, Int] = netRows(evts)
     val statsBuf = scala.collection.mutable.Buffer.empty[DeltaEngine.NodeStats]
     val salted = DeltaEngine.runTree(stages(8), logs, stats = Some(statsBuf)).collect().toSeq
     val unsalted = DeltaEngine.runTree(stages(1), logs).collect().toSeq
@@ -314,9 +318,7 @@ class DeltaEngineSpec extends AnyFunSuite {
     def stages(salts: Int) = Seq(
       Stage("P", NodeSpec("P", "pk", "pk", isRoot = true, setSemantics = true)),
       Stage("C", NodeSpec("C", "fk", "fk"), parentStage = Some("P"), salts = salts))
-    def fold(evts: Seq[Evt]): Map[String, Int] =
-      evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-        .filter(_._2 != 0).toMap
+    def fold(evts: Seq[Evt]): Map[String, Int] = netRows(evts)
     val salted = DeltaEngine.runTree(stages(11), logs).collect().toSeq
     val unsalted = DeltaEngine.runTree(stages(1), logs).collect().toSeq
     assert(fold(salted) == fold(unsalted))
@@ -352,9 +354,7 @@ class DeltaEngineSpec extends AnyFunSuite {
     val logs = Map(
       "P" -> s.createDataset(pEvts), "A" -> s.createDataset(aEvts),
       "B" -> s.createDataset(bEvts))
-    val got = DeltaEngine.runTree(stages, logs).collect().toSeq
-      .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-      .filter(_._2 != 0).toMap
+    val got = netRows(DeltaEngine.runTree(stages, logs).collect().toSeq)
     // oracle: survivors cross join per dim key, in canonical-row space
     val pAlive = Set(0, 2, 3)
     val aAlive = (0 until 12).filterNot(Set(3, 7)).map(i => (i % 4, i))
@@ -405,9 +405,7 @@ class DeltaEngineSpec extends AnyFunSuite {
     val logs = Map("P" -> s.createDataset(pE), "A" -> s.createDataset(aE),
       "F1" -> s.createDataset(f1E), "F2" -> s.createDataset(f2E),
       "B" -> s.createDataset(bE))
-    val got = DeltaEngine.runTree(stages, logs).collect().toSeq
-      .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-      .filter(_._2 != 0).toMap
+    val got = netRows(DeltaEngine.runTree(stages, logs).collect().toSeq)
     // oracle: nested survivors product in plain Scala
     val pAlive = Map("p0" -> Map("ppk" -> "p0", "pn" -> "x"))
     val aRows = (0 until 4).map(i => (s"p${i % 2}", s"a$i"))
@@ -467,9 +465,7 @@ class DeltaEngineSpec extends AnyFunSuite {
     val logs = Map("P1" -> s.createDataset(p1E), "P2" -> s.createDataset(p2E),
       "Y" -> s.createDataset(yE), "Z" -> s.createDataset(zE),
       "X" -> s.createDataset(xE))
-    val got = DeltaEngine.runTree(stages, logs).collect().toSeq
-      .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-      .filter(_._2 != 0).toMap
+    val got = netRows(DeltaEngine.runTree(stages, logs).collect().toSeq)
     // survivors product in plain Scala
     val p2Alive = Set("r0")
     val yAlive = Seq(("q0", 2), ("q1", 1), ("q1", 3))
@@ -517,9 +513,7 @@ class DeltaEngineSpec extends AnyFunSuite {
     }
     val logs = Map("P" -> s.createDataset(pEvts), "A" -> s.createDataset(aEvts),
       "B" -> s.createDataset(bEvts))
-    def fold(evts: Seq[Evt]): Map[String, Int] =
-      evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-        .filter(_._2 != 0).toMap
+    def fold(evts: Seq[Evt]): Map[String, Int] = netRows(evts)
     val salted = fold(DeltaEngine.runTree(stages(8), logs).collect().toSeq)
     val unsalted = fold(DeltaEngine.runTree(stages(1), logs).collect().toSeq)
     assert(salted == unsalted)
@@ -552,9 +546,7 @@ class DeltaEngineSpec extends AnyFunSuite {
     val edges = Seq(TreeCompiler.FkEdge("emp", "e_mgr", "mgr", "m_id"))
     val stages = TreeCompiler.stagesFor(edges, Seq("mgr", "emp"))
     val logs = Map("mgr" -> s.createDataset(mgrEvts), "emp" -> s.createDataset(empEvts))
-    val got = DeltaEngine.runTree(stages, logs).collect().toSeq
-      .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-      .filter(_._2 != 0).toMap
+    val got = netRows(DeltaEngine.runTree(stages, logs).collect().toSeq)
     // survivors: manager 2 deleted → its reports (4, 5) drop out; the
     // CEO's dangling mgr 0 buffers unmatched (correct inner-join
     // semantics for a root with no manager row)
@@ -652,9 +644,7 @@ class DeltaEngineSpec extends AnyFunSuite {
           rs.map(r => Evt(0, false, 1, 1, r(kc), r)) ++
             deleted(rel).toSeq.map(r => Evt(1, false, -1, 1, r(kc), r)))
       }
-      val got = DeltaEngine.runTree(stages, logs).collect().toSeq
-        .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-        .filter(_._2 != 0).toMap
+      val got = netRows(DeltaEngine.runTree(stages, logs).collect().toSeq)
       // oracle: survivors (deletes AND local predicates), then
       // iterative tree join
       val surv = fixed.map { case (rel, rs) =>
@@ -695,9 +685,7 @@ class DeltaEngineSpec extends AnyFunSuite {
       Evt(3, true, -1, 1, "k", Map("k" -> "1", "r" -> "u")),
       Evt(4, true, -1, 1, "k", Map("k" -> "1", "r" -> "ghost")))
     def net(evts: Seq[Evt]): Map[String, Int] =
-      DeltaEngine.processPairKeyBatch(spec)("k", evts.iterator).toSeq
-        .groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
-        .filter(_._2 != 0).toMap
+      netRows(DeltaEngine.processPairKeyBatch(spec)("k", evts.iterator).toSeq)
     val expected = net(base)
     // survivors: left {y:2}, right {v:1, ghost:-1} → y×v:2, y×ghost:-2
     assert(expected.values.toSeq.sorted == Seq(-2, 2))

@@ -59,6 +59,16 @@ class SqlCompilerSpec extends AnyFunSuite {
       .orderBy("n_name").collect().toSeq
     val want = s.sql(sqlText).orderBy("n_name").collect().toSeq
     assert(got == want)
+    // table ALIASES unwrap to their base relations (qualified or bare
+    // column references both resolve by bare name)
+    val aliased =
+      """SELECT n_name, COUNT(*) AS n_rows
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        | JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |WHERE r.r_name <> 'AFRICA'
+        |GROUP BY n_name""".stripMargin
+    assert(SqlCompiler.run(s, d, aliased).orderBy("n_name").collect().toSeq ==
+      s.sql(aliased).orderBy("n_name").collect().toSeq)
   }
 
   test("eventFilter over raw changelogs equals scan-filtered sources") {
@@ -394,6 +404,11 @@ class SqlCompilerSpec extends AnyFunSuite {
     // unaliased aggregate
     bad("""SELECT n_name, COUNT(*) FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin, "alias")
+    // aliased SELF-join reaches the dedicated recipe message, not a
+    // generic FROM-shape rejection
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation a JOIN nation b
+          |ON a.n_regionkey = b.n_nationkey GROUP BY n_name""".stripMargin,
+      "self-joins")
     // floating-point fold arguments drift under retraction → rejected
     bad("""SELECT n_name, AVG(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
