@@ -375,7 +375,9 @@ object DeltaEngine {
         }
       }
       val before = mine.getOrDefault(ev.row, 0)
-      val after = before + d
+      // addExact: accumulated multiplicity past 2^31 fails loud like
+      // the emission path's toIntExact, never wraps into ghost state
+      val after = Math.addExact(before, d)
       if (after == 0) mine.remove(ev.row) else mine.put(ev.row, after)
     }
 

@@ -860,7 +860,7 @@ object IncrementalQueries {
     // deletes on both sides of the product.
     sql("incremental_shared_dim",
       s"""SELECT n_name,
-         | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+         | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e2,
          | COUNT(*) AS n_pairs
          |FROM nation, customer, orders, supplier
          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
@@ -873,7 +873,7 @@ object IncrementalQueries {
     // the SAME oracle — bucketing the product must be answer-invariant.
     sql("incremental_shared_dim_salted",
       s"""SELECT n_name,
-         | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+         | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e2,
          | COUNT(*) AS n_pairs
          |FROM nation, customer, orders, supplier
          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
@@ -886,7 +886,7 @@ object IncrementalQueries {
     // state across batches) behind the same survivors oracle.
     sql("incremental_shared_dim_stream",
       s"""SELECT n_name,
-         | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+         | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e2,
          | COUNT(*) AS n_pairs
          |FROM nation, customer, orders, supplier
          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
@@ -898,7 +898,7 @@ object IncrementalQueries {
     // The SAME shared-dimension query compiled FROM SQL TEXT.
     sql("incremental_sql_shared_dim",
       s"""SELECT n_name,
-         | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+         | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e2,
          | COUNT(*) AS n_pairs
          |FROM nation, customer, orders, supplier
          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
@@ -927,7 +927,7 @@ object IncrementalQueries {
     // text.
     sql("incremental_sql_shared_parent",
       """SELECT n_name,
-        | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2,
         | COUNT(*) AS n_pairs
         |FROM region, nation, customer, supplier
         |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey

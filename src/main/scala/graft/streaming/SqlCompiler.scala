@@ -324,7 +324,9 @@ object SqlCompiler {
               }
             case e =>
               noAggCalls(e, "ORDER BY")
-              val frag = fragment(e)
+              // dequalify: group columns are BARE on the output frame,
+              // so `ORDER BY n.n_name` must not survive to runtime
+              val frag = dequalify(spark, fragment(e))
               (_: DataFrame) => expr(frag)
           }
           val flags = (so.direction == Ascending, so.nullOrdering == NullsFirst)
@@ -339,7 +341,7 @@ object SqlCompiler {
         (core, fs :+ ((df: DataFrame) => df.orderBy(keyOf.map(_(df)): _*)))
       case h: UnresolvedHaving =>
         noAggCalls(h.havingCondition, "HAVING")
-        val frag = fragment(h.havingCondition)
+        val frag = dequalify(spark, fragment(h.havingCondition))
         val (core, fs) = unwrapPresentation(spark, h.child)
         (core, fs :+ ((df: DataFrame) => df.filter(expr(frag))))
       case other => (other, Nil)
@@ -372,17 +374,24 @@ object SqlCompiler {
     // (unique across the FK graph — enforced below), so the alias is
     // presentation; this also routes aliased SELF-joins to the
     // dedicated error instead of a generic FROM-shape rejection.
-    def walkJoins(p: LogicalPlan): (Seq[String], Seq[Expression]) = p match {
+    def walkJoins(p: LogicalPlan): (Seq[String], Seq[Expression], Map[String, String]) = p match {
       case Join(l, r, Inner, cond, _) =>
-        val (lr, lc) = walkJoins(l); val (rr, rc) = walkJoins(r)
-        (lr ++ rr, lc ++ rc ++ cond.toSeq.flatMap(splitConjuncts))
+        val (lr, lc, la) = walkJoins(l); val (rr, rc, ra) = walkJoins(r)
+        (lr ++ rr, lc ++ rc ++ cond.toSeq.flatMap(splitConjuncts), la ++ ra)
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
-        walkJoins(a.child)
-      case u: UnresolvedRelation => (Seq(u.multipartIdentifier.last), Nil)
+        // bind the alias to the single relation underneath so qualified
+        // column references (s.c_custkey) can be VALIDATED, not just
+        // stripped — a wrong alias must fail like Spark analysis would
+        val (rs, cs, as) = walkJoins(a.child)
+        rs match {
+          case Seq(rel) => (rs, cs, as + (a.alias.toLowerCase -> rel))
+          case _ => (rs, cs, as)
+        }
+      case u: UnresolvedRelation => (Seq(u.multipartIdentifier.last), Nil, Map.empty)
       case other => fail(s"unsupported FROM shape: ${other.nodeName} " +
         "(only inner FK joins of base relations are incrementally maintainable here)")
     }
-    val (relations, onConjuncts) = walkJoins(joinPlan)
+    val (relations, onConjuncts, aliasOf) = walkJoins(joinPlan)
     if (relations.distinct.size != relations.size)
       fail(s"self-joins are not supported in SQL text: $relations — canonical " +
         "rows key columns by NAME, so one relation joined to itself would " +
@@ -399,9 +408,22 @@ object SqlCompiler {
         c -> rs.head._2
       }
     }
-    def ownerOf(a: UnresolvedAttribute): String =
-      owner.getOrElse(a.nameParts.last,
+    def ownerOf(a: UnresolvedAttribute): String = {
+      val rel = owner.getOrElse(a.nameParts.last,
         fail(s"column ${a.nameParts.mkString(".")} not found in ${relations.mkString(",")}"))
+      // a qualifier, when present, must name the column's owning
+      // relation or an alias OF that relation — a stale alias
+      // (s.c_custkey) silently attributed by bare name would accept
+      // queries Spark itself rejects at analysis
+      if (a.nameParts.size > 1) {
+        val q = a.nameParts(a.nameParts.size - 2).toLowerCase
+        val ok = q == rel.toLowerCase || aliasOf.get(q).contains(rel)
+        if (!ok) fail(s"qualifier '${a.nameParts.init.mkString(".")}' of " +
+          s"${a.nameParts.mkString(".")} does not match the column's relation " +
+          s"'$rel'${aliasOf.filter(_._2 == rel).keys.headOption.map(al => s" (aliased '$al')").getOrElse("")}")
+      }
+      rel
+    }
 
     // classify conjuncts: FK equi-joins vs single-relation predicates
     val conjuncts = filterConjuncts ++ onConjuncts

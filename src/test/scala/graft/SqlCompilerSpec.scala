@@ -274,6 +274,15 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("out of range"))
     // scalar functions in sort keys are fine (evaluate per output row)
     SqlCompiler.compile(s, d, q10Sql + "\nORDER BY upper(c_name) DESC")
+    // qualified references in presentation clauses dequalify (group
+    // columns are bare on the output frame) instead of surfacing as a
+    // runtime AnalysisException
+    val qualQ = fullQ10
+      .replace("HAVING n_rows >= 2", "HAVING nation.n_name IS NOT NULL AND n_rows >= 2")
+      .replace("ORDER BY revenue_e4 DESC, c_custkey",
+        "ORDER BY revenue_e4 DESC, customer.c_custkey")
+    assert(SqlCompiler.run(s, d, qualQ).collect().toSeq ==
+      s.sql(qualQ).collect().toSeq)
     // aggregate detection goes through the FunctionRegistry, so
     // aggregates OUTSIDE any fixed name list are also caught at
     // compile time instead of surfacing as a runtime AnalysisException
@@ -409,6 +418,17 @@ class SqlCompilerSpec extends AnyFunSuite {
     bad("""SELECT n_name, COUNT(*) AS n FROM nation a JOIN nation b
           |ON a.n_regionkey = b.n_nationkey GROUP BY n_name""".stripMargin,
       "self-joins")
+    // a WRONG table qualifier is rejected like Spark analysis would,
+    // not silently attributed by the column's bare name
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation n JOIN customer c
+          |ON c.c_nationkey = n.n_nationkey
+          |WHERE n.c_acctbal > 0 GROUP BY n_name""".stripMargin,
+      "does not match")
+    // …and so is a qualifier that names no relation or alias at all
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer
+          |WHERE c_nationkey = n_nationkey AND x.c_acctbal > 0
+          |GROUP BY n_name""".stripMargin,
+      "does not match")
     // floating-point fold arguments drift under retraction → rejected
     bad("""SELECT n_name, AVG(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
