@@ -313,14 +313,17 @@ object Curation {
       (s, d) =>
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
-        val n = docs.count()
+        // corpus size N rides as a broadcast one-row frame (the
+        // mixture_weights pattern) instead of an eager driver-side
+        // docs.count() — one job, not two, and the scan stays lazy
+        val nRow = docs.agg(count(lit(1)).cast("double").as("__n"))
         val tf = docs.select(col("doc_id"),
             explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val saliency = col("tf").cast("double") * n / col("df")
+        val saliency = col("tf").cast("double") * col("__n") / col("df")
         val w = Window.partitionBy(col("doc_id")).orderBy(saliency.desc, col("term"))
-        tf.join(df, "term")
+        tf.join(df, "term").crossJoin(broadcast(nRow))
           .select(col("doc_id"), col("term"), saliency.as("saliency"),
             row_number().over(w).as("rnk"))
           .filter(col("rnk") <= 3)
