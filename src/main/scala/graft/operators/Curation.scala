@@ -435,5 +435,48 @@ object Curation {
             }
           }
           .toDF()
+    },
+
+    // --- cross-document boilerplate signal ------------------------------
+    // The C4/RefinedWeb-style "how much of this document is corpus
+    // boilerplate" score: a word bigram is COMMON when it appears in
+    // ≥ 5% of all documents; each doc reports its distinct-bigram count,
+    // how many of those are common, and the ratio (the gate a real
+    // pipeline thresholds on). Scale shape: distinct bigrams per doc
+    // via the linear native kernel → explode → ONE hash-agg for corpus
+    // document frequencies → equi-join back on the bigram → per-doc
+    // counts. The 5%-of-N threshold rides a broadcast one-row frame, so
+    // nothing here depends on corpus size in a single task; the df
+    // aggregate's hot keys (very common bigrams) are just map-side
+    // combined counts.
+    sql("text_boilerplate_ngrams",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |           FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 2
+        |        THEN list_distinct(list_transform(generate_series(1, len(t)-1),
+        |             i -> t[i] || ' ' || t[i+1]))
+        |        ELSE [array_to_string(t, ' ')] END AS shingles FROM t),
+        |g AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |dfc AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        | CAST(COUNT(CASE WHEN df >= (SELECT n FROM n) * 0.05 THEN 1 END) AS BIGINT) AS n_common,
+        | CAST(COUNT(CASE WHEN df >= (SELECT n FROM n) * 0.05 THEN 1 END) AS DOUBLE) / COUNT(*)
+        |   AS common_ratio
+        |FROM g JOIN dfc USING (g) GROUP BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val grams = docs.select(col("doc_id"),
+          explode(graft.functions.WordShingles.word_shingles(
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)), 2)).as("g"))
+        val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+        val isCommon = col("df") >= col("__n") * 0.05
+        grams.join(dfc, "g").crossJoin(broadcast(nDocs))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(isCommon, lit(1))).as("n_common"))
+          .select(col("doc_id"), col("n_grams"), col("n_common"),
+            (col("n_common").cast("double") / col("n_grams")).as("common_ratio"))
     })
 }

@@ -437,6 +437,68 @@ object Relational {
       (s, d) => graft.streaming.StreamingAnalytics.tumblingAgg(Tables.events(s, d))
     },
 
+    // SLIDING windows (width 1 h, slide 30 min — each event lands in
+    // exactly 2 windows). The oracle mirrors Spark's epoch-aligned
+    // window starts by bucketing each event twice: a 1-hour window
+    // starting at w contains t iff w ∈ {bucket30(t), bucket30(t)−30min}.
+    // Same builder serves readStream (watermark bounds per-window
+    // state; Expand fan-out happens map-side, before the shuffle).
+    sql("events_sliding_window",
+      """SELECT ws AS window_start, event_type, COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+        | UNION ALL
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
+        | FROM events)
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) => graft.streaming.StreamingAnalytics.slidingAgg(Tables.events(s, d))
+    },
+
+    // GROUPING SETS — the explicit form of rollup/cube (one Expand +
+    // one aggregate pass; no re-scan per set).
+    sql("agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    },
+
+    // PIVOT — long-to-wide on a known value set (each pivot column is
+    // a conditional aggregate inside ONE pass; na.fill(0) matches
+    // SQL's COUNT-over-empty-set = 0 where a combination is absent).
+    sql("orders_pivot",
+      """SELECT o_orderpriority,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) {
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+    },
+
+    // JSON extraction (SURVEY §2 marks array/map/json functions ABSENT
+    // in the reference — completeness): typed path lookup from the
+    // events.props JSON column, with a missing path yielding NULL in
+    // both engines.
+    sql("events_json_extract",
+      """SELECT event_id, event_type,
+        | CAST(props->>'$.k' AS BIGINT) AS k,
+        | CAST(props->>'$.missing' AS BIGINT) AS miss
+        |FROM events""".stripMargin) {
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.missing").cast("long").as("miss"))
+    },
+
     // Sessionization: 30-minute-gap sessions via lag + running sum of
     // session-start markers — the standard scalable shape (two window
     // passes over the same user partitioning, ONE shuffle total).

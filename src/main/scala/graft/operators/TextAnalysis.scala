@@ -49,6 +49,34 @@ object TextAnalysis {
   private def sqlCountIn(words: Seq[String]): String =
     s"len(list_filter(regexp_extract_all(lower(text), '$tokenPattern'), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Winnowing fingerprints of `(doc_id, text)` rows (k-gram size
+    * [[WinnowK]], window [[WinnowW]]) — see the `text_winnowing` entry
+    * for the algorithm and packing convention. Exposed so callers (and
+    * the guarantee spec) can winnow any document frame. */
+  val WinnowK = 8
+  val WinnowW = 4
+  def winnow(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val packed = (conv(substring(
+        md5(to_binary(col("s").substr(col("pos"), lit(WinnowK)), lit("utf-8"))), 1, 11),
+        16, 10).cast("long") * lit(65536L) + pmod(col("pos"), lit(65536))).as("hp")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    docs
+      .select(col("doc_id"), norm.as("s"))
+      .filter(length(col("s")) >= WinnowK)
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - lit(WinnowK - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"), packed)
+      .select(col("doc_id"), col("pos"), min(col("hp")).over(win).as("mn"))
+      .filter(col("pos") >= WinnowW)
+      .select(col("doc_id"), col("mn")).distinct()
+      .select(col("doc_id"),
+        shiftright(col("mn"), 16).as("fp"),
+        col("mn").bitwiseAND(lit(65535L)).as("pos"))
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // --- token counting ------------------------------------------------
@@ -178,5 +206,38 @@ object TextAnalysis {
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         rolling_hash(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp64"))
+    },
+
+    // WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    // MOSS algorithm): hash every char 8-gram of the normalized text,
+    // slide a window of 4 consecutive hashes, keep each window's
+    // minimum — guarantees any shared substring of length ≥ 11 chars
+    // between two documents shares a fingerprint, at ~2/(w+1) of the
+    // k-gram density. Tie-break and selection are made deterministic
+    // by packing (hash, position) into one BIGINT (44-bit md5-prefix
+    // hash · 2^16 + pos): the window MIN then prefers the lowest hash
+    // and, among equals, the leftmost position — identical arithmetic
+    // in both engines, so fingerprints hash-match exactly.
+    //
+    // Scale shape: explode positions → codegen'd md5 + pack (linear in
+    // corpus chars, map-side) → ONE shuffle on doc_id for the ordered
+    // window pass (per-doc state is bounded by document length) →
+    // per-doc distinct. Position rides `% 65536` in the pack (documented
+    // wrap for >65k-char docs; the hash bits above keep minima sound).
+    sql("text_winnowing",
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |           FROM documents),
+        |f AS (SELECT doc_id, s FROM n WHERE length(s) >= 8),
+        |g AS (SELECT doc_id, unnest(generate_series(1, length(s) - 7)) AS pos, s FROM f),
+        |h AS (SELECT doc_id, pos,
+        |        ('0x' || substr(md5(substr(s, pos, 8)), 1, 11))::BIGINT * 65536 + pos % 65536 AS hp
+        |      FROM g),
+        |w AS (SELECT doc_id, pos,
+        |        MIN(hp) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+        |      FROM h),
+        |sel AS (SELECT DISTINCT doc_id, mn FROM w WHERE pos >= 4)
+        |SELECT doc_id, mn // 65536 AS fp, mn % 65536 AS pos FROM sel""".stripMargin) {
+      (s, d) => winnow(Tables.documents(s, d).select(col("doc_id"), col("text")))
     })
 }

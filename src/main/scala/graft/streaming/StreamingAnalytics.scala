@@ -34,6 +34,22 @@ object StreamingAnalytics {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** SLIDING event-time windows (width > slide ⇒ overlapping): each
+    * event contributes to width/slide windows — Spark expands the row
+    * per window BEFORE the aggregate (one `Expand` + one shuffle on
+    * (window, group), no self-join), which is the scalable shape: state
+    * per key is still one partial row per open window, evicted at the
+    * watermark. */
+  def slidingAgg(events: DataFrame, delay: String = "1 hour",
+                 width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 2))), 2).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Exact streaming dedup on a key set, with state bounded by the
     * watermark (built-in `dropDuplicatesWithinWatermark` — duplicates
     * arriving within `delay` of each other are guaranteed dropped,

@@ -65,4 +65,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     assert(ev.filter(col("ts") >= to_timestamp(lit("2024-01-01"))).count() > 0)
   }
+
+  test("sliding windows: every event lands in exactly width/slide windows") {
+    val nEvents = Tables.events(spark, sfTiny).count()
+    val windowed = SparkEntry.queries("events_sliding_window")(spark, sfTiny)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(windowed == 2 * nEvents) // 1 h width / 30 min slide = 2
+    // the overlap comes from ONE Expand before the aggregate, not a
+    // self-join/union re-scan
+    val plan = SparkEntry.queries("events_sliding_window")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(500))
+  }
+
+  test("grouping sets: per-set subtotals equal independent aggregations") {
+    val df = SparkEntry.queries("agg_grouping_sets")(spark, sfTiny)
+    val li = Tables.lineitem(spark, sfTiny)
+    // () set: one row with both keys null = the global aggregate
+    val global = df.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+    assert(global.count() == 1)
+    assert(global.collect()(0).getAs[Long]("n") == li.count())
+    // (l_linestatus) set: matches a direct groupBy
+    val bySt = df.filter(col("l_returnflag").isNull && col("l_linestatus").isNotNull)
+      .select("l_linestatus", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = li.groupBy("l_linestatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySt == want)
+  }
+
+  test("pivot columns partition the rows: F+O+P equals the group count") {
+    val piv = SparkEntry.queries("orders_pivot")(spark, sfTiny)
+    val sums = piv.agg(sum("F"), sum("O"), sum("P")).collect()(0)
+    val total = sums.getLong(0) + sums.getLong(1) + sums.getLong(2)
+    assert(total == Tables.orders(spark, sfTiny).count())
+  }
+
+  test("json extraction: k parses for every event, missing path is null") {
+    val df = SparkEntry.queries("events_json_extract")(spark, sfTiny)
+    assert(df.filter(col("k").isNull).count() == 0)
+    assert(df.filter(col("miss").isNotNull).count() == 0)
+  }
 }

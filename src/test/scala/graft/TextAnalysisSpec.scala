@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfTiny}
+
+  test("winnowing GUARANTEE: docs sharing a substring >= k+w-1 share a fingerprint") {
+    // The Schleimer/Wilkerson/Aiken theorem: any match of length at
+    // least k + w - 1 (= 11 here) is caught by at least one shared
+    // selected hash. Plant one 20-char substring inside different
+    // random contexts and assert the fingerprint sets intersect —
+    // across several random placements.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def junk(n: Int): String = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to 5).foreach { trial =>
+      val shared = junk(20)
+      val docs = Seq(
+        (1L, junk(rnd.nextInt(30)) + shared + junk(rnd.nextInt(30))),
+        (2L, junk(rnd.nextInt(30)) + shared + junk(rnd.nextInt(30))))
+        .toDF("doc_id", "text")
+      val fps = TextAnalysis.winnow(docs)
+        .select("doc_id", "fp").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      assert(fps(1L).intersect(fps(2L)).nonEmpty,
+        s"trial $trial: no shared fingerprint for shared substring '$shared'")
+    }
+  }
+
+  test("winnowing density is ~2/(w+1) of the k-gram count on the fixture") {
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+    val nGrams = docs
+      .select((length(trim(regexp_replace(lower(col("text")), "\\s+", " "))) -
+        lit(TextAnalysis.WinnowK - 1)).as("g"))
+      .filter(col("g") > 0).agg(sum("g")).collect()(0).getLong(0)
+    val nFps = TextAnalysis.winnow(docs).count()
+    val density = nFps.toDouble / nGrams
+    val expected = 2.0 / (TextAnalysis.WinnowW + 1)
+    assert(density > expected * 0.6 && density < expected * 1.4,
+      s"density $density vs theoretical $expected")
+  }
+
+  test("winnowing selects a subset of each document's own k-gram hashes") {
+    import spark.implicits._
+    val doc = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(doc).collect()
+    assert(fps.nonEmpty)
+    // every selected pos is a valid k-gram start of the normalized text
+    val norm = "the quick brown fox jumps over the lazy dog"
+    fps.foreach { r =>
+      val pos = r.getAs[Long]("pos")
+      assert(pos >= 1 && pos <= norm.length - TextAnalysis.WinnowK + 1)
+    }
+  }
+
+  test("boilerplate ngram scores are consistent per-document invariants") {
+    val df = SparkEntry.queries("text_boilerplate_ngrams")(spark, sfTiny)
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sfTiny).count())
+    rows.foreach { r =>
+      val (n, c, ratio) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_common"),
+        r.getAs[Double]("common_ratio"))
+      assert(n > 0 && c >= 0 && c <= n)
+      assert(math.abs(ratio - c.toDouble / n) < 1e-15)
+    }
+    // the fixture's small vocabulary makes many bigrams corpus-common —
+    // the signal must actually fire somewhere
+    assert(rows.exists(_.getAs[Long]("n_common") > 0))
+  }
+}
