@@ -837,6 +837,30 @@ object IncrementalQueries {
           "orders" -> (col("o_totalprice") > 400000)))
     },
 
+    // GROUP BY expressions compiled from text: a COMPUTED grouping key
+    // (calendar year) evaluates over the typed leaf deltas — grouping
+    // is no longer limited to stored columns. The oracle wraps the SUM
+    // in CAST(... AS BIGINT) (DuckDB SUM(BIGINT) returns HUGEINT);
+    // Spark's sum(BIGINT) is already BIGINT, so the compiled text keeps
+    // the bare SUM.
+    sql("incremental_sql_group_expr",
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_e2,
+        | COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 4 <> 0
+        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+          | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+          | COUNT(*) AS n_orders
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 4 === 0)))
+    },
+
     // BRANCHING tree (multi-parent lineitem: orders-chain AND part) —
     // the AJU capability beyond a chain. The oracle is the plain-SQL
     // survivors query over the five-way join with deletes excluded on

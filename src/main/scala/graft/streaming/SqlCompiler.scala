@@ -53,17 +53,27 @@ object SqlCompiler {
     * is the original SQL text of the argument ("" for count). */
   final case class AggSpec(kind: String, frag: String, alias: String)
 
+  /** One GROUP BY output: `frag` is the (dequalified) SQL text of the
+    * grouping expression — a bare column name for plain-column groups,
+    * a scalar expression (e.g. `year(o_orderdate)`) otherwise — and
+    * `alias` the output column name it carries (the SELECT alias when
+    * the query selects it, a synthetic internal name when it doesn't). */
+  final case class GroupSpec(frag: String, alias: String)
+
   final case class Compiled(
       path: Seq[String],
       stages: Seq[DeltaEngine.Stage],
       wheres: Map[String, String],
       needed: Map[String, Seq[String]],
-      groupCols: Seq[String],
+      groups: Seq[GroupSpec],
       aggs: Seq[AggSpec],
       outputCols: Seq[String],
       colType: Map[String, DataType],
       neededRaw: Map[String, Seq[String]],
       present: Seq[DataFrame => DataFrame] = Nil) {
+
+    /** Output column names of the grouping keys (spec/test surface). */
+    def groupCols: Seq[String] = groups.map(_.alias)
 
     /** Each relation's changelog routing key = the childKeyCol of its
       * FIRST stage (later stages of a multi-parent relation re-key
@@ -117,11 +127,16 @@ object SqlCompiler {
     def aggregate(leaf: DataFrame): DataFrame = {
       val spark = leaf.sparkSession
       val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
-      val dataCols = (groupCols ++ aggs.flatMap(a =>
-        if (a.frag.isEmpty) Nil else exprColumns(spark, a.frag))).distinct
+      val dataCols = (groups.flatMap(g => exprColumns(spark, g.frag)) ++
+        aggs.flatMap(a =>
+          if (a.frag.isEmpty) Nil else exprColumns(spark, a.frag))).distinct
       val typed = leaf.select(
         (col("tag") * col("mult")).cast(LongType).as("__sign") +:
           dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
+      // grouping keys: each GROUP BY fragment evaluates over the typed
+      // raw columns and carries its output alias — a plain column for
+      // bare groups, a computed scalar (year(o_orderdate), …) otherwise
+      def groupKeys: Seq[Column] = groups.map(g => expr(g.frag).as(g.alias))
       val (valueAggs, plainAggs) =
         aggs.partition(a => Set("count_distinct", "min", "max")(a.kind))
       val aggExprs = plainAggs.map { a =>
@@ -145,7 +160,7 @@ object SqlCompiler {
           case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
         }
       } :+ sum(col("__sign")).as("__net")
-      val main = typed.groupBy(groupCols.map(col): _*)
+      val main = typed.groupBy(groupKeys: _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
         .filter(col("__net") > 0)
       // COUNT(DISTINCT x) / MIN(x) / MAX(x) need NO extra engine
@@ -163,7 +178,7 @@ object SqlCompiler {
       // its own rollup row, as groupBy semantics treat NULL as a key).
       valueAggs.groupBy(_.frag).toSeq.sortBy(_._1).foldLeft(main) { case (df, (frag, as)) =>
         val perValue = typed
-          .groupBy((groupCols.map(col) :+ expr(frag).as("__dv")): _*)
+          .groupBy((groupKeys :+ expr(frag).as("__dv")): _*)
           .agg(sum(col("__sign")).as("__dn"))
           .filter(col("__dn") > 0 && col("__dv").isNotNull)
         val rollExprs = as.map { a =>
@@ -256,6 +271,32 @@ object SqlCompiler {
     }
   }
 
+  /** Is `f` an AGGREGATE function call? Detection goes through the
+    * session's FunctionRegistry — a fixed name list would let count_if
+    * / percentile / bool_and / UDAFs slip through to an obscure
+    * runtime AnalysisException instead of a loud compile error. */
+  private def isAggregateCall(spark: SparkSession, f: UnresolvedFunction): Boolean = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    import scala.util.control.NonFatal
+    val ident = FunctionIdentifier(f.nameParts.last,
+      if (f.nameParts.size > 1) Some(f.nameParts.init.mkString(".")) else None)
+    // group metadata covers every builtin (incl. count(*), whose
+    // star argument the constructor path below can't build)
+    val byInfo =
+      try spark.sessionState.catalog.lookupFunctionInfo(ident).getGroup == "agg_funcs"
+      catch { case NonFatal(_) => false }
+    // constructing the expression covers registered UDAFs, whose
+    // ExpressionInfo carries no group
+    byInfo || {
+      try spark.sessionState.catalog.lookupFunction(ident, f.arguments) match {
+        case _: AggregateExpression => true
+        case _: AggregateFunction => true
+        case _ => false
+      } catch { case NonFatal(_) => false }
+    }
+  }
+
   /** Peel HAVING / ORDER BY / LIMIT off the top of the parse tree —
     * they are PRESENTATION over the maintained aggregate view, not
     * part of the incremental fold, so each compiles to a
@@ -266,36 +307,9 @@ object SqlCompiler {
     * the compiler cannot re-derive an un-aliased fold). */
   private def unwrapPresentation(spark: SparkSession, p: LogicalPlan)
       : (LogicalPlan, Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]) = {
-    // reject AGGREGATE calls (they cannot be re-derived over the
-    // already-aggregated view); scalar functions are fine — they
-    // evaluate per output row. Detection goes through the session's
-    // FunctionRegistry — a fixed name list would let count_if /
-    // percentile / bool_and / UDAFs slip through to an obscure
-    // runtime AnalysisException instead of this loud compile error.
-    def isAggregateCall(f: UnresolvedFunction): Boolean = {
-      import org.apache.spark.sql.catalyst.FunctionIdentifier
-      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
-      import scala.util.control.NonFatal
-      val ident = FunctionIdentifier(f.nameParts.last,
-        if (f.nameParts.size > 1) Some(f.nameParts.init.mkString(".")) else None)
-      // group metadata covers every builtin (incl. count(*), whose
-      // star argument the constructor path below can't build)
-      val byInfo =
-        try spark.sessionState.catalog.lookupFunctionInfo(ident).getGroup == "agg_funcs"
-        catch { case NonFatal(_) => false }
-      // constructing the expression covers registered UDAFs, whose
-      // ExpressionInfo carries no group
-      byInfo || {
-        try spark.sessionState.catalog.lookupFunction(ident, f.arguments) match {
-          case _: AggregateExpression => true
-          case _: AggregateFunction => true
-          case _ => false
-        } catch { case NonFatal(_) => false }
-      }
-    }
     def noAggCalls(e: Expression, what: String): Unit =
       e.foreach {
-        case f: UnresolvedFunction if isAggregateCall(f) =>
+        case f: UnresolvedFunction if isAggregateCall(spark, f) =>
           fail(s"$what cannot contain aggregate calls: '${fragment(e)}' — " +
             "alias the aggregate in SELECT and use the alias")
         case _ =>
@@ -471,10 +485,24 @@ object SqlCompiler {
       }
     }.map { case (rel, cs) => rel -> cs.map(c => s"(${dequalify(spark, fragment(c))})").mkString(" AND ") }
 
-    // SELECT list → group columns (plain refs) + aliased aggregates
-    val groupCols = groupExprs.map {
-      case a: UnresolvedAttribute => a.nameParts.last
-      case other => fail(s"GROUP BY supports plain columns only, got '${fragment(other)}'")
+    // GROUP BY list → GroupSpecs: a plain column ref keeps its name; a
+    // scalar expression (year(o_orderdate), substr(...), …) becomes a
+    // COMPUTED grouping key — its output alias binds to the SELECT item
+    // with the same dequalified fragment (or stays internal when the
+    // query groups by it without selecting it)
+    val groupBuf = scala.collection.mutable.ArrayBuffer[GroupSpec]()
+    groupExprs.zipWithIndex.foreach {
+      case (a: UnresolvedAttribute, _) =>
+        ownerOf(a) // existence + qualifier validation
+        groupBuf += GroupSpec(a.nameParts.last, a.nameParts.last)
+      case (other, i) =>
+        other.foreach {
+          case f: UnresolvedFunction if isAggregateCall(spark, f) =>
+            fail(s"GROUP BY cannot contain aggregate calls: '${fragment(other)}'")
+          case a: UnresolvedAttribute => ownerOf(a): Unit
+          case _ =>
+        }
+        groupBuf += GroupSpec(dequalify(spark, fragment(other)), s"__group_$i")
     }
     def aggOf(e: Expression, alias: String): AggSpec = e match {
       case f: UnresolvedFunction =>
@@ -493,18 +521,34 @@ object SqlCompiler {
           case (name @ ("min" | "max"), Seq(arg)) => AggSpec(name, dequalify(spark, fragment(arg)), alias)
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
             "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
-            "MIN, MAX, AVG)")
+            "MIN, MAX, AVG; a non-aggregate SELECT expression must textually " +
+            "match a GROUP BY expression)")
         }
       case other => fail(s"expected an aggregate function under alias '$alias', " +
-        s"got '${fragment(other)}'")
+        s"got '${fragment(other)}' (a non-aggregate SELECT expression must " +
+        "textually match a GROUP BY expression)")
     }
     val (aggs, outputCols) = {
       val items = selectExprs.map {
         case a: UnresolvedAttribute =>
           val n = a.nameParts.last
-          if (!groupCols.contains(n)) fail(s"non-aggregated column $n not in GROUP BY")
+          ownerOf(a)
+          if (!groupBuf.exists(_.frag == n)) fail(s"non-aggregated column $n not in GROUP BY")
           (None, n)
-        case Alias(child, name) => (Some(aggOf(child, name)), name)
+        case Alias(child, name) =>
+          // a SELECT expression whose dequalified fragment matches a
+          // GROUP BY expression is that grouping key's output column —
+          // this also covers renaming a plain group column
+          // (n_name AS nation)
+          val groupIdx = child match {
+            case f: UnresolvedFunction if isAggregateCall(spark, f) => -1
+            case c => scala.util.Try(dequalify(spark, fragment(c))).toOption
+              .map(f => groupBuf.indexWhere(_.frag == f)).getOrElse(-1)
+          }
+          if (groupIdx >= 0) {
+            groupBuf(groupIdx) = groupBuf(groupIdx).copy(alias = name)
+            (None, name)
+          } else (Some(aggOf(child, name)), name)
         case UnresolvedAlias(child, _) =>
           fail(s"alias every aggregate ('${fragment(child)}' has no AS name; the " +
             "driver's oracle compare matches columns by name)")
@@ -512,9 +556,10 @@ object SqlCompiler {
       }
       (items.flatMap(_._1), items.map(_._2))
     }
+    val groups = groupBuf.toSeq
     if (aggs.isEmpty) fail("at least one aggregate is required " +
       "(SUM, COUNT(*), COUNT(DISTINCT x), MIN, MAX, AVG)")
-    if (groupCols.isEmpty &&
+    if (groups.isEmpty &&
         aggs.exists(a => Set("count_distinct", "min", "max")(a.kind)))
       fail("COUNT(DISTINCT x)/MIN/MAX need at least one GROUP BY column here " +
         "(the per-value rollup joins back on the group keys)")
@@ -549,9 +594,9 @@ object SqlCompiler {
       }
     }
 
-    val referenced: Seq[String] = groupCols ++ aggs.flatMap(a =>
-      if (a.frag.isEmpty) Nil
-      else spark.sessionState.sqlParser.parseExpression(a.frag).collect {
+    val referenced: Seq[String] = (groups.map(_.frag) ++
+      aggs.filter(_.frag.nonEmpty).map(_.frag)).flatMap(frag =>
+      spark.sessionState.sqlParser.parseExpression(frag).collect {
         case a2: UnresolvedAttribute => a2.nameParts.last
       })
     val needed: Map[String, Seq[String]] = path.map { rel =>
@@ -569,7 +614,7 @@ object SqlCompiler {
       rel -> (cols ++ predCols.getOrElse(rel, Nil)).distinct
     }
 
-    Compiled(path, stages, wheres, needed, groupCols, aggs, outputCols, colType,
+    Compiled(path, stages, wheres, needed, groups, aggs, outputCols, colType,
       neededRaw, present)
   }
 

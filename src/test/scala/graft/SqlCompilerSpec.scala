@@ -296,6 +296,75 @@ class SqlCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY expressions compile as computed keys and survive deletes") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // a computed grouping key (year + quarter), with a plain column
+    // renamed through SELECT — both beyond plain-column GROUP BY
+    val sqlText =
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | COUNT(*) AS n_orders,
+        | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT),
+        | CAST(quarter(o_orderdate) AS BIGINT)""".stripMargin
+    val c = SqlCompiler.compile(s, d, sqlText)
+    assert(c.groupCols == Seq("nation", "yr", "qtr"))
+    // insert-only equals plain Spark SQL
+    val got = SqlCompiler.run(s, d, sqlText).orderBy("nation", "yr", "qtr").collect().toSeq
+    val want = s.sql(sqlText).orderBy("nation", "yr", "qtr").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // with deletes: equals the survivors query
+    val del = Map("orders" -> (col("o_orderkey") % 3 === 0))
+    val gotDel = SqlCompiler.run(s, d, sqlText, deletes = del)
+      .orderBy("nation", "yr", "qtr").collect().toSeq
+    val wantDel = s.sql(sqlText.replace("GROUP BY",
+        "AND o_orderkey % 3 <> 0 GROUP BY"))
+      .orderBy("nation", "yr", "qtr").collect().toSeq
+    assert(gotDel == wantDel && gotDel.nonEmpty && gotDel != got)
+    // grouping by an expression WITHOUT selecting it still works (the
+    // key stays internal) — here output collapses to per-nation rows
+    // per (hidden) year
+    val hidden =
+      """SELECT n_name, COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin
+    assert(SqlCompiler.run(s, d, hidden).collect().toSeq.sortBy(_.toString) ==
+      s.sql(hidden).collect().toSeq.sortBy(_.toString))
+    // MIN/MAX rollups join back on computed keys too
+    val mm =
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | MAX(o_totalprice) AS hi, COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
+    val gotMm = SqlCompiler.run(s, d, mm, deletes = Map(
+        "orders" -> (col("o_totalprice") > 400000)))
+      .orderBy("n_name", "yr").collect().toSeq
+    val wantMm = s.sql(mm.replace("GROUP BY", "AND o_totalprice <= 400000 GROUP BY"))
+      .orderBy("n_name", "yr").collect().toSeq
+    assert(gotMm == wantMm && gotMm.nonEmpty)
+    // aggregate calls inside GROUP BY fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      SqlCompiler.compile(s, d,
+        """SELECT n_name, COUNT(*) AS n FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name, sum(c_acctbal)""".stripMargin)
+    }
+    assert(ex.getMessage.contains("GROUP BY cannot contain aggregate calls"))
+    // a SELECT expression matching no GROUP BY expression fails loudly
+    val ex2 = intercept[IllegalArgumentException] {
+      SqlCompiler.compile(s, d,
+        """SELECT n_name, year(o_orderdate) AS yr, COUNT(*) AS n
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY n_name""".stripMargin)
+    }
+    assert(ex2.getMessage.contains("match a GROUP BY expression"), ex2.getMessage)
+  }
+
   test("COUNT(DISTINCT x) nets per (group, value) and survives deletes") {
     val sqlText =
       """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
