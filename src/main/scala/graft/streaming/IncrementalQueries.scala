@@ -758,7 +758,8 @@ object IncrementalQueries {
     // compiler derives it with a per-value rollup joined back on the
     // group keys.
     sql("incremental_sql_count_distinct",
-      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
+      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio,
+        | CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_cust, COUNT(*) AS n_rows
         |FROM region, nation, customer, orders
         |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
         | AND o_custkey = c_custkey
@@ -766,7 +767,8 @@ object IncrementalQueries {
         | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
         |GROUP BY n_name""".stripMargin) {
       (s, dir) => SqlCompiler.run(s, dir,
-        """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
+        """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio,
+          | SUM(DISTINCT o_custkey) AS sum_cust, COUNT(*) AS n_rows
           |FROM region, nation, customer, orders
           |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
           | AND o_custkey = c_custkey

@@ -138,7 +138,7 @@ object SqlCompiler {
       // bare groups, a computed scalar (year(o_orderdate), …) otherwise
       def groupKeys: Seq[Column] = groups.map(g => expr(g.frag).as(g.alias))
       val (valueAggs, plainAggs) =
-        aggs.partition(a => Set("count_distinct", "min", "max")(a.kind))
+        aggs.partition(a => Set("count_distinct", "sum_distinct", "min", "max")(a.kind))
       val aggExprs = plainAggs.map { a =>
         a.kind match {
           case "count" => sum(col("__sign")).cast(LongType).as(a.alias)
@@ -184,6 +184,7 @@ object SqlCompiler {
         val rollExprs = as.map { a =>
           a.kind match {
             case "count_distinct" => count(lit(1)).cast(LongType).as(a.alias)
+            case "sum_distinct" => sum(col("__dv")).as(a.alias)
             case "min" => min(col("__dv")).as(a.alias)
             case _ => max(col("__dv")).as(a.alias)
           }
@@ -516,6 +517,11 @@ object SqlCompiler {
           case ("count", Seq(arg)) if f.isDistinct =>
             AggSpec("count_distinct", dequalify(spark, fragment(arg)), alias)
           case ("count", args) if args.forall(_.foldable) => AggSpec("count", "", alias)
+          case ("sum", Seq(arg)) if f.isDistinct =>
+            // SUM(DISTINCT x) derives from the same per-(group, value)
+            // netting rollup as COUNT(DISTINCT): sum the values whose
+            // net count is positive
+            AggSpec("sum_distinct", dequalify(spark, fragment(arg)), alias)
           case ("sum", Seq(arg)) if !f.isDistinct => AggSpec("sum", dequalify(spark, fragment(arg)), alias)
           case ("avg", Seq(arg)) if !f.isDistinct => AggSpec("avg", dequalify(spark, fragment(arg)), alias)
           case (name @ ("min" | "max"), Seq(arg)) => AggSpec(name, dequalify(spark, fragment(arg)), alias)
@@ -560,9 +566,9 @@ object SqlCompiler {
     if (aggs.isEmpty) fail("at least one aggregate is required " +
       "(SUM, COUNT(*), COUNT(DISTINCT x), MIN, MAX, AVG)")
     if (groups.isEmpty &&
-        aggs.exists(a => Set("count_distinct", "min", "max")(a.kind)))
-      fail("COUNT(DISTINCT x)/MIN/MAX need at least one GROUP BY column here " +
-        "(the per-value rollup joins back on the group keys)")
+        aggs.exists(a => Set("count_distinct", "sum_distinct", "min", "max")(a.kind)))
+      fail("COUNT(DISTINCT x)/SUM(DISTINCT x)/MIN/MAX need at least one GROUP BY " +
+        "column here (the per-value rollup joins back on the group keys)")
 
     // per-relation columns that must travel in canonical rows:
     // referenced by GROUP BY / SUM args, plus every key column any of
@@ -582,7 +588,7 @@ object SqlCompiler {
         org.apache.spark.sql.types.StructField(n, t) })
       val probe = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
-      aggs.filter(a => a.kind == "sum" || a.kind == "avg").foreach { a =>
+      aggs.filter(a => Set("sum", "avg", "sum_distinct")(a.kind)).foreach { a =>
         val t = probe.select(expr(a.frag)).schema.head.dataType
         if (t == org.apache.spark.sql.types.DoubleType ||
             t == org.apache.spark.sql.types.FloatType)

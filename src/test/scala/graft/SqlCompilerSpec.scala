@@ -365,21 +365,24 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("match a GROUP BY expression"), ex2.getMessage)
   }
 
-  test("COUNT(DISTINCT x) nets per (group, value) and survives deletes") {
+  test("COUNT(DISTINCT x) / SUM(DISTINCT x) net per (group, value) and survive deletes") {
     val sqlText =
-      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
+      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio,
+        | SUM(DISTINCT o_custkey) AS sum_cust, COUNT(*) AS n_rows
         |FROM nation, customer, orders
         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
         |GROUP BY n_name""".stripMargin
     // deletes remove ALL orders of one priority for some customers —
-    // the distinct count must drop only where the last value vanished
+    // the distinct count must drop only where the last value vanished,
+    // and a custkey leaves the distinct sum only when its last order does
     val got = SqlCompiler.run(s, d, sqlText,
         deletes = Map("orders" -> (col("o_orderpriority") === "1-URGENT")))
       .orderBy("n_name").collect().toSeq
     Seq("nation", "customer", "orders").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
     val want = s.sql(
-      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows
+      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio,
+        | SUM(DISTINCT o_custkey) AS sum_cust, COUNT(*) AS n_rows
         |FROM nation, customer, orders
         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
         | AND o_orderpriority <> '1-URGENT'
