@@ -40,6 +40,9 @@ object GraftFunctions {
       { case Seq(a) => VecNormSq(a) }),
     ("word_ngrams", "word_ngrams(tokens, n) - all word n-grams WITH duplicates",
       { case Seq(c, n) => WordNgrams(c, intLit(n, "word_ngrams")) }),
+    ("rolling_kgram_hashes",
+      "rolling_kgram_hashes(str, k) - all k-gram polynomial hashes (code points) in one pass",
+      { case Seq(c, n) => RollingKgramHashes(c, intLit(n, "rolling_kgram_hashes")) }),
     ("simhash_agg", "simhash_agg(md5hex) - aggregate: 64-bit SimHash of a group's md5 hex values",
       { case Seq(c) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(

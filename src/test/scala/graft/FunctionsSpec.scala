@@ -32,6 +32,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(distinctHashes == n)
   }
 
+  test("rolling_kgram_hashes matches a direct per-window reference (incl. non-ASCII)") {
+    import graft.functions.RollingKgramHashes
+    // reference: hash each k-window of code points independently (no
+    // rolling update) — catches any subtract-multiply drift in the
+    // rolling recurrence, on ASCII, CJK, emoji (surrogate pairs), and
+    // boundary lengths around k
+    def ref(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < k) Seq.empty
+      else (0 to cps.length - k).map { i =>
+        var h = 0L
+        (0 until k).foreach(j => h = h * RollingKgramHashes.Prime + cps(i + j))
+        h
+      }
+    }
+    val inputs = Seq("", "abcdefg", "abcdefgh", "the quick brown fox",
+      "héllo wörld ünïcödé", "汉字漢字測試文本字符串", "a😀b😀c😀d😀e😀f😀", "x" * 5000)
+    for (k <- Seq(1, 3, 8)) {
+      val got = inputs.toDF("s")
+        .select(RollingKgramHashes.rolling_kgram_hashes(col("s"), k).as("h"))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      assert(got.toSeq == inputs.map(ref(_, k)), s"k=$k")
+    }
+  }
+
+  test("rolling_kgram_hashes is null-safe and empty below k") {
+    import graft.functions.RollingKgramHashes
+    val got = Seq(Option("abc"), None).toDF("s")
+      .select(RollingKgramHashes.rolling_kgram_hashes(col("s"), 8).as("h"))
+      .collect()
+    assert(!got(0).isNullAt(0) && got(0).getSeq[Long](0).isEmpty)
+    assert(got(1).isNullAt(0))
+  }
+
   test("word_shingles equals the composed HOF formulation") {
     import graft.functions.WordShingles.word_shingles
     val docs = Seq(

@@ -50,6 +50,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sliding windows overlap: a streamed event finalizes into BOTH its windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    val src = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = src.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val agg = graft.streaming.StreamingAnalytics.slidingAgg(events, delay = "10 minutes")
+    val query = agg.writeStream
+      .format("memory").queryName("slide_windows").outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // an event at 10:40 belongs to the 1-hour windows starting 10:00
+      // and 10:30 (slide 30 min)
+      src.addData((1L, 1L, t("2026-01-01 10:40:00"), "click", 2.0))
+      // advance event time far enough that both windows close
+      src.addData((2L, 2L, t("2026-01-01 12:30:00"), "click", 5.0))
+      query.processAllAvailable()
+      src.addData((3L, 2L, t("2026-01-01 14:30:00"), "click", 7.0))
+      query.processAllAvailable()
+      val wins = spark.table("slide_windows").collect().toSeq
+        .filter(r => r.getString(1) == "click" && r.getLong(2) > 0 &&
+          (r.getTimestamp(0) == t("2026-01-01 10:00:00") ||
+           r.getTimestamp(0) == t("2026-01-01 10:30:00")))
+      assert(wins.length == 2, s"expected both overlapping windows closed: $wins")
+      assert(wins.forall(r => r.getLong(2) == 1 && r.getDouble(3) == 2.0))
+    } finally query.stop()
+  }
+
   test("watermarked tumbling windows finalize in append mode and drop late data") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
