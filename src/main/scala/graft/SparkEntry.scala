@@ -44,7 +44,9 @@ object SparkEntry {
       // round 3: the branching (multi-parent) incremental tree
       "incremental_part_revenue",
       // round 4: the shared-dimension (many-to-many pair) tree
-      "incremental_shared_dim")
+      "incremental_shared_dim",
+      // round 5: winnowing fingerprints on the rolling k-gram kernel
+      "text_winnowing")
     val have = queries.keySet
     preferred.filter(have)
   }
