@@ -67,13 +67,16 @@ object SqlCompiler {
       needed: Map[String, Seq[String]],
       groups: Seq[GroupSpec],
       aggs: Seq[AggSpec],
-      outputCols: Seq[String],
+      outputSel: Seq[(String, String)],
       colType: Map[String, DataType],
       neededRaw: Map[String, Seq[String]],
       present: Seq[DataFrame => DataFrame] = Nil) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
+
+    /** Output column names in SELECT order. */
+    def outputCols: Seq[String] = outputSel.map(_._2)
 
     /** Each relation's changelog routing key = the childKeyCol of its
       * FIRST stage (later stages of a multi-parent relation re-key
@@ -197,7 +200,13 @@ object SqlCompiler {
           .drop(groupCols.map(c => s"__g_$c"): _*)
         as.filter(_.kind == "count_distinct").foldLeft(joined)((j, a) =>
           j.withColumn(a.alias, coalesce(col(a.alias), lit(0L))))
-      }.select(outputCols.map(col): _*)
+      }
+        // each output item selects FROM its source column (the group
+        // key's canonical alias or the aggregate alias) — a SELECT
+        // rename (n_name AS nation) maps here instead of renaming the
+        // key itself, so other references to the original name keep
+        // resolving
+        .select(outputSel.map { case (src, name) => col(src).as(name) }: _*)
         // HAVING / ORDER BY / LIMIT, in SQL order, over the view
         .transform(df => present.foldLeft(df)((d, f) => f(d)))
     }
@@ -307,7 +316,8 @@ object SqlCompiler {
     * inside them fail loudly (alias the aggregate in SELECT instead —
     * the compiler cannot re-derive an un-aliased fold). */
   private def unwrapPresentation(spark: SparkSession, p: LogicalPlan)
-      : (LogicalPlan, Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]) = {
+      : (LogicalPlan, Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame],
+         Seq[Expression]) = {
     def noAggCalls(e: Expression, what: String): Unit =
       e.foreach {
         case f: UnresolvedFunction if isAggregateCall(spark, f) =>
@@ -322,8 +332,8 @@ object SqlCompiler {
           case other => fail(s"LIMIT must be an integer literal, got '${fragment(other)}'")
         }
         val inner = gl.child match { case ll: LocalLimit => ll.child; case c => c }
-        val (core, fs) = unwrapPresentation(spark, inner)
-        (core, fs :+ ((df: DataFrame) => df.limit(n)))
+        val (core, fs, es) = unwrapPresentation(spark, inner)
+        (core, fs :+ ((df: DataFrame) => df.limit(n)), es)
       case srt: Sort =>
         // keys resolve lazily against the output frame so ORDER BY
         // ordinals (the parser's UnresolvedOrdinal) map to the n-th
@@ -352,14 +362,16 @@ object SqlCompiler {
             case (false, false) => base(df).desc_nulls_last
           }
         }
-        val (core, fs) = unwrapPresentation(spark, srt.child)
-        (core, fs :+ ((df: DataFrame) => df.orderBy(keyOf.map(_(df)): _*)))
+        val (core, fs, es) = unwrapPresentation(spark, srt.child)
+        (core, fs :+ ((df: DataFrame) => df.orderBy(keyOf.map(_(df)): _*)),
+          es ++ srt.order.map(_.child).filterNot(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal]))
       case h: UnresolvedHaving =>
         noAggCalls(h.havingCondition, "HAVING")
         val frag = dequalify(spark, fragment(h.havingCondition))
-        val (core, fs) = unwrapPresentation(spark, h.child)
-        (core, fs :+ ((df: DataFrame) => df.filter(expr(frag))))
-      case other => (other, Nil)
+        val (core, fs, es) = unwrapPresentation(spark, h.child)
+        (core, fs :+ ((df: DataFrame) => df.filter(expr(frag))), es :+ h.havingCondition)
+      case other => (other, Nil, Nil)
     }
   }
 
@@ -369,7 +381,7 @@ object SqlCompiler {
   def compile(spark: SparkSession, dir: String, sqlText: String,
               explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): Compiled = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
-    val (corePlan, present) = unwrapPresentation(spark, plan)
+    val (corePlan, present, presExprs) = unwrapPresentation(spark, plan)
 
     val (groupExprs, selectExprs, belowAgg) = corePlan match {
       case Aggregate(g, a, child, _) => (g, a, child)
@@ -389,24 +401,35 @@ object SqlCompiler {
     // (unique across the FK graph — enforced below), so the alias is
     // presentation; this also routes aliased SELF-joins to the
     // dedicated error instead of a generic FROM-shape rejection.
-    def walkJoins(p: LogicalPlan): (Seq[String], Seq[Expression], Map[String, String]) = p match {
+    // alias → relations it covers, so qualified column references
+    // (s.c_custkey) can be VALIDATED, not just stripped — a wrong alias
+    // must fail like Spark analysis would. A single-relation alias
+    // covers just its relation (and HIDES the base name, per SQL
+    // scoping); an alias over a parenthesized join subtree covers every
+    // relation underneath it.
+    def walkJoins(p: LogicalPlan): (Seq[String], Seq[Expression], Map[String, Seq[String]]) = p match {
       case Join(l, r, Inner, cond, _) =>
         val (lr, lc, la) = walkJoins(l); val (rr, rc, ra) = walkJoins(r)
         (lr ++ rr, lc ++ rc ++ cond.toSeq.flatMap(splitConjuncts), la ++ ra)
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
-        // bind the alias to the single relation underneath so qualified
-        // column references (s.c_custkey) can be VALIDATED, not just
-        // stripped — a wrong alias must fail like Spark analysis would
         val (rs, cs, as) = walkJoins(a.child)
-        rs match {
-          case Seq(rel) => (rs, cs, as + (a.alias.toLowerCase -> rel))
-          case _ => (rs, cs, as)
-        }
+        (rs, cs, as + (a.alias.toLowerCase -> rs))
       case u: UnresolvedRelation => (Seq(u.multipartIdentifier.last), Nil, Map.empty)
       case other => fail(s"unsupported FROM shape: ${other.nodeName} " +
         "(only inner FK joins of base relations are incrementally maintainable here)")
     }
     val (relations, onConjuncts, aliasOf) = walkJoins(joinPlan)
+    // relations whose base name an alias hides (nation nn → 'nation' is
+    // no longer a valid qualifier, matching Spark's scoping)
+    val hiddenRels: Set[String] = aliasOf.collect {
+      case (al, Seq(rel)) if al != rel.toLowerCase => rel
+    }.toSet
+    // an alias that shadows a DIFFERENT relation's base name would make
+    // qualifier resolution ambiguous (Spark errors there too)
+    aliasOf.foreach { case (al, covered) =>
+      relations.find(r => r.toLowerCase == al && !covered.contains(r)).foreach(r =>
+        fail(s"alias '$al' shadows relation '$r' — rename the alias"))
+    }
     if (relations.distinct.size != relations.size)
       fail(s"self-joins are not supported in SQL text: $relations — canonical " +
         "rows key columns by NAME, so one relation joined to itself would " +
@@ -432,13 +455,21 @@ object SqlCompiler {
       // queries Spark itself rejects at analysis
       if (a.nameParts.size > 1) {
         val q = a.nameParts(a.nameParts.size - 2).toLowerCase
-        val ok = q == rel.toLowerCase || aliasOf.get(q).contains(rel)
+        val ok = (q == rel.toLowerCase && !hiddenRels(rel)) ||
+          aliasOf.get(q).exists(_.contains(rel))
         if (!ok) fail(s"qualifier '${a.nameParts.init.mkString(".")}' of " +
           s"${a.nameParts.mkString(".")} does not match the column's relation " +
-          s"'$rel'${aliasOf.filter(_._2 == rel).keys.headOption.map(al => s" (aliased '$al')").getOrElse("")}")
+          s"'$rel'${aliasOf.filter(_._2.contains(rel)).keys.headOption.map(al => s" (aliased '$al')").getOrElse("")}")
       }
       rel
     }
+    // qualifiers in HAVING / ORDER BY validate against the same scope
+    // (bare references there may be SELECT aliases, so only qualified
+    // ones are checked)
+    presExprs.foreach(_.foreach {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 => ownerOf(a): Unit
+      case _ =>
+    })
 
     // classify conjuncts: FK equi-joins vs single-relation predicates
     val conjuncts = filterConjuncts ++ onConjuncts
@@ -534,14 +565,20 @@ object SqlCompiler {
         s"got '${fragment(other)}' (a non-aggregate SELECT expression must " +
         "textually match a GROUP BY expression)")
     }
-    val (aggs, outputCols) = {
-      val items = selectExprs.map {
+    val (aggs, outputSel) = {
+      val items: Seq[(Option[AggSpec], (String, String))] = selectExprs.map {
         case a: UnresolvedAttribute =>
           val n = a.nameParts.last
           ownerOf(a)
           if (!groupBuf.exists(_.frag == n)) fail(s"non-aggregated column $n not in GROUP BY")
-          (None, n)
+          (None, (n, n))
         case Alias(child, name) =>
+          // every column the item references must resolve, qualifiers
+          // included — aggregate arguments and group expressions alike
+          child.foreach {
+            case a2: UnresolvedAttribute => ownerOf(a2): Unit
+            case _ =>
+          }
           // a SELECT expression whose dequalified fragment matches a
           // GROUP BY expression is that grouping key's output column —
           // this also covers renaming a plain group column
@@ -552,9 +589,18 @@ object SqlCompiler {
               .map(f => groupBuf.indexWhere(_.frag == f)).getOrElse(-1)
           }
           if (groupIdx >= 0) {
-            groupBuf(groupIdx) = groupBuf(groupIdx).copy(alias = name)
-            (None, name)
-          } else (Some(aggOf(child, name)), name)
+            val g = groupBuf(groupIdx)
+            if (g.alias.startsWith("__group_")) {
+              // first SELECT binding of a computed key names it
+              groupBuf(groupIdx) = g.copy(alias = name)
+              (None, (name, name))
+            } else
+              // a plain-column rename (n_name AS nation) or a second
+              // binding of the same key: the key keeps its canonical
+              // alias and the rename happens in the OUTPUT selection,
+              // so other references to the original name keep resolving
+              (None, (g.alias, name))
+          } else (Some(aggOf(child, name)), (name, name))
         case UnresolvedAlias(child, _) =>
           fail(s"alias every aggregate ('${fragment(child)}' has no AS name; the " +
             "driver's oracle compare matches columns by name)")
@@ -620,7 +666,7 @@ object SqlCompiler {
       rel -> (cols ++ predCols.getOrElse(rel, Nil)).distinct
     }
 
-    Compiled(path, stages, wheres, needed, groups, aggs, outputCols, colType,
+    Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
       neededRaw, present)
   }
 

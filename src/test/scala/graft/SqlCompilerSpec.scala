@@ -69,6 +69,24 @@ class SqlCompilerSpec extends AnyFunSuite {
         |GROUP BY n_name""".stripMargin
     assert(SqlCompiler.run(s, d, aliased).orderBy("n_name").collect().toSeq ==
       s.sql(aliased).orderBy("n_name").collect().toSeq)
+    // an alias over a PARENTHESIZED JOIN subtree qualifies every column
+    // underneath it (Spark's grammar allows it; compiles here too)
+    val subtree =
+      """SELECT n_name, COUNT(*) AS n_rows
+        |FROM (nation JOIN customer ON c_nationkey = n_nationkey) j
+        |WHERE j.c_acctbal > 0
+        |GROUP BY n_name""".stripMargin
+    assert(SqlCompiler.run(s, d, subtree).orderBy("n_name").collect().toSeq ==
+      s.sql(subtree).orderBy("n_name").collect().toSeq)
+    // renaming a plain group column does NOT clobber the key: the same
+    // column stays referenceable under its original name
+    val renamed =
+      """SELECT n_name, n_name AS nation, COUNT(*) AS n_rows
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin
+    assert(SqlCompiler.run(s, d, renamed).orderBy("n_name").collect().toSeq ==
+      s.sql(renamed).orderBy("n_name").collect().toSeq)
   }
 
   test("eventFilter over raw changelogs equals scan-filtered sources") {
@@ -311,7 +329,10 @@ class SqlCompilerSpec extends AnyFunSuite {
         |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT),
         | CAST(quarter(o_orderdate) AS BIGINT)""".stripMargin
     val c = SqlCompiler.compile(s, d, sqlText)
-    assert(c.groupCols == Seq("nation", "yr", "qtr"))
+    // the plain column keeps its canonical key name (the rename lives
+    // in the OUTPUT selection); computed keys bind their SELECT aliases
+    assert(c.groupCols == Seq("n_name", "yr", "qtr"))
+    assert(c.outputCols == Seq("nation", "yr", "qtr", "n_orders", "price_e2"))
     // insert-only equals plain Spark SQL
     val got = SqlCompiler.run(s, d, sqlText).orderBy("nation", "yr", "qtr").collect().toSeq
     val want = s.sql(sqlText).orderBy("nation", "yr", "qtr").collect().toSeq
@@ -501,6 +522,31 @@ class SqlCompilerSpec extends AnyFunSuite {
           |WHERE c_nationkey = n_nationkey AND x.c_acctbal > 0
           |GROUP BY n_name""".stripMargin,
       "does not match")
+    // …including inside AGGREGATE ARGUMENTS (nation has no o_totalprice)
+    bad("""SELECT n_name, SUM(nation.o_orderkey) AS s, COUNT(*) AS n
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY n_name""".stripMargin,
+      "does not match")
+    // …and in HAVING / ORDER BY presentation clauses
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name
+          |HAVING x.n_name IS NOT NULL""".stripMargin,
+      "does not match")
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name
+          |ORDER BY customer.n_name""".stripMargin,
+      "does not match")
+    // an ALIASED relation's base name is hidden (Spark scoping): once
+    // nation is aliased nn, 'nation.' no longer qualifies
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation nn JOIN customer c
+          |ON c.c_nationkey = nn.n_nationkey
+          |WHERE nation.n_regionkey = 1 GROUP BY n_name""".stripMargin,
+      "does not match")
+    // an alias shadowing ANOTHER relation's name is ambiguous → loud
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation customer, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "shadows")
     // floating-point fold arguments drift under retraction → rejected
     bad("""SELECT n_name, AVG(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
