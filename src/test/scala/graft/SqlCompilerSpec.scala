@@ -485,6 +485,66 @@ class SqlCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized grouping + aggregate vocabulary: compiled always equals the survivors query") {
+    Seq("region", "nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val rnd = new scala.util.Random(1234)
+    // (fragment, alias): plain columns and computed keys mixed
+    val groupPool = Seq(
+      "n_name" -> "n_name",
+      "o_orderstatus" -> "o_orderstatus",
+      "CAST(year(o_orderdate) AS BIGINT)" -> "yr",
+      "substr(o_orderpriority, 1, 1)" -> "prio0")
+    val aggPool = Seq(
+      "COUNT(*)" -> "n",
+      "SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))" -> "s",
+      "MIN(o_totalprice)" -> "lo",
+      "MAX(o_totalprice)" -> "hi",
+      "COUNT(DISTINCT o_orderpriority)" -> "cd",
+      "SUM(DISTINCT o_custkey)" -> "sd",
+      "AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT))" -> "av")
+    (1 to 6).foreach { i =>
+      val gs = rnd.shuffle(groupPool).take(1 + rnd.nextInt(3))
+      val as = rnd.shuffle(aggPool).take(1 + rnd.nextInt(4))
+      val items = gs.map { case (f, a) => if (f == a) f else s"$f AS $a" } ++
+        as.map { case (f, a) => s"$f AS $a" }
+      val mod = 2 + rnd.nextInt(5)
+      val sqlText =
+        s"""SELECT ${items.mkString(", ")}
+           |FROM region, nation, customer, orders
+           |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+           | AND o_custkey = c_custkey
+           |GROUP BY ${gs.map(_._1).mkString(", ")}""".stripMargin
+      val ord = gs.map(_._2)
+      val got = SqlCompiler.run(s, d, sqlText,
+          deletes = Map("orders" -> (col("o_orderkey") % mod === 0)))
+        .orderBy(ord.head, ord.tail: _*).collect().toSeq
+      val want = s.sql(sqlText.replace("GROUP BY",
+          s"AND o_orderkey % $mod <> 0 GROUP BY"))
+        .orderBy(ord.head, ord.tail: _*).collect().toSeq
+      assert(got == want && got.nonEmpty, s"case $i diverged:\n$sqlText (mod $mod)")
+    }
+  }
+
+  test("aggregate arguments may span relations (the leaf carries the full join row)") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // o_custkey (orders) * c_nationkey (customer) inside one SUM — the
+    // fold runs over merged leaf deltas, so cross-relation expressions
+    // need no special casing
+    val sqlText =
+      """SELECT n_name, SUM(o_custkey * c_nationkey) AS x, COUNT(*) AS n
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    val got = SqlCompiler.run(s, d, sqlText,
+        deletes = Map("orders" -> (col("o_orderkey") % 5 === 0)))
+      .orderBy("n_name").collect().toSeq
+    val want = s.sql(sqlText.replace("GROUP BY", "AND o_orderkey % 5 <> 0 GROUP BY"))
+      .orderBy("n_name").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("unsupported shapes fail loudly") {
     def bad(sqlText: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
