@@ -444,11 +444,14 @@ object Curation {
     // how many of those are common, and the ratio (the gate a real
     // pipeline thresholds on). Scale shape: distinct bigrams per doc
     // via the linear native kernel → explode → ONE hash-agg for corpus
-    // document frequencies → equi-join back on the bigram → per-doc
-    // counts. The 5%-of-N threshold rides a broadcast one-row frame, so
-    // nothing here depends on corpus size in a single task; the df
-    // aggregate's hot keys (very common bigrams) are just map-side
-    // combined counts.
+    // document frequencies (hot bigrams are map-side combined counts) →
+    // the COMMON set only, broadcast, semi-joined per doc. Joining every
+    // gram instance against the full df table would put a ubiquitous
+    // bigram's whole document set in one task; instead the common set is
+    // small BY CONSTRUCTION — #|{g : df(g) ≥ 0.05·N}| ≤ Σdf/(0.05·N) =
+    // 20 × avg-grams-per-doc, independent of corpus size — so it rides
+    // a broadcast hash join (no shuffle skew possible), and the per-doc
+    // totals come from a plain doc_id aggregate with no join at all.
     sql("text_boilerplate_ngrams",
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
         |           FROM documents),
@@ -469,14 +472,18 @@ object Curation {
         val grams = docs.select(col("doc_id"),
           explode(graft.functions.WordShingles.word_shingles(
             regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)), 2)).as("g"))
-        val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
-        val isCommon = col("df") >= col("__n") * 0.05
-        grams.join(dfc, "g").crossJoin(broadcast(nDocs))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            count(when(isCommon, lit(1))).as("n_common"))
-          .select(col("doc_id"), col("n_grams"), col("n_common"),
-            (col("n_common").cast("double") / col("n_grams")).as("common_ratio"))
+        val common = grams.groupBy("g").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") >= col("__n") * 0.05)
+          .select("g")
+        val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val commons = grams.join(broadcast(common), Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+        totals.join(commons, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            (coalesce(col("n_common"), lit(0L)).cast("double") / col("n_grams"))
+              .as("common_ratio"))
     })
 }
