@@ -50,6 +50,34 @@ object StreamingAnalytics {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** STREAM-STREAM range join: same-key pairs with
+    * `right.ts ∈ (left.ts, left.ts + windowSec]` — the continuous form
+    * of [[graft.operators.RangeJoin.withinAfter]], with identical
+    * output columns. Spark's native stream-stream inner join does the
+    * heavy lifting: the event-time range condition on two watermarked
+    * columns lets the state store evict a buffered row as soon as the
+    * other side's watermark passes its join window, so state is
+    * bounded by (delay + window) of traffic per key — the engine
+    * maintains exactly the two-sided buffer the banded batch
+    * formulation avoids materializing.
+    *
+    * Inner joins emit eagerly (no watermark wait for output); the
+    * watermark only gates STATE EVICTION and late-data fencing. */
+  def streamRangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String], ts: String,
+                      windowSec: Long, delay: String = "1 hour",
+                      rightPrefix: String = "r_"): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val rValCols = right.columns.filterNot(keyCols.contains).toSeq
+    val l = left.withWatermark(ts, delay).alias("l")
+    val r = right.withWatermark(ts, delay).alias("r")
+    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val rangeCond = col(s"r.$ts") > col(s"l.$ts") &&
+      col(s"r.$ts") <= col(s"l.$ts") + expr(s"INTERVAL $windowSec SECOND")
+    l.join(r, keyCond && rangeCond, "inner")
+      .select(left.columns.toSeq.map(c => col(s"l.$c").as(c)) ++
+        rValCols.map(c => col(s"r.$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** Exact streaming dedup on a key set, with state bounded by the
     * watermark (built-in `dropDuplicatesWithinWatermark` — duplicates
     * arriving within `delay` of each other are guaranteed dropped,

@@ -50,6 +50,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream range join equals the batch banded range join") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    // clicks → purchases within 6 h per user, on a fixture slice fed in
+    // two micro-batches; the reference answer is the BATCH banded
+    // formulation over the same frames
+    val ev = Tables.events(spark, SparkTestSession.sfTiny)
+      .filter(col("user_id") <= 40)
+      .select("event_id", "user_id", "ts", "event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val want = graft.operators.RangeJoin
+      .withinAfter(clicks, purchases, Seq("user_id"), "ts", 6 * 3600)
+      .collect().map(_.toString).sorted.toSeq
+
+    val rows = ev.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3))).toSeq
+    val src = MemoryStream[(Long, Long, Timestamp, String)]
+    val sdf = src.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val joined = graft.streaming.StreamingAnalytics.streamRangeJoin(
+      sdf.filter(col("event_type") === "click").drop("event_type"),
+      sdf.filter(col("event_type") === "purchase").drop("event_type"),
+      Seq("user_id"), "ts", 6 * 3600)
+    val query = joined.writeStream
+      .format("memory").queryName("range_join_stream").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      src.addData(a); query.processAllAvailable()
+      src.addData(b); query.processAllAvailable()
+      val got = spark.table("range_join_stream").collect().map(_.toString).sorted.toSeq
+      assert(got == want && got.nonEmpty,
+        s"stream=${got.size} batch=${want.size}")
+    } finally query.stop()
+  }
+
   test("sliding windows overlap: a streamed event finalizes into BOTH its windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
