@@ -105,4 +105,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.filter(col("k").isNull).count() == 0)
     assert(df.filter(col("miss").isNotNull).count() == 0)
   }
+
+  test("PLAN AUDIT: flagship predicates reach the parquet scans; nation broadcasts") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val df = SparkEntry.queries("q10_flagship")(spark, sfTiny)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    // both manual pushdowns of the reference (J2 date range, J3 flag)
+    // must appear as parquet PushedFilters, not post-scan Filters only
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(800))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(800))
+    // the 25-row nation side must broadcast (codegen spans are not
+    // string-auditable under AQE's lazy finalization; `graft.Explain`
+    // shows them interactively)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("PLAN AUDIT: incremental changelog predicates are scan-pushed (sourceFiltered)") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val plan = SparkEntry.queries("incremental_q10")(spark, sfTiny)
+      .queryExecution.explainString(FormattedMode)
+    // the engine's node predicates ride the changelog's parquet scan
+    // (the Spark-native validTuple gate) — rows failing them are never
+    // canon-encoded or shuffled
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(800))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(800))
+  }
 }
