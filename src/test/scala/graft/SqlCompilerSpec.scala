@@ -735,4 +735,29 @@ class SqlCompilerSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("computed GROUP BY keys compose with shared-dimension (pair) plans") {
+    // grouping happens in aggregate() over the leaf delta multiset, so
+    // a computed key must be orthogonal to how the tree was glued —
+    // here per-(nation, order-year) counts over the orders × supplier
+    // product, with deletes on both sides
+    Seq("nation", "customer", "orders", "supplier").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val sqlText =
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | COUNT(*) AS n_pairs,
+        | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2
+        |FROM nation, customer, orders, supplier
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND s_nationkey = n_nationkey
+        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
+    val got = SqlCompiler.run(s, d, sqlText, deletes = Map(
+        "orders" -> (col("o_orderkey") % 3 === 0),
+        "supplier" -> (col("s_suppkey") % 4 === 0)))
+      .orderBy("n_name", "yr").collect().toSeq
+    val want = s.sql(sqlText.replace("GROUP BY",
+        "AND o_orderkey % 3 <> 0 AND s_suppkey % 4 <> 0\nGROUP BY"))
+      .orderBy("n_name", "yr").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
