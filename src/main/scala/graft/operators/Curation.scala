@@ -476,14 +476,15 @@ object Curation {
         val common = grams.groupBy("g").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(nDocs))
           .filter(col("df") >= col("__n") * 0.05)
-          .select("g")
-        val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        val commons = grams.join(broadcast(common), Seq("g"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
-        totals.join(commons, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n_common"), lit(0L)).as("n_common"),
-            (coalesce(col("n_common"), lit(0L)).cast("double") / col("n_grams"))
-              .as("common_ratio"))
+          .select(col("g"), lit(1).as("__c"))
+        // ONE broadcast left join marks common grams, ONE aggregate
+        // counts both totals — no second evaluation of the explode, no
+        // doc_id shuffle join (count(col) skips the nulls of uncommon
+        // grams)
+        grams.join(broadcast(common), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), count(col("__c")).as("n_common"))
+          .select(col("doc_id"), col("n_grams"), col("n_common"),
+            (col("n_common").cast("double") / col("n_grams")).as("common_ratio"))
     })
 }

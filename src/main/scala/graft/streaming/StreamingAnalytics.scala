@@ -70,7 +70,9 @@ object StreamingAnalytics {
     val rValCols = right.columns.filterNot(keyCols.contains).toSeq
     val l = left.withWatermark(ts, delay).alias("l")
     val r = right.withWatermark(ts, delay).alias("r")
-    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    // keyless range joins are legal (mirror of withinAfter's behavior)
+    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
+      .foldLeft(lit(true))(_ && _)
     val rangeCond = col(s"r.$ts") > col(s"l.$ts") &&
       col(s"r.$ts") <= col(s"l.$ts") + expr(s"INTERVAL $windowSec SECOND")
     l.join(r, keyCond && rangeCond, "inner")

@@ -67,8 +67,12 @@ class StreamingSpec extends AnyFunSuite {
       .withinAfter(clicks, purchases, Seq("user_id"), "ts", 6 * 3600)
       .collect().map(_.toString).sorted.toSeq
 
+    // in-order arrival is the test's precondition: sort by ts so the
+    // second micro-batch is never older than batch 1's watermark (the
+    // fixture happens to be ts-ordered today, but don't depend on it)
     val rows = ev.collect().map(r =>
-      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3))).toSeq
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy(_._3.getTime).toSeq
     val src = MemoryStream[(Long, Long, Timestamp, String)]
     val sdf = src.toDF().toDF("event_id", "user_id", "ts", "event_type")
     val joined = graft.streaming.StreamingAnalytics.streamRangeJoin(
