@@ -47,6 +47,12 @@ object GraftFunctions {
       { case Seq(c) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
           SimHashAgg(c), org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false) }),
+    ("kmv_distinct", "kmv_distinct(hash60, k) - aggregate: KMV bottom-k distinct-count estimate",
+      { case Seq(c, n) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+          KmvDistinctAgg(c, intLit(n, "kmv_distinct")),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
           isDistinct = false) }))
 
   /** Wrong arity → a named error instead of a bare MatchError. */

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, TypedImperativeAggregate}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** KMV (k-minimum-values) distinct-count sketch — a MERGEABLE
+  * bounded-state alternative to exact `COUNT(DISTINCT x)`: the exact
+  * form shuffles every distinct value to its group; this shuffles at
+  * most k longs per (group, partition) no matter how many distinct
+  * values exist — the cardinality-estimation shape that matters at
+  * corpus scale (same role as the reference ecosystem's HLL counters,
+  * but with a closed-form, engine-mirrorable estimator).
+  *
+  * State is the k smallest DISTINCT values of a uniform 60-bit hash
+  * (callers feed `conv(substr(md5(x),1,15),16,10)` — the repo's
+  * standard md5→long bridge, mirrored in DuckDB as
+  * `('0x' || substr(md5(x),1,15))::BIGINT`). With fewer than k
+  * distinct hashes the sketch IS the exact count; otherwise the
+  * classic unbiased estimator (k−1) / θ applies, θ = kth smallest
+  * hash normalized by the 2^60 hash-space size (Bar-Yossef et al.,
+  * "Counting distinct elements in a data stream", RANDOM 2002).
+  *
+  * Determinism: the estimate is one IEEE-754 double division of two
+  * exactly-representable operands ((k−1)·2^60 needs ≤ 6 significand
+  * bits; θ rounds long→double identically in the JVM and C++), so the
+  * DuckDB oracle's value hash matches bit-for-bit.
+  */
+case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2, s"kmv_distinct: k must be >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    // keep only the k smallest distinct hashes: skip values past the
+    // current kth minimum, evict the largest on overflow — O(log k)
+    if (buf.size() < k) { buf.add(v); () }
+    else if (v < buf.last()) {
+      if (buf.add(v)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val h = child.eval(input)
+    if (h != null) add(buf, h.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  /** 2^60 — the hash-space size of the 15-hex-digit md5 prefix. */
+  private val HashSpace = 1152921504606846976.0
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size() < k) buf.size().toDouble
+    else (k - 1).toDouble * HashSpace / buf.last().toDouble
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { out.add(bb.getLong); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvDistinctAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_distinct"
+}
+
+object KmvDistinctAgg {
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column API: `kmv_distinct(hash60, k)` inside an `agg(...)`. */
+  def kmv_distinct(c: Column, k: Int): Column =
+    GraftBridge.toColumn(AggregateExpression(
+      KmvDistinctAgg(GraftBridge.toExpression(c), k), Complete, isDistinct = false))
+
+  /** The estimator's DuckDB mirror for an input hashed the standard
+    * way (`hashSql` must be the md5→60-bit-long bridge of the SAME
+    * expression the Spark side hashes). */
+  def oracleSql(table: String, groupCols: Seq[String], hashSql: String, k: Int,
+                estAlias: String, where: String = ""): String = {
+    val g = groupCols.mkString(", ")
+    s"""SELECT $g,
+       | CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |      ELSE ($k - 1) * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END AS $estAlias
+       |FROM (
+       |  SELECT $g, h, row_number() OVER (PARTITION BY $g ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT $g, $hashSql AS h FROM $table $where)
+       |) WHERE rn <= $k
+       |GROUP BY $g""".stripMargin
+  }
+}

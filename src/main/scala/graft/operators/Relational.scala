@@ -271,6 +271,26 @@ object Relational {
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
     },
 
+    // Approximate distinct via the KMV bottom-k sketch — the SCALE
+    // path next to agg_count_distinct's exact shuffle: state is k
+    // longs per (group, partition) regardless of cardinality
+    // (functions/KmvDistinctAgg). The oracle replays the estimator
+    // closed-form on the identical md5-derived hash, so this
+    // APPROXIMATE aggregate still sits behind the exact value-hash
+    // gate — determinism makes the sketch auditable.
+    sql("agg_kmv_distinct",
+      graft.functions.KmvDistinctAgg.oracleSql(
+        table = "orders",
+        groupCols = Seq("o_orderstatus"),
+        hashSql = "('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT",
+        k = 64, estAlias = "approx_cust")) {
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.KmvDistinctAgg.kmv_distinct(
+          conv(substring(md5(to_binary(col("o_custkey").cast("string"), lit("utf-8"))), 1, 15),
+            16, 10).cast("long"), 64).as("approx_cust"))
+    },
+
     // Rollup (multi-level aggregation).
     sql("agg_rollup",
       """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n

@@ -240,6 +240,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("kmv_distinct: exact below k, within 20% above k, merge-invariant") {
+    import graft.functions.KmvDistinctAgg.kmv_distinct
+    val h = conv(substring(md5(to_binary(col("v").cast("string"), lit("utf-8"))), 1, 15),
+      16, 10).cast("long")
+    // below k: the sketch IS the exact distinct count
+    val small = (1 to 40).map(i => ("g", i)).toDF("g", "v")
+      .groupBy("g").agg(kmv_distinct(h, 64).as("est"))
+      .collect()(0).getDouble(1)
+    assert(small == 40.0)
+    // duplicates never inflate the estimate
+    val dup = ((1 to 40) ++ (1 to 40)).map(i => ("g", i)).toDF("g", "v")
+      .groupBy("g").agg(kmv_distinct(h, 64).as("est"))
+      .collect()(0).getDouble(1)
+    assert(dup == 40.0)
+    // above k: estimator within 20% of truth at k=64 (expected rel.
+    // error ~ 1/sqrt(k-2) ≈ 13%)
+    val big = (1 to 5000).map(i => ("g", i)).toDF("g", "v")
+      .groupBy("g").agg(kmv_distinct(h, 64).as("est"))
+      .collect()(0).getDouble(1)
+    assert(math.abs(big - 5000) / 5000.0 < 0.2, s"estimate $big too far from 5000")
+    // merge-invariance: 1 partition and 8 partitions agree exactly
+    // (bottom-k of a set is partition-independent)
+    val df = (1 to 5000).map(i => ("g", i)).toDF("g", "v")
+    val p1 = df.repartition(1).groupBy("g").agg(kmv_distinct(h, 64)).collect()(0).getDouble(1)
+    val p8 = df.repartition(8).groupBy("g").agg(kmv_distinct(h, 64)).collect()(0).getDouble(1)
+    assert(p1 == p8 && p1 == big)
+  }
+
+  test("kmv_distinct is SQL-registered and matches the Column form") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = (1 to 300).map(i => (i % 3, i)).toDF("g", "v")
+    df.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      """SELECT g, kmv_distinct(CAST(conv(substring(md5(to_binary(CAST(v AS STRING), 'utf-8')), 1, 15), 16, 10) AS BIGINT), 64) AS est
+        |FROM kmv_in GROUP BY g""".stripMargin)
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val h = conv(substring(md5(to_binary(col("v").cast("string"), lit("utf-8"))), 1, 15),
+      16, 10).cast("long")
+    val viaCol = df.groupBy("g")
+      .agg(graft.functions.KmvDistinctAgg.kmv_distinct(h, 64).as("est"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaCol.toSeq && viaSql.nonEmpty)
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
