@@ -171,6 +171,41 @@ object Curation {
           .select("doc_id", "lang", "source")
     },
 
+    // --- weighted sampling: sequential Poisson (PPS) -------------------
+    // Probability-proportional-to-size sampling without transcendental
+    // ranking keys: Ohlsson's sequential Poisson scheme ranks each doc
+    // by hash/weight and keeps the k smallest per stratum — a document
+    // twice as long is ~twice as likely to survive. The rank is one
+    // IEEE division of a long→double rounding (bit-identical in JVM
+    // and C++), unlike the textbook u^(1/w) exponential-keys scheme
+    // (Efraimidis-Spirtsis) whose pow() is not cross-engine
+    // reproducible — determinism is what puts a SAMPLER behind a
+    // value-hash gate. Per-stratum top-k: partial per partition, never
+    // a global sort.
+    sql("sample_weighted",
+      """SELECT doc_id, lang, n_chars, samp_rank FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS samp_rank
+        | FROM (
+        |  SELECT doc_id, lang, length(text) AS n_chars,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+        |     / CAST(greatest(length(text), 1) AS DOUBLE) AS key
+        |  FROM documents)
+        |) WHERE samp_rank <= 12""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val key = conv(substring(md5(to_binary(col("doc_id").cast("string"), lit("utf-8"))),
+            1, 15), 16, 10).cast("long").cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).as("n_chars"), key.as("key"))
+          .withColumn("samp_rank", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("key"), col("doc_id"))))
+          .filter(col("samp_rank") <= 12)
+          .drop("key")
+    },
+
     // --- document chunking: token windows with stride ------------------
     // The preprocessing step before embedding/pretraining: split each
     // document into windows of 64 tokens at stride 48 (16-token

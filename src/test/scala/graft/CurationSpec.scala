@@ -114,6 +114,28 @@ class CurationSpec extends AnyFunSuite {
     assert(fps.length == fps.distinct.length)
   }
 
+  test("weighted sampling is PPS-biased toward long docs and deterministic") {
+    val rows = q("sample_weighted").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Int]("n_chars")))
+    // exactly k = 12 survivors per stratum (or the whole stratum if smaller)
+    val perLang = Tables.documents(s, d).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      assert(docs.length == math.min(12L, perLang(lang)), s"$lang: ${docs.length}")
+    }
+    // probability proportional to size: the sample's mean length should
+    // exceed the corpus mean (long docs are up-weighted). Compare per
+    // corpus, not per stratum, to keep the margin stable on the tiny SF.
+    val sampleMean = rows.map(_._3.toDouble).sum / rows.length
+    val corpusMean = Tables.documents(s, d)
+      .agg(avg(length(col("text")))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"PPS sample mean $sampleMean not above corpus mean $corpusMean")
+    // deterministic: a second evaluation yields the identical id set
+    val again = q("sample_weighted").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == rows.map(_._2).toSet)
+  }
+
   test("packing fills bins to capacity without splitting or reordering docs") {
     val rows = q("pack_sequences").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"),
