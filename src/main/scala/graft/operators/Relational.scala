@@ -610,6 +610,37 @@ object Relational {
             col("r_event_id").as("purchase_id"), col("r_ts").as("purchase_ts"))
     },
 
+    // The OPTIMIZER form of the range join: the query below is the
+    // NAIVE theta join — inequality-only condition, no key — which
+    // Spark would plan as BroadcastNestedLoopJoin (O(|L|·|R|), the
+    // first plan to die at scale). graft.plans.BandedRangeJoin
+    // (session-installed here; new sessions arm it via
+    // spark.sql.extensions=graft.GraftExtensions) rewrites it into the
+    // banded equi-join RangeJoin builds by hand — a user keeps the
+    // declarative form and still gets the one-shuffle plan. The
+    // rule fires only on inequality-only inner joins with the bin
+    // conf set, so installing it session-wide is inert for every
+    // other registered query. Same row semantics as the DuckDB
+    // oracle's literal theta join.
+    sql("events_range_join_auto",
+      """SELECT a.event_id AS click_id, a.ts AS click_ts,
+        | b.event_id AS purchase_id, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        | ON a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin) {
+      (s, d) =>
+        graft.plans.BandedRangeJoin.install(s)
+        s.conf.set(graft.plans.BandedRangeJoin.BinConf, "3600")
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        clicks.join(purchases,
+          col("purchase_ts") > col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    },
+
     sql("events_cdc_net_sum",
       """SELECT user_id,
         | CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'error' THEN -value ELSE value END AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_value,

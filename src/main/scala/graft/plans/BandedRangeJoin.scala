@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampType}
+
+/** Catalyst optimizer rule: rewrite an INEQUALITY-ONLY inner join into
+  * a banded equi-join.
+  *
+  * Spark plans an inner join whose condition has no equality conjunct
+  * as BroadcastNestedLoopJoin (or a cartesian product) — O(|L|·|R|)
+  * comparisons, the plan that dies first at scale. But the most common
+  * such condition in analytics is a RANGE BAND — `r.ts > l.ts AND
+  * r.ts <= l.ts + W` ("events within a window"), `x BETWEEN lo AND hi`
+  * — and a banded join handles it with one hash shuffle
+  * ([[graft.operators.RangeJoin]] is the manual form; this rule is the
+  * optimizer form, so a user writing the naive theta join gets the
+  * scalable plan automatically):
+  *
+  *  - the bounded side (`x`) carries its bin `floor(x / W)`;
+  *  - the bounding side explodes to the bin range
+  *    `sequence(floor(lo/W), floor(hi/W))` — each interval covers
+  *    `(hi-lo)/W + 1` bins, so size W to the typical interval width;
+  *  - an ordinary equi-join on the bin plus the ORIGINAL condition as
+  *    a residual filter is exactly the theta join: `x`'s single bin
+  *    lies in the covered range whenever `lo <= x <= hi` (IEEE
+  *    division and floor are weakly monotone, so a true pair can never
+  *    fall outside its bin window), and each true pair matches in
+  *    exactly one bin (the x row has one bin; the sequence's bins are
+  *    distinct), so no dedup is needed.
+  *
+  * Scope (everything else is left untouched):
+  *  - inner joins with a condition and NO cross-side equality conjunct
+  *    (with one, Spark already hash-joins; the rewritten join gains a
+  *    bin-equality conjunct, which also makes the rule convergent
+  *    under the optimizer's fixed-point batch);
+  *  - some cross-side comparison pair bounds the same expression `x`
+  *    from below and above; `x` is numeric or timestamp;
+  *  - the bin width conf [[BandedRangeJoin.BinConf]] is set and
+  *    positive (in `x`'s units; SECONDS for timestamps). Unset = rule
+  *    off — opt-in, like AQE's advisory sizes.
+  *
+  * Null semantics are preserved: a null `x` yields a null bin (equi-
+  * join drops it, as the null comparison would); a null bound yields a
+  * null sequence (`Explode` emits nothing — inner join would drop the
+  * row anyway).
+  */
+object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Bin width: units of the banded expression (seconds when it is a
+    * timestamp). Unset or <= 0 disables the rule. */
+  val BinConf = "spark.graft.rangeJoin.bin"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = SQLConf.get.getConfString(BinConf, "").trim match {
+      case "" => return plan
+      case s =>
+        try s.toDouble catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"$BinConf must be numeric, got '$s'")
+        }
+    }
+    if (w <= 0 || w.isNaN || w.isInfinite) return plan
+    plan.transformUp {
+      case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, w).getOrElse(j)
+    }
+  }
+
+  /** Some(true) iff `e` references only `l`'s output, Some(false) iff
+    * only `r`'s; None for literals (no side) or mixed references. */
+  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(l.outputSet)) Some(true)
+    else if (refs.subsetOf(r.outputSet)) Some(false)
+    else None
+  }
+
+  private def supported(e: Expression): Boolean = e.dataType match {
+    case TimestampType => true
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** The expression's value on the binning axis: epoch micros for
+    * timestamps, double for numerics. */
+  private def axis(e: Expression): Expression = e.dataType match {
+    case TimestampType => Cast(UnixMicros(e), DoubleType)
+    case _ => Cast(e, DoubleType)
+  }
+
+  /** Bin width on the axis: seconds → micros for timestamps. */
+  private def axisWidth(e: Expression, w: Double): Double = e.dataType match {
+    case TimestampType => w * 1000000.0
+    case _ => w
+  }
+
+  private def bin(e: Expression, w: Double): Expression =
+    Cast(Floor(Divide(axis(e), Literal(axisWidth(e, w), DoubleType))), LongType)
+
+  private final case class Band(x: Expression, xOnLeft: Boolean,
+                                lo: Expression, hi: Expression)
+
+  private def findBand(j: Join): Option[Band] = {
+    val conjs = splitConjunctivePredicates(j.condition.get)
+    def cross(a: Expression, b: Expression): Option[Boolean] =
+      (sideOf(a, j.left, j.right), sideOf(b, j.left, j.right)) match {
+        case (Some(sa), Some(sb)) if sa != sb => Some(sa)
+        case _ => None
+      }
+    val hasEqui = conjs.exists {
+      case EqualTo(a, b) => cross(a, b).isDefined
+      case _ => false
+    }
+    if (hasEqui) return None
+    // each cross-side comparison bounds its two operands symmetrically:
+    // a >= b lower-bounds x=a by b AND upper-bounds x=b by a
+    final case class Bound(x: Expression, xOnLeft: Boolean,
+                           bound: Expression, lower: Boolean)
+    val bounds = conjs.flatMap {
+      case cmp @ (_: GreaterThan | _: GreaterThanOrEqual) =>
+        val c = cmp.asInstanceOf[BinaryComparison]
+        cross(c.left, c.right).toSeq.flatMap { leftOnLeft =>
+          Seq(Bound(c.left, leftOnLeft, c.right, lower = true),
+            Bound(c.right, !leftOnLeft, c.left, lower = false))
+        }
+      case cmp @ (_: LessThan | _: LessThanOrEqual) =>
+        val c = cmp.asInstanceOf[BinaryComparison]
+        cross(c.left, c.right).toSeq.flatMap { leftOnLeft =>
+          Seq(Bound(c.left, leftOnLeft, c.right, lower = false),
+            Bound(c.right, !leftOnLeft, c.left, lower = true))
+        }
+      case _ => Nil
+    }
+    bounds.groupBy(b => (b.x.canonicalized, b.xOnLeft)).values.toSeq
+      .sortBy(_.head.x.toString) // deterministic pick across runs
+      .collectFirst {
+        case bs if bs.exists(_.lower) && bs.exists(!_.lower) && supported(bs.head.x) =>
+          Band(bs.head.x, bs.head.xOnLeft,
+            bs.find(_.lower).get.bound, bs.find(!_.lower).get.bound)
+      }
+  }
+
+  private def rewrite(j: Join, w: Double): Option[LogicalPlan] =
+    findBand(j).map { band =>
+      // x side: project the single bin alongside the original columns
+      val xSide = if (band.xOnLeft) j.left else j.right
+      val bSide = if (band.xOnLeft) j.right else j.left
+      val xBin = Alias(bin(band.x, w), "__graft_band_bin")()
+      val xProj = Project(xSide.output :+ xBin, xSide)
+      // bounding side: explode the interval's covered bin range
+      val probe = AttributeReference("__graft_band_probe", LongType, nullable = false)()
+      // Sequence is TimeZoneAwareExpression: without an explicit zone it
+      // stays unresolved and the optimizer rejects the rewritten plan
+      // (the bins themselves are plain longs; the zone is never used)
+      val seq = Sequence(bin(band.lo, w), bin(band.hi, w), Some(Literal(1L, LongType)),
+        Some(SQLConf.get.sessionLocalTimeZone))
+      val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(probe), child = bSide)
+      val newCond = And(EqualTo(xBin.toAttribute, probe), j.condition.get)
+      val (newL, newR) = if (band.xOnLeft) (xProj, gen) else (gen, xProj)
+      Project(j.output, Join(newL, newR, Inner, Some(newCond), j.hint))
+    }
+
+  /** Idempotently hook this rule into a session's experimental
+    * optimizations (the extension-free path for an EXISTING session;
+    * new sessions get it via `graft.GraftExtensions`). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(BandedRangeJoin))
+      spark.experimental.extraOptimizations = cur :+ BandedRangeJoin
+  }
+}

@@ -52,4 +52,75 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("lid", "r_rid")
     assert(out.count() == out.distinct().count())
   }
+
+  // ---- the OPTIMIZER form: graft.plans.BandedRangeJoin ----------------
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("BandedRangeJoin rewrites an inequality-only join away from BNLJ, same rows") {
+    import org.apache.spark.sql.functions._
+    val ss = spark.newSession() // isolate extraOptimizations + conf
+    import ss.implicits._
+    val rnd = new scala.util.Random(11)
+    val l = (0 until 200).map(i => (i.toLong, rnd.nextInt(10000).toDouble)).toDF("lid", "lx")
+    val r = (0 until 200).map(i => (i.toLong, rnd.nextInt(10000).toDouble)).toDF("rid", "rx")
+    def naive = l.join(r, col("rx") >= col("lx") - 50 && col("rx") <= col("lx") + 50)
+    val expected = naive.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(planOf(naive).contains("BroadcastNestedLoopJoin"), "precondition: naive is BNLJ")
+
+    graft.plans.BandedRangeJoin.install(ss)
+    graft.plans.BandedRangeJoin.install(ss) // idempotent
+    assert(ss.experimental.extraOptimizations.count(_ == graft.plans.BandedRangeJoin) == 1)
+    ss.conf.set(graft.plans.BandedRangeJoin.BinConf, "100")
+    val banded = naive
+    val plan = planOf(banded)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"still a nested-loop plan:\n$plan")
+    val got = banded.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("BandedRangeJoin handles timestamp bands (seconds bin) exactly") {
+    import org.apache.spark.sql.functions._
+    val ss = spark.newSession()
+    import ss.implicits._
+    val clicks = Seq((1L, t("2026-01-01 00:00:30")), (2L, t("2026-01-01 01:10:00")))
+      .toDF("cid", "cts")
+    val purchases = Seq(
+      (10L, t("2026-01-01 00:00:30")),  // same instant: excluded (strict >)
+      (11L, t("2026-01-01 00:30:00")),  // within 1h of click 1
+      (12L, t("2026-01-01 01:00:30")),  // exactly +1h of click 1: included (<=)
+      (13L, t("2026-01-01 01:00:31")),  // past the window of click 1
+      (14L, t("2026-01-01 01:59:59")))  // within 1h of click 2
+      .toDF("pid", "pts")
+    def join = clicks.join(purchases,
+      col("pts") > col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+    val expected = join.select("cid", "pid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    graft.plans.BandedRangeJoin.install(ss)
+    ss.conf.set(graft.plans.BandedRangeJoin.BinConf, "3600")
+    val plan = planOf(join)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = join.select("cid", "pid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected)
+    assert(got == Set((1L, 11L), (1L, 12L), (2L, 14L)))
+  }
+
+  test("BandedRangeJoin leaves equi-joins and unset-conf sessions untouched") {
+    import org.apache.spark.sql.functions._
+    val ss = spark.newSession()
+    import ss.implicits._
+    graft.plans.BandedRangeJoin.install(ss)
+    val l = (0 until 50).map(i => (i.toLong, i.toDouble)).toDF("lk", "lx")
+    val r = (0 until 50).map(i => (i.toLong, i.toDouble)).toDF("rk", "rx")
+    // conf unset: inequality-only join keeps its (nested-loop) plan
+    val theta = l.join(r, col("rx") > col("lx") && col("rx") <= col("lx") + 2)
+    assert(planOf(theta).contains("BroadcastNestedLoopJoin"))
+    // conf set but an equi conjunct exists: Spark hash-joins, no rewrite
+    ss.conf.set(graft.plans.BandedRangeJoin.BinConf, "10")
+    val equi = l.join(r, col("lk") === col("rk") && col("rx") >= col("lx") - 1 && col("rx") <= col("lx") + 1)
+    val plan = planOf(equi)
+    assert(!plan.contains("__graft_band_probe"), plan)
+    assert(equi.count() == 50)
+  }
 }
