@@ -588,6 +588,65 @@ object Dedup {
           .filter(col("jacc") >= 0.55)
     },
 
+    // --- containment similarity (doc-in-doc) ----------------------------
+    // |A∩B| / min(|A|,|B|) over the same char-trigram sets: near 1.0
+    // when one document's content sits INSIDE the other (boilerplate
+    // wrap, quote-and-extend), a case Jaccard under-scores because the
+    // union inflates with the container's extra text. Containment
+    // tolerates length mismatch, so the length blocking widens to
+    // ±2 buckets — the probe side explodes to its 5 neighboring
+    // buckets and the pair comes from a plain equi-join (each pair
+    // matches once: b has ONE bucket). Same salted-triangle +
+    // pair-repartition skew guards as dedup_ngram_jaccard; the
+    // intersection is exact integer set math in both engines, the
+    // single final division is IEEE-deterministic. Pairs with larger
+    // length skew than ±2 buckets need the MinHash path (whose banding
+    // is length-oblivious); that trade is the blocking contract here.
+    sql("dedup_containment",
+      """WITH g AS (
+        | SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+        |  list_distinct(list_transform(generate_series(1, length(text)-2), i -> substr(text, i, 3))) AS grams
+        | FROM documents WHERE length(text) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |  / least(len(a.grams), len(b.grams)) AS cont
+        |FROM g a JOIN g b
+        | ON a.lang = b.lang AND abs(a.len_bucket - b.len_bucket) <= 2 AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |  / least(len(a.grams), len(b.grams)) >= 0.8""".stripMargin) {
+      (s, d) =>
+        val S = 16
+        val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
+        val meta = docs.select(col("doc_id"), col("lang"),
+          expr("n_chars div 50").as("len_bucket"))
+        val grams = docs.select(col("doc_id"),
+          array_sort(graft.functions.CharNgrams.char_ngrams(col("text"), 3)).as("grams"))
+        val aSide = meta
+          .withColumn("probe_bucket",
+            explode(array((-2 to 2).map(o => col("len_bucket") + lit(o)): _*)))
+          .withColumn("psalt", explode(array((0 until S).map(lit): _*)))
+        val bSide = meta.withColumn("salt", pmod(hash(col("doc_id")), lit(S)))
+        val pairs = aSide.as("a").join(bSide.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.probe_bucket") === col("b.len_bucket") &&
+              col("a.psalt") === col("b.salt") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("doc_a"), col("doc_b"))
+        // exact integer intersection over the sorted gram arrays; the
+        // aggregation barrier keeps the per-pair set op evaluated once
+        // (same shape as dedup_ngram_jaccard's confirm)
+        val cont = size(array_intersect(col("x.grams"), col("y.grams"))).cast("double") /
+          least(size(col("x.grams")), size(col("y.grams")))
+        pairs
+          .join(grams.as("x"), col("x.doc_id") === col("doc_a"))
+          .join(grams.as("y"), col("y.doc_id") === col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(cont).as("cont"))
+          .filter(col("cont") >= 0.8)
+    },
+
     // --- embedding near-dup, LSH-bucketed (the 100 TB path) --------------
     // Banded sign-LSH candidates + exact-cosine confirm: vectors explode
     // to (band, bucket) keys, candidates come from a hash EQUI-join on

