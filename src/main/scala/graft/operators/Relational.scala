@@ -590,6 +590,48 @@ object Relational {
             expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
     },
 
+    // Histogram quantile estimate — the MERGEABLE-sketch counterpart
+    // of events_percentiles: percentile_cont needs the group's sorted
+    // values in one place (a full shuffle of raw rows), while a
+    // fixed-width histogram reduces to <= #bins counts per (group,
+    // partition) under map-side combine and merges by addition — the
+    // shape a 100 TB quantile actually ships. The estimate (midpoint
+    // of the first bin whose cumulative count reaches the rank) is
+    // within W/2 of a true quantile; rank math stays in integers
+    // (cum*100 >= p*total) and the midpoint is one IEEE multiply, so
+    // the oracle matches bit-for-bit.
+    sql("events_histogram_quantile",
+      """WITH h AS (
+        | SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |c AS (
+        | SELECT event_type, bin, n,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |  sum(n) OVER (PARTITION BY event_type) AS total
+        | FROM h)
+        |SELECT event_type,
+        | min(CASE WHEN cum * 100 >= 50 * total THEN (CAST(bin AS DOUBLE) + 0.5) * CAST(5.0 AS DOUBLE) END) AS p50_est,
+        | min(CASE WHEN cum * 100 >= 95 * total THEN (CAST(bin AS DOUBLE) + 0.5) * CAST(5.0 AS DOUBLE) END) AS p95_est
+        |FROM c GROUP BY event_type""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val hist = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            floor(col("value") / 5.0).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"))
+        val byType = Window.partitionBy(col("event_type"))
+        val cum = sum(col("n")).over(byType.orderBy(col("bin")))
+        val total = sum(col("n")).over(byType)
+        hist
+          .withColumn("cum", cum).withColumn("total", total)
+          .groupBy(col("event_type"))
+          .agg(
+            min(when(col("cum") * 100 >= col("total") * 50,
+              (col("bin") + lit(0.5)) * lit(5.0))).as("p50_est"),
+            min(when(col("cum") * 100 >= col("total") * 95,
+              (col("bin") + lit(0.5)) * lit(5.0))).as("p95_est"))
+    },
+
     // Range join — purchases within 6 hours AFTER a click by the same
     // user, via window-sized time bins + hash equi-join (RangeJoin
     // scaladoc; the oracle is DuckDB's native inequality join).

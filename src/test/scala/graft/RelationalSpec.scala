@@ -106,6 +106,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.filter(col("miss").isNotNull).count() == 0)
   }
 
+  test("histogram quantile estimates land within one bin of the exact percentiles") {
+    val est = SparkEntry.queries("events_histogram_quantile")(spark, sfTiny)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the histogram answers the DISCRETE (rank-based) quantile: the
+    // value at rank ceil(p*n) lies inside the estimate's W=5 bin, so
+    // the midpoint is within W/2 of it (the interpolated
+    // percentile_cont can legitimately sit further away in a sparse
+    // tail — that is a definition difference, not histogram error)
+    val byType = Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(est.keySet == byType.keySet && est.nonEmpty)
+    def rankValue(vs: Array[Double], p: Double): Double =
+      vs(math.ceil(p * vs.length).toInt - 1)
+    est.foreach { case (t, (p50, p95)) =>
+      val (d50, d95) = (rankValue(byType(t), 0.50), rankValue(byType(t), 0.95))
+      assert(math.abs(p50 - d50) <= 2.5, s"$t p50: est $p50 vs discrete $d50")
+      assert(math.abs(p95 - d95) <= 2.5, s"$t p95: est $p95 vs discrete $d95")
+    }
+  }
+
   test("PLAN AUDIT: flagship predicates reach the parquet scans; nation broadcasts") {
     import org.apache.spark.sql.execution.FormattedMode
     val df = SparkEntry.queries("q10_flagship")(spark, sfTiny)
