@@ -45,8 +45,9 @@ object SparkEntry {
       "incremental_part_revenue",
       // round 4: the shared-dimension (many-to-many pair) tree
       "incremental_shared_dim",
-      // round 5: winnowing fingerprints on the rolling k-gram kernel
-      "text_winnowing")
+      // round 5: winnowing fingerprints on the rolling k-gram kernel;
+      // the KMV sketch aggregate; the auto-banded theta join
+      "text_winnowing", "agg_kmv_distinct", "events_range_join_auto")
     val have = queries.keySet
     preferred.filter(have)
   }
