@@ -361,6 +361,35 @@ object IncrementalQueries {
     q10Aggregate(runTree(stages, q10Changelogs(s, dir), sourceFiltered = true))
   }
 
+  /** A mergeable HISTOGRAM SKETCH over the MAINTAINED Q10 view — the
+    * engine's two layers compose: the delta tree maintains
+    * per-customer revenue under inserts AND retractions, and a
+    * fixed-width histogram (integer bin of the exact integer
+    * revenue_e4) reduces the maintained view to <= #bins counts per
+    * nation for a per-nation median-revenue readout. Presentation
+    * over the view — recomputed from the maintained groups like the
+    * SQL compiler's HAVING/ORDER BY, never from raw rows. Bin
+    * arithmetic: Spark `div` truncates toward zero, DuckDB `//`
+    * floors — identical here because revenue_e4 is nonnegative. */
+  private val RevBinE4 = 200000000L // $20,000 in 1e-4 units
+  def incrementalQ10RevQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val view = incrementalQ10(s, dir)
+    val hist = view.groupBy(col("n_name"),
+        expr(s"revenue_e4 div $RevBinE4").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val byNation = Window.partitionBy(col("n_name"))
+    hist
+      .withColumn("cum", sum(col("n")).over(byNation.orderBy(col("bin"))))
+      .withColumn("total", sum(col("n")).over(byNation))
+      .groupBy(col("n_name"))
+      .agg(
+        min(when(col("cum") * 2 >= col("total"),
+          (col("bin").cast(DoubleType) + lit(0.5)) * lit(RevBinE4.toDouble)))
+          .as("p50_rev_est"),
+        max(col("total")).as("n_cust"))
+  }
+
   /** The CONTINUOUS engine itself behind the correctness gate — not
     * its batch simulation: the q10 changelog replays through
     * [[DeltaEngine.runStream]] as real Structured Streaming
@@ -690,6 +719,27 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Stream),
+
+    sql("incremental_q10_rev_quantile",
+      s"""WITH v AS (
+         | SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+         | FROM customer, orders, lineitem, nation
+         | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND c_nationkey = n_nationkey
+         |  AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |  AND l_returnflag = 'R'
+         |  AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         | GROUP BY c_custkey, c_name, c_acctbal, n_name),
+         |h AS (SELECT n_name, revenue_e4 // $RevBinE4 AS bin, count(*) AS n FROM v GROUP BY 1, 2),
+         |c AS (SELECT n_name, bin, n,
+         |  sum(n) OVER (PARTITION BY n_name ORDER BY bin) AS cum,
+         |  sum(n) OVER (PARTITION BY n_name) AS total FROM h)
+         |SELECT n_name,
+         | min(CASE WHEN cum * 2 >= total
+         |   THEN (CAST(bin AS DOUBLE) + 0.5) * CAST($RevBinE4 AS DOUBLE) END) AS p50_rev_est,
+         | CAST(max(total) AS BIGINT) AS n_cust
+         |FROM c GROUP BY n_name""".stripMargin)(incrementalQ10RevQuantile),
 
     sql("incremental_q10_running",
       s"""WITH base AS (

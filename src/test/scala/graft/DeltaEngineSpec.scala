@@ -812,4 +812,22 @@ class DeltaEngineSpec extends AnyFunSuite {
       .orderBy("n_name").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("histogram sketch over the maintained Q10 view brackets the discrete median") {
+    val s = SparkTestSession.spark
+    val d = SparkTestSession.sfTiny
+    val est = SparkEntry.queries("incremental_q10_rev_quantile")(s, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val view = SparkEntry.queries("incremental_q10")(s, d).collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("revenue_e4")))
+    val byNation = view.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(est.keySet == byNation.keySet && est.nonEmpty)
+    est.foreach { case (nation, (p50, nCust)) =>
+      val revs = byNation(nation)
+      assert(nCust == revs.length, s"$nation count")
+      val median = revs((revs.length - 1) / 2) // lower discrete median (cum*2 >= total)
+      assert(math.abs(p50 - median) <= 100000000.0, // W/2 in e-4 units
+        s"$nation: est $p50 vs discrete median $median")
+    }
+  }
 }
