@@ -456,6 +456,56 @@ object IncrementalQueries {
     sharedAggregate(replayStream(s, sharedDimStages, sharedDimChangelogs(s, dir),
       "incremental_shared_stream_leaf"))
 
+  /** SQL TEXT driving the CONTINUOUS engine behind the correctness
+    * gate — the full round trip in one entry: Catalyst-parsed query →
+    * compiled stage graph → [[SqlCompiler]]'s `runStream` over RAW
+    * event streams (its per-stream `eventFilter` re-applies the local
+    * predicates — the streaming twin of scan pushdown) → micro-batch
+    * replay with state across batches → the compiled signed-fold
+    * aggregate. Same survivors oracle as incremental_q10, so any
+    * compile-or-stream divergence fails the hash. Child session sized
+    * like [[replayStream]] (state-store commits dominate a two-batch
+    * replay). */
+  def incrementalSqlQ10Stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val c = SqlCompiler.compile(s, dir,
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation, customer, orders, lineitem
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)
+    val deletes = Map(
+      "lineitem" -> (col("l_linenumber") === 3),
+      "orders" -> (col("o_orderkey") % 50 === 0))
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 8)
+    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import s.implicits._
+    // RAW (unfiltered) events on the wire — runStream's eventFilter
+    // applies the compiled predicates per stream
+    val logs = c.sourceChangelogs(s, dir, deletes, filtered = false)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val leaf = c.runStream(streams.map { case (r, ms) => r -> ms.toDS() })
+    val query = leaf.writeStream
+      .format("memory").queryName("incremental_sql_q10_stream_leaf")
+      .outputMode("append").start()
+    try {
+      logs.values.flatten.map(_.seq).toSeq.distinct.sorted.foreach { seq =>
+        streams.foreach { case (rel, ms) =>
+          val evs = logs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    c.aggregate(ss.table("incremental_sql_q10_stream_leaf").toDF())
+  }
+
   /** [[Evt]] changelog from a [[CdcParser.parseRelation]] frame:
     * tag/seq derive from the parsed `action` (Insert → +1 @ seq 0,
     * Delete → −1 @ seq 1), `where` is the node predicate on the
@@ -719,6 +769,21 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Stream),
+
+    // SQL text → compiled plan → the CONTINUOUS engine (runStream over
+    // raw streams, eventFilter pushdown) — same oracle as
+    // incremental_q10.
+    sql("incremental_sql_q10_stream",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10Stream),
 
     sql("incremental_q10_rev_quantile",
       s"""WITH v AS (
