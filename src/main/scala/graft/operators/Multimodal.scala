@@ -152,6 +152,104 @@ object Multimodal {
       }
   }
 
+  /** Decoded audio features (see [[AudioCodec]]). */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Long, channels: Long,
+                                 bits: Long, n_samples: Long, duration_ms: Long,
+                                 peak: Long, rms: Double)
+
+  /** REAL audio plumbing — RIFF/WAV is a pure byte format, so unlike
+    * video there is no codec to stub: [[writeWav]] emits a canonical
+    * 44-byte-header PCM file and [[decode]] is a proper CHUNK WALKER
+    * (validates RIFF/WAVE magics, scans chunk-by-chunk to `fmt ` and
+    * `data` wherever they sit, honors word-aligned chunk padding)
+    * rather than a fixed-offset peek — extra chunks (LIST/INFO
+    * metadata) parse correctly. Features: stream params from `fmt `,
+    * peak and RMS from the decoded little-endian int16 samples. */
+  object AudioCodec {
+    def writeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): AudioFeatures = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(n: Int): String = {
+        val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII")
+      }
+      require(ascii(4) == "RIFF", s"doc $id: not a RIFF file")
+      bb.getInt // declared riff size (unused; chunk walk is authoritative)
+      require(ascii(4) == "WAVE", s"doc $id: not a WAVE stream")
+      var rate = 0; var channels = 0; var bits = 0
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && (rate == 0 || samples == null)) {
+        val cid = ascii(4)
+        val len = bb.getInt
+        val next = bb.position() + len + (len & 1) // chunks are word-aligned
+        cid match {
+          case "fmt " =>
+            val fmt = bb.getShort
+            require(fmt == 1, s"doc $id: not PCM (fmt $fmt)")
+            channels = bb.getShort
+            rate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            bits = bb.getShort
+          case "data" =>
+            require(bits == 16 || rate == 0, s"doc $id: only 16-bit PCM supported")
+            samples = new Array[Short](len / 2)
+            bb.asShortBuffer().get(samples)
+          case _ => // skip LIST/INFO/etc.
+        }
+        bb.position(math.min(next, bytes.length))
+      }
+      require(rate > 0 && samples != null, s"doc $id: missing fmt /data chunk")
+      var peak = 0L
+      var sumSq = 0.0
+      samples.foreach { v =>
+        val a = math.abs(v.toLong)
+        if (a > peak) peak = a
+        sumSq += v.toDouble * v.toDouble
+      }
+      val n = samples.length.toLong
+      AudioFeatures(id, rate.toLong, channels.toLong, bits.toLong, n,
+        n * 1000L / rate, peak,
+        if (n == 0) 0.0 else math.sqrt(sumSq / n))
+    }
+  }
+
+  /** Deterministic synthetic WAV per document: a ±A square wave whose
+    * amplitude, length, and half-period are pure functions of doc_id,
+    * written by the real RIFF writer in-query. A square wave's peak
+    * AND RMS are exactly A (A² and n·A² are sub-2^53 integers, the
+    * division is exact, IEEE sqrt of an exact square is exact), so
+    * the real parser's output is closed-form SQL per doc_id — the
+    * audio twin of [[synthAssets]]'s PNG trick. */
+  def synthWavAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val n = (800 + id % 800).toInt
+      val amp = (1000 + id * 13 % 20000).toInt
+      val half = (1 + id % 7).toInt
+      val samples = Array.tabulate(n)(i =>
+        (if ((i / half) % 2 == 0) amp else -amp).toShort)
+      MediaAsset(id, "audio/wav", AudioCodec.writeWav(samples, sampleRate = 8000))
+    }
+  }
+
+  def extractAudioFeatures(ds: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(a => AudioCodec.decode(a.doc_id, a.payload)))
+  }
+
   /** Deterministic synthetic PNG per document: a solid-color image
     * whose dims and RGB are pure functions of doc_id, encoded by the
     * real codec in-query. PNG is lossless, so the REAL decode's
@@ -283,6 +381,25 @@ object Multimodal {
          |   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS frame_hash
          |FROM h""".stripMargin) {
       (s, d) => sampleFrames(assets(s, d), frames = 8).toDF()
+    },
+
+    // REAL audio decode behind the hash gate: payloads are WAVs the
+    // RIFF writer emitted in-query ([[synthWavAssets]]), the decoder
+    // is a genuine chunk walker, and a ±A square wave's peak and RMS
+    // are EXACTLY A (see synthWavAssets scaladoc for the FP-exactness
+    // argument) — so stream params, duration, peak and RMS are all
+    // closed-form SQL per doc_id. Any drift in header layout, chunk
+    // walking, LE int16 decoding, or the RMS fold fails the hash.
+    sql("multimodal_audio_features",
+      """SELECT doc_id,
+        | CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        | CAST(16 AS BIGINT) AS bits,
+        | CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+        | CAST((800 + doc_id % 800) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        | CAST(1000 + doc_id * 13 % 20000 AS BIGINT) AS peak,
+        | CAST(1000 + doc_id * 13 % 20000 AS DOUBLE) AS rms
+        |FROM documents""".stripMargin) {
+      (s, d) => extractAudioFeatures(synthWavAssets(s, d)).toDF()
     },
 
     // REAL bilinear resize behind the hash gate: solid-color synth

@@ -98,4 +98,41 @@ class MultimodalSpec extends AnyFunSuite {
     val b = again.sortBy(_.doc_id).map(_.payload.toSeq)
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("wav decode is a real chunk walker: LIST chunks and odd padding survive") {
+    import Multimodal.AudioCodec
+    val samples = Array.tabulate(100)(i => (if (i % 2 == 0) 5000 else -5000).toShort)
+    val canonical = AudioCodec.writeWav(samples, 8000)
+    val feats = AudioCodec.decode(7L, canonical)
+    assert(feats.sample_rate == 8000 && feats.channels == 1 && feats.bits == 16)
+    assert(feats.n_samples == 100 && feats.peak == 5000 && feats.rms == 5000.0)
+    // splice an odd-length LIST chunk between fmt and data: a
+    // fixed-offset peek would read garbage; the walker must skip it
+    // (including the word-alignment pad byte)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = canonical.slice(0, 36) ++ list ++ canonical.slice(36, canonical.length)
+    // fix up the RIFF size field (bytes 4-7, LE)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val feats2 = AudioCodec.decode(8L, spliced)
+    assert(feats2.copy(doc_id = 7L) == feats)
+    // non-RIFF bytes fail loudly, not silently
+    val err = intercept[IllegalArgumentException](
+      AudioCodec.decode(9L, "not audio at all".getBytes("US-ASCII")))
+    assert(err.getMessage.contains("RIFF"))
+  }
+
+  test("square-wave WAV features are exactly closed-form through the pipeline") {
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.synthWavAssets(spark, sfTiny))
+      .collect().sortBy(_.doc_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val amp = 1000 + f.doc_id * 13 % 20000
+      assert(f.n_samples == 800 + f.doc_id % 800)
+      assert(f.peak == amp && f.rms == amp.toDouble, s"doc ${f.doc_id}")
+      assert(f.duration_ms == f.n_samples * 1000 / 8000)
+    }
+  }
 }
