@@ -422,6 +422,30 @@ object Relational {
             sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("running_value"))
     },
 
+    // Offset window functions (lag/lead/ntile) — inter-row sequence
+    // analytics over the same per-user event ordering; the gap to the
+    // previous event and the position of the next complete the window
+    // vocabulary next to rank and running frames. Deterministic
+    // ordering tie-break on event_id, integer outputs throughout.
+    sql("window_lag_lead",
+      """SELECT event_id, user_id,
+        | lag(event_id) OVER w AS prev_event,
+        | lead(event_id) OVER w AS next_event,
+        | CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) AS BIGINT) AS micros_since_prev,
+        | ntile(4) OVER w AS session_quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event"),
+            lead(col("event_id"), 1).over(w).as("next_event"),
+            coalesce(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)),
+              lit(-1L)).cast("long").as("micros_since_prev"),
+            ntile(4).over(w).as("session_quartile"))
+    },
+
     // The reference's scalar expression vocabulary in one projection
     // (SURVEY.md §2 "Scalar expressions"): arithmetic, date parts,
     // string slice/concat/compare, casts.
