@@ -106,6 +106,43 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 11L), (1L, 12L), (2L, 14L)))
   }
 
+  test("PROPERTY: BandedRangeJoin equals the naive theta join across random bands") {
+    import org.apache.spark.sql.functions._
+    val ss = spark.newSession()
+    import ss.implicits._
+    graft.plans.BandedRangeJoin.install(ss)
+    val rnd = new scala.util.Random(42)
+    // sweep band widths smaller than, comparable to, and larger than
+    // the interval; negative values; BETWEEN syntax; asymmetric bounds
+    val cases = Seq(
+      (2.0, 50.0, "ge_le"),     // intervals span ~25 bins
+      (50.0, 50.0, "ge_le"),    // one-ish bin
+      (500.0, 50.0, "ge_le"),   // interval inside one bin
+      (37.0, 80.0, "between"),  // BETWEEN parse path
+      (11.0, 0.0, "strict"))    // zero-width strict band (empty-ish)
+    cases.foreach { case (w, span, shape) =>
+      val l = (0 until 150)
+        .map(i => (i.toLong, rnd.nextInt(2000).toDouble - 1000)).toDF("lid", "lx")
+      val r = (0 until 150)
+        .map(i => (i.toLong, rnd.nextInt(2000).toDouble - 1000)).toDF("rid", "rx")
+      val cond = shape match {
+        case "ge_le" => col("rx") >= col("lx") - span && col("rx") <= col("lx") + span
+        case "between" => col("rx").between(col("lx") - span, col("lx") + span)
+        case _ => col("rx") > col("lx") && col("rx") < col("lx") + span
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      ss.conf.unset(graft.plans.BandedRangeJoin.BinConf)
+      val naive = rows(l.join(r, cond))
+      ss.conf.set(graft.plans.BandedRangeJoin.BinConf, w.toString)
+      val banded = l.join(r, cond)
+      assert(!planOf(banded).contains("BroadcastNestedLoopJoin"),
+        s"W=$w span=$span $shape: not rewritten")
+      assert(rows(banded) == naive, s"W=$w span=$span $shape: rows diverge")
+    }
+    ss.conf.unset(graft.plans.BandedRangeJoin.BinConf)
+  }
+
   test("BandedRangeJoin leaves equi-joins and unset-conf sessions untouched") {
     import org.apache.spark.sql.functions._
     val ss = spark.newSession()
