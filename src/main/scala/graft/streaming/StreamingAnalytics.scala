@@ -86,4 +86,99 @@ object StreamingAnalytics {
     * state evicted after). Batch flavor: plain `dropDuplicates`. */
   def dedupWithinWatermark(events: DataFrame, delay: String, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
+  // ---- streaming AS-OF join ------------------------------------------
+
+  /** One tagged input event of [[streamAsOfJoin]]: left rows are the
+    * probe side (each emits exactly one match), right rows the
+    * reference side ("latest right at or before the left's ts"). */
+  final case class AsOfIn(key: Long, ts: java.sql.Timestamp, isRight: Boolean, id: Long)
+
+  /** One as-of match: left-join semantics — `asof_*` is None when no
+    * right row precedes the left. */
+  final case class AsOfMatch(key: Long, left_id: Long, left_ts: java.sql.Timestamp,
+                             asof_id: Option[Long], asof_ts: Option[java.sql.Timestamp])
+
+  /** Per-key buffers: unfinalized lefts and still-reachable rights,
+    * both as (tsMicros, id). */
+  final case class AsOfBuf(lefts: List[(Long, Long)], rights: List[(Long, Long)])
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+  private def toTs(micros: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(micros / 1000L)
+    t.setNanos((micros % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** STREAMING AS-OF join — the continuous form of
+    * [[graft.operators.AsOfJoin.asOfLeft]], which Spark's native
+    * stream-stream join cannot express (its state eviction needs a
+    * two-sided time RANGE; as-of's "latest right so far" keeps ONE
+    * right row alive indefinitely). `flatMapGroupsWithState` with
+    * event-time timeout instead:
+    *
+    *  - a left row BUFFERS until the watermark passes its event time —
+    *    only then can no earlier right row still arrive (the watermark
+    *    contract), so each left finalizes EXACTLY ONCE with the true
+    *    latest right at-or-before it, late rights included;
+    *  - rights buffer sorted; finalization matches by binary scan;
+    *    eviction keeps every right newer than the watermark PLUS the
+    *    single newest right at-or-below it (the candidate for every
+    *    future left) — state per key is bounded by `delay` of traffic
+    *    plus one row, the as-of analogue of the range join's
+    *    two-sided eviction;
+    *  - the event-time timeout re-finalizes a key when the watermark
+    *    advances without new events for it, so quiet keys still flush.
+    *
+    * Ties: a right at exactly the left's ts matches (inclusive <=,
+    * same as the batch operator); equal-ts rights resolve to the
+    * larger id (mirror the registered query's max() dedup). Emission
+    * order inside a batch is deterministic (ts, then id). */
+  def streamAsOfJoin(events: org.apache.spark.sql.Dataset[AsOfIn],
+                     delay: String = "1 hour"): org.apache.spark.sql.Dataset[AsOfMatch] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF().withWatermark("ts", delay).as[AsOfIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          val st0 = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val incoming = it.toList
+          val lefts = st0.lefts ++
+            incoming.filterNot(_.isRight).map(e => (tsMicros(e.ts), e.id))
+          // rights sorted by (ts, id): the last element <= a left's ts
+          // is its match; equal-ts rights resolve to the larger id
+          val rights = (st0.rights ++
+            incoming.filter(_.isRight).map(e => (tsMicros(e.ts), e.id)))
+            .sortBy(identity)
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          // finalize lefts the watermark has passed (strictly: a right
+          // AT the watermark may still arrive in some semantics — be
+          // conservative and require wm beyond the left's ts)
+          val (done, pending) = lefts.partition(_._1 < wmMicros)
+          val out = done.sortBy(identity).map { case (lts, lid) =>
+            val m = rights.takeWhile(_._1 <= lts).lastOption
+            AsOfMatch(key, lid, toTs(lts), m.map(_._2), m.map(r => toTs(r._1)))
+          }
+          // evict: rights newer than the watermark stay (future lefts
+          // may precede them); of the rest only the newest survives as
+          // the standing candidate
+          val (past, future) = rights.partition(_._1 <= wmMicros)
+          val kept = past.lastOption.toList ++ future
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(pending, kept))
+            if (pending.nonEmpty) {
+              // wake this key when the watermark passes its earliest
+              // pending left, even if no new events arrive for it
+              val wake = (pending.map(_._1).min / 1000L) + 1L
+              state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
 }

@@ -177,6 +177,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming as-of join: late rights match, lefts emit once, equals batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.StreamingAnalytics.{streamAsOfJoin, AsOfIn}
+    def t(s: String) = Timestamp.valueOf(s)
+    val src = MemoryStream[AsOfIn]
+    val out = streamAsOfJoin(src.toDS(), delay = "10 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("asof_stream").outputMode("append").start()
+    try {
+      // batch 1: key 1 rights at :10; lefts at :05 (no match yet
+      // possible) and :25 — both stay PENDING (watermark still behind)
+      src.addData(
+        AsOfIn(1L, t("2026-01-01 00:00:10"), isRight = true, id = 100),
+        AsOfIn(1L, t("2026-01-01 00:00:05"), isRight = false, id = 1),
+        AsOfIn(1L, t("2026-01-01 00:00:25"), isRight = false, id = 2))
+      query.processAllAvailable()
+      // batch 2: a LATE right at :22 (older than the already-seen left
+      // at :25, inside the 10 s watermark delay) — an eager matcher
+      // would have finalized left 2 against right 100; correct
+      // buffering must yield right 200
+      src.addData(AsOfIn(1L, t("2026-01-01 00:00:22"), isRight = true, id = 200))
+      query.processAllAvailable()
+      // batch 3: a far-future event on another key advances the
+      // watermark past every key-1 left, flushing them
+      src.addData(AsOfIn(9L, t("2026-01-01 01:00:00"), isRight = false, id = 999))
+      query.processAllAvailable()
+      val got = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      // left 1 (:05) precedes every right → None; left 2 (:25) takes
+      // the LATE right 200, not the eagerly-available 100
+      assert(got == Set((1L, 1L, None), (1L, 2L, Some(200L))), s"got $got")
+      // equals the batch as-of on the same finalized data
+      val batch = Seq((1L, t("2026-01-01 00:00:05"), 1L), (1L, t("2026-01-01 00:00:25"), 2L))
+        .map { case (k, ts, id) =>
+          val rights = Seq((t("2026-01-01 00:00:10"), 100L), (t("2026-01-01 00:00:22"), 200L))
+          val m = rights.filter(!_._1.after(ts)).sortBy(r => (r._1.getTime, r._2)).lastOption
+          (k, id, m.map(_._2))
+        }.toSet
+      assert(got == batch)
+    } finally query.stop()
+  }
+
+  test("streaming as-of join: equal-ts right matches inclusively, larger id wins") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.StreamingAnalytics.{streamAsOfJoin, AsOfIn}
+    def t(s: String) = Timestamp.valueOf(s)
+    val src = MemoryStream[AsOfIn]
+    val out = streamAsOfJoin(src.toDS(), delay = "5 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("asof_ties").outputMode("append").start()
+    try {
+      src.addData(
+        AsOfIn(1L, t("2026-01-01 00:00:10"), isRight = true, id = 7),
+        AsOfIn(1L, t("2026-01-01 00:00:10"), isRight = true, id = 9), // equal ts
+        AsOfIn(1L, t("2026-01-01 00:00:10"), isRight = false, id = 1)) // left AT right ts
+      query.processAllAvailable()
+      src.addData(AsOfIn(9L, t("2026-01-01 01:00:00"), isRight = false, id = 999))
+      query.processAllAvailable()
+      val got = spark.table("asof_ties").collect()
+        .map(r => (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(got == Set((1L, Some(9L))), s"inclusive tie, larger id: $got")
+    } finally query.stop()
+  }
+
   test("streaming curation: quality gate + fingerprint dedup over micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
