@@ -596,6 +596,59 @@ object Relational {
             col("asof_click_id"), col("asof_ts").as("asof_click_ts"))
     },
 
+    // The CONTINUOUS as-of join behind the hash gate: the same
+    // purchases-to-latest-click enrichment, but run through
+    // StreamingAnalytics.streamAsOfJoin as real micro-batches (events
+    // split into two ts-ordered batches — the watermark advances
+    // between them, so early lefts finalize while later ones buffer —
+    // plus a far-future sentinel on an unused key to flush the tail).
+    // Same DuckDB ASOF oracle as events_asof_join, so any divergence
+    // between the streaming operator and batch semantics fails the
+    // hash. Equal-ts click dedup falls out of the operator's
+    // larger-id tie rule (the batch query's max() pre-agg).
+    sql("events_asof_stream",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingAnalytics.{streamAsOfJoin, AsOfIn}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", 8)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), (col("event_type") === "click").as("isRight"),
+            col("event_id"))
+          .as[(Long, java.sql.Timestamp, Boolean, Long)]
+          .collect().map(r => AsOfIn(r._1, r._2, r._3, r._4))
+          .sortBy(e => (e.ts.getTime, e.id))
+        val src = MemoryStream[AsOfIn]
+        val out = streamAsOfJoin(src.toDS(), delay = "1 second")
+        val query = out.writeStream
+          .format("memory").queryName("events_asof_stream_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          // sentinel: unused key far past every event, flushes the tail
+          src.addData(AsOfIn(-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            isRight = false, id = -1L))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_asof_stream_sink")
+          .filter(col("key") >= 0)
+          .select(col("left_id").as("event_id"), col("key").as("user_id"),
+            col("left_ts").as("ts"), col("asof_id").as("asof_click_id"),
+            col("asof_ts").as("asof_click_ts"))
+    },
+
     // Exact interpolated percentiles — Spark percentile_cont and DuckDB
     // quantile_cont share the linear-interpolation definition, so the
     // doubles match bit-for-bit. (A sort-based exact aggregate; at
