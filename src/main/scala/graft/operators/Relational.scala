@@ -393,6 +393,24 @@ object Relational {
         .select("n_nationkey", "n_name", "s_suppkey", "s_name")
     },
 
+    // Full outer join — both unmatched sides survive with NULLs. The
+    // probe filters make both sides partial (customers outside the
+    // window, orders of excluded customers), so null-padding is
+    // exercised in BOTH directions.
+    sql("full_outer_join",
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_custkey
+        |FROM c FULL JOIN o ON c.c_custkey = o.o_custkey""".stripMargin) {
+      (s, d) =>
+        val c = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+          .select("c_custkey", "c_name")
+        val o = Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
+          .select("o_orderkey", "o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select("c_custkey", "c_name", "o_orderkey", "o_custkey")
+    },
+
     // Window function: ranking within a partition (absent in reference).
     sql("window_rank",
       """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
