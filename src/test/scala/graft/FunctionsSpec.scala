@@ -284,6 +284,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaCol.toSeq && viaSql.nonEmpty)
   }
 
+  test("PLAN AUDIT: kmv_distinct aggregates partially map-side (sketches merge)") {
+    val plan = SparkEntry.queries("agg_kmv_distinct")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate in two
+    // stages — partial before the exchange, final after — so the
+    // shuffle carries k-long sketch buffers, not raw rows
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, plan)
+    assert(plan.contains("partial_kmv_distinct"), plan)
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
