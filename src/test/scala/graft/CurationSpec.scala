@@ -114,6 +114,27 @@ class CurationSpec extends AnyFunSuite {
     assert(fps.length == fps.distinct.length)
   }
 
+  test("winnowing decontamination agrees with a locally-computed fp join") {
+    val got = q("decontaminate_winnowing").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.keys.foreach { case (tr, ev) =>
+      assert(tr % 97 != 0 && ev % 97 == 0, s"split leaked: ($tr, $ev)")
+    }
+    // local reference: distinct (doc, fp) sets joined in plain Scala
+    val fps = graft.operators.TextAnalysis.winnow(
+        Tables.documents(s, d).select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+      .select("doc_id", "fp").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      (trId, trFps) <- byDoc.toSeq if trId % 97 != 0
+      (evId, evFps) <- byDoc if evId % 97 == 0
+      n = (trFps & evFps).size if n >= 20
+    } yield (trId, evId) -> n.toLong).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("weighted sampling is PPS-biased toward long docs and deterministic") {
     val rows = q("sample_weighted").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Int]("n_chars")))
