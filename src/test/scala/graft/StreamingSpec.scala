@@ -177,6 +177,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("native session_window merges gap-bounded streaming sessions in append mode") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val src = MemoryStream[(Long, Timestamp)]
+    // 10-minute gap sessions: events within 10 min of each other merge,
+    // a longer quiet period closes the session (the native streaming
+    // form of the batch events_sessionize lag/sum window)
+    val sessions = src.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_win").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min
+      // silence, then one more (second session); split across batches
+      src.addData((1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:05:00")))
+      query.processAllAvailable()
+      src.addData((1L, t("2026-01-01 10:35:00")))
+      query.processAllAvailable()
+      // watermark advance finalizes both sessions
+      src.addData((9L, t("2026-01-01 12:00:00")))
+      query.processAllAvailable()
+      val got = spark.table("sess_win").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getTimestamp(1), r.getLong(2))).toSet
+      assert(got == Set((t("2026-01-01 10:00:00"), 2L), (t("2026-01-01 10:35:00"), 1L)),
+        s"sessions: $got")
+    } finally query.stop()
+  }
+
   test("streaming as-of join: late rights match, lefts emit once, equals batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
