@@ -6,10 +6,31 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfTiny}
 
-  test("every registered query runs and returns a non-empty schema") {
+  test("every registered query runs, has a schema, and plans no nested loop") {
+    // Declared exceptions — every one a broadcast join whose build
+    // side is BOUNDED BY CONSTRUCTION (Spark names any non-equi
+    // broadcast join BroadcastNestedLoopJoin; with a constant-size
+    // side that is O(stream-side) work, not a quadratic blowup):
+    //  - ann_bruteforce_topk: tiny broadcast query set (the declared
+    //    brute baseline; ann_lsh_topk / ann_ivf_topk are the scale
+    //    paths beside it);
+    //  - ann_ivf_topk / dedup_semantic_kmeans: the FIXED-k centroid
+    //    broadcast — corpus × k assignment dots are the IVF/k-means
+    //    contract, and k never grows with the corpus (seedCentroids);
+    //  - mixture_weights / text_top_terms / text_boilerplate_ngrams:
+    //    a ONE-ROW corpus-stat scalar broadcast (chosen over a
+    //    driver-side count() round trip).
+    // Everything else must plan hash/merge joins only.
+    val nljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk", "dedup_semantic_kmeans",
+      "mixture_weights", "text_top_terms", "text_boilerplate_ngrams")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.schema.nonEmpty, s"$name has empty schema")
+      if (!nljAllowed(name)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"$name plans a nested-loop join:\n$plan")
+      }
     }
   }
 
