@@ -670,6 +670,26 @@ object IncrementalQueries {
             "l_extendedprice", "l_returnflag", "l_shipdate")
     },
 
+    // CSV source round trip — the remaining text format next to the
+    // reference's pipe-CDC: rows render through to_csv (longs,
+    // strings, a double, and a TIMESTAMP, whose default format must
+    // parse back losslessly) and return via from_csv with the original
+    // schema; the oracle reads the same columns straight from parquet,
+    // so any quoting/escape/type-format asymmetry between the writer
+    // and parser fails the value hash. Both directions are codegen'd
+    // row-local expressions — scan-shaped, no shuffle.
+    sql("csv_roundtrip_orders",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin) {
+      (s, d) =>
+        val o = Tables.orders(s, d)
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+        val schema = org.apache.spark.sql.types.StructType(cols.map(c => o.schema(c)))
+        o.select(to_csv(struct(cols.map(col): _*)).as("line"))
+          .select(from_csv(col("line"), schema, Map.empty[String, String]).as("r"))
+          .select(cols.map(c => col(s"r.$c")): _*)
+    },
+
     sql("incremental_q10",
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
