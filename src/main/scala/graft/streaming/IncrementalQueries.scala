@@ -790,6 +790,42 @@ object IncrementalQueries {
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Stream),
 
+    // LEFT OUTER over the MAINTAINED view — the enrichment shape a
+    // reference user actually consumes: every customer (dimension
+    // lookup via broadcast nation join), null-padded where no Q10
+    // group survives the changelog, n_rows coalesced to 0. The outer
+    // join is presentation over the incrementally maintained groups
+    // (like HAVING/ORDER BY), so retraction correctness stays the
+    // engine's concern and the padding is a stateless join — a
+    // customer whose last lineitem dies reverts to the padded row on
+    // the next read of the view.
+    sql("incremental_q10_outer",
+      s"""WITH v AS (
+         | SELECT c_custkey,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         |  COUNT(*) AS n
+         | FROM customer, orders, lineitem, nation
+         | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND c_nationkey = n_nationkey
+         |  AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |  AND l_returnflag = 'R'
+         |  AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         | GROUP BY c_custkey)
+         |SELECT c.c_custkey, n.n_name, v.revenue_e4,
+         | CAST(coalesce(v.n, 0) AS BIGINT) AS n_rows
+         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |LEFT JOIN v ON v.c_custkey = c.c_custkey""".stripMargin) {
+      (s, dir) =>
+        val view = incrementalQ10(s, dir)
+          .select(col("c_custkey"), col("revenue_e4"), col("n_rows").as("__n"))
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(view, Seq("c_custkey"), "left")
+          .select(col("c_custkey"), col("n_name"), col("revenue_e4"),
+            coalesce(col("__n"), lit(0L)).as("n_rows"))
+    },
+
     // SQL text → compiled plan → the CONTINUOUS engine (runStream over
     // raw streams, eventFilter pushdown) — same oracle as
     // incremental_q10.
