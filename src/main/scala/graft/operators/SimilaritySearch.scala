@@ -56,6 +56,36 @@ object SimilaritySearch {
 
   val defs: Seq[GraftQuery] = Seq(
 
+    // Per-label embedding centroids — the class-prototype computation
+    // (semantic-dedup seeds, classifier prototypes, cluster summaries)
+    // as ONE hash-aggregate: posexplode to (label, dim) and sum
+    // scaled-integer elements, so map-side combine reduces each
+    // partition to |labels|·dims longs and float accumulation ORDER
+    // can never change the result (the pitfall of naive elementwise
+    // double means at cluster scale). Exactness: float→double widening
+    // is exact, ×1e7 + half-up round is bit-identical in both engines,
+    // integer sums are exact, and the final two divisions are IEEE —
+    // which is what puts a CENTROID behind the value-hash gate. Flat
+    // (label, pos, mean) rows; assemble arrays downstream if needed.
+    sql("embedding_centroids",
+      """WITH x AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000, 0) AS BIGINT) AS s
+        | FROM embeddings)
+        |SELECT label, pos,
+        | CAST(SUM(s) AS DOUBLE) / COUNT(*) / 10000000.0 AS mean_val,
+        | CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |FROM x GROUP BY label, pos""".stripMargin) {
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+          .select(col("label"), col("pos"),
+            round(col("e").cast("double") * 10000000, 0).cast("long").as("s"))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("s")).cast("double") / count(lit(1)) / lit(10000000.0)).as("mean_val"),
+            count(lit(1)).as("n_vectors"))
+    },
+
     sql("ann_bruteforce_topk",
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize)
