@@ -685,6 +685,42 @@ object Relational {
             expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
     },
 
+    // Funnel analysis — ordered-stage conversion per user (the
+    // product-analytics staple): a user converts through
+    // click → view → purchase when each stage's FIRST occurrence
+    // follows the previous stage's. One hash-aggregate computes the
+    // three first-occurrence times (min over a conditional — map-side
+    // combinable), and the stage comparisons are a projection; no
+    // window, no self-join, one shuffle on user_id.
+    sql("events_funnel",
+      """WITH f AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        | FROM events GROUP BY user_id)
+        |SELECT user_id,
+        | (t_click IS NOT NULL) AS reached_click,
+        | (t_click IS NOT NULL AND t_view IS NOT NULL AND t_view > t_click) AS reached_view,
+        | (t_click IS NOT NULL AND t_view IS NOT NULL AND t_view > t_click
+        |  AND t_purchase IS NOT NULL AND t_purchase > t_view) AS reached_purchase
+        |FROM f""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+          .select(col("user_id"),
+            col("t_click").isNotNull.as("reached_click"),
+            (col("t_click").isNotNull && col("t_view").isNotNull &&
+              col("t_view") > col("t_click")).as("reached_view"),
+            (col("t_click").isNotNull && col("t_view").isNotNull &&
+              col("t_view") > col("t_click") && col("t_purchase").isNotNull &&
+              col("t_purchase") > col("t_view")).as("reached_purchase"))
+    },
+
     // Histogram quantile estimate — the MERGEABLE-sketch counterpart
     // of events_percentiles: percentile_cont needs the group's sorted
     // values in one place (a full shuffle of raw rows), while a

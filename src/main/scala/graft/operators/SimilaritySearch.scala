@@ -117,6 +117,54 @@ object SimilaritySearch {
             floorRound6(col("c")).as("cos_sim"))
     },
 
+    // kNN CLASSIFICATION — labels put the search surface to work: each
+    // query vector takes the majority label of its K nearest neighbors
+    // (two-phase top-k as above, then one tiny aggregate over K rows
+    // per query). Deterministic end to end: neighbor ties break on
+    // vec_id, label-vote ties on the smaller label — so a CLASSIFIER
+    // sits behind the value-hash gate. Same bounded broadcast-scan
+    // shape as ann_bruteforce_topk (the declared survey baseline); the
+    // LSH/IVF paths swap in as the candidate generator at corpus
+    // scale.
+    sql("ann_knn_classify",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize),
+         |nn AS (
+         | SELECT query_id, label FROM (
+         |  SELECT q.query_id, e.label,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rnk
+         |  FROM q, e WHERE e.vec_id <> q.query_id) t
+         | WHERE rnk <= 10),
+         |votes AS (SELECT query_id, label, COUNT(*) AS n FROM nn GROUP BY 1, 2)
+         |SELECT query_id, label AS predicted_label, CAST(n AS BIGINT) AS votes FROM (
+         | SELECT query_id, label, n,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n DESC, label) AS r
+         | FROM votes) v WHERE r = 1""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("label"),
+            cosine(col("qv"), col("v")).as("c"))
+        val local = Window.partitionBy(col("query_id"), spark_partition_id())
+          .orderBy(col("c").desc, col("vec_id"))
+        val global = Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("vec_id"))
+        val voteOrder = Window.partitionBy(col("query_id"))
+          .orderBy(col("n").desc, col("label"))
+        scored
+          .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 10).drop("lrnk")
+          .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= 10)
+          .groupBy(col("query_id"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("r", row_number().over(voteOrder)).filter(col("r") === 1)
+          .select(col("query_id"), col("label").as("predicted_label"),
+            col("n").cast("long").as("votes"))
+    },
+
     // IVF (inverted-file) ANN — the production scale path: a coarse
     // quantizer (FIXED-SIZE deterministic centroid sample, see
     // seedCentroids) partitions the corpus into cells; a query probes

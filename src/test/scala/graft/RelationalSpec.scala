@@ -21,8 +21,8 @@ class RelationalSpec extends AnyFunSuite {
     //    a ONE-ROW corpus-stat scalar broadcast (chosen over a
     //    driver-side count() round trip).
     // Everything else must plan hash/merge joins only.
-    val nljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk", "dedup_semantic_kmeans",
-      "mixture_weights", "text_top_terms", "text_boilerplate_ngrams")
+    val nljAllowed = Set("ann_bruteforce_topk", "ann_knn_classify", "ann_ivf_topk",
+      "dedup_semantic_kmeans", "mixture_weights", "text_top_terms", "text_boilerplate_ngrams")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.schema.nonEmpty, s"$name has empty schema")
