@@ -41,6 +41,17 @@ case class KmvDistinctAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
 
+  // SQL misuse (`kmv_distinct(md5(x), k)` — a string, the natural slip
+  // given the md5 bridge convention) must fail at ANALYSIS with a
+  // named error, not as a per-task ClassCastException in update()
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_distinct expects a BIGINT hash (use the md5→long bridge: " +
+          s"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)), got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 

@@ -302,27 +302,10 @@ object Curation {
     // on this corpus. Same eval/train split convention as the 5-gram
     // entry.
     sql("decontaminate_winnowing",
-      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-         |           FROM documents),
-         |f AS (SELECT doc_id, s FROM n WHERE length(s) >= 8),
-         |g AS (SELECT doc_id, unnest(generate_series(1, length(s) - 7)) AS pos, s FROM f),
-         |h AS (SELECT doc_id, pos,
-         |        list_reduce(list_prepend(0::HUGEINT,
-         |          list_transform(generate_series(pos, pos + 7),
-         |            j -> unicode(substr(s, j, 1))::HUGEINT)),
-         |          (acc, c) -> (acc * ${graft.functions.RollingKgramHashes.Prime}::HUGEINT + c)
-         |            % 18446744073709551616::HUGEINT) AS hm
-         |      FROM g),
-         |p AS (SELECT doc_id, pos,
-         |        CAST(hm % 17592186044416::HUGEINT AS BIGINT) * 65536 + pos % 65536 AS hp
-         |      FROM h),
-         |w AS (SELECT doc_id, pos,
-         |        MIN(hp) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
-         |      FROM p),
-         |sel AS (SELECT DISTINCT doc_id, mn // 65536 AS fp FROM w WHERE pos >= 4),
-         |ev AS (SELECT doc_id AS eval_id, fp FROM sel WHERE doc_id % 97 = 0),
-         |tr AS (SELECT doc_id AS train_id, fp FROM sel WHERE doc_id % 97 <> 0)
+      s"""WITH ${graft.operators.TextAnalysis.winnowOracleCtes},
+         |fps AS (SELECT DISTINCT doc_id, mn // 65536 AS fp FROM sel),
+         |ev AS (SELECT doc_id AS eval_id, fp FROM fps WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id AS train_id, fp FROM fps WHERE doc_id % 97 <> 0)
          |SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS shared_fps
          |FROM tr JOIN ev USING (fp)
          |GROUP BY train_id, eval_id

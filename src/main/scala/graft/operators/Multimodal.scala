@@ -194,6 +194,7 @@ object Multimodal {
       while (bb.remaining() >= 8 && (rate == 0 || samples == null)) {
         val cid = ascii(4)
         val len = bb.getInt
+        require(len >= 0, s"doc $id: corrupt chunk '$cid' with negative length $len")
         val next = bb.position() + len + (len & 1) // chunks are word-aligned
         cid match {
           case "fmt " =>
@@ -204,7 +205,6 @@ object Multimodal {
             bb.getInt; bb.getShort // byte rate, block align
             bits = bb.getShort
           case "data" =>
-            require(bits == 16 || rate == 0, s"doc $id: only 16-bit PCM supported")
             samples = new Array[Short](len / 2)
             bb.asShortBuffer().get(samples)
           case _ => // skip LIST/INFO/etc.
@@ -212,6 +212,10 @@ object Multimodal {
         bb.position(math.min(next, bytes.length))
       }
       require(rate > 0 && samples != null, s"doc $id: missing fmt /data chunk")
+      // validated AFTER the walk: with data-before-fmt layouts the bit
+      // depth is only known once both chunks parsed — checking inside
+      // the data case would silently int16-decode an 8/24-bit stream
+      require(bits == 16, s"doc $id: only 16-bit PCM supported, got $bits")
       var peak = 0L
       var sumSq = 0.0
       samples.foreach { v =>

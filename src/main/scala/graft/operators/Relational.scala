@@ -802,9 +802,14 @@ object Relational {
         | ON a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin) {
       (s, d) =>
-        graft.plans.BandedRangeJoin.install(s)
-        s.conf.set(graft.plans.BandedRangeJoin.BinConf, "3600")
-        val ev = Tables.events(s, d)
+        // CHILD session: the rule install and bin conf must not leak
+        // into the caller's session — other queries' plans (and the
+        // surface-wide plan audit) would otherwise depend on whether
+        // this entry ran first
+        val ss = s.newSession()
+        graft.plans.BandedRangeJoin.install(ss)
+        ss.conf.set(graft.plans.BandedRangeJoin.BinConf, "3600")
+        val ev = Tables.events(ss, d)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
         val purchases = ev.filter(col("event_type") === "purchase")

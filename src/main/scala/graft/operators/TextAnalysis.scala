@@ -55,6 +55,33 @@ object TextAnalysis {
     * the guarantee spec) can winnow any document frame. */
   val WinnowK = 8
   val WinnowW = 4
+
+  /** The winnowing pipeline as DuckDB CTEs (normalize → k-gram rolling
+    * hashes → (hash, pos) packing → windowed min → distinct picks),
+    * shared by every oracle that mirrors [[winnow]] — ONE definition
+    * keeps the constants (k, w, the 2^44 mask, the 65536 packing) in
+    * lockstep across gates. Ends with `sel(doc_id, mn)`; callers
+    * unpack `mn // 65536 AS fp` / `mn % 65536 AS pos`. */
+  def winnowOracleCtes: String =
+    s"""n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |           FROM documents),
+       |f AS (SELECT doc_id, s FROM n WHERE length(s) >= $WinnowK),
+       |g AS (SELECT doc_id, unnest(generate_series(1, length(s) - ${WinnowK - 1})) AS pos, s FROM f),
+       |h AS (SELECT doc_id, pos,
+       |        list_reduce(list_prepend(0::HUGEINT,
+       |          list_transform(generate_series(pos, pos + ${WinnowK - 1}),
+       |            j -> unicode(substr(s, j, 1))::HUGEINT)),
+       |          (acc, c) -> (acc * ${graft.functions.RollingKgramHashes.Prime}::HUGEINT + c)
+       |            % 18446744073709551616::HUGEINT) AS hm
+       |      FROM g),
+       |p AS (SELECT doc_id, pos,
+       |        CAST(hm % 17592186044416::HUGEINT AS BIGINT) * 65536 + pos % 65536 AS hp
+       |      FROM h),
+       |w AS (SELECT doc_id, pos,
+       |        MIN(hp) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mn
+       |      FROM p),
+       |sel AS (SELECT DISTINCT doc_id, mn FROM w WHERE pos >= $WinnowW)""".stripMargin
   def winnow(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
@@ -237,25 +264,7 @@ object TextAnalysis {
     // in the pack (documented wrap for >65k-char docs; the hash bits
     // above keep minima sound).
     sql("text_winnowing",
-      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-         |           FROM documents),
-         |f AS (SELECT doc_id, s FROM n WHERE length(s) >= 8),
-         |g AS (SELECT doc_id, unnest(generate_series(1, length(s) - 7)) AS pos, s FROM f),
-         |h AS (SELECT doc_id, pos,
-         |        list_reduce(list_prepend(0::HUGEINT,
-         |          list_transform(generate_series(pos, pos + 7),
-         |            j -> unicode(substr(s, j, 1))::HUGEINT)),
-         |          (acc, c) -> (acc * ${graft.functions.RollingKgramHashes.Prime}::HUGEINT + c)
-         |            % 18446744073709551616::HUGEINT) AS hm
-         |      FROM g),
-         |p AS (SELECT doc_id, pos,
-         |        CAST(hm % 17592186044416::HUGEINT AS BIGINT) * 65536 + pos % 65536 AS hp
-         |      FROM h),
-         |w AS (SELECT doc_id, pos,
-         |        MIN(hp) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
-         |      FROM p),
-         |sel AS (SELECT DISTINCT doc_id, mn FROM w WHERE pos >= 4)
+      s"""WITH $winnowOracleCtes
          |SELECT doc_id, mn // 65536 AS fp, mn % 65536 AS pos FROM sel""".stripMargin) {
       (s, d) => winnow(Tables.documents(s, d).select(col("doc_id"), col("text")))
     })

@@ -98,8 +98,13 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => w
   }
 
+  /** TRY-cast the floored bin to long: a NaN/infinite bound (legal
+    * data the original theta join simply would not match) must become
+    * a null bin — which the equi-join/Explode drops — not an ANSI cast
+    * error that kills the whole query. */
   private def bin(e: Expression, w: Double): Expression =
-    Cast(Floor(Divide(axis(e), Literal(axisWidth(e, w), DoubleType))), LongType)
+    Cast(Floor(Divide(axis(e), Literal(axisWidth(e, w), DoubleType))), LongType,
+      timeZoneId = None, EvalMode.TRY)
 
   private final case class Band(x: Expression, xOnLeft: Boolean,
                                 lo: Expression, hi: Expression)
@@ -156,9 +161,17 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
       // stays unresolved and the optimizer rejects the rewritten plan
       // (the bins themselves are plain longs; the zone is never used)
-      val seq = Sequence(bin(band.lo, w), bin(band.hi, w), Some(Literal(1L, LongType)),
+      val binLo = bin(band.lo, w)
+      val binHi = bin(band.hi, w)
+      val seq = Sequence(binLo, binHi, Some(Literal(1L, LongType)),
         Some(SQLConf.get.sessionLocalTimeZone))
-      val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+      // INVERTED bounds (lo > hi on some row — legal data; the theta
+      // join just emits nothing for it) must yield an empty probe set,
+      // not Sequence's 'illegal boundaries' error: a null sequence
+      // makes the non-outer Explode emit zero rows for exactly that row
+      val guarded = If(LessThanOrEqual(binLo, binHi), seq,
+        Literal.create(null, seq.dataType))
+      val gen = Generate(Explode(guarded), unrequiredChildIndex = Nil, outer = false,
         qualifier = None, generatorOutput = Seq(probe), child = bSide)
       val newCond = And(EqualTo(xBin.toAttribute, probe), j.condition.get)
       val (newL, newR) = if (band.xOnLeft) (xProj, gen) else (gen, xProj)

@@ -284,6 +284,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaCol.toSeq && viaSql.nonEmpty)
   }
 
+  test("kmv_distinct rejects non-BIGINT input at analysis with a named error") {
+    graft.functions.GraftFunctions.register(spark)
+    val ss = spark
+    import ss.implicits._
+    Seq(("g", "x")).toDF("g", "v").createOrReplaceTempView("kmv_bad")
+    // md5(v) is a STRING — the natural slip; must fail analysis, not
+    // die per-task with a ClassCastException
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT g, kmv_distinct(md5(v), 64) FROM kmv_bad GROUP BY g").collect())
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("PLAN AUDIT: kmv_distinct aggregates partially map-side (sketches merge)") {
     val plan = SparkEntry.queries("agg_kmv_distinct")(spark, sfTiny)
       .queryExecution.executedPlan.toString

@@ -121,6 +121,23 @@ class MultimodalSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](
       AudioCodec.decode(9L, "not audio at all".getBytes("US-ASCII")))
     assert(err.getMessage.contains("RIFF"))
+    // an 8-bit PCM file with the DATA chunk BEFORE fmt must fail loud
+    // ("only 16-bit"), never silently int16-decode: bit depth is only
+    // known after both chunks parse
+    val bb8 = java.nio.ByteBuffer.allocate(44 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb8.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb8.put("data".getBytes("US-ASCII")).putInt(4).put(Array[Byte](1, 2, 3, 4))
+    bb8.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8) // 8-bit!
+    val err8 = intercept[IllegalArgumentException](AudioCodec.decode(10L, bb8.array()))
+    assert(err8.getMessage.contains("16-bit"), err8.getMessage)
+    // corrupt negative chunk length fails loud instead of looping
+    val neg = canonical.clone()
+    val nb = java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nb.putInt(16, -8) // fmt chunk length
+    val errNeg = intercept[IllegalArgumentException](AudioCodec.decode(11L, neg))
+    assert(errNeg.getMessage.contains("negative"), errNeg.getMessage)
   }
 
   test("square-wave WAV features are exactly closed-form through the pipeline") {

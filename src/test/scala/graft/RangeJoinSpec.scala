@@ -143,6 +143,28 @@ class RangeJoinSpec extends AnyFunSuite {
     ss.conf.unset(graft.plans.BandedRangeJoin.BinConf)
   }
 
+  test("BandedRangeJoin survives inverted and NaN bounds (no-match, not a crash)") {
+    import org.apache.spark.sql.functions._
+    val ss = spark.newSession()
+    import ss.implicits._
+    graft.plans.BandedRangeJoin.install(ss)
+    // per-row INDEPENDENT bounds: row 1 is a normal interval, row 2 is
+    // inverted (lo > hi — the theta join emits nothing for it), row 3
+    // has a NaN bound. Sequence would throw 'illegal boundaries' on
+    // row 2 and an ANSI cast error on row 3 without the guards.
+    val l = Seq((1L, 0.0, 10.0), (2L, 100.0, 0.0), (3L, Double.NaN, 5.0))
+      .toDF("lid", "lo", "hi")
+    val r = Seq((10L, 5.0), (11L, 50.0)).toDF("rid", "rx")
+    def join = l.join(r, col("rx") >= col("lo") && col("rx") <= col("hi"))
+    ss.conf.unset(graft.plans.BandedRangeJoin.BinConf)
+    val naive = join.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    ss.conf.set(graft.plans.BandedRangeJoin.BinConf, "8")
+    assert(!planOf(join).contains("BroadcastNestedLoopJoin"))
+    val banded = join.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(banded == naive && banded == Set((1L, 10L)))
+    ss.conf.unset(graft.plans.BandedRangeJoin.BinConf)
+  }
+
   test("BandedRangeJoin leaves equi-joins and unset-conf sessions untouched") {
     import org.apache.spark.sql.functions._
     val ss = spark.newSession()
