@@ -13,7 +13,14 @@ import org.apache.spark.sql.SparkSession
   * and lets column pruning delete pure projections (a pure-`select`
   * query would then time only a parquet footer count). A warm-up first
   * so JIT/session init doesn't pollute q1. Full-inventory timings:
-  * `runMain graft.Profile`. */
+  * `runMain graft.Profile`.
+  *
+  * Every query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * recorded value is the MEDIAN (per-query min and n ride along under
+  * "runs"): two consecutive rounds recorded 19 s / 26.8 s for a query
+  * whose true warm cost is ~2.5 s because a single contended run on a
+  * loaded driver machine polluted the round record — a median of three
+  * cannot be polluted by one bad run. */
 object Bench {
   /** Runs the full physical plan, immune to count-pruning. */
   private def force(df: org.apache.spark.sql.DataFrame): Unit = {
@@ -48,18 +55,29 @@ object Bench {
 
     // failures report as -1 (never as a plausible-looking timing) and
     // are excluded from the total
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.benchNames.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val sec =
+      val secs = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      name -> sec
+      }
+      val ok = secs.filter(_ >= 0).sorted
+      // median of the successful runs; any failure marks the query -1
+      val median =
+        if (ok.size < secs.size || ok.isEmpty) -1.0
+        else if (ok.size % 2 == 1) ok(ok.size / 2)
+        else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
+      (name, median, if (ok.isEmpty) -1.0 else ok.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val runs = results.map { case (k, med, min) =>
+      "\"" + k + "\":{\"median\":" + med + ",\"min\":" + min + ",\"n\":" + n + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,20 @@ object VectorOps {
   def floorRound6(c: Column): Column =
     floor(c * 1000000 + 0.5) / 1000000
 
+  /** Similarity RANKING key: the 7-decimal half-up scaled integer of a
+    * double similarity. Every ANN ORDER BY ranks on this (ties broken
+    * by the id column that follows) instead of the raw double: a
+    * cross-engine rank flip — which would silently change categorical
+    * outputs like top-k membership, majority votes, or IVF cell
+    * assignment at the cutoff — then requires two candidates within
+    * 1e-7 of each other AND a rounding-boundary-straddling ulp, rather
+    * than any last-ulp divergence at any gap. The exposed cos_sim
+    * stays [[floorRound6]] of the raw value. */
+  def simRank7(c: Column): Column = floor(c * 10000000 + 0.5)
+
+  /** The DuckDB SQL mirror of [[simRank7]]. */
+  def simRank7Sql(e: String): String = s"FLOOR(($e) * 10000000 + 0.5)"
+
   /** Sign-projection LSH bucket in [0, 64): bit k is the sign of the
     * sum of the k-th 8-element slice of the vector. A deterministic
     * stand-in for random-hyperplane LSH (hyperplanes = axis-group

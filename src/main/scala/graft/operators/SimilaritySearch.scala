@@ -92,7 +92,7 @@ object SimilaritySearch {
          |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
          | SELECT q.query_id, e.vec_id AS neighbor_id,
          |  ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |    ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rnk,
+         |    ORDER BY FLOOR(list_cosine_similarity(q.qv, e.v) * 10000000 + 0.5) DESC, e.vec_id) AS rnk,
          |  FLOOR(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cos_sim
          | FROM q, e WHERE e.vec_id <> q.query_id) t
          |WHERE rnk <= $K""".stripMargin) {
@@ -106,10 +106,10 @@ object SimilaritySearch {
           .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("c"))
         // Phase 1: local top-k inside each scan partition (no shuffle).
         val local = Window.partitionBy(col("query_id"), spark_partition_id())
-          .orderBy(col("c").desc, col("neighbor_id"))
+          .orderBy(simRank7(col("c")).desc, col("neighbor_id"))
         // Phase 2: global top-k over the k·P survivors (tiny shuffle).
         val global = Window.partitionBy(col("query_id"))
-          .orderBy(col("c").desc, col("neighbor_id"))
+          .orderBy(simRank7(col("c")).desc, col("neighbor_id"))
         scored
           .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= K).drop("lrnk")
           .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= K)
@@ -120,7 +120,10 @@ object SimilaritySearch {
     // kNN CLASSIFICATION — labels put the search surface to work: each
     // query vector takes the majority label of its K nearest neighbors
     // (two-phase top-k as above, then one tiny aggregate over K rows
-    // per query). Deterministic end to end: neighbor ties break on
+    // per query). Deterministic end to end: neighbors rank on the
+    // scaled-integer [[VectorOps.simRank7]] key (a single rank flip at
+    // the K=10 cutoff would change the categorical vote, so the
+    // ordering must not hinge on last-ulp cosine bits), ties break on
     // vec_id, label-vote ties on the smaller label — so a CLASSIFIER
     // sits behind the value-hash gate. Same bounded broadcast-scan
     // shape as ann_bruteforce_topk (the declared survey baseline); the
@@ -133,7 +136,7 @@ object SimilaritySearch {
          | SELECT query_id, label FROM (
          |  SELECT q.query_id, e.label,
          |   ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |     ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rnk
+         |     ORDER BY FLOOR(list_cosine_similarity(q.qv, e.v) * 10000000 + 0.5) DESC, e.vec_id) AS rnk
          |  FROM q, e WHERE e.vec_id <> q.query_id) t
          | WHERE rnk <= 10),
          |votes AS (SELECT query_id, label, COUNT(*) AS n FROM nn GROUP BY 1, 2)
@@ -150,9 +153,9 @@ object SimilaritySearch {
           .select(col("query_id"), col("vec_id"), col("label"),
             cosine(col("qv"), col("v")).as("c"))
         val local = Window.partitionBy(col("query_id"), spark_partition_id())
-          .orderBy(col("c").desc, col("vec_id"))
+          .orderBy(simRank7(col("c")).desc, col("vec_id"))
         val global = Window.partitionBy(col("query_id"))
-          .orderBy(col("c").desc, col("vec_id"))
+          .orderBy(simRank7(col("c")).desc, col("vec_id"))
         val voteOrder = Window.partitionBy(col("query_id"))
           .orderBy(col("n").desc, col("label"))
         scored
@@ -181,14 +184,14 @@ object SimilaritySearch {
          | SELECT vec_id, v, cent_id FROM (
          |  SELECT e.vec_id, e.v, c.cent_id,
          |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS r
+         |     ORDER BY FLOOR(list_cosine_similarity(e.v, c.cv) * 10000000 + 0.5) DESC, c.cent_id) AS r
          |  FROM e, c) t WHERE r = 1),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize),
          |probe AS (
          | SELECT query_id, qv, cent_id FROM (
          |  SELECT q.query_id, q.qv, c.cent_id,
          |   ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |     ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cent_id) AS r
+         |     ORDER BY FLOOR(list_cosine_similarity(q.qv, c.cv) * 10000000 + 0.5) DESC, c.cent_id) AS r
          |  FROM q, c) t WHERE r <= 2),
          |cand AS (
          | SELECT p.query_id, p.qv, a.vec_id, a.v
@@ -197,7 +200,7 @@ object SimilaritySearch {
          |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
          | SELECT query_id, vec_id AS neighbor_id,
          |  ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rnk,
+         |    ORDER BY FLOOR(list_cosine_similarity(qv, v) * 10000000 + 0.5) DESC, vec_id) AS rnk,
          |  FLOOR(list_cosine_similarity(qv, v) * 1000000 + 0.5) / 1000000 AS cos_sim
          | FROM cand) t WHERE rnk <= $K""".stripMargin) {
       (s, d) =>
@@ -205,19 +208,19 @@ object SimilaritySearch {
           .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
         val cents = seedCentroids(e, IvfCells)
         val assignW = Window.partitionBy(col("vec_id"))
-          .orderBy(cosine(col("v"), col("cv")).desc, col("cent_id"))
+          .orderBy(simRank7(cosine(col("v"), col("cv"))).desc, col("cent_id"))
         val assigned = e.join(broadcast(cents))
           .withColumn("r", row_number().over(assignW)).filter(col("r") === 1)
           .select(col("vec_id"), col("v"), col("cent_id"))
         val q = e.filter(col("vec_id") < QuerySetSize)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val probeW = Window.partitionBy(col("query_id"))
-          .orderBy(cosine(col("qv"), col("cv")).desc, col("cent_id"))
+          .orderBy(simRank7(cosine(col("qv"), col("cv"))).desc, col("cent_id"))
         val probes = q.join(broadcast(cents))
           .withColumn("r", row_number().over(probeW)).filter(col("r") <= 2)
           .select(col("query_id"), col("qv"), col("cent_id"))
         val rankW = Window.partitionBy(col("query_id"))
-          .orderBy(col("c").desc, col("neighbor_id"))
+          .orderBy(simRank7(col("c")).desc, col("neighbor_id"))
         probes.join(assigned, Seq("cent_id"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -234,7 +237,7 @@ object SimilaritySearch {
          |SELECT query_id, neighbor_id, bucket, rnk, cos_sim FROM (
          | SELECT q.query_id, b.vec_id AS neighbor_id, b.bucket,
          |  ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |    ORDER BY list_cosine_similarity(q.qv, b.v) DESC, b.vec_id) AS rnk,
+         |    ORDER BY FLOOR(list_cosine_similarity(q.qv, b.v) * 10000000 + 0.5) DESC, b.vec_id) AS rnk,
          |  FLOOR(list_cosine_similarity(q.qv, b.v) * 1000000 + 0.5) / 1000000 AS cos_sim
          | FROM q JOIN b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id) t
          |WHERE rnk <= $K""".stripMargin) {
@@ -245,7 +248,7 @@ object SimilaritySearch {
         val q = e.filter(col("vec_id") < QuerySetSize)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket").as("qbucket"))
         val cos = cosine(col("qv"), col("v"))
-        val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+        val w = Window.partitionBy(col("query_id")).orderBy(simRank7(col("c")).desc, col("neighbor_id"))
         e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"), cos.as("c"))
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)

@@ -47,12 +47,29 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampT
   * join drops it, as the null comparison would); a null bound yields a
   * null sequence (`Explode` emits nothing — inner join would drop the
   * row anyway).
+  *
+  * DOMAIN: a row's interval is capped at [[MaxBinsConf]] bins — the
+  * upper bound clamps to `lo + maxBins·W` in DOUBLE arithmetic (no
+  * long overflow; ±Infinity saturates instead of spanning
+  * Long.MaxValue bins and throwing a too-long-array error or
+  * materializing a giant per-row array). NaN bounds null out (the
+  * theta join's NaN comparison matches nothing — exact). Every pair
+  * the rewrite EMITS is correct (the original condition rides along
+  * as a residual filter); pairs whose `x` lies more than maxBins bins
+  * above `lo` — including any with a non-finite bound — are outside
+  * the banded domain and are dropped. Size W so real intervals span
+  * few bins; raise maxBins if legitimate intervals exceed it.
   */
 object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Bin width: units of the banded expression (seconds when it is a
     * timestamp). Unset or <= 0 disables the rule. */
   val BinConf = "spark.graft.rangeJoin.bin"
+
+  /** Max bins one interval may cover (cap on the per-row explode and
+    * on how far above `lo` a match can sit — see the DOMAIN note). */
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBins"
+  val DefaultMaxBins = 1 << 16
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = SQLConf.get.getConfString(BinConf, "").trim match {
@@ -64,8 +81,10 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         }
     }
     if (w <= 0 || w.isNaN || w.isInfinite) return plan
+    val maxBins = SQLConf.get.getConfString(MaxBinsConf, DefaultMaxBins.toString).toLong
+    require(maxBins > 0, s"$MaxBinsConf must be positive, got $maxBins")
     plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, w).getOrElse(j)
+      case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, w, maxBins).getOrElse(j)
     }
   }
 
@@ -98,13 +117,35 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => w
   }
 
-  /** TRY-cast the floored bin to long: a NaN/infinite bound (legal
-    * data the original theta join simply would not match) must become
-    * a null bin — which the equi-join/Explode drops — not an ANSI cast
-    * error that kills the whole query. */
+  /** The x side's single bin. `Floor` over a double already yields a
+    * LONG (NaN → 0, ±Infinity saturates) — never an error; a wrong
+    * bin for a non-finite x at worst misses matches the residual
+    * would have rejected anyway (NaN compares false). */
   private def bin(e: Expression, w: Double): Expression =
-    Cast(Floor(Divide(axis(e), Literal(axisWidth(e, w), DoubleType))), LongType,
-      timeZoneId = None, EvalMode.TRY)
+    Floor(Divide(axis(e), Literal(axisWidth(e, w), DoubleType)))
+
+  /** The BOUND bins feed `Sequence`, so unlike the x bin they must be
+    * guarded: `Floor` saturates ±Infinity to Long.MaxValue/MinValue
+    * and maps NaN to 0, so an unguarded non-finite (or merely huge)
+    * bound would span up to Long.MaxValue bins — a too-long-array
+    * error or a giant per-row array, a crash regression versus the
+    * theta join. Built in DOUBLE arithmetic (saturating, no ANSI
+    * overflow): NaN → null bin (Explode emits nothing — theta-exact),
+    * and hi clamps to `lo + maxBins` bins (see the DOMAIN note). */
+  private def boundBins(lo: Expression, hi: Expression, w: Double,
+                        maxBins: Long): (Expression, Expression) = {
+    val dLo = Divide(axis(lo), Literal(axisWidth(lo, w), DoubleType))
+    val dHi = Divide(axis(hi), Literal(axisWidth(hi, w), DoubleType))
+    val nullBin = Literal.create(null, LongType)
+    val dHiClamped = Least(Seq(dHi, Add(dLo, Literal(maxBins.toDouble, DoubleType))))
+    val binLo = If(IsNaN(dLo), nullBin, Floor(dLo))
+    // a NaN dLo poisons the clamp (Spark orders NaN above every
+    // double, so Least would pick the unclamped dHi) — null out binHi
+    // on EITHER NaN; a null dLo nulls binLo via Floor, which already
+    // kills the row at the Sequence guard
+    val binHi = If(Or(IsNaN(dHi), IsNaN(dLo)), nullBin, Floor(dHiClamped))
+    (binLo, binHi)
+  }
 
   private final case class Band(x: Expression, xOnLeft: Boolean,
                                 lo: Expression, hi: Expression)
@@ -149,7 +190,7 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  private def rewrite(j: Join, w: Double): Option[LogicalPlan] =
+  private def rewrite(j: Join, w: Double, maxBins: Long): Option[LogicalPlan] =
     findBand(j).map { band =>
       // x side: project the single bin alongside the original columns
       val xSide = if (band.xOnLeft) j.left else j.right
@@ -161,8 +202,7 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
       // stays unresolved and the optimizer rejects the rewritten plan
       // (the bins themselves are plain longs; the zone is never used)
-      val binLo = bin(band.lo, w)
-      val binHi = bin(band.hi, w)
+      val (binLo, binHi) = boundBins(band.lo, band.hi, w, maxBins)
       val seq = Sequence(binLo, binHi, Some(Literal(1L, LongType)),
         Some(SQLConf.get.sessionLocalTimeZone))
       // INVERTED bounds (lo > hi on some row — legal data; the theta

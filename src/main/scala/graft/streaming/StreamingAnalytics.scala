@@ -103,11 +103,16 @@ object StreamingAnalytics {
     * both as (tsMicros, id). */
   final case class AsOfBuf(lefts: List[(Long, Long)], rights: List[(Long, Long)])
 
+  // getNanos is non-negative by Timestamp's invariant even pre-epoch,
+  // so the truncating arithmetic here is exact for negative epochs too
   private def tsMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+  // floorDiv/floorMod, NOT `/`/`%`: truncating division mis-rounds
+  // negative micros and the negative remainder makes setNanos throw —
+  // a pre-epoch event time would crash the streaming as-of join
   private def toTs(micros: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(micros / 1000L)
-    t.setNanos((micros % 1000000L).toInt * 1000)
+    val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+    t.setNanos(Math.floorMod(micros, 1000000L).toInt * 1000)
     t
   }
 
