@@ -295,14 +295,29 @@ object IncrementalQueries {
     TreeCompiler.FkEdge("orders", "o_custkey", "customer", "c_custkey"),
     TreeCompiler.FkEdge("supplier", "s_nationkey", "nation", "n_nationkey"))
 
+  private val sharedDimPredicates: Map[String, Map[String, String] => Boolean] = Map(
+    "orders" -> (r => {
+      val d = r.getOrElse("o_orderdate", "")
+      d >= dateLo && d < dateHi
+    }),
+    "supplier" -> (r => r.getOrElse("s_acctbal", "-1").toDouble >= 0))
+
+  /** The DEFAULT compiled plan — nation is a root dimension, so
+    * [[TreeCompiler.PairOrientation.Auto]] emits the TRUNK-BUCKETED
+    * glue (supplier passes through and replicates ×8; the big trunk
+    * side buckets by row hash): the orientation whose parallelism is
+    * not capped at 25 nation keys. */
   val sharedDimStages: Seq[Stage] = TreeCompiler.stagesFor(
     sharedDimEdges, Seq("nation", "customer", "orders", "supplier"),
-    predicates = Map(
-      "orders" -> (r => {
-        val d = r.getOrElse("o_orderdate", "")
-        d >= dateLo && d < dateHi
-      }),
-      "supplier" -> (r => r.getOrElse("s_acctbal", "-1").toDouble >= 0)))
+    predicates = sharedDimPredicates)
+
+  /** The dimension-keyed plan (explicit opt-out — zero extra shuffle,
+    * |dim|-capped): kept compiled as the base of the explicit-swap
+    * twin below, so both orientations stay oracle-covered. */
+  val sharedDimStagesDimKeyed: Seq[Stage] = TreeCompiler.stagesFor(
+    sharedDimEdges, Seq("nation", "customer", "orders", "supplier"),
+    predicates = sharedDimPredicates,
+    orientation = TreeCompiler.PairOrientation.DimensionKeyed)
 
   def sharedDimChangelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
     "nation" -> changelog(Tables.nation(s, dir), "n_nationkey",
@@ -335,18 +350,16 @@ object IncrementalQueries {
       .filter(col("n_pairs") > 0)
   }
 
-  /** The shared-dim tree with its PAIR stage SALTED (S = 8): the pair
-    * stage's routing key is the DIMENSION's key — 25 nations cap the
-    * product at 25 tasks on any cluster, so this is where de-skew
-    * matters most. [[TreeCompiler.swapPairOrientation]] swaps the glue
-    * so the BIG trunk side buckets by row hash while the small
-    * supplier side replicates to the 8 buckets — each bucket pairs a
-    * 1/8 trunk slice against a full supplier copy. Behind the SAME
-    * survivors oracle as incremental_shared_dim — the bucketed product
-    * must be answer-invariant, not just spec-asserted. */
+  /** The DIMENSION-KEYED plan swapped by hand via
+    * [[TreeCompiler.swapPairOrientation]] (S = 8) — the explicit-API
+    * route to the same trunk-bucketed shape `stagesFor` now emits by
+    * default, behind the SAME survivors oracle as
+    * incremental_shared_dim: the bucketed product must be
+    * answer-invariant through BOTH construction paths, not just
+    * spec-asserted. */
   def incrementalSharedRevenueSalted(s: SparkSession, dir: String): DataFrame =
     sharedAggregate(runTree(
-      TreeCompiler.swapPairOrientation(sharedDimStages, salts = 8),
+      TreeCompiler.swapPairOrientation(sharedDimStagesDimKeyed, salts = 8),
       sharedDimChangelogs(s, dir), sourceFiltered = true))
 
   /** The Q10 tree with its heaviest hop SALTED (S = 8): lineitem
@@ -1066,8 +1079,11 @@ object IncrementalQueries {
          | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
          |GROUP BY n_name""".stripMargin)(incrementalSharedRevenue),
 
-    // The shared-dim tree with its pair stage salted (S = 8) behind
-    // the SAME oracle — bucketing the product must be answer-invariant.
+    // The dimension-keyed plan trunk-bucketed by the EXPLICIT
+    // swapPairOrientation API (S = 8) behind the SAME oracle — both
+    // construction paths to the bucketed product must be
+    // answer-invariant. (The default incremental_shared_dim plan is
+    // already trunk-bucketed via PairOrientation.Auto.)
     sql("incremental_shared_dim_salted",
       s"""SELECT n_name,
          | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e2,

@@ -29,6 +29,33 @@ import graft.streaming.DeltaEngine.NodeSpec
   */
 object TreeCompiler {
 
+  /** Default salt factor for a trunk-bucketed pair glue (how many
+    * row-hash buckets the trunk side splits into; the branch side
+    * replicates ×salts). 8 is the fixture-proven setting; size to
+    * min(executor cores, branch-state ×S budget) in production. */
+  val DefaultPairSalts = 8
+
+  /** How a shared-dimension PAIR glue routes its two delta streams
+    * (see [[stagesFor]] and [[DeltaEngine.Stage]]'s pair notes). */
+  sealed trait PairOrientation
+  object PairOrientation {
+    /** The scale-safe DEFAULT: when the shared dimension is a ROOT of
+      * the query graph (a plain dimension table — nation, part), the
+      * glue buckets the TRUNK side by row hash (`salts` buckets) and
+      * replicates the branch, because routing on a root dimension's
+      * key caps the stage at |dim| tasks on ANY cluster (25 nations =
+      * 25 tasks — the plan that dies first at 100×). A mid-graph
+      * shared relation keeps the dimension-keyed glue: its key
+      * cardinality grows with the data, so the zero-extra-shuffle
+      * plan parallelizes fine. */
+    final case class Auto(salts: Int = DefaultPairSalts) extends PairOrientation
+    /** Always route on the dimension's key — one shuffle fewer, state
+      * ×1, parallelism capped at the dimension's cardinality. */
+    case object DimensionKeyed extends PairOrientation
+    /** Always bucket the trunk (force the Auto root-dim plan). */
+    final case class TrunkBucketed(salts: Int = DefaultPairSalts) extends PairOrientation
+  }
+
   final case class RelationSchema(name: String, columns: Seq[String])
 
   /** One FK edge: `child.fkCol` references `parent.parentCol`. */
@@ -156,9 +183,13 @@ object TreeCompiler {
     *                   stays on the trunk at a shared dimension
     * @param predicates local predicates, attached to a relation's
     *                   FIRST stage (later stages see pre-filtered rows)
+    * @param orientation how pair glues route (see [[PairOrientation]];
+    *                   the default picks the scale-safe plan for
+    *                   root-dimension glues automatically)
     */
   def stagesFor(edges: Seq[FkEdge], order: Seq[String],
-                predicates: Map[String, Map[String, String] => Boolean] = Map.empty)
+                predicates: Map[String, Map[String, String] => Boolean] = Map.empty,
+                orientation: PairOrientation = PairOrientation.Auto())
       : Seq[DeltaEngine.Stage] = {
     import DeltaEngine.Stage
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -180,7 +211,7 @@ object TreeCompiler {
     val sharedDims = byParent.filter(_._2.size > 1).keySet
     order.find(sharedDims) match {
       case Some(sharedDim) =>
-        return sharedDimStages(edges, order, predicates, sharedDim)
+        return sharedDimStages(edges, order, predicates, sharedDim, orientation)
       case None =>
     }
 
@@ -242,10 +273,24 @@ object TreeCompiler {
     * dimension key matches nothing buffers unmatched (the AJU
     * buffered-children model); a dimension flip retracts the trunk
     * side, and the pair fold re-derives exactly the pairs that had
-    * been emitted. */
+    * been emitted.
+    *
+    * GLUE ORIENTATION: the dimension-keyed glue routes every pair
+    * event on the dimension's key — zero extra shuffles, but a ROOT
+    * dimension's cardinality then caps the stage's parallelism on any
+    * cluster (25 nations = 25 tasks). Per [[PairOrientation]], such
+    * glues default to the TRUNK-BUCKETED form: the branch runs
+    * through a pass-through stage and becomes the REPLICATED pair
+    * side, while the (big) trunk's join deltas bucket by row hash
+    * into `salts` sub-keys — one extra branch shuffle and branch
+    * state ×salts buy parallelism proportional to data volume, the
+    * trade that survives 100×. Bucket emissions partition the product
+    * exactly (spec-asserted answer-invariance), so both orientations
+    * are oracle-equal. */
   private def sharedDimStages(edges: Seq[FkEdge], order: Seq[String],
                               predicates: Map[String, Map[String, String] => Boolean],
-                              dim: String): Seq[DeltaEngine.Stage] = {
+                              dim: String,
+                              orientation: PairOrientation): Seq[DeltaEngine.Stage] = {
     import DeltaEngine.Stage
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
     def pred(name: String) = predicates.getOrElse(name, DeltaEngine.NoPredicate)
@@ -278,9 +323,18 @@ object TreeCompiler {
     // sub-plan's full join row)
     def subPlan(subRels: Set[String], keyCol: String): Seq[Stage] = {
       val subEdges = edges.filter(e => subRels(e.child) && subRels(e.parent))
-      val stages = stagesFor(subEdges, order.filter(subRels), predicates)
+      val stages = stagesFor(subEdges, order.filter(subRels), predicates, orientation)
       stages.init :+ stages.last.copy(
         spec = stages.last.spec.copy(nextKeyCol = keyCol))
+    }
+    // a ROOT dimension (nobody this dim references in the query) is a
+    // plain dimension table: its key cardinality is the scale hazard
+    // PairOrientation.Auto guards against
+    val dimIsRoot = !edges.exists(_.child == dim)
+    val bucketSalts: Option[Int] = orientation match {
+      case PairOrientation.Auto(s) => if (dimIsRoot) Some(s) else None
+      case PairOrientation.DimensionKeyed => None
+      case PairOrientation.TrunkBucketed(s) => Some(s)
     }
     val trunk = subPlan(trunkSet, childEdges.head.fkCol)
     val out = scala.collection.mutable.ArrayBuffer[Stage](trunk: _*)
@@ -291,19 +345,42 @@ object TreeCompiler {
       // different recursion levels) and bare "<rel>__pair" would
       // collide — checkStages would then reject a valid acyclic graph
       val pairName = s"${e.child}__pair_$dim"
-      if (comp.size == 1) {
-        // single-relation branch: pair straight off its changelog — no
-        // pass-through stage, no extra shuffle
-        out += Stage(pairName,
-          DeltaEngine.NodeSpec(e.child, e.fkCol, e.fkCol, predicate = pred(e.child)),
-          pairStage = Some(leftRef))
-      } else {
-        val branch = subPlan(comp, e.fkCol)
-        out ++= branch
-        out += Stage(pairName,
-          DeltaEngine.NodeSpec(e.child, e.fkCol, e.fkCol),
-          ownStage = Some(branch.last.name),
-          pairStage = Some(leftRef))
+      bucketSalts match {
+        case None =>
+          if (comp.size == 1) {
+            // single-relation branch: pair straight off its changelog —
+            // no pass-through stage, no extra shuffle
+            out += Stage(pairName,
+              DeltaEngine.NodeSpec(e.child, e.fkCol, e.fkCol, predicate = pred(e.child)),
+              pairStage = Some(leftRef))
+          } else {
+            val branch = subPlan(comp, e.fkCol)
+            out ++= branch
+            out += Stage(pairName,
+              DeltaEngine.NodeSpec(e.child, e.fkCol, e.fkCol),
+              ownStage = Some(branch.last.name),
+              pairStage = Some(leftRef))
+          }
+        case Some(salts) =>
+          // trunk-bucketed: the branch becomes the REPLICATED side via
+          // a pass-through stage; the trunk's deltas are the OWN side,
+          // bucketing by row hash (same shape swapPairOrientation
+          // builds — kept in lockstep with it)
+          val passName = s"${pairName}__pass"
+          if (comp.size == 1) {
+            out += Stage(passName, DeltaEngine.NodeSpec(
+              e.child, e.fkCol, e.fkCol, predicate = pred(e.child), isRoot = true))
+          } else {
+            val branch = subPlan(comp, e.fkCol)
+            out ++= branch
+            out += Stage(passName,
+              DeltaEngine.NodeSpec(e.child, e.fkCol, e.fkCol, isRoot = true),
+              ownStage = Some(branch.last.name))
+          }
+          val trunkKey = out.find(_.name == leftRef).get.spec.nextKeyCol
+          out += Stage(pairName,
+            DeltaEngine.NodeSpec(e.child, trunkKey, e.fkCol),
+            ownStage = Some(leftRef), pairStage = Some(passName), salts = salts)
       }
       leftRef = pairName
     }
@@ -328,6 +405,11 @@ object TreeCompiler {
     val glue = stages.last
     require(glue.pairStage.isDefined,
       s"last stage '${glue.name}' is not a pair stage — nothing to swap")
+    require(!glue.pairStage.get.endsWith("__pass"),
+      s"stage '${glue.name}' already pairs against pass-through " +
+        s"'${glue.pairStage.get}' — the plan is already trunk-bucketed " +
+        "(stagesFor's Auto/TrunkBucketed orientation); swapping again would " +
+        "re-route the product on the dimension key")
     val byName = stages.map(s => s.name -> s).toMap
     val trunkRef = glue.pairStage.get
     val trunkKey = byName(trunkRef).spec.nextKeyCol

@@ -348,9 +348,20 @@ class DeltaEngineSpec extends AnyFunSuite {
       TreeCompiler.FkEdge("A", "a_fk", "P", "pk"),
       TreeCompiler.FkEdge("B", "b_fk", "P", "pk"))
     val stages = TreeCompiler.stagesFor(edges, Seq("P", "A", "B"))
-    // plan shape: trunk P→A (liveness), B glued via one pair stage
-    assert(stages.map(_.name) == Seq("P", "A", "B__pair_P"))
-    assert(stages.last.pairStage == Some("A"))
+    // plan shape: trunk P→A (liveness); P is a ROOT dimension, so the
+    // default (Auto) glue is TRUNK-BUCKETED — B passes through as the
+    // replicated side and the trunk's deltas are the salted own side.
+    // The routing key space is (trunk key × salt bucket), NOT the bare
+    // dimension key: parallelism is not capped at |P| tasks.
+    assert(stages.map(_.name) == Seq("P", "A", "B__pair_P__pass", "B__pair_P"))
+    assert(stages.last.ownStage == Some("A"), "trunk must be the bucketed own side")
+    assert(stages.last.pairStage == Some("B__pair_P__pass"))
+    assert(stages.last.salts == TreeCompiler.DefaultPairSalts)
+    // the explicit opt-out keeps the zero-extra-shuffle dimension glue
+    val dimKeyed = TreeCompiler.stagesFor(edges, Seq("P", "A", "B"),
+      orientation = TreeCompiler.PairOrientation.DimensionKeyed)
+    assert(dimKeyed.map(_.name) == Seq("P", "A", "B__pair_P"))
+    assert(dimKeyed.last.pairStage == Some("A") && dimKeyed.last.salts == 1)
     val logs = Map(
       "P" -> s.createDataset(pEvts), "A" -> s.createDataset(aEvts),
       "B" -> s.createDataset(bEvts))
@@ -370,6 +381,9 @@ class DeltaEngineSpec extends AnyFunSuite {
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(got == want)
     assert(got.nonEmpty)
+    // both orientations emit the identical product
+    val gotDimKeyed = netRows(DeltaEngine.runTree(dimKeyed, logs).collect().toSeq)
+    assert(gotDimKeyed == want)
   }
 
   test("NESTED shared dimensions compose: two pair glues, one inside the other") {
@@ -507,7 +521,11 @@ class DeltaEngineSpec extends AnyFunSuite {
     val edges = Seq(
       TreeCompiler.FkEdge("A", "a_fk", "P", "pk"),
       TreeCompiler.FkEdge("B", "b_fk", "P", "pk"))
-    val base = TreeCompiler.stagesFor(edges, Seq("P", "A", "B"))
+    // dimension-keyed base (explicit opt-out): salting ITS glue is the
+    // orthogonal de-skew knob this test pins down; the trunk-bucketed
+    // default is exercised by the auto-orientation tests above
+    val base = TreeCompiler.stagesFor(edges, Seq("P", "A", "B"),
+      orientation = TreeCompiler.PairOrientation.DimensionKeyed)
     def stages(salts: Int) = base match {
       case init :+ last => init :+ last.copy(salts = salts)
     }
@@ -519,6 +537,10 @@ class DeltaEngineSpec extends AnyFunSuite {
     assert(salted == unsalted)
     // hot: 450 alive A × 5 alive B; cold: 1 × 1
     assert(salted.values.sum == 450 * 5 + 1)
+    // the DEFAULT (trunk-bucketed) plan partitions the same product
+    val auto = fold(DeltaEngine.runTree(
+      TreeCompiler.stagesFor(edges, Seq("P", "A", "B")), logs).collect().toSeq)
+    assert(auto == unsalted)
   }
 
   test("SELF-JOIN recipe: one relation as two aliased changelogs (hierarchy)") {
