@@ -634,15 +634,32 @@ object Relational {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.StreamingAnalytics.{streamAsOfJoin, AsOfIn}
         val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", 8)
+        ss.conf.set("spark.sql.shuffle.partitions",
+          graft.streaming.IncrementalQueries.ReplayShufflePartitions)
         implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
         import s.implicits._
-        val ev = Tables.events(s, d)
+        // FIXTURE-ONLY REPLAY GUARD: MemoryStream replay necessarily
+        // materializes its input on the driver. Unlike the other
+        // stream-gated entries (which collect small CHANGELOGS), this
+        // one replays a TABLE — so the collect is BOUNDED: limit+1
+        // caps driver memory and the require fails LOUDLY past
+        // fixture scale instead of silently OOMing a production
+        // driver. The production operator is watermark-bounded
+        // readStream → StreamingAnalytics.streamAsOfJoin; this
+        // harness exists to put it behind the batch ASOF oracle.
+        val maxReplayRows = 2000000
+        val collected = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .select(col("user_id"), col("ts"), (col("event_type") === "click").as("isRight"),
             col("event_id"))
           .as[(Long, java.sql.Timestamp, Boolean, Long)]
-          .collect().map(r => AsOfIn(r._1, r._2, r._3, r._4))
+          .limit(maxReplayRows + 1)
+          .collect()
+        require(collected.length <= maxReplayRows,
+          s"events_asof_stream is a fixture-scale replay harness (<= $maxReplayRows " +
+            "rows); for production data run StreamingAnalytics.streamAsOfJoin over a " +
+            "readStream source instead of a MemoryStream replay")
+        val ev = collected.map(r => AsOfIn(r._1, r._2, r._3, r._4))
           .sortBy(e => (e.ts.getTime, e.id))
         val src = MemoryStream[AsOfIn]
         val out = streamAsOfJoin(src.toDS(), delay = "1 second")

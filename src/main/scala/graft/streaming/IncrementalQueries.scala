@@ -29,6 +29,15 @@ import graft.streaming.DeltaEngine._
   */
 object IncrementalQueries {
 
+  /** Shuffle/state partition count for the CHILD sessions the
+    * stream-replay gate entries run in: chained stateful operators pin
+    * one state-store instance per shuffle partition per operator per
+    * micro-batch, so a two-batch fixture replay wants few partitions
+    * (measured 16.4 s -> 8.3 s at sf0.1). One constant so the
+    * fixture-replay entries can't drift apart; production guidance
+    * unchanged — size state partitions to the data. */
+  val ReplayShufflePartitions = 8
+
   private val dateLo = "1996-01-01"
   private val dateHi = "1996-04-01"
 
@@ -432,7 +441,7 @@ object IncrementalQueries {
       logs0: Map[String, Dataset[Evt]], sinkName: String): Dataset[Evt] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", 8)
+    ss.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
     val logs = logs0.view.mapValues(_.collect().toSeq).toMap
@@ -495,7 +504,7 @@ object IncrementalQueries {
       "lineitem" -> (col("l_linenumber") === 3),
       "orders" -> (col("o_orderkey") % 50 === 0))
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", 8)
+    ss.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
     // RAW (unfiltered) events on the wire — runStream's eventFilter
