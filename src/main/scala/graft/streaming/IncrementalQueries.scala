@@ -972,6 +972,49 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // Aggregate FILTER clauses — everyday SQL the compiler turns into
+    // sign-weighted CASE folds (rows failing the predicate contribute
+    // NULL, which every retractable aggregate handles exactly; COUNT
+    // FILTER becomes a 0/1 SUM). One entry carries a FILTER on every
+    // supported kind; the oracle uses DuckDB's native FILTER (CASE for
+    // the DISTINCT one) so the rewrite itself is what's gated.
+    sql("incremental_sql_filter",
+      """SELECT n_name,
+        | COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS big_rev_e2,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE)
+        |   / COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS avg_even_e2,
+        | MAX(o_orderkey) FILTER (WHERE o_orderkey % 2 = 1) AS max_odd,
+        | COUNT(DISTINCT CASE WHEN o_totalprice > 100000 THEN o_orderpriority END) AS n_prio_big,
+        | COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name,
+          | COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+          | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+          |   FILTER (WHERE o_totalprice > 150000) AS big_rev_e2,
+          | AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+          |   FILTER (WHERE o_orderkey % 2 = 0) AS avg_even_e2,
+          | MAX(o_orderkey) FILTER (WHERE o_orderkey % 2 = 1) AS max_odd,
+          | COUNT(DISTINCT o_orderpriority) FILTER (WHERE o_totalprice > 100000) AS n_prio_big,
+          | COUNT(*) AS n_rows
+          |FROM region, nation, customer, orders
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND o_custkey = c_custkey
+          | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
     // The reference's FULL flagship shape — grouped aggregate + HAVING
     // + ORDER BY + LIMIT — compiled from one SQL text: the wrappers
     // are presentation over the maintained view (deterministic via the

@@ -36,9 +36,11 @@ import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
   * }}}
   *
   * HAVING / ORDER BY / LIMIT compile as presentation over the
-  * maintained view; anything else (non-FK join conditions, cyclic
-  * join graphs, unaliased aggregates, non-retractable folds) fails
-  * loudly at compile time — never a silent wrong plan.
+  * maintained view; `agg(x) FILTER (WHERE p)` compiles as a CASE
+  * rewrite of the argument (exact under retraction — see `aggOf`);
+  * anything else (non-FK join conditions, cyclic join graphs,
+  * unaliased aggregates, non-retractable folds) fails loudly at
+  * compile time — never a silent wrong plan.
   *
   * Scale design: local predicates are NOT interpreted per event — each
   * one is re-emitted as a `Column` filter on its relation's changelog
@@ -538,24 +540,47 @@ object SqlCompiler {
     }
     def aggOf(e: Expression, alias: String): AggSpec = e match {
       case f: UnresolvedFunction =>
-        // a silently dropped FILTER clause would maintain the WRONG sum
-        if (f.filter.isDefined)
-          fail(s"aggregate FILTER clauses are not supported in '$alias' — " +
-            "move the condition into WHERE (same result for an inner-join query) " +
-            "or a CASE expression inside the aggregate argument")
+        // agg(x) FILTER (WHERE p) compiles as a CASE rewrite of the
+        // argument: rows failing p contribute NULL, which every
+        // supported aggregate already handles exactly under the signed
+        // fold (SUM/AVG skip NULLs in numerator AND denominator; the
+        // DISTINCT/MIN/MAX per-value rollup nets NULLs away;
+        // COUNT(*) FILTER becomes a 0/1-valued SUM). The predicate
+        // rides inside the fragment, so its columns travel in the
+        // canonical rows and the float-fold exactness check sees the
+        // rewritten argument.
+        val filterFrag: Option[String] = f.filter.map { p =>
+          p.foreach {
+            case g: UnresolvedFunction if isAggregateCall(spark, g) =>
+              fail(s"FILTER predicate of '$alias' cannot contain aggregate calls")
+            case a: UnresolvedAttribute => ownerOf(a): Unit
+            case _ =>
+          }
+          dequalify(spark, fragment(p))
+        }
+        def filtered(argFrag: String): String =
+          filterFrag.map(p => s"CASE WHEN ($p) THEN ($argFrag) END").getOrElse(argFrag)
         (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
-          case ("count", Seq(_: UnresolvedStar)) => AggSpec("count", "", alias)
           case ("count", Seq(arg)) if f.isDistinct =>
-            AggSpec("count_distinct", dequalify(spark, fragment(arg)), alias)
-          case ("count", args) if args.forall(_.foldable) => AggSpec("count", "", alias)
+            AggSpec("count_distinct", filtered(dequalify(spark, fragment(arg))), alias)
+          case ("count", args) if args.exists(_.isInstanceOf[UnresolvedStar]) ||
+              args.forall(_.foldable) =>
+            filterFrag match {
+              case Some(p) => AggSpec("sum",
+                s"CASE WHEN ($p) THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END", alias)
+              case None => AggSpec("count", "", alias)
+            }
           case ("sum", Seq(arg)) if f.isDistinct =>
             // SUM(DISTINCT x) derives from the same per-(group, value)
             // netting rollup as COUNT(DISTINCT): sum the values whose
             // net count is positive
-            AggSpec("sum_distinct", dequalify(spark, fragment(arg)), alias)
-          case ("sum", Seq(arg)) if !f.isDistinct => AggSpec("sum", dequalify(spark, fragment(arg)), alias)
-          case ("avg", Seq(arg)) if !f.isDistinct => AggSpec("avg", dequalify(spark, fragment(arg)), alias)
-          case (name @ ("min" | "max"), Seq(arg)) => AggSpec(name, dequalify(spark, fragment(arg)), alias)
+            AggSpec("sum_distinct", filtered(dequalify(spark, fragment(arg))), alias)
+          case ("sum", Seq(arg)) if !f.isDistinct =>
+            AggSpec("sum", filtered(dequalify(spark, fragment(arg))), alias)
+          case ("avg", Seq(arg)) if !f.isDistinct =>
+            AggSpec("avg", filtered(dequalify(spark, fragment(arg))), alias)
+          case (name @ ("min" | "max"), Seq(arg)) =>
+            AggSpec(name, filtered(dequalify(spark, fragment(arg))), alias)
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
             "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
             "MIN, MAX, AVG; a non-aggregate SELECT expression must textually " +

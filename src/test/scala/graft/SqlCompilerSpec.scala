@@ -618,12 +618,47 @@ class SqlCompilerSpec extends AnyFunSuite {
     bad("""SELECT n_name, median(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "unsupported aggregate")
-    // a FILTER clause silently dropped would maintain the wrong sum
-    bad("""SELECT n_name, COUNT(*) AS n,
-          | SUM(c_custkey) FILTER (WHERE c_acctbal > 0) AS s
+    // FILTER predicates may not themselves aggregate
+    bad("""SELECT n_name, COUNT(*) FILTER (WHERE SUM(c_custkey) > 0) AS n
           |FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
-      "FILTER clauses")
+      "cannot contain aggregate")
+    // ...and their columns are qualifier-validated like any argument
+    bad("""SELECT n_name, COUNT(*) FILTER (WHERE nation.c_acctbal > 0) AS n
+          |FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "does not match")
+    // FILTER on a floating-point-summing rewrite stays rejected
+    bad("""SELECT n_name, SUM(c_acctbal) FILTER (WHERE c_custkey > 5) AS a
+          |FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "FLOATING-POINT")
+  }
+
+  test("aggregate FILTER clauses compile as exact sign-weighted CASE folds") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // every supported aggregate kind carries a FILTER; deletes make the
+    // retraction path cross the filtered/unfiltered boundary both ways
+    val q =
+      """SELECT n_name,
+        | COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   FILTER (WHERE o_totalprice > 150000) AS big_rev_e2,
+        | AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   FILTER (WHERE o_orderkey % 2 = 0) AS avg_even_e2,
+        | MAX(o_orderkey) FILTER (WHERE o_orderkey % 2 = 1) AS max_odd,
+        | COUNT(DISTINCT o_orderkey % 10) FILTER (WHERE o_totalprice > 100000) AS d_big,
+        | COUNT(*) AS n_all
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    val deletes = Map("orders" -> (col("o_orderkey") % 7 === 0))
+    val want = s.sql(q.replace("GROUP BY", "AND o_orderkey % 7 <> 0\nGROUP BY"))
+      .orderBy("n_name").collect().toSeq
+    assert(want.nonEmpty)
+    val got = SqlCompiler.run(s, d, q, deletes).orderBy("n_name").collect().toSeq
+    assert(got == want)
   }
 
   test("shared-dimension SQL compiles to a pair plan and equals spark.sql") {
