@@ -1015,6 +1015,35 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // SELF-JOIN from SQL text — one relation under two FROM aliases,
+    // compiled via SqlCompiler's alias expansion (each instance becomes
+    // its own virtual relation o1/o2 with prefixed columns): urgent
+    // orders paired with low-priority orders of the same customer, the
+    // hierarchy/pair shape a real user writes first. Plans as customer
+    // (a root dimension) shared by the two instances — the
+    // trunk-bucketed pair glue — with instance-independent deletes
+    // retracting across the product in both directions. DuckDB runs
+    // the self-join natively as the oracle.
+    sql("incremental_sql_self_join",
+      """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+        | CAST(SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS low_rev_e2
+        |FROM customer, orders o1, orders o2
+        |WHERE o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+        | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+        | AND o1.o_orderkey % 7 <> 0 AND o2.o_orderkey % 5 <> 0
+        |GROUP BY c_mktsegment""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+          | SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS low_rev_e2
+          |FROM customer, orders o1, orders o2
+          |WHERE o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+          | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+          |GROUP BY c_mktsegment""".stripMargin,
+        deletes = Map(
+          "o1" -> (col("o1_o_orderkey") % 7 === 0),
+          "o2" -> (col("o2_o_orderkey") % 5 === 0)))
+    },
+
     // The reference's FULL flagship shape — grouped aggregate + HAVING
     // + ORDER BY + LIMIT — compiled from one SQL text: the wrappers
     // are presentation over the maintained view (deterministic via the

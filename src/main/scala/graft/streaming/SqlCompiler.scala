@@ -72,7 +72,8 @@ object SqlCompiler {
       outputSel: Seq[(String, String)],
       colType: Map[String, DataType],
       neededRaw: Map[String, Seq[String]],
-      present: Seq[DataFrame => DataFrame] = Nil) {
+      present: Seq[DataFrame => DataFrame] = Nil,
+      loadRel: (SparkSession, String, String) => DataFrame = Tables.load) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -99,7 +100,7 @@ object SqlCompiler {
         // reads them from the canonical row); scan-filtered ones never
         // read them again, so they stay out of the shuffle
         rel -> IncrementalQueries.changelog(
-          Tables.load(spark, dir, rel), keyCol(rel),
+          loadRel(spark, dir, rel), keyCol(rel),
           if (filtered) needed(rel) else neededRaw(rel),
           deletes.get(rel), if (filtered) wheres.get(rel).map(expr) else None)
       }.toMap
@@ -379,9 +380,24 @@ object SqlCompiler {
 
   /** `explicitFk` supplies the FK graph for schemas the TPC-H naming
     * convention can't describe (the caller's catalog); omitted, the
-    * graph derives from the parquet schemas via [[TreeCompiler.fkEdges]]. */
+    * graph derives from the parquet schemas via [[TreeCompiler.fkEdges]].
+    *
+    * SELF-JOINS (one relation under several FROM aliases) compile via
+    * [[expandSelfJoins]]: each aliased instance is rewritten into its
+    * own VIRTUAL relation — the engine is alias-agnostic, so a
+    * hierarchy or pair-of-instances query is just another FK tree once
+    * every instance has a distinct changelog identity. */
   def compile(spark: SparkSession, dir: String, sqlText: String,
-              explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): Compiled = {
+              explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): Compiled =
+    expandSelfJoins(spark, dir, sqlText, explicitFk) match {
+      case Some((newText, mappedFk, loader)) =>
+        compileWith(spark, dir, newText, Some(mappedFk), loader)
+      case None => compileWith(spark, dir, sqlText, explicitFk, Tables.load)
+    }
+
+  private def compileWith(spark: SparkSession, dir: String, sqlText: String,
+              explicitFk: Option[Seq[TreeCompiler.FkEdge]],
+              loadRel: (SparkSession, String, String) => DataFrame): Compiled = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
     val (corePlan, present, presExprs) = unwrapPresentation(spark, plan)
 
@@ -440,7 +456,7 @@ object SqlCompiler {
         "\"SELF-JOIN recipe\")")
 
     val schemas: Map[String, StructType] =
-      relations.map(n => n -> Tables.load(spark, dir, n).schema).toMap
+      relations.map(n => n -> loadRel(spark, dir, n).schema).toMap
     val owner: Map[String, String] = {
       val pairs = for ((rel, sch) <- schemas.toSeq; f <- sch.fields) yield f.name -> rel
       pairs.groupBy(_._1).map { case (c, rs) =>
@@ -692,7 +708,131 @@ object SqlCompiler {
     }
 
     Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
-      neededRaw, present)
+      neededRaw, present, loadRel)
+  }
+
+  /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in
+    * FROM (each instance REQUIRED to carry a distinct alias) becomes N
+    * virtual relations named by their aliases, every column renamed
+    * `<alias>_<col>` — so canonical rows, the owner map, and the stage
+    * graph keep their one-name-one-column invariant untouched. The
+    * rewrite is textual (spliced by Catalyst Origin offsets, like
+    * [[dequalify]]):
+    *
+    *  - `orders o1` in FROM becomes `o1 o1` (virtual relation, same
+    *    alias — so downstream qualifier validation keeps working);
+    *  - every `o1.c` reference becomes the bare `o1_c`;
+    *  - BARE references to a duplicated relation's columns fail loudly
+    *    (ambiguous — exactly as Spark's analyzer would);
+    *  - FK edges are instance-mapped: a base edge touching a
+    *    duplicated relation yields one edge per instance pair (the
+    *    query's ON/WHERE conditions select which are used), so both
+    *    shared-dimension self-pairs (customer referenced by o1 AND o2)
+    *    and true hierarchy self-FKs (emp.mgr → emp.id via explicitFk)
+    *    plan;
+    *  - the returned loader serves each virtual relation as the base
+    *    parquet scan with prefixed column names: column pruning still
+    *    reaches the scan (a rename is a Project over the scan).
+    *
+    * Returns None when no relation repeats — the common path pays one
+    * parse. */
+  private def expandSelfJoins(spark: SparkSession, dir: String, sqlText: String,
+      explicitFk: Option[Seq[TreeCompiler.FkEdge]])
+      : Option[(String, Seq[TreeCompiler.FkEdge],
+                (SparkSession, String, String) => DataFrame)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    // FROM instances: (base relation, direct alias if any, relation-name origin)
+    val instances = scala.collection.mutable.ArrayBuffer[
+      (String, Option[String], org.apache.spark.sql.catalyst.trees.Origin)]()
+    def walk(p: LogicalPlan): Unit = p match {
+      case a: SubqueryAlias if a.child.isInstanceOf[UnresolvedRelation] =>
+        val u = a.child.asInstanceOf[UnresolvedRelation]
+        instances += ((u.multipartIdentifier.last, Some(a.alias), u.origin))
+      case u: UnresolvedRelation =>
+        instances += ((u.multipartIdentifier.last, None, u.origin))
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    val dup: Set[String] = instances.groupBy(_._1).filter(_._2.size > 1).keySet
+      .filter(_.nonEmpty)
+    if (dup.isEmpty) return None
+    dup.foreach { r =>
+      if (instances.exists(i => i._1 == r && i._2.isEmpty))
+        fail(s"self-join on '$r': alias every instance (FROM $r a, $r b) so each " +
+          "can become its own changelog identity")
+    }
+    // lowercased aliases are the virtual relation names
+    val dupInsts: Seq[(String, String)] = instances.toSeq.collect {
+      case (r, Some(al), _) if dup(r) => (r, al.toLowerCase) }
+    val aliases = dupInsts.map(_._2)
+    if (aliases.distinct.size != aliases.size)
+      fail(s"self-join instance aliases must be distinct, got $aliases")
+    val baseNames = instances.map(_._1).toSet
+    aliases.find(a => baseNames.exists(_.toLowerCase == a)).foreach(a =>
+      fail(s"self-join instance alias '$a' collides with a relation name — rename it"))
+    val aliasToBase: Map[String, String] =
+      dupInsts.map { case (r, a) => a -> r }.toMap
+    val baseSchemas: Map[String, StructType] =
+      baseNames.map(n => n -> Tables.load(spark, dir, n).schema).toMap
+    val dupCols: Set[String] =
+      dup.flatMap(r => baseSchemas(r).fieldNames).toSet
+    // text edits (start, stopInclusive, replacement), applied back to front
+    val edits = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    instances.foreach {
+      case (r, Some(al), o) if dup(r) =>
+        val (s0, s1) = (o.startIndex.getOrElse(fail(
+          s"cannot locate '$r' in the query text")), o.stopIndex.get)
+        edits += ((s0, s1, al.toLowerCase))
+      case _ =>
+    }
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case a: UnresolvedAttribute =>
+          if (a.nameParts.size > 1) {
+            val q = a.nameParts(a.nameParts.size - 2).toLowerCase
+            if (aliasToBase.contains(q)) {
+              val (s0, s1) = (a.origin.startIndex.getOrElse(fail(
+                s"cannot locate ${a.nameParts.mkString(".")} in the query text")),
+                a.origin.stopIndex.get)
+              edits += ((s0, s1, s"${q}_${a.nameParts.last}"))
+            }
+          } else if (dupCols(a.nameParts.last))
+            fail(s"column ${a.nameParts.last} is ambiguous in a self-join query — " +
+              s"qualify it with an instance alias (${aliases.mkString(", ")})")
+        case _ =>
+      })
+    }
+    val ordered: Seq[(Int, Int, String)] = edits.toSeq.sortBy(-_._1)
+    ordered.sliding(2).foreach { w =>
+      if (w.size == 2 && w(0)._1 <= w(1)._2)
+        fail("overlapping self-join rewrite spans — qualify references explicitly")
+    }
+    val newText = ordered.foldLeft(sqlText) { case (t, (s0, s1, rep)) =>
+      t.substring(0, s0) + rep + t.substring(s1 + 1)
+    }
+    // instance-mapped FK edges
+    val rels = baseSchemas.toSeq.map { case (n, s) =>
+      TreeCompiler.RelationSchema(n, s.fieldNames.toSeq) }
+    val baseEdges = explicitFk.getOrElse(TreeCompiler.fkEdges(rels))
+    def instNames(rel: String): Seq[(String, String)] =
+      if (dup(rel)) dupInsts.collect { case (`rel`, a) => (a, s"${a}_") }
+      else Seq((rel, ""))
+    val mapped = baseEdges.flatMap { e =>
+      for {
+        (cn, cp) <- instNames(e.child)
+        (pn, pp) <- instNames(e.parent) if cn != pn
+      } yield TreeCompiler.FkEdge(cn, cp + e.fkCol, pn, pp + e.parentCol)
+    }
+    val loader: (SparkSession, String, String) => DataFrame = (s, d, name) =>
+      aliasToBase.get(name) match {
+        case Some(base) =>
+          val df = Tables.load(s, d, base)
+          df.select(df.columns.map(c =>
+            org.apache.spark.sql.functions.col(c).as(s"${name}_$c")).toSeq: _*)
+        case None => Tables.load(s, d, name)
+      }
+    Some((newText, mapped, loader))
   }
 
   /** compile + run in one call. */

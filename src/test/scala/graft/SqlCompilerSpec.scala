@@ -566,11 +566,23 @@ class SqlCompilerSpec extends AnyFunSuite {
     // unaliased aggregate
     bad("""SELECT n_name, COUNT(*) FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin, "alias")
-    // aliased SELF-join reaches the dedicated recipe message, not a
-    // generic FROM-shape rejection
-    bad("""SELECT n_name, COUNT(*) AS n FROM nation a JOIN nation b
-          |ON a.n_regionkey = b.n_nationkey GROUP BY n_name""".stripMargin,
-      "self-joins")
+    // aliased self-join now EXPANDS — but its join condition must still
+    // be an FK edge of the (instance-mapped) graph; nation has no
+    // self-FK by convention, so this reaches FK validation, not a
+    // generic FROM-shape rejection (n_name must be qualified too)
+    bad("""SELECT a.n_name AS n_name, COUNT(*) AS n FROM nation a JOIN nation b
+          |ON a.n_regionkey = b.n_nationkey GROUP BY a.n_name""".stripMargin,
+      "not an FK edge")
+    // un-aliased instances cannot become distinct changelogs
+    bad("""SELECT c_mktsegment, COUNT(*) AS n FROM customer, orders, orders
+          |WHERE o_custkey = c_custkey GROUP BY c_mktsegment""".stripMargin,
+      "alias every instance")
+    // bare references to a duplicated relation's columns are ambiguous
+    bad("""SELECT c_mktsegment, COUNT(*) AS n, SUM(o_orderkey) AS s
+          |FROM customer, orders o1, orders o2
+          |WHERE o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin,
+      "ambiguous")
     // a WRONG table qualifier is rejected like Spark analysis would,
     // not silently attributed by the column's bare name
     bad("""SELECT n_name, COUNT(*) AS n FROM nation n JOIN customer c
@@ -633,6 +645,61 @@ class SqlCompilerSpec extends AnyFunSuite {
           |FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "FLOATING-POINT")
+  }
+
+  test("SELF-JOIN compiles from SQL text: aliased instances become virtual relations") {
+    Seq("customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // urgent orders paired with low-priority orders of the same
+    // customer — the same relation twice, with deletes on BOTH
+    // instances so retractions cross the product in both directions
+    val q =
+      """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+        | SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS low_rev_e2,
+        | MAX(o1.o_orderkey) AS max_urgent
+        |FROM customer, orders o1, orders o2
+        |WHERE o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+        | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+        |GROUP BY c_mktsegment""".stripMargin
+    val c = SqlCompiler.compile(s, d, q)
+    // plans as a pair glue over the shared customer dimension, with
+    // the scale-safe trunk-bucketed orientation (customer is a root)
+    assert(c.stages.exists(_.pairStage.isDefined))
+    assert(c.stages.last.salts > 1)
+    val want = s.sql(q.replace("GROUP BY",
+        "AND o1.o_orderkey % 7 <> 0 AND o2.o_orderkey % 5 <> 0\nGROUP BY"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(want.nonEmpty)
+    val got = c.run(s, d, deletes = Map(
+        "o1" -> (col("o1_o_orderkey") % 7 === 0),
+        "o2" -> (col("o2_o_orderkey") % 5 === 0)))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(got == want)
+  }
+
+  test("self-join HIERARCHY: explicit self-FK edge joins instances parent-to-child") {
+    Seq("nation").foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+    // a true hierarchy needs a self-FK the fixtures don't declare —
+    // supply it explicitly (n_regionkey treated as a parent pointer
+    // into nation's own key space; region keys 0..4 ⊂ nation keys
+    // 0..24, so every nation has a parent row)
+    val q =
+      """SELECT p.n_name AS parent_name, COUNT(*) AS n_children,
+        | SUM(c.n_nationkey) AS sum_child
+        |FROM nation c, nation p
+        |WHERE c.n_regionkey = p.n_nationkey
+        |GROUP BY p.n_name""".stripMargin
+    val fk = Seq(graft.streaming.TreeCompiler.FkEdge(
+      "nation", "n_regionkey", "nation", "n_nationkey"))
+    val cQ = SqlCompiler.compile(s, d, q, explicitFk = Some(fk))
+    // a plain two-stage liveness chain: parent p, child c — no pair glue
+    assert(!cQ.stages.exists(_.pairStage.isDefined))
+    val want = s.sql(q.replace("GROUP BY", "AND c.n_nationkey % 2 = 0\nGROUP BY"))
+      .orderBy("parent_name").collect().toSeq
+    assert(want.nonEmpty)
+    val got = cQ.run(s, d, deletes = Map("c" -> (col("c_n_nationkey") % 2 === 1)))
+      .orderBy("parent_name").collect().toSeq
+    assert(got == want)
   }
 
   test("aggregate FILTER clauses compile as exact sign-weighted CASE folds") {
