@@ -1044,6 +1044,39 @@ object IncrementalQueries {
           "o2" -> (col("o2_o_orderkey") % 5 === 0)))
     },
 
+    // TWO pair stages in ONE graph — the next shape after one shared
+    // dimension: nation shared by customer AND supplier (outer glue,
+    // trunk-bucketed — root dim), customer shared by two orders
+    // instances via self-join expansion (inner glue, customer-keyed —
+    // c_custkey cardinality grows with the data, so PairOrientation
+    // .Auto correctly keeps the zero-extra-shuffle routing there).
+    // Deletes hit a branch of EACH glue, so retractions cross both
+    // products. Five relations, six stages, DuckDB runs the quad join
+    // natively as the oracle.
+    sql("incremental_sql_two_pairs",
+      """SELECT n_name, COUNT(*) AS n_quads,
+        | CAST(SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS low_rev_e2
+        |FROM nation, customer, supplier, orders o1, orders o2
+        |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+        | AND o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+        | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+        | AND s_acctbal >= 0
+        | AND o1.o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, COUNT(*) AS n_quads,
+          | SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS low_rev_e2
+          |FROM nation, customer, supplier, orders o1, orders o2
+          |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+          | AND o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+          | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+          | AND s_acctbal >= 0
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "o1" -> (col("o1_o_orderkey") % 7 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)))
+    },
+
     // The reference's FULL flagship shape — grouped aggregate + HAVING
     // + ORDER BY + LIMIT — compiled from one SQL text: the wrappers
     // are presentation over the maintained view (deterministic via the

@@ -677,6 +677,39 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("TWO pair stages in one graph: nested shared dims with per-glue orientation") {
+    Seq("nation", "customer", "supplier", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val q =
+      """SELECT n_name, COUNT(*) AS n_quads,
+        | SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS low_rev_e2
+        |FROM nation, customer, supplier, orders o1, orders o2
+        |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+        | AND o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+        | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+        | AND s_acctbal >= 0
+        |GROUP BY n_name""".stripMargin
+    val c = SqlCompiler.compile(s, d, q)
+    val pairs = c.stages.filter(_.pairStage.isDefined)
+    assert(pairs.size == 2, c.stages.map(_.name))
+    // per-glue orientation: the ROOT dimension's glue (nation) buckets
+    // the trunk; the mid-graph dimension's glue (customer — key
+    // cardinality grows with data) keeps the dimension-keyed routing
+    val outer = pairs.find(_.name.contains("_nation")).get
+    val inner = pairs.find(_.name.contains("_customer")).get
+    assert(outer.salts > 1 && outer.pairStage.get.endsWith("__pass"))
+    assert(inner.salts == 1 && !inner.pairStage.get.endsWith("__pass"))
+    val want = s.sql(q.replace("GROUP BY",
+        "AND o1.o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0\nGROUP BY"))
+      .orderBy("n_name").collect().toSeq
+    assert(want.nonEmpty)
+    val got = c.run(s, d, deletes = Map(
+        "o1" -> (col("o1_o_orderkey") % 7 === 0),
+        "supplier" -> (col("s_suppkey") % 5 === 0)))
+      .orderBy("n_name").collect().toSeq
+    assert(got == want)
+  }
+
   test("self-join HIERARCHY: explicit self-FK edge joins instances parent-to-child") {
     Seq("nation").foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
     // a true hierarchy needs a self-FK the fixtures don't declare —
