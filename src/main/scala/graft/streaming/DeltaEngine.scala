@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.{array, col, concat, explode, hash, lit, lpad, pmod}
+import org.apache.spark.sql.functions.{array, col, concat, explode, hash, lit, lpad, pmod, str_to_map, to_timestamp}
 import org.apache.spark.sql.Column
 
 /** The incremental acyclic-FK-join-tree engine — the Cquirrel/AJU
@@ -423,6 +423,113 @@ object DeltaEngine {
     }
   }
 
+  /** EVENT-TIME TTL for streaming tree state — the policy a production
+    * deployment needs to bound state by DATA time, not wall time
+    * (processing-time TTL keeps a quiet key alive as long as the job
+    * restarts often enough; event-time TTL evicts it once the
+    * WATERMARK passes its horizon, replay-deterministically).
+    *
+    *  - `tsCol` names the canonical-row column carrying each event's
+    *    time (e.g. "o_orderdate"); rows WITHOUT the column (dimension
+    *    relations in the same tree) neither advance nor fence —
+    *    their keys age out `delay` after the watermark passes their
+    *    last activity;
+    *  - `delay` is both the watermark lateness bound on the source
+    *    changelogs and the state horizon: a key evicts when the
+    *    watermark passes `max(last event time seen, watermark at last
+    *    activity) + delay`;
+    *  - LATE events (event time below the current watermark) are
+    *    FENCED — dropped deterministically at the fold, the standard
+    *    watermark contract (spec-asserted). Size `delay` to the
+    *    data's real disorder; events for an evicted key thereafter
+    *    see empty state, the same explicit
+    *    correctness-for-boundedness trade as the processing-time TTL.
+    *
+    * Session requirements (the engine never mutates the caller's
+    * session itself):
+    *  - `spark.sql.streaming.statefulOperator.checkCorrectness.enabled
+    *    = false` — each stage re-derives event time from its input
+    *    rows and fences per stage, the pattern Spark's blanket
+    *    chained-stateful-operator heuristic rejects;
+    *  - `spark.sql.streaming.multipleWatermarkPolicy = max` when the
+    *    tree's changelogs advance unevenly (an idle dimension stream
+    *    would stall a min-combined watermark and nothing would ever
+    *    evict).
+    *
+    * `delay` must also cover CROSS-STAGE reordering: a parent flip
+    * emits merged rows carrying their original (possibly old) child
+    * event times, which a downstream stage fences if older than
+    * watermark − delay. That is the event-time-bounded-state trade
+    * made explicit — size delay to the full disorder of the tree, not
+    * just one stream. */
+  final case class EventTimeTtl(tsCol: String, delay: java.time.Duration)
+
+  /** Event time of a canonical row under `ttl` ("yyyy-MM-dd HH:mm:ss"
+    * or date-only strings, as `changelog`'s string cast produces);
+    * None when the column is absent/null/unparseable. */
+  private def rowEventMs(row: String, tsCol: String): Option[Long] = {
+    val v = canonGet(row, tsCol)
+    if (v.isEmpty || v == "null") None
+    else try Some(java.sql.Timestamp.valueOf(v).getTime)
+    catch {
+      case _: IllegalArgumentException =>
+        try Some(java.sql.Date.valueOf(v).getTime)
+        catch { case _: IllegalArgumentException => None }
+    }
+  }
+
+  /** Shared event-time TTL wrapper for the two stream folds: fences
+    * late events, tracks the key's newest event time, folds, then
+    * re-arms the timeout at the key's horizon. */
+  private def withEventTtl[S](ttl: EventTimeTtl,
+      events: Iterator[Evt],
+      state: org.apache.spark.sql.streaming.GroupState[S],
+      fold: Iterator[Evt] => Iterator[Evt]): Iterator[Evt] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val wm = state.getCurrentWatermarkMs()
+      var lastTs = Long.MinValue
+      val live = events.filter { e =>
+        rowEventMs(e.row, ttl.tsCol) match {
+          case Some(ts) =>
+            if (ts > lastTs) lastTs = ts
+            ts >= wm // fence: older than the watermark = late
+          case None => true
+        }
+      }
+      val out = fold(live) // eager (foldEvents consumes `live` fully)
+      val horizon = math.max(lastTs, wm) + ttl.delay.toMillis
+      state.setTimeoutTimestamp(math.max(horizon, wm + 1))
+      out
+    }
+  }
+
+  /** [[processKeyStream]] under an EVENT-TIME TTL (see [[EventTimeTtl]]). */
+  def processKeyStreamEventTtl(spec: NodeSpec, ttl: EventTimeTtl,
+      preFiltered: Boolean = false)(
+      key: String, events: Iterator[Evt],
+      state: org.apache.spark.sql.streaming.GroupState[NState]): Iterator[Evt] =
+    withEventTtl(ttl, events, state, { live =>
+      val (out, st) = foldKey(spec, live,
+        state.getOption.getOrElse(emptyState), exportState = true, preFiltered)
+      state.update(st.get)
+      out
+    })
+
+  /** [[processPairKeyStream]] under an EVENT-TIME TTL. */
+  def processPairKeyStreamEventTtl(spec: NodeSpec, ttl: EventTimeTtl,
+      preFiltered: Boolean = false)(
+      key: String, events: Iterator[Evt],
+      state: org.apache.spark.sql.streaming.GroupState[PairNState]): Iterator[Evt] =
+    withEventTtl(ttl, events, state, { live =>
+      val (out, st) = foldPairKey(spec, live,
+        state.getOption.getOrElse(emptyPairState), exportState = true, preFiltered)
+      state.update(st.get)
+      out
+    })
+
   /** One liveness stage of a (possibly BRANCHING) FK join tree.
     *
     * The AJU model is defined over trees: a fact like lineitem may
@@ -727,22 +834,55 @@ object DeltaEngine {
     */
   def runStream(specs: Seq[NodeSpec], changelogs: Map[String, Dataset[Evt]],
                 stateTtl: Option[java.time.Duration] = None,
-                sourceFiltered: Boolean = false): Dataset[Evt] =
-    runStreamTree(chainStages(specs), changelogs, stateTtl, sourceFiltered)
+                sourceFiltered: Boolean = false,
+                eventTtl: Option[EventTimeTtl] = None): Dataset[Evt] =
+    runStreamTree(chainStages(specs), changelogs, stateTtl, sourceFiltered, eventTtl)
+
+  /** [[Evt]] plus its parsed event time — the wire shape of a stage
+    * input under an EVENT-TIME TTL: the analyzer requires the
+    * watermarked column to be PRESENT at each flatMapGroupsWithState
+    * input (a dropped column fails UnsupportedOperationChecker even
+    * with the watermark node upstream), so the event time rides as a
+    * real column per stage and unwraps at the fold. NULL for rows
+    * whose canonical row lacks the ts column (dimension relations) —
+    * null event times never advance the watermark and are never
+    * late-filtered. */
+  private[streaming] final case class EvtWithTs(
+      seq: Long, fromParent: Boolean, tag: Int, mult: Int,
+      key: String, row: String, __evtts: java.sql.Timestamp) {
+    def evt: Evt = Evt(seq, fromParent, tag, mult, key, row)
+  }
+
+  /** Attach the parsed event time and declare the stage watermark. */
+  private def withEventTime(ds: Dataset[Evt], ttl: EventTimeTtl): Dataset[EvtWithTs] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.toDF()
+      .withColumn("__evtts", to_timestamp(
+        str_to_map(col("row"), lit(FS.toString), lit(KV.toString)).getItem(ttl.tsCol)))
+      .withWatermark("__evtts", s"${ttl.delay.toMillis} milliseconds")
+      .as[EvtWithTs]
+  }
 
   /** [[runStream]] generalized to branching trees — the streaming twin
     * of [[runTree]] (chained `flatMapGroupsWithState` stages in Append
     * mode; Spark supports chained stateful operators in append since
-    * 3.4). */
+    * 3.4). State is bounded by `stateTtl` (processing-time inactivity)
+    * OR `eventTtl` (event-time horizon — see [[EventTimeTtl]]), not
+    * both. */
   def runStreamTree(stages: Seq[Stage], changelogs: Map[String, Dataset[Evt]],
                     stateTtl: Option[java.time.Duration] = None,
-                    sourceFiltered: Boolean = false): Dataset[Evt] = {
+                    sourceFiltered: Boolean = false,
+                    eventTtl: Option[EventTimeTtl] = None): Dataset[Evt] = {
     checkStages(stages)
+    require(stateTtl.isEmpty || eventTtl.isEmpty,
+      "choose ONE state-bounding policy: processing-time stateTtl or event-time eventTtl")
     val spark = changelogs.head._2.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val timeout =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      if (eventTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
     stages.foreach { st =>
@@ -761,16 +901,26 @@ object DeltaEngine {
         ownS.union(p)
       }.getOrElse(ownS)
       outputs(st.name) =
-        if (st.pairStage.isDefined)
-          events.groupByKey(_.key)
-            .flatMapGroupsWithState[PairNState, Evt](
-              OutputMode.Append, timeout)(
-              (k, it, s) => processPairKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
-        else
-          events.groupByKey(_.key)
-            .flatMapGroupsWithState[NState, Evt](
-              OutputMode.Append, timeout)(
-              (k, it, s) => processKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
+        (st.pairStage.isDefined, eventTtl) match {
+          case (true, Some(t)) =>
+            withEventTime(events, t).groupByKey(_.key)
+              .flatMapGroupsWithState[PairNState, Evt](OutputMode.Append, timeout)(
+                (k, it, s) =>
+                  processPairKeyStreamEventTtl(spec, t, preFiltered = true)(k, it.map(_.evt), s))
+          case (true, None) =>
+            events.groupByKey(_.key)
+              .flatMapGroupsWithState[PairNState, Evt](OutputMode.Append, timeout)(
+                (k, it, s) => processPairKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
+          case (false, Some(t)) =>
+            withEventTime(events, t).groupByKey(_.key)
+              .flatMapGroupsWithState[NState, Evt](OutputMode.Append, timeout)(
+                (k, it, s) =>
+                  processKeyStreamEventTtl(spec, t, preFiltered = true)(k, it.map(_.evt), s))
+          case (false, None) =>
+            events.groupByKey(_.key)
+              .flatMapGroupsWithState[NState, Evt](OutputMode.Append, timeout)(
+                (k, it, s) => processKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
+        }
     }
     outputs(stages.last.name)
   }

@@ -438,16 +438,26 @@ object IncrementalQueries {
     * touching the outer session's batch-sized setting. Production
     * guidance is unchanged: size state partitions to the data. */
   private def replayStream(s: SparkSession, stages: Seq[Stage],
-      logs0: Map[String, Dataset[Evt]], sinkName: String): Dataset[Evt] = {
+      logs0: Map[String, Dataset[Evt]], sinkName: String,
+      eventTtl: Option[DeltaEngine.EventTimeTtl] = None): Dataset[Evt] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    if (eventTtl.isDefined) {
+      // the EventTimeTtl session requirements (see its scaladoc):
+      // per-stage re-derived event times trip the blanket chained-
+      // stateful heuristic, and only some changelogs carry the ts
+      // column, so the combined watermark must take the max
+      ss.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+      ss.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    }
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
     val logs = logs0.view.mapValues(_.collect().toSeq).toMap
     val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
     val leaf = runStreamTree(stages,
-      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
+      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true,
+      eventTtl = eventTtl)
     val query = leaf.writeStream
       .format("memory").queryName(sinkName)
       .outputMode("append").start()
@@ -468,6 +478,21 @@ object IncrementalQueries {
   def incrementalQ10Stream(s: SparkSession, dir: String): DataFrame =
     q10Aggregate(replayStream(s, chainStages(q10Tree), q10Changelogs(s, dir),
       "incremental_q10_stream_leaf"))
+
+  /** [[incrementalQ10Stream]] with EVENT-TIME TTL enabled — the
+    * watermark/timeout machinery (EventTimeTimeout plan, per-stage
+    * watermark nodes, horizon arithmetic) runs on every stage, with
+    * `delay` sized past the fixture's whole date span so no key's
+    * horizon passes during the two-batch replay: state is bounded by
+    * data time WITHOUT changing the maintained answer, which is the
+    * production contract (the eviction path itself is spec-asserted
+    * with a controlled timeline in StreamingSpec). Same survivors
+    * oracle as incremental_q10. */
+  def incrementalQ10StreamTtl(s: SparkSession, dir: String): DataFrame =
+    q10Aggregate(replayStream(s, chainStages(q10Tree), q10Changelogs(s, dir),
+      "incremental_q10_stream_ttl_leaf",
+      eventTtl = Some(DeltaEngine.EventTimeTtl(
+        "o_orderdate", java.time.Duration.ofDays(3650)))))
 
   /** The CONTINUOUS pair stage behind the correctness gate — the
     * shared-dim changelog replays through [[DeltaEngine.runStreamTree]]
@@ -811,6 +836,22 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Stream),
+
+    // The same continuous tree with EVENT-TIME TTL enabled (watermark
+    // + EventTimeTimeout on every stage; delay past the fixture span,
+    // so bounded state leaves the answer untouched — the production
+    // contract). Same survivors oracle.
+    sql("incremental_q10_stream_ttl",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10StreamTtl),
 
     // LEFT OUTER over the MAINTAINED view — the enrichment shape a
     // reference user actually consumes: every customer (dimension

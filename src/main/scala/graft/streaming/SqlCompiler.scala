@@ -227,12 +227,14 @@ object SqlCompiler {
       * with `foreachBatch` + [[aggregate]] upsert). Local predicates
       * are applied per stream via [[eventFilter]]. */
     def runStream(changelogs: Map[String, Dataset],
-                  stateTtl: Option[java.time.Duration] = None): Dataset = {
+                  stateTtl: Option[java.time.Duration] = None,
+                  eventTtl: Option[DeltaEngine.EventTimeTtl] = None): Dataset = {
       val spark = changelogs(path.head).sparkSession
       val filtered = changelogs.map { case (rel, ds) =>
         rel -> eventFilter(spark, rel).map(ds.filter).getOrElse(ds)
       }
-      DeltaEngine.runStreamTree(stages, filtered, stateTtl, sourceFiltered = true)
+      DeltaEngine.runStreamTree(stages, filtered, stateTtl, sourceFiltered = true,
+        eventTtl = eventTtl)
     }
 
     /** Column names a SQL fragment references (via the parser — no

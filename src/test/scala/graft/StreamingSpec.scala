@@ -585,6 +585,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("EVENT-TIME TTL: watermark advance evicts idle keys; late events are fenced") {
+    // event-time horizon = data time, not wall time: key 1 goes quiet,
+    // the watermark (driven by key 2's advancing events) passes its
+    // horizon, and its state evicts — replay-deterministically, no
+    // sleeps. multipleWatermarkPolicy=max because the P changelog goes
+    // idle after batch 1 and would stall a min-combined watermark (the
+    // documented deployment setting for unevenly-advancing changelogs).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    // chained stateful stages re-derive event time per stage; Spark's
+    // global-watermark heuristic flags that pattern wholesale. The
+    // engine's folds fence deterministically per stage (EventTimeTtl
+    // scaladoc), so the blanket check is disabled for TTL queries.
+    ss.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    implicit val sq = ss.sqlContext
+    import ss.implicits._
+    def ts(min: Int) = f"2020-01-01 00:$min%02d:00"
+    val pStream = MemoryStream[Evt]
+    val cStream = MemoryStream[Evt]
+    val ttl = EventTimeTtl("ets", java.time.Duration.ofSeconds(60))
+    val leaf = runStream(Seq(parentSpec, childSpec),
+      Map("P" -> pStream.toDS(), "C" -> cStream.toDS()), eventTtl = Some(ttl))
+    val query = leaf.writeStream.format("memory").queryName("evt_ttl_leaf")
+      .outputMode("append").start()
+    try {
+      // batch 1: keys 1 and 2 both join at t0
+      pStream.addData(
+        Evt(0, false, 1, 1, "1", Map("pk" -> "1", "pname" -> "p1", "ets" -> ts(0))),
+        Evt(0, false, 1, 1, "2", Map("pk" -> "2", "pname" -> "p2", "ets" -> ts(0))))
+      cStream.addData(
+        Evt(1, false, 1, 1, "1", Map("fk" -> "1", "cid" -> "a", "v" -> "12", "ets" -> ts(0))),
+        Evt(1, false, 1, 1, "2", Map("fk" -> "2", "cid" -> "b", "v" -> "13", "ets" -> ts(0))))
+      query.processAllAvailable()
+      assert(ss.table("evt_ttl_leaf").count() == 2)
+      val stateAfter1 = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateAfter1 == 4, s"2 keys x 2 stages, got $stateAfter1")
+      // batch 2: key 2 stays active 10 data-minutes later → the
+      // watermark jumps past key 1's horizon (t0 + 60s)
+      cStream.addData(
+        Evt(2, false, 1, 1, "2", Map("fk" -> "2", "cid" -> "b2", "v" -> "14", "ets" -> ts(10))))
+      query.processAllAvailable()
+      // batch 3: the next batch fires key 1's expired timers
+      cStream.addData(
+        Evt(3, false, 1, 1, "2", Map("fk" -> "2", "cid" -> "b3", "v" -> "15", "ets" -> ts(11))))
+      query.processAllAvailable()
+      val afterEvict = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(afterEvict < stateAfter1,
+        s"event-time TTL must bound state by data time: $stateAfter1 -> $afterEvict")
+      val rowsBeforeLate = ss.table("evt_ttl_leaf").count()
+      assert(rowsBeforeLate == 4, "key 2's two later children joined")
+      // batch 4: a LATE child for the LIVE key 2 (event time below the
+      // watermark) is fenced — no new join row despite live state
+      cStream.addData(
+        Evt(4, false, 1, 1, "2", Map("fk" -> "2", "cid" -> "late", "v" -> "16", "ets" -> ts(0))))
+      query.processAllAvailable()
+      assert(ss.table("evt_ttl_leaf").count() == rowsBeforeLate,
+        "late event must be fenced by the watermark contract")
+    } finally query.stop()
+  }
+
   test("streaming Q10 tree over micro-batches equals the batch run (sf0.001)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
