@@ -684,6 +684,79 @@ object Relational {
             col("asof_ts").as("asof_click_ts"))
     },
 
+    // NATIVE streaming session windows behind the hash gate: the same
+    // 30-minute-gap sessions as events_sessionize, but aggregated to
+    // session level and computed by Spark's session_window operator
+    // over real micro-batches (events replayed ts-sorted in two
+    // batches + a far-future sentinel on an unused key to flush the
+    // tail). Determinism of the append-mode output: a session emits
+    // only once the watermark passes its end (last ts + gap); with a
+    // ts-sorted replay every later event has ts >= the current batch
+    // max > that end, so an emitted session can never have merged a
+    // later event — batch-boundary placement cannot change the
+    // result. Oracle = the lag/running-sum sessionize rolled up per
+    // session (both engines put a gap of EXACTLY 30 minutes in the
+    // same session). The sentinel's own session never finalizes
+    // (nothing advances the watermark past it) and is filtered
+    // defensively.
+    sql("events_session_window_stream",
+      """WITH s AS (
+        | SELECT user_id, ts,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM (
+        |  SELECT event_id, user_id, ts,
+        |   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events) t)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL '30 minutes' AS session_end,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions",
+          graft.streaming.IncrementalQueries.ReplayShufflePartitions)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        // FIXTURE-ONLY REPLAY GUARD — same contract as events_asof_stream:
+        // bounded collect, loud failure past fixture scale; production
+        // use is readStream → session_window directly.
+        val maxReplayRows = 2000000
+        val collected = Tables.events(s, d)
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)]
+          .limit(maxReplayRows + 1)
+          .collect()
+        require(collected.length <= maxReplayRows,
+          s"events_session_window_stream is a fixture-scale replay harness (<= " +
+            s"$maxReplayRows rows); for production data run session_window over a " +
+            "readStream source instead of a MemoryStream replay")
+        val ev = collected.sortBy(r => (r._2.getTime, r._1))
+        val src = MemoryStream[(Long, java.sql.Timestamp)]
+        val sessions = src.toDF().toDF("user_id", "ts")
+          .withWatermark("ts", "1 second")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n_events"))
+        val query = sessions.writeStream
+          .format("memory").queryName("events_session_window_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          src.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_session_window_sink").filter(col("user_id") >= 0)
+    },
+
     // Exact interpolated percentiles — Spark percentile_cont and DuckDB
     // quantile_cont share the linear-interpolation definition, so the
     // doubles match bit-for-bit. (A sort-based exact aggregate; at
