@@ -389,17 +389,28 @@ object SqlCompiler {
     * own VIRTUAL relation — the engine is alias-agnostic, so a
     * hierarchy or pair-of-instances query is just another FK tree once
     * every instance has a distinct changelog identity. */
+  /** `tolerateFloatFolds = true` opts OUT of the exact-fold contract:
+    * DOUBLE/FLOAT SUM/AVG/SUM(DISTINCT) arguments compile, with the
+    * documented caveat that double addition is not associative — a
+    * retraction leaves order-dependent residue, so the maintained
+    * value can drift from the batch answer by accumulated ulps (the
+    * magnitude grows with churn, not data size). Exact mode stays the
+    * default; prefer scaling to DECIMAL/BIGINT whenever the argument
+    * has bounded decimals. */
   def compile(spark: SparkSession, dir: String, sqlText: String,
-              explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): Compiled =
+              explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None,
+              tolerateFloatFolds: Boolean = false): Compiled =
     expandSelfJoins(spark, dir, sqlText, explicitFk) match {
       case Some((newText, mappedFk, loader)) =>
-        compileWith(spark, dir, newText, Some(mappedFk), loader)
-      case None => compileWith(spark, dir, sqlText, explicitFk, Tables.load)
+        compileWith(spark, dir, newText, Some(mappedFk), loader, tolerateFloatFolds)
+      case None =>
+        compileWith(spark, dir, sqlText, explicitFk, Tables.load, tolerateFloatFolds)
     }
 
   private def compileWith(spark: SparkSession, dir: String, sqlText: String,
               explicitFk: Option[Seq[TreeCompiler.FkEdge]],
-              loadRel: (SparkSession, String, String) => DataFrame): Compiled = {
+              loadRel: (SparkSession, String, String) => DataFrame,
+              tolerateFloatFolds: Boolean = false): Compiled = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
     val (corePlan, present, presExprs) = unwrapPresentation(spark, plan)
 
@@ -671,8 +682,8 @@ object SqlCompiler {
     // value can silently drift from the batch answer. Resolve the
     // argument's type against the relations' union schema (names are
     // unique — checked above) and demand an exact (integral/DECIMAL)
-    // type.
-    {
+    // type — unless the caller opted into `tolerateFloatFolds`.
+    if (!tolerateFloatFolds) {
       val unionSchema = StructType(colType.toSeq.map { case (n, t) =>
         org.apache.spark.sql.types.StructField(n, t) })
       val probe = spark.createDataFrame(
@@ -685,7 +696,8 @@ object SqlCompiler {
             s"(${t.simpleString}) deltas: retractions leave order-dependent FP " +
             "residue and the maintained value drifts from the batch answer — " +
             "scale the argument to an exact type, e.g. " +
-            "CAST(round(x * 100, 0) AS BIGINT)")
+            "CAST(round(x * 100, 0) AS BIGINT), or opt in with " +
+            "compile(..., tolerateFloatFolds = true) to accept the drift")
       }
     }
 

@@ -647,6 +647,39 @@ class SqlCompilerSpec extends AnyFunSuite {
       "FLOATING-POINT")
   }
 
+  test("tolerateFloatFolds compiles the DOUBLE folds the default rejects (named in the error)") {
+    Seq("nation", "customer").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val q =
+      """SELECT n_name, SUM(c_acctbal) AS bal, AVG(c_acctbal) AS avg_bal
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin
+    // the default rejection tells the user about the opt-in by name
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, q))
+    assert(ex.getMessage.contains("tolerateFloatFolds"))
+    // opted in: compiles, runs under deletes, and the maintained DOUBLE
+    // fold matches the batch answer within FP-residue tolerance (exact
+    // equality is precisely what this mode gives up)
+    val c = SqlCompiler.compile(s, d, q, tolerateFloatFolds = true)
+    val deletes = Map("customer" -> (col("c_custkey") % 7 === 0))
+    val got = c.run(s, d, deletes).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = s.sql(
+        """SELECT n_name, SUM(c_acctbal) AS bal, AVG(c_acctbal) AS avg_bal
+          |FROM nation, customer
+          |WHERE c_nationkey = n_nationkey AND c_custkey % 7 <> 0
+          |GROUP BY n_name""".stripMargin).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (bal, avg)) =>
+      val (wb, wa) = want(k)
+      assert(math.abs(bal - wb) <= 1e-6 * math.max(1.0, math.abs(wb)),
+        s"$k: SUM $bal vs $wb")
+      assert(math.abs(avg - wa) <= 1e-6 * math.max(1.0, math.abs(wa)),
+        s"$k: AVG $avg vs $wa")
+    }
+  }
+
   test("SELF-JOIN compiles from SQL text: aliased instances become virtual relations") {
     Seq("customer", "orders").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
