@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps.toDoubleVec
+import graft.sources.{Bucketing, IvfIndex}
+
+/** Incremental IVF maintenance: a changelog replay (inserts, deletes,
+  * a cell-moving update) must leave the index EQUAL to a fresh
+  * assignment of the net corpus under the SAME frozen quantizer, must
+  * rewrite ONLY the affected cells' partitions, and must clear a cell
+  * whose rows all net away. */
+class IvfIndexSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfTiny}
+
+  private def corpus() = Tables.embeddings(spark, sfTiny)
+    .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+
+  private def listFiles(path: String): Map[String, Set[String]] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+      .map(d => d.getName -> d.listFiles().map(_.getName)
+        .filterNot(_.startsWith("_")).toSet)
+      .toMap
+  }
+
+  private def indexRows(path: String): Set[(Long, Long, Seq[Double])] =
+    IvfIndex.read(spark, path).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getLong(r.fieldIndex("cent_id")),
+        r.getSeq[Double](r.fieldIndex("v")).toSeq)).toSet
+
+  test("changelog upsert equals fresh assignment; untouched cells' files survive") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val base = corpus()
+    IvfIndex.build(base, dir, cells = 8)
+    val before = listFiles(dir)
+    assert(before.nonEmpty && IvfIndex.centroids(spark, dir).count() == 8)
+
+    // the changelog is built FROM three chosen cells so the other five
+    // stay untouched: deletes (before-image on the wire), inserts
+    // (copies of surviving chosen-cell vectors under fresh ids — they
+    // route back into the chosen cells), and one UPDATE that replaces
+    // a vector's value with another chosen-cell vector's value
+    // (delete old v + insert new v — may cross cells, both chosen)
+    import spark.implicits._
+    val idx0 = IvfIndex.read(spark, dir)
+    val topCells = idx0.groupBy("cent_id").count()
+      .orderBy(col("count").desc, col("cent_id"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    // localCheckpoint, NOT cache: these frames are read back AFTER the
+    // upsert rewrites the path, and recacheByPath would silently
+    // recompute a cached frame over the new files
+    val inCells = idx0.filter(col("cent_id").isin(topCells.map(Long.box): _*))
+      .select("vec_id", "v").localCheckpoint(true)
+    val dels = inCells.filter(col("vec_id") % 3 === 0).withColumn("tag", lit(-1))
+    val ins = inCells.filter(col("vec_id") % 3 === 1).orderBy("vec_id").limit(20)
+      .select((col("vec_id") + 100000).as("vec_id"), col("v"))
+      .withColumn("tag", lit(1))
+    val picked = inCells.filter(col("vec_id") % 3 === 2).orderBy("vec_id").limit(2)
+      .collect()
+    val aId = picked(0).getLong(0)
+    val bV = picked(1).getSeq[Double](1).toSeq
+    val updDel = inCells.filter(col("vec_id") === aId).withColumn("tag", lit(-1))
+    val updIns = Seq((aId, bV)).toDF("vec_id", "v").withColumn("tag", lit(1))
+    val changelog = dels.unionByName(ins).unionByName(updDel).unionByName(updIns)
+
+    IvfIndex.upsert(spark, dir, changelog)
+
+    // expected = net corpus (base minus deletes minus the updated row,
+    // plus inserts and the updated row's new value) assigned under the
+    // SAME frozen centroids
+    val netCorpus = base
+      .join(dels.select("vec_id"), Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") =!= aId)
+      .unionByName(ins.drop("tag"))
+      .unionByName(updIns.drop("tag"))
+    val cents = IvfIndex.centroids(spark, dir)
+    val expected = IvfIndex.route(netCorpus.withColumn("tag", lit(1)), cents)
+      .select(col("vec_id"), col("cent_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSet
+    assert(indexRows(dir) == expected,
+      "upserted index must equal fresh assignment of the net corpus under the frozen quantizer")
+
+    // only affected cells rewrote: every untouched cell kept its exact files
+    val after = listFiles(dir)
+    val affected = IvfIndex.route(changelog, cents)
+      .select("cent_id").distinct().collect().map(r => s"cent_id=${r.getLong(0)}").toSet
+    val untouched = before.keySet -- affected
+    assert(untouched.nonEmpty, "fixture must leave some cells untouched")
+    untouched.foreach { cell =>
+      assert(after(cell) == before(cell), s"untouched $cell must keep its files")
+    }
+    affected.foreach { cell =>
+      assert(!after.get(cell).contains(before(cell)), s"affected $cell must rewrite")
+    }
+  }
+
+  test("a cell whose rows all net away is cleared, not left stale") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString
+    val base = corpus().limit(60).cache()
+    IvfIndex.build(base, dir, cells = 4)
+    val cents = IvfIndex.centroids(spark, dir)
+    // pick one populated cell and delete EVERY vector in it
+    val someCell = IvfIndex.read(spark, dir)
+      .groupBy("cent_id").count().orderBy(col("count"), col("cent_id"))
+      .collect().head.getLong(0)
+    val victims = IvfIndex.read(spark, dir).filter(col("cent_id") === someCell)
+      .select(col("vec_id"), col("v")).withColumn("tag", lit(-1))
+    assert(victims.count() > 0)
+    IvfIndex.upsert(spark, dir, victims)
+    val left = IvfIndex.read(spark, dir).filter(col("cent_id") === someCell).count()
+    assert(left == 0, s"cell $someCell must be empty after deleting all its rows")
+    assert(!new java.io.File(s"$dir/cent_id=$someCell").exists(),
+      "the emptied cell's directory is removed")
+  }
+
+  test("probe of the maintained index prunes to its cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_probe").toString
+    IvfIndex.build(corpus(), dir, cells = 8)
+    val cells = IvfIndex.read(spark, dir).select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted.take(2).toSeq
+    val probe = Bucketing.readPartition(spark, dir, "cent_id", cells)
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.partitionFilters.nonEmpty, "probe must carry PartitionFilters")
+    assert(probe.count() ==
+      IvfIndex.read(spark, dir).filter(col("cent_id").isin(cells.map(Long.box): _*)).count())
+  }
+}
