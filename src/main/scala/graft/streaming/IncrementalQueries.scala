@@ -1202,6 +1202,44 @@ object IncrementalQueries {
         deletes = Map("orders" -> (col("o_orderkey") % 4 === 0)))
     },
 
+    // VIEW MODE (bag): a SELECT with no aggregate maintains the JOIN
+    // ITSELF — the leaf deltas net per selected tuple and the view
+    // restores SQL bag multiplicity by net-count explode. The selected
+    // pair (n_name, o_orderpriority) is deliberately low-cardinality so
+    // most net counts are way above 1: the multiplicity machinery, not
+    // just survivorship, is what the row-count+hash compare checks.
+    sql("incremental_sql_join_view",
+      """SELECT n_name, o_orderpriority
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F'
+        | AND o_orderkey % 10 <> 0 AND c_custkey % 13 <> 0""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, o_orderpriority
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          | AND o_orderstatus = 'F'""".stripMargin,
+        deletes = Map(
+          "orders" -> (col("o_orderkey") % 10 === 0),
+          "customer" -> (col("c_custkey") % 13 === 0)))
+    },
+
+    // VIEW MODE (set): SELECT DISTINCT over the same tree — the
+    // maintained set view (net > 0 = present), no multiplicity.
+    sql("incremental_sql_distinct_view",
+      """SELECT DISTINCT n_name, o_orderpriority, o_orderstatus
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 10 <> 0 AND c_custkey % 13 <> 0""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT DISTINCT n_name, o_orderpriority, o_orderstatus
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey""".stripMargin,
+        deletes = Map(
+          "orders" -> (col("o_orderkey") % 10 === 0),
+          "customer" -> (col("c_custkey") % 13 === 0)))
+    },
+
     // BRANCHING tree (multi-parent lineitem: orders-chain AND part) —
     // the AJU capability beyond a chain. The oracle is the plain-SQL
     // survivors query over the five-way join with deletes excluded on

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, EqualTo, Expression, Literal, NullsFirst}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import graft.Tables
@@ -34,6 +34,11 @@ import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
   * WHERE <fk equi-join conjuncts AND single-relation predicates>
   * GROUP BY <group cols>
   * }}}
+  *
+  * A SELECT [DISTINCT] with NO aggregate compiles too, as an
+  * incrementally maintained JOIN VIEW: the selected tuple becomes the
+  * net-counted key over the leaf deltas — bag multiplicity restored by
+  * net-count explode (or set semantics under DISTINCT).
   *
   * HAVING / ORDER BY / LIMIT compile as presentation over the
   * maintained view; `agg(x) FILTER (WHERE p)` compiles as a CASE
@@ -73,7 +78,11 @@ object SqlCompiler {
       colType: Map[String, DataType],
       neededRaw: Map[String, Seq[String]],
       present: Seq[DataFrame => DataFrame] = Nil,
-      loadRel: (SparkSession, String, String) => DataFrame = Tables.load) {
+      loadRel: (SparkSession, String, String) => DataFrame = Tables.load,
+      /** None = grouped aggregate; Some("bag") = maintained join view
+        * with SQL bag multiplicity; Some("distinct") = SELECT DISTINCT
+        * set view. */
+      viewMode: Option[String] = None) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -204,6 +213,15 @@ object SqlCompiler {
         as.filter(_.kind == "count_distinct").foldLeft(joined)((j, a) =>
           j.withColumn(a.alias, coalesce(col(a.alias), lit(0L))))
       }
+        // view mode "bag": the net count IS the row's SQL bag
+        // multiplicity — restore it by exploding a unit sequence
+        // (duplicate source rows net to k, the view shows k rows).
+        // "distinct" (and the aggregate path) keep one row per group.
+        .transform(df => viewMode match {
+          case Some("bag") =>
+            df.withColumn("__dup", explode(sequence(lit(1L), col("__net")))).drop("__dup")
+          case _ => df
+        })
         // each output item selects FROM its source column (the group
         // key's canonical alias or the aggregate alias) — a SELECT
         // rename (n_name AS nation) maps here instead of renaming the
@@ -414,11 +432,27 @@ object SqlCompiler {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
     val (corePlan, present, presExprs) = unwrapPresentation(spark, plan)
 
-    val (groupExprs, selectExprs, belowAgg) = corePlan match {
-      case Aggregate(g, a, child, _) => (g, a, child)
-      case other => fail(s"expected a grouped aggregate query, got ${other.nodeName} " +
-        "(the incremental engine maintains GROUP BY aggregates, with HAVING/ORDER " +
-        "BY/LIMIT as presentation over the maintained view)")
+    // VIEW MODE: a SELECT with no aggregate maintains the JOIN ITSELF —
+    // an incrementally maintained materialized view of the FK tree.
+    // Every select item becomes a grouping key over the leaf deltas;
+    // "bag" restores SQL bag semantics by net-count multiplicity,
+    // "distinct" (SELECT DISTINCT) is the set view.
+    def viewGroups(items: Seq[Expression]): Seq[Expression] = items.map {
+      case _: UnresolvedStar => fail("SELECT * is not supported — list the " +
+        "columns explicitly (the maintained view's canonical rows carry only " +
+        "referenced columns)")
+      case Alias(child, _) => child
+      case UnresolvedAlias(child, _) => child
+      case e => e
+    }
+    val (groupExprs, selectExprs, belowAgg, viewMode) = corePlan match {
+      case Aggregate(g, a, child, _) => (g, a, child, None)
+      case Distinct(Project(p, child)) => (viewGroups(p), p, child, Some("distinct"))
+      case Project(p, child) => (viewGroups(p), p, child, Some("bag"))
+      case other => fail(s"expected a grouped aggregate or projection query, got " +
+        s"${other.nodeName} (the incremental engine maintains GROUP BY aggregates " +
+        "and SELECT [DISTINCT] join views, with HAVING/ORDER BY/LIMIT as " +
+        "presentation over the maintained view)")
     }
 
     // WHERE conjuncts + the join forest under them
@@ -663,7 +697,7 @@ object SqlCompiler {
       (items.flatMap(_._1), items.map(_._2))
     }
     val groups = groupBuf.toSeq
-    if (aggs.isEmpty) fail("at least one aggregate is required " +
+    if (aggs.isEmpty && viewMode.isEmpty) fail("at least one aggregate is required " +
       "(SUM, COUNT(*), COUNT(DISTINCT x), MIN, MAX, AVG)")
     if (groups.isEmpty &&
         aggs.exists(a => Set("count_distinct", "sum_distinct", "min", "max")(a.kind)))
@@ -722,7 +756,7 @@ object SqlCompiler {
     }
 
     Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
-      neededRaw, present, loadRel)
+      neededRaw, present, loadRel, viewMode)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

@@ -550,9 +550,10 @@ class SqlCompilerSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
       assert(ex.getMessage.contains(needle), s"message: ${ex.getMessage}")
     }
-    // no aggregate
-    bad("SELECT c_custkey FROM customer, nation WHERE c_nationkey = n_nationkey",
-      "grouped aggregate")
+    // no aggregate now compiles as a maintained join VIEW (see the
+    // VIEW MODE spec); a star select still has no column list to carry
+    bad("SELECT * FROM customer, nation WHERE c_nationkey = n_nationkey",
+      "SELECT *")
     // single relation: nothing to maintain incrementally
     bad("SELECT n_name, COUNT(*) AS n FROM nation GROUP BY n_name",
       ">= 2 relations")
@@ -645,6 +646,43 @@ class SqlCompilerSpec extends AnyFunSuite {
           |FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "FLOATING-POINT")
+  }
+
+  test("VIEW MODE: a non-aggregate SELECT maintains the join itself, bag multiplicity exact") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val viewSql =
+      """SELECT n_name, o_orderpriority
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F'""".stripMargin
+    val deletes = Map("orders" -> (col("o_orderkey") % 10 === 0))
+    val c = SqlCompiler.compile(s, d, viewSql)
+    assert(c.viewMode.contains("bag") && c.aggs.isEmpty)
+    val got = c.run(s, d, deletes).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val want = s.sql(
+        """SELECT n_name, o_orderpriority
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          | AND o_orderstatus = 'F' AND o_orderkey % 10 <> 0""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == want, s"bag view: ${got.size} rows vs ${want.size}")
+    assert(got.size > got.distinct.size,
+      "fixture must actually exercise multiplicity > 1")
+
+    // DISTINCT flavor: the set view
+    val cd = SqlCompiler.compile(s, d, "SELECT DISTINCT " + viewSql.stripPrefix("SELECT "))
+    assert(cd.viewMode.contains("distinct"))
+    val gotD = cd.run(s, d, deletes).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(gotD == want.distinct.sorted, "distinct view equals the deduped batch join")
+
+    // SELECT * has no column list to carry — loud rejection
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT * FROM nation, customer
+        |WHERE c_nationkey = n_nationkey""".stripMargin))
+    assert(ex.getMessage.contains("SELECT *"))
   }
 
   test("tolerateFloatFolds compiles the DOUBLE folds the default rejects (named in the error)") {
