@@ -757,6 +757,73 @@ object Relational {
         ss.table("events_session_window_sink").filter(col("user_id") >= 0)
     },
 
+    // STREAMING exact dedup behind the hash gate: the continuous twin
+    // of dedup_distinct — dropDuplicates over a replayed event stream
+    // emits each key's FIRST occurrence, so the keys-only output is
+    // exactly DISTINCT regardless of arrival order. State is one row
+    // per distinct key (bounded by key cardinality, not stream
+    // length); for time-bounded state use dropDuplicatesWithinWatermark
+    // (spec-asserted in StreamingSpec), whose late-arrival re-emits
+    // would break exact-DISTINCT parity here.
+    sql("events_stream_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions",
+          graft.streaming.IncrementalQueries.ReplayShufflePartitions)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        // FIXTURE-ONLY REPLAY GUARD — same contract as events_asof_stream
+        val maxReplayRows = 2000000
+        val collected = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"))
+          .as[(Long, String)]
+          .limit(maxReplayRows + 1)
+          .collect()
+        require(collected.length <= maxReplayRows,
+          s"events_stream_dedup is a fixture-scale replay harness (<= $maxReplayRows " +
+            "rows); for production data run dropDuplicates over a readStream source")
+        val src = MemoryStream[(Long, String)]
+        val out = src.toDF().toDF("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+        val query = out.writeStream
+          .format("memory").queryName("events_stream_dedup_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = collected.splitAt(collected.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_stream_dedup_sink")
+    },
+
+    // Retention cohorts — the classic growth-analytics matrix: cohort
+    // = a user's first active DATE, k = days since cohort, value =
+    // how many of the cohort's users were active on day k. Two
+    // hash-aggregates and one equi-join, both sides derived from the
+    // same distinct (user, day) frame (exchange reuse); at 100 TB the
+    // distinct user-day frame is the only shuffle that scales with
+    // data, and it partitions on user_id.
+    sql("events_retention_cohorts",
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY user_id)
+        |SELECT f.cohort, CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS k,
+        | COUNT(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val a = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        val f = a.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+        a.join(f, Seq("user_id"))
+          .select(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("k"))
+          .groupBy(col("cohort"), col("k"))
+          .agg(count(lit(1)).as("n_users"))
+    },
+
     // Exact interpolated percentiles — Spark percentile_cont and DuckDB
     // quantile_cont share the linear-interpolation definition, so the
     // doubles match bit-for-bit. (A sort-based exact aggregate; at

@@ -96,6 +96,78 @@ object CdcParser {
   def cleanLines(lines: DataFrame, schemas: Map[String, RelationSchema]): DataFrame =
     rejectsOrClean(lines, schemas, wantRejects = false).drop("reason")
 
+  // ── JSON CDC envelope (the Debezium-style wire format) ──────────────
+  //
+  // Each line is one JSON object `{"op": "c"|"r"|"u"|"d", "before":
+  // {...}, "after": {...}, "ts_ms": <long>}`: op c/r (create/read
+  // snapshot) carries the after-image, d the before-image, u BOTH.
+  // Parsing demuxes every envelope into SIGNED row events — u becomes
+  // (−1, before) + (+1, after) — which is exactly the delta engine's
+  // changelog shape, so a Debezium topic drives the incremental
+  // engine with no intermediate state. All codegen'd expressions
+  // (from_json / explode), scan-shaped like the pipe format above.
+
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  /** The envelope struct over a relation's row schema. */
+  def envelopeSchema(rowSchema: StructType): StructType = StructType(Seq(
+    StructField("op", StringType), StructField("before", rowSchema),
+    StructField("after", rowSchema), StructField("ts_ms", LongType)))
+
+  /** Parse JSON envelope lines (column `value`) into signed row
+    * events: `op`, `ts_ms`, `sign` (+1/−1), then the typed columns of
+    * `rowSchema`. An update emits its two events in wire order
+    * (retraction first). Malformed lines emit NOTHING here — split
+    * the stream with [[rejectsJsonEnvelope]] first, same dead-letter
+    * contract as the pipe format's [[cleanLines]]/[[rejects]].
+    *
+    * Pass `jsonOpts` (e.g. `timestampFormat`) identically to the
+    * writer's options — the default JSON timestamp format drops
+    * sub-millisecond precision. */
+  def parseJsonEnvelope(lines: DataFrame, rowSchema: StructType,
+                        jsonOpts: Map[String, String] = Map.empty): DataFrame = {
+    val e = from_json(col("value"), envelopeSchema(rowSchema), jsonOpts)
+    def ev(sign: Int, img: Column) =
+      struct(lit(sign).as("sign"), img.as("row"))
+    lines.select(e.as("e"))
+      .select(col("e.op").as("op"), col("e.ts_ms").as("ts_ms"),
+        explode(
+          when(col("e.op").isin("c", "r"), array(ev(1, col("e.after"))))
+            .when(col("e.op") === "d", array(ev(-1, col("e.before"))))
+            .when(col("e.op") === "u",
+              array(ev(-1, col("e.before")), ev(1, col("e.after"))))
+        ).as("__ev"))
+      .select((col("op") +: col("ts_ms") +: col("__ev.sign").as("sign") +:
+        rowSchema.fieldNames.toSeq.map(n => col(s"__ev.row.$n"))): _*)
+  }
+
+  /** Dead-letter routing for the JSON envelope: unparseable JSON, an
+    * unknown op, or a missing required image (c/r without after, d
+    * without before, u missing either). */
+  def rejectsJsonEnvelope(lines: DataFrame, rowSchema: StructType,
+                          jsonOpts: Map[String, String] = Map.empty): DataFrame = {
+    val e = from_json(col("value"), envelopeSchema(rowSchema), jsonOpts)
+    val op = e.getField("op")
+    val badJson = e.isNull || op.isNull
+    val badOp = !op.isin("c", "r", "u", "d")
+    val missing =
+      (op.isin("c", "r") && e.getField("after").isNull) ||
+        (op === "d" && e.getField("before").isNull) ||
+        (op === "u" && (e.getField("before").isNull || e.getField("after").isNull))
+    lines.filter(badJson || badOp || missing)
+      .select(col("value"),
+        when(badJson, "bad_json").when(badOp, "bad_op")
+          .otherwise("missing_image").as("reason"))
+  }
+
+  /** Render envelope lines from a frame carrying `op` (string),
+    * `before`/`after` (row structs, null where the op omits them) and
+    * `ts_ms`. Null images are omitted from the JSON (reader yields
+    * null back). */
+  def toJsonEnvelope(df: DataFrame, jsonOpts: Map[String, String] = Map.empty): DataFrame =
+    df.select(to_json(
+      struct(col("op"), col("before"), col("after"), col("ts_ms")), jsonOpts).as("value"))
+
   private def rejectsOrClean(lines: DataFrame, schemas: Map[String, RelationSchema],
                              wantRejects: Boolean): DataFrame = {
     val action = substring(col("value"), 1, 3)

@@ -737,6 +737,51 @@ object IncrementalQueries {
           .select(cols.map(c => col(s"r.$c")): _*)
     },
 
+    // JSON CDC envelope round trip — the Debezium-style wire format
+    // next to the pipe-CDC and CSV formats: creates/updates/deletes
+    // render through toJsonEnvelope (update = before AND after image)
+    // and parse back via parseJsonEnvelope into SIGNED row events (u →
+    // retraction + assertion), the delta engine's changelog shape. The
+    // oracle reconstructs the same event multiset in SQL, so any
+    // op-demux, image-selection, sign, or timestamp-format asymmetry
+    // fails the hash. timestampFormat is pinned to microseconds on
+    // both directions (the JSON default truncates to millis).
+    sql("cdc_json_roundtrip_orders",
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders)
+        |SELECT 'c' AS op, o_orderkey * 1000 AS ts_ms, 1 AS sign, o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderdate
+        | FROM base WHERE o_orderkey % 3 = 0
+        |UNION ALL SELECT 'u', o_orderkey * 1000, -1, o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderdate
+        | FROM base WHERE o_orderkey % 3 = 1
+        |UNION ALL SELECT 'u', o_orderkey * 1000, 1, o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice + 1.5, o_orderdate
+        | FROM base WHERE o_orderkey % 3 = 1
+        |UNION ALL SELECT 'd', o_orderkey * 1000, -1, o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderdate
+        | FROM base WHERE o_orderkey % 3 = 2""".stripMargin) {
+      (s, d) =>
+        val o = Tables.orders(s, d)
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        val rowSchema = org.apache.spark.sql.types.StructType(cols.map(o.schema(_)))
+        val row = struct(cols.map(col): _*)
+        val nullRow = lit(null).cast(rowSchema)
+        val tsMs = (col("o_orderkey") * 1000).as("ts_ms")
+        val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        val creates = o.filter(col("o_orderkey") % 3 === 0)
+          .select(lit("c").as("op"), nullRow.as("before"), row.as("after"), tsMs)
+        val updates = o.filter(col("o_orderkey") % 3 === 1)
+          .select(lit("u").as("op"), row.as("before"),
+            struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              (col("o_totalprice") + 1.5).as("o_totalprice"), col("o_orderdate")).as("after"),
+            tsMs)
+        val dels = o.filter(col("o_orderkey") % 3 === 2)
+          .select(lit("d").as("op"), row.as("before"), nullRow.as("after"), tsMs)
+        val lines = CdcParser.toJsonEnvelope(
+          creates.unionByName(updates).unionByName(dels), jsonOpts)
+        CdcParser.parseJsonEnvelope(lines, rowSchema, jsonOpts)
+    },
+
     sql("incremental_q10",
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,

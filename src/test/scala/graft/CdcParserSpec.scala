@@ -70,4 +70,39 @@ class CdcParserSpec extends AnyFunSuite {
     assert(parsed(1).getString(0) == "Insert" && parsed(1).getLong(2) == 42L
       && parsed(1).getDouble(3) == 12.5)
   }
+
+  test("JSON envelope: op demux to signed events; dead-letter reasons partition the stream") {
+    val ss = s
+    import ss.implicits._
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val create = """{"op":"c","after":{"id":1,"name":"a"},"ts_ms":10}"""
+    val update = """{"op":"u","before":{"id":1,"name":"a"},"after":{"id":1,"name":"b"},"ts_ms":20}"""
+    val delete = """{"op":"d","before":{"id":1,"name":"b"},"ts_ms":30}"""
+    val badJson = """{"op":"c","after":"""          // truncated
+    val badOp = """{"op":"x","after":{"id":9},"ts_ms":1}"""
+    val missingImg = """{"op":"u","after":{"id":9,"name":"z"},"ts_ms":1}""" // u without before
+    val lines = Seq(create, update, delete, badJson, badOp, missingImg).toDF("value")
+
+    val rej = CdcParser.rejectsJsonEnvelope(lines, rowSchema).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rej.keySet == Set(badJson, badOp, missingImg))
+    assert(rej(badJson) == "bad_json" && rej(badOp) == "bad_op"
+      && rej(missingImg) == "missing_image")
+
+    // the three good envelopes demux to FOUR signed events (u → −/+),
+    // in the delta engine's changelog shape
+    val clean = lines.join(CdcParser.rejectsJsonEnvelope(lines, rowSchema)
+      .select("value"), Seq("value"), "left_anti")
+    val evs = CdcParser.parseJsonEnvelope(clean, rowSchema)
+      .select("op", "ts_ms", "sign", "id", "name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getString(4)))
+      .sortBy(e => (e._2, e._3)).toSeq
+    assert(evs == Seq(
+      ("c", 10L, 1, 1L, "a"),
+      ("u", 20L, -1, 1L, "a"),
+      ("u", 20L, 1, 1L, "b"),
+      ("d", 30L, -1, 1L, "b")))
+  }
 }
