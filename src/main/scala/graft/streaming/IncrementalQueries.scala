@@ -525,21 +525,45 @@ object IncrementalQueries {
          | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND l_returnflag = 'R'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)
-    val deletes = Map(
-      "lineitem" -> (col("l_linenumber") === 3),
-      "orders" -> (col("o_orderkey") % 50 === 0))
+    runSqlStreamed(s, c, dir, Map(
+        "lineitem" -> (col("l_linenumber") === 3),
+        "orders" -> (col("o_orderkey") % 50 === 0)),
+      "incremental_sql_q10_stream_leaf")
+  }
+
+  /** VIEW MODE through the CONTINUOUS engine: the compiled
+    * non-aggregate SELECT replays over raw event streams and the bag
+    * view (net-count explode) folds the streamed leaf — same oracle
+    * as incremental_sql_join_view. */
+  def incrementalSqlViewStream(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir,
+        """SELECT n_name, o_orderpriority
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          | AND o_orderstatus = 'F'""".stripMargin),
+      dir, Map(
+        "orders" -> (col("o_orderkey") % 10 === 0),
+        "customer" -> (col("c_custkey") % 13 === 0)),
+      "incremental_sql_view_stream_leaf")
+
+  /** Compiled query → RAW (unfiltered) event streams — runStream's
+    * eventFilter applies the compiled predicates per stream — →
+    * micro-batch replay (one batch per changelog seq, state across
+    * batches) → the compiled fold. Shared by the SQL-stream gated
+    * entries. */
+  private def runSqlStreamed(s: SparkSession, c: SqlCompiler.Compiled, dir: String,
+      deletes: Map[String, org.apache.spark.sql.Column], sinkName: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
-    // RAW (unfiltered) events on the wire — runStream's eventFilter
-    // applies the compiled predicates per stream
     val logs = c.sourceChangelogs(s, dir, deletes, filtered = false)
       .view.mapValues(_.collect().toSeq).toMap
     val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
     val leaf = c.runStream(streams.map { case (r, ms) => r -> ms.toDS() })
     val query = leaf.writeStream
-      .format("memory").queryName("incremental_sql_q10_stream_leaf")
+      .format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
       logs.values.flatten.map(_.seq).toSeq.distinct.sorted.foreach { seq =>
@@ -550,7 +574,7 @@ object IncrementalQueries {
         query.processAllAvailable()
       }
     } finally query.stop()
-    c.aggregate(ss.table("incremental_sql_q10_stream_leaf").toDF())
+    c.aggregate(ss.table(sinkName).toDF())
   }
 
   /** [[Evt]] changelog from a [[CdcParser.parseRelation]] frame:
@@ -558,7 +582,16 @@ object IncrementalQueries {
     * Delete → −1 @ seq 1), `where` is the node predicate on the
     * parsed typed columns. */
   private def cdcChangelog(parsed: DataFrame, keyCol: String, cols: Seq[String],
-                           where: Option[org.apache.spark.sql.Column]): Dataset[Evt] = {
+                           where: Option[org.apache.spark.sql.Column]): Dataset[Evt] =
+    signedChangelog(parsed, when(col("action") === "Insert", 1).otherwise(-1),
+      keyCol, cols, where)
+
+  /** Typed rows + a ±1 sign expression → the engine's [[Evt]]
+    * changelog (inserts replay at seq 0, deletes at seq 1, the same
+    * two-batch convention as every parquet-backed changelog). */
+  private def signedChangelog(parsed: DataFrame, sign: org.apache.spark.sql.Column,
+                              keyCol: String, cols: Seq[String],
+                              where: Option[org.apache.spark.sql.Column]): Dataset[Evt] = {
     val df = where.map(parsed.filter).getOrElse(parsed)
     val spark = df.sparkSession
     import spark.implicits._
@@ -566,9 +599,9 @@ object IncrementalQueries {
       cols.sorted.map(c =>
         concat(lit(c + KV.toString), coalesce(col(c).cast("string"), lit("null")))): _*)
     df.select(
-      when(col("action") === "Insert", 0L).otherwise(1L).as("seq"),
+      when(sign > 0, 0L).otherwise(1L).as("seq"),
       lit(false).as("fromParent"),
-      when(col("action") === "Insert", 1).otherwise(-1).as("tag"),
+      sign.cast("int").as("tag"),
       lit(1).as("mult"),
       col(keyCol).cast("string").as("key"),
       rowCanon.as("row")).as[Evt]
@@ -643,6 +676,54 @@ object IncrementalQueries {
         Some(col("l_returnflag") === "R")))
     val leaf = runBatch(q10Tree, logs, sourceFiltered = true)
     q10Aggregate(leaf)
+  }
+
+  /** The JSON-CDC deployment shape end to end: each relation is its
+    * own envelope TOPIC (Debezium's per-table topics — no demux
+    * needed, unlike the reference's single interleaved line stream),
+    * rendered via [[CdcParser.toJsonEnvelope]], parsed back into
+    * signed events by [[CdcParser.parseJsonEnvelope]], node predicates
+    * applied to the parsed frames, and the same Q10 tree + aggregate.
+    * Deletes arrive as 'd' envelopes carrying the before-image. */
+  def incrementalQ10FromJson(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def topic(df: DataFrame, cols: Seq[String],
+              deleteWhen: Option[org.apache.spark.sql.Column])
+        : (DataFrame, StructType) = {
+      val rowSchema = StructType(cols.map(df.schema(_)))
+      val row = struct(cols.map(col): _*)
+      val nullRow = lit(null).cast(rowSchema)
+      val creates = df.select(lit("c").as("op"), nullRow.as("before"),
+        row.as("after"), lit(0L).as("ts_ms"))
+      val all = deleteWhen.map(cond => creates.unionByName(
+          df.filter(cond).select(lit("d").as("op"), row.as("before"),
+            nullRow.as("after"), lit(1L).as("ts_ms"))))
+        .getOrElse(creates)
+      (CdcParser.toJsonEnvelope(all, jsonOpts), rowSchema)
+    }
+    def log(t: (DataFrame, StructType), keyCol: String, cols: Seq[String],
+            where: Option[org.apache.spark.sql.Column]): Dataset[Evt] =
+      signedChangelog(CdcParser.parseJsonEnvelope(t._1, t._2, jsonOpts),
+        col("sign"), keyCol, cols, where)
+    val logs: Map[String, Dataset[Evt]] = Map(
+      "nation" -> log(topic(Tables.nation(s, dir), Seq("n_nationkey", "n_name"), None),
+        "n_nationkey", Seq("n_nationkey", "n_name"), None),
+      "customer" -> log(topic(Tables.customer(s, dir),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"), None),
+        "c_nationkey", Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"), None),
+      "orders" -> log(topic(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderdate"),
+          Some(col("o_orderkey") % 50 === 0)),
+        "o_custkey", Seq("o_orderkey", "o_custkey", "o_orderdate"),
+        Some(col("o_orderdate") >= dateLo && col("o_orderdate") < dateHi)),
+      "lineitem" -> log(topic(Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"),
+          Some(col("l_linenumber") === 3)),
+        "l_orderkey",
+        Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"),
+        Some(col("l_returnflag") === "R")))
+    q10Aggregate(runBatch(q10Tree, logs, sourceFiltered = true))
   }
 
   /** Per-event running-output parity with the reference's A1 (one
@@ -822,6 +903,21 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10FromCdc),
+
+    // The JSON-envelope wire format driving the SAME tree (per-topic
+    // streams, 'd' envelopes as deletes) — same oracle as
+    // incremental_q10, so a format/demux/sign asymmetry fails the hash.
+    sql("incremental_q10_from_json",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10FromJson),
 
     // The SAME query as incremental_q10, but compiled FROM SQL TEXT by
     // [[SqlCompiler]] (Catalyst parser → FK-graph validation → NodeSpec
@@ -1268,6 +1364,17 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 10 === 0),
           "customer" -> (col("c_custkey") % 13 === 0)))
     },
+
+    // VIEW MODE through the CONTINUOUS engine — same oracle as
+    // incremental_sql_join_view, so stream/batch view divergence
+    // fails the hash.
+    sql("incremental_sql_view_stream",
+      """SELECT n_name, o_orderpriority
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F'
+        | AND o_orderkey % 10 <> 0 AND c_custkey % 13 <> 0""".stripMargin)(
+      incrementalSqlViewStream),
 
     // VIEW MODE (set): SELECT DISTINCT over the same tree — the
     // maintained set view (net > 0 = present), no multiplicity.
