@@ -1319,6 +1319,32 @@ object IncrementalQueries {
           "orders" -> (col("o_totalprice") > 400000)))
     },
 
+    // DISCRETE MEDIAN under retraction — derives from the same
+    // per-(group, value) netting rollup as MIN/MAX (deleting the
+    // current median re-exposes the next value exactly); the oracle is
+    // DuckDB's quantile_disc(x, 0.5), the identical lower-median
+    // element selection, bit-exact even on the DOUBLE argument since
+    // both engines SELECT an existing value rather than folding.
+    sql("incremental_sql_median",
+      """SELECT n_name, quantile_disc(o_totalprice, 0.5) AS med_price,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 6 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, MEDIAN(o_totalprice) AS med_price,
+          | COUNT(*) AS n_rows
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          | AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
     // GROUP BY expressions compiled from text: a COMPUTED grouping key
     // (calendar year) evaluates over the typed leaf deltas — grouping
     // is no longer limited to stored columns. The oracle wraps the SUM

@@ -153,7 +153,8 @@ object SqlCompiler {
       // bare groups, a computed scalar (year(o_orderdate), …) otherwise
       def groupKeys: Seq[Column] = groups.map(g => expr(g.frag).as(g.alias))
       val (valueAggs, plainAggs) =
-        aggs.partition(a => Set("count_distinct", "sum_distinct", "min", "max")(a.kind))
+        aggs.partition(a =>
+          Set("count_distinct", "sum_distinct", "min", "max", "median")(a.kind))
       val aggExprs = plainAggs.map { a =>
         a.kind match {
           case "count" => sum(col("__sign")).cast(LongType).as(a.alias)
@@ -196,22 +197,50 @@ object SqlCompiler {
           .groupBy((groupKeys :+ expr(frag).as("__dv")): _*)
           .agg(sum(col("__sign")).as("__dn"))
           .filter(col("__dn") > 0 && col("__dv").isNotNull)
-        val rollExprs = as.map { a =>
-          a.kind match {
-            case "count_distinct" => count(lit(1)).cast(LongType).as(a.alias)
-            case "sum_distinct" => sum(col("__dv")).as(a.alias)
-            case "min" => min(col("__dv")).as(a.alias)
-            case _ => max(col("__dv")).as(a.alias)
-          }
+        val (medianAs, simpleAs) = as.partition(_.kind == "median")
+        val rolledFrames: Seq[org.apache.spark.sql.DataFrame] =
+          (if (simpleAs.isEmpty) Nil else {
+            val rollExprs = simpleAs.map { a =>
+              a.kind match {
+                case "count_distinct" => count(lit(1)).cast(LongType).as(a.alias)
+                case "sum_distinct" => sum(col("__dv")).as(a.alias)
+                case "min" => min(col("__dv")).as(a.alias)
+                case _ => max(col("__dv")).as(a.alias)
+              }
+            }
+            Seq(perValue.groupBy(groupCols.map(col): _*)
+              .agg(rollExprs.head, rollExprs.tail: _*))
+          }) ++
+          (if (medianAs.isEmpty) Nil else {
+            // DISCRETE lower median over the netted values: the
+            // smallest __dv whose cumulative net count reaches half
+            // the group total (= DuckDB quantile_disc 0.5). One sort
+            // per group over the DISTINCT values — the exact-median
+            // price; at scale prefer the mergeable histogram sketch
+            // (events_histogram_quantile) when approximation is
+            // acceptable.
+            import org.apache.spark.sql.expressions.Window
+            val part = Window.partitionBy(groupCols.map(col): _*)
+            val wCum = part.orderBy(col("__dv"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            Seq(perValue
+              .withColumn("__cum", sum(col("__dn")).over(wCum))
+              .withColumn("__tot", sum(col("__dn")).over(part))
+              .filter(col("__cum") * 2 >= col("__tot"))
+              .groupBy(groupCols.map(col): _*)
+              .agg(min(col("__dv")).as(medianAs.head.alias),
+                medianAs.tail.map(a => min(col("__dv")).as(a.alias)): _*))
+          })
+        rolledFrames.foldLeft(df) { (acc, rolledRaw) =>
+          val rolled = rolledRaw
+            .withColumnsRenamed(groupCols.map(c => c -> s"__g_$c").toMap)
+          val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+          val joined = acc.join(rolled, cond, "left")
+            .drop(groupCols.map(c => s"__g_$c"): _*)
+          as.filter(a => a.kind == "count_distinct" &&
+              rolledRaw.columns.contains(a.alias)).foldLeft(joined)((j, a) =>
+            j.withColumn(a.alias, coalesce(col(a.alias), lit(0L))))
         }
-        val rolled = perValue.groupBy(groupCols.map(col): _*)
-          .agg(rollExprs.head, rollExprs.tail: _*)
-          .withColumnsRenamed(groupCols.map(c => c -> s"__g_$c").toMap)
-        val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
-        val joined = df.join(rolled, cond, "left")
-          .drop(groupCols.map(c => s"__g_$c"): _*)
-        as.filter(_.kind == "count_distinct").foldLeft(joined)((j, a) =>
-          j.withColumn(a.alias, coalesce(col(a.alias), lit(0L))))
       }
         // view mode "bag": the net count IS the row's SQL bag
         // multiplicity — restore it by exploding a unit sequence
@@ -644,10 +673,19 @@ object SqlCompiler {
             AggSpec("avg", filtered(dequalify(spark, fragment(arg))), alias)
           case (name @ ("min" | "max"), Seq(arg)) =>
             AggSpec(name, filtered(dequalify(spark, fragment(arg))), alias)
+          case ("median", Seq(arg)) =>
+            // DISCRETE (lower) median — the smallest value whose
+            // cumulative net count reaches half the group: derives
+            // exactly from the per-(group, value) netting rollup
+            // (= DuckDB quantile_disc(x, 0.5)), and since it SELECTS an
+            // existing value instead of folding, it is exact under
+            // retraction and bit-reproducible even for float arguments.
+            // The INTERPOLATED even-group median would be a float fold.
+            AggSpec("median", filtered(dequalify(spark, fragment(arg))), alias)
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
             "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
-            "MIN, MAX, AVG; a non-aggregate SELECT expression must textually " +
-            "match a GROUP BY expression)")
+            "MIN, MAX, AVG, MEDIAN (discrete); a non-aggregate SELECT expression " +
+            "must textually match a GROUP BY expression)")
         }
       case other => fail(s"expected an aggregate function under alias '$alias', " +
         s"got '${fragment(other)}' (a non-aggregate SELECT expression must " +
@@ -700,9 +738,10 @@ object SqlCompiler {
     if (aggs.isEmpty && viewMode.isEmpty) fail("at least one aggregate is required " +
       "(SUM, COUNT(*), COUNT(DISTINCT x), MIN, MAX, AVG)")
     if (groups.isEmpty &&
-        aggs.exists(a => Set("count_distinct", "sum_distinct", "min", "max")(a.kind)))
-      fail("COUNT(DISTINCT x)/SUM(DISTINCT x)/MIN/MAX need at least one GROUP BY " +
-        "column here (the per-value rollup joins back on the group keys)")
+        aggs.exists(a =>
+          Set("count_distinct", "sum_distinct", "min", "max", "median")(a.kind)))
+      fail("COUNT(DISTINCT x)/SUM(DISTINCT x)/MIN/MAX/MEDIAN need at least one " +
+        "GROUP BY column here (the per-value rollup joins back on the group keys)")
 
     // per-relation columns that must travel in canonical rows:
     // referenced by GROUP BY / SUM args, plus every key column any of

@@ -627,8 +627,9 @@ class SqlCompilerSpec extends AnyFunSuite {
     bad("""SELECT n_name, SUM(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "FLOATING-POINT")
-    // an aggregate with no retractable derivation
-    bad("""SELECT n_name, median(c_acctbal) AS a FROM nation, customer
+    // an aggregate with no retractable derivation (median compiles now
+    // — see the MEDIAN spec — but stddev would need a float fold)
+    bad("""SELECT n_name, stddev(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "unsupported aggregate")
     // FILTER predicates may not themselves aggregate
@@ -646,6 +647,33 @@ class SqlCompilerSpec extends AnyFunSuite {
           |FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "FLOATING-POINT")
+  }
+
+  test("MEDIAN compiles as the discrete lower median over the value rollup") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val q =
+      """SELECT n_name, MEDIAN(o_totalprice) AS med, MIN(o_totalprice) AS lo,
+        | COUNT(*) AS n
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    val got = SqlCompiler.run(s, d, q,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+      .orderBy("n_name").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    // Spark's percentile_disc(0.5) is the same lower-median selection
+    val want = s.sql(
+        """SELECT n_name,
+          | percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med,
+          | MIN(o_totalprice) AS lo, COUNT(*) AS n
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          | AND o_orderkey % 6 <> 0
+          |GROUP BY n_name""".stripMargin)
+      .orderBy("n_name").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == want && got.nonEmpty)
   }
 
   test("VIEW MODE: a non-aggregate SELECT maintains the join itself, bag multiplicity exact") {
