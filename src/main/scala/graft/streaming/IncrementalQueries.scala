@@ -1319,6 +1319,49 @@ object IncrementalQueries {
           "orders" -> (col("o_totalprice") > 400000)))
     },
 
+    // INCREMENTAL ROLLUP — every expanded grouping set maintained
+    // independently (exact for every aggregate kind) and unioned with
+    // null-padded inactive keys, against DuckDB's native ROLLUP.
+    sql("incremental_sql_rollup",
+      """SELECT n_name, o_orderpriority,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_e2,
+        | COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 6 <> 0 AND c_custkey % 9 <> 0
+        |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, o_orderpriority,
+          | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+          | COUNT(*) AS n_orders
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin,
+        deletes = Map(
+          "orders" -> (col("o_orderkey") % 6 === 0),
+          "customer" -> (col("c_custkey") % 9 === 0)))
+    },
+
+    // INCREMENTAL CUBE with COUNT(DISTINCT) — the per-value rollup
+    // runs inside EVERY grouping set including the grand total (the
+    // non-derivable aggregate case that re-aggregation shortcuts get
+    // wrong), against DuckDB's native CUBE.
+    sql("incremental_sql_cube",
+      """SELECT n_name, o_orderstatus,
+        | COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 6 <> 0
+        |GROUP BY CUBE (n_name, o_orderstatus)""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, o_orderstatus,
+          | COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY CUBE (n_name, o_orderstatus)""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
     // DISCRETE MEDIAN under retraction — derives from the same
     // per-(group, value) netting rollup as MIN/MAX (deleting the
     // current median re-exposes the next value exactly); the oracle is

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, EqualTo, Expression, Literal, NullsFirst}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, EqualTo, Expression, Literal, NullsFirst}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
@@ -82,7 +82,10 @@ object SqlCompiler {
       /** None = grouped aggregate; Some("bag") = maintained join view
         * with SQL bag multiplicity; Some("distinct") = SELECT DISTINCT
         * set view. */
-      viewMode: Option[String] = None) {
+      viewMode: Option[String] = None,
+      /** GROUP BY ROLLUP/CUBE/GROUPING SETS: the expanded grouping
+        * sets as group-alias lists; None for a plain GROUP BY. */
+      rollupSets: Option[Seq[Seq[String]]] = None) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -148,13 +151,20 @@ object SqlCompiler {
       val typed = leaf.select(
         (col("tag") * col("mult")).cast(LongType).as("__sign") +:
           dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
-      // grouping keys: each GROUP BY fragment evaluates over the typed
-      // raw columns and carries its output alias — a plain column for
-      // bare groups, a computed scalar (year(o_orderdate), …) otherwise
-      def groupKeys: Seq[Column] = groups.map(g => expr(g.frag).as(g.alias))
       val (valueAggs, plainAggs) =
         aggs.partition(a =>
           Set("count_distinct", "sum_distinct", "min", "max", "median")(a.kind))
+      // One grouping set's maintained aggregate over the shared typed
+      // deltas; `active` ⊆ groups (always ALL of them outside
+      // ROLLUP/CUBE). Inactive keys come back as typed NULL padding so
+      // every set unions by name — Spark's Expand-based batch rollup
+      // contract.
+      def aggregateSet(active: Seq[GroupSpec]): DataFrame = {
+      val activeCols = active.map(_.alias)
+      // grouping keys: each GROUP BY fragment evaluates over the typed
+      // raw columns and carries its output alias — a plain column for
+      // bare groups, a computed scalar (year(o_orderdate), …) otherwise
+      def groupKeys: Seq[Column] = active.map(g => expr(g.frag).as(g.alias))
       val aggExprs = plainAggs.map { a =>
         a.kind match {
           case "count" => sum(col("__sign")).cast(LongType).as(a.alias)
@@ -179,8 +189,8 @@ object SqlCompiler {
       val main = typed.groupBy(groupKeys: _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
         .filter(col("__net") > 0)
-      // COUNT(DISTINCT x) / MIN(x) / MAX(x) need NO extra engine
-      // state: the leaf delta multiset already nets per (group,
+      // COUNT(DISTINCT x) / MIN(x) / MAX(x) / MEDIAN(x) need NO extra
+      // engine state: the leaf delta multiset already nets per (group,
       // value) — a value is present iff its signed count is positive,
       // and counting/min-ing/max-ing the present values is exact
       // under retraction (deleting the current extreme re-exposes the
@@ -191,8 +201,9 @@ object SqlCompiler {
       // Nulls don't participate (SQL semantics); a group whose values
       // all netted away counts 0 / is NULL for MIN/MAX. The join back
       // is NULL-SAFE on the group keys (a NULL-keyed group must match
-      // its own rollup row, as groupBy semantics treat NULL as a key).
-      valueAggs.groupBy(_.frag).toSeq.sortBy(_._1).foldLeft(main) { case (df, (frag, as)) =>
+      // its own rollup row, as groupBy semantics treat NULL as a key);
+      // the grand-total grouping set joins on TRUE (one row each side).
+      val result = valueAggs.groupBy(_.frag).toSeq.sortBy(_._1).foldLeft(main) { case (df, (frag, as)) =>
         val perValue = typed
           .groupBy((groupKeys :+ expr(frag).as("__dv")): _*)
           .agg(sum(col("__sign")).as("__dn"))
@@ -208,7 +219,7 @@ object SqlCompiler {
                 case _ => max(col("__dv")).as(a.alias)
               }
             }
-            Seq(perValue.groupBy(groupCols.map(col): _*)
+            Seq(perValue.groupBy(activeCols.map(col): _*)
               .agg(rollExprs.head, rollExprs.tail: _*))
           }) ++
           (if (medianAs.isEmpty) Nil else {
@@ -220,28 +231,41 @@ object SqlCompiler {
             // (events_histogram_quantile) when approximation is
             // acceptable.
             import org.apache.spark.sql.expressions.Window
-            val part = Window.partitionBy(groupCols.map(col): _*)
+            val part = Window.partitionBy(activeCols.map(col): _*)
             val wCum = part.orderBy(col("__dv"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             Seq(perValue
               .withColumn("__cum", sum(col("__dn")).over(wCum))
               .withColumn("__tot", sum(col("__dn")).over(part))
               .filter(col("__cum") * 2 >= col("__tot"))
-              .groupBy(groupCols.map(col): _*)
+              .groupBy(activeCols.map(col): _*)
               .agg(min(col("__dv")).as(medianAs.head.alias),
                 medianAs.tail.map(a => min(col("__dv")).as(a.alias)): _*))
           })
         rolledFrames.foldLeft(df) { (acc, rolledRaw) =>
           val rolled = rolledRaw
-            .withColumnsRenamed(groupCols.map(c => c -> s"__g_$c").toMap)
-          val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+            .withColumnsRenamed(activeCols.map(c => c -> s"__g_$c").toMap)
+          val cond = activeCols.map(c => col(c) <=> col(s"__g_$c"))
+            .foldLeft(lit(true))(_ && _)
           val joined = acc.join(rolled, cond, "left")
-            .drop(groupCols.map(c => s"__g_$c"): _*)
+            .drop(activeCols.map(c => s"__g_$c"): _*)
           as.filter(a => a.kind == "count_distinct" &&
               rolledRaw.columns.contains(a.alias)).foldLeft(joined)((j, a) =>
             j.withColumn(a.alias, coalesce(col(a.alias), lit(0L))))
         }
       }
+      // typed NULL padding for this set's inactive keys
+      groups.filterNot(g => activeCols.contains(g.alias)).foldLeft(result)((df, g) =>
+        df.withColumn(g.alias,
+          lit(null).cast(typed.select(expr(g.frag)).schema.head.dataType)))
+      }
+      (rollupSets match {
+        case None => aggregateSet(groups)
+        case Some(sets) =>
+          val byAlias = groups.map(g => g.alias -> g).toMap
+          sets.map(set => aggregateSet(set.map(byAlias)))
+            .reduce((a, b) => a.unionByName(b))
+      })
         // view mode "bag": the net count IS the row's SQL bag
         // multiplicity — restore it by exploding a unit sequence
         // (duplicate source rows net to k, the view shows k rows).
@@ -474,7 +498,7 @@ object SqlCompiler {
       case UnresolvedAlias(child, _) => child
       case e => e
     }
-    val (groupExprs, selectExprs, belowAgg, viewMode) = corePlan match {
+    val (rawGroupExprs, selectExprs, belowAgg, viewMode) = corePlan match {
       case Aggregate(g, a, child, _) => (g, a, child, None)
       case Distinct(Project(p, child)) => (viewGroups(p), p, child, Some("distinct"))
       case Project(p, child) => (viewGroups(p), p, child, Some("bag"))
@@ -482,6 +506,45 @@ object SqlCompiler {
         s"${other.nodeName} (the incremental engine maintains GROUP BY aggregates " +
         "and SELECT [DISTINCT] join views, with HAVING/ORDER BY/LIMIT as " +
         "presentation over the maintained view)")
+    }
+    // GROUP BY ROLLUP / CUBE / GROUPING SETS: compile against the FLAT
+    // column list; each expanded grouping set is maintained
+    // independently (exact for EVERY aggregate kind, incl. the
+    // non-derivable COUNT(DISTINCT)/MIN/MAX/MEDIAN) and the results
+    // union with null-padded inactive keys — same output contract as
+    // Spark's Expand-based batch rollup. Subtotal rows are
+    // distinguished by their padded NULLs, so null-valued GROUPING
+    // KEYS would collide with subtotals (the batch agg_rollup entry
+    // shares this fixture contract); GROUPING() disambiguation is not
+    // compiled.
+    // (BaseGroupingSets.groupByExprs/selectedGroupByExprs assert on
+    // unresolved children, so the expansion is computed from the raw
+    // user-given `groupingSets` item lists instead)
+    def fragOf(e: Expression): String = e match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => dequalify(spark, fragment(other))
+    }
+    val (groupExprs, setExprs) = rawGroupExprs match {
+      case Seq(bgs: BaseGroupingSets) =>
+        val items: Seq[Seq[Expression]] = bgs.groupingSets
+        val expanded: Seq[Seq[Expression]] = bgs match {
+          case _: org.apache.spark.sql.catalyst.expressions.Rollup =>
+            items.inits.toSeq.map(_.flatten) // all prefixes, incl. the grand total
+          case _: org.apache.spark.sql.catalyst.expressions.Cube =>
+            items.indices.foldLeft(Seq(Seq.empty[Seq[Expression]]))((acc, i) =>
+              acc ++ acc.map(_ :+ items(i))).map(_.flatten) // all subsets
+          case _ => items // GROUPING SETS ( ... ): the user-given sets
+        }
+        val seen = scala.collection.mutable.Set[String]()
+        val flat = items.flatten.filter(e => seen.add(fragOf(e)))
+        (flat, Some(expanded))
+      case gs =>
+        gs.foreach {
+          case _: BaseGroupingSets =>
+            fail("ROLLUP/CUBE/GROUPING SETS must be the only GROUP BY item")
+          case _ =>
+        }
+        (gs, None)
     }
 
     // WHERE conjuncts + the join forest under them
@@ -735,6 +798,17 @@ object SqlCompiler {
       (items.flatMap(_._1), items.map(_._2))
     }
     val groups = groupBuf.toSeq
+    // resolve each expanded grouping set to its group ALIASES (fragment
+    // match against the finalized groupBuf, same binding rule as the
+    // SELECT items)
+    val rollupSets: Option[Seq[Seq[String]]] = setExprs.map(_.map(_.map { e =>
+      val frag = e match {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case other => dequalify(spark, fragment(other))
+      }
+      groups.find(_.frag == frag).map(_.alias).getOrElse(
+        fail(s"grouping-set item '$frag' does not match a GROUP BY expression"))
+    }))
     if (aggs.isEmpty && viewMode.isEmpty) fail("at least one aggregate is required " +
       "(SUM, COUNT(*), COUNT(DISTINCT x), MIN, MAX, AVG)")
     if (groups.isEmpty &&
@@ -795,7 +869,7 @@ object SqlCompiler {
     }
 
     Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
-      neededRaw, present, loadRel, viewMode)
+      neededRaw, present, loadRel, viewMode, rollupSets)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

@@ -676,6 +676,31 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ROLLUP/CUBE/GROUPING SETS maintain every grouping set independently") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // GROUPING SETS with a value-rollup aggregate (MIN) — each set,
+    // including the grand total, must carry its own exact rollup
+    def q(pred: String) =
+      s"""SELECT n_name, o_orderstatus, MIN(o_totalprice) AS lo, COUNT(*) AS n
+         |FROM nation, customer, orders
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey$pred
+         |GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())""".stripMargin
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.get(0)).map(_.toString).getOrElse(" "),
+        Option(r.get(1)).map(_.toString).getOrElse(" "),
+        r.getDouble(2), r.getLong(3))
+    val got = SqlCompiler.run(s, d, q(""),
+        deletes = Map("orders" -> (col("o_orderkey") % 5 === 0)))
+      .collect().map(key).sorted.toSeq
+    val want = s.sql(q("\n AND o_orderkey % 5 <> 0"))
+      .collect().map(key).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // the compiled shape: three maintained sets over two flat keys
+    val c = SqlCompiler.compile(s, d, q(""))
+    assert(c.rollupSets.contains(Seq(Seq("n_name", "o_orderstatus"), Seq("n_name"), Seq())))
+  }
+
   test("VIEW MODE: a non-aggregate SELECT maintains the join itself, bag multiplicity exact") {
     Seq("nation", "customer", "orders").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
