@@ -114,6 +114,42 @@ class IvfIndexSpec extends AnyFunSuite {
       "the emptied cell's directory is removed")
   }
 
+  test("a STREAMING changelog maintains the index via foreachBatch upserts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val base = corpus().limit(200).localCheckpoint(true)
+    IvfIndex.build(base, dir, cells = 4)
+    val cents = IvfIndex.centroids(spark, dir).localCheckpoint(true)
+    // batch 1: delete every vec_id % 5 == 0 (before-image on the wire);
+    // batch 2: insert copies of vec_id % 5 == 1 under fresh ids —
+    // each micro-batch upserts only its own cells, state is the INDEX
+    val dels = base.filter(col("vec_id") % 5 === 0)
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v, -1) }
+    val ins = base.filter(col("vec_id") % 5 === 1)
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id + 50000L, v, 1) }
+    val src = MemoryStream[(Long, Seq[Double], Int)]
+    val query = src.toDF().toDF("vec_id", "v", "tag").writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfIndex.upsert(spark, dir, batch))
+      .start()
+    try {
+      src.addData(dels.toSeq)
+      query.processAllAvailable()
+      src.addData(ins.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    val net = base.filter(col("vec_id") % 5 =!= 0)
+      .unionByName(base.filter(col("vec_id") % 5 === 1)
+        .select((col("vec_id") + 50000L).as("vec_id"), col("v")))
+    val expected = IvfIndex.route(net.withColumn("tag", lit(1)), cents)
+      .select(col("vec_id"), col("cent_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSet
+    assert(indexRows(dir) == expected,
+      "streamed upserts must equal fresh assignment of the net corpus")
+  }
+
   test("probe of the maintained index prunes to its cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_probe").toString
     IvfIndex.build(corpus(), dir, cells = 8)
