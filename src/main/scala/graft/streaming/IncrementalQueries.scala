@@ -1342,6 +1342,28 @@ object IncrementalQueries {
           "customer" -> (col("c_custkey") % 9 === 0)))
     },
 
+    // ROLLUP with GROUPING() disambiguation — the per-set constant
+    // that separates subtotal NULLs from null-valued keys, against
+    // DuckDB's native GROUPING().
+    sql("incremental_sql_rollup_grouping",
+      """SELECT n_name, o_orderstatus,
+        | CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        | COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 6 <> 0
+        |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, o_orderstatus,
+          | GROUPING(n_name) AS g_nation, GROUPING(o_orderstatus) AS g_status,
+          | COUNT(*) AS n_orders
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
     // INCREMENTAL CUBE with COUNT(DISTINCT) — the per-value rollup
     // runs inside EVERY grouping set including the grand total (the
     // non-derivable aggregate case that re-aggregation shortcuts get

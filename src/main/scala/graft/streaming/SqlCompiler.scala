@@ -85,7 +85,10 @@ object SqlCompiler {
       viewMode: Option[String] = None,
       /** GROUP BY ROLLUP/CUBE/GROUPING SETS: the expanded grouping
         * sets as group-alias lists; None for a plain GROUP BY. */
-      rollupSets: Option[Seq[Seq[String]]] = None) {
+      rollupSets: Option[Seq[Seq[String]]] = None,
+      /** GROUPING(col) SELECT items as (output alias, group frag) —
+        * per-set constants emitted by [[aggregate]]. */
+      groupingFlags: Seq[(String, String)] = Nil) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -255,9 +258,14 @@ object SqlCompiler {
         }
       }
       // typed NULL padding for this set's inactive keys
-      groups.filterNot(g => activeCols.contains(g.alias)).foldLeft(result)((df, g) =>
+      val padded = groups.filterNot(g => activeCols.contains(g.alias)).foldLeft(result)((df, g) =>
         df.withColumn(g.alias,
           lit(null).cast(typed.select(expr(g.frag)).schema.head.dataType)))
+      // GROUPING(col) flags: a constant per set (1 = aggregated away)
+      groupingFlags.foldLeft(padded) { case (df, (alias, frag)) =>
+        val gAlias = groups.find(_.frag == frag).get.alias
+        df.withColumn(alias, lit(if (activeCols.contains(gAlias)) 0L else 1L))
+      }
       }
       (rollupSets match {
         case None => aggregateSet(groups)
@@ -512,11 +520,9 @@ object SqlCompiler {
     // independently (exact for EVERY aggregate kind, incl. the
     // non-derivable COUNT(DISTINCT)/MIN/MAX/MEDIAN) and the results
     // union with null-padded inactive keys — same output contract as
-    // Spark's Expand-based batch rollup. Subtotal rows are
-    // distinguished by their padded NULLs, so null-valued GROUPING
-    // KEYS would collide with subtotals (the batch agg_rollup entry
-    // shares this fixture contract); GROUPING() disambiguation is not
-    // compiled.
+    // Spark's Expand-based batch rollup. SELECT GROUPING(col) compiles
+    // as the standard subtotal-vs-null-key disambiguation (a per-set
+    // constant).
     // (BaseGroupingSets.groupByExprs/selectedGroupByExprs assert on
     // unresolved children, so the expansion is computed from the raw
     // user-given `groupingSets` item lists instead)
@@ -754,6 +760,11 @@ object SqlCompiler {
         s"got '${fragment(other)}' (a non-aggregate SELECT expression must " +
         "textually match a GROUP BY expression)")
     }
+    // GROUPING(col) SELECT items — per-grouping-set CONSTANTS (1 when
+    // the key is aggregated away in that set, else 0), the standard
+    // disambiguation of subtotal NULLs from null-valued keys. Only
+    // meaningful under ROLLUP/CUBE/GROUPING SETS.
+    val groupingFlagBuf = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val (aggs, outputSel) = {
       val items: Seq[(Option[AggSpec], (String, String))] = selectExprs.map {
         case a: UnresolvedAttribute =>
@@ -761,6 +772,20 @@ object SqlCompiler {
           ownerOf(a)
           if (!groupBuf.exists(_.frag == n)) fail(s"non-aggregated column $n not in GROUP BY")
           (None, (n, n))
+        case Alias(f: UnresolvedFunction, name)
+            if f.nameParts.map(_.toLowerCase) == Seq("grouping") =>
+          if (setExprs.isEmpty)
+            fail(s"GROUPING() under alias '$name' requires GROUP BY " +
+              "ROLLUP/CUBE/GROUPING SETS")
+          val arg = f.arguments match {
+            case Seq(a: UnresolvedAttribute) => ownerOf(a); a.nameParts.last
+            case other => fail(s"GROUPING() takes one grouping column, got " +
+              s"'${other.map(fragment).mkString(", ")}'")
+          }
+          if (!groupBuf.exists(_.frag == arg))
+            fail(s"GROUPING($arg): $arg is not a GROUP BY item")
+          groupingFlagBuf += ((name, arg))
+          (None, (name, name))
         case Alias(child, name) =>
           // every column the item references must resolve, qualifiers
           // included — aggregate arguments and group expressions alike
@@ -869,7 +894,7 @@ object SqlCompiler {
     }
 
     Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
-      neededRaw, present, loadRel, viewMode, rollupSets)
+      neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

@@ -627,6 +627,11 @@ class SqlCompilerSpec extends AnyFunSuite {
     bad("""SELECT n_name, SUM(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "FLOATING-POINT")
+    // GROUPING() is only meaningful under rollup/cube/grouping sets
+    bad("""SELECT n_name, GROUPING(n_name) AS g, COUNT(*) AS n
+          |FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "requires GROUP BY")
     // an aggregate with no retractable derivation (median compiles now
     // — see the MEDIAN spec — but stddev would need a float fold)
     bad("""SELECT n_name, stddev(c_acctbal) AS a FROM nation, customer
