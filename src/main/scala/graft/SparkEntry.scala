@@ -47,7 +47,10 @@ object SparkEntry {
       "incremental_shared_dim",
       // round 5: winnowing fingerprints on the rolling k-gram kernel;
       // the KMV sketch aggregate; the auto-banded theta join
-      "text_winnowing", "agg_kmv_distinct", "events_range_join_auto")
+      "text_winnowing", "agg_kmv_distinct", "events_range_join_auto",
+      // round 6: the incremental ROLLUP (every grouping set maintained)
+      // and the retention-cohort matrix
+      "incremental_sql_rollup", "events_retention_cohorts")
     val have = queries.keySet
     preferred.filter(have)
   }
