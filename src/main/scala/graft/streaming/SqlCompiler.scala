@@ -157,17 +157,35 @@ object SqlCompiler {
       val (valueAggs, plainAggs) =
         aggs.partition(a =>
           Set("count_distinct", "sum_distinct", "min", "max", "median")(a.kind))
-      // One grouping set's maintained aggregate over the shared typed
-      // deltas; `active` ⊆ groups (always ALL of them outside
-      // ROLLUP/CUBE). Inactive keys come back as typed NULL padding so
-      // every set unions by name — Spark's Expand-based batch rollup
-      // contract.
-      def aggregateSet(active: Seq[GroupSpec]): DataFrame = {
-      val activeCols = active.map(_.alias)
-      // grouping keys: each GROUP BY fragment evaluates over the typed
-      // raw columns and carries its output alias — a plain column for
-      // bare groups, a computed scalar (year(o_orderdate), …) otherwise
-      def groupKeys: Seq[Column] = active.map(g => expr(g.frag).as(g.alias))
+      // GROUPING SETS run as Spark's own Expand strategy, not a union
+      // of per-set folds: each delta row explodes ONCE per grouping
+      // set, carrying that set's materialized keys (typed NULLs for
+      // the aggregated-away ones) plus a set id — so the leaf lineage
+      // executes once and every aggregate family below still costs ONE
+      // shuffle, with the per-set key columns riding in the rows. A
+      // union of per-set aggregates would re-execute the whole
+      // incremental fold per set (only its inner exchanges dedupe).
+      // The plain GROUP BY path is the one-set special case (__gid 0).
+      val keyType: Seq[DataType] =
+        groups.map(g => typed.select(expr(g.frag)).schema.head.dataType)
+      val keyed: DataFrame = rollupSets match {
+        case None =>
+          typed.select(col("*") +: lit(0).as("__gid") +:
+            groups.zipWithIndex.map { case (g, i) => expr(g.frag).as(s"__k_$i") }: _*)
+        case Some(sets) =>
+          val setStructs = sets.zipWithIndex.map { case (set, si) =>
+            struct(lit(si).as("g") +: groups.zipWithIndex.map { case (g, i) =>
+              (if (set.contains(g.alias)) expr(g.frag)
+               else lit(null).cast(keyType(i))).as(s"k$i")
+            }: _*)
+          }
+          typed.withColumn("__ks", explode(array(setStructs: _*)))
+            .select(col("*") +: col("__ks.g").as("__gid") +:
+              groups.indices.map(i => col(s"__ks.k$i").as(s"__k_$i")): _*)
+            .drop("__ks")
+      }
+      val keyNames: Seq[String] = "__gid" +: groups.indices.map(i => s"__k_$i")
+      def groupKeys: Seq[Column] = keyNames.map(col)
       val aggExprs = plainAggs.map { a =>
         a.kind match {
           case "count" => sum(col("__sign")).cast(LongType).as(a.alias)
@@ -189,7 +207,7 @@ object SqlCompiler {
           case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
         }
       } :+ sum(col("__sign")).as("__net")
-      val main = typed.groupBy(groupKeys: _*)
+      val main = keyed.groupBy(groupKeys: _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
         .filter(col("__net") > 0)
       // COUNT(DISTINCT x) / MIN(x) / MAX(x) / MEDIAN(x) need NO extra
@@ -204,10 +222,11 @@ object SqlCompiler {
       // Nulls don't participate (SQL semantics); a group whose values
       // all netted away counts 0 / is NULL for MIN/MAX. The join back
       // is NULL-SAFE on the group keys (a NULL-keyed group must match
-      // its own rollup row, as groupBy semantics treat NULL as a key);
-      // the grand-total grouping set joins on TRUE (one row each side).
+      // its own rollup row, as groupBy semantics treat NULL as a key;
+      // __gid is part of the key, so each grouping set rolls up within
+      // itself — incl. the grand total, whose join is one row each side).
       val result = valueAggs.groupBy(_.frag).toSeq.sortBy(_._1).foldLeft(main) { case (df, (frag, as)) =>
-        val perValue = typed
+        val perValue = keyed
           .groupBy((groupKeys :+ expr(frag).as("__dv")): _*)
           .agg(sum(col("__sign")).as("__dn"))
           .filter(col("__dn") > 0 && col("__dv").isNotNull)
@@ -222,7 +241,7 @@ object SqlCompiler {
                 case _ => max(col("__dv")).as(a.alias)
               }
             }
-            Seq(perValue.groupBy(activeCols.map(col): _*)
+            Seq(perValue.groupBy(groupKeys: _*)
               .agg(rollExprs.head, rollExprs.tail: _*))
           }) ++
           (if (medianAs.isEmpty) Nil else {
@@ -234,46 +253,41 @@ object SqlCompiler {
             // (events_histogram_quantile) when approximation is
             // acceptable.
             import org.apache.spark.sql.expressions.Window
-            val part = Window.partitionBy(activeCols.map(col): _*)
+            val part = Window.partitionBy(groupKeys: _*)
             val wCum = part.orderBy(col("__dv"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             Seq(perValue
               .withColumn("__cum", sum(col("__dn")).over(wCum))
               .withColumn("__tot", sum(col("__dn")).over(part))
               .filter(col("__cum") * 2 >= col("__tot"))
-              .groupBy(activeCols.map(col): _*)
+              .groupBy(groupKeys: _*)
               .agg(min(col("__dv")).as(medianAs.head.alias),
                 medianAs.tail.map(a => min(col("__dv")).as(a.alias)): _*))
           })
         rolledFrames.foldLeft(df) { (acc, rolledRaw) =>
           val rolled = rolledRaw
-            .withColumnsRenamed(activeCols.map(c => c -> s"__g_$c").toMap)
-          val cond = activeCols.map(c => col(c) <=> col(s"__g_$c"))
-            .foldLeft(lit(true))(_ && _)
+            .withColumnsRenamed(keyNames.map(c => c -> s"__g_$c").toMap)
+          val cond = keyNames.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
           val joined = acc.join(rolled, cond, "left")
-            .drop(activeCols.map(c => s"__g_$c"): _*)
+            .drop(keyNames.map(c => s"__g_$c"): _*)
           as.filter(a => a.kind == "count_distinct" &&
               rolledRaw.columns.contains(a.alias)).foldLeft(joined)((j, a) =>
             j.withColumn(a.alias, coalesce(col(a.alias), lit(0L))))
         }
       }
-      // typed NULL padding for this set's inactive keys
-      val padded = groups.filterNot(g => activeCols.contains(g.alias)).foldLeft(result)((df, g) =>
-        df.withColumn(g.alias,
-          lit(null).cast(typed.select(expr(g.frag)).schema.head.dataType)))
-      // GROUPING(col) flags: a constant per set (1 = aggregated away)
-      groupingFlags.foldLeft(padded) { case (df, (alias, frag)) =>
+      // restore the group output aliases, emit GROUPING(col) flags
+      // from the set id, and drop it
+      val restored = groups.zipWithIndex.foldLeft(result) { case (df, (g, i)) =>
+        df.withColumnRenamed(s"__k_$i", g.alias)
+      }
+      groupingFlags.foldLeft(restored) { case (df, (alias, frag)) =>
         val gAlias = groups.find(_.frag == frag).get.alias
-        df.withColumn(alias, lit(if (activeCols.contains(gAlias)) 0L else 1L))
+        val flagBySet: Seq[Long] = rollupSets.get.map(set =>
+          if (set.contains(gAlias)) 0L else 1L)
+        df.withColumn(alias,
+          element_at(array(flagBySet.map(lit): _*), col("__gid").cast("int") + 1))
       }
-      }
-      (rollupSets match {
-        case None => aggregateSet(groups)
-        case Some(sets) =>
-          val byAlias = groups.map(g => g.alias -> g).toMap
-          sets.map(set => aggregateSet(set.map(byAlias)))
-            .reduce((a, b) => a.unionByName(b))
-      })
+        .drop("__gid")
         // view mode "bag": the net count IS the row's SQL bag
         // multiplicity — restore it by exploding a unit sequence
         // (duplicate source rows net to k, the view shows k rows).

@@ -19,15 +19,12 @@ class RelationalSpec extends AnyFunSuite {
     //    contract, and k never grows with the corpus (seedCentroids);
     //  - mixture_weights / text_top_terms / text_boilerplate_ngrams:
     //    a ONE-ROW corpus-stat scalar broadcast (chosen over a
-    //    driver-side count() round trip);
-    //  - incremental_sql_cube: the GRAND-TOTAL grouping set joins its
-    //    COUNT(DISTINCT) value rollup on TRUE — both sides are
-    //    SINGLE-ROW global aggregates by construction (the keyed
-    //    grouping sets all join null-safe on their keys).
-    // Everything else must plan hash/merge joins only.
+    //    driver-side count() round trip).
+    // Everything else must plan hash/merge joins only (the grouping-set
+    // value rollups join on (__gid, keys) — always an equi join, even
+    // for the grand total).
     val nljAllowed = Set("ann_bruteforce_topk", "ann_knn_classify", "ann_ivf_topk",
-      "dedup_semantic_kmeans", "mixture_weights", "text_top_terms", "text_boilerplate_ngrams",
-      "incremental_sql_cube")
+      "dedup_semantic_kmeans", "mixture_weights", "text_top_terms", "text_boilerplate_ngrams")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.schema.nonEmpty, s"$name has empty schema")
