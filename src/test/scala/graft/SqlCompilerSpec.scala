@@ -654,6 +654,49 @@ class SqlCompilerSpec extends AnyFunSuite {
       "FLOATING-POINT")
   }
 
+  test("PROPERTY: incremental equals batch across random delete sets, all three query forms") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // the three compile targets over one tree; the batch oracle is
+    // spark.sql with the delete predicates folded into WHERE
+    val aggSql =
+      """SELECT n_name, SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS p_e2,
+        | COUNT(DISTINCT o_custkey) AS n_cust, MEDIAN(o_totalprice) AS med, COUNT(*) AS n
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey%s
+        |GROUP BY n_name""".stripMargin
+    val viewSql =
+      """SELECT n_name, o_orderstatus
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey%s""".stripMargin
+    val rollSql =
+      """SELECT n_name, o_orderstatus, COUNT(*) AS n
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey%s
+        |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin
+    // MEDIAN under the batch engine: percentile_disc shares the
+    // lower-median selection, so swap it in for the oracle side
+    def oracle(sqlText: String) = sqlText.replace("MEDIAN(o_totalprice)",
+      "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { _ =>
+      val om = 2 + rnd.nextInt(9)
+      val cm = 2 + rnd.nextInt(9)
+      val deletes = Map(
+        "orders" -> (col("o_orderkey") % om === 0),
+        "customer" -> (col("c_custkey") % cm === 0))
+      val pred = s"\n AND o_orderkey % $om <> 0 AND c_custkey % $cm <> 0"
+      Seq(aggSql, viewSql, rollSql).foreach { tpl =>
+        val got = SqlCompiler.run(s, d, tpl.format(""), deletes)
+          .collect().map(_.toString).sorted.toSeq
+        val want = s.sql(oracle(tpl.format(pred)))
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == want && got.nonEmpty,
+          s"om=$om cm=$cm mismatch (${got.size} vs ${want.size} rows) for:\n$tpl")
+      }
+    }
+  }
+
   test("MEDIAN compiles as the discrete lower median over the value rollup") {
     Seq("nation", "customer", "orders").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
