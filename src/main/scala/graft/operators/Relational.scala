@@ -633,32 +633,21 @@ object Relational {
       (s, d) =>
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.StreamingAnalytics.{streamAsOfJoin, AsOfIn}
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions",
-          graft.streaming.IncrementalQueries.ReplayShufflePartitions)
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
         implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
         import s.implicits._
-        // FIXTURE-ONLY REPLAY GUARD: MemoryStream replay necessarily
-        // materializes its input on the driver. Unlike the other
-        // stream-gated entries (which collect small CHANGELOGS), this
-        // one replays a TABLE — so the collect is BOUNDED: limit+1
-        // caps driver memory and the require fails LOUDLY past
-        // fixture scale instead of silently OOMing a production
-        // driver. The production operator is watermark-bounded
-        // readStream → StreamingAnalytics.streamAsOfJoin; this
-        // harness exists to put it behind the batch ASOF oracle.
-        val maxReplayRows = 2000000
-        val collected = Tables.events(s, d)
-          .filter(col("event_type").isin("click", "purchase"))
-          .select(col("user_id"), col("ts"), (col("event_type") === "click").as("isRight"),
-            col("event_id"))
-          .as[(Long, java.sql.Timestamp, Boolean, Long)]
-          .limit(maxReplayRows + 1)
-          .collect()
-        require(collected.length <= maxReplayRows,
-          s"events_asof_stream is a fixture-scale replay harness (<= $maxReplayRows " +
-            "rows); for production data run StreamingAnalytics.streamAsOfJoin over a " +
-            "readStream source instead of a MemoryStream replay")
+        // Unlike the other stream-gated entries (which collect small
+        // CHANGELOGS), this one replays a TABLE — boundedReplayCollect
+        // is the guard. The production operator is watermark-bounded
+        // readStream → StreamingAnalytics.streamAsOfJoin; this harness
+        // exists to put it behind the batch ASOF oracle.
+        val collected = boundedReplayCollect("events_asof_stream",
+          Tables.events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(col("user_id"), col("ts"), (col("event_type") === "click").as("isRight"),
+              col("event_id"))
+            .as[(Long, java.sql.Timestamp, Boolean, Long)])
         val ev = collected.map(r => AsOfIn(r._1, r._2, r._3, r._4))
           .sortBy(e => (e.ts.getTime, e.id))
         val src = MemoryStream[AsOfIn]
@@ -716,24 +705,14 @@ object Relational {
         |FROM s GROUP BY user_id, session_id""".stripMargin) {
       (s, d) =>
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions",
-          graft.streaming.IncrementalQueries.ReplayShufflePartitions)
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
         implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
         import s.implicits._
-        // FIXTURE-ONLY REPLAY GUARD — same contract as events_asof_stream:
-        // bounded collect, loud failure past fixture scale; production
-        // use is readStream → session_window directly.
-        val maxReplayRows = 2000000
-        val collected = Tables.events(s, d)
-          .select(col("user_id"), col("ts"))
-          .as[(Long, java.sql.Timestamp)]
-          .limit(maxReplayRows + 1)
-          .collect()
-        require(collected.length <= maxReplayRows,
-          s"events_session_window_stream is a fixture-scale replay harness (<= " +
-            s"$maxReplayRows rows); for production data run session_window over a " +
-            "readStream source instead of a MemoryStream replay")
+        val collected = boundedReplayCollect("events_session_window_stream",
+          Tables.events(s, d)
+            .select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)])
         val ev = collected.sortBy(r => (r._2.getTime, r._1))
         val src = MemoryStream[(Long, java.sql.Timestamp)]
         val sessions = src.toDF().toDF("user_id", "ts")
@@ -769,21 +748,14 @@ object Relational {
       "SELECT DISTINCT user_id, event_type FROM events") {
       (s, d) =>
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions",
-          graft.streaming.IncrementalQueries.ReplayShufflePartitions)
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
         implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
         import s.implicits._
-        // FIXTURE-ONLY REPLAY GUARD — same contract as events_asof_stream
-        val maxReplayRows = 2000000
-        val collected = Tables.events(s, d)
-          .select(col("user_id"), col("event_type"))
-          .as[(Long, String)]
-          .limit(maxReplayRows + 1)
-          .collect()
-        require(collected.length <= maxReplayRows,
-          s"events_stream_dedup is a fixture-scale replay harness (<= $maxReplayRows " +
-            "rows); for production data run dropDuplicates over a readStream source")
+        val collected = boundedReplayCollect("events_stream_dedup",
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_type"))
+            .as[(Long, String)])
         val src = MemoryStream[(Long, String)]
         val out = src.toDF().toDF("user_id", "event_type")
           .dropDuplicates("user_id", "event_type")

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst optimizer rule: rewrite an INEQUALITY-ONLY inner join into
   * a banded equi-join.
@@ -48,17 +49,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampT
   * null sequence (`Explode` emits nothing — inner join would drop the
   * row anyway).
   *
-  * DOMAIN: a row's interval is capped at [[MaxBinsConf]] bins — the
-  * upper bound clamps to `lo + maxBins·W` in DOUBLE arithmetic (no
-  * long overflow; ±Infinity saturates instead of spanning
-  * Long.MaxValue bins and throwing a too-long-array error or
-  * materializing a giant per-row array). NaN bounds null out (the
-  * theta join's NaN comparison matches nothing — exact). Every pair
-  * the rewrite EMITS is correct (the original condition rides along
-  * as a residual filter); pairs whose `x` lies more than maxBins bins
-  * above `lo` — including any with a non-finite bound — are outside
-  * the banded domain and are dropped. Size W so real intervals span
-  * few bins; raise maxBins if legitimate intervals exceed it.
+  * DOMAIN: a row's interval may span at most [[MaxBinsConf]] bins — a
+  * wider (or ±Infinity) interval FAILS LOUDLY at runtime (assert_true
+  * naming the knobs) rather than clamping: a clamp would silently
+  * drop matches past the cap, and an unguarded ±Infinity bound would
+  * saturate `Floor` to Long.MaxValue and make `Sequence` build a
+  * giant per-row array. NaN bounds null out silently (the theta
+  * join's NaN comparison matches nothing — exact). Every pair the
+  * rewrite emits is correct (the original condition rides along as a
+  * residual filter). Size W so real intervals span few bins; raise
+  * maxBins if legitimate intervals exceed it, or unset [[BinConf]] to
+  * keep the un-rewritten theta join.
   */
 object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -130,20 +131,31 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     * bound would span up to Long.MaxValue bins — a too-long-array
     * error or a giant per-row array, a crash regression versus the
     * theta join. Built in DOUBLE arithmetic (saturating, no ANSI
-    * overflow): NaN → null bin (Explode emits nothing — theta-exact),
-    * and hi clamps to `lo + maxBins` bins (see the DOMAIN note). */
+    * overflow): NaN → null bin (Explode emits nothing — theta-exact,
+    * since NaN compares false in the original predicate), and a span
+    * wider than maxBins bins FAILS LOUDLY (AssertTrue) instead of
+    * clamping — a clamp would silently drop matches past the cap,
+    * breaking the engine's never-a-silent-wrong-plan contract; the
+    * error names the knobs (raise maxBins / widen the bin / disable
+    * the rewrite). ±Infinity bounds hit the same assert: the rewrite
+    * cannot express an unbounded interval, and the un-rewritten theta
+    * join is one conf away. */
   private def boundBins(lo: Expression, hi: Expression, w: Double,
                         maxBins: Long): (Expression, Expression) = {
     val dLo = Divide(axis(lo), Literal(axisWidth(lo, w), DoubleType))
     val dHi = Divide(axis(hi), Literal(axisWidth(hi, w), DoubleType))
     val nullBin = Literal.create(null, LongType)
-    val dHiClamped = Least(Seq(dHi, Add(dLo, Literal(maxBins.toDouble, DoubleType))))
     val binLo = If(IsNaN(dLo), nullBin, Floor(dLo))
-    // a NaN dLo poisons the clamp (Spark orders NaN above every
-    // double, so Least would pick the unclamped dHi) — null out binHi
-    // on EITHER NaN; a null dLo nulls binLo via Floor, which already
-    // kills the row at the Sequence guard
-    val binHi = If(Or(IsNaN(dHi), IsNaN(dLo)), nullBin, Floor(dHiClamped))
+    val spanOk = LessThanOrEqual(Subtract(dHi, dLo), Literal(maxBins.toDouble, DoubleType))
+    val guard = new org.apache.spark.sql.catalyst.expressions.AssertTrue(
+      spanOk, Literal(UTF8String.fromString(
+        s"banded range join: an interval spans more than $maxBins bins — raise " +
+          s"$MaxBinsConf, widen $BinConf, or unset $BinConf to keep the " +
+          "un-rewritten theta join"), StringType)).replacement
+    // NaN on EITHER side nulls the hi bin (row emits nothing); finite
+    // spans must pass the loud guard before Floor
+    val binHi = If(Or(IsNaN(dHi), IsNaN(dLo)), nullBin,
+      If(IsNull(guard), Floor(dHi), nullBin))
     (binLo, binHi)
   }
 

@@ -464,25 +464,18 @@ object DeltaEngine {
     * just one stream. */
   final case class EventTimeTtl(tsCol: String, delay: java.time.Duration)
 
-  /** Event time of a canonical row under `ttl` ("yyyy-MM-dd HH:mm:ss"
-    * or date-only strings, as `changelog`'s string cast produces);
-    * None when the column is absent/null/unparseable. */
-  private def rowEventMs(row: String, tsCol: String): Option[Long] = {
-    val v = canonGet(row, tsCol)
-    if (v.isEmpty || v == "null") None
-    else try Some(java.sql.Timestamp.valueOf(v).getTime)
-    catch {
-      case _: IllegalArgumentException =>
-        try Some(java.sql.Date.valueOf(v).getTime)
-        catch { case _: IllegalArgumentException => None }
-    }
-  }
-
   /** Shared event-time TTL wrapper for the two stream folds: fences
     * late events, tracks the key's newest event time, folds, then
-    * re-arms the timeout at the key's horizon. */
+    * re-arms the timeout at the key's horizon.
+    *
+    * Event times come from the CARRIED `__evtts` column ([[EvtWithTs]]),
+    * which `to_timestamp` parsed under the SESSION timezone — the same
+    * basis as the watermark. Re-parsing the canonical-row string here
+    * (e.g. `Timestamp.valueOf`, which uses the JVM-default timezone)
+    * would skew fencing and eviction by the host's UTC offset whenever
+    * the JVM and session timezones differ. */
   private def withEventTtl[S](ttl: EventTimeTtl,
-      events: Iterator[Evt],
+      events: Iterator[EvtWithTs],
       state: org.apache.spark.sql.streaming.GroupState[S],
       fold: Iterator[Evt] => Iterator[Evt]): Iterator[Evt] = {
     if (state.hasTimedOut) {
@@ -492,13 +485,13 @@ object DeltaEngine {
       val wm = state.getCurrentWatermarkMs()
       var lastTs = Long.MinValue
       val live = events.filter { e =>
-        rowEventMs(e.row, ttl.tsCol) match {
+        Option(e.__evtts).map(_.getTime) match {
           case Some(ts) =>
             if (ts > lastTs) lastTs = ts
             ts >= wm // fence: older than the watermark = late
           case None => true
         }
-      }
+      }.map(_.evt)
       val out = fold(live) // eager (foldEvents consumes `live` fully)
       val horizon = math.max(lastTs, wm) + ttl.delay.toMillis
       state.setTimeoutTimestamp(math.max(horizon, wm + 1))
@@ -509,7 +502,7 @@ object DeltaEngine {
   /** [[processKeyStream]] under an EVENT-TIME TTL (see [[EventTimeTtl]]). */
   def processKeyStreamEventTtl(spec: NodeSpec, ttl: EventTimeTtl,
       preFiltered: Boolean = false)(
-      key: String, events: Iterator[Evt],
+      key: String, events: Iterator[EvtWithTs],
       state: org.apache.spark.sql.streaming.GroupState[NState]): Iterator[Evt] =
     withEventTtl(ttl, events, state, { live =>
       val (out, st) = foldKey(spec, live,
@@ -521,7 +514,7 @@ object DeltaEngine {
   /** [[processPairKeyStream]] under an EVENT-TIME TTL. */
   def processPairKeyStreamEventTtl(spec: NodeSpec, ttl: EventTimeTtl,
       preFiltered: Boolean = false)(
-      key: String, events: Iterator[Evt],
+      key: String, events: Iterator[EvtWithTs],
       state: org.apache.spark.sql.streaming.GroupState[PairNState]): Iterator[Evt] =
     withEventTtl(ttl, events, state, { live =>
       val (out, st) = foldPairKey(spec, live,
@@ -906,7 +899,7 @@ object DeltaEngine {
             withEventTime(events, t).groupByKey(_.key)
               .flatMapGroupsWithState[PairNState, Evt](OutputMode.Append, timeout)(
                 (k, it, s) =>
-                  processPairKeyStreamEventTtl(spec, t, preFiltered = true)(k, it.map(_.evt), s))
+                  processPairKeyStreamEventTtl(spec, t, preFiltered = true)(k, it, s))
           case (true, None) =>
             events.groupByKey(_.key)
               .flatMapGroupsWithState[PairNState, Evt](OutputMode.Append, timeout)(
@@ -915,7 +908,7 @@ object DeltaEngine {
             withEventTime(events, t).groupByKey(_.key)
               .flatMapGroupsWithState[NState, Evt](OutputMode.Append, timeout)(
                 (k, it, s) =>
-                  processKeyStreamEventTtl(spec, t, preFiltered = true)(k, it.map(_.evt), s))
+                  processKeyStreamEventTtl(spec, t, preFiltered = true)(k, it, s))
           case (false, None) =>
             events.groupByKey(_.key)
               .flatMapGroupsWithState[NState, Evt](OutputMode.Append, timeout)(

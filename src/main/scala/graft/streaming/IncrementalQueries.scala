@@ -38,6 +38,33 @@ object IncrementalQueries {
     * unchanged — size state partitions to the data. */
   val ReplayShufflePartitions = 8
 
+  /** Cap on the FIXTURE-ONLY MemoryStream replay collects (see
+    * [[boundedReplayCollect]]). */
+  val ReplayMaxRows = 2000000
+
+  /** Child session for a stream-replay gate entry, sized by
+    * [[ReplayShufflePartitions]] — never mutates the caller's session. */
+  def replaySession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    ss
+  }
+
+  /** FIXTURE-ONLY REPLAY GUARD shared by every MemoryStream-replay
+    * entry: replay necessarily materializes its input on the driver,
+    * so the collect is BOUNDED — limit+1 caps driver memory and the
+    * require fails LOUDLY past fixture scale instead of silently
+    * OOMing a production driver. Production use is the same operator
+    * over a `readStream` source. */
+  def boundedReplayCollect[T](entry: String, ds: org.apache.spark.sql.Dataset[T],
+                              max: Int = ReplayMaxRows): Array[T] = {
+    val collected = ds.limit(max + 1).collect()
+    require(collected.length <= max,
+      s"$entry is a fixture-scale replay harness (<= $max rows); for production " +
+        "data run the operator over a readStream source instead of a MemoryStream replay")
+    collected
+  }
+
   private val dateLo = "1996-01-01"
   private val dateHi = "1996-04-01"
 
@@ -441,8 +468,7 @@ object IncrementalQueries {
       logs0: Map[String, Dataset[Evt]], sinkName: String,
       eventTtl: Option[DeltaEngine.EventTimeTtl] = None): Dataset[Evt] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val ss = replaySession(s)
     if (eventTtl.isDefined) {
       // the EventTimeTtl session requirements (see its scaladoc):
       // per-stage re-derived event times trip the blanket chained-
@@ -554,8 +580,7 @@ object IncrementalQueries {
   private def runSqlStreamed(s: SparkSession, c: SqlCompiler.Compiled, dir: String,
       deletes: Map[String, org.apache.spark.sql.Column], sinkName: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val ss = replaySession(s)
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
     val logs = c.sourceChangelogs(s, dir, deletes, filtered = false)

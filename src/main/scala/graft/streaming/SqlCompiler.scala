@@ -166,13 +166,20 @@ object SqlCompiler {
       // union of per-set aggregates would re-execute the whole
       // incremental fold per set (only its inner exchanges dedupe).
       // The plain GROUP BY path is the one-set special case (__gid 0).
-      val keyType: Seq[DataType] =
-        groups.map(g => typed.select(expr(g.frag)).schema.head.dataType)
+      // FULLY-NETTED corner: if deletes retract every input row, the
+      // maintained view emits zero rows for every grouping set —
+      // matching Spark's batch ROLLUP/CUBE (a grouped aggregate over
+      // an empty Expand). DuckDB instead emits a grand-total zero row
+      // over empty input; the engines themselves disagree there, and
+      // this engine follows Spark.
       val keyed: DataFrame = rollupSets match {
         case None =>
           typed.select(col("*") +: lit(0).as("__gid") +:
             groups.zipWithIndex.map { case (g, i) => expr(g.frag).as(s"__k_$i") }: _*)
         case Some(sets) =>
+          // per-key types resolved once, only on the grouping-sets path
+          val keyType: Seq[DataType] =
+            groups.map(g => typed.select(expr(g.frag)).schema.head.dataType)
           val setStructs = sets.zipWithIndex.map { case (set, si) =>
             struct(lit(si).as("g") +: groups.zipWithIndex.map { case (g, i) =>
               (if (set.contains(g.alias)) expr(g.frag)

@@ -165,33 +165,41 @@ class RangeJoinSpec extends AnyFunSuite {
     ss.conf.unset(graft.plans.BandedRangeJoin.BinConf)
   }
 
-  test("BandedRangeJoin caps infinite/huge bounds (bounded explode, not OOM)") {
+  test("BandedRangeJoin fails LOUDLY on too-wide/infinite intervals (never silent drops)") {
     import org.apache.spark.sql.functions._
     val ss = spark.newSession()
     import ss.implicits._
     graft.plans.BandedRangeJoin.install(ss)
-    // row 1: normal interval. row 2: hi = +Infinity — unguarded,
-    // floor(hi/W) saturates to Long.MaxValue and Sequence would try to
-    // build a Long.MaxValue-long array; the clamp caps it at maxBins
-    // above lo, so in-domain matches survive and the query completes.
-    // row 3: lo = -Infinity (out of the banded domain — emits nothing,
-    // documented deviation). row 4: huge-but-finite hi, same cap path.
-    val l = Seq(
-      (1L, 0.0, 10.0),
-      (2L, 40.0, Double.PositiveInfinity),
-      (3L, Double.NegativeInfinity, 10.0),
-      (4L, 40.0, 1e300)).toDF("lid", "lo", "hi")
-    val r = Seq((10L, 5.0), (11L, 50.0)).toDF("rid", "rx")
-    def join = l.join(r, col("rx") >= col("lo") && col("rx") <= col("hi"))
     ss.conf.set(graft.plans.BandedRangeJoin.BinConf, "8")
     ss.conf.set(graft.plans.BandedRangeJoin.MaxBinsConf, "64")
-    assert(!planOf(join).contains("BroadcastNestedLoopJoin"))
-    val banded = join.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-    // rows 2 and 4: rx=50 is within 64 bins of lo=40 → matched exactly;
-    // row 3's -Infinity lower bound is outside the domain
-    assert(banded == Set((1L, 10L), (2L, 11L), (4L, 11L)))
-    ss.conf.unset(graft.plans.BandedRangeJoin.BinConf)
-    ss.conf.unset(graft.plans.BandedRangeJoin.MaxBinsConf)
+    val r = Seq((10L, 5.0), (11L, 50.0)).toDF("rid", "rx")
+    def joinOf(l: org.apache.spark.sql.DataFrame) =
+      l.join(r, col("rx") >= col("lo") && col("rx") <= col("hi"))
+    try {
+      // in-domain intervals: rewritten, exact
+      val ok = Seq((1L, 0.0, 10.0), (2L, 40.0, 55.0)).toDF("lid", "lo", "hi")
+      assert(!planOf(joinOf(ok)).contains("BroadcastNestedLoopJoin"))
+      val banded = joinOf(ok).select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(banded == Set((1L, 10L), (2L, 11L)))
+      // wider than maxBins, +Infinity, and -Infinity bounds: each
+      // fails LOUDLY with the knobs named — a clamp here would
+      // silently drop matches past the cap (wrong results); an
+      // unguarded Floor would build a Long.MaxValue Sequence (OOM)
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+      Seq(
+        Seq((2L, 40.0, Double.PositiveInfinity)),
+        Seq((3L, Double.NegativeInfinity, 10.0)),
+        Seq((4L, 40.0, 1e300))).foreach { rows =>
+        val ex = intercept[Throwable](joinOf(rows.toDF("lid", "lo", "hi")).collect())
+        assert(msgs(ex).contains(graft.plans.BandedRangeJoin.MaxBinsConf),
+          s"expected a loud domain error naming the conf, got: ${msgs(ex)}")
+      }
+    } finally {
+      ss.conf.unset(graft.plans.BandedRangeJoin.BinConf)
+      ss.conf.unset(graft.plans.BandedRangeJoin.MaxBinsConf)
+    }
   }
 
   test("BandedRangeJoin leaves equi-joins and unset-conf sessions untouched") {
