@@ -1367,6 +1367,30 @@ object IncrementalQueries {
           "customer" -> (col("c_custkey") % 9 === 0)))
     },
 
+    // The ROLLUP fold over the CONTINUOUS engine's streamed leaf —
+    // same oracle as incremental_sql_rollup, so a stream/batch
+    // grouping-set divergence fails the hash.
+    sql("incremental_sql_rollup_stream",
+      """SELECT n_name, o_orderpriority,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_e2,
+        | COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 6 <> 0 AND c_custkey % 9 <> 0
+        |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderpriority,
+            | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+            | COUNT(*) AS n_orders
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin),
+        dir, Map(
+          "orders" -> (col("o_orderkey") % 6 === 0),
+          "customer" -> (col("c_custkey") % 9 === 0)),
+        "incremental_sql_rollup_stream_leaf")
+    },
+
     // ROLLUP with GROUPING() disambiguation — the per-set constant
     // that separates subtotal NULLs from null-valued keys, against
     // DuckDB's native GROUPING().
