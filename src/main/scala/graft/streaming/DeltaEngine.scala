@@ -78,6 +78,15 @@ object DeltaEngine {
     * @param isRoot      true for the tree root (no parent input)
     * @param setSemantics root-node dedup: emit only on 0→1 / 1→0
     *                    transitions (reference J0)
+    * @param antiParent  INVERT parent liveness: this node's rows are
+    *                    alive while NO parent key is present (net
+    *                    parent count <= 0) and its emissions carry no
+    *                    parent columns — the incremental NOT EXISTS /
+    *                    anti-join node. Feed the parent input from a
+    *                    set-semantics key node over the subquery side;
+    *                    EXISTS (semi) is the same wiring WITHOUT this
+    *                    flag (liveness gating is already semi-join
+    *                    semantics when the parent is a 0/1 key set).
     */
   /** Shared no-op predicate; [[predicatePushdown]] recognizes it by
     * reference and skips the per-event deserialize+uncanon filter a
@@ -90,7 +99,11 @@ object DeltaEngine {
       nextKeyCol: String,
       predicate: Map[String, String] => Boolean = NoPredicate,
       isRoot: Boolean = false,
-      setSemantics: Boolean = false)
+      setSemantics: Boolean = false,
+      antiParent: Boolean = false) {
+    require(!(isRoot && antiParent),
+      s"node '$relation': antiParent inverts PARENT liveness — a root has no parent")
+  }
 
   // ---- canonical row form (state-store and shuffle friendly) --------
   val KV = '\u0001'; val FS = '\u0002'
@@ -211,12 +224,22 @@ object DeltaEngine {
 
     /** Fold one event; append (tag, mult, mergedCanonicalRow)
       * emissions to `out`. */
+    // anti nodes are alive while NO parent is present (net count <= 0);
+    // the symmetric >0 / <=0 split keeps the ghost-count (out-of-order
+    // delete-first) telescoping intact in both modes
+    private def aliveAt(n: Int): Boolean = if (spec.antiParent) n <= 0 else n > 0
+
     def feed(ev: Evt, out: scala.collection.mutable.ArrayBuffer[(Int, Int, String)]): Unit = {
       if (ev.fromParent) {
         val newAlive = aliveParents + ev.tag * ev.mult
-        val wasAlive = aliveParents > 0
-        val isAlive = newAlive > 0
-        val parentRow = if (ev.tag > 0) ev.row else parentCanon
+        val wasAlive = aliveAt(aliveParents)
+        val isAlive = aliveAt(newAlive)
+        // an anti node's emissions must carry NO parent columns: rows
+        // emit precisely while the parent is ABSENT, and the dead→alive
+        // replay must retract byte-identical rows
+        val parentRow =
+          if (spec.antiParent) ""
+          else if (ev.tag > 0) ev.row else parentCanon
         if (wasAlive != isAlive) {
           // liveness flip replays the buffered child set (reference
           // processElement1, Q10CustomerProcessFunction.java:68-84),
@@ -255,9 +278,10 @@ object DeltaEngine {
             else if (before > 0 && after <= 0) -1
             else 0
           } else ev.tag * ev.mult
-        if (emitCount != 0 && (spec.isRoot || aliveParents > 0)) {
+        if (emitCount != 0 && (spec.isRoot || aliveAt(aliveParents))) {
           out += ((if (emitCount > 0) 1 else -1, emitCount.abs,
-            if (spec.isRoot) ev.row else mergeCanon(ev.row, parentCanon)))
+            if (spec.isRoot) ev.row
+            else mergeCanon(ev.row, if (spec.antiParent) "" else parentCanon)))
         }
       }
     }

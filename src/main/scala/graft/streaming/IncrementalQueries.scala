@@ -249,6 +249,60 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** Incremental EXISTS / NOT EXISTS — semi- and anti-join as engine
+    * nodes. A set-semantics KEY node over the subquery side (orders
+    * filtered to status 'O', projected to JUST `o_custkey`) maintains
+    * the distinct matching-key set; feeding its 0→1/1→0 deltas as the
+    * PARENT of the outer relation's liveness node IS semi-join
+    * semantics (each outer row emits exactly once while >= 1 match
+    * exists, with full retraction on last-match death). The anti twin
+    * is the same wiring under [[NodeSpec.antiParent]]: liveness
+    * inverted, emissions carry no subquery columns. Both shapes
+    * shuffle once per hop on the correlation key — the co-partitioned
+    * plan a 1000-executor cluster needs; no per-row subquery
+    * re-execution exists anywhere.
+    *
+    * Deletes hit BOTH sides: orders %40 (matching-set shrink — a
+    * customer whose LAST open order dies flips semi→out / anti→in and
+    * the flip replays its buffered row) and customer %30 (plain outer
+    * retraction while gated in or out). */
+  private def existsChangelogs(s: SparkSession, dir: String): Map[String, Dataset[Evt]] = Map(
+    "orders" -> changelog(Tables.orders(s, dir), "o_custkey",
+      Seq("o_custkey"),
+      Some(col("o_orderkey") % 40 === 0),
+      where = Some(col("o_orderstatus") === "O")),
+    "customer" -> changelog(Tables.customer(s, dir), "c_custkey",
+      Seq("c_custkey", "c_nationkey", "c_acctbal"),
+      Some(col("c_custkey") % 30 === 0)))
+
+  private def existsStages(anti: Boolean): Seq[Stage] = Seq(
+    Stage("orders_keys", NodeSpec("orders", "o_custkey", "o_custkey",
+      isRoot = true, setSemantics = true)),
+    Stage("customer", NodeSpec("customer", "c_custkey", "c_custkey",
+      antiParent = anti), parentStage = Some("orders_keys")))
+
+  private def existsAggregate(leaf: Dataset[Evt]): DataFrame = {
+    val df = leaf.toDF()
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    df.select(
+        (col("tag") * col("mult")).as("sign"),
+        c.getItem("c_nationkey").cast(LongType).as("c_nationkey"),
+        round(c.getItem("c_acctbal").cast(DoubleType) * 100, 0)
+          .cast(LongType).as("bal_e2"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("sign")).cast(LongType).as("n_cust"),
+        sum(col("sign") * col("bal_e2")).as("acctbal_e2"))
+      .filter(col("n_cust") > 0)
+  }
+
+  def incrementalExistsSemi(s: SparkSession, dir: String): DataFrame =
+    existsAggregate(runTree(existsStages(anti = false), existsChangelogs(s, dir),
+      sourceFiltered = true))
+
+  def incrementalNotExistsAnti(s: SparkSession, dir: String): DataFrame =
+    existsAggregate(runTree(existsStages(anti = true), existsChangelogs(s, dir),
+      sourceFiltered = true))
+
   /** A BRANCHING FK tree — the Q10 chain joined with a SECOND
     * dimension branch: nation→customer→orders→lineitem←part. The
     * multi-parent lineitem node (alive iff its orders-chain parent AND
@@ -909,6 +963,31 @@ object IncrementalQueries {
         | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
         | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
         |GROUP BY n_name""".stripMargin)(incrementalOrderRevenue),
+
+    // Incremental semi-join: EXISTS compiled as set-semantics key node
+    // → liveness gate (see existsStages). The oracle is the literal
+    // correlated EXISTS over the changelogs' surviving rows.
+    sql("incremental_exists_semi",
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_e2
+        |FROM customer
+        |WHERE c_custkey % 30 <> 0
+        | AND EXISTS (SELECT 1 FROM orders
+        |             WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |               AND o_orderkey % 40 <> 0)
+        |GROUP BY c_nationkey""".stripMargin)(incrementalExistsSemi),
+
+    // Incremental anti-join: NOT EXISTS via the inverted-liveness
+    // (antiParent) node over the SAME wiring and delete schedule.
+    sql("incremental_not_exists_anti",
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_e2
+        |FROM customer
+        |WHERE c_custkey % 30 <> 0
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |                 WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |                   AND o_orderkey % 40 <> 0)
+        |GROUP BY c_nationkey""".stripMargin)(incrementalNotExistsAnti),
 
     // The reference's FULL dataflow end to end (DataFlow.java:63-119):
     // the changelog rendered as its CDC text format (one line stream,

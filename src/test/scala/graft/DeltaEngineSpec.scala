@@ -90,6 +90,63 @@ class DeltaEngineSpec extends AnyFunSuite {
     }
   }
 
+  // -- EXISTS / NOT EXISTS: set-semantics key node gating an (anti-)
+  // liveness node — the incremental semi/anti-join wiring ------------
+  private def runExistsChain(anti: Boolean, subEvts: Seq[Evt],
+      outerEvts: Seq[Evt]): Seq[(Int, Int, Map[String, String])] = {
+    val keyNode = NodeSpec("S", "pk", "pk", isRoot = true, setSemantics = true)
+    val outer = NodeSpec("C", "fk", "fk", antiParent = anti)
+    val gate = subEvts.groupBy(_.key).toSeq.flatMap { case (k, evs) =>
+      processKeyBatch(keyNode)(k, evs.iterator).toSeq
+    }
+    (outerEvts ++ gate).groupBy(_.key).toSeq.flatMap { case (k, evs) =>
+      processKeyBatch(outer)(k, evs.iterator).toSeq.map(e => (e.tag, e.mult, e.cols))
+    }
+  }
+
+  test("PROPERTY: EXISTS/NOT EXISTS gate == brute-force semi/anti, any interleaving") {
+    samples(Gen.listOfN(40, opGen), 40).foreach { ops =>
+      val subNet = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+      val outerNet = scala.collection.mutable.Map[(Int, Int, Int), Int]().withDefaultValue(0)
+      ops.foreach {
+        case (true, ins, k, _, _)   => subNet(k) += (if (ins) 1 else -1)
+        case (false, ins, k, id, v) => outerNet((k, id, v)) += (if (ins) 1 else -1)
+      }
+      val subEvts = ops.zipWithIndex.collect { case ((true, ins, k, _, _), i) =>
+        Evt(i.toLong, fromParent = false, if (ins) 1 else -1, 1, k.toString,
+          Map("pk" -> k.toString))
+      }
+      val outerEvts = ops.zipWithIndex.collect { case ((false, ins, k, id, v), i) =>
+        Evt(i.toLong, fromParent = false, if (ins) 1 else -1, 1, k.toString,
+          childRow(k, id, v))
+      }
+      Seq(false, true).foreach { anti =>
+        val got = scala.collection.mutable.Map[(Int, Int, Int), Int]().withDefaultValue(0)
+        runExistsChain(anti, subEvts, outerEvts).foreach { case (tag, mult, row) =>
+          got((row("fk").toInt, row("cid").toInt, row("v").toInt)) += tag * mult
+        }
+        val expected = outerNet.toMap.collect {
+          case ((k, id, v), n)
+            if n != 0 && (if (anti) subNet(k) <= 0 else subNet(k) > 0) =>
+              (k, id, v) -> n
+        }
+        assert(got.filter(_._2 != 0).toMap == expected, s"anti=$anti ops=$ops")
+      }
+    }
+  }
+
+  test("anti node: rows emit while no match, retract on first match, re-emit on last unmatch") {
+    val outer = (0 until 3).map(i => Evt(0, false, 1, 1, "7", childRow(7, i, 12)))
+    val subIns = Evt(1, false, 1, 1, "7", Map("pk" -> "7"))
+    val subDel = Evt(2, false, -1, 1, "7", Map("pk" -> "7"))
+    val leaf = runExistsChain(anti = true, Seq(subIns, subDel), outer)
+    // +3 (unmatched) −3 (match appears) +3 (match dies) = net +3
+    assert(leaf.map { case (t, m, _) => t * m }.sum == 3)
+    assert(leaf.count(_._1 == 1) == 6 && leaf.count(_._1 == -1) == 3)
+    // anti emissions carry NO subquery columns
+    assert(leaf.forall { case (_, _, row) => !row.contains("pk") })
+  }
+
   test("parent death retracts all buffered children (fan-out)") {
     val pIns = Evt(0, false, 1, 1, "1", parentRow(1))
     val cs = (0 until 5).map(i => Evt(1, false, 1, 1, "1", childRow(1, i, 12)))
