@@ -1301,6 +1301,82 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // EXISTS from SQL text — the correlated subquery compiles to a
+    // set-semantics key node over orders(o_custkey) gating customer's
+    // changelog through an extra liveness hop (SqlCompiler gate
+    // surgery); the subquery's local predicate is pushed to the orders
+    // scan. Same changelog/delete schedule as the hand-built
+    // incremental_exists_semi, proving text and tree agree.
+    sql("incremental_sql_exists",
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_e2
+        |FROM customer
+        |WHERE c_custkey % 30 <> 0
+        | AND EXISTS (SELECT 1 FROM orders
+        |             WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |               AND o_orderkey % 40 <> 0)
+        |GROUP BY c_nationkey""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT c_nationkey, COUNT(*) AS n_cust,
+          | SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS acctbal_e2
+          |FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+          |GROUP BY c_nationkey""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 30 === 0),
+          "orders" -> (col("o_orderkey") % 40 === 0)))
+    },
+
+    // NOT EXISTS from SQL text, composed WITH an outer FK tree: the
+    // anti gate splices in front of customer's tree stage (base
+    // changelog routes by the correlation key c_custkey, the gate
+    // re-keys survivors by c_nationkey into the nation join).
+    sql("incremental_sql_not_exists",
+      """SELECT n_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_e2
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey
+        | AND c_custkey % 30 <> 0
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |                 WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |                   AND o_orderkey % 40 <> 0)
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, COUNT(*) AS n_cust,
+          | SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS acctbal_e2
+          |FROM nation, customer
+          |WHERE c_nationkey = n_nationkey
+          | AND NOT EXISTS (SELECT 1 FROM orders
+          |                 WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 30 === 0),
+          "orders" -> (col("o_orderkey") % 40 === 0)))
+    },
+
+    // IN (subquery) from SQL text — the projected column is the
+    // matching key, the equality implicit; compiles to the same semi
+    // gate. Deletes shrink the matching set (a customer leaving
+    // retracts every order it admitted) and the outer side.
+    sql("incremental_sql_in",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey % 6 <> 0
+        | AND o_custkey IN (SELECT c_custkey FROM customer
+        |                   WHERE c_acctbal > 1000 AND c_custkey % 30 <> 0)
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT o_orderpriority, COUNT(*) AS n_orders
+          |FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_acctbal > 1000)
+          |GROUP BY o_orderpriority""".stripMargin,
+        deletes = Map(
+          "orders" -> (col("o_orderkey") % 6 === 0),
+          "customer" -> (col("c_custkey") % 30 === 0)))
+    },
+
     // SELF-JOIN from SQL text — one relation under two FROM aliases,
     // compiled via SqlCompiler's alias expansion (each instance becomes
     // its own virtual relation o1/o2 with prefixed columns): urgent

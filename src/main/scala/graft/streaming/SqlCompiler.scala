@@ -43,8 +43,15 @@ import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
   * HAVING / ORDER BY / LIMIT compile as presentation over the
   * maintained view; `agg(x) FILTER (WHERE p)` compiles as a CASE
   * rewrite of the argument (exact under retraction — see `aggOf`);
+  * top-level `[NOT] EXISTS (SELECT ... WHERE sub = outer AND ...)`
+  * and `col IN (SELECT col FROM ...)` WHERE conjuncts compile as
+  * incremental SEMI/ANTI GATES — a set-semantics key node over the
+  * subquery relation feeding an extra liveness hop (inverted for NOT
+  * EXISTS) in front of the correlated relation, one co-partitioned
+  * shuffle per gate, never a per-row subquery re-execution;
   * anything else (non-FK join conditions, cyclic join graphs,
-  * unaliased aggregates, non-retractable folds) fails loudly at
+  * unaliased aggregates, non-retractable folds, NOT IN's
+  * NULL-divergent semantics) fails loudly at
   * compile time — never a silent wrong plan.
   *
   * Scale design: local predicates are NOT interpreted per event — each
@@ -655,8 +662,38 @@ object SqlCompiler {
       case _ =>
     })
 
+    // [NOT] EXISTS / IN-subquery conjuncts peel off here and compile as
+    // incremental semi/anti GATES (processed below, once the owner map
+    // exists); any OTHER subquery position fails loudly — never a
+    // silent plan that re-executes a subquery per row.
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not, SubqueryExpression}
+    val rawGates = scala.collection.mutable.ArrayBuffer[
+      (LogicalPlan, Option[UnresolvedAttribute], Boolean)]()
+    val plainFilterConjuncts = filterConjuncts.filter {
+      case e: Exists => rawGates += ((e.plan, None, false)); false
+      case Not(e: Exists) => rawGates += ((e.plan, None, true)); false
+      case in: InSubquery =>
+        val outerA = in.values match {
+          case Seq(a: UnresolvedAttribute) => a
+          case other => fail(s"IN-subquery left side must be a plain column, got " +
+            s"'${other.map(fragment).mkString(", ")}'")
+        }
+        rawGates += ((in.query.plan, Some(outerA), false)); false
+      case Not(_: InSubquery) =>
+        fail("NOT IN (subquery) is not compiled: its three-valued semantics " +
+          "diverge from NOT EXISTS whenever the subquery side holds NULLs — " +
+          "rewrite as NOT EXISTS with an explicit correlation equality")
+      case _ => true
+    }
+
     // classify conjuncts: FK equi-joins vs single-relation predicates
-    val conjuncts = filterConjuncts ++ onConjuncts
+    val conjuncts = plainFilterConjuncts ++ onConjuncts
+    conjuncts.foreach(c => c.foreach {
+      case _: SubqueryExpression => fail(s"subquery inside '${fragment(c)}' — " +
+        "subqueries compile only as TOP-LEVEL WHERE conjuncts of the form " +
+        "[NOT] EXISTS(...) or <col> IN (SELECT ...)")
+      case _ =>
+    })
     val (joinConds, localPreds) = conjuncts.partition {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) => ownerOf(a) != ownerOf(b)
       case c =>
@@ -688,7 +725,113 @@ object SqlCompiler {
     // multi-parent facts decompose into per-FK liveness stages, shared
     // dimensions glue their branches with pair stages; stagesFor
     // validates and plans both
-    val stages = TreeCompiler.stagesFor(queryEdges, relations)
+    // ---- [NOT] EXISTS / IN gates → set-semantics key node + liveness
+    // hop. The subquery compiles to a root KEY node (set semantics over
+    // the correlation column alone — the distinct matching-key set);
+    // its 0→1/1→0 deltas gate the correlated relation's changelog
+    // through an EXTRA liveness hop spliced in front of that relation's
+    // first tree stage (inverted via NodeSpec.antiParent for NOT
+    // EXISTS). Each gate costs one co-partitioned shuffle on the
+    // correlation key; chained gates on one relation compose like the
+    // multi-parent decomposition. NULL keys match NULL keys — the
+    // engine-wide non-null FK-key assumption; NOT IN is rejected above
+    // for exactly that reason.
+    def parseGatePlan(p: LogicalPlan): (Seq[Expression], Seq[Expression], String) = p match {
+      case Project(items, child) =>
+        val (_, cs, r) = parseGatePlan(child); (items, cs, r)
+      case Filter(c, child) =>
+        val (its, cs, r) = parseGatePlan(child); (its, splitConjuncts(c) ++ cs, r)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        parseGatePlan(a.child)
+      case u: UnresolvedRelation => (Nil, Nil, u.multipartIdentifier.last)
+      case other => fail(s"unsupported subquery FROM shape: ${other.nodeName} — " +
+        "a gate subquery is a single base relation with an optional WHERE")
+    }
+    final case class Gate(subRel: String, subKey: String, outerRel: String,
+                          outerCol: String, anti: Boolean, subWheres: Seq[Expression])
+    val gates: Seq[Gate] = rawGates.toSeq.map { case (subPlan, inValue, anti) =>
+      val (items, subConjs, subRel) = parseGatePlan(subPlan)
+      if (relations.contains(subRel))
+        fail(s"subquery over '$subRel', which is also in FROM — a self-semi/anti " +
+          "join is not compiled yet (alias the subquery side once the self-join " +
+          "expansion covers subqueries)")
+      val subCols = loadRel(spark, dir, subRel).schema.fieldNames.toSet
+      owner.keySet.intersect(subCols).toSeq.sorted.headOption.foreach(c =>
+        fail(s"column '$c' exists in both the outer query and subquery relation " +
+          s"'$subRel' — scope classification would be ambiguous"))
+      // Some(true) = subquery column, Some(false) = outer column
+      def side(a: UnresolvedAttribute): Option[Boolean] = {
+        val n = a.nameParts.last
+        if (subCols(n)) Some(true) else if (owner.contains(n)) Some(false) else None
+      }
+      subConjs.foreach(_.foreach {
+        case a: UnresolvedAttribute if side(a).isEmpty =>
+          fail(s"column ${a.nameParts.mkString(".")} not found in subquery " +
+            s"relation '$subRel' or the outer query")
+        case _ =>
+      })
+      val (corr, local) = subConjs.partition {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          side(a) != side(b)
+        case _ => false
+      }
+      local.foreach(c =>
+        c.collect { case a: UnresolvedAttribute => a }.find(a => side(a).contains(false))
+          .foreach(a => fail(s"subquery predicate '${fragment(c)}' references outer " +
+            s"column ${a.nameParts.last} — only the single correlation equality " +
+            "may cross scopes")))
+      val (subKey, outerAttr) = inValue match {
+        case Some(outerA) =>
+          // IN: the projected column is the matching key; the implicit
+          // equality IS the correlation, so none may appear in WHERE
+          if (corr.nonEmpty) fail(s"IN subquery over '$subRel' cannot also carry " +
+            s"cross-scope equalities (${corr.map(fragment).mkString(", ")})")
+          val k = items match {
+            case Seq(UnresolvedAlias(a: UnresolvedAttribute, _)) => a.nameParts.last
+            case Seq(Alias(a: UnresolvedAttribute, _)) => a.nameParts.last
+            case Seq(a: UnresolvedAttribute) => a.nameParts.last
+            case other => fail(s"IN subquery must select exactly one plain column " +
+              s"of '$subRel', got '${other.map(fragment).mkString(", ")}'")
+          }
+          if (!subCols(k)) fail(s"IN subquery selects '$k', not a column of '$subRel'")
+          (k, outerA)
+        case None => corr match {
+          case Seq(EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)) =>
+            if (side(a).contains(true)) (a.nameParts.last, b) else (b.nameParts.last, a)
+          case other => fail(s"EXISTS subquery over '$subRel' needs exactly ONE " +
+            s"correlation equality <$subRel column> = <outer column>, got ${other.size}")
+        }
+      }
+      Gate(subRel, subKey, ownerOf(outerAttr), outerAttr.nameParts.last, anti, local)
+    }
+    if (gates.map(_.subRel).distinct.size != gates.size)
+      fail(s"multiple subquery gates over one relation " +
+        s"(${gates.map(_.subRel)}) — each gate owns its relation's changelog identity")
+
+    val soloGated = relations.size == 1 && gates.nonEmpty
+    val baseStages =
+      if (soloGated)
+        Seq(DeltaEngine.Stage("__solo", NodeSpec(relations.head,
+          gates.head.outerCol, gates.head.outerCol, isRoot = true)))
+      else TreeCompiler.stagesFor(queryEdges, relations)
+
+    val gatedStages = gates.zipWithIndex.foldLeft(baseStages) { case (sts, (g, i)) =>
+      val idx = sts.indexWhere(st => st.spec.relation == g.outerRel && st.ownStage.isEmpty)
+      val entry = sts(idx)
+      val keysName = s"__gate${i}_keys"
+      val hopName = s"__gate${i}_hop"
+      val keys = DeltaEngine.Stage(keysName,
+        NodeSpec(g.subRel, g.subKey, g.subKey, isRoot = true, setSemantics = true))
+      val hop = DeltaEngine.Stage(hopName,
+        NodeSpec(g.outerRel, g.outerCol, entry.spec.childKeyCol, antiParent = g.anti),
+        parentStage = Some(keysName))
+      sts.patch(idx, Seq(keys, hop, entry.copy(ownStage = Some(hopName))), 1)
+    }
+    // a single-relation outer query plans only WITH gates (the gate hop
+    // provides the liveness a join tree otherwise would): the surgery
+    // ran against a synthetic passthrough root, dropped here so the
+    // last gate hop IS the leaf — no identity exchange survives
+    val stages = if (soloGated) gatedStages.filterNot(_.name == "__solo") else gatedStages
     // relation order with every parent before its children (the order
     // the stages consume their changelogs in)
     val path = stages.filter(_.ownStage.isEmpty).map(_.spec.relation)
@@ -699,7 +842,9 @@ object SqlCompiler {
         case Seq(r) => r
         case Seq() => fail(s"constant predicate '${fragment(c)}' is unsupported")
       }
-    }.map { case (rel, cs) => rel -> cs.map(c => s"(${dequalify(spark, fragment(c))})").mkString(" AND ") }
+    }.map { case (rel, cs) => rel -> cs.map(c => s"(${dequalify(spark, fragment(c))})").mkString(" AND ") } ++
+      gates.filter(_.subWheres.nonEmpty).map(g => g.subRel ->
+        g.subWheres.map(c => s"(${dequalify(spark, fragment(c))})").mkString(" AND ")).toMap
 
     // GROUP BY list → GroupSpecs: a plain column ref keeps its name; a
     // scalar expression (year(o_orderdate), substr(...), …) becomes a
@@ -865,9 +1010,13 @@ object SqlCompiler {
 
     // per-relation columns that must travel in canonical rows:
     // referenced by GROUP BY / SUM args, plus every key column any of
-    // the relation's stages routes or re-keys by
+    // the relation's stages routes or re-keys by. Gate (subquery)
+    // relations join the schema pool here — their key/predicate
+    // columns need types like any other changelog's.
+    val allSchemas: Map[String, StructType] = schemas ++
+      gates.map(g => g.subRel -> loadRel(spark, dir, g.subRel).schema).toMap
     val colType: Map[String, DataType] =
-      schemas.values.flatMap(s => s.fields.map(f => f.name -> f.dataType)).toMap
+      allSchemas.values.flatMap(s => s.fields.map(f => f.name -> f.dataType)).toMap
 
     // fail-loud on floating-point SUM/AVG arguments: the engine folds
     // signed deltas, and double addition is not associative — a
@@ -900,7 +1049,7 @@ object SqlCompiler {
         case a2: UnresolvedAttribute => a2.nameParts.last
       })
     val needed: Map[String, Seq[String]] = path.map { rel =>
-      val own = schemas(rel).fieldNames.toSet
+      val own = allSchemas(rel).fieldNames.toSet
       val keyCols = stages.filter(_.spec.relation == rel)
         .flatMap(st => Seq(st.spec.childKeyCol, st.spec.nextKeyCol))
       rel -> ((referenced.filter(own) ++ keyCols.filter(own)).distinct)
@@ -909,7 +1058,10 @@ object SqlCompiler {
     // them out of the canonical row)
     val predCols: Map[String, Seq[String]] = localPreds
       .flatMap(c => c.collect { case a: UnresolvedAttribute => a.nameParts.last })
-      .distinct.groupBy(owner)
+      .distinct.groupBy(owner) ++
+      gates.filter(_.subWheres.nonEmpty).map(g => g.subRel ->
+        g.subWheres.flatMap(_.collect {
+          case a: UnresolvedAttribute => a.nameParts.last }).distinct).toMap
     val neededRaw: Map[String, Seq[String]] = needed.map { case (rel, cols) =>
       rel -> (cols ++ predCols.getOrElse(rel, Nil)).distinct
     }

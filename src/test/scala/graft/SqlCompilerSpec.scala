@@ -1067,4 +1067,94 @@ class SqlCompilerSpec extends AnyFunSuite {
       .orderBy("n_name", "yr").collect().toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("[NOT] EXISTS / IN compile as incremental semi/anti gates") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // plan shape: set-semantics key node over the subquery relation, an
+    // anti-liveness hop spliced in front of the correlated relation,
+    // the subquery's local predicate pushed to the orders scan, and
+    // only the correlation key traveling in the subquery's rows
+    val notExists =
+      """SELECT n_name, COUNT(*) AS n_cust
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |                 WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY n_name""".stripMargin
+    val c = SqlCompiler.compile(s, d, notExists)
+    val keys = c.stages.find(_.name == "__gate0_keys").get
+    assert(keys.spec.relation == "orders" && keys.spec.setSemantics && keys.spec.isRoot)
+    val hop = c.stages.find(_.name == "__gate0_hop").get
+    assert(hop.spec.relation == "customer" && hop.spec.antiParent)
+    assert(hop.spec.childKeyCol == "c_custkey" && hop.spec.nextKeyCol == "c_nationkey")
+    assert(c.wheres("orders").contains("o_orderstatus"))
+    assert(c.needed("orders") == Seq("o_custkey"))
+    // insert-only parity vs Spark's own subquery execution
+    assert(c.run(s, d).orderBy("n_name").collect().toSeq ==
+      s.sql(notExists).orderBy("n_name").collect().toSeq)
+    val exists = notExists.replace("NOT EXISTS", "EXISTS")
+    assert(SqlCompiler.run(s, d, exists).orderBy("n_name").collect().toSeq ==
+      s.sql(exists).orderBy("n_name").collect().toSeq)
+    // single-relation outer: the gate hop IS the leaf (the synthetic
+    // passthrough is dropped — no identity exchange)
+    val in =
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+        |GROUP BY o_orderpriority""".stripMargin
+    val ci = SqlCompiler.compile(s, d, in)
+    assert(ci.stages.map(_.name) == Seq("__gate0_keys", "__gate0_hop"))
+    assert(ci.run(s, d).orderBy("o_orderpriority").collect().toSeq ==
+      s.sql(in).orderBy("o_orderpriority").collect().toSeq)
+    // deletes on BOTH sides equal the survivors query: matching-set
+    // shrink flips gated rows in (anti) / out (semi) with replay
+    val deletes = Map(
+      "customer" -> (col("c_custkey") % 30 === 0),
+      "orders" -> (col("o_orderkey") % 40 === 0))
+    def survivors(text: String): Seq[org.apache.spark.sql.Row] = s.sql(text
+        .replace("WHERE o_custkey = c_custkey AND o_orderstatus = 'O'",
+          "WHERE o_custkey = c_custkey AND o_orderstatus = 'O' AND o_orderkey % 40 <> 0")
+        .replace("WHERE c_nationkey = n_nationkey",
+          "WHERE c_nationkey = n_nationkey AND c_custkey % 30 <> 0"))
+      .orderBy("n_name").collect().toSeq
+    assert(SqlCompiler.run(s, d, notExists, deletes).orderBy("n_name").collect().toSeq ==
+      survivors(notExists))
+    assert(SqlCompiler.run(s, d, exists, deletes).orderBy("n_name").collect().toSeq ==
+      survivors(exists))
+  }
+
+  test("subquery gate shapes that cannot compile fail loudly") {
+    def bad(sqlText: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
+      assert(ex.getMessage.contains(needle), s"message: ${ex.getMessage}")
+    }
+    // NOT IN diverges from NOT EXISTS on NULLs — rejected, not guessed
+    bad("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+          |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          |GROUP BY o_orderpriority""".stripMargin, "NOT IN")
+    // a subquery under OR is not a top-level conjunct
+    bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer
+          |WHERE c_nationkey = n_nationkey
+          | AND (c_acctbal > 0 OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+          |GROUP BY n_name""".stripMargin, "TOP-LEVEL")
+    // self-semi (subquery relation also in FROM)
+    bad("""SELECT c_mktsegment, COUNT(*) AS n FROM customer, orders
+          |WHERE o_custkey = c_custkey
+          | AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY c_mktsegment""".stripMargin, "also in FROM")
+    // uncorrelated EXISTS is a constant gate, not an incremental one
+    bad("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+          |WHERE EXISTS (SELECT 1 FROM customer WHERE c_acctbal > 0)
+          |GROUP BY o_orderpriority""".stripMargin, "exactly ONE")
+    // IN's correlation is implicit; extra cross-scope equalities are out
+    bad("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = o_orderkey)
+          |GROUP BY o_orderpriority""".stripMargin, "cross-scope")
+    // subquery predicates may not reference outer columns
+    bad("""SELECT c_mktsegment, COUNT(*) AS n FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal)
+          |GROUP BY c_mktsegment""".stripMargin, "may cross scopes")
+  }
 }
