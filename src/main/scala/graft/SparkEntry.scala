@@ -14,6 +14,7 @@ object SparkEntry {
   /** All registered capabilities, in module order. */
   def all: Seq[GraftQuery] =
     operators.Relational.defs ++
+    operators.BloomJoin.defs ++
     operators.TextAnalysis.defs ++
     operators.Curation.defs ++
     operators.Dedup.defs ++
