@@ -15,6 +15,7 @@ object SparkEntry {
   def all: Seq[GraftQuery] =
     operators.Relational.defs ++
     operators.BloomJoin.defs ++
+    operators.TimeSeries.defs ++
     operators.TextAnalysis.defs ++
     operators.Curation.defs ++
     operators.Dedup.defs ++

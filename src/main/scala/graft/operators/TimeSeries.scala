@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+
+/** Time-series RESAMPLING — regularize an irregular event stream onto a
+  * fixed per-key bucket grid and fill the gaps by carrying the last
+  * observation forward (LOCF). The classic preprocessing step before
+  * windowed feature extraction over sensor/metric streams.
+  *
+  * Scale shape (the only one that survives 100 TB):
+  *   1. bucket-aggregate the raw events to one row per (key, bucket)
+  *      — `max_by(value, seq)` picks the LATEST observation in the
+  *      bucket deterministically; ONE hash aggregate with map-side
+  *      partial combine does 99% of the data reduction before any
+  *      other stage sees a row;
+  *   2. per-key span (min/max bucket) — a second tiny aggregate over
+  *      the already-reduced bucket rows;
+  *   3. grid = `explode(sequence(lo, hi))` over the span rows — grows
+  *      with Σ spans, NEVER with raw event count, and a LOUD guard
+  *      (`raise_error`) rejects keys whose span exceeds `maxBuckets`
+  *      instead of silently materializing a billion-element array
+  *      (same fail-loud posture as the band-join domain errors);
+  *   4. grid LEFT-equi-JOIN bucket rows on (key, bucket);
+  *   5. LOCF = `last(value, ignoreNulls)` over (key ORDER BY bucket)
+  *      — one window pass, partitioned by the SAME key as the join, so
+  *      with matching partitioning the exchange is reused.
+  *
+  * No value arithmetic is performed — carried values are the exact
+  * input doubles — so the result is hash-stable across engines despite
+  * the double-typed metric column.
+  *
+  * Reference: the reference engine (Flink-and-acyclic-schema) has no
+  * resample operator — its event-time surface stops at windowed
+  * aggregation; this is part of the beyond-reference time-series
+  * surface (SURVEY.md §2 streaming/window rows) that a metrics
+  * pipeline needs.
+  */
+object TimeSeries {
+
+  /** One row per (key, bucket) for every bucket in each key's observed
+    * [min, max] span, `value_filled` carried forward across gaps.
+    * `bucket` = floor(epoch-micros / stepMicros) — integer arithmetic
+    * end to end, no double rounding at bucket edges.
+    *
+    * @param seq  deterministic tie-breaker: the in-bucket observation
+    *             with the LARGEST `seq` wins (max_by).
+    */
+  def resampleLocf(df: DataFrame, key: String, ts: String, value: String,
+                   seq: String, stepMicros: Long,
+                   maxBuckets: Long = 1000000L): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive, got $stepMicros")
+    val bucketCol = expr(s"unix_micros($ts) div $stepMicros")
+    val bucketed = df
+      .select(col(key), bucketCol.as("bucket"), col(value).as("v"), col(seq).as("__seq"))
+      .groupBy(col(key), col("bucket"))
+      .agg(max_by(col("v"), col("__seq")).as("v"))
+    val spans = bucketed
+      .groupBy(col(key))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      // fail LOUD on a span the grid must not materialize — a silent
+      // cap would report a gapless series that is missing buckets
+      .withColumn("hi", when(col("hi") - col("lo") < maxBuckets, col("hi"))
+        .otherwise(raise_error(concat(
+          lit(s"resampleLocf: key "), col(key).cast("string"),
+          lit(s" spans more than $maxBuckets buckets; raise maxBuckets or widen the step")))))
+    val grid = spans.select(col(key), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq(key, "bucket"), "left")
+      .select(col(key), col("bucket"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
+        col("v").isNotNull.as("observed"))
+  }
+
+  val defs: Seq[GraftQuery] = Seq(
+    // Hourly purchase-value series per user, gaps LOCF-filled. DuckDB
+    // mirrors bucket = epoch_us // step (positive // == div), the grid
+    // via generate_series, and LOCF via IGNORE NULLS last_value.
+    sql("events_resample_locf",
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |         max_by(value, event_id) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM s)
+        |SELECT g.user_id, g.bucket,
+        |  last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  b.v IS NOT NULL AS observed
+        |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket""".stripMargin) {
+      (s, d) =>
+        resampleLocf(
+          Tables.events(s, d).filter(col("event_type") === "purchase"),
+          key = "user_id", ts = "ts", value = "value", seq = "event_id",
+          stepMicros = 3600L * 1000000L)
+    })
+}

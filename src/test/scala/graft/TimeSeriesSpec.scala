@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private def s = SparkTestSession.spark
+  private val d = SparkTestSession.sfTiny
+
+  test("LOCF fills every gap, keeps observed values exact, and bounds the grid per key") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // key 1: observations in buckets 0, 3 (gap 1-2); key 2: single point
+    val df = Seq(
+      (1L, 0L, 10.5, 100L), (1L, 3L * 3600000000L + 7L, 99.25, 101L),
+      (1L, 5L, 11.5, 102L), // same bucket as the first row, larger seq wins
+      (2L, 2L * 3600000000L, 42.0, 103L))
+      .toDF("k", "us", "v", "seq")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"), col("seq"))
+    val out = TimeSeries.resampleLocf(df, "k", "ts", "v", "seq", 3600000000L)
+      .orderBy("k", "bucket")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 11.5, true),  // max_by(seq) picked 11.5 over 10.5
+      (1L, 1L, 11.5, false), // carried
+      (1L, 2L, 11.5, false), // carried
+      (1L, 3L, 99.25, true),
+      (2L, 2L, 42.0, true)))
+  }
+
+  test("per-key span over maxBuckets fails LOUD instead of materializing the grid") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val df = Seq((1L, 0L, 1.0, 1L), (1L, 100L * 3600000000L, 2.0, 2L))
+      .toDF("k", "us", "v", "seq")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"), col("seq"))
+    val e = intercept[Exception] {
+      TimeSeries.resampleLocf(df, "k", "ts", "v", "seq", 3600000000L, maxBuckets = 10L).count()
+    }
+    assert(e.getMessage.contains("resampleLocf") || e.getCause != null)
+  }
+
+  test("registered entry: grid is gapless per user and join stays equi (no NLJ)") {
+    val out = SparkEntry.queries("events_resample_locf")(s, d).cache()
+    try {
+      // gapless: per-user row count == hi - lo + 1 over its buckets
+      val bad = out.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), (max("bucket") - min("bucket") + 1).as("span"))
+        .filter(col("n") =!= col("span")).count()
+      assert(bad == 0L)
+      // every observed row's value matches a real event in that bucket
+      assert(out.filter(col("observed") && col("value_filled").isNull).count() == 0L)
+      // gaps exist in the fixture (otherwise LOCF is untested) and are filled
+      val gaps = out.filter(!col("observed"))
+      assert(gaps.count() > 0L && gaps.filter(col("value_filled").isNull).count() == 0L)
+    } finally out.unpersist()
+    val plan = SparkEntry.queries("events_resample_locf")(s, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan.take(1500))
+  }
+}
