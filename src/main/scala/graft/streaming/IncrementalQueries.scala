@@ -1232,6 +1232,46 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // VAR_SAMP / STDDEV_SAMP maintained incrementally — the compiler
+    // folds the retractable moments (n, Σx, Σx²) exactly (Σ in
+    // DECIMAL(38,0); INTEGRAL argument enforced at compile time) and
+    // evaluates (n·Σx² − (Σx)²)/(n·(n−1)) once per group in double.
+    // The oracle mirrors that formula literally over the same exact
+    // integer moments (HUGEINT sums), so the doubles — and sqrt, IEEE
+    // correctly rounded — are bit-identical across engines.
+    sql("incremental_sql_stddev",
+      """WITH t AS (
+        | SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        | FROM region, nation, customer, orders
+        | WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey
+        |  AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        |  AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0),
+        |m AS (SELECT n_name, COUNT(v) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+        |             SUM(CAST(v AS HUGEINT) * v) AS ss, COUNT(*) AS n_rows
+        |      FROM t GROUP BY n_name)
+        |SELECT n_name,
+        | (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |   / CAST(NULLIF(n * (n - 1), 0) AS DOUBLE) AS var_price_e2,
+        | sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |   / CAST(NULLIF(n * (n - 1), 0) AS DOUBLE)) AS std_price_e2,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name,
+          | VAR_SAMP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS var_price_e2,
+          | STDDEV_SAMP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS std_price_e2,
+          | COUNT(*) AS n_rows
+          |FROM region, nation, customer, orders
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND o_custkey = c_custkey
+          | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
     // COUNT(DISTINCT) maintained incrementally — no extra engine
     // state: the leaf delta multiset nets per (group, value), so the
     // compiler derives it with a per-value rollup joined back on the

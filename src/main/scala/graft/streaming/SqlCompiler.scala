@@ -218,6 +218,28 @@ object SqlCompiler {
               nullif(sum(when(expr(a.frag).isNotNull, col("__sign"))
                 .otherwise(lit(0))), lit(0)))
               .as(a.alias)
+          case "var_samp" | "stddev_samp" =>
+            // retractable MOMENTS (n, Σx, Σx²), each an exact signed
+            // fold — Σx and Σx² run in DECIMAL(38,0) so a planet-scale
+            // group cannot overflow the long fold (integral argument
+            // enforced at compile time; overflow past 38 digits fails
+            // LOUD under ANSI instead of drifting). The variance is
+            // then ONE deterministic double evaluation over exact
+            // integer moments,
+            //   var_samp = (n·Σx² − (Σx)²) / (n·(n−1)),
+            // mirrored literally by the oracle SQL, so the double (and
+            // its sqrt — IEEE correctly rounded) is bit-reproducible.
+            // n counts only non-NULL arguments; n<2 ⇒ NULL via the
+            // nullif-guarded denominator (SQL VAR_SAMP semantics).
+            val arg = expr(a.frag)
+            val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+            val n = sum(when(arg.isNotNull, col("__sign")).otherwise(lit(0L)))
+            val sx = sum(col("__sign").cast(d38) * arg.cast(d38))
+            val sxx = sum(col("__sign").cast(d38) * arg.cast(d38) * arg.cast(d38))
+            val den = nullif(n * (n - lit(1L)), lit(0L)).cast("double")
+            val v = (n.cast("double") * sxx.cast("double") -
+              sx.cast("double") * sx.cast("double")) / den
+            (if (a.kind == "var_samp") v else sqrt(v)).as(a.alias)
           case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
         }
       } :+ sum(col("__sign")).as("__net")
@@ -906,6 +928,12 @@ object SqlCompiler {
             AggSpec("sum", filtered(dequalify(spark, fragment(arg))), alias)
           case ("avg", Seq(arg)) if !f.isDistinct =>
             AggSpec("avg", filtered(dequalify(spark, fragment(arg))), alias)
+          case (name @ ("var_samp" | "variance" | "stddev_samp" | "stddev"), Seq(arg))
+              if !f.isDistinct =>
+            // VARIANCE/STDDEV are Spark/DuckDB aliases of the _SAMP
+            // forms; both maintain the retractable (n, Σx, Σx²) moments
+            AggSpec(if (name.startsWith("var")) "var_samp" else "stddev_samp",
+              filtered(dequalify(spark, fragment(arg))), alias)
           case (name @ ("min" | "max"), Seq(arg)) =>
             AggSpec(name, filtered(dequalify(spark, fragment(arg))), alias)
           case ("median", Seq(arg)) =>
@@ -919,8 +947,9 @@ object SqlCompiler {
             AggSpec("median", filtered(dequalify(spark, fragment(arg))), alias)
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
             "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
-            "MIN, MAX, AVG, MEDIAN (discrete); a non-aggregate SELECT expression " +
-            "must textually match a GROUP BY expression)")
+            "MIN, MAX, AVG, VAR_SAMP, STDDEV_SAMP, MEDIAN (discrete); a " +
+            "non-aggregate SELECT expression must textually match a GROUP BY " +
+            "expression)")
         }
       case other => fail(s"expected an aggregate function under alias '$alias', " +
         s"got '${fragment(other)}' (a non-aggregate SELECT expression must " +
@@ -1030,7 +1059,8 @@ object SqlCompiler {
         org.apache.spark.sql.types.StructField(n, t) })
       val probe = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
-      aggs.filter(a => Set("sum", "avg", "sum_distinct")(a.kind)).foreach { a =>
+      aggs.filter(a => Set("sum", "avg", "sum_distinct",
+          "var_samp", "stddev_samp")(a.kind)).foreach { a =>
         val t = probe.select(expr(a.frag)).schema.head.dataType
         if (t == org.apache.spark.sql.types.DoubleType ||
             t == org.apache.spark.sql.types.FloatType)
@@ -1041,6 +1071,22 @@ object SqlCompiler {
             "CAST(round(x * 100, 0) AS BIGINT), or opt in with " +
             "compile(..., tolerateFloatFolds = true) to accept the drift")
       }
+    }
+    // UNCONDITIONAL (no tolerateFloatFolds escape): the variance moment
+    // folds cast to DECIMAL(38,0), so a fractional argument would not
+    // merely drift — it would silently TRUNCATE before folding
+    aggs.filter(a => Set("var_samp", "stddev_samp")(a.kind)).foreach { a =>
+      val unionSchema = StructType(colType.toSeq.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) })
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val t = probe.select(expr(a.frag)).schema.head.dataType
+      if (!Set[DataType](LongType, IntegerType, ShortType, ByteType)(t))
+        fail(s"${a.kind.toUpperCase}(${a.frag}) maintains exact integer " +
+          s"moments (n, Σx, Σx²) and needs an INTEGRAL argument, got " +
+          s"${t.simpleString} — scale it first, e.g. " +
+          "CAST(round(x * 100, 0) AS BIGINT)")
     }
 
     val referenced: Seq[String] = (groups.map(_.frag) ++

@@ -235,6 +235,68 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("VAR_SAMP/STDDEV_SAMP fold exact moments and survive deletes") {
+    val sqlText =
+      """SELECT n_name,
+        | VAR_SAMP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS var_e2,
+        | STDDEV(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS std_e2,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    val got = SqlCompiler.run(s, d, sqlText,
+        deletes = Map("orders" -> (col("o_orderkey") % 7 === 0)))
+      .orderBy("n_name").collect().toSeq
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // oracle: Spark's own var_samp/stddev over the survivors — a
+    // DIFFERENT numeric path (streaming central moments), so compare
+    // with relative tolerance; bit-parity with the moment formula is
+    // the registered entry's DuckDB gate
+    val want = s.sql(
+      """SELECT n_name,
+        | VAR_SAMP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS var_e2,
+        | STDDEV(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS std_e2,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin).orderBy("n_name").collect().toSeq
+    assert(got.nonEmpty && got.map(r => (r.getString(0), r.getLong(3))) ==
+      want.map(r => (r.getString(0), r.getLong(3))))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.getDouble(1) - w.getDouble(1)) <=
+        1e-9 * math.max(1.0, math.abs(w.getDouble(1))), s"$g vs $w")
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) <=
+        1e-9 * math.max(1.0, math.abs(w.getDouble(2))), s"$g vs $w")
+      assert(math.abs(g.getDouble(2) * g.getDouble(2) - g.getDouble(1)) <=
+        1e-7 * math.max(1.0, math.abs(g.getDouble(1)))) // std = sqrt(var)
+    }
+    // a single-row group: VAR_SAMP must be NULL (n-1 = 0), not a crash
+    val one = SqlCompiler.run(s, d,
+      """SELECT n_name, VAR_SAMP(CAST(n_nationkey AS BIGINT)) AS v
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey AND c_custkey = 1
+        |GROUP BY n_name""".stripMargin).collect().toSeq
+    assert(one.size == 1 && one.head.isNullAt(1))
+    // a DOUBLE argument trips the float-fold guard; a fractional
+    // DECIMAL one (fine for SUM) trips the var-specific INTEGRAL
+    // guard — the moment fold would otherwise silently truncate
+    val e1 = intercept[IllegalArgumentException] {
+      SqlCompiler.run(s, d,
+        """SELECT n_name, VAR_SAMP(c_acctbal) AS v FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin)
+    }
+    assert(e1.getMessage.contains("FLOATING-POINT"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SqlCompiler.run(s, d,
+        """SELECT n_name, VAR_SAMP(CAST(c_acctbal AS DECIMAL(12,2))) AS v
+          |FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin)
+    }
+    assert(e2.getMessage.contains("INTEGRAL"), e2.getMessage)
+  }
+
   test("AVG yields NULL, not an ANSI divide-by-zero, when the non-NULL subset nets away") {
     // the argument is NULL except on o_orderkey % 7 = 0 rows, and the
     // deletes remove exactly those rows: every group stays alive
