@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Dedup.defs ++
     operators.SimilaritySearch.defs ++
     operators.Multimodal.defs ++
+    sources.Formats.defs ++
     streaming.IncrementalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+
+/** Columnar format round trips beyond parquet — the engine's sink/
+  * source surface includes ORC (Spark-native, predicate pushdown and
+  * partition pruning included). The round trip is the honest gate: rows
+  * travel write → on-disk format → read, and the oracle reads the SAME
+  * logical rows straight from the original parquet, so any type-mapping
+  * or timestamp-precision asymmetry in the format path fails the value
+  * hash.
+  *
+  * Reference: the reference engine's sinks are text-file only
+  * (K1 in SURVEY.md §2); the columnar sink surface is part of the
+  * beyond-reference format coverage.
+  */
+object Formats {
+
+  /** One ORC copy of the lineitem projection per fixture dir per JVM —
+    * written partitioned by l_returnflag so the read-back can prove
+    * partition pruning (same memo pattern as CdcParser's rendered-line
+    * dirs). */
+  private val orcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val cols =
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+  def orcLineitemDir(s: SparkSession, d: String): String =
+    orcDirs.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      Tables.lineitem(s, d)
+        .select((cols.map(col) :+ col("l_returnflag")): _*)
+        .write.mode("overwrite")
+        // Hive-style partition layout: one directory per flag value, so
+        // a flag predicate prunes whole directories at planning time —
+        // the same layout a 100 TB table would use for its coarse key
+        .partitionBy("l_returnflag")
+        .orc(out)
+      out
+    })
+
+  /** The 'R' partition read back from ORC: the flag predicate must
+    * resolve to PartitionFilters (directory pruning, zero IO on other
+    * flags), never a post-scan filter. */
+  def orcRoundTrip(s: SparkSession, d: String): DataFrame =
+    s.read.orc(orcLineitemDir(s, d))
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+
+  val defs: Seq[GraftQuery] = Seq(
+    sql("orc_roundtrip_lineitem",
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin)(orcRoundTrip))
+}
