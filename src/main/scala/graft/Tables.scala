@@ -25,25 +25,52 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is written with nanosecond precision, which Spark's
-    * parquet reader rejects by default. Read it as raw nanos (legacy
-    * conf) and truncate to a microsecond `TimestampType` — integer
-    * division, NOT double division: ns-since-epoch (~1.7e18) exceeds
-    * double's 53-bit mantissa.
+  /** `events.ts` has shipped in two fixture vintages: int64 nanoseconds
+    * (which Spark's parquet reader rejects unless the legacy
+    * `nanosAsLong` conf is set) and native `timestamp[us]`. This loader
+    * adapts to whichever vintage is on disk by branching on the loaded
+    * column's dataType:
     *
-    * NOTE: `nanosAsLong` has no per-read DataFrameReader option
-    * (verified against ParquetOptions in Spark 4.1.2), so this loader
-    * must go through the session conf. The set is guarded so repeat
-    * calls don't churn the conf map, and it is a documented, visible
-    * side effect of loading `events`.
+    *  - `TimestampType` → pass through unchanged.
+    *  - `TimestampNTZType` (native `timestamp[us]` without a tz flag)
+    *    → cast to `TimestampType`. Every session in this repo pins
+    *    `spark.sql.session.timeZone=UTC`, so the cast is
+    *    value-preserving and keeps one stable downstream type across
+    *    vintages (window(), watermarks, and the oracle dumps all see
+    *    the same micros-since-epoch either way).
+    *  - `LongType` (raw nanos via the legacy conf) → truncate to
+    *    microseconds with integer division, NOT double division:
+    *    ns-since-epoch (~1.7e18) exceeds double's 53-bit mantissa.
+    *
+    * The first load is attempted WITHOUT touching session conf; only if
+    * the reader rejects the nanos column (legacy fixture) do we set
+    * `nanosAsLong` and retry — so a µs-native fixture never has its
+    * session's parquet behavior silently altered. `nanosAsLong` has no
+    * per-read DataFrameReader option (verified against ParquetOptions
+    * in Spark 4.1.2), so the legacy branch must go through session
+    * conf; that set is a documented, visible side effect of loading a
+    * nanos-vintage `events`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val k = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
-    val raw = load(s, d, "events")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          val k = "spark.sql.legacy.parquet.nanosAsLong"
+          if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
+          load(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

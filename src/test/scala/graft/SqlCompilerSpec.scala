@@ -694,9 +694,14 @@ class SqlCompilerSpec extends AnyFunSuite {
           |FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "requires GROUP BY")
-    // an aggregate with no retractable derivation (median compiles now
-    // — see the MEDIAN spec — but stddev would need a float fold)
+    // STDDEV over a DOUBLE argument is rejected with the same
+    // float-folds guidance as SUM/AVG (the integer-moments derivation
+    // — see the VAR_SAMP/STDDEV_SAMP spec — needs an integral column)
     bad("""SELECT n_name, stddev(c_acctbal) AS a FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "FLOATING-POINT")
+    // an aggregate with no retractable derivation at all stays loud
+    bad("""SELECT n_name, CORR(c_custkey, c_nationkey) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "unsupported aggregate")
     // FILTER predicates may not themselves aggregate
