@@ -52,6 +52,39 @@ object VectorOps {
   /** The DuckDB SQL mirror of [[simRank7]]. */
   def simRank7Sql(e: String): String = s"FLOOR(($e) * 10000000 + 0.5)"
 
+  /** Quantize a float embedding to a 1e-7-grid INTEGER vector (held in
+    * doubles). This is the entry point of the exact-by-construction
+    * ranking scheme ([[cosineExact]]): float→double is exact, a single
+    * correctly-rounded multiply + half-up floor yields the same
+    * integer in every IEEE engine, and downstream dots/norms over
+    * these integers stay exact (see cosineExact). */
+  def quantVec7(c: Column): Column =
+    transform(c, e => floor(e.cast("double") * 10000000 + 0.5).cast("double"))
+
+  /** The DuckDB SQL mirror of [[quantVec7]] (input cast to DOUBLE[]). */
+  def quantVec7Sql(e: String): String =
+    s"list_transform(($e)::DOUBLE[], x -> FLOOR(x * 10000000 + 0.5))"
+
+  /** Cosine over [[quantVec7]]-quantized vectors — EXACT BY
+    * CONSTRUCTION, not by empirical fold-order agreement: with 64-dim
+    * unit-norm embeddings and |e| ≤ 1, every elementwise product is
+    * ≤ 1e14 and every partial sum ≤ 64·1e14 < 2^53, so the double
+    * "integer" arithmetic is exact under ANY summation order — both
+    * engines get the same D, Nq, Nv bit-for-bit, and the final
+    * D/(sqrt(Nq)·sqrt(Nv)) is a fixed sequence of correctly-rounded
+    * IEEE ops on identical inputs. A rank key built on this cannot
+    * flip between engines, ever — unlike [[simRank7]] of a raw double
+    * cosine, which still straddles a rounding boundary when two
+    * candidates tie within an ulp (the latent kNN cutoff flip). */
+  def cosineExact(qa: Column, qb: Column): Column =
+    dot(qa, qb) / (sqrt(normSq(qa)) * sqrt(normSq(qb)))
+
+  /** The DuckDB SQL mirror of [[cosineExact]] over two quantized
+    * DOUBLE[] expressions. */
+  def cosineExactSql(qa: String, qb: String): String =
+    s"(list_inner_product($qa, $qb) / " +
+      s"(SQRT(list_inner_product($qa, $qa)) * SQRT(list_inner_product($qb, $qb))))"
+
   /** Sign-projection LSH bucket in [0, 64): bit k is the sign of the
     * sum of the k-th 8-element slice of the vector. A deterministic
     * stand-in for random-hyperplane LSH (hyperplanes = axis-group

@@ -120,23 +120,28 @@ object SimilaritySearch {
     // kNN CLASSIFICATION — labels put the search surface to work: each
     // query vector takes the majority label of its K nearest neighbors
     // (two-phase top-k as above, then one tiny aggregate over K rows
-    // per query). Deterministic end to end: neighbors rank on the
-    // scaled-integer [[VectorOps.simRank7]] key (a single rank flip at
-    // the K=10 cutoff would change the categorical vote, so the
-    // ordering must not hinge on last-ulp cosine bits), ties break on
+    // per query). Deterministic end to end — and, unlike the top-k
+    // entries' simRank7-of-a-double key, EXACT BY CONSTRUCTION:
+    // neighbors rank on [[VectorOps.cosineExact]] over
+    // [[VectorOps.quantVec7]]-quantized integer vectors, whose dots
+    // and norms are exact (< 2^53) under any summation order, so the
+    // rank key is bit-identical across engines and a last-ulp cosine
+    // tie at the K=10 cutoff CANNOT flip the categorical vote (the
+    // latent failure simRank7 still allowed when two candidates
+    // straddled a rounding boundary within an ulp). Ties break on
     // vec_id, label-vote ties on the smaller label — so a CLASSIFIER
     // sits behind the value-hash gate. Same bounded broadcast-scan
     // shape as ann_bruteforce_topk (the declared survey baseline); the
     // LSH/IVF paths swap in as the candidate generator at corpus
     // scale.
     sql("ann_knn_classify",
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, ${quantVec7Sql("embedding")} AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize),
          |nn AS (
          | SELECT query_id, label FROM (
          |  SELECT q.query_id, e.label,
          |   ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |     ORDER BY FLOOR(list_cosine_similarity(q.qv, e.v) * 10000000 + 0.5) DESC, e.vec_id) AS rnk
+         |     ORDER BY ${cosineExactSql("q.qv", "e.v")} DESC, e.vec_id) AS rnk
          |  FROM q, e WHERE e.vec_id <> q.query_id) t
          | WHERE rnk <= 10),
          |votes AS (SELECT query_id, label, COUNT(*) AS n FROM nn GROUP BY 1, 2)
@@ -146,16 +151,16 @@ object SimilaritySearch {
          | FROM votes) v WHERE r = 1""".stripMargin) {
       (s, d) =>
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+          .select(col("vec_id"), col("label"), quantVec7(col("embedding")).as("v"))
         val q = e.filter(col("vec_id") < QuerySetSize)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"), col("label"),
-            cosine(col("qv"), col("v")).as("c"))
+            cosineExact(col("qv"), col("v")).as("c"))
         val local = Window.partitionBy(col("query_id"), spark_partition_id())
-          .orderBy(simRank7(col("c")).desc, col("vec_id"))
+          .orderBy(col("c").desc, col("vec_id"))
         val global = Window.partitionBy(col("query_id"))
-          .orderBy(simRank7(col("c")).desc, col("vec_id"))
+          .orderBy(col("c").desc, col("vec_id"))
         val voteOrder = Window.partitionBy(col("query_id"))
           .orderBy(col("n").desc, col("label"))
         scored

@@ -58,4 +58,56 @@ class SimilaritySpec extends AnyFunSuite {
     val got = probe.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("knn cutoff is immune to last-ulp cosine differences (quantized tie breaks on vec_id)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Engineered corpus for query 0: nine clear top-9 neighbors with
+    // labels split 4×L1 / 5×L2, then candidates A (vec 20, L1) and
+    // B (vec 21, L2) whose RAW double cosines differ only past the 7th
+    // decimal (one float-ulp apart in one component) but whose
+    // quantVec7 keys are IDENTICAL. Rank 10 decides the majority:
+    // A in → 5v5 → smaller-label tie-break → L1; B in → 4v6 → L2.
+    // B's raw cosine is the LARGER one, so a raw-double ranking would
+    // seat B and predict L2; the exact-key ranking must tie A/B and
+    // break on vec_id → A wins and the prediction is L1.
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); parts.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    val strongLabels = Seq(1, 2, 1, 2, 1, 2, 1, 2, 2) // 4×1, 5×2
+    val strong = strongLabels.zipWithIndex.map { case (lbl, i) =>
+      val c = (0.99 - 0.01 * i).toFloat
+      (5L + i, vec(0 -> c, (2 + i) -> math.sqrt(1 - c.toDouble * c).toFloat), lbl)
+    }
+    // chosen so that aSecond and its nextDown share one 1e-7 grid cell
+    val aSecond = 0.86602533f
+    val bSecond = java.lang.Math.nextDown(aSecond) // one float ulp down
+      // smaller norm component → B's raw cosine is a hair LARGER
+    val rows = Seq((0L, vec(0 -> 1.0f), 9)) ++
+      (1L to 4L).map(i => (i, vec(0 -> -1.0f), 9)) ++ strong ++ Seq(
+        (20L, vec(0 -> 0.5f, 30 -> aSecond), 1),
+        (21L, vec(0 -> 0.5f, 31 -> bSecond), 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_tie").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // non-vacuity: the raw double cosines of A and B really differ …
+    def rawCos(second: Float): Double = {
+      val d = 0.5f.toDouble // dot with the unit query = first component
+      d / math.sqrt(0.5f.toDouble * 0.5f.toDouble + second.toDouble * second.toDouble)
+    }
+    // … and B's raw cosine is the LARGER one, so a raw-double ranking
+    // would seat B at rank 10 and predict L2 — the flip this guards …
+    assert(rawCos(bSecond) > rawCos(aSecond), "perturbation lost its direction")
+    // … while the quantized keys collide (same 1e-7 grid cell).
+    def q7(f: Float): Long = math.floor(f.toDouble * 10000000 + 0.5).toLong
+    assert(q7(aSecond) == q7(bSecond), s"${q7(aSecond)} vs ${q7(bSecond)}")
+
+    val out = SparkEntry.queries("ann_knn_classify")(spark, dir)
+      .filter(col("query_id") === 0).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Int]("predicted_label") == 1,
+      s"vec_id tie-break at the cutoff lost: ${out.toSeq}")
+  }
 }
