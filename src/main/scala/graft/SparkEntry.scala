@@ -53,7 +53,10 @@ object SparkEntry {
       "text_winnowing", "agg_kmv_distinct", "events_range_join_auto",
       // round 6: the incremental ROLLUP (every grouping set maintained)
       // and the retention-cohort matrix
-      "incremental_sql_rollup", "events_retention_cohorts")
+      "incremental_sql_rollup", "events_retention_cohorts",
+      // round 7: the bloom-reduced incremental tree (vs incremental_q10
+      // above — the delta IS the reduction) and the windowed resample
+      "incremental_q10_bloom", "events_resample_window_agg")
     val have = queries.keySet
     preferred.filter(have)
   }

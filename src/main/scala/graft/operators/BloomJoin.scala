@@ -59,6 +59,24 @@ object BloomJoin {
       Literal(bloom, BinaryType),
       new XxHash64(Seq(GraftBridge.toExpression(key.cast(LongType))))))
 
+  /** [[bloomBytes]] without the long cast — for keys hashed AS-IS
+    * (string changelog keys, binary digests). Build and probe must use
+    * the same variant: XxHash64("1") ≠ XxHash64(1L). */
+  def bloomBytesRaw(build: DataFrame, key: Column,
+                    expectedItems: Long, fpp: Double): Option[Array[Byte]] = {
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftBridge.toExpression(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    Option(build.select(GraftBridge.toColumn(agg)).head.getAs[Array[Byte]](0))
+  }
+
+  /** [[mightContain]] for [[bloomBytesRaw]]-built sketches. */
+  def mightContainRaw(bloom: Array[Byte], key: Column): Column =
+    GraftBridge.toColumn(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      new XxHash64(Seq(GraftBridge.toExpression(key)))))
+
   /** Inner equi-join with the probe side bloom-pre-filtered on the
     * join key. Exact: bloom false positives die in the join. */
   def prefilterJoin(probe: DataFrame, probeKey: String,

@@ -141,6 +141,58 @@ object IncrementalQueries {
   def incrementalQ10(s: SparkSession, dir: String): DataFrame =
     q10Aggregate(runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true))
 
+  /** OPT-IN bloom semi-join reduction for the incremental engine: with
+    * [[BloomPrefilterConf]] set, drop child-changelog events whose
+    * routing key cannot exist in the parent changelog BEFORE the
+    * engine canon-encodes and shuffles them — a bloom over the
+    * parent's child-facing key (extracted from its row canon)
+    * pre-filters the probe side at the scan. This is the J3 fan-out
+    * reducer at 100 TB: most R-flag lineitems belong to orders outside
+    * the date window, and without the bloom every one of them crosses
+    * the exchange into order-node state just to die unjoined.
+    *
+    * EXACT under replay semantics: the bloom covers the parent's FULL
+    * key multiset — inserts AND deletes — so a child event is dropped
+    * only if its parent key never appears at ANY point of the replay,
+    * i.e. it could never be joined alive in any micro-batch; bloom
+    * false positives merely survive to the engine and produce nothing,
+    * exactly as they did before. Both sides hash the STRING key form
+    * ([[BloomJoin.bloomBytesRaw]]) — child `Evt.key` and parent canon
+    * values are both built by `cast(string)` of the same column type,
+    * so equal keys hash equal. */
+  val BloomPrefilterConf = "spark.graft.incremental.bloomPrefilter"
+
+  def bloomPrefilterChild(logs: Map[String, Dataset[Evt]],
+      parentRel: String, parentChildKey: String, childRel: String,
+      expectedItems: Long, fpp: Double = 0.03): Map[String, Dataset[Evt]] = {
+    val child = logs(childRel)
+    if (!child.sparkSession.conf.getOption(BloomPrefilterConf).contains("true")) logs
+    else {
+      val parentKeys = logs(parentRel).toDF().select(
+        str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+          .getItem(parentChildKey).as("k"))
+      graft.operators.BloomJoin.bloomBytesRaw(parentKeys, col("k"),
+          expectedItems, fpp) match {
+        case None => logs.updated(childRel, child.filter(lit(false)))
+        case Some(bits) => logs.updated(childRel,
+          child.filter(graft.operators.BloomJoin.mightContainRaw(bits, col("key"))))
+      }
+    }
+  }
+
+  /** [[incrementalQ10]] with the bloom reduction switched on in a
+    * child session (the conf is opt-in; the caller's session is never
+    * mutated): lineitem deltas are pre-filtered by the bloom of the
+    * date-windowed orders changelog's o_orderkey set. */
+  def incrementalQ10Bloom(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set(BloomPrefilterConf, "true")
+    val logs = bloomPrefilterChild(q10Changelogs(ss, dir),
+      parentRel = "orders", parentChildKey = "o_orderkey", childRel = "lineitem",
+      expectedItems = 200000L, fpp = 0.01)
+    q10Aggregate(runBatch(q10Tree, logs, sourceFiltered = true))
+  }
+
   /** The Q10 signed-delta fold (shared by the parquet-changelog and
     * CDC-text paths): rev_e4 = round(extprice * (1-disc) * 1e4),
     * exact because the true product has 4 decimals (2dp × 2dp). */
@@ -533,7 +585,10 @@ object IncrementalQueries {
     }
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
-    val logs = logs0.view.mapValues(_.collect().toSeq).toMap
+    val logs = logs0.view
+      .map { case (rel, ds) =>
+        rel -> boundedReplayCollect(s"$sinkName($rel)", ds).toSeq }
+      .toMap
     val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
     val leaf = runStreamTree(stages,
       streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true,
@@ -638,7 +693,10 @@ object IncrementalQueries {
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
     val logs = c.sourceChangelogs(s, dir, deletes, filtered = false)
-      .view.mapValues(_.collect().toSeq).toMap
+      .view
+      .map { case (rel, ds) =>
+        rel -> boundedReplayCollect(s"$sinkName($rel)", ds).toSeq }
+      .toMap
     val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
     val leaf = c.runStream(streams.map { case (r, ms) => r -> ms.toDS() })
     val query = leaf.writeStream
@@ -953,6 +1011,25 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10),
+
+    // Same query, same oracle, deltas on both sides (order deaths %50,
+    // lineitem retractions linenumber 3) — but with the bloom
+    // semi-join reduction ([[bloomPrefilterChild]]) pre-filtering the
+    // lineitem changelog against the date-windowed orders key set, so
+    // a reduction bug (over-dropping a probe event that WOULD have
+    // joined alive at some replay point) fails the hash against the
+    // unreduced truth.
+    sql("incremental_q10_bloom",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Bloom),
 
     sql("incremental_order_revenue",
       """SELECT n_name,
@@ -1270,6 +1347,46 @@ object IncrementalQueries {
         deletes = Map(
           "customer" -> (col("c_custkey") % 11 === 0),
           "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
+    // The integer-moments fold over the CONTINUOUS engine's streamed
+    // leaf — same oracle as incremental_sql_stddev, so the exactness
+    // of (n, Σx, Σx²) must survive micro-batch replay: partial state
+    // across batches, deletes arriving as retractions in a LATER
+    // batch than their inserts. A drifting float fold would diverge
+    // here even when the batch entry passes.
+    sql("incremental_sql_stddev_stream",
+      """WITH t AS (
+        | SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        | FROM region, nation, customer, orders
+        | WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey
+        |  AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        |  AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0),
+        |m AS (SELECT n_name, COUNT(v) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+        |             SUM(CAST(v AS HUGEINT) * v) AS ss, COUNT(*) AS n_rows
+        |      FROM t GROUP BY n_name)
+        |SELECT n_name,
+        | (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |   / CAST(NULLIF(n * (n - 1), 0) AS DOUBLE) AS var_price_e2,
+        | sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |   / CAST(NULLIF(n * (n - 1), 0) AS DOUBLE)) AS std_price_e2,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name,
+            | VAR_SAMP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS var_price_e2,
+            | STDDEV_SAMP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS std_price_e2,
+            | COUNT(*) AS n_rows
+            |FROM region, nation, customer, orders
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND o_custkey = c_custkey
+            | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)),
+        "incremental_sql_stddev_stream_leaf")
     },
 
     // COUNT(DISTINCT) maintained incrementally — no extra engine

@@ -909,4 +909,43 @@ class DeltaEngineSpec extends AnyFunSuite {
         s"$nation: est $p50 vs discrete median $median")
     }
   }
+
+  test("bloom prefilter reduces the probe changelog, leaves the result untouched, and is opt-in") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IncrementalQueries
+    val s = SparkTestSession.spark
+    val d = SparkTestSession.sfTiny
+
+    // identical rows to the unreduced engine run
+    val plain = SparkEntry.queries("incremental_q10")(s, d)
+      .orderBy("c_custkey").collect().toSeq
+    val bloomed = SparkEntry.queries("incremental_q10_bloom")(s, d)
+      .orderBy("c_custkey").collect().toSeq
+    assert(bloomed == plain && plain.nonEmpty)
+
+    // the reduction really drops probe events (R-lineitems outside the
+    // order date window vastly outnumber survivors)…
+    val ss = s.newSession()
+    ss.conf.set(IncrementalQueries.BloomPrefilterConf, "true")
+    val logs = IncrementalQueries.q10Changelogs(ss, d)
+    val reduced = IncrementalQueries.bloomPrefilterChild(logs,
+      "orders", "o_orderkey", "lineitem", expectedItems = 200000L, fpp = 0.01)
+    val before = logs("lineitem").count()
+    val after = reduced("lineitem").count()
+    assert(after < before / 2, s"bloom kept $after of $before probe events")
+    // …and never drops one that joins: every surviving order key's
+    // lineitem events are still present
+    val keptKeys = reduced("lineitem").select("key").distinct()
+    val orderKeys = logs("orders").toDF().select(
+      str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+        .getItem("o_orderkey").as("key")).distinct()
+    assert(orderKeys.join(logs("lineitem").select("key").distinct(), "key")
+      .exceptAll(orderKeys.join(keptKeys, "key")).count() == 0)
+
+    // …and without the conf the changelog map passes through untouched
+    val off = IncrementalQueries.bloomPrefilterChild(
+      IncrementalQueries.q10Changelogs(s, d),
+      "orders", "o_orderkey", "lineitem", expectedItems = 200000L, fpp = 0.01)
+    assert(off("lineitem").count() == before)
+  }
 }
