@@ -97,5 +97,56 @@ object TimeSeries {
           Tables.events(s, d).filter(col("event_type") === "purchase"),
           key = "user_id", ts = "ts", value = "value", seq = "event_id",
           stepMicros = 3600L * 1000000L)
+    },
+
+    // WINDOWED RESAMPLE AGGREGATION — the natural next query over a
+    // regularized series: tumble the LOCF grid into 6-hour windows per
+    // key and aggregate the filled values. Composes [[resampleLocf]]
+    // with the window vocabulary: window id = bucket div 6 (integer
+    // division over the hourly bucket index — the grid is already a
+    // regular integer timeline, so tumbling needs NO timestamp
+    // arithmetic and NO Expand), then ONE hash aggregate with
+    // map-side combine, partitioned by the same key the resample
+    // stages shuffled on. Grid growth stays bounded by resampleLocf's
+    // span guard; nothing downstream of it re-expands.
+    //
+    // Hash-stability over the double metric: the mean folds the exact
+    // 2-decimal scaled integers (SUM of BIGINT, exact in any order)
+    // and divides once (IEEE correctly rounded); max/count/sum-of-
+    // flags do no float arithmetic at all.
+    sql("events_resample_window_agg",
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |         max_by(value, event_id) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM s),
+        |f AS (
+        |  SELECT g.user_id, g.bucket,
+        |    last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |    b.v IS NOT NULL AS observed
+        |  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket)
+        |SELECT user_id, bucket // 6 AS win,
+        |  CAST(SUM(CAST(round(value_filled * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 100.0 AS mean_filled,
+        |  max(value_filled) AS max_filled,
+        |  CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+        |  COUNT(*) AS n_buckets
+        |FROM f GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        resampleLocf(
+            Tables.events(s, d).filter(col("event_type") === "purchase"),
+            key = "user_id", ts = "ts", value = "value", seq = "event_id",
+            stepMicros = 3600L * 1000000L)
+          .select(col("user_id"), expr("bucket div 6").as("win"),
+            col("value_filled"), col("observed"))
+          .groupBy(col("user_id"), col("win"))
+          .agg(
+            (sum(round(col("value_filled") * 100, 0).cast("long")).cast("double")
+              / count(lit(1)) / lit(100.0)).as("mean_filled"),
+            max(col("value_filled")).as("max_filled"),
+            sum(col("observed").cast("long")).as("n_observed"),
+            count(lit(1)).as("n_buckets"))
     })
 }
