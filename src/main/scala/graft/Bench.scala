@@ -55,14 +55,24 @@ object Bench {
 
     // failures report as -1 (never as a plausible-looking timing) and
     // are excluded from the total
+    //
+    // INTERLEAVED rounds: run the full headline list n times
+    // round-robin (q1 q2 … qk, q1 q2 … qk, …) instead of n consecutive
+    // runs per query. A transient machine-load window then pollutes at
+    // most ONE sample of each query rather than owning all n samples
+    // of whichever query it landed on — r6 recorded a 9.29 s median
+    // for a 1.73 s query exactly that way.
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.benchNames.map { name =>
-      val fn = SparkEntry.queries(name)
-      val secs = (1 to n).map { _ =>
+    val samples: Seq[Seq[Double]] = (1 to n).map { _ =>
+      SparkEntry.benchNames.map { name =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        try { force(SparkEntry.queries(name)(spark, sfDir))
+              (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
+    }
+    val results = SparkEntry.benchNames.zipWithIndex.map { case (name, i) =>
+      val secs = samples.map(_(i))
       val ok = secs.filter(_ >= 0).sorted
       // median of the successful runs; any failure marks the query -1
       val median =

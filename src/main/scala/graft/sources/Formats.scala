@@ -28,6 +28,17 @@ object Formats {
   private val cols =
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
 
+  // remove the memoized copies on JVM exit — one partitioned lineitem
+  // copy per fixture dir would otherwise accumulate across runs
+  sys.addShutdownHook {
+    orcDirs.values().forEach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   def orcLineitemDir(s: SparkSession, d: String): String =
     orcDirs.computeIfAbsent(d, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft_orc_").toString

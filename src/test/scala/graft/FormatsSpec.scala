@@ -20,7 +20,10 @@ class FormatsSpec extends AnyFunSuite {
 
   test("the flag predicate prunes ORC partitions at planning time") {
     val plan = Formats.orcRoundTrip(s, d).queryExecution.executedPlan.toString
-    assert(plan.contains("Format: orc") || plan.toLowerCase.contains("orc"), plan.take(1200))
+    // the scan path contains "graft_orc_", so a substring check on
+    // lowercase "orc" would be vacuously true — assert the scan's
+    // format tag specifically
+    assert(plan.contains("Format: ORC"), plan.take(1200))
     assert(plan.contains("PartitionFilters") &&
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("l_returnflag"), plan.take(1200))
