@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** PLAN-SHAPE REGRESSION GATE for the bench headliners: a committed
+  * snapshot of each query's physical-plan signature (exchange /
+  * join-strategy / expand / scan counts) fails a spec the moment a
+  * code change silently buys a new shuffle, loses a broadcast, or
+  * plans a nested loop — BEFORE it costs a bench round to notice.
+  *
+  * The signature counts plan features from the explain string rather
+  * than hashing it (paths, expression ids and stats churn per run);
+  * counts are stable for a fixed fixture. Snapshots are taken on the
+  * sf0.001 fixture the tests always use.
+  *
+  * Intentional plan changes: re-run with GRAFT_REGEN_PLANS=1 in the
+  * environment (sbt must fork with it, e.g.
+  * `GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanSnapshotSpec"`) — the
+  * spec rewrites src/test/resources/plan_snapshots.txt and the diff
+  * shows up in review like any other code change.
+  */
+class PlanSnapshotSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfTiny}
+
+  private val snapshotPath =
+    Paths.get(sys.props.getOrElse("graft.plan.snapshots",
+      "src/test/resources/plan_snapshots.txt"))
+
+  private val features = Seq(
+    // shuffles: "Exchange hashpartitioning/rangepartitioning/…"
+    "shuffle" -> "(?m)^\\s*\\+?-? ?Exchange ".r,
+    "bcast" -> "BroadcastExchange".r,
+    "smj" -> "SortMergeJoin".r,
+    "bhj" -> "BroadcastHashJoin".r,
+    "shj" -> "ShuffledHashJoin".r,
+    "nlj" -> "BroadcastNestedLoopJoin".r,
+    "cartesian" -> "CartesianProduct".r,
+    "expand" -> "Expand".r,
+    "scan" -> "FileScan".r)
+
+  private def signature(name: String): String = {
+    val plan = SparkEntry.queries(name)(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    features.map { case (k, re) => s"$k=${re.findAllIn(plan).size}" }
+      .mkString(",")
+  }
+
+  // the streaming-replay headliners execute inside their builders (the
+  // returned frame is a memory-sink fold, not the engine plan) — the
+  // snapshot would be a trivial LocalTableScan, so only batch-planned
+  // headliners are gated
+  private def gated: Seq[String] = SparkEntry.benchNames
+
+  test("headline queries keep their committed plan shape") {
+    val current = gated.map(n => n -> signature(n))
+    if (sys.env.contains("GRAFT_REGEN_PLANS")) {
+      Files.createDirectories(snapshotPath.getParent)
+      Files.write(snapshotPath,
+        current.map { case (n, s) => s"$n|$s" }.asJava)
+      info(s"regenerated ${snapshotPath.toAbsolutePath} (${current.size} entries)")
+    } else {
+      assert(Files.exists(snapshotPath),
+        s"no committed snapshot at $snapshotPath — run once with GRAFT_REGEN_PLANS=1")
+      val committed = Files.readAllLines(snapshotPath).asScala
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, s) = l.split('|'); n -> s
+        }.toMap
+      current.foreach { case (n, sig) =>
+        committed.get(n) match {
+          case None =>
+            fail(s"$n has no committed plan snapshot — " +
+              "regenerate with GRAFT_REGEN_PLANS=1 and review the diff")
+          case Some(want) =>
+            assert(sig == want,
+              s"$n plan shape changed: committed [$want] vs current [$sig] — " +
+                "if intentional, regenerate with GRAFT_REGEN_PLANS=1 and commit the diff")
+        }
+      }
+      // removed/renamed headliners leave stale rows behind — keep the
+      // snapshot honest
+      val stale = committed.keySet -- current.map(_._1).toSet
+      assert(stale.isEmpty, s"stale snapshot rows: ${stale.toSeq.sorted.mkString(", ")}")
+    }
+  }
+}
