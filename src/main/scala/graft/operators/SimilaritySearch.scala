@@ -86,30 +86,37 @@ object SimilaritySearch {
             count(lit(1)).as("n_vectors"))
     },
 
+    // Every top-k entry ranks — and reports cos_sim — on
+    // [[VectorOps.cosineExact]] over [[VectorOps.quantVec7]]-quantized
+    // vectors: dots/norms are exact integers (< 2^53) under any
+    // summation order, so rank keys AND displayed values are
+    // bit-identical across engines by construction, and a last-ulp
+    // tie at the rank-K cutoff cannot change top-k membership (the
+    // latent flip a simRank7-of-raw-double key still allowed).
     sql("ann_bruteforce_topk",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize)
          |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
          | SELECT q.query_id, e.vec_id AS neighbor_id,
          |  ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |    ORDER BY FLOOR(list_cosine_similarity(q.qv, e.v) * 10000000 + 0.5) DESC, e.vec_id) AS rnk,
-         |  FLOOR(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cos_sim
+         |    ORDER BY ${cosineExactSql("q.qv", "e.v")} DESC, e.vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("q.qv", "e.v")} * 1000000 + 0.5) / 1000000 AS cos_sim
          | FROM q, e WHERE e.vec_id <> q.query_id) t
          |WHERE rnk <= $K""".stripMargin) {
       (s, d) =>
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+          .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
         val q = e.filter(col("vec_id") < QuerySetSize)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val cos = cosine(col("qv"), col("v"))
+        val cos = cosineExact(col("qv"), col("v"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("c"))
         // Phase 1: local top-k inside each scan partition (no shuffle).
         val local = Window.partitionBy(col("query_id"), spark_partition_id())
-          .orderBy(simRank7(col("c")).desc, col("neighbor_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
         // Phase 2: global top-k over the k·P survivors (tiny shuffle).
         val global = Window.partitionBy(col("query_id"))
-          .orderBy(simRank7(col("c")).desc, col("neighbor_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
         scored
           .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= K).drop("lrnk")
           .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= K)
@@ -120,9 +127,9 @@ object SimilaritySearch {
     // kNN CLASSIFICATION — labels put the search surface to work: each
     // query vector takes the majority label of its K nearest neighbors
     // (two-phase top-k as above, then one tiny aggregate over K rows
-    // per query). Deterministic end to end — and, unlike the top-k
-    // entries' simRank7-of-a-double key, EXACT BY CONSTRUCTION:
-    // neighbors rank on [[VectorOps.cosineExact]] over
+    // per query). Deterministic end to end — EXACT BY CONSTRUCTION
+    // like every entry here: neighbors rank on
+    // [[VectorOps.cosineExact]] over
     // [[VectorOps.quantVec7]]-quantized integer vectors, whose dots
     // and norms are exact (< 2^53) under any summation order, so the
     // rank key is bit-identical across engines and a last-ulp cosine
@@ -183,20 +190,20 @@ object SimilaritySearch {
     // the assigned table is written partitioned/bucketed by cent_id
     // and a probe reads only its cells.
     sql("ann_ivf_topk",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
          |c AS ${seedCentroidsSql(IvfCells)},
          |assigned AS (
          | SELECT vec_id, v, cent_id FROM (
          |  SELECT e.vec_id, e.v, c.cent_id,
          |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |     ORDER BY FLOOR(list_cosine_similarity(e.v, c.cv) * 10000000 + 0.5) DESC, c.cent_id) AS r
+         |     ORDER BY ${cosineExactSql("e.v", "c.cv")} DESC, c.cent_id) AS r
          |  FROM e, c) t WHERE r = 1),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize),
          |probe AS (
          | SELECT query_id, qv, cent_id FROM (
          |  SELECT q.query_id, q.qv, c.cent_id,
          |   ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |     ORDER BY FLOOR(list_cosine_similarity(q.qv, c.cv) * 10000000 + 0.5) DESC, c.cent_id) AS r
+         |     ORDER BY ${cosineExactSql("q.qv", "c.cv")} DESC, c.cent_id) AS r
          |  FROM q, c) t WHERE r <= 2),
          |cand AS (
          | SELECT p.query_id, p.qv, a.vec_id, a.v
@@ -205,55 +212,55 @@ object SimilaritySearch {
          |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
          | SELECT query_id, vec_id AS neighbor_id,
          |  ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY FLOOR(list_cosine_similarity(qv, v) * 10000000 + 0.5) DESC, vec_id) AS rnk,
-         |  FLOOR(list_cosine_similarity(qv, v) * 1000000 + 0.5) / 1000000 AS cos_sim
+         |    ORDER BY ${cosineExactSql("qv", "v")} DESC, vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("qv", "v")} * 1000000 + 0.5) / 1000000 AS cos_sim
          | FROM cand) t WHERE rnk <= $K""".stripMargin) {
       (s, d) =>
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+          .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
         val cents = seedCentroids(e, IvfCells)
         val assignW = Window.partitionBy(col("vec_id"))
-          .orderBy(simRank7(cosine(col("v"), col("cv"))).desc, col("cent_id"))
+          .orderBy(cosineExact(col("v"), col("cv")).desc, col("cent_id"))
         val assigned = e.join(broadcast(cents))
           .withColumn("r", row_number().over(assignW)).filter(col("r") === 1)
           .select(col("vec_id"), col("v"), col("cent_id"))
         val q = e.filter(col("vec_id") < QuerySetSize)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val probeW = Window.partitionBy(col("query_id"))
-          .orderBy(simRank7(cosine(col("qv"), col("cv"))).desc, col("cent_id"))
+          .orderBy(cosineExact(col("qv"), col("cv")).desc, col("cent_id"))
         val probes = q.join(broadcast(cents))
           .withColumn("r", row_number().over(probeW)).filter(col("r") <= 2)
           .select(col("query_id"), col("qv"), col("cent_id"))
         val rankW = Window.partitionBy(col("query_id"))
-          .orderBy(simRank7(col("c")).desc, col("neighbor_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
         probes.join(assigned, Seq("cent_id"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cosine(col("qv"), col("v")).as("c"))
+            cosineExact(col("qv"), col("v")).as("c"))
           .withColumn("rnk", row_number().over(rankW)).filter(col("rnk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rnk"),
             floorRound6(col("c")).as("cos_sim"))
     },
 
     sql("ann_lsh_topk",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
          |b AS (SELECT vec_id, v, ${signBucketSql("v")} AS bucket FROM e),
          |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < $QuerySetSize)
          |SELECT query_id, neighbor_id, bucket, rnk, cos_sim FROM (
          | SELECT q.query_id, b.vec_id AS neighbor_id, b.bucket,
          |  ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |    ORDER BY FLOOR(list_cosine_similarity(q.qv, b.v) * 10000000 + 0.5) DESC, b.vec_id) AS rnk,
-         |  FLOOR(list_cosine_similarity(q.qv, b.v) * 1000000 + 0.5) / 1000000 AS cos_sim
+         |    ORDER BY ${cosineExactSql("q.qv", "b.v")} DESC, b.vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("q.qv", "b.v")} * 1000000 + 0.5) / 1000000 AS cos_sim
          | FROM q JOIN b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id) t
          |WHERE rnk <= $K""".stripMargin) {
       (s, d) =>
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+          .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
           .withColumn("bucket", signBucket(col("v")))
         val q = e.filter(col("vec_id") < QuerySetSize)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket").as("qbucket"))
-        val cos = cosine(col("qv"), col("v"))
-        val w = Window.partitionBy(col("query_id")).orderBy(simRank7(col("c")).desc, col("neighbor_id"))
+        val cos = cosineExact(col("qv"), col("v"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
         e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"), cos.as("c"))
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
