@@ -1012,6 +1012,33 @@ object IncrementalQueries {
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10),
 
+    // TOP-K over the MAINTAINED view — the presentation clause the
+    // reference never implemented (SURVEY §2: sorts/limits ABSENT,
+    // "even Q10's ORDER BY revenue DESC LIMIT 20"). The engine
+    // maintains the grouped aggregate incrementally; the top-20 is a
+    // per-refresh TakeOrdered over the (bounded, one-row-per-group)
+    // view — O(groups) work per refresh, never a re-join. The LIMIT
+    // boundary is deterministic: ties order by the unique group key
+    // c_custkey in both engines, so the SELECTED SET is hash-stable,
+    // not just the values.
+    sql("incremental_q10_topk",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, revenue_e4, n_rows FROM (
+         | SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         |  COUNT(*) AS n_rows
+         | FROM customer, orders, lineitem, nation
+         | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND c_nationkey = n_nationkey
+         |  AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |  AND l_returnflag = 'R'
+         |  AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         | GROUP BY c_custkey, c_name, c_acctbal, n_name) v
+         |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin) {
+      (s, dir) => incrementalQ10(s, dir)
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // Same query, same oracle, deltas on both sides (order deaths %50,
     // lineitem retractions linenumber 3) — but with the bloom
     // semi-join reduction ([[bloomPrefilterChild]]) pre-filtering the
