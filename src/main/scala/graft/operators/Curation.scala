@@ -398,6 +398,68 @@ object Curation {
           .filter(col("rnk") <= 3)
     },
 
+    // --- ranked retrieval (BM25, rank-stable rational idf) -------------
+    // Dataset search over the corpus: score every document against a
+    // fixed query term set and return the top 20. Classic BM25 with two
+    // determinism substitutions, same spirit as text_top_terms:
+    //  - idf uses the RATIONAL ODDS (N − df + 0.5)/(df + 0.5) instead
+    //    of its logarithm — ln() is libm-dependent and could drift a
+    //    last ulp between engines; the odds are a fixed tree of
+    //    correctly-rounded IEEE ops over exact integers, so both
+    //    engines produce identical doubles (monotone in the idf for a
+    //    single term; multi-term totals weight common terms somewhat
+    //    lower than log-BM25 would — documented tradeoff for a
+    //    hash-stable ranking);
+    //  - each per-(doc, term) contribution quantizes to an integer
+    //    (×1e9, half-up) BEFORE the per-doc sum, so the fold is exact
+    //    int arithmetic — summation order can never move a score.
+    // Shapes: tokenize once, tf restricted to the query terms at the
+    // explode (the frame never holds the full vocabulary), df as a
+    // second aggregate of the SAME counts, corpus stats (N, avgdl) as
+    // the one-row broadcast; k1 = 1.2, b = 0.75.
+    sql("text_bm25_topk",
+      """WITH d2 AS (
+        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents) z),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d2),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, dl, unnest(toks) AS term FROM d2) u
+        | WHERE term IN ('join', 'filter', 'window') GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |  CAST(FLOOR((st.n - df.dfd + 0.5) / (df.dfd + 0.5)
+        |    * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / st.avgdl))))
+        |    * 1000000000 + 0.5) AS BIGINT) AS cq
+        | FROM tf JOIN df ON df.term = tf.term, st)
+        |SELECT doc_id, CAST(SUM(cq) AS DOUBLE) / 1000000000 AS score
+        |FROM c GROUP BY doc_id
+        |ORDER BY SUM(cq) DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val d2 = Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+          .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+        val st = d2.agg(count(lit(1)).cast("double").as("__n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+        val tf = d2.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+          .filter(col("term").isin("join", "filter", "window"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
+        val dfr = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfd"))
+        val idfOdds = (col("__n") - col("dfd") + lit(0.5)) / (col("dfd") + lit(0.5))
+        val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("__avgdl"))))
+        val cq = floor(idfOdds * tfNorm * lit(1000000000L) + lit(0.5)).cast("long")
+        tf.join(dfr, "term").crossJoin(broadcast(st))
+          .select(col("doc_id"), cq.as("cq"))
+          .groupBy("doc_id").agg(sum(col("cq")).as("score_e9"))
+          .orderBy(col("score_e9").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), (col("score_e9").cast("double") / lit(1000000000L)).as("score"))
+    },
+
     // --- the composed pipeline -----------------------------------------
     // The stages a real corpus actually flows through, composed as ONE
     // query: quality gate → repetition gate (explode + hash-agg with a

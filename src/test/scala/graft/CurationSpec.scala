@@ -173,4 +173,35 @@ class CurationSpec extends AnyFunSuite {
       assert(byId.zip(byId.drop(1)).forall { case (x, y) => x <= y })
     }
   }
+
+  test("bm25 retrieval: top-20 ordered, hit docs only, and the score matches a reference fold") {
+    val s = SparkTestSession.spark
+    val d = SparkTestSession.sfTiny
+    val got = SparkEntry.queries("text_bm25_topk")(s, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.length == 20)
+    // ranked by (score desc, doc_id) with no duplicates
+    got.sliding(2).foreach { case Array((idA, scA), (idB, scB)) =>
+      assert(scA > scB || (scA == scB && idA < idB), s"order broken at $idA/$idB")
+    }
+    // reference fold computed independently in Scala from the raw text
+    val terms = Seq("join", "filter", "window")
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / docs.length
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val want = docs.map { case (id, toks) =>
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0L
+        else math.floor((n - dfm(t) + 0.5) / (dfm(t) + 0.5) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (toks.length.toDouble / avgdl)))) *
+          1000000000L + 0.5).toLong
+      }.sum
+      (id, score)
+    }.filter(_._2 != 0L).sortBy { case (id, sc) => (-sc, id) }.take(20)
+      .map { case (id, sc) => (id, sc.toDouble / 1000000000L) }
+    assert(got.toSeq == want.toSeq)
+  }
 }

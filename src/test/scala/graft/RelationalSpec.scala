@@ -24,7 +24,8 @@ class RelationalSpec extends AnyFunSuite {
     // value rollups join on (__gid, keys) — always an equi join, even
     // for the grand total).
     val nljAllowed = Set("ann_bruteforce_topk", "ann_knn_classify", "ann_ivf_topk",
-      "dedup_semantic_kmeans", "mixture_weights", "text_top_terms", "text_boilerplate_ngrams")
+      "dedup_semantic_kmeans", "mixture_weights", "text_top_terms", "text_boilerplate_ngrams",
+      "text_bm25_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.schema.nonEmpty, s"$name has empty schema")
