@@ -148,5 +148,29 @@ object TimeSeries {
             max(col("value_filled")).as("max_filled"),
             sum(col("observed").cast("long")).as("n_observed"),
             count(lit(1)).as("n_buckets"))
+    },
+
+    // SKETCH × WINDOW composition — daily distinct users by the
+    // mergeable KMV bottom-k sketch ([[graft.functions.KmvDistinctAgg]]),
+    // the dashboard query ("DAU, approximately") at 100 TB: one hash
+    // aggregate whose per-partition partials are k longs per (day),
+    // merged exactly — no exact-distinct shuffle of every user id per
+    // window. Deterministic (md5-derived hashes, exact bottom-k), so
+    // the approximation sits behind the value-hash gate like
+    // agg_kmv_distinct; the day bucket is integer epoch-day of the
+    // event time.
+    sql("events_window_kmv_users",
+      graft.functions.KmvDistinctAgg.oracleSql(
+        table = "(SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events) ev",
+        groupCols = Seq("day"),
+        hashSql = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT",
+        k = 64, estAlias = "approx_users")) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+          .groupBy(col("day"))
+          .agg(graft.functions.KmvDistinctAgg.kmv_distinct(
+            conv(substring(md5(to_binary(col("user_id").cast("string"), lit("utf-8"))), 1, 15),
+              16, 10).cast("long"), 64).as("approx_users"))
     })
 }

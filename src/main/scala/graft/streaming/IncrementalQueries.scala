@@ -301,6 +301,34 @@ object IncrementalQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** TIME-BUCKETED incremental aggregation — the metrics-pipeline
+    * shape: the SAME maintained Q10 join tree, but the fold groups by
+    * (nation, order month), i.e. a DERIVED time bucket of a joined
+    * column. The bucket is computed from the leaf delta's canon at
+    * fold time (`substr(o_orderdate, 1, 7)` — ISO date strings make
+    * month truncation a string slice), so the engine needs NO new
+    * state or operator: any bucketing expression over carried columns
+    * is a fold-side choice, exactly like the reference's projection.
+    * Retraction-correct per bucket because deltas carry their own
+    * date — a deleted order retracts from ITS month, never a
+    * neighboring one. */
+  def incrementalMonthlyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val leaf = runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true)
+    val df = leaf.toDF()
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    df.select(
+        (col("tag") * col("mult")).as("sign"),
+        c.getItem("n_name").as("n_name"),
+        substring(c.getItem("o_orderdate"), 1, 7).as("order_month"),
+        round(c.getItem("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+          .cast(LongType).as("rev_e4"))
+      .groupBy(col("n_name"), col("order_month"))
+      .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
+        sum(col("sign")).cast(LongType).as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** Incremental EXISTS / NOT EXISTS — semi- and anti-join as engine
     * nodes. A set-semantics KEY node over the subquery side (orders
     * filtered to status 'O', projected to JUST `o_custkey`) maintains
@@ -1011,6 +1039,22 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10),
+
+    // The SAME maintained tree folded into (nation, order month)
+    // buckets — see [[incrementalMonthlyRevenue]]: derived time-bucket
+    // group keys are a fold-side expression over carried columns, no
+    // new engine state.
+    sql("incremental_monthly_revenue",
+      s"""SELECT n_name, substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS order_month,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY n_name, order_month""".stripMargin)(incrementalMonthlyRevenue),
 
     // TOP-K over the MAINTAINED view — the presentation clause the
     // reference never implemented (SURVEY §2: sorts/limits ABSENT,
