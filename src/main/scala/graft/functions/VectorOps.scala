@@ -103,4 +103,28 @@ object VectorOps {
       val slice = (1 to groupSize).map(i => s"$vecExpr[${k * groupSize + i}]").mkString(" + ")
       s"CASE WHEN ($slice) > 0 THEN ${1 << k} ELSE 0 END"
     }.mkString(" + ")
+
+  /** BANDED sign bucket: bit k of band `band` is the sign of the sum
+    * of the k-th `groupSize`-element slice of the band's `bits ×
+    * groupSize`-element span. Each vector gets one bucket PER band;
+    * candidates matching in ANY band are the classic LSH
+    * OR-amplification — expressed downstream as an equi-join on
+    * (band, bucket), never a union of per-band joins over the corpus.
+    * Over [[quantVec7]] vectors the slice sums are exact integers, so
+    * the signs are cross-engine deterministic even at a
+    * floating-point-would-be-zero boundary. */
+  def signBandBucket(v: Column, band: Int, bits: Int = 4, groupSize: Int = 4): Column =
+    (0 until bits).map { k =>
+      val base = band * bits * groupSize + k * groupSize
+      val slice = (1 to groupSize).map(i => element_at(v, base + i)).reduce(_ + _)
+      when(slice > 0, lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The DuckDB SQL mirror of [[signBandBucket]]. */
+  def signBandBucketSql(vecExpr: String, band: Int, bits: Int = 4, groupSize: Int = 4): String =
+    (0 until bits).map { k =>
+      val base = band * bits * groupSize + k * groupSize
+      val slice = (1 to groupSize).map(i => s"$vecExpr[${base + i}]").mkString(" + ")
+      s"CASE WHEN ($slice) > 0 THEN ${1 << k} ELSE 0 END"
+    }.mkString(" + ")
 }

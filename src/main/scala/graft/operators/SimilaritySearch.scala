@@ -37,6 +37,10 @@ object SimilaritySearch {
     * set and the per-vector assignment cost stay k × dim at any scale. */
   val IvfCells = 32
 
+  /** Band count for the OR-amplified LSH entry (4 bands x 4 bits over
+    * the leading 64 dims). */
+  val LshBands = 4
+
   /** Bounded deterministic coarse centroids: the `k` vectors with the
     * smallest `md5(vec_id)` — an id-hash sample that is uniform-ish in
     * the id space, cross-engine reproducible (md5 is the one hash both
@@ -238,6 +242,63 @@ object SimilaritySearch {
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             cosineExact(col("qv"), col("v")).as("c"))
           .withColumn("rnk", row_number().over(rankW)).filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            floorRound6(col("c")).as("cos_sim"))
+    },
+
+    // BANDED sign-LSH — OR-amplification for recall: each vector hashes
+    // to FOUR 4-bit band buckets; candidates match in ANY band. The
+    // "any band" disjunction stays a single EQUI-join on the composite
+    // (band, bucket) key over band-exploded rows (4 rows per vector,
+    // a constant blow-up) — never a union of per-band corpus joins and
+    // never an OR in a join condition (which would plan a nested
+    // loop). Matched pairs dedup on (query, neighbor) before the
+    // (per-pair, 64-element) cosine is computed ONCE via an id
+    // re-join, so multi-band collisions don't multiply rank work.
+    // Shorter bands => more collisions => higher recall than
+    // ann_lsh_topk's single 64-bucket signature, same scale shape.
+    sql("ann_lsh_banded_topk", {
+      val bandRows = (0 until LshBands).map(j =>
+        s"SELECT vec_id, $j AS band, ${signBandBucketSql("v", j)} AS bucket FROM e")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |br AS ($bandRows),
+         |qb AS (SELECT vec_id AS query_id, band, bucket FROM br WHERE vec_id < $QuerySetSize),
+         |pairs AS (
+         | SELECT DISTINCT qb.query_id, br.vec_id AS neighbor_id
+         | FROM qb JOIN br ON br.band = qb.band AND br.bucket = qb.bucket
+         |  AND br.vec_id <> qb.query_id),
+         |scored AS (
+         | SELECT p.query_id, p.neighbor_id,
+         |  ${cosineExactSql("eq.v", "en.v")} AS c
+         | FROM pairs p
+         | JOIN e eq ON eq.vec_id = p.query_id
+         | JOIN e en ON en.vec_id = p.neighbor_id)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
+         | SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk,
+         |  FLOOR(c * 1000000 + 0.5) / 1000000 AS cos_sim
+         | FROM scored) t WHERE rnk <= $K""".stripMargin
+    }) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
+        val bandCols = array((0 until LshBands).map(j => signBandBucket(col("v"), j)): _*)
+        val br = e.select(col("vec_id"), posexplode(bandCols).as(Seq("band", "bucket")))
+        val qb = br.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+        val pairs = br.join(broadcast(qb),
+            br("band") === qb("band") && br("bucket") === qb("bucket") &&
+              br("vec_id") =!= qb("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+          .distinct()
+        val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+        pairs
+          .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+          .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            cosineExact(col("qv"), col("nv")).as("c"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rnk"),
             floorRound6(col("c")).as("cos_sim"))
     },

@@ -312,8 +312,7 @@ object IncrementalQueries {
     * Retraction-correct per bucket because deltas carry their own
     * date — a deleted order retracts from ITS month, never a
     * neighboring one. */
-  def incrementalMonthlyRevenue(s: SparkSession, dir: String): DataFrame = {
-    val leaf = runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true)
+  private def monthlyAggregate(leaf: Dataset[Evt]): DataFrame = {
     val df = leaf.toDF()
     val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     df.select(
@@ -328,6 +327,17 @@ object IncrementalQueries {
         sum(col("sign")).cast(LongType).as("n_rows"))
       .filter(col("n_rows") > 0)
   }
+
+  def incrementalMonthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    monthlyAggregate(runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true))
+
+  /** The monthly fold over the CONTINUOUS engine's streamed leaf —
+    * same oracle as the batch entry, so a per-bucket stream/batch
+    * divergence (a retraction landing in the wrong month across
+    * micro-batch boundaries) fails the hash. */
+  def incrementalMonthlyRevenueStream(s: SparkSession, dir: String): DataFrame =
+    monthlyAggregate(replayStream(s, chainStages(q10Tree), q10Changelogs(s, dir),
+      "incremental_monthly_stream_leaf"))
 
   /** Incremental EXISTS / NOT EXISTS — semi- and anti-join as engine
     * nodes. A set-semantics KEY node over the subquery side (orders
@@ -1055,6 +1065,18 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY n_name, order_month""".stripMargin)(incrementalMonthlyRevenue),
+
+    sql("incremental_monthly_revenue_stream",
+      s"""SELECT n_name, substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS order_month,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY n_name, order_month""".stripMargin)(incrementalMonthlyRevenueStream),
 
     // TOP-K over the MAINTAINED view — the presentation clause the
     // reference never implemented (SURVEY §2: sorts/limits ABSENT,

@@ -59,6 +59,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("banded LSH recall dominates the single-signature LSH, plans equi-joins only") {
+    def hits(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sfTiny).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = hits("ann_bruteforce_topk")
+    val single = hits("ann_lsh_topk")
+    val banded = hits("ann_lsh_banded_topk")
+    // OR-amplification: every single-signature candidate set is a
+    // subset of some band agreement only probabilistically — so assert
+    // on RECALL vs brute force, which banding exists to improve
+    val recallSingle = (single & truth).size.toDouble / truth.size
+    val recallBanded = (banded & truth).size.toDouble / truth.size
+    assert(recallBanded >= recallSingle,
+      s"banded recall $recallBanded < single $recallSingle")
+    assert(banded.nonEmpty && recallBanded > 0.0)
+    // the any-band disjunction must stay an equi-join: no NLJ/cartesian
+    val plan = SparkEntry.queries("ann_lsh_banded_topk")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("knn cutoff is immune to last-ulp cosine differences (quantized tie breaks on vec_id)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
