@@ -440,6 +440,30 @@ object Relational {
             sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("running_value"))
     },
 
+    // BOUNDED sliding frame — the moving average, completing the frame
+    // vocabulary next to the unbounded running sum: ROWS BETWEEN 3
+    // PRECEDING AND CURRENT ROW per user in event order. The mean
+    // folds DECIMAL-exact cents over the (≤4-row) frame and divides by
+    // the frame COUNT once, so the double output is a single IEEE
+    // division of exact integers in both engines.
+    sql("window_moving_avg",
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
+        |   / COUNT(*) OVER w / 100.0 AS moving_avg,
+        | COUNT(*) OVER w AS frame_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        | ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            (sum(round(col("value") * 100, 0).cast("long")).over(w).cast("double")
+              / count(lit(1)).over(w) / lit(100.0)).as("moving_avg"),
+            count(lit(1)).over(w).as("frame_n"))
+    },
+
     // Offset window functions (lag/lead/ntile) — inter-row sequence
     // analytics over the same per-user event ordering; the gap to the
     // previous event and the position of the next complete the window

@@ -172,5 +172,32 @@ object TimeSeries {
           .agg(graft.functions.KmvDistinctAgg.kmv_distinct(
             conv(substring(md5(to_binary(col("user_id").cast("string"), lit("utf-8"))), 1, 15),
               16, 10).cast("long"), 64).as("approx_users"))
+    },
+
+    // SKETCH ROLLUP — partial aggregation as DATA: daily KMV sketches
+    // (the thing a 100 TB pipeline would PERSIST per partition/day)
+    // re-aggregated into weekly distinct-user estimates WITHOUT
+    // touching raw events again. Exact rollup: the bottom-k of a union
+    // of bottom-k sets IS the bottom-k of the union, so the merged
+    // estimate equals a direct sketch of the week — which is what the
+    // oracle computes, making the merge path itself the gated claim.
+    sql("events_kmv_weekly_rollup",
+      graft.functions.KmvDistinctAgg.oracleSql(
+        table = "(SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week FROM events) ev",
+        groupCols = Seq("week"),
+        hashSql = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT",
+        k = 64, estAlias = "approx_users")) {
+      (s, d) =>
+        val daily = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+          .groupBy(col("day"))
+          .agg(graft.functions.KmvDistinctAgg.kmv_sketch(
+            conv(substring(md5(to_binary(col("user_id").cast("string"), lit("utf-8"))), 1, 15),
+              16, 10).cast("long"), 64).as("sketch"))
+        daily
+          .select(expr("day div 7").as("week"), col("sketch"))
+          .groupBy(col("week"))
+          .agg(graft.functions.KmvDistinctAgg.kmv_merge_estimate(col("sketch"), 64)
+            .as("approx_users"))
     })
 }

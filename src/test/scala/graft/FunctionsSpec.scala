@@ -268,6 +268,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(p1 == p8 && p1 == big)
   }
 
+  test("kmv sketch rollup: merged partial sketches estimate exactly like a direct sketch") {
+    import graft.functions.KmvDistinctAgg.{kmv_distinct, kmv_merge_estimate, kmv_sketch}
+    val h = conv(substring(md5(to_binary(col("v").cast("string"), lit("utf-8"))), 1, 15),
+      16, 10).cast("long")
+    // 3000 values spread over 10 'day' partials with heavy cross-day
+    // overlap (v mod 3000): rollup must dedup ACROSS partials
+    val df = (0 until 10).flatMap(day => (0 until 1200).map(i => (day, (day * 700 + i) % 3000)))
+      .toDF("day", "v")
+    val direct = df.groupBy(lit(1).as("g")).agg(kmv_distinct(h, 64).as("est"))
+      .collect()(0).getDouble(1)
+    val rolled = df.groupBy("day").agg(kmv_sketch(h, 64).as("sk"))
+      .groupBy(lit(1).as("g")).agg(kmv_merge_estimate(col("sk"), 64).as("est"))
+      .collect()(0).getDouble(1)
+    assert(rolled == direct, s"rollup $rolled != direct $direct")
+    // sketch arrays are the sorted bottom-k: bounded and ordered
+    val sk = df.groupBy("day").agg(kmv_sketch(h, 64).as("sk"))
+      .collect().map(_.getSeq[Long](1))
+    sk.foreach { a =>
+      assert(a.length <= 64 && a == a.sorted && a.distinct.length == a.length)
+    }
+  }
+
   test("kmv_distinct is SQL-registered and matches the Column form") {
     graft.functions.GraftFunctions.register(spark)
     val df = (1 to 300).map(i => (i % 3, i)).toDF("g", "v")
