@@ -570,6 +570,35 @@ object Relational {
         .na.fill(0L, Seq("F", "O", "P"))
     },
 
+    // UNPIVOT — the inverse wide-to-long reshape next to orders_pivot:
+    // the pivoted (priority × status-count) frame melts back to
+    // (priority, status, n) rows via Spark's native unpivot
+    // (LogicalPlan Expand, one pass, no join/union re-scan); the
+    // oracle mirrors with per-status CTE rows through UNION ALL over
+    // the SAME pivoted CTE. Round-trip shape: pivot ∘ unpivot =
+    // the original grouped counts.
+    sql("orders_unpivot",
+      """WITH p AS (
+        | SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n FROM (
+        | SELECT o_orderpriority, 'F' AS status, F AS n FROM p
+        | UNION ALL SELECT o_orderpriority, 'O', O FROM p
+        | UNION ALL SELECT o_orderpriority, 'P', P FROM p) u
+        |WHERE n IS NOT NULL""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O", "P"))
+          .unpivot(Array(col("o_orderpriority")), Array(col("F"), col("O"), col("P")),
+            "status", "n")
+    },
+
     // JSON extraction (SURVEY §2 marks array/map/json functions ABSENT
     // in the reference — completeness): typed path lookup from the
     // events.props JSON column, with a missing path yielding NULL in
