@@ -1838,6 +1838,27 @@ object IncrementalQueries {
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
     },
 
+    // The CUBE fold (with a DISTINCT aggregate riding along) over the
+    // CONTINUOUS engine's streamed leaf — same oracle as
+    // incremental_sql_cube, completing the grouping-set family's
+    // stream/batch parity next to incremental_sql_rollup_stream.
+    sql("incremental_sql_cube_stream",
+      """SELECT n_name, o_orderstatus,
+        | COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 6 <> 0
+        |GROUP BY CUBE (n_name, o_orderstatus)""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderstatus,
+            | COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY CUBE (n_name, o_orderstatus)""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_cube_stream_leaf")
+    },
+
     // DISCRETE MEDIAN under retraction — derives from the same
     // per-(group, value) netting rollup as MIN/MAX (deleting the
     // current median re-exposes the next value exactly); the oracle is
