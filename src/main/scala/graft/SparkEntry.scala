@@ -22,6 +22,7 @@ object SparkEntry {
     operators.SimilaritySearch.defs ++
     operators.Multimodal.defs ++
     sources.Formats.defs ++
+    sources.ZOrder.defs ++
     streaming.IncrementalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
