@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Dedup.defs ++
     operators.SimilaritySearch.defs ++
     operators.Multimodal.defs ++
+    operators.MergeOps.defs ++
     sources.Formats.defs ++
     sources.ZOrder.defs ++
     streaming.IncrementalQueries.defs

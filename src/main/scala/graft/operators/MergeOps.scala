@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+
+/** MERGE INTO semantics (the lakehouse upsert) as one relational
+  * operator: apply a keyed change set — updates, deletes, inserts —
+  * to a target snapshot in a single pass. Executes exactly the way
+  * table formats execute MERGE: ONE full-outer equi-join on the key,
+  * then per-row resolution; at 100 TB both sides hash-partition on
+  * the key and the rewrite is shuffle-bound, never a driver loop or a
+  * per-change point lookup.
+  *
+  * `source` must carry the key, an `op` column ('U' update, 'D'
+  * delete, 'I' insert) and the full payload for U/I rows. Resolution:
+  * matched+D drops the row, matched+U takes the source payload,
+  * source-only (I) inserts it, target-only passes through.
+  *
+  * Reference: beyond-reference sink surface (the reference's K1 sink
+  * is append/overwrite only); MERGE is public SQL:2003 vocabulary and
+  * the standard changelog-compaction step of every CDC pipeline.
+  */
+object MergeOps {
+
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val t = target.as("t")
+    val s = source.as("s")
+    t.join(s, Seq(key), "full_outer")
+      .filter(coalesce(col("s.op"), lit("")) =!= "D")
+      .select(col(key) +:
+        payloadCols.map(c =>
+          when(col("s.op").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
+  val defs: Seq[GraftQuery] = Seq(
+    // A deterministic change set derived from the snapshot itself:
+    // delete keys ≡0 (mod 10), bump totalprice on keys ≡1, insert
+    // shifted copies of keys ≡2 — all three MERGE actions in one
+    // application, gated against the literal relational definition.
+    sql("merge_upsert_orders",
+      """WITH upd AS (
+        | SELECT o_orderkey, o_totalprice + 1000 AS p
+        | FROM orders WHERE o_orderkey % 10 = 1),
+        |ins AS (
+        | SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderkey % 10 = 2)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+        | COALESCE(u.p, o.o_totalprice) AS o_totalprice
+        |FROM orders o LEFT JOIN upd u ON u.o_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 10 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ins""".stripMargin) {
+      (s, d) =>
+        val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+        val orders = Tables.orders(s, d)
+          .select(("o_orderkey" +: payload).map(col): _*)
+        val deletes = orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("D").as("op"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        val updates = orders.filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+            col("o_orderstatus"), (col("o_totalprice") + lit(1000)).as("o_totalprice"))
+        val inserts = orders.filter(col("o_orderkey") % 10 === 2)
+          .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            lit("I").as("op"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        mergeUpsert(orders, deletes.union(updates).union(inserts),
+          "o_orderkey", payload)
+    })
+}
