@@ -69,5 +69,40 @@ object MergeOps {
             lit("I").as("op"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
         mergeUpsert(orders, deletes.union(updates).union(inserts),
           "o_orderkey", payload)
+    },
+
+    // SCD TYPE-2 — the other half of keyed-table maintenance: instead
+    // of overwriting (MERGE), keep every version with its validity
+    // interval. One window pass per key derives [valid_from,
+    // valid_to) from each version's successor (lead), the open
+    // current version flagged — no self-join, no per-key loop; at
+    // scale this is one hash-partition on the business key. Version
+    // history synthesized deterministically from the snapshot (three
+    // overlapping version tiers).
+    sql("scd2_intervals",
+      """WITH hist AS (
+        | SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS ver, o_totalprice AS price
+        | FROM orders
+        | UNION ALL SELECT o_orderkey, 2, o_totalprice + 500
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL SELECT o_orderkey, 3, o_totalprice + 1000
+        |  FROM orders WHERE o_orderkey % 9 = 0)
+        |SELECT k, ver AS valid_from,
+        | lead(ver) OVER w AS valid_to, price,
+        | lead(ver) OVER w IS NULL AS is_current
+        |FROM hist WINDOW w AS (PARTITION BY k ORDER BY ver)""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d)
+        val hist = o.select(col("o_orderkey").as("k"), lit(1L).as("ver"),
+            col("o_totalprice").as("price"))
+          .union(o.filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), lit(2L), col("o_totalprice") + 500))
+          .union(o.filter(col("o_orderkey") % 9 === 0)
+            .select(col("o_orderkey"), lit(3L), col("o_totalprice") + 1000))
+        val w = Window.partitionBy(col("k")).orderBy(col("ver"))
+        hist.select(col("k"), col("ver").as("valid_from"),
+          lead(col("ver"), 1).over(w).as("valid_to"), col("price"),
+          lead(col("ver"), 1).over(w).isNull.as("is_current"))
     })
 }

@@ -32,6 +32,57 @@ class MergeOpsSpec extends AnyFunSuite {
       .exceptAll(untouched).count() == 0)
   }
 
+  test("a streaming change feed maintains a keyed parquet table via foreachBatch merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    val orders = Tables.orders(spark, sfTiny)
+      .select(("o_orderkey" +: payload).map(col): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_tbl").toString
+    orders.write.mode("overwrite").parquet(dir)
+
+    // two micro-batches: updates first, then deletes + inserts
+    val batch1 = orders.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+        col("o_orderstatus"), (col("o_totalprice") + lit(1000)).as("o_totalprice"))
+      .as[(Long, String, Long, String, Double)].collect().toSeq
+    val batch2 = (orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      unionAll orders.filter(col("o_orderkey") % 10 === 2)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          lit("I").as("op"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
+      .as[(Long, String, Long, String, Double)].collect().toSeq
+
+    val ms = MemoryStream[(Long, String, Long, String, Double)]
+    val query = ms.toDS()
+      .toDF("o_orderkey", "op", "o_custkey", "o_orderstatus", "o_totalprice")
+      .writeStream
+      .foreachBatch { (changes: org.apache.spark.sql.DataFrame, _: Long) =>
+        // read-merge-overwrite cycle: localCheckpoint materializes the
+        // merged rows before the overwrite deletes their source files
+        // (the IvfIndex staging-hop pattern; a table format's
+        // transaction in production)
+        val target = spark.read.parquet(dir)
+        MergeOps.mergeUpsert(target, changes, "o_orderkey", payload)
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(batch1); query.processAllAvailable()
+      ms.addData(batch2); query.processAllAvailable()
+    } finally query.stop()
+
+    // the streamed table equals the one-shot batch merge of all changes
+    val want = SparkEntry.queries("merge_upsert_orders")(spark, sfTiny)
+    val got = spark.read.parquet(dir)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0 &&
+      got.count() == want.count())
+  }
+
   test("merge with an empty change set is the identity") {
     import spark.implicits._
     val orders = Tables.orders(spark, sfTiny)
