@@ -1442,6 +1442,53 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // Pearson CORRELATION maintained incrementally — the compiler
+    // folds retractable CO-MOMENTS (n, Σx, Σy, Σx², Σy², Σxy) exactly
+    // (DECIMAL(38,0); INTEGRAL arguments enforced) and evaluates
+    //   r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx²−(Σx)²)·sqrt(n·Σy²−(Σy)²))
+    // once per group in double. The oracle mirrors the formula
+    // literally over HUGEINT moments (including the greatest(…, 0)
+    // clamps before each sqrt), so the doubles are bit-identical.
+    sql("incremental_sql_corr",
+      """WITH t AS (
+        | SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |  o_custkey AS y
+        | FROM region, nation, customer, orders
+        | WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey
+        |  AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        |  AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0),
+        |m AS (SELECT n_name,
+        |  COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) END) AS sy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) * y END) AS syy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * y END) AS sxy,
+        |  COUNT(*) AS n_rows
+        | FROM t GROUP BY n_name)
+        |SELECT n_name,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / NULLIF(sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |    * sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 0.0) AS corr_price_cust,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name,
+          | CORR(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS corr_price_cust,
+          | COUNT(*) AS n_rows
+          |FROM region, nation, customer, orders
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND o_custkey = c_custkey
+          | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
     // The integer-moments fold over the CONTINUOUS engine's streamed
     // leaf — same oracle as incremental_sql_stddev, so the exactness
     // of (n, Σx, Σx²) must survive micro-batch replay: partial state

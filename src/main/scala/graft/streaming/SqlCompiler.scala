@@ -65,7 +65,8 @@ object SqlCompiler {
 
   /** One aggregate output: `kind` is "sum", "count", or "avg"; `frag`
     * is the original SQL text of the argument ("" for count). */
-  final case class AggSpec(kind: String, frag: String, alias: String)
+  final case class AggSpec(kind: String, frag: String, alias: String,
+                           frag2: String = "")
 
   /** One GROUP BY output: `frag` is the (dequalified) SQL text of the
     * grouping expression — a bare column name for plain-column groups,
@@ -157,7 +158,8 @@ object SqlCompiler {
       val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
       val dataCols = (groups.flatMap(g => exprColumns(spark, g.frag)) ++
         aggs.flatMap(a =>
-          if (a.frag.isEmpty) Nil else exprColumns(spark, a.frag))).distinct
+          (if (a.frag.isEmpty) Nil else exprColumns(spark, a.frag)) ++
+            (if (a.frag2.isEmpty) Nil else exprColumns(spark, a.frag2)))).distinct
       val typed = leaf.select(
         (col("tag") * col("mult")).cast(LongType).as("__sign") +:
           dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
@@ -240,6 +242,34 @@ object SqlCompiler {
             val v = (n.cast("double") * sxx.cast("double") -
               sx.cast("double") * sx.cast("double")) / den
             (if (a.kind == "var_samp") v else sqrt(v)).as(a.alias)
+          case "corr" =>
+            // Pearson r over exact signed CO-MOMENTS, evaluated once
+            // per group in double:
+            //   r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx²−(Σx)²)·sqrt(n·Σy²−(Σy)²))
+            // Pairwise-complete rows only (both args non-NULL). The
+            // variance terms are exact-integer-nonnegative in theory;
+            // after the double rounding of the two big products the
+            // difference can round to a tiny negative, so each is
+            // clamped with greatest(…, 0) BEFORE sqrt — mirrored
+            // literally by the oracle, keeping the double (and NULL on
+            // zero variance via the nullif-guard) bit-reproducible.
+            val x = expr(a.frag)
+            val y = expr(a.frag2)
+            val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+            val both = x.isNotNull && y.isNotNull
+            val n = sum(when(both, col("__sign")).otherwise(lit(0L)))
+            val sx = sum(when(both, col("__sign").cast(d38) * x.cast(d38)))
+            val sy = sum(when(both, col("__sign").cast(d38) * y.cast(d38)))
+            val sxx = sum(when(both, col("__sign").cast(d38) * x.cast(d38) * x.cast(d38)))
+            val syy = sum(when(both, col("__sign").cast(d38) * y.cast(d38) * y.cast(d38)))
+            val sxy = sum(when(both, col("__sign").cast(d38) * x.cast(d38) * y.cast(d38)))
+            val covn = n.cast("double") * sxy.cast("double") -
+              sx.cast("double") * sy.cast("double")
+            val vx = greatest(n.cast("double") * sxx.cast("double") -
+              sx.cast("double") * sx.cast("double"), lit(0.0))
+            val vy = greatest(n.cast("double") * syy.cast("double") -
+              sy.cast("double") * sy.cast("double"), lit(0.0))
+            (covn / nullif(sqrt(vx) * sqrt(vy), lit(0.0))).as(a.alias)
           case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
         }
       } :+ sum(col("__sign")).as("__net")
@@ -945,9 +975,17 @@ object SqlCompiler {
             // retraction and bit-reproducible even for float arguments.
             // The INTERPOLATED even-group median would be a float fold.
             AggSpec("median", filtered(dequalify(spark, fragment(arg))), alias)
+          case ("corr", Seq(x, y)) if !f.isDistinct =>
+            // Pearson correlation from retractable CO-MOMENTS
+            // (n, Σx, Σy, Σx², Σy², Σxy) — pairwise semantics: a row
+            // contributes only when BOTH arguments are non-NULL (the
+            // FILTER rewrite composes: it NULLs both args on
+            // non-matching rows)
+            AggSpec("corr", filtered(dequalify(spark, fragment(x))), alias,
+              frag2 = filtered(dequalify(spark, fragment(y))))
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
             "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
-            "MIN, MAX, AVG, VAR_SAMP, STDDEV_SAMP, MEDIAN (discrete); a " +
+            "MIN, MAX, AVG, VAR_SAMP, STDDEV_SAMP, MEDIAN (discrete), CORR; a " +
             "non-aggregate SELECT expression must textually match a GROUP BY " +
             "expression)")
         }
@@ -1060,11 +1098,14 @@ object SqlCompiler {
       val probe = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
       aggs.filter(a => Set("sum", "avg", "sum_distinct",
-          "var_samp", "stddev_samp")(a.kind)).foreach { a =>
-        val t = probe.select(expr(a.frag)).schema.head.dataType
+          "var_samp", "stddev_samp", "corr")(a.kind))
+        .flatMap(a => (Seq(a.frag) ++ Some(a.frag2).filter(_.nonEmpty))
+          .map(fr => (a, fr)))
+        .foreach { case (a, fr) =>
+        val t = probe.select(expr(fr)).schema.head.dataType
         if (t == org.apache.spark.sql.types.DoubleType ||
             t == org.apache.spark.sql.types.FloatType)
-          fail(s"${a.kind.toUpperCase}(${a.frag}) folds FLOATING-POINT " +
+          fail(s"${a.kind.toUpperCase}($fr) folds FLOATING-POINT " +
             s"(${t.simpleString}) deltas: retractions leave order-dependent FP " +
             "residue and the maintained value drifts from the batch answer — " +
             "scale the argument to an exact type, e.g. " +
@@ -1075,16 +1116,19 @@ object SqlCompiler {
     // UNCONDITIONAL (no tolerateFloatFolds escape): the variance moment
     // folds cast to DECIMAL(38,0), so a fractional argument would not
     // merely drift — it would silently TRUNCATE before folding
-    aggs.filter(a => Set("var_samp", "stddev_samp")(a.kind)).foreach { a =>
+    aggs.filter(a => Set("var_samp", "stddev_samp", "corr")(a.kind))
+      .flatMap(a => (Seq(a.frag) ++ Some(a.frag2).filter(_.nonEmpty))
+        .map(fr => (a, fr)))
+      .foreach { case (a, fr0) =>
       val unionSchema = StructType(colType.toSeq.map { case (n, t) =>
         org.apache.spark.sql.types.StructField(n, t) })
       val probe = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
       import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
-      val t = probe.select(expr(a.frag)).schema.head.dataType
+      val t = probe.select(expr(fr0)).schema.head.dataType
       if (!Set[DataType](LongType, IntegerType, ShortType, ByteType)(t))
-        fail(s"${a.kind.toUpperCase}(${a.frag}) maintains exact integer " +
-          s"moments (n, Σx, Σx²) and needs an INTEGRAL argument, got " +
+        fail(s"${a.kind.toUpperCase}($fr0) maintains exact integer " +
+          s"moments (n, Σx, Σx², …) and needs an INTEGRAL argument, got " +
           s"${t.simpleString} — scale it first, e.g. " +
           "CAST(round(x * 100, 0) AS BIGINT)")
     }

@@ -607,6 +607,42 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("CORR folds exact co-moments and survives deletes") {
+    val sqlText =
+      """SELECT n_name,
+        | CORR(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS r,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    val got = SqlCompiler.run(s, d, sqlText,
+        deletes = Map("orders" -> (col("o_orderkey") % 7 === 0)))
+      .orderBy("n_name").collect().toSeq
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // oracle: Spark's own CORR over the survivors — a different
+    // numeric path (streaming co-moments), so compare with relative
+    // tolerance; bit-parity with the moment formula is the registered
+    // entry's DuckDB gate
+    val want = s.sql(
+      """SELECT n_name,
+        | CORR(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS r,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin)
+      .orderBy("n_name").collect().toSeq
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getLong(2) == w.getLong(2))
+      val (gr, wr) = (g.getDouble(1), w.getDouble(1))
+      assert(math.abs(gr - wr) <= 1e-9 * math.max(math.abs(wr), 1.0),
+        s"${g.getString(0)}: $gr vs $wr")
+    }
+  }
+
   test("unsupported shapes fail loudly") {
     def bad(sqlText: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
@@ -700,8 +736,13 @@ class SqlCompilerSpec extends AnyFunSuite {
     bad("""SELECT n_name, stddev(c_acctbal) AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "FLOATING-POINT")
+    // CORR folds exact co-moments, so DOUBLE arguments get the same
+    // float-folds guidance, on EITHER argument position
+    bad("""SELECT n_name, CORR(c_custkey, c_acctbal) AS a FROM nation, customer
+          |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      "FLOATING-POINT")
     // an aggregate with no retractable derivation at all stays loud
-    bad("""SELECT n_name, CORR(c_custkey, c_nationkey) AS a FROM nation, customer
+    bad("""SELECT n_name, STRING_AGG(c_name, ',') AS a FROM nation, customer
           |WHERE c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
       "unsupported aggregate")
     // FILTER predicates may not themselves aggregate
