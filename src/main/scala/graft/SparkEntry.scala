@@ -57,8 +57,10 @@ object SparkEntry {
       // and the retention-cohort matrix
       "incremental_sql_rollup", "events_retention_cohorts",
       // round 7: the bloom-reduced incremental tree (vs incremental_q10
-      // above — the delta IS the reduction) and the windowed resample
-      "incremental_q10_bloom", "events_resample_window_agg")
+      // above — the delta IS the reduction), the windowed resample,
+      // BM25 ranked retrieval, and the MERGE upsert rewrite
+      "incremental_q10_bloom", "events_resample_window_agg",
+      "text_bm25_topk", "merge_upsert_orders")
     val have = queries.keySet
     preferred.filter(have)
   }

@@ -1489,6 +1489,54 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // CORR + COVAR_SAMP over the CONTINUOUS engine's streamed leaf —
+    // the co-moment folds under micro-batch replay with retractions in
+    // later batches; oracle mirrors both closed forms over HUGEINT
+    // moments.
+    sql("incremental_sql_corr_stream",
+      """WITH t AS (
+        | SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |  o_custkey AS y
+        | FROM region, nation, customer, orders
+        | WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey
+        |  AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        |  AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0),
+        |m AS (SELECT n_name,
+        |  COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) END) AS sy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) * y END) AS syy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * y END) AS sxy,
+        |  COUNT(*) AS n_rows
+        | FROM t GROUP BY n_name)
+        |SELECT n_name,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / NULLIF(sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |    * sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 0.0) AS corr_price_cust,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / CAST(NULLIF(n * (n - 1), 0) AS DOUBLE) AS covar_price_cust,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name,
+            | CORR(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS corr_price_cust,
+            | COVAR_SAMP(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS covar_price_cust,
+            | COUNT(*) AS n_rows
+            |FROM region, nation, customer, orders
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND o_custkey = c_custkey
+            | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)),
+        "incremental_sql_corr_stream_leaf")
+    },
+
     // The integer-moments fold over the CONTINUOUS engine's streamed
     // leaf — same oracle as incremental_sql_stddev, so the exactness
     // of (n, Σx, Σx²) must survive micro-batch replay: partial state

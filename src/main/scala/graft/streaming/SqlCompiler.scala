@@ -270,6 +270,20 @@ object SqlCompiler {
             val vy = greatest(n.cast("double") * syy.cast("double") -
               sy.cast("double") * sy.cast("double"), lit(0.0))
             (covn / nullif(sqrt(vx) * sqrt(vy), lit(0.0))).as(a.alias)
+          case "covar_samp" =>
+            // covar_samp = (n·Σxy − Σx·Σy) / (n·(n−1)) over the same
+            // exact pairwise co-moments as CORR
+            val x = expr(a.frag)
+            val y = expr(a.frag2)
+            val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+            val both = x.isNotNull && y.isNotNull
+            val n = sum(when(both, col("__sign")).otherwise(lit(0L)))
+            val sx = sum(when(both, col("__sign").cast(d38) * x.cast(d38)))
+            val sy = sum(when(both, col("__sign").cast(d38) * y.cast(d38)))
+            val sxy = sum(when(both, col("__sign").cast(d38) * x.cast(d38) * y.cast(d38)))
+            val den = nullif(n * (n - lit(1L)), lit(0L)).cast("double")
+            ((n.cast("double") * sxy.cast("double") -
+              sx.cast("double") * sy.cast("double")) / den).as(a.alias)
           case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
         }
       } :+ sum(col("__sign")).as("__net")
@@ -975,6 +989,10 @@ object SqlCompiler {
             // retraction and bit-reproducible even for float arguments.
             // The INTERPOLATED even-group median would be a float fold.
             AggSpec("median", filtered(dequalify(spark, fragment(arg))), alias)
+          case ("covar_samp", Seq(x, y)) if !f.isDistinct =>
+            // sample covariance from the same co-moment family as CORR
+            AggSpec("covar_samp", filtered(dequalify(spark, fragment(x))), alias,
+              frag2 = filtered(dequalify(spark, fragment(y))))
           case ("corr", Seq(x, y)) if !f.isDistinct =>
             // Pearson correlation from retractable CO-MOMENTS
             // (n, Σx, Σy, Σx², Σy², Σxy) — pairwise semantics: a row
@@ -985,7 +1003,7 @@ object SqlCompiler {
               frag2 = filtered(dequalify(spark, fragment(y))))
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
             "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
-            "MIN, MAX, AVG, VAR_SAMP, STDDEV_SAMP, MEDIAN (discrete), CORR; a " +
+            "MIN, MAX, AVG, VAR_SAMP, STDDEV_SAMP, MEDIAN (discrete), CORR, COVAR_SAMP; a " +
             "non-aggregate SELECT expression must textually match a GROUP BY " +
             "expression)")
         }
@@ -1098,7 +1116,7 @@ object SqlCompiler {
       val probe = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
       aggs.filter(a => Set("sum", "avg", "sum_distinct",
-          "var_samp", "stddev_samp", "corr")(a.kind))
+          "var_samp", "stddev_samp", "corr", "covar_samp")(a.kind))
         .flatMap(a => (Seq(a.frag) ++ Some(a.frag2).filter(_.nonEmpty))
           .map(fr => (a, fr)))
         .foreach { case (a, fr) =>
@@ -1116,7 +1134,7 @@ object SqlCompiler {
     // UNCONDITIONAL (no tolerateFloatFolds escape): the variance moment
     // folds cast to DECIMAL(38,0), so a fractional argument would not
     // merely drift — it would silently TRUNCATE before folding
-    aggs.filter(a => Set("var_samp", "stddev_samp", "corr")(a.kind))
+    aggs.filter(a => Set("var_samp", "stddev_samp", "corr", "covar_samp")(a.kind))
       .flatMap(a => (Seq(a.frag) ++ Some(a.frag2).filter(_.nonEmpty))
         .map(fr => (a, fr)))
       .foreach { case (a, fr0) =>
