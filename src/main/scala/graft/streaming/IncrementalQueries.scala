@@ -1844,6 +1844,34 @@ object IncrementalQueries {
           "orders" -> (col("o_totalprice") > 400000)))
     },
 
+    // The per-(group, value) NETTING aggregates (MIN/MAX/MEDIAN) over
+    // the CONTINUOUS engine's streamed leaf — value nets must survive
+    // micro-batch boundaries (a later batch's delete re-exposes the
+    // runner-up extreme / shifts the median), same oracle family as
+    // the batch entries.
+    sql("incremental_sql_minmax_stream",
+      """SELECT n_name, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        | quantile_disc(o_totalprice, 0.5) AS med, COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_totalprice <= 400000
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+            | MEDIAN(o_totalprice) AS med, COUNT(*) AS n_rows
+            |FROM region, nation, customer, orders
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND o_custkey = c_custkey
+            | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_totalprice") > 400000)),
+        "incremental_sql_minmax_stream_leaf")
+    },
+
     // INCREMENTAL ROLLUP — every expanded grouping set maintained
     // independently (exact for every aggregate kind) and unioned with
     // null-padded inactive keys, against DuckDB's native ROLLUP.
