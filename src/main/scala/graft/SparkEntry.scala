@@ -22,6 +22,7 @@ object SparkEntry {
     operators.SimilaritySearch.defs ++
     operators.Multimodal.defs ++
     operators.MergeOps.defs ++
+    operators.GraphOps.defs ++
     sources.Formats.defs ++
     sources.ZOrder.defs ++
     streaming.IncrementalQueries.defs

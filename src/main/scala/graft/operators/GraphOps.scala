@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+
+/** Graph analytics beyond connected components: PageRank, made
+  * cross-engine DETERMINISTIC by running entirely in scaled-integer
+  * arithmetic — rank mass is an int64 in 1e-6 units, per-edge
+  * contributions use integer division, and the damping update is
+  * `(1−d)·S + (d·Σcontrib) div S` with S = 1e6, so every iteration is
+  * exact integer math whose result cannot depend on summation order or
+  * libm. (Float PageRank would put a ±ulp on every rank and make a
+  * top-k cut nondeterministic — the same failure mode the ANN surface
+  * eliminates with quantized cosines.)
+  *
+  * Fixed iteration count (power iteration, damping 0.85), classic
+  * join→aggregate shape per iteration: contributions = edges ⋈ ranks
+  * (one shuffle on src), new ranks = one hash aggregate on dst — at
+  * 100 TB this is the standard Pregel-as-joins layout, partitioned by
+  * vertex id, with the iteration count bounding total work.
+  *
+  * Reference: beyond-reference analytics surface; PageRank per Brin &
+  * Page (1998), integer-arithmetic determinism per this repo's
+  * exact-fold conventions.
+  */
+object GraphOps {
+
+  private val Scale = 1000000L
+  private val DampE6 = 850000L   // 0.85 · Scale
+  private val BaseE6 = 150000L   // (1 − 0.85) · Scale
+
+  /** `iters` integer power-iteration steps over directed `edges`
+    * (src, dst). Every node must have out-degree ≥ 1 (feed an
+    * undirected/bidirectional edge set for bipartite graphs — the
+    * caller's dangling-mass policy). Returns (node, rank_e6). */
+  def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var ranks = nodes.select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(BaseE6) +
+            expr(s"(${DampE6} * coalesce(contrib, 0L)) div ${Scale}")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_e6"))
+  }
+
+  /** The DuckDB mirror: one CTE per iteration (same integer ops). */
+  private def pagerankSql(edgesCte: String, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         | CAST($BaseE6 + ($DampE6 * COALESCE(c.contrib, 0)) // $Scale AS BIGINT) AS r
+         | FROM n LEFT JOIN (
+         |  SELECT e.dst AS node, SUM(r.r // d.d) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |n AS (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM n),
+       |$steps
+       |SELECT node, r AS rank_e6 FROM r$iters
+       |ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
+  val defs: Seq[GraftQuery] = Seq(
+    // The customer↔supplier interaction graph (distinct pairs through
+    // orders⋈lineitem, both directions so the bipartite graph has no
+    // dangling nodes), 3 power iterations, top-50 by rank. Node ids
+    // prefix-tagged so the two key spaces cannot collide.
+    sql("graph_pagerank",
+      pagerankSql(
+        """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+          | FROM orders, lineitem WHERE l_orderkey = o_orderkey""".stripMargin,
+        iters = 3)) {
+      (s, d) =>
+        val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        pagerankInt(edges, iters = 3)
+          .orderBy(col("rank_e6").desc, col("node")).limit(50)
+    })
+}
