@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+
+/** DATA-QUALITY PROFILING — the pre-ingestion checks a training-data
+  * pipeline runs before a table is allowed in (the Deequ/Great-
+  * Expectations role), as plain one-pass aggregates:
+  *
+  *  - `profile_orders`: per-column null count, exact distinct count,
+  *    and min/max in a tall (column, metric…) frame. ONE scan; the
+  *    count-distincts share Spark's single Expand-based aggregate. At
+  *    100 TB swap the exact distincts for the KMV sketch
+  *    ([[graft.functions.KmvDistinctAgg]]) — the frame shape and scan
+  *    discipline stay identical.
+  *  - `quality_constraints_orders`: constraint VIOLATION COUNTS —
+  *    primary-key uniqueness, NOT-NULL, value-domain membership,
+  *    numeric range, and FK referential integrity (orders→customer,
+  *    an anti-join count). All-zeros on healthy fixtures; the entry
+  *    gates the CHECKS, not the data, so a regressed generator or a
+  *    broken ingest shows up as a nonzero cell.
+  *
+  * Determinism notes: doubles are profiled as scaled-BIGINT cents
+  * (a raw double→VARCHAR min/max would hit engine formatting
+  * differences); timestamps stringify identically ('yyyy-MM-dd
+  * HH:mm:ss') in both engines under UTC.
+  */
+object Profiling {
+
+  val defs: Seq[GraftQuery] = Seq(
+    sql("profile_orders",
+      """WITH b AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_totalprice_e2,
+        |  CAST(o_orderdate AS VARCHAR) AS o_orderdate_s, o_orderpriority
+        | FROM orders)
+        |SELECT 'o_orderkey' AS col, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM b
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+        |  COUNT(DISTINCT o_custkey),
+        |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM b
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  MIN(o_orderstatus), MAX(o_orderstatus) FROM b
+        |UNION ALL
+        |SELECT 'o_totalprice_e2', COUNT(*) - COUNT(o_totalprice_e2),
+        |  COUNT(DISTINCT o_totalprice_e2),
+        |  CAST(MIN(o_totalprice_e2) AS VARCHAR), CAST(MAX(o_totalprice_e2) AS VARCHAR) FROM b
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate_s),
+        |  COUNT(DISTINCT o_orderdate_s),
+        |  MIN(o_orderdate_s), MAX(o_orderdate_s) FROM b
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority),
+        |  MIN(o_orderpriority), MAX(o_orderpriority) FROM b""".stripMargin) {
+      (s, d) =>
+        val b = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("o_totalprice_e2"),
+          col("o_orderdate").cast("string").as("o_orderdate_s"),
+          col("o_orderpriority"))
+        def prof(name: String, c: String) = b.agg(
+          lit(name).as("col"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        prof("o_orderkey", "o_orderkey")
+          .unionAll(prof("o_custkey", "o_custkey"))
+          .unionAll(prof("o_orderstatus", "o_orderstatus"))
+          .unionAll(prof("o_totalprice_e2", "o_totalprice_e2"))
+          .unionAll(prof("o_orderdate", "o_orderdate_s"))
+          .unionAll(prof("o_orderpriority", "o_orderpriority"))
+    },
+
+    sql("quality_constraints_orders",
+      """SELECT 'pk_unique' AS constraint_name,
+        | CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS n_violations
+        |UNION ALL
+        |SELECT 'custkey_not_null',
+        | (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+        |UNION ALL
+        |SELECT 'status_domain',
+        | (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+        |UNION ALL
+        |SELECT 'price_range',
+        | (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0 OR o_totalprice > 1000000)
+        |UNION ALL
+        |SELECT 'fk_customer',
+        | (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+        |   SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""".stripMargin) {
+      (s, d) =>
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        def row(name: String, v: org.apache.spark.sql.DataFrame) =
+          v.select(lit(name).as("constraint_name"),
+            col("v").cast("long").as("n_violations"))
+        row("pk_unique",
+            o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("v")))
+          .unionAll(row("custkey_not_null",
+            o.filter(col("o_custkey").isNull).agg(count(lit(1)).as("v"))))
+          .unionAll(row("status_domain",
+            o.filter(!col("o_orderstatus").isin("F", "O", "P"))
+              .agg(count(lit(1)).as("v"))))
+          .unionAll(row("price_range",
+            o.filter(col("o_totalprice") <= 0 || col("o_totalprice") > 1000000)
+              .agg(count(lit(1)).as("v"))))
+          .unionAll(row("fk_customer",
+            o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+              .agg(count(lit(1)).as("v"))))
+    })
+}
