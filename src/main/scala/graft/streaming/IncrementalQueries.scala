@@ -161,6 +161,8 @@ object IncrementalQueries {
     * values are both built by `cast(string)` of the same column type,
     * so equal keys hash equal. */
   val BloomPrefilterConf = "spark.graft.incremental.bloomPrefilter"
+  val BloomPrefilterItemsConf = "spark.graft.incremental.bloomPrefilter.expectedItems"
+  val BloomPrefilterFppConf = "spark.graft.incremental.bloomPrefilter.fpp"
 
   def bloomPrefilterChild(logs: Map[String, Dataset[Evt]],
       parentRel: String, parentChildKey: String, childRel: String,
@@ -1222,6 +1224,41 @@ object IncrementalQueries {
         deletes = Map(
           "lineitem" -> (col("l_linenumber") === 3),
           "orders" -> (col("o_orderkey") % 50 === 0)))
+    },
+
+    // Same compiled query, same oracle — but the COMPILER applies the
+    // bloom semi-join reduction (leaf changelog pre-filtered by the
+    // parent's key bloom) because the session opts in, exercising the
+    // SqlCompiler.run wiring rather than the explicit tree API.
+    sql("incremental_sql_q10_bloom",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin) {
+      (s, dir) =>
+        val ss = s.newSession()
+        ss.conf.set(BloomPrefilterConf, "true")
+        ss.conf.set(BloomPrefilterItemsConf, "200000")
+        ss.conf.set(BloomPrefilterFppConf, "0.01")
+        SqlCompiler.run(ss, dir,
+          s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+             | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+             | COUNT(*) AS n_rows
+             |FROM nation, customer, orders, lineitem
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             | AND c_nationkey = n_nationkey
+             | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+             | AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin,
+          deletes = Map(
+            "lineitem" -> (col("l_linenumber") === 3),
+            "orders" -> (col("o_orderkey") % 50 === 0)))
     },
 
     // The skew mitigation behind the hash gate — q10 with the

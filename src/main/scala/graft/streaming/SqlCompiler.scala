@@ -391,9 +391,37 @@ object SqlCompiler {
       * given per-relation delete conditions; returns the maintained
       * aggregate (groups with net rows > 0, like any GROUP BY). */
     def run(spark: SparkSession, dir: String,
-            deletes: Map[String, Column] = Map.empty): DataFrame =
-      aggregate(DeltaEngine.runTree(stages,
-        sourceChangelogs(spark, dir, deletes), sourceFiltered = true).toDF())
+            deletes: Map[String, Column] = Map.empty): DataFrame = {
+      val logs0 = sourceChangelogs(spark, dir, deletes)
+      // OPT-IN bloom semi-join reduction, applied by the COMPILER: with
+      // [[IncrementalQueries.BloomPrefilterConf]] set on this session,
+      // the leaf (largest) changelog is pre-filtered by a bloom over
+      // its parent's child-facing key set before the engine shuffles
+      // it — the same exact reduction as the explicit tree-API form
+      // ([[IncrementalQueries.bloomPrefilterChild]]), chosen from the
+      // compiled FK path instead of by the caller.
+      val logs =
+        if (path.length < 2 ||
+            !spark.conf.getOption(IncrementalQueries.BloomPrefilterConf)
+              .contains("true")) logs0
+        else {
+          val leafRel = path.last
+          val parentRel = path(path.length - 2)
+          stages.map(_.spec).find(_.relation == parentRel) match {
+            case Some(p) =>
+              IncrementalQueries.bloomPrefilterChild(logs0,
+                parentRel, p.nextKeyCol, leafRel,
+                expectedItems = spark.conf
+                  .getOption(IncrementalQueries.BloomPrefilterItemsConf)
+                  .map(_.toLong).getOrElse(1000000L),
+                fpp = spark.conf
+                  .getOption(IncrementalQueries.BloomPrefilterFppConf)
+                  .map(_.toDouble).getOrElse(0.03))
+            case None => logs0
+          }
+        }
+      aggregate(DeltaEngine.runTree(stages, logs, sourceFiltered = true).toDF())
+    }
 
     /** The continuous form — the reference's actual deployment shape:
       * raw streaming changelogs in, signed leaf deltas out (consume

@@ -643,6 +643,25 @@ class SqlCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("session opt-in bloom reduction leaves compiled results untouched") {
+    import graft.streaming.IncrementalQueries
+    val sqlText =
+      """SELECT n_name, SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F'
+        |GROUP BY n_name""".stripMargin
+    val deletes = Map("orders" -> (col("o_orderkey") % 6 === 0))
+    val plain = SqlCompiler.run(s, d, sqlText, deletes)
+      .orderBy("n_name").collect().toSeq
+    val ss = s.newSession()
+    ss.conf.set(IncrementalQueries.BloomPrefilterConf, "true")
+    val bloomed = SqlCompiler.run(ss, d, sqlText, deletes)
+      .orderBy("n_name").collect().toSeq
+    assert(bloomed == plain && plain.nonEmpty)
+  }
+
   test("unsupported shapes fail loudly") {
     def bad(sqlText: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
