@@ -74,6 +74,27 @@ object GraphOps {
        |ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
+  /** `iters` rounds of integer min-plus BFS from `seeds` over directed
+    * `edges` (src, dst): dist₀ = 0 on seeds, `Inf` sentinel elsewhere;
+    * distᵢ₊₁(v) = min(distᵢ(v), min over u→v of distᵢ(u)+1). All
+    * integer mins — trivially deterministic; the sentinel (not NULL)
+    * keeps the fold total in both engines. Returns nodes REACHED
+    * within `iters` hops: (node, dist). */
+  val Inf = 999999L
+  def bfsHops(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var dist = nodes.join(seeds.select(col("node"), lit(0L).as("d0")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("d0"), lit(Inf)).as("d"))
+    for (_ <- 1 to iters) {
+      val relaxed = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("d") + lit(1L)).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      dist = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"), least(col("d"), coalesce(col("cand"), lit(Inf))).as("d"))
+    }
+    dist.filter(col("d") < Inf).select(col("node"), col("d").as("dist"))
+  }
+
   val defs: Seq[GraftQuery] = Seq(
     // The customer↔supplier interaction graph (distinct pairs through
     // orders⋈lineitem, both directions so the bipartite graph has no
@@ -95,5 +116,44 @@ object GraphOps {
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         pagerankInt(edges, iters = 3)
           .orderBy(col("rank_e6").desc, col("node")).limit(50)
+    },
+
+    // Hop distances from the nation-1 suppliers over the same
+    // bidirectional graph: which customers/suppliers sit within 3
+    // hops of that supplier cohort, and how close. Min-plus relaxation
+    // — each round one equi-join + one hash MIN aggregate.
+    sql("graph_bfs_hops", {
+      val steps = (1 to 3).map { i =>
+        s"""d$i AS (SELECT d.node,
+           | LEAST(d.d, COALESCE(c.cand, 999999)) AS d
+           | FROM d${i - 1} d LEFT JOIN (
+           |  SELECT e.dst AS node, MIN(r.d + 1) AS cand
+           |  FROM edges e JOIN d${i - 1} r ON r.node = e.src
+           |  GROUP BY e.dst) c ON c.node = d.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+         | FROM orders, lineitem WHERE l_orderkey = o_orderkey),
+         |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |n AS (SELECT DISTINCT src AS node FROM edges),
+         |seeds AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+         |          FROM supplier WHERE s_nationkey = 1),
+         |d0 AS (SELECT n.node,
+         |  CAST(CASE WHEN s.node IS NOT NULL THEN 0 ELSE 999999 END AS BIGINT) AS d
+         | FROM n LEFT JOIN seeds s ON s.node = n.node),
+         |$steps
+         |SELECT node, d AS dist FROM d3 WHERE d < 999999""".stripMargin
+    }) {
+      (s, d) =>
+        val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 1)
+          .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node")).distinct()
+        bfsHops(edges, seeds, iters = 3)
     })
 }
