@@ -60,23 +60,29 @@ object Profiling {
         |  COUNT(DISTINCT o_orderpriority),
         |  MIN(o_orderpriority), MAX(o_orderpriority) FROM b""".stripMargin) {
       (s, d) =>
+        // ONE aggregate over ONE scan: all six columns' metrics in a
+        // single agg row (the multiple count-distincts share Spark's
+        // Expand-based distinct aggregate), then stack() reshapes to
+        // the tall frame — no per-column re-scan
         val b = Tables.orders(s, d).select(
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice") * 100, 0).cast("long").as("o_totalprice_e2"),
           col("o_orderdate").cast("string").as("o_orderdate_s"),
           col("o_orderpriority"))
-        def prof(name: String, c: String) = b.agg(
-          lit(name).as("col"),
-          (count(lit(1)) - count(col(c))).as("n_nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_val"),
-          max(col(c)).cast("string").as("max_val"))
-        prof("o_orderkey", "o_orderkey")
-          .unionAll(prof("o_custkey", "o_custkey"))
-          .unionAll(prof("o_orderstatus", "o_orderstatus"))
-          .unionAll(prof("o_totalprice_e2", "o_totalprice_e2"))
-          .unionAll(prof("o_orderdate", "o_orderdate_s"))
-          .unionAll(prof("o_orderpriority", "o_orderpriority"))
+        val cols = Seq("o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+          "o_orderstatus" -> "o_orderstatus", "o_totalprice_e2" -> "o_totalprice_e2",
+          "o_orderdate" -> "o_orderdate_s", "o_orderpriority" -> "o_orderpriority")
+        val agg1 = b.agg(count(lit(1)).as("n"),
+          cols.flatMap { case (_, c) => Seq(
+            count(col(c)).as(s"cnt_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))
+          }: _*)
+        agg1.selectExpr(
+          s"stack(${cols.size}, " + cols.map { case (name, c) =>
+            s"'$name', n - cnt_$c, nd_$c, min_$c, max_$c" }.mkString(", ") +
+            ") as (col, n_nulls, n_distinct, min_val, max_val)")
     },
 
     sql("quality_constraints_orders",
