@@ -19,7 +19,11 @@ import graft.GraftQuery.sql
   * join→aggregate shape per iteration: contributions = edges ⋈ ranks
   * (one shuffle on src), new ranks = one hash aggregate on dst — at
   * 100 TB this is the standard Pregel-as-joins layout, partitioned by
-  * vertex id, with the iteration count bounding total work.
+  * vertex id, with the iteration count bounding total work. The loop
+  * composes lazily here (lineage re-derives earlier rounds; fine for
+  * a handful of iterations); a long-running production loop would
+  * `persist`/checkpoint `ranks` each round to truncate the lineage —
+  * an execution-management choice, not a change of plan shape.
   *
   * Reference: beyond-reference analytics surface; PageRank per Brin &
   * Page (1998), integer-arithmetic determinism per this repo's
