@@ -570,6 +570,29 @@ object Relational {
         .na.fill(0L, Seq("F", "O", "P"))
     },
 
+    // MARKET-BASKET co-occurrence — part pairs bought in the same
+    // order (the association-mining staple): a self equi-join on
+    // l_orderkey with p1 < p2. BOUNDED blow-up by construction: an
+    // order has at most 7 lineitems, so the per-key product is ≤ 21
+    // pairs — the join key itself caps the fan-out, no salting needed
+    // (contrast the dedup blockers, where length buckets require it).
+    // Support threshold keeps the output the frequent tail.
+    sql("basket_part_pairs",
+      """SELECT p1, p2, support FROM (
+        | SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2) t
+        |WHERE support >= 2""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+        a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+    },
+
     // UNPIVOT — the inverse wide-to-long reshape next to orders_pivot:
     // the pivoted (priority × status-count) frame melts back to
     // (priority, status, n) rows via Spark's native unpivot

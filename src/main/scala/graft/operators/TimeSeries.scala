@@ -174,6 +174,30 @@ object TimeSeries {
               16, 10).cast("long"), 64).as("approx_users"))
     },
 
+    // TOP-K PER WINDOW — the trending dashboard query: for each day,
+    // the 3 most frequent event types with their counts. Count per
+    // (day, type) is one hash aggregate; the per-day top-3 is a rank
+    // over the (tiny, one-row-per-(day, type)) aggregate — the window
+    // partitions by day, so no corpus-sized state funnels through one
+    // task. Ties break lexicographically on the type for a
+    // deterministic cut.
+    sql("events_trending_types",
+      """WITH c AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day, event_type, COUNT(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n, rnk FROM (
+        | SELECT day, event_type, n,
+        |  ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+        | FROM c) t WHERE rnk <= 3""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+          .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("day")).orderBy(col("n").desc, col("event_type"))
+        c.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    },
+
     // SKETCH ROLLUP — partial aggregation as DATA: daily KMV sketches
     // (the thing a 100 TB pipeline would PERSIST per partition/day)
     // re-aggregated into weekly distinct-user estimates WITHOUT
