@@ -593,6 +593,47 @@ object Relational {
           .filter(col("support") >= 2)
     },
 
+    // ASSOCIATION RULES from the pairs — p1 ⇒ p2 with support and
+    // confidence: confidence = support(p1,p2)/orders(p1), emitted both
+    // directions (a rule per antecedent), scaled to an e6 INTEGER by
+    // integer division so the ranking metric is exact in both engines
+    // (the raw ratio stays derivable; the gated value cannot drift).
+    // Item supports come from ONE aggregate over lineitem; the rule
+    // join is antecedent-keyed equi.
+    sql("basket_rules",
+      """WITH pairs AS (
+        | SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2),
+        |freq AS (SELECT p1, p2, support FROM pairs WHERE support >= 2),
+        |items AS (
+        | SELECT l_partkey AS item, COUNT(DISTINCT l_orderkey) AS n_orders
+        | FROM lineitem GROUP BY 1),
+        |rules AS (
+        | SELECT p1 AS antecedent, p2 AS consequent, support FROM freq
+        | UNION ALL
+        | SELECT p2, p1, support FROM freq)
+        |SELECT r.antecedent, r.consequent, r.support,
+        | (r.support * 1000000) // i.n_orders AS confidence_e6
+        |FROM rules r JOIN items i ON i.item = r.antecedent""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+        val freq = a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        val items = li.groupBy(col("l_partkey").as("item"))
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        val rules = freq.select(col("p1").as("antecedent"), col("p2").as("consequent"),
+            col("support"))
+          .unionAll(freq.select(col("p2"), col("p1"), col("support")))
+        rules.join(items, col("item") === col("antecedent"))
+          .select(col("antecedent"), col("consequent"), col("support"),
+            expr("(support * 1000000) div n_orders").as("confidence_e6"))
+    },
+
     // UNPIVOT — the inverse wide-to-long reshape next to orders_pivot:
     // the pivoted (priority × status-count) frame melts back to
     // (priority, status, n) rows via Spark's native unpivot
