@@ -174,6 +174,57 @@ object TimeSeries {
               16, 10).cast("long"), 64).as("approx_users"))
     },
 
+    // ANOMALY FLAGS — the metrics-alerting staple: flag an event whose
+    // value sits more than 2 sample-stddevs from its user's TRAILING
+    // window (8 preceding events, current excluded). The trailing
+    // moments (n, Σx, Σx²) are EXACT integer window sums of scaled
+    // cents, and mean/variance/threshold evaluate as a fixed tree of
+    // single IEEE ops on identical integers — the VAR_SAMP moment
+    // discipline applied at the window level, so a BOOLEAN cut
+    // (classically nondeterministic when engines disagree in an ulp)
+    // sits behind the hash gate. Windows shorter than 4 flag NULL.
+    sql("events_anomaly_flags",
+      """WITH b AS (
+        | SELECT event_id, user_id, ts,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS v
+        | FROM events),
+        |w AS (
+        | SELECT event_id, user_id, v,
+        |  COUNT(v) OVER tw AS n,
+        |  SUM(v) OVER tw AS s1,
+        |  SUM(v * v) OVER tw AS s2
+        | FROM b
+        | WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, CAST(n AS BIGINT) AS n_win,
+        | CASE WHEN n < 4 THEN NULL ELSE
+        |  abs(CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |   > 2.0 * sqrt(GREATEST((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0))
+        | END AS is_anomaly
+        |FROM w""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("v"))
+        val tw = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-8, -1)
+        val w = b.select(col("event_id"), col("user_id"), col("v"),
+          count(col("v")).over(tw).as("n"),
+          sum(col("v")).over(tw).as("s1"),
+          sum(col("v") * col("v")).over(tw).as("s2"))
+        val nd = col("n").cast("double")
+        val s1d = col("s1").cast("double")
+        val s2d = col("s2").cast("double")
+        val variance = greatest(
+          (nd * s2d - s1d * s1d) / (nd * (nd - lit(1.0))), lit(0.0))
+        w.select(col("event_id"), col("user_id"), col("n").cast("long").as("n_win"),
+          when(col("n") < 4, lit(null).cast("boolean"))
+            .otherwise(abs(col("v").cast("double") - s1d / nd) >
+              lit(2.0) * sqrt(variance)).as("is_anomaly"))
+    },
+
     // TOP-K PER WINDOW — the trending dashboard query: for each day,
     // the 3 most frequent event types with their counts. Count per
     // (day, type) is one hash aggregate; the per-day top-3 is a rank
