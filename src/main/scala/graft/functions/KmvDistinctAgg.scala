@@ -181,6 +181,80 @@ case class KmvSketchAgg(
   override def prettyName: String = "kmv_sketch"
 }
 
+/** Merges [[KmvSketchAgg]] arrays into a MERGED SKETCH (not an
+  * estimate) — the intermediate level of a rollup TREE: daily sketches
+  * → weekly sketches → … → final estimate ([[KmvMergeAgg]]). Exact at
+  * every level: bottom-k of a union of bottom-k sets is the union's
+  * bottom-k, so any rollup shape yields the same sketch as a direct
+  * pass. */
+case class KmvMergeSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  require(k >= 2, s"kmv_merge_sketch: k must be >= 2, got $k")
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_merge_sketch expects an ARRAY<BIGINT> sketch (from kmv_sketch), got ${other.sql}")
+    }
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size() < k) { buf.add(v); () }
+    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
+  }
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val a = child.eval(input)
+    if (a != null) {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
+    }
+    buf
+  }
+  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator(); while (it.hasNext) add(a, it.next()); a
+  }
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size())
+    val it = buf.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { out.add(bb.getLong); i += 1 }
+    out
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvMergeSketchAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_merge_sketch"
+}
+
 /** Re-aggregates [[KmvSketchAgg]] arrays (the rollup side of
   * partial-aggregation-as-data): folds every element of every input
   * sketch through the same bottom-k state and evaluates the
@@ -267,6 +341,12 @@ object KmvDistinctAgg {
   def kmv_merge_estimate(c: Column, k: Int): Column =
     GraftBridge.toColumn(AggregateExpression(
       KmvMergeAgg(GraftBridge.toExpression(c), k), Complete, isDistinct = false))
+
+  /** Column API: `kmv_merge_sketch(sketch, k)` — sketch-valued merge,
+    * the intermediate level of a rollup tree. */
+  def kmv_merge_sketch(c: Column, k: Int): Column =
+    GraftBridge.toColumn(AggregateExpression(
+      KmvMergeSketchAgg(GraftBridge.toExpression(c), k), Complete, isDistinct = false))
 
   /** The estimator's DuckDB mirror for an input hashed the standard
     * way (`hashSql` must be the md5→60-bit-long bridge of the SAME

@@ -274,5 +274,40 @@ object TimeSeries {
           .groupBy(col("week"))
           .agg(graft.functions.KmvDistinctAgg.kmv_merge_estimate(col("sketch"), 64)
             .as("approx_users"))
+    },
+
+    // TWO-LEVEL rollup TREE — daily sketches merge into weekly
+    // SKETCHES (kmv_merge_sketch, still sketch-valued) which merge
+    // into the monthly (30-day) ESTIMATE: the lakehouse aggregation
+    // hierarchy (persist day partials, derive week/month without
+    // re-reading raw events). The oracle computes the month DIRECTLY
+    // from raw events, so the gated claim is exactness through BOTH
+    // merge levels (bottom-k associativity).
+    sql("events_kmv_monthly_rollup",
+      graft.functions.KmvDistinctAgg.oracleSql(
+        table = "(SELECT user_id, (epoch_us(ts) // 86400000000) // 30 AS month FROM events) ev",
+        groupCols = Seq("month"),
+        hashSql = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT",
+        k = 64, estAlias = "approx_users")) {
+      (s, d) =>
+        import graft.functions.KmvDistinctAgg.{kmv_merge_estimate, kmv_merge_sketch, kmv_sketch}
+        val daily = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+          .groupBy(col("day"))
+          .agg(kmv_sketch(
+            conv(substring(md5(to_binary(col("user_id").cast("string"), lit("utf-8"))), 1, 15),
+              16, 10).cast("long"), 64).as("sketch"))
+        val weekly = daily
+          // weeks anchored to the 30-day month grid so every week's
+          // days land in exactly one month (7 does not divide 30;
+          // calendar-anchored weeks would straddle months and make
+          // the two-level tree semantically wrong, not just inexact)
+          .select(expr("day div 30").as("month"), expr("(day % 30) div 7").as("wk"),
+            col("sketch"))
+          .groupBy(col("month"), col("wk"))
+          .agg(kmv_merge_sketch(col("sketch"), 64).as("sketch"))
+        weekly
+          .groupBy(col("month"))
+          .agg(kmv_merge_estimate(col("sketch"), 64).as("approx_users"))
     })
 }
