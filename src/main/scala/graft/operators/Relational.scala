@@ -967,6 +967,61 @@ object Relational {
               col("t_purchase") > col("t_view")).as("reached_purchase"))
     },
 
+    // TIME-BOUNDED funnel — the attribution-window variant: each stage
+    // must occur within ONE HOUR of the previous stage's time, and the
+    // stage time is the FIRST qualifying event (min over events after
+    // the previous stage, not the global min — a user whose only view
+    // precedes their click does not convert). Three stages = three
+    // conditional-min aggregates chained by user-keyed equi-joins;
+    // all time arithmetic in integer micros. Latencies emitted as
+    // BIGINT micros.
+    sql("events_funnel_windowed",
+      """WITH c AS (
+        | SELECT user_id, min(epoch_us(ts)) AS t_click
+        | FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (
+        | SELECT e.user_id, min(epoch_us(e.ts)) AS t_view
+        | FROM events e JOIN c ON c.user_id = e.user_id
+        | WHERE e.event_type = 'view' AND epoch_us(e.ts) > c.t_click
+        |  AND epoch_us(e.ts) - c.t_click <= 3600000000
+        | GROUP BY e.user_id),
+        |p AS (
+        | SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        | FROM events e JOIN v ON v.user_id = e.user_id
+        | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_view
+        |  AND epoch_us(e.ts) - v.t_view <= 3600000000
+        | GROUP BY e.user_id)
+        |SELECT c.user_id,
+        | (v.user_id IS NOT NULL) AS converted_view,
+        | (p.user_id IS NOT NULL) AS converted_purchase,
+        | CAST(v.t_view - c.t_click AS BIGINT) AS view_latency_us,
+        | CAST(p.t_purchase - v.t_view AS BIGINT) AS purchase_latency_us
+        |FROM c LEFT JOIN v ON v.user_id = c.user_id
+        |LEFT JOIN p ON p.user_id = c.user_id""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+        val v = ev.filter(col("event_type") === "view").as("e")
+          .join(c.as("c"), col("e.user_id") === col("c.user_id"))
+          .filter(col("us") > col("t_click") &&
+            col("us") - col("t_click") <= 3600000000L)
+          .groupBy(col("e.user_id").as("user_id")).agg(min(col("us")).as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+          .filter(col("us") > col("t_view") &&
+            col("us") - col("t_view") <= 3600000000L)
+          .groupBy(col("e.user_id").as("user_id")).agg(min(col("us")).as("t_purchase"))
+        c.join(v.withColumnRenamed("user_id", "vu"), col("user_id") === col("vu"), "left")
+          .join(p.withColumnRenamed("user_id", "pu"), col("user_id") === col("pu"), "left")
+          .select(col("user_id"),
+            col("vu").isNotNull.as("converted_view"),
+            col("pu").isNotNull.as("converted_purchase"),
+            (col("t_view") - col("t_click")).cast("long").as("view_latency_us"),
+            (col("t_purchase") - col("t_view")).cast("long").as("purchase_latency_us"))
+    },
+
     // Histogram quantile estimate — the MERGEABLE-sketch counterpart
     // of events_percentiles: percentile_cont needs the group's sorted
     // values in one place (a full shuffle of raw rows), while a
