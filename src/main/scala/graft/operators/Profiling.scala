@@ -120,5 +120,48 @@ object Profiling {
           .unionAll(row("fk_customer",
             o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
               .agg(count(lit(1)).as("v"))))
+    },
+
+    // The fact table's checks: composite-PK uniqueness, two FK edges
+    // (orders, part — the fan-out joins the engine maintains), and
+    // measure-domain ranges.
+    sql("quality_constraints_lineitem",
+      """SELECT 'pk_unique' AS constraint_name,
+        | CAST((SELECT COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+        |   FROM lineitem) AS BIGINT) AS n_violations
+        |UNION ALL
+        |SELECT 'fk_orders',
+        | (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+        |   SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'fk_part',
+        | (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+        |   SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'qty_range',
+        | (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+        |UNION ALL
+        |SELECT 'discount_range',
+        | (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)""".stripMargin) {
+      (s, d) =>
+        val l = Tables.lineitem(s, d)
+        def row(name: String, v: org.apache.spark.sql.DataFrame) =
+          v.select(lit(name).as("constraint_name"),
+            col("v").cast("long").as("n_violations"))
+        row("pk_unique",
+            l.agg((count(lit(1)) -
+              countDistinct(col("l_orderkey") * 10 + col("l_linenumber"))).as("v")))
+          .unionAll(row("fk_orders",
+            l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "left_anti")
+              .agg(count(lit(1)).as("v"))))
+          .unionAll(row("fk_part",
+            l.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"), "left_anti")
+              .agg(count(lit(1)).as("v"))))
+          .unionAll(row("qty_range",
+            l.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+              .agg(count(lit(1)).as("v"))))
+          .unionAll(row("discount_range",
+            l.filter(col("l_discount") < 0 || col("l_discount") > 1)
+              .agg(count(lit(1)).as("v"))))
     })
 }

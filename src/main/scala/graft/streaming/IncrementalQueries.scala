@@ -1526,6 +1526,45 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // CORR composed with ROLLUP — the co-moment folds run per grouping
+    // set through the same delta-side Expand as every other aggregate
+    // family, so subtotal and grand-total correlations maintain
+    // incrementally too; DuckDB's native ROLLUP + its own moment
+    // mirror per set is the oracle.
+    sql("incremental_sql_corr_rollup",
+      """WITH t AS (
+        | SELECT n_name, o_orderstatus,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x, o_custkey AS y
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0),
+        |m AS (SELECT n_name, o_orderstatus,
+        |  COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) END) AS sy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) * y END) AS syy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * y END) AS sxy,
+        |  COUNT(*) AS n_rows
+        | FROM t GROUP BY ROLLUP (n_name, o_orderstatus))
+        |SELECT n_name, o_orderstatus,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / NULLIF(sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |    * sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 0.0) AS r,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, o_orderstatus,
+          | CORR(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS r,
+          | COUNT(*) AS n_rows
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
     // CORR + COVAR_SAMP over the CONTINUOUS engine's streamed leaf —
     // the co-moment folds under micro-batch replay with retractions in
     // later batches; oracle mirrors both closed forms over HUGEINT
