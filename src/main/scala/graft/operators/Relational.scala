@@ -570,6 +570,44 @@ object Relational {
         .na.fill(0L, Seq("F", "O", "P"))
     },
 
+    // Q3-LIKE shipping priority — the third canonical TPC-H shape
+    // beside Q10 and the Q5-like: segment-filtered customers ⋈ orders
+    // ⋈ lineitem with date predicates on BOTH fact tables, grouped by
+    // (order, date, priority), top-10 by revenue. Exact e4-scaled
+    // revenue fold; deterministic cut via the unique o_orderkey
+    // tie-break.
+    sql("q3_like_shipping_priority",
+      """SELECT o_orderkey, revenue_e4,
+        | CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+        |FROM (
+        | SELECT o.o_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+        |  o.o_orderdate, o.o_orderpriority
+        | FROM customer c, orders o, lineitem l
+        | WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+        |  AND l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        | GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority) t
+        |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val cut = "1995-03-15"
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+          .join(Tables.orders(s, d).filter(col("o_orderdate") < lit(cut))
+            .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d).filter(col("l_shipdate") > lit(cut))
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))) * 10000).cast("long").as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("o_orderkey")).limit(10)
+          .select(col("o_orderkey"), col("revenue_e4"),
+            col("o_orderdate").cast("string").as("o_orderdate"), col("o_orderpriority"))
+    },
+
     // MARKET-BASKET co-occurrence — part pairs bought in the same
     // order (the association-mining staple): a self equi-join on
     // l_orderkey with p1 < p2. BOUNDED blow-up by construction: an
