@@ -903,6 +903,126 @@ object IncrementalQueries {
     q10Aggregate(runBatch(q10Tree, logs, sourceFiltered = true))
   }
 
+  /** The reference's TRUE production input shape end to end, gated:
+    * CDC text lines arrive as FILES in a watched directory (the
+    * reference's S1 source IS a file stream — DataFlow.java:37
+    * readTextFile), `spark.readStream.text` picks them up,
+    * [[CdcParser]] demuxes/parses the four relations, the streaming
+    * tree runs with node state in the state store CARRIED ACROSS FILE
+    * BATCHES, and the leaf deltas are folded by a foreachBatch UPSERT
+    * into a maintained result table — the production
+    * upsert-into-a-KV-store sink pattern (StreamingSpec additionally
+    * covers checkpoint recovery of this shape). Two physical file
+    * drops: the insert lines land first (micro-batch 1 builds state),
+    * then the delete lines (micro-batch 2 retracts through the held
+    * state — parent-death fan-out replays buffered children from the
+    * state store, not from the files). Oracle = incremental_q10's
+    * survivors SQL, so any file-source / state-carry / upsert-fold
+    * divergence fails the hash.
+    *
+    * The driver-held upsert map is the SINK (one row per surviving
+    * group — bounded by group count, the same bound any KV upsert sink
+    * carries), not engine state; all join/retraction state lives in
+    * the state store. */
+  def incrementalQ10FileStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType => Dbl, LongType => Lng,
+      StringType => Str, TimestampType => Tst}
+    val nationCols = Seq("n_nationkey", "n_name")
+    val custCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val ordCols = Seq("o_orderkey", "o_custkey", "o_orderdate")
+    val liCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag")
+    // one interleaved line stream, inserts and deletes rendered
+    // separately so they can arrive as two distinct file drops
+    val insertLines =
+      CdcParser.toCdcLines(Tables.nation(s, dir), add = true, "NATI", nationCols)
+        .unionAll(CdcParser.toCdcLines(Tables.customer(s, dir), add = true, "CUST", custCols))
+        .unionAll(CdcParser.toCdcLines(Tables.orders(s, dir), add = true, "ORDE", ordCols))
+        .unionAll(CdcParser.toCdcLines(Tables.lineitem(s, dir), add = true, "LINE", liCols))
+    val deleteLines =
+      CdcParser.toCdcLines(Tables.orders(s, dir).filter(col("o_orderkey") % 50 === 0),
+          add = false, "ORDE", ordCols)
+        .unionAll(CdcParser.toCdcLines(
+          Tables.lineitem(s, dir).filter(col("l_linenumber") === 3),
+          add = false, "LINE", liCols))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_filestream")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => p.toFile.delete())
+    }))
+    val watch = tmp.resolve("lines").toString
+    insertLines.write.mode("append").text(watch)
+    val ss = replaySession(s)
+    val lines = ss.readStream.text(watch)
+    def parse(code: String, schema: Seq[(String, org.apache.spark.sql.types.DataType)]) =
+      CdcParser.parseRelation(lines, code, schema)
+    val logs: Map[String, Dataset[Evt]] = Map(
+      "nation" -> cdcChangelog(
+        parse("NATI", Seq("n_nationkey" -> Lng, "n_name" -> Str)),
+        "n_nationkey", nationCols, None),
+      "customer" -> cdcChangelog(
+        parse("CUST", Seq("c_custkey" -> Lng, "c_name" -> Str,
+          "c_nationkey" -> Lng, "c_acctbal" -> Dbl)),
+        "c_nationkey", custCols, None),
+      "orders" -> cdcChangelog(
+        parse("ORDE", Seq("o_orderkey" -> Lng, "o_custkey" -> Lng, "o_orderdate" -> Tst)),
+        "o_custkey", ordCols,
+        Some(col("o_orderdate") >= dateLo && col("o_orderdate") < dateHi)),
+      "lineitem" -> cdcChangelog(
+        parse("LINE", Seq("l_orderkey" -> Lng, "l_linenumber" -> Lng,
+          "l_extendedprice" -> Dbl, "l_discount" -> Dbl, "l_returnflag" -> Str)),
+        "l_orderkey", liCols,
+        Some(col("l_returnflag") === "R")))
+    val leaf = runStreamTree(chainStages(q10Tree), logs, sourceFiltered = true)
+    // foreachBatch upsert: fold each micro-batch's leaf deltas to
+    // per-group partials (distributed agg), then merge into the
+    // maintained table keyed by the unique group key c_custkey
+    val table = new scala.collection.concurrent.TrieMap[
+      Long, (String, Double, String, Long, Long)]
+    val query = leaf.writeStream
+      .foreachBatch { (batch: Dataset[Evt], batchId: Long) =>
+        val partial = boundedReplayCollect(s"incremental_q10_filestream(batch $batchId)",
+          q10BatchPartial(batch))
+        partial.foreach { r =>
+          val key = r.getLong(0)
+          val (dRev, dCnt) = (r.getLong(4), r.getLong(5))
+          val merged = table.get(key) match {
+            case Some((nm, ab, nn, rev, cnt)) => (nm, ab, nn, rev + dRev, cnt + dCnt)
+            case None => (r.getString(1), r.getDouble(2), r.getString(3), dRev, dCnt)
+          }
+          if (merged._5 == 0L) table.remove(key) else table.put(key, merged)
+        }: Unit
+      }
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()   // micro-batch 1: inserts build state
+      deleteLines.write.mode("append").text(watch)
+      query.processAllAvailable()   // micro-batch 2: deletes retract it
+    } finally query.stop()
+    import ss.implicits._
+    table.toSeq.map { case (k, (nm, ab, nn, rev, cnt)) => (k, nm, ab, nn, rev, cnt) }
+      .toDF("c_custkey", "c_name", "c_acctbal", "n_name", "revenue_e4", "n_rows")
+  }
+
+  /** One micro-batch's per-group signed partial of the Q10 fold (no
+    * survivor filter — a group at net zero must still reach the upsert
+    * to delete its row). */
+  private def q10BatchPartial(leaf: Dataset[Evt]): DataFrame = {
+    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    leaf.toDF().select(
+        (col("tag") * col("mult")).cast(LongType).as("sign"),
+        c.getItem("c_custkey").cast(LongType).as("c_custkey"),
+        c.getItem("c_name").as("c_name"),
+        c.getItem("c_acctbal").cast(DoubleType).as("c_acctbal"),
+        c.getItem("n_name").as("n_name"),
+        round(c.getItem("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+          .cast(LongType).as("rev_e4"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
+        sum(col("sign")).as("n_rows"))
+  }
+
   /** Per-event running-output parity with the reference's A1 (one
     * `Output` row per delta, Q10AggregateProcessFunction.java:75-80):
     * every leaf delta becomes a row carrying the group's running
@@ -1194,6 +1314,23 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10FromJson),
+
+    // The file-STREAM deployment shape gated end to end: CDC text
+    // files dropped into a watched dir → readStream.text → CdcParser
+    // demux → streaming tree (state carried across TWO file
+    // micro-batches) → foreachBatch upsert into the result table.
+    // Same oracle as incremental_q10.
+    sql("incremental_q10_filestream",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10FileStream),
 
     // The SAME query as incremental_q10, but compiled FROM SQL TEXT by
     // [[SqlCompiler]] (Catalyst parser → FK-graph validation → NodeSpec
