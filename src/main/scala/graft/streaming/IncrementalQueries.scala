@@ -706,6 +706,42 @@ object IncrementalQueries {
       "incremental_sql_q10_stream_leaf")
   }
 
+  /** LEFT OUTER JOIN from SQL TEXT: the compiler plans the inner tree
+    * PLUS an anti plan per LEFT boundary (NOT EXISTS wiring — see
+    * [[SqlCompiler.OuterPlan]]); their unioned leaf deltas feed the
+    * one fold, where the optional side's absent canon columns read as
+    * SQL NULLs. Orders with no R-lineitem surface as NULL-extended
+    * rows (SUM skips them, COUNT(*) counts them); when lineitem
+    * deletes make an order childless, the key node's 1→0 flip asserts
+    * the NULL-extension the inner plan just retracted — and vice
+    * versa. Oracle: the same LEFT JOIN over the survivor tables. */
+  private val q10OuterSql =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+       | COUNT(*) AS n_rows
+       |FROM nation
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |LEFT JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+       |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin
+
+  private val q10OuterDeletes = Map(
+    "orders" -> (col("o_orderkey") % 50 === 0),
+    "lineitem" -> (col("l_linenumber") === 3))
+
+  def incrementalSqlQ10Outer(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compile(s, dir, q10OuterSql).run(s, dir, q10OuterDeletes)
+
+  /** [[incrementalSqlQ10Outer]] through the CONTINUOUS engine: both
+    * the inner and the anti plan replay over the same raw event
+    * streams as real micro-batches (inserts then deletes), so the
+    * NULL-extension asserts/retracts ACROSS batches through held
+    * state. */
+  def incrementalSqlQ10OuterStream(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir, q10OuterSql), dir,
+      q10OuterDeletes, "incremental_sql_q10_outer_stream_leaf")
+
   /** VIEW MODE through the CONTINUOUS engine: the compiled
     * non-aggregate SELECT replays over raw event streams and the bag
     * view (net-count explode) folds the streamed leaf — same oracle
@@ -1492,6 +1528,38 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10Stream),
+
+    // LEFT OUTER JOIN from SQL text — inner tree + anti plan unioned
+    // into one fold; NULL-extended orders (no R-lineitem) keep
+    // COUNT(*) alive while SUM skips them. Oracle: the same LEFT JOIN
+    // over the survivors.
+    sql("incremental_sql_q10_outer",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |LEFT JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+         | AND l_linenumber <> 3
+         |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10Outer),
+
+    // The same compiled LEFT JOIN through the CONTINUOUS engine —
+    // NULL-extensions assert/retract across real micro-batches.
+    sql("incremental_sql_q10_outer_stream",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |LEFT JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+         | AND l_linenumber <> 3
+         |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10OuterStream),
 
     sql("incremental_q10_rev_quantile",
       s"""WITH v AS (

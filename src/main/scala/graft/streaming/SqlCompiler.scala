@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, EqualTo, Expression, Literal, NullsFirst}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
@@ -75,6 +75,24 @@ object SqlCompiler {
     * the query selects it, a synthetic internal name when it doesn't). */
   final case class GroupSpec(frag: String, alias: String)
 
+  /** One LEFT-JOIN boundary's ANTI plan: the join tree truncated just
+    * above the optional relation, with the optional side compiled as a
+    * set-semantics key node + an `antiParent` liveness hop on its
+    * parent — the NOT EXISTS wiring reused for outer-join
+    * NULL-extension. Its leaf deltas are the NULL-extended rows (the
+    * optional subtree's columns are simply absent from the canon, so
+    * the shared fold reads them as NULL); when a first matching child
+    * appears, the key node's 0→1 flip retracts the buffered parent
+    * rows — the outer row's NULL-extension retracts exactly as the
+    * inner plan asserts the joined row. `rekeyRel`/`rekeyCol`: the
+    * parent's own changelog re-keys (engine-side, from the canon) to
+    * the correlation column the anti hop shuffles on. */
+  final case class OuterPlan(
+      stages: Seq[DeltaEngine.Stage],
+      path: Seq[String],
+      rekeyRel: String,
+      rekeyCol: String)
+
   final case class Compiled(
       path: Seq[String],
       stages: Seq[DeltaEngine.Stage],
@@ -96,7 +114,11 @@ object SqlCompiler {
       rollupSets: Option[Seq[Seq[String]]] = None,
       /** GROUPING(col) SELECT items as (output alias, group frag) —
         * per-set constants emitted by [[aggregate]]. */
-      groupingFlags: Seq[(String, String)] = Nil) {
+      groupingFlags: Seq[(String, String)] = Nil,
+      /** One ANTI plan per LEFT-JOIN boundary (empty for inner-only
+        * queries): [[run]]/[[runStream]] union their leaf deltas with
+        * the main tree's before the shared fold. */
+      outerPlans: Seq[OuterPlan] = Nil) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -284,7 +306,17 @@ object SqlCompiler {
             val den = nullif(n * (n - lit(1L)), lit(0L)).cast("double")
             ((n.cast("double") * sxy.cast("double") -
               sx.cast("double") * sy.cast("double")) / den).as(a.alias)
-          case _ => sum(col("__sign") * expr(a.frag)).as(a.alias)
+          case _ =>
+            // retractable SUM with SQL NULL semantics: the signed fold
+            // alone returns 0 (not NULL) for a group whose non-NULL
+            // contributions net away while NULL-argument rows (e.g.
+            // LEFT JOIN NULL-extensions) keep it alive — so the sum is
+            // guarded by the signed count of non-NULL arguments, like
+            // AVG's denominator
+            when(sum(when(expr(a.frag).isNotNull, col("__sign"))
+                .otherwise(lit(0L))) === 0L, lit(null))
+              .otherwise(sum(col("__sign") * expr(a.frag)))
+              .as(a.alias)
         }
       } :+ sum(col("__sign")).as("__net")
       val main = keyed.groupBy(groupKeys: _*)
@@ -420,8 +452,25 @@ object SqlCompiler {
             case None => logs0
           }
         }
-      aggregate(DeltaEngine.runTree(stages, logs, sourceFiltered = true).toDF())
+      aggregate(withOuterLeaves(logs,
+        DeltaEngine.runTree(stages, logs, sourceFiltered = true),
+        (sts, lgs) => DeltaEngine.runTree(sts, lgs, sourceFiltered = true)).toDF())
     }
+
+    /** Union the main tree's leaf deltas with every LEFT-JOIN anti
+      * plan's (batch and stream share the shape; the caller picks the
+      * tree runner). Each anti plan reuses the SAME changelogs, with
+      * the boundary parent's own events re-keyed (from the canon) to
+      * the correlation column its anti hop shuffles on. */
+    private def withOuterLeaves(logs: Map[String, Dataset], mainLeaf: Dataset,
+        runner: (Seq[DeltaEngine.Stage], Map[String, Dataset]) => Dataset): Dataset =
+      outerPlans.foldLeft(mainLeaf) { (acc, p) =>
+        val planLogs = p.path.map { rel =>
+          rel -> (if (rel == p.rekeyRel) rekeyByCanon(logs(rel), p.rekeyCol)
+                  else logs(rel))
+        }.toMap
+        acc.union(runner(p.stages, planLogs))
+      }
 
     /** The continuous form — the reference's actual deployment shape:
       * raw streaming changelogs in, signed leaf deltas out (consume
@@ -434,8 +483,11 @@ object SqlCompiler {
       val filtered = changelogs.map { case (rel, ds) =>
         rel -> eventFilter(spark, rel).map(ds.filter).getOrElse(ds)
       }
-      DeltaEngine.runStreamTree(stages, filtered, stateTtl, sourceFiltered = true,
-        eventTtl = eventTtl)
+      withOuterLeaves(filtered,
+        DeltaEngine.runStreamTree(stages, filtered, stateTtl, sourceFiltered = true,
+          eventTtl = eventTtl),
+        (sts, lgs) => DeltaEngine.runStreamTree(sts, lgs, stateTtl,
+          sourceFiltered = true, eventTtl = eventTtl))
     }
 
     /** Column names a SQL fragment references (via the parser — no
@@ -447,6 +499,18 @@ object SqlCompiler {
   }
 
   private type Dataset = org.apache.spark.sql.Dataset[Evt]
+
+  /** Re-key a changelog by a column read from its canonical row — a
+    * codegen'd narrow projection (the shuffle to the new key happens in
+    * the consuming stage, as with any changelog). */
+  private def rekeyByCanon(ds: Dataset, colName: String): Dataset = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.toDF()
+      .withColumn("key",
+        str_to_map(col("row"), lit(FS.toString), lit(KV.toString)).getItem(colName))
+      .as[Evt]
+  }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
@@ -692,10 +756,33 @@ object SqlCompiler {
     // covers just its relation (and HIDES the base name, per SQL
     // scoping); an alias over a parenthesized join subtree covers every
     // relation underneath it.
+    val outerOn = scala.collection.mutable.ArrayBuffer[(String, Seq[Expression])]()
     def walkJoins(p: LogicalPlan): (Seq[String], Seq[Expression], Map[String, Seq[String]]) = p match {
       case Join(l, r, Inner, cond, _) =>
         val (lr, lc, la) = walkJoins(l); val (rr, rc, ra) = walkJoins(r)
         (lr ++ rr, lc ++ rc ++ cond.toSeq.flatMap(splitConjuncts), la ++ ra)
+      // LEFT JOIN: the optional side compiles as the inner tree PLUS a
+      // per-boundary ANTI plan (NOT EXISTS wiring) whose leaf deltas
+      // are the NULL-extended rows — planned below once the owner map
+      // and stage graph exist. The ON conjuncts join the common pool
+      // (the FK equality becomes a tree edge; optional-side predicates
+      // become that relation's scan filter, which IS outer-join ON
+      // semantics: they select which children exist, never which left
+      // rows survive).
+      case Join(l, r, LeftOuter, cond, _) =>
+        val (lr, lc, la) = walkJoins(l)
+        val (rr, rc, ra) = walkJoins(r)
+        if (rr.size != 1 || rc.nonEmpty)
+          fail("LEFT JOIN right side must be a single base relation " +
+            "(chain further LEFT JOINs instead of parenthesizing them)")
+        val conj = cond.toSeq.flatMap(splitConjuncts)
+        if (conj.isEmpty)
+          fail(s"LEFT JOIN ${rr.head} needs an ON clause with the FK equality")
+        outerOn += ((rr.head, conj))
+        (lr ++ rr, lc ++ conj, la ++ ra)
+      case Join(_, _, other, _, _) if other != Inner =>
+        fail(s"$other join is not compiled — INNER and LEFT OUTER joins only " +
+          "(rewrite RIGHT as LEFT; FULL OUTER is not incrementally maintained here)")
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         val (rs, cs, as) = walkJoins(a.child)
         (rs, cs, as + (a.alias.toLowerCase -> rs))
@@ -778,6 +865,34 @@ object SqlCompiler {
           "diverge from NOT EXISTS whenever the subquery side holds NULLs — " +
           "rewrite as NOT EXISTS with an explicit correlation equality")
       case _ => true
+    }
+
+    // LEFT JOIN scope rules. ON conjuncts: exactly one cross-scope FK
+    // equality (validated as a tree edge below, with the optional side
+    // as FK child) plus optional-side-only predicates. WHERE may not
+    // constrain an optional relation — SQL semantics there reject the
+    // NULL-extended rows (an effectively-inner query), which this
+    // engine will not silently compile under a LEFT JOIN spelling.
+    val outerRels: Set[String] = outerOn.map(_._1).toSet
+    outerOn.foreach { case (r, conj) =>
+      conj.foreach {
+        case eq @ EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if ownerOf(a) != ownerOf(b) =>
+          if (ownerOf(a) != r && ownerOf(b) != r)
+            fail(s"LEFT JOIN $r ON '${fragment(eq)}' does not join '$r' itself")
+        case c =>
+          val owners = c.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct
+          if (owners != Seq(r))
+            fail(s"LEFT JOIN ON predicate '${fragment(c)}' must reference only " +
+              s"the optional side '$r' — a left-side predicate belongs in WHERE")
+      }
+    }
+    if (outerRels.nonEmpty) plainFilterConjuncts.foreach { c =>
+      c.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct
+        .filter(outerRels).foreach(r =>
+          fail(s"WHERE predicate '${fragment(c)}' references LEFT-JOINed " +
+            s"relation '$r' — it would reject the NULL-extended rows; move it " +
+            "into the ON clause, or use an inner JOIN if that is the intent"))
     }
 
     // classify conjuncts: FK equi-joins vs single-relation predicates
@@ -901,6 +1016,10 @@ object SqlCompiler {
     if (gates.map(_.subRel).distinct.size != gates.size)
       fail(s"multiple subquery gates over one relation " +
         s"(${gates.map(_.subRel)}) — each gate owns its relation's changelog identity")
+    gates.find(g => outerRels(g.outerRel)).foreach(g =>
+      fail(s"[NOT] EXISTS correlated to LEFT-JOINed relation '${g.outerRel}' — " +
+        "a WHERE-level gate rejects its NULL-extended rows (three-valued " +
+        "semantics); gate an inner relation instead"))
 
     val soloGated = relations.size == 1 && gates.nonEmpty
     val baseStages =
@@ -929,6 +1048,50 @@ object SqlCompiler {
     // relation order with every parent before its children (the order
     // the stages consume their changelogs in)
     val path = stages.filter(_.ownStage.isEmpty).map(_.spec.relation)
+
+    // LEFT JOIN boundaries → per-boundary ANTI plans: truncate the
+    // stage list just above the optional relation (stage references
+    // only point backward, so a prefix is always reference-closed) and
+    // splice the NOT EXISTS wiring — a set-semantics key node over the
+    // optional side's correlation column, whose 0↔1 flips gate the
+    // parent through an antiParent hop. The hop emits parents with NO
+    // matching child, parent columns only — the NULL-extension is the
+    // optional subtree's columns simply being absent from the canon.
+    val outerPlans: Seq[OuterPlan] = outerOn.map(_._1).distinct.toSeq.map { r =>
+      if (stages.count(_.spec.relation == r) != 1)
+        fail(s"LEFT-JOINed relation '$r' cannot also carry subquery gates " +
+          "or pair stages")
+      val k = stages.indexWhere(_.spec.relation == r)
+      val entryR = stages(k)
+      if (entryR.ownStage.nonEmpty || entryR.pairStage.nonEmpty)
+        fail(s"LEFT JOIN on shared-dimension/pair relation '$r' is not compiled")
+      stages.drop(k + 1).map(_.spec.relation).filterNot(outerRels).distinct
+        .foreach(inner =>
+          fail(s"inner relation '$inner' hangs below LEFT-JOINed '$r' — LEFT " +
+            "JOIN right sides must form the leaf side of the join tree"))
+      val edge = queryEdges.find(_.child == r).getOrElse(
+        fail(s"LEFT-JOINed relation '$r' must be the FK child side of its ON " +
+          "equality (an optional parent dimension is not compiled)"))
+      val kept = stages.take(k)
+      val pIdx = kept.indexWhere(st =>
+        st.spec.relation == edge.parent && st.ownStage.isEmpty)
+      if (pIdx < 0)
+        fail(s"LEFT JOIN parent '${edge.parent}' does not precede '$r' in the plan")
+      val pEntry = kept(pIdx)
+      val keysName = s"__outer_${r}_keys"
+      val hopName = s"__outer_${r}_hop"
+      val keys = DeltaEngine.Stage(keysName,
+        NodeSpec(r, edge.fkCol, edge.fkCol, isRoot = true, setSemantics = true))
+      val hop = DeltaEngine.Stage(hopName,
+        NodeSpec(edge.parent, edge.parentCol, pEntry.spec.childKeyCol,
+          antiParent = true),
+        parentStage = Some(keysName))
+      val planStages =
+        kept.patch(pIdx, Seq(keys, hop, pEntry.copy(ownStage = Some(hopName))), 1)
+      OuterPlan(planStages,
+        planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
+        edge.parent, edge.parentCol)
+    }
 
     // local predicates become per-relation scan filters (original text)
     val wheres: Map[String, String] = localPreds.groupBy { c =>
@@ -1203,7 +1366,8 @@ object SqlCompiler {
     }
 
     Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
-      neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq)
+      neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq,
+      outerPlans)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

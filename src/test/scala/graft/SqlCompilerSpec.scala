@@ -1284,4 +1284,71 @@ class SqlCompilerSpec extends AnyFunSuite {
           |              WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal)
           |GROUP BY c_mktsegment""".stripMargin, "may cross scopes")
   }
+
+  test("LEFT JOIN: NULL-extension asserts, retracts on child arrival, re-asserts on child death") {
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DeltaEngine.Evt
+    val sparkS = s
+    import sparkS.implicits._
+    val c = SqlCompiler.compile(s, d,
+      """SELECT o_orderkey, COUNT(*) AS n_rows,
+        | SUM(CAST(l_linenumber AS BIGINT)) AS ln_sum
+        |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey""".stripMargin)
+    assert(c.outerPlans.size == 1)
+    val streams = Map("orders" -> MemoryStream[Evt], "lineitem" -> MemoryStream[Evt])
+    val out = c.runStream(streams.view.mapValues(_.toDS()).toMap)
+    val query = out.writeStream
+      .format("memory").queryName("sql_outer_leaf").outputMode("append").start()
+    def state(): Seq[(Long, Long, Any)] =
+      c.aggregate(s.table("sql_outer_leaf"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+    try {
+      // batch 1: a parent with no child -> the NULL-extended row
+      streams("orders").addData(Evt(0L, false, 1, 1, "1", Map("o_orderkey" -> "1")))
+      query.processAllAvailable()
+      assert(state() == Seq((1L, 1L, null)), "childless parent must NULL-extend")
+      // batch 2: the child arrives -> the NULL-extension RETRACTS
+      // through held state and the joined row takes its place
+      streams("lineitem").addData(
+        Evt(1L, false, 1, 1, "1", Map("l_orderkey" -> "1", "l_linenumber" -> "7")))
+      query.processAllAvailable()
+      assert(state() == Seq((1L, 1L, 7L)), "first child must retract the NULL-extension")
+      // batch 3: the child dies -> the NULL-extension re-asserts
+      streams("lineitem").addData(
+        Evt(2L, false, -1, 1, "1", Map("l_orderkey" -> "1", "l_linenumber" -> "7")))
+      query.processAllAvailable()
+      assert(state() == Seq((1L, 1L, null)), "last child death must re-assert the NULL-extension")
+    } finally query.stop()
+  }
+
+  test("LEFT JOIN shapes that cannot keep outer semantics fail loudly") {
+    def bad(sqlText: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
+      assert(ex.getMessage.contains(needle), s"message: ${ex.getMessage}")
+    }
+    // WHERE on the optional side would reject the NULL-extended rows
+    bad("""SELECT o_orderkey, COUNT(*) AS n
+          |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY o_orderkey""".stripMargin, "NULL-extended")
+    // a left-side predicate in ON has keep-all semantics the scan
+    // filter cannot express
+    bad("""SELECT c_custkey, COUNT(*) AS n
+          |FROM customer LEFT JOIN orders
+          | ON o_custkey = c_custkey AND c_acctbal > 0
+          |GROUP BY c_custkey""".stripMargin, "optional side")
+    // the optional side must be the FK-child/leaf side, not a parent
+    // dimension (here the leaf-side guard fires: the FK child lineitem
+    // hangs below the optional orders)
+    bad("""SELECT o_orderkey, COUNT(*) AS n
+          |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderkey""".stripMargin, "leaf side")
+    // an inner relation may not hang below an optional one
+    bad("""SELECT c_custkey, COUNT(*) AS n
+          |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |GROUP BY c_custkey""".stripMargin, "leaf side")
+  }
 }
