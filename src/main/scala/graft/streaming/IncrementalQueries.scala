@@ -164,6 +164,17 @@ object IncrementalQueries {
   val BloomPrefilterItemsConf = "spark.graft.incremental.bloomPrefilter.expectedItems"
   val BloomPrefilterFppConf = "spark.graft.incremental.bloomPrefilter.fpp"
 
+  /** OPT-IN skew salting for the COMPILER, following the bloom conf
+    * pattern: name the skewed relation and the salt width, and
+    * [[SqlCompiler]] sets `salts = S` on that relation's liveness
+    * stage — its own events bucket into S sub-keys by row hash while
+    * the parent's liveness deltas replicate to every bucket
+    * ([[DeltaEngine.Stage]] skew note). Answer-invariant (the gated
+    * entry proves it); spend the ×S parent replication only where one
+    * hot key would otherwise pin a stage to a single task. */
+  val SaltRelationConf = "spark.graft.incremental.saltRelation"
+  val SaltWidthConf = "spark.graft.incremental.saltWidth"
+
   def bloomPrefilterChild(logs: Map[String, Dataset[Evt]],
       parentRel: String, parentChildKey: String, childRel: String,
       expectedItems: Long, fpp: Double = 0.03): Map[String, Dataset[Evt]] = {
@@ -741,6 +752,33 @@ object IncrementalQueries {
   def incrementalSqlQ10OuterStream(s: SparkSession, dir: String): DataFrame =
     runSqlStreamed(s, SqlCompiler.compile(s, dir, q10OuterSql), dir,
       q10OuterDeletes, "incremental_sql_q10_outer_stream_leaf")
+
+  /** Conf-wired SKEW SALTING through the compiler (the bloom
+    * pattern, [[SaltRelationConf]]): the session conf names lineitem
+    * as the skewed relation and the compiler widens its liveness
+    * stage to 8 salted sub-keys. Same SQL text and survivors oracle
+    * as incremental_sql_q10 — the de-skew must be answer-invariant
+    * through the compiled path, not just the tree API
+    * (incremental_q10_salted). Child session, caller's conf never
+    * mutated. */
+  def incrementalSqlQ10Salted(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set(SaltRelationConf, "lineitem")
+    ss.conf.set(SaltWidthConf, "8")
+    SqlCompiler.compile(ss, dir,
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation, customer, orders, lineitem
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)
+      .run(ss, dir, Map(
+        "lineitem" -> (col("l_linenumber") === 3),
+        "orders" -> (col("o_orderkey") % 50 === 0)))
+  }
 
   /** VIEW MODE through the CONTINUOUS engine: the compiled
     * non-aggregate SELECT replays over raw event streams and the bag
@@ -1560,6 +1598,21 @@ object IncrementalQueries {
          |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10OuterStream),
+
+    // Conf-wired skew salting through the COMPILER (the bloom conf
+    // pattern) — lineitem's stage folds over 8 salted sub-keys; same
+    // survivors oracle as incremental_sql_q10.
+    sql("incremental_sql_q10_salted",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10Salted),
 
     sql("incremental_q10_rev_quantile",
       s"""WITH v AS (

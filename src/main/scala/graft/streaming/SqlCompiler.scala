@@ -1044,7 +1044,30 @@ object SqlCompiler {
     // provides the liveness a join tree otherwise would): the surgery
     // ran against a synthetic passthrough root, dropped here so the
     // last gate hop IS the leaf — no identity exchange survives
-    val stages = if (soloGated) gatedStages.filterNot(_.name == "__solo") else gatedStages
+    val unsaltedStages =
+      if (soloGated) gatedStages.filterNot(_.name == "__solo") else gatedStages
+    // OPT-IN conf-wired skew salting (the bloom pattern): the session
+    // names a skewed relation + width, and its liveness stage folds
+    // over salted sub-keys — own events bucket by row hash, parent
+    // liveness deltas replicate ×S, emissions re-key (unsalted) from
+    // the canon as always. Compiled HERE so every consumer — batch
+    // run, runStream, and the LEFT-JOIN anti plans built from this
+    // stage list — inherits the widened exchange.
+    val stages = spark.conf.getOption(IncrementalQueries.SaltRelationConf) match {
+      case None => unsaltedStages
+      case Some(rel) =>
+        val width = spark.conf.getOption(IncrementalQueries.SaltWidthConf)
+          .map(_.toInt).getOrElse(8)
+        if (width < 2) fail(s"${IncrementalQueries.SaltWidthConf} must be >= 2, got $width")
+        val idx = unsaltedStages.indexWhere(st =>
+          st.spec.relation == rel && st.ownStage.isEmpty && st.pairStage.isEmpty &&
+            !st.spec.isRoot)
+        if (idx < 0)
+          fail(s"${IncrementalQueries.SaltRelationConf} names '$rel', which has no " +
+            "non-root liveness stage in this plan (roots and pair stages are not " +
+            "salted here; pair glue salting is TreeCompiler.swapPairOrientation)")
+        unsaltedStages.updated(idx, unsaltedStages(idx).copy(salts = width))
+    }
     // relation order with every parent before its children (the order
     // the stages consume their changelogs in)
     val path = stages.filter(_.ownStage.isEmpty).map(_.spec.relation)

@@ -1351,4 +1351,24 @@ class SqlCompilerSpec extends AnyFunSuite {
           |JOIN lineitem ON l_orderkey = o_orderkey
           |GROUP BY c_custkey""".stripMargin, "leaf side")
   }
+
+  test("session conf wires skew salting into the compiled plan, answer-invariant") {
+    val ss = s.newSession()
+    ss.conf.set(IncrementalQueries.SaltRelationConf, "lineitem")
+    ss.conf.set(IncrementalQueries.SaltWidthConf, "4")
+    val c = SqlCompiler.compile(ss, d, q10Sql)
+    assert(c.stages.exists(st => st.spec.relation == "lineitem" && st.salts == 4),
+      s"lineitem stage not widened: ${c.stages.map(st => (st.name, st.salts))}")
+    val deletes = Map(
+      "lineitem" -> (col("l_linenumber") === 3),
+      "orders" -> (col("o_orderkey") % 50 === 0))
+    val want = SqlCompiler.compile(s, d, q10Sql).run(s, d, deletes)
+      .orderBy("c_custkey").collect().toSeq
+    val got = c.run(ss, d, deletes).orderBy("c_custkey").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // naming a relation with no saltable stage fails loudly
+    ss.conf.set(IncrementalQueries.SaltRelationConf, "nation")
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(ss, d, q10Sql))
+    assert(ex.getMessage.contains("liveness stage"), ex.getMessage)
+  }
 }
