@@ -38,22 +38,58 @@ object GraphOps {
   /** `iters` integer power-iteration steps over directed `edges`
     * (src, dst). Every node must have out-degree ≥ 1 (feed an
     * undirected/bidirectional edge set for bipartite graphs — the
-    * caller's dangling-mass policy). Returns (node, rank_e6). */
+    * caller's dangling-mass policy). Returns (node, rank_e6).
+    *
+    * The damped product runs in DECIMAL(38,0) (HUGEINT in the DuckDB
+    * mirror): Σcontrib is bounded by total rank mass ≈ N·1e6, so an
+    * int64 product 850000·Σcontrib would wrap silently past ~1e7
+    * nodes — the widened intermediate keeps the update exact to
+    * ~1e25 nodes while `div` still lands back in BIGINT. */
   def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val nodes = edges.select(col("src").as("node")).distinct()
     var ranks = nodes.select(col("node"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(ranks, edges("src") === ranks("node"))
-        .join(deg, "src")
-        .select(col("dst").as("node"), expr("r div d").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(BaseE6) +
-            expr(s"(${DampE6} * coalesce(contrib, 0L)) div ${Scale}")).as("r"))
+      ranks = step(edges, deg, nodes, ranks)
     }
+    ranks.select(col("node"), col("r").as("rank_e6"))
+  }
+
+  private def step(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
+                   ranks: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(ranks, edges("src") === ranks("node"))
+      .join(deg, "src")
+      .select(col("dst").as("node"), expr("r div d").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(BaseE6) + expr(
+          s"(CAST(${DampE6} AS DECIMAL(38,0)) * coalesce(contrib, 0L)) div ${Scale}"
+        )).as("r"))
+  }
+
+  /** [[pagerankInt]] with lineage truncation: each round's ranks are
+    * eagerly `localCheckpoint`ed, so the next round's plan starts from
+    * a materialized RDD instead of re-deriving every earlier round —
+    * plan depth stays O(1) in `iters` where the lazy loop's grows
+    * exponentially. This is the production shape for deep iteration —
+    * identical integer math, identical per-round plan (one shuffled
+    * join + one hash aggregate), only the execution-management
+    * differs. (On a cluster, localCheckpoint writes to executor-local
+    * storage — non-recoverable across executor loss; a long-running
+    * job would use reliable `checkpoint` with a checkpoint dir. Same
+    * truncation semantics.) Dropped rounds' blocks are released by the
+    * ContextCleaner once unreferenced. */
+  def pagerankIntPersisted(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    var ranks = nodes.select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = step(edges, deg, nodes, ranks).localCheckpoint(eager = true)
+    }
+    deg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     ranks.select(col("node"), col("r").as("rank_e6"))
   }
 
@@ -61,7 +97,7 @@ object GraphOps {
   private def pagerankSql(edgesCte: String, iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (SELECT n.node,
-         | CAST($BaseE6 + ($DampE6 * COALESCE(c.contrib, 0)) // $Scale AS BIGINT) AS r
+         | CAST($BaseE6 + (CAST($DampE6 AS HUGEINT) * COALESCE(c.contrib, 0)) // $Scale AS BIGINT) AS r
          | FROM n LEFT JOIN (
          |  SELECT e.dst AS node, SUM(r.r // d.d) AS contrib
          |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
@@ -119,6 +155,29 @@ object GraphOps {
           .distinct()
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         pagerankInt(edges, iters = 3)
+          .orderBy(col("rank_e6").desc, col("node")).limit(50)
+    },
+
+    // The same graph pushed to 8 iterations through the PERSISTED
+    // loop: proves the lineage-truncated variant scales past the
+    // depth where the lazy loop's re-derived plan would explode,
+    // with bit-identical integer math (the oracle is the same
+    // CTE-per-iteration mirror, just deeper).
+    sql("graph_pagerank_deep",
+      pagerankSql(
+        """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+          | FROM orders, lineitem WHERE l_orderkey = o_orderkey""".stripMargin,
+        iters = 8)) {
+      (s, d) =>
+        val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        pagerankIntPersisted(edges, iters = 8)
           .orderBy(col("rank_e6").desc, col("node")).limit(50)
     },
 

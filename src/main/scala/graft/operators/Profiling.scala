@@ -127,7 +127,7 @@ object Profiling {
     // measure-domain ranges.
     sql("quality_constraints_lineitem",
       """SELECT 'pk_unique' AS constraint_name,
-        | CAST((SELECT COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+        | CAST((SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
         |   FROM lineitem) AS BIGINT) AS n_violations
         |UNION ALL
         |SELECT 'fk_orders',
@@ -148,9 +148,12 @@ object Profiling {
         def row(name: String, v: org.apache.spark.sql.DataFrame) =
           v.select(lit(name).as("constraint_name"),
             col("v").cast("long").as("n_violations"))
+        // Composite key counted as a struct: alias-proof for any
+        // linenumber domain (an arithmetic encoding like key*10+line
+        // would silently collide once linenumber reaches the radix).
         row("pk_unique",
             l.agg((count(lit(1)) -
-              countDistinct(col("l_orderkey") * 10 + col("l_linenumber"))).as("v")))
+              countDistinct(struct(col("l_orderkey"), col("l_linenumber")))).as("v")))
           .unionAll(row("fk_orders",
             l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "left_anti")
               .agg(count(lit(1)).as("v"))))

@@ -37,4 +37,18 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(shuffled == got)
   }
+
+  test("persisted pagerank is bit-identical to the lazy loop and keeps plan depth flat") {
+    val star = Seq("c" -> "l1", "c" -> "l2", "c" -> "l3")
+    val edges = (star ++ star.map(_.swap)).toDF("src", "dst")
+    val lazy8 = ref(star ++ star.map(_.swap), iters = 8)
+    val persisted = GraphOps.pagerankIntPersisted(edges, iters = 8)
+    val got = persisted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == lazy8, s"$got vs $lazy8")
+    // lineage truncation: the final plan hangs off ONE cached round,
+    // not 8 re-derived join trees — its string depth must not grow
+    // with the iteration count (the lazy loop's does, exponentially).
+    val planLines = persisted.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines < 30, s"expected a truncated plan, got $planLines lines")
+  }
 }
