@@ -608,6 +608,46 @@ object Relational {
             col("o_orderdate").cast("string").as("o_orderdate"), col("o_orderpriority"))
     },
 
+    // Q18-LIKE large-volume customers — the fourth canonical TPC-H
+    // shape beside Q10/Q5/Q3: a grouped-HAVING subquery over the fact
+    // table qualifying heavy-hitter orders, feeding the customer⋈
+    // orders join. The qualifier is computed ONCE (map-side-combined
+    // aggregate on l_orderkey, exact e2-scaled integer quantities) and
+    // since it groups by the same key the outer query needs, it
+    // CARRIES the aggregate — no TPC-H-style second scan/re-aggregate
+    // of lineitem. The qualifier set is tiny by construction (orders
+    // above the quantity cut), so both remaining joins broadcast: at
+    // 100 TB this is one shuffle (the lineitem aggregate) + two
+    // broadcast probes, no fact-table re-shuffle.
+    sql("q18_like_big_orders",
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        | CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+        | CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        | t.total_qty_e2
+        |FROM customer c, orders o,
+        | (SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS total_qty_e2
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000) t
+        |WHERE o.o_orderkey = t.l_orderkey AND c.c_custkey = o.o_custkey
+        |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin) {
+      (s, d) =>
+        val big = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("q"))
+          .groupBy(col("l_orderkey")).agg(sum(col("q")).as("total_qty_e2"))
+          .filter(col("total_qty_e2") > 25000)
+        val bigOrders = Tables.orders(s, d)
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty_e2")
+        Tables.customer(s, d).select("c_custkey", "c_name")
+          .join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("string").as("o_orderdate"),
+            decCol(col("o_totalprice"), 2).as("o_totalprice"),
+            col("total_qty_e2"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
     // MARKET-BASKET co-occurrence — part pairs bought in the same
     // order (the association-mining staple): a self equi-join on
     // l_orderkey with p1 < p2. BOUNDED blow-up by construction: an
