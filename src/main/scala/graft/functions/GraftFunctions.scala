@@ -53,6 +53,26 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
           KmvDistinctAgg(c, intLit(n, "kmv_distinct")),
           org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false) }),
+    ("q_sketch",
+      "q_sketch(vBigint, shift) - aggregate: quantized-histogram quantile sketch (bucket = v >> shift)",
+      { case Seq(c, n) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+          QuantileSketchAgg(c, intLit(n, "q_sketch")),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false) }),
+    ("q_merge_sketch", "q_merge_sketch(sketch) - aggregate: merge quantile sketches (sketch-valued)",
+      { case Seq(c) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+          QuantileMergeSketchAgg(c),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false) }),
+    ("q_merge_quantile",
+      "q_merge_quantile(sketch, permille, shift) - aggregate: exact-integer-rank quantile of merged sketches",
+      { case Seq(c, p, sh) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+          QuantileMergeQuantileAgg(c, intLit(p, "q_merge_quantile"), intLit(sh, "q_merge_quantile")),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
           isDistinct = false) }))
 
   /** Wrong arity → a named error instead of a bare MatchError. */

@@ -2,9 +2,132 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, TypedImperativeAggregate}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Shared state machine of the four KMV aggregates: a bottom-k set of
+  * distinct 60-bit hashes. ONE implementation of add/merge/serde —
+  * the four public aggregates differ only in what they ingest (raw
+  * hashes vs sketch arrays) and what they emit (the estimate vs the
+  * sketch itself), so those are the only per-subclass methods. The
+  * wire format (int32 count + big-endian longs in ascending order) is
+  * THE contract between `kmv_sketch` output stored as data and the
+  * merge aggregates that later re-ingest it — keeping it in one place
+  * is what guarantees the four can never desync.
+  */
+sealed abstract class KmvBottomKAgg
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  def child: Expression
+  def k: Int
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  /** Keep only the k smallest distinct hashes: skip values past the
+    * current kth minimum, evict the largest on overflow — O(log k). */
+  protected final def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size() < k) { buf.add(v); () }
+    else if (v < buf.last()) {
+      if (buf.add(v)) { buf.pollLast(); () }
+    }
+  }
+
+  override final def merge(a: java.util.TreeSet[java.lang.Long],
+                           b: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override final def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override final def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { out.add(bb.getLong); i += 1 }
+    out
+  }
+
+  // ---- ingest flavors ----------------------------------------------
+
+  /** update() for the raw-hash side (`kmv_distinct`, `kmv_sketch`). */
+  protected final def updateFromHash(buf: java.util.TreeSet[java.lang.Long],
+                                     input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val h = child.eval(input)
+    if (h != null) add(buf, h.asInstanceOf[Long])
+    buf
+  }
+
+  /** update() for the sketch-array side (`kmv_merge*`). */
+  protected final def updateFromSketch(buf: java.util.TreeSet[java.lang.Long],
+                                       input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val a = child.eval(input)
+    if (a != null) {
+      val arr = a.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
+    }
+    buf
+  }
+
+  /** Analysis-time check for the raw-hash side: SQL misuse
+    * (`kmv_distinct(md5(x), k)` — a string, the natural slip given the
+    * md5 bridge convention) must fail at ANALYSIS with a named error,
+    * not as a per-task ClassCastException in update(). */
+  protected final def requireHashInput(fname: String): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fname expects a BIGINT hash (use the md5→long bridge: " +
+          s"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)), got ${other.sql}")
+    }
+
+  /** Analysis-time check for the sketch-array side. */
+  protected final def requireSketchInput(fname: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fname expects an ARRAY<BIGINT> sketch (from kmv_sketch), got ${other.sql}")
+    }
+
+  // ---- emit flavors ------------------------------------------------
+
+  /** 2^60 — the hash-space size of the 15-hex-digit md5 prefix. */
+  protected final val HashSpace = 1152921504606846976.0
+
+  /** The classic unbiased estimator (k−1)/θ, θ = kth smallest hash
+    * normalized by the hash-space size (Bar-Yossef et al., RANDOM
+    * 2002); below k distinct hashes the sketch IS the exact count. */
+  protected final def evalEstimate(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size() < k) buf.size().toDouble
+    else (k - 1).toDouble * HashSpace / buf.last().toDouble
+
+  /** The sketch itself as a sorted ARRAY<BIGINT> value. */
+  protected final def evalSketch(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size())
+    val it = buf.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
 
 /** KMV (k-minimum-values) distinct-count sketch — a MERGEABLE
   * bounded-state alternative to exact `COUNT(DISTINCT x)`: the exact
@@ -17,11 +140,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * State is the k smallest DISTINCT values of a uniform 60-bit hash
   * (callers feed `conv(substr(md5(x),1,15),16,10)` — the repo's
   * standard md5→long bridge, mirrored in DuckDB as
-  * `('0x' || substr(md5(x),1,15))::BIGINT`). With fewer than k
-  * distinct hashes the sketch IS the exact count; otherwise the
-  * classic unbiased estimator (k−1) / θ applies, θ = kth smallest
-  * hash normalized by the 2^60 hash-space size (Bar-Yossef et al.,
-  * "Counting distinct elements in a data stream", RANDOM 2002).
+  * `('0x' || substr(md5(x),1,15))::BIGINT`).
   *
   * Determinism: the estimate is one IEEE-754 double division of two
   * exactly-representable operands ((k−1)·2^60 needs ≤ 6 significand
@@ -33,75 +152,13 @@ case class KmvDistinctAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
-
+    extends KmvBottomKAgg {
   require(k >= 2, s"kmv_distinct: k must be >= 2, got $k")
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
-
-  // SQL misuse (`kmv_distinct(md5(x), k)` — a string, the natural slip
-  // given the md5 bridge convention) must fail at ANALYSIS with a
-  // named error, not as a per-task ClassCastException in update()
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"kmv_distinct expects a BIGINT hash (use the md5→long bridge: " +
-          s"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)), got ${other.sql}")
-    }
-
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-
-  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
-    // keep only the k smallest distinct hashes: skip values past the
-    // current kth minimum, evict the largest on overflow — O(log k)
-    if (buf.size() < k) { buf.add(v); () }
-    else if (v < buf.last()) {
-      if (buf.add(v)) { buf.pollLast(); () }
-    }
-  }
-
+  override def checkInputDataTypes(): TypeCheckResult = requireHashInput("kmv_distinct")
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
-      : java.util.TreeSet[java.lang.Long] = {
-    val h = child.eval(input)
-    if (h != null) add(buf, h.asInstanceOf[Long])
-    buf
-  }
-
-  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long])
-      : java.util.TreeSet[java.lang.Long] = {
-    val it = b.iterator()
-    while (it.hasNext) add(a, it.next())
-    a
-  }
-
-  /** 2^60 — the hash-space size of the 15-hex-digit md5 prefix. */
-  private val HashSpace = 1152921504606846976.0
-
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size() < k) buf.size().toDouble
-    else (k - 1).toDouble * HashSpace / buf.last().toDouble
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
-    bb.putInt(buf.size())
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
-    out
-  }
-
+      : java.util.TreeSet[java.lang.Long] = updateFromHash(buf, input)
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = evalEstimate(buf)
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctAgg =
@@ -123,55 +180,13 @@ case class KmvSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    extends KmvBottomKAgg {
   require(k >= 2, s"kmv_sketch: k must be >= 2, got $k")
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"kmv_sketch expects a BIGINT hash, got ${other.sql}")
-    }
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
-    if (buf.size() < k) { buf.add(v); () }
-    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
-  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = requireHashInput("kmv_sketch")
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
-      : java.util.TreeSet[java.lang.Long] = {
-    val h = child.eval(input)
-    if (h != null) add(buf, h.asInstanceOf[Long])
-    buf
-  }
-  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long])
-      : java.util.TreeSet[java.lang.Long] = {
-    val it = b.iterator(); while (it.hasNext) add(a, it.next()); a
-  }
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val arr = new Array[Any](buf.size())
-    val it = buf.iterator(); var i = 0
-    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
-  }
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
-    bb.putInt(buf.size())
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
-    out
-  }
+      : java.util.TreeSet[java.lang.Long] = updateFromHash(buf, input)
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = evalSketch(buf)
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
@@ -192,60 +207,13 @@ case class KmvMergeSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    extends KmvBottomKAgg {
   require(k >= 2, s"kmv_merge_sketch: k must be >= 2, got $k")
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"kmv_merge_sketch expects an ARRAY<BIGINT> sketch (from kmv_sketch), got ${other.sql}")
-    }
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
-    if (buf.size() < k) { buf.add(v); () }
-    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
-  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = requireSketchInput("kmv_merge_sketch")
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
-      : java.util.TreeSet[java.lang.Long] = {
-    val a = child.eval(input)
-    if (a != null) {
-      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      var i = 0
-      while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
-    }
-    buf
-  }
-  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long])
-      : java.util.TreeSet[java.lang.Long] = {
-    val it = b.iterator(); while (it.hasNext) add(a, it.next()); a
-  }
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val arr = new Array[Any](buf.size())
-    val it = buf.iterator(); var i = 0
-    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
-  }
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
-    bb.putInt(buf.size())
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
-    out
-  }
+      : java.util.TreeSet[java.lang.Long] = updateFromSketch(buf, input)
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = evalSketch(buf)
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeSketchAgg =
@@ -264,57 +232,13 @@ case class KmvMergeAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    extends KmvBottomKAgg {
   require(k >= 2, s"kmv_merge: k must be >= 2, got $k")
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"kmv_merge expects an ARRAY<BIGINT> sketch (from kmv_sketch), got ${other.sql}")
-    }
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
-    if (buf.size() < k) { buf.add(v); () }
-    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
-  }
+  override def checkInputDataTypes(): TypeCheckResult = requireSketchInput("kmv_merge")
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
-      : java.util.TreeSet[java.lang.Long] = {
-    val a = child.eval(input)
-    if (a != null) {
-      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      var i = 0
-      while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
-    }
-    buf
-  }
-  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long])
-      : java.util.TreeSet[java.lang.Long] = {
-    val it = b.iterator(); while (it.hasNext) add(a, it.next()); a
-  }
-  private val HashSpace = 1152921504606846976.0
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size() < k) buf.size().toDouble
-    else (k - 1).toDouble * HashSpace / buf.last().toDouble
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
-    bb.putInt(buf.size())
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
-    out
-  }
+      : java.util.TreeSet[java.lang.Long] = updateFromSketch(buf, input)
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = evalEstimate(buf)
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =

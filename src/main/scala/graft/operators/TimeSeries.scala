@@ -309,5 +309,49 @@ object TimeSeries {
         weekly
           .groupBy(col("month"))
           .agg(kmv_merge_estimate(col("sketch"), 64).as("approx_users"))
+    },
+
+    // QUANTILE rollup TREE — the percentile twin of the KMV tree:
+    // daily QUANTIZED-HISTOGRAM sketches (q_sketch, bucket = e2-value
+    // >> 4) merge into weekly sketches (q_merge_sketch) merge into
+    // monthly p50/p95/p99 at EXACT integer ranks ⌈p·N/1000⌉
+    // (q_merge_quantile). The oracle computes the month DIRECTLY from
+    // raw events under the same quantization, so the gated claim is
+    // exactness of BOTH merge levels (count addition is associative)
+    // — percentile rollup without re-reading raw events, determinism
+    // by integer ranks instead of KLL's sampling randomness.
+    sql("events_quantile_sketch_rollup",
+      """WITH q AS (
+        | SELECT (epoch_us(ts) // 86400000000) // 30 AS month,
+        |  (CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 16) AS b
+        | FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT month, b, COUNT(*) AS n FROM q GROUP BY 1, 2),
+        |t AS (SELECT month, b, n,
+        |  SUM(n) OVER (PARTITION BY month ORDER BY b) AS cum,
+        |  SUM(n) OVER (PARTITION BY month) AS tot FROM c)
+        |SELECT month,
+        | MIN(CASE WHEN cum >= (tot * 500 + 999) // 1000 THEN b * 16 END) AS p50_e2,
+        | MIN(CASE WHEN cum >= (tot * 950 + 999) // 1000 THEN b * 16 END) AS p95_e2,
+        | MIN(CASE WHEN cum >= (tot * 990 + 999) // 1000 THEN b * 16 END) AS p99_e2
+        |FROM t GROUP BY month""".stripMargin) {
+      (s, d) =>
+        import graft.functions.QuantileSketchAgg.{q_merge_quantile, q_merge_sketch, q_sketch}
+        val daily = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("v_e2"))
+          .groupBy(col("day"))
+          .agg(q_sketch(col("v_e2"), 4).as("sketch"))
+        val weekly = daily
+          // same month-anchored week grid as the KMV tree (see above)
+          .select(expr("day div 30").as("month"), expr("(day % 30) div 7").as("wk"),
+            col("sketch"))
+          .groupBy(col("month"), col("wk"))
+          .agg(q_merge_sketch(col("sketch")).as("sketch"))
+        weekly
+          .groupBy(col("month"))
+          .agg(q_merge_quantile(col("sketch"), 500, 4).as("p50_e2"),
+            q_merge_quantile(col("sketch"), 950, 4).as("p95_e2"),
+            q_merge_quantile(col("sketch"), 990, 4).as("p99_e2"))
     })
 }

@@ -328,6 +328,67 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("partial_kmv_distinct"), plan)
   }
 
+  test("q_sketch rollup: exact integer ranks, partition-invariant, rollup == direct") {
+    import graft.functions.QuantileSketchAgg.{q_merge_quantile, q_merge_sketch, q_sketch}
+    val ss = spark
+    import ss.implicits._
+    // values 1..10000 over 10 'day' partials, shift 4 (buckets of 16)
+    val df = (1 to 10000).map(i => (i % 10, i.toLong)).toDF("day", "v")
+    // scalar reference: quantile at rank ceil(p*N/1000) over v >> 4,
+    // reported as bucket lower bound << 4
+    def refQ(p: Int): Long = {
+      val bs = (1 to 10000).map(i => (i.toLong >> 4)).sorted
+      val rank = (bs.size.toLong * p + 999) / 1000
+      bs(rank.toInt - 1) << 4
+    }
+    val direct = df.groupBy(lit(1).as("g"))
+      .agg(q_sketch(col("v"), 4).as("sk"))
+      .agg(q_merge_quantile(col("sk"), 500, 4).as("p50"),
+        q_merge_quantile(col("sk"), 990, 4).as("p99"))
+      .collect()(0)
+    assert(direct.getLong(0) == refQ(500) && direct.getLong(1) == refQ(990),
+      s"direct (${direct.getLong(0)}, ${direct.getLong(1)}) vs ref (${refQ(500)}, ${refQ(990)})")
+    // two-level rollup (day sketches -> merged sketch -> quantile)
+    // must equal the direct pass: count addition is associative
+    val rolled = df.groupBy("day").agg(q_sketch(col("v"), 4).as("sk"))
+      .groupBy(lit(1).as("g")).agg(q_merge_sketch(col("sk")).as("sk"))
+      .agg(q_merge_quantile(col("sk"), 500, 4).as("p50"),
+        q_merge_quantile(col("sk"), 990, 4).as("p99"))
+      .collect()(0)
+    assert(rolled.getLong(0) == direct.getLong(0) && rolled.getLong(1) == direct.getLong(1))
+    // partition invariance (serde + merge path): 1 vs 8 partitions
+    val p8 = df.repartition(8).groupBy(lit(1).as("g"))
+      .agg(q_sketch(col("v"), 4).as("sk"))
+      .agg(q_merge_quantile(col("sk"), 500, 4).as("p50"))
+      .collect()(0).getLong(0)
+    assert(p8 == direct.getLong(0))
+    // sketch arrays are interleaved (bucket, count) in ascending order
+    val sk = df.groupBy("day").agg(q_sketch(col("v"), 4).as("sk"))
+      .collect().map(_.getSeq[Long](1))
+    sk.foreach { a =>
+      assert(a.length % 2 == 0)
+      val buckets = a.grouped(2).map(_.head).toSeq
+      assert(buckets == buckets.sorted && buckets.distinct.length == buckets.length)
+      assert(a.grouped(2).map(_(1)).sum == 1000L)  // each day holds 1000 rows
+    }
+  }
+
+  test("q_* functions are SQL-registered and reject bad input at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    val ss = spark
+    import ss.implicits._
+    (1 to 100).map(i => (i % 2, i.toLong)).toDF("g", "v").createOrReplaceTempView("qs_in")
+    val viaSql = spark.sql(
+      """SELECT g, q_merge_quantile(sk, 500, 2) AS p50 FROM (
+        |  SELECT g, q_sketch(v, 2) AS sk FROM qs_in GROUP BY g)
+        |GROUP BY g""".stripMargin)
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(viaSql.length == 2 && viaSql.forall(_._2 > 0))
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT q_sketch(CAST(v AS STRING), 2) FROM qs_in").collect())
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
