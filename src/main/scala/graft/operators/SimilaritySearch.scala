@@ -32,6 +32,37 @@ object SimilaritySearch {
   private val K = 10
   private val QuerySetSize = 5  // vec_id < 5 are the probe queries
 
+  /** Memoized per-fixture incremental-IVF index dirs (built once:
+    * base build + two changelog upserts), removed on JVM exit. */
+  private val ivfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  sys.addShutdownHook {
+    ivfDirs.values().forEach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  /** The maintained index for `ann_ivf_incremental`: build from the
+    * base corpus (every 10th vector held out), then upsert batch 1 =
+    * the held-out vectors as inserts, batch 2 = every `%7==3` vector
+    * as deletes (the before-image rides the event, per the CDC
+    * contract) — so the final index holds exactly
+    * `vec_id % 7 <> 3` under the BASE-frozen quantizer. */
+  private def incrementalIvfDir(s: SparkSession, d: String): String =
+    ivfDirs.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivf_inc_").toString
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
+      graft.sources.IvfIndex.build(e.filter(col("vec_id") % 10 =!= 0), out, IvfCells)
+      graft.sources.IvfIndex.upsert(s, out,
+        e.filter(col("vec_id") % 10 === 0).withColumn("tag", lit(1)))
+      graft.sources.IvfIndex.upsert(s, out,
+        e.filter(col("vec_id") % 7 === 3).withColumn("tag", lit(-1)))
+      out
+    })
+
   /** IVF cell count — a PARAMETER, not a function of the corpus (take
     * ≈ √n in production; 32 suits the fixture). The broadcast centroid
     * set and the per-vector assignment cost stay k × dim at any scale. */
@@ -229,6 +260,66 @@ object SimilaritySearch {
           .withColumn("r", row_number().over(assignW)).filter(col("r") === 1)
           .select(col("vec_id"), col("v"), col("cent_id"))
         val q = e.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val probeW = Window.partitionBy(col("query_id"))
+          .orderBy(cosineExact(col("qv"), col("cv")).desc, col("cent_id"))
+        val probes = q.join(broadcast(cents))
+          .withColumn("r", row_number().over(probeW)).filter(col("r") <= 2)
+          .select(col("query_id"), col("qv"), col("cent_id"))
+        val rankW = Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
+        probes.join(assigned, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosineExact(col("qv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(rankW)).filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            floorRound6(col("c")).as("cos_sim"))
+    },
+
+    // INCREMENTAL IVF — the index's UPDATE story, oracle-gated (the
+    // machinery is spec'd in IvfIndexSpec; this entry gates the
+    // semantics): the probe below runs against a PERSISTED index that
+    // was built from a base corpus and then maintained through two
+    // changelog batches (held-out inserts, then deletes) via
+    // cell-pruned dynamic-partition rewrites ([[graft.sources.
+    // IvfIndex.upsert]]). The oracle computes the same top-k from the
+    // post-changelog corpus under the BASE-frozen quantizer — so the
+    // gated claim is that incremental maintenance converges to exactly
+    // the index a fresh assignment of the final corpus would give.
+    sql("ann_ivf_incremental",
+      s"""WITH e0 AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e0 WHERE vec_id % 10 <> 0
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCells),
+         |fin AS (SELECT vec_id, v FROM e0 WHERE vec_id % 7 <> 3),
+         |assigned AS (
+         | SELECT vec_id, v, cent_id FROM (
+         |  SELECT f.vec_id, f.v, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |     ORDER BY ${simRank7Sql(cosineExactSql("f.v", "c.cv"))} DESC, c.cent_id) AS r
+         |  FROM fin f, c) t WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM fin WHERE vec_id < $QuerySetSize),
+         |probe AS (
+         | SELECT query_id, qv, cent_id FROM (
+         |  SELECT q.query_id, q.qv, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY ${cosineExactSql("q.qv", "c.cv")} DESC, c.cent_id) AS r
+         |  FROM q, c) t WHERE r <= 2),
+         |cand AS (
+         | SELECT p.query_id, p.qv, a.vec_id, a.v
+         | FROM probe p JOIN assigned a ON a.cent_id = p.cent_id
+         | WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
+         | SELECT query_id, vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosineExactSql("qv", "v")} DESC, vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("qv", "v")} * 1000000 + 0.5) / 1000000 AS cos_sim
+         | FROM cand) t WHERE rnk <= $K""".stripMargin) {
+      (s, d) =>
+        val path = incrementalIvfDir(s, d)
+        val assigned = graft.sources.IvfIndex.read(s, path)
+        val cents = graft.sources.IvfIndex.centroids(s, path)
+        val q = assigned.filter(col("vec_id") < QuerySetSize)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val probeW = Window.partitionBy(col("query_id"))
           .orderBy(cosineExact(col("qv"), col("cv")).desc, col("cent_id"))
