@@ -747,6 +747,42 @@ object DeltaEngine {
     * output referenced by several consumers (a shared dimension) is
     * recomputed per consumer up to Spark's exchange reuse — persist it
     * upstream if that ever matters. */
+  /** Assemble one stage's input event stream: its own changelog (base
+    * relation or upstream emissions re-flagged), salted if configured,
+    * unioned with the parent/pair deltas. Shared by [[runTree]],
+    * [[runStreamTree]] and [[stateMetrics]] — the wiring IS the tree's
+    * semantics, so there must be exactly one copy of it. */
+  private def stageInput(st: Stage, changelogs: Map[String, Dataset[Evt]],
+      sourceFiltered: Boolean,
+      outputs: scala.collection.Map[String, Dataset[Evt]]): Dataset[Evt] = {
+    val spec = st.spec
+    val own = st.ownStage match {
+      case None =>
+        val base = changelogs.getOrElse(spec.relation, throw new IllegalArgumentException(
+          s"stage '${st.name}': no changelog for relation '${spec.relation}'"))
+        if (sourceFiltered) base else predicatePushdown(spec, base)
+      case Some(ref) =>
+        // the upstream stage's emissions become this stage's OWN
+        // changelog (the next conjunct of a multi-parent node): they
+        // arrive already keyed by this stage's childKeyCol (checked
+        // in [[checkStages]]), so only fromParent flips — a plain
+        // codegen'd projection, no object deserialization
+        val spark = outputs(ref).sparkSession
+        import spark.implicits._
+        outputs(ref).toDF()
+          .withColumn("fromParent", lit(false))
+          .as[Evt]
+    }
+    val ownS = if (st.salts > 1) saltOwn(own, st.salts) else own
+    // the second input: parent liveness deltas (liveness stage) or
+    // the paired side's join deltas (pair stage) — both arrive with
+    // fromParent = true on the wire
+    (st.parentStage orElse st.pairStage).map { r =>
+      val p = if (st.salts > 1) saltParent(outputs(r), st.salts) else outputs(r)
+      ownS.union(p)
+    }.getOrElse(ownS)
+  }
+
   def runTree(stages: Seq[Stage], changelogs: Map[String, Dataset[Evt]],
               sourceFiltered: Boolean = false,
               stats: Option[scala.collection.mutable.Buffer[NodeStats]] = None): Dataset[Evt] = {
@@ -756,29 +792,7 @@ object DeltaEngine {
     val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
     stages.foreach { st =>
       val spec = st.spec
-      val own = st.ownStage match {
-        case None =>
-          val base = changelogs.getOrElse(spec.relation, throw new IllegalArgumentException(
-            s"stage '${st.name}': no changelog for relation '${spec.relation}'"))
-          if (sourceFiltered) base else predicatePushdown(spec, base)
-        case Some(ref) =>
-          // the upstream stage's emissions become this stage's OWN
-          // changelog (the next conjunct of a multi-parent node): they
-          // arrive already keyed by this stage's childKeyCol (checked
-          // in [[checkStages]]), so only fromParent flips — a plain
-          // codegen'd projection, no object deserialization
-          outputs(ref).toDF()
-            .withColumn("fromParent", lit(false))
-            .as[Evt]
-      }
-      val ownS = if (st.salts > 1) saltOwn(own, st.salts) else own
-      // the second input: parent liveness deltas (liveness stage) or
-      // the paired side's join deltas (pair stage) — both arrive with
-      // fromParent = true on the wire
-      val events = (st.parentStage orElse st.pairStage).map { r =>
-        val p = if (st.salts > 1) saltParent(outputs(r), st.salts) else outputs(r)
-        ownS.union(p)
-      }.getOrElse(ownS)
+      val events = stageInput(st, changelogs, sourceFiltered, outputs)
       val nodeStats = stats.map { buf =>
         val s = NodeStats(st.name,
           spark.sparkContext.longAccumulator(s"graft.${st.name}.events"),
@@ -803,6 +817,79 @@ object DeltaEngine {
           })
     }
     outputs(stages.last.name)
+  }
+
+  /** STATE OBSERVABILITY — the answer surface for "which node's state
+    * is growing", the first operational question at 100 TB: replay the
+    * tree and report each node's END-OF-REPLAY keyed-state footprint
+    * as a queryable frame `(node, n_keys, state_rows, state_bytes)`.
+    *
+    *  - `n_keys`     keys holding state (= key groups that received
+    *                 any event — parent-only keys included: they hold
+    *                 liveness/parentCanon state);
+    *  - `state_rows` total buffered row multiplicity, Σ|net count|
+    *                 over the node's signed multiset(s) (ghost counts
+    *                 count by magnitude — they ARE retained state);
+    *  - `state_bytes` deterministic footprint estimate: per multiset
+    *                 entry UTF-8 row length + 4 (the count int), plus
+    *                 (liveness nodes) parentCanon UTF-8 length + 4
+    *                 (the aliveParents int). An estimate of payload
+    *                 bytes, not JVM/RocksDB overhead.
+    *
+    * Each stage's input is re-derived through the same [[stageInput]]
+    * wiring as [[runTree]] and folded once more with state export, so
+    * the snapshot costs one extra pass per node — fine for a batch
+    * replay/debug loop. The STREAMING twin is free: every stage
+    * already surfaces `numRowsTotal`/`numRowsUpdated` per node in
+    * `StreamingQueryProgress.stateOperators` (see [[runStreamTree]]);
+    * this frame adds the BYTES/multiplicity detail and a batch-mode
+    * answer. */
+  def stateMetrics(stages: Seq[Stage], changelogs: Map[String, Dataset[Evt]],
+                   sourceFiltered: Boolean = false): org.apache.spark.sql.DataFrame = {
+    checkStages(stages)
+    val spark = changelogs.head._2.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
+    def utf8Len(s: String): Long =
+      if (s.isEmpty) 0L else s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+    val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
+    val perStage = stages.map { st =>
+      val spec = st.spec
+      val isPair = st.pairStage.isDefined
+      val events = stageInput(st, changelogs, sourceFiltered, outputs)
+      // emissions feed downstream exactly as runTree's would
+      val fold: (String, Iterator[Evt]) => Iterator[Evt] =
+        if (isPair) processPairKeyBatch(spec, preFiltered = true, preSorted = true)
+        else processKeyBatch(spec, preFiltered = true, preSorted = true)
+      outputs(st.name) = events
+        .groupByKey(_.key)
+        .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(fold)
+      // the metrics pass: fold again with state export (foldKey sorts
+      // per key itself when not pre-sorted)
+      val perKey: Dataset[(Long, Long)] = events.groupByKey(_.key).mapGroups { (_, it) =>
+        if (isPair) {
+          val s2 = foldPairKey(spec, it, emptyPairState,
+            exportState = true, preFiltered = true)._2.get
+          val rows = (s2.left.valuesIterator ++ s2.right.valuesIterator)
+            .map(c => math.abs(c).toLong).sum
+          val bytes = (s2.left.keysIterator ++ s2.right.keysIterator)
+            .map(r => utf8Len(r) + 4L).sum
+          (rows, bytes)
+        } else {
+          val s2 = foldKey(spec, it, emptyState,
+            exportState = true, preFiltered = true)._2.get
+          val rows = s2.children.valuesIterator.map(c => math.abs(c).toLong).sum
+          val bytes = s2.children.keysIterator.map(r => utf8Len(r) + 4L).sum +
+            utf8Len(s2.parentCanon) + 4L
+          (rows, bytes)
+        }
+      }
+      perKey.toDF("rows", "bytes")
+        .agg(fcount(lit(1)).cast("long").as("n_keys"),
+          fsum(col("rows")).as("state_rows"), fsum(col("bytes")).as("state_bytes"))
+        .select(lit(st.name).as("node"), col("n_keys"), col("state_rows"), col("state_bytes"))
+    }
+    perStage.reduce(_.unionByName(_))
   }
 
   /** Streaming flavor of [[processKeyBatch]]: same fold, with state
@@ -904,19 +991,7 @@ object DeltaEngine {
     val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
     stages.foreach { st =>
       val spec = st.spec
-      val own = st.ownStage match {
-        case None =>
-          val base = changelogs.getOrElse(spec.relation, throw new IllegalArgumentException(
-            s"stage '${st.name}': no changelog for relation '${spec.relation}'"))
-          if (sourceFiltered) base else predicatePushdown(spec, base)
-        case Some(ref) =>
-          outputs(ref).toDF().withColumn("fromParent", lit(false)).as[Evt]
-      }
-      val ownS = if (st.salts > 1) saltOwn(own, st.salts) else own
-      val events = (st.parentStage orElse st.pairStage).map { r =>
-        val p = if (st.salts > 1) saltParent(outputs(r), st.salts) else outputs(r)
-        ownS.union(p)
-      }.getOrElse(ownS)
+      val events = stageInput(st, changelogs, sourceFiltered, outputs)
       outputs(st.name) =
         (st.pairStage.isDefined, eventTtl) match {
           case (true, Some(t)) =>

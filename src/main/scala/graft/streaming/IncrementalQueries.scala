@@ -1406,6 +1406,49 @@ object IncrementalQueries {
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10FileStream),
 
+    // STATE OBSERVABILITY gated: each Q10-tree node's end-of-replay
+    // keyed-state footprint ([[DeltaEngine.stateMetrics]]) on the
+    // fixture changelog. Deterministic by construction — n_keys is
+    // every key that received events (parent-delta-only keys hold
+    // liveness state and COUNT), state_rows is Σ|net multiset count|:
+    // nation buffers all 25 rows; customer all customers; orders only
+    // window survivors (%50 deletes net away); lineitem only R-flag
+    // survivors (linenumber-3 deletes net away) while its key set
+    // spans ALL window orders (their parent deltas arrived even where
+    // every child died). state_bytes stays on the API (an engine-side
+    // UTF-8 footprint the oracle can't portably mirror).
+    sql("incremental_state_metrics",
+      s"""SELECT 'nation' AS node,
+         |  CAST((SELECT COUNT(DISTINCT n_nationkey) FROM nation) AS BIGINT) AS n_keys,
+         |  CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS state_rows
+         |UNION ALL
+         |SELECT 'customer',
+         | (SELECT COUNT(DISTINCT k) FROM (
+         |    SELECT n_nationkey AS k FROM nation
+         |    UNION SELECT c_nationkey FROM customer) t),
+         | (SELECT COUNT(*) FROM customer)
+         |UNION ALL
+         |SELECT 'orders',
+         | (SELECT COUNT(DISTINCT k) FROM (
+         |    SELECT c_custkey AS k FROM customer
+         |    UNION SELECT o_custkey FROM orders
+         |    WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi') t),
+         | (SELECT COUNT(*) FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |   AND o_orderkey % 50 <> 0)
+         |UNION ALL
+         |SELECT 'lineitem',
+         | (SELECT COUNT(DISTINCT k) FROM (
+         |    SELECT o_orderkey AS k FROM orders
+         |    WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |    UNION SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') t),
+         | (SELECT COUNT(*) FROM lineitem
+         |  WHERE l_returnflag = 'R' AND l_linenumber <> 3)""".stripMargin) {
+      (s, d) =>
+        stateMetrics(chainStages(q10Tree), q10Changelogs(s, d), sourceFiltered = true)
+          .select(col("node"), col("n_keys"), col("state_rows"))
+    },
+
     // The SAME query as incremental_q10, but compiled FROM SQL TEXT by
     // [[SqlCompiler]] (Catalyst parser → FK-graph validation → NodeSpec
     // chain): the reference's "continuous sql query" pitch as an
