@@ -51,11 +51,24 @@ object Tables {
     * conf; that set is a documented, visible side effect of loading a
     * nanos-vintage `events`.
     */
+  /** True iff `e` (or a cause) is specifically the reader's rejection
+    * of an INT64 nanos timestamp column — the only failure for which
+    * the `nanosAsLong` retry is the cure. Spark raises it under error
+    * class `PARQUET_TYPE_ILLEGAL` / message "Illegal Parquet type";
+    * anything else (missing dir, corrupt footer, permissions) must
+    * propagate untouched, without the conf side effect.
+    */
+  private def isNanosRejection(e: Throwable): Boolean =
+    e != null && (
+      { val m = Option(e.getMessage).getOrElse("")
+        m.contains("Illegal Parquet type") || m.contains("PARQUET_TYPE_ILLEGAL") } ||
+      isNanosRejection(e.getCause))
+
   def events(s: SparkSession, d: String): DataFrame = {
     val raw =
       try load(s, d, "events")
       catch {
-        case scala.util.control.NonFatal(_) =>
+        case scala.util.control.NonFatal(e) if isNanosRejection(e) =>
           val k = "spark.sql.legacy.parquet.nanosAsLong"
           if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
           load(s, d, "events")

@@ -18,6 +18,15 @@ import graft.GraftQuery.sql
   * matched+D drops the row, matched+U takes the source payload,
   * source-only (I) inserts it, target-only passes through.
   *
+  * PRECONDITIONS (standard MERGE contract, mirrored from SQL:2003's
+  * "cardinality violation" rule): `key` must be unique within `source`
+  * (a duplicate-keyed change set fans target rows out through the
+  * full-outer join — SQL MERGE raises an error here; this operator
+  * does not detect it, callers compact the change set first, e.g. via
+  * last-writer-wins `row_number() = 1`) and unique within `target`.
+  * A matched 'I' resolves as an update (the "when matched" branch
+  * wins), matching Delta/Iceberg upsert behavior.
+  *
   * Reference: beyond-reference sink surface (the reference's K1 sink
   * is append/overwrite only); MERGE is public SQL:2003 vocabulary and
   * the standard changelog-compaction step of every CDC pipeline.

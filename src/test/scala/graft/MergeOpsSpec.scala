@@ -83,6 +83,40 @@ class MergeOpsSpec extends AnyFunSuite {
       got.count() == want.count())
   }
 
+  test("matched inserts resolve as updates (SQL MERGE when-matched wins)") {
+    import spark.implicits._
+    val target = Seq((1L, 10L, "O", 5.0), (2L, 20L, "F", 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    // an 'I' whose key already exists in the target
+    val changes = Seq((1L, "I", 99L, "P", 42.0))
+      .toDF("o_orderkey", "op", "o_custkey", "o_orderstatus", "o_totalprice")
+    val merged = MergeOps.mergeUpsert(target, changes, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val rows = merged.orderBy("o_orderkey").collect()
+    assert(rows.length == 2)                       // no duplicate key created
+    assert(rows(0).getLong(1) == 99L && rows(0).getDouble(3) == 42.0)
+    assert(rows(1).getLong(1) == 20L)              // unmatched row untouched
+  }
+
+  test("duplicate-keyed change sets violate the documented precondition (fan-out)") {
+    import spark.implicits._
+    val target = Seq((1L, 10L, "O", 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val dup = Seq((1L, "U", 11L, "O", 6.0), (1L, "U", 12L, "O", 7.0))
+      .toDF("o_orderkey", "op", "o_custkey", "o_orderstatus", "o_totalprice")
+    // the join fans the target row out — exactly why callers must
+    // compact to one change per key (last-writer-wins) first
+    assert(MergeOps.mergeUpsert(target, dup, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice")).count() == 2)
+    val compacted = dup.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderkey").orderBy(col("o_custkey").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val merged = MergeOps.mergeUpsert(target, compacted, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    assert(merged.count() == 1 && merged.head().getLong(1) == 12L)
+  }
+
   test("merge with an empty change set is the identity") {
     import spark.implicits._
     val orders = Tables.orders(spark, sfTiny)

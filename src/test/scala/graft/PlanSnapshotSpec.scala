@@ -29,8 +29,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
       "src/test/resources/plan_snapshots.txt"))
 
   private val features = Seq(
-    // shuffles: "Exchange hashpartitioning/rangepartitioning/…"
-    "shuffle" -> "(?m)^\\s*\\+?-? ?Exchange ".r,
+    // shuffles: "Exchange hashpartitioning/rangepartitioning/…".
+    // Spark prefixes nested (non-last-child) branches with ':' glyphs,
+    // which are not \s — the class must admit every tree-drawing glyph
+    // (space, ':', '+', '-') or exchanges inside branches go uncounted.
+    // "BroadcastExchange" cannot match: 'Broadcast' letters are outside
+    // the glyph class.
+    "shuffle" -> "(?m)^[\\s:+-]*Exchange ".r,
     "bcast" -> "BroadcastExchange".r,
     "smj" -> "SortMergeJoin".r,
     "bhj" -> "BroadcastHashJoin".r,

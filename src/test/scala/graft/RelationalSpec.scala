@@ -25,7 +25,10 @@ class RelationalSpec extends AnyFunSuite {
     // for the grand total).
     val nljAllowed = Set("ann_bruteforce_topk", "ann_knn_classify", "ann_ivf_topk",
       "dedup_semantic_kmeans", "mixture_weights", "text_top_terms", "text_boilerplate_ngrams",
-      "text_bm25_topk")
+      "text_bm25_topk",
+      // same FIXED-k centroid broadcast as ann_ivf_topk, over the
+      // incrementally maintained index
+      "ann_ivf_incremental")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.schema.nonEmpty, s"$name has empty schema")
