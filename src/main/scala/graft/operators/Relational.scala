@@ -1211,5 +1211,120 @@ object Relational {
           decSumSigned(when(col("event_type") === "error", -col("value"))
             .otherwise(col("value")), 2).as("net_value"),
           count(lit(1)).as("n_events"))
+    },
+
+    // Q7-LIKE volume shipping — the fifth canonical TPC-H shape: the
+    // same fact tree joined to nation TWICE (supplier side and
+    // customer side) under a DISJUNCTIVE nation-pair predicate, rolled
+    // up by (supp_nation, cust_nation, year). Both nation probes are
+    // 25-row broadcasts; the pair predicate evaluates at the top of
+    // the broadcast joins (a disjunction across two dimensions cannot
+    // push below either one), while the shipdate range DOES push into
+    // the lineitem scan. At 100 TB: one fact shuffle per FK hop, zero
+    // dimension shuffles, and the year rollup is a map-side-combined
+    // hash aggregate on a 2×2×years-cardinality key space.
+    sql("q7_like_volume_shipping",
+      s"""SELECT supp_nation, cust_nation, l_year,
+         | ${decSumSql("volume", 4)} AS revenue
+         |FROM (
+         | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  EXTRACT(year FROM l.l_shipdate) AS l_year,
+         |  l.l_extendedprice * (1.0 - l.l_discount) AS volume
+         | FROM supplier s, lineitem l, orders o, customer c,
+         |  nation n1, nation n2
+         | WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+         |  AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+         |  AND c.c_nationkey = n2.n_nationkey
+         |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+         |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+         |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l.l_shipdate < TIMESTAMP '1998-01-01') shipping
+         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin) {
+      (s, d) =>
+        val nations = Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_3", "NATION_8"))
+        val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .join(broadcast(nations.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(nations.select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("nk2"))
+          .select("c_custkey", "cust_nation")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                  col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+                  (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(decSum(col("volume"), 4).as("revenue"))
+    },
+
+    // CORRELATED SCALAR SUBQUERY — orders strictly above their own
+    // customer's average order value, the canonical decorrelation
+    // shape ("WHERE x > (SELECT AVG … WHERE correlated)"). Executed
+    // the way an optimizer decorrelates it: the per-customer average
+    // becomes a window aggregate over the SAME partitioning the
+    // predicate consumes — ONE scan, ONE shuffle on o_custkey, no
+    // self-join. The above-average test runs in exact integers
+    // (price_e2 · count > sum_e2 avoids the float division entirely),
+    // so the qualifying set is bit-identical in both engines.
+    sql("orders_above_cust_avg",
+      """SELECT o_orderkey, o_custkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM (
+        | SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS p_e2,
+        |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey) AS sum_e2,
+        |  COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+        | FROM orders) t
+        |WHERE p_e2 * cnt > sum_e2""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("o_custkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("p_e2"))
+          .withColumn("sum_e2", sum(col("p_e2")).over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("p_e2") * col("cnt") > col("sum_e2"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            decCol(col("o_totalprice"), 2).as("o_totalprice"))
+    },
+
+    // DISTRIBUTION window functions — percent_rank / cume_dist /
+    // first_value complete the analytic-function family next to
+    // rank/lag/ntile. Both engines define percent_rank as
+    // (rank−1)/(n−1) and cume_dist as rows≤current/n; with a total
+    // per-partition ordering (price, then key) the integer inputs are
+    // identical, and ONE correctly-rounded IEEE division of identical
+    // integers is bit-identical cross-engine — no decimal scaffolding
+    // needed. One shuffle on the partition key, rank and distribution
+    // computed in the same window pass.
+    sql("window_percent_rank",
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cume,
+        | FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          decCol(col("o_totalprice"), 2).as("o_totalprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first(col("o_orderkey")).over(w).as("cheapest_key"))
     })
 }

@@ -178,4 +178,52 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(800))
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(800))
   }
+
+  test("q7: only the two declared nations appear, on both sides") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q7_like_volume_shipping")(spark, sfTiny).collect()
+    val nations = Set("NATION_3", "NATION_8")
+    rows.foreach { r =>
+      val s = r.getString(0); val c = r.getString(1)
+      assert(nations(s) && nations(c) && s != c, r.toString)
+      assert(r.getLong(2) >= 1996L && r.getLong(2) <= 1997L)
+    }
+    // one shuffle only: every dimension (incl. the nation-pair
+    // disjunction's two sides) broadcasts
+    val plan = SparkEntry.queries("q7_like_volume_shipping")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
+  test("orders above customer average: strict-majority-side property") {
+    import org.apache.spark.sql.functions._
+    val above = SparkEntry.queries("orders_above_cust_avg")(spark, sfTiny)
+    val orders = Tables.orders(spark, sfTiny)
+    // recompute with double AVG: every flagged order is >= its
+    // customer's double average (integer cross-multiplication is the
+    // exact form of the same test)
+    val avg2 = orders.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("a"), count(lit(1)).as("n"))
+    val joined = above.join(avg2, col("o_custkey") === col("ck")).collect()
+    joined.foreach { r =>
+      val price = r.getDouble(r.fieldIndex("o_totalprice"))
+      val a = r.getDouble(r.fieldIndex("a"))
+      assert(price > a - 1e-6, s"flagged below avg: $r")
+    }
+    // single-order customers can never beat their own average
+    val singles = joined.filter(r => r.getLong(r.fieldIndex("n")) == 1L)
+    assert(singles.isEmpty)
+  }
+
+  test("percent_rank/cume_dist bounds and first_value is the partition minimum") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("window_percent_rank")(spark, sfTiny)
+    val bad = df.filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+      col("cume") <= 0 || col("cume") > 1).count()
+    assert(bad == 0)
+    // cheapest_key is constant per partition and belongs to the min-price row
+    val mins = df.groupBy("o_orderpriority")
+      .agg(countDistinct(col("cheapest_key")).as("nck")).collect()
+    mins.foreach(r => assert(r.getLong(1) == 1L, r.toString))
+  }
 }
