@@ -135,7 +135,61 @@ object GraphOps {
     dist.filter(col("d") < Inf).select(col("node"), col("d").as("dist"))
   }
 
+  /** Per-node triangle participation counts over an undirected graph
+    * given as CANONICAL edges (u < v, distinct). The classic
+    * two-join enumeration: wedges = e1(a,b) ⋈ e2(b,c) (so a<b<c by
+    * construction — each triangle materializes exactly once), closed
+    * by an equi-join back onto the edge set on the composite (a,c).
+    * All joins are hash equi-joins on node ids; counts are exact
+    * integers. At 100 TB scale the standard refinement is degree-based
+    * orientation (order nodes by degree, not id) to bound
+    * wedges-per-node by O(√m) on skewed graphs — same plan shape, one
+    * extra degree join; id orientation is kept here because the
+    * co-occurrence graphs this surface feeds are degree-bounded by the
+    * order key itself (≤ 7 parts per order).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("b2"), col("v").as("c"))
+    val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = e1
+      .join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b")))
+      .unionAll(tri.select(col("c")))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+  }
+
   val defs: Seq[GraftQuery] = Seq(
+    // Triangles in the part co-occurrence graph (parts bought together
+    // in ≥1 order; the dense cousin of basket_part_pairs): which parts
+    // sit in tightly clustered purchase neighborhoods. Top-50 by
+    // participation count.
+    sql("graph_triangle_count",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, COUNT(*) AS tri_count FROM (
+        | SELECT a AS node FROM tri
+        | UNION ALL SELECT b FROM tri
+        | UNION ALL SELECT c FROM tri) t
+        |GROUP BY node ORDER BY tri_count DESC, node LIMIT 50""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+        val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
+          .select("u", "v").distinct()
+        triangleCounts(edges)
+          .orderBy(col("tri_count").desc, col("node")).limit(50)
+    },
+
     // The customer↔supplier interaction graph (distinct pairs through
     // orders⋈lineitem, both directions so the bipartite graph has no
     // dangling nodes), 3 power iterations, top-50 by rank. Node ids

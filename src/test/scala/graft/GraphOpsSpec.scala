@@ -38,6 +38,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("triangle counts match brute force on a known graph") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    // edge 4-5 (no triangle) and an isolated edge 6-7
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (6L, 7L))).toDF("u", "v")
+    val got = GraphOps.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+    // total triangle count = Σ per-node / 3
+    assert(got.values.sum / 3 == 4)
+  }
+
   test("persisted pagerank is bit-identical to the lazy loop and keeps plan depth flat") {
     val star = Seq("c" -> "l1", "c" -> "l2", "c" -> "l3")
     val edges = (star ++ star.map(_.swap)).toDF("src", "dst")
