@@ -744,6 +744,24 @@ object IncrementalQueries {
   def incrementalSqlQ10Outer(s: SparkSession, dir: String): DataFrame =
     SqlCompiler.compile(s, dir, q10OuterSql).run(s, dir, q10OuterDeletes)
 
+  /** The SAME maintained view written as a RIGHT JOIN (preserved side
+    * on the right): the compiler canonicalizes RightOuter by swapping
+    * children onto the LEFT OUTER machinery, so a user's RIGHT JOIN
+    * text compiles instead of bouncing with a rewrite hint. */
+  def incrementalSqlQ10Right(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compile(s, dir,
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM lineitem
+         |RIGHT JOIN (nation
+         | JOIN customer ON c_nationkey = n_nationkey
+         | JOIN orders ON o_custkey = c_custkey)
+         | ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+         |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)
+      .run(s, dir, q10OuterDeletes)
+
   /** [[incrementalSqlQ10Outer]] through the CONTINUOUS engine: both
     * the inner and the anti plan replay over the same raw event
     * streams as real micro-batches (inserts then deletes), so the
@@ -1626,6 +1644,23 @@ object IncrementalQueries {
          |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10Outer),
+
+    // RIGHT OUTER JOIN from SQL text — canonicalized by the compiler
+    // onto the LEFT OUTER machinery (children swapped, preserved side
+    // unchanged); same oracle as the LEFT form because the two
+    // spellings denote the same view.
+    sql("incremental_sql_q10_right",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |LEFT JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+         | AND l_linenumber <> 3
+         |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10Right),
 
     // The same compiled LEFT JOIN through the CONTINUOUS engine —
     // NULL-extensions assert/retract across real micro-batches.

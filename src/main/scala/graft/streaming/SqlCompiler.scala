@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, EqualTo, Expression, Literal, NullsFirst}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
@@ -780,9 +780,15 @@ object SqlCompiler {
           fail(s"LEFT JOIN ${rr.head} needs an ON clause with the FK equality")
         outerOn += ((rr.head, conj))
         (lr ++ rr, lc ++ conj, la ++ ra)
+      // RIGHT JOIN canonicalizes to LEFT with the children swapped
+      // (the preserved side is the right subtree) — the LEFT OUTER
+      // machinery then applies unchanged, including its
+      // single-base-relation constraint on the now-optional side.
+      case Join(l, r, RightOuter, cond, hint) =>
+        walkJoins(Join(r, l, LeftOuter, cond, hint))
       case Join(_, _, other, _, _) if other != Inner =>
-        fail(s"$other join is not compiled — INNER and LEFT OUTER joins only " +
-          "(rewrite RIGHT as LEFT; FULL OUTER is not incrementally maintained here)")
+        fail(s"$other join is not compiled — INNER, LEFT and RIGHT OUTER joins only " +
+          "(FULL OUTER is not incrementally maintained here)")
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         val (rs, cs, as) = walkJoins(a.child)
         (rs, cs, as + (a.alias.toLowerCase -> rs))

@@ -1350,6 +1350,30 @@ class SqlCompilerSpec extends AnyFunSuite {
           |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
           |JOIN lineitem ON l_orderkey = o_orderkey
           |GROUP BY c_custkey""".stripMargin, "leaf side")
+    // FULL OUTER remains rejected (not incrementally maintained)
+    bad("""SELECT c_custkey, COUNT(*) AS n
+          |FROM customer FULL OUTER JOIN orders ON o_custkey = c_custkey
+          |GROUP BY c_custkey""".stripMargin, "FULL OUTER")
+  }
+
+  test("RIGHT JOIN canonicalizes onto the LEFT OUTER machinery, same view") {
+    val left = SqlCompiler.compile(s, d,
+      """SELECT c_custkey, COUNT(*) AS n
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin).run(s, d, Map.empty)
+    val right = SqlCompiler.compile(s, d,
+      """SELECT c_custkey, COUNT(*) AS n
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin).run(s, d, Map.empty)
+    assert(right.exceptAll(left).isEmpty && left.exceptAll(right).isEmpty)
+    // the canonicalized form inherits LEFT's constraint: the optional
+    // (left) side must be a single base relation
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT c_custkey, COUNT(*) AS n
+        |FROM (orders JOIN lineitem ON l_orderkey = o_orderkey)
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin))
+    assert(ex.getMessage.contains("single base relation"), ex.getMessage)
   }
 
   test("session conf wires skew salting into the compiled plan, answer-invariant") {
