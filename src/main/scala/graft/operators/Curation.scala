@@ -617,5 +617,30 @@ object Curation {
           .agg(count(lit(1)).as("n_grams"), count(col("__c")).as("n_common"))
           .select(col("doc_id"), col("n_grams"), col("n_common"),
             (col("n_common").cast("double") / col("n_grams")).as("common_ratio"))
+    },
+
+    // --- deterministic train/val/test split ----------------------------
+    // Hash-bucket split on the DOCUMENT ID alone (md5 first byte:
+    // <0xcc train ≈79.7%, <0xe6 val ≈10.2%, rest test) — the property
+    // that matters in a training pipeline is STABILITY: a document's
+    // split membership never changes when other documents are added or
+    // removed (per-doc hash, no global count/percentile), so
+    // re-splitting a grown corpus cannot leak yesterday's test set
+    // into today's train set. Embarrassingly parallel: one scan, no
+    // shuffle, the assignment is a per-row expression.
+    sql("split_train_test",
+      """SELECT doc_id, lang,
+        | CASE WHEN h < 'cc' THEN 'train'
+        |      WHEN h < 'e6' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |       substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        |      FROM documents) t""".stripMargin) {
+      (s, d) =>
+        val h = substring(md5(to_binary(col("doc_id").cast("string"), lit("utf-8"))), 1, 2)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            when(h < "cc", "train").when(h < "e6", "val")
+              .otherwise("test").as("split"))
     })
 }

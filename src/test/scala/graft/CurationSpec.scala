@@ -204,4 +204,28 @@ class CurationSpec extends AnyFunSuite {
       .map { case (id, sc) => (id, sc.toDouble / 1000000000L) }
     assert(got.toSeq == want.toSeq)
   }
+
+  test("train/val/test split partitions the corpus and is stable under growth") {
+    import org.apache.spark.sql.functions._
+    val split = q("split_train_test")
+    val total = Tables.documents(s, d).count()
+    // exact partition: every doc in exactly one split
+    assert(split.count() == total)
+    assert(split.select("doc_id").distinct().count() == total)
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    assert(frac("train") > 0.70 && frac("train") < 0.90, frac)
+    assert(frac("val") > 0.04 && frac("val") < 0.18, frac)
+    assert(frac("test") > 0.04 && frac("test") < 0.18, frac)
+    // STABILITY: membership is a pure function of doc_id — recomputing
+    // over any subset of the corpus assigns the same splits (no
+    // count/percentile dependence on the other rows)
+    val h = substring(md5(to_binary(col("doc_id").cast("string"), lit("utf-8"))), 1, 2)
+    val subset = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split2"))
+    val drift = split.join(subset, "doc_id")
+      .filter(col("split") =!= col("split2")).count()
+    assert(drift == 0)
+  }
 }
