@@ -353,5 +353,74 @@ object TimeSeries {
           .agg(q_merge_quantile(col("sketch"), 500, 4).as("p50_e2"),
             q_merge_quantile(col("sketch"), 950, 4).as("p95_e2"),
             q_merge_quantile(col("sketch"), 990, 4).as("p99_e2"))
+    },
+
+    // KMV SET OPERATIONS — estimating |A∪B|, |A∩B| and Jaccard between
+    // two user segments from their SKETCHES alone (Beyer et al.,
+    // SIGMOD 2007): the union sketch is the bottom-k of the two
+    // sketches' hash union (exact by bottom-k associativity); ρ =
+    // |{h ∈ K∪ : h ∈ K_A ∧ h ∈ K_B}| / k is the Jaccard estimator;
+    // intersection ≈ ρ · est(|A∪B|). This is what segment-overlap
+    // dashboards compute at 100 TB — per-segment sketches persisted
+    // once, every pairwise overlap answered from k longs per segment
+    // with NO re-scan of raw events. One scan here builds both
+    // sketches (conditional ingest, nulls skipped); the set algebra is
+    // integer array ops on one row; determinism: set sizes and θ are
+    // exact integers, the two IEEE divisions mirror the oracle's
+    // operation-for-operation.
+    sql("events_kmv_jaccard",
+      """WITH h AS (
+        | SELECT DISTINCT CASE WHEN value > 150 THEN 'hi' ELSE 'lo' END AS seg,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM events
+        | WHERE event_type = 'purchase' AND (value > 150 OR value < 30)),
+        |ska AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h
+        |  WHERE seg = 'hi') WHERE rn <= 64),
+        |skb AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h
+        |  WHERE seg = 'lo') WHERE rn <= 64),
+        |u AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+        |   SELECT h FROM ska UNION SELECT h FROM skb)) WHERE rn <= 64),
+        |stats AS (SELECT COUNT(*) AS nu, MAX(h) AS theta,
+        |  SUM(CASE WHEN h IN (SELECT h FROM ska)
+        |            AND h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS ni
+        | FROM u)
+        |SELECT CAST(ni * 1000000 // LEAST(64, nu) AS BIGINT) AS jaccard_e6,
+        | CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |      ELSE 63 * 1152921504606846976.0 / CAST(theta AS DOUBLE) END AS approx_union,
+        | (CAST(ni AS DOUBLE) / LEAST(64, nu)) *
+        | (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |       ELSE 63 * 1152921504606846976.0 / CAST(theta AS DOUBLE) END)
+        |  AS approx_intersection
+        |FROM stats""".stripMargin) {
+      (s, d) =>
+        import graft.functions.KmvDistinctAgg.kmv_sketch
+        val hash = conv(substring(
+          md5(to_binary(col("user_id").cast("string"), lit("utf-8"))), 1, 15),
+          16, 10).cast("long")
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase" &&
+            (col("value") > 150 || col("value") < 30))
+          .agg(
+            kmv_sketch(when(col("value") > 150, hash), 64).as("a"),
+            kmv_sketch(when(col("value") < 30, hash), 64).as("b"))
+          .select(col("a"), col("b"),
+            slice(array_sort(array_union(col("a"), col("b"))), 1, 64).as("u"))
+          .select(
+            size(col("u")).cast("long").as("nu"),
+            element_at(col("u"), size(col("u"))).as("theta"),
+            size(array_intersect(array_intersect(col("u"), col("a")), col("b")))
+              .cast("long").as("ni"))
+          .select(
+            expr("ni * 1000000 div least(64L, nu)").as("jaccard_e6"),
+            expr("CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE) " +
+              "ELSE 63 * 1152921504606846976.0 / CAST(theta AS DOUBLE) END")
+              .as("approx_union"),
+            expr("(CAST(ni AS DOUBLE) / least(64L, nu)) * " +
+              "(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE) " +
+              "ELSE 63 * 1152921504606846976.0 / CAST(theta AS DOUBLE) END)")
+              .as("approx_intersection"))
     })
 }

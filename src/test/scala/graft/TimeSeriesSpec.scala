@@ -59,4 +59,26 @@ class TimeSeriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan.take(1500))
   }
+  test("kmv set ops: jaccard/union/intersection track the exact segment overlap") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("events_kmv_jaccard")(s, d).collect()(0)
+    val jHat = row.getAs[Long]("jaccard_e6").toDouble / 1e6
+    val uHat = row.getAs[Double]("approx_union")
+    val iHat = row.getAs[Double]("approx_intersection")
+    // exact overlap of the same hi/lo-ticket purchase segments
+    val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+    val a = ev.filter(col("value") > 150).select("user_id").distinct()
+    val b = ev.filter(col("value") < 30).select("user_id").distinct()
+    val na = a.count().toDouble
+    val nb = b.count().toDouble
+    val ni = a.intersect(b).count().toDouble
+    val nu = na + nb - ni
+    // KMV with k=64 on a few hundred distinct users: generous 35%
+    // relative tolerance (estimator sigma ~ 1/sqrt(k-2) = 13%)
+    assert(math.abs(uHat - nu) / nu < 0.35, s"union: $uHat vs $nu")
+    assert(math.abs(jHat - ni / nu) < 0.25, s"jaccard: $jHat vs ${ni / nu}")
+    assert(math.abs(iHat - ni) / math.max(ni, 1.0) < 0.5, s"inter: $iHat vs $ni")
+    // internal consistency: intersection = jaccard x union by construction
+    assert(math.abs(iHat - jHat * uHat) < 1e-6 * uHat)
+  }
 }
