@@ -868,6 +868,65 @@ object Relational {
             col("asof_ts").as("asof_click_ts"))
     },
 
+    // NATIVE stream-stream INTERVAL JOIN behind the hash gate — the
+    // one Structured Streaming join operator the surface had not yet
+    // gated: purchases ⋈ clicks of the same user within the preceding
+    // hour, BOTH sides unbounded streams with watermarks bounding the
+    // buffered state (the production attribution-join shape; contrast
+    // events_asof_join, where one side is a lookup). Inner stream-
+    // stream joins emit eagerly on match, so results are complete
+    // once both replays drain; the watermark exists to evict state,
+    // not to trigger output — eviction is provably safe here because
+    // the ts-ordered two-batch replay keeps every batch-2 purchase's
+    // 1-hour click lookback inside the retained horizon. Oracle: the
+    // identical batch interval join.
+    sql("events_stream_stream_join",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+        |FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import ss.implicits._
+        val collected = boundedReplayCollect("events_stream_stream_join",
+          Tables.events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(col("user_id"), col("ts"), (col("event_type") === "click").as("isClick"),
+              col("event_id"))
+            .as[(Long, java.sql.Timestamp, Boolean, Long)](
+              org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp, Boolean, Long)]))
+          .sortBy(e => (e._2.getTime, e._4))
+        val clickSrc = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val purchSrc = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val clicks = clickSrc.toDF().toDF("c_user", "click_ts", "click_id")
+          .withWatermark("click_ts", "2 hours")
+        val purchases = purchSrc.toDF().toDF("user_id", "purchase_ts", "purchase_id")
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"))
+        val query = joined.writeStream
+          .format("memory").queryName("events_ss_join_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = collected.splitAt(collected.length / 2)
+          for (batch <- Seq(first, second)) {
+            clickSrc.addData(batch.filter(_._3).map(e => (e._1, e._2, e._4)))
+            purchSrc.addData(batch.filterNot(_._3).map(e => (e._1, e._2, e._4)))
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        ss.table("events_ss_join_sink")
+          .select(col("purchase_id"), col("user_id"),
+            col("purchase_ts"), col("click_id"), col("click_ts"))
+    },
+
     // NATIVE streaming session windows behind the hash gate: the same
     // 30-minute-gap sessions as events_sessionize, but aggregated to
     // session level and computed by Spark's session_window operator

