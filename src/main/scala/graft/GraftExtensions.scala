@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
   }
 }

@@ -22,6 +22,7 @@ object SparkEntry {
     operators.SimilaritySearch.defs ++
     operators.Multimodal.defs ++
     operators.MergeOps.defs ++
+    operators.MatViews.defs ++
     operators.GraphOps.defs ++
     operators.Profiling.defs ++
     sources.Formats.defs ++
