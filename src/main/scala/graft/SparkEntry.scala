@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Multimodal.defs ++
     operators.MergeOps.defs ++
     operators.MatViews.defs ++
+    operators.SkewJoin.defs ++
     operators.GraphOps.defs ++
     operators.Profiling.defs ++
     sources.Formats.defs ++

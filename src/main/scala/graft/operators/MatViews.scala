@@ -96,5 +96,47 @@ object MatViews {
         require(physical.contains(mvDir) && !physical.contains("lineitem.parquet"),
           s"MV rewrite did not fire — plan still scans the fact table:\n$physical")
         df
+    },
+
+    // INCREMENTAL MV REFRESH — the maintenance half of the MV
+    // contract: SUM/COUNT partials are SELF-MAINTAINABLE, so a
+    // changelog refreshes the summary with ONE aggregate over the
+    // (small) change set plus ONE outer merge on the dims — no
+    // re-scan of the unchanged fact data. The algebra: Δ-aggregate
+    // signed measures (+insert/−delete), add onto the stored
+    // partials, drop groups whose count nets to zero. (MIN/MAX are
+    // NOT self-maintainable under deletes — a delete of the extreme
+    // needs the group recomputed; that asymmetry is why this view
+    // carries only the sum/count partials.) Gated against DuckDB
+    // aggregating the post-change fact table directly, so the claim
+    // is refresh ≡ rebuild.
+    sql("mv_refresh_incremental",
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM($RevenueMeasure) AS BIGINT) AS rev_e4,
+         | COUNT(*) AS cnt
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % 50 <> 0 AND l_linenumber = 3)
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        val dims = Seq(col("l_returnflag"), col("l_linestatus"))
+        val li = Tables.lineitem(s, d)
+        // yesterday's fact state and its MV
+        val base = li.filter(col("l_orderkey") % 50 =!= 0)
+        val mv0 = base.groupBy(dims: _*)
+          .agg(sum(expr(RevenueMeasure)).as("rev0"), count(lit(1)).as("cnt0"))
+        // today's changelog: new orders arrive, linenumber-3 rows are
+        // corrected away
+        val inserts = li.filter(col("l_orderkey") % 50 === 0)
+          .select(dims :+ expr(RevenueMeasure).as("m") :+ lit(1L).as("sgn"): _*)
+        val deletes = base.filter(col("l_linenumber") === 3)
+          .select(dims :+ expr(RevenueMeasure).as("m") :+ lit(-1L).as("sgn"): _*)
+        val delta = inserts.unionAll(deletes)
+          .groupBy(dims: _*)
+          .agg(sum(col("sgn") * col("m")).as("d_rev"), sum(col("sgn")).as("d_cnt"))
+        mv0.join(delta, Seq("l_returnflag", "l_linestatus"), "full_outer")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            (coalesce(col("rev0"), lit(0L)) + coalesce(col("d_rev"), lit(0L))).as("rev_e4"),
+            (coalesce(col("cnt0"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+          .filter(col("cnt") > 0)
     })
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
 
 /** Salted equi-join for skewed key distributions.
   *
@@ -41,4 +43,28 @@ object SkewJoin {
       .join(replicatedSmall, Seq(key, saltCol))
       .drop(saltCol)
   }
+
+  val defs: Seq[GraftQuery] = Seq(
+    // The salted join behind the hash gate: brand-level rollup of the
+    // lineitem⋈part join routed through the (key, salt) widened
+    // exchange, gated against the PLAIN join's SQL — salting must be
+    // answer-invariant, which is exactly what makes it deployable as
+    // a mechanical de-skew. (The tree-engine flavors
+    // incremental_*_salted gate the stateful path; this is the batch
+    // operator.)
+    sql("skew_salted_join",
+      """SELECT p_brand, COUNT(*) AS n,
+        | SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_e2
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY p_brand""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_quantity"))
+        val pt = Tables.part(s, d)
+          .select(col("p_partkey").as("pk"), col("p_brand"))
+        saltedJoin(li, pt, "pk", salts = 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long")).as("qty_e2"))
+    })
 }

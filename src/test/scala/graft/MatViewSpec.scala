@@ -68,4 +68,14 @@ class MatViewSpec extends AnyFunSuite {
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
     assert(other.queryExecution.executedPlan.toString.contains("orders.parquet"))
   }
+
+  test("incremental refresh equals a full rebuild of the post-change summary") {
+    val refreshed = SparkEntry.queries("mv_refresh_incremental")(spark, sfTiny)
+    val rebuilt = Tables.lineitem(spark, sfTiny)
+      .filter(!(col("l_orderkey") % 50 =!= 0 && col("l_linenumber") === 3))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(expr(MatViews.RevenueMeasure)).as("rev_e4"), count(lit(1)).as("cnt"))
+    assert(refreshed.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(refreshed).isEmpty &&
+      refreshed.count() == rebuilt.count() && refreshed.count() > 0)
+  }
 }
