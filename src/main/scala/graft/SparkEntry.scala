@@ -27,6 +27,7 @@ object SparkEntry {
     operators.GraphOps.defs ++
     operators.Profiling.defs ++
     sources.Formats.defs ++
+    sources.Bucketing.defs ++
     sources.ZOrder.defs ++
     streaming.IncrementalQueries.defs
 

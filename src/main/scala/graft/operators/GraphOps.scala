@@ -163,6 +163,41 @@ object GraphOps {
   }
 
   val defs: Seq[GraftQuery] = Seq(
+    // CONNECTED COMPONENTS at the graph surface: the support-≥2 part
+    // co-occurrence graph labeled by the O(log²)-round large-star/
+    // small-star fixpoint ([[Dedup.ccLargeSmallStar]] — ONE
+    // implementation for both the near-dup and the graph surface),
+    // gated against DuckDB's recursive-CTE min-label propagation.
+    // Support-2 sparsification keeps the graph analytically honest
+    // (co-bought twice ≈ signal, once ≈ noise) and bounds the
+    // oracle's label-closure recursion.
+    sql("graph_connected_components",
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS (SELECT u AS src, v AS dst FROM e0
+        |          UNION ALL SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, lbl) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src)
+        |SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+        val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        Dedup.ccLargeSmallStar(edges)
+          .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+    },
+
     // Triangles in the part co-occurrence graph (parts bought together
     // in ≥1 order; the dense cousin of basket_part_pairs): which parts
     // sit in tightly clustered purchase neighborhoods. Top-50 by

@@ -1358,6 +1358,39 @@ object Relational {
             decCol(col("o_totalprice"), 2).as("o_totalprice"))
     },
 
+    // Q16-LIKE supplier counting — the NOT IN (subquery) shape:
+    // distinct suppliers per (brand, size) EXCLUDING a derived
+    // denylist (TPC-H Q16 excludes complaint suppliers; here, the
+    // top-3 return-heaviest — an aggregate-ranked subquery instead of
+    // a LIKE, same decorrelation). NOT IN over a provably
+    // non-NULL key compiles to an anti join against the (tiny,
+    // aggregate-derived) denylist — broadcast at any scale — and the
+    // distinct count shuffles once on the group key. The denylist
+    // rank breaks ties on the key, so the cut is deterministic.
+    sql("q16_like_supplier_cnt",
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN (
+        | SELECT l_suppkey FROM (
+        |  SELECT l_suppkey,
+        |   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_suppkey) AS rk
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_suppkey) t
+        | WHERE rk <= 3)
+        |GROUP BY p_brand, p_size""".stripMargin) {
+      (s, d) =>
+        val denylist = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("__n"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("__n").desc, col("l_suppkey"))))
+          .filter(col("rk") <= 3).select(col("l_suppkey").as("bad_supp"))
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+          .join(broadcast(denylist), col("l_suppkey") === col("bad_supp"), "left_anti")
+          .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
     // DISTRIBUTION window functions — percent_rank / cume_dist /
     // first_value complete the analytic-function family next to
     // rank/lag/ntile. Both engines define percent_rank as
