@@ -355,6 +355,39 @@ object TimeSeries {
             q_merge_quantile(col("sketch"), 990, 4).as("p99_e2"))
     },
 
+    // TIME-RANGE window frame — RANGE BETWEEN INTERVAL, the frame kind
+    // the window family had not yet gated (rank/lag/ntile are
+    // row-positional, window_moving_avg is a ROWS frame): per user,
+    // the trailing-hour purchase total at every purchase. The frame
+    // bound is integer epoch-SECONDS in both engines (Spark's
+    // rangeBetween on a long orderBy; DuckDB RANGE with the same
+    // integer key), so frame membership is set-identical and the
+    // integer-cents SUM over it is order-independent — ties in ts
+    // don't matter because a RANGE frame includes all peers. One
+    // shuffle on user_id; state is the frame, never the partition.
+    sql("events_range_frame_sum",
+      """SELECT event_id, user_id,
+        | SUM(v_e2) OVER (PARTITION BY user_id ORDER BY sec
+        |                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_e2,
+        | COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+        |                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing
+        |FROM (
+        | SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+        |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_e2
+        | FROM events WHERE event_type = 'purchase') t""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-3600L, 0L)
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("sec"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("v_e2"))
+          .select(col("event_id"), col("user_id"),
+            sum(col("v_e2")).over(w).as("trailing_e2"),
+            count(lit(1)).over(w).as("n_trailing"))
+    },
+
     // KMV SET OPERATIONS — estimating |A∪B|, |A∩B| and Jaccard between
     // two user segments from their SKETCHES alone (Beyer et al.,
     // SIGMOD 2007): the union sketch is the bottom-k of the two

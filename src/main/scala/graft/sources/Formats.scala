@@ -62,7 +62,56 @@ object Formats {
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
 
+  /** One schema-evolved two-batch parquet layout per fixture dir per
+    * JVM (same memo + shutdown-hook cleanup discipline as the ORC
+    * copies): batch 1 written with the ORIGINAL two-column schema,
+    * batch 2 with an added `lang` column — the lakehouse reality that
+    * tables gain columns over their lifetime and old files stay as
+    * written. */
+  private val evoDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  sys.addShutdownHook {
+    evoDirs.values().forEach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  def evolvedDocsDir(s: SparkSession, d: String): String =
+    evoDirs.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+        .write.mode("overwrite").parquet(s"$out/batch1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "source", "lang")
+        .write.mode("overwrite").parquet(s"$out/batch2")
+      out
+    })
+
   val defs: Seq[GraftQuery] = Seq(
+    // SCHEMA EVOLUTION on read: two parquet batches with different
+    // schemas (a column added between writes) unified by mergeSchema —
+    // rows from the pre-evolution files surface the new column as
+    // NULL, exactly DuckDB's union_by_name semantics (mirrored in the
+    // oracle as a typed-NULL UNION ALL over the same deterministic
+    // slices). At 100 TB this is the contract that lets a decade of
+    // heterogeneous files stay one logical table; mergeSchema is the
+    // read-time knob (footer-schema union at planning, no data
+    // rewrite).
+    sql("schema_evolution_read",
+      """SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, lang
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin) {
+      (s, d) =>
+        val dir = evolvedDocsDir(s, d)
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/batch1", s"$dir/batch2")
+          .select("doc_id", "source", "lang")
+    },
+
     sql("orc_roundtrip_lineitem",
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | l_quantity, l_extendedprice, l_shipdate
