@@ -65,7 +65,12 @@ object SparkEntry {
       // above — the delta IS the reduction), the windowed resample,
       // BM25 ranked retrieval, and the MERGE upsert rewrite
       "incremental_q10_bloom", "events_resample_window_agg",
-      "text_bm25_topk", "merge_upsert_orders")
+      "text_bm25_topk", "merge_upsert_orders",
+      // round 8: the two-nation flagship, the triangle enumeration
+      // (the heaviest self-join shape on the board), and the MV
+      // rewrite (its cost IS build + rewritten read — the honest
+      // price of the summary path)
+      "q7_like_volume_shipping", "graph_triangle_count", "mv_rewrite_revenue")
     val have = queries.keySet
     preferred.filter(have)
   }

@@ -147,6 +147,11 @@ object GraphOps {
     * extra degree join; id orientation is kept here because the
     * co-occurrence graphs this surface feeds are degree-bounded by the
     * order key itself (≤ 7 parts per order).
+    *
+    * `edges` is consumed THREE times (both wedge legs + the closing
+    * probe) — callers must materialize it (persist/localCheckpoint)
+    * or the whole derivation re-executes per use; the registered
+    * entry does.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("u").as("a"), col("v").as("b"))
@@ -219,8 +224,9 @@ object GraphOps {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
         val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
         val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+        // materialized ONCE: the edge set feeds three join legs
         val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
-          .select("u", "v").distinct()
+          .select("u", "v").distinct().localCheckpoint(eager = true)
         triangleCounts(edges)
           .orderBy(col("tri_count").desc, col("node")).limit(50)
     },
