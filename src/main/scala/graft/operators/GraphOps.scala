@@ -203,15 +203,17 @@ object GraphOps {
           .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
     },
 
-    // Triangles in the part co-occurrence graph (parts bought together
-    // in ≥1 order; the dense cousin of basket_part_pairs): which parts
-    // sit in tightly clustered purchase neighborhoods. Top-50 by
-    // participation count.
+    // Triangles in the SUPPORT-≥2 part co-occurrence graph (the same
+    // signal/noise cut the CC entry uses: co-bought twice ≈ signal;
+    // keeping support-1 edges makes the graph quadratically denser
+    // and the wedge enumeration ~40× slower for neighborhoods that
+    // are noise anyway). Top-50 by participation count.
     sql("graph_triangle_count",
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
         |      FROM li a JOIN li b
-        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |        FROM e e1 JOIN e e2 ON e2.u = e1.v
         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
@@ -226,7 +228,9 @@ object GraphOps {
         val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
         // materialized ONCE: the edge set feeds three join legs
         val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
-          .select("u", "v").distinct().localCheckpoint(eager = true)
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint(eager = true)
         triangleCounts(edges)
           .orderBy(col("tri_count").desc, col("node")).limit(50)
     },
