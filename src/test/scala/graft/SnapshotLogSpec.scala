@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLog
+
+class SnapshotLogSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfTiny}
+  import spark.implicits._
+
+  test("time travel: v0 reads back the original snapshot after the v1 commit") {
+    val root = SnapshotLog.ordersTableRoot(spark, sfTiny)
+    val orders = Tables.orders(spark, sfTiny)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val v0 = SnapshotLog.readVersion(spark, root, 0).drop("b")
+    assert(v0.exceptAll(orders).isEmpty && orders.exceptAll(v0).isEmpty &&
+      v0.count() == orders.count())
+    // v1 differs from v0 exactly on the three pinned buckets' rows
+    val v1 = SnapshotLog.readVersion(spark, root, 1).drop("b")
+    assert(v1.count() ==
+      orders.count() -
+        orders.filter(col("o_orderkey") % 160 === 0).count() +
+        orders.filter(col("o_orderkey") % 160 === 2).count())
+    // physical copy-on-write: the v1 dir holds ONLY the touched buckets
+    val v1Buckets = new java.io.File(s"$root/v1").listFiles()
+      .filter(_.getName.startsWith("b=")).map(_.getName).toSet
+    assert(v1Buckets == Set("b=0", "b=1", "b=2"), v1Buckets)
+  }
+
+  test("a bucket emptied by deletes disappears from the later snapshot only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
+    // keys 0..31 → buckets 0..15 with two rows each
+    val t = (0L until 32L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, dir, "k")
+    // delete BOTH rows of bucket 3 (keys 3 and 19)
+    val changes = Seq((3L, "D", "x"), (19L, "D", "x")).toDF("k", "op", "payload")
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"), changes)
+    val v0 = SnapshotLog.readVersion(spark, dir, 0)
+    val v1 = SnapshotLog.readVersion(spark, dir, 1)
+    assert(v0.count() == 32)
+    assert(v1.count() == 30)
+    assert(v1.filter(col("k") % 16 === 3).count() == 0)
+    // diff recovers exactly the two deletes
+    val diff = SnapshotLog.tableDiff(v0, v1, "k", Seq("payload")).collect()
+    assert(diff.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((3L, "D"), (19L, "D")))
+  }
+}
