@@ -1358,6 +1358,102 @@ object Relational {
             decCol(col("o_totalprice"), 2).as("o_totalprice"))
     },
 
+    // Q12-LIKE shipmode/priority counting — the CASE-aggregation
+    // shape: one join, one group, the measures are conditional COUNTs
+    // (SUM of CASE) — the reporting form every warehouse query uses
+    // for side-by-side segment columns. Counts are integers; nothing
+    // to round.
+    sql("q12_like_priority_counts",
+      """SELECT l_linestatus,
+        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS high_line_count,
+        | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin) {
+      (s, d) =>
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                  col("l_shipdate") < lit("1997-01-01"))
+          .select("l_orderkey", "l_linestatus")
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+    },
+
+    // Q14-LIKE promo revenue share — the RATIO-OF-AGGREGATES shape:
+    // both numerator and denominator fold as exact scaled integers in
+    // ONE aggregate pass (conditional sum, no second scan), and the
+    // share is ONE IEEE division of the two exact longs — identical
+    // cross-engine, so a derived percentage sits behind the hash gate.
+    sql("q14_like_promo_share",
+      """SELECT
+        | CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT)
+        |  AS promo_rev_e4,
+        | CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+        | 100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+        |  / SUM(rev_e4) AS promo_pct
+        |FROM (
+        | SELECT p.p_type,
+        |  CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT) AS rev_e4
+        | FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        | WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1996-02-01') t""".stripMargin) {
+      (s, d) =>
+        val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000
+          + lit(0.5)).cast("long")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                  col("l_shipdate") < lit("1996-02-01"))
+          .select(col("l_partkey"), rev.as("rev_e4"))
+          .join(Tables.part(s, d).select("p_partkey", "p_type"),
+            col("p_partkey") === col("l_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L))
+              .as("promo_rev_e4"),
+            sum(col("rev_e4")).as("total_rev_e4"))
+          .select(col("promo_rev_e4"), col("total_rev_e4"),
+            (lit(100.0) * col("promo_rev_e4") / col("total_rev_e4")).as("promo_pct"))
+    },
+
+    // Q19-LIKE disjunctive multi-predicate join — an OR of
+    // (brand, size-range, quantity-range) conjunct groups across BOTH
+    // join sides: the shape that exercises CNF conversion and partial
+    // pushdown (per-side conjuncts common to all branches — here the
+    // quantity floor — push into the scans; the cross-side disjunction
+    // evaluates at the join). Revenue in exact scaled integers.
+    sql("q19_like_disjunctive_revenue",
+      s"""SELECT ${decSumSql("l.l_extendedprice * (1.0 - l.l_discount)", 4)} AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 1 AND 20)
+         |   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+         |       AND l.l_quantity BETWEEN 10 AND 35)
+         |   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50
+         |       AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin) {
+      (s, d) =>
+        val branch1 = col("p_brand") === "Brand#11" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+        val branch2 = col("p_brand") === "Brand#22" &&
+          col("p_size").between(10, 30) && col("l_quantity").between(10, 35)
+        val branch3 = col("p_brand") === "Brand#33" &&
+          col("p_size").between(20, 50) && col("l_quantity").between(20, 50)
+        Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+            col("p_partkey") === col("l_partkey"))
+          .filter(branch1 || branch2 || branch3)
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+    },
+
     // Q16-LIKE supplier counting — the NOT IN (subquery) shape:
     // distinct suppliers per (brand, size) EXCLUDING a derived
     // denylist (TPC-H Q16 excludes complaint suppliers; here, the
