@@ -179,6 +179,65 @@ object SnapshotLog {
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
 
+    // STREAMING LAKEHOUSE INGESTION — a change feed maintained INTO
+    // the versioned table via foreachBatch, version = batchId + 1: a
+    // retried batch re-commits the SAME version directory and manifest
+    // (idempotent, the foreachBatch exactly-once recipe — the version
+    // id plays Delta's txn appId+version role). Two real micro-batches
+    // (updates, then deletes+inserts); the gated value is the final
+    // snapshot, which must equal applying the whole change set at
+    // once — batch boundaries cannot leak into table state.
+    sql("snapshot_stream_ingest",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(CASE WHEN o_orderkey % 160 = 1
+        |      THEN o_totalprice + 1000 ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE)
+        |  AS o_totalprice
+        |FROM orders WHERE o_orderkey % 160 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 160 = 2""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ss = s.newSession()
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_stream").toString
+        val orders = Tables.orders(ss, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        val batch1 = orders.filter(col("o_orderkey") % 160 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+            col("o_orderstatus"), (col("o_totalprice") + lit(1000)).as("o_totalprice"))
+        val batch2 = orders.filter(col("o_orderkey") % 160 === 0)
+          .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(orders.filter(col("o_orderkey") % 160 === 2)
+            .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+              lit("I").as("op"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice")))
+        import ss.implicits._
+        val enc = org.apache.spark.sql.Encoders
+          .product[(Long, String, Long, String, Double)]
+        val ms = MemoryStream[(Long, String, Long, String, Double)]
+        val query = ms.toDS()
+          .toDF("o_orderkey", "op", "o_custkey", "o_orderstatus", "o_totalprice")
+          .writeStream
+          .foreachBatch { (changes: DataFrame, batchId: Long) =>
+            commitMerge(ss, root, batchId.toInt + 1, "o_orderkey", payload, changes)
+          }
+          .start()
+        try {
+          import graft.streaming.IncrementalQueries.boundedReplayCollect
+          for (b <- Seq(batch1, batch2)) {
+            ms.addData(boundedReplayCollect("snapshot_stream_ingest",
+              b.as[(Long, String, Long, String, Double)](enc)))
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        readVersion(ss, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
     // CHANGE DATA FEED between the two snapshots: the row-level diff
     // recovered FROM THE TABLE ITSELF (not from the change set) must
     // equal the change set that produced v1 — I for the shifted

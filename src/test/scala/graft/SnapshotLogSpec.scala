@@ -45,4 +45,19 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(diff.map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((3L, "D"), (19L, "D")))
   }
+
+  test("re-committing the same version is idempotent (the foreachBatch retry contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_retry").toString
+    val t = (0L until 32L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, dir, "k")
+    val changes = Seq((5L, "U", "updated5")).toDF("k", "op", "payload")
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"), changes)
+    val first = SnapshotLog.readVersion(spark, dir, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // a streaming retry re-runs the SAME batch with the same version id
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"), changes)
+    val second = SnapshotLog.readVersion(spark, dir, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(first == second && first.contains((5L, "updated5")) && first.size == 32)
+  }
 }
