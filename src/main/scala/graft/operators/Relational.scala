@@ -625,7 +625,8 @@ object Relational {
         | CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
         | t.total_qty_e2
         |FROM customer c, orders o,
-        | (SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS total_qty_e2
+        | (SELECT l_orderkey,
+        |   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_qty_e2
         |  FROM lineitem GROUP BY l_orderkey
         |  HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000) t
         |WHERE o.o_orderkey = t.l_orderkey AND c.c_custkey = o.o_custkey
@@ -1026,6 +1027,63 @@ object Relational {
         ss.table("events_stream_dedup_sink")
     },
 
+    // STREAMING CEP behind the hash gate: the strict-contiguity
+    // view NEXT click NEXT purchase pattern as an incremental per-key
+    // state machine (StreamingAnalytics.streamPatternMatch — the
+    // engine's answer to Flink CEP, which Spark does not ship), gated
+    // against the SAME two-LEAD window oracle as the batch twin
+    // events_pattern_match. The replay sends ALL event types (any
+    // intervening event must break contiguity — filtering the stream
+    // would change the semantics), ts-sorted in two micro-batches so
+    // the watermark advances between them: early events finalize and
+    // match while later ones buffer; a far-future sentinel on an
+    // unused key flushes the tail. Any divergence between the state
+    // machine and the batch window semantics fails the hash.
+    sql("events_pattern_stream",
+      """WITH o AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  LEAD(event_type, 1) OVER w AS e1,
+        |  LEAD(event_type, 2) OVER w AS e2,
+        |  LEAD(event_id, 2) OVER w AS end_event,
+        |  LEAD(epoch_us(ts), 2) OVER w AS end_us
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id AS start_event, us AS start_us,
+        | end_event, end_us
+        |FROM o
+        |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        | AND end_us - us <= 86400000000""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingAnalytics.{streamPatternMatch, PatIn}
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val collected = boundedReplayCollect("events_pattern_stream",
+          Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+            .as[(Long, java.sql.Timestamp, String, Long)])
+        val ev = collected.map(r => PatIn(r._1, r._2, r._3, r._4))
+          .sortBy(e => (e.ts.getTime, e.id))
+        val src = MemoryStream[PatIn]
+        val out = streamPatternMatch(src.toDS(), delay = "1 second", windowUs = 86400000000L)
+        val query = out.writeStream
+          .format("memory").queryName("events_pattern_stream_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          src.addData(PatIn(-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            "view", -1L))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_pattern_stream_sink").filter(col("user_id") >= 0)
+    },
+
     // Retention cohorts — the classic growth-analytics matrix: cohort
     // = a user's first active DATE, k = days since cohort, value =
     // how many of the cohort's users were active on day k. Two
@@ -1365,10 +1423,10 @@ object Relational {
     // to round.
     sql("q12_like_priority_counts",
       """SELECT l_linestatus,
-        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |     THEN 1 ELSE 0 END) AS high_line_count,
-        | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |     THEN 1 ELSE 0 END) AS low_line_count
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         | AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1514,5 +1572,267 @@ object Relational {
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"),
           first(col("o_orderkey")).over(w).as("cheapest_key"))
+    },
+
+    // Q2-LIKE minimum-cost supplier — the canonical correlated-MIN
+    // subquery ("the supplier whose price equals the minimum for this
+    // part"), decorrelated the way an optimizer does: the per-part
+    // minimum becomes a window MIN over the SAME partitioning the
+    // equality predicate consumes — one shuffle on l_partkey, no
+    // self-join, no re-scan (contrast TPC-H's textbook second
+    // partsupp scan). The p_size dimension filter broadcasts and
+    // prunes BEFORE the window, so at 100 TB the shuffled set is the
+    // qualifying parts' lines only. Prices compared as exact e2
+    // integers (2dp inputs), so the winner set is bit-identical
+    // cross-engine; DISTINCT collapses multiple winning lines of the
+    // same (part, supplier).
+    sql("q2_like_min_cost_supplier",
+      """WITH w AS (
+        | SELECT p.p_partkey, p.p_name, pr.l_suppkey, pr.price_e2,
+        |  MIN(pr.price_e2) OVER (PARTITION BY pr.l_partkey) AS min_price_e2
+        | FROM (SELECT l_partkey, l_suppkey,
+        |        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_e2
+        |       FROM lineitem) pr
+        | JOIN part p ON pr.l_partkey = p.p_partkey
+        | WHERE p.p_size = 5)
+        |SELECT DISTINCT p_partkey, p_name, s.s_name, n.n_name, min_price_e2
+        |FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE w.price_e2 = w.min_price_e2""".stripMargin) {
+      (s, d) =>
+        val priced = Tables.lineitem(s, d).select(
+          col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("price_e2"))
+        val parts = Tables.part(s, d).filter(col("p_size") === 5)
+          .select("p_partkey", "p_name")
+        val w = Window.partitionBy(col("l_partkey"))
+        priced
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .withColumn("min_price_e2", min(col("price_e2")).over(w))
+          .filter(col("price_e2") === col("min_price_e2"))
+          .select("p_partkey", "p_name", "l_suppkey", "min_price_e2").distinct()
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+            col("min_price_e2"))
+    },
+
+    // Q4-LIKE order-priority checking — correlated EXISTS whose inner
+    // predicate crosses tables (l_shipdate vs the OUTER row's
+    // o_orderdate + 60 days): the textbook decorrelation is a LEFT
+    // SEMI join carrying the non-equi condition beside the key
+    // equality, which Spark plans as a hash semi join on l_orderkey
+    // with the date comparison as a residual — one fact shuffle, and
+    // the orders date-range filter pushes into its scan. Pure COUNT
+    // output: nothing to round.
+    sql("q4_like_priority_exists",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1996-07-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |             WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        o.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+    },
+
+    // Q11-LIKE important value share — per-group total HAVING-compared
+    // against a GLOBAL scalar aggregate (share > 4%): the global total
+    // is derived from the per-brand frame itself (no second fact
+    // scan), broadcast as a one-row cross join, and the share test is
+    // an integer cross-multiplication (value·1000 > total·40) so the
+    // qualifying set cannot drift on a float division. Shape at
+    // 100 TB: one fact shuffle for the brand aggregate (map-side
+    // combined onto ~25 keys), then scalar algebra on ~25 rows.
+    sql("q11_like_value_share",
+      """WITH b AS (
+        | SELECT p_brand,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_e4
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY p_brand)
+        |SELECT p_brand, value_e4
+        |FROM b, (SELECT SUM(value_e4) AS total_e4 FROM b) t
+        |WHERE value_e4 * 1000 > total_e4 * 40""".stripMargin) {
+      (s, d) =>
+        val brandRev = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+              .cast("long").as("v_e4"))
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand")).agg(sum(col("v_e4")).as("value_e4"))
+        val total = brandRev.agg(sum(col("value_e4")).as("total_e4"))
+        brandRev.crossJoin(broadcast(total))
+          .filter(col("value_e4") * 1000 > col("total_e4") * 40)
+          .select("p_brand", "value_e4")
+    },
+
+    // Q13-LIKE customer distribution — the double-aggregate over a
+    // LEFT OUTER join: orders are joined with a join-condition-level
+    // predicate (priority filter) so customers with zero qualifying
+    // orders still appear with c_count = 0 (COUNT of a nullable key
+    // column counts matches only — the NULL-extension does the work a
+    // correlated COUNT subquery would). Two shuffles by construction:
+    // the outer join on custkey, then the tiny histogram aggregate on
+    // c_count.
+    sql("q13_like_order_count_dist",
+      """WITH co AS (
+        | SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        | FROM customer c LEFT OUTER JOIN orders o
+        |  ON c.c_custkey = o.o_custkey
+        |  AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        | GROUP BY c.c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY c_count""".stripMargin) {
+      (s, d) =>
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_custkey", "o_orderkey")
+        Tables.customer(s, d).select("c_custkey")
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    },
+
+    // Q15-LIKE top supplier — the ARGMAX-over-aggregate shape (a view
+    // of per-supplier revenue, filtered to rows equal to the view's
+    // own MAX): the scalar max comes from the aggregated frame (tiny),
+    // broadcast as a one-row cross join; the winner set (usually one
+    // row) then broadcasts INTO the supplier dimension, so the fact
+    // table is scanned and shuffled exactly once. Revenue in exact e4
+    // integers makes "equals the maximum" a bit-identical predicate —
+    // the one place this shape can go wrong on floats.
+    sql("q15_like_top_supplier",
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_e4
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey,
+        | (SELECT MAX(total_rev_e4) AS m FROM rev) t
+        |WHERE r.total_rev_e4 = t.m""".stripMargin) {
+      (s, d) =>
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+          .select(col("l_suppkey"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+              .cast("long").as("v_e4"))
+          .groupBy(col("l_suppkey")).agg(sum(col("v_e4")).as("total_rev_e4"))
+        val m = rev.agg(max(col("total_rev_e4")).as("m"))
+        val winners = rev.crossJoin(broadcast(m))
+          .filter(col("total_rev_e4") === col("m"))
+          .select("l_suppkey", "total_rev_e4")
+        Tables.supplier(s, d).select("s_suppkey", "s_name")
+          .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+    },
+
+    // Q21-LIKE suppliers who kept orders waiting — the hardest
+    // correlated shape in TPC-H: an EXISTS (another supplier touched
+    // the order) AND a NOT EXISTS (no OTHER supplier was also late)
+    // against the same fact table, both correlated on the outer row's
+    // order AND supplier. Decorrelated as one LEFT SEMI + one LEFT
+    // ANTI join, each an equi join on l_orderkey with the supplier
+    // inequality as residual — semi/anti preserve left multiplicity,
+    // so numwait counts qualifying l1 ROWS exactly as the SQL does.
+    // The anti side probes the (small) late-line set itself, not the
+    // full fact table. "Late" = shipped >120 days after an order
+    // already in final status.
+    sql("q21_like_waiting_supplier",
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o
+        |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        | AND o.o_orderstatus = 'F'
+        | AND l1.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |             WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                 WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey
+        |                  AND l3.l_shipdate > o.o_orderdate + INTERVAL 120 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val l1 = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+          .select("l_orderkey", "l_suppkey")
+        val others = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+        val lateSet = l1
+          .select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
+          .distinct()
+        l1
+          .join(others,
+            col("l_orderkey") === col("x_orderkey") &&
+              col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+          .join(lateSet,
+            col("l_orderkey") === col("y_orderkey") &&
+              col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+
+    // Q22-LIKE idle high-balance customers — global-scalar comparison
+    // (balance above the positive-balance average) PLUS an anti join
+    // (no recent orders), rolled up by nation. The average test runs
+    // as an integer cross-multiplication (bal_e2·n > total_e2): no
+    // float division anywhere near the qualifying-set boundary. At
+    // 100 TB: the scalar is one tiny broadcast, the anti join probes
+    // only date-filtered orders (filter pushed to the scan), the
+    // nation dim broadcasts — one customer-side shuffle total.
+    sql("q22_like_idle_customers",
+      s"""WITH t AS (
+         | SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS total_e2,
+         |  COUNT(*) AS n
+         | FROM customer WHERE c_acctbal > 0.0)
+         |SELECT nt.n_name, COUNT(*) AS numcust,
+         | ${decSumSql("c.c_acctbal", 2)} AS totacctbal
+         |FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey, t
+         |WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * t.n > t.total_e2
+         | AND NOT EXISTS (SELECT 1 FROM orders o
+         |                 WHERE o.o_custkey = c.c_custkey
+         |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+         |GROUP BY nt.n_name""".stripMargin) {
+      (s, d) =>
+        val cust = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("b_e2"))
+        val t = cust.filter(col("c_acctbal") > 0.0)
+          .agg(sum(col("b_e2")).as("total_e2"), count(lit(1)).as("n"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+          .select("o_custkey")
+        cust.crossJoin(broadcast(t))
+          .filter(col("b_e2") * col("n") > col("total_e2"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"), decSum(col("c_acctbal"), 2).as("totacctbal"))
     })
 }

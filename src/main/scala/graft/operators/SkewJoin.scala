@@ -54,7 +54,7 @@ object SkewJoin {
     // operator.)
     sql("skew_salted_join",
       """SELECT p_brand, COUNT(*) AS n,
-        | SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_e2
+        | CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_e2
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY p_brand""".stripMargin) {
       (s, d) =>

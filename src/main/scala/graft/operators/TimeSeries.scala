@@ -367,8 +367,8 @@ object TimeSeries {
     // shuffle on user_id; state is the frame, never the partition.
     sql("events_range_frame_sum",
       """SELECT event_id, user_id,
-        | SUM(v_e2) OVER (PARTITION BY user_id ORDER BY sec
-        |                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_e2,
+        | CAST(SUM(v_e2) OVER (PARTITION BY user_id ORDER BY sec
+        |                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_e2,
         | COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
         |                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing
         |FROM (
@@ -455,5 +455,87 @@ object TimeSeries {
               "(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE) " +
               "ELSE 63 * 1152921504606846976.0 / CAST(theta AS DOUBLE) END)")
               .as("approx_intersection"))
+    },
+
+    // GAPS-AND-ISLANDS — maximal runs of the same event type per user
+    // (the sequence-analytics staple: "3+ consecutive errors", login
+    // streaks, repeated-failure detection). The classic two-step:
+    // LAG marks each run boundary, a running SUM of the boundary
+    // flags numbers the islands, then one aggregate per island. Both
+    // window passes share ONE partitioning (user_id) and ONE sort
+    // (us, event_id) — a single exchange + sort at any scale — and
+    // the island aggregate is the only further shuffle. The (ts,
+    // event_id) order is total (event_id unique), so runs are
+    // engine-identical; all outputs are integers.
+    sql("events_streak_runs",
+      """WITH o AS (
+        | SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) = event_type
+        |   THEN 0 ELSE 1 END AS brk
+        | FROM events),
+        |i AS (
+        | SELECT user_id, event_type, us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM o)
+        |SELECT user_id, event_type, COUNT(*) AS run_len,
+        | MIN(us) AS start_us, MAX(us) AS end_us
+        |FROM i GROUP BY user_id, event_type, island
+        |HAVING COUNT(*) >= 3""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("brk",
+            when(lag(col("event_type"), 1).over(w) === col("event_type"), 0L).otherwise(1L))
+          .withColumn("island", sum(col("brk")).over(wr))
+          .groupBy(col("user_id"), col("event_type"), col("island"))
+          .agg(count(lit(1)).as("run_len"),
+            min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+          .filter(col("run_len") >= 3)
+          .select("user_id", "event_type", "run_len", "start_us", "end_us")
+    },
+
+    // CEP PATTERN MATCH, strict contiguity — view NEXT click NEXT
+    // purchase in a user's event sequence, the three events STRICTLY
+    // CONSECUTIVE (any intervening event of any type breaks the
+    // match — Flink CEP's `next()`, MATCH_RECOGNIZE without
+    // skip-gaps; contrast events_funnel, which is followed-by-any),
+    // and the whole match inside 24 hours. Two LEADs over one
+    // (user_id)-partitioned sort answer it in a single window pass —
+    // no self-joins, no state machine needed in batch, one exchange
+    // at any scale. The streamed twin (events_pattern_stream) runs
+    // the same semantics as an incremental per-key state machine
+    // behind the SAME oracle.
+    sql("events_pattern_match",
+      """WITH o AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  LEAD(event_type, 1) OVER w AS e1,
+        |  LEAD(event_type, 2) OVER w AS e2,
+        |  LEAD(event_id, 2) OVER w AS end_event,
+        |  LEAD(epoch_us(ts), 2) OVER w AS end_us
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id AS start_event, us AS start_us,
+        | end_event, end_us
+        |FROM o
+        |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        | AND end_us - us <= 86400000000""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("e1", lead(col("event_type"), 1).over(w))
+          .withColumn("e2", lead(col("event_type"), 2).over(w))
+          .withColumn("end_event", lead(col("event_id"), 2).over(w))
+          .withColumn("end_us", lead(col("us"), 2).over(w))
+          .filter(col("event_type") === "view" && col("e1") === "click" &&
+            col("e2") === "purchase" && col("end_us") - col("us") <= 86400000000L)
+          .select(col("user_id"), col("event_id").as("start_event"),
+            col("us").as("start_us"), col("end_event"), col("end_us"))
     })
 }

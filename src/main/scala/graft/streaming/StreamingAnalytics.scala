@@ -186,4 +186,91 @@ object StreamingAnalytics {
           out.iterator
       }
   }
+
+  // ---- streaming CEP pattern match --------------------------------------
+
+  /** One input event of [[streamPatternMatch]]. */
+  final case class PatIn(user: Long, ts: java.sql.Timestamp, etype: String, id: Long)
+
+  /** One strict-contiguity match (same columns as the batch
+    * `events_pattern_match` entry). */
+  final case class PatMatch(user_id: Long, start_event: Long, start_us: Long,
+                            end_event: Long, end_us: Long)
+
+  /** Per-key CEP state: events not yet finalized by the watermark, and
+    * the last two FINALIZED events (the only history strict contiguity
+    * can ever look back into), both as (us, id, type). */
+  final case class PatBuf(pending: List[(Long, Long, String)],
+                          tail: List[(Long, Long, String)])
+
+  /** STREAMING CEP — strict-contiguity `view NEXT click NEXT purchase`
+    * within one hour, the continuous twin of the batch two-LEAD window
+    * query (`events_pattern_match`) and the shape Flink ships as CEP
+    * `next()`. Spark has no CEP library; `flatMapGroupsWithState`
+    * expresses it directly:
+    *
+    *  - contiguity is a statement about the user's FULL event sequence
+    *    in EVENT TIME, so an event may only take its place in the
+    *    sequence once no earlier event can still arrive — i.e. once
+    *    the watermark passes its timestamp. Arrivals buffer in
+    *    `pending`; each invocation finalizes the watermark-passed
+    *    prefix in (ts, id) order and slides the 3-event pattern window
+    *    across it. Out-of-order arrival WITHIN the delay is therefore
+    *    handled exactly — same matches as the batch query;
+    *  - strict contiguity bounds lookback: a new event can only ever
+    *    complete a pattern with the two finalized events immediately
+    *    before it, so the remembered history is exactly 2 rows
+    *    (`tail`) — per-key state is 2 + (delay's worth of pending)
+    *    rows, the minimum any correct engine can hold;
+    *  - an event-time timeout re-finalizes a key when the watermark
+    *    advances without traffic for it, so quiet keys flush without
+    *    waiting for their next event.
+    *
+    * Emission order inside a batch is deterministic ((us, id) of the
+    * match start); matches are emitted exactly once, when their LAST
+    * event finalizes. */
+  def streamPatternMatch(events: org.apache.spark.sql.Dataset[PatIn],
+                         delay: String = "1 hour",
+                         first: String = "view", second: String = "click",
+                         third: String = "purchase",
+                         windowUs: Long = 3600000000L): org.apache.spark.sql.Dataset[PatMatch] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF().withWatermark("ts", delay).as[PatIn]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[PatBuf, PatMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          val st0 = state.getOption.getOrElse(PatBuf(Nil, Nil))
+          val pending = st0.pending ++
+            it.map(e => (tsMicros(e.ts), e.id, e.etype))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (done0, still) = pending.partition(_._1 < wmMicros)
+          val done = done0.sortBy(t => (t._1, t._2))
+          // slide the 3-window over [last-2-finalized ++ newly-finalized];
+          // only triples ENDING in the new segment emit (earlier ones
+          // already did, in the invocation that finalized their end)
+          val seq = st0.tail ++ done
+          val out = seq.sliding(3).zipWithIndex.collect {
+            // window i spans seq indices i..i+2: its END is newly
+            // finalized iff i+2 >= |tail| (O(n), no membership scans)
+            case (List(a, b, c), i)
+              if i + 2 >= st0.tail.length && a._3 == first && b._3 == second &&
+                c._3 == third && c._1 - a._1 <= windowUs =>
+              PatMatch(key, a._2, a._1, c._2, c._1)
+          }.toList
+          val tail = seq.takeRight(2)
+          // tail persists indefinitely (the NEXT event may complete a
+          // pattern with it) — state never removes, only shrinks to 2
+          // rows; a TTL'd deployment would drop tails older than the
+          // pattern window, which cannot change any in-window match
+          state.update(PatBuf(still, tail))
+          if (still.nonEmpty) {
+            val wake = (still.map(_._1).min / 1000L) + 1L
+            state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
 }

@@ -714,4 +714,44 @@ class StreamingSpec extends AnyFunSuite {
     val again = SparkEntry.queries("events_stream_stream_join")(spark, d)
     assert(again.exceptAll(want).isEmpty && again.count() == want.count())
   }
+
+  test("CEP state machine: out-of-order arrival within the delay cannot fake or break contiguity") {
+    import graft.streaming.StreamingAnalytics.{streamPatternMatch, PatIn}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000L)
+    // user 1 (event-time order): view@0, click@10, purchase@20 -> match,
+    //   but the CLICK ARRIVES A BATCH LATE (out of order within delay)
+    // user 2: view@0, click@10, error@15, purchase@20 -> error breaks
+    //   strict contiguity, NO match (error also arrives late)
+    // user 3: view@0, click@10, purchase@2h -> outside the 1h window
+    val src = MemoryStream[PatIn]
+    val out = streamPatternMatch(src.toDS(), delay = "1 hour")
+    val query = out.writeStream
+      .format("memory").queryName("cep_spec_sink").outputMode("append").start()
+    try {
+      // batch 1 spans only 20s, so the 1h-delay watermark stays at 0 —
+      // the batch-2 stragglers (click@10, error@15) are NOT late yet
+      src.addData(
+        PatIn(1, ts(0), "view", 10), PatIn(1, ts(20), "purchase", 12),
+        PatIn(2, ts(0), "view", 20), PatIn(2, ts(10), "click", 21),
+        PatIn(2, ts(20), "purchase", 23),
+        PatIn(3, ts(0), "view", 30), PatIn(3, ts(10), "click", 31))
+      query.processAllAvailable()
+      // nothing may emit yet: the watermark has not passed any event
+      assert(spark.table("cep_spec_sink").isEmpty)
+      src.addData(PatIn(1, ts(10), "click", 11), PatIn(2, ts(15), "error", 22),
+        PatIn(3, ts(7200), "purchase", 32))
+      query.processAllAvailable()
+      // sentinel advances the watermark past everything; users 1-3 have
+      // no new events, so their keys flush through the EVENT-TIME
+      // TIMEOUT path, not a data-driven invocation
+      src.addData(PatIn(-1, ts(10000000), "view", -1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val base = 1000000L * 1000000L // test epoch base in micros
+    val got = spark.table("cep_spec_sink")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, base, 12L, base + 20000000L)), got.toString)
+  }
 }

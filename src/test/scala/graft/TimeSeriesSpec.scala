@@ -81,4 +81,46 @@ class TimeSeriesSpec extends AnyFunSuite {
     // internal consistency: intersection = jaccard x union by construction
     assert(math.abs(iHat - jHat * uHat) < 1e-6 * uHat)
   }
+
+  test("streak runs: islands partition each user's sequence; no run crosses a type change") {
+    import org.apache.spark.sql.functions._
+    val runs = SparkEntry.queries("events_streak_runs")(s, d).collect()
+    assert(runs.nonEmpty)
+    runs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("run_len")) >= 3L)
+      assert(r.getLong(r.fieldIndex("start_us")) <= r.getLong(r.fieldIndex("end_us")))
+    }
+    // cross-check one user against a driver-side fold over its sequence
+    val uid = runs.head.getLong(0)
+    val seq = Tables.events(s, d).filter(col("user_id") === uid)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    val folded = seq.foldLeft(List.empty[(String, Long)]) {
+      case ((t, n) :: rest, e) if t == e._3 => (t, n + 1) :: rest
+      case (acc, e) => (e._3, 1L) :: acc
+    }.filter(_._2 >= 3).reverse
+    val got = runs.filter(_.getLong(0) == uid)
+      .map(r => (r.getString(1), r.getLong(r.fieldIndex("run_len"))))
+      .sortBy(identity).toList
+    assert(got == folded.sortBy(identity), s"user $uid: $got vs $folded")
+  }
+
+  test("pattern match: every batch match is three strictly consecutive events in order") {
+    import org.apache.spark.sql.functions._
+    val matches = SparkEntry.queries("events_pattern_match")(s, d).collect()
+    // sf0.001 may or may not contain a match; validate whatever appears
+    matches.foreach { m =>
+      val uid = m.getLong(0)
+      val seq = Tables.events(s, d).filter(col("user_id") === uid)
+        .select(unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2))
+      val i = seq.indexWhere(_._2 == m.getLong(m.fieldIndex("start_event")))
+      assert(i >= 0 && i + 2 < seq.length)
+      assert(seq(i)._3 == "view" && seq(i + 1)._3 == "click" && seq(i + 2)._3 == "purchase")
+      assert(seq(i + 2)._2 == m.getLong(m.fieldIndex("end_event")))
+      assert(seq(i + 2)._1 - seq(i)._1 <= 86400000000L)
+    }
+  }
 }
