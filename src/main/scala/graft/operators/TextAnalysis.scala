@@ -267,5 +267,45 @@ object TextAnalysis {
       s"""WITH $winnowOracleCtes
          |SELECT doc_id, mn // 65536 AS fp, mn % 65536 AS pos FROM sel""".stripMargin) {
       (s, d) => winnow(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    },
+
+    // BPE MERGE-PAIR COUNTING — the inner loop of byte-pair-encoding
+    // vocabulary induction: corpus-wide counts of ADJACENT SYMBOL
+    // PAIRS inside words, each occurrence weighted by its word's
+    // corpus frequency; the top pair is the next merge. The scale
+    // trick every real tokenizer trainer uses is here: pair expansion
+    // runs over the DISTINCT-WORD frame (one row per distinct word ×
+    // its count — thousands of rows), not over the corpus's word
+    // instances (billions) — the word-frequency aggregate does the
+    // 10^6× reduction first, so the quadratic-looking substr transform
+    // touches almost nothing. Subsequent merge iterations re-segment
+    // the same distinct-word frame with the merged symbol and rerun
+    // this aggregate. Output capped to the 50 strongest pairs with a
+    // total (count desc, pair) order, all integers.
+    sql("text_bpe_pairs",
+      """WITH w AS (
+        | SELECT word, COUNT(*) AS freq FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents) t
+        | GROUP BY word),
+        |p AS (
+        | SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+        | FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+        |       FROM w WHERE length(word) >= 2))
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin) {
+      (s, d) =>
+        val words = Tables.documents(s, d)
+          .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .filter(length(col("word")) >= 2)
+        words
+          .select(explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"),
+            col("freq"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(50)
     })
 }

@@ -262,5 +262,61 @@ object SnapshotLog {
         tableDiff(v0, v1, "o_orderkey", payload)
           .select(col("o_orderkey"), col("op"), col("o_custkey"),
             col("o_orderstatus"), snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // COMPACTION (OPTIMIZE) — rewrite a version's live file set into a
+    // fresh directory with ONE file per bucket, committed as a new
+    // manifest version whose CONTENT is bit-identical to the input
+    // version (the claim the hash gate checks, against the same
+    // "change set applied" oracle as the v1 reads). This is the
+    // small-files half of the lakehouse story: a copy-on-write table
+    // accretes a directory per MERGE commit; compaction collapses the
+    // union-of-versions read back to one directory while every prior
+    // version stays readable (old dirs are never touched — time travel
+    // survives OPTIMIZE). repartition(Buckets, b) puts each bucket in
+    // exactly one task, so each bucket writes exactly one file; the fn
+    // self-asserts the file count shrank to Buckets and that the
+    // manifest resolves every bucket to the compact dir.
+    sql("snapshot_compact",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(CASE WHEN o_orderkey % 160 = 1
+        |      THEN o_totalprice + 1000 ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE)
+        |  AS o_totalprice
+        |FROM orders WHERE o_orderkey % 160 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 160 = 2""".stripMargin) {
+      (s, d) =>
+        val root = ordersTableRoot(s, d)
+        def parquetFiles(dirs: Set[String]): Int = dirs.toSeq.map { dir =>
+          Option(new java.io.File(dir).listFiles()).toSeq.flatten
+            .filter(_.isDirectory)
+            .flatMap(b => Option(b.listFiles()).toSeq.flatten)
+            .count(_.getName.endsWith(".parquet"))
+        }.sum
+        val before = parquetFiles(readManifest(root, 1).values.toSet)
+        compactVersion(s, root, v = 1, newV = 2)
+        val m2 = readManifest(root, 2)
+        require(m2.values.forall(_.endsWith("/compact_v1")),
+          s"every bucket must resolve to the compact dir: $m2")
+        val after = parquetFiles(m2.values.toSet)
+        require(after == Buckets && after <= before,
+          s"compaction must leave one file per bucket ($Buckets), got $after (before: $before)")
+        readVersion(s, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
     })
+
+  /** Rewrite version `v`'s resolved file set into `root/compact_v<v>`
+    * (one file per bucket) and commit it as version `newV`. Content
+    * equality with version `v` is the operation's contract; prior
+    * version directories are untouched, so time travel to any older
+    * version still works after compaction. */
+  def compactVersion(spark: SparkSession, root: String, v: Int, newV: Int): Unit = {
+    readVersion(spark, root, v)
+      .repartition(Buckets, col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$root/compact_v$v")
+    writeManifest(root, newV, (0 until Buckets).map(_ -> s"$root/compact_v$v").toMap)
+  }
 }

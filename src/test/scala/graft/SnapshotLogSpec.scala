@@ -60,4 +60,27 @@ class SnapshotLogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(first == second && first.contains((5L, "updated5")) && first.size == 32)
   }
+
+  test("compaction preserves content, shrinks to one file per bucket, keeps time travel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_compact").toString
+    val t = (0L until 64L).map(k => (k, s"row$k")).toDF("k", "payload")
+      .repartition(8) // several files per bucket at v0
+    SnapshotLog.commitInitial(t, dir, "k")
+    val changes = Seq((5L, "U", "updated5"), (64L, "I", "row64")).toDF("k", "op", "payload")
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"), changes)
+    val v1 = SnapshotLog.readVersion(spark, dir, 1).drop("b")
+    SnapshotLog.compactVersion(spark, dir, 1, 2)
+    val v2 = SnapshotLog.readVersion(spark, dir, 2).drop("b")
+    // content identical
+    assert(v2.exceptAll(v1).isEmpty && v1.exceptAll(v2).isEmpty && v2.count() == 65)
+    // one file per bucket in the compact dir
+    val files = new java.io.File(s"$dir/compact_v1").listFiles()
+      .filter(_.isDirectory)
+      .map(b => b.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.length == SnapshotLog.Buckets && files.forall(_ == 1))
+    // prior versions untouched: v0 still reads the original snapshot
+    val v0 = SnapshotLog.readVersion(spark, dir, 0).drop("b")
+    assert(v0.count() == 64 &&
+      v0.filter(col("payload") === "updated5").isEmpty)
+  }
 }

@@ -70,4 +70,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the signal must actually fire somewhere
     assert(rows.exists(_.getAs[Long]("n_common") > 0))
   }
+
+  test("bpe pairs: weighted counts equal a driver-side fold over the corpus") {
+    val got = SparkEntry.queries("text_bpe_pairs")(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 50 && got.forall(_._1.length == 2))
+    // descending, ties by pair string
+    assert(got.sliding(2).forall { case Array((p1, n1), (p2, n2)) =>
+      n1 > n2 || (n1 == n2 && p1 < p2) })
+    // independent recompute: count every adjacent char pair over all
+    // word INSTANCES (= distinct-word counts × word frequency)
+    val counts = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables.documents(spark, sfTiny).select("text").collect().foreach { r =>
+      "[a-z]+".r.findAllIn(r.getString(0).toLowerCase).foreach { w =>
+        (0 until w.length - 1).foreach(i => counts(w.substring(i, i + 2)) += 1L)
+      }
+    }
+    got.foreach { case (p, n) => assert(counts(p) == n, s"$p: ${counts(p)} vs $n") }
+    // nothing outside the returned 50 may beat the 50th
+    val floor = got.last._2
+    val missed = counts.filterNot(kv => got.exists(_._1 == kv._1)).values
+    assert(missed.forall(_ <= floor))
+  }
 }
