@@ -71,7 +71,13 @@ object SparkEntry {
       // (the heaviest self-join shape on the board), and the MV
       // rewrite (its cost IS build + rewritten read — the honest
       // price of the summary path)
-      "q7_like_volume_shipping", "graph_triangle_count", "mv_rewrite_revenue")
+      "q7_like_volume_shipping", "graph_triangle_count", "mv_rewrite_revenue",
+      // round 8 late additions: the double-correlated EXISTS/NOT-EXISTS
+      // blame query (semi+anti over the same fact), the two-level
+      // market-share ratio, strict-contiguity CEP via two LEADs, and
+      // the BPE pair count (distinct-word reduce THEN pair expand)
+      "q21_like_waiting_supplier", "q8_like_market_share",
+      "events_pattern_match", "text_bpe_pairs")
     val have = queries.keySet
     preferred.filter(have)
   }

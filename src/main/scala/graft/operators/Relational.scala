@@ -1745,6 +1745,145 @@ object Relational {
           .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
     },
 
+    // Q6-LIKE forecasting revenue — the degenerate-but-canonical
+    // grouping-free global aggregate: one filtered scan, one 1-row
+    // answer, nothing else. The whole query is a map-side partial +
+    // one final combine; every predicate (date range, discount band,
+    // quantity cut) must reach the parquet scan as a PushedFilter —
+    // at 100 TB this query IS its scan, and the plan has nothing else
+    // to get wrong. Revenue in exact e4 integers.
+    sql("q6_like_forecast_revenue",
+      """SELECT
+        | CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |  AS revenue_e4,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount BETWEEN 0.05 AND 0.07
+        | AND l_quantity < 24""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+                  col("l_discount").between(0.05, 0.07) &&
+                  col("l_quantity") < 24)
+          .agg(
+            sum(floor(col("l_extendedprice") * col("l_discount") * 10000 + lit(0.5))
+              .cast("long")).as("revenue_e4"),
+            count(lit(1)).as("n_lines"))
+    },
+
+    // Q8-LIKE national market share — the two-level ratio query: of
+    // all trade volume shipped 1996-97 to EUROPEAN customers, what
+    // share came from NATION_3 suppliers, per year. Both the
+    // numerator (conditional sum) and denominator accumulate in the
+    // SAME exact e4-integer aggregate pass — one fact shuffle total —
+    // and the share is ONE correctly-rounded IEEE division of those
+    // two integers, so it is bit-identical cross-engine without any
+    // decimal scaffolding. All dimension joins broadcast (customer
+    // region membership and supplier nation are each a dim⋈dim
+    // lookup).
+    sql("q8_like_market_share",
+      """SELECT l_year,
+        | CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_e4 ELSE 0 END) AS BIGINT)
+        |   AS nation_vol_e4,
+        | CAST(SUM(vol_e4) AS BIGINT) AS total_vol_e4,
+        | CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_e4 ELSE 0 END) AS DOUBLE)
+        |   / CAST(SUM(vol_e4) AS DOUBLE) AS mkt_share
+        |FROM (
+        | SELECT EXTRACT(year FROM l.l_shipdate) AS l_year,
+        |  CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT) AS vol_e4,
+        |  ns.n_name AS supp_nation
+        | FROM lineitem l, orders o, customer c, supplier s,
+        |  nation nc, nation ns, region r
+        | WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |  AND l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = nc.n_nationkey AND nc.n_regionkey = r.r_regionkey
+        |  AND s.s_nationkey = ns.n_nationkey
+        |  AND r.r_name = 'EUROPE'
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY l_year""".stripMargin) {
+      (s, d) =>
+        val euroNations = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        val euroCust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(euroNations), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+        val suppNation = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("snk"))
+          .select("s_suppkey", "supp_nation")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+              .cast("long").as("vol_e4"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(euroCust), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3", col("vol_e4")).otherwise(0L))
+              .as("nation_vol_e4"),
+            sum(col("vol_e4")).as("total_vol_e4"))
+          .select(col("l_year"), col("nation_vol_e4"), col("total_vol_e4"),
+            (col("nation_vol_e4").cast("double") / col("total_vol_e4").cast("double"))
+              .as("mkt_share"))
+    },
+
+    // Q9-LIKE product-type profit — signed arithmetic over two money
+    // streams (revenue minus a retail-price cost proxy), rolled up by
+    // supplier nation × year for one product family. Profit is a
+    // DIFFERENCE of two exact e4 integers per line, so it can go
+    // negative and still sums exactly in BIGINT in any order; the
+    // '%widget%' part filter broadcasts into the fact scan and prunes
+    // before the orders join.
+    sql("q9_like_product_profit",
+      """SELECT n_name, o_year,
+        | CAST(SUM(profit_e4) AS BIGINT) AS profit_e4
+        |FROM (
+        | SELECT ns.n_name,
+        |  EXTRACT(year FROM o.o_orderdate) AS o_year,
+        |  CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT)
+        |   - CAST(FLOOR(p.p_retailprice * l.l_quantity * 10000 + 0.5) AS BIGINT) AS profit_e4
+        | FROM lineitem l, orders o, part p, supplier s, nation ns
+        | WHERE l.l_orderkey = o.o_orderkey AND l.l_partkey = p.p_partkey
+        |  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = ns.n_nationkey
+        |  AND p.p_name LIKE '%widget%') t
+        |GROUP BY n_name, o_year""".stripMargin) {
+      (s, d) =>
+        val widgets = Tables.part(s, d)
+          .filter(col("p_name").contains("widget"))
+          .select("p_partkey", "p_retailprice")
+        val suppNation = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+              .cast("long") -
+             floor(col("p_retailprice") * col("l_quantity") * 10000 + lit(0.5))
+              .cast("long")).as("profit_e4"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(col("profit_e4")).as("profit_e4"))
+          .select("n_name", "o_year", "profit_e4")
+    },
+
     // Q21-LIKE suppliers who kept orders waiting — the hardest
     // correlated shape in TPC-H: an EXISTS (another supplier touched
     // the order) AND a NOT EXISTS (no OTHER supplier was also late)

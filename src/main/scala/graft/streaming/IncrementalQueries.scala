@@ -744,6 +744,29 @@ object IncrementalQueries {
   def incrementalSqlQ10Outer(s: SparkSession, dir: String): DataFrame =
     SqlCompiler.compile(s, dir, q10OuterSql).run(s, dir, q10OuterDeletes)
 
+  /** FULL OUTER from SQL text: the LEFT OUTER machinery preserves
+    * orders with no surviving lineitem, and the compiler's ORPHAN plan
+    * preserves lineitems with no surviving order — those fold under
+    * NULL for every customer/nation grouping key, SQL's right-preserved
+    * row. Deletes hit BOTH boundary relations so both preservation
+    * directions carry real traffic (deleting 1-in-50 orders orphans
+    * their lines; deleting a third of lineitems NULL-extends ~1000
+    * orders). No WHERE anywhere — the compiler's full-outer scope
+    * rules reject it (SQL would NULL-reject the orphan rows). */
+  def incrementalSqlQ10FullOuter(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compile(s, dir,
+      """SELECT c_custkey, n_name,
+        | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, n_name""".stripMargin)
+      .run(s, dir, Map(
+        "orders" -> (col("o_orderkey") % 50 === 0),
+        "lineitem" -> (col("l_partkey") % 3 === 0)))
+
   /** The SAME maintained view written as a RIGHT JOIN (preserved side
     * on the right): the compiler canonicalizes RightOuter by swapping
     * children onto the LEFT OUTER machinery, so a user's RIGHT JOIN
@@ -770,6 +793,27 @@ object IncrementalQueries {
   def incrementalSqlQ10OuterStream(s: SparkSession, dir: String): DataFrame =
     runSqlStreamed(s, SqlCompiler.compile(s, dir, q10OuterSql), dir,
       q10OuterDeletes, "incremental_sql_q10_outer_stream_leaf")
+
+  /** The compiled FULL OUTER through the CONTINUOUS engine: inner
+    * tree, anti plan AND orphan plan replay the same raw streams as
+    * real micro-batches — batch 1's inserts assert orphans only for
+    * orders never seen; batch 2's order deletes must then CREATE
+    * orphans (their lines' preservation flips on) while lineitem
+    * deletes retract NULL-extensions, all through held state. */
+  def incrementalSqlQ10FullOuterStream(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir,
+      """SELECT c_custkey, n_name,
+        | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, n_name""".stripMargin),
+      dir,
+      Map("orders" -> (col("o_orderkey") % 50 === 0),
+        "lineitem" -> (col("l_partkey") % 3 === 0)),
+      "incremental_sql_q10_fullouter_stream_leaf")
 
   /** Conf-wired SKEW SALTING through the compiler (the bloom
     * pattern, [[SaltRelationConf]]): the session conf names lineitem
@@ -1644,6 +1688,37 @@ object IncrementalQueries {
          |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10Outer),
+
+    // FULL OUTER JOIN from SQL text — both preservation directions
+    // maintained: the anti plan NULL-extends orders that lost every
+    // lineitem, the orphan plan preserves lineitems whose order was
+    // deleted (they fold under NULL customer/nation keys — SQL's
+    // right-preserved row). Oracle: DuckDB FULL JOIN over
+    // delete-filtered derived tables (deletes must live in the
+    // subqueries, not WHERE, which would NULL-reject the orphans).
+    sql("incremental_sql_q10_fullouter",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuter),
+
+    // The same FULL OUTER through the CONTINUOUS engine — orphan
+    // preservation flips ON mid-stream when batch 2 deletes orders.
+    sql("incremental_sql_q10_fullouter_stream",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterStream),
 
     // RIGHT OUTER JOIN from SQL text — canonicalized by the compiler
     // onto the LEFT OUTER machinery (children swapped, preserved side

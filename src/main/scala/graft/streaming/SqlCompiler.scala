@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, EqualTo, Expression, Literal, NullsFirst}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
@@ -118,7 +118,13 @@ object SqlCompiler {
       /** One ANTI plan per LEFT-JOIN boundary (empty for inner-only
         * queries): [[run]]/[[runStream]] union their leaf deltas with
         * the main tree's before the shared fold. */
-      outerPlans: Seq[OuterPlan] = Nil) {
+      outerPlans: Seq[OuterPlan] = Nil,
+      /** FULL OUTER boundaries as (child, parent): [[run]] rejects
+        * deletes on any OTHER relation — an ancestor delete drops
+        * parent rows from the preserved side without touching the
+        * parent changelog the orphan plan keys on, so the maintained
+        * view would silently diverge from SQL. */
+      fullOuterBoundaries: Seq[(String, String)] = Nil) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -424,6 +430,14 @@ object SqlCompiler {
       * aggregate (groups with net rows > 0, like any GROUP BY). */
     def run(spark: SparkSession, dir: String,
             deletes: Map[String, Column] = Map.empty): DataFrame = {
+      if (fullOuterBoundaries.nonEmpty) {
+        val allowed = fullOuterBoundaries.flatMap { case (c, p) => Seq(c, p) }.toSet
+        (deletes.keySet -- allowed).foreach(rel =>
+          fail(s"FULL OUTER query: deletes on '$rel' are not maintainable — " +
+            s"only the boundary pair ${allowed.mkString("{", ", ", "}")} may " +
+            "take deletes (an ancestor delete would orphan parent rows " +
+            "invisibly to the orphan plan's parent-changelog key node)"))
+      }
       val logs0 = sourceChangelogs(spark, dir, deletes)
       // OPT-IN bloom semi-join reduction, applied by the COMPILER: with
       // [[IncrementalQueries.BloomPrefilterConf]] set on this session,
@@ -757,6 +771,7 @@ object SqlCompiler {
     // scoping); an alias over a parenthesized join subtree covers every
     // relation underneath it.
     val outerOn = scala.collection.mutable.ArrayBuffer[(String, Seq[Expression])]()
+    val fullOuterRels = scala.collection.mutable.Set[String]()
     def walkJoins(p: LogicalPlan): (Seq[String], Seq[Expression], Map[String, Seq[String]]) = p match {
       case Join(l, r, Inner, cond, _) =>
         val (lr, lc, la) = walkJoins(l); val (rr, rc, ra) = walkJoins(r)
@@ -786,9 +801,28 @@ object SqlCompiler {
       // single-base-relation constraint on the now-optional side.
       case Join(l, r, RightOuter, cond, hint) =>
         walkJoins(Join(r, l, LeftOuter, cond, hint))
+      // FULL OUTER = the LEFT OUTER machinery (parents with no child
+      // NULL-extend) PLUS an ORPHAN plan (children with no surviving
+      // parent preserve with every left-side column NULL). Compiled
+      // under a deliberately narrow, loudly-enforced scope — pure-FK
+      // ON, no WHERE anywhere, deletes only on the boundary pair (see
+      // the validation below and Compiled.run) — because outside it,
+      // SQL's outer-join/WHERE interaction silently turns the query
+      // effectively inner and the maintained view would diverge.
+      case Join(l, r, FullOuter, cond, _) =>
+        val (lr, lc, la) = walkJoins(l)
+        val (rr, rc, ra) = walkJoins(r)
+        if (rr.size != 1 || rc.nonEmpty)
+          fail("FULL OUTER JOIN right side must be a single base relation")
+        val conj = cond.toSeq.flatMap(splitConjuncts)
+        if (conj.isEmpty)
+          fail(s"FULL OUTER JOIN ${rr.head} needs an ON clause with the FK equality")
+        outerOn += ((rr.head, conj))
+        fullOuterRels += rr.head
+        (lr ++ rr, lc ++ conj, la ++ ra)
       case Join(_, _, other, _, _) if other != Inner =>
-        fail(s"$other join is not compiled — INNER, LEFT and RIGHT OUTER joins only " +
-          "(FULL OUTER is not incrementally maintained here)")
+        fail(s"$other join is not compiled — INNER, LEFT, RIGHT and FULL OUTER " +
+          "joins only")
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         val (rs, cs, as) = walkJoins(a.child)
         (rs, cs, as + (a.alias.toLowerCase -> rs))
@@ -899,6 +933,32 @@ object SqlCompiler {
           fail(s"WHERE predicate '${fragment(c)}' references LEFT-JOINed " +
             s"relation '$r' — it would reject the NULL-extended rows; move it " +
             "into the ON clause, or use an inner JOIN if that is the intent"))
+    }
+    // FULL OUTER scope rules, stricter than LEFT's: the orphan plan
+    // decides "parent exists" from the parent relation's OWN changelog,
+    // which matches SQL only when no other predicate can drop a parent
+    // row from the preserved left side (an ancestor filter would) and
+    // when no predicate NULL-rejects the orphan rows themselves (ANY
+    // WHERE conjunct does, since every left column is NULL there). So:
+    // pure-FK ON, no WHERE conjuncts at all — express restrictions as
+    // changelog deletes on the boundary pair (Compiled.run enforces).
+    if (fullOuterRels.nonEmpty) {
+      if (plainFilterConjuncts.nonEmpty)
+        fail("FULL OUTER queries compile without WHERE: every WHERE conjunct " +
+          "NULL-rejects the orphan (right-preserved) rows in SQL, making the " +
+          "query effectively one-sided — model restrictions as changelog " +
+          "deletes on the boundary relations instead")
+      fullOuterRels.foreach { r =>
+        val conj = outerOn.filter(_._1 == r).flatMap(_._2)
+        conj.foreach {
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if ownerOf(a) != ownerOf(b) => // the FK edge, validated later
+          case c => fail(s"FULL OUTER JOIN $r ON predicate '${fragment(c)}' is " +
+            "not compiled: a failing ON predicate PRESERVES the row on both " +
+            "sides (unlike LEFT JOIN's child-existence reading) — only the " +
+            "bare FK equality is supported")
+        }
+      }
     }
 
     // classify conjuncts: FK equi-joins vs single-relation predicates
@@ -1120,6 +1180,27 @@ object SqlCompiler {
       OuterPlan(planStages,
         planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
         edge.parent, edge.parentCol)
+    } ++
+    // FULL OUTER boundaries additionally get the ORPHAN plan — the
+    // mirror image of the anti plan above: a set-semantics key node
+    // over the PARENT changelog (re-keyed to its own key column), and
+    // the boundary relation itself as an antiParent hop under it. Its
+    // leaf deltas are children with NO surviving parent, carrying ONLY
+    // the child's columns — every left-side grouping key folds as
+    // NULL, which is exactly SQL's right-preserved row. The plan is
+    // two stages regardless of tree depth because the compile-time
+    // scope rules (no WHERE, no ancestor filters) guarantee parent
+    // survival is decided by the parent changelog alone.
+    fullOuterRels.toSeq.sorted.map { r =>
+      val edge = queryEdges.find(_.child == r).get // validated above
+      val keysName = s"__orphan_${r}_keys"
+      val keys = DeltaEngine.Stage(keysName,
+        NodeSpec(edge.parent, edge.parentCol, edge.parentCol,
+          isRoot = true, setSemantics = true))
+      val hop = DeltaEngine.Stage(s"__orphan_${r}_hop",
+        NodeSpec(r, edge.fkCol, edge.fkCol, antiParent = true),
+        parentStage = Some(keysName))
+      OuterPlan(Seq(keys, hop), Seq(edge.parent, r), edge.parent, edge.parentCol)
     }
 
     // local predicates become per-relation scan filters (original text)
@@ -1396,7 +1477,9 @@ object SqlCompiler {
 
     Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
       neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq,
-      outerPlans)
+      outerPlans,
+      fullOuterRels.toSeq.sorted.map(r =>
+        r -> queryEdges.find(_.child == r).get.parent))
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

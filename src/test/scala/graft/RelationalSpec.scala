@@ -275,6 +275,41 @@ class RelationalSpec extends AnyFunSuite {
     winners.foreach(r => assert(r.getLong(r.fieldIndex("total_rev_e4")) == revs.max))
   }
 
+  test("q6: every predicate reaches the parquet scan; the plan is scan+aggregate only") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val df = SparkEntry.queries("q6_like_forecast_revenue")(spark, sfTiny)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(900))
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), plan.take(900))
+    assert(plan.contains("LessThan(l_quantity"), plan.take(900))
+    assert(!plan.contains("Join"), "a grouping-free aggregate must not join")
+    val r = df.collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("q8: shares are ratios of the emitted integers and stay in [0,1]") {
+    val rows = SparkEntry.queries("q8_like_market_share")(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nat >= 0 && nat <= tot && tot > 0)
+      assert(share == nat.toDouble / tot.toDouble)
+    }
+  }
+
+  test("q9: profit totals match an independent double-path recompute within rounding") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q9_like_product_profit")(spark, sfTiny)
+      .agg(sum("profit_e4")).collect()(0).getLong(0)
+    val approx = Tables.lineitem(spark, sfTiny)
+      .join(Tables.part(spark, sfTiny).filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey"))
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity")).as("p"))
+      .agg(sum("p")).collect()(0).getDouble(0)
+    assert(math.abs(got / 10000.0 - approx) < 1.0, s"$got vs $approx")
+  }
+
   test("q21: a blamed supplier is its order's SOLE late supplier among several") {
     import org.apache.spark.sql.functions._
     // recompute through the aggregate (count-distinct) formulation and

@@ -1350,10 +1350,16 @@ class SqlCompilerSpec extends AnyFunSuite {
           |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
           |JOIN lineitem ON l_orderkey = o_orderkey
           |GROUP BY c_custkey""".stripMargin, "leaf side")
-    // FULL OUTER remains rejected (not incrementally maintained)
+    // FULL OUTER now compiles (anti + orphan plans) — but only with a
+    // single base relation on the right
     bad("""SELECT c_custkey, COUNT(*) AS n
-          |FROM customer FULL OUTER JOIN orders ON o_custkey = c_custkey
-          |GROUP BY c_custkey""".stripMargin, "FULL OUTER")
+          |FROM customer FULL OUTER JOIN (orders JOIN lineitem ON l_orderkey = o_orderkey)
+          | ON o_custkey = c_custkey
+          |GROUP BY c_custkey""".stripMargin, "single base relation")
+    assert(SqlCompiler.compile(s, d,
+      """SELECT c_custkey, COUNT(*) AS n
+        |FROM customer FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin).outerPlans.size == 2)
   }
 
   test("RIGHT JOIN canonicalizes onto the LEFT OUTER machinery, same view") {
@@ -1394,5 +1400,32 @@ class SqlCompilerSpec extends AnyFunSuite {
     ss.conf.set(IncrementalQueries.SaltRelationConf, "nation")
     val ex = intercept[IllegalArgumentException](SqlCompiler.compile(ss, d, q10Sql))
     assert(ex.getMessage.contains("liveness stage"), ex.getMessage)
+  }
+
+  test("FULL OUTER scope rules fail loudly outside the maintainable fragment") {
+    val base =
+      """SELECT c_custkey, n_name, COUNT(*) AS n_rows
+        |FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey%s
+        |GROUP BY c_custkey, n_name""".stripMargin
+    // WHERE rejected (it would NULL-reject the orphan rows in SQL)
+    val ex1 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      base.format("\nWHERE o_orderkey > 0")))
+    assert(ex1.getMessage.contains("without WHERE"), ex1.getMessage)
+    // non-equality ON predicate rejected (failing ON preserves BOTH sides)
+    val ex2 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      base.format(" AND l_returnflag = 'R'")))
+    assert(ex2.getMessage.contains("bare FK equality"), ex2.getMessage)
+    // deletes on an ancestor rejected at run (orphan plan keys on the
+    // parent changelog; an ancestor delete is invisible to it)
+    val c = SqlCompiler.compile(s, d, base.format(""))
+    assert(c.fullOuterBoundaries == Seq("lineitem" -> "orders"))
+    val ex3 = intercept[IllegalArgumentException](
+      c.run(s, d, Map("customer" -> (col("c_custkey") % 7 === 0))))
+    assert(ex3.getMessage.contains("boundary pair"), ex3.getMessage)
+    // both orphan + anti plans present: 2 per boundary
+    assert(c.outerPlans.size == 2)
   }
 }
