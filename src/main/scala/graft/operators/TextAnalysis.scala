@@ -282,6 +282,71 @@ object TextAnalysis {
     // the same distinct-word frame with the merged symbol and rerun
     // this aggregate. Output capped to the 50 strongest pairs with a
     // total (count desc, pair) order, all integers.
+    // COUNT-MIN SKETCH heavy hitters — the third mergeable-sketch
+    // class on the board (KMV: distinct counts; quantized histograms:
+    // quantiles; CMS: frequencies). The sketch is a (4 × 256) counter
+    // grid: every word increments one bucket per row (md5-derived
+    // hashes), built by ONE map-side-combined aggregate whose state is
+    // ≤ 1024 cells per partition regardless of corpus size; the
+    // estimate for a key is the MIN over its 4 row counters —
+    // deterministic integers, never below the true count. MERGE =
+    // cell-wise addition, and the fn PROVES it: two half-corpus
+    // sketches (split by doc_id parity) summed cell-wise must be
+    // bit-identical to the whole-corpus sketch (an algebraic identity
+    // of the construction — the same claim the KMV rollup tree gates,
+    // in its exact form). Candidates are the 20 exact-top words so the
+    // gate also exhibits the overestimate ordering est >= exact.
+    sql("text_cms_heavy_hitters",
+      """WITH w AS (
+        | SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        | FROM documents),
+        |cells AS (
+        | SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || w), 1, 8))::BIGINT % 256 AS b,
+        |  COUNT(*) AS n
+        | FROM w, (SELECT unnest([0, 1, 2, 3]) AS r) rows
+        | GROUP BY 1, 2),
+        |cand AS (
+        | SELECT w, COUNT(*) AS exact_n FROM w GROUP BY w
+        | ORDER BY exact_n DESC, w LIMIT 20),
+        |probes AS (
+        | SELECT c.w, c.exact_n, r.r,
+        |  ('0x' || substr(md5(CAST(r.r AS VARCHAR) || c.w), 1, 8))::BIGINT % 256 AS b
+        | FROM cand c, (SELECT unnest([0, 1, 2, 3]) AS r) r)
+        |SELECT p.w AS word, p.exact_n, MIN(cells.n) AS cms_est
+        |FROM probes p JOIN cells ON cells.r = p.r AND cells.b = p.b
+        |GROUP BY p.w, p.exact_n""".stripMargin) {
+      (s, d) =>
+        def bucket(row: Int, w: Column): Column =
+          conv(substring(md5(to_binary(concat(lit(row.toString), w), lit("utf-8"))), 1, 8),
+            16, 10).cast("long") % 256
+        def sketch(words: DataFrame): DataFrame = words
+          .select(explode(array((0 until 4).map(i =>
+            struct(lit(i).as("r"), bucket(i, col("w")).as("b"))): _*)).as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+        val whole = sketch(words.select("w"))
+        // MERGE IDENTITY: cell-wise sum of the two parity-half sketches
+        // must equal the whole-corpus sketch exactly
+        val merged = sketch(words.filter(col("doc_id") % 2 === 0).select("w"))
+          .unionByName(sketch(words.filter(col("doc_id") % 2 === 1).select("w")))
+          .groupBy("r", "b").agg(sum(col("n")).as("n"))
+        require(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+          "CMS merge identity violated: summed half-sketches != whole sketch")
+        val cand = words.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("w")).limit(20)
+        cand
+          .select(col("w"), col("exact_n"),
+            explode(array((0 until 4).map(i =>
+              struct(lit(i).as("r"), bucket(i, col("w")).as("b"))): _*)).as("rb"))
+          .join(whole, col("rb.r") === col("r") && col("rb.b") === col("b"))
+          .groupBy(col("w"), col("exact_n"))
+          .agg(min(col("n")).as("cms_est"))
+          .select(col("w").as("word"), col("exact_n"), col("cms_est"))
+    },
+
     sql("text_bpe_pairs",
       """WITH w AS (
         | SELECT word, COUNT(*) AS freq FROM (

@@ -71,6 +71,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_common") > 0))
   }
 
+  test("cms heavy hitters: estimates dominate exact counts and the sketch is tight on the fixture") {
+    val rows = SparkEntry.queries("text_cms_heavy_hitters")(spark, sfTiny).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("cms_est"))
+      // the CMS one-sided error bound: never an underestimate
+      assert(est >= exact, r.toString)
+      // 4x256 cells vs the fixture's small vocabulary: collisions add
+      // at most a few smaller words' mass — a loose 3x sanity ceiling
+      assert(est <= exact * 3 + 1000, r.toString)
+    }
+  }
+
   test("bpe pairs: weighted counts equal a driver-side fold over the corpus") {
     val got = SparkEntry.queries("text_bpe_pairs")(spark, sfTiny).collect()
       .map(r => r.getString(0) -> r.getLong(1))
