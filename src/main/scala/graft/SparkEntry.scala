@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Profiling.defs ++
     sources.Formats.defs ++
     sources.Bucketing.defs ++
+    sources.Partitioning.defs ++
     sources.SnapshotLog.defs ++
     sources.ZOrder.defs ++
     streaming.IncrementalQueries.defs
