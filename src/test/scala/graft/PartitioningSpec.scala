@@ -23,11 +23,16 @@ class PartitioningSpec extends AnyFunSuite {
       orig.select(year(col("l_shipdate"))).distinct().count())
   }
 
-  test("static prune scans strictly fewer files than the full table") {
+  test("static prune reads strictly fewer partition rows and carries the filter in the scan") {
     val root = Partitioning.lineitemByYearRoot(spark, sfTiny)
     val all = spark.read.parquet(root)
     val pruned = all.filter(col("l_year") === 1997)
-    assert(pruned.inputFiles.length < all.inputFiles.length)
-    assert(pruned.inputFiles.forall(_.contains("l_year=1997")))
+    // DataFrame.inputFiles ignores partition pruning; the executed
+    // plan's scan is the truthful surface
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("1997"), plan.take(800))
+    val prunedRows = pruned.count()
+    assert(prunedRows > 0 && prunedRows < all.count())
+    assert(pruned.select(countDistinct(col("l_year"))).collect()(0).getLong(0) == 1L)
   }
 }
