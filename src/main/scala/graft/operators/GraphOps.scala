@@ -135,6 +135,33 @@ object GraphOps {
     dist.filter(col("d") < Inf).select(col("node"), col("d").as("dist"))
   }
 
+  /** WEIGHTED single-source (multi-seed) shortest paths — Bellman-Ford
+    * as min-plus relaxation rounds, the weighted generalization of
+    * [[bfsHops]]: each round one equi-join (frontier ⋈ out-edges, cost
+    * d + w) and one hash MIN per destination, exact BIGINT costs
+    * throughout. `iters` bounds path LENGTH (standard Bellman-Ford: k
+    * rounds give optimal costs over paths of ≤ k edges — callers
+    * iterate to graph diameter, persisting rounds as
+    * [[pagerankIntPersisted]] does for deep loops). */
+  /** Weighted infinity sentinel — [[Inf]] (hop counts) is far too
+    * small once costs carry e2 prices; any real ≤k-edge path cost
+    * stays orders of magnitude below this. */
+  val WInf = 999999999999L
+
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var dist = nodes.join(seeds.select(col("node"), lit(0L).as("d0")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("d0"), lit(WInf)).as("d"))
+    for (_ <- 1 to iters) {
+      val relaxed = edges.join(dist.filter(col("d") < WInf), edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      dist = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"), least(col("d"), coalesce(col("cand"), lit(WInf))).as("d"))
+    }
+    dist.filter(col("d") < WInf).select(col("node"), col("d").as("cost"))
+  }
+
   /** Per-node triangle participation counts over an undirected graph
     * given as CANONICAL edges (u < v, distinct). The classic
     * two-join enumeration: wedges = e1(a,b) ⋈ e2(b,c) (so a<b<c by
@@ -317,5 +344,52 @@ object GraphOps {
         val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 1)
           .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node")).distinct()
         bfsHops(edges, seeds, iters = 3)
+    },
+
+    // WEIGHTED shortest paths over the same bipartite trade graph:
+    // edge cost = the CHEAPEST line (e2 integer price) ever shipped
+    // across that customer–supplier link, so the answer reads as "the
+    // cheapest ≤3-edge transaction chain connecting each node to the
+    // nation-1 supplier cohort". Bellman-Ford min-plus rounds — the
+    // weighted twin of graph_bfs_hops, same one-join-one-MIN shuffle
+    // contract per round, exact BIGINT costs; DuckDB mirrors the
+    // unrolled relaxation.
+    sql("graph_sssp_weighted", {
+      val steps = (1 to 3).map { i =>
+        s"""d$i AS (SELECT d.node,
+           | LEAST(d.d, COALESCE(c.cand, 999999999999)) AS d
+           | FROM d${i - 1} d LEFT JOIN (
+           |  SELECT e.dst AS node, MIN(r.d + e.w) AS cand
+           |  FROM edges e JOIN d${i - 1} r ON r.node = e.src
+           |  GROUP BY e.dst) c ON c.node = d.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |  's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         |  MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+         | FROM orders, lineitem WHERE l_orderkey = o_orderkey
+         | GROUP BY 1, 2),
+         |edges AS (SELECT src, dst, w FROM e0
+         |          UNION ALL SELECT dst, src, w FROM e0),
+         |n AS (SELECT DISTINCT src AS node FROM edges),
+         |seeds AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+         |          FROM supplier WHERE s_nationkey = 1),
+         |d0 AS (SELECT n.node,
+         |  CAST(CASE WHEN s.node IS NOT NULL THEN 0 ELSE 999999999999 END AS BIGINT) AS d
+         | FROM n LEFT JOIN seeds s ON s.node = n.node),
+         |$steps
+         |SELECT node, d AS cost FROM d3 WHERE d < 999999999999""".stripMargin
+    }) {
+      (s, d) =>
+        val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .agg(min(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")).as("w"))
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 1)
+          .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node")).distinct()
+        ssspWeighted(edges, seeds, iters = 3)
     })
 }

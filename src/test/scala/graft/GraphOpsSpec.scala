@@ -63,4 +63,23 @@ class GraphOpsSpec extends AnyFunSuite {
     val planLines = persisted.queryExecution.optimizedPlan.toString.linesIterator.size
     assert(planLines < 30, s"expected a truncated plan, got $planLines lines")
   }
+
+  test("weighted sssp relaxes to known costs on a hand graph; k bounds path length") {
+    // a --5--> b --1--> c, and a --10--> c directly: 2 rounds should
+    // find cost(c)=6 via b; 1 round only the direct 10
+    val edges = Seq(("a", "b", 5L), ("b", "c", 1L), ("a", "c", 10L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    def costs(k: Int): Map[String, Long] =
+      GraphOps.ssspWeighted(edges, seeds, iters = k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(costs(1) == Map("a" -> 0L, "b" -> 5L))      // c unreachable: only nodes with out-edges tracked
+    assert(costs(2)("b") == 5L && costs(2)("a") == 0L)
+    // c has no out-edge so it is not in the node frame; route through a
+    // bidirectional copy to observe it
+    val bidi = edges.union(edges.select(col("dst"), col("src"), col("w")))
+    val got = GraphOps.ssspWeighted(bidi, seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 5L, "c" -> 6L), got.toString)
+  }
 }
