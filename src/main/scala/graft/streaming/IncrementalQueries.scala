@@ -1857,6 +1857,42 @@ object IncrementalQueries {
     // The oracle mirrors that formula literally over the same exact
     // integer moments (HUGEINT sums), so the doubles — and sqrt, IEEE
     // correctly rounded — are bit-identical across engines.
+    // POPULATION variance/stddev — same retractable (n, Σx, Σx²)
+    // moments as the _SAMP forms, denominator n² (defined from one
+    // row, so single-row groups emit 0 instead of NULL).
+    sql("incremental_sql_stddev_pop",
+      """WITH t AS (
+        | SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        | FROM region, nation, customer, orders
+        | WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey
+        |  AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        |  AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0),
+        |m AS (SELECT n_name, COUNT(v) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+        |             SUM(CAST(v AS HUGEINT) * v) AS ss, COUNT(*) AS n_rows
+        |      FROM t GROUP BY n_name)
+        |SELECT n_name,
+        | (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |   / CAST(NULLIF(n * n, 0) AS DOUBLE) AS var_pop_e2,
+        | sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |   / CAST(NULLIF(n * n, 0) AS DOUBLE)) AS std_pop_e2,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name,
+          | VAR_POP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS var_pop_e2,
+          | STDDEV_POP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS std_pop_e2,
+          | COUNT(*) AS n_rows
+          |FROM region, nation, customer, orders
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND o_custkey = c_custkey
+          | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
     sql("incremental_sql_stddev",
       """WITH t AS (
         | SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v

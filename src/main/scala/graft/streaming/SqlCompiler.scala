@@ -248,7 +248,7 @@ object SqlCompiler {
               nullif(sum(when(expr(a.frag).isNotNull, col("__sign"))
                 .otherwise(lit(0))), lit(0)))
               .as(a.alias)
-          case "var_samp" | "stddev_samp" =>
+          case "var_samp" | "stddev_samp" | "var_pop" | "stddev_pop" =>
             // retractable MOMENTS (n, Σx, Σx²), each an exact signed
             // fold — Σx and Σx² run in DECIMAL(38,0) so a planet-scale
             // group cannot overflow the long fold (integral argument
@@ -266,10 +266,13 @@ object SqlCompiler {
             val n = sum(when(arg.isNotNull, col("__sign")).otherwise(lit(0L)))
             val sx = sum(col("__sign").cast(d38) * arg.cast(d38))
             val sxx = sum(col("__sign").cast(d38) * arg.cast(d38) * arg.cast(d38))
-            val den = nullif(n * (n - lit(1L)), lit(0L)).cast("double")
+            // _POP divides by n² (defined from n=1); _SAMP by n(n−1)
+            val den = nullif(
+              if (a.kind.endsWith("_pop")) n * n else n * (n - lit(1L)),
+              lit(0L)).cast("double")
             val v = (n.cast("double") * sxx.cast("double") -
               sx.cast("double") * sx.cast("double")) / den
-            (if (a.kind == "var_samp") v else sqrt(v)).as(a.alias)
+            (if (a.kind.startsWith("var")) v else sqrt(v)).as(a.alias)
           case "corr" =>
             // Pearson r over exact signed CO-MOMENTS, evaluated once
             // per group in double:
@@ -1279,6 +1282,10 @@ object SqlCompiler {
             // forms; both maintain the retractable (n, Σx, Σx²) moments
             AggSpec(if (name.startsWith("var")) "var_samp" else "stddev_samp",
               filtered(dequalify(spark, fragment(arg))), alias)
+          case (name @ ("var_pop" | "stddev_pop"), Seq(arg)) if !f.isDistinct =>
+            // POPULATION forms share the (n, Σx, Σx²) moments; only the
+            // denominator differs (n² — defined from a single row)
+            AggSpec(name, filtered(dequalify(spark, fragment(arg))), alias)
           case (name @ ("min" | "max"), Seq(arg)) =>
             AggSpec(name, filtered(dequalify(spark, fragment(arg))), alias)
           case ("median", Seq(arg)) =>
@@ -1417,7 +1424,8 @@ object SqlCompiler {
       val probe = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
       aggs.filter(a => Set("sum", "avg", "sum_distinct",
-          "var_samp", "stddev_samp", "corr", "covar_samp")(a.kind))
+          "var_samp", "stddev_samp", "var_pop", "stddev_pop",
+          "corr", "covar_samp")(a.kind))
         .flatMap(a => (Seq(a.frag) ++ Some(a.frag2).filter(_.nonEmpty))
           .map(fr => (a, fr)))
         .foreach { case (a, fr) =>
@@ -1435,7 +1443,8 @@ object SqlCompiler {
     // UNCONDITIONAL (no tolerateFloatFolds escape): the variance moment
     // folds cast to DECIMAL(38,0), so a fractional argument would not
     // merely drift — it would silently TRUNCATE before folding
-    aggs.filter(a => Set("var_samp", "stddev_samp", "corr", "covar_samp")(a.kind))
+    aggs.filter(a => Set("var_samp", "stddev_samp", "var_pop", "stddev_pop",
+        "corr", "covar_samp")(a.kind))
       .flatMap(a => (Seq(a.frag) ++ Some(a.frag2).filter(_.nonEmpty))
         .map(fr => (a, fr)))
       .foreach { case (a, fr0) =>
