@@ -1084,6 +1084,86 @@ object Relational {
         ss.table("events_pattern_stream_sink").filter(col("user_id") >= 0)
     },
 
+    // ABSENCE as a batch anti interval join — clicks with NO purchase
+    // by the same user within the following 24 h (cart abandonment /
+    // missed-SLA shape). One LEFT ANTI hash join on user_id with the
+    // interval as residual; at scale the purchase side prunes to the
+    // watched window before the shuffle. The streamed twin
+    // (events_absence_stream) must fire these SAME alerts from a
+    // per-key TIMER instead of a join.
+    sql("events_absence_join",
+      """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
+        |FROM events c
+        |WHERE c.event_type = 'click' AND NOT EXISTS (
+        | SELECT 1 FROM events p
+        | WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |  AND epoch_us(p.ts) > epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000)""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), unix_micros(col("ts")).as("pus"))
+        clicks.join(purchases,
+            col("user_id") === col("pu") &&
+              col("pus") > col("click_us") &&
+              col("pus") <= col("click_us") + 86400000000L,
+            "left_anti")
+          .select("user_id", "click_id", "click_us")
+    },
+
+    // STREAMING ABSENCE behind the hash gate — the alerting shape no
+    // streaming join can express (an alert fires on the PASSAGE OF
+    // TIME past a deadline, not on a row's arrival; Flink CEP's
+    // notFollowedBy+within): StreamingAnalytics.streamAbsenceAlerts
+    // decides each click only once the watermark passes its deadline
+    // (so a straggler purchase inside the window can still clear it)
+    // and fires quiet keys through the event-time timeout. Same anti
+    // interval-join oracle as the batch twin — a timer that fires
+    // early, late, or twice fails the hash.
+    sql("events_absence_stream",
+      """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
+        |FROM events c
+        |WHERE c.event_type = 'click' AND NOT EXISTS (
+        | SELECT 1 FROM events p
+        | WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |  AND epoch_us(p.ts) > epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000)""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingAnalytics.{streamAbsenceAlerts, PatIn}
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val collected = boundedReplayCollect("events_absence_stream",
+          Tables.events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+            .as[(Long, java.sql.Timestamp, String, Long)])
+        val ev = collected.map(r => PatIn(r._1, r._2, r._3, r._4))
+          .sortBy(e => (e.ts.getTime, e.id))
+        val src = MemoryStream[PatIn]
+        val out = streamAbsenceAlerts(src.toDS(), delay = "1 second",
+          windowUs = 86400000000L)
+        val query = out.writeStream
+          .format("memory").queryName("events_absence_stream_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          src.addData(PatIn(-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            "click", -1L))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_absence_stream_sink").filter(col("user_id") >= 0)
+    },
+
     // Retention cohorts — the classic growth-analytics matrix: cohort
     // = a user's first active DATE, k = days since cohort, value =
     // how many of the cohort's users were active on day k. Two

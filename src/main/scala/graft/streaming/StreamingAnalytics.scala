@@ -273,4 +273,73 @@ object StreamingAnalytics {
           out.iterator
       }
   }
+
+  // ---- streaming ABSENCE detection --------------------------------------
+
+  /** One "click with NO purchase within the window" alert. */
+  final case class AbsAlert(user_id: Long, click_id: Long, click_us: Long)
+
+  /** Per-key absence state: undecided clicks and still-relevant
+    * purchases, both as event-time micros. */
+  final case class AbsBuf(clicks: List[(Long, Long)], purchases: List[Long])
+
+  /** STREAMING ABSENCE detection — "A NOT followed by B within W", the
+    * alerting shape NO join can express continuously: a join emits on
+    * the presence of a row, but an absence alert must fire on the
+    * PASSAGE OF TIME past a deadline with nothing arriving — i.e. a
+    * per-key TIMER, which is exactly what Flink CEP's notFollowedBy +
+    * within compiles to. `flatMapGroupsWithState` with event-time
+    * timeout expresses it:
+    *
+    *  - a click becomes DECIDABLE only once the watermark passes
+    *    click_ts + W: the watermark contract then guarantees every
+    *    purchase that could clear it has arrived (a later-arriving
+    *    in-window purchase would be late and fenced). Deciding earlier
+    *    would emit alerts a straggler purchase should have cleared;
+    *  - state per key: undecided clicks (bounded by W + delay of
+    *    traffic) and purchases newer than `wm − W` (older ones can
+    *    only clear already-decided clicks) — both eviction rules are
+    *    forced by the semantics, no tuning knobs;
+    *  - the event-time timeout wakes the key at its earliest pending
+    *    deadline, so alerts fire even when the user goes silent — the
+    *    whole point of absence detection.
+    *
+    * Emission is deterministic: decided clicks emit in (ts, id)
+    * order. */
+  def streamAbsenceAlerts(events: org.apache.spark.sql.Dataset[PatIn],
+                          delay: String = "1 hour",
+                          watched: String = "click", clearing: String = "purchase",
+                          windowUs: Long = 3600000000L): org.apache.spark.sql.Dataset[AbsAlert] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF().withWatermark("ts", delay).as[PatIn]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[AbsBuf, AbsAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          val st0 = state.getOption.getOrElse(AbsBuf(Nil, Nil))
+          val incoming = it.toList
+          val clicks = st0.clicks ++
+            incoming.filter(_.etype == watched).map(e => (tsMicros(e.ts), e.id))
+          val purchases = st0.purchases ++
+            incoming.filter(_.etype == clearing).map(e => tsMicros(e.ts))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (decided, pending) = clicks.partition(_._1 + windowUs < wmMicros)
+          val out = decided.sortBy(identity).collect {
+            case (cu, cid) if !purchases.exists(p => p > cu && p <= cu + windowUs) =>
+              AbsAlert(key, cid, cu)
+          }
+          val keptPurchases = purchases.filter(_ > wmMicros - windowUs)
+          if (pending.isEmpty && keptPurchases.isEmpty) state.remove()
+          else {
+            state.update(AbsBuf(pending, keptPurchases))
+            if (pending.nonEmpty) {
+              val wake = ((pending.map(_._1).min + windowUs) / 1000L) + 1L
+              state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
 }

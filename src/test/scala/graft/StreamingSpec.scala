@@ -754,4 +754,42 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 10L, base, 12L, base + 20000000L)), got.toString)
   }
+
+  test("absence alerts: stragglers clear, silent keys fire by timeout, out-of-window does not clear") {
+    import graft.streaming.StreamingAnalytics.{streamAbsenceAlerts, PatIn}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000L)
+    val src = MemoryStream[PatIn]
+    val out = streamAbsenceAlerts(src.toDS(), delay = "1 hour") // window 1h
+    val query = out.writeStream
+      .format("memory").queryName("absence_spec_sink").outputMode("append").start()
+    try {
+      // user 1: purchase inside the window -> cleared
+      // user 2: silent after the click -> must alert via TIMEOUT
+      // user 3: purchase 2h later (outside window) -> must alert
+      // user 4: clearing purchase arrives A BATCH LATE but within the
+      //         watermark delay -> still cleared (deciding earlier
+      //         than the deadline would have emitted a false alert)
+      // batch 1 spans only 200s, so the 1h-delay watermark stays at 0
+      // and batch 2's straggler purchase is NOT late
+      src.addData(
+        PatIn(1, ts(100), "click", 10), PatIn(1, ts(200), "purchase", 11),
+        PatIn(2, ts(100), "click", 20),
+        PatIn(3, ts(100), "click", 30),
+        PatIn(4, ts(100), "click", 40))
+      query.processAllAvailable()
+      assert(spark.table("absence_spec_sink").isEmpty)
+      src.addData(PatIn(4, ts(150), "purchase", 41),
+        PatIn(3, ts(100 + 7200), "purchase", 31))
+      query.processAllAvailable()
+      src.addData(PatIn(-1, ts(10000000), "click", -1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val base = 1000000L * 1000000L
+    val got = spark.table("absence_spec_sink").filter($"user_id" >= 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 20L, base + 100000000L), (3L, 30L, base + 100000000L)),
+      got.toString)
+  }
 }
