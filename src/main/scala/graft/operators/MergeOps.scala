@@ -113,5 +113,48 @@ object MergeOps {
         hist.select(col("k"), col("ver").as("valid_from"),
           lead(col("ver"), 1).over(w).as("valid_to"), col("price"),
           lead(col("ver"), 1).over(w).isNull.as("is_current"))
+    },
+
+    // TEMPORAL TABLE JOIN — each fact row joined to the dimension
+    // VERSION IN EFFECT AT ITS EVENT TIME (the version with the
+    // largest valid_from ≤ o_orderdate), the reference engine family's
+    // signature enrichment operator and the query SCD2 tables exist to
+    // answer. Re-expressed as the AS-OF join the engine already ships
+    // (union + running-last window, ONE shuffle on the business key —
+    // no per-version interval join, no fan-out): the versioned
+    // dimension is just the right side of an as-of. Version history
+    // synthesized deterministically (base segment at 1995; even keys
+    // upgraded 1998; every 6th premium 2000), so an order's segment
+    // changes as its date crosses the version boundaries. DuckDB
+    // oracles it with native ASOF LEFT JOIN.
+    sql("orders_temporal_dim_join",
+      """WITH dim AS (
+        | SELECT c_custkey, TIMESTAMP '1995-01-01' AS ts, c_mktsegment AS segment
+        | FROM customer
+        | UNION ALL
+        | SELECT c_custkey, TIMESTAMP '1998-01-01', 'UPGRADED'
+        | FROM customer WHERE c_custkey % 2 = 0
+        | UNION ALL
+        | SELECT c_custkey, TIMESTAMP '2000-01-01', 'PREMIUM'
+        | FROM customer WHERE c_custkey % 6 = 0)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_orderdate AS ts,
+        | d.segment AS asof_segment, d.ts AS asof_ts
+        |FROM orders o ASOF LEFT JOIN dim d
+        | ON o.o_custkey = d.c_custkey AND o.o_orderdate >= d.ts""".stripMargin) {
+      (s, d) =>
+        val c = graft.Tables.customer(s, d)
+        val dim = c.select(col("c_custkey"),
+            to_timestamp(lit("1995-01-01")).as("ts"), col("c_mktsegment").as("segment"))
+          .union(c.filter(col("c_custkey") % 2 === 0)
+            .select(col("c_custkey"), to_timestamp(lit("1998-01-01")), lit("UPGRADED")))
+          .union(c.filter(col("c_custkey") % 6 === 0)
+            .select(col("c_custkey"), to_timestamp(lit("2000-01-01")), lit("PREMIUM")))
+        val facts = graft.Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+            col("o_orderdate").as("ts"))
+        graft.operators.AsOfJoin.asOfLeft(facts, dim,
+            keyCols = Seq("c_custkey"), ts = "ts")
+          .select(col("o_orderkey"), col("c_custkey"), col("ts"),
+            col("asof_segment"), col("asof_ts"))
     })
 }

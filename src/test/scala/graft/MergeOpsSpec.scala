@@ -128,4 +128,25 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(merged.exceptAll(orders).count() == 0 &&
       orders.exceptAll(merged).count() == 0)
   }
+
+  test("temporal dim join picks the version in effect at each order's date") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("orders_temporal_dim_join")(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    val segs = Tables.customer(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("c_mktsegment"))).toMap
+    rows.foreach { r =>
+      val ck = r.getLong(1)
+      val od = r.get(2) match {
+        case t: java.sql.Timestamp => t.toLocalDateTime.getYear
+        case t: java.time.LocalDateTime => t.getYear
+      }
+      val seg = r.getString(3)
+      val expected =
+        if (ck % 6 == 0 && od >= 2000) "PREMIUM"
+        else if (ck % 2 == 0 && od >= 1998) "UPGRADED"
+        else segs(ck)
+      assert(seg == expected, s"custkey=$ck year=$od got=$seg want=$expected")
+    }
+  }
 }
