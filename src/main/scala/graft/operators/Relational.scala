@@ -1084,6 +1084,51 @@ object Relational {
         ss.table("events_pattern_stream_sink").filter(col("user_id") >= 0)
     },
 
+    // STREAM-STATIC enrichment join — the most common production
+    // streaming shape: an unbounded event stream joined per
+    // micro-batch against a STATIC dimension (here a user→cohort
+    // lookup derived deterministically from customer). Stateless by
+    // construction — the static side broadcasts into every batch, no
+    // state store, no watermark needed for the join itself — which is
+    // why it is THE first join a pipeline reaches for before
+    // stream-stream machinery. Gated against the identical batch
+    // join, replayed in two micro-batches: batch boundaries must not
+    // change the enriched set.
+    sql("events_stream_static_join",
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE e.event_type IN ('purchase', 'signup')""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val collected = boundedReplayCollect("events_stream_static_join",
+          Tables.events(s, d)
+            .filter(col("event_type").isin("purchase", "signup"))
+            .select(col("event_id"), col("user_id"), col("event_type"))
+            .as[(Long, Long, String)])
+          .sortBy(_._1)
+        val static = Tables.customer(ss, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val src = MemoryStream[(Long, Long, String)]
+        val out = src.toDF().toDF("event_id", "user_id", "event_type")
+          .join(broadcast(static), col("c_custkey") === col("user_id"))
+          .select("event_id", "user_id", "event_type", "segment")
+        val query = out.writeStream
+          .format("memory").queryName("events_stream_static_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = collected.splitAt(collected.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_stream_static_sink")
+    },
+
     // ABSENCE as a batch anti interval join — clicks with NO purchase
     // by the same user within the following 24 h (cart abandonment /
     // missed-SLA shape). One LEFT ANTI hash join on user_id with the
