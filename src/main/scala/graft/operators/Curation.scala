@@ -152,6 +152,31 @@ object Curation {
     },
 
     // --- deterministic stratified sampling -----------------------------
+    // COHERENT (referential-integrity-preserving) sampling — the way a
+    // dev-scale copy of a star schema is actually cut: the PARENT key
+    // decides membership (deterministic md5 threshold on o_orderkey ≈
+    // 1/16), and every child row FOLLOWS its parent, so sampled
+    // lineitems always join back to a sampled order — no dangling FKs,
+    // unlike independent per-table sampling. Membership is a pure
+    // function of the key (stable under corpus growth, same guarantee
+    // as split_train_test); the child side is one broadcast semi join
+    // against the sampled key set at any scale.
+    sql("sample_coherent_join",
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+        | CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin) {
+      (s, d) =>
+        val sampledOrders = Tables.orders(s, d)
+          .filter(substring(md5(to_binary(col("o_orderkey").cast("string"),
+            lit("utf-8"))), 1, 1) === "0")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+          .join(broadcast(sampledOrders), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("o_orderdate").cast("string").as("o_orderdate"))
+    },
+
     sql("sample_stratified",
       s"""SELECT doc_id, lang, source
          |FROM documents
