@@ -2126,6 +2126,33 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // AVG(DISTINCT) — the remaining distinct-aggregate form: same
+    // per-(group, value) netting rollup as SUM/COUNT DISTINCT, exact
+    // integer Σ and n over the surviving value set, ONE correctly-
+    // rounded IEEE division — so retraction-exact and bit-identical
+    // cross-engine.
+    sql("incremental_sql_avg_distinct",
+      """SELECT n_name, AVG(DISTINCT o_custkey) AS avg_cust,
+        | COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, AVG(DISTINCT o_custkey) AS avg_cust,
+          | COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_rows
+          |FROM region, nation, customer, orders
+          |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+          | AND o_custkey = c_custkey
+          | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
     // Aggregate FILTER clauses — everyday SQL the compiler turns into
     // sign-weighted CASE folds (rows failing the predicate contribute
     // NULL, which every retractable aggregate handles exactly; COUNT

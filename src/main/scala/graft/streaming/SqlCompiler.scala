@@ -193,7 +193,8 @@ object SqlCompiler {
           dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
       val (valueAggs, plainAggs) =
         aggs.partition(a =>
-          Set("count_distinct", "sum_distinct", "min", "max", "median")(a.kind))
+          Set("count_distinct", "sum_distinct", "avg_distinct", "min", "max",
+            "median")(a.kind))
       // GROUPING SETS run as Spark's own Expand strategy, not a union
       // of per-set folds: each delta row explodes ONCE per grouping
       // set, carrying that set's materialized keys (typed NULLs for
@@ -358,6 +359,11 @@ object SqlCompiler {
               a.kind match {
                 case "count_distinct" => count(lit(1)).cast(LongType).as(a.alias)
                 case "sum_distinct" => sum(col("__dv")).as(a.alias)
+                // AVG(DISTINCT) over the same netted values: exact
+                // integer Σ and n, ONE correctly-rounded division
+                case "avg_distinct" =>
+                  (sum(col("__dv")).cast("double") /
+                    count(lit(1)).cast("double")).as(a.alias)
                 case "min" => min(col("__dv")).as(a.alias)
                 case _ => max(col("__dv")).as(a.alias)
               }
@@ -1267,6 +1273,10 @@ object SqlCompiler {
                 s"CASE WHEN ($p) THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END", alias)
               case None => AggSpec("count", "", alias)
             }
+          case ("avg", Seq(arg)) if f.isDistinct =>
+            // AVG(DISTINCT x): same per-(group,value) netting rollup as
+            // SUM/COUNT DISTINCT — exact integer moments, one division
+            AggSpec("avg_distinct", filtered(dequalify(spark, fragment(arg))), alias)
           case ("sum", Seq(arg)) if f.isDistinct =>
             // SUM(DISTINCT x) derives from the same per-(group, value)
             // netting rollup as COUNT(DISTINCT): sum the values whose
@@ -1397,7 +1407,8 @@ object SqlCompiler {
       "(SUM, COUNT(*), COUNT(DISTINCT x), MIN, MAX, AVG)")
     if (groups.isEmpty &&
         aggs.exists(a =>
-          Set("count_distinct", "sum_distinct", "min", "max", "median")(a.kind)))
+          Set("count_distinct", "sum_distinct", "avg_distinct", "min", "max",
+            "median")(a.kind)))
       fail("COUNT(DISTINCT x)/SUM(DISTINCT x)/MIN/MAX/MEDIAN need at least one " +
         "GROUP BY column here (the per-value rollup joins back on the group keys)")
 
@@ -1423,7 +1434,7 @@ object SqlCompiler {
         org.apache.spark.sql.types.StructField(n, t) })
       val probe = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), unionSchema)
-      aggs.filter(a => Set("sum", "avg", "sum_distinct",
+      aggs.filter(a => Set("sum", "avg", "sum_distinct", "avg_distinct",
           "var_samp", "stddev_samp", "var_pop", "stddev_pop",
           "corr", "covar_samp")(a.kind))
         .flatMap(a => (Seq(a.frag) ++ Some(a.frag2).filter(_.nonEmpty))
