@@ -270,6 +270,57 @@ object Curation {
               - col("chunk_id") * 48).as("n_tokens"))
     },
 
+    // CHUNK-LEVEL exact dedup — boilerplate PARAGRAPH detection, the
+    // sub-document granularity whole-doc dedup cannot see (two
+    // different pages sharing a license header / nav block): the same
+    // stride windows as text_chunk_windows, md5'd, grouped — a chunk
+    // digest appearing in ≥ 2 DISTINCT documents is corpus
+    // boilerplate; emitted with its spread and one canonical source
+    // (min doc) for inspection. One scan + Generate for the chunks,
+    // ONE fixed-width digest shuffle — the md5 reduces arbitrarily
+    // long chunks to 32 bytes before the exchange, the same shape as
+    // dedup_exact at any scale.
+    sql("dedup_chunk_boilerplate",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  unnest(generate_series(0,
+        |    CASE WHEN len(toks) <= 64 THEN 0
+        |         ELSE CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 48) AS BIGINT) END)) AS chunk_id,
+        |  toks
+        | FROM t WHERE len(toks) >= 1),
+        |h AS (
+        | SELECT doc_id,
+        |  md5(array_to_string(list_slice(toks, chunk_id * 48 + 1,
+        |    least(chunk_id * 48 + 64, len(toks))), ' ')) AS chunk_md5
+        | FROM c)
+        |SELECT chunk_md5, COUNT(*) AS n_occurrences,
+        | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | MIN(doc_id) AS example_doc
+        |FROM h GROUP BY chunk_md5
+        |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin) {
+      (s, d) =>
+        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) >= 1)
+        val nChunksMinus1 = when(size(col("toks")) <= 64, lit(0L))
+          .otherwise(ceil((size(col("toks")) - lit(64)).cast("double") / 48).cast(LongType))
+        t.select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L), nChunksMinus1)).as("chunk_id"))
+          .select(col("doc_id"),
+            md5(to_binary(concat_ws(" ",
+              slice(col("toks"), (col("chunk_id") * 48 + 1).cast("int"),
+                (least(col("chunk_id") * 48 + 64, size(col("toks")))
+                  - col("chunk_id") * 48).cast("int"))), lit("utf-8"))).as("chunk_md5"))
+          .groupBy(col("chunk_md5"))
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("example_doc"))
+          .filter(col("n_docs") >= 2)
+    },
+
     // --- decontamination: eval-set n-gram overlap ----------------------
     // The check a training pipeline runs against its benchmark suite:
     // flag training documents sharing >= 3 distinct word 5-grams with
