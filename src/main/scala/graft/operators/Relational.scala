@@ -1870,6 +1870,38 @@ object Relational {
           .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
     },
 
+    // MERGEABLE EXACT TOP-K — grouped top-k as a bounded-state
+    // AGGREGATE (functions/TopKAgg) instead of a window: the window
+    // form shuffles + sorts EVERY row per group; topk_pairs keeps ≤ k
+    // pairs per (group, partition) and map-side combine reduces each
+    // partition to k pairs BEFORE the exchange — the shuffle carries
+    // k·partitions rows instead of the table. Exact by the bounded-
+    // merge identity (top-k of a union of per-partition top-k sets IS
+    // the union's top-k) with a deterministic total order (score DESC,
+    // unique id ASC) — so the window-formulation oracle must match
+    // row-for-row, rank included.
+    sql("agg_topk_per_group",
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rank, price_e2, o_orderkey
+        |FROM (
+        | SELECT o_orderpriority,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3""".stripMargin) {
+      (s, d) =>
+        import graft.functions.TopKAgg.topk_pairs
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_e2"),
+            col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(topk_pairs(col("price_e2"), col("o_orderkey"), 3).as("top"))
+          .select(col("o_orderpriority"), posexplode(col("top")))
+          .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.score").as("price_e2"), col("col.id").as("o_orderkey"))
+    },
+
     // Q6-LIKE forecasting revenue — the degenerate-but-canonical
     // grouping-free global aggregate: one filtered scan, one 1-row
     // answer, nothing else. The whole query is a map-side partial +

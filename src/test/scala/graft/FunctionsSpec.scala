@@ -389,6 +389,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("BIGINT"), e.getMessage)
   }
 
+  test("topk_pairs: partition-invariant, tie-deterministic, equals the window formulation") {
+    import graft.functions.TopKAgg.topk_pairs
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // scores with deliberate ties; ids unique
+    val rows = (0L until 500L).map(i => (s"g${i % 7}", (i * 37) % 50, i))
+    def run(parts: Int) = rows.toDF("g", "s", "id").repartition(parts)
+      .groupBy("g").agg(topk_pairs(col("s"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+      .collect().map(_.toString).sorted.toSeq
+    val one = run(1)
+    assert(one == run(13) && one == run(32), "partitioning changed the top-k")
+    // window-formulation equivalence, rank included
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+    val want = rows.toDF("g", "s", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("g"), (col("rn") - 1).cast("int").as("pos"), col("s"), col("id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(one == want)
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
