@@ -78,7 +78,10 @@ object SparkEntry {
       // market-share ratio, strict-contiguity CEP via two LEADs, and
       // the BPE pair count (distinct-word reduce THEN pair expand)
       "q21_like_waiting_supplier", "q8_like_market_share",
-      "events_pattern_match", "text_bpe_pairs")
+      "events_pattern_match", "text_bpe_pairs",
+      // the custom physical operator (partial-heap -> exchange ->
+      // final-rank; the snapshot pins its zero-sort plan)
+      "window_topk_rewrite")
     val have = queries.keySet
     preferred.filter(have)
   }
