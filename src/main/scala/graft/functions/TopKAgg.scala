@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
   * the window-formulation oracle matches row-for-row. Pairs with
   * identical (score, id) collapse (set semantics on the total order),
   * which under the unique-id contract is the identity.
+  *
+  * NULL handling: rows with a NULL score or id are IGNORED (SQL
+  * aggregate semantics), which DIVERGES from the window formulation —
+  * `ORDER BY score DESC` is NULLS LAST in Spark, so the window keeps
+  * NULL-score rows when a group has fewer than k non-null ones. Feed
+  * `coalesce(score, Long.MinValue)` if NULL rows must rank.
   */
 case class TopKPairsAgg(
     score: Expression,

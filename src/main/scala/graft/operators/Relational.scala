@@ -32,6 +32,18 @@ object Relational {
   private val dateLo = "1996-01-01"
   private val dateHi = "1996-04-01"
 
+  /** ONE oracle for the absence twins (batch anti interval join and
+    * the streamed timer machine) — shared so the "same oracle" claim
+    * is structural, not copy-paste. */
+  private val absenceOracle =
+    """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
+        |FROM events c
+        |WHERE c.event_type = 'click' AND NOT EXISTS (
+        | SELECT 1 FROM events p
+        | WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |  AND epoch_us(p.ts) > epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000)""".stripMargin
+
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.types.DecimalType
 
@@ -1039,20 +1051,7 @@ object Relational {
     // match while later ones buffer; a far-future sentinel on an
     // unused key flushes the tail. Any divergence between the state
     // machine and the batch window semantics fails the hash.
-    sql("events_pattern_stream",
-      """WITH o AS (
-        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-        |  LEAD(event_type, 1) OVER w AS e1,
-        |  LEAD(event_type, 2) OVER w AS e2,
-        |  LEAD(event_id, 2) OVER w AS end_event,
-        |  LEAD(epoch_us(ts), 2) OVER w AS end_us
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
-        |SELECT user_id, event_id AS start_event, us AS start_us,
-        | end_event, end_us
-        |FROM o
-        |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
-        | AND end_us - us <= 86400000000""".stripMargin) {
+    sql("events_pattern_stream", TimeSeries.patternMatchOracle) {
       (s, d) =>
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.StreamingAnalytics.{streamPatternMatch, PatIn}
@@ -1136,14 +1135,7 @@ object Relational {
     // watched window before the shuffle. The streamed twin
     // (events_absence_stream) must fire these SAME alerts from a
     // per-key TIMER instead of a join.
-    sql("events_absence_join",
-      """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
-        |FROM events c
-        |WHERE c.event_type = 'click' AND NOT EXISTS (
-        | SELECT 1 FROM events p
-        | WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
-        |  AND epoch_us(p.ts) > epoch_us(c.ts)
-        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000)""".stripMargin) {
+    sql("events_absence_join", absenceOracle) {
       (s, d) =>
         val ev = Tables.events(s, d)
         val clicks = ev.filter(col("event_type") === "click")
@@ -1168,14 +1160,7 @@ object Relational {
     // and fires quiet keys through the event-time timeout. Same anti
     // interval-join oracle as the batch twin — a timer that fires
     // early, late, or twice fails the hash.
-    sql("events_absence_stream",
-      """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
-        |FROM events c
-        |WHERE c.event_type = 'click' AND NOT EXISTS (
-        | SELECT 1 FROM events p
-        | WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
-        |  AND epoch_us(p.ts) > epoch_us(c.ts)
-        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000)""".stripMargin) {
+    sql("events_absence_stream", absenceOracle) {
       (s, d) =>
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.StreamingAnalytics.{streamAbsenceAlerts, PatIn}

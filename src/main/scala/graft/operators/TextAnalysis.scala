@@ -269,19 +269,6 @@ object TextAnalysis {
       (s, d) => winnow(Tables.documents(s, d).select(col("doc_id"), col("text")))
     },
 
-    // BPE MERGE-PAIR COUNTING — the inner loop of byte-pair-encoding
-    // vocabulary induction: corpus-wide counts of ADJACENT SYMBOL
-    // PAIRS inside words, each occurrence weighted by its word's
-    // corpus frequency; the top pair is the next merge. The scale
-    // trick every real tokenizer trainer uses is here: pair expansion
-    // runs over the DISTINCT-WORD frame (one row per distinct word ×
-    // its count — thousands of rows), not over the corpus's word
-    // instances (billions) — the word-frequency aggregate does the
-    // 10^6× reduction first, so the quadratic-looking substr transform
-    // touches almost nothing. Subsequent merge iterations re-segment
-    // the same distinct-word frame with the merged symbol and rerun
-    // this aggregate. Output capped to the 50 strongest pairs with a
-    // total (count desc, pair) order, all integers.
     // COUNT-MIN SKETCH heavy hitters — the third mergeable-sketch
     // class on the board (KMV: distinct counts; quantized histograms:
     // quantiles; CMS: frequencies). The sketch is a (4 × 256) counter
@@ -325,8 +312,12 @@ object TextAnalysis {
           .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
           .agg(count(lit(1)).as("n"))
         val docs = Tables.documents(s, d)
+        // ONE tokenize+explode pass feeds four derivations (whole
+        // sketch, two parity halves, exact candidates) — persist it or
+        // the corpus is re-scanned per use
         val words = docs.select(col("doc_id"),
           explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+          .persist()
         val whole = sketch(words.select("w"))
         // MERGE IDENTITY: cell-wise sum of the two parity-half sketches
         // must equal the whole-corpus sketch exactly
@@ -337,6 +328,7 @@ object TextAnalysis {
           "CMS merge identity violated: summed half-sketches != whole sketch")
         val cand = words.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
           .orderBy(col("exact_n").desc, col("w")).limit(20)
+        words.unpersist(blocking = false)
         cand
           .select(col("w"), col("exact_n"),
             explode(array((0 until 4).map(i =>
@@ -347,6 +339,19 @@ object TextAnalysis {
           .select(col("w").as("word"), col("exact_n"), col("cms_est"))
     },
 
+    // BPE MERGE-PAIR COUNTING — the inner loop of byte-pair-encoding
+    // vocabulary induction: corpus-wide counts of ADJACENT SYMBOL
+    // PAIRS inside words, each occurrence weighted by its word's
+    // corpus frequency; the top pair is the next merge. The scale
+    // trick every real tokenizer trainer uses is here: pair expansion
+    // runs over the DISTINCT-WORD frame (one row per distinct word ×
+    // its count — thousands of rows), not over the corpus's word
+    // instances (billions) — the word-frequency aggregate does the
+    // 10^6× reduction first, so the quadratic-looking substr transform
+    // touches almost nothing. Subsequent merge iterations re-segment
+    // the same distinct-word frame with the merged symbol and rerun
+    // this aggregate. Output capped to the 50 strongest pairs with a
+    // total (count desc, pair) order, all integers.
     sql("text_bpe_pairs",
       """WITH w AS (
         | SELECT word, COUNT(*) AS freq FROM (

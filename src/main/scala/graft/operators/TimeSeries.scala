@@ -41,6 +41,25 @@ import graft.GraftQuery.sql
   */
 object TimeSeries {
 
+  /** ONE oracle for the CEP twins — the batch two-LEAD window query
+    * here and the streamed state machine (events_pattern_stream in
+    * Relational) gate against the SAME text by reference. */
+  val patternMatchOracle: String =
+    """WITH o AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  LEAD(event_type, 1) OVER w AS e1,
+        |  LEAD(event_type, 2) OVER w AS e2,
+        |  LEAD(event_id, 2) OVER w AS end_event,
+        |  LEAD(epoch_us(ts), 2) OVER w AS end_us
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id AS start_event, us AS start_us,
+        | end_event, end_us
+        |FROM o
+        |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        | AND end_us - us <= 86400000000""".stripMargin
+
+
   /** One row per (key, bucket) for every bucket in each key's observed
     * [min, max] span, `value_filled` carried forward across gaps.
     * `bucket` = floor(epoch-micros / stepMicros) — integer arithmetic
@@ -510,20 +529,7 @@ object TimeSeries {
     // at any scale. The streamed twin (events_pattern_stream) runs
     // the same semantics as an incremental per-key state machine
     // behind the SAME oracle.
-    sql("events_pattern_match",
-      """WITH o AS (
-        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-        |  LEAD(event_type, 1) OVER w AS e1,
-        |  LEAD(event_type, 2) OVER w AS e2,
-        |  LEAD(event_id, 2) OVER w AS end_event,
-        |  LEAD(epoch_us(ts), 2) OVER w AS end_us
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
-        |SELECT user_id, event_id AS start_event, us AS start_us,
-        | end_event, end_us
-        |FROM o
-        |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
-        | AND end_us - us <= 86400000000""".stripMargin) {
+    sql("events_pattern_match", patternMatchOracle) {
       (s, d) =>
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
         Tables.events(s, d)

@@ -148,9 +148,16 @@ object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy 
 /** The bounded-state executor. Partial: prune each input partition to
   * ≤ k rows per group (no rank — ranks are only known globally).
   * Final: requires clustering on the group keys, merges the pruned
-  * streams and emits rows with their 1-based rank. Per-task memory is
-  * k rows × live groups — the hash-aggregate envelope, never the
-  * sort buffer's. */
+  * streams and emits rows with their 1-based rank.
+  *
+  * Memory: k copied rows × live groups per task, held in a plain
+  * on-heap map with NO spill path — unlike the Sort/HashAggregate
+  * operators, which fall back to disk under pressure. That is the
+  * deal the opt-in conf signs: right when k·(groups per task) is far
+  * below the sort buffer (the top-k regime), wrong for huge k or
+  * pathological group cardinality per task — which is why the rewrite
+  * caps k ([[GroupedTopK.MaxK]]) and stays conf-gated rather than on
+  * by default. */
 case class GroupedTopKExec(
     partitionExprs: Seq[Expression],
     orderSpec: Seq[SortOrder],

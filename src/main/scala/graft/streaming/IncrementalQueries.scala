@@ -753,19 +753,23 @@ object IncrementalQueries {
     * their lines; deleting a third of lineitems NULL-extends ~1000
     * orders). No WHERE anywhere — the compiler's full-outer scope
     * rules reject it (SQL would NULL-reject the orphan rows). */
-  def incrementalSqlQ10FullOuter(s: SparkSession, dir: String): DataFrame =
-    SqlCompiler.compile(s, dir,
-      """SELECT c_custkey, n_name,
+  private val q10FullOuterSql =
+    """SELECT c_custkey, n_name,
         | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
         | COUNT(*) AS n_rows
         |FROM nation
         |JOIN customer ON c_nationkey = n_nationkey
         |JOIN orders ON o_custkey = c_custkey
         |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
-        |GROUP BY c_custkey, n_name""".stripMargin)
-      .run(s, dir, Map(
-        "orders" -> (col("o_orderkey") % 50 === 0),
-        "lineitem" -> (col("l_partkey") % 3 === 0)))
+        |GROUP BY c_custkey, n_name""".stripMargin
+
+  private val q10FullOuterDeletes = Map(
+    "orders" -> (col("o_orderkey") % 50 === 0),
+    "lineitem" -> (col("l_partkey") % 3 === 0))
+
+  def incrementalSqlQ10FullOuter(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compile(s, dir, q10FullOuterSql)
+      .run(s, dir, q10FullOuterDeletes)
 
   /** The SAME maintained view written as a RIGHT JOIN (preserved side
     * on the right): the compiler canonicalizes RightOuter by swapping
@@ -801,19 +805,8 @@ object IncrementalQueries {
     * orphans (their lines' preservation flips on) while lineitem
     * deletes retract NULL-extensions, all through held state. */
   def incrementalSqlQ10FullOuterStream(s: SparkSession, dir: String): DataFrame =
-    runSqlStreamed(s, SqlCompiler.compile(s, dir,
-      """SELECT c_custkey, n_name,
-        | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
-        | COUNT(*) AS n_rows
-        |FROM nation
-        |JOIN customer ON c_nationkey = n_nationkey
-        |JOIN orders ON o_custkey = c_custkey
-        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
-        |GROUP BY c_custkey, n_name""".stripMargin),
-      dir,
-      Map("orders" -> (col("o_orderkey") % 50 === 0),
-        "lineitem" -> (col("l_partkey") % 3 === 0)),
-      "incremental_sql_q10_fullouter_stream_leaf")
+    runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterSql), dir,
+      q10FullOuterDeletes, "incremental_sql_q10_fullouter_stream_leaf")
 
   /** Conf-wired SKEW SALTING through the compiler (the bloom
     * pattern, [[SaltRelationConf]]): the session conf names lineitem

@@ -145,7 +145,8 @@ object SqlCompiler {
       * changelogs (for exercising [[eventFilter]]). */
     def sourceChangelogs(spark: SparkSession, dir: String,
                          deletes: Map[String, Column] = Map.empty,
-                         filtered: Boolean = true): Map[String, Dataset] =
+                         filtered: Boolean = true): Map[String, Dataset] = {
+      requireMaintainableDeletes(deletes)
       path.map { rel =>
         // raw changelogs must CARRY the predicate columns (the filter
         // reads them from the canonical row); scan-filtered ones never
@@ -155,6 +156,23 @@ object SqlCompiler {
           if (filtered) needed(rel) else neededRaw(rel),
           deletes.get(rel), if (filtered) wheres.get(rel).map(expr) else None)
       }.toMap
+    }
+
+    /** FULL OUTER scope guard, at the changelog CHOKE POINT so both
+      * the batch path (run) and the streaming harnesses that call
+      * [[sourceChangelogs]] directly enforce it: deletes on an
+      * ANCESTOR drop parent rows from the preserved side invisibly to
+      * the orphan plan's parent-changelog key node — the maintained
+      * view would silently diverge from SQL. */
+    def requireMaintainableDeletes(deletes: Map[String, Column]): Unit =
+      if (fullOuterBoundaries.nonEmpty && deletes.nonEmpty) {
+        val allowed = fullOuterBoundaries.flatMap { case (c, p) => Seq(c, p) }.toSet
+        (deletes.keySet -- allowed).foreach(rel =>
+          fail(s"FULL OUTER query: deletes on '$rel' are not maintainable — " +
+            s"only the boundary pair ${allowed.mkString("{", ", ", "}")} may " +
+            "take deletes (an ancestor delete would orphan parent rows " +
+            "invisibly to the orphan plan's parent-changelog key node)"))
+      }
 
     /** This query's local predicate for `rel`, rewritten to apply to a
       * RAW [[Evt]] stream: every column reference in the original SQL
@@ -439,15 +457,7 @@ object SqlCompiler {
       * aggregate (groups with net rows > 0, like any GROUP BY). */
     def run(spark: SparkSession, dir: String,
             deletes: Map[String, Column] = Map.empty): DataFrame = {
-      if (fullOuterBoundaries.nonEmpty) {
-        val allowed = fullOuterBoundaries.flatMap { case (c, p) => Seq(c, p) }.toSet
-        (deletes.keySet -- allowed).foreach(rel =>
-          fail(s"FULL OUTER query: deletes on '$rel' are not maintainable — " +
-            s"only the boundary pair ${allowed.mkString("{", ", ", "}")} may " +
-            "take deletes (an ancestor delete would orphan parent rows " +
-            "invisibly to the orphan plan's parent-changelog key node)"))
-      }
-      val logs0 = sourceChangelogs(spark, dir, deletes)
+      val logs0 = sourceChangelogs(spark, dir, deletes) // enforces the FULL OUTER delete scope
       // OPT-IN bloom semi-join reduction, applied by the COMPILER: with
       // [[IncrementalQueries.BloomPrefilterConf]] set on this session,
       // the leaf (largest) changelog is pre-filtered by a bloom over

@@ -252,11 +252,14 @@ object StreamingAnalytics {
           // only triples ENDING in the new segment emit (earlier ones
           // already did, in the invocation that finalized their end)
           val seq = st0.tail ++ done
-          val out = seq.sliding(3).zipWithIndex.collect {
-            // window i spans seq indices i..i+2: its END is newly
-            // finalized iff i+2 >= |tail| (O(n), no membership scans)
-            case (List(a, b, c), i)
-              if i + 2 >= st0.tail.length && a._3 == first && b._3 == second &&
+          // every 3-window over [tail ++ done] necessarily ENDS in the
+          // new segment (|tail| <= 2, so indices i..i+2 always reach
+          // past it) — emitted matches are therefore new by
+          // construction, no dedup needed. A longer-pattern variant
+          // with a bigger tail WOULD need an end-index check here.
+          val out = seq.sliding(3).collect {
+            case List(a, b, c)
+              if a._3 == first && b._3 == second &&
                 c._3 == third && c._1 - a._1 <= windowUs =>
               PatMatch(key, a._2, a._1, c._2, c._1)
           }.toList

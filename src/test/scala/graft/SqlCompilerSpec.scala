@@ -1425,6 +1425,12 @@ class SqlCompilerSpec extends AnyFunSuite {
     val ex3 = intercept[IllegalArgumentException](
       c.run(s, d, Map("customer" -> (col("c_custkey") % 7 === 0))))
     assert(ex3.getMessage.contains("boundary pair"), ex3.getMessage)
+    // ...and at the changelog CHOKE POINT, so streaming harnesses that
+    // bypass run() cannot smuggle an ancestor delete past the guard
+    val ex4 = intercept[IllegalArgumentException](
+      c.sourceChangelogs(s, d,
+        Map("customer" -> (col("c_custkey") % 7 === 0)), filtered = false))
+    assert(ex4.getMessage.contains("boundary pair"), ex4.getMessage)
     // both orphan + anti plans present: 2 per boundary
     assert(c.outerPlans.size == 2)
   }
