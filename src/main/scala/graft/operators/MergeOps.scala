@@ -156,5 +156,74 @@ object MergeOps {
             keyCols = Seq("c_custkey"), ts = "ts")
           .select(col("o_orderkey"), col("c_custkey"), col("ts"),
             col("asof_segment"), col("asof_ts"))
+    },
+
+    // The STREAMED temporal table join — the deployment shape the
+    // reference family ships this operator in (facts arrive as a
+    // stream; dimension versions arrive as a stream too; each fact
+    // joins the version in effect at ITS event time, late versions
+    // included up to the watermark): both sides replay through
+    // StreamingAnalytics.streamAsOfJoin, versions as the right side
+    // keyed by tier id (1/2/3 — the segment string is presentation).
+    // Same native-ASOF oracle as the batch twin, on tier numbers.
+    sql("orders_temporal_dim_stream",
+      """WITH dim AS (
+        | SELECT c_custkey, TIMESTAMP '1995-01-01' AS ts, CAST(1 AS BIGINT) AS tier
+        | FROM customer
+        | UNION ALL
+        | SELECT c_custkey, TIMESTAMP '1998-01-01', 2
+        | FROM customer WHERE c_custkey % 2 = 0
+        | UNION ALL
+        | SELECT c_custkey, TIMESTAMP '2000-01-01', 3
+        | FROM customer WHERE c_custkey % 6 = 0)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_orderdate AS ts,
+        | d.tier AS asof_tier, d.ts AS asof_ts
+        |FROM orders o ASOF LEFT JOIN dim d
+        | ON o.o_custkey = d.c_custkey AND o.o_orderdate >= d.ts""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingAnalytics.{streamAsOfJoin, AsOfIn}
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val c = graft.Tables.customer(s, d)
+        // right side: version events, id = tier (1/2/3 per key — the
+        // as-of larger-id tie rule never fires, valid_from are distinct)
+        val dims =
+          c.select(col("c_custkey"), to_timestamp(lit("1995-01-01")).as("ts"), lit(1L).as("tier"))
+            .union(c.filter(col("c_custkey") % 2 === 0)
+              .select(col("c_custkey"), to_timestamp(lit("1998-01-01")), lit(2L)))
+            .union(c.filter(col("c_custkey") % 6 === 0)
+              .select(col("c_custkey"), to_timestamp(lit("2000-01-01")), lit(3L)))
+            .select(col("c_custkey"), col("ts"), lit(true).as("isRight"), col("tier").as("id"))
+        val facts = graft.Tables.orders(s, d)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderdate").as("ts"),
+            lit(false).as("isRight"), col("o_orderkey").as("id"))
+        val collected = boundedReplayCollect("orders_temporal_dim_stream",
+          dims.unionByName(facts)
+            .as[(Long, java.sql.Timestamp, Boolean, Long)])
+        val ev = collected.map(r => AsOfIn(r._1, r._2, r._3, r._4))
+          .sortBy(e => (e.ts.getTime, e.id))
+        val src = MemoryStream[AsOfIn]
+        val out = streamAsOfJoin(src.toDS(), delay = "1 second")
+        val query = out.writeStream
+          .format("memory").queryName("orders_temporal_dim_stream_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          src.addData(AsOfIn(-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            isRight = false, id = -1L))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("orders_temporal_dim_stream_sink")
+          .filter(col("key") >= 0)
+          .select(col("left_id").as("o_orderkey"), col("key").as("c_custkey"),
+            col("left_ts").as("ts"), col("asof_id").as("asof_tier"),
+            col("asof_ts"))
     })
 }
