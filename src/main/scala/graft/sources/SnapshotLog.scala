@@ -264,6 +264,59 @@ object SnapshotLog {
             col("o_orderstatus"), snap2(col("o_totalprice")).as("o_totalprice"))
     },
 
+    // STREAMING GOLD TABLE — the medallion endgame: a continuously
+    // AGGREGATED summary (per-customer order count + exact e2 revenue)
+    // maintained INTO the versioned table. The streaming aggregate
+    // runs in UPDATE mode (each micro-batch emits the full new value
+    // of every changed group); foreachBatch lands batch 0 as the
+    // initial commit and every later batch as a MERGE of 'U' rows —
+    // an unmatched U inserts (upsert), a matched U overwrites with
+    // the group's new total, so the table converges to the exact
+    // aggregate regardless of how the stream was batched. The gated
+    // value is the FINAL SNAPSHOT against the plain batch aggregate:
+    // batch boundaries and the upsert path must be invisible.
+    sql("snapshot_stream_gold",
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM orders GROUP BY o_custkey""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ss = s.newSession()
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_gold").toString
+        val goldPayload = Seq("n_orders", "total_e2")
+        import ss.implicits._
+        val enc = org.apache.spark.sql.Encoders.product[(Long, Long, Double)]
+        val rows = graft.streaming.IncrementalQueries.boundedReplayCollect(
+          "snapshot_stream_gold",
+          Tables.orders(ss, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).as[(Long, Long, Double)](enc))
+          .sortBy(_._1)
+        val ms = MemoryStream[(Long, Long, Double)]
+        val agg = ms.toDS().toDF("o_orderkey", "o_custkey", "o_totalprice")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("total_e2"))
+        val query = agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (batchId == 0L) commitInitial(batch, root, "o_custkey")
+            else commitMerge(ss, root, batchId.toInt, "o_custkey", goldPayload,
+              batch.withColumn("op", lit("U"))
+                .select(("o_custkey" +: "op" +: goldPayload).map(col): _*))
+          }
+          .start()
+        try {
+          val (first, second) = rows.splitAt(rows.length / 2)
+          ms.addData(first)
+          query.processAllAvailable()
+          ms.addData(second)
+          query.processAllAvailable()
+        } finally query.stop()
+        readVersion(ss, root, 1)
+          .select(col("o_custkey"), col("n_orders"), col("total_e2"))
+    },
+
     // COMPACTION (OPTIMIZE) — rewrite a version's live file set into a
     // fresh directory with ONE file per bucket, committed as a new
     // manifest version whose CONTENT is bit-identical to the input
