@@ -132,6 +132,106 @@ object TopKPairsAgg {
   }
 }
 
+/** Re-aggregates [[TopKPairsAgg]] arrays — top-k AS DATA, the rollup
+  * side of partial-aggregation-as-data (the [[graft.functions.KmvMergeSketchAgg]]
+  * pattern applied to rankings): persist per-day top-k arrays, merge
+  * them later into the month's top-k WITHOUT re-reading raw rows.
+  * EXACT at every level by the same bounded-merge identity — top-k of
+  * a union of top-k sets is the union's top-k — so a rollup tree of
+  * any shape yields the same ranking as a direct pass. */
+case class TopKMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]] {
+
+  require(k >= 1, s"topk_merge: k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fields.length == 2 && st.fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"topk_merge expects ARRAY<STRUCT<BIGINT, BIGINT>> (from topk_pairs), got ${other.sql}")
+  }
+
+  private def ord = TopKPairsAgg.PairOrd
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
+    new java.util.TreeSet[(Long, Long)](ord)
+
+  private def add(buf: java.util.TreeSet[(Long, Long)], p: (Long, Long)): Unit = {
+    if (buf.size() < k) { buf.add(p); () }
+    else if (ord.compare(p, buf.last()) < 0) {
+      if (buf.add(p)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[(Long, Long)], input: InternalRow)
+      : java.util.TreeSet[(Long, Long)] = {
+    val a = child.eval(input)
+    if (a != null) {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getStruct(i, 2)
+        add(buf, (s.getLong(0), s.getLong(1)))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[(Long, Long)],
+                     b: java.util.TreeSet[(Long, Long)])
+      : java.util.TreeSet[(Long, Long)] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
+    val arr = new Array[Any](buf.size())
+    val it = buf.iterator(); var i = 0
+    while (it.hasNext) {
+      val p = it.next()
+      arr(i) = InternalRow(p._1, p._2); i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) { val p = it.next(); bb.putLong(p._1); bb.putLong(p._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = createAggregationBuffer()
+    var i = 0
+    while (i < n) { out.add((bb.getLong, bb.getLong)); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKMergeAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "topk_merge"
+}
+
 object TopKAgg {
   import org.apache.spark.sql.GraftBridge
 
@@ -141,5 +241,12 @@ object TopKAgg {
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     GraftBridge.toColumn(AggregateExpression(
       TopKPairsAgg(GraftBridge.toExpression(score), GraftBridge.toExpression(id), k),
+      Complete, isDistinct = false))
+
+  /** Column API: `topk_merge(topArray, k)` — rollup of stored
+    * [[topk_pairs]] arrays (daily partials → monthly ranking). */
+  def topk_merge(c: Column, k: Int): Column =
+    GraftBridge.toColumn(AggregateExpression(
+      TopKMergeAgg(GraftBridge.toExpression(c), k),
       Complete, isDistinct = false))
 }

@@ -476,6 +476,42 @@ object TimeSeries {
               .as("approx_intersection"))
     },
 
+    // TOP-K ROLLUP TREE — rankings as DATA, the top-k twin of the KMV
+    // and quantile-sketch rollups: per-(type, day) top-3 purchase
+    // events persist as bounded arrays (topk_pairs), and the month's
+    // per-type top-3 derives by MERGING the daily arrays (topk_merge)
+    // — never re-reading raw events. EXACT at every level (top-k of a
+    // union of top-k sets IS the union's top-k), so the gated oracle
+    // is the direct whole-table window ranking: any divergence in the
+    // rollup path fails the hash. At 100 TB this is the leaderboard
+    // shape — daily partials land in the lakehouse, rollups are
+    // array-merges over k·days rows per group.
+    sql("events_topk_daily_rollup",
+      """SELECT event_type, CAST(rn AS INT) AS rank, v_e2, event_id
+        |FROM (
+        | SELECT event_type,
+        |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_e2, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC, event_id) AS rn
+        | FROM events WHERE event_type IN ('purchase', 'click')) t
+        |WHERE rn <= 3""".stripMargin) {
+      (s, d) =>
+        import graft.functions.TopKAgg.{topk_pairs, topk_merge}
+        val daily = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("v_e2"),
+            col("event_id"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(topk_pairs(col("v_e2"), col("event_id"), 3).as("day_top"))
+        daily
+          .groupBy(col("event_type"))
+          .agg(topk_merge(col("day_top"), 3).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.score").as("v_e2"), col("col.id").as("event_id"))
+    },
+
     // GAPS-AND-ISLANDS — maximal runs of the same event type per user
     // (the sequence-analytics staple: "3+ consecutive errors", login
     // streaks, repeated-failure detection). The classic two-step:

@@ -411,6 +411,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one == want)
   }
 
+  test("topk_merge: any rollup shape equals the direct top-k (bounded-merge identity)") {
+    import graft.functions.TopKAgg.{topk_pairs, topk_merge}
+    import spark.implicits._
+    val rows = (0L until 800L).map(i => (s"g${i % 5}", s"part${i % 13}", (i * 41) % 83, i))
+      .toDF("g", "sub", "s", "id")
+    // direct: top-4 per g in one aggregate
+    val direct = rows.groupBy("g").agg(topk_pairs(col("s"), col("id"), 4).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .collect().map(_.toString).sorted.toSeq
+    // rolled: per-(g, sub) partials, then merged — 13 partials per group
+    val rolled = rows.groupBy("g", "sub")
+      .agg(topk_pairs(col("s"), col("id"), 4).as("p"))
+      .groupBy("g").agg(topk_merge(col("p"), 4).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(direct == rolled && direct.nonEmpty)
+  }
+
   test("text fingerprint md5 equals JVM md5 of normalized text") {
     val row = Tables.documents(spark, sfTiny).limit(1)
       .select(col("text"),
