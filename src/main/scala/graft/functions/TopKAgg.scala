@@ -180,8 +180,14 @@ case class TopKMergeAgg(
       val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       var i = 0
       while (i < arr.numElements()) {
-        val s = arr.getStruct(i, 2)
-        add(buf, (s.getLong(0), s.getLong(1)))
+        // arrays round-tripped through parquet/tables come back with
+        // nullable elements and fields — skip NULLs (the same "ignored"
+        // contract as topk_pairs) instead of NPEing or ranking a 0
+        if (!arr.isNullAt(i)) {
+          val s = arr.getStruct(i, 2)
+          if (!s.isNullAt(0) && !s.isNullAt(1))
+            add(buf, (s.getLong(0), s.getLong(1)))
+        }
         i += 1
       }
     }

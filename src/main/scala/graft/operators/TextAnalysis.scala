@@ -326,9 +326,13 @@ object TextAnalysis {
           .groupBy("r", "b").agg(sum(col("n")).as("n"))
         require(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
           "CMS merge identity violated: summed half-sketches != whole sketch")
+        // NO unpersist here: the returned frame is LAZY — the gated
+        // evaluation happens after this closure returns, and dropping
+        // the cache now would force two fresh corpus scans per run
+        // (fixture-scale persist leak accepted, like the other cached
+        // fixture frames)
         val cand = words.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
           .orderBy(col("exact_n").desc, col("w")).limit(20)
-        words.unpersist(blocking = false)
         cand
           .select(col("w"), col("exact_n"),
             explode(array((0 until 4).map(i =>
