@@ -346,6 +346,31 @@ object GraphOps {
         bfsHops(edges, seeds, iters = 3)
     },
 
+    // DEGREE DISTRIBUTION — the first diagnostic run on any graph
+    // (skew detection: a heavy-tailed degree histogram is the signal
+    // to switch the triangle/wedge enumerations to degree-based
+    // orientation and the joins to salting). Two hash aggregates:
+    // degree per node, then nodes per degree — both map-side combined,
+    // output size bounded by the distinct-degree count.
+    sql("graph_degree_histogram",
+      """WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        | FROM orders, lineitem WHERE l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+        |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin) {
+      (s, d) =>
+        val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    },
+
     // WEIGHTED shortest paths over the same bipartite trade graph:
     // edge cost = the CHEAPEST line (e2 integer price) ever shipped
     // across that customer–supplier link, so the answer reads as "the
