@@ -429,15 +429,23 @@ object SimilaritySearch {
     // the division ONE correctly-rounded IEEE op on identical
     // operands, so the int8 codes are bit-identical cross-engine and
     // the whole codebook sits behind the hash gate. Zero vectors
-    // guard amax at 1 (codes all 0). One scan, no shuffle, no joins.
+    // guard amax at 1 (codes all 0). One scan, no shuffle, no joins —
+    // the posexplode to (vec_id, amax, pos, code) rows exists ONLY to
+    // make every individual code a scalar cell the hash gate can
+    // compare (the r8 array-valued shape crashed the harness sort);
+    // the stored artifact at scale stays the packed array.
     sql("embedding_quantize_int8",
       s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
          |a AS (SELECT vec_id, v,
          |  GREATEST(list_max(list_transform(v, x -> ABS(x))), 1.0) AS amax
-         | FROM e)
+         | FROM e),
+         |q AS (SELECT vec_id, amax,
+         |  list_transform(v, x -> CAST(FLOOR(x * 127 / amax + 0.5) AS INTEGER)) AS q8
+         | FROM a)
          |SELECT vec_id, amax,
-         | list_transform(v, x -> CAST(FLOOR(x * 127 / amax + 0.5) AS INTEGER)) AS q8
-         |FROM a""".stripMargin) {
+         | CAST(unnest(generate_series(1, len(q8))) - 1 AS INTEGER) AS pos,
+         | unnest(q8) AS code
+         |FROM q""".stripMargin) {
       (s, d) =>
         Tables.embeddings(s, d)
           .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
@@ -446,5 +454,7 @@ object SimilaritySearch {
           .select(col("vec_id"), col("amax"),
             transform(col("v"),
               x => floor(x * 127 / col("amax") + 0.5).cast("int")).as("q8"))
+          .select(col("vec_id"), col("amax"),
+            posexplode(col("q8")).as(Seq("pos", "code")))
     })
 }

@@ -137,12 +137,17 @@ class SimilaritySpec extends AnyFunSuite {
     val rows = SparkEntry.queries("embedding_quantize_int8")(s, SparkTestSession.sfTiny)
       .collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val amax = r.getDouble(1)
-      val q8 = r.getSeq[Int](2)
-      assert(q8.forall(v => v >= -127 && v <= 127), r.toString)
+    // exploded (vec_id, amax, pos, code) rows — regroup per vector
+    val byVec = rows.groupBy(_.getLong(0))
+    byVec.foreach { case (_, vr) =>
+      val amax = vr.head.getDouble(1)
+      // positions are a dense 0..d-1 ordinal (the explode kept order)
+      assert(vr.map(_.getInt(2)).sorted.toSeq == (0 until vr.length),
+        vr.take(3).toSeq.toString)
+      val q8 = vr.map(_.getInt(3)).toSeq
+      assert(q8.forall(v => v >= -127 && v <= 127), vr.head.toString)
       // the max-|value| dimension must map to ±127 (symmetric scaling)
-      assert(amax == 1.0 || q8.exists(v => math.abs(v) == 127), r.toString)
+      assert(amax == 1.0 || q8.exists(v => math.abs(v) == 127), vr.head.toString)
       // reconstruction q8*amax/127 is within half a quantization step
       // of the e7 grid value — implied by the rounding; spot-check via
       // the max code's bound: |q| <= amax by definition
