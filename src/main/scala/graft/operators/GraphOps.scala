@@ -162,28 +162,54 @@ object GraphOps {
     dist.filter(col("d") < WInf).select(col("node"), col("d").as("cost"))
   }
 
+  /** Re-orient CANONICAL undirected edges (u < v, distinct) so every
+    * edge points from the lower to the higher endpoint under the
+    * (degree, id) total order — the standard skew armor for wedge
+    * enumeration: under degree orientation every node's OUT-degree is
+    * O(√m) (a node with out-degree d has d neighbors of degree ≥ its
+    * own, so d² ≤ 2m), which bounds the per-key wedge list that id
+    * orientation lets a lexically-small hub blow up to its full
+    * degree. Two hash joins against the degree frame (computed from
+    * the same edge set); output `(src, dst)` with src ≺ dst. */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+  }
+
   /** Per-node triangle participation counts over an undirected graph
     * given as CANONICAL edges (u < v, distinct). The classic
-    * two-join enumeration: wedges = e1(a,b) ⋈ e2(b,c) (so a<b<c by
-    * construction — each triangle materializes exactly once), closed
-    * by an equi-join back onto the edge set on the composite (a,c).
+    * two-join enumeration over [[orientByDegree]]-directed edges:
+    * every triangle {x ≺ y ≺ z} under the (degree, id) order carries
+    * directed edges x→y, y→z, x→z, so wedges = e1(a,b) ⋈ e2(b,c)
+    * materialize each triangle exactly once and the closing probe is
+    * an equi-join back onto the directed set on the composite (a,c).
     * All joins are hash equi-joins on node ids; counts are exact
-    * integers. At 100 TB scale the standard refinement is degree-based
-    * orientation (order nodes by degree, not id) to bound
-    * wedges-per-node by O(√m) on skewed graphs — same plan shape, one
-    * extra degree join; id orientation is kept here because the
-    * co-occurrence graphs this surface feeds are degree-bounded by the
-    * order key itself (≤ 7 parts per order).
+    * integers and — because participation counts are
+    * orientation-invariant — identical to what id orientation
+    * produced, while the heaviest per-key wedge list is bounded by
+    * O(√m)² pairings instead of a hub's full degree².
     *
-    * `edges` is consumed THREE times (both wedge legs + the closing
-    * probe) — callers must materialize it (persist/localCheckpoint)
-    * or the whole derivation re-executes per use; the registered
-    * entry does.
+    * `edges` is consumed FOUR times (degree frame + both wedge legs +
+    * the closing probe) — callers must materialize it
+    * (persist/localCheckpoint) or the whole derivation re-executes
+    * per use; the registered entry does.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
-    val e2 = edges.select(col("u").as("b2"), col("v").as("c"))
-    val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))
+    // materialized: the oriented set feeds both wedge legs + the
+    // closing probe, and its two degree joins must not run per leg
+    val d = orientByDegree(edges).localCheckpoint(eager = true)
+    val e1 = d.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = d.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = d.select(col("src").as("a3"), col("dst").as("c3"))
     val tri = e1
       .join(e2, col("b") === col("b2"))
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))

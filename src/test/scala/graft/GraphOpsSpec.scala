@@ -50,6 +50,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.sum / 3 == 4)
   }
 
+  test("degree orientation tames a lexically-small hub; counts stay orientation-invariant") {
+    // hub 0 (degree 20) + leaves 1..20; leaf edges (1,2) and (3,4)
+    // close two triangles through the hub. Under id orientation the
+    // hub would own all 20 directed edges (the skew trap this
+    // guards); under (degree, id) orientation every hub edge points
+    // INTO the hub and the max out-list is 2.
+    val star = (1 to 20).map(i => (0L, i.toLong))
+    val edges = (star ++ Seq((1L, 2L), (3L, 4L))).toDF("u", "v")
+    val out = GraphOps.orientByDegree(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 22)
+    val outDeg = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(!outDeg.contains(0L), s"hub kept directed edges: $outDeg")
+    assert(outDeg.values.max <= 2, outDeg)
+    // orientation must not change what a triangle is
+    val got = GraphOps.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), got)
+  }
+
   test("persisted pagerank is bit-identical to the lazy loop and keeps plan depth flat") {
     val star = Seq("c" -> "l1", "c" -> "l2", "c" -> "l3")
     val edges = (star ++ star.map(_.swap)).toDF("src", "dst")
