@@ -36,25 +36,83 @@ object SnapshotLog {
 
   private def manifestPath(root: String, v: Int) = s"$root/_manifest_v$v.json"
 
-  private def writeManifest(root: String, v: Int, m: Map[Int, String]): Unit = {
-    val json = m.toSeq.sortBy(_._1)
-      .map { case (b, dir) => s""""$b": "$dir"""" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(manifestPath(root, v)), json)
+  /** Real JSON both ways (Jackson rides in with Spark): any path —
+    * commas, colons, quotes — round-trips, where the r8 hand-rolled
+    * split-on-`,`-then-`:` silently corrupted such roots. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def manifestJson(m: Map[Int, String]): String = {
+    val node = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (b, dir) => node.put(b.toString, dir) }
+    node.toString
   }
+
+  /** OPTIMISTIC-CAS manifest publish: the JSON is staged to a temp
+    * file in the table root and published via hard-link creation —
+    * on POSIX an atomic fail-if-exists, so of any number of writers
+    * racing version `v` exactly ONE wins. Returns whether this call
+    * won. (On an object store the same role is played by
+    * put-if-absent / a conditional write — the manifest is the only
+    * thing that needs it; data files are write-once by construction.) */
+  private[sources] def tryCommitManifest(root: String, v: Int, m: Map[Int, String]): Boolean = {
+    val target = java.nio.file.Paths.get(manifestPath(root, v))
+    val tmp = java.nio.file.Files.createTempFile(target.getParent, s"_mtmp_v$v", ".json")
+    java.nio.file.Files.writeString(tmp, manifestJson(m))
+    try { java.nio.file.Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
+  /** Data directories are written ONCE, to a per-attempt unique name
+    * (`v<v>-<token>`): a writer that goes on to LOSE the manifest CAS
+    * can never have clobbered the winner's files (the hazard a
+    * deterministic `v<v>` name has — two writers racing the same
+    * version overwrite each other's parquet before either publishes).
+    * The manifest is the sole naming authority; nothing resolves a
+    * version by directory name. */
+  private def newAttemptDir(root: String, prefix: String): String =
+    s"$root/$prefix-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Publish `m` (which references this attempt's `dir`) as version
+    * `v`, or handle the CAS loss: the loser's orphan directory is
+    * always removed, and then — EXCEPT the exactly-once retry — the
+    * commit dies loudly. A replayed commit (foreachBatch re-runs a
+    * batch after restart; the version id plays Delta's txn
+    * appId+version role) is recognized structurally: substituting the
+    * winner's attempt dir for ours must make the manifests IDENTICAL
+    * (same touched buckets over the same base). Anything else is a
+    * genuine concurrent writer and must abort so the caller re-reads
+    * and retries at `v+1`. */
+  private def publishAttempt(root: String, v: Int, m: Map[Int, String], dir: String): Unit =
+    if (!tryCommitManifest(root, v, m)) {
+      rmTree(new java.io.File(dir))
+      val winner = readManifest(root, v)
+      val winnerDirs = m.collect { case (b, d) if d == dir => winner.get(b) }.toSet
+      val sameLogicalCommit =
+        winnerDirs.size == 1 && winnerDirs.head.isDefined &&
+          m.map { case (b, d) => b -> (if (d == dir) winnerDirs.head.get else d) } == winner
+      if (!sameLogicalCommit)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot version $v at $root was committed concurrently with different content")
+    }
 
   private def readManifest(root: String, v: Int): Map[Int, String] = {
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(manifestPath(root, v)))
-    txt.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
-      val Array(k, dir) = kv.split(":").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      k.toInt -> dir
-    }.toMap
+    import scala.jdk.CollectionConverters._
+    mapper.readTree(txt).properties().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asText).toMap
   }
 
   /** Commit version 0: the full table, bucketed on `key`. */
   def commitInitial(df: DataFrame, root: String, key: String): Unit = {
+    val dir = newAttemptDir(root, "v0")
     df.withColumn("b", pmod(col(key), lit(Buckets)))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$root/v0")
-    writeManifest(root, 0, (0 until Buckets).map(_ -> s"$root/v0").toMap)
+      .write.mode("overwrite").partitionBy("b").parquet(dir)
+    publishAttempt(root, 0, (0 until Buckets).map(_ -> dir).toMap, dir)
   }
 
   /** Commit version `v`: apply a keyed MERGE change set (op U/D/I with
@@ -75,9 +133,9 @@ object SnapshotLog {
     val merged = graft.operators.MergeOps.mergeUpsert(
         current, changes.withColumn("b", pmod(col(key), lit(Buckets))),
         key, payloadCols :+ "b")
-    merged.write.mode("overwrite").partitionBy("b").parquet(s"$root/v$v")
-    writeManifest(root, v,
-      prev ++ touched.map(_ -> s"$root/v$v"))
+    val dir = newAttemptDir(root, s"v$v")
+    merged.write.mode("overwrite").partitionBy("b").parquet(dir)
+    publishAttempt(root, v, prev ++ touched.map(_ -> dir), dir)
   }
 
   /** Resolve version `v` to its file set and read it — one parquet
@@ -115,6 +173,42 @@ object SnapshotLog {
         payloadCols.map(c => col(s"after.$c").as(c)): _*)
   }
 
+  /** VACUUM (retention): delete every data directory under `root`
+    * that no manifest of version ≥ `retainFrom` references, plus the
+    * manifests below the horizon. Copy-on-write makes this the ONLY
+    * deletion in the whole scheme — and it is safe by construction:
+    * retained manifests and every directory they point at are
+    * untouched, so reads of versions ≥ `retainFrom` are bit-identical
+    * before and after, while older versions become unreadable (their
+    * manifests are gone). Returns the deleted directory names.
+    *
+    * At 100 TB this is the storage-reclamation half of the lakehouse
+    * contract (Delta VACUUM / Iceberg expire_snapshots): without it a
+    * busy table accretes a directory per commit forever. Time-based
+    * retention is this same function with `retainFrom` resolved from
+    * commit timestamps. */
+  def vacuum(root: String, retainFrom: Int): Seq[String] = {
+    val dir = new java.io.File(root)
+    def ls = Option(dir.listFiles()).toSeq.flatten
+    val versions = ls.map(_.getName)
+      .filter(n => n.startsWith("_manifest_v") && n.endsWith(".json"))
+      .map(_.stripPrefix("_manifest_v").stripSuffix(".json").toInt)
+    val (expired, kept) = versions.partition(_ < retainFrom)
+    require(kept.nonEmpty, s"vacuum($retainFrom) would delete every manifest at $root")
+    val referenced = kept.flatMap(v => readManifest(root, v).values).toSet
+      .map((p: String) => new java.io.File(p).getCanonicalPath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val doomed = ls.filter(_.isDirectory)
+      .filterNot(d => referenced.contains(d.getCanonicalPath))
+    doomed.foreach(rm)
+    expired.foreach { v =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(manifestPath(root, v))); ()
+    }
+    doomed.map(_.getName).sorted
+  }
+
   /** One committed two-version table per (fixture dir) per JVM. */
   private val roots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   sys.addShutdownHook {
@@ -128,6 +222,40 @@ object SnapshotLog {
 
   private val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
 
+  /** The canonical three-residue change set over `orders` (mod 160 —
+    * and 160 ≡ 0 mod 16, so each residue pins one bucket), split in
+    * two halves so streaming entries can feed them as separate
+    * micro-batches: first the U price bumps … */
+  private def updateBatch(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 160 === 1)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+        col("o_orderstatus"), (col("o_totalprice") + lit(1000)).as("o_totalprice"))
+
+  /** … then the D drops + shifted I inserts. */
+  private def deleteInsertBatch(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 160 === 0)
+      .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .unionAll(orders.filter(col("o_orderkey") % 160 === 2)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          lit("I").as("op"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice")))
+
+  /** The "whole change set applied" final state — ONE oracle text
+    * shared by every entry whose gated value must equal it (stream
+    * ingest, compact, vacuum, ingest-compact-ingest): however the
+    * table got there, the snapshot must read the same. */
+  private val appliedChangesSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      | CAST(CAST(CASE WHEN o_orderkey % 160 = 1
+      |      THEN o_totalprice + 1000 ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE)
+      |  AS o_totalprice
+      |FROM orders WHERE o_orderkey % 160 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      |FROM orders WHERE o_orderkey % 160 = 2""".stripMargin
+
   /** v0 = orders snapshot; v1 = a change set pinned to three buckets
     * (residues mod 160 — and 160 ≡ 0 mod 16, so ≡0 lands in bucket 0,
     * ≡1 in bucket 1, the +10M-shifted inserts of ≡2 in bucket 2):
@@ -139,18 +267,8 @@ object SnapshotLog {
       val root = java.nio.file.Files.createTempDirectory("graft_snap_orders").toString
       val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
       commitInitial(orders, root, "o_orderkey")
-      val changes =
-        orders.filter(col("o_orderkey") % 160 === 0)
-          .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"))
-        .unionAll(orders.filter(col("o_orderkey") % 160 === 1)
-          .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
-            col("o_orderstatus"), (col("o_totalprice") + lit(1000)).as("o_totalprice")))
-        .unionAll(orders.filter(col("o_orderkey") % 160 === 2)
-          .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
-            lit("I").as("op"), col("o_custkey"), col("o_orderstatus"),
-            col("o_totalprice")))
-      commitMerge(s, root, 1, "o_orderkey", payload, changes)
+      commitMerge(s, root, 1, "o_orderkey", payload,
+        updateBatch(orders).unionAll(deleteInsertBatch(orders)))
       root
     })
 
@@ -171,7 +289,8 @@ object SnapshotLog {
       (s, d) =>
         val root = ordersTableRoot(s, d)
         val m1 = readManifest(root, 1)
-        val reused = m1.values.count(_.endsWith("/v0"))
+        val v0Dir = readManifest(root, 0).values.head
+        val reused = m1.values.count(_ == v0Dir)
         require(reused == Buckets - 3,
           s"v1 must reuse ${Buckets - 3} untouched v0 buckets, reuses $reused")
         readVersion(s, root, 0)
@@ -187,16 +306,7 @@ object SnapshotLog {
     // (updates, then deletes+inserts); the gated value is the final
     // snapshot, which must equal applying the whole change set at
     // once — batch boundaries cannot leak into table state.
-    sql("snapshot_stream_ingest",
-      """SELECT o_orderkey, o_custkey, o_orderstatus,
-        | CAST(CAST(CASE WHEN o_orderkey % 160 = 1
-        |      THEN o_totalprice + 1000 ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE)
-        |  AS o_totalprice
-        |FROM orders WHERE o_orderkey % 160 <> 0
-        |UNION ALL
-        |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
-        |FROM orders WHERE o_orderkey % 160 = 2""".stripMargin) {
+    sql("snapshot_stream_ingest", appliedChangesSql) {
       (s, d) =>
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         val ss = s.newSession()
@@ -204,16 +314,8 @@ object SnapshotLog {
         val root = java.nio.file.Files.createTempDirectory("graft_snap_stream").toString
         val orders = Tables.orders(ss, d).select(("o_orderkey" +: payload).map(col): _*)
         commitInitial(orders, root, "o_orderkey")
-        val batch1 = orders.filter(col("o_orderkey") % 160 === 1)
-          .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
-            col("o_orderstatus"), (col("o_totalprice") + lit(1000)).as("o_totalprice"))
-        val batch2 = orders.filter(col("o_orderkey") % 160 === 0)
-          .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"))
-          .unionAll(orders.filter(col("o_orderkey") % 160 === 2)
-            .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
-              lit("I").as("op"), col("o_custkey"), col("o_orderstatus"),
-              col("o_totalprice")))
+        val batch1 = updateBatch(orders)
+        val batch2 = deleteInsertBatch(orders)
         import ss.implicits._
         val enc = org.apache.spark.sql.Encoders
           .product[(Long, String, Long, String, Double)]
@@ -330,16 +432,7 @@ object SnapshotLog {
     // exactly one task, so each bucket writes exactly one file; the fn
     // self-asserts the file count shrank to Buckets and that the
     // manifest resolves every bucket to the compact dir.
-    sql("snapshot_compact",
-      """SELECT o_orderkey, o_custkey, o_orderstatus,
-        | CAST(CAST(CASE WHEN o_orderkey % 160 = 1
-        |      THEN o_totalprice + 1000 ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE)
-        |  AS o_totalprice
-        |FROM orders WHERE o_orderkey % 160 <> 0
-        |UNION ALL
-        |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
-        |FROM orders WHERE o_orderkey % 160 = 2""".stripMargin) {
+    sql("snapshot_compact", appliedChangesSql) {
       (s, d) =>
         val root = ordersTableRoot(s, d)
         def parquetFiles(dirs: Set[String]): Int = dirs.toSeq.map { dir =>
@@ -351,12 +444,90 @@ object SnapshotLog {
         val before = parquetFiles(readManifest(root, 1).values.toSet)
         compactVersion(s, root, v = 1, newV = 2)
         val m2 = readManifest(root, 2)
-        require(m2.values.forall(_.endsWith("/compact_v1")),
-          s"every bucket must resolve to the compact dir: $m2")
+        require(m2.values.toSet.size == 1 && m2.values.head.contains("compact_v1"),
+          s"every bucket must resolve to the one compact dir: $m2")
         val after = parquetFiles(m2.values.toSet)
         require(after == Buckets && after <= before,
           s"compaction must leave one file per bucket ($Buckets), got $after (before: $before)")
         readVersion(s, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // VACUUM (retention) — the deletion half of the lakehouse story,
+    // end to end on a private table: v0 initial, v1 merge, v2 compact
+    // (after which v0/v1's directories are unreferenced by the latest
+    // manifest), then vacuum with the horizon at v2. The gated value
+    // is the POST-vacuum read of v2, against the same applied-changes
+    // oracle as compaction — retention must be invisible to retained
+    // versions. The fn self-asserts the destructive half: the old
+    // data dirs are actually gone from disk, expired manifests
+    // deleted, and time travel below the horizon now FAILS (the one
+    // thing vacuum is allowed to break).
+    sql("snapshot_vacuum", appliedChangesSql) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_vac").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        commitMerge(s, root, 1, "o_orderkey", payload,
+          updateBatch(orders).unionAll(deleteInsertBatch(orders)))
+        compactVersion(s, root, v = 1, newV = 2)
+        val deleted = vacuum(root, retainFrom = 2)
+        require(deleted.map(_.takeWhile(_ != '-')).sorted == Seq("v0", "v1"),
+          s"vacuum must reclaim exactly the unreferenced version dirs, got $deleted")
+        require(!new java.io.File(manifestPath(root, 0)).exists(), "expired manifest survived")
+        val timeTravelBelowHorizon = scala.util.Try(readVersion(s, root, 0)).isSuccess
+        require(!timeTravelBelowHorizon, "reading below the retention horizon must fail")
+        readVersion(s, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // INGEST → COMPACT → INGEST under ONE running stream: maintenance
+    // interleaved with live commits is the real lakehouse steady
+    // state, and the manifest chain must survive it — batch 0 lands
+    // as v1, compaction (a separate "writer") takes v2 while the
+    // stream is still up, batch 1 lands as v3 ON TOP of the compacted
+    // manifest (its untouched buckets must resolve into compact_v1,
+    // exercised by the fn's self-assert). The gated value is the
+    // final snapshot vs the same applied-changes oracle: batch
+    // boundaries AND interleaved maintenance must both be invisible.
+    sql("snapshot_ingest_compact_ingest", appliedChangesSql) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ss = s.newSession()
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_ici").toString
+        val orders = Tables.orders(ss, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        import ss.implicits._
+        val enc = org.apache.spark.sql.Encoders
+          .product[(Long, String, Long, String, Double)]
+        val ms = MemoryStream[(Long, String, Long, String, Double)]
+        val query = ms.toDS()
+          .toDF("o_orderkey", "op", "o_custkey", "o_orderstatus", "o_totalprice")
+          .writeStream
+          .foreachBatch { (changes: DataFrame, batchId: Long) =>
+            // version schedule leaves v2 to the compactor: 0→v1, 1→v3
+            commitMerge(ss, root, batchId.toInt * 2 + 1, "o_orderkey", payload, changes)
+          }
+          .start()
+        try {
+          import graft.streaming.IncrementalQueries.boundedReplayCollect
+          ms.addData(boundedReplayCollect("snapshot_ingest_compact_ingest",
+            updateBatch(orders).as[(Long, String, Long, String, Double)](enc)))
+          query.processAllAvailable()
+          compactVersion(ss, root, v = 1, newV = 2)
+          ms.addData(boundedReplayCollect("snapshot_ingest_compact_ingest",
+            deleteInsertBatch(orders).as[(Long, String, Long, String, Double)](enc)))
+          query.processAllAvailable()
+        } finally query.stop()
+        val m3 = readManifest(root, 3)
+        require(m3.values.exists(_.contains("compact_v1")),
+          s"post-compaction commit must chain onto the compacted manifest: $m3")
+        require(m3.values.exists(_.contains("/v3-")),
+          s"second ingest batch must have produced v3 buckets: $m3")
+        readVersion(ss, root, 3)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
     })
@@ -367,9 +538,10 @@ object SnapshotLog {
     * version directories are untouched, so time travel to any older
     * version still works after compaction. */
   def compactVersion(spark: SparkSession, root: String, v: Int, newV: Int): Unit = {
+    val dir = newAttemptDir(root, s"compact_v$v")
     readVersion(spark, root, v)
       .repartition(Buckets, col("b"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$root/compact_v$v")
-    writeManifest(root, newV, (0 until Buckets).map(_ -> s"$root/compact_v$v").toMap)
+      .write.mode("overwrite").partitionBy("b").parquet(dir)
+    publishAttempt(root, newV, (0 until Buckets).map(_ -> dir).toMap, dir)
   }
 }

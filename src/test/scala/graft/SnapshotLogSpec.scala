@@ -21,8 +21,12 @@ class SnapshotLogSpec extends AnyFunSuite {
       orders.count() -
         orders.filter(col("o_orderkey") % 160 === 0).count() +
         orders.filter(col("o_orderkey") % 160 === 2).count())
-    // physical copy-on-write: the v1 dir holds ONLY the touched buckets
-    val v1Buckets = new java.io.File(s"$root/v1").listFiles()
+    // physical copy-on-write: the v1 attempt dir holds ONLY the
+    // touched buckets (resolved by name prefix — one attempt ran)
+    val v1Dirs = new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v1-"))
+    assert(v1Dirs.length == 1, v1Dirs.map(_.getName).toSeq)
+    val v1Buckets = v1Dirs.head.listFiles()
       .filter(_.getName.startsWith("b=")).map(_.getName).toSet
     assert(v1Buckets == Set("b=0", "b=1", "b=2"), v1Buckets)
   }
@@ -74,7 +78,9 @@ class SnapshotLogSpec extends AnyFunSuite {
     // content identical
     assert(v2.exceptAll(v1).isEmpty && v1.exceptAll(v2).isEmpty && v2.count() == 65)
     // one file per bucket in the compact dir
-    val files = new java.io.File(s"$dir/compact_v1").listFiles()
+    val compactDir = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("compact_v1-")).head
+    val files = compactDir.listFiles()
       .filter(_.isDirectory)
       .map(b => b.listFiles().count(_.getName.endsWith(".parquet")))
     assert(files.length == SnapshotLog.Buckets && files.forall(_ == 1))
@@ -82,5 +88,57 @@ class SnapshotLogSpec extends AnyFunSuite {
     val v0 = SnapshotLog.readVersion(spark, dir, 0).drop("b")
     assert(v0.count() == 64 &&
       v0.filter(col("payload") === "updated5").isEmpty)
+  }
+
+  test("a concurrent writer racing the same version with different content loses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_race").toString
+    val t = (0L until 32L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, dir, "k")
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"),
+      Seq((5L, "U", "writerA")).toDF("k", "op", "payload"))
+    // writer B lost the race for v1: its touched set differs, so the
+    // CAS must surface the conflict instead of silently clobbering
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"),
+        Seq((7L, "U", "writerB")).toDF("k", "op", "payload"))
+    }
+    assert(ex.getMessage.contains("version 1"))
+    // the winner's commit is intact
+    val v1 = SnapshotLog.readVersion(spark, dir, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v1.contains((5L, "writerA")) && !v1.contains((7L, "writerB")))
+  }
+
+  test("manifests round-trip table roots containing JSON-hostile characters") {
+    // the r8 hand-rolled parse split on ',' then ':' — this root
+    // contains both, plus a quote
+    val weird = java.nio.file.Files.createTempDirectory("graft,snap:v\"1").toString
+    val t = (0L until 32L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, weird, "k")
+    SnapshotLog.commitMerge(spark, weird, 1, "k", Seq("payload"),
+      Seq((5L, "U", "updated5")).toDF("k", "op", "payload"))
+    val v1 = SnapshotLog.readVersion(spark, weird, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v1.contains((5L, "updated5")) && v1.size == 32)
+  }
+
+  test("vacuum reclaims unreferenced dirs, keeps retained reads identical, breaks older reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_vacspec").toString
+    val t = (0L until 64L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, dir, "k")
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"),
+      Seq((5L, "U", "updated5")).toDF("k", "op", "payload"))
+    SnapshotLog.compactVersion(spark, dir, 1, 2)
+    val before = SnapshotLog.readVersion(spark, dir, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val deleted = SnapshotLog.vacuum(dir, retainFrom = 2)
+    assert(deleted.map(_.takeWhile(_ != '-')).sorted == Seq("v0", "v1"), deleted)
+    val after = SnapshotLog.readVersion(spark, dir, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("v0-")))
+    intercept[Exception] { SnapshotLog.readVersion(spark, dir, 0).collect() }
+    // vacuuming everything is refused
+    intercept[IllegalArgumentException] { SnapshotLog.vacuum(dir, retainFrom = 99) }
   }
 }
