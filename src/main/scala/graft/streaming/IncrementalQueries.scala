@@ -808,6 +808,54 @@ object IncrementalQueries {
     runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterSql), dir,
       q10FullOuterDeletes, "incremental_sql_q10_fullouter_stream_leaf")
 
+  /** FULL OUTER **with a WHERE on the preserved (orders) side** — the
+    * r8 fence lifted: SQL's WHERE runs after the join, so the date
+    * predicate NULL-rejects every orphan (right-preserved) row, and
+    * the compiler now PLANS that instead of rejecting it — the orphan
+    * plan is dropped (exactly SQL's answer), the predicate becomes an
+    * ordinary orders scan filter, and NULL-extension maintenance
+    * (orders that lost every lineitem) continues. The oracle is the
+    * literal FULL JOIN + WHERE, so DuckDB independently performs the
+    * same NULL-rejection. */
+  private val q10FullOuterFilteredSql =
+    s"""SELECT c_custkey, n_name,
+       | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+       | COUNT(*) AS n_rows
+       |FROM nation
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+       |GROUP BY c_custkey, n_name""".stripMargin
+
+  def incrementalSqlQ10FullOuterFiltered(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compile(s, dir, q10FullOuterFilteredSql)
+      .run(s, dir, q10FullOuterDeletes)
+
+  def incrementalSqlQ10FullOuterFilteredStream(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterFilteredSql), dir,
+      q10FullOuterDeletes, "incremental_sql_q10_fullouter_filtered_leaf")
+
+  /** FULL OUTER with **deletes on an ANCESTOR of the boundary pair**
+    * (customer) — the other r8 fence lifted: the chain-shaped orphan
+    * plan now keys on the TREE PREFIX's merged emissions (orders
+    * alive under customer and nation), so deleting a customer flips
+    * its orders dead in the key node and their lineitems assert as
+    * orphans — the rows SQL preserves on the right when the left tree
+    * loses the parent row for ANY upstream reason. */
+  private val q10FullOuterAncestorDeletes = Map(
+    "customer" -> (col("c_custkey") % 30 === 0),
+    "orders" -> (col("o_orderkey") % 50 === 0),
+    "lineitem" -> (col("l_partkey") % 3 === 0))
+
+  def incrementalSqlQ10FullOuterAncestorDel(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compile(s, dir, q10FullOuterSql)
+      .run(s, dir, q10FullOuterAncestorDeletes)
+
+  def incrementalSqlQ10FullOuterAncestorDelStream(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterSql), dir,
+      q10FullOuterAncestorDeletes, "incremental_sql_q10_fullouter_adel_leaf")
+
   /** Conf-wired SKEW SALTING through the compiler (the bloom
     * pattern, [[SaltRelationConf]]): the session conf names lineitem
     * as the skewed relation and the compiler widens its liveness
@@ -1699,6 +1747,67 @@ object IncrementalQueries {
         | JOIN o ON o_custkey = c_custkey
         | FULL JOIN l ON l_orderkey = o_orderkey
         |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuter),
+
+    // FULL OUTER + WHERE on the preserved side (r8's loud rejection,
+    // now planned): the date conjunct NULL-rejects every orphan row
+    // in SQL, so the compile drops the orphan plan and keeps the
+    // NULL-extension side — gated against DuckDB running the LITERAL
+    // FULL JOIN + WHERE, which performs the same NULL-rejection
+    // independently.
+    sql("incremental_sql_q10_fullouter_filtered",
+      s"""WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+         |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+         |SELECT c_custkey, n_name,
+         | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation JOIN customer ON c_nationkey = n_nationkey
+         | JOIN o ON o_custkey = c_custkey
+         | FULL JOIN l ON l_orderkey = o_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterFiltered),
+
+    // … and through the CONTINUOUS engine.
+    sql("incremental_sql_q10_fullouter_filtered_stream",
+      s"""WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+         |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+         |SELECT c_custkey, n_name,
+         | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation JOIN customer ON c_nationkey = n_nationkey
+         | JOIN o ON o_custkey = c_custkey
+         | FULL JOIN l ON l_orderkey = o_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterFilteredStream),
+
+    // FULL OUTER with ANCESTOR deletes (r8's other fence): deleting a
+    // customer must orphan its orders' lineitems — the tree-prefix
+    // orphan key node sees the flip through the customer hop. Oracle:
+    // all three delete sets as derived tables, orphans via FULL JOIN.
+    sql("incremental_sql_q10_fullouter_ancestor_del",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 30 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterAncestorDel),
+
+    // … and through the CONTINUOUS engine — the customer delete
+    // arrives in batch 2 and must CREATE orphans through held state.
+    sql("incremental_sql_q10_fullouter_ancestor_del_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 30 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterAncestorDelStream),
 
     // The same FULL OUTER through the CONTINUOUS engine — orphan
     // preservation flips ON mid-stream when batch 2 deletes orders.

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, EqualTo, Expression, Literal, NullsFirst}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, BinaryComparison, CaseWhen, Coalesce, EqualNullSafe, EqualTo, Expression, If, In, IsNotNull, IsNull, Like, Literal, Not, NullsFirst, Or}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
@@ -84,14 +84,48 @@ object SqlCompiler {
     * the shared fold reads them as NULL); when a first matching child
     * appears, the key node's 0→1 flip retracts the buffered parent
     * rows — the outer row's NULL-extension retracts exactly as the
-    * inner plan asserts the joined row. `rekeyRel`/`rekeyCol`: the
-    * parent's own changelog re-keys (engine-side, from the canon) to
-    * the correlation column the anti hop shuffles on. */
+    * inner plan asserts the joined row. `rekey`: when set, that
+    * relation's own changelog re-keys (engine-side, from the canon)
+    * to the correlation column its stage shuffles on; None when every
+    * stage consumes its changelog under the main tree's keying. */
   final case class OuterPlan(
       stages: Seq[DeltaEngine.Stage],
       path: Seq[String],
-      rekeyRel: String,
-      rekeyCol: String)
+      rekey: Option[(String, String)])
+
+  /** Conservative syntactic proof that a WHERE conjunct evaluates to
+    * NULL (hence filters the row out) whenever ALL its column
+    * references are NULL — the property that lets the FULL OUTER
+    * compile drop a preservation plan instead of evaluating the
+    * predicate on extended rows. Comparisons, IN and LIKE over
+    * null-preserving scalar expressions qualify; IS [NOT] NULL, `<=>`
+    * and null-defaulting constructs (COALESCE/CASE/IF and their
+    * function spellings) do not. Unknown shapes answer false — the
+    * caller fails loudly, never compiles wrong. */
+  private def nullRejecting(e: Expression): Boolean = {
+    def strictScalars(c: Expression): Boolean = !c.exists {
+      case f: UnresolvedFunction => Set("coalesce", "ifnull", "nvl", "nvl2",
+        "isnull", "isnotnull", "if", "nullif")(f.nameParts.last.toLowerCase)
+      case _: CaseWhen | _: If | _: Coalesce | _: IsNull | _: IsNotNull => true
+      case _ => false
+    }
+    e match {
+      case And(l, r) => nullRejecting(l) || nullRejecting(r)
+      case Or(l, r) => nullRejecting(l) && nullRejecting(r)
+      case _: EqualNullSafe => false
+      case c: BinaryComparison => strictScalars(c)
+      case i: In => strictScalars(i)
+      case l: Like => strictScalars(l)
+      // NOT over a null-PRESERVING predicate stays NULL on NULL input;
+      // NOT(IS [NOT] NULL) flips to a definite boolean and must not
+      // qualify — strictScalars excludes those shapes
+      case Not(c) => nullRejecting(c) && strictScalars(c)
+      case f: UnresolvedFunction
+          if Set("like", "rlike", "contains", "startswith", "endswith")(
+            f.nameParts.last.toLowerCase) => strictScalars(f)
+      case _ => false
+    }
+  }
 
   final case class Compiled(
       path: Seq[String],
@@ -119,11 +153,15 @@ object SqlCompiler {
         * queries): [[run]]/[[runStream]] union their leaf deltas with
         * the main tree's before the shared fold. */
       outerPlans: Seq[OuterPlan] = Nil,
-      /** FULL OUTER boundaries as (child, parent): [[run]] rejects
-        * deletes on any OTHER relation — an ancestor delete drops
-        * parent rows from the preserved side without touching the
-        * parent changelog the orphan plan keys on, so the maintained
-        * view would silently diverge from SQL. */
+      /** FULL OUTER boundaries as (child, parent) whose orphan plan
+        * fell back to the 2-stage parent-changelog shape (non-chain
+        * tree topologies): [[run]] rejects deletes on any OTHER
+        * relation for those — an ancestor delete would drop parent
+        * rows from the preserved side invisibly to that plan's raw
+        * parent-changelog key node. Chain-shaped boundaries compile
+        * the TREE-PREFIX orphan plan instead (parent survival tracked
+        * under its whole ancestor tree) and take deletes anywhere, so
+        * they do not appear here. */
       fullOuterBoundaries: Seq[(String, String)] = Nil) {
 
     /** Output column names of the grouping keys (spec/test surface). */
@@ -160,18 +198,22 @@ object SqlCompiler {
 
     /** FULL OUTER scope guard, at the changelog CHOKE POINT so both
       * the batch path (run) and the streaming harnesses that call
-      * [[sourceChangelogs]] directly enforce it: deletes on an
-      * ANCESTOR drop parent rows from the preserved side invisibly to
-      * the orphan plan's parent-changelog key node — the maintained
-      * view would silently diverge from SQL. */
+      * [[sourceChangelogs]] directly enforce it. It now bites ONLY
+      * for boundaries whose orphan plan fell back to the 2-stage
+      * parent-changelog shape (see [[fullOuterBoundaries]]): there an
+      * ancestor delete drops parent rows from the preserved side
+      * invisibly to the raw parent-changelog key node. Chain-shaped
+      * boundaries run the tree-prefix orphan plan and take deletes on
+      * any relation. */
     def requireMaintainableDeletes(deletes: Map[String, Column]): Unit =
       if (fullOuterBoundaries.nonEmpty && deletes.nonEmpty) {
         val allowed = fullOuterBoundaries.flatMap { case (c, p) => Seq(c, p) }.toSet
         (deletes.keySet -- allowed).foreach(rel =>
-          fail(s"FULL OUTER query: deletes on '$rel' are not maintainable — " +
-            s"only the boundary pair ${allowed.mkString("{", ", ", "}")} may " +
-            "take deletes (an ancestor delete would orphan parent rows " +
-            "invisibly to the orphan plan's parent-changelog key node)"))
+          fail(s"FULL OUTER query: deletes on '$rel' are not maintainable by " +
+            s"this plan shape — only the boundary pair ${allowed.mkString("{", ", ", "}")} " +
+            "may take deletes (the non-chain tree topology forced the 2-stage " +
+            "orphan plan, whose parent-changelog key node cannot see an " +
+            "ancestor delete orphaning parent rows)"))
       }
 
     /** This query's local predicate for `rel`, rewritten to apply to a
@@ -499,8 +541,10 @@ object SqlCompiler {
         runner: (Seq[DeltaEngine.Stage], Map[String, Dataset]) => Dataset): Dataset =
       outerPlans.foldLeft(mainLeaf) { (acc, p) =>
         val planLogs = p.path.map { rel =>
-          rel -> (if (rel == p.rekeyRel) rekeyByCanon(logs(rel), p.rekeyCol)
-                  else logs(rel))
+          rel -> (p.rekey match {
+            case Some((rr, rc)) if rr == rel => rekeyByCanon(logs(rel), rc)
+            case _ => logs(rel)
+          })
         }.toMap
         acc.union(runner(p.stages, planLogs))
       }
@@ -948,25 +992,48 @@ object SqlCompiler {
     }
     if (outerRels.nonEmpty) plainFilterConjuncts.foreach { c =>
       c.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct
-        .filter(outerRels).foreach(r =>
+        // a FULL OUTER child's WHERE is legal — handled below by
+        // dropping the NULL-extension plan, which IS SQL's answer
+        .filter(r => outerRels(r) && !fullOuterRels(r)).foreach(r =>
           fail(s"WHERE predicate '${fragment(c)}' references LEFT-JOINed " +
             s"relation '$r' — it would reject the NULL-extended rows; move it " +
             "into the ON clause, or use an inner JOIN if that is the intent"))
     }
-    // FULL OUTER scope rules, stricter than LEFT's: the orphan plan
-    // decides "parent exists" from the parent relation's OWN changelog,
-    // which matches SQL only when no other predicate can drop a parent
-    // row from the preserved left side (an ancestor filter would) and
-    // when no predicate NULL-rejects the orphan rows themselves (ANY
-    // WHERE conjunct does, since every left column is NULL there). So:
-    // pure-FK ON, no WHERE conjuncts at all — express restrictions as
-    // changelog deletes on the boundary pair (Compiled.run enforces).
+    // FULL OUTER × WHERE. SQL evaluates WHERE AFTER the join, so a
+    // null-rejecting conjunct kills one preservation direction
+    // outright: a predicate on any LEFT-side relation is NULL on
+    // every orphan (right-preserved) row, a predicate on the boundary
+    // child is NULL on every NULL-extension row. The compile
+    // therefore DROPS the corresponding plan — which is exactly SQL's
+    // result, not an approximation — and the predicates then apply as
+    // ordinary scan filters to the surviving plans. Two loud fences
+    // remain: conjuncts that are not provably null-rejecting (IS
+    // NULL / COALESCE / CASE can PASS on the extended rows — dropping
+    // a plan would then be wrong), and multiple FULL boundaries under
+    // one WHERE (each conjunct would interact with every boundary's
+    // extension rows; the matrix is not compiled).
+    val fullOuterDropOrphan = scala.collection.mutable.Set[String]()
+    val fullOuterDropAnti = scala.collection.mutable.Set[String]()
     if (fullOuterRels.nonEmpty) {
-      if (plainFilterConjuncts.nonEmpty)
-        fail("FULL OUTER queries compile without WHERE: every WHERE conjunct " +
-          "NULL-rejects the orphan (right-preserved) rows in SQL, making the " +
-          "query effectively one-sided — model restrictions as changelog " +
-          "deletes on the boundary relations instead")
+      if (plainFilterConjuncts.nonEmpty) {
+        if (fullOuterRels.size > 1)
+          fail("WHERE with more than one FULL OUTER boundary is not compiled — " +
+            "each conjunct NULL-interacts with every boundary's preserved rows; " +
+            "split the query or model restrictions as changelog deletes")
+        val r = fullOuterRels.head
+        plainFilterConjuncts.foreach { c =>
+          if (!nullRejecting(c))
+            fail(s"FULL OUTER WHERE predicate '${fragment(c)}' is not provably " +
+              "NULL-rejecting (IS [NOT] NULL / COALESCE / CASE / IF forms can " +
+              "hold on the join's NULL-extended rows, which this compile cannot " +
+              "maintain) — rewrite as a plain comparison/IN/LIKE conjunct or " +
+              "model it as changelog deletes")
+        }
+        val owners = plainFilterConjuncts.flatMap(c =>
+          c.collect { case a: UnresolvedAttribute => ownerOf(a) }).distinct
+        if (owners.exists(_ != r)) fullOuterDropOrphan += r
+        if (owners.contains(r)) fullOuterDropAnti += r
+      }
       fullOuterRels.foreach { r =>
         val conj = outerOn.filter(_._1 == r).flatMap(_._2)
         conj.foreach {
@@ -1165,7 +1232,8 @@ object SqlCompiler {
     // parent through an antiParent hop. The hop emits parents with NO
     // matching child, parent columns only — the NULL-extension is the
     // optional subtree's columns simply being absent from the canon.
-    val outerPlans: Seq[OuterPlan] = outerOn.map(_._1).distinct.toSeq.map { r =>
+    val restrictedFullOuter = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val outerPlans: Seq[OuterPlan] = outerOn.map(_._1).distinct.toSeq.flatMap { r =>
       if (stages.count(_.spec.relation == r) != 1)
         fail(s"LEFT-JOINed relation '$r' cannot also carry subquery gates " +
           "or pair stages")
@@ -1196,30 +1264,58 @@ object SqlCompiler {
         parentStage = Some(keysName))
       val planStages =
         kept.patch(pIdx, Seq(keys, hop, pEntry.copy(ownStage = Some(hopName))), 1)
-      OuterPlan(planStages,
+      // WHERE on the FULL OUTER child NULL-rejects every NULL-extended
+      // row in SQL, so that preservation direction is simply not built
+      // (the structural validations above still ran — the orphan plan
+      // needs them)
+      if (fullOuterDropAnti(r)) None
+      else Some(OuterPlan(planStages,
         planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
-        edge.parent, edge.parentCol)
+        Some((edge.parent, edge.parentCol))))
     } ++
     // FULL OUTER boundaries additionally get the ORPHAN plan — the
-    // mirror image of the anti plan above: a set-semantics key node
-    // over the PARENT changelog (re-keyed to its own key column), and
-    // the boundary relation itself as an antiParent hop under it. Its
-    // leaf deltas are children with NO surviving parent, carrying ONLY
-    // the child's columns — every left-side grouping key folds as
-    // NULL, which is exactly SQL's right-preserved row. The plan is
-    // two stages regardless of tree depth because the compile-time
-    // scope rules (no WHERE, no ancestor filters) guarantee parent
-    // survival is decided by the parent changelog alone.
-    fullOuterRels.toSeq.sorted.map { r =>
+    // mirror image of the anti plan above. Its leaf deltas are
+    // children with NO surviving parent, carrying ONLY the child's
+    // columns — every left-side grouping key folds as NULL, which is
+    // exactly SQL's right-preserved row. "Surviving parent" must mean
+    // surviving IN THE JOINED LEFT TREE (an ancestor delete drops the
+    // parent row from the preserved side even though the parent's own
+    // changelog never fires), so for chain-shaped plans the key node
+    // consumes the TREE PREFIX's merged emissions — the parent's
+    // liveness under all its ancestors, set-dedup'd to its key column
+    // — and deletes are maintainable on ANY relation. Non-chain
+    // topologies (pair stages, branch-interleaved prefixes) fall back
+    // to the 2-stage raw-parent-changelog plan with the delete scope
+    // restricted to the boundary pair (Compiled.run enforces).
+    fullOuterRels.toSeq.sorted.filterNot(fullOuterDropOrphan).map { r =>
       val edge = queryEdges.find(_.child == r).get // validated above
+      val k = stages.indexWhere(_.spec.relation == r)
+      val kept = stages.take(k)
       val keysName = s"__orphan_${r}_keys"
-      val keys = DeltaEngine.Stage(keysName,
-        NodeSpec(edge.parent, edge.parentCol, edge.parentCol,
-          isRoot = true, setSemantics = true))
       val hop = DeltaEngine.Stage(s"__orphan_${r}_hop",
         NodeSpec(r, edge.fkCol, edge.fkCol, antiParent = true),
         parentStage = Some(keysName))
-      OuterPlan(Seq(keys, hop), Seq(edge.parent, r), edge.parent, edge.parentCol)
+      val chainShaped = kept.nonEmpty &&
+        kept.last.spec.relation == edge.parent &&
+        kept.last.spec.nextKeyCol == edge.parentCol &&
+        kept.forall(_.pairStage.isEmpty)
+      if (chainShaped) {
+        val keys = DeltaEngine.Stage(keysName,
+          NodeSpec(edge.parent, edge.parentCol, edge.parentCol,
+            isRoot = true, setSemantics = true),
+          ownStage = Some(kept.last.name))
+        val planStages = kept ++ Seq(keys, hop)
+        OuterPlan(planStages,
+          planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
+          rekey = None)
+      } else {
+        restrictedFullOuter += ((r, edge.parent))
+        val keys = DeltaEngine.Stage(keysName,
+          NodeSpec(edge.parent, edge.parentCol, edge.parentCol,
+            isRoot = true, setSemantics = true))
+        OuterPlan(Seq(keys, hop), Seq(edge.parent, r),
+          Some((edge.parent, edge.parentCol)))
+      }
     }
 
     // local predicates become per-relation scan filters (original text)
@@ -1508,8 +1604,7 @@ object SqlCompiler {
     Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
       neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq,
       outerPlans,
-      fullOuterRels.toSeq.sorted.map(r =>
-        r -> queryEdges.find(_.child == r).get.parent))
+      restrictedFullOuter.toSeq.sorted)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

@@ -1402,7 +1402,7 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("liveness stage"), ex.getMessage)
   }
 
-  test("FULL OUTER scope rules fail loudly outside the maintainable fragment") {
+  test("FULL OUTER x WHERE plans SQL's NULL-rejection; the remaining fences stay loud") {
     val base =
       """SELECT c_custkey, n_name, COUNT(*) AS n_rows
         |FROM nation
@@ -1410,28 +1410,54 @@ class SqlCompilerSpec extends AnyFunSuite {
         |JOIN orders ON o_custkey = c_custkey
         |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey%s
         |GROUP BY c_custkey, n_name""".stripMargin
-    // WHERE rejected (it would NULL-reject the orphan rows in SQL)
+    // no WHERE: both preservation plans, chain-shaped orphan keys ride
+    // the tree prefix -> no delete-scope restriction and ancestor
+    // deletes are maintainable (gated end-to-end by
+    // incremental_sql_q10_fullouter_ancestor_del)
+    val c = SqlCompiler.compile(s, d, base.format(""))
+    assert(c.outerPlans.size == 2)
+    assert(c.fullOuterBoundaries.isEmpty)
+    assert(c.outerPlans.exists(_.stages.exists(_.name == "__orphan_lineitem_keys")))
+    // the tree-prefix orphan plan replays the ancestor chain, not just
+    // the parent changelog
+    val orphan = c.outerPlans.find(_.stages.exists(_.name == "__orphan_lineitem_keys")).get
+    assert(orphan.path.contains("customer") && orphan.rekey.isEmpty, orphan.path)
+    c.requireMaintainableDeletes(Map("customer" -> (col("c_custkey") % 7 === 0)))
+    // WHERE on the preserved (left) side: compiles, orphan plan dropped
+    // (SQL NULL-rejects every orphan row), anti plan kept
+    val cl = SqlCompiler.compile(s, d, base.format("\nWHERE o_orderkey > 0"))
+    assert(cl.outerPlans.size == 1 &&
+      cl.outerPlans.head.stages.exists(_.name == "__outer_lineitem_keys"))
+    // WHERE on the boundary child: compiles, anti plan dropped (SQL
+    // NULL-rejects every NULL-extension row), orphan plan kept
+    val cr = SqlCompiler.compile(s, d, base.format("\nWHERE l_linenumber <> 3"))
+    assert(cr.outerPlans.size == 1 &&
+      cr.outerPlans.head.stages.exists(_.name == "__orphan_lineitem_keys"))
+    // WHERE on both sides: effectively inner, both plans dropped
+    val ci = SqlCompiler.compile(s, d,
+      base.format("\nWHERE o_orderkey > 0 AND l_linenumber <> 3"))
+    assert(ci.outerPlans.isEmpty)
+    // a NULL-tolerant WHERE conjunct stays a loud rejection: dropping a
+    // plan would be WRONG when the predicate can hold on extended rows
     val ex1 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
-      base.format("\nWHERE o_orderkey > 0")))
-    assert(ex1.getMessage.contains("without WHERE"), ex1.getMessage)
+      base.format("\nWHERE o_orderstatus IS NULL")))
+    assert(ex1.getMessage.contains("NULL-rejecting"), ex1.getMessage)
+    val ex1b = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      base.format("\nWHERE coalesce(o_orderkey, 0) > 0")))
+    assert(ex1b.getMessage.contains("NULL-rejecting"), ex1b.getMessage)
     // non-equality ON predicate rejected (failing ON preserves BOTH sides)
     val ex2 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
       base.format(" AND l_returnflag = 'R'")))
     assert(ex2.getMessage.contains("bare FK equality"), ex2.getMessage)
-    // deletes on an ancestor rejected at run (orphan plan keys on the
-    // parent changelog; an ancestor delete is invisible to it)
-    val c = SqlCompiler.compile(s, d, base.format(""))
-    assert(c.fullOuterBoundaries == Seq("lineitem" -> "orders"))
-    val ex3 = intercept[IllegalArgumentException](
-      c.run(s, d, Map("customer" -> (col("c_custkey") % 7 === 0))))
-    assert(ex3.getMessage.contains("boundary pair"), ex3.getMessage)
-    // ...and at the changelog CHOKE POINT, so streaming harnesses that
-    // bypass run() cannot smuggle an ancestor delete past the guard
-    val ex4 = intercept[IllegalArgumentException](
-      c.sourceChangelogs(s, d,
-        Map("customer" -> (col("c_custkey") % 7 === 0)), filtered = false))
-    assert(ex4.getMessage.contains("boundary pair"), ex4.getMessage)
-    // both orphan + anti plans present: 2 per boundary
-    assert(c.outerPlans.size == 2)
+    // WHERE with two FULL boundaries rejected (the NULL-interaction
+    // matrix is not compiled)
+    val ex3 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT c_custkey, COUNT(*) AS n
+        |FROM customer
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_acctbal > 0
+        |GROUP BY c_custkey""".stripMargin))
+    assert(ex3.getMessage.contains("more than one FULL OUTER"), ex3.getMessage)
   }
 }
