@@ -1928,6 +1928,46 @@ object Relational {
         df
     },
 
+    // The TIES-AWARE sibling: the `rank() <= k` spelling (the more
+    // common SQL idiom in the wild) through the same custom operator.
+    // Bucketed prices guarantee real ties, so each group keeps entire
+    // boundary tie-classes (possibly MORE than k rows) with gap ranks
+    // — semantics row_number cannot express, exact through the
+    // bounded ties-heap. Plan self-assert: GroupedTopK fired, zero
+    // sorts; hash gate against DuckDB's own rank().
+    sql("window_rank_topk",
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, price_bucket, o_orderkey
+        |FROM (
+        | SELECT o_orderpriority,
+        |  CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS price_bucket, o_orderkey,
+        |  rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(FLOOR(o_totalprice / 20000) AS BIGINT) DESC) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3""".stripMargin) {
+      (s, d) =>
+        val ss = s.newSession()
+        ss.conf.set(graft.plans.GroupedTopK.RewriteConf, "true")
+        graft.plans.GroupedTopK.install(ss)
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("price_bucket").desc)
+        val df = Tables.orders(ss, d)
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice") / 20000).cast("long").as("price_bucket"),
+            col("o_orderkey"))
+          .withColumn("rnk", rank().over(w))
+          .filter(col("rnk") <= 3)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GroupedTopK "),
+          s"ties-aware top-k rewrite must fire:\n${plan.take(1200)}")
+        require(!plan.contains("WindowGroupLimit") && !plan.contains("Window [") &&
+          !plan.contains("Sort ["),
+          s"stock Window/WindowGroupLimit/Sort must be gone:\n${plan.take(1200)}")
+        // a genuine tie-class at the boundary (the point of the entry)
+        require(df.groupBy("o_orderpriority").count().collect().exists(_.getLong(1) > 3),
+          "fixture must tie at the rank boundary")
+        df
+    },
+
     // Q6-LIKE forecasting revenue — the degenerate-but-canonical
     // grouping-free global aggregate: one filtered scan, one 1-row
     // answer, nothing else. The whole query is a map-side partial +

@@ -50,6 +50,16 @@ object GroupedTopK {
     * the per-group heap the problem the operator exists to avoid. */
   val MaxK = 1 << 20
 
+  /** Per-task kept-row budget before the exec stops trusting memory:
+    * the partial side FLUSHES its heaps downstream and restarts (the
+    * prune is an optimization — a flushed superset is still correct),
+    * the final side SPILLS key-sorted runs to local disk and
+    * merge-groups them at the end. Both paths keep exact answers with
+    * bounded memory, which is what makes the operator safe beyond the
+    * happy k·groups-fits regime. */
+  val TaskRowBudgetConf = "spark.graft.topk.taskRowBudget"
+  val DefaultTaskRowBudget: Long = 4L * 1024 * 1024
+
   /** Idempotently hook rule + strategy into an existing session. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val curO = spark.experimental.extraOptimizations
@@ -63,14 +73,24 @@ object GroupedTopK {
 
 /** Logical node: output = child.output :+ the (IntegerType) rank
   * attribute the window alias produced — SAME attribute id, so the
-  * swap is invisible to everything above the Filter. */
+  * swap is invisible to everything above the Filter. `ties = false`
+  * is the `row_number` reading (exactly k rows per group); `ties =
+  * true` is the `rank` reading (every row tying at the k-th boundary
+  * is kept and ranks carry gaps).
+  *
+  * The k bounds are REQUIRED ON THE NODE, not just checked by the
+  * Filter-pattern rewrite — a programmatic construction cannot bypass
+  * them. */
 case class GroupedTopKPlan(
     partitionExprs: Seq[Expression],
     orderSpec: Seq[SortOrder],
     limit: Int,
     rankAttr: Attribute,
-    child: LogicalPlan)
+    child: LogicalPlan,
+    ties: Boolean = false)
     extends logical.UnaryNode {
+  require(limit >= 1 && limit <= GroupedTopK.MaxK,
+    s"GroupedTopKPlan limit must be in [1, ${GroupedTopK.MaxK}], got $limit")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -90,11 +110,17 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(f: Filter, cond: Expression, w: logical.Window): Option[LogicalPlan] = {
-    // exactly one window expression: row_number() with a resolved spec
-    val (rankAttr, _) = w.windowExpressions match {
+    // exactly one window expression: row_number() (exact-k) or rank()
+    // (ties kept, gap ranks) with a resolved spec. dense_rank stays
+    // stock: its bound does not limit rows per group (k dense ranks
+    // can cover the whole group), so a heap buys nothing safe.
+    val (rankAttr, ties) = w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(RowNumber(), spec), _))
           if spec.partitionSpec == w.partitionSpec && spec.orderSpec == w.orderSpec =>
-        (a.toAttribute, spec)
+        (a.toAttribute, false)
+      case Seq(a @ Alias(WindowExpression(_: Rank, spec), _))
+          if spec.partitionSpec == w.partitionSpec && spec.orderSpec == w.orderSpec =>
+        (a.toAttribute, true)
       case _ => return None
     }
     // the predicate set must be "rn <= k" (or < k+1), possibly beside
@@ -123,7 +149,7 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             wgl.orderSpec == w.orderSpec && wgl.limit >= k => wgl.child
       case other => other
     }
-    Some(GroupedTopKPlan(w.partitionSpec, w.orderSpec, k, rankAttr, child))
+    Some(GroupedTopKPlan(w.partitionSpec, w.orderSpec, k, rankAttr, child, ties))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -137,35 +163,48 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GroupedTopKPlan =>
+      val budget = SQLConf.get.getConfString(GroupedTopK.TaskRowBudgetConf,
+        GroupedTopK.DefaultTaskRowBudget.toString).toLong
       val pre = GroupedTopKExec(g.partitionExprs, g.orderSpec, g.limit,
-        g.rankAttr, partial = true, planLater(g.child))
+        g.rankAttr, partial = true, planLater(g.child), g.ties, budget)
       GroupedTopKExec(g.partitionExprs, g.orderSpec, g.limit,
-        g.rankAttr, partial = false, pre) :: Nil
+        g.rankAttr, partial = false, pre, g.ties, budget) :: Nil
     case _ => Nil
   }
 }
 
 /** The bounded-state executor. Partial: prune each input partition to
-  * ≤ k rows per group (no rank — ranks are only known globally).
+  * the per-group top set (no rank — ranks are only known globally).
   * Final: requires clustering on the group keys, merges the pruned
-  * streams and emits rows with their 1-based rank.
+  * streams and emits rows with their 1-based rank (gap ranks in
+  * `ties` mode, `row_number` semantics otherwise).
   *
-  * Memory: k copied rows × live groups per task, held in a plain
-  * on-heap map with NO spill path — unlike the Sort/HashAggregate
-  * operators, which fall back to disk under pressure. That is the
-  * deal the opt-in conf signs: right when k·(groups per task) is far
-  * below the sort buffer (the top-k regime), wrong for huge k or
-  * pathological group cardinality per task — which is why the rewrite
-  * caps k ([[GroupedTopK.MaxK]]) and stays conf-gated rather than on
-  * by default. */
+  * Memory is BUDGETED (`rowBudget` kept rows per task), so pressure
+  * degrades instead of OOMing:
+  *
+  *  - the partial side FLUSHES its heaps downstream and restarts — a
+  *    flushed superset is still a correct prune (any globally-top row
+  *    is in the top set of every chunk that contains it);
+  *  - the final side SPILLS its heaps as a group-key-sorted run to
+  *    local disk and merge-groups all runs at the end — exact
+  *    answers, ≤ budget rows in memory, the same deal the stock
+  *    Sort makes.
+  */
 case class GroupedTopKExec(
     partitionExprs: Seq[Expression],
     orderSpec: Seq[SortOrder],
     limit: Int,
     rankAttr: Attribute,
     partial: Boolean,
-    child: SparkPlan)
+    child: SparkPlan,
+    ties: Boolean = false,
+    rowBudget: Long = GroupedTopK.DefaultTaskRowBudget)
     extends UnaryExecNode {
+
+  require(limit >= 1 && limit <= GroupedTopK.MaxK,
+    s"GroupedTopKExec limit must be in [1, ${GroupedTopK.MaxK}], got $limit")
+  require(rowBudget >= limit,
+    s"rowBudget ($rowBudget) must be >= limit ($limit) — one group's keep-set must fit")
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
@@ -191,38 +230,172 @@ case class GroupedTopKExec(
     val k = limit
     val isPartial = partial
     val rank = rankAttr
+    val keepTies = ties
+    val budget = rowBudget
+    val nFields = childOutput.size
+    val nKeyFields = pExprs.size
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(pExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
       val ordering = RowOrdering.create(oSpec, childOutput)
-      // max-heap on the ordering: peek() is the WORST kept row
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](k + 1, ordering.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < k) { heap.add(row.copy()); () }
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy()); ()
-        }
+
+      /** One group's keep-set: a max-heap (peek = worst kept row).
+        * Exact-k mode keeps ≤ k rows; ties mode keeps every row whose
+        * gap-rank is ≤ k (k + boundary ties — pruned lazily so the
+        * invariant "every kept row has < k kept rows strictly better"
+        * always holds). Returns the net row-count change. */
+      final class Keep {
+        val heap = new java.util.PriorityQueue[InternalRow](k + 1, ordering.reverse)
+        def add(row: InternalRow): Int =
+          if (heap.size() < k) { heap.add(row.copy()); 1 }
+          else {
+            val cmp = ordering.compare(row, heap.peek())
+            if (!keepTies) {
+              if (cmp < 0) { heap.poll(); heap.add(row.copy()); 0 } else 0
+            } else if (cmp > 0) 0
+            else if (cmp == 0) { heap.add(row.copy()); 1 } // ties the worst kept row
+            else { // strictly better: add, then evict the worst tie-class if safe
+              heap.add(row.copy())
+              var delta = 1
+              var pruning = true
+              while (pruning) {
+                val worst = heap.peek()
+                val buf = new java.util.ArrayList[InternalRow]()
+                while (heap.size() > 0 && ordering.compare(heap.peek(), worst) == 0) {
+                  buf.add(heap.poll()); ()
+                }
+                if (heap.size() >= k) delta -= buf.size() // rank(worst) > k: drop the class
+                else { heap.addAll(buf); pruning = false }
+              }
+              delta
+            }
+          }
       }
+
+      val heaps = new java.util.HashMap[UnsafeRow, Keep]()
+      var kept = 0L
+      def insert(row: InternalRow): Unit = {
+        val key = groupProj(row)
+        var keep = heaps.get(key)
+        if (keep == null) { keep = new Keep; heaps.put(key.copy(), keep) }
+        kept += keep.add(row)
+      }
+
       import scala.jdk.CollectionConverters._
-      if (isPartial)
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-      else {
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps.values().asScala.toArray.iterator.flatMap(_.heap.iterator().asScala)
+        heaps.clear(); kept = 0
+        out
+      }
+
+      if (isPartial) {
+        // streaming chunks: consume until budget breach or input end,
+        // flush, repeat — memory ≤ budget kept rows at all times
+        new Iterator[InternalRow] {
+          private var cur: Iterator[InternalRow] = Iterator.empty
+          private var done = false
+          override def hasNext: Boolean = {
+            while (!cur.hasNext && !done) {
+              while (iter.hasNext && kept <= budget) insert(iter.next())
+              done = !iter.hasNext
+              cur = drain()
+            }
+            cur.hasNext
+          }
+          override def next(): InternalRow = { if (!hasNext) throw new NoSuchElementException; cur.next() }
+        }
+      } else {
+        // FINAL: all of a group's candidates are in this task (the
+        // exchange clustered on the group keys), but groups arrive
+        // interleaved — accumulate per-group keep-sets, spilling
+        // key-sorted runs when the budget breaks
+        val spills = new java.util.ArrayList[java.io.File]()
+        def spillRun(): Unit = {
+          val entries = heaps.entrySet().asScala.iterator.flatMap { e =>
+            val kb = e.getKey.getBytes
+            e.getValue.heap.iterator().asScala.map(r => (kb, toUnsafe(r).copy().getBytes))
+          }.toArray
+          java.util.Arrays.sort(entries,
+            (a: (Array[Byte], Array[Byte]), b: (Array[Byte], Array[Byte])) =>
+              java.util.Arrays.compareUnsigned(a._1, b._1))
+          val f = java.io.File.createTempFile("graft_topk_spill", ".run")
+          f.deleteOnExit()
+          val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f), 1 << 16))
+          try entries.foreach { case (kb, rb) =>
+            out.writeInt(kb.length); out.write(kb)
+            out.writeInt(rb.length); out.write(rb)
+          } finally out.close()
+          spills.add(f); ()
+        }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            spills.asScala.foreach { f => f.delete(); () }))
+
+        while (iter.hasNext) {
+          insert(iter.next())
+          if (kept > budget) { spillRun(); heaps.clear(); kept = 0 }
+        }
+
         val resultProj = UnsafeProjection.create(childOutput :+ rank, childOutput :+ rank)
         val rankRow = new GenericInternalRow(1)
         val joined = new JoinedRow
-        heaps.values().iterator().asScala.flatMap { heap =>
-          val rows = heap.toArray(new Array[InternalRow](heap.size()))
+        /** Emit one completed group: sort, gap-rank (or dense 1..n). */
+        def emit(keep: Keep): Iterator[InternalRow] = {
+          val rows = keep.heap.toArray(new Array[InternalRow](keep.heap.size()))
           java.util.Arrays.sort(rows, ordering)
-          rows.iterator.zipWithIndex.map { case (r, i) =>
-            rankRow.setInt(0, i + 1)
-            resultProj(joined(r, rankRow))
+          var r = 0
+          rows.iterator.zipWithIndex.map { case (row, i) =>
+            if (!keepTies) r = i + 1
+            else if (i == 0 || ordering.compare(row, rows(i - 1)) != 0) r = i + 1
+            rankRow.setInt(0, r)
+            resultProj(joined(row, rankRow))
+          }.filter { _ => r <= k } // ties mode: boundary class may exceed k after merge
+        }
+
+        if (spills.isEmpty)
+          heaps.values().iterator().asScala.flatMap(emit)
+        else {
+          // k-way merge of the sorted runs + the in-memory remainder
+          // (written as one more run for uniformity), re-grouping
+          // equal keys and re-folding their rows through a fresh
+          // keep-set — memory: one group + stream buffers
+          if (kept > 0) spillRun()
+          final class Run(f: java.io.File) {
+            private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+              new java.io.FileInputStream(f), 1 << 16))
+            var key: Array[Byte] = _
+            var row: Array[Byte] = _
+            advance()
+            def advance(): Unit = {
+              try {
+                val kl = in.readInt(); val kb = new Array[Byte](kl); in.readFully(kb)
+                val rl = in.readInt(); val rb = new Array[Byte](rl); in.readFully(rb)
+                key = kb; row = rb
+              } catch { case _: java.io.EOFException => key = null; row = null; in.close() }
+            }
           }
+          val runs = spills.asScala.map(new Run(_)).filter(_.key != null)
+          val pq = new java.util.PriorityQueue[Run](math.max(1, runs.size),
+            (a: Run, b: Run) => java.util.Arrays.compareUnsigned(a.key, b.key))
+          runs.foreach { r => pq.add(r); () }
+          new Iterator[Iterator[InternalRow]] {
+            override def hasNext: Boolean = !pq.isEmpty
+            override def next(): Iterator[InternalRow] = {
+              val groupKey = pq.peek().key
+              val keep = new Keep
+              while (!pq.isEmpty &&
+                  java.util.Arrays.compareUnsigned(pq.peek().key, groupKey) == 0) {
+                val run = pq.poll()
+                val u = new UnsafeRow(nFields)
+                u.pointTo(run.row, run.row.length)
+                keep.add(u)
+                run.advance()
+                if (run.key != null) { pq.add(run); () }
+              }
+              emit(keep)
+            }
+          }.flatten
         }
       }
     }

@@ -55,11 +55,61 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(df.groupBy("g").count().collect().forall(_.getLong(1) == 3L))
   }
 
-  test("conservative scope: rank(), extra predicates, and multi-window keep the stock plan") {
+  test("rank() rewrites ties-aware: boundary ties kept, gap ranks, equals stock") {
+    val ss = topkSession()
+    // s = i % 7 gives heavy ties in every group; rank <= 3 keeps the
+    // top tie-classes wholesale with gap ranks
+    def tied(sess: org.apache.spark.sql.SparkSession) = {
+      import sess.implicits._
+      (0L until 1400L).map(i => (s"g${i % 5}", i % 7, i)).toDF("g", "s", "id")
+    }
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc)
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    val armed = q(tied(ss))
+    val plan = armed.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK ") && !plan.contains("Sort ["), plan.take(800))
+    val got = armed.collect().map(_.toString).sorted.toSeq
+    val want = q(tied(spark)).collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty, s"${got.size} vs ${want.size}")
+    // gap ranks: the 40-row top tie-class makes the next rank 41 > 3,
+    // so rank<=3 keeps exactly the boundary class — 40 rows per group
+    // (MORE than k: the ties-kept semantics row_number cannot express)
+    val ranks = armed.select("rn").distinct().collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq == Seq(1), ranks.toSeq)
+    assert(armed.groupBy("g").count().collect().forall(_.getLong(1) == 40L))
+  }
+
+  test("budget breach flushes the partial side and spills the final side, answers exact") {
+    val ss = topkSession()
+    ss.conf.set(GroupedTopK.TaskRowBudgetConf, "40") // tiny: forces both paths
+    val got = query(frame(ss), 7).collect().map(_.toString).sorted.toSeq
+    val want = query(frame(spark), 7).collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty, s"${got.size} vs ${want.size}")
+    // ties mode through the spill path too
+    val w = Window.partitionBy(col("g")).orderBy((col("s") % 5).desc)
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
+    val gotT = q(frame(ss)).collect().map(_.toString).sorted.toSeq
+    val wantT = q(frame(spark)).collect().map(_.toString).sorted.toSeq
+    assert(gotT == wantT && gotT.nonEmpty, s"${gotT.size} vs ${wantT.size}")
+    ss.conf.unset(GroupedTopK.TaskRowBudgetConf)
+  }
+
+  test("the k bounds hold on the NODE, not just the rewrite pattern") {
+    val ex = intercept[IllegalArgumentException](
+      graft.plans.GroupedTopKPlan(Nil, Nil, 0, null, null))
+    assert(ex.getMessage.contains("limit"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](
+      graft.plans.GroupedTopKPlan(Nil, Nil, GroupedTopK.MaxK + 1, null, null))
+    assert(ex2.getMessage.contains("limit"), ex2.getMessage)
+  }
+
+  test("conservative scope: dense_rank, extra predicates, and multi-window keep the stock plan") {
     val ss = topkSession()
     val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
-    // rank() duplicates ties — must NOT rewrite
-    val r1 = frame(ss).withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    // dense_rank's bound does not limit rows per group — must NOT rewrite
+    val r1 = frame(ss).withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
     assert(!r1.queryExecution.executedPlan.toString.contains("GroupedTopK "))
     // an extra predicate beside the bound — must NOT rewrite
     val r2 = query(frame(ss), 3).filter(col("s") > 10)
