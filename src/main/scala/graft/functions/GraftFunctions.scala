@@ -73,6 +73,20 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
           QuantileMergeQuantileAgg(c, intLit(p, "q_merge_quantile"), intLit(sh, "q_merge_quantile")),
           org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false) }),
+    ("topk_pairs",
+      "topk_pairs(score, id, k) - aggregate: top-k (score, id) pairs in rank order",
+      { case Seq(s, i, k) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+          TopKPairsAgg(s, i, intLit(k, "topk_pairs")),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false) }),
+    ("topk_merge",
+      "topk_merge(topArray, k) - aggregate: merge stored topk_pairs arrays into a top-k",
+      { case Seq(c, k) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+          TopKMergeAgg(c, intLit(k, "topk_merge")),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
           isDistinct = false) }))
 
   /** Wrong arity → a named error instead of a bare MatchError. */

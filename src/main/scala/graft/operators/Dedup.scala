@@ -139,6 +139,18 @@ object Dedup {
     val shift = 3 - b % 4
     s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
   }
+  /** The simhash oracle — the composed 64-column vote form, ONE text
+    * shared by the API entry and its SQL-text twin. */
+  private lazy val simhashOracleSql =
+    s"""WITH th AS (
+       | SELECT doc_id, md5(t) AS h FROM (
+       |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '$tokenPattern'))) AS t
+       |  FROM documents)),
+       |bits AS (
+       | SELECT doc_id, ${(0 until 64).map(voteExpr).mkString(",\n ")}
+       | FROM th GROUP BY doc_id)
+       |SELECT doc_id, $hexAssembly AS simhash64 FROM bits""".stripMargin
+
   private def hexAssembly: String = {
     val digits = (0 until 16).map { dIdx =>
       val terms = (0 until 4).map { k =>
@@ -522,15 +534,7 @@ object Dedup {
     },
 
     // --- simhash signatures ----------------------------------------------
-    sql("dedup_simhash",
-      s"""WITH th AS (
-         | SELECT doc_id, md5(t) AS h FROM (
-         |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '$tokenPattern'))) AS t
-         |  FROM documents)),
-         |bits AS (
-         | SELECT doc_id, ${(0 until 64).map(voteExpr).mkString(",\n ")}
-         | FROM th GROUP BY doc_id)
-         |SELECT doc_id, $hexAssembly AS simhash64 FROM bits""".stripMargin) {
+    sql("dedup_simhash", simhashOracleSql) {
       (s, d) =>
         // one-pass native vote aggregate (each row decodes its 16 hex
         // nibbles once) instead of 64 SUM(substr/instr CASE) columns —
@@ -542,6 +546,26 @@ object Dedup {
           .selectExpr("doc_id", "md5(t) AS h")
         th.groupBy(col("doc_id"))
           .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash64"))
+    },
+
+    // THE SAME VIEW FROM SQL TEXT — text-is-the-interface applied to
+    // the extension surface: the native aggregate reaches `SELECT`
+    // through the FunctionRegistry ([[graft.functions.GraftFunctions]]
+    // / the `spark.sql.extensions=graft.GraftExtensions` entry point),
+    // so a user types `simhash_agg(...)` like any built-in. Same
+    // oracle text as the API twin — two surfaces, one definition of
+    // record.
+    sql("dedup_simhash_sql", simhashOracleSql) {
+      (s, d) =>
+        val ss = s.newSession()
+        graft.functions.GraftFunctions.register(ss)
+        Tables.documents(ss, d).createOrReplaceTempView("documents")
+        ss.sql(
+          s"""SELECT doc_id, simhash_agg(md5(t)) AS simhash64
+             |FROM (SELECT doc_id,
+             |  explode(array_distinct(regexp_extract_all(lower(text), '$tokenPattern', 0))) AS t
+             |  FROM documents)
+             |GROUP BY doc_id""".stripMargin)
     },
 
     // --- char-trigram jaccard with blocking ------------------------------

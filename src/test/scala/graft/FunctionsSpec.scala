@@ -189,6 +189,20 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT simhash_agg(h) AS sh FROM (SELECT md5('tok') AS h)").collect()(0)
     assert(r3.getString(0) == java.security.MessageDigest.getInstance("MD5")
       .digest("tok".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+    // top-k aggregates from SQL text: rank order, then a merge rollup
+    val r4 = spark.sql(
+      """SELECT topk_pairs(s, i, 2) AS top FROM (VALUES (5L, 10L), (9L, 7L), (5L, 3L))
+        | AS t(s, i)""".stripMargin).collect()(0)
+    val pairs = r4.getSeq[org.apache.spark.sql.Row](0).map(p => (p.getLong(0), p.getLong(1)))
+    assert(pairs == Seq((9L, 7L), (5L, 3L)), pairs)
+    val r5 = spark.sql(
+      """SELECT topk_merge(top, 2) AS m FROM (
+        | SELECT topk_pairs(s, i, 2) AS top FROM (VALUES (5L, 10L), (9L, 7L)) AS a(s, i)
+        | UNION ALL
+        | SELECT topk_pairs(s, i, 2) FROM (VALUES (7L, 1L), (5L, 3L)) AS b(s, i))""".stripMargin)
+      .collect()(0)
+    val merged = r5.getSeq[org.apache.spark.sql.Row](0).map(p => (p.getLong(0), p.getLong(1)))
+    assert(merged == Seq((9L, 7L), (7L, 1L)), merged)
   }
 
   test("GraftExtensions injections land in a function registry") {
