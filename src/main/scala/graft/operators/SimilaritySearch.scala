@@ -68,6 +68,27 @@ object SimilaritySearch {
     * set and the per-vector assignment cost stay k × dim at any scale. */
   val IvfCells = 32
 
+  /** Deliberately under-provisioned cell count for the RESPLIT entry
+    * (hot cells by construction) and the split fan-out. The size
+    * threshold is RELATIVE — corpus/8, half the average cell size at
+    * 4 cells — so a hot cell exists at every fixture scale
+    * (pigeonhole: the max cell is >= corpus/4). */
+  val ResplitCells = 4
+  val ResplitSubCells = 2
+
+  /** Memoized per-fixture resplit-index dirs (build coarse → resplit
+    * oversized cells once), removed on JVM exit via [[ivfDirs]]'s hook
+    * (same map). */
+  private def resplitIvfDir(s: SparkSession, d: String): String =
+    ivfDirs.computeIfAbsent(s"$d#resplit", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivf_resplit_").toString
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
+      graft.sources.IvfIndex.build(e, out, ResplitCells)
+      graft.sources.IvfIndex.resplit(s, out, e.count() / 8, ResplitSubCells)
+      out
+    })
+
   /** Band count for the OR-amplified LSH entry (4 bands x 4 bits over
     * the leading 64 dims). */
   val LshBands = 4
@@ -417,6 +438,90 @@ object SimilaritySearch {
           .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"), cos.as("c"))
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"),
+            floorRound6(col("c")).as("cos_sim"))
+    },
+
+    // IVF RESPLIT — the index-QUALITY maintenance story on a real
+    // on-disk index: build deliberately under-provisioned (4 cells →
+    // hot cells by construction), then split every oversized cell
+    // into 2 sub-cells seeded by the same deterministic md5-of-id
+    // rule, members re-routed locally, every other cell frozen. The
+    // gated value is the standard nprobe=2 top-k THROUGH the
+    // post-split index; the oracle independently re-derives build →
+    // size census → sub-seeding → local re-assignment → probe, so the
+    // whole maintenance pipeline sits behind the hash gate. The fn
+    // self-asserts the split fired (cell count grew) and that the
+    // index is still an exact partition of the corpus.
+    sql("ann_ivf_resplit",
+      s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |c0 AS ${seedCentroidsSql(ResplitCells)},
+         |a0 AS (
+         | SELECT vec_id, v, cent_id FROM (
+         |  SELECT e.vec_id, e.v, c0.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${simRank7Sql(cosineExactSql("e.v", "c0.cv"))} DESC, c0.cent_id) AS r
+         |  FROM e, c0) t WHERE r = 1),
+         |ov AS (SELECT cent_id FROM (SELECT cent_id, COUNT(*) AS n FROM a0 GROUP BY cent_id) s
+         |       WHERE n > (SELECT COUNT(*) // 8 FROM e)),
+         |sub AS (
+         | SELECT old_cent, new_cent, cv FROM (
+         |  SELECT a0.cent_id AS old_cent, a0.vec_id AS new_cent, a0.v AS cv,
+         |   ROW_NUMBER() OVER (PARTITION BY a0.cent_id
+         |     ORDER BY md5(CAST(a0.vec_id AS VARCHAR)), a0.vec_id) AS r
+         |  FROM a0 JOIN ov ON ov.cent_id = a0.cent_id
+         |  WHERE a0.vec_id NOT IN (SELECT cent_id FROM c0)) t WHERE r <= $ResplitSubCells),
+         |rea AS (
+         | SELECT vec_id, v, cent_id FROM (
+         |  SELECT a0.vec_id, a0.v, s.new_cent AS cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY a0.vec_id
+         |     ORDER BY ${simRank7Sql(cosineExactSql("a0.v", "s.cv"))} DESC, s.new_cent) AS r
+         |  FROM a0 JOIN sub s ON s.old_cent = a0.cent_id) t WHERE r = 1),
+         |a1 AS (SELECT vec_id, v, cent_id FROM a0 WHERE cent_id NOT IN (SELECT cent_id FROM ov)
+         |       UNION ALL SELECT vec_id, v, cent_id FROM rea),
+         |c1 AS (SELECT cent_id, cv FROM c0 WHERE cent_id NOT IN (SELECT cent_id FROM ov)
+         |       UNION ALL SELECT new_cent, cv FROM sub),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize),
+         |probe AS (
+         | SELECT query_id, qv, cent_id FROM (
+         |  SELECT q.query_id, q.qv, c1.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY ${cosineExactSql("q.qv", "c1.cv")} DESC, c1.cent_id) AS r
+         |  FROM q, c1) t WHERE r <= 2),
+         |cand AS (
+         | SELECT p.query_id, p.qv, a.vec_id, a.v
+         | FROM probe p JOIN a1 a ON a.cent_id = p.cent_id
+         | WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
+         | SELECT query_id, vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosineExactSql("qv", "v")} DESC, vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("qv", "v")} * 1000000 + 0.5) / 1000000 AS cos_sim
+         | FROM cand) t WHERE rnk <= $K""".stripMargin) {
+      (s, d) =>
+        val path = resplitIvfDir(s, d)
+        val assigned = graft.sources.IvfIndex.read(s, path)
+        val cents = graft.sources.IvfIndex.centroids(s, path)
+        val nCells = cents.count()
+        require(nCells > ResplitCells,
+          s"resplit must have split at least one hot cell: $nCells cells")
+        require(assigned.count() == Tables.embeddings(s, d).count() &&
+            assigned.select("vec_id").distinct().count() == assigned.count(),
+          "post-split index must remain an exact partition of the corpus")
+        val q = assigned.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val probeW = Window.partitionBy(col("query_id"))
+          .orderBy(cosineExact(col("qv"), col("cv")).desc, col("cent_id"))
+        val probes = q.join(broadcast(cents))
+          .withColumn("r", row_number().over(probeW)).filter(col("r") <= 2)
+          .select(col("query_id"), col("qv"), col("cent_id"))
+        val rankW = Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
+        probes.join(assigned, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosineExact(col("qv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(rankW)).filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
             floorRound6(col("c")).as("cos_sim"))
     },
 

@@ -85,6 +85,75 @@ object IvfIndex {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).withColumn("cent_id", col("cent_id").cast("long"))
 
+  /** INDEX-QUALITY maintenance: split every cell holding more than
+    * `maxRows` vectors into `subCells` sub-cells — the drift story
+    * [[upsert]] alone cannot tell: membership maintenance keeps cells
+    * CORRECT while inserts concentrate into hot cells until a probe's
+    * corpus/C × nprobe contract is broken; the split restores it.
+    *
+    * The split is LOCAL (the standard no-global-retrain contract):
+    * sub-seeds are chosen INSIDE the oversized cell by the same
+    * deterministic md5-of-id rule as [[graft.operators.SimilaritySearch.seedCentroids]]
+    * (current centroid ids excluded so cell directory names stay
+    * unique), only that cell's members re-assign (routed by the same
+    * [[graft.functions.VectorOps.simRank7]] key as [[route]]), and
+    * every other cell's assignment is untouched — so the index
+    * remains an exact partition of the corpus and time/work is
+    * bounded by the oversized cells' data, not the index. Retraining
+    * the coarse quantizer globally remains an explicit [[build]].
+    *
+    * Returns the cell ids that were split. */
+  def resplit(spark: SparkSession, path: String, maxRows: Long, subCells: Int = 2): Seq[Long] = {
+    require(subCells >= 2, s"subCells must be >= 2, got $subCells")
+    val cents = centroids(spark, path).localCheckpoint(true)
+    val oversized0: Seq[Long] = read(spark, path).groupBy("cent_id").count()
+      .filter(col("count") > maxRows)
+      .select("cent_id").collect().map(_.getLong(0)).toSeq.sorted
+    if (oversized0.isEmpty) return Nil
+    val members0 = Bucketing.readPartition(spark, path, "cent_id", oversized0)
+      .select(col("vec_id"), col("v"), col("cent_id").cast("long").as("old_cent"))
+      .localCheckpoint(true)
+    // sub-seeds per cell: the seedCentroids rule applied within the cell
+    val seedW = Window.partitionBy(col("old_cent"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val subs = members0
+      .join(broadcast(cents.select(col("cent_id").as("__taken"))),
+        col("vec_id") === col("__taken"), "left_anti")
+      .withColumn("__r", row_number().over(seedW)).filter(col("__r") <= subCells)
+      .select(col("old_cent"), col("vec_id").as("new_cent"), col("v").as("cv"))
+      .localCheckpoint(true)
+    // a degenerate cell that cannot yield a full seed set (members are
+    // all existing centroid ids) is left unsplit rather than shrunk
+    val splittable: Seq[Long] = subs.groupBy("old_cent").count()
+      .filter(col("count") === subCells)
+      .select("old_cent").collect().map(_.getLong(0)).toSeq.sorted
+    if (splittable.isEmpty) return Nil
+    val members = members0.filter(col("old_cent").isin(splittable.map(Long.box): _*))
+    val picked = subs.filter(col("old_cent").isin(splittable.map(Long.box): _*))
+      .withColumnRenamed("old_cent", "sub_old")
+    // each member re-routes among ITS OWN cell's sub-seeds
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(simRank7(cosine(col("v"), col("cv"))).desc, col("new_cent"))
+    val newRows = members.join(broadcast(picked), col("old_cent") === col("sub_old"))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("vec_id"), col("v"), col("new_cent").as("cent_id"))
+      .localCheckpoint(true) // materialized before the overwrite below
+    val newCents = cents.filter(!col("cent_id").isin(splittable.map(Long.box): _*))
+      .unionByName(picked.select(col("new_cent").as("cent_id"), col("cv")))
+      .localCheckpoint(true)
+    newRows.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id").parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    splittable.foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/cent_id=$c")
+      val fs = dir.getFileSystem(conf)
+      fs.delete(dir, true): Unit
+    }
+    newCents.write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
+    splittable
+  }
+
   /** Apply a `(vec_id, v, tag)` changelog to the index, rewriting only
     * the affected cells. */
   def upsert(spark: SparkSession, path: String, changelog: DataFrame): Unit = {

@@ -164,4 +164,66 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(probe.count() ==
       IvfIndex.read(spark, dir).filter(col("cent_id").isin(cells.map(Long.box): _*)).count())
   }
+
+  test("resplit divides hot cells locally: exact partition kept, frozen cells untouched, recall holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_resplit").toString
+    // 3 tight clusters of 20 vectors around orthogonal axes (+ small
+    // deterministic jitter on a second coordinate) — clustered data,
+    // so a LOCAL split separates real structure
+    val vecs = (0 until 60).map { i =>
+      val axis = i % 3
+      val base = Array.fill(6)(0.0)
+      base(axis) = 1.0
+      base((axis + 3) % 6) = 0.01 * (i / 3 % 5)
+      (i.toLong, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    IvfIndex.build(df, dir, cells = 1)
+    assert(IvfIndex.centroids(spark, dir).count() == 1)
+    val split = IvfIndex.resplit(spark, dir, maxRows = 30, subCells = 3)
+    assert(split.size == 1)
+    val cents = IvfIndex.centroids(spark, dir).collect()
+    assert(cents.length == 3, s"1 hot cell -> 3 sub-cells, got ${cents.length}")
+    val idx = IvfIndex.read(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getLong(r.fieldIndex("cent_id"))))
+    // exact partition: every vector exactly once
+    assert(idx.map(_._1).toSet == (0L until 60L).toSet && idx.length == 60)
+    // no cell above the threshold anymore on this fixture
+    val sizes = idx.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.values.forall(_ <= 30), sizes)
+    // assignment = nearest sub-centroid (local re-route is a true route)
+    val centVecs = cents.map(r => r.getLong(r.fieldIndex("cent_id")) ->
+      r.getSeq[Double](r.fieldIndex("cv")).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    vecs.foreach { case (id, v) =>
+      val va = v.toArray
+      val best = centVecs.toSeq
+        .map { case (cid, cv) => (cid, math.floor(cos(va, cv) * 1e7 + 0.5)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      assert(idx.toMap.apply(id) == best, s"vec $id routed to ${idx.toMap.apply(id)}, nearest $best")
+    }
+    // RECALL vs brute force: nprobe=1 top-5 per query — on clustered
+    // data the nearest centroid's cell holds the true neighborhood
+    val queries = Seq(0L, 1L, 2L)
+    val byId = vecs.toMap
+    val recalls = queries.map { q =>
+      val qv = byId(q).toArray
+      val brute = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, math.floor(cos(qv, v.toArray) * 1e7 + 0.5)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val probeCell = centVecs.toSeq
+        .map { case (cid, cv) => (cid, math.floor(cos(qv, cv) * 1e7 + 0.5)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      val got = idx.filter { case (id, cid) => cid == probeCell && id != q }
+        .map { case (id, _) => (id, math.floor(cos(qv, byId(id).toArray) * 1e7 + 0.5)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"post-split nprobe=1 recall degraded: $recalls")
+  }
 }
