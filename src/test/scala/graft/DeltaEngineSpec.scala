@@ -948,4 +948,38 @@ class DeltaEngineSpec extends AnyFunSuite {
       "orders", "o_orderkey", "lineitem", expectedItems = 200000L, fpp = 0.01)
     assert(off("lineitem").count() == before)
   }
+
+  test("stateMetrics reports exact keys/rows and a canon-derived byte footprint") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // P: keys 1 and 2 alive; C: two rows under key 1, none under key 2
+    val pRows = Seq(parentRow(1), parentRow(2))
+    val cRows = Seq(childRow(1, 7, 12), childRow(1, 8, 15))
+    val pEvts = pRows.map(r => Evt(0, false, 1, 1, r("pk"), r))
+    val cEvts = cRows.map(r => Evt(1, false, 1, 1, r("fk"), r))
+    val logs = Map("P" -> s.createDataset(pEvts), "C" -> s.createDataset(cEvts))
+    val stages = Seq(
+      Stage("P", parentSpec),
+      Stage("C", childSpec, parentStage = Some("P")))
+    val got = stateMetrics(stages, logs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def u8(m: Map[String, String]): Long =
+      canon(m).getBytes("UTF-8").length.toLong
+    // P: one buffered row per key + the (empty) parentCanon slot
+    assert(got("P")._1 == 2 && got("P")._2 == 2, got("P"))
+    assert(got("P")._3 == pRows.map(u8(_) + 4L).sum + 2 * 4L, got("P"))
+    // C: key 1 buffers both child rows and P1's merged emission as its
+    // parentCanon; key 2 holds liveness-only state (parent delta
+    // arrived, no children) — it COUNTS as a key and its bytes are
+    // P2's canon. state_bytes answers "which node is growing" in
+    // bytes, not only rows — the size axis the gated entry cannot
+    // mirror portably.
+    assert(got("C")._1 == 2 && got("C")._2 == 2, got("C"))
+    assert(got("C")._3 ==
+      cRows.map(u8(_) + 4L).sum + u8(parentRow(1)) + 4L + u8(parentRow(2)) + 4L,
+      got("C"))
+    // the growth signal points at the right node: C outweighs P
+    assert(got("C")._3 > got("P")._3)
+  }
 }
