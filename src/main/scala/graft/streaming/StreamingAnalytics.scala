@@ -263,14 +263,21 @@ object StreamingAnalytics {
                 c._3 == third && c._1 - a._1 <= windowUs =>
               PatMatch(key, a._2, a._1, c._2, c._1)
           }.toList
-          val tail = seq.takeRight(2)
-          // tail persists indefinitely (the NEXT event may complete a
-          // pattern with it) — state never removes, only shrinks to 2
-          // rows; a TTL'd deployment would drop tails older than the
-          // pattern window, which cannot change any in-window match
-          state.update(PatBuf(still, tail))
-          if (still.nonEmpty) {
-            val wake = (still.map(_._1).min / 1000L) + 1L
+          // tail TTL: a finalized event more than the pattern window
+          // behind the watermark can never bound a future match (the
+          // watermark fence means every future event has ts >= wm, so
+          // the window constraint already fails) — evict it, and when
+          // nothing is left REMOVE the key, so state tracks live keys
+          // instead of total key cardinality. A tail-only key arms a
+          // timeout at the instant its tail ages out, so dead keys
+          // drain without waiting for traffic.
+          val tail = seq.takeRight(2).filter(_._1 >= wmMicros - windowUs)
+          if (still.isEmpty && tail.isEmpty) state.remove()
+          else {
+            state.update(PatBuf(still, tail))
+            val wake =
+              if (still.nonEmpty) (still.map(_._1).min / 1000L) + 1L
+              else ((tail.map(_._1).max + windowUs) / 1000L) + 1L
             state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1L))
           }
           out.iterator
@@ -337,10 +344,14 @@ object StreamingAnalytics {
           if (pending.isEmpty && keptPurchases.isEmpty) state.remove()
           else {
             state.update(AbsBuf(pending, keptPurchases))
-            if (pending.nonEmpty) {
-              val wake = ((pending.map(_._1).min + windowUs) / 1000L) + 1L
-              state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1L))
-            }
+            // purchase-only keys arm a timeout too: the key wakes when
+            // its newest purchase ages past the window, prunes to
+            // empty and removes — without it a dead key held its last
+            // purchases forever
+            val wake =
+              if (pending.nonEmpty) ((pending.map(_._1).min + windowUs) / 1000L) + 1L
+              else ((keptPurchases.max + windowUs) / 1000L) + 1L
+            state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1L))
           }
           out.iterator
       }

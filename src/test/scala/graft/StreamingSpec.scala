@@ -792,4 +792,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((2L, 20L, base + 100000000L), (3L, 30L, base + 100000000L)),
       got.toString)
   }
+
+  test("dead keys drain: pattern tails and purchase-only absence state evict by timeout") {
+    import graft.streaming.StreamingAnalytics.{streamAbsenceAlerts, streamPatternMatch, PatIn}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000L)
+    def drained(mk: org.apache.spark.sql.Dataset[PatIn] => org.apache.spark.sql.Dataset[_],
+                sentinelType: String, name: String): Long = {
+      val src = MemoryStream[PatIn]
+      val query = mk(src.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        // five keys see one event each, then go silent forever
+        src.addData((1 to 5).map(u => PatIn(u, ts(20), sentinelType, u * 10L)): _*)
+        query.processAllAvailable()
+        // two far-future sentinels: the first finalizes the dead keys'
+        // events, the second pushes the watermark past tail+window /
+        // purchase+window so their TIMEOUTS fire with no traffic
+        src.addData(PatIn(-1, ts(7200), sentinelType, -1))
+        query.processAllAvailable()
+        src.addData(PatIn(-1, ts(14400), sentinelType, -1))
+        query.processAllAvailable()
+        query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally query.stop()
+    }
+    // before the timeout fix, each silent key held its 2-row tail /
+    // purchase list forever -> 6 state rows; now only the live
+    // sentinel key remains
+    assert(drained(ds => streamPatternMatch(ds, delay = "1 hour"), "view",
+      "cep_drain_sink") == 1L)
+    assert(drained(ds => streamAbsenceAlerts(ds, delay = "1 hour"), "purchase",
+      "absence_drain_sink") == 1L)
+  }
 }
