@@ -110,7 +110,39 @@ object Bench {
       "\"" + k + "\":{\"median\":" + med + ",\"min\":" + min + ",\"n\":" + total + retried + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+
+    // SCALE-PROPORTIONALITY CHECK: the same headliners at a ~10x
+    // smaller SF in the same JVM, and the per-query time ratio. An
+    // absolute number can hide a driver-side loop or an all-pairs
+    // shape that "works" at one SF; a time ratio far above the data
+    // ratio cannot. Fixed per-query overhead (session, planning,
+    // codegen cache hits) deflates small-SF times, so healthy ratios
+    // sit BELOW the data ratio — the signal is ratios far above it.
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SMALL_DIR", "/root/testdata/sf0.01")
+    val scaleJson =
+      if (smallDir == sfDir || !new java.io.File(smallDir).isDirectory) ""
+      else {
+        val m = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt.max(1)
+        val savedSf = sfDir
+        def timeSmall(name: String): Double = {
+          val t0 = System.nanoTime()
+          try { force(SparkEntry.queries(name)(spark, smallDir))
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }
+        val rows = (1 to m).map(_ => SparkEntry.benchNames.map(timeSmall))
+        val small = SparkEntry.benchNames.zipWithIndex.map { case (nm, i) =>
+          nm -> medianOf(rows.map(_(i)))
+        }.toMap
+        val entries = results.map { case (k, large, _, _, _) =>
+          val s = small(k)
+          val ratio = if (s > 0 && large > 0) large / s else -1.0
+          "\"" + k + "\":{\"small\":" + s + ",\"large\":" + large +
+            ",\"ratio\":" + f"$ratio%.2f" + "}"
+        }.mkString("{", ",", "}")
+        s""","scaleCheck":{"smallSf":"$smallDir","largeSf":"$savedSf","runs":$m,"queries":$entries}"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }

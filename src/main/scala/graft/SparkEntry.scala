@@ -81,7 +81,11 @@ object SparkEntry {
       "events_pattern_match", "text_bpe_pairs",
       // the custom physical operator (partial-heap -> exchange ->
       // final-rank; the snapshot pins its zero-sort plan)
-      "window_topk_rewrite")
+      "window_topk_rewrite",
+      // round 9: the ties-aware rank() spelling through the same
+      // operator, and the FULL OUTER maintained view under ancestor
+      // deletes (the tree-prefix orphan plan's cost is the entry)
+      "window_rank_topk", "incremental_sql_q10_fullouter_ancestor_del")
     val have = queries.keySet
     preferred.filter(have)
   }
