@@ -27,8 +27,8 @@ class RelationalSpec extends AnyFunSuite {
       "dedup_semantic_kmeans", "mixture_weights", "text_top_terms", "text_boilerplate_ngrams",
       "text_bm25_topk",
       // same FIXED-k centroid broadcast as ann_ivf_topk, over the
-      // incrementally maintained index
-      "ann_ivf_incremental",
+      // incrementally maintained / resplit on-disk index
+      "ann_ivf_incremental", "ann_ivf_resplit",
       // ONE-ROW global-scalar broadcasts (the Q11/Q15/Q22 shapes:
       // share-of-total, argmax-of-aggregate, above-global-average)
       "q11_like_value_share", "q15_like_top_supplier", "q22_like_idle_customers")
