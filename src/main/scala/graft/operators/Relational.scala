@@ -1622,6 +1622,89 @@ object Relational {
             count(lit(1)).as("n_lines"))
     },
 
+    // Q17-LIKE small-quantity revenue — the correlated scalar-AVG
+    // subquery (`l_quantity < 0.2 * (SELECT AVG(l_quantity) WHERE
+    // l_partkey = p_partkey)`) DECORRELATED the way Catalyst and
+    // every MPP engine plans it: ONE per-part aggregate over the
+    // brand-filtered fact, joined back on the part key — two scans of
+    // the reduced fact instead of a per-row subquery. Exactness: the
+    // threshold compare runs cross-multiplied in integers
+    // (l_q < sum/(5·cnt) ⟺ 5·l_q·cnt < sum — quantities are integral)
+    // and the yearly average is one exact e2 sum with ONE IEEE
+    // division. At scale the brand filter broadcasts into the fact
+    // scan and the partkey shuffle of the aggregate is reused by the
+    // threshold join.
+    sql("q17_like_small_quantity_revenue",
+      """WITH lb AS (
+        | SELECT l_partkey, CAST(l_quantity AS BIGINT) AS lq,
+        |  CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_e2
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_brand = 'Brand#13'),
+        |pa AS (SELECT l_partkey AS pk, SUM(lq) AS sq, COUNT(*) AS cnt
+        |       FROM lb GROUP BY 1)
+        |SELECT CAST(SUM(price_e2) AS DOUBLE) / 700.0 AS avg_yearly,
+        | COUNT(*) AS n_lines
+        |FROM lb JOIN pa ON pa.pk = lb.l_partkey
+        |WHERE 5 * lb.lq * pa.cnt < pa.sq""".stripMargin) {
+      (s, d) =>
+        val lb = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("lq"),
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("price_e2"))
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") === "Brand#13").select("p_partkey")),
+            col("p_partkey") === col("l_partkey"))
+        val pa = lb.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("lq")).as("sq"), count(lit(1)).as("cnt"))
+        lb.join(pa, col("pk") === col("l_partkey"))
+          .filter(lit(5) * col("lq") * col("cnt") < col("sq"))
+          .agg((sum(col("price_e2")).cast("double") / lit(700.0)).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+    },
+
+    // Q20-LIKE promo-stock suppliers — the nested `IN (SELECT ... IN
+    // (SELECT ...) AND qty > (SELECT SUM(...)))` chain as relational
+    // algebra: shipped volume per (part, supplier) over the
+    // name-filtered parts in the ship-date window, part totals as a
+    // rollup OF THAT aggregate (no second fact pass — the partkey
+    // partitioning is reused), the 20%-of-total dominance test
+    // cross-multiplied in exact integers, and the supplier list
+    // recovered by a LEFT SEMI join (the IN). Output is the
+    // (supplier, nation) directory of dominant promo-part suppliers.
+    sql("q20_like_promo_stock_suppliers",
+      """WITH lp AS (
+        | SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_name LIKE 'large%'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk, SUM(sq) AS total_sq FROM lp GROUP BY 1)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lp JOIN pt ON pt.pk = lp.l_partkey
+        |  WHERE 5 * lp.sq > pt.total_sq)""".stripMargin) {
+      (s, d) =>
+        val lp = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .select("l_partkey", "l_suppkey", "l_quantity")
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").like("large%")).select("p_partkey")),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        val pt = lp.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("sq")).as("total_sq"))
+        val dominant = lp.join(pt, col("pk") === col("l_partkey"))
+          .filter(lit(5) * col("sq") > col("total_sq"))
+          .select(col("l_suppkey"))
+        Tables.supplier(s, d)
+          .join(dominant, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_name", "n_name")
+    },
+
     // Q16-LIKE supplier counting — the NOT IN (subquery) shape:
     // distinct suppliers per (brand, size) EXCLUDING a derived
     // denylist (TPC-H Q16 excludes complaint suppliers; here, the
