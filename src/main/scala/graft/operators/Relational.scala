@@ -1666,7 +1666,7 @@ object Relational {
     // algebra: shipped volume per (part, supplier) over the
     // name-filtered parts in the ship-date window, part totals as a
     // rollup OF THAT aggregate (no second fact pass — the partkey
-    // partitioning is reused), the 20%-of-total dominance test
+    // partitioning is reused), the majority-of-total dominance test
     // cross-multiplied in exact integers, and the supplier list
     // recovered by a LEFT SEMI join (the IN). Output is the
     // (supplier, nation) directory of dominant promo-part suppliers.
@@ -1682,7 +1682,7 @@ object Relational {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (
         |  SELECT l_suppkey FROM lp JOIN pt ON pt.pk = lp.l_partkey
-        |  WHERE 5 * lp.sq > pt.total_sq)""".stripMargin) {
+        |  WHERE 2 * lp.sq > pt.total_sq)""".stripMargin) {
       (s, d) =>
         val lp = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
@@ -1696,7 +1696,7 @@ object Relational {
         val pt = lp.groupBy(col("l_partkey").as("pk"))
           .agg(sum(col("sq")).as("total_sq"))
         val dominant = lp.join(pt, col("pk") === col("l_partkey"))
-          .filter(lit(5) * col("sq") > col("total_sq"))
+          .filter(lit(2) * col("sq") > col("total_sq"))
           .select(col("l_suppkey"))
         Tables.supplier(s, d)
           .join(dominant, col("l_suppkey") === col("s_suppkey"), "left_semi")
