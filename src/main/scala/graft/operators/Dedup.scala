@@ -533,6 +533,37 @@ object Dedup {
             col("n_tokens"), col("n_members"))
     },
 
+    // SHINGLE NOVELTY (contribution scoring) — "how much of this
+    // document is first seen HERE": the fraction of a doc's distinct
+    // shingles whose MINIMAL owner doc_id is the doc itself (owner =
+    // arrival order by id — the dedup-keeper convention). The
+    // training-data angle: novelty ranks candidates by marginal new
+    // content, the score behind "add this crawl snapshot or not".
+    // Plan: shingle → MIN(doc_id) hash-aggregate, joined back on the
+    // shingle — two shuffles on the shingle key, no pairwise shapes;
+    // the ratio is exact ints + ONE IEEE division.
+    sql("dedup_shingle_novelty",
+      s"""WITH sh AS ($shingledSql),
+         |x AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |own AS (SELECT s, MIN(doc_id) AS owner FROM x GROUP BY s)
+         |SELECT x.doc_id,
+         | CAST(SUM(CASE WHEN own.owner = x.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         | COUNT(*) AS n_shingles,
+         | CAST(SUM(CASE WHEN own.owner = x.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / COUNT(*) AS novelty
+         |FROM x JOIN own ON own.s = x.s
+         |GROUP BY x.doc_id""".stripMargin) {
+      (s, d) =>
+        val x = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+        val own = x.groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
+        x.join(own, "s")
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"),
+            count(lit(1)).as("n_shingles"))
+          .select(col("doc_id"), col("n_novel"), col("n_shingles"),
+            (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+    },
+
     // --- simhash signatures ----------------------------------------------
     sql("dedup_simhash", simhashOracleSql) {
       (s, d) =>

@@ -96,6 +96,38 @@ object TimeSeries {
   }
 
   val defs: Seq[GraftQuery] = Seq(
+    // M4 DOWNSAMPLING — the observability-dashboard reduction (min,
+    // max, first, last per series per pixel-bin): the four values
+    // that make a line chart of N points render identically from
+    // 4·bins points. ONE hash aggregate with map-side combine — no
+    // windows, no sort; first/last ride min_by/max_by on the unique
+    // arrival sequence (event_id), so the reduction is deterministic
+    // and the whole row sits behind the hash gate (values as exact e2
+    // ints). At 100 TB this is the query between raw telemetry and
+    // every dashboard; its cost must be one combiner pass, which this
+    // plan is.
+    sql("events_m4_downsample",
+      """WITH e AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day, event_id,
+        |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_e2
+        | FROM events)
+        |SELECT event_type, day, COUNT(*) AS n,
+        | MIN(v_e2) AS v_min, MAX(v_e2) AS v_max,
+        | arg_min(v_e2, event_id) AS v_first,
+        | arg_max(v_e2, event_id) AS v_last
+        |FROM e GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("event_id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("v_e2"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"),
+            min(col("v_e2")).as("v_min"), max(col("v_e2")).as("v_max"),
+            min_by(col("v_e2"), col("event_id")).as("v_first"),
+            max_by(col("v_e2"), col("event_id")).as("v_last"))
+    },
     // Hourly purchase-value series per user, gaps LOCF-filled. DuckDB
     // mirrors bucket = epoch_us // step (positive // == div), the grid
     // via generate_series, and LOCF via IGNORE NULLS last_value.
