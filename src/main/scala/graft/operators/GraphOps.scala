@@ -220,7 +220,87 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("tri_count"))
   }
 
+  /** k-CORE decomposition by iterative peeling: drop nodes whose
+    * degree among SURVIVING edges is < k, recompute, repeat to the
+    * fixpoint — the standard dense-subgraph extractor (community
+    * cores, spam rings, "the part of the graph worth mining"). Each
+    * round is one semi-join pair (edges × alive endpoints) + one hash
+    * degree aggregate, `localCheckpoint` per round so lineage stays
+    * flat at any round count; next ⊆ alive makes the count equality a
+    * set-equality fixpoint test. Fails LOUD if `maxRounds` rounds do
+    * not converge — a silent cap would report a non-core. Returns
+    * `(node, core_deg)` with degrees measured inside the core. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    def aliveEdges(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("node").as("u")), "u")
+      .join(alive.select(col("node").as("v")), "v")
+    def degrees(ae: DataFrame): DataFrame =
+      ae.select(col("u").as("node")).unionAll(ae.select(col("v")))
+        .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    var alive = edges.select(col("u").as("node")).unionAll(edges.select(col("v")))
+      .distinct().localCheckpoint(eager = true)
+    var n = alive.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val next = degrees(aliveEdges(alive))
+        .filter(col("core_deg") >= k).select("node")
+        .localCheckpoint(eager = true)
+      val m = next.count()
+      converged = m == n
+      alive = next; n = m; r += 1
+    }
+    require(converged, s"k-core peel did not converge within $maxRounds rounds")
+    degrees(aliveEdges(alive))
+  }
+
+  /** [[kcore]]'s oracle: the peel unrolled to a FIXED `rounds` chain
+    * of CTEs (recursive CTEs cannot reference the working table twice,
+    * which the both-endpoints-alive join needs). Extra rounds past the
+    * fixpoint are the identity, so fixed-R equals the converged loop
+    * whenever R covers convergence — which the Spark side asserts. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT node FROM (
+         |  SELECT u AS node FROM e0
+         |   WHERE u IN (SELECT node FROM a${i - 1}) AND v IN (SELECT node FROM a${i - 1})
+         |  UNION ALL
+         |  SELECT v FROM e0
+         |   WHERE u IN (SELECT node FROM a${i - 1}) AND v IN (SELECT node FROM a${i - 1})) t
+         | GROUP BY node HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |       FROM li a JOIN li b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |a0 AS MATERIALIZED (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+       |$peels
+       |SELECT node, COUNT(*) AS core_deg FROM (
+       | SELECT u AS node FROM e0
+       |  WHERE u IN (SELECT node FROM a$rounds) AND v IN (SELECT node FROM a$rounds)
+       | UNION ALL
+       | SELECT v FROM e0
+       |  WHERE u IN (SELECT node FROM a$rounds) AND v IN (SELECT node FROM a$rounds)) t
+       |GROUP BY node""".stripMargin
+  }
+
   val defs: Seq[GraftQuery] = Seq(
+    // 3-CORE of the support-≥2 part co-occurrence graph (the same
+    // signal/noise cut the CC and triangle entries use): the dense
+    // community backbone, peeled to the asserted fixpoint (11 rounds
+    // at sf0.01; the oracle unrolls 16 — identity past convergence).
+    sql("graph_kcore", kcoreOracleSql(k = 3, rounds = 16)) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+        val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+          .localCheckpoint(eager = true)
+        kcore(edges, k = 3, maxRounds = 16)
+    },
     // CONNECTED COMPONENTS at the graph surface: the support-≥2 part
     // co-occurrence graph labeled by the O(log²)-round large-star/
     // small-star fixpoint ([[Dedup.ccLargeSmallStar]] — ONE
