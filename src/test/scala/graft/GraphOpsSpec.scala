@@ -50,6 +50,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.sum / 3 == 4)
   }
 
+  test("k-core peels transitively and loudly refuses a round cap that cannot converge") {
+    // K4 on {1,2,3,4} is the 3-core; the pendant chain 4-5-6 must peel
+    // in TWO dependent rounds (6 first, then 5 — degree only drops
+    // below k once its neighbor left)
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = GraphOps.kcore(edges, k = 3, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+    // k above the graph's max core empties cleanly (fixpoint at {})
+    assert(GraphOps.kcore(edges, k = 4, maxRounds = 10).isEmpty)
+    // a cap below convergence must fail loudly, never report a non-core
+    val ex = intercept[IllegalArgumentException](
+      GraphOps.kcore(edges, k = 3, maxRounds = 1).collect())
+    assert(ex.getMessage.contains("converge"), ex.getMessage)
+  }
+
   test("degree orientation tames a lexically-small hub; counts stay orientation-invariant") {
     // hub 0 (degree 20) + leaves 1..20; leaf edges (1,2) and (3,4)
     // close two triangles through the hub. Under id orientation the
