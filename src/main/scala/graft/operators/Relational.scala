@@ -1194,6 +1194,48 @@ object Relational {
         ss.table("events_absence_stream_sink").filter(col("user_id") >= 0)
     },
 
+    // The SAME absence view through Spark 4's transformWithState —
+    // typed ListState columns in a RocksDB store and REAL per-key
+    // timers (handleExpiredTimer) instead of flatMapGroupsWithState's
+    // single timeout slot. Third implementation, same
+    // anti-interval-join oracle: batch join ≡ flatMap state machine ≡
+    // StatefulProcessor, or the hash fails.
+    sql("events_absence_tws", absenceOracle) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingAnalytics.{twsAbsenceAlerts, PatIn}
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val collected = boundedReplayCollect("events_absence_tws",
+          Tables.events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+            .as[(Long, java.sql.Timestamp, String, Long)])
+        val ev = collected.map(r => PatIn(r._1, r._2, r._3, r._4))
+          .sortBy(e => (e.ts.getTime, e.id))
+        val src = MemoryStream[PatIn]
+        val out = twsAbsenceAlerts(src.toDS(), delay = "1 second",
+          windowUs = 86400000000L)
+        val query = out.writeStream
+          .format("memory").queryName("events_absence_tws_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          src.addData(PatIn(-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            "click", -1L))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_absence_tws_sink").filter(col("user_id") >= 0)
+    },
+
     // Retention cohorts — the classic growth-analytics matrix: cohort
     // = a user's first active DATE, k = days since cohort, value =
     // how many of the cohort's users were active on day k. Two

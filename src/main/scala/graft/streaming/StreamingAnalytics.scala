@@ -356,4 +356,85 @@ object StreamingAnalytics {
           out.iterator
       }
   }
+
+  // ---- the SAME absence semantics on Spark 4's transformWithState -------
+
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+  /** [[streamAbsenceAlerts]] re-expressed through `transformWithState`
+    * — the arbitrary-state API that succeeds flatMapGroupsWithState:
+    * TYPED state columns (two ListStates the (RocksDB) store indexes
+    * individually, appends are O(append) instead of rewrite-the-blob)
+    * and REAL per-key timers (`registerTimer`/`handleExpiredTimer`,
+    * many per key) instead of the single timeout slot. The decision
+    * rule is byte-identical to the flatMap twin — clicks decide once
+    * the watermark passes their deadline, in-window purchases clear,
+    * purchases evict at wm − W, dead keys drain — and the gated entry
+    * lands on the SAME anti-interval-join oracle as the batch and
+    * flatMap forms: three implementations, one truth. Each key keeps
+    * AT MOST ONE registered timer (stale ones are deleted on every
+    * decide), so timer state is O(keys), not O(events). */
+  final class AbsenceProcessor(watched: String, clearing: String, windowUs: Long)
+      extends StatefulProcessor[Long, PatIn, AbsAlert] {
+    @transient private var clicks: ListState[(Long, Long)] = _
+    @transient private var purchases: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      clicks = getHandle.getListState("clicks",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      purchases = getHandle.getListState("purchases",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def decide(key: Long, wmMicros: Long): Iterator[AbsAlert] = {
+      val cl = clicks.get().toList
+      val pu = purchases.get().toList
+      val (decided, pending) = cl.partition(_._1 + windowUs < wmMicros)
+      val out = decided.sorted.collect {
+        case (cu, cid) if !pu.exists(p => p > cu && p <= cu + windowUs) =>
+          AbsAlert(key, cid, cu)
+      }
+      val keptP = pu.filter(_ > wmMicros - windowUs)
+      // the store refuses empty list puts — empty means clear
+      if (pending.isEmpty) clicks.clear() else clicks.put(pending.toArray)
+      if (keptP.isEmpty) purchases.clear() else purchases.put(keptP.toArray)
+      val want: Option[Long] =
+        if (pending.nonEmpty) Some((pending.map(_._1).min + windowUs) / 1000L + 1L)
+        else if (keptP.nonEmpty) Some((keptP.max + windowUs) / 1000L + 1L)
+        else None
+      val have = getHandle.listTimers().toList
+      have.filterNot(want.contains).foreach(getHandle.deleteTimer)
+      want.filterNot(have.contains).foreach(getHandle.registerTimer)
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[PatIn],
+        timerValues: TimerValues): Iterator[AbsAlert] = {
+      rows.foreach { e =>
+        if (e.etype == watched) clicks.appendValue((tsMicros(e.ts), e.id))
+        else if (e.etype == clearing) purchases.appendValue(tsMicros(e.ts))
+      }
+      decide(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AbsAlert] =
+      decide(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** Builder: requires the RocksDB state store provider on the
+    * session (`transformWithState`'s documented requirement — set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`). */
+  def twsAbsenceAlerts(events: org.apache.spark.sql.Dataset[PatIn],
+                       delay: String = "1 hour",
+                       watched: String = "click", clearing: String = "purchase",
+                       windowUs: Long = 3600000000L): org.apache.spark.sql.Dataset[AbsAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF().withWatermark("ts", delay).as[PatIn]
+      .groupByKey(_.user)
+      .transformWithState(new AbsenceProcessor(watched, clearing, windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
