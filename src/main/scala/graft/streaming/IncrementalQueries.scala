@@ -856,6 +856,44 @@ object IncrementalQueries {
     runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterSql), dir,
       q10FullOuterAncestorDeletes, "incremental_sql_q10_fullouter_adel_leaf")
 
+  /** Maintained TOP-LEVEL UNION ALL across two DIFFERENT trees —
+    * nation revenue from the customer side (nation→customer→orders→
+    * lineitem) unioned with nation revenue from the supplier side
+    * (nation→supplier→lineitem). Each branch compiles and maintains
+    * independently (lineitem even routes by a different FK per
+    * branch); the union is presentation. Shared deletes apply to both
+    * branches' changelogs. */
+  private val unionSql =
+    """SELECT n_name,
+      | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+      | COUNT(*) AS n_rows
+      |FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY n_name
+      |UNION ALL
+      |SELECT n_name,
+      | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+      | COUNT(*) AS n_rows
+      |FROM nation
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |JOIN lineitem ON l_suppkey = s_suppkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY n_name""".stripMargin
+  private val unionDeletes = Map("lineitem" -> (col("l_partkey") % 3 === 0))
+
+  def incrementalSqlUnion(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileUnionAll(s, dir, unionSql)
+      .map(_.run(s, dir, unionDeletes)).reduce(_ unionAll _)
+
+  def incrementalSqlUnionStream(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileUnionAll(s, dir, unionSql).zipWithIndex
+      .map { case (c, i) =>
+        runSqlStreamed(s, c, dir, unionDeletes, s"incremental_sql_union_leaf_$i")
+      }.reduce(_ unionAll _)
+
   /** Conf-wired SKEW SALTING through the compiler (the bloom
     * pattern, [[SaltRelationConf]]): the session conf names lineitem
     * as the skewed relation and the compiler widens its liveness
@@ -1729,6 +1767,50 @@ object IncrementalQueries {
          |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalSqlQ10Outer),
+
+    // TOP-LEVEL UNION ALL from SQL text — two maintained trees, one
+    // result: customer-side and supplier-side nation revenue, each
+    // branch compiled and maintained independently (lineitem routes
+    // by l_orderkey in one and l_suppkey in the other), bag-unioned
+    // as presentation. Oracle: the literal UNION ALL over the
+    // delete-filtered fact.
+    sql("incremental_sql_union",
+      """WITH l AS (SELECT * FROM lineitem
+        |           WHERE l_returnflag = 'R' AND l_partkey % 3 <> 0)
+        |SELECT n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY n_name
+        |UNION ALL
+        |SELECT n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        | JOIN l ON l_suppkey = s_suppkey
+        |GROUP BY n_name""".stripMargin)(incrementalSqlUnion),
+
+    // … and through the CONTINUOUS engine: each branch replays its own
+    // micro-batched tree, the union happens on the maintained outputs.
+    sql("incremental_sql_union_stream",
+      """WITH l AS (SELECT * FROM lineitem
+        |           WHERE l_returnflag = 'R' AND l_partkey % 3 <> 0)
+        |SELECT n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY n_name
+        |UNION ALL
+        |SELECT n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        | JOIN l ON l_suppkey = s_suppkey
+        |GROUP BY n_name""".stripMargin)(incrementalSqlUnionStream),
 
     // FULL OUTER JOIN from SQL text — both preservation directions
     // maintained: the anti plan NULL-extends orders that lost every

@@ -93,6 +93,68 @@ object SqlCompiler {
       path: Seq[String],
       rekey: Option[(String, String)])
 
+  /** Top-level `UNION ALL` of independently compilable queries: each
+    * branch is its own maintained tree/aggregate (they may join
+    * entirely different relation trees); the union is presentation —
+    * maintained bag-union of the branch views. Branch texts are
+    * recovered by a paren- and quote-aware scan for top-level
+    * `UNION ALL` tokens (the compiler's text-is-the-interface
+    * convention: Origin offsets on a Union node do not delimit its
+    * branches), then each compiles through the ordinary [[compile]].
+    * Output schemas must agree by NAME AND ORDER — SQL's positional
+    * union is not papered over silently. `UNION` (set semantics)
+    * stays loudly uncompiled: distinct-of-union across maintained
+    * bags needs a cross-branch netting node this engine does not
+    * build. */
+  def compileUnionAll(spark: SparkSession, dir: String, sqlText: String): Seq[Compiled] = {
+    val parts = splitTopLevelUnionAll(sqlText)
+    if (parts.size < 2)
+      fail("compileUnionAll expects a top-level UNION ALL of two or more queries")
+    val cs = parts.map(p => compile(spark, dir, p))
+    val cols = cs.head.outputCols
+    cs.zipWithIndex.drop(1).foreach { case (c, i) =>
+      if (c.outputCols != cols)
+        fail(s"UNION ALL branch ${i + 1} output ${c.outputCols.mkString("(", ",", ")")} " +
+          s"does not match branch 1's ${cols.mkString("(", ",", ")")} — align the " +
+          "SELECT lists (names and order) explicitly")
+    }
+    cs
+  }
+
+  /** Split on `UNION ALL` at paren depth 0, outside string literals;
+    * a bare top-level `UNION` (set semantics) fails loudly. */
+  private[graft] def splitTopLevelUnionAll(sqlText: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    val upper = sqlText.toUpperCase
+    while (i < sqlText.length) {
+      val ch = sqlText.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      else ch match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case 'U' | 'u' if depth == 0 && upper.startsWith("UNION", i) &&
+            (i == 0 || !Character.isLetterOrDigit(sqlText.charAt(i - 1))) =>
+          var j = i + 5
+          while (j < sqlText.length && Character.isWhitespace(sqlText.charAt(j))) j += 1
+          if (upper.startsWith("ALL", j) &&
+              (j + 3 == sqlText.length || !Character.isLetterOrDigit(sqlText.charAt(j + 3)))) {
+            parts += sqlText.substring(start, i)
+            start = j + 3
+            i = j + 3
+          } else fail("top-level UNION (set semantics) is not compiled — " +
+            "use UNION ALL, or add an explicit SELECT DISTINCT view over it")
+        case _ => i += 1
+      }
+    }
+    parts += sqlText.substring(start)
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Conservative syntactic proof that a WHERE conjunct evaluates to
     * NULL (hence filters the row out) whenever ALL its column
     * references are NULL — the property that lets the FULL OUTER

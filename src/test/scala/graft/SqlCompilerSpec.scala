@@ -1460,4 +1460,24 @@ class SqlCompilerSpec extends AnyFunSuite {
         |GROUP BY c_custkey""".stripMargin))
     assert(ex3.getMessage.contains("more than one FULL OUTER"), ex3.getMessage)
   }
+
+  test("top-level UNION ALL splits paren- and quote-aware; UNION and misaligned schemas are loud") {
+    import graft.streaming.SqlCompiler.splitTopLevelUnionAll
+    // UNION ALL inside parens or a string literal must NOT split
+    val tricky = "SELECT 'a UNION ALL b' AS s, (SELECT 1 UNION ALL SELECT 2) AS x\nUNION ALL\nSELECT 'y', 3"
+    val parts = splitTopLevelUnionAll(tricky)
+    assert(parts.size == 2 && parts(1).startsWith("SELECT 'y'"), parts)
+    // column-like identifiers containing "union" must not split
+    assert(splitTopLevelUnionAll("SELECT reunion_all FROM t").size == 1)
+    // bare UNION (set semantics) is loudly uncompiled
+    val ex = intercept[IllegalArgumentException](
+      splitTopLevelUnionAll("SELECT 1 UNION SELECT 2"))
+    assert(ex.getMessage.contains("UNION ALL"), ex.getMessage)
+    // schema misalignment across branches is loud
+    val ex2 = intercept[IllegalArgumentException](SqlCompiler.compileUnionAll(s, d,
+      """SELECT n_name, COUNT(*) AS n FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name
+        |UNION ALL
+        |SELECT n_name, COUNT(*) AS m FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin))
+    assert(ex2.getMessage.contains("does not match"), ex2.getMessage)
+  }
 }
