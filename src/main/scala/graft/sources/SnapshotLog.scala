@@ -126,8 +126,17 @@ object SnapshotLog {
       .select(pmod(col(key), lit(Buckets)).cast("int").as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
     require(touched.nonEmpty, "empty change set — nothing to commit")
-    val current = readVersion(spark, root, v - 1)
+    val current0 = readVersion(spark, root, v - 1)
       .filter(col("b").isin(touched.toSeq.map(Int.box): _*))
+    // SCHEMA EVOLUTION (add-column): a payload column the change set
+    // carries but the current version lacks back-fills as a typed
+    // NULL — old rows read NULL for it forever (the lakehouse
+    // add-column contract), old version DIRECTORIES are untouched so
+    // time travel still shows the pre-evolution schema
+    val current = payloadCols.foldLeft(current0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(changes.schema(c).dataType))
+    }
     // the change set's bucket is derivable from its key (inserts
     // included), so MERGE can carry `b` as ordinary payload
     val merged = graft.operators.MergeOps.mergeUpsert(
@@ -149,7 +158,9 @@ object SnapshotLog {
       .groupBy(_._2).map { case (dir, entries) =>
         spark.read.option("basePath", dir)
           .parquet(entries.map { case (b, _) => s"$dir/b=$b" }: _*)
-      }.reduce(_ unionByName _)
+      // allowMissingColumns: buckets last rewritten BEFORE an
+      // add-column evolution read NULL for the new column
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Row-level CHANGE DATA FEED between two snapshots: full-outer join
@@ -452,6 +463,38 @@ object SnapshotLog {
         readVersion(s, root, 2)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // SCHEMA EVOLUTION — the add-column half of the lakehouse
+    // contract: a MERGE commit whose change set carries a NEW payload
+    // column (a priority flag derived from the price) widens the
+    // table; untouched buckets keep their old files and read NULL for
+    // the column, touched buckets back-fill their unmerged rows with
+    // typed NULLs, and time travel to v0 still shows the
+    // pre-evolution schema (self-asserted). Oracle: the flag as a
+    // CASE over the residue that got the evolved update, NULL
+    // elsewhere.
+    sql("snapshot_schema_evolution",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        | CASE WHEN o_orderkey % 160 = 1
+        |      THEN CASE WHEN o_totalprice >= 100000 THEN 'H' ELSE 'L' END
+        | END AS o_prio
+        |FROM orders""".stripMargin) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_evo").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        val evolved = orders.filter(col("o_orderkey") % 160 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            when(col("o_totalprice") >= 100000, "H").otherwise("L").as("o_prio"))
+        commitMerge(s, root, 1, "o_orderkey", payload :+ "o_prio", evolved)
+        require(!readVersion(s, root, 0).columns.contains("o_prio"),
+          "time travel below the evolution must show the pre-evolution schema")
+        readVersion(s, root, 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"), col("o_prio"))
     },
 
     // VACUUM (retention) — the deletion half of the lakehouse story,
