@@ -533,6 +533,41 @@ object Dedup {
             col("n_tokens"), col("n_members"))
     },
 
+    // CROSS-SOURCE DUPLICATION MATRIX — which sources copy from
+    // which: near-dup pair counts per (source_a, source_b) over the
+    // minhash/CC clusters, computed ARITHMETICALLY from per-(cluster,
+    // source) counts (c_a·c_b across sources, c·(c−1)/2 within) — no
+    // row-pair ever materializes, so a mega-cluster costs its count
+    // row, not its quadratic pair set. The provenance diagnostic that
+    // decides which crawl to drop.
+    sql("dedup_cross_source_matrix",
+      s"""WITH RECURSIVE $ccCteSql,
+         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |f AS (SELECT l.cluster_id, d.source, COUNT(*) AS c
+         |      FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+         |      GROUP BY 1, 2),
+         |m AS (SELECT a.cluster_id, a.source AS src_a, b.source AS src_b,
+         |       CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+         |            ELSE a.c * b.c END AS pairs
+         |      FROM f a JOIN f b ON a.cluster_id = b.cluster_id AND a.source <= b.source)
+         |SELECT src_a, src_b, CAST(SUM(pairs) AS BIGINT) AS dup_pairs
+         |FROM m WHERE pairs > 0 GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val f = connectedComponents(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+          .groupBy(col("cluster_id"), col("source")).agg(count(lit(1)).as("c"))
+        val a = f.select(col("cluster_id"), col("source").as("src_a"), col("c").as("ca"))
+        val b = f.select(col("cluster_id").as("cid2"), col("source").as("src_b"),
+          col("c").as("cb"))
+        a.join(b, col("cluster_id") === col("cid2") && col("src_a") <= col("src_b"))
+          .select(col("src_a"), col("src_b"),
+            when(col("src_a") === col("src_b"),
+              expr("ca * (ca - 1) div 2")).otherwise(col("ca") * col("cb")).as("pairs"))
+          .filter(col("pairs") > 0)
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(sum(col("pairs")).as("dup_pairs"))
+    },
+
     // SHINGLE NOVELTY (contribution scoring) — "how much of this
     // document is first seen HERE": the fraction of a doc's distinct
     // shingles whose MINIMAL owner doc_id is the doc itself (owner =

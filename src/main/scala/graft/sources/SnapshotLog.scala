@@ -107,7 +107,12 @@ object SnapshotLog {
       .map(e => e.getKey.toInt -> e.getValue.asText).toMap
   }
 
-  /** Commit version 0: the full table, bucketed on `key`. */
+  /** Commit version 0: the full table, bucketed on `key`. Table
+    * creation is single-writer by contract: a second commitInitial on
+    * an existing root loses the CAS and no-ops (its attempt dir is
+    * removed; the existing v0 is NOT clobbered) — structural equality
+    * cannot distinguish a replay from a different initial data set,
+    * so "first writer wins" is the whole protocol here. */
   def commitInitial(df: DataFrame, root: String, key: String): Unit = {
     val dir = newAttemptDir(root, "v0")
     df.withColumn("b", pmod(col(key), lit(Buckets)))
