@@ -54,6 +54,41 @@ object Curation {
 
   val defs: Seq[GraftQuery] = Seq(
 
+    // --- DATASET CARD ----------------------------------------------------
+    // The per-source summary every dataset release ships (docs,
+    // chars, tokens, language spread, exact-duplicate rate) in ONE
+    // scan: a single grouped aggregate whose only non-trivial members
+    // are two COUNT(DISTINCT)s (lang spread + normalized-digest
+    // uniques — Spark plans the expand, map-side combine still
+    // reduces the token sums). The dup ratio is exact ints + ONE IEEE
+    // division. At 100 TB the card costs one pass over text, which is
+    // the floor for anything that tokenizes.
+    sql("curation_dataset_card",
+      """SELECT source,
+        | COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens,
+        | CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_unique,
+        | CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS DOUBLE)
+        |  / COUNT(*) AS dup_ratio
+        |FROM documents GROUP BY source""".stripMargin) {
+      (s, d) =>
+        val fp = md5(trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))))
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+              .cast("long")).as("n_tokens"),
+            countDistinct(fp).as("n_unique"))
+          .select(col("source"), col("n_docs"), col("total_chars"), col("n_langs"),
+            col("n_tokens"), col("n_unique"),
+            ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+              .as("dup_ratio"))
+    },
+
     // --- PII redaction -------------------------------------------------
     sql("text_pii_redact",
       s"""WITH pii AS (
