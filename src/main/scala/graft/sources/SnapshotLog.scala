@@ -470,6 +470,42 @@ object SnapshotLog {
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
 
+    // GDPR ERASURE — the right-to-be-forgotten pipeline on a
+    // copy-on-write table, where logical deletes are NOT erasure (old
+    // version files still hold the rows): MERGE-delete the subject's
+    // rows, COMPACT so the live file set stops referencing any
+    // pre-delete directory, then VACUUM past the delete — after which
+    // the fn proves PHYSICAL erasure: the only data directory left on
+    // disk is the compacted one, and a raw scan of it contains zero
+    // erased keys. The gated value is the post-erasure read vs the
+    // subject-filtered oracle.
+    sql("snapshot_gdpr_erasure",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_custkey % 97 <> 0""".stripMargin) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_gdpr").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        val subjects = orders.filter(col("o_custkey") % 97 === 0)
+          .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        commitMerge(s, root, 1, "o_orderkey", payload, subjects)
+        compactVersion(s, root, v = 1, newV = 2)
+        vacuum(root, retainFrom = 2)
+        val dataDirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+        require(dataDirs.length == 1 && dataDirs.head.getName.startsWith("compact_v1"),
+          s"physical erasure requires exactly the compact dir to survive: " +
+            dataDirs.map(_.getName).toSeq.toString)
+        val residual = s.read.parquet(dataDirs.head.getPath)
+          .filter(col("o_custkey") % 97 === 0).count()
+        require(residual == 0,
+          s"$residual erased rows still physically present after vacuum")
+        readVersion(s, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
     // SCHEMA EVOLUTION — the add-column half of the lakehouse
     // contract: a MERGE commit whose change set carries a NEW payload
     // column (a priority flag derived from the price) widens the
