@@ -665,6 +665,102 @@ object IncrementalQueries {
     q10Aggregate(replayStream(s, chainStages(q10Tree), q10Changelogs(s, dir),
       "incremental_q10_stream_leaf"))
 
+  /** The incremental engine's SINK upgraded to a LAKEHOUSE TABLE —
+    * the reference's K1 (a text file of per-delta updates) replaced
+    * by the maintained Q10 view LIVING IN the versioned snapshot log:
+    * each micro-batch of signed leaf deltas folds to per-group
+    * (Δrevenue, Δrows), combines with the group's current stored
+    * totals, and lands as a MERGE commit — an unseen group inserts, a
+    * changed group updates, and a group whose row count RETRACTS TO
+    * ZERO deletes its table row (the delete the reference's running
+    * file never expresses). The gated value is the FINAL SNAPSHOT
+    * against the plain survivors oracle: batch boundaries, the
+    * upsert/delete path, and the copy-on-write commits must all be
+    * invisible. Every version along the way remains time-travelable.
+    * At scale the per-batch read of current totals would prune to the
+    * changed groups' buckets (the same partition pruning the
+    * snapshot's readers use); the fixture reads the small table
+    * whole. */
+  def incrementalQ10SnapshotSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.SnapshotLog
+    val ss = replaySession(s)
+    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_q10_snapsink").toString
+    val logs = q10Changelogs(ss, dir).view.map { case (rel, ds) =>
+      rel -> boundedReplayCollect(s"incremental_q10_snapshot_sink($rel)", ds).toSeq }
+      .toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val leaf = runStreamTree(chainStages(q10Tree),
+      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
+    val goldPayload = Seq("c_name", "c_acctbal", "n_name", "revenue_e4", "n_rows")
+    val version = new java.util.concurrent.atomic.AtomicInteger(-1)
+    def deltaAgg(batch: Dataset[Evt]): DataFrame = {
+      val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+      batch.toDF().select(
+          (col("tag") * col("mult")).as("sign"),
+          c.getItem("c_custkey").cast("long").as("c_custkey"),
+          c.getItem("c_name").as("c_name"),
+          c.getItem("c_acctbal").cast("double").as("c_acctbal"),
+          c.getItem("n_name").as("n_name"),
+          round(c.getItem("l_extendedprice").cast("double") *
+            (lit(1.0) - c.getItem("l_discount").cast("double")) * 10000, 0)
+            .cast("long").as("rev_e4"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("sign") * col("rev_e4")).as("d_rev"),
+          sum(col("sign")).cast("long").as("d_n"))
+    }
+    val query = leaf.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Evt], _: Long) =>
+        val deltas = deltaAgg(batch).localCheckpoint(true)
+        if (!deltas.isEmpty) {
+          if (version.get < 0) {
+            require(deltas.filter(col("d_n") <= 0).isEmpty,
+              "first batch must be pure assertion")
+            SnapshotLog.commitInitial(
+              deltas.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+                col("n_name"), col("d_rev").as("revenue_e4"), col("d_n").as("n_rows")),
+              root, "c_custkey")
+            version.set(0); ()
+          } else {
+            val cur = SnapshotLog.readVersion(ss, root, version.get)
+              .select(col("c_custkey"), col("revenue_e4").as("cur_rev"),
+                col("n_rows").as("cur_n"))
+            val combined = deltas.join(cur, Seq("c_custkey"), "left")
+              .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+                (coalesce(col("cur_rev"), lit(0L)) + col("d_rev")).as("revenue_e4"),
+                (coalesce(col("cur_n"), lit(0L)) + col("d_n")).as("n_rows"))
+            require(combined.filter(col("n_rows") < 0).isEmpty,
+              "a group retracted below zero — delta fold diverged")
+            val changes = combined.select(
+              col("c_custkey"),
+              when(col("n_rows") === 0, "D").otherwise("U").as("op"),
+              col("c_name"), col("c_acctbal"), col("n_name"),
+              col("revenue_e4"), col("n_rows"))
+            SnapshotLog.commitMerge(ss, root, version.get + 1, "c_custkey",
+              goldPayload, changes)
+            version.incrementAndGet(); ()
+          }
+        }
+      }
+      .start()
+    try {
+      logs.values.flatten.map(_.seq).toSeq.distinct.sorted.foreach { seq =>
+        streams.foreach { case (rel, ms) =>
+          val evs = logs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    require(version.get >= 1, s"expected at least two commits, got v${version.get}")
+    SnapshotLog.readVersion(ss, root, version.get)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+        col("revenue_e4"), col("n_rows"))
+  }
+
   /** [[incrementalQ10Stream]] with EVENT-TIME TTL enabled — the
     * watermark/timeout machinery (EventTimeTimeout plan, per-stage
     * watermark nodes, horizon arithmetic) runs on every stage, with
@@ -1683,6 +1779,24 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Stream),
+
+    // The maintained view MAINTAINED INTO THE LAKEHOUSE TABLE — the
+    // reference's text-file sink upgraded: per-batch signed deltas
+    // fold into MERGE commits on the versioned snapshot log (insert /
+    // update / retract-to-zero DELETE), final snapshot vs the same
+    // survivors oracle. Every intermediate version stays
+    // time-travelable.
+    sql("incremental_q10_snapshot_sink",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10SnapshotSink),
 
     // The same continuous tree with EVENT-TIME TTL enabled (watermark
     // + EventTimeTimeout on every stage; delay past the fixture span,
