@@ -769,6 +769,32 @@ object Relational {
         get_json_object(col("props"), "$.missing").cast("long").as("miss"))
     },
 
+    // The SAME extraction through Spark 4's VARIANT type — the
+    // semi-structured columnar encoding that replaces
+    // string-JSON-per-row parsing: parse ONCE into the binary variant
+    // (at 100 TB you store the variant column and never re-parse),
+    // then typed `variant_get` path access, plus an aggregation
+    // straight off the extracted value to show the type composes.
+    // Missing paths are NULL (try semantics). Same oracle family as
+    // the string twin.
+    sql("events_variant_extract",
+      """SELECT event_type,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        | COUNT(CAST(props->>'$.missing' AS BIGINT)) AS n_missing_present,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"), parse_json(col("props")).as("v"))
+          .select(col("event_type"),
+            try_variant_get(col("v"), "$.k", "bigint").as("k"),
+            try_variant_get(col("v"), "$.missing", "bigint").as("miss"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("k_sum"),
+            count(col("miss")).as("n_missing_present"),
+            count(lit(1)).as("n"))
+    },
+
     // Sessionization: 30-minute-gap sessions via lag + running sum of
     // session-start markers — the standard scalable shape (two window
     // passes over the same user partitioning, ONE shuffle total).
