@@ -1109,6 +1109,45 @@ object Relational {
         ss.table("events_pattern_stream_sink").filter(col("user_id") >= 0)
     },
 
+    // The SAME CEP view through Spark 4's transformWithState —
+    // pending/tail as typed ListStates in RocksDB, the
+    // re-finalization wake-up as a real per-key timer. Third
+    // implementation (window query / flatMap machine /
+    // StatefulProcessor), one two-LEAD oracle.
+    sql("events_pattern_tws", TimeSeries.patternMatchOracle) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingAnalytics.{twsPatternMatch, PatIn}
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val collected = boundedReplayCollect("events_pattern_tws",
+          Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+            .as[(Long, java.sql.Timestamp, String, Long)])
+        val ev = collected.map(r => PatIn(r._1, r._2, r._3, r._4))
+          .sortBy(e => (e.ts.getTime, e.id))
+        val src = MemoryStream[PatIn]
+        val out = twsPatternMatch(src.toDS(), delay = "1 second", windowUs = 86400000000L)
+        val query = out.writeStream
+          .format("memory").queryName("events_pattern_tws_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          src.addData(PatIn(-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            "view", -1L))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_pattern_tws_sink").filter(col("user_id") >= 0)
+    },
+
     // STREAM-STATIC enrichment join — the most common production
     // streaming shape: an unbounded event stream joined per
     // micro-batch against a STATIC dimension (here a user→cohort

@@ -437,4 +437,72 @@ object StreamingAnalytics {
       .transformWithState(new AbsenceProcessor(watched, clearing, windowUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** [[streamPatternMatch]]'s strict-contiguity CEP machine as a
+    * `StatefulProcessor`: `pending` (not-yet-finalized events) and
+    * `tail` (the last two finalized events — the only history strict
+    * contiguity can reach) as separate typed ListStates, and the
+    * re-finalization wake-up as a real event-time timer. Decision
+    * rule identical to the flatMap twin, TTL'd tails included; the
+    * gated entry shares the batch two-LEAD oracle, making the THIRD
+    * implementation of this view (window query / flatMap machine /
+    * StatefulProcessor) agree bit-for-bit. */
+  final class PatternProcessor(first: String, second: String, third: String,
+      windowUs: Long) extends StatefulProcessor[Long, PatIn, PatMatch] {
+    @transient private var pending: ListState[(Long, Long, String)] = _
+    @transient private var tail: ListState[(Long, Long, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState("pending",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+      tail = getHandle.getListState("tail",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+    }
+
+    private def finalizePrefix(key: Long, wmMicros: Long): Iterator[PatMatch] = {
+      val (done0, still) = pending.get().toList.partition(_._1 < wmMicros)
+      val done = done0.sortBy(t => (t._1, t._2))
+      val seq = tail.get().toList ++ done
+      val out = seq.sliding(3).collect {
+        case List(a, b, c)
+          if a._3 == first && b._3 == second &&
+            c._3 == third && c._1 - a._1 <= windowUs =>
+          PatMatch(key, a._2, a._1, c._2, c._1)
+      }.toList
+      val keptTail = seq.takeRight(2).filter(_._1 >= wmMicros - windowUs)
+      if (still.isEmpty) pending.clear() else pending.put(still.toArray)
+      if (keptTail.isEmpty) tail.clear() else tail.put(keptTail.toArray)
+      val want: Option[Long] =
+        if (still.nonEmpty) Some(still.map(_._1).min / 1000L + 1L)
+        else if (keptTail.nonEmpty) Some((keptTail.map(_._1).max + windowUs) / 1000L + 1L)
+        else None
+      val have = getHandle.listTimers().toList
+      have.filterNot(want.contains).foreach(getHandle.deleteTimer)
+      want.filterNot(have.contains).foreach(getHandle.registerTimer)
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[PatIn],
+        timerValues: TimerValues): Iterator[PatMatch] = {
+      rows.foreach(e => pending.appendValue((tsMicros(e.ts), e.id, e.etype)))
+      finalizePrefix(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[PatMatch] =
+      finalizePrefix(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  def twsPatternMatch(events: org.apache.spark.sql.Dataset[PatIn],
+                      delay: String = "1 hour",
+                      first: String = "view", second: String = "click",
+                      third: String = "purchase",
+                      windowUs: Long = 3600000000L): org.apache.spark.sql.Dataset[PatMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF().withWatermark("ts", delay).as[PatIn]
+      .groupByKey(_.user)
+      .transformWithState(new PatternProcessor(first, second, third, windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
