@@ -932,6 +932,26 @@ object IncrementalQueries {
     runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterFilteredSql), dir,
       q10FullOuterDeletes, "incremental_sql_q10_fullouter_filtered_leaf")
 
+  /** The mirror case — WHERE on the BOUNDARY CHILD: SQL NULL-rejects
+    * every NULL-extension row instead, so the compile drops the anti
+    * plan, keeps the orphan plan (lineitems with no surviving order,
+    * pre-filtered by the predicate-as-scan-filter), and the view is
+    * effectively the RIGHT-preserved reading. */
+  private val q10FullOuterChildFilteredSql =
+    """SELECT c_custkey, n_name,
+      | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+      | COUNT(*) AS n_rows
+      |FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_linenumber <> 3
+      |GROUP BY c_custkey, n_name""".stripMargin
+
+  def incrementalSqlQ10FullOuterChildFiltered(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compile(s, dir, q10FullOuterChildFilteredSql)
+      .run(s, dir, q10FullOuterDeletes)
+
   /** FULL OUTER with **deletes on an ANCESTOR of the boundary pair**
     * (customer) — the other r8 fence lifted: the chain-shaped orphan
     * plan now keys on the TREE PREFIX's merged emissions (orders
@@ -1974,6 +1994,22 @@ object IncrementalQueries {
          | FULL JOIN l ON l_orderkey = o_orderkey
          |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterFilteredStream),
+
+    // FULL OUTER + WHERE on the boundary CHILD — the mirror
+    // NULL-rejection: extensions die, orphans survive the filter
+    // (effectively the RIGHT-preserved reading), gated against the
+    // literal FULL JOIN + WHERE which DuckDB NULL-rejects itself.
+    sql("incremental_sql_q10_fullouter_child_filtered",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE l_linenumber <> 3
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterChildFiltered),
 
     // FULL OUTER with ANCESTOR deletes (r8's other fence): deleting a
     // customer must orphan its orders' lineitems — the tree-prefix
