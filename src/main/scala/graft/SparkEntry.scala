@@ -83,9 +83,11 @@ object SparkEntry {
       // final-rank; the snapshot pins its zero-sort plan)
       "window_topk_rewrite",
       // round 9: the ties-aware rank() spelling through the same
-      // operator, and the FULL OUTER maintained view under ancestor
-      // deletes (the tree-prefix orphan plan's cost is the entry)
-      "window_rank_topk", "incremental_sql_q10_fullouter_ancestor_del")
+      // operator, the FULL OUTER maintained view under ancestor
+      // deletes (the tree-prefix orphan plan's cost is the entry),
+      // and the iterative-peel k-core (checkpointed fixpoint loop)
+      "window_rank_topk", "incremental_sql_q10_fullouter_ancestor_del",
+      "graph_kcore")
     val have = queries.keySet
     preferred.filter(have)
   }
