@@ -43,7 +43,12 @@ import org.apache.spark.sql.internal.SQLConf
   */
 object GroupedTopK {
 
-  /** Set "true" to arm the rewrite (inert by default). */
+  /** Set "true" to arm the rewrite (inert by default). With the
+    * per-task row budget (partial flush / final spill) and the
+    * ties-aware rank() mode, the operator is memory-safe on any input
+    * — the remaining reason it ships opt-in is PLAN STABILITY, not
+    * safety: arming it swaps executed plans under existing queries,
+    * which a library should not do silently under a version bump. */
   val RewriteConf = "spark.graft.topk.rewrite"
 
   /** Hard cap on the literal k the rewrite accepts: a giant k makes
