@@ -225,6 +225,27 @@ object SnapshotLog {
     doomed.map(_.getName).sorted
   }
 
+  /** TIME-BASED retention — [[vacuum]] with the horizon resolved from
+    * manifest COMMIT TIMES (file mtimes, which the atomic hard-link
+    * publish stamps at commit): keep every version whose manifest is
+    * newer than `horizonMs`, plus the LATEST version at or below it
+    * (a reader must always have a complete snapshot to land on, so
+    * the newest pre-horizon version survives — the same rule Delta's
+    * time-based VACUUM applies). No-ops when nothing falls below. */
+  def vacuumOlderThan(root: String, horizonMs: Long): Seq[String] = {
+    val dir = new java.io.File(root)
+    val manifests = Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("_manifest_v") && f.getName.endsWith(".json"))
+      .map(f => f.getName.stripPrefix("_manifest_v").stripSuffix(".json").toInt ->
+        f.lastModified())
+    require(manifests.nonEmpty, s"no manifests at $root")
+    val recent = manifests.filter(_._2 > horizonMs).map(_._1)
+    val anchor = manifests.filter(_._2 <= horizonMs).map(_._1).maxOption
+    val retainFrom = (anchor.toSeq ++ recent).min
+    if (manifests.map(_._1).min >= retainFrom) Nil
+    else vacuum(root, retainFrom)
+  }
+
   /** One committed two-version table per (fixture dir) per JVM. */
   private val roots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   sys.addShutdownHook {

@@ -141,4 +141,32 @@ class SnapshotLogSpec extends AnyFunSuite {
     // vacuuming everything is refused
     intercept[IllegalArgumentException] { SnapshotLog.vacuum(dir, retainFrom = 99) }
   }
+
+  test("time-based vacuum keeps post-horizon versions plus the newest pre-horizon anchor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_tvac").toString
+    val t = (0L until 64L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, dir, "k")
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"),
+      Seq((5L, "U", "u5")).toDF("k", "op", "payload"))
+    SnapshotLog.compactVersion(spark, dir, 1, 2)
+    SnapshotLog.commitMerge(spark, dir, 3, "k", Seq("payload"),
+      Seq((6L, "U", "u6")).toDF("k", "op", "payload"))
+    // age manifests deterministically: v0/v1 far past, v2 at the
+    // horizon (anchor), v3 fresh
+    def m(v: Int) = new java.io.File(s"$dir/_manifest_v$v.json")
+    val now = m(3).lastModified()
+    assert(m(0).setLastModified(now - 10000) && m(1).setLastModified(now - 9000) &&
+      m(2).setLastModified(now - 5000))
+    val deleted = SnapshotLog.vacuumOlderThan(dir, horizonMs = now - 2000)
+    // v2 is the newest pre-horizon version: it anchors, v0/v1 go
+    assert(deleted.map(_.takeWhile(_ != '-')).sorted == Seq("v0", "v1"), deleted)
+    val v2 = SnapshotLog.readVersion(spark, dir, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val v3 = SnapshotLog.readVersion(spark, dir, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v2.contains((5L, "u5")) && v3.contains((6L, "u6")))
+    intercept[Exception] { SnapshotLog.readVersion(spark, dir, 0).collect() }
+    // nothing below the horizon left -> second call no-ops
+    assert(SnapshotLog.vacuumOlderThan(dir, horizonMs = now - 2000).isEmpty)
+  }
 }
