@@ -110,6 +110,28 @@ object TextAnalysis {
   }
 
   val defs: Seq[GraftQuery] = Seq(
+    // TYPE-TOKEN RATIO — the vocabulary-richness quality axis the
+    // length/stopword scores miss (template spam repeats few types
+    // over many tokens; TTR exposes it): distinct tokens over total
+    // tokens per document, exact ints + ONE IEEE division, one scan
+    // + one hash aggregate over exploded tokens.
+    sql("text_type_token_ratio",
+      s"""SELECT doc_id,
+         | CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types,
+         | COUNT(*) AS n_tokens,
+         | CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*) AS ttr
+         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenPattern')) AS t
+         |      FROM documents)
+         |GROUP BY doc_id""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0))).as("t"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("t")).as("n_types"), count(lit(1)).as("n_tokens"))
+          .select(col("doc_id"), col("n_types"), col("n_tokens"),
+            (col("n_types").cast("double") / col("n_tokens")).as("ttr"))
+    },
 
     // --- token counting ------------------------------------------------
     sql("text_token_count",

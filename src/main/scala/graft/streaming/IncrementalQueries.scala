@@ -952,6 +952,10 @@ object IncrementalQueries {
     SqlCompiler.compile(s, dir, q10FullOuterChildFilteredSql)
       .run(s, dir, q10FullOuterDeletes)
 
+  def incrementalSqlQ10FullOuterChildFilteredStream(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterChildFilteredSql), dir,
+      q10FullOuterDeletes, "incremental_sql_q10_fullouter_cf_leaf")
+
   /** FULL OUTER with **deletes on an ANCESTOR of the boundary pair**
     * (customer) — the other r8 fence lifted: the chain-shaped orphan
     * plan now keys on the TREE PREFIX's merged emissions (orders
@@ -2010,6 +2014,20 @@ object IncrementalQueries {
         | FULL JOIN l ON l_orderkey = o_orderkey
         |WHERE l_linenumber <> 3
         |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterChildFiltered),
+
+    // … and through the CONTINUOUS engine (orphans assert/retract
+    // across micro-batches under the child filter).
+    sql("incremental_sql_q10_fullouter_child_filtered_stream",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE l_linenumber <> 3
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterChildFilteredStream),
 
     // FULL OUTER with ANCESTOR deletes (r8's other fence): deleting a
     // customer must orphan its orders' lineitems — the tree-prefix
