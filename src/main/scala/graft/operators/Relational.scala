@@ -1301,6 +1301,44 @@ object Relational {
         ss.table("events_absence_tws_sink").filter(col("user_id") >= 0)
     },
 
+    // RFM SEGMENTATION — the classic customer-value matrix (recency /
+    // frequency / monetary), each axis cut into quartiles by NTILE
+    // over a fully deterministic ordering (metric, then custkey — a
+    // tie can never straddle a boundary nondeterministically), the
+    // segment label a 3-digit concat. Two hash aggregates (per-customer
+    // metrics, then nothing — the three windows share ONE
+    // all-customers partition, tiny after aggregation) and exact
+    // integer metrics: day = epoch-day of the last order, money in e2.
+    sql("customer_rfm_segments",
+      """WITH m AS (
+        | SELECT o_custkey,
+        |  MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS money_e2
+        | FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, last_day, n_orders, money_e2,
+        | CAST(r || f || mo AS VARCHAR) AS rfm FROM (
+        | SELECT o_custkey, last_day, n_orders, money_e2,
+        |  NTILE(4) OVER (ORDER BY last_day DESC, o_custkey) AS r,
+        |  NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+        |  NTILE(4) OVER (ORDER BY money_e2 DESC, o_custkey) AS mo
+        | FROM m) t""".stripMargin) {
+      (s, d) =>
+        val m = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")).as("last_day"),
+            count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("money_e2"))
+        val r = Window.orderBy(col("last_day").desc, col("o_custkey"))
+        val f = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+        val mo = Window.orderBy(col("money_e2").desc, col("o_custkey"))
+        m.select(col("o_custkey"), col("last_day"), col("n_orders"), col("money_e2"),
+            ntile(4).over(r).as("r"), ntile(4).over(f).as("f"), ntile(4).over(mo).as("mo"))
+          .select(col("o_custkey"), col("last_day"), col("n_orders"), col("money_e2"),
+            concat(col("r").cast("string"), col("f").cast("string"),
+              col("mo").cast("string")).as("rfm"))
+    },
+
     // Retention cohorts — the classic growth-analytics matrix: cohort
     // = a user's first active DATE, k = days since cohort, value =
     // how many of the cohort's users were active on day k. Two
