@@ -441,6 +441,59 @@ object SimilaritySearch {
             floorRound6(col("c")).as("cos_sim"))
     },
 
+    // LABEL MARGIN — the cluster-quality diagnostic for the semantic
+    // surface: per label, the mean of (cosine to OWN centroid − best
+    // cosine to any OTHER centroid) over its members. Positive margin
+    // = the label is a real cluster; near zero = semantic dedup by
+    // label is noise. Centroids are dim-wise means RE-QUANTIZED to
+    // the e7 grid (exact integer sums, ONE division + half-up floor
+    // per dim — both engines identical), so every similarity is the
+    // exact integer simRank7(cosineExact) key and the label means are
+    // exact integer sums with one final division. Fixed-|labels|
+    // broadcast (the k-means/IVF class), no corpus pair shapes.
+    sql("embedding_label_margin",
+      s"""WITH e AS (SELECT vec_id, label, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |dims AS (SELECT label AS clabel, unnest(generate_series(1, len(v))) - 1 AS pos,
+         |         unnest(v) AS s FROM e),
+         |cm AS (SELECT clabel, pos, FLOOR(SUM(s) / COUNT(*) + 0.5) AS m
+         |       FROM dims GROUP BY clabel, pos),
+         |cent AS (SELECT clabel, list(m ORDER BY pos) AS cv FROM cm GROUP BY clabel),
+         |sims AS (
+         | SELECT e.vec_id, e.label, c.clabel,
+         |  ${simRank7Sql(cosineExactSql("e.v", "c.cv"))} AS sim
+         | FROM e, cent c),
+         |margins AS (
+         | SELECT vec_id, label,
+         |  MAX(CASE WHEN clabel = label THEN sim END) -
+         |  MAX(CASE WHEN clabel <> label THEN sim END) AS margin
+         | FROM sims GROUP BY vec_id, label)
+         |SELECT label, COUNT(*) AS n_vecs,
+         | CAST(SUM(CAST(margin AS BIGINT)) AS BIGINT) AS margin_sum_e7,
+         | CAST(SUM(CAST(margin AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_margin_e7
+         |FROM margins GROUP BY label""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), quantVec7(col("embedding")).as("v"))
+        val cents = e
+          .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "s")))
+          .groupBy(col("clabel"), col("pos"))
+          .agg(floor(sum(col("s")) / count(lit(1)) + lit(0.5)).cast("double").as("m"))
+          .groupBy(col("clabel"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+            .as("cv"))
+        e.join(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            simRank7(cosineExact(col("v"), col("cv"))).as("sim"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg((max(when(col("clabel") === col("label"), col("sim"))) -
+            max(when(col("clabel") =!= col("label"), col("sim")))).as("margin"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("margin").cast("long")).as("margin_sum_e7"))
+          .select(col("label"), col("n_vecs"), col("margin_sum_e7"),
+            (col("margin_sum_e7").cast("double") / col("n_vecs")).as("mean_margin_e7"))
+    },
+
     // IVF RESPLIT — the index-QUALITY maintenance story on a real
     // on-disk index: build deliberately under-provisioned (4 cells →
     // hot cells by construction), then split every oversized cell

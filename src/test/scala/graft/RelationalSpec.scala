@@ -28,7 +28,7 @@ class RelationalSpec extends AnyFunSuite {
       "text_bm25_topk",
       // same FIXED-k centroid broadcast as ann_ivf_topk, over the
       // incrementally maintained / resplit on-disk index
-      "ann_ivf_incremental", "ann_ivf_resplit",
+      "ann_ivf_incremental", "ann_ivf_resplit", "embedding_label_margin",
       // ONE-ROW global-scalar broadcasts (the Q11/Q15/Q22 shapes:
       // share-of-total, argmax-of-aggregate, above-global-average)
       "q11_like_value_share", "q15_like_top_supplier", "q22_like_idle_customers")
