@@ -96,6 +96,40 @@ class GroupedTopKSpec extends AnyFunSuite {
     ss.conf.unset(GroupedTopK.TaskRowBudgetConf)
   }
 
+  test("PROPERTY: random frames x k x tiny budgets equal stock, both rank modes") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 6) {
+      val nGroups = 1 + rnd.nextInt(9)
+      val rows = (0 until 300 + rnd.nextInt(700)).map { i =>
+        (s"g${rnd.nextInt(nGroups)}", rnd.nextInt(1 + rnd.nextInt(40)).toLong, i.toLong)
+      }
+      val k = 1 + rnd.nextInt(9)
+      val budget = (k + rnd.nextInt(60)).toString
+      val ss = topkSession()
+      ss.conf.set(GroupedTopK.TaskRowBudgetConf, budget)
+      def frames(sess: org.apache.spark.sql.SparkSession) = {
+        import sess.implicits._
+        rows.toDF("g", "s", "id").repartition(1 + rnd.nextInt(7))
+      }
+      val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+      val armedRn = frames(ss).withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      val stockRn = frames(spark).withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      assert(armedRn.queryExecution.executedPlan.toString.contains("GroupedTopK "))
+      assert(armedRn.collect().map(_.toString).sorted.toSeq ==
+        stockRn.collect().map(_.toString).sorted.toSeq,
+        s"row_number trial $trial (k=$k budget=$budget)")
+      // rank mode orders on s ALONE: the narrow value range makes
+      // heavy boundary tie-classes, the case the ties-heap exists for
+      val w2 = Window.partitionBy(col("g")).orderBy(col("s").desc)
+      val armedRk = frames(ss).withColumn("rn", rank().over(w2)).filter(col("rn") <= k)
+      val stockRk = frames(spark).withColumn("rn", rank().over(w2)).filter(col("rn") <= k)
+      assert(armedRk.collect().map(_.toString).sorted.toSeq ==
+        stockRk.collect().map(_.toString).sorted.toSeq,
+        s"rank trial $trial (k=$k budget=$budget)")
+      ss.conf.unset(GroupedTopK.TaskRowBudgetConf)
+    }
+  }
+
   test("the k bounds hold on the NODE, not just the rewrite pattern") {
     val ex = intercept[IllegalArgumentException](
       graft.plans.GroupedTopKPlan(Nil, Nil, 0, null, null))

@@ -142,6 +142,41 @@ class SnapshotLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { SnapshotLog.vacuum(dir, retainFrom = 99) }
   }
 
+  test("PROPERTY: random merge chains with interleaved compaction equal a scalar fold") {
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 0 until 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_snap_prop$trial").toString
+      val model = scala.collection.mutable.Map[Long, String]()
+      (0L until 40L).foreach(k => model(k) = s"r$k")
+      SnapshotLog.commitInitial(
+        model.toSeq.map { case (k, p) => (k, p) }.toDF("k", "payload"), dir, "k")
+      var v = 0
+      for (round <- 1 to 5) {
+        // random change set: deletes of live keys, upserts, fresh inserts
+        val dels = model.keys.toSeq.sorted.filter(_ => rnd.nextBoolean() && rnd.nextBoolean())
+          .take(5)
+        val ups = model.keys.toSeq.sorted.filterNot(dels.contains)
+          .filter(_ => rnd.nextBoolean()).take(5).map(k => (k, s"u$round-$k"))
+        val ins = (0 until 1 + rnd.nextInt(4)).map(i => (1000L * round + i, s"i$round-$i"))
+        val changes =
+          dels.map(k => (k, "D", model(k))) ++ ups.map { case (k, p) => (k, "U", p) } ++
+            ins.map { case (k, p) => (k, "I", p) }
+        if (changes.nonEmpty) {
+          SnapshotLog.commitMerge(spark, dir, v + 1, "k", Seq("payload"),
+            changes.toDF("k", "op", "payload"))
+          v += 1
+          dels.foreach(model.remove)
+          (ups ++ ins).foreach { case (k, p) => model(k) = p }
+        }
+        if (rnd.nextBoolean()) { SnapshotLog.compactVersion(spark, dir, v, v + 1); v += 1 }
+        val got = SnapshotLog.readVersion(spark, dir, v).collect()
+          .map(r => r.getLong(r.fieldIndex("k")) -> r.getString(r.fieldIndex("payload")))
+          .toMap
+        assert(got == model.toMap, s"trial $trial round $round v$v diverged")
+      }
+    }
+  }
+
   test("time-based vacuum keeps post-horizon versions plus the newest pre-horizon anchor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_tvac").toString
     val t = (0L until 64L).map(k => (k, s"row$k")).toDF("k", "payload")
