@@ -142,7 +142,29 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","scaleCheck":{"smallSf":"$smallDir","largeSf":"$savedSf","runs":$m,"queries":$entries}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"$scaleJson}""")
+    // RECORD LAYOUT (the r9 lesson): the driver captures only the LAST
+    // ~2 KB of stdout, and the full record (runs detail + scaleCheck)
+    // outgrew that in r9 — the official artifact lost 8 of 32 medians.
+    // So the FULL record goes to a committed file (auditable in-repo,
+    // path overridable via SPARK_GRAFT_BENCH_OUT) and the stdout line
+    // the driver keeps is the COMPACT one — metric/total/queries/sf
+    // only, ~1.2 KB for 32 headliners — printed LAST so the tail
+    // capture always contains it whole.
+    val fullRecord =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"$scaleJson}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (fullRecord + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full record (runs + scaleCheck) written to $outPath")
+    } catch { case e: Throwable =>
+      // never lose the detail silently: fall back to stderr, which the
+      // driver does not tail-truncate into the official record
+      System.err.println(s"[bench] could not write $outPath (${e.getMessage}); full record follows")
+      System.err.println(fullRecord)
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1302,13 +1302,19 @@ object Relational {
     },
 
     // RFM SEGMENTATION — the classic customer-value matrix (recency /
-    // frequency / monetary), each axis cut into quartiles by NTILE
-    // over a fully deterministic ordering (metric, then custkey — a
-    // tie can never straddle a boundary nondeterministically), the
-    // segment label a 3-digit concat. Two hash aggregates (per-customer
-    // metrics, then nothing — the three windows share ONE
-    // all-customers partition, tiny after aggregation) and exact
-    // integer metrics: day = epoch-day of the last order, money in e2.
+    // frequency / monetary), each axis cut into quartiles over a
+    // fully deterministic ordering (metric, then custkey — a tie can
+    // never straddle a boundary nondeterministically), the segment
+    // label a 3-digit concat. The oracle spells the cut as NTILE(4)
+    // OVER (ORDER BY ...); the Spark side does NOT — an unpartitioned
+    // window is a single-task total sort, and customer cardinality
+    // grows linearly with the corpus. Instead each axis runs
+    // DistributedRank.withNtile: sampled range repartition +
+    // per-partition row_number + broadcast offsets (every stage
+    // partitioned), then the NTILE bucket arithmetic on the exact
+    // global rank — bit-identical to the window definition. Metrics
+    // are exact integers: day = epoch-day of the last order, money
+    // in e2.
     sql("customer_rfm_segments",
       """WITH m AS (
         | SELECT o_custkey,
@@ -1329,12 +1335,13 @@ object Relational {
           .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")).as("last_day"),
             count(lit(1)).as("n_orders"),
             sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("money_e2"))
-        val r = Window.orderBy(col("last_day").desc, col("o_custkey"))
-        val f = Window.orderBy(col("n_orders").desc, col("o_custkey"))
-        val mo = Window.orderBy(col("money_e2").desc, col("o_custkey"))
-        m.select(col("o_custkey"), col("last_day"), col("n_orders"), col("money_e2"),
-            ntile(4).over(r).as("r"), ntile(4).over(f).as("f"), ntile(4).over(mo).as("mo"))
-          .select(col("o_custkey"), col("last_day"), col("n_orders"), col("money_e2"),
+        val r = DistributedRank.withNtile(m, "r", 4,
+          col("last_day").desc, col("o_custkey"))
+        val f = DistributedRank.withNtile(r, "f", 4,
+          col("n_orders").desc, col("o_custkey"))
+        val mo = DistributedRank.withNtile(f, "mo", 4,
+          col("money_e2").desc, col("o_custkey"))
+        mo.select(col("o_custkey"), col("last_day"), col("n_orders"), col("money_e2"),
             concat(col("r").cast("string"), col("f").cast("string"),
               col("mo").cast("string")).as("rfm"))
     },
@@ -1858,7 +1865,11 @@ object Relational {
     // non-NULL key compiles to an anti join against the (tiny,
     // aggregate-derived) denylist — broadcast at any scale — and the
     // distinct count shuffles once on the group key. The denylist
-    // rank breaks ties on the key, so the cut is deterministic.
+    // cut is orderBy+limit — Spark compiles that to TakeOrdered
+    // (per-partition top-3 then a 3-row driver merge; no
+    // single-partition Window even though the oracle SQL spells the
+    // same cut as ROW_NUMBER) — and ties break on the key, so the
+    // cut is deterministic.
     sql("q16_like_supplier_cnt",
       """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
         |FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1872,9 +1883,8 @@ object Relational {
       (s, d) =>
         val denylist = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
           .groupBy(col("l_suppkey")).agg(count(lit(1)).as("__n"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("__n").desc, col("l_suppkey"))))
-          .filter(col("rk") <= 3).select(col("l_suppkey").as("bad_supp"))
+          .orderBy(col("__n").desc, col("l_suppkey")).limit(3)
+          .select(col("l_suppkey").as("bad_supp"))
         Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
           .join(broadcast(denylist), col("l_suppkey") === col("bad_supp"), "left_anti")
           .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),

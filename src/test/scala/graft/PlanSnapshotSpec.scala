@@ -55,8 +55,12 @@ class PlanSnapshotSpec extends AnyFunSuite {
   // the streaming-replay headliners execute inside their builders (the
   // returned frame is a memory-sink fold, not the engine plan) — the
   // snapshot would be a trivial LocalTableScan, so only batch-planned
-  // headliners are gated
-  private def gated: Seq[String] = SparkEntry.benchNames
+  // headliners are gated. Non-headliners whose SHAPE is the point
+  // (r9 verdict: the RFM NTILE fix and the q16 TakeOrdered denylist
+  // were invisible here because only headliners were pinned) ride
+  // along as extras.
+  private val extras = Seq("customer_rfm_segments", "q16_like_supplier_cnt")
+  private def gated: Seq[String] = SparkEntry.benchNames ++ extras
 
   test("headline queries keep their committed plan shape") {
     val current = gated.map(n => n -> signature(n))
