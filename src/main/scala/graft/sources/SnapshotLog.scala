@@ -41,10 +41,33 @@ object SnapshotLog {
     * split-on-`,`-then-`:` silently corrupted such roots. */
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def manifestJson(m: Map[Int, String]): String = {
+  private def manifestJson(m: Map[Int, String], digest: String): String = {
     val node = mapper.createObjectNode()
+    node.put("_digest", digest)
     m.toSeq.sortBy(_._1).foreach { case (b, dir) => node.put(b.toString, dir) }
     node.toString
+  }
+
+  /** Order-independent content digest of a commit's logical input —
+    * count plus a SUM of per-row xxhash64 over every column (sum is
+    * commutative, so partition order and replay nondeterminism cannot
+    * change it). Recorded in the manifest and REQUIRED to match before
+    * a CAS loss is treated as a benign replay: the version number
+    * alone plays Delta's txn appId+version role only single-writer —
+    * two genuinely distinct writers racing the same version with the
+    * same touched-bucket set are structurally indistinguishable from
+    * a foreachBatch replay, and without the digest the loser's
+    * different data would be silently discarded. One extra scan of
+    * the change set per commit (the small side of the merge — the
+    * same order of cost as Delta's commit-info write). */
+  private def contentDigest(df: DataFrame): String = {
+    val cols = df.columns.sorted.map(col)
+    // sum in DECIMAL(38,0): 2^63-magnitude hashes summed over any
+    // realistic row count cannot overflow 38 digits (ANSI mode makes
+    // a long SUM overflow a hard error, not a wrap)
+    val r = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("__h"))
+      .agg(count(lit(1)).as("n"), sum(col("__h")).as("s")).head()
+    s"${r.getLong(0)}-${if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString}"
   }
 
   /** OPTIMISTIC-CAS manifest publish: the JSON is staged to a temp
@@ -54,10 +77,11 @@ object SnapshotLog {
     * won. (On an object store the same role is played by
     * put-if-absent / a conditional write — the manifest is the only
     * thing that needs it; data files are write-once by construction.) */
-  private[sources] def tryCommitManifest(root: String, v: Int, m: Map[Int, String]): Boolean = {
+  private[sources] def tryCommitManifest(root: String, v: Int, m: Map[Int, String],
+                                          digest: String = ""): Boolean = {
     val target = java.nio.file.Paths.get(manifestPath(root, v))
     val tmp = java.nio.file.Files.createTempFile(target.getParent, s"_mtmp_v$v", ".json")
-    java.nio.file.Files.writeString(tmp, manifestJson(m))
+    java.nio.file.Files.writeString(tmp, manifestJson(m, digest))
     try { java.nio.file.Files.createLink(target, tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally { java.nio.file.Files.deleteIfExists(tmp); () }
@@ -82,19 +106,24 @@ object SnapshotLog {
     * always removed, and then — EXCEPT the exactly-once retry — the
     * commit dies loudly. A replayed commit (foreachBatch re-runs a
     * batch after restart; the version id plays Delta's txn
-    * appId+version role) is recognized structurally: substituting the
-    * winner's attempt dir for ours must make the manifests IDENTICAL
-    * (same touched buckets over the same base). Anything else is a
-    * genuine concurrent writer and must abort so the caller re-reads
-    * and retries at `v+1`. */
-  private def publishAttempt(root: String, v: Int, m: Map[Int, String], dir: String): Unit =
-    if (!tryCommitManifest(root, v, m)) {
+    * appId+version role) must pass BOTH checks to be recognized:
+    * structurally, substituting the winner's attempt dir for ours
+    * makes the manifests IDENTICAL (same touched buckets over the
+    * same base); AND the winner's recorded content digest equals this
+    * attempt's — so a genuinely distinct concurrent commit that
+    * happens to touch the same bucket set cannot masquerade as a
+    * replay and have its data silently discarded. Anything else
+    * aborts so the caller re-reads and retries at `v+1`. */
+  private def publishAttempt(root: String, v: Int, m: Map[Int, String], dir: String,
+                             digest: String): Unit =
+    if (!tryCommitManifest(root, v, m, digest)) {
       rmTree(new java.io.File(dir))
       val winner = readManifest(root, v)
       val winnerDirs = m.collect { case (b, d) if d == dir => winner.get(b) }.toSet
       val sameLogicalCommit =
         winnerDirs.size == 1 && winnerDirs.head.isDefined &&
-          m.map { case (b, d) => b -> (if (d == dir) winnerDirs.head.get else d) } == winner
+          m.map { case (b, d) => b -> (if (d == dir) winnerDirs.head.get else d) } == winner &&
+          readDigest(root, v).contains(digest)
       if (!sameLogicalCommit)
         throw new java.util.ConcurrentModificationException(
           s"snapshot version $v at $root was committed concurrently with different content")
@@ -104,20 +133,32 @@ object SnapshotLog {
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(manifestPath(root, v)))
     import scala.jdk.CollectionConverters._
     mapper.readTree(txt).properties().asScala
+      .filterNot(_.getKey.startsWith("_")) // metadata fields (e.g. _digest)
       .map(e => e.getKey.toInt -> e.getValue.asText).toMap
   }
 
-  /** Commit version 0: the full table, bucketed on `key`. Table
-    * creation is single-writer by contract: a second commitInitial on
-    * an existing root loses the CAS and no-ops (its attempt dir is
-    * removed; the existing v0 is NOT clobbered) — structural equality
-    * cannot distinguish a replay from a different initial data set,
-    * so "first writer wins" is the whole protocol here. */
+  /** The content digest version `v`'s winner recorded at commit
+    * (absent only for manifests written before digests existed). */
+  private def readDigest(root: String, v: Int): Option[String] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(manifestPath(root, v)))
+    Option(mapper.readTree(txt).get("_digest")).map(_.asText).filter(_.nonEmpty)
+  }
+
+  /** Commit version 0: the full table, bucketed on `key`. A second
+    * commitInitial on an existing root loses the CAS; if its content
+    * digest matches the committed v0 it is a REPLAY and no-ops (its
+    * attempt dir is removed; the existing v0 is never clobbered) —
+    * but a different initial data set losing the race now fails
+    * LOUDLY instead of silently adopting the winner's table: v0's
+    * structure (all buckets → one dir) is identical for every
+    * initial commit, so the digest is the only thing that can tell
+    * them apart. */
   def commitInitial(df: DataFrame, root: String, key: String): Unit = {
     val dir = newAttemptDir(root, "v0")
     df.withColumn("b", pmod(col(key), lit(Buckets)))
       .write.mode("overwrite").partitionBy("b").parquet(dir)
-    publishAttempt(root, 0, (0 until Buckets).map(_ -> dir).toMap, dir)
+    publishAttempt(root, 0, (0 until Buckets).map(_ -> dir).toMap, dir,
+      contentDigest(df))
   }
 
   /** Commit version `v`: apply a keyed MERGE change set (op U/D/I with
@@ -149,7 +190,8 @@ object SnapshotLog {
         key, payloadCols :+ "b")
     val dir = newAttemptDir(root, s"v$v")
     merged.write.mode("overwrite").partitionBy("b").parquet(dir)
-    publishAttempt(root, v, prev ++ touched.map(_ -> dir), dir)
+    publishAttempt(root, v, prev ++ touched.map(_ -> dir), dir,
+      contentDigest(changes))
   }
 
   /** Resolve version `v` to its file set and read it — one parquet
@@ -189,21 +231,44 @@ object SnapshotLog {
         payloadCols.map(c => col(s"after.$c").as(c)): _*)
   }
 
-  /** VACUUM (retention): delete every data directory under `root`
-    * that no manifest of version ≥ `retainFrom` references, plus the
-    * manifests below the horizon. Copy-on-write makes this the ONLY
-    * deletion in the whole scheme — and it is safe by construction:
-    * retained manifests and every directory they point at are
-    * untouched, so reads of versions ≥ `retainFrom` are bit-identical
-    * before and after, while older versions become unreadable (their
-    * manifests are gone). Returns the deleted directory names.
+  /** Default age below which an UNREFERENCED-BY-ANY-MANIFEST directory
+    * survives vacuum (an hour — generous against any realistic
+    * write+commit latency; Delta's equivalent knob defaults to 7 days
+    * because object-store listings can be stale). */
+  val VacuumAttemptGraceMs: Long = 60L * 60 * 1000
+
+  /** VACUUM (retention): delete data directories under `root` that no
+    * manifest of version ≥ `retainFrom` references, plus the
+    * manifests below the horizon. Retained manifests and every
+    * directory they point at are untouched, so reads of versions ≥
+    * `retainFrom` are bit-identical before and after, while older
+    * versions become unreadable (their manifests are gone). Returns
+    * the deleted directory names.
+    *
+    * Concurrent-writer safety: an unreferenced directory is deleted
+    * only when it is PROVABLY dead — referenced by an expired (now
+    * deleted) manifest, i.e. it was published and aged out — or, for
+    * directories referenced by NO manifest at all, older than
+    * `attemptGraceMs`. The no-manifest case is exactly what an
+    * in-flight commit's attempt directory looks like (written but not
+    * yet CAS-published): deleting it unconditionally would let a
+    * vacuum racing a live commit destroy parquet that the writer then
+    * publishes a manifest for, corrupting the table. Freshness is the
+    * max mtime over the directory and its immediate children (the
+    * bucket subdirs, which advance as task files land), so the grace
+    * window restarts while a write is still making progress; the
+    * window must exceed the gap between a commit's LAST write and its
+    * manifest CAS (milliseconds) — not the whole write duration.
+    * Crashed writers' orphans age out and are reclaimed by the next
+    * vacuum.
     *
     * At 100 TB this is the storage-reclamation half of the lakehouse
     * contract (Delta VACUUM / Iceberg expire_snapshots): without it a
     * busy table accretes a directory per commit forever. Time-based
     * retention is this same function with `retainFrom` resolved from
     * commit timestamps. */
-  def vacuum(root: String, retainFrom: Int): Seq[String] = {
+  def vacuum(root: String, retainFrom: Int,
+             attemptGraceMs: Long = VacuumAttemptGraceMs): Seq[String] = {
     val dir = new java.io.File(root)
     def ls = Option(dir.listFiles()).toSeq.flatten
     val versions = ls.map(_.getName)
@@ -211,13 +276,21 @@ object SnapshotLog {
       .map(_.stripPrefix("_manifest_v").stripSuffix(".json").toInt)
     val (expired, kept) = versions.partition(_ < retainFrom)
     require(kept.nonEmpty, s"vacuum($retainFrom) would delete every manifest at $root")
-    val referenced = kept.flatMap(v => readManifest(root, v).values).toSet
-      .map((p: String) => new java.io.File(p).getCanonicalPath)
+    def canon(vs: Seq[Int]): Set[String] =
+      vs.flatMap(v => readManifest(root, v).values).toSet
+        .map((p: String) => new java.io.File(p).getCanonicalPath)
+    val retained = canon(kept)
+    val provablyDead = canon(expired) // published, then aged below the horizon
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    val now = System.currentTimeMillis()
+    def freshness(d: java.io.File): Long =
+      (d.lastModified() +: Option(d.listFiles()).toSeq.flatten.map(_.lastModified())).max
     val doomed = ls.filter(_.isDirectory)
-      .filterNot(d => referenced.contains(d.getCanonicalPath))
+      .filterNot(d => retained.contains(d.getCanonicalPath))
+      .filter(d => provablyDead.contains(d.getCanonicalPath) ||
+        now - freshness(d) > attemptGraceMs)
     doomed.foreach(rm)
     expired.foreach { v =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(manifestPath(root, v))); ()
@@ -647,6 +720,10 @@ object SnapshotLog {
     readVersion(spark, root, v)
       .repartition(Buckets, col("b"))
       .write.mode("overwrite").partitionBy("b").parquet(dir)
-    publishAttempt(root, newV, (0 until Buckets).map(_ -> dir).toMap, dir)
+    // identity digest, not content: any two compactions of version v
+    // are the same logical operation (content-identical by contract),
+    // so replay detection needs no second full-table scan
+    publishAttempt(root, newV, (0 until Buckets).map(_ -> dir).toMap, dir,
+      s"compact-of-v$v")
   }
 }

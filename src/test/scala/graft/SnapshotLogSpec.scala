@@ -109,6 +109,73 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(v1.contains((5L, "writerA")) && !v1.contains((7L, "writerB")))
   }
 
+  test("a racing writer with the SAME touched buckets but different content loses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_race2").toString
+    val t = (0L until 32L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, dir, "k")
+    // keys 5 and 21 both land in bucket 5: writer B's manifest is
+    // STRUCTURALLY identical to writer A's (same touched set over the
+    // same base), so only the content digest can tell them apart —
+    // without it B's different data would be silently discarded as a
+    // "replay"
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"),
+      Seq((5L, "U", "writerA")).toDF("k", "op", "payload"))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"),
+        Seq((21L, "U", "writerB")).toDF("k", "op", "payload"))
+    }
+    val v1 = SnapshotLog.readVersion(spark, dir, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v1.contains((5L, "writerA")) && !v1.contains((21L, "writerB")))
+  }
+
+  test("commitInitial: replay no-ops, a DIFFERENT initial dataset losing the race throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_init").toString
+    val a = (0L until 32L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(a, dir, "k")
+    // replay (same content, e.g. a retried creation batch): benign no-op
+    SnapshotLog.commitInitial(a, dir, "k")
+    // a different dataset losing the creation CAS must NOT silently
+    // adopt the winner's table — every v0 manifest is structurally
+    // identical (all buckets -> one dir), the digest is the only check
+    val b = (0L until 32L).map(k => (k, s"OTHER$k")).toDF("k", "payload")
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commitInitial(b, dir, "k")
+    }
+    val v0 = SnapshotLog.readVersion(spark, dir, 0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v0.contains((0L, "row0")) && !v0.exists(_._2.startsWith("OTHER")))
+  }
+
+  test("vacuum grace: a fresh unpublished attempt dir survives; aged orphans are reclaimed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_grace").toString
+    val t = (0L until 64L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, dir, "k")
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("payload"),
+      Seq((5L, "U", "u5")).toDF("k", "op", "payload"))
+    SnapshotLog.compactVersion(spark, dir, 1, 2)
+    // simulate an in-flight commit: data written, manifest CAS not yet
+    // published — referenced by NO manifest, exactly what a concurrent
+    // writer's attempt looks like mid-commit
+    val inflight = new java.io.File(dir, "v3-inflight")
+    assert(new java.io.File(inflight, "b=0").mkdirs())
+    java.nio.file.Files.writeString(inflight.toPath.resolve("b=0/part-0.parquet"), "x")
+    val deleted = SnapshotLog.vacuum(dir, retainFrom = 2)
+    // provably-dead dirs (published then expired) go; the fresh
+    // unreferenced attempt survives the grace window
+    assert(deleted.map(_.takeWhile(_ != '-')).sorted == Seq("v0", "v1"), deleted)
+    assert(inflight.exists(), "vacuum deleted an in-flight attempt inside the grace window")
+    // age the orphan past the grace window (dir AND children — vacuum
+    // takes the max mtime): the next vacuum reclaims it
+    val old = System.currentTimeMillis() - 2 * SnapshotLog.VacuumAttemptGraceMs
+    def age(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(age)); assert(f.setLastModified(old))
+    }
+    age(inflight)
+    val deleted2 = SnapshotLog.vacuum(dir, retainFrom = 2)
+    assert(deleted2 == Seq("v3-inflight") && !inflight.exists(), deleted2)
+  }
+
   test("manifests round-trip table roots containing JSON-hostile characters") {
     // the r8 hand-rolled parse split on ',' then ':' — this root
     // contains both, plus a quote
