@@ -956,6 +956,34 @@ object IncrementalQueries {
     runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterChildFilteredSql), dir,
       q10FullOuterDeletes, "incremental_sql_q10_fullouter_cf_leaf")
 
+  /** The FIND-THE-ORPHANS idiom — FULL OUTER with `WHERE o_orderkey
+    * IS NULL` (the r9 fence lifted): the parent boundary key is NULL
+    * exactly on the right-preserved rows (the engine-wide non-null
+    * FK-key assumption), so the compile keeps ONLY the orphan plan —
+    * lineitems whose order is dead anywhere up the tree — drops the
+    * anti plan, and never builds the inner tree. Every left grouping
+    * key folds as NULL: SQL's single orphan group. Ancestor deletes
+    * ride along so orphan-creation flows through the tree-prefix key
+    * node, not just the boundary pair. */
+  private val q10FullOuterIsNullSql =
+    """SELECT c_custkey, n_name,
+      | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+      | COUNT(*) AS n_rows
+      |FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IS NULL
+      |GROUP BY c_custkey, n_name""".stripMargin
+
+  def incrementalSqlQ10FullOuterIsNull(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compile(s, dir, q10FullOuterIsNullSql)
+      .run(s, dir, q10FullOuterAncestorDeletes)
+
+  def incrementalSqlQ10FullOuterIsNullStream(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterIsNullSql), dir,
+      q10FullOuterAncestorDeletes, "incremental_sql_q10_fullouter_isnull_leaf")
+
   /** FULL OUTER with **deletes on an ANCESTOR of the boundary pair**
     * (customer) — the other r8 fence lifted: the chain-shaped orphan
     * plan now keys on the TREE PREFIX's merged emissions (orders
@@ -2028,6 +2056,41 @@ object IncrementalQueries {
         | FULL JOIN l ON l_orderkey = o_orderkey
         |WHERE l_linenumber <> 3
         |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterChildFilteredStream),
+
+    // FULL OUTER + WHERE o_orderkey IS NULL — the find-the-orphans
+    // idiom (r9's loud fence, now planned): the view is EXACTLY the
+    // orphan plan's output, every left grouping key NULL. Gated
+    // against DuckDB running the literal FULL JOIN + IS NULL, which
+    // selects the right-preserved rows independently; ancestor
+    // deletes make orphan creation flow through the tree prefix.
+    sql("incremental_sql_q10_fullouter_isnull",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 30 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IS NULL
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterIsNull),
+
+    // … and through the CONTINUOUS engine: batch 2's customer/order
+    // deletes must CREATE orphan rows through held state in a view
+    // that has no inner tree at all.
+    sql("incremental_sql_q10_fullouter_isnull_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 30 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IS NULL
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterIsNullStream),
 
     // FULL OUTER with ANCESTOR deletes (r8's other fence): deleting a
     // customer must orphan its orders' lineitems — the tree-prefix

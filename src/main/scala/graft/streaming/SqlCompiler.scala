@@ -121,8 +121,10 @@ object SqlCompiler {
     cs
   }
 
-  /** Split on `UNION ALL` at paren depth 0, outside string literals;
-    * a bare top-level `UNION` (set semantics) fails loudly. */
+  /** Split on `UNION ALL` at paren depth 0, outside string literals
+    * and comments (`--` to end-of-line, `/* */` blocks); a doubled
+    * quote inside a literal is the SQL escape, not a close; a bare
+    * top-level `UNION` (set semantics) fails loudly. */
   private[graft] def splitTopLevelUnionAll(sqlText: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     var depth = 0
@@ -132,9 +134,19 @@ object SqlCompiler {
     val upper = sqlText.toUpperCase
     while (i < sqlText.length) {
       val ch = sqlText.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (ch == '\'' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '\'')
+          i += 2 // '' escape: still inside the literal
+        else { if (ch == '\'') inStr = false; i += 1 }
+      }
       else ch match {
         case '\'' => inStr = true; i += 1
+        case '-' if i + 1 < sqlText.length && sqlText.charAt(i + 1) == '-' =>
+          // line comment: a 'UNION ALL' inside it is text, not syntax
+          while (i < sqlText.length && sqlText.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < sqlText.length && sqlText.charAt(i + 1) == '*' =>
+          val end = sqlText.indexOf("*/", i + 2)
+          i = if (end < 0) sqlText.length else end + 2
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case 'U' | 'u' if depth == 0 && upper.startsWith("UNION", i) &&
@@ -171,6 +183,32 @@ object SqlCompiler {
       case _: CaseWhen | _: If | _: Coalesce | _: IsNull | _: IsNotNull => true
       case _ => false
     }
+    def hasColumn(c: Expression): Boolean = c.exists {
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => true
+      case _ => false
+    }
+    // Strict null-PRESERVATION: e evaluates to exactly NULL whenever
+    // all its column references are NULL. Stronger than rejection and
+    // the only sound premise for NOT: NOT(c) avoids TRUE on null
+    // input iff c avoids FALSE there, and a c that can DECIDE without
+    // its columns breaks that — NOT(x > 5 AND FALSE) is TRUE on NULL
+    // x because the inner And collapses to FALSE via its column-free
+    // branch. So every And/Or branch must preserve individually
+    // (NULL AND NULL = NULL, NULL OR NULL = NULL), and a column-free
+    // comparison (a constant) never qualifies.
+    def nullPreserving(c: Expression): Boolean = c match {
+      case And(l, r) => nullPreserving(l) && nullPreserving(r)
+      case Or(l, r) => nullPreserving(l) && nullPreserving(r)
+      case Not(inner) => nullPreserving(inner) // NOT(NULL) = NULL
+      case _: EqualNullSafe => false
+      case b: BinaryComparison => strictScalars(b) && hasColumn(b)
+      case i: In => strictScalars(i) && hasColumn(i)
+      case l: Like => strictScalars(l) && hasColumn(l)
+      case f: UnresolvedFunction
+          if Set("like", "rlike", "contains", "startswith", "endswith")(
+            f.nameParts.last.toLowerCase) => strictScalars(f) && hasColumn(f)
+      case _ => false
+    }
     e match {
       case And(l, r) => nullRejecting(l) || nullRejecting(r)
       case Or(l, r) => nullRejecting(l) && nullRejecting(r)
@@ -178,10 +216,7 @@ object SqlCompiler {
       case c: BinaryComparison => strictScalars(c)
       case i: In => strictScalars(i)
       case l: Like => strictScalars(l)
-      // NOT over a null-PRESERVING predicate stays NULL on NULL input;
-      // NOT(IS [NOT] NULL) flips to a definite boolean and must not
-      // qualify — strictScalars excludes those shapes
-      case Not(c) => nullRejecting(c) && strictScalars(c)
+      case Not(c) => nullPreserving(c)
       case f: UnresolvedFunction
           if Set("like", "rlike", "contains", "startswith", "endswith")(
             f.nameParts.last.toLowerCase) => strictScalars(f)
@@ -224,7 +259,12 @@ object SqlCompiler {
         * the TREE-PREFIX orphan plan instead (parent survival tracked
         * under its whole ancestor tree) and take deletes anywhere, so
         * they do not appear here. */
-      fullOuterBoundaries: Seq[(String, String)] = Nil) {
+      fullOuterBoundaries: Seq[(String, String)] = Nil,
+      /** FULL OUTER × `WHERE <boundary key> IS NULL`: the view is
+        * exactly ONE preservation plan's output (orphans, or
+        * NULL-extensions) — the main inner tree contributes nothing
+        * and is neither built nor run. */
+      suppressMainLeaf: Boolean = false) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -598,18 +638,25 @@ object SqlCompiler {
       * plan's (batch and stream share the shape; the caller picks the
       * tree runner). Each anti plan reuses the SAME changelogs, with
       * the boundary parent's own events re-keyed (from the canon) to
-      * the correlation column its anti hop shuffles on. */
-    private def withOuterLeaves(logs: Map[String, Dataset], mainLeaf: Dataset,
-        runner: (Seq[DeltaEngine.Stage], Map[String, Dataset]) => Dataset): Dataset =
-      outerPlans.foldLeft(mainLeaf) { (acc, p) =>
+      * the correlation column its anti hop shuffles on. `mainLeaf` is
+      * by-name: under [[suppressMainLeaf]] (boundary-key IS NULL
+      * views) the inner tree's plan is never even constructed. */
+    private def withOuterLeaves(logs: Map[String, Dataset], mainLeaf: => Dataset,
+        runner: (Seq[DeltaEngine.Stage], Map[String, Dataset]) => Dataset): Dataset = {
+      val planLeaves = outerPlans.map { p =>
         val planLogs = p.path.map { rel =>
           rel -> (p.rekey match {
             case Some((rr, rc)) if rr == rel => rekeyByCanon(logs(rel), rc)
             case _ => logs(rel)
           })
         }.toMap
-        acc.union(runner(p.stages, planLogs))
+        runner(p.stages, planLogs)
       }
+      val leaves = (if (suppressMainLeaf) Nil else Seq(mainLeaf)) ++ planLeaves
+      require(leaves.nonEmpty,
+        "no surviving plan to run — the compile should have failed loudly")
+      leaves.reduce(_ union _)
+    }
 
     /** The continuous form — the reference's actual deployment shape:
       * raw streaming changelogs in, signed leaf deltas out (consume
@@ -1068,14 +1115,39 @@ object SqlCompiler {
     // child is NULL on every NULL-extension row. The compile
     // therefore DROPS the corresponding plan — which is exactly SQL's
     // result, not an approximation — and the predicates then apply as
-    // ordinary scan filters to the surviving plans. Two loud fences
-    // remain: conjuncts that are not provably null-rejecting (IS
-    // NULL / COALESCE / CASE can PASS on the extended rows — dropping
-    // a plan would then be wrong), and multiple FULL boundaries under
-    // one WHERE (each conjunct would interact with every boundary's
-    // extension rows; the matrix is not compiled).
+    // ordinary scan filters to the surviving plans.
+    //
+    // IS [NOT] NULL on a BOUNDARY JOIN KEY compiles too — it is the
+    // find-the-orphans idiom, and each reading selects a plan the
+    // machinery already maintains (under the engine-wide non-null
+    // FK-key assumption, stated at the gate compile below, a boundary
+    // key is NULL exactly when its side was extended by the join):
+    //   parentKey IS NULL     → ONLY the orphan rows: keep the orphan
+    //                           plan, drop the anti plan, and the
+    //                           main (inner) tree contributes nothing;
+    //   childKey IS NULL      → ONLY the NULL-extension rows: keep
+    //                           the anti plan, drop the orphan plan,
+    //                           main tree contributes nothing;
+    //   parentKey IS NOT NULL → rejects orphans: drop the orphan plan
+    //                           (scan-filter guards base NULLs);
+    //   childKey IS NOT NULL  → rejects extensions: drop the anti
+    //                           plan (likewise).
+    // IS NULL on any NON-key column stays loudly uncompiled: a base
+    // row can carry a genuine NULL there, which passes SQL's WHERE on
+    // inner rows too — not representable by plan selection.
+    //
+    // Remaining loud fences: conjuncts that are neither provably
+    // null-rejecting nor a boundary-key null test (COALESCE / CASE
+    // can PASS on the extended rows — dropping a plan would then be
+    // wrong), multiple FULL boundaries under one WHERE (each conjunct
+    // would interact with every boundary's extension rows), and
+    // combinations that select NO plan at all (a provably empty view
+    // is almost surely a query bug — fail, don't return empty).
     val fullOuterDropOrphan = scala.collection.mutable.Set[String]()
     val fullOuterDropAnti = scala.collection.mutable.Set[String]()
+    var fullOuterOrphanOnly = false
+    var fullOuterAntiOnly = false
+    val fullOuterIsNullConjuncts = scala.collection.mutable.ArrayBuffer[Expression]()
     if (fullOuterRels.nonEmpty) {
       if (plainFilterConjuncts.nonEmpty) {
         if (fullOuterRels.size > 1)
@@ -1083,18 +1155,54 @@ object SqlCompiler {
             "each conjunct NULL-interacts with every boundary's preserved rows; " +
             "split the query or model restrictions as changelog deletes")
         val r = fullOuterRels.head
-        plainFilterConjuncts.foreach { c =>
-          if (!nullRejecting(c))
-            fail(s"FULL OUTER WHERE predicate '${fragment(c)}' is not provably " +
-              "NULL-rejecting (IS [NOT] NULL / COALESCE / CASE / IF forms can " +
-              "hold on the join's NULL-extended rows, which this compile cannot " +
-              "maintain) — rewrite as a plain comparison/IN/LIKE conjunct or " +
-              "model it as changelog deletes")
+        // the boundary's two key columns, read from the bare FK
+        // equality in this boundary's ON (validated just below):
+        // owner relation -> key column name
+        val boundaryKeys: Map[String, String] =
+          outerOn.filter(_._1 == r).flatMap(_._2).collectFirst {
+            case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+                if ownerOf(a) != ownerOf(b) =>
+              Map(ownerOf(a) -> a.nameParts.last, ownerOf(b) -> b.nameParts.last)
+          }.getOrElse(Map.empty)
+        def boundaryKeyOwner(a: UnresolvedAttribute): Option[String] = {
+          val owner = ownerOf(a)
+          boundaryKeys.get(owner).filter(_ == a.nameParts.last).map(_ => owner)
         }
-        val owners = plainFilterConjuncts.flatMap(c =>
-          c.collect { case a: UnresolvedAttribute => ownerOf(a) }).distinct
+        plainFilterConjuncts.foreach {
+          case c @ IsNull(a: UnresolvedAttribute) if boundaryKeyOwner(a).isDefined =>
+            fullOuterIsNullConjuncts += c // plan selection, never a scan filter
+            if (boundaryKeyOwner(a).contains(r)) { // child key NULL → extensions only
+              fullOuterAntiOnly = true; fullOuterDropOrphan += r
+            } else { // parent key NULL → orphans only
+              fullOuterOrphanOnly = true; fullOuterDropAnti += r
+            }
+          case IsNotNull(a: UnresolvedAttribute) if boundaryKeyOwner(a).isDefined =>
+            // rejects exactly one preservation direction; the conjunct
+            // ALSO stays a scan filter (a base-data NULL key never
+            // joins, so SQL extends then rejects such rows — the scan
+            // filter removes them at the source)
+            if (boundaryKeyOwner(a).contains(r)) fullOuterDropAnti += r
+            else fullOuterDropOrphan += r
+          case c =>
+            if (!nullRejecting(c))
+              fail(s"FULL OUTER WHERE predicate '${fragment(c)}' is not provably " +
+                "NULL-rejecting (COALESCE / CASE / IF forms, and IS [NOT] NULL " +
+                "on a non-key column, can hold on the join's NULL-extended " +
+                "rows, which this compile cannot maintain) — rewrite as a " +
+                "plain comparison/IN/LIKE conjunct, test a boundary join key, " +
+                "or model it as changelog deletes")
+        }
+        val owners = plainFilterConjuncts
+          .filterNot(fullOuterIsNullConjuncts.contains)
+          .flatMap(c => c.collect { case a: UnresolvedAttribute => ownerOf(a) }).distinct
         if (owners.exists(_ != r)) fullOuterDropOrphan += r
         if (owners.contains(r)) fullOuterDropAnti += r
+        if ((fullOuterOrphanOnly && fullOuterDropOrphan(r)) ||
+            (fullOuterAntiOnly && fullOuterDropAnti(r)) ||
+            (fullOuterOrphanOnly && fullOuterAntiOnly))
+          fail("FULL OUTER WHERE conjuncts select no surviving plan — the view " +
+            "is provably empty (an IS NULL boundary-key test combined with a " +
+            "conjunct that rejects that same preserved side)")
       }
       fullOuterRels.foreach { r =>
         val conj = outerOn.filter(_._1 == r).flatMap(_._2)
@@ -1110,7 +1218,11 @@ object SqlCompiler {
     }
 
     // classify conjuncts: FK equi-joins vs single-relation predicates
-    val conjuncts = plainFilterConjuncts ++ onConjuncts
+    // boundary-key IS NULL conjuncts were consumed above as plan
+    // selection — they must never reach the scan filters (they would
+    // empty the very changelogs the surviving plan maintains)
+    val conjuncts =
+      plainFilterConjuncts.filterNot(fullOuterIsNullConjuncts.contains) ++ onConjuncts
     conjuncts.foreach(c => c.foreach {
       case _: SubqueryExpression => fail(s"subquery inside '${fragment(c)}' — " +
         "subqueries compile only as TOP-LEVEL WHERE conjuncts of the form " +
@@ -1666,7 +1778,8 @@ object SqlCompiler {
     Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
       neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq,
       outerPlans,
-      restrictedFullOuter.toSeq.sorted)
+      restrictedFullOuter.toSeq.sorted,
+      suppressMainLeaf = fullOuterOrphanOnly || fullOuterAntiOnly)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

@@ -1437,11 +1437,42 @@ class SqlCompilerSpec extends AnyFunSuite {
     val ci = SqlCompiler.compile(s, d,
       base.format("\nWHERE o_orderkey > 0 AND l_linenumber <> 3"))
     assert(ci.outerPlans.isEmpty)
+    // IS NULL on a BOUNDARY KEY selects exactly one preservation plan:
+    // parent key NULL = the orphan rows only (no inner tree, no anti)
+    val co = SqlCompiler.compile(s, d, base.format("\nWHERE o_orderkey IS NULL"))
+    assert(co.suppressMainLeaf && co.outerPlans.size == 1 &&
+      co.outerPlans.head.stages.exists(_.name == "__orphan_lineitem_keys"))
+    // child key NULL = the NULL-extension rows only
+    val ca = SqlCompiler.compile(s, d, base.format("\nWHERE l_orderkey IS NULL"))
+    assert(ca.suppressMainLeaf && ca.outerPlans.size == 1 &&
+      ca.outerPlans.head.stages.exists(_.name == "__outer_lineitem_keys"))
+    // IS NOT NULL rejects that direction (and stays a scan filter)
+    val cnn = SqlCompiler.compile(s, d, base.format("\nWHERE l_orderkey IS NOT NULL"))
+    assert(!cnn.suppressMainLeaf && cnn.outerPlans.size == 1 &&
+      cnn.outerPlans.head.stages.exists(_.name == "__orphan_lineitem_keys") &&
+      cnn.wheres.get("lineitem").exists(_.toUpperCase.contains("IS NOT NULL")))
+    // conjuncts selecting NO plan (provably empty view) are loud
+    val exEmpty = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      base.format("\nWHERE o_orderkey IS NULL AND c_acctbal > 0")))
+    assert(exEmpty.getMessage.contains("no surviving plan"), exEmpty.getMessage)
     // a NULL-tolerant WHERE conjunct stays a loud rejection: dropping a
     // plan would be WRONG when the predicate can hold on extended rows
+    // (IS NULL only compiles on a boundary JOIN KEY — a non-key column
+    // can be genuinely NULL in base rows, which pass SQL's WHERE on
+    // inner rows too)
     val ex1 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
       base.format("\nWHERE o_orderstatus IS NULL")))
     assert(ex1.getMessage.contains("NULL-rejecting"), ex1.getMessage)
+    // the r9-advice Not-case soundness hole: NOT(pred AND FALSE) is
+    // TRUE on NULL input (the column-free branch decides), so it must
+    // NOT count as null-rejecting
+    val exNot = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      base.format("\nWHERE NOT (o_totalprice > 5 AND 1 = 2)")))
+    assert(exNot.getMessage.contains("NULL-rejecting"), exNot.getMessage)
+    // ...while NOT over a plain null-preserving comparison still compiles
+    val cNot = SqlCompiler.compile(s, d,
+      base.format("\nWHERE NOT (o_totalprice > 5)"))
+    assert(cNot.outerPlans.size == 1)
     val ex1b = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
       base.format("\nWHERE coalesce(o_orderkey, 0) > 0")))
     assert(ex1b.getMessage.contains("NULL-rejecting"), ex1b.getMessage)
@@ -1469,6 +1500,18 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(parts.size == 2 && parts(1).startsWith("SELECT 'y'"), parts)
     // column-like identifiers containing "union" must not split
     assert(splitTopLevelUnionAll("SELECT reunion_all FROM t").size == 1)
+    // comments: 'UNION ALL' inside -- and /* */ is text, not syntax
+    assert(splitTopLevelUnionAll(
+      "SELECT 1 -- UNION ALL SELECT 2\nFROM t").size == 1)
+    assert(splitTopLevelUnionAll(
+      "SELECT 1 /* UNION ALL\nSELECT 2 */ FROM t").size == 1)
+    // ...and a real split still works with comments present
+    assert(splitTopLevelUnionAll(
+      "SELECT 1 -- note\nUNION ALL\nSELECT 2").size == 2)
+    // doubled quotes inside a literal are the SQL escape, not a close:
+    // the UNION ALL here is still inside the string
+    assert(splitTopLevelUnionAll(
+      "SELECT 'it''s a UNION ALL trap' AS x FROM t").size == 1)
     // bare UNION (set semantics) is loudly uncompiled
     val ex = intercept[IllegalArgumentException](
       splitTopLevelUnionAll("SELECT 1 UNION SELECT 2"))
