@@ -28,6 +28,15 @@ object TextAnalysis {
 
   private val tokenPattern = "[a-z0-9]+"
 
+  /** The pinned "learned" merge list for `text_bpe_encode` — eight
+    * chained English merges in application order (training order from
+    * a text_bpe_pairs-style run; chaining matters: `th`+`e` only
+    * fires after `t`+`h`). Declared before `defs`, which folds over
+    * it at object init. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
   /** Language marker sets for the n-gram/stopword language-ID
     * heuristic. Checked in fixed priority order (en, fr, es, de) with
     * >= so ties resolve identically in both engines; CJK characters
@@ -403,5 +412,53 @@ object TextAnalysis {
             col("freq"))
           .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
           .orderBy(col("n").desc, col("pair")).limit(50)
+    },
+
+    // BPE ENCODE — the tokenizer step a 100 TB pipeline actually runs
+    // (text_bpe_pairs above is the TRAINING inner loop; this applies a
+    // LEARNED merge list, pinned as a fixture, to tokenize the corpus
+    // and produce the per-document token counts packing/budgeting
+    // needs). Greedy left-to-right BPE via bracketed-symbol string
+    // rewriting: a word becomes `<h><e><l><l><o>`, and applying merge
+    // (a,b) is literally replace('<a><b>' → '<ab>') — plain string
+    // replace scans left-to-right non-overlapping, which IS the BPE
+    // merge order, and the brackets make symbol boundaries
+    // unambiguous (the pair pattern cannot match inside a longer
+    // symbol). Both engines run the identical nested-replace
+    // expression (built from one Scala merge list), so the oracle is
+    // exact by construction. Scale shape: the encode (the expensive
+    // per-word transform) runs over the DISTINCT-WORD frame only —
+    // the same 10^6× reduction as training — then joins back to
+    // per-(doc, word) counts; one broadcastable vocab join, one
+    // shuffle on doc_id.
+    sql("text_bpe_encode", {
+      val enc0 = """regexp_replace(word, '(.)', '<\1>', 'g')"""
+      val encoded = BpeMerges.foldLeft(enc0) { case (s, (a, b)) =>
+        s"replace($s, '<$a><$b>', '<$a$b>')"
+      }
+      s"""WITH dw AS (
+         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         | FROM documents),
+         |pw AS (SELECT doc_id, word, COUNT(*) AS n FROM dw GROUP BY doc_id, word),
+         |v AS (SELECT word, len(string_split(trim($encoded, '<>'), '><')) AS tok
+         |      FROM (SELECT DISTINCT word FROM pw))
+         |SELECT doc_id, CAST(SUM(n * tok) AS BIGINT) AS n_tokens
+         |FROM pw JOIN v USING (word)
+         |GROUP BY doc_id""".stripMargin
+    }) {
+      (s, d) =>
+        val perDocWord = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+        val enc = BpeMerges.foldLeft(
+          regexp_replace(col("word"), lit("(.)"), lit("<$1>"))) { case (c, (a, b)) =>
+          org.apache.spark.sql.functions.replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
+        val vocab = perDocWord.select("word").distinct()
+          .select(col("word"), size(split(btrim(enc, lit("<>")), "><")).as("tok"))
+        perDocWord.join(broadcast(vocab), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n") * col("tok")).as("n_tokens"))
     })
 }

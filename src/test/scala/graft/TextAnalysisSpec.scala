@@ -105,4 +105,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     val missed = counts.filterNot(kv => got.exists(_._1 == kv._1)).values
     assert(missed.forall(_ <= floor))
   }
+
+  test("BPE encode: bracket-replace tokenization equals a reference greedy merge fold") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the text_bpe_encode fixture merge list, pinned here too — a
+    // change to either side must be deliberate
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+    // independent reference: greedy left-to-right single-rule merge,
+    // rules applied in order, on symbol LISTS (no string tricks)
+    def encodeRef(word: String): Seq[String] =
+      merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        out.toSeq
+      }
+    // hand-checked anchors (chained merges + greedy non-overlap)
+    assert(encodeRef("the") == Seq("the"))
+    assert(encodeRef("other") == Seq("o", "the", "r"))
+    assert(encodeRef("and") == Seq("and"))
+    assert(encodeRef("thth") == Seq("th", "th"))
+    val words = Seq("the", "then", "other", "and", "din", "inner", "a",
+      "rere", "thth", "xyzzy", "intercontinental", "thethe", "onion")
+    val enc = merges.foldLeft(
+      regexp_replace(col("word"), lit("(.)"), lit("<$1>"))) { case (c, (a, b)) =>
+      replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    val got = words.toDF("word")
+      .select(col("word"), split(btrim(enc, lit("<>")), "><").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(got(w) == encodeRef(w), s"word '$w': ${got(w)} vs ${encodeRef(w)}")
+    }
+  }
 }
