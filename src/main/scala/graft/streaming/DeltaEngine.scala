@@ -1016,4 +1016,151 @@ object DeltaEngine {
     }
     outputs(stages.last.name)
   }
+
+  // ---- the SAME tree on Spark 4's transformWithState ----------------
+
+  /** One tree node as a Spark 4 `StatefulProcessor` — the engine's
+    * core AJU fold ported off legacy flatMapGroupsWithState onto the
+    * supported arbitrary-state API, with state DECOMPOSED into typed
+    * columns instead of one per-key blob:
+    *
+    *  - `children` is a [[org.apache.spark.sql.streaming.MapState]]
+    *    (canonical child row → signed count): an own-changelog event
+    *    is ONE point read + ONE point write against the (RocksDB)
+    *    store, where the flatMap driver deserializes and rewrites the
+    *    key's entire child multiset every micro-batch — at 100 TB the
+    *    buffered-children map is the dominant state, so per-entry
+    *    access is the difference between O(Δ) and O(state) I/O per
+    *    batch. The full map is read ONLY on a parent liveness flip
+    *    (the replay the semantics requires anyway);
+    *  - `parent` is a ValueState of (aliveParents, latest parent
+    *    canon) — a few bytes, read/written once per batch;
+    *  - the optional processing-time TTL is a REAL per-key timer
+    *    (`registerTimer`/`handleExpiredTimer`, re-armed on activity,
+    *    at most one per key), replacing GroupState's single timeout
+    *    slot.
+    *
+    * The fold logic mirrors [[NodeFold]] transition-for-transition
+    * (ghost counts, set-semantics roots, anti liveness, merge order —
+    * the spec gates TWS leaf output byte-identical to the flatMap
+    * driver's); events sort by the SAME [[evtOrder]] and flip replays
+    * by the same natural key order. Requires the RocksDB state store
+    * provider on the session (transformWithState's documented
+    * requirement). */
+  final class TreeNodeProcessor(spec: NodeSpec, stateTtl: Option[java.time.Duration],
+      preFiltered: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Evt, Evt] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode => OM, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var children: MapState[String, Int] = _
+    @transient private var parent: ValueState[(Int, String)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      children = getHandle.getMapState[String, Int]("children",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+      parent = getHandle.getValueState[(Int, String)]("parent",
+        org.apache.spark.sql.Encoders.product[(Int, String)], TTLConfig.NONE)
+    }
+
+    private def aliveAt(n: Int): Boolean = if (spec.antiParent) n <= 0 else n > 0
+
+    override def handleInputRows(key: String, rows: Iterator[Evt],
+        timerValues: TimerValues): Iterator[Evt] = {
+      // state-store groups arrive unordered — restore the engine's
+      // deterministic order (same comparator as the flatMap drivers)
+      val arr = rows.toArray
+      java.util.Arrays.sort(arr, evtOrder)
+      var (aliveParents, parentCanon) =
+        if (parent.exists()) parent.get() else (0, "")
+      val out = Vector.newBuilder[Evt]
+      def emit(seq: Long, tag: Int, mult: Int, row: String): Unit =
+        out += new Evt(seq, fromParent = true, tag, mult,
+          canonGet(row, spec.nextKeyCol), row)
+      arr.foreach { ev =>
+        if (ev.fromParent) {
+          val newAlive = aliveParents + ev.tag * ev.mult
+          val wasAlive = aliveAt(aliveParents)
+          val isAlive = aliveAt(newAlive)
+          val parentRow =
+            if (spec.antiParent) ""
+            else if (ev.tag > 0) ev.row else parentCanon
+          if (wasAlive != isAlive) {
+            // liveness flip replays the buffered child multiset — the
+            // ONLY full-map scan; sorted like NodeFold's replay so
+            // emission order is byte-identical across drivers
+            val keys = children.keys().toArray
+            java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+            keys.foreach { c =>
+              val cnt = children.getValue(c)
+              if (cnt != 0) {
+                val signed = (if (isAlive) 1 else -1) * cnt
+                emit(ev.seq, if (signed > 0) 1 else -1, signed.abs,
+                  mergeCanon(c, parentRow))
+              }
+            }
+          }
+          aliveParents = newAlive
+          if (ev.tag > 0) parentCanon = ev.row
+        } else if (preFiltered || spec.predicate(uncanon(ev.row))) {
+          val c = ev.row
+          val before = if (children.containsKey(c)) children.getValue(c) else 0
+          val after = before + ev.tag * ev.mult
+          if (after == 0) children.removeKey(c) else children.updateValue(c, after)
+          val emitCount =
+            if (spec.setSemantics) {
+              if (before <= 0 && after > 0) 1
+              else if (before > 0 && after <= 0) -1
+              else 0
+            } else ev.tag * ev.mult
+          if (emitCount != 0 && (spec.isRoot || aliveAt(aliveParents)))
+            emit(ev.seq, if (emitCount > 0) 1 else -1, emitCount.abs,
+              if (spec.isRoot) ev.row
+              else mergeCanon(ev.row, if (spec.antiParent) "" else parentCanon))
+        }
+      }
+      parent.update((aliveParents, parentCanon))
+      stateTtl.foreach { d =>
+        // at most ONE live timer per key: re-arm on activity
+        val want = timerValues.getCurrentProcessingTimeInMs() + d.toMillis
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(want)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Evt] = {
+      children.clear(); parent.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[runStreamTree]] on `transformWithState` — chained
+    * [[TreeNodeProcessor]] stages in Append mode over the same
+    * [[stageInput]] wiring (predicate pushdown, branch routing,
+    * parent-delta unions all identical; only the per-node state API
+    * changes). Session must use the RocksDB state store provider. */
+  def runStreamTreeTws(stages: Seq[Stage], changelogs: Map[String, Dataset[Evt]],
+                       stateTtl: Option[java.time.Duration] = None,
+                       sourceFiltered: Boolean = false): Dataset[Evt] = {
+    checkStages(stages)
+    val spark = changelogs.head._2.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val timeMode =
+      if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
+    stages.foreach { st =>
+      require(st.pairStage.isEmpty,
+        "pair (shared-dimension) stages are not yet ported to the TWS driver — " +
+          "use runStreamTree")
+      val events = stageInput(st, changelogs, sourceFiltered, outputs)
+      outputs(st.name) = events.groupByKey(_.key)
+        .transformWithState(
+          new TreeNodeProcessor(st.spec, stateTtl, preFiltered = true),
+          timeMode, OutputMode.Append())
+    }
+    outputs(stages.last.name)
+  }
 }

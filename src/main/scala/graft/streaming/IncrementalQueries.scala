@@ -623,9 +623,13 @@ object IncrementalQueries {
     * guidance is unchanged: size state partitions to the data. */
   private def replayStream(s: SparkSession, stages: Seq[Stage],
       logs0: Map[String, Dataset[Evt]], sinkName: String,
-      eventTtl: Option[DeltaEngine.EventTimeTtl] = None): Dataset[Evt] = {
+      eventTtl: Option[DeltaEngine.EventTimeTtl] = None,
+      tws: Boolean = false): Dataset[Evt] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = replaySession(s)
+    if (tws) // transformWithState's documented store requirement
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     if (eventTtl.isDefined) {
       // the EventTimeTtl session requirements (see its scaladoc):
       // per-stage re-derived event times trip the blanket chained-
@@ -641,9 +645,10 @@ object IncrementalQueries {
         rel -> boundedReplayCollect(s"$sinkName($rel)", ds).toSeq }
       .toMap
     val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
-    val leaf = runStreamTree(stages,
-      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true,
-      eventTtl = eventTtl)
+    val streamIn = streams.map { case (r, ms) => r -> ms.toDS() }
+    val leaf =
+      if (tws) DeltaEngine.runStreamTreeTws(stages, streamIn, sourceFiltered = true)
+      else runStreamTree(stages, streamIn, sourceFiltered = true, eventTtl = eventTtl)
     val query = leaf.writeStream
       .format("memory").queryName(sinkName)
       .outputMode("append").start()
@@ -664,6 +669,16 @@ object IncrementalQueries {
   def incrementalQ10Stream(s: SparkSession, dir: String): DataFrame =
     q10Aggregate(replayStream(s, chainStages(q10Tree), q10Changelogs(s, dir),
       "incremental_q10_stream_leaf"))
+
+  /** The flagship maintained tree on Spark 4's `transformWithState` —
+    * the engine's core capability moved onto the SUPPORTED
+    * arbitrary-state API ([[DeltaEngine.TreeNodeProcessor]]: per-node
+    * MapState child multisets with point updates, ValueState liveness,
+    * per-key timers for TTL), gated against the SAME oracle as
+    * [[incrementalQ10Stream]] — two streaming state APIs, one truth. */
+  def incrementalQ10Tws(s: SparkSession, dir: String): DataFrame =
+    q10Aggregate(replayStream(s, chainStages(q10Tree), q10Changelogs(s, dir),
+      "incremental_q10_tws_leaf", tws = true))
 
   /** The incremental engine's SINK upgraded to a LAKEHOUSE TABLE —
     * the reference's K1 (a text file of per-delta updates) replaced
@@ -1831,6 +1846,23 @@ object IncrementalQueries {
          | AND l_returnflag = 'R'
          | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
          |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Stream),
+
+    // The flagship tree on transformWithState (Spark 4's supported
+    // arbitrary-state API): per-node typed MapState child multisets
+    // (point reads/writes in RocksDB instead of per-batch blob
+    // rewrites), ValueState liveness counters, real per-key timers
+    // for TTL — same replay, same oracle as incremental_q10_stream.
+    sql("incremental_q10_tws",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin)(incrementalQ10Tws),
 
     // The maintained view MAINTAINED INTO THE LAKEHOUSE TABLE — the
     // reference's text-file sink upgraded: per-batch signed deltas

@@ -825,4 +825,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(drained(ds => streamAbsenceAlerts(ds, delay = "1 hour"), "purchase",
       "absence_drain_sink") == 1L)
   }
+
+  test("TWS tree driver: transformWithState leaf deltas net to the flatMap/batch view") {
+    // the Q10 chain on Spark 4 StatefulProcessors (MapState children,
+    // ValueState liveness) must fold byte-identical state transitions:
+    // net leaf view == the batch runner's, across the same adversarial
+    // batch plan (split inserts, then deletes fanning to children
+    // inserted in EARLIER batches)
+    import graft.streaming.IncrementalQueries
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = ss.sqlContext
+    import ss.implicits._
+    val dir = SparkTestSession.sfTiny
+    val logs = IncrementalQueries.q10Changelogs(ss, dir)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val out = runStreamTreeTws(chainStages(IncrementalQueries.q10Tree),
+      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
+    val query = out.writeStream
+      .format("memory").queryName("q10_tws_leaf").outputMode("append").start()
+    try {
+      def half(evs: Seq[Evt], first: Boolean): Seq[Evt] =
+        evs.filter(e => (e.key.hashCode & 1) == (if (first) 0 else 1))
+      for (step <- Seq[Seq[Evt] => Seq[Evt]](
+        evs => half(evs.filter(_.seq == 0L), first = true),
+        evs => half(evs.filter(_.seq == 0L), first = false),
+        evs => evs.filter(_.seq == 1L))) {
+        streams.foreach { case (rel, ms) =>
+          val batch = step(logs(rel))
+          if (batch.nonEmpty) ms.addData(batch)
+        }
+        query.processAllAvailable()
+      }
+      def fold(evts: Seq[Evt]): Map[String, Int] =
+        evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+          .filter(_._2 != 0).toMap
+      val streamed = fold(ss.table("q10_tws_leaf").as[Evt].collect().toSeq)
+      val batched = fold(
+        runBatch(IncrementalQueries.q10Tree,
+          IncrementalQueries.q10Changelogs(ss, dir)).collect().toSeq)
+      assert(batched.nonEmpty, "batch leaf view must be non-trivial")
+      assert(streamed == batched)
+    } finally query.stop()
+  }
+
+  test("TWS tree driver: per-key timers drain idle state under the processing-time TTL") {
+    import graft.streaming.IncrementalQueries
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = ss.sqlContext
+    import ss.implicits._
+    val dir = SparkTestSession.sfTiny
+    val logs = IncrementalQueries.q10Changelogs(ss, dir)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val out = runStreamTreeTws(chainStages(IncrementalQueries.q10Tree),
+      streams.map { case (r, ms) => r -> ms.toDS() },
+      stateTtl = Some(java.time.Duration.ofSeconds(8)), sourceFiltered = true)
+    val query = out.writeStream
+      .format("memory").queryName("q10_tws_ttl_leaf").outputMode("append").start()
+    try {
+      streams.foreach { case (rel, ms) =>
+        val ins = logs(rel).filter(_.seq == 0L)
+        if (ins.nonEmpty) ms.addData(ins)
+      }
+      // timer-armed queries self-trigger (expired timers must be
+      // checked), so poll lastProgress instead of processAllAvailable
+      def stateRows(deadlineMs: Long)(done: Seq[Long] => Boolean): Seq[Long] = {
+        val until = System.currentTimeMillis() + deadlineMs
+        var last: Seq[Long] = Nil
+        while (System.currentTimeMillis() < until) {
+          val p = query.lastProgress
+          if (p != null && p.stateOperators.nonEmpty) {
+            last = p.stateOperators.map(_.numRowsTotal).toSeq
+            if (done(last)) return last
+          }
+          Thread.sleep(100)
+        }
+        last
+      }
+      val populated = stateRows(60000)(_.sum > 0)
+      assert(populated.sum > 0, populated.toString)
+      // idle keys' timers fire; handleExpiredTimer clears both typed
+      // state columns -> the store must drain to empty
+      val drained = stateRows(120000)(_.sum == 0)
+      assert(drained.sum == 0,
+        s"TWS timers must bound state: still ${drained.sum} rows after eviction deadline")
+    } finally query.stop()
+  }
 }
