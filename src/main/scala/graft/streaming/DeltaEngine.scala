@@ -100,9 +100,25 @@ object DeltaEngine {
       predicate: Map[String, String] => Boolean = NoPredicate,
       isRoot: Boolean = false,
       setSemantics: Boolean = false,
-      antiParent: Boolean = false) {
+      antiParent: Boolean = false,
+      /** FULL OUTER leaf fusion: besides the ordinary inner emissions
+        * (merged rows while the parent is alive), the node emits the
+        * ORPHAN reading while the parent is DEAD — the child's BARE
+        * canon row — and every liveness flip swaps the buffered
+        * children between the two readings (retract merged + assert
+        * bare on death; the reverse on revival). This folds the SQL
+        * compiler's separate 2-stage orphan plan (key node + anti
+        * hop, a second shuffle and a second buffered-children state
+        * over the tree's LARGEST relation) into the leaf fold the
+        * main tree already runs: one shuffle, one state, both
+        * preservation directions. Parent deltas are the tree prefix's
+        * merged emissions, so ancestor deletes orphan transitively —
+        * the same property the tree-prefix key node provided. */
+      fullOuterLeaf: Boolean = false) {
     require(!(isRoot && antiParent),
       s"node '$relation': antiParent inverts PARENT liveness — a root has no parent")
+    require(!(fullOuterLeaf && (isRoot || antiParent)),
+      s"node '$relation': fullOuterLeaf needs an ordinary liveness parent")
   }
 
   // ---- canonical row form (state-store and shuffle friendly) --------
@@ -256,6 +272,11 @@ object DeltaEngine {
             if (cnt != 0) {
               val signed = (if (isAlive) 1 else -1) * cnt
               out += ((if (signed > 0) 1 else -1, signed.abs, mergeCanon(c, parentRow)))
+              if (spec.fullOuterLeaf)
+                // the orphan reading flips OPPOSITE the inner one:
+                // death retracts merged rows and asserts bare child
+                // rows; revival the reverse
+                out += ((if (signed > 0) -1 else 1, signed.abs, c))
             }
           }
         }
@@ -282,6 +303,10 @@ object DeltaEngine {
           out += ((if (emitCount > 0) 1 else -1, emitCount.abs,
             if (spec.isRoot) ev.row
             else mergeCanon(ev.row, if (spec.antiParent) "" else parentCanon)))
+        } else if (emitCount != 0 && spec.fullOuterLeaf) {
+          // parent dead: the child row IS output — as the orphan
+          // (right-preserved) reading, bare child columns only
+          out += ((if (emitCount > 0) 1 else -1, emitCount.abs, ev.row))
         }
       }
     }
@@ -611,7 +636,18 @@ object DeltaEngine {
       ownStage: Option[String] = None,
       parentStage: Option[String] = None,
       salts: Int = 1,
-      pairStage: Option[String] = None)
+      pairStage: Option[String] = None,
+      /** Project this stage's OWN input rows down to just the routing
+        * key column before the shuffle. Sound ONLY when downstream
+        * never reads the stage's row content — the one shape that
+        * qualifies is a set-semantics KEY node feeding an antiParent
+        * hop (anti liveness carries no parent columns by
+        * construction), where it collapses the widest relation's
+        * canon rows to ~key-width on the wire. Liveness semantics are
+        * unchanged: rows sharing a key collapse into one multiset
+        * entry whose net count crosses zero exactly when the distinct
+        * full-row set does. */
+      keyOnlyRows: Boolean = false)
 
   /** A root→leaf chain as stages — the original [[runBatch]] shape. */
   def chainStages(specs: Seq[NodeSpec]): Seq[Stage] =
@@ -773,7 +809,18 @@ object DeltaEngine {
           .withColumn("fromParent", lit(false))
           .as[Evt]
     }
-    val ownS = if (st.salts > 1) saltOwn(own, st.salts) else own
+    val ownP =
+      if (!st.keyOnlyRows) own
+      else {
+        // codegen'd narrow-on-the-wire projection: canonical row
+        // becomes the single routing-key pair (see Stage.keyOnlyRows)
+        val spark = own.sparkSession
+        import spark.implicits._
+        own.toDF()
+          .withColumn("row", concat(lit(spec.childKeyCol + KV.toString), col("key")))
+          .as[Evt]
+      }
+    val ownS = if (st.salts > 1) saltOwn(ownP, st.salts) else ownP
     // the second input: parent liveness deltas (liveness stage) or
     // the paired side's join deltas (pair stage) — both arrive with
     // fromParent = true on the wire
@@ -817,6 +864,72 @@ object DeltaEngine {
           })
     }
     outputs(stages.last.name)
+  }
+
+  /** One stage's batch fold (no stats instrumentation) — the body of
+    * [[runTree]]'s loop, shared with [[runTreeShared]]. */
+  private def runStage(st: Stage, changelogs: Map[String, Dataset[Evt]],
+      sourceFiltered: Boolean,
+      outputs: scala.collection.Map[String, Dataset[Evt]]): Dataset[Evt] = {
+    val spark = changelogs.head._2.sparkSession
+    import spark.implicits._
+    val events = stageInput(st, changelogs, sourceFiltered, outputs)
+    val fold: (String, Iterator[Evt]) => Iterator[Evt] =
+      if (st.pairStage.isDefined)
+        processPairKeyBatch(st.spec, preFiltered = true, preSorted = true)
+      else processKeyBatch(st.spec, preFiltered = true, preSorted = true)
+    events.groupByKey(_.key)
+      .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(
+        (k: String, it: Iterator[Evt]) => fold(k, it))
+  }
+
+  /** Several stage-plans over (mostly) shared changelogs in ONE batch
+    * evaluation, building each REFERENCE-SHARED stage's Dataset once:
+    * the SQL compiler's outer-join plans reuse the main tree's prefix
+    * stages by object identity (the anti plan keeps the pre-parent
+    * prefix; the orphan plan, when it exists at all — the leaf-fusion
+    * path folds it away — the whole prefix). Sharing the Dataset
+    * OBJECT gives every consuming branch a canonically-equal subtree,
+    * which is what lets Spark's ReuseExchange dedupe the underlying
+    * shuffles; it deliberately does NOT persist() the shared outputs —
+    * measured at bench scale, materializing object-typed Evt rows
+    * through the block store costs more than re-running the small
+    * prefix folds (the heavy leaf-relation work is deduped
+    * structurally, by leaf fusion and the key-only projection, not by
+    * caching). Reuse is refused unless the stage's inputs are
+    * OBJECT-IDENTICAL in the reusing plan (same changelog Dataset,
+    * same upstream stage outputs) — a plan that rekeys a relation's
+    * changelog (the anti plan's boundary parent) never reuses a stage
+    * reading it. Returns the union of every plan's leaf deltas. */
+  def runTreeShared(plans: Seq[(Seq[Stage], Map[String, Dataset[Evt]])],
+                    sourceFiltered: Boolean = false): Dataset[Evt] = {
+    require(plans.nonEmpty, "runTreeShared needs at least one plan")
+    // per shared stage: (output, own-changelog object, upstream outputs)
+    val cache =
+      new java.util.IdentityHashMap[Stage, (Dataset[Evt], AnyRef, Map[String, Dataset[Evt]])]()
+    val leaves = plans.map { case (stages, logs) =>
+      checkStages(stages)
+      val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
+      stages.foreach { st =>
+        val refs = (st.ownStage.toSeq ++ st.parentStage.toSeq ++ st.pairStage.toSeq)
+          .map(n => n -> outputs(n)).toMap
+        val ownLog: AnyRef =
+          if (st.ownStage.isEmpty) logs.getOrElse(st.spec.relation, null) else null
+        val hit = Option(cache.get(st)).filter { case (_, cLog, cRefs) =>
+          (cLog eq ownLog) && cRefs.size == refs.size &&
+            cRefs.forall { case (n, ds) => refs.get(n).exists(_ eq ds) }
+        }
+        outputs(st.name) = hit match {
+          case Some((out, _, _)) => out
+          case None =>
+            val out = runStage(st, logs, sourceFiltered, outputs)
+            cache.put(st, (out, ownLog, refs))
+            out
+        }
+      }
+      outputs(stages.last.name)
+    }
+    leaves.reduce(_ union _)
   }
 
   /** STATE OBSERVABILITY — the answer surface for "which node's state

@@ -629,9 +629,27 @@ object SqlCompiler {
             case None => logs0
           }
         }
-      aggregate(withOuterLeaves(logs,
-        DeltaEngine.runTree(stages, logs, sourceFiltered = true),
-        (sts, lgs) => DeltaEngine.runTree(sts, lgs, sourceFiltered = true)).toDF())
+      // BATCH leaf assembly: with outer plans present, run everything
+      // through the SHARED-PREFIX runner — the anti/orphan plans reuse
+      // the main tree's prefix stages by object identity, so a FULL
+      // OUTER entry prices one tree + two deltas, not three trees
+      // (stream keeps independent chains: state stores are
+      // per-operator — see withOuterLeaves/runStream).
+      val leaf =
+        if (outerPlans.isEmpty) DeltaEngine.runTree(stages, logs, sourceFiltered = true)
+        else DeltaEngine.runTreeShared(
+          (if (suppressMainLeaf) Nil else Seq((stages, logs))) ++
+            outerPlans.map { p =>
+              val planLogs = p.path.map { rel =>
+                rel -> (p.rekey match {
+                  case Some((rr, rc)) if rr == rel => rekeyByCanon(logs(rel), rc)
+                  case _ => logs(rel)
+                })
+              }.toMap
+              (p.stages, planLogs)
+            },
+          sourceFiltered = true)
+      aggregate(leaf.toDF())
     }
 
     /** Union the main tree's leaf deltas with every LEFT-JOIN anti
@@ -1406,6 +1424,32 @@ object SqlCompiler {
     // parent through an antiParent hop. The hop emits parents with NO
     // matching child, parent columns only — the NULL-extension is the
     // optional subtree's columns simply being absent from the canon.
+    // FULL OUTER leaf FUSION: when the boundary child is the LEAF
+    // stage of a chain-shaped plan and the inner view runs (not an
+    // IS-NULL orphan-only reading), the orphan direction folds into
+    // the leaf node itself (NodeSpec.fullOuterLeaf: bare child rows
+    // emitted while the parent is dead, swapped against merged rows
+    // on every liveness flip) instead of compiling a separate 2-stage
+    // orphan plan — one shuffle and ONE buffered-children state over
+    // the tree's largest relation instead of two. Ancestor deletes
+    // orphan transitively because the leaf's parent deltas ARE the
+    // tree prefix's merged emissions. The separate plan remains for
+    // orphan-only views and non-leaf/non-chain topologies.
+    val fusedOrphanRels: Set[String] = fullOuterRels.toSet.filter { r =>
+      !fullOuterDropOrphan(r) && !fullOuterOrphanOnly && !fullOuterAntiOnly &&
+        stages.count(_.spec.relation == r) == 1 && {
+          val k = stages.indexWhere(_.spec.relation == r)
+          k == stages.length - 1 && stages(k).ownStage.isEmpty &&
+            stages(k).pairStage.isEmpty &&
+            queryEdges.find(_.child == r).exists { edge =>
+              val kept = stages.take(k)
+              kept.nonEmpty && kept.last.spec.relation == edge.parent &&
+                kept.last.spec.nextKeyCol == edge.parentCol &&
+                kept.forall(_.pairStage.isEmpty) &&
+                stages(k).parentStage.contains(kept.last.name)
+            }
+        }
+    }
     val restrictedFullOuter = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val outerPlans: Seq[OuterPlan] = outerOn.map(_._1).distinct.toSeq.flatMap { r =>
       if (stages.count(_.spec.relation == r) != 1)
@@ -1431,7 +1475,8 @@ object SqlCompiler {
       val keysName = s"__outer_${r}_keys"
       val hopName = s"__outer_${r}_hop"
       val keys = DeltaEngine.Stage(keysName,
-        NodeSpec(r, edge.fkCol, edge.fkCol, isRoot = true, setSemantics = true))
+        NodeSpec(r, edge.fkCol, edge.fkCol, isRoot = true, setSemantics = true),
+        keyOnlyRows = true) // anti hop reads liveness only — ship keys, not rows
       val hop = DeltaEngine.Stage(hopName,
         NodeSpec(edge.parent, edge.parentCol, pEntry.spec.childKeyCol,
           antiParent = true),
@@ -1461,7 +1506,8 @@ object SqlCompiler {
     // topologies (pair stages, branch-interleaved prefixes) fall back
     // to the 2-stage raw-parent-changelog plan with the delete scope
     // restricted to the boundary pair (Compiled.run enforces).
-    fullOuterRels.toSeq.sorted.filterNot(fullOuterDropOrphan).map { r =>
+    fullOuterRels.toSeq.sorted.filterNot(fullOuterDropOrphan)
+      .filterNot(fusedOrphanRels).map { r =>
       val edge = queryEdges.find(_.child == r).get // validated above
       val k = stages.indexWhere(_.spec.relation == r)
       val kept = stages.take(k)
@@ -1477,7 +1523,11 @@ object SqlCompiler {
         val keys = DeltaEngine.Stage(keysName,
           NodeSpec(edge.parent, edge.parentCol, edge.parentCol,
             isRoot = true, setSemantics = true),
-          ownStage = Some(kept.last.name))
+          ownStage = Some(kept.last.name),
+          // the hop is antiParent: parent-row content never survives
+          // into its emissions, so the wide merged-prefix rows narrow
+          // to the key before this node's shuffle
+          keyOnlyRows = true)
         val planStages = kept ++ Seq(keys, hop)
         OuterPlan(planStages,
           planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
@@ -1486,7 +1536,8 @@ object SqlCompiler {
         restrictedFullOuter += ((r, edge.parent))
         val keys = DeltaEngine.Stage(keysName,
           NodeSpec(edge.parent, edge.parentCol, edge.parentCol,
-            isRoot = true, setSemantics = true))
+            isRoot = true, setSemantics = true),
+          keyOnlyRows = true)
         OuterPlan(Seq(keys, hop), Seq(edge.parent, r),
           Some((edge.parent, edge.parentCol)))
       }
@@ -1775,7 +1826,14 @@ object SqlCompiler {
       rel -> (cols ++ predCols.getOrElse(rel, Nil)).distinct
     }
 
-    Compiled(path, stages, wheres, needed, groups, aggs, outputSel, colType,
+    // apply the leaf fusion AFTER plan construction: the anti/orphan
+    // plans reference the UNFUSED prefix stage objects (shared with
+    // the main tree by identity, which is what runTreeShared dedups)
+    val stagesOut =
+      if (fusedOrphanRels.isEmpty) stages
+      else stages.init :+ stages.last.copy(spec =
+        stages.last.spec.copy(fullOuterLeaf = true))
+    Compiled(path, stagesOut, wheres, needed, groups, aggs, outputSel, colType,
       neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq,
       outerPlans,
       restrictedFullOuter.toSeq.sorted,

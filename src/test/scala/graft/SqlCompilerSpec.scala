@@ -1356,10 +1356,13 @@ class SqlCompilerSpec extends AnyFunSuite {
           |FROM customer FULL OUTER JOIN (orders JOIN lineitem ON l_orderkey = o_orderkey)
           | ON o_custkey = c_custkey
           |GROUP BY c_custkey""".stripMargin, "single base relation")
-    assert(SqlCompiler.compile(s, d,
+    // the orphan direction FUSES into the leaf stage (fullOuterLeaf),
+    // so the only separate plan is the anti (NULL-extension) one
+    val fo = SqlCompiler.compile(s, d,
       """SELECT c_custkey, COUNT(*) AS n
         |FROM customer FULL OUTER JOIN orders ON o_custkey = c_custkey
-        |GROUP BY c_custkey""".stripMargin).outerPlans.size == 2)
+        |GROUP BY c_custkey""".stripMargin)
+    assert(fo.outerPlans.size == 1 && fo.stages.last.spec.fullOuterLeaf)
   }
 
   test("RIGHT JOIN canonicalizes onto the LEFT OUTER machinery, same view") {
@@ -1410,18 +1413,16 @@ class SqlCompilerSpec extends AnyFunSuite {
         |JOIN orders ON o_custkey = c_custkey
         |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey%s
         |GROUP BY c_custkey, n_name""".stripMargin
-    // no WHERE: both preservation plans, chain-shaped orphan keys ride
-    // the tree prefix -> no delete-scope restriction and ancestor
-    // deletes are maintainable (gated end-to-end by
-    // incremental_sql_q10_fullouter_ancestor_del)
+    // no WHERE: the orphan direction FUSES into the main leaf
+    // (fullOuterLeaf — one shuffle and one buffered-children state
+    // over the largest relation), the anti plan stays separate; no
+    // delete-scope restriction and ancestor deletes are maintainable
+    // (the leaf's parent deltas ARE the tree prefix's emissions;
+    // gated end-to-end by incremental_sql_q10_fullouter_ancestor_del)
     val c = SqlCompiler.compile(s, d, base.format(""))
-    assert(c.outerPlans.size == 2)
+    assert(c.outerPlans.size == 1 && c.stages.last.spec.fullOuterLeaf)
+    assert(c.outerPlans.head.stages.exists(_.name == "__outer_lineitem_keys"))
     assert(c.fullOuterBoundaries.isEmpty)
-    assert(c.outerPlans.exists(_.stages.exists(_.name == "__orphan_lineitem_keys")))
-    // the tree-prefix orphan plan replays the ancestor chain, not just
-    // the parent changelog
-    val orphan = c.outerPlans.find(_.stages.exists(_.name == "__orphan_lineitem_keys")).get
-    assert(orphan.path.contains("customer") && orphan.rekey.isEmpty, orphan.path)
     c.requireMaintainableDeletes(Map("customer" -> (col("c_custkey") % 7 === 0)))
     // WHERE on the preserved (left) side: compiles, orphan plan dropped
     // (SQL NULL-rejects every orphan row), anti plan kept
@@ -1429,10 +1430,10 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(cl.outerPlans.size == 1 &&
       cl.outerPlans.head.stages.exists(_.name == "__outer_lineitem_keys"))
     // WHERE on the boundary child: compiles, anti plan dropped (SQL
-    // NULL-rejects every NULL-extension row), orphan plan kept
+    // NULL-rejects every NULL-extension row), orphan direction kept —
+    // fused into the leaf
     val cr = SqlCompiler.compile(s, d, base.format("\nWHERE l_linenumber <> 3"))
-    assert(cr.outerPlans.size == 1 &&
-      cr.outerPlans.head.stages.exists(_.name == "__orphan_lineitem_keys"))
+    assert(cr.outerPlans.isEmpty && cr.stages.last.spec.fullOuterLeaf)
     // WHERE on both sides: effectively inner, both plans dropped
     val ci = SqlCompiler.compile(s, d,
       base.format("\nWHERE o_orderkey > 0 AND l_linenumber <> 3"))
@@ -1446,10 +1447,11 @@ class SqlCompilerSpec extends AnyFunSuite {
     val ca = SqlCompiler.compile(s, d, base.format("\nWHERE l_orderkey IS NULL"))
     assert(ca.suppressMainLeaf && ca.outerPlans.size == 1 &&
       ca.outerPlans.head.stages.exists(_.name == "__outer_lineitem_keys"))
-    // IS NOT NULL rejects that direction (and stays a scan filter)
+    // IS NOT NULL rejects that direction (and stays a scan filter);
+    // the surviving orphan direction rides the fused leaf
     val cnn = SqlCompiler.compile(s, d, base.format("\nWHERE l_orderkey IS NOT NULL"))
-    assert(!cnn.suppressMainLeaf && cnn.outerPlans.size == 1 &&
-      cnn.outerPlans.head.stages.exists(_.name == "__orphan_lineitem_keys") &&
+    assert(!cnn.suppressMainLeaf && cnn.outerPlans.isEmpty &&
+      cnn.stages.last.spec.fullOuterLeaf &&
       cnn.wheres.get("lineitem").exists(_.toUpperCase.contains("IS NOT NULL")))
     // conjuncts selecting NO plan (provably empty view) are loud
     val exEmpty = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
