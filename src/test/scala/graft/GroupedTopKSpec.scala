@@ -96,6 +96,30 @@ class GroupedTopKSpec extends AnyFunSuite {
     ss.conf.unset(GroupedTopK.TaskRowBudgetConf)
   }
 
+  test("giant boundary tie class through the spill merge: whole group ties at rank 1") {
+    // the r9-advice case: rank() over a CONSTANT order key makes every
+    // row of every group tie at rank 1 — the legitimate output is the
+    // entire group, far past the row budget. The merge must STREAM
+    // the tie class (runs are (key, orderSpec)-sorted, ranks computed
+    // positionally), never re-fold a whole group in memory.
+    val ss = topkSession()
+    ss.conf.set(GroupedTopK.TaskRowBudgetConf, "25") // << 500-row tie classes
+    def tied(sess: org.apache.spark.sql.SparkSession) = {
+      import sess.implicits._
+      (0L until 1500L).map(i => (s"g${i % 3}", 1L, i)).toDF("g", "s", "id")
+        .repartition(5)
+    }
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc)
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
+    val armed = q(tied(ss))
+    assert(armed.queryExecution.executedPlan.toString.contains("GroupedTopK "))
+    val got = armed.collect().map(_.toString).sorted.toSeq
+    val want = q(tied(spark)).collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.size == 1500, s"${got.size} vs ${want.size}")
+    ss.conf.unset(GroupedTopK.TaskRowBudgetConf)
+  }
+
   test("PROPERTY: random frames x k x tiny budgets equal stock, both rank modes") {
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 0 until 6) {
