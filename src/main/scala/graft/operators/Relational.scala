@@ -2206,6 +2206,47 @@ object Relational {
         df
     },
 
+    // The DENSE sibling completes the rank family on the custom
+    // operator: `dense_rank() <= k` keeps every row of the k best
+    // DISTINCT order-value classes — rows per group unbounded by k
+    // (each class holds ~hundreds of orders here), which is why it
+    // stayed stock until the keep-set learned to bound CLASSES and
+    // the row budget's flush/spill machinery to bound memory. Plan
+    // self-assert: GroupedTopK fired, zero sorts; hash gate against
+    // DuckDB's own dense_rank().
+    sql("window_dense_topk",
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, price_bucket, o_orderkey
+        |FROM (
+        | SELECT o_orderpriority,
+        |  CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS price_bucket, o_orderkey,
+        |  dense_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(FLOOR(o_totalprice / 20000) AS BIGINT) DESC) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3""".stripMargin) {
+      (s, d) =>
+        val ss = s.newSession()
+        ss.conf.set(graft.plans.GroupedTopK.RewriteConf, "true")
+        graft.plans.GroupedTopK.install(ss)
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("price_bucket").desc)
+        val df = Tables.orders(ss, d)
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice") / 20000).cast("long").as("price_bucket"),
+            col("o_orderkey"))
+          .withColumn("rnk", dense_rank().over(w))
+          .filter(col("rnk") <= 3)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GroupedTopK "),
+          s"dense-rank top-k rewrite must fire:\n${plan.take(1200)}")
+        require(!plan.contains("WindowGroupLimit") && !plan.contains("Window [") &&
+          !plan.contains("Sort ["),
+          s"stock Window/WindowGroupLimit/Sort must be gone:\n${plan.take(1200)}")
+        // rows per group far exceed k — the dense reading's point
+        require(df.groupBy("o_orderpriority").count().collect().forall(_.getLong(1) > 3),
+          "every group must keep whole classes past k rows")
+        df
+    },
+
     // Q6-LIKE forecasting revenue — the degenerate-but-canonical
     // grouping-free global aggregate: one filtered scan, one 1-row
     // answer, nothing else. The whole query is a map-side partial +

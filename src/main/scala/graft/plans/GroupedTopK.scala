@@ -36,10 +36,15 @@ import org.apache.spark.sql.internal.SQLConf
   * The REWRITE is deliberately narrow (the [[BandedRangeJoin]]
   * posture): opt-in via [[GroupedTopK.RewriteConf]], and only the
   * unambiguous pattern — a Filter whose ONLY predicate (beyond an
-  * inferred IsNotNull) bounds a lone `row_number()` window column by a
-  * literal — is replaced; rank/dense_rank (ties duplicate), extra
-  * window functions, or any other use of the rank column keep the
-  * stock plan. Users keep the standard SQL text either way.
+  * inferred IsNotNull) bounds a lone rank-family window column by a
+  * literal — is replaced. All three rank spellings compile:
+  * `row_number()` (exactly k rows per group), `rank()` (boundary ties
+  * kept, gap ranks), and `dense_rank()` (every row of the k best
+  * DISTINCT order-value classes — rows per group unbounded by k, so
+  * its keep-set bounds CLASSES and the row budget's flush/spill
+  * machinery bounds memory). Extra window functions or any other use
+  * of the rank column keep the stock plan. Users keep the standard
+  * SQL text either way.
   */
 object GroupedTopK {
 
@@ -92,10 +97,12 @@ case class GroupedTopKPlan(
     limit: Int,
     rankAttr: Attribute,
     child: LogicalPlan,
-    ties: Boolean = false)
+    ties: Boolean = false,
+    dense: Boolean = false)
     extends logical.UnaryNode {
   require(limit >= 1 && limit <= GroupedTopK.MaxK,
     s"GroupedTopKPlan limit must be in [1, ${GroupedTopK.MaxK}], got $limit")
+  require(!(ties && dense), "ties (rank) and dense (dense_rank) are exclusive modes")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -115,17 +122,20 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(f: Filter, cond: Expression, w: logical.Window): Option[LogicalPlan] = {
-    // exactly one window expression: row_number() (exact-k) or rank()
-    // (ties kept, gap ranks) with a resolved spec. dense_rank stays
-    // stock: its bound does not limit rows per group (k dense ranks
-    // can cover the whole group), so a heap buys nothing safe.
-    val (rankAttr, ties) = w.windowExpressions match {
+    // exactly one window expression with a resolved spec: row_number()
+    // (exact-k), rank() (ties kept, gap ranks) or dense_rank() (k
+    // distinct classes, rows-per-group unbounded — the keep-set
+    // bounds classes and the row budget bounds memory)
+    val (rankAttr, ties, dense) = w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(RowNumber(), spec), _))
           if spec.partitionSpec == w.partitionSpec && spec.orderSpec == w.orderSpec =>
-        (a.toAttribute, false)
+        (a.toAttribute, false, false)
       case Seq(a @ Alias(WindowExpression(_: Rank, spec), _))
           if spec.partitionSpec == w.partitionSpec && spec.orderSpec == w.orderSpec =>
-        (a.toAttribute, true)
+        (a.toAttribute, true, false)
+      case Seq(a @ Alias(WindowExpression(_: DenseRank, spec), _))
+          if spec.partitionSpec == w.partitionSpec && spec.orderSpec == w.orderSpec =>
+        (a.toAttribute, false, true)
       case _ => return None
     }
     // the predicate set must be "rn <= k" (or < k+1), possibly beside
@@ -154,7 +164,7 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             wgl.orderSpec == w.orderSpec && wgl.limit >= k => wgl.child
       case other => other
     }
-    Some(GroupedTopKPlan(w.partitionSpec, w.orderSpec, k, rankAttr, child, ties))
+    Some(GroupedTopKPlan(w.partitionSpec, w.orderSpec, k, rankAttr, child, ties, dense))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -171,9 +181,9 @@ object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy 
       val budget = SQLConf.get.getConfString(GroupedTopK.TaskRowBudgetConf,
         GroupedTopK.DefaultTaskRowBudget.toString).toLong
       val pre = GroupedTopKExec(g.partitionExprs, g.orderSpec, g.limit,
-        g.rankAttr, partial = true, planLater(g.child), g.ties, budget)
+        g.rankAttr, partial = true, planLater(g.child), g.ties, budget, g.dense)
       GroupedTopKExec(g.partitionExprs, g.orderSpec, g.limit,
-        g.rankAttr, partial = false, pre, g.ties, budget) :: Nil
+        g.rankAttr, partial = false, pre, g.ties, budget, g.dense) :: Nil
     case _ => Nil
   }
 }
@@ -203,13 +213,15 @@ case class GroupedTopKExec(
     partial: Boolean,
     child: SparkPlan,
     ties: Boolean = false,
-    rowBudget: Long = GroupedTopK.DefaultTaskRowBudget)
+    rowBudget: Long = GroupedTopK.DefaultTaskRowBudget,
+    dense: Boolean = false)
     extends UnaryExecNode {
 
   require(limit >= 1 && limit <= GroupedTopK.MaxK,
     s"GroupedTopKExec limit must be in [1, ${GroupedTopK.MaxK}], got $limit")
   require(rowBudget >= limit,
     s"rowBudget ($rowBudget) must be >= limit ($limit) — one group's keep-set must fit")
+  require(!(ties && dense), "ties (rank) and dense (dense_rank) are exclusive modes")
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
@@ -236,6 +248,7 @@ case class GroupedTopKExec(
     val isPartial = partial
     val rank = rankAttr
     val keepTies = ties
+    val keepDense = dense
     val budget = rowBudget
     val nFields = childOutput.size
     val nKeyFields = pExprs.size
@@ -244,14 +257,24 @@ case class GroupedTopKExec(
       val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
       val ordering = RowOrdering.create(oSpec, childOutput)
 
+      sealed trait KeepSet {
+        /** Fold one row in; returns the net kept-row-count change. */
+        def add(row: InternalRow): Int
+        def rows: Iterator[InternalRow]
+      }
+
       /** One group's keep-set: a max-heap (peek = worst kept row).
         * Exact-k mode keeps ≤ k rows; ties mode keeps every row whose
         * gap-rank is ≤ k (k + boundary ties — pruned lazily so the
         * invariant "every kept row has < k kept rows strictly better"
         * always holds). Returns the net row-count change. */
-      final class Keep {
+      final class Keep extends KeepSet {
         val heap = new java.util.PriorityQueue[InternalRow](k + 1, ordering.reverse)
-        def add(row: InternalRow): Int =
+        override def rows: Iterator[InternalRow] = {
+          import scala.jdk.CollectionConverters._
+          heap.iterator().asScala
+        }
+        override def add(row: InternalRow): Int =
           if (heap.size() < k) { heap.add(row.copy()); 1 }
           else {
             val cmp = ordering.compare(row, heap.peek())
@@ -277,18 +300,48 @@ case class GroupedTopKExec(
           }
       }
 
-      val heaps = new java.util.HashMap[UnsafeRow, Keep]()
+      /** dense_rank keep-set: the k best DISTINCT order-value CLASSES
+        * (rows within a kept class are unbounded by k — the task row
+        * budget's flush/spill machinery bounds memory instead). A
+        * TreeMap under the row ordering buckets ties into one class;
+        * a new class evicts the worst whole class once k exist. */
+      final class DenseKeep extends KeepSet {
+        private val classes =
+          new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](ordering)
+        override def add(row: InternalRow): Int = {
+          val existing = classes.get(row)
+          if (existing != null) { existing.add(row.copy()); 1 }
+          else if (classes.size() < k) {
+            val c = row.copy()
+            val l = new java.util.ArrayList[InternalRow](); l.add(c)
+            classes.put(c, l); 1
+          } else if (ordering.compare(row, classes.lastKey()) < 0) {
+            val dropped = classes.remove(classes.lastKey()).size()
+            val c = row.copy()
+            val l = new java.util.ArrayList[InternalRow](); l.add(c)
+            classes.put(c, l); 1 - dropped
+          } else 0
+        }
+        override def rows: Iterator[InternalRow] = {
+          import scala.jdk.CollectionConverters._
+          classes.values().iterator().asScala.flatMap(_.iterator().asScala)
+        }
+      }
+
+      def newKeep(): KeepSet = if (keepDense) new DenseKeep else new Keep
+
+      val heaps = new java.util.HashMap[UnsafeRow, KeepSet]()
       var kept = 0L
       def insert(row: InternalRow): Unit = {
         val key = groupProj(row)
         var keep = heaps.get(key)
-        if (keep == null) { keep = new Keep; heaps.put(key.copy(), keep) }
+        if (keep == null) { keep = newKeep(); heaps.put(key.copy(), keep) }
         kept += keep.add(row)
       }
 
       import scala.jdk.CollectionConverters._
       def drain(): Iterator[InternalRow] = {
-        val out = heaps.values().asScala.toArray.iterator.flatMap(_.heap.iterator().asScala)
+        val out = heaps.values().asScala.toArray.iterator.flatMap(_.rows)
         heaps.clear(); kept = 0
         out
       }
@@ -333,7 +386,7 @@ case class GroupedTopKExec(
         def spillRun(): Unit = {
           val entries = heaps.entrySet().asScala.iterator.flatMap { e =>
             val kb = e.getKey.getBytes
-            e.getValue.heap.iterator().asScala.map(r => (kb, toUnsafe(r).copy().getBytes))
+            e.getValue.rows.map(r => (kb, toUnsafe(r).copy().getBytes))
           }.toArray
           java.util.Arrays.sort(entries,
             (a: (Array[Byte], Array[Byte]), b: (Array[Byte], Array[Byte])) =>
@@ -360,14 +413,17 @@ case class GroupedTopKExec(
         val resultProj = UnsafeProjection.create(childOutput :+ rank, childOutput :+ rank)
         val rankRow = new GenericInternalRow(1)
         val joined = new JoinedRow
-        /** Emit one completed group: sort, gap-rank (or dense 1..n). */
-        def emit(keep: Keep): Iterator[InternalRow] = {
-          val rows = keep.heap.toArray(new Array[InternalRow](keep.heap.size()))
+        /** Emit one completed group: sort, then rank per mode —
+          * row_number position, gap rank, or dense class index. */
+        def emit(keep: KeepSet): Iterator[InternalRow] = {
+          val rows = keep.rows.toArray
           java.util.Arrays.sort(rows, ordering)
           var r = 0
           rows.iterator.zipWithIndex.map { case (row, i) =>
-            if (!keepTies) r = i + 1
-            else if (i == 0 || ordering.compare(row, rows(i - 1)) != 0) r = i + 1
+            val boundary = i == 0 || ordering.compare(row, rows(i - 1)) != 0
+            if (keepDense) { if (boundary) r += 1 }
+            else if (!keepTies) r = i + 1
+            else if (boundary) r = i + 1
             rankRow.setInt(0, r)
             resultProj(joined(row, rankRow))
           }.filter { _ => r <= k } // belt: the keep-set invariant already bounds ranks at k
@@ -421,9 +477,11 @@ case class GroupedTopKExec(
                 }
                 pos += 1
                 cur.pointTo(rowBytes, rowBytes.length)
-                if (!keepTies) r = pos
-                else if (prev == null || ordering.compare(cur, prev) != 0) r = pos
-                if (keepTies) {
+                val boundary = prev == null || ordering.compare(cur, prev) != 0
+                if (keepDense) { if (boundary) r += 1 }
+                else if (!keepTies) r = pos
+                else if (boundary) r = pos
+                if (keepTies || keepDense) {
                   // rowBytes is a fresh per-record array — safe to own
                   if (prev == null) prev = new UnsafeRow(nFields)
                   prev.pointTo(rowBytes, rowBytes.length)

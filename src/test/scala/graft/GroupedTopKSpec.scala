@@ -163,12 +163,40 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("limit"), ex2.getMessage)
   }
 
-  test("conservative scope: dense_rank, extra predicates, and multi-window keep the stock plan") {
+  test("dense_rank rewrites: k distinct classes kept whole, equals stock, spill path too") {
+    val ss = topkSession()
+    // order on s % 5 alone: few distinct classes, many rows per class
+    // — the shape where dense_rank's bound does NOT limit rows per
+    // group (a kept class can be huge) and the class-keyed keep-set +
+    // row-budget machinery must carry it
+    def tied(sess: org.apache.spark.sql.SparkSession) = {
+      import sess.implicits._
+      (0L until 1200L).map(i => (s"g${i % 4}", i % 5, i)).toDF("g", "s", "id")
+        .repartition(5)
+    }
+    val w = Window.partitionBy(col("g")).orderBy((col("s") % 5).desc)
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
+    val armed = q(tied(ss))
+    val plan = armed.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK ") && !plan.contains("Sort ["), plan.take(800))
+    val got = armed.collect().map(_.toString).sorted.toSeq
+    val want = q(tied(spark)).collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty, s"${got.size} vs ${want.size}")
+    // ranks are DENSE: 1,2,3 all present, no gaps, 60 rows per
+    // (group, class)
+    assert(armed.select("rn").distinct().collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3))
+    // and through the spill path (budget << rows of the kept classes)
+    ss.conf.set(GroupedTopK.TaskRowBudgetConf, "30")
+    val gotSpill = q(tied(ss)).collect().map(_.toString).sorted.toSeq
+    assert(gotSpill == want, s"${gotSpill.size} vs ${want.size}")
+    ss.conf.unset(GroupedTopK.TaskRowBudgetConf)
+  }
+
+  test("conservative scope: extra predicates and multi-window keep the stock plan") {
     val ss = topkSession()
     val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
-    // dense_rank's bound does not limit rows per group — must NOT rewrite
-    val r1 = frame(ss).withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
-    assert(!r1.queryExecution.executedPlan.toString.contains("GroupedTopK "))
     // an extra predicate beside the bound — must NOT rewrite
     val r2 = query(frame(ss), 3).filter(col("s") > 10)
     // (the extra filter lands ABOVE the topk node or fuses into the
