@@ -1249,11 +1249,78 @@ object DeltaEngine {
     }
   }
 
+  /** The PAIR (shared-dimension product) stage as a Spark 4
+    * `StatefulProcessor`: both sides' signed multisets live as typed
+    * MapStates. A pair delta's cross-merge enumerates the ENTIRE
+    * other side by definition (Δ(L⋈R) = ΔL⋈R + L'⋈ΔR), so an active
+    * batch reads O(state) regardless of API — the TWS win here is the
+    * WRITE path: after the batch folds through the same [[PairFold]]
+    * the flatMap driver uses (bit-identical transitions), only the
+    * CHANGED entries point-write back to the store, instead of
+    * re-serializing both whole multisets as one blob. TTL = per-key
+    * timer, as in [[TreeNodeProcessor]]. */
+  final class PairNodeProcessor(spec: NodeSpec, stateTtl: Option[java.time.Duration],
+      preFiltered: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Evt, Evt] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode => OM, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var left: MapState[String, Int] = _
+    @transient private var right: MapState[String, Int] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      left = getHandle.getMapState[String, Int]("left",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+      right = getHandle.getMapState[String, Int]("right",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+    }
+
+    private def load(ms: MapState[String, Int]): Map[String, Int] = {
+      val b = Map.newBuilder[String, Int]
+      val it = ms.iterator()
+      while (it.hasNext) { val (k, v) = it.next(); b += (k -> v) }
+      b.result()
+    }
+
+    private def sync(ms: MapState[String, Int],
+                     before: Map[String, Int], after: Map[String, Int]): Unit = {
+      after.foreach { case (k, v) =>
+        if (!before.get(k).contains(v)) ms.updateValue(k, v)
+      }
+      before.keysIterator.filterNot(after.contains).foreach(ms.removeKey)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Evt],
+        timerValues: TimerValues): Iterator[Evt] = {
+      val arr = rows.toArray
+      java.util.Arrays.sort(arr, evtOrder)
+      val before = PairNState(load(left), load(right))
+      val (out, st) = foldPairKey(spec, arr.iterator, before,
+        exportState = true, preFiltered, preSorted = true)
+      sync(left, before.left, st.get.left)
+      sync(right, before.right, st.get.right)
+      stateTtl.foreach { d =>
+        val want = timerValues.getCurrentProcessingTimeInMs() + d.toMillis
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(want)
+      }
+      out
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Evt] = {
+      left.clear(); right.clear()
+      Iterator.empty
+    }
+  }
+
   /** [[runStreamTree]] on `transformWithState` — chained
-    * [[TreeNodeProcessor]] stages in Append mode over the same
-    * [[stageInput]] wiring (predicate pushdown, branch routing,
-    * parent-delta unions all identical; only the per-node state API
-    * changes). Session must use the RocksDB state store provider. */
+    * [[TreeNodeProcessor]] / [[PairNodeProcessor]] stages in Append
+    * mode over the same [[stageInput]] wiring (predicate pushdown,
+    * branch routing, parent-delta unions all identical; only the
+    * per-node state API changes). Session must use the RocksDB state
+    * store provider. */
   def runStreamTreeTws(stages: Seq[Stage], changelogs: Map[String, Dataset[Evt]],
                        stateTtl: Option[java.time.Duration] = None,
                        sourceFiltered: Boolean = false): Dataset[Evt] = {
@@ -1265,14 +1332,12 @@ object DeltaEngine {
       if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     val outputs = scala.collection.mutable.Map[String, Dataset[Evt]]()
     stages.foreach { st =>
-      require(st.pairStage.isEmpty,
-        "pair (shared-dimension) stages are not yet ported to the TWS driver — " +
-          "use runStreamTree")
       val events = stageInput(st, changelogs, sourceFiltered, outputs)
+      val processor: org.apache.spark.sql.streaming.StatefulProcessor[String, Evt, Evt] =
+        if (st.pairStage.isDefined) new PairNodeProcessor(st.spec, stateTtl, preFiltered = true)
+        else new TreeNodeProcessor(st.spec, stateTtl, preFiltered = true)
       outputs(st.name) = events.groupByKey(_.key)
-        .transformWithState(
-          new TreeNodeProcessor(st.spec, stateTtl, preFiltered = true),
-          timeMode, OutputMode.Append())
+        .transformWithState(processor, timeMode, OutputMode.Append())
     }
     outputs(stages.last.name)
   }

@@ -800,6 +800,15 @@ object IncrementalQueries {
     sharedAggregate(replayStream(s, sharedDimStages, sharedDimChangelogs(s, dir),
       "incremental_shared_stream_leaf"))
 
+  /** The shared-dimension PAIR stage on `transformWithState`
+    * ([[DeltaEngine.PairNodeProcessor]]: both product sides as typed
+    * MapStates, changed entries point-written back) — the TWS driver
+    * covers the whole stage vocabulary, liveness AND pair, each gated
+    * on the same oracle as its flatMap twin. */
+  def incrementalSharedTws(s: SparkSession, dir: String): DataFrame =
+    sharedAggregate(replayStream(s, sharedDimStages, sharedDimChangelogs(s, dir),
+      "incremental_shared_tws_leaf", tws = true))
+
   /** SQL TEXT driving the CONTINUOUS engine behind the correctness
     * gate — the full round trip in one entry: Catalyst-parsed query →
     * compiled stage graph → [[SqlCompiler]]'s `runStream` over RAW
@@ -3143,6 +3152,21 @@ object IncrementalQueries {
          | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
          | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
          |GROUP BY n_name""".stripMargin)(incrementalSharedStream),
+
+    // The pair stage on transformWithState — same replay, same
+    // survivors oracle; with incremental_q10_tws this puts the whole
+    // stage vocabulary (liveness AND pair) on the supported
+    // arbitrary-state API.
+    sql("incremental_shared_dim_tws",
+      s"""SELECT n_name,
+         | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e2,
+         | COUNT(*) AS n_pairs
+         |FROM nation, customer, orders, supplier
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND s_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
+         |GROUP BY n_name""".stripMargin)(incrementalSharedTws),
 
     // The SAME shared-dimension query compiled FROM SQL TEXT.
     sql("incremental_sql_shared_dim",

@@ -871,6 +871,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("TWS pair stage: transformWithState product deltas net to the batch view") {
+    // the shared-dimension PAIR stage on StatefulProcessors (two
+    // MapStates, changed entries point-written): net leaf view must
+    // equal the batch runner's across split inserts then deletes —
+    // pair state carried across batches, cross-merges firing on both
+    // sides of the product
+    import graft.streaming.IncrementalQueries
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = ss.sqlContext
+    import ss.implicits._
+    val dir = SparkTestSession.sfTiny
+    val logs = IncrementalQueries.sharedDimChangelogs(ss, dir)
+      .view.mapValues(_.collect().toSeq).toMap
+    val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
+    val out = runStreamTreeTws(IncrementalQueries.sharedDimStages,
+      streams.map { case (r, ms) => r -> ms.toDS() }, sourceFiltered = true)
+    val query = out.writeStream
+      .format("memory").queryName("shared_tws_leaf").outputMode("append").start()
+    try {
+      def half(evs: Seq[Evt], first: Boolean): Seq[Evt] =
+        evs.filter(e => (e.key.hashCode & 1) == (if (first) 0 else 1))
+      for (step <- Seq[Seq[Evt] => Seq[Evt]](
+        evs => half(evs.filter(_.seq == 0L), first = true),
+        evs => half(evs.filter(_.seq == 0L), first = false),
+        evs => evs.filter(_.seq == 1L))) {
+        streams.foreach { case (rel, ms) =>
+          val batch = step(logs(rel))
+          if (batch.nonEmpty) ms.addData(batch)
+        }
+        query.processAllAvailable()
+      }
+      def fold(evts: Seq[Evt]): Map[String, Int] =
+        evts.groupBy(_.row).view.mapValues(_.map(e => e.tag * e.mult).sum)
+          .filter(_._2 != 0).toMap
+      val streamed = fold(ss.table("shared_tws_leaf").as[Evt].collect().toSeq)
+      val batched = fold(
+        runTree(IncrementalQueries.sharedDimStages,
+          IncrementalQueries.sharedDimChangelogs(ss, dir)).collect().toSeq)
+      assert(batched.nonEmpty, "batch pair view must be non-trivial")
+      assert(streamed == batched)
+    } finally query.stop()
+  }
+
   test("TWS tree driver: per-key timers drain idle state under the processing-time TTL") {
     import graft.streaming.IncrementalQueries
     val ss = spark.newSession()
