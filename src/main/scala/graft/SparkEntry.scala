@@ -87,7 +87,13 @@ object SparkEntry {
       // deletes (the tree-prefix orphan plan's cost is the entry),
       // and the iterative-peel k-core (checkpointed fixpoint loop)
       "window_rank_topk", "incremental_sql_q10_fullouter_ancestor_del",
-      "graph_kcore")
+      "graph_kcore",
+      // round 10: the dense_rank mode of the custom top-k operator
+      // (class-bounded keep-set) and the BPE tokenizer APPLY step
+      // (distinct-word encode + broadcast vocab join) — the
+      // fullouter-fusion win is already priced by the ancestor_del
+      // headliner above
+      "window_dense_topk", "text_bpe_encode")
     val have = queries.keySet
     preferred.filter(have)
   }
