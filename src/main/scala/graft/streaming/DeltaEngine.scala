@@ -1210,6 +1210,10 @@ object DeltaEngine {
                 val signed = (if (isAlive) 1 else -1) * cnt
                 emit(ev.seq, if (signed > 0) 1 else -1, signed.abs,
                   mergeCanon(c, parentRow))
+                if (spec.fullOuterLeaf)
+                  // orphan reading flips OPPOSITE the inner one (see
+                  // NodeFold — the folds must stay transition-identical)
+                  emit(ev.seq, if (signed > 0) -1 else 1, signed.abs, c)
               }
             }
           }
@@ -1230,6 +1234,10 @@ object DeltaEngine {
             emit(ev.seq, if (emitCount > 0) 1 else -1, emitCount.abs,
               if (spec.isRoot) ev.row
               else mergeCanon(ev.row, if (spec.antiParent) "" else parentCanon))
+          else if (emitCount != 0 && spec.fullOuterLeaf)
+            // parent dead: the child row IS output — the orphan
+            // (right-preserved) reading, bare child columns only
+            emit(ev.seq, if (emitCount > 0) 1 else -1, emitCount.abs, ev.row)
         }
       }
       parent.update((aliveParents, parentCanon))

@@ -1028,6 +1028,15 @@ object IncrementalQueries {
     runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterSql), dir,
       q10FullOuterAncestorDeletes, "incremental_sql_q10_fullouter_adel_leaf")
 
+  /** The compiled FULL OUTER — fused fullOuterLeaf + the anti plan —
+    * through the TWS driver under ancestor deletes: the compiler's
+    * hardest maintained shape on the supported state API, same oracle
+    * as the flatMap twin. */
+  def incrementalSqlQ10FullOuterTws(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterSql), dir,
+      q10FullOuterAncestorDeletes, "incremental_sql_q10_fullouter_tws_leaf",
+      tws = true)
+
   /** Maintained TOP-LEVEL UNION ALL across two DIFFERENT trees —
     * nation revenue from the customer side (nation→customer→orders→
     * lineitem) unioned with nation revenue from the supplier side
@@ -1114,9 +1123,13 @@ object IncrementalQueries {
     * batches) → the compiled fold. Shared by the SQL-stream gated
     * entries. */
   private def runSqlStreamed(s: SparkSession, c: SqlCompiler.Compiled, dir: String,
-      deletes: Map[String, org.apache.spark.sql.Column], sinkName: String): DataFrame = {
+      deletes: Map[String, org.apache.spark.sql.Column], sinkName: String,
+      tws: Boolean = false): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = replaySession(s)
+    if (tws) // transformWithState's documented store requirement
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
     val logs = c.sourceChangelogs(s, dir, deletes, filtered = false)
@@ -1125,7 +1138,7 @@ object IncrementalQueries {
         rel -> boundedReplayCollect(s"$sinkName($rel)", ds).toSeq }
       .toMap
     val streams = logs.map { case (rel, _) => rel -> MemoryStream[Evt] }
-    val leaf = c.runStream(streams.map { case (r, ms) => r -> ms.toDS() })
+    val leaf = c.runStream(streams.map { case (r, ms) => r -> ms.toDS() }, tws = tws)
     val query = leaf.writeStream
       .format("memory").queryName(sinkName)
       .outputMode("append").start()
@@ -2148,6 +2161,22 @@ object IncrementalQueries {
         | JOIN o ON o_custkey = c_custkey
         | FULL JOIN l ON l_orderkey = o_orderkey
         |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterAncestorDel),
+
+    // … the same compiled FULL OUTER (fused leaf + anti plan, ancestor
+    // deletes) through the TRANSFORMWITHSTATE driver — the compiler's
+    // hardest maintained shape on the supported state API, same
+    // oracle: three state implementations, one truth.
+    sql("incremental_sql_q10_fullouter_tws",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 30 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterTws),
 
     // … and through the CONTINUOUS engine — the customer delete
     // arrives in batch 2 and must CREATE orphans through held state.

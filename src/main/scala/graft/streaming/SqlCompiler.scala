@@ -682,16 +682,19 @@ object SqlCompiler {
       * are applied per stream via [[eventFilter]]. */
     def runStream(changelogs: Map[String, Dataset],
                   stateTtl: Option[java.time.Duration] = None,
-                  eventTtl: Option[DeltaEngine.EventTimeTtl] = None): Dataset = {
+                  eventTtl: Option[DeltaEngine.EventTimeTtl] = None,
+                  tws: Boolean = false): Dataset = {
+      require(!(tws && eventTtl.isDefined),
+        "the TWS driver's TTL is processing-time timers — use stateTtl")
       val spark = changelogs(path.head).sparkSession
       val filtered = changelogs.map { case (rel, ds) =>
         rel -> eventFilter(spark, rel).map(ds.filter).getOrElse(ds)
       }
-      withOuterLeaves(filtered,
-        DeltaEngine.runStreamTree(stages, filtered, stateTtl, sourceFiltered = true,
-          eventTtl = eventTtl),
-        (sts, lgs) => DeltaEngine.runStreamTree(sts, lgs, stateTtl,
-          sourceFiltered = true, eventTtl = eventTtl))
+      def runner(sts: Seq[DeltaEngine.Stage], lgs: Map[String, Dataset]): Dataset =
+        if (tws) DeltaEngine.runStreamTreeTws(sts, lgs, stateTtl, sourceFiltered = true)
+        else DeltaEngine.runStreamTree(sts, lgs, stateTtl, sourceFiltered = true,
+          eventTtl = eventTtl)
+      withOuterLeaves(filtered, runner(stages, filtered), runner)
     }
 
     /** Column names a SQL fragment references (via the parser — no
