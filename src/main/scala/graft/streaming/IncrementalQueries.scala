@@ -1069,6 +1069,80 @@ object IncrementalQueries {
     SqlCompiler.compileUnionAll(s, dir, unionSql)
       .map(_.run(s, dir, unionDeletes)).reduce(_ unionAll _)
 
+  // ---- maintained INTERSECT / EXCEPT --------------------------------
+
+  /** Branches: nations with a high-balance customer vs nations with a
+    * high-balance supplier — both non-aggregate DISTINCT views whose
+    * deletes flip tuples in and out of the set result. */
+  private val setOpLhs =
+    """SELECT DISTINCT n_name FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 8000""".stripMargin
+  private val setOpRhs =
+    """SELECT DISTINCT n_name FROM nation
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |WHERE s_acctbal > 5000""".stripMargin
+  private val setOpDeletes = Map(
+    "customer" -> (col("c_custkey") % 13 === 0),
+    "supplier" -> (col("s_suppkey") % 7 === 0))
+
+  def incrementalSqlIntersect(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileSetOp(s, dir, setOpLhs + "\nINTERSECT\n" + setOpRhs)
+      .run(s, dir, setOpDeletes)
+
+  def incrementalSqlExcept(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileSetOp(s, dir, setOpLhs + "\nEXCEPT\n" + setOpRhs)
+      .run(s, dir, setOpDeletes)
+
+  /** The continuous form: both branch trees AND the set stages in one
+    * streaming query — right-side deletes must flip tuples INTO an
+    * EXCEPT result (and out of an INTERSECT) through held state. */
+  private def runSetOpStreamed(s: SparkSession, dir: String, opSql: String,
+                               sinkName: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = replaySession(s)
+    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import s.implicits._
+    val c = SqlCompiler.compileSetOp(s, dir, opSql)
+    def side(cc: SqlCompiler.Compiled, tag: String)
+        : (Map[String, Seq[Evt]], Map[String, MemoryStream[Evt]]) = {
+      val logs = cc.sourceChangelogs(s, dir, setOpDeletes, filtered = false)
+        .view.map { case (rel, ds) =>
+          rel -> boundedReplayCollect(s"$sinkName($tag.$rel)", ds).toSeq }.toMap
+      (logs, logs.map { case (rel, _) => rel -> MemoryStream[Evt] })
+    }
+    val (lLogs, lStreams) = side(c.left, "l")
+    val (rLogs, rStreams) = side(c.right, "r")
+    val leaf = c.runStream(lStreams.view.mapValues(_.toDS()).toMap,
+      rStreams.view.mapValues(_.toDS()).toMap)
+    val query = leaf.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val seqs = (lLogs.values.flatten ++ rLogs.values.flatten)
+        .map(_.seq).toSeq.distinct.sorted
+      seqs.foreach { seq =>
+        lStreams.foreach { case (rel, ms) =>
+          val evs = lLogs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        rStreams.foreach { case (rel, ms) =>
+          val evs = rLogs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    c.present(ss.table(sinkName).as[Evt])
+  }
+
+  def incrementalSqlIntersectStream(s: SparkSession, dir: String): DataFrame =
+    runSetOpStreamed(s, dir, setOpLhs + "\nINTERSECT\n" + setOpRhs,
+      "incremental_sql_intersect_leaf")
+
+  def incrementalSqlExceptStream(s: SparkSession, dir: String): DataFrame =
+    runSetOpStreamed(s, dir, setOpLhs + "\nEXCEPT\n" + setOpRhs,
+      "incremental_sql_except_leaf")
+
   def incrementalSqlUnionStream(s: SparkSession, dir: String): DataFrame =
     SqlCompiler.compileUnionAll(s, dir, unionSql).zipWithIndex
       .map { case (c, i) =>
@@ -2031,6 +2105,56 @@ object IncrementalQueries {
         |FROM nation JOIN supplier ON s_nationkey = n_nationkey
         | JOIN l ON l_suppkey = s_suppkey
         |GROUP BY n_name""".stripMargin)(incrementalSqlUnionStream),
+
+    // Maintained INTERSECT — the cross-branch netting UNION ALL never
+    // needed: the right branch's distinct tuples gate the left's
+    // through a set-semantics key node + liveness hop keyed by the
+    // OUTPUT ROW itself; deletes on either side flip tuples in/out.
+    // Oracle: DuckDB's native INTERSECT over the survivor CTEs.
+    sql("incremental_sql_intersect",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |INTERSECT
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlIntersect),
+
+    // Maintained EXCEPT — the same wiring with the hop inverted
+    // (antiParent): tuples survive while ABSENT from the right, so a
+    // right-side delete must flip tuples INTO the result.
+    sql("incremental_sql_except",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |EXCEPT
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlExcept),
+
+    // … both through the CONTINUOUS engine: branch trees AND set
+    // stages in one streaming query, flips crossing micro-batches.
+    sql("incremental_sql_intersect_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |INTERSECT
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlIntersectStream),
+
+    sql("incremental_sql_except_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |EXCEPT
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlExceptStream),
 
     // FULL OUTER JOIN from SQL text — both preservation directions
     // maintained: the anti plan NULL-extends orders that lost every

@@ -121,6 +121,181 @@ object SqlCompiler {
     cs
   }
 
+  /** Top-level `INTERSECT` / `EXCEPT` (SET semantics) of two
+    * independently compilable NON-AGGREGATE view branches, maintained
+    * incrementally — the cross-branch netting the UNION ALL path
+    * deliberately does not do, built from the engine's OWN vocabulary:
+    *
+    *  1. each branch's maintained-view leaf deltas project to their
+    *     OUTPUT ROW canon (alias→value pairs, typed values rendered
+    *     once — branch output types are required equal, so identical
+    *     SQL tuples produce identical strings) keyed by the row's md5;
+    *  2. the RIGHT branch dedups through a set-semantics root node
+    *     (its 0↔1 flips are "this tuple exists on the right");
+    *  3. the LEFT branch folds through a liveness hop gated on those
+    *     flips — plain liveness for INTERSECT (kept while present on
+    *     the right), `antiParent` for EXCEPT (kept while absent);
+    *  4. presentation = rows whose net > 0, one row per tuple (set
+    *     semantics), in the left branch's column order.
+    *
+    * Deletes on either branch's relations flow through its tree and
+    * flip tuples in/out of the result incrementally; the same wiring
+    * runs continuously ([[CompiledSetOp.runStream]], flatMap or TWS
+    * drivers). `INTERSECT ALL` / `EXCEPT ALL` (bag multiplicities)
+    * stay loudly uncompiled. */
+  def compileSetOp(spark: SparkSession, dir: String, sqlText: String): CompiledSetOp = {
+    val (lq, rq, except) = splitTopLevelSetOp(sqlText)
+    val l = compile(spark, dir, lq)
+    val r = compile(spark, dir, rq)
+    Seq(l, r).foreach { c =>
+      if (c.viewMode.isEmpty)
+        fail("INTERSECT/EXCEPT compiles over non-aggregate view branches " +
+          "(SELECT [DISTINCT] of columns) — aggregate branches are not " +
+          "maintained as row sets")
+    }
+    if (l.outputCols != r.outputCols)
+      fail(s"INTERSECT/EXCEPT branch outputs ${r.outputCols.mkString("(", ",", ")")} " +
+        s"do not match ${l.outputCols.mkString("(", ",", ")")} — align the SELECT " +
+        "lists (names and order) explicitly")
+    Seq(l, r).foreach(c => c.outputSel.foreach { case (src, name) =>
+      if (!c.colType.contains(src))
+        fail(s"INTERSECT/EXCEPT output '$name' must be a plain source column " +
+          "(computed outputs have no cross-branch canonical rendering)")
+      if (name.isEmpty || !name.head.isLower)
+        fail(s"INTERSECT/EXCEPT output '$name' must start with a lowercase letter " +
+          "(the canonical row reserves the '__' prefix)")
+    })
+    l.outputSel.zip(r.outputSel).foreach { case ((ls, ln), (rs, _)) =>
+      if (l.colType(ls) != r.colType(rs))
+        fail(s"column '$ln': branch types differ " +
+          s"(${l.colType(ls).sql} vs ${r.colType(rs).sql}) — identical SQL tuples " +
+          "would not render to identical canonical rows")
+    }
+    CompiledSetOp(l, r, except)
+  }
+
+  /** Find the single top-level INTERSECT/EXCEPT; ALL forms are loud. */
+  private[graft] def splitTopLevelSetOp(sqlText: String): (String, String, Boolean) = {
+    var depth = 0; var inStr = false; var i = 0
+    val upper = sqlText.toUpperCase
+    var found: Option[(Int, Int, Boolean)] = None // (start, end, except)
+    while (i < sqlText.length) {
+      val ch = sqlText.charAt(i)
+      if (inStr) {
+        if (ch == '\'' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '\'') i += 2
+        else { if (ch == '\'') inStr = false; i += 1 }
+      } else ch match {
+        case '\'' => inStr = true; i += 1
+        case '-' if i + 1 < sqlText.length && sqlText.charAt(i + 1) == '-' =>
+          while (i < sqlText.length && sqlText.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < sqlText.length && sqlText.charAt(i + 1) == '*' =>
+          val end = sqlText.indexOf("*/", i + 2)
+          i = if (end < 0) sqlText.length else end + 2
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if depth == 0 && (c == 'I' || c == 'i' || c == 'E' || c == 'e') &&
+            (i == 0 || !Character.isLetterOrDigit(sqlText.charAt(i - 1))) &&
+            (upper.startsWith("INTERSECT", i) || upper.startsWith("EXCEPT", i)) =>
+          val except = upper.startsWith("EXCEPT", i)
+          val kwLen = if (except) 6 else 9
+          if (i + kwLen < sqlText.length &&
+              Character.isLetterOrDigit(sqlText.charAt(i + kwLen))) { i += 1 }
+          else {
+            var j = i + kwLen
+            while (j < sqlText.length && Character.isWhitespace(sqlText.charAt(j))) j += 1
+            if (upper.startsWith("ALL", j) &&
+                (j + 3 == sqlText.length || !Character.isLetterOrDigit(sqlText.charAt(j + 3))))
+              fail("INTERSECT ALL / EXCEPT ALL (bag multiplicities) are not " +
+                "compiled — use the set forms")
+            if (found.isDefined)
+              fail("more than one top-level INTERSECT/EXCEPT is not compiled — " +
+                "parenthesize to fix the association explicitly")
+            found = Some((i, i + kwLen, except))
+            i += kwLen
+          }
+        case _ => i += 1
+      }
+    }
+    found match {
+      case Some((s, e, except)) =>
+        val (lq, rq) = (sqlText.substring(0, s).trim, sqlText.substring(e).trim)
+        if (lq.isEmpty || rq.isEmpty) fail("INTERSECT/EXCEPT needs a query on each side")
+        (lq, rq, except)
+      case None => fail("compileSetOp expects a top-level INTERSECT or EXCEPT")
+    }
+  }
+
+  /** The compiled set operation — see [[compileSetOp]]. */
+  final case class CompiledSetOp(left: Compiled, right: Compiled, except: Boolean) {
+    import org.apache.spark.sql.functions._
+
+    /** Branch leaf deltas → Evts keyed by (md5 of) the OUTPUT ROW:
+      * the canonical string of sorted alias→value pairs (typed values
+      * rendered to strings through the branch's column type, so equal
+      * SQL tuples render identically; NULLs drop their pair — both
+      * branches consistently). The hash rides IN the row under the
+      * reserved `__k` name so the engine's column-keyed stages can
+      * route on it. */
+    private def projectOutput(c: Compiled, leaf: Dataset): Dataset = {
+      val spark = leaf.sparkSession
+      import spark.implicits._
+      val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+      val pairs = c.outputSel.sortBy(_._2).map { case (src, name) =>
+        concat(lit(name + KV), m.getItem(src).cast(c.colType(src)).cast("string"))
+      }
+      val canonOut = concat_ws(FS.toString, pairs: _*)
+      val keyed = md5(canonOut)
+      leaf.toDF().select(col("seq"), lit(false).as("fromParent"), col("tag"),
+        col("mult"), keyed.as("key"),
+        concat(lit("__k" + KV), keyed, lit(FS.toString), canonOut).as("row"))
+        .as[Evt]
+    }
+
+    private def setStages: Seq[DeltaEngine.Stage] = Seq(
+      DeltaEngine.Stage("__setop_rkeys",
+        NodeSpec("__setop_r", "__k", "__k", isRoot = true, setSemantics = true),
+        // the hop reads liveness only — ship keys, not tuples
+        keyOnlyRows = true),
+      DeltaEngine.Stage("__setop_hop",
+        NodeSpec("__setop_l", "__k", "__k", antiParent = except),
+        parentStage = Some("__setop_rkeys")))
+
+    /** Net > 0 tuples, one row each (set semantics), left's column
+      * order, re-typed through the left branch's column types. */
+    def present(leaf: Dataset): DataFrame = {
+      val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+      val typedCols = left.outputSel.map { case (src, name) =>
+        m.getItem(name).cast(left.colType(src)).as(name)
+      }
+      leaf.toDF()
+        .select((col("tag") * col("mult")).cast("long").as("__sign") +: typedCols: _*)
+        .groupBy(left.outputSel.map(s => col(s._2)): _*)
+        .agg(sum(col("__sign")).as("__net"))
+        .filter(col("__net") > 0)
+        .select(left.outputSel.map(s => col(s._2)): _*)
+    }
+
+    def run(spark: SparkSession, dir: String,
+            deletes: Map[String, Column] = Map.empty): DataFrame = {
+      val l = projectOutput(left, left.leafDeltas(spark, dir, deletes))
+      val r = projectOutput(right, right.leafDeltas(spark, dir, deletes))
+      present(DeltaEngine.runTree(setStages,
+        Map("__setop_l" -> l, "__setop_r" -> r), sourceFiltered = true))
+    }
+
+    /** The continuous form: branch streams chain straight into the set
+      * stages — one streaming query, state per node, flatMap or TWS
+      * drivers. Consume with foreachBatch + [[present]]. */
+    def runStream(leftLogs: Map[String, Dataset], rightLogs: Map[String, Dataset],
+                  tws: Boolean = false): Dataset = {
+      val l = projectOutput(left, left.runStream(leftLogs, tws = tws))
+      val r = projectOutput(right, right.runStream(rightLogs, tws = tws))
+      val logs = Map("__setop_l" -> l, "__setop_r" -> r)
+      if (tws) DeltaEngine.runStreamTreeTws(setStages, logs, sourceFiltered = true)
+      else DeltaEngine.runStreamTree(setStages, logs, sourceFiltered = true)
+    }
+  }
+
   /** Split on `UNION ALL` at paren depth 0, outside string literals
     * and comments (`--` to end-of-line, `/* */` blocks); a doubled
     * quote inside a literal is the SQL escape, not a close; a bare
@@ -600,7 +775,15 @@ object SqlCompiler {
       * given per-relation delete conditions; returns the maintained
       * aggregate (groups with net rows > 0, like any GROUP BY). */
     def run(spark: SparkSession, dir: String,
-            deletes: Map[String, Column] = Map.empty): DataFrame = {
+            deletes: Map[String, Column] = Map.empty): DataFrame =
+      aggregate(leafDeltas(spark, dir, deletes).toDF())
+
+    /** The maintained view's signed LEAF DELTAS (everything [[run]]
+      * does except the final aggregate/presentation fold) — the
+      * composition surface: set-operation compilation feeds branch
+      * deltas into further engine stages. */
+    def leafDeltas(spark: SparkSession, dir: String,
+                   deletes: Map[String, Column] = Map.empty): Dataset = {
       val logs0 = sourceChangelogs(spark, dir, deletes) // enforces the FULL OUTER delete scope
       // OPT-IN bloom semi-join reduction, applied by the COMPILER: with
       // [[IncrementalQueries.BloomPrefilterConf]] set on this session,
@@ -649,7 +832,7 @@ object SqlCompiler {
               (p.stages, planLogs)
             },
           sourceFiltered = true)
-      aggregate(leaf.toDF())
+      leaf
     }
 
     /** Union the main tree's leaf deltas with every LEFT-JOIN anti

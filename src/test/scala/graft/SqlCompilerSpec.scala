@@ -1494,6 +1494,66 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("more than one FULL OUTER"), ex3.getMessage)
   }
 
+  test("INTERSECT/EXCEPT compile as maintained set ops; the fences stay loud") {
+    val lhs = """SELECT DISTINCT n_name FROM nation
+                |JOIN customer ON c_nationkey = n_nationkey
+                |WHERE c_acctbal > 8000""".stripMargin
+    val rhs = """SELECT DISTINCT n_name FROM nation
+                |JOIN supplier ON s_nationkey = n_nationkey
+                |WHERE s_acctbal > 5000""".stripMargin
+    // insert-only equivalence against spark.sql's own set ops
+    def stock(op: String) = {
+      Seq("nation", "customer", "supplier").foreach(t =>
+        Tables.load(s, d, t).createOrReplaceTempView(t))
+      s.sql(s"$lhs\n$op\n$rhs").collect().map(_.getString(0)).sorted.toSeq
+    }
+    for (op <- Seq("INTERSECT", "EXCEPT")) {
+      val got = SqlCompiler.compileSetOp(s, d, s"$lhs\n$op\n$rhs")
+        .run(s, d).collect().map(_.getString(0)).sorted.toSeq
+      assert(got == stock(op) && (op == "EXCEPT" || got.nonEmpty), s"$op: $got")
+    }
+    // DELETE-FLIP semantics: deleting every high-balance supplier of
+    // some nation must flip it OUT of the intersect and INTO the
+    // except — the cross-branch netting this machinery exists for
+    val interBase = SqlCompiler.compileSetOp(s, d, s"$lhs\nINTERSECT\n$rhs")
+      .run(s, d).collect().map(_.getString(0)).toSet
+    assert(interBase.nonEmpty)
+    val victim = interBase.min
+    val nk = Tables.load(s, d, "nation").filter(col("n_name") === victim)
+      .select(col("n_nationkey").cast("long")).head().getLong(0)
+    val dels = Map("supplier" -> (col("s_nationkey") === nk))
+    val interDel = SqlCompiler.compileSetOp(s, d, s"$lhs\nINTERSECT\n$rhs")
+      .run(s, d, dels).collect().map(_.getString(0)).toSet
+    val exceptDel = SqlCompiler.compileSetOp(s, d, s"$lhs\nEXCEPT\n$rhs")
+      .run(s, d, dels).collect().map(_.getString(0)).toSet
+    assert(!interDel.contains(victim) && exceptDel.contains(victim),
+      s"victim $victim: inter=$interDel except=$exceptDel")
+    // fences
+    val exAll = intercept[IllegalArgumentException](
+      SqlCompiler.compileSetOp(s, d, s"$lhs\nINTERSECT ALL\n$rhs"))
+    assert(exAll.getMessage.contains("ALL"), exAll.getMessage)
+    val exAgg = intercept[IllegalArgumentException](SqlCompiler.compileSetOp(s, d,
+      """SELECT n_name, COUNT(*) AS n FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name
+        |INTERSECT
+        |SELECT n_name, COUNT(*) AS n FROM nation
+        |JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_name""".stripMargin))
+    assert(exAgg.getMessage.contains("non-aggregate"), exAgg.getMessage)
+    val exCols = intercept[IllegalArgumentException](SqlCompiler.compileSetOp(s, d,
+      s"""$lhs
+         |INTERSECT
+         |SELECT DISTINCT s_name FROM nation
+         |JOIN supplier ON s_nationkey = n_nationkey""".stripMargin))
+    assert(exCols.getMessage.contains("do not match"), exCols.getMessage)
+    val exNone = intercept[IllegalArgumentException](
+      SqlCompiler.compileSetOp(s, d, lhs))
+    assert(exNone.getMessage.contains("top-level INTERSECT"), exNone.getMessage)
+    // a commented-out op must not split
+    val exCmt = intercept[IllegalArgumentException](
+      SqlCompiler.compileSetOp(s, d, s"$lhs -- INTERSECT trap\n"))
+    assert(exCmt.getMessage.contains("top-level INTERSECT"), exCmt.getMessage)
+  }
+
   test("top-level UNION ALL splits paren- and quote-aware; UNION and misaligned schemas are loud") {
     import graft.streaming.SqlCompiler.splitTopLevelUnionAll
     // UNION ALL inside parens or a string literal must NOT split
