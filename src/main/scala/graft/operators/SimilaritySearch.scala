@@ -592,6 +592,84 @@ object SimilaritySearch {
     // make every individual code a scalar cell the hash gate can
     // compare (the r8 array-valued shape crashed the harness sort);
     // the stored artifact at scale stays the packed array.
+    // INT8 CANDIDATE SEARCH + EXACT RESCORE — the memory-tier ANN
+    // pattern embedding_quantize_int8 exists to serve: candidates rank
+    // on the DEQUANTIZED int8 dot (code dot × both scales — 4 bytes/dim
+    // of index resident instead of 32, the reason the tier exists),
+    // the top 3K per query then rescore with the exact e7 cosine and
+    // the final top-K ranks on that. Every candidate score is one
+    // fixed sequence of IEEE ops over cross-engine-identical inputs
+    // (exact integer code dots and integer-valued amax scales), so
+    // the candidate CUT is deterministic and the whole two-tier
+    // pipeline sits behind the value-hash gate. The fn self-asserts
+    // recall ≥ 0.8 against the exact brute-force top-K on the
+    // fixture. Scale shape: queries broadcast, one corpus scan per
+    // tier, per-query work partitioned (the rescore tier touches 3K
+    // rows per query, not the corpus).
+    sql("ann_int8_rescore", {
+      val dot8 = "list_inner_product(q.q8, e.q8)"
+      s"""WITH v AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |a AS (SELECT vec_id, v,
+         |  GREATEST(list_max(list_transform(v, x -> ABS(x))), 1.0) AS amax FROM v),
+         |e AS (SELECT vec_id, v, amax,
+         |  list_transform(v, x -> FLOOR(x * 127 / amax + 0.5)) AS q8 FROM a),
+         |q AS (SELECT vec_id AS query_id, v AS qv, amax AS qamax, q8 FROM e
+         |      WHERE vec_id < $QuerySetSize),
+         |cand AS (
+         | SELECT query_id, vec_id, qv, v FROM (
+         |  SELECT q.query_id, e.vec_id, q.qv, e.v,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY ($dot8) * q.qamax * e.amax DESC, e.vec_id) AS crnk
+         |  FROM q, e WHERE e.vec_id <> q.query_id) t
+         | WHERE crnk <= ${3 * K})
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
+         | SELECT query_id, vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosineExactSql("qv", "v")} DESC, vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("qv", "v")} * 1000000 + 0.5) / 1000000 AS cos_sim
+         | FROM cand) t
+         |WHERE rnk <= $K""".stripMargin
+    }) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
+          .withColumn("amax",
+            greatest(array_max(transform(col("v"), x => abs(x))), lit(1.0)))
+          .withColumn("q8",
+            transform(col("v"), x => floor(x * 127 / col("amax") + 0.5)))
+        val q = e.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("amax").as("qamax"), col("q8").as("qq8"))
+        val dot8 = zip_with(col("qq8"), col("q8"), (a, b) => a * b)
+        val approx = aggregate(dot8, lit(0.0d), (acc, x) => acc + x) *
+          col("qamax") * col("amax")
+        val cw = Window.partitionBy(col("query_id"))
+          .orderBy(col("approx").desc, col("vec_id"))
+        val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("approx", approx)
+          .withColumn("crnk", row_number().over(cw)).filter(col("crnk") <= 3 * K)
+          .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+        val rw = Window.partitionBy(col("query_id"))
+          .orderBy(cosineExact(col("qv"), col("v")).desc, col("vec_id"))
+        val out = cand
+          .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= K)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+            floorRound6(cosineExact(col("qv"), col("v"))).as("cos_sim"))
+        // recall self-assert vs the exact brute-force top-K (fixture
+        // scale: QuerySetSize * corpus rows)
+        val exactW = Window.partitionBy(col("query_id"))
+          .orderBy(cosineExact(col("qv"), col("v")).desc, col("vec_id"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("rnk", row_number().over(exactW)).filter(col("rnk") <= K)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val hit = out.select(col("query_id"), col("neighbor_id"))
+          .intersect(exact).count()
+        val total = exact.count()
+        require(total > 0 && hit.toDouble / total >= 0.8,
+          s"int8 candidate tier recall too low: $hit/$total")
+        out
+    },
+
     sql("embedding_quantize_int8",
       s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
          |a AS (SELECT vec_id, v,

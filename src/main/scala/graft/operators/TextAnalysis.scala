@@ -460,5 +460,55 @@ object TextAnalysis {
         perDocWord.join(broadcast(vocab), Seq("word"))
           .groupBy(col("doc_id"))
           .agg(sum(col("n") * col("tok")).as("n_tokens"))
+    },
+
+    // TOKENIZER FIT per source — the go/no-go stat a pipeline reads
+    // before committing a tokenizer to a corpus slice: characters per
+    // token (compression) and tokens per word (fertility) by source,
+    // from the same pinned merge list as text_bpe_encode. All exact
+    // integers plus one IEEE division each; the encode again runs
+    // over the distinct-word frame only.
+    sql("text_bpe_compression", {
+      val enc0 = """regexp_replace(word, '(.)', '<\1>', 'g')"""
+      val encoded = BpeMerges.foldLeft(enc0) { case (s, (a, b)) =>
+        s"replace($s, '<$a><$b>', '<$a$b>')"
+      }
+      s"""WITH dw AS (
+         | SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         | FROM documents),
+         |pw AS (SELECT source, word, COUNT(*) AS n FROM dw GROUP BY source, word),
+         |v AS (SELECT word, length(word) AS chars,
+         |       len(string_split(trim($encoded, '<>'), '><')) AS tok
+         |      FROM (SELECT DISTINCT word FROM pw))
+         |SELECT source,
+         | CAST(SUM(n * chars) AS BIGINT) AS n_chars,
+         | CAST(SUM(n * tok) AS BIGINT) AS n_tokens,
+         | CAST(SUM(n) AS BIGINT) AS n_words,
+         | CAST(SUM(n * chars) AS DOUBLE) / SUM(n * tok) AS chars_per_token,
+         | CAST(SUM(n * tok) AS DOUBLE) / SUM(n) AS fertility
+         |FROM pw JOIN v USING (word)
+         |GROUP BY source""".stripMargin
+    }) {
+      (s, d) =>
+        val perSourceWord = Tables.documents(s, d)
+          .select(col("source"),
+            explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+        val enc = BpeMerges.foldLeft(
+          regexp_replace(col("word"), lit("(.)"), lit("<$1>"))) { case (c, (a, b)) =>
+          org.apache.spark.sql.functions.replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
+        val vocab = perSourceWord.select("word").distinct()
+          .select(col("word"), length(col("word")).cast("long").as("chars"),
+            size(split(btrim(enc, lit("<>")), "><")).cast("long").as("tok"))
+        perSourceWord.join(broadcast(vocab), Seq("word"))
+          .groupBy(col("source"))
+          .agg(sum(col("n") * col("chars")).as("n_chars"),
+            sum(col("n") * col("tok")).as("n_tokens"),
+            sum(col("n")).as("n_words"),
+            (sum(col("n") * col("chars")).cast("double") /
+              sum(col("n") * col("tok"))).as("chars_per_token"),
+            (sum(col("n") * col("tok")).cast("double") /
+              sum(col("n"))).as("fertility"))
     })
 }
