@@ -319,6 +319,28 @@ object SnapshotLog {
     else vacuum(root, retainFrom)
   }
 
+  /** TIME TRAVEL BY TIMESTAMP — `FOR TIMESTAMP AS OF` resolved the
+    * same way [[vacuumOlderThan]] resolves its horizon: the LATEST
+    * version whose manifest commit time (file mtime, stamped by the
+    * atomic hard-link publish) is ≤ `tsMs`. A timestamp before the
+    * first commit is an error (there is no snapshot to read), exactly
+    * Delta's contract. */
+  def versionAsOf(root: String, tsMs: Long): Int = {
+    val manifests = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("_manifest_v") && f.getName.endsWith(".json"))
+      .map(f => f.getName.stripPrefix("_manifest_v").stripSuffix(".json").toInt ->
+        f.lastModified())
+    require(manifests.nonEmpty, s"no manifests at $root")
+    val eligible = manifests.filter(_._2 <= tsMs).map(_._1)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMs predates the table's first commit " +
+        s"(earliest manifest at ${manifests.map(_._2).min})")
+    eligible.max
+  }
+
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(root, tsMs))
+
   /** One committed two-version table per (fixture dir) per JVM. */
   private val roots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   sys.addShutdownHook {
@@ -446,6 +468,32 @@ object SnapshotLog {
           }
         } finally query.stop()
         readVersion(ss, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // TIME TRAVEL BY TIMESTAMP — `FOR TIMESTAMP AS OF` between the
+    // two commits must resolve to v0 and read back the ORIGINAL
+    // snapshot (same oracle as version-numbered travel): version =
+    // latest manifest with commit time ≤ the timestamp. The fn pins
+    // the manifests' mtimes deterministically, asserts the resolution
+    // at both horizons (mid-gap → v0; now → v1), and gates the v0
+    // read.
+    sql("snapshot_read_asof",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders""".stripMargin) {
+      (s, d) =>
+        val root = ordersTableRoot(s, d)
+        def m(v: Int) = new java.io.File(manifestPath(root, v))
+        val now = System.currentTimeMillis()
+        require(m(0).setLastModified(now - 10000) && m(1).setLastModified(now - 2000),
+          "fixture mtimes must pin")
+        require(versionAsOf(root, now - 5000) == 0, "mid-gap must resolve to v0")
+        require(versionAsOf(root, now) == 1, "current must resolve to the latest")
+        val tooEarly = scala.util.Try(versionAsOf(root, now - 60000)).isSuccess
+        require(!tooEarly, "a timestamp before the first commit must fail")
+        readAsOf(s, root, now - 5000)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
