@@ -31,7 +31,10 @@ class RelationalSpec extends AnyFunSuite {
       "ann_ivf_incremental", "ann_ivf_resplit", "embedding_label_margin",
       // ONE-ROW global-scalar broadcasts (the Q11/Q15/Q22 shapes:
       // share-of-total, argmax-of-aggregate, above-global-average)
-      "q11_like_value_share", "q15_like_top_supplier", "q22_like_idle_customers")
+      "q11_like_value_share", "q15_like_top_supplier", "q22_like_idle_customers",
+      // the same tiny broadcast query set as ann_bruteforce_topk, in
+      // both the int8 candidate tier and the exact rescore tier
+      "ann_int8_rescore")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.schema.nonEmpty, s"$name has empty schema")
