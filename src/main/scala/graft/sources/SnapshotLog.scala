@@ -484,7 +484,14 @@ object SnapshotLog {
         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
         |FROM orders""".stripMargin) {
       (s, d) =>
-        val root = ordersTableRoot(s, d)
+        // PRIVATE root: other entries extend the shared two-version
+        // table (compaction adds v2), which would make the mid-gap
+        // resolution below depend on entry execution order
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_asof").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        commitMerge(s, root, 1, "o_orderkey", payload,
+          updateBatch(orders).unionAll(deleteInsertBatch(orders)))
         def m(v: Int) = new java.io.File(manifestPath(root, v))
         val now = System.currentTimeMillis()
         require(m(0).setLastModified(now - 10000) && m(1).setLastModified(now - 2000),
