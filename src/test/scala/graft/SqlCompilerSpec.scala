@@ -1554,6 +1554,38 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(exCmt.getMessage.contains("top-level INTERSECT"), exCmt.getMessage)
   }
 
+  test("PROPERTY: set ops equal stock spark.sql across random delete sets, multi-column too") {
+    // two-column outputs (the row-identity canon must agree on every
+    // column) over branches sharing a relation; random delete
+    // conditions on both sides, both operators
+    val lhs = """SELECT DISTINCT n_name, c_mktsegment FROM nation
+                |JOIN customer ON c_nationkey = n_nationkey
+                |WHERE c_acctbal > 5000""".stripMargin
+    val rhs = """SELECT DISTINCT n_name, c_mktsegment FROM nation
+                |JOIN customer ON c_nationkey = n_nationkey
+                |WHERE c_acctbal < 2000""".stripMargin
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 4) {
+      val mod = 5 + rnd.nextInt(10)
+      val res = rnd.nextInt(mod)
+      val dels = Map("customer" -> (col("c_custkey") % mod === res))
+      // stock reference: spark.sql's own set op over the SURVIVOR views
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation")
+      Tables.load(s, d, "customer").filter(col("c_custkey") % mod =!= res)
+        .createOrReplaceTempView("customer")
+      for (op <- Seq("INTERSECT", "EXCEPT")) {
+        val want = s.sql(s"$lhs\n$op\n$rhs")
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        val got = SqlCompiler.compileSetOp(s, d, s"$lhs\n$op\n$rhs")
+          .run(s, d, dels)
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        assert(got == want, s"trial $trial $op (mod=$mod res=$res)")
+      }
+      // restore the base view for other tests that may resolve it
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+    }
+  }
+
   test("top-level UNION ALL splits paren- and quote-aware; UNION and misaligned schemas are loud") {
     import graft.streaming.SqlCompiler.splitTopLevelUnionAll
     // UNION ALL inside parens or a string literal must NOT split
