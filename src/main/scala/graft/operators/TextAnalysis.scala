@@ -462,6 +462,67 @@ object TextAnalysis {
           .agg(sum(col("n") * col("tok")).as("n_tokens"))
     },
 
+    // BPE TRAINING — the actual vocabulary-induction LOOP, end to end
+    // in relational algebra (text_bpe_pairs is one iteration's count;
+    // this runs FOUR: count adjacent symbol pairs over the
+    // distinct-word frame, take the argmax as the next merge, apply
+    // it by bracketed-symbol replace, repeat — each learned merge a
+    // DATA-dependent value both engines must derive identically).
+    // Argmax ties break on (count DESC, left, right), so the learned
+    // merge TABLE itself sits behind the value-hash gate. Scale shape
+    // per iteration: one pair aggregate over distinct words (the
+    // usual 10^6× reduction), one 1-row broadcast, one re-encode
+    // projection — the loop is genuinely iterative (merge i+1 depends
+    // on the corpus AFTER merge i) yet never leaves the engine.
+    sql("text_bpe_train", {
+      def pairsSql(src: String): String =
+        s"""SELECT syms[CAST(i AS INTEGER)] AS a, syms[CAST(i + 1 AS INTEGER)] AS b,
+           |  CAST(SUM(freq) AS BIGINT) AS n
+           |FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+           |      FROM (SELECT string_split(trim(e, '<>'), '><') AS syms, freq
+           |            FROM $src) s0)
+           |GROUP BY a, b""".stripMargin
+      def stepSql(i: Int): String =
+        s"""p$i AS (${pairsSql(s"e$i")}),
+           |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+           |e${i + 1} AS (SELECT replace(e, '<' || m$i.a || '><' || m$i.b || '>',
+           |  '<' || m$i.a || m$i.b || '>') AS e, freq FROM e$i, m$i)""".stripMargin
+      s"""WITH w AS (
+         | SELECT word, COUNT(*) AS freq FROM (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents) t
+         | GROUP BY word),
+         |e0 AS (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS e, freq FROM w),
+         |${(0 until 4).map(stepSql).mkString(",\n")}
+         |${(0 until 4).map(i =>
+            s"SELECT $i AS step, a AS left_sym, b AS right_sym, n FROM m$i")
+            .mkString("\nUNION ALL\n")}""".stripMargin
+    }) {
+      (s, d) =>
+        def pairs(e: DataFrame): DataFrame = e
+          .select(split(btrim(col("e"), lit("<>")), "><").as("syms"), col("freq"))
+          .select(posexplode(expr("slice(syms, 1, size(syms) - 1)")).as(Seq("i", "a")),
+            col("syms"), col("freq"))
+          .select(col("a"), expr("syms[i + 1]").as("b"), col("freq"))
+          .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("n"))
+        val e0 = Tables.documents(s, d)
+          .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .select(regexp_replace(col("word"), lit("(.)"), lit("<$1>")).as("e"), col("freq"))
+        val (_, merges) = (0 until 4).foldLeft((e0, Seq.empty[DataFrame])) {
+          case ((e, acc), i) =>
+            val m = pairs(e).orderBy(col("n").desc, col("a"), col("b")).limit(1)
+            val next = e.crossJoin(broadcast(m))
+              .select(org.apache.spark.sql.functions.replace(col("e"),
+                concat(lit("<"), col("a"), lit("><"), col("b"), lit(">")),
+                concat(lit("<"), col("a"), col("b"), lit(">"))).as("e"), col("freq"))
+            (next, acc :+ m.select(lit(i).as("step"), col("a").as("left_sym"),
+              col("b").as("right_sym"), col("n")))
+        }
+        merges.reduce(_ unionAll _)
+    },
+
     // TOKENIZER FIT per source — the go/no-go stat a pipeline reads
     // before committing a tokenizer to a corpus slice: characters per
     // token (compression) and tokens per word (fertility) by source,

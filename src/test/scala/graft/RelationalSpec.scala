@@ -34,7 +34,10 @@ class RelationalSpec extends AnyFunSuite {
       "q11_like_value_share", "q15_like_top_supplier", "q22_like_idle_customers",
       // the same tiny broadcast query set as ann_bruteforce_topk, in
       // both the int8 candidate tier and the exact rescore tier
-      "ann_int8_rescore")
+      "ann_int8_rescore",
+      // four ONE-ROW learned-merge broadcasts (the training loop's
+      // argmax result applied to the next iteration's encode)
+      "text_bpe_train")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.schema.nonEmpty, s"$name has empty schema")
