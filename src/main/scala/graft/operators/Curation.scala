@@ -266,6 +266,78 @@ object Curation {
           .drop("key")
     },
 
+    // --- DSIR-style importance resampling -------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169) re-weights a raw corpus toward a target domain
+    // by the ratio of hashed-n-gram feature likelihoods, then accepts
+    // documents with probability proportional to that ratio. This is
+    // the exact-integer engine form: features are word unigrams hashed
+    // into 64 buckets (15-hex md5 prefix, the repo's portable hash);
+    // the target profile is `source = 'src0'`; a document's affinity
+    // A = Σ_tokens tcnt[bucket] and base mass Bv = Σ_tokens
+    // bcnt[bucket] give the importance ratio r = (A·total_b)/(Bv·total_t)
+    // — exact BIGINT cross-products, ONE IEEE division for the
+    // reported ratio — and acceptance is the integer cross-multiplied
+    // coin `md5(doc_id) % 1000 · Bv·total_t < 1000 · A·total_b`,
+    // i.e. P(keep) = min(1, r) with no float anywhere in the decision.
+    // Shape at scale: one explode scan feeds both 64-row profiles
+    // (hash-aggregate, map-side combine, broadcast back) and the
+    // per-doc aggregate (one shuffle on doc_id); the two corpus
+    // totals come off the 64-row profile (bounded scalar frame, same
+    // class as the IVF centroid collects). Everything downstream of
+    // the scan is profile-sized except the one doc_id aggregate.
+    sql("curation_importance_resample",
+      """WITH toks AS (
+        | SELECT doc_id, source, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b
+        | FROM (SELECT doc_id, source,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |       FROM documents)),
+        |tgt AS (SELECT b, COUNT(*) AS tcnt FROM toks WHERE source = 'src0' GROUP BY b),
+        |base AS (SELECT b, COUNT(*) AS bcnt FROM toks GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(SUM(tcnt) AS BIGINT) FROM tgt) AS total_t,
+        |               (SELECT CAST(SUM(bcnt) AS BIGINT) FROM base) AS total_b),
+        |doc AS (
+        | SELECT toks.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(COALESCE(SUM(tcnt), 0) AS BIGINT) AS a,
+        |  CAST(SUM(bcnt) AS BIGINT) AS bv
+        | FROM toks JOIN base USING (b) LEFT JOIN tgt USING (b)
+        | GROUP BY toks.doc_id)
+        |SELECT doc_id, n_tokens,
+        | a * total_b AS aff_num, bv * total_t AS aff_den,
+        | CAST(a * total_b AS DOUBLE) / (bv * total_t) AS ratio,
+        | (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000)
+        |   * bv * total_t < 1000 * a * total_b AS sampled
+        |FROM doc, tot""".stripMargin) {
+      (s, d) =>
+        def base60(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast("long")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+          .select(col("doc_id"), col("source"), (base60(col("t")) % 64).as("b"))
+        val tgt = toks.filter(col("source") === "src0")
+          .groupBy(col("b")).agg(count(lit(1)).as("tcnt"))
+        val base = toks.groupBy(col("b")).agg(count(lit(1)).as("bcnt"))
+        // corpus totals off the 64-row profiles — bounded scalar frames
+        // (<= 64 rows by construction of `% 64`), embedded as literals
+        // so no one-row cross join enters the plan
+        val totalT = tgt.agg(sum(col("tcnt"))).collect()(0) match {
+          case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
+        val totalB = base.agg(sum(col("bcnt"))).collect()(0).getLong(0)
+        toks.join(broadcast(base), Seq("b"))
+          .join(broadcast(tgt), Seq("b"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            coalesce(sum(col("tcnt")), lit(0L)).as("a"),
+            sum(col("bcnt")).as("bv"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("a") * lit(totalB)).as("aff_num"),
+            (col("bv") * lit(totalT)).as("aff_den"),
+            ((col("a") * lit(totalB)).cast("double") / (col("bv") * lit(totalT))).as("ratio"),
+            ((base60(col("doc_id").cast("string")) % 1000) * col("bv") * lit(totalT) <
+              lit(1000L) * col("a") * lit(totalB)).as("sampled"))
+    },
+
     // --- document chunking: token windows with stride ------------------
     // The preprocessing step before embedding/pretraining: split each
     // document into windows of 64 tokens at stride 48 (16-token

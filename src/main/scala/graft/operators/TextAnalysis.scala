@@ -142,6 +142,43 @@ object TextAnalysis {
             (col("n_types").cast("double") / col("n_tokens")).as("ttr"))
     },
 
+    // VOCABULARY COVERAGE — the OOV-rate quality filter: what fraction
+    // of a document's tokens fall inside the corpus's top-200
+    // vocabulary (count DESC, token ASC — the tie can never straddle
+    // the cut nondeterministically). Docs dominated by out-of-vocab
+    // junk (mojibake, code spew, lorem noise) score low and get
+    // filtered before tokenizer training. Shape at scale: one explode
+    // scan feeds BOTH sides — the vocabulary is a token hash-aggregate
+    // (map-side combine) cut via orderBy+limit (TakeOrdered — no
+    // single-partition window) and broadcast back, the per-doc
+    // coverage a second hash aggregate; exact integer counts + ONE
+    // IEEE division.
+    sql("text_vocab_coverage",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenPattern')) AS t
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT t AS vw FROM (
+         |    SELECT t, COUNT(*) AS n FROM toks GROUP BY t
+         |    ORDER BY n DESC, t LIMIT 200))
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  COUNT(vw) AS n_in_vocab,
+         |  CAST(COUNT(vw) AS DOUBLE) / COUNT(*) AS coverage
+         |FROM toks LEFT JOIN vocab ON t = vw
+         |GROUP BY doc_id""".stripMargin) {
+      (s, d) =>
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t")).limit(200)
+          .select(col("t").as("vw"))
+        toks.join(broadcast(vocab), col("t") === col("vw"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), count(col("vw")).as("n_in_vocab"))
+          .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+            (col("n_in_vocab").cast("double") / col("n_tokens")).as("coverage"))
+    },
+
     // --- token counting ------------------------------------------------
     sql("text_token_count",
       s"""SELECT doc_id,
