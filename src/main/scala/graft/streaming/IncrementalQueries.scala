@@ -3172,6 +3172,115 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 6 === 0)))
     },
 
+    // GENERAL DISCRETE QUANTILES under retraction — MEDIAN's element
+    // selection at arbitrary q: the inverted-CDF cut (smallest value
+    // whose cumulative net count reaches ceil(q·n)) evaluated in exact
+    // integer cross-products of the rational q, so Q1 and Q3 ride the
+    // SAME per-(group, value) rollup and cumulative frame as each
+    // other (one sort, two conditional MINs). Oracle = DuckDB's
+    // native quantile_disc at both q's.
+    sql("incremental_sql_quantile",
+      """SELECT n_name, quantile_disc(o_totalprice, 0.25) AS q1_price,
+        | quantile_disc(o_totalprice, 0.75) AS q3_price,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F' AND o_orderkey % 6 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, quantile_disc(o_totalprice, 0.25) AS q1_price,
+          | quantile_disc(o_totalprice, 0.75) AS q3_price,
+          | COUNT(*) AS n_rows
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          | AND o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
+    // The quantile fold over the CONTINUOUS engine's streamed leaf —
+    // same oracle as incremental_sql_quantile (stream/batch parity for
+    // the new aggregate family).
+    sql("incremental_sql_quantile_stream",
+      """SELECT n_name, quantile_disc(o_totalprice, 0.25) AS q1_price,
+        | quantile_disc(o_totalprice, 0.75) AS q3_price,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F' AND o_orderkey % 6 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, quantile_disc(o_totalprice, 0.25) AS q1_price,
+            | quantile_disc(o_totalprice, 0.75) AS q3_price,
+            | COUNT(*) AS n_rows
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            | AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_quantile_stream_leaf")
+    },
+
+    // MODE under retraction with a DETERMINISTIC tie rule (largest net
+    // count, then smallest value): rank-1 selection over the netting
+    // rollup's frequency table. DuckDB's mode() leaves ties
+    // unspecified, so the oracle spells the identical window instead —
+    // the tie rule is part of the operator's contract, not an
+    // implementation accident.
+    sql("incremental_sql_mode",
+      """WITH base AS (
+        | SELECT n_name, o_orderpriority
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0),
+        |pv AS (SELECT n_name, o_orderpriority AS v, COUNT(*) AS n
+        |       FROM base GROUP BY n_name, v),
+        |md AS (SELECT n_name, v FROM (
+        |        SELECT n_name, v,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY n DESC, v) AS rk
+        |        FROM pv) WHERE rk = 1),
+        |cnt AS (SELECT n_name, COUNT(*) AS n_rows FROM base GROUP BY n_name)
+        |SELECT cnt.n_name, md.v AS mode_prio, n_rows
+        |FROM cnt JOIN md USING (n_name)""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, mode(o_orderpriority) AS mode_prio,
+          | COUNT(*) AS n_rows
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
+    // MAX_BY / MIN_BY under retraction — "which order was the
+    // extreme": state is the netting rollup over the (price, orderkey)
+    // PAIR, and the answer is a struct extreme, so ties on the price
+    // break deterministically toward the extreme key. The oracle
+    // spells the same rule as join-back-on-extreme + MAX/MIN over the
+    // tied keys.
+    sql("incremental_sql_argmax",
+      """WITH base AS (
+        | SELECT n_name, o_orderkey, o_totalprice
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0),
+        |mx AS (SELECT n_name, MAX(o_totalprice) AS mp, MIN(o_totalprice) AS mn
+        |       FROM base GROUP BY n_name)
+        |SELECT base.n_name,
+        | MAX(CASE WHEN o_totalprice = mp THEN o_orderkey END) AS top_order,
+        | MIN(CASE WHEN o_totalprice = mn THEN o_orderkey END) AS bottom_order,
+        | COUNT(*) AS n_rows
+        |FROM base JOIN mx USING (n_name)
+        |GROUP BY base.n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, max_by(o_orderkey, o_totalprice) AS top_order,
+          | min_by(o_orderkey, o_totalprice) AS bottom_order,
+          | COUNT(*) AS n_rows
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
     // GROUP BY expressions compiled from text: a COMPUTED grouping key
     // (calendar year) evaluates over the typed leaf deltas — grouping
     // is no longer limited to stored columns. The oracle wraps the SUM

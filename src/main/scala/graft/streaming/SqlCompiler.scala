@@ -64,9 +64,11 @@ import graft.streaming.DeltaEngine.{Evt, NodeSpec, FS, KV}
 object SqlCompiler {
 
   /** One aggregate output: `kind` is "sum", "count", or "avg"; `frag`
-    * is the original SQL text of the argument ("" for count). */
+    * is the original SQL text of the argument ("" for count). `q` is
+    * the quantile as an exact rational (numerator, denominator) — set
+    * only for kind "quantile" (median compiles to (1, 2)). */
   final case class AggSpec(kind: String, frag: String, alias: String,
-                           frag2: String = "")
+                           frag2: String = "", q: (Long, Long) = (1L, 2L))
 
   /** One GROUP BY output: `frag` is the (dequalified) SQL text of the
     * grouping expression — a bare column name for plain-column groups,
@@ -531,7 +533,7 @@ object SqlCompiler {
       val (valueAggs, plainAggs) =
         aggs.partition(a =>
           Set("count_distinct", "sum_distinct", "avg_distinct", "min", "max",
-            "median")(a.kind))
+            "median", "quantile", "mode", "max_by", "min_by")(a.kind))
       // GROUPING SETS run as Spark's own Expand strategy, not a union
       // of per-set folds: each delta row explodes ONCE per grouping
       // set, carrying that set's materialized keys (typed NULLs for
@@ -689,7 +691,11 @@ object SqlCompiler {
           .groupBy((groupKeys :+ expr(frag).as("__dv")): _*)
           .agg(sum(col("__sign")).as("__dn"))
           .filter(col("__dn") > 0 && col("__dv").isNotNull)
-        val (medianAs, simpleAs) = as.partition(_.kind == "median")
+        import org.apache.spark.sql.expressions.Window
+        val quantileAs = as.filter(a => a.kind == "median" || a.kind == "quantile")
+        val modeAs = as.filter(_.kind == "mode")
+        val simpleAs = as.filterNot(a =>
+          a.kind == "median" || a.kind == "quantile" || a.kind == "mode")
         val rolledFrames: Seq[org.apache.spark.sql.DataFrame] =
           (if (simpleAs.isEmpty) Nil else {
             val rollExprs = simpleAs.map { a =>
@@ -701,6 +707,13 @@ object SqlCompiler {
                 case "avg_distinct" =>
                   (sum(col("__dv")).cast("double") /
                     count(lit(1)).cast("double")).as(a.alias)
+                // MAX_BY/MIN_BY: __dv is the (o, v) pair struct; the
+                // struct extreme is field-lexicographic, so the answer
+                // is the extreme `o` with ties broken toward the
+                // extreme `v` — deterministic, and the `v` field of
+                // that extreme pair is the output
+                case "max_by" => max(col("__dv")).getField("v").as(a.alias)
+                case "min_by" => min(col("__dv")).getField("v").as(a.alias)
                 case "min" => min(col("__dv")).as(a.alias)
                 case _ => max(col("__dv")).as(a.alias)
               }
@@ -708,25 +721,45 @@ object SqlCompiler {
             Seq(perValue.groupBy(groupKeys: _*)
               .agg(rollExprs.head, rollExprs.tail: _*))
           }) ++
-          (if (medianAs.isEmpty) Nil else {
-            // DISCRETE lower median over the netted values: the
-            // smallest __dv whose cumulative net count reaches half
-            // the group total (= DuckDB quantile_disc 0.5). One sort
-            // per group over the DISTINCT values — the exact-median
-            // price; at scale prefer the mergeable histogram sketch
-            // (events_histogram_quantile) when approximation is
-            // acceptable.
-            import org.apache.spark.sql.expressions.Window
+          (if (quantileAs.isEmpty) Nil else {
+            // DISCRETE quantiles over the netted values: the inverted
+            // CDF — the smallest __dv whose cumulative net count
+            // satisfies cum·q_den ≥ n·q_num, evaluated in exact
+            // integer cross-products (MEDIAN is q = 1/2; verified
+            // against DuckDB quantile_disc across n×q grids — DuckDB
+            // picks index ceil(q·n)−1, NOT the floor(q·(n−1))
+            // convention). One sort per group over the DISTINCT
+            // values — the exact-quantile price; all requested q's
+            // share it (each is a conditional MIN over the same
+            // cumulative frame). At scale prefer the mergeable
+            // histogram sketch (events_histogram_quantile) when
+            // approximation is acceptable.
             val part = Window.partitionBy(groupKeys: _*)
             val wCum = part.orderBy(col("__dv"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            def qMin(a: AggSpec) =
+              min(when(col("__cum") * a.q._2 >= col("__tot") * a.q._1,
+                col("__dv"))).as(a.alias)
             Seq(perValue
               .withColumn("__cum", sum(col("__dn")).over(wCum))
               .withColumn("__tot", sum(col("__dn")).over(part))
-              .filter(col("__cum") * 2 >= col("__tot"))
               .groupBy(groupKeys: _*)
-              .agg(min(col("__dv")).as(medianAs.head.alias),
-                medianAs.tail.map(a => min(col("__dv")).as(a.alias)): _*))
+              .agg(qMin(quantileAs.head), quantileAs.tail.map(qMin): _*))
+          }) ++
+          (if (modeAs.isEmpty) Nil else {
+            // MODE: rank-1 selection over the netting rollup's
+            // frequency table — largest net count first, smallest
+            // value on ties (deterministic cross-engine; the oracle
+            // spells the same window instead of DuckDB's tie-agnostic
+            // mode()).
+            val wMode = Window.partitionBy(groupKeys: _*)
+              .orderBy(col("__dn").desc, col("__dv").asc)
+            Seq(perValue
+              .withColumn("__rk", row_number().over(wMode))
+              .filter(col("__rk") === 1).drop("__rk")
+              .groupBy(groupKeys: _*)
+              .agg(min(col("__dv")).as(modeAs.head.alias),
+                modeAs.tail.map(a => min(col("__dv")).as(a.alias)): _*))
           })
         rolledFrames.foldLeft(df) { (acc, rolledRaw) =>
           val rolled = rolledRaw
@@ -1824,6 +1857,45 @@ object SqlCompiler {
             // retraction and bit-reproducible even for float arguments.
             // The INTERPOLATED even-group median would be a float fold.
             AggSpec("median", filtered(dequalify(spark, fragment(arg))), alias)
+          case (name @ ("quantile_disc" | "percentile_disc"), Seq(arg, qArg)) =>
+            // DISCRETE quantile at an arbitrary literal q — the
+            // inverted-CDF element at index ceil(q·n)−1 of the ordered
+            // group (DuckDB's quantile_disc, empirically verified),
+            // generalizing MEDIAN's element selection:
+            // derives from the same per-(group, value) netting rollup,
+            // exact under retraction, and the cut condition runs in
+            // exact integer cross-products of the rational q.
+            val qText = fragment(qArg).trim
+            val qDec = try BigDecimal(qText) catch {
+              case _: NumberFormatException =>
+                fail(s"$name's second argument must be a numeric literal, got '$qText'")
+            }
+            if (qDec < 0 || qDec > 1) fail(s"$name quantile $qText out of [0, 1]")
+            val den = BigDecimal(10).pow(math.max(qDec.scale, 0))
+            AggSpec("quantile", filtered(dequalify(spark, fragment(arg))), alias,
+              q = ((qDec * den).toLongExact, den.toLongExact))
+          case ("mode", Seq(arg)) =>
+            // MODE with a DETERMINISTIC tie rule (largest net count,
+            // then smallest value) — the per-(group, value) netting
+            // rollup already IS the frequency table, so mode is a
+            // rank-1 selection over it; exact under retraction
+            // (deleting occurrences of the current mode re-exposes the
+            // runner-up, whose net count is still live).
+            AggSpec("mode", filtered(dequalify(spark, fragment(arg))), alias)
+          case (name @ ("max_by" | "arg_max" | "min_by" | "arg_min"), Seq(v, o)) =>
+            // MAX_BY/MIN_BY (a.k.a. arg_max/arg_min): the value of `v`
+            // on the row extremizing `o`. State is the netting rollup
+            // over the PAIR (o, v) packed as a struct — present iff its
+            // signed count is positive — and the answer is a struct
+            // extreme (field-lexicographic, so ties on `o` break
+            // deterministically toward the extreme `v`). Rows where
+            // either argument is NULL don't participate (the CASE
+            // collapses the pair to NULL, which the rollup drops).
+            val vF = filtered(dequalify(spark, fragment(v)))
+            val oF = filtered(dequalify(spark, fragment(o)))
+            AggSpec(if (name == "max_by" || name == "arg_max") "max_by" else "min_by",
+              s"CASE WHEN ($vF) IS NULL OR ($oF) IS NULL THEN NULL " +
+                s"ELSE named_struct('o', $oF, 'v', $vF) END", alias)
           case ("covar_samp", Seq(x, y)) if !f.isDistinct =>
             // sample covariance from the same co-moment family as CORR
             AggSpec("covar_samp", filtered(dequalify(spark, fragment(x))), alias,
@@ -1838,6 +1910,7 @@ object SqlCompiler {
               frag2 = filtered(dequalify(spark, fragment(y))))
           case (name, _) => fail(s"unsupported aggregate $name in '$alias' " +
             "(retractable aggregates here: SUM, COUNT(*), COUNT(DISTINCT x), " +
+            "QUANTILE_DISC, MODE, MAX_BY/MIN_BY, " +
             "MIN, MAX, AVG, VAR_SAMP, STDDEV_SAMP, MEDIAN (discrete), CORR, COVAR_SAMP; a " +
             "non-aggregate SELECT expression must textually match a GROUP BY " +
             "expression)")
@@ -1925,8 +1998,9 @@ object SqlCompiler {
     if (groups.isEmpty &&
         aggs.exists(a =>
           Set("count_distinct", "sum_distinct", "avg_distinct", "min", "max",
-            "median")(a.kind)))
-      fail("COUNT(DISTINCT x)/SUM(DISTINCT x)/MIN/MAX/MEDIAN need at least one " +
+            "median", "quantile", "mode", "max_by", "min_by")(a.kind)))
+      fail("COUNT(DISTINCT x)/SUM(DISTINCT x)/MIN/MAX/MEDIAN/QUANTILE_DISC/" +
+        "MODE/MAX_BY/MIN_BY need at least one " +
         "GROUP BY column here (the per-value rollup joins back on the group keys)")
 
     // per-relation columns that must travel in canonical rows:

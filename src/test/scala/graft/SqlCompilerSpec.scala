@@ -1586,6 +1586,81 @@ class SqlCompilerSpec extends AnyFunSuite {
     }
   }
 
+
+  test("PROPERTY: mode/quantile_disc/max_by maintain exactly across random delete sets") {
+    // the maintained fold with deletes must equal a from-scratch batch
+    // recomputation over the SURVIVOR views — the reference spells the
+    // same deterministic tie/cut rules in stock Spark SQL (windows for
+    // mode, struct extremes for max_by/min_by), so any drift in the
+    // incremental state machinery shows up as a value difference
+    val maintained =
+      """SELECT n_name, mode(o_orderpriority) AS mode_prio,
+        | quantile_disc(o_totalprice, 0.25) AS q1_price,
+        | quantile_disc(o_totalprice, 0.75) AS q3_price,
+        | max_by(o_orderkey, o_totalprice) AS top_order,
+        | min_by(o_orderkey, o_totalprice) AS bottom_order,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin
+    val reference =
+      """WITH base AS (
+        | SELECT n_name, o_orderkey, o_totalprice, o_orderpriority
+        | FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN surv_orders ON o_custkey = c_custkey),
+        |pv AS (SELECT n_name, o_orderpriority AS v, COUNT(*) AS n
+        |       FROM base GROUP BY n_name, o_orderpriority),
+        |md AS (SELECT n_name, v FROM (
+        |        SELECT n_name, v, ROW_NUMBER() OVER
+        |          (PARTITION BY n_name ORDER BY n DESC, v) AS rk FROM pv) t
+        |       WHERE rk = 1),
+        |qv AS (SELECT n_name, o_totalprice AS v, COUNT(*) AS n
+        |       FROM base GROUP BY n_name, o_totalprice),
+        |qc AS (SELECT n_name, v,
+        |        SUM(n) OVER (PARTITION BY n_name ORDER BY v) AS cum,
+        |        SUM(n) OVER (PARTITION BY n_name) AS tot FROM qv),
+        |qq AS (SELECT n_name,
+        |        MIN(CASE WHEN cum * 4 >= tot THEN v END) AS q1_price,
+        |        MIN(CASE WHEN cum * 4 >= 3 * tot THEN v END) AS q3_price
+        |       FROM qc GROUP BY n_name),
+        |ab AS (SELECT n_name,
+        |        MAX(struct(o_totalprice AS o, o_orderkey AS v)).v AS top_order,
+        |        MIN(struct(o_totalprice AS o, o_orderkey AS v)).v AS bottom_order,
+        |        COUNT(*) AS n_rows
+        |       FROM base GROUP BY n_name)
+        |SELECT ab.n_name, md.v AS mode_prio, q1_price, q3_price,
+        |       top_order, bottom_order, n_rows
+        |FROM ab JOIN md ON ab.n_name = md.n_name
+        |        JOIN qq ON ab.n_name = qq.n_name""".stripMargin
+    Seq("nation", "customer").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 3) {
+      val mod = 4 + rnd.nextInt(9)
+      val res = rnd.nextInt(mod)
+      val dels = Map("orders" -> (col("o_orderkey") % mod === res))
+      Tables.load(s, d, "orders").filter(col("o_orderkey") % mod =!= res)
+        .createOrReplaceTempView("surv_orders")
+      val want = s.sql(reference).orderBy("n_name").collect().toSeq
+      val got = SqlCompiler.run(s, d, maintained, deletes = dels)
+        .orderBy("n_name").collect().toSeq
+      assert(got == want, s"trial $trial (mod=$mod res=$res)")
+    }
+  }
+
+  test("quantile_disc guards: non-literal or out-of-range q fails loudly") {
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, quantile_disc(o_totalprice, 1.5) AS q FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin))
+    assert(ex.getMessage.contains("out of [0, 1]"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, quantile_disc(o_totalprice, o_orderkey) AS q FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin))
+    assert(ex2.getMessage.contains("numeric literal"), ex2.getMessage)
+  }
+
   test("top-level UNION ALL splits paren- and quote-aware; UNION and misaligned schemas are loud") {
     import graft.streaming.SqlCompiler.splitTopLevelUnionAll
     // UNION ALL inside parens or a string literal must NOT split
