@@ -285,7 +285,83 @@ object GraphOps {
        |GROUP BY node""".stripMargin
   }
 
+  /** Synchronous LABEL PROPAGATION (Raghavan et al. 2007) for a FIXED
+    * round count with a deterministic vote: each round every node
+    * adopts the most frequent label among its neighbors, ties broken
+    * toward the SMALLEST label — so the trajectory (not just the
+    * fixpoint) is cross-engine reproducible, which is what lets a
+    * community detector sit behind a value-hash gate. Per round: one
+    * shuffled join (edges ⋈ labels on dst) + two hash aggregates (the
+    * vote count, then a struct-extreme argmax — NO window, so no
+    * per-node sort). `localCheckpoint` truncates lineage per round
+    * like [[kcore]]. Labels/ids must be non-negative (the argmax packs
+    * min-label as max(−label)).
+    *
+    * At 100 TB: the classic Pregel-as-joins layout — both sides
+    * hash-partition on the join key each round, state is one (node,
+    * label) row per vertex, and the fixed round count bounds total
+    * work at R × |E| shuffle volume. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val undirected = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = undirected.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = undirected.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("src").as("node"), (-col("m").getField("neg")).as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels.select(col("node"), col("lbl").as("community_id"))
+  }
+
+  /** DuckDB mirror of [[labelPropagation]] over the support-≥2 part
+    * co-occurrence graph: `rounds` unrolled CTE hops, each one the
+    * identical deterministic vote (count DESC, label ASC) spelled as a
+    * window — the tie rule is the operator's contract, shared by both
+    * engines. */
+  def lpaOracleSql(rounds: Int): String = {
+    val hops = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         | SELECT src AS node, lbl FROM (
+         |  SELECT e.src, l.lbl,
+         |   ROW_NUMBER() OVER (PARTITION BY e.src
+         |     ORDER BY COUNT(*) DESC, l.lbl) AS rk
+         |  FROM edges e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY e.src, l.lbl) t WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |       FROM li a JOIN li b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+       |        UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$hops
+       |SELECT node, lbl AS community_id FROM l$rounds""".stripMargin
+  }
+
   val defs: Seq[GraftQuery] = Seq(
+    // LABEL-PROPAGATION COMMUNITIES on the support-≥2 part
+    // co-occurrence graph — the clustering complement to the CC entry
+    // (CC finds reachability islands; LPA splits dense islands into
+    // communities). 4 synchronous rounds with the deterministic vote;
+    // both engines run the identical trajectory.
+    sql("graph_label_propagation", lpaOracleSql(rounds = 4)) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+        val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("u", "v")
+        labelPropagation(edges, rounds = 4)
+    },
+
     // 3-CORE of the support-≥2 part co-occurrence graph (the same
     // signal/noise cut the CC and triangle entries use): the dense
     // community backbone, peeled to the asserted fixpoint (11 rounds

@@ -236,6 +236,49 @@ object SimilaritySearch {
             col("n").cast("long").as("votes"))
     },
 
+    // HARD-NEGATIVE MINING — the contrastive-training data step: for
+    // each query vector, the top-5 most similar vectors with a
+    // DIFFERENT label ("looks like it, isn't it" — the pairs a
+    // contrastive loss learns the most from). Identical bounded
+    // broadcast-scan + two-phase top-k shape as ann_bruteforce_topk,
+    // with the label-inequality predicate riding the same pass —
+    // exact integer cosine keys, so the rank-5 cutoff is
+    // deterministic cross-engine; at corpus scale the LSH/IVF
+    // candidate generators swap in, with the label filter applied to
+    // their candidate stream.
+    sql("ann_hard_negatives",
+      s"""WITH e AS (SELECT vec_id, label, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+         |      FROM e WHERE vec_id < $QuerySetSize)
+         |SELECT query_id, query_label, neighbor_id, neighbor_label, rnk, cos_sim FROM (
+         | SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+         |  e.label AS neighbor_label,
+         |  ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosineExactSql("q.qv", "e.v")} DESC, e.vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("q.qv", "e.v")} * 1000000 + 0.5) / 1000000 AS cos_sim
+         | FROM q, e WHERE e.label <> q.query_label) t
+         |WHERE rnk <= 5""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), quantVec7(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+            col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("label") =!= col("query_label"))
+          .select(col("query_id"), col("query_label"),
+            col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+            cosineExact(col("qv"), col("v")).as("c"))
+        val local = Window.partitionBy(col("query_id"), spark_partition_id())
+          .orderBy(col("c").desc, col("neighbor_id"))
+        val global = Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
+        scored
+          .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 5).drop("lrnk")
+          .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= 5)
+          .select(col("query_id"), col("query_label"), col("neighbor_id"),
+            col("neighbor_label"), col("rnk"), floorRound6(col("c")).as("cos_sim"))
+    },
+
     // IVF (inverted-file) ANN — the production scale path: a coarse
     // quantizer (FIXED-SIZE deterministic centroid sample, see
     // seedCentroids) partitions the corpus into cells; a query probes
