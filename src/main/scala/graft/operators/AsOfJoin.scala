@@ -25,9 +25,21 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param rightPrefix prefix for the right side's non-key columns in
-    *                    the output (avoids collisions with left names) */
+    *                    the output (avoids collisions with left names)
+    * @param tolerance   optional staleness bound `(leftTs, rightTs) =>
+    *                    keep` — a match older than the bound reverts to
+    *                    the NULL extension (kdb's `aj` tolerance /
+    *                    pandas `merge_asof(tolerance=...)`). Applied to
+    *                    the already-selected latest match, so it adds
+    *                    ZERO plan shape: same one shuffle + one sort,
+    *                    one more codegen'd conditional. (Semantics
+    *                    note: with a tolerance, "latest match within
+    *                    the bound" and "latest match, nulled if out of
+    *                    bound" coincide because the latest preceding
+    *                    row is the nearest one.) */
   def asOfLeft(left: DataFrame, right: DataFrame, keyCols: Seq[String], ts: String,
-               rightPrefix: String = "asof_"): DataFrame = {
+               rightPrefix: String = "asof_",
+               tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val rValCols = right.columns.filterNot(keyCols.contains).toSeq
@@ -62,9 +74,14 @@ object AsOfJoin {
       .orderBy(col(tsCol), col(sideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val out = lTagged.unionByName(rTagged)
+    val matched = lTagged.unionByName(rTagged)
       .withColumn(matchCol, last(col(rCol), ignoreNulls = true).over(w))
       .filter(col(sideCol) === 1)
+    val out = tolerance match {
+      case Some(keep) => matched.withColumn(matchCol,
+        when(keep(col(tsCol), col(s"$matchCol.$ts")), col(matchCol)))
+      case None => matched
+    }
     out.select(
       left.columns.map(c => col(s"$lCol.$c").as(c)).toSeq ++
         rValCols.map(c => col(s"$matchCol.$c").as(s"$rightPrefix$c")): _*)

@@ -848,6 +848,36 @@ object Relational {
             col("asof_click_id"), col("asof_ts").as("asof_click_ts"))
     },
 
+    // As-of join with a TOLERANCE — the staleness-bounded enrichment
+    // (kdb aj's tolerance, pandas merge_asof(tolerance=...)): a click
+    // more than 1 hour before the purchase is no context at all, so
+    // the match reverts to the NULL extension. Same one-shuffle
+    // union-window plan as events_asof_join — the bound is one
+    // codegen'd conditional on the already-selected latest match, NOT
+    // a range join. DuckDB oracles it as native ASOF LEFT JOIN with a
+    // post-CASE on the match age.
+    sql("events_asof_tolerance",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        | CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_id END AS asof_click_id,
+        | CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.ts END AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOfJoin.asOfLeft(purchases, clicks, keyCols = Seq("user_id"), ts = "ts",
+            tolerance = Some((l, r) =>
+              unix_micros(l) - unix_micros(r) <= 3600L * 1000000L))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_click_id"), col("asof_ts").as("asof_click_ts"))
+    },
+
     // The CONTINUOUS as-of join behind the hash gate: the same
     // purchases-to-latest-click enrichment, but run through
     // StreamingAnalytics.streamAsOfJoin as real micro-batches (events

@@ -341,6 +341,37 @@ object SnapshotLog {
   def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
     readVersion(spark, root, versionAsOf(root, tsMs))
 
+  /** SHALLOW BRANCH (zero-copy clone — Delta's shallow CLONE,
+    * Iceberg's branch): publish `dstRoot`'s version 0 as a manifest
+    * that REFERENCES the source's version-`v` bucket directories. No
+    * data moves — the manifest is the sole naming authority, so a
+    * foreign absolute path is as good a bucket reference as a local
+    * one — and the branch's subsequent [[commitMerge]]s copy-on-write
+    * only their touched buckets into branch-local attempt dirs, so
+    * the two tables share unchanged storage indefinitely. The
+    * source's content digest rides along (same logical content, so a
+    * replayed branch creation is recognized; a different-source race
+    * to the same dstRoot fails [[commitInitial]]-loudly via the CAS).
+    *
+    * CAVEAT (exactly Delta's shallow-clone caveat): vacuum on the
+    * SOURCE is branch-blind — the source must retain version `v`
+    * (vacuum with retainFrom ≤ v) for as long as any branch lives.
+    * Vacuum on the BRANCH is safe by construction: it only ever
+    * deletes directories physically under the branch root, which
+    * source references never are. */
+  def branchAt(srcRoot: String, v: Int, dstRoot: String): Unit = {
+    val m = readManifest(srcRoot, v)
+    new java.io.File(dstRoot).mkdirs()
+    val digest = readDigest(srcRoot, v).getOrElse("")
+    if (!tryCommitManifest(dstRoot, 0, m, digest)) {
+      val sameLogicalBranch =
+        readManifest(dstRoot, 0) == m && readDigest(dstRoot, 0).contains(digest)
+      if (!sameLogicalBranch)
+        throw new java.util.ConcurrentModificationException(
+          s"branch root $dstRoot already has a DIFFERENT version 0")
+    }
+  }
+
   /** One committed two-version table per (fixture dir) per JVM. */
   private val roots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   sys.addShutdownHook {
@@ -426,6 +457,40 @@ object SnapshotLog {
         require(reused == Buckets - 3,
           s"v1 must reuse ${Buckets - 3} untouched v0 buckets, reuses $reused")
         readVersion(s, root, 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // SHALLOW BRANCH + COPY-ON-WRITE ISOLATION: branch the table after
+    // the update-only commit (v0 of the branch REFERENCES the source's
+    // v1 dirs — zero bytes copied, self-asserted), apply the
+    // delete+insert batch ON THE BRANCH ONLY, and gate the branch
+    // head — which must equal applying the WHOLE change set to the
+    // original (the same appliedChangesSql oracle as the ingest
+    // entries: a branch is just another path to the same logical
+    // state). The fn additionally asserts the divergence bookkeeping:
+    // the branch's own commit owns exactly its 2 touched buckets and
+    // keeps referencing the source for the other 14, and the SOURCE
+    // head still has every row (the branch's deletes cannot leak
+    // back).
+    sql("snapshot_branch_cow", appliedChangesSql) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_bsrc").toString
+        val branch = java.nio.file.Files.createTempDirectory("graft_snap_bdst").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        commitMerge(s, root, 1, "o_orderkey", payload, updateBatch(orders))
+        branchAt(root, 1, branch)
+        require(readManifest(branch, 0).values.forall(_.startsWith(root)),
+          "branch v0 must reference the source's directories (zero-copy)")
+        commitMerge(s, branch, 1, "o_orderkey", payload, deleteInsertBatch(orders))
+        val bm1 = readManifest(branch, 1)
+        require(bm1.values.count(_.startsWith(root)) == Buckets - 2 &&
+            bm1.values.count(_.startsWith(branch)) == 2,
+          s"branch v1 must own its 2 touched buckets and share the rest: $bm1")
+        require(readVersion(s, root, 1).count() == orders.count(),
+          "branch deletes leaked into the source head")
+        readVersion(s, branch, 1)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
