@@ -553,6 +553,83 @@ object Relational {
       (s, d) => graft.streaming.StreamingAnalytics.slidingAgg(Tables.events(s, d))
     },
 
+    // OHLC BARS (open/high/low/close) — the market-data rollup, and
+    // the showcase for the struct-extreme idiom: open/close are
+    // first/last values by (ts, event_id), computed as MIN/MAX over a
+    // packed (ts, event_id, value) struct inside ONE hash aggregate —
+    // no window, no per-bar sort, map-side combinable (each partition
+    // reduces to one partial per bar before the shuffle). The oracle
+    // spells the identical (ts, event_id) order as two ROW_NUMBER
+    // cuts; event_id uniqueness makes both deterministic.
+    sql("events_ohlc_bars",
+      """WITH t AS (
+        | SELECT time_bucket(INTERVAL '1 hour', ts) AS bar_hour, event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |    ORDER BY ts, event_id) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rd
+        | FROM events)
+        |SELECT bar_hour, event_type,
+        | MAX(CASE WHEN ra = 1 THEN value END) AS open_value,
+        | MAX(CASE WHEN rd = 1 THEN value END) AS close_value,
+        | MIN(value) AS low_value, MAX(value) AS high_value,
+        | COUNT(*) AS n_events
+        |FROM t GROUP BY bar_hour, event_type""".stripMargin) {
+      (s, d) =>
+        val pack = struct(col("ts"), col("event_id"), col("value"))
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("bar_hour"), col("event_type"))
+          .agg(
+            min(pack).getField("value").as("open_value"),
+            max(pack).getField("value").as("close_value"),
+            min(col("value")).as("low_value"),
+            max(col("value")).as("high_value"),
+            count(lit(1)).as("n_events"))
+    },
+
+    // The CONTINUOUS tumbling window behind the hash gate: the same
+    // tumblingAgg builder the batch entry runs, but over real
+    // micro-batches (ts-sorted replay in two batches + a far-future
+    // sentinel to flush every window in append mode — an emitted
+    // window's end is behind the watermark, so batch placement cannot
+    // change any bar). Same oracle text as events_tumbling_window:
+    // stream/batch parity for the windowed-aggregation core.
+    sql("events_tumbling_stream",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val collected = boundedReplayCollect("events_tumbling_stream",
+          Tables.events(s, d)
+            .select(col("ts"), col("event_type"), col("value"))
+            .as[(java.sql.Timestamp, String, Double)])
+        val ev = collected.sortBy(_._1.getTime)
+        val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+        val agg = graft.streaming.StreamingAnalytics.tumblingAgg(
+          src.toDF().toDF("ts", "event_type", "value"), delay = "1 second")
+        val query = agg.writeStream
+          .format("memory").queryName("events_tumbling_stream_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          src.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            "__sentinel", 0.0))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_tumbling_stream_sink")
+          .filter(col("event_type") =!= "__sentinel")
+    },
+
     // GROUPING SETS — the explicit form of rollup/cube (one Expand +
     // one aggregate pass; no re-scan per set).
     sql("agg_grouping_sets",
