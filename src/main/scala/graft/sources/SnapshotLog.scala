@@ -197,8 +197,11 @@ object SnapshotLog {
   /** Resolve version `v` to its file set and read it — one parquet
     * read per version directory (partition column `b` recovered via
     * basePath), unioned. */
-  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
-    readManifest(root, v).toSeq
+  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame =
+    readBuckets(spark, readManifest(root, v))
+
+  private def readBuckets(spark: SparkSession, m: Map[Int, String]): DataFrame =
+    m.toSeq
       // a bucket whose current version dir has no subdir is EMPTY at
       // that version (every row deleted) — contributes nothing
       .filter { case (b, dir) => new java.io.File(s"$dir/b=$b").exists() }
@@ -208,6 +211,27 @@ object SnapshotLog {
       // allowMissingColumns: buckets last rewritten BEFORE an
       // add-column evolution read NULL for the new column
       }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** POINT LOOKUPS with STRUCTURAL BUCKET PRUNING: the bucket of a key
+    * is derivable (`pmod(key, Buckets)`), so a keyed read resolves the
+    * manifest to ONLY the buckets the key set can live in — no other
+    * bucket's files are even LISTED, let alone scanned. This is the
+    * hash-partitioned table's scale contract: a point lookup touches
+    * 1/Buckets of the table regardless of table size (at 100 TB the
+    * bucket count is provisioned accordingly — the manifest stays a
+    * single small JSON either way). Note min/max stats per bucket
+    * would add NOTHING here: hash bucketing spreads every key range
+    * across all buckets by design, so derivation-from-the-key is the
+    * only pruning with power on this layout (range-clustered pruning
+    * is the z-order entry's territory). Returns exactly the live rows
+    * of `keys` at version `v`. */
+  def readKeys(spark: SparkSession, root: String, v: Int, key: String,
+               keys: Seq[Long]): DataFrame = {
+    val wanted = keys.map(k => (k % Buckets + Buckets) % Buckets).toSet
+    val m = readManifest(root, v).filter { case (b, _) => wanted(b.toLong) }
+    require(m.nonEmpty, s"no manifest entry for buckets $wanted at version $v " +
+      "(a fully-empty pruned read has no schema to return)")
+    readBuckets(spark, m).filter(col(key).isin(keys.map(Long.box): _*))
   }
 
   /** Row-level CHANGE DATA FEED between two snapshots: full-outer join
@@ -491,6 +515,27 @@ object SnapshotLog {
         require(readVersion(s, root, 1).count() == orders.count(),
           "branch deletes leaked into the source head")
         readVersion(s, branch, 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // POINT LOOKUP with structural bucket pruning ([[readKeys]]
+    // scaladoc): four keys exercising every merge fate — 0 deleted
+    // (returns nothing), 1 updated (+1000 price), 5 untouched,
+    // 10000002 inserted — resolve to 4 of 16 buckets; the fn asserts
+    // the pruned manifest really is 4 buckets (the 1/Buckets scan
+    // contract) and the gated value is the lookup against the
+    // whole-change-set oracle restricted to the same key set.
+    sql("snapshot_point_lookup",
+      s"""SELECT * FROM ($appliedChangesSql)
+         |WHERE o_orderkey IN (0, 1, 5, 10000002)""".stripMargin) {
+      (s, d) =>
+        val root = ordersTableRoot(s, d)
+        val keys = Seq(0L, 1L, 5L, 10000002L)
+        val wanted = keys.map(k => (k % Buckets + Buckets) % Buckets).toSet
+        require(readManifest(root, 1).count { case (b, _) => wanted(b.toLong) } == 4,
+          "lookup must resolve to exactly the 4 derivable buckets")
+        readKeys(s, root, 1, "o_orderkey", keys)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
