@@ -147,6 +147,39 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(v0.contains((0L, "row0")) && !v0.exists(_._2.startsWith("OTHER")))
   }
 
+
+  test("branchAt: replay no-ops, a different-source race to the same branch root throws") {
+    val srcA = java.nio.file.Files.createTempDirectory("graft_snap_bra").toString
+    val srcB = java.nio.file.Files.createTempDirectory("graft_snap_brb").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_snap_brd").toString
+    val a = (0L until 32L).map(k => (k, s"row$k")).toDF("k", "payload")
+    val b = (0L until 32L).map(k => (k, s"OTHER$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(a, srcA, "k")
+    SnapshotLog.commitInitial(b, srcB, "k")
+    SnapshotLog.branchAt(srcA, 0, dst)
+    // replaying the SAME branch creation is a benign no-op
+    SnapshotLog.branchAt(srcA, 0, dst)
+    // branching a DIFFERENT source onto the taken root is loud
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.branchAt(srcB, 0, dst)
+    }
+    // and the branch still reads source A, zero-copy
+    val v0 = SnapshotLog.readVersion(spark, dst, 0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v0.contains((0L, "row0")) && !v0.exists(_._2.startsWith("OTHER")))
+  }
+
+  test("point lookup prunes to derivable buckets; empty-bucket-set lookups are loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_pt").toString
+    val t = (0L until 64L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, dir, "k")
+    val got = SnapshotLog.readKeys(spark, dir, 0, "k", Seq(3L, 19L, 40L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((3L, "row3"), (19L, "row19"), (40L, "row40")), got)
+    // a key with no live row in its bucket returns nothing, not an error
+    assert(SnapshotLog.readKeys(spark, dir, 0, "k", Seq(1000L)).count() == 0)
+  }
+
   test("vacuum grace: a fresh unpublished attempt dir survives; aged orphans are reclaimed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_grace").toString
     val t = (0L until 64L).map(k => (k, s"row$k")).toDF("k", "payload")
