@@ -3281,6 +3281,70 @@ object IncrementalQueries {
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
     },
 
+    // ANALYTIC PRESENTATION over a maintained view — window functions
+    // in the SELECT list compile as a post-view decoration
+    // (Compiled.windowItems): the incrementally maintained aggregate
+    // is the window's input frame, so each refresh ranks the
+    // group-cardinality view, never the input. RANK within nation plus
+    // a nation-total window aggregate, both referencing the maintained
+    // alias; deterministic ties (price DESC, then priority). The
+    // oracle spells the same windows over a subquery (standard SQL has
+    // no lateral alias in OVER; the engine's dialect defines windows
+    // over the view's output columns).
+    sql("incremental_sql_window_rank",
+      """WITH v AS (
+        | SELECT n_name, o_orderpriority,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_e2
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0
+        | GROUP BY n_name, o_orderpriority)
+        |SELECT n_name, o_orderpriority, price_e2,
+        | RANK() OVER (PARTITION BY n_name
+        |   ORDER BY price_e2 DESC, o_orderpriority) AS prio_rank,
+        | CAST(SUM(price_e2) OVER (PARTITION BY n_name) AS BIGINT) AS nation_total_e2
+        |FROM v""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, o_orderpriority,
+          | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+          | RANK() OVER (PARTITION BY n_name
+          |   ORDER BY price_e2 DESC, o_orderpriority) AS prio_rank,
+          | SUM(price_e2) OVER (PARTITION BY n_name) AS nation_total_e2
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY n_name, o_orderpriority""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
+    // The windowed view over the CONTINUOUS engine's streamed leaf —
+    // same oracle as incremental_sql_window_rank (the decoration
+    // recomputes per micro-batch over the maintained view).
+    sql("incremental_sql_window_rank_stream",
+      """WITH v AS (
+        | SELECT n_name, o_orderpriority,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_e2
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0
+        | GROUP BY n_name, o_orderpriority)
+        |SELECT n_name, o_orderpriority, price_e2,
+        | RANK() OVER (PARTITION BY n_name
+        |   ORDER BY price_e2 DESC, o_orderpriority) AS prio_rank,
+        | CAST(SUM(price_e2) OVER (PARTITION BY n_name) AS BIGINT) AS nation_total_e2
+        |FROM v""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderpriority,
+            | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+            | RANK() OVER (PARTITION BY n_name
+            |   ORDER BY price_e2 DESC, o_orderpriority) AS prio_rank,
+            | SUM(price_e2) OVER (PARTITION BY n_name) AS nation_total_e2
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY n_name, o_orderpriority""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_window_rank_stream_leaf")
+    },
+
     // GROUP BY expressions compiled from text: a COMPUTED grouping key
     // (calendar year) evaluates over the typed leaf deltas — grouping
     // is no longer limited to stored columns. The oracle wraps the SUM

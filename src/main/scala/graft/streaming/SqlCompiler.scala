@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, BinaryComparison, CaseWhen, Coalesce, EqualNullSafe, EqualTo, Expression, If, In, IsNotNull, IsNull, Like, Literal, Not, NullsFirst, Or}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, BinaryComparison, CaseWhen, Coalesce, EqualNullSafe, EqualTo, Expression, If, In, IsNotNull, IsNull, Like, Literal, Not, NullsFirst, Or, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
@@ -441,7 +441,17 @@ object SqlCompiler {
         * exactly ONE preservation plan's output (orphans, or
         * NULL-extensions) — the main inner tree contributes nothing
         * and is neither built nor run. */
-      suppressMainLeaf: Boolean = false) {
+      suppressMainLeaf: Boolean = false,
+      /** Window-function SELECT items as (original OVER-clause SQL,
+        * output alias), applied as PRESENTATION over the maintained
+        * view (after the output selection, before ORDER BY/LIMIT):
+        * the view is the window's input frame, so partition/order
+        * expressions reference output column names. Maintains
+        * analytic decorations (rank-within-group, running shares)
+        * on top of any incrementally maintained aggregate — each
+        * refresh recomputes the windows over the view, which is
+        * group-cardinality-sized, not input-sized. */
+      windowItems: Seq[(String, String)] = Nil) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -798,9 +808,23 @@ object SqlCompiler {
         // key's canonical alias or the aggregate alias) — a SELECT
         // rename (n_name AS nation) maps here instead of renaming the
         // key itself, so other references to the original name keep
-        // resolving
-        .select(outputSel.map { case (src, name) => col(src).as(name) }: _*)
-        // HAVING / ORDER BY / LIMIT, in SQL order, over the view
+        // resolving. Window items compute AFTER that rename (their
+        // references are output names) and slot back into SELECT
+        // order.
+        .transform { df =>
+          if (windowItems.isEmpty)
+            df.select(outputSel.map { case (src, name) => col(src).as(name) }: _*)
+          else {
+            val winNames = windowItems.map(_._2).toSet
+            val named = df.select(outputSel.collect {
+              case (src, name) if !winNames(name) => col(src).as(name) }: _*)
+            windowItems.foldLeft(named) { case (d, (frag, name)) =>
+              d.withColumn(name, expr(frag)) }
+              .select(outputSel.map { case (_, name) => col(name) }: _*)
+          }
+        }
+        // ORDER BY / LIMIT (HAVING is fenced when windows are
+        // present), in SQL order, over the view
         .transform(df => present.foldLeft(df)((d, f) => f(d)))
     }
 
@@ -1924,8 +1948,46 @@ object SqlCompiler {
     // disambiguation of subtotal NULLs from null-valued keys. Only
     // meaningful under ROLLUP/CUBE/GROUPING SETS.
     val groupingFlagBuf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val windowBuf = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val (aggs, outputSel) = {
       val items: Seq[(Option[AggSpec], (String, String))] = selectExprs.map {
+        case Alias(w: WindowExpression, name) =>
+          // analytic PRESENTATION over the maintained view (see
+          // Compiled.windowItems): re-serialized from the parse tree's
+          // components (the WindowExpression node's own Origin span is
+          // unreliable), applied after the output selection;
+          // references validated below once the full output column set
+          // is known. NULLS ordering renders explicitly so the
+          // parsed intent survives re-parsing.
+          val spec = w.windowSpec
+          val parts = spec.partitionSpec.map(e => fragment(e))
+          val ords = spec.orderSpec.map { so =>
+            val dir = if (so.direction == Ascending) "ASC" else "DESC"
+            val nulls = if (so.nullOrdering == NullsFirst) "NULLS FIRST" else "NULLS LAST"
+            s"${fragment(so.child)} $dir $nulls"
+          }
+          val frame = spec.frameSpecification match {
+            case f: org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame =>
+              " " + f.sql
+            case _ => ""
+          }
+          val specSql = "(" +
+            (if (parts.nonEmpty) s"PARTITION BY ${parts.mkString(", ")}" else "") +
+            (if (ords.nonEmpty)
+              s"${if (parts.nonEmpty) " " else ""}ORDER BY ${ords.mkString(", ")}"
+             else "") + frame + ")"
+          // the function, too, re-serializes from name + argument
+          // fragments (an UnresolvedFunction under OVER carries the
+          // whole window's Origin span, not just its own)
+          val fnSql = w.windowFunction match {
+            case f: UnresolvedFunction =>
+              val distinct = if (f.isDistinct) "DISTINCT " else ""
+              s"${f.nameParts.mkString(".")}($distinct${f.arguments.map(fragment).mkString(", ")})"
+            case other => fail(s"unsupported window function shape " +
+              s"'${fragment(other)}' in '$name'")
+          }
+          windowBuf += ((s"$fnSql OVER $specSql", name))
+          (None, (name, name))
         case a: UnresolvedAttribute =>
           val n = a.nameParts.last
           ownerOf(a)
@@ -1982,6 +2044,30 @@ object SqlCompiler {
       (items.flatMap(_._1), items.map(_._2))
     }
     val groups = groupBuf.toSeq
+    if (windowBuf.nonEmpty) {
+      // SQL evaluates HAVING before SELECT windows; the engine applies
+      // windows over the finished view BEFORE the presentation chain
+      // (where HAVING lives), so the combination would silently rank
+      // pre-filter rows — fence it rather than compile it wrong.
+      if (plan.collectFirst { case h: UnresolvedHaving => h }.nonEmpty)
+        fail("window SELECT items combined with HAVING are fenced (SQL runs " +
+          "HAVING before windows; the engine applies windows as view " +
+          "presentation, which would rank the pre-HAVING rows) — filter in " +
+          "WHERE, or wrap the view")
+      val winNames = windowBuf.map(_._2).toSet
+      val visible = outputSel.map(_._2).filterNot(winNames).toSet
+      windowBuf.foreach { case (frag, name) =>
+        spark.sessionState.sqlParser.parseExpression(frag).foreach {
+          case a: UnresolvedAttribute =>
+            if (a.nameParts.size > 1 || !visible(a.nameParts.last))
+              fail(s"window item '$name' references " +
+                s"'${a.nameParts.mkString(".")}' — window expressions run over " +
+                "the maintained view and may reference only its non-window " +
+                s"output columns (${visible.toSeq.sorted.mkString(", ")})")
+          case _ =>
+        }
+      }
+    }
     // resolve each expanded grouping set to its group ALIASES (fragment
     // match against the finalized groupBuf, same binding rule as the
     // SELECT items)
@@ -2097,7 +2183,8 @@ object SqlCompiler {
       neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq,
       outerPlans,
       restrictedFullOuter.toSeq.sorted,
-      suppressMainLeaf = fullOuterOrphanOnly || fullOuterAntiOnly)
+      suppressMainLeaf = fullOuterOrphanOnly || fullOuterAntiOnly,
+      windowItems = windowBuf.toSeq)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

@@ -1648,6 +1648,53 @@ class SqlCompilerSpec extends AnyFunSuite {
     }
   }
 
+
+  test("window SELECT items decorate the maintained view; the fences stay loud") {
+    // maintained-with-deletes == stock windows over the survivor recompute
+    Seq("nation", "customer").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    Tables.load(s, d, "orders").filter(col("o_orderkey") % 7 =!= 0)
+      .createOrReplaceTempView("surv_orders")
+    val want = s.sql(
+      """SELECT n_name, o_orderpriority, price_e2,
+        | RANK() OVER (PARTITION BY n_name ORDER BY price_e2 DESC, o_orderpriority) AS prio_rank,
+        | SUM(price_e2) OVER (PARTITION BY n_name) AS nation_total_e2
+        |FROM (
+        | SELECT n_name, o_orderpriority,
+        |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2
+        | FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN surv_orders ON o_custkey = c_custkey
+        | GROUP BY n_name, o_orderpriority) v""".stripMargin)
+      .orderBy("n_name", "o_orderpriority").collect().toSeq
+    val got = SqlCompiler.run(s, d,
+      """SELECT n_name, o_orderpriority,
+        | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+        | RANK() OVER (PARTITION BY n_name ORDER BY price_e2 DESC, o_orderpriority) AS prio_rank,
+        | SUM(price_e2) OVER (PARTITION BY n_name) AS nation_total_e2
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name, o_orderpriority""".stripMargin,
+      deletes = Map("orders" -> (col("o_orderkey") % 7 === 0)))
+      .orderBy("n_name", "o_orderpriority").collect().toSeq
+    assert(got == want)
+    // fence 1: windows + HAVING would rank pre-filter rows - loud
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n,
+        | RANK() OVER (ORDER BY n DESC, n_name) AS rk
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING n > 3""".stripMargin))
+    assert(ex.getMessage.contains("HAVING before windows"), ex.getMessage)
+    // fence 2: a window referencing a non-output column is loud
+    val ex2 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n,
+        | RANK() OVER (ORDER BY c_acctbal DESC) AS rk
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin))
+    assert(ex2.getMessage.contains("non-window output columns"), ex2.getMessage)
+  }
+
   test("quantile_disc guards: non-literal or out-of-range q fails loudly") {
     val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
       """SELECT n_name, quantile_disc(o_totalprice, 1.5) AS q FROM nation, customer, orders
