@@ -35,6 +35,9 @@ class RelationalSpec extends AnyFunSuite {
       // the same tiny broadcast query set as ann_bruteforce_topk, in
       // both the int8 candidate tier and the exact rescore tier
       "ann_int8_rescore",
+      // the same tiny broadcast query set, with the label-inequality
+      // predicate riding the broadcast join (hard-negative mining)
+      "ann_hard_negatives",
       // four ONE-ROW learned-merge broadcasts (the training loop's
       // argmax result applied to the next iteration's encode)
       "text_bpe_train")
