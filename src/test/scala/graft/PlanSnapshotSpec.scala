@@ -59,7 +59,15 @@ class PlanSnapshotSpec extends AnyFunSuite {
   // (r9 verdict: the RFM NTILE fix and the q16 TakeOrdered denylist
   // were invisible here because only headliners were pinned) ride
   // along as extras.
-  private val extras = Seq("customer_rfm_segments", "q16_like_supplier_cnt")
+  private val extras = Seq("customer_rfm_segments", "q16_like_supplier_cnt",
+    // round-10 shapes whose POINT is the plan: the windowed maintained
+    // view (decoration must not add input-sized work), the new
+    // value-rollup aggregates, the no-window OHLC aggregate, the LPA
+    // round shape, and the pruned point lookup (scan count = pruned
+    // bucket dirs, not the table)
+    "incremental_sql_window_rank", "incremental_sql_quantile",
+    "incremental_sql_argmax", "events_ohlc_bars",
+    "graph_label_propagation", "snapshot_point_lookup")
   private def gated: Seq[String] = SparkEntry.benchNames ++ extras
 
   test("headline queries keep their committed plan shape") {
