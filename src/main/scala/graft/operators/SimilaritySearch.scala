@@ -236,6 +236,74 @@ object SimilaritySearch {
             col("n").cast("long").as("votes"))
     },
 
+    // PC1 BY EXACT POWER ITERATION — the embedding-compression /
+    // whitening diagnostic (dominant direction of the corpus), made
+    // cross-engine DETERMINISTIC end to end: the (16×16 leading-dim)
+    // GRAM MATRIX is the data-sized work — one explode + self-join +
+    // hash aggregate over e3-quantized integers, exact under any
+    // summation order — and collapses to a FIXED 136-entry scalar
+    // frame (the same bounded-collect class as the IVF centroids);
+    // the 6 power-iteration rounds then run on that constant-size
+    // matrix in exact integer arithmetic (Σ G·v ≤ 2.2e15 < 2^53 at
+    // this quantization, so even the DOUBLE renormalization
+    // (FLOOR(w·1e6/max|w| + 0.5), three correctly-rounded IEEE ops —
+    // the repo's half-up convention) is bit-identical in both
+    // engines; the oracle unrolls the identical rounds as CTE hops).
+    // At larger corpora the e3 grid re-scales to keep Σ|G|·1e6·16
+    // under 2^53 — a parameter choice, not a shape change; the Gram
+    // aggregate stays the only input-sized stage at any scale.
+    sql("embedding_pc1_power", {
+      val rounds = (1 to 6).map { k =>
+        s"""w$k AS (SELECT gf.i AS pos, CAST(SUM(g * v) AS BIGINT) AS w
+           |  FROM gfull gf JOIN v${k - 1} ON gf.j = v${k - 1}.pos GROUP BY 1),
+           |m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
+           |v$k AS (SELECT pos, CAST(FLOOR(w * 1000000.0 / m + 0.5) AS BIGINT) AS v
+           |  FROM w$k, m$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ex AS (
+         | SELECT vec_id, pos, CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+         | FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         |        unnest(embedding) AS v FROM embeddings)
+         | WHERE pos < 16),
+         |gram AS (SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+         |  GROUP BY 1, 2),
+         |gfull AS (SELECT i, j, g FROM gram
+         |          UNION ALL SELECT j, i, g FROM gram WHERE i < j),
+         |v0 AS (SELECT DISTINCT i AS pos, CAST(1000000 AS BIGINT) AS v FROM gfull),
+         |$rounds
+         |SELECT pos, v AS loading_e6 FROM v6""".stripMargin
+    }) {
+      (s, d) =>
+        val dims = 16
+        val ex = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .filter(col("pos") < dims)
+          .select(col("vec_id"), col("pos"),
+            round(col("v").cast("double") * 1000, 0).cast("long").as("q"))
+        val a = ex.select(col("vec_id"), col("pos").as("i"), col("q").as("qi"))
+        val b = ex.select(col("vec_id").as("vid2"), col("pos").as("j"), col("q").as("qj"))
+        val gramRows = a.join(b, col("vec_id") === col("vid2") && col("i") <= col("j"))
+          .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("g"))
+          .collect() // fixed d·(d+1)/2 = 136 entries — bounded by construction
+        val g = Array.ofDim[Long](dims, dims)
+        gramRows.foreach { r =>
+          val (i, j, x) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          g(i)(j) = x; g(j)(i) = x
+        }
+        var v = Array.fill(dims)(1000000L)
+        for (_ <- 1 to 6) {
+          val w = Array.tabulate(dims)(i =>
+            (0 until dims).map(j => g(i)(j) * v(j)).sum)
+          val m = w.map(math.abs).max
+          v = w.map(x => math.floor(x.toDouble * 1000000.0 / m.toDouble + 0.5).toLong)
+        }
+        import s.implicits._
+        v.zipWithIndex.map { case (l, p) => (p, l) }.toSeq
+          .toDF("pos", "loading_e6")
+          .select(col("pos").cast("int").as("pos"), col("loading_e6"))
+    },
+
     // HARD-NEGATIVE MINING — the contrastive-training data step: for
     // each query vector, the top-5 most similar vectors with a
     // DIFFERENT label ("looks like it, isn't it" — the pairs a
