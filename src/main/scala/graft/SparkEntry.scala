@@ -93,7 +93,12 @@ object SparkEntry {
       // (distinct-word encode + broadcast vocab join) — the
       // fullouter-fusion win is already priced by the ancestor_del
       // headliner above
-      "window_dense_topk", "text_bpe_encode")
+      "window_dense_topk", "text_bpe_encode",
+      // round 10, session 2: the fixed-round LPA community loop (the
+      // join-per-round Pregel shape, checkpoint-truncated) and the
+      // windowed maintained view (the decoration must stay
+      // group-cardinality work on top of the incremental fold)
+      "graph_label_propagation", "incremental_sql_window_rank")
     val have = queries.keySet
     preferred.filter(have)
   }

@@ -65,9 +65,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // value-rollup aggregates, the no-window OHLC aggregate, the LPA
     // round shape, and the pruned point lookup (scan count = pruned
     // bucket dirs, not the table)
-    "incremental_sql_window_rank", "incremental_sql_quantile",
+    // (graph_label_propagation / incremental_sql_window_rank are
+    // headliners now — gated via benchNames)
+    "incremental_sql_quantile",
     "incremental_sql_argmax", "events_ohlc_bars",
-    "graph_label_propagation", "snapshot_point_lookup")
+    "snapshot_point_lookup")
   private def gated: Seq[String] = SparkEntry.benchNames ++ extras
 
   test("headline queries keep their committed plan shape") {
