@@ -587,6 +587,94 @@ object Relational {
             count(lit(1)).as("n_events"))
     },
 
+    // MAD OUTLIER DETECTION — the robust anomaly rule (median ± k·MAD
+    // survives the outliers it hunts, unlike mean ± k·σ): both the
+    // median and the median-absolute-deviation are SELECTION-based
+    // discrete medians (inverted-CDF over per-(type, value) counts via
+    // PARTITIONED cumulative windows — the same cut rule as the
+    // maintained QUANTILE_DISC aggregate), so the entire detector is
+    // deterministic cross-engine: selections pick existing doubles,
+    // |v − med| and 3·MAD are single correctly-rounded IEEE ops.
+    sql("events_mad_outliers",
+      """WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(value - med) AS adev, med
+        |        FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_disc(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_type, max(dev.med) AS med_value, max(mad) AS mad_value,
+        | CAST(COUNT(CASE WHEN adev > 3 * mad THEN 1 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type""".stripMargin) {
+      (s, d) =>
+        def discMedian(df: org.apache.spark.sql.DataFrame, valCol: String,
+                       out: String): org.apache.spark.sql.DataFrame = {
+          val pv = df.groupBy(col("event_type"), col(valCol).as("__v"))
+            .agg(count(lit(1)).as("__n"))
+          val part = Window.partitionBy(col("event_type"))
+          val cum = part.orderBy(col("__v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          pv.withColumn("__cum", sum(col("__n")).over(cum))
+            .withColumn("__tot", sum(col("__n")).over(part))
+            .filter(col("__cum") * 2 >= col("__tot"))
+            .groupBy(col("event_type")).agg(min(col("__v")).as(out))
+        }
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val med = discMedian(ev, "value", "med")
+        val dev = ev.join(med, "event_type")
+          .select(col("event_type"), abs(col("value") - col("med")).as("adev"),
+            col("med"))
+        val mad = discMedian(dev, "adev", "mad")
+        dev.join(mad, "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("med")).as("med_value"), max(col("mad")).as("mad_value"),
+            count(when(col("adev") > lit(3) * col("mad"), 1)).as("n_outliers"))
+    },
+
+    // The CONTINUOUS sliding window — the slidingAgg builder (Expand
+    // fan-out map-side, each event in exactly 2 windows) over real
+    // micro-batches with the sentinel flush; same oracle text as
+    // events_sliding_window.
+    sql("events_sliding_stream",
+      """SELECT ws AS window_start, event_type, COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+        | UNION ALL
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
+        | FROM events)
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import s.implicits._
+        val collected = boundedReplayCollect("events_sliding_stream",
+          Tables.events(s, d)
+            .select(col("ts"), col("event_type"), col("value"))
+            .as[(java.sql.Timestamp, String, Double)])
+        val ev = collected.sortBy(_._1.getTime)
+        val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+        val agg = graft.streaming.StreamingAnalytics.slidingAgg(
+          src.toDF().toDF("ts", "event_type", "value"), delay = "1 second")
+        val query = agg.writeStream
+          .format("memory").queryName("events_sliding_stream_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = ev.splitAt(ev.length / 2)
+          src.addData(first)
+          query.processAllAvailable()
+          src.addData(second)
+          query.processAllAvailable()
+          src.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            "__sentinel", 0.0))
+          query.processAllAvailable()
+        } finally query.stop()
+        ss.table("events_sliding_stream_sink")
+          .filter(col("event_type") =!= "__sentinel")
+    },
+
     // The CONTINUOUS tumbling window behind the hash gate: the same
     // tumblingAgg builder the batch entry runs, but over real
     // micro-batches (ts-sorted replay in two batches + a far-future

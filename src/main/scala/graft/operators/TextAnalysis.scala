@@ -227,6 +227,32 @@ object TextAnalysis {
             col("n_punct").cast("double") / greatest(col("n_chars"), lit(1)) < 0.1).as("quality_ok"))
     },
 
+    // QUALITY DECILES — corpus-relative quality binning (keep the top
+    // X% by stopword density — the fluency proxy — rather than an
+    // absolute threshold): the global decile cut runs on
+    // [[DistributedRank.withNtile]] (range repartition + per-partition
+    // rank + broadcast offsets — every stage partitioned; the oracle
+    // spells the same cut as NTILE, which at engine scale would be the
+    // single-task window this repo bans). The ordering value is ONE
+    // IEEE division over exact integer counts — deterministic, and
+    // totalized by the doc_id tiebreak.
+    sql("text_quality_deciles",
+      s"""WITH q AS (
+         | SELECT doc_id,
+         |  CAST(${sqlCountIn(enStops)} AS DOUBLE)
+         |    / greatest(len(regexp_extract_all(lower(text), '$tokenPattern')), 1) AS stop_ratio
+         | FROM documents)
+         |SELECT doc_id, stop_ratio,
+         | NTILE(10) OVER (ORDER BY stop_ratio DESC, doc_id) AS decile
+         |FROM q""".stripMargin) {
+      (s, d) =>
+        val q = Tables.documents(s, d).select(col("doc_id"),
+          (countIn(tokens(col("text")), enStops).cast("double") /
+            greatest(size(tokens(col("text"))), lit(1))).as("stop_ratio"))
+        DistributedRank.withNtile(q, "decile", 10,
+          col("stop_ratio").desc, col("doc_id"))
+    },
+
     // --- language identification ---------------------------------------
     // Marker-word scoring with a CJK short-circuit; priority-ordered >=
     // comparisons keep tie-breaks identical across engines. (The
