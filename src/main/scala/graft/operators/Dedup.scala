@@ -495,6 +495,23 @@ object Dedup {
          |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin)(
       connectedComponentsStars),
 
+    // CLUSTER SIZE HISTOGRAM — the dedup-health report (a corpus whose
+    // near-dup clusters are mostly pairs is crawl noise; a few
+    // mega-clusters mean template spam): two hash aggregates over the
+    // CC labels, never a pair set.
+    sql("dedup_cluster_size_hist",
+      s"""WITH RECURSIVE $ccCteSql,
+         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         | CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY sz""".stripMargin) {
+      (s, d) =>
+        connectedComponents(s, d)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    },
+
     // --- cluster representative selection --------------------------------
     // The RESOLUTION step after clustering: per near-dup cluster keep
     // the best document (max token count, doc_id tie-break) — what a

@@ -29,6 +29,42 @@ import graft.GraftQuery.sql
 object Profiling {
 
   val defs: Seq[GraftQuery] = Seq(
+    // JOIN-SKEW ADVISOR — the "should I salt this join key" check a
+    // 100 TB pipeline runs BEFORE the shuffle that melts an executor:
+    // per-key counts of lineitem's order FK, then key cardinality,
+    // hottest key, skew factor (max/avg = max·keys/rows — exact
+    // integer cross-product, ONE IEEE division) and the p99 key count
+    // as an inverted-CDF selection over the count distribution,
+    // ranked by [[DistributedRank.withGlobalRank]] (every stage
+    // partitioned — the selection must not itself be the
+    // single-task sort it warns about). The two one-row frames meet
+    // in a broadcast-of-one-row cross join.
+    sql("profile_lineitem_skew",
+      """WITH k AS (SELECT l_orderkey AS key, COUNT(*) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |        CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |        CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM k),
+        |p AS (SELECT CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt FROM k)
+        |SELECT n_keys, n_rows, max_cnt,
+        | CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_factor, p99_cnt
+        |FROM agg, p""".stripMargin) {
+      (s, d) =>
+        val k = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("cnt"))
+        val agg = k.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+        val (ranked, n) = DistributedRank.withGlobalRank(k, "rk",
+          col("cnt"), col("key"))
+        val p99 = ranked.filter(col("rk") * 100 >= lit(99L) * lit(n))
+          .agg(min(col("cnt")).as("p99_cnt"))
+        agg.crossJoin(p99) // broadcast-of-one-aggregate-row, both sides
+          .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+            (col("max_cnt").cast("double") * col("n_keys") / col("n_rows"))
+              .as("skew_factor"),
+            col("p99_cnt"))
+    },
+
     sql("profile_orders",
       """WITH b AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus,

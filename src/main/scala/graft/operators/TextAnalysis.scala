@@ -227,6 +227,40 @@ object TextAnalysis {
             col("n_punct").cast("double") / greatest(col("n_chars"), lit(1)) < 0.1).as("quality_ok"))
     },
 
+    // FLESCH READING EASE — the curriculum/difficulty axis: 206.835 −
+    // 1.015·(words/sentences) − 84.6·(syllables/words), with the
+    // standard vowel-group syllable heuristic. All three counts are
+    // exact integers off one codegen'd regex pass; the score is a
+    // FIXED left-associated chain of correctly-rounded IEEE ops
+    // spelled identically in both engines, so even a float formula
+    // sits behind the value-hash gate.
+    sql("text_reading_ease",
+      s"""SELECT doc_id,
+         | CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         | CAST(greatest(len(regexp_extract_all(lower(text), '$tokenPattern')), 1) AS BIGINT) AS n_words,
+         | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+         | 206.835
+         |  - 1.015 * (CAST(greatest(len(regexp_extract_all(lower(text), '$tokenPattern')), 1) AS DOUBLE)
+         |             / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+         |  - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+         |            / greatest(len(regexp_extract_all(lower(text), '$tokenPattern')), 1))
+         |  AS reading_ease
+         |FROM documents""".stripMargin) {
+      (s, d) =>
+        val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+            .cast("long").as("n_sentences"),
+          greatest(size(tokens(col("text"))), lit(1)).cast("long").as("n_words"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("n_syllables"))
+        base.select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+          (lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+            .as("reading_ease"))
+    },
+
     // QUALITY DECILES — corpus-relative quality binning (keep the top
     // X% by stopword density — the fluency proxy — rather than an
     // absolute threshold): the global decile cut runs on
