@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.{GraftQuery, Tables}
@@ -210,6 +211,31 @@ object Curation {
           .join(broadcast(sampledOrders), col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
             col("o_orderdate").cast("string").as("o_orderdate"))
+    },
+
+    // QUOTA SAMPLING — exactly-k-per-stratum (the balanced-mixture
+    // complement to rate-based sample_stratified): per source, keep
+    // the 20 documents with the smallest md5(doc_id) — a uniform-ish
+    // deterministic draw whose output size is FIXED per stratum
+    // regardless of stratum skew (the property mixture balancing
+    // needs; a rate undersamples small sources and floods from big
+    // ones). Partitioned row_number: the per-source sort is bounded
+    // by stratum size and k never grows with the corpus.
+    sql("sample_quota_per_source",
+      """SELECT doc_id, source, CAST(rk AS BIGINT) AS pick_order FROM (
+        | SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents) t WHERE rk <= 20""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("doc_id"), col("source"),
+            col("rk").cast("long").as("pick_order"))
     },
 
     sql("sample_stratified",

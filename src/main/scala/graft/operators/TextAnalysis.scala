@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.GraftQuery.{rowsOnly, sql}
@@ -225,6 +226,44 @@ object TextAnalysis {
           (col("n_chars") >= 50 && col("n_chars") <= 10000 &&
             col("n_tokens") >= 10 &&
             col("n_punct").cast("double") / greatest(col("n_chars"), lit(1)) < 0.1).as("quality_ok"))
+    },
+
+    // TF-IDF KEYWORD EXTRACTION — top-3 characteristic terms per doc.
+    // The idf stays EXACT: score = tf·N/df computed as an exact
+    // integer cross-product (tf·N < 2^53) and ONE IEEE division — the
+    // standard log-idf would put a libm ln() in the rank key (last-ulp
+    // engine divergence, exactly what the hash gate exists to catch)
+    // and is order-equivalent per doc anyway (ln is monotone; ties
+    // under one weighting are ties under the other since both reduce
+    // to the rational tf/df at fixed N). Shape: one explode feeds tf
+    // (hash agg) and df (distinct agg); the term-keyed join shuffles
+    // on the term; the per-doc top-3 is a partitioned row_number.
+    sql("text_tfidf_top_terms",
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(lower(text), '$tokenPattern')) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+         |SELECT doc_id, t AS term, CAST(rk AS BIGINT) AS rk, score FROM (
+         | SELECT tf.doc_id, tf.t, CAST(tf * n AS DOUBLE) / df AS score,
+         |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |    ORDER BY CAST(tf * n AS DOUBLE) / df DESC, tf.t) AS rk
+         | FROM tf JOIN df USING (t), n) s WHERE rk <= 3""".stripMargin) {
+      (s, d) =>
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+        val n = Tables.documents(s, d).count() // one bounded scalar
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("t"))
+        tf.join(df, "t")
+          .select(col("doc_id"), col("t"),
+            ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("t").as("term"),
+            col("rk").cast("long").as("rk"), col("score"))
     },
 
     // FLESCH READING EASE — the curriculum/difficulty axis: 206.835 −
