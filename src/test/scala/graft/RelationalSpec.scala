@@ -30,8 +30,10 @@ class RelationalSpec extends AnyFunSuite {
       // incrementally maintained / resplit on-disk index
       "ann_ivf_incremental", "ann_ivf_resplit", "embedding_label_margin",
       // ONE-ROW global-scalar broadcasts (the Q11/Q15/Q22 shapes:
-      // share-of-total, argmax-of-aggregate, above-global-average)
+      // share-of-total, argmax-of-aggregate, above-global-average;
+      // the skew advisor joins its two one-row aggregate frames)
       "q11_like_value_share", "q15_like_top_supplier", "q22_like_idle_customers",
+      "profile_lineitem_skew",
       // the same tiny broadcast query set as ann_bruteforce_topk, in
       // both the int8 candidate tier and the exact rescore tier
       "ann_int8_rescore",
