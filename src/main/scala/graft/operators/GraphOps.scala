@@ -345,7 +345,71 @@ object GraphOps {
        |SELECT node, lbl AS community_id FROM l$rounds""".stripMargin
   }
 
+  /** Bipartite HITS (Kleinberg 1999) in the repo's exact-integer
+    * style: hub scores live on the left (supplier) side, authority
+    * scores on the right (part) side; each half-step is one shuffled
+    * join + one hash aggregate (the Pregel-as-joins shape), and the
+    * per-round max-normalization is the SAME three-IEEE-op rescale as
+    * [[SimilaritySearch]]'s PC1 (`FLOOR(x·1e6/max + 0.5)` — every
+    * operand exact below 2^53, so the doubles are bit-identical
+    * cross-engine; at larger degree scales the e6 grid re-scales, a
+    * parameter not a shape). The max is a one-row aggregate broadcast
+    * back — bounded by construction. Returns the authority frame. */
+  def hitsAuthorities(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint(eager = true)
+    var h = e.select(col("s")).distinct().withColumn("h", lit(1000000L))
+    var a: DataFrame = e.select(col("p")).distinct().withColumn("a", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val ar = e.join(h, "s").groupBy(col("p")).agg(sum(col("h")).as("x"))
+      a = ar.crossJoin(broadcast(ar.agg(max(col("x")).as("m"))))
+        .select(col("p"),
+          floor(col("x") * lit(1000000.0) / col("m") + 0.5).cast("long").as("a"))
+        .localCheckpoint(eager = true)
+      val hr = e.join(a, "p").groupBy(col("s")).agg(sum(col("a")).as("x"))
+      h = hr.crossJoin(broadcast(hr.agg(max(col("x")).as("m"))))
+        .select(col("s"),
+          floor(col("x") * lit(1000000.0) / col("m") + 0.5).cast("long").as("h"))
+        .localCheckpoint(eager = true)
+    }
+    a
+  }
+
+  /** DuckDB mirror of [[hitsAuthorities]] over the supplier→part
+    * supply graph: `rounds` unrolled authority/hub half-steps. */
+  def hitsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""a${i}r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS x
+         |  FROM e JOIN h${i - 1} USING (s) GROUP BY 1),
+         |a${i}m AS (SELECT MAX(x) AS m FROM a${i}r),
+         |a$i AS (SELECT p, CAST(FLOOR(x * 1000000.0 / m + 0.5) AS BIGINT) AS a
+         |  FROM a${i}r, a${i}m),
+         |h${i}r AS (SELECT s, CAST(SUM(a) AS BIGINT) AS x
+         |  FROM e JOIN a$i USING (p) GROUP BY 1),
+         |h${i}m AS (SELECT MAX(x) AS m FROM h${i}r),
+         |h$i AS (SELECT s, CAST(FLOOR(x * 1000000.0 / m + 0.5) AS BIGINT) AS h
+         |  FROM h${i}r, h${i}m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |h0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS h FROM e),
+       |$steps
+       |SELECT p AS part_id, a AS authority_e6 FROM a$rounds
+       |ORDER BY a DESC, p LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[GraftQuery] = Seq(
+    // HITS AUTHORITIES on the supplier→part supply graph — "which
+    // parts are supplied by the best-connected suppliers" (the
+    // bipartite citation analysis, next to PageRank's random surfer).
+    // 3 exact-integer rounds; top-20 authorities via TakeOrdered.
+    sql("graph_hits_authorities", hitsOracleSql(rounds = 3)) {
+      (s, d) =>
+        val e = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+        hitsAuthorities(e, rounds = 3)
+          .orderBy(col("a").desc, col("p")).limit(20)
+          .select(col("p").as("part_id"), col("a").as("authority_e6"))
+    },
+
     // LABEL-PROPAGATION COMMUNITIES on the support-≥2 part
     // co-occurrence graph — the clustering complement to the CC entry
     // (CC finds reachability islands; LPA splits dense islands into

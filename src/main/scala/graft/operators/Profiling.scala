@@ -65,6 +65,30 @@ object Profiling {
             col("p99_cnt"))
     },
 
+    // JOIN-AMPLIFICATION FORECAST — the companion check: EXACT output
+    // cardinality of orders ⋈ lineitem from per-key count profiles
+    // (Σ cₐ·c_b over matched keys) plus the hottest key's contribution
+    // — the number that decides broadcast vs shuffle vs salt BEFORE
+    // running the join. Two hash aggregates + one key-profile join
+    // (key-cardinality sized, not data sized).
+    sql("profile_join_amplification",
+      """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+        |b AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+        | CAST(COUNT(*) AS BIGINT) AS matched_keys,
+        | CAST(MAX(ca * cb) AS BIGINT) AS max_key_rows
+        |FROM a JOIN b USING (k)""".stripMargin) {
+      (s, d) =>
+        val a = Tables.orders(s, d)
+          .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+        val b = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+        a.join(b, "k")
+          .agg(sum(col("ca") * col("cb")).as("join_rows"),
+            count(lit(1)).as("matched_keys"),
+            max(col("ca") * col("cb")).as("max_key_rows"))
+    },
+
     sql("profile_orders",
       """WITH b AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus,
