@@ -451,7 +451,12 @@ object SqlCompiler {
         * on top of any incrementally maintained aggregate — each
         * refresh recomputes the windows over the view, which is
         * group-cardinality-sized, not input-sized. */
-      windowItems: Seq[(String, String)] = Nil) {
+      windowItems: Seq[(String, String)] = Nil,
+      /** Number of leading [[present]] functions that are HAVING
+        * filters (0 or 1): SQL evaluates HAVING before SELECT
+        * windows, so [[aggregate]] applies that prefix BEFORE the
+        * window items and the rest (ORDER BY / LIMIT) after. */
+      havingCount: Int = 0) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -810,22 +815,25 @@ object SqlCompiler {
         // key itself, so other references to the original name keep
         // resolving. Window items compute AFTER that rename (their
         // references are output names) and slot back into SELECT
-        // order.
+        // order — with the HAVING prefix of the presentation chain
+        // applied FIRST (SQL evaluates HAVING before SELECT windows:
+        // ranks must not count filtered-out groups) and ORDER BY /
+        // LIMIT after.
         .transform { df =>
           if (windowItems.isEmpty)
             df.select(outputSel.map { case (src, name) => col(src).as(name) }: _*)
+              .transform(d => present.foldLeft(d)((x, f) => f(x)))
           else {
             val winNames = windowItems.map(_._2).toSet
             val named = df.select(outputSel.collect {
               case (src, name) if !winNames(name) => col(src).as(name) }: _*)
-            windowItems.foldLeft(named) { case (d, (frag, name)) =>
+            val havinged = present.take(havingCount).foldLeft(named)((d, f) => f(d))
+            windowItems.foldLeft(havinged) { case (d, (frag, name)) =>
               d.withColumn(name, expr(frag)) }
               .select(outputSel.map { case (_, name) => col(name) }: _*)
+              .transform(d => present.drop(havingCount).foldLeft(d)((x, f) => f(x)))
           }
         }
-        // ORDER BY / LIMIT (HAVING is fenced when windows are
-        // present), in SQL order, over the view
-        .transform(df => present.foldLeft(df)((d, f) => f(d)))
     }
 
     /** Run incrementally over insert-everything changelogs plus the
@@ -2045,15 +2053,6 @@ object SqlCompiler {
     }
     val groups = groupBuf.toSeq
     if (windowBuf.nonEmpty) {
-      // SQL evaluates HAVING before SELECT windows; the engine applies
-      // windows over the finished view BEFORE the presentation chain
-      // (where HAVING lives), so the combination would silently rank
-      // pre-filter rows — fence it rather than compile it wrong.
-      if (plan.collectFirst { case h: UnresolvedHaving => h }.nonEmpty)
-        fail("window SELECT items combined with HAVING are fenced (SQL runs " +
-          "HAVING before windows; the engine applies windows as view " +
-          "presentation, which would rank the pre-HAVING rows) — filter in " +
-          "WHERE, or wrap the view")
       val winNames = windowBuf.map(_._2).toSet
       val visible = outputSel.map(_._2).filterNot(winNames).toSet
       windowBuf.foreach { case (frag, name) =>
@@ -2184,7 +2183,8 @@ object SqlCompiler {
       outerPlans,
       restrictedFullOuter.toSeq.sorted,
       suppressMainLeaf = fullOuterOrphanOnly || fullOuterAntiOnly,
-      windowItems = windowBuf.toSeq)
+      windowItems = windowBuf.toSeq,
+      havingCount = plan.collect { case _: UnresolvedHaving => () }.size)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

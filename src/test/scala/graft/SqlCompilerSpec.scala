@@ -1677,14 +1677,23 @@ class SqlCompilerSpec extends AnyFunSuite {
       deletes = Map("orders" -> (col("o_orderkey") % 7 === 0)))
       .orderBy("n_name", "o_orderpriority").collect().toSeq
     assert(got == want)
-    // fence 1: windows + HAVING would rank pre-filter rows - loud
-    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+    // HAVING + windows follows SQL order: the HAVING prefix of the
+    // presentation chain filters groups BEFORE the windows rank them
+    // (a rank that counted filtered-out groups would be wrong)
+    val wantHW = s.sql(
+      """SELECT n_name, n, RANK() OVER (ORDER BY n DESC, n_name) AS rk
+        |FROM (SELECT n_name, COUNT(*) AS n
+        |      FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |      GROUP BY n_name HAVING COUNT(*) > 6) v""".stripMargin)
+      .orderBy("n_name").collect().toSeq
+    val gotHW = SqlCompiler.run(s, d,
       """SELECT n_name, COUNT(*) AS n,
         | RANK() OVER (ORDER BY n DESC, n_name) AS rk
         |FROM nation, customer
         |WHERE c_nationkey = n_nationkey
-        |GROUP BY n_name HAVING n > 3""".stripMargin))
-    assert(ex.getMessage.contains("HAVING before windows"), ex.getMessage)
+        |GROUP BY n_name HAVING n > 6""".stripMargin)
+      .orderBy("n_name").collect().toSeq
+    assert(gotHW == wantHW && gotHW.nonEmpty)
     // fence 2: a window referencing a non-output column is loud
     val ex2 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
       """SELECT n_name, COUNT(*) AS n,
