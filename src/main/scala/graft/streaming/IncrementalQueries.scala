@@ -3316,6 +3316,34 @@ object IncrementalQueries {
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
     },
 
+    // HAVING × WINDOW in SQL evaluation order over the maintained
+    // view: the HAVING prefix filters groups FIRST, then the rank
+    // decorates the survivors (a rank counting filtered-out groups
+    // would be off by the number of dropped rows above the cut — the
+    // bug the ordering machinery exists to prevent). Partitioned rank
+    // (per priority), deterministic ties.
+    sql("incremental_sql_having_window",
+      """WITH v AS (
+        | SELECT o_orderpriority, n_name, COUNT(*) AS n_orders
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 5 <> 0
+        | GROUP BY o_orderpriority, n_name
+        | HAVING COUNT(*) > 100)
+        |SELECT o_orderpriority, n_name, n_orders,
+        | RANK() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY n_orders DESC, n_name) AS nation_rank
+        |FROM v""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT o_orderpriority, n_name, COUNT(*) AS n_orders,
+          | RANK() OVER (PARTITION BY o_orderpriority
+          |   ORDER BY n_orders DESC, n_name) AS nation_rank
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |GROUP BY o_orderpriority, n_name HAVING n_orders > 100""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 5 === 0)))
+    },
+
     // The windowed view over the CONTINUOUS engine's streamed leaf —
     // same oracle as incremental_sql_window_rank (the decoration
     // recomputes per micro-batch over the maintained view).
