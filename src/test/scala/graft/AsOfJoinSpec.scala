@@ -42,6 +42,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+
+  test("asOfLeft tolerance nulls matches older than the bound, keeps the rest") {
+    val left = Seq((1L, 10L, "p1"), (1L, 100L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "lval")
+    val right = Seq((1L, 8L, "r8"), (2L, 9L, "r9")).toDF("k", "ts", "rval")
+    val got = AsOfJoin.asOfLeft(left, right, Seq("k"), "ts",
+        tolerance = Some((l, r) => l - r <= 10L))
+      .select("lval", "asof_rval").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got("p1") == "r8", "within tolerance: kept")
+    assert(got("p2") == null, "match older than the bound reverts to NULL")
+    assert(got("p3") == null, "no at-or-before match at all stays NULL")
+  }
+
   test("asOfLeft keeps every left row and all its columns") {
     val left = Seq((1L, 1L, "a", 3.5)).toDF("k", "ts", "s", "x")
     val right = Seq((9L, 1L, "z")).toDF("k", "ts", "rv") // different key → no match
