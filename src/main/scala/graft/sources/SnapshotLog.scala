@@ -519,6 +519,36 @@ object SnapshotLog {
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
 
+    // BRANCH MERGE-BACK — the full fork → diverge → land workflow:
+    // fork after the update commit, apply the delete+insert batch on
+    // the branch, then land the branch by DIFFING its own history
+    // (tableDiff of branch v0 → head yields exactly commitMerge's
+    // I/U/D change-set shape — the CDC reader feeds the writer) and
+    // committing that change set onto the source as its v2. The
+    // source's head must equal applying the whole change set directly
+    // (same appliedChangesSql oracle — landing through a branch is
+    // equivalent to never having branched), while the source's v1
+    // remains time-travelable to the pre-merge state (self-asserted).
+    sql("snapshot_branch_merge_back", appliedChangesSql) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_mbsrc").toString
+        val branch = java.nio.file.Files.createTempDirectory("graft_snap_mbdst").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        commitMerge(s, root, 1, "o_orderkey", payload, updateBatch(orders))
+        branchAt(root, 1, branch)
+        commitMerge(s, branch, 1, "o_orderkey", payload, deleteInsertBatch(orders))
+        val landing = tableDiff(
+          readVersion(s, branch, 0), readVersion(s, branch, 1),
+          "o_orderkey", payload)
+        commitMerge(s, root, 2, "o_orderkey", payload, landing)
+        require(readVersion(s, root, 1).count() == orders.count(),
+          "pre-merge v1 must still time-travel to the un-deleted state")
+        readVersion(s, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
     // POINT LOOKUP with structural bucket pruning ([[readKeys]]
     // scaladoc): four keys exercising every merge fate — 0 deleted
     // (returns nothing), 1 updated (+1000 price), 5 untouched,
