@@ -1161,6 +1161,131 @@ object Relational {
             col("purchase_ts"), col("click_id"), col("click_ts"))
     },
 
+    // Stream-stream LEFT OUTER interval join — the attribution join
+    // that must also report UNATTRIBUTED purchases: a left row's NULL
+    // extension can only emit once the watermark proves no matching
+    // click can still arrive, which is exactly the semantics the
+    // batch LEFT JOIN oracle pins. Two sentinel rounds close the tail
+    // (the first advances both watermarks past all real data; outer
+    // null-extensions emit on the FOLLOWING trigger, which the second
+    // sentinel forces — the classic outer-join flush gotcha).
+    sql("events_stream_stream_left",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import ss.implicits._
+        val collected = boundedReplayCollect("events_stream_stream_left",
+          Tables.events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(col("user_id"), col("ts"), (col("event_type") === "click").as("isClick"),
+              col("event_id"))
+            .as[(Long, java.sql.Timestamp, Boolean, Long)](
+              org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp, Boolean, Long)]))
+          .sortBy(e => (e._2.getTime, e._4))
+        val clickSrc = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val purchSrc = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val clicks = clickSrc.toDF().toDF("c_user", "click_ts", "click_id")
+          .withWatermark("click_ts", "2 hours")
+        val purchases = purchSrc.toDF().toDF("user_id", "purchase_ts", "purchase_id")
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"),
+          "leftOuter")
+        val query = joined.writeStream
+          .format("memory").queryName("events_ss_left_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = collected.splitAt(collected.length / 2)
+          for (batch <- Seq(first, second)) {
+            clickSrc.addData(batch.filter(_._3).map(e => (e._1, e._2, e._4)))
+            purchSrc.addData(batch.filterNot(_._3).map(e => (e._1, e._2, e._4)))
+            query.processAllAvailable()
+          }
+          for (i <- 0 until 2) {
+            val far = java.sql.Timestamp.valueOf(s"203$i-01-01 00:00:00")
+            clickSrc.addData((-1L, far, -1L))
+            purchSrc.addData((-1L, far, -1L))
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        ss.table("events_ss_left_sink")
+          .filter(col("user_id") >= 0)
+          .select(col("purchase_id"), col("user_id"),
+            col("purchase_ts"), col("click_id"), col("click_ts"))
+    },
+
+    // Stream-stream FULL OUTER interval join — completes the
+    // stream-stream family (inner / left / full): unattributed
+    // purchases AND orphan clicks both null-extend once the watermark
+    // proves their window closed. Same double-sentinel tail flush;
+    // the user key coalesces from whichever side is present.
+    sql("events_stream_stream_full",
+      """SELECT p.event_id AS purchase_id,
+        | COALESCE(p.user_id, c.user_id) AS user_id,
+        | p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+        val ss = replaySession(s)
+        implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import ss.implicits._
+        val collected = boundedReplayCollect("events_stream_stream_full",
+          Tables.events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(col("user_id"), col("ts"), (col("event_type") === "click").as("isClick"),
+              col("event_id"))
+            .as[(Long, java.sql.Timestamp, Boolean, Long)](
+              org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp, Boolean, Long)]))
+          .sortBy(e => (e._2.getTime, e._4))
+        val clickSrc = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val purchSrc = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val clicks = clickSrc.toDF().toDF("c_user", "click_ts", "click_id")
+          .withWatermark("click_ts", "2 hours")
+        val purchases = purchSrc.toDF().toDF("user_id", "purchase_ts", "purchase_id")
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"),
+          "fullOuter")
+        val query = joined.writeStream
+          .format("memory").queryName("events_ss_full_sink")
+          .outputMode("append").start()
+        try {
+          val (first, second) = collected.splitAt(collected.length / 2)
+          for (batch <- Seq(first, second)) {
+            clickSrc.addData(batch.filter(_._3).map(e => (e._1, e._2, e._4)))
+            purchSrc.addData(batch.filterNot(_._3).map(e => (e._1, e._2, e._4)))
+            query.processAllAvailable()
+          }
+          for (i <- 0 until 2) {
+            val far = java.sql.Timestamp.valueOf(s"203$i-01-01 00:00:00")
+            clickSrc.addData((-1L, far, -1L))
+            purchSrc.addData((-1L, far, -1L))
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        ss.table("events_ss_full_sink")
+          .filter(coalesce(col("user_id"), col("c_user")) >= 0)
+          .select(col("purchase_id"),
+            coalesce(col("user_id"), col("c_user")).as("user_id"),
+            col("purchase_ts"), col("click_id"), col("click_ts"))
+    },
+
     // NATIVE streaming session windows behind the hash gate: the same
     // 30-minute-gap sessions as events_sessionize, but aggregated to
     // session level and computed by Spark's session_window operator
