@@ -368,12 +368,10 @@ object GraphOps {
       a = ar.crossJoin(broadcast(ar.agg(max(col("x")).as("m"))))
         .select(col("p"),
           floor(col("x") * lit(1000000.0) / col("m") + 0.5).cast("long").as("a"))
-        .localCheckpoint(eager = true)
       val hr = e.join(a, "p").groupBy(col("s")).agg(sum(col("a")).as("x"))
       h = hr.crossJoin(broadcast(hr.agg(max(col("x")).as("m"))))
         .select(col("s"),
           floor(col("x") * lit(1000000.0) / col("m") + 0.5).cast("long").as("h"))
-        .localCheckpoint(eager = true)
     }
     a
   }
