@@ -131,6 +131,37 @@ object TimeSeries {
     // Hourly purchase-value series per user, gaps LOCF-filled. DuckDB
     // mirrors bucket = epoch_us // step (positive // == div), the grid
     // via generate_series, and LOCF via IGNORE NULLS last_value.
+    // GAP DETECTION — the monitoring complement of the LOCF resample:
+    // which hourly buckets inside each series' observed span have NO
+    // events at all (a silent producer, a dropped partition). Same
+    // calendar-spine idiom (per-key lo/hi + sequence — the spine is
+    // span-bounded, generated map-side), anti-join against the
+    // observed buckets. Positive-epoch note as in resampleLocf:
+    // Spark's `div` truncates where DuckDB's `//` floors — identical
+    // on the post-1970 domain.
+    sql("events_gap_detection",
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket FROM s)
+        |SELECT g.event_type, CAST(g.bucket AS BIGINT) AS missing_bucket
+        |FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+        |WHERE b.n IS NULL""".stripMargin) {
+      (s, d) =>
+        val b = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("bucket"))
+          .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
+        val spans = b.groupBy(col("event_type"))
+          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        spans.select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"))).as("bucket"))
+          .join(b, Seq("event_type", "bucket"), "left")
+          .filter(col("n").isNull)
+          .select(col("event_type"), col("bucket").as("missing_bucket"))
+    },
+
     sql("events_resample_locf",
       """WITH b AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
