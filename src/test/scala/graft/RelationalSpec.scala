@@ -34,6 +34,9 @@ class RelationalSpec extends AnyFunSuite {
       // the skew advisor joins its two one-row aggregate frames)
       "q11_like_value_share", "q15_like_top_supplier", "q22_like_idle_customers",
       "profile_lineitem_skew",
+      // HITS: one ONE-ROW max-normalization broadcast per half-round
+      // (visible since the loop composes lazily)
+      "graph_hits_authorities",
       // the same tiny broadcast query set as ann_bruteforce_topk, in
       // both the int8 candidate tier and the exact rescore tier
       "ann_int8_rescore",
