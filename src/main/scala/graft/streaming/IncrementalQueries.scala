@@ -3251,6 +3251,34 @@ object IncrementalQueries {
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
     },
 
+    // The mode fold over the CONTINUOUS engine's streamed leaf — same
+    // oracle as incremental_sql_mode (stream/batch parity across the
+    // whole new aggregate family, next to the quantile twin).
+    sql("incremental_sql_mode_stream",
+      """WITH base AS (
+        | SELECT n_name, o_orderpriority
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0),
+        |pv AS (SELECT n_name, o_orderpriority AS v, COUNT(*) AS n
+        |       FROM base GROUP BY n_name, v),
+        |md AS (SELECT n_name, v FROM (
+        |        SELECT n_name, v,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY n DESC, v) AS rk
+        |        FROM pv) WHERE rk = 1),
+        |cnt AS (SELECT n_name, COUNT(*) AS n_rows FROM base GROUP BY n_name)
+        |SELECT cnt.n_name, md.v AS mode_prio, n_rows
+        |FROM cnt JOIN md USING (n_name)""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, mode(o_orderpriority) AS mode_prio,
+            | COUNT(*) AS n_rows
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY n_name""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_mode_stream_leaf")
+    },
+
     // MAX_BY / MIN_BY under retraction — "which order was the
     // extreme": state is the netting rollup over the (price, orderkey)
     // PAIR, and the answer is a struct extreme, so ties on the price
