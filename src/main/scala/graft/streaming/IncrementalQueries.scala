@@ -3309,6 +3309,35 @@ object IncrementalQueries {
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
     },
 
+    // SCALAR-SUBQUERY GATE — the above-global-average idiom as a
+    // maintained view: the scalar is NONLINEAR (one input row moves
+    // the average and can flip every other row's predicate), so the
+    // compiler resolves it per refresh over the SURVIVOR inputs and
+    // splices the literal into the orders scan filter
+    // (Compiled.withScalarGatesResolved); the streaming path fences
+    // it loudly. Exact-money determinism: AVG over e2 BIGINTs is an
+    // exact integer sum + ONE IEEE division in both engines, and the
+    // row-side comparand is an exact BIGINT below 2^53.
+    sql("incremental_sql_scalar_gate",
+      """WITH srv AS (SELECT * FROM orders WHERE o_orderkey % 6 <> 0),
+        |a AS (SELECT AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS ap FROM srv)
+        |SELECT n_name, COUNT(*) AS n_big,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS big_rev_e2
+        |FROM nation, customer, srv, a
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND CAST(round(o_totalprice * 100, 0) AS BIGINT) > ap
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, COUNT(*) AS n_big,
+          | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS big_rev_e2
+          |FROM nation, customer, orders
+          |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          | AND CAST(round(o_totalprice * 100, 0) AS BIGINT) >
+          |     (SELECT AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) FROM orders)
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
     // ANALYTIC PRESENTATION over a maintained view — window functions
     // in the SELECT list compile as a post-view decoration
     // (Compiled.windowItems): the incrementally maintained aggregate

@@ -77,6 +77,16 @@ object SqlCompiler {
     * the query selects it, a synthetic internal name when it doesn't). */
   final case class GroupSpec(frag: String, alias: String)
 
+  /** One scalar-subquery WHERE gate `<outerFrag> <op> (SELECT
+    * <subAggFrag> FROM <subRel> WHERE <subWheres...>)` (operands
+    * swapped when `subOnLeft`): resolved per refresh by evaluating
+    * the aggregate over the subquery relation's SURVIVORS and
+    * splicing the literal into `outerRel`'s scan filter. */
+  final case class ScalarGateSpec(outerRel: String, outerFrag: String,
+                                  op: String, subOnLeft: Boolean,
+                                  subRel: String, subAggFrag: String,
+                                  subWheres: Seq[String])
+
   /** One LEFT-JOIN boundary's ANTI plan: the join tree truncated just
     * above the optional relation, with the optional side compiled as a
     * set-semantics key node + an `antiParent` liveness hop on its
@@ -456,7 +466,10 @@ object SqlCompiler {
         * filters (0 or 1): SQL evaluates HAVING before SELECT
         * windows, so [[aggregate]] applies that prefix BEFORE the
         * window items and the rest (ORDER BY / LIMIT) after. */
-      havingCount: Int = 0) {
+      havingCount: Int = 0,
+      /** Scalar-subquery WHERE gates, resolved per batch refresh (see
+        * [[ScalarGateSpec]]); nonlinear, so [[runStream]] fences. */
+      scalarGates: Seq[ScalarGateSpec] = Nil) {
 
     /** Output column names of the grouping keys (spec/test surface). */
     def groupCols: Seq[String] = groups.map(_.alias)
@@ -841,7 +854,44 @@ object SqlCompiler {
       * aggregate (groups with net rows > 0, like any GROUP BY). */
     def run(spark: SparkSession, dir: String,
             deletes: Map[String, Column] = Map.empty): DataFrame =
-      aggregate(leafDeltas(spark, dir, deletes).toDF())
+      if (scalarGates.nonEmpty)
+        withScalarGatesResolved(spark, dir, deletes).run(spark, dir, deletes)
+      else aggregate(leafDeltas(spark, dir, deletes).toDF())
+
+    /** Resolve every [[ScalarGateSpec]] against the CURRENT survivor
+      * inputs (base parquet minus the delete conditions, the same
+      * logical state the maintained tree sees) and fold the resulting
+      * literal comparisons into the owning relations' scan filters —
+      * the returned Compiled is gate-free and refresh-correct for
+      * exactly this delete set. Literals splice as round-tripping
+      * text (Double.toString is shortest-round-trip; a NULL scalar
+      * splices as NULL, whose three-valued comparison drops every row
+      * — SQL's empty-subquery answer). */
+    def withScalarGatesResolved(spark: SparkSession, dir: String,
+        deletes: Map[String, Column]): Compiled = {
+      val merged = scalarGates.foldLeft(wheres) { (ws, g) =>
+        val base0 = loadRel(spark, dir, g.subRel)
+        val base = deletes.get(g.subRel).map(c => base0.filter(!c)).getOrElse(base0)
+        val sub = g.subWheres.foldLeft(base)((df, w) => df.filter(expr(w)))
+        val row = sub.agg(expr(g.subAggFrag)).head()
+        val lit = row.get(0) match {
+          case null => "NULL"
+          case d: java.lang.Double => s"CAST(${java.lang.Double.toString(d)} AS DOUBLE)"
+          case f: java.lang.Float => s"CAST(${java.lang.Float.toString(f)} AS FLOAT)"
+          case l: java.lang.Long => s"CAST(${l.toString} AS BIGINT)"
+          case i: java.lang.Integer => i.toString
+          case dec: java.math.BigDecimal =>
+            s"CAST('${dec.toPlainString}' AS DECIMAL(${dec.precision},${dec.scale}))"
+          case other => throw new IllegalArgumentException(
+            s"unsupported scalar gate result type ${other.getClass.getName}")
+        }
+        val pred = if (g.subOnLeft) s"(($lit) ${g.op} (${g.outerFrag}))"
+                   else s"((${g.outerFrag}) ${g.op} ($lit))"
+        ws + (g.outerRel ->
+          ws.get(g.outerRel).map(w => s"($w) AND $pred").getOrElse(pred))
+      }
+      copy(wheres = merged, scalarGates = Nil)
+    }
 
     /** The maintained view's signed LEAF DELTAS (everything [[run]]
       * does except the final aggregate/presentation fold) — the
@@ -932,6 +982,10 @@ object SqlCompiler {
                   stateTtl: Option[java.time.Duration] = None,
                   eventTtl: Option[DeltaEngine.EventTimeTtl] = None,
                   tws: Boolean = false): Dataset = {
+      require(scalarGates.isEmpty,
+        "scalar-subquery gates are NONLINEAR (one input row can flip every " +
+          "row's predicate) and refresh per batch run — the continuous path " +
+          "does not compile them; run the view as periodic batch refreshes")
       require(!(tws && eventTtl.isDefined),
         "the TWS driver's TTL is processing-time timers — use stateTtl")
       val spark = changelogs(path.head).sparkSession
@@ -1328,12 +1382,25 @@ object SqlCompiler {
     // incremental semi/anti GATES (processed below, once the owner map
     // exists); any OTHER subquery position fails loudly — never a
     // silent plan that re-executes a subquery per row.
-    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not, ScalarSubquery, SubqueryExpression}
     val rawGates = scala.collection.mutable.ArrayBuffer[
       (LogicalPlan, Option[UnresolvedAttribute], Boolean)]()
+    // SCALAR-SUBQUERY gates: `<expr> <cmp> (SELECT <agg> FROM rel
+    // [WHERE ...])` — collected as (outer expr, op symbol, sub plan,
+    // subquery-on-left); parsed after ownerOf exists, resolved at RUN
+    // time (the scalar is NONLINEAR in the inputs, so the view
+    // refreshes it per run — see Compiled.scalarGates).
+    val rawScalarGates = scala.collection.mutable.ArrayBuffer[
+      (Expression, String, LogicalPlan, Boolean)]()
     val plainFilterConjuncts = filterConjuncts.filter {
       case e: Exists => rawGates += ((e.plan, None, false)); false
       case Not(e: Exists) => rawGates += ((e.plan, None, true)); false
+      case b: BinaryComparison if b.right.isInstanceOf[ScalarSubquery] =>
+        rawScalarGates += ((b.left, b.symbol,
+          b.right.asInstanceOf[ScalarSubquery].plan, false)); false
+      case b: BinaryComparison if b.left.isInstanceOf[ScalarSubquery] =>
+        rawScalarGates += ((b.right, b.symbol,
+          b.left.asInstanceOf[ScalarSubquery].plan, true)); false
       case in: InSubquery =>
         val outerA = in.values match {
           case Seq(a: UnresolvedAttribute) => a
@@ -1615,6 +1682,54 @@ object SqlCompiler {
       fail(s"[NOT] EXISTS correlated to LEFT-JOINed relation '${g.outerRel}' — " +
         "a WHERE-level gate rejects its NULL-extended rows (three-valued " +
         "semantics); gate an inner relation instead"))
+
+    // SCALAR-SUBQUERY gates: an UNCORRELATED single-relation aggregate
+    // subquery compared against one relation's expression. The scalar
+    // is NONLINEAR (a single input row can move it and flip EVERY
+    // row's predicate), so it cannot ride the incremental state — it
+    // resolves at RUN time from the survivor scan and the comparison
+    // becomes that relation's scan filter for the refresh
+    // ([[Compiled.withScalarGatesResolved]]); the streaming path
+    // fences it loudly.
+    val scalarGates: Seq[ScalarGateSpec] = rawScalarGates.toSeq.map {
+      case (outerExpr, op, subPlan, subOnLeft) =>
+        val owners = outerExpr.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct
+        val outerRel = owners match {
+          case Seq(r) => r
+          case other => fail(s"scalar-subquery comparison " +
+            s"'${fragment(outerExpr)}' must test exactly one relation's " +
+            s"columns, references ${other.mkString(", ")}")
+        }
+        if (outerRels(outerRel))
+          fail(s"scalar-subquery gate on LEFT-JOINed relation '$outerRel' — " +
+            "a WHERE-level gate rejects its NULL-extended rows")
+        val (items, subConjs, subRel) = parseGatePlan(subPlan)
+        val aggItem = items match {
+          case Seq(Alias(child, _)) => child
+          case Seq(UnresolvedAlias(child, _)) => child
+          case Seq(e) => e
+          case other => fail(s"scalar subquery over '$subRel' must SELECT " +
+            s"exactly one item, got ${other.size}")
+        }
+        aggItem match {
+          case f: UnresolvedFunction if isAggregateCall(spark, f) =>
+          case other => fail(s"scalar subquery over '$subRel' must select an " +
+            s"AGGREGATE (got '${fragment(other)}') — a non-aggregate scalar " +
+            "subquery is not single-row by construction")
+        }
+        // no cross-scope references: every column in the subquery's
+        // WHERE must belong to the subquery relation itself
+        val subSchema = loadRel(spark, dir, subRel).schema.fieldNames.toSet
+        subConjs.foreach(c =>
+          c.collect { case a: UnresolvedAttribute => a }.foreach { a =>
+            if (!subSchema(a.nameParts.last))
+              fail(s"scalar subquery predicate '${fragment(c)}' references " +
+                s"'${a.nameParts.mkString(".")}' — correlated scalar " +
+                "subqueries are not compiled (the gate is a global scalar)")
+          })
+        ScalarGateSpec(outerRel, dequalify(spark, fragment(outerExpr)), op,
+          subOnLeft, subRel, fragment(aggItem), subConjs.map(fragment))
+    }
 
     val soloGated = relations.size == 1 && gates.nonEmpty
     val baseStages =
@@ -2184,7 +2299,8 @@ object SqlCompiler {
       restrictedFullOuter.toSeq.sorted,
       suppressMainLeaf = fullOuterOrphanOnly || fullOuterAntiOnly,
       windowItems = windowBuf.toSeq,
-      havingCount = plan.collect { case _: UnresolvedHaving => () }.size)
+      havingCount = plan.collect { case _: UnresolvedHaving => () }.size,
+      scalarGates = scalarGates)
   }
 
   /** Detect and rewrite SELF-JOINS: a relation appearing N>1 times in

@@ -1704,6 +1704,63 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("non-window output columns"), ex2.getMessage)
   }
 
+
+  test("PROPERTY: scalar-subquery gates re-resolve per delete set; fences stay loud") {
+    // the global average MOVES with every delete set, so the gate must
+    // be re-resolved per refresh - compare against stock SQL over the
+    // survivor views across random deletions
+    val maintained =
+      """SELECT n_name, COUNT(*) AS n_big
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND CAST(round(o_totalprice * 100, 0) AS BIGINT) >
+        |     (SELECT AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) FROM orders)
+        |GROUP BY n_name""".stripMargin
+    Seq("nation", "customer").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 3) {
+      val mod = 4 + rnd.nextInt(9)
+      val res = rnd.nextInt(mod)
+      Tables.load(s, d, "orders").filter(col("o_orderkey") % mod =!= res)
+        .createOrReplaceTempView("surv_orders")
+      val want = s.sql(
+        """SELECT n_name, COUNT(*) AS n_big
+          |FROM nation JOIN customer ON c_nationkey = n_nationkey
+          | JOIN surv_orders ON o_custkey = c_custkey
+          |WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >
+          |  (SELECT AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) FROM surv_orders)
+          |GROUP BY n_name""".stripMargin)
+        .orderBy("n_name").collect().toSeq
+      val got = SqlCompiler.run(s, d, maintained,
+          deletes = Map("orders" -> (col("o_orderkey") % mod === res)))
+        .orderBy("n_name").collect().toSeq
+      assert(got == want, s"trial $trial (mod=$mod res=$res)")
+    }
+    // fence: the continuous path refuses the nonlinear gate
+    val c = SqlCompiler.compile(s, d, maintained)
+    val exS = intercept[IllegalArgumentException](
+      c.runStream(c.sourceChangelogs(s, d)))
+    assert(exS.getMessage.contains("NONLINEAR"), exS.getMessage)
+    // fence: a correlated scalar subquery stays loud
+    val exC = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_totalprice > (SELECT AVG(l_extendedprice) FROM lineitem
+        |                     WHERE l_orderkey = o_orderkey)
+        |GROUP BY n_name""".stripMargin))
+    assert(exC.getMessage.contains("correlated"), exC.getMessage)
+    // fence: a non-aggregate scalar subquery stays loud
+    val exN = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_totalprice > (SELECT o_totalprice FROM orders)
+        |GROUP BY n_name""".stripMargin))
+    assert(exN.getMessage.contains("AGGREGATE"), exN.getMessage)
+  }
+
   test("quantile_disc guards: non-literal or out-of-range q fails loudly") {
     val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
       """SELECT n_name, quantile_disc(o_totalprice, 1.5) AS q FROM nation, customer, orders
