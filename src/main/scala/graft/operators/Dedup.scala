@@ -631,6 +631,57 @@ object Dedup {
           .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash64"))
     },
 
+    // SIMHASH NEAR-DUP PAIRS — the C4-style pipeline completed: block
+    // candidates by 16-bit signature bands (4 bands — two near-dups
+    // within Hamming 6 of 64 bits must agree on ≥ 1 whole band far
+    // more often than chance), then confirm by EXACT Hamming distance
+    // computed nibble-wise on the hex signature (strpos decode + xor +
+    // bit_count per hex digit — identical integer ops in both engines,
+    // and no signed-64-bit conversion hazard on the high bit). The
+    // pair set is band-blocked, never all-pairs — the same scale
+    // discipline as the MinHash pipeline beside it.
+    sql("dedup_simhash_pairs", {
+      def nibDist(i: Int) =
+        s"bit_count(xor(strpos('0123456789abcdef', substr(sa, $i, 1)) - 1, " +
+          s"strpos('0123456789abcdef', substr(sb, $i, 1)) - 1))"
+      val hamming = (1 to 16).map(nibDist).mkString(" + ")
+      s"""WITH sigs AS (SELECT * FROM ($simhashOracleSql) q),
+         |bv AS (SELECT doc_id, simhash64, off, substr(simhash64, off, 4) AS band
+         |       FROM (SELECT doc_id, simhash64, unnest([1, 5, 9, 13]) AS off FROM sigs)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          a.simhash64 AS sa, b.simhash64 AS sb
+         |         FROM bv a JOIN bv b
+         |          ON a.off = b.off AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
+         |FROM cand WHERE $hamming <= 6""".stripMargin
+    }) {
+      (s, d) =>
+        val th = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)))).as("t"))
+          .selectExpr("doc_id", "md5(t) AS h")
+        val sigs = th.groupBy(col("doc_id"))
+          .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash64"))
+        val bv = sigs
+          .select(col("doc_id"), col("simhash64"),
+            explode(array(lit(1), lit(5), lit(9), lit(13))).as("off"))
+          .withColumn("band", expr("substr(simhash64, off, 4)"))
+        val cand = bv.select(col("off"), col("band"),
+            col("doc_id").as("doc_a"), col("simhash64").as("sa"))
+          .join(bv.select(col("off").as("off2"), col("band").as("band2"),
+              col("doc_id").as("doc_b"), col("simhash64").as("sb")),
+            col("off") === col("off2") && col("band") === col("band2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+        def nibDistC(i: Int) =
+          s"bit_count((instr('0123456789abcdef', substr(sa, $i, 1)) - 1) ^ " +
+            s"(instr('0123456789abcdef', substr(sb, $i, 1)) - 1))"
+        val hammingC = (1 to 16).map(nibDistC).mkString(" + ")
+        cand.withColumn("hamming", expr(hammingC).cast("long"))
+          .filter(col("hamming") <= 6)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+
     // THE SAME VIEW FROM SQL TEXT — text-is-the-interface applied to
     // the extension surface: the native aggregate reaches `SELECT`
     // through the FunctionRegistry ([[graft.functions.GraftFunctions]]
