@@ -3430,6 +3430,35 @@ object IncrementalQueries {
         "incremental_sql_window_rank_stream_leaf")
     },
 
+    // The pair-rollup fold over the CONTINUOUS engine's streamed
+    // leaf — same oracle as incremental_sql_argmax, closing the
+    // stream/batch parity for the whole new aggregate family
+    // (quantile, mode, max_by/min_by).
+    sql("incremental_sql_argmax_stream",
+      """WITH base AS (
+        | SELECT n_name, o_orderkey, o_totalprice
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0),
+        |mx AS (SELECT n_name, MAX(o_totalprice) AS mp, MIN(o_totalprice) AS mn
+        |       FROM base GROUP BY n_name)
+        |SELECT base.n_name,
+        | MAX(CASE WHEN o_totalprice = mp THEN o_orderkey END) AS top_order,
+        | MIN(CASE WHEN o_totalprice = mn THEN o_orderkey END) AS bottom_order,
+        | COUNT(*) AS n_rows
+        |FROM base JOIN mx USING (n_name)
+        |GROUP BY base.n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, max_by(o_orderkey, o_totalprice) AS top_order,
+            | min_by(o_orderkey, o_totalprice) AS bottom_order,
+            | COUNT(*) AS n_rows
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY n_name""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_argmax_stream_leaf")
+    },
+
     // GROUP BY expressions compiled from text: a COMPUTED grouping key
     // (calendar year) evaluates over the typed leaf deltas — grouping
     // is no longer limited to stored columns. The oracle wraps the SUM
