@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain's stdout through RAW (no "[info] " log-prefix):
+// the bench driver machine-parses the final JSON line of stdout, and the
+// default LoggedOutput decoration made that line unparseable (BENCH_r10's
+// `parsed: null`).
+run / outputStrategy := Some(StdoutOutput)
+// ... and suppress the trailing "[success] Total time" line so the JSON
+// really is the LAST stdout line a tail-capture sees.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -123,7 +123,11 @@ object SnapshotLog {
       val sameLogicalCommit =
         winnerDirs.size == 1 && winnerDirs.head.isDefined &&
           m.map { case (b, d) => b -> (if (d == dir) winnerDirs.head.get else d) } == winner &&
-          readDigest(root, v).contains(digest)
+          // Option-equality so the both-absent case matches: a replayed
+          // commit from a pre-digest manifest records digest "" which
+          // readDigest also normalizes to None — `.contains("")` could
+          // never succeed and threw on every legitimate replay.
+          readDigest(root, v) == Option(digest).filter(_.nonEmpty)
       if (!sameLogicalCommit)
         throw new java.util.ConcurrentModificationException(
           s"snapshot version $v at $root was committed concurrently with different content")
@@ -267,7 +271,8 @@ object SnapshotLog {
     * directory they point at are untouched, so reads of versions ≥
     * `retainFrom` are bit-identical before and after, while older
     * versions become unreadable (their manifests are gone). Returns
-    * the deleted directory names.
+    * the deleted directory names. Versions pinned by a live branch
+    * ([[branchAt]]'s registry) are retained regardless of the horizon.
     *
     * Concurrent-writer safety: an unreferenced directory is deleted
     * only when it is PROVABLY dead — referenced by an expired (now
@@ -298,13 +303,20 @@ object SnapshotLog {
     val versions = ls.map(_.getName)
       .filter(n => n.startsWith("_manifest_v") && n.endsWith(".json"))
       .map(_.stripPrefix("_manifest_v").stripSuffix(".json").toInt)
-    val (expired, kept) = versions.partition(_ < retainFrom)
+    // BRANCH PINS override the horizon: a shallow branch ([[branchAt]])
+    // reads this table's version-`pv` bucket dirs by absolute path, so
+    // `pv`'s manifest AND dirs must survive any vacuum until the pin is
+    // released ([[dropBranch]]) — the manifest too, because it is the
+    // only thing that can resolve the pinned dirs for FUTURE vacuums.
+    val pinned = branchPins(root).map(_._2).toSet
+    val (expired, kept) =
+      versions.partition(v => v < retainFrom && !pinned.contains(v))
     require(kept.nonEmpty, s"vacuum($retainFrom) would delete every manifest at $root")
     def canon(vs: Seq[Int]): Set[String] =
       vs.flatMap(v => readManifest(root, v).values).toSet
         .map((p: String) => new java.io.File(p).getCanonicalPath)
     val retained = canon(kept)
-    val provablyDead = canon(expired) // published, then aged below the horizon
+    val provablyDead = canon(expired) -- retained // published, then aged below the horizon
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
@@ -312,6 +324,7 @@ object SnapshotLog {
     def freshness(d: java.io.File): Long =
       (d.lastModified() +: Option(d.listFiles()).toSeq.flatten.map(_.lastModified())).max
     val doomed = ls.filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("_")) // registry/metadata dirs (_branches)
       .filterNot(d => retained.contains(d.getCanonicalPath))
       .filter(d => provablyDead.contains(d.getCanonicalPath) ||
         now - freshness(d) > attemptGraceMs)
@@ -365,6 +378,51 @@ object SnapshotLog {
   def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
     readVersion(spark, root, versionAsOf(root, tsMs))
 
+  // ---- branch registry: the anti-shallow-clone-corruption ledger ----
+
+  private def branchRegistryDir(root: String) = s"$root/_branches"
+
+  /** One pin file per branch destination, named by a stable hash of the
+    * dst's canonical path so any path spelling maps to the same pin. */
+  private def branchPinPath(srcRoot: String, dstRoot: String): String = {
+    val canonical = new java.io.File(dstRoot).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"${branchRegistryDir(srcRoot)}/pin_$h.json"
+  }
+
+  /** Live branch pins on `root`: (canonical dstRoot, pinned version). */
+  def branchPins(root: String): Seq[(String, Int)] = {
+    val d = new java.io.File(branchRegistryDir(root))
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("pin_") && f.getName.endsWith(".json"))
+      .map { f =>
+        val n = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+        (n.get("dst").asText, n.get("version").asInt)
+      }.sortBy(_._1)
+  }
+
+  private def writeBranchPin(srcRoot: String, v: Int, dstRoot: String): Unit = {
+    val path = java.nio.file.Paths.get(branchPinPath(srcRoot, dstRoot))
+    java.nio.file.Files.createDirectories(path.getParent)
+    val canonical = new java.io.File(dstRoot).getCanonicalPath
+    val node = mapper.createObjectNode()
+    node.put("dst", canonical); node.put("version", v)
+    val tmp = path.resolveSibling(path.getFileName.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, mapper.writeValueAsString(node))
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+  }
+
+  /** Release `dstRoot`'s pin on `srcRoot` (the branch was dropped or
+    * deep-copied away). Returns whether a pin existed. The caller owns
+    * the claim that the branch no longer reads shared storage — after
+    * this, the next source vacuum may delete the version-`v` data. */
+  def dropBranch(srcRoot: String, dstRoot: String): Boolean =
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(branchPinPath(srcRoot, dstRoot)))
+
   /** SHALLOW BRANCH (zero-copy clone — Delta's shallow CLONE,
     * Iceberg's branch): publish `dstRoot`'s version 0 as a manifest
     * that REFERENCES the source's version-`v` bucket directories. No
@@ -377,22 +435,48 @@ object SnapshotLog {
     * replayed branch creation is recognized; a different-source race
     * to the same dstRoot fails [[commitInitial]]-loudly via the CAS).
     *
-    * CAVEAT (exactly Delta's shallow-clone caveat): vacuum on the
-    * SOURCE is branch-blind — the source must retain version `v`
-    * (vacuum with retainFrom ≤ v) for as long as any branch lives.
-    * Vacuum on the BRANCH is safe by construction: it only ever
-    * deletes directories physically under the branch root, which
-    * source references never are. */
+    * Vacuum safety: every branch records a PIN (dstRoot → v) in a
+    * registry under the source root BEFORE its manifest publishes, and
+    * source [[vacuum]]/[[vacuumOlderThan]] retain every pinned
+    * version's manifest and data dirs — so, unlike Delta's shallow
+    * clone, vacuuming the source cannot corrupt a live branch. Release
+    * the pin with [[dropBranch]] when the branch is dropped. Vacuum on
+    * the BRANCH is safe by construction: it only ever deletes
+    * directories physically under the branch root, which source
+    * references never are. */
   def branchAt(srcRoot: String, v: Int, dstRoot: String): Unit = {
-    val m = readManifest(srcRoot, v)
     new java.io.File(dstRoot).mkdirs()
-    val digest = readDigest(srcRoot, v).getOrElse("")
-    if (!tryCommitManifest(dstRoot, 0, m, digest)) {
-      val sameLogicalBranch =
-        readManifest(dstRoot, 0) == m && readDigest(dstRoot, 0).contains(digest)
-      if (!sameLogicalBranch)
-        throw new java.util.ConcurrentModificationException(
-          s"branch root $dstRoot already has a DIFFERENT version 0")
+    // Pin BEFORE even READING the source manifest: once the pin is
+    // down, a concurrent source vacuum retains version `v`, so the
+    // read→publish span references dirs that cannot disappear. A
+    // pre-existing pin at a DIFFERENT version is left alone unless its
+    // branch manifest is gone (a stale pin from a manually removed
+    // branch) — if the branch is live, the publish below fails loudly.
+    val canonicalDst = new java.io.File(dstRoot).getCanonicalPath
+    val existingPin = branchPins(srcRoot).collectFirst {
+      case (d, pv) if d == canonicalDst => pv
+    }
+    val dstManifestLive = new java.io.File(manifestPath(dstRoot, 0)).exists()
+    val wrotePin = existingPin match {
+      case Some(pv) if pv == v => false // replay: pin already right
+      case Some(_) if dstManifestLive => false // live branch at another v: CAS will throw
+      case _ => writeBranchPin(srcRoot, v, dstRoot); true
+    }
+    try {
+      val m = readManifest(srcRoot, v)
+      val digest = readDigest(srcRoot, v).getOrElse("")
+      if (!tryCommitManifest(dstRoot, 0, m, digest)) {
+        val sameLogicalBranch =
+          readManifest(dstRoot, 0) == m && readDigest(dstRoot, 0) == Option(digest).filter(_.nonEmpty)
+        if (!sameLogicalBranch)
+          throw new java.util.ConcurrentModificationException(
+            s"branch root $dstRoot already has a DIFFERENT version 0")
+      }
+    } catch {
+      case e: Throwable =>
+        // the branch did not come to exist — release the claim we made
+        if (wrotePin) dropBranch(srcRoot, dstRoot)
+        throw e
     }
   }
 

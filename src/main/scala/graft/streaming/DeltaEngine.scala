@@ -1244,7 +1244,9 @@ object DeltaEngine {
       stateTtl.foreach { d =>
         // at most ONE live timer per key: re-arm on activity
         val want = timerValues.getCurrentProcessingTimeInMs() + d.toMillis
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // materialize first: deleting while iterating the state-store-backed
+        // timer iterator is mutation-during-iteration with no documented contract
+        getHandle.listTimers().toArray.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(want)
       }
       out.result().iterator
@@ -1310,7 +1312,9 @@ object DeltaEngine {
       sync(right, before.right, st.get.right)
       stateTtl.foreach { d =>
         val want = timerValues.getCurrentProcessingTimeInMs() + d.toMillis
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // materialize first: deleting while iterating the state-store-backed
+        // timer iterator is mutation-during-iteration with no documented contract
+        getHandle.listTimers().toArray.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(want)
       }
       out

@@ -186,6 +186,11 @@ object SqlCompiler {
     CompiledSetOp(l, r, except)
   }
 
+  /** SQL identifier-continuation character: a keyword match abutting one
+    * of these is part of an identifier (e.g. `except_flag`), not syntax. */
+  @inline private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
   /** Find the single top-level INTERSECT/EXCEPT; ALL forms are loud. */
   private[graft] def splitTopLevelSetOp(sqlText: String): (String, String, Boolean) = {
     var depth = 0; var inStr = false; var i = 0
@@ -206,17 +211,17 @@ object SqlCompiler {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case c if depth == 0 && (c == 'I' || c == 'i' || c == 'E' || c == 'e') &&
-            (i == 0 || !Character.isLetterOrDigit(sqlText.charAt(i - 1))) &&
+            (i == 0 || !isIdentChar(sqlText.charAt(i - 1))) &&
             (upper.startsWith("INTERSECT", i) || upper.startsWith("EXCEPT", i)) =>
           val except = upper.startsWith("EXCEPT", i)
           val kwLen = if (except) 6 else 9
           if (i + kwLen < sqlText.length &&
-              Character.isLetterOrDigit(sqlText.charAt(i + kwLen))) { i += 1 }
+              isIdentChar(sqlText.charAt(i + kwLen))) { i += 1 }
           else {
             var j = i + kwLen
             while (j < sqlText.length && Character.isWhitespace(sqlText.charAt(j))) j += 1
             if (upper.startsWith("ALL", j) &&
-                (j + 3 == sqlText.length || !Character.isLetterOrDigit(sqlText.charAt(j + 3))))
+                (j + 3 == sqlText.length || !isIdentChar(sqlText.charAt(j + 3))))
               fail("INTERSECT ALL / EXCEPT ALL (bag multiplicities) are not " +
                 "compiled — use the set forms")
             if (found.isDefined)
@@ -337,11 +342,12 @@ object SqlCompiler {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case 'U' | 'u' if depth == 0 && upper.startsWith("UNION", i) &&
-            (i == 0 || !Character.isLetterOrDigit(sqlText.charAt(i - 1))) =>
+            (i == 0 || !isIdentChar(sqlText.charAt(i - 1))) &&
+            (i + 5 == sqlText.length || !isIdentChar(sqlText.charAt(i + 5))) =>
           var j = i + 5
           while (j < sqlText.length && Character.isWhitespace(sqlText.charAt(j))) j += 1
           if (upper.startsWith("ALL", j) &&
-              (j + 3 == sqlText.length || !Character.isLetterOrDigit(sqlText.charAt(j + 3)))) {
+              (j + 3 == sqlText.length || !isIdentChar(sqlText.charAt(j + 3)))) {
             parts += sqlText.substring(start, i)
             start = j + 3
             i = j + 3

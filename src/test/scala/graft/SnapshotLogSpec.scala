@@ -169,6 +169,44 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(v0.contains((0L, "row0")) && !v0.exists(_._2.startsWith("OTHER")))
   }
 
+  test("source vacuum retains branch-pinned versions; dropBranch releases them") {
+    val src = java.nio.file.Files.createTempDirectory("graft_snap_bvs").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_snap_bvd").toString + "/branch"
+    val t = (0L until 32L).map(k => (k, s"row$k")).toDF("k", "payload")
+    SnapshotLog.commitInitial(t, src, "k")
+    // v1 and v2 both touch key 5's bucket, so v1's attempt dir is
+    // referenced by NO retained manifest once retainFrom = 2 — exactly
+    // the shape an unpinned vacuum would reclaim out from under a branch
+    SnapshotLog.commitMerge(spark, src, 1, "k", Seq("payload"),
+      Seq((5L, "U", "updated5")).toDF("k", "op", "payload"))
+    SnapshotLog.commitMerge(spark, src, 2, "k", Seq("payload"),
+      Seq((5L, "U", "again5")).toDF("k", "op", "payload"))
+    SnapshotLog.branchAt(src, 1, dst)
+    SnapshotLog.branchAt(src, 1, dst) // replay: still exactly one pin
+    assert(SnapshotLog.branchPins(src).map(_._2) == Seq(1))
+    val before = SnapshotLog.readVersion(spark, dst, 0).drop("b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(before.contains((5L, "updated5")) && before.size == 32)
+    // vacuum the SOURCE past the pinned version, grace 0 so only the
+    // pin can protect anything
+    SnapshotLog.vacuum(src, retainFrom = 2, attemptGraceMs = 0)
+    assert(!new java.io.File(s"$src/_manifest_v0.json").exists(), "v0 expired")
+    assert(new java.io.File(s"$src/_manifest_v1.json").exists(), "pinned v1 manifest survives")
+    val after = SnapshotLog.readVersion(spark, dst, 0).drop("b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "branch reads bit-identically after source vacuum")
+    // release the pin: the next vacuum reclaims v1's exclusive dir
+    assert(SnapshotLog.dropBranch(src, dst))
+    assert(SnapshotLog.branchPins(src).isEmpty)
+    val deleted = SnapshotLog.vacuum(src, retainFrom = 2, attemptGraceMs = 0)
+    assert(deleted.exists(_.startsWith("v1-")), s"v1 attempt dir reclaimed, got $deleted")
+    assert(!new java.io.File(s"$src/_manifest_v1.json").exists())
+    // the surviving head version is untouched
+    val v2 = SnapshotLog.readVersion(spark, src, 2).drop("b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v2.contains((5L, "again5")) && v2.size == 32)
+  }
+
   test("point lookup prunes to derivable buckets; empty-bucket-set lookups are loud") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_pt").toString
     val t = (0L until 64L).map(k => (k, s"row$k")).toDF("k", "payload")
