@@ -456,22 +456,24 @@ object Curation {
 
     // --- decontamination: eval-set n-gram overlap ----------------------
     // The check a training pipeline runs against its benchmark suite:
-    // flag training documents sharing >= 3 distinct word 5-grams with
+    // flag training documents sharing >= 3 distinct word 3-grams with
     // any eval document (here the held-out set is doc_id % 97 = 0, the
     // fixture stand-in for a real benchmark). Shapes: distinct shingles
     // exploded on BOTH sides, candidates from the gram equi-join (hash
     // partitioned on the gram — never an all-pairs compare), overlap =
-    // count of distinct shared grams per (train, eval) pair. 5-grams
-    // keep the join selective at corpus scale; the same pipeline as
-    // minhash-LSH confirm, so it inherits the 100 TB shape.
+    // count of distinct shared grams per (train, eval) pair. 3-grams at
+    // the fixture scale so the gate's expected result is NON-EMPTY (a
+    // 0=0 gate proves nothing); a production run would use 5-grams for
+    // join selectivity — the shape is identical, and it is the same
+    // pipeline as minhash-LSH confirm, so it inherits the 100 TB shape.
     sql("decontaminate_ngram_overlap",
       """WITH sh AS (
         | SELECT doc_id,
-        |  list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS grams
+        |  list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
         | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
         |       FROM documents) z
-        | WHERE len(t) >= 5),
+        | WHERE len(t) >= 3),
         |ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
         |ev AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 97 = 0),
         |tr AS (SELECT doc_id AS train_id, g FROM ex WHERE doc_id % 97 <> 0)
@@ -481,14 +483,14 @@ object Curation {
         |HAVING COUNT(*) >= 3""".stripMargin) {
       (s, d) =>
         import graft.functions.WordShingles.word_shingles
-        // word_shingles collapses <5-token docs to one joined shingle;
+        // word_shingles collapses <3-token docs to one joined shingle;
         // the oracle's generate_series yields none — filter those
         // docs BEFORE shingling so both sides agree
         val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
         val ex = Tables.documents(s, d)
           .select(col("doc_id"), toks.as("t"))
-          .filter(size(col("t")) >= 5)
-          .select(col("doc_id"), explode(word_shingles(col("t"), 5)).as("g"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(word_shingles(col("t"), 3)).as("g"))
         val ev = ex.filter(col("doc_id") % 97 === 0)
           .select(col("doc_id").as("eval_id"), col("g"))
         val tr = ex.filter(col("doc_id") % 97 =!= 0)

@@ -347,14 +347,17 @@ object Relational {
           .intersect(o.filter(col("o_orderdate") >= lit("1996-01-01")).select("o_custkey"))
     },
 
+    // customers with a finished order but no open one — picked so the
+    // sf0.01 gate has a NON-EMPTY expected result (46 rows): a 0=0 gate
+    // would also pass an operator that returns nothing for everything.
     sql("set_except",
-      """SELECT o_custkey FROM orders
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
-        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'""".stripMargin) {
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) {
       (s, d) =>
         val o = Tables.orders(s, d)
-        o.select("o_custkey")
-          .except(o.filter(col("o_orderdate") >= lit("1996-01-01")).select("o_custkey"))
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
     },
 
     // CUBE — all grouping-set combinations in one pass (Expand + agg).

@@ -52,7 +52,7 @@ class CurationSpec extends AnyFunSuite {
     assert(kept > total * 0.3 && kept < total * 0.7, s"kept $kept of $total")
   }
 
-  test("decontamination flags only cross-set pairs with real 5-gram overlap") {
+  test("decontamination flags only cross-set pairs with real 3-gram overlap") {
     val rows = q("decontaminate_ngram_overlap").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty)
@@ -65,7 +65,7 @@ class CurationSpec extends AnyFunSuite {
     val texts = Tables.documents(s, d).filter(col("doc_id").isin(train, eval_))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     def grams(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-      .sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
     assert(grams(texts(train)).intersect(grams(texts(eval_))).size == shared)
   }
 
