@@ -2502,6 +2502,44 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 7 === 0)))
     },
 
+    // The population-moments fold over the CONTINUOUS engine's
+    // streamed leaf — same oracle as incremental_sql_stddev_pop
+    // (stream/batch parity: the exact (n, Σx, Σx²) state must survive
+    // micro-batch replay with deletes retracting in later batches).
+    sql("incremental_sql_stddev_pop_stream",
+      """WITH t AS (
+        | SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        | FROM region, nation, customer, orders
+        | WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey
+        |  AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        |  AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0),
+        |m AS (SELECT n_name, COUNT(v) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+        |             SUM(CAST(v AS HUGEINT) * v) AS ss, COUNT(*) AS n_rows
+        |      FROM t GROUP BY n_name)
+        |SELECT n_name,
+        | (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |   / CAST(NULLIF(n * n, 0) AS DOUBLE) AS var_pop_e2,
+        | sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |   / CAST(NULLIF(n * n, 0) AS DOUBLE)) AS std_pop_e2,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name,
+            | VAR_POP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS var_pop_e2,
+            | STDDEV_POP(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS std_pop_e2,
+            | COUNT(*) AS n_rows
+            |FROM region, nation, customer, orders
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND o_custkey = c_custkey
+            | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)),
+        "incremental_sql_stddev_pop_stream_leaf")
+    },
+
     sql("incremental_sql_stddev",
       """WITH t AS (
         | SELECT n_name, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
@@ -2619,6 +2657,43 @@ object IncrementalQueries {
           |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
           |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin,
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+    // CORR × ROLLUP on the CONTINUOUS engine — same oracle as
+    // incremental_sql_corr_rollup: the per-grouping-set co-moment
+    // folds (delta-side Expand) under micro-batch replay.
+    sql("incremental_sql_corr_rollup_stream",
+      """WITH t AS (
+        | SELECT n_name, o_orderstatus,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x, o_custkey AS y
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0),
+        |m AS (SELECT n_name, o_orderstatus,
+        |  COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) END) AS sy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) * y END) AS syy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * y END) AS sxy,
+        |  COUNT(*) AS n_rows
+        | FROM t GROUP BY ROLLUP (n_name, o_orderstatus))
+        |SELECT n_name, o_orderstatus,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / NULLIF(sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |    * sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 0.0) AS r,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderstatus,
+            | CORR(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS r,
+            | COUNT(*) AS n_rows
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_corr_rollup_stream_leaf")
     },
 
     // CORR + COVAR_SAMP over the CONTINUOUS engine's streamed leaf —
@@ -2760,6 +2835,59 @@ object IncrementalQueries {
         deletes = Map(
           "customer" -> (col("c_custkey") % 11 === 0),
           "orders" -> (col("o_orderkey") % 7 === 0)))
+    },
+
+    // The per-(group, value) netting rollup over the CONTINUOUS
+    // engine's streamed leaf — same oracle as
+    // incremental_sql_count_distinct: a value's net count crossing
+    // zero in a LATER micro-batch must remove it from the distinct set.
+    sql("incremental_sql_count_distinct_stream",
+      """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio,
+        | CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_cust, COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, COUNT(DISTINCT o_orderpriority) AS n_prio,
+            | SUM(DISTINCT o_custkey) AS sum_cust, COUNT(*) AS n_rows
+            |FROM region, nation, customer, orders
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND o_custkey = c_custkey
+            | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)),
+        "incremental_sql_count_distinct_stream_leaf")
+    },
+
+    // AVG(DISTINCT) on the same streamed rollup — same oracle as
+    // incremental_sql_avg_distinct (exact integer Σ and n over the
+    // surviving value set, one IEEE division at presentation).
+    sql("incremental_sql_avg_distinct_stream",
+      """SELECT n_name, AVG(DISTINCT o_custkey) AS avg_cust,
+        | COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, AVG(DISTINCT o_custkey) AS avg_cust,
+            | COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_rows
+            |FROM region, nation, customer, orders
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND o_custkey = c_custkey
+            | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)),
+        "incremental_sql_avg_distinct_stream_leaf")
     },
 
     // Aggregate FILTER clauses — everyday SQL the compiler turns into
@@ -3104,6 +3232,43 @@ object IncrementalQueries {
           |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin,
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
     },
+    // CORR × ROLLUP on the CONTINUOUS engine — same oracle as
+    // incremental_sql_corr_rollup: the per-grouping-set co-moment
+    // folds (delta-side Expand) under micro-batch replay.
+    sql("incremental_sql_corr_rollup_stream",
+      """WITH t AS (
+        | SELECT n_name, o_orderstatus,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x, o_custkey AS y
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 6 <> 0),
+        |m AS (SELECT n_name, o_orderstatus,
+        |  COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) END) AS sy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) * y END) AS syy,
+        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * y END) AS sxy,
+        |  COUNT(*) AS n_rows
+        | FROM t GROUP BY ROLLUP (n_name, o_orderstatus))
+        |SELECT n_name, o_orderstatus,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / NULLIF(sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |    * sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 0.0) AS r,
+        | n_rows
+        |FROM m""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderstatus,
+            | CORR(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS r,
+            | COUNT(*) AS n_rows
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_corr_rollup_stream_leaf")
+    },
 
     // INCREMENTAL CUBE with COUNT(DISTINCT) — the per-value rollup
     // runs inside EVERY grouping set including the grand total (the
@@ -3170,6 +3335,29 @@ object IncrementalQueries {
         deletes = Map(
           "customer" -> (col("c_custkey") % 11 === 0),
           "orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
+    // MEDIAN's element selection over the CONTINUOUS engine's
+    // streamed rollup — same oracle as incremental_sql_median.
+    sql("incremental_sql_median_stream",
+      """SELECT n_name, quantile_disc(o_totalprice, 0.5) AS med_price,
+        | COUNT(*) AS n_rows
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 6 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, MEDIAN(o_totalprice) AS med_price,
+            | COUNT(*) AS n_rows
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            | AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_median_stream_leaf")
     },
 
     // GENERAL DISCRETE QUANTILES under retraction — MEDIAN's element
@@ -3338,6 +3526,37 @@ object IncrementalQueries {
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
     },
 
+    // The scalar gate on the CONTINUOUS engine: the gate is NONLINEAR,
+    // so the streamed form resolves it ONCE against the survivor
+    // inputs (Compiled.withScalarGatesResolved — the deployment
+    // pattern: a periodically recomputed threshold broadcast into the
+    // stream as a scan-filter literal) and then streams the gate-free
+    // view. Same oracle as incremental_sql_scalar_gate: the maintained
+    // state after full replay equals the batch refresh.
+    sql("incremental_sql_scalar_gate_stream",
+      """WITH srv AS (SELECT * FROM orders WHERE o_orderkey % 6 <> 0),
+        |a AS (SELECT AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS ap FROM srv)
+        |SELECT n_name, COUNT(*) AS n_big,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS big_rev_e2
+        |FROM nation, customer, srv, a
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND CAST(round(o_totalprice * 100, 0) AS BIGINT) > ap
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => {
+        val deletes = Map("orders" -> (col("o_orderkey") % 6 === 0))
+        runSqlStreamed(s, SqlCompiler.compile(s, dir,
+            """SELECT n_name, COUNT(*) AS n_big,
+              | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS big_rev_e2
+              |FROM nation, customer, orders
+              |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+              | AND CAST(round(o_totalprice * 100, 0) AS BIGINT) >
+              |     (SELECT AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) FROM orders)
+              |GROUP BY n_name""".stripMargin)
+            .withScalarGatesResolved(s, dir, deletes),
+          dir, deletes, "incremental_sql_scalar_gate_stream_leaf")
+      }
+    },
+
     // ANALYTIC PRESENTATION over a maintained view — window functions
     // in the SELECT list compile as a post-view decoration
     // (Compiled.windowItems): the incrementally maintained aggregate
@@ -3399,6 +3618,34 @@ object IncrementalQueries {
           |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
           |GROUP BY o_orderpriority, n_name HAVING n_orders > 100""".stripMargin,
         deletes = Map("orders" -> (col("o_orderkey") % 5 === 0)))
+    },
+
+    // HAVING × WINDOW on the CONTINUOUS engine — same oracle as
+    // incremental_sql_having_window: the presentation chain (HAVING
+    // prefix, then the rank decoration) recomputes per refresh over
+    // the streamed maintained view, so group survival under
+    // retraction must land BEFORE the rank counts them.
+    sql("incremental_sql_having_window_stream",
+      """WITH v AS (
+        | SELECT o_orderpriority, n_name, COUNT(*) AS n_orders
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderkey % 5 <> 0
+        | GROUP BY o_orderpriority, n_name
+        | HAVING COUNT(*) > 100)
+        |SELECT o_orderpriority, n_name, n_orders,
+        | RANK() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY n_orders DESC, n_name) AS nation_rank
+        |FROM v""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT o_orderpriority, n_name, COUNT(*) AS n_orders,
+            | RANK() OVER (PARTITION BY o_orderpriority
+            |   ORDER BY n_orders DESC, n_name) AS nation_rank
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY o_orderpriority, n_name HAVING n_orders > 100""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 5 === 0)),
+        "incremental_sql_having_window_stream_leaf")
     },
 
     // The windowed view over the CONTINUOUS engine's streamed leaf —
