@@ -1094,6 +1094,125 @@ object IncrementalQueries {
     SqlCompiler.compileSetOp(s, dir, setOpLhs + "\nEXCEPT\n" + setOpRhs)
       .run(s, dir, setOpDeletes)
 
+  /** Bare UNION (set semantics) across BAG branches — multiplicity
+    * collapses across and within branches through one set-semantics
+    * netting node; a delete removes a tuple only when NO branch still
+    * produces it. Branches deliberately non-DISTINCT so the collapse
+    * itself is what's gated. */
+  private val unionDistinctSql =
+    """SELECT n_name FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 8000
+      |UNION
+      |SELECT n_name FROM nation
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |WHERE s_acctbal > 5000""".stripMargin
+
+  def incrementalSqlUnionDistinct(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileUnionDistinct(s, dir, unionDistinctSql)
+      .run(s, dir, setOpDeletes)
+
+  /** The continuous form of the set-semantics UNION: every branch
+    * tree and the netting node in one streaming query. */
+  def incrementalSqlUnionDistinctStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sinkName = "incremental_sql_union_distinct_leaf"
+    val ss = replaySession(s)
+    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import s.implicits._
+    val c = SqlCompiler.compileUnionDistinct(s, dir, unionDistinctSql)
+    val sides = c.branches.zipWithIndex.map { case (cc, i) =>
+      val logs = cc.sourceChangelogs(s, dir, setOpDeletes, filtered = false)
+        .view.map { case (rel, ds) =>
+          rel -> boundedReplayCollect(s"$sinkName(b$i.$rel)", ds).toSeq }.toMap
+      (logs, logs.map { case (rel, _) => rel -> MemoryStream[Evt] })
+    }
+    val leaf = c.runStream(sides.map(_._2.view.mapValues(_.toDS()).toMap))
+    val query = leaf.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val seqs = sides.flatMap(_._1.values.flatten.map(_.seq)).distinct.sorted
+      seqs.foreach { seq =>
+        sides.foreach { case (logs, streams) =>
+          streams.foreach { case (rel, ms) =>
+            val evs = logs(rel).filter(_.seq == seq)
+            if (evs.nonEmpty) ms.addData(evs)
+          }
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    c.present(ss.table(sinkName).as[Evt])
+  }
+
+  /** Bag branches (no DISTINCT): n_name once per qualifying customer
+    * vs once per qualifying supplier — INTERSECT ALL keeps min of the
+    * two multiplicities, EXCEPT ALL the surplus. */
+  private val bagSetOpLhs =
+    """SELECT n_name FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 8000""".stripMargin
+  private val bagSetOpRhs =
+    """SELECT n_name FROM nation
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |WHERE s_acctbal > 5000""".stripMargin
+
+  def incrementalSqlIntersectAll(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileBagSetOp(s, dir, bagSetOpLhs + "\nINTERSECT ALL\n" + bagSetOpRhs)
+      .run(s, dir, setOpDeletes)
+
+  def incrementalSqlExceptAll(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileBagSetOp(s, dir, bagSetOpLhs + "\nEXCEPT ALL\n" + bagSetOpRhs)
+      .run(s, dir, setOpDeletes)
+
+  /** Continuous bag set ops: both branch trees replay side-tagged into
+    * one sink; the bag formula evaluates at presentation. */
+  private def runBagSetOpStreamed(s: SparkSession, dir: String, opSql: String,
+                                  sinkName: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = replaySession(s)
+    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import s.implicits._
+    val c = SqlCompiler.compileBagSetOp(s, dir, opSql)
+    def side(cc: SqlCompiler.Compiled, tag: String)
+        : (Map[String, Seq[Evt]], Map[String, MemoryStream[Evt]]) = {
+      val logs = cc.sourceChangelogs(s, dir, setOpDeletes, filtered = false)
+        .view.map { case (rel, ds) =>
+          rel -> boundedReplayCollect(s"$sinkName($tag.$rel)", ds).toSeq }.toMap
+      (logs, logs.map { case (rel, _) => rel -> MemoryStream[Evt] })
+    }
+    val (lLogs, lStreams) = side(c.left, "l")
+    val (rLogs, rStreams) = side(c.right, "r")
+    val leaf = c.runStream(lStreams.view.mapValues(_.toDS()).toMap,
+      rStreams.view.mapValues(_.toDS()).toMap)
+    val query = leaf.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val seqs = (lLogs.values.flatten ++ rLogs.values.flatten)
+        .map(_.seq).toSeq.distinct.sorted
+      seqs.foreach { seq =>
+        lStreams.foreach { case (rel, ms) =>
+          val evs = lLogs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        rStreams.foreach { case (rel, ms) =>
+          val evs = rLogs(rel).filter(_.seq == seq)
+          if (evs.nonEmpty) ms.addData(evs)
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    c.present(ss.table(sinkName).as[Evt])
+  }
+
+  def incrementalSqlIntersectAllStream(s: SparkSession, dir: String): DataFrame =
+    runBagSetOpStreamed(s, dir, bagSetOpLhs + "\nINTERSECT ALL\n" + bagSetOpRhs,
+      "incremental_sql_intersect_all_leaf")
+
+  def incrementalSqlExceptAllStream(s: SparkSession, dir: String): DataFrame =
+    runBagSetOpStreamed(s, dir, bagSetOpLhs + "\nEXCEPT ALL\n" + bagSetOpRhs,
+      "incremental_sql_except_all_leaf")
+
   /** The continuous form: both branch trees AND the set stages in one
     * streaming query — right-side deletes must flip tuples INTO an
     * EXCEPT result (and out of an INTERSECT) through held state. */
@@ -2133,6 +2252,80 @@ object IncrementalQueries {
         |SELECT DISTINCT n_name FROM nation
         |JOIN s ON s_nationkey = n_nationkey
         |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlExcept),
+
+    // Maintained bare UNION (SET semantics) — multiplicity collapse
+    // across bag branches through one netting node: a nation with 3
+    // qualifying customers and 2 qualifying suppliers is ONE row, and
+    // stays present until the LAST qualifying row on either side is
+    // deleted. Oracle: DuckDB's native UNION over the survivor CTEs.
+    sql("incremental_sql_union_distinct",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |UNION
+        |SELECT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlUnionDistinct),
+
+    // … and through the CONTINUOUS engine: branch trees and the
+    // netting node in ONE streaming query, same oracle.
+    sql("incremental_sql_union_distinct_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |UNION
+        |SELECT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlUnionDistinctStream),
+
+    // INTERSECT ALL — bag multiplicities via counts-based netting:
+    // per nation, min(#qualifying customers, #qualifying suppliers)
+    // copies survive; deletes move either count and the multiplicity
+    // follows. Oracle: DuckDB's native INTERSECT ALL over survivors.
+    sql("incremental_sql_intersect_all",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |INTERSECT ALL
+        |SELECT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlIntersectAll),
+
+    // EXCEPT ALL — the surplus max(nl − nr, 0) per tuple.
+    sql("incremental_sql_except_all",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |EXCEPT ALL
+        |SELECT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlExceptAll),
+
+    // … and their CONTINUOUS twins: both branch trees in one streaming
+    // query, side-tagged deltas, bag formula at presentation.
+    sql("incremental_sql_intersect_all_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |INTERSECT ALL
+        |SELECT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlIntersectAllStream),
+
+    sql("incremental_sql_except_all_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |EXCEPT ALL
+        |SELECT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlExceptAllStream),
 
     // … both through the CONTINUOUS engine: branch trees AND set
     // stages in one streaming query, flips crossing micro-batches.

@@ -114,10 +114,8 @@ object SqlCompiler {
     * convention: Origin offsets on a Union node do not delimit its
     * branches), then each compiles through the ordinary [[compile]].
     * Output schemas must agree by NAME AND ORDER — SQL's positional
-    * union is not papered over silently. `UNION` (set semantics)
-    * stays loudly uncompiled: distinct-of-union across maintained
-    * bags needs a cross-branch netting node this engine does not
-    * build. */
+    * union is not papered over silently. `UNION` (set semantics) is
+    * the cross-branch netting composition — [[compileUnionDistinct]]. */
   def compileUnionAll(spark: SparkSession, dir: String, sqlText: String): Seq[Compiled] = {
     val parts = splitTopLevelUnionAll(sqlText)
     if (parts.size < 2)
@@ -156,34 +154,88 @@ object SqlCompiler {
     * drivers). `INTERSECT ALL` / `EXCEPT ALL` (bag multiplicities)
     * stay loudly uncompiled. */
   def compileSetOp(spark: SparkSession, dir: String, sqlText: String): CompiledSetOp = {
-    val (lq, rq, except) = splitTopLevelSetOp(sqlText)
+    val (lq, rq, except, all) = splitTopLevelSetOp(sqlText)
+    if (all)
+      fail("INTERSECT ALL / EXCEPT ALL (bag multiplicities) compile through " +
+        "compileBagSetOp, not the set-semantics path")
     val l = compile(spark, dir, lq)
     val r = compile(spark, dir, rq)
-    Seq(l, r).foreach { c =>
+    checkSetBranches(Seq(l, r), "INTERSECT/EXCEPT")
+    CompiledSetOp(l, r, except)
+  }
+
+  /** Top-level `INTERSECT ALL` / `EXCEPT ALL` (BAG multiplicities) of
+    * two non-aggregate view branches, maintained incrementally by
+    * COUNTS-BASED NETTING: both branches' canonical output-row deltas
+    * net per (side, tuple), and the result multiplicity is the
+    * standard bag formula — min(nl, nr) for INTERSECT ALL,
+    * max(nl − nr, 0) for EXCEPT ALL — evaluated at presentation and
+    * exploded back to rows. Deletes on either side move the counts and
+    * the multiplicities follow exactly. */
+  def compileBagSetOp(spark: SparkSession, dir: String,
+                      sqlText: String): CompiledBagSetOp = {
+    val (lq, rq, except, all) = splitTopLevelSetOp(sqlText)
+    if (!all)
+      fail("compileBagSetOp expects INTERSECT ALL or EXCEPT ALL — the set " +
+        "forms compile through compileSetOp")
+    val l = compile(spark, dir, lq)
+    val r = compile(spark, dir, rq)
+    checkSetBranches(Seq(l, r), "INTERSECT ALL/EXCEPT ALL")
+    CompiledBagSetOp(l, r, except)
+  }
+
+  /** Top-level bare `UNION` (SET semantics) of independently
+    * compilable NON-AGGREGATE view branches, maintained incrementally:
+    * every branch's leaf deltas project to the shared OUTPUT-ROW canon
+    * (as the INTERSECT/EXCEPT compiler) and the UNION of those signed
+    * delta streams folds through ONE set-semantics node — a tuple is
+    * present while its net count across ALL branches is positive, so a
+    * delete on one branch removes the tuple only when no other branch
+    * still produces it. `UNION DISTINCT` spells the same thing. */
+  def compileUnionDistinct(spark: SparkSession, dir: String,
+                           sqlText: String): CompiledUnionDistinct = {
+    val parts = splitTopLevelUnionDistinct(sqlText)
+    if (parts.size < 2)
+      fail("compileUnionDistinct expects a top-level UNION of two or more queries")
+    val cs = parts.map(p => compile(spark, dir, p))
+    checkSetBranches(cs, "UNION")
+    CompiledUnionDistinct(cs)
+  }
+
+  /** The cross-branch alignment every set-semantics composition
+    * needs: non-aggregate view branches whose outputs agree by name,
+    * order AND type, each a plain source column (computed outputs
+    * have no cross-branch canonical rendering). */
+  private def checkSetBranches(cs: Seq[Compiled], op: String): Unit = {
+    cs.foreach { c =>
       if (c.viewMode.isEmpty)
-        fail("INTERSECT/EXCEPT compiles over non-aggregate view branches " +
+        fail(s"$op compiles over non-aggregate view branches " +
           "(SELECT [DISTINCT] of columns) — aggregate branches are not " +
           "maintained as row sets")
     }
-    if (l.outputCols != r.outputCols)
-      fail(s"INTERSECT/EXCEPT branch outputs ${r.outputCols.mkString("(", ",", ")")} " +
-        s"do not match ${l.outputCols.mkString("(", ",", ")")} — align the SELECT " +
-        "lists (names and order) explicitly")
-    Seq(l, r).foreach(c => c.outputSel.foreach { case (src, name) =>
+    val head = cs.head
+    cs.zipWithIndex.drop(1).foreach { case (c, i) =>
+      if (c.outputCols != head.outputCols)
+        fail(s"$op branch ${i + 1} outputs ${c.outputCols.mkString("(", ",", ")")} " +
+          s"do not match ${head.outputCols.mkString("(", ",", ")")} — align the SELECT " +
+          "lists (names and order) explicitly")
+    }
+    cs.foreach(c => c.outputSel.foreach { case (src, name) =>
       if (!c.colType.contains(src))
-        fail(s"INTERSECT/EXCEPT output '$name' must be a plain source column " +
+        fail(s"$op output '$name' must be a plain source column " +
           "(computed outputs have no cross-branch canonical rendering)")
       if (name.isEmpty || !name.head.isLower)
-        fail(s"INTERSECT/EXCEPT output '$name' must start with a lowercase letter " +
+        fail(s"$op output '$name' must start with a lowercase letter " +
           "(the canonical row reserves the '__' prefix)")
     })
-    l.outputSel.zip(r.outputSel).foreach { case ((ls, ln), (rs, _)) =>
-      if (l.colType(ls) != r.colType(rs))
-        fail(s"column '$ln': branch types differ " +
-          s"(${l.colType(ls).sql} vs ${r.colType(rs).sql}) — identical SQL tuples " +
-          "would not render to identical canonical rows")
+    cs.drop(1).foreach { c =>
+      head.outputSel.zip(c.outputSel).foreach { case ((ls, ln), (rs, _)) =>
+        if (head.colType(ls) != c.colType(rs))
+          fail(s"column '$ln': branch types differ " +
+            s"(${head.colType(ls).sql} vs ${c.colType(rs).sql}) — identical SQL tuples " +
+            "would not render to identical canonical rows")
+      }
     }
-    CompiledSetOp(l, r, except)
   }
 
   /** SQL identifier-continuation character: a keyword match abutting one
@@ -191,11 +243,13 @@ object SqlCompiler {
   @inline private def isIdentChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
-  /** Find the single top-level INTERSECT/EXCEPT; ALL forms are loud. */
-  private[graft] def splitTopLevelSetOp(sqlText: String): (String, String, Boolean) = {
+  /** Find the single top-level INTERSECT/EXCEPT [ALL]; returns
+    * (left, right, except, all) — [[compileSetOp]] takes the set
+    * forms, [[compileBagSetOp]] the ALL forms. */
+  private[graft] def splitTopLevelSetOp(sqlText: String): (String, String, Boolean, Boolean) = {
     var depth = 0; var inStr = false; var i = 0
     val upper = sqlText.toUpperCase
-    var found: Option[(Int, Int, Boolean)] = None // (start, end, except)
+    var found: Option[(Int, Int, Boolean, Boolean)] = None // (start, end, except, all)
     while (i < sqlText.length) {
       val ch = sqlText.charAt(i)
       if (inStr) {
@@ -220,53 +274,72 @@ object SqlCompiler {
           else {
             var j = i + kwLen
             while (j < sqlText.length && Character.isWhitespace(sqlText.charAt(j))) j += 1
-            if (upper.startsWith("ALL", j) &&
-                (j + 3 == sqlText.length || !isIdentChar(sqlText.charAt(j + 3))))
-              fail("INTERSECT ALL / EXCEPT ALL (bag multiplicities) are not " +
-                "compiled — use the set forms")
+            val all = upper.startsWith("ALL", j) &&
+              (j + 3 == sqlText.length || !isIdentChar(sqlText.charAt(j + 3)))
             if (found.isDefined)
               fail("more than one top-level INTERSECT/EXCEPT is not compiled — " +
                 "parenthesize to fix the association explicitly")
-            found = Some((i, i + kwLen, except))
-            i += kwLen
+            val end = if (all) j + 3 else i + kwLen
+            found = Some((i, end, except, all))
+            i = end
           }
         case _ => i += 1
       }
     }
     found match {
-      case Some((s, e, except)) =>
+      case Some((s, e, except, all)) =>
         val (lq, rq) = (sqlText.substring(0, s).trim, sqlText.substring(e).trim)
         if (lq.isEmpty || rq.isEmpty) fail("INTERSECT/EXCEPT needs a query on each side")
-        (lq, rq, except)
+        (lq, rq, except, all)
       case None => fail("compileSetOp expects a top-level INTERSECT or EXCEPT")
     }
   }
 
+  /** Branch leaf deltas → Evts keyed by (md5 of) the OUTPUT ROW:
+    * the canonical string of sorted alias→value pairs (typed values
+    * rendered to strings through the branch's column type, so equal
+    * SQL tuples render identically; NULLs drop their pair — all
+    * branches consistently). The hash rides IN the row under the
+    * reserved `__k` name so the engine's column-keyed stages can
+    * route on it. Shared by the INTERSECT/EXCEPT and set-UNION
+    * compositions. */
+  private def projectOutputRow(c: Compiled, leaf: Dataset): Dataset = {
+    import org.apache.spark.sql.functions._
+    val spark = leaf.sparkSession
+    import spark.implicits._
+    val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    val pairs = c.outputSel.sortBy(_._2).map { case (src, name) =>
+      concat(lit(name + KV), m.getItem(src).cast(c.colType(src)).cast("string"))
+    }
+    val canonOut = concat_ws(FS.toString, pairs: _*)
+    val keyed = md5(canonOut)
+    leaf.toDF().select(col("seq"), lit(false).as("fromParent"), col("tag"),
+      col("mult"), keyed.as("key"),
+      concat(lit("__k" + KV), keyed, lit(FS.toString), canonOut).as("row"))
+      .as[Evt]
+  }
+
+  /** Net > 0 tuples, one row each (set semantics), `c`'s column
+    * order, re-typed through `c`'s column types. */
+  private def presentOutputRows(c: Compiled, leaf: Dataset): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
+    val typedCols = c.outputSel.map { case (src, name) =>
+      m.getItem(name).cast(c.colType(src)).as(name)
+    }
+    leaf.toDF()
+      .select((col("tag") * col("mult")).cast("long").as("__sign") +: typedCols: _*)
+      .groupBy(c.outputSel.map(t => col(t._2)): _*)
+      .agg(sum(col("__sign")).as("__net"))
+      .filter(col("__net") > 0)
+      .select(c.outputSel.map(t => col(t._2)): _*)
+  }
+
   /** The compiled set operation — see [[compileSetOp]]. */
   final case class CompiledSetOp(left: Compiled, right: Compiled, except: Boolean) {
-    import org.apache.spark.sql.functions._
 
-    /** Branch leaf deltas → Evts keyed by (md5 of) the OUTPUT ROW:
-      * the canonical string of sorted alias→value pairs (typed values
-      * rendered to strings through the branch's column type, so equal
-      * SQL tuples render identically; NULLs drop their pair — both
-      * branches consistently). The hash rides IN the row under the
-      * reserved `__k` name so the engine's column-keyed stages can
-      * route on it. */
-    private def projectOutput(c: Compiled, leaf: Dataset): Dataset = {
-      val spark = leaf.sparkSession
-      import spark.implicits._
-      val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
-      val pairs = c.outputSel.sortBy(_._2).map { case (src, name) =>
-        concat(lit(name + KV), m.getItem(src).cast(c.colType(src)).cast("string"))
-      }
-      val canonOut = concat_ws(FS.toString, pairs: _*)
-      val keyed = md5(canonOut)
-      leaf.toDF().select(col("seq"), lit(false).as("fromParent"), col("tag"),
-        col("mult"), keyed.as("key"),
-        concat(lit("__k" + KV), keyed, lit(FS.toString), canonOut).as("row"))
-        .as[Evt]
-    }
+    private def projectOutput(c: Compiled, leaf: Dataset): Dataset =
+      projectOutputRow(c, leaf)
 
     private def setStages: Seq[DeltaEngine.Stage] = Seq(
       DeltaEngine.Stage("__setop_rkeys",
@@ -279,18 +352,7 @@ object SqlCompiler {
 
     /** Net > 0 tuples, one row each (set semantics), left's column
       * order, re-typed through the left branch's column types. */
-    def present(leaf: Dataset): DataFrame = {
-      val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
-      val typedCols = left.outputSel.map { case (src, name) =>
-        m.getItem(name).cast(left.colType(src)).as(name)
-      }
-      leaf.toDF()
-        .select((col("tag") * col("mult")).cast("long").as("__sign") +: typedCols: _*)
-        .groupBy(left.outputSel.map(s => col(s._2)): _*)
-        .agg(sum(col("__sign")).as("__net"))
-        .filter(col("__net") > 0)
-        .select(left.outputSel.map(s => col(s._2)): _*)
-    }
+    def present(leaf: Dataset): DataFrame = presentOutputRows(left, leaf)
 
     def run(spark: SparkSession, dir: String,
             deletes: Map[String, Column] = Map.empty): DataFrame = {
@@ -313,17 +375,127 @@ object SqlCompiler {
     }
   }
 
-  /** Split on `UNION ALL` at paren depth 0, outside string literals
-    * and comments (`--` to end-of-line, `/* */` blocks); a doubled
-    * quote inside a literal is the SQL escape, not a close; a bare
-    * top-level `UNION` (set semantics) fails loudly. */
-  private[graft] def splitTopLevelUnionAll(sqlText: String): Seq[String] = {
+  /** The compiled bag set operation — see [[compileBagSetOp]]. The
+    * side marker rides in `fromParent` (the engine never reads that
+    * field past the leaf; here the "tree" is the two branch trees
+    * themselves, so the deltas land side-tagged in one changelog). */
+  final case class CompiledBagSetOp(left: Compiled, right: Compiled, except: Boolean) {
+    import org.apache.spark.sql.functions._
+
+    private def sideDeltas(c: Compiled, leaf: Dataset, right: Boolean): Dataset = {
+      val spark = leaf.sparkSession
+      import spark.implicits._
+      projectOutputRow(c, leaf).toDF()
+        .withColumn("fromParent", lit(right)).as[Evt]
+    }
+
+    /** Bag-formula multiplicities from the netted per-side counts,
+      * exploded back to rows in the left branch's column order. */
+    def present(leaf: Dataset): DataFrame = {
+      val nets = leaf.toDF()
+        .groupBy(col("fromParent"), col("key"))
+        .agg(sum((col("tag") * col("mult")).cast("long")).as("__n"),
+          max(col("row")).as("__row"))
+      // fresh aliases per side: both sides descend from the SAME plan
+      // (one changelog), so a name-join would see conflicting
+      // attribute references (the streaming memory sink defeats
+      // Spark's self-join dedup)
+      val l = nets.filter(!col("fromParent"))
+        .select(col("key").as("__kl"), col("__n").as("__nl"), col("__row"))
+      val r = nets.filter(col("fromParent"))
+        .select(col("key").as("__kr"), col("__n").as("__nr"))
+      val counted =
+        if (except)
+          l.join(r, col("__kl") === col("__kr"), "left_outer")
+            .withColumn("__m", greatest(col("__nl") - coalesce(col("__nr"), lit(0L)), lit(0L)))
+        else
+          l.join(r, col("__kl") === col("__kr"))
+            .withColumn("__m", least(col("__nl"), col("__nr")))
+      val m = str_to_map(col("__row"), lit(FS.toString), lit(KV.toString))
+      val typed = left.outputSel.map { case (src, name) =>
+        m.getItem(name).cast(left.colType(src)).as(name)
+      }
+      counted.filter(col("__m") > 0)
+        .select(col("__m") +: typed: _*)
+        .withColumn("__i", explode(sequence(lit(1L), col("__m"))))
+        .select(left.outputSel.map(t => col(t._2)): _*)
+    }
+
+    def run(spark: SparkSession, dir: String,
+            deletes: Map[String, Column] = Map.empty): DataFrame = {
+      val l = sideDeltas(left, left.leafDeltas(spark, dir, deletes), right = false)
+      val r = sideDeltas(right, right.leafDeltas(spark, dir, deletes), right = true)
+      present(l union r)
+    }
+
+    /** The continuous form: both branch trees in one streaming query,
+      * side-tagged into a single changelog sink. Consume with
+      * foreachBatch + [[present]]. */
+    def runStream(leftLogs: Map[String, Dataset], rightLogs: Map[String, Dataset],
+                  tws: Boolean = false): Dataset =
+      sideDeltas(left, left.runStream(leftLogs, tws = tws), right = false)
+        .union(sideDeltas(right, right.runStream(rightLogs, tws = tws), right = true))
+  }
+
+  /** The compiled set-semantics UNION — see [[compileUnionDistinct]].
+    * One set-semantics engine node over the UNION of every branch's
+    * canonical output-row deltas: the node's 0↔positive flips ARE the
+    * result's inserts/deletes, so multiplicity across branches (and
+    * within a bag branch) collapses exactly, under retraction. */
+  final case class CompiledUnionDistinct(branches: Seq[Compiled]) {
+
+    private def unionStages: Seq[DeltaEngine.Stage] = Seq(
+      DeltaEngine.Stage("__setop_ukeys",
+        NodeSpec("__setop_u", "__k", "__k", isRoot = true, setSemantics = true)))
+
+    /** Net > 0 tuples, one row each, in the first branch's column
+      * order/types (all branches are alignment-checked equal). */
+    def present(leaf: Dataset): DataFrame = presentOutputRows(branches.head, leaf)
+
+    def run(spark: SparkSession, dir: String,
+            deletes: Map[String, Column] = Map.empty): DataFrame = {
+      val deltas = branches
+        .map(c => projectOutputRow(c, c.leafDeltas(spark, dir, deletes)))
+        .reduce(_ union _)
+      present(DeltaEngine.runTree(unionStages,
+        Map("__setop_u" -> deltas), sourceFiltered = true))
+    }
+
+    /** The continuous form: every branch tree AND the netting node in
+      * one streaming query (branch streams union into the shared
+      * node's changelog). Consume with foreachBatch + [[present]]. */
+    def runStream(branchLogs: Seq[Map[String, Dataset]],
+                  tws: Boolean = false): Dataset = {
+      require(branchLogs.size == branches.size,
+        s"expected ${branches.size} branch changelog maps, got ${branchLogs.size}")
+      val deltas = branches.zip(branchLogs)
+        .map { case (c, logs) => projectOutputRow(c, c.runStream(logs, tws = tws)) }
+        .reduce(_ union _)
+      val logs = Map("__setop_u" -> deltas)
+      if (tws) DeltaEngine.runStreamTreeTws(unionStages, logs, sourceFiltered = true)
+      else DeltaEngine.runStreamTree(unionStages, logs, sourceFiltered = true)
+    }
+  }
+
+  /** Split on top-level `UNION [ALL|DISTINCT]` at paren depth 0,
+    * outside string literals and comments (`--` to end-of-line,
+    * `/* */` blocks); a doubled quote inside a literal is the SQL
+    * escape, not a close. Returns the branch texts plus, per
+    * separator, whether it was a bag union (`ALL`) — the
+    * [[splitTopLevelUnionAll]] / [[splitTopLevelUnionDistinct]]
+    * wrappers enforce a single kind per level (mixing associates
+    * left in standard SQL; parenthesize to compile it). */
+  private def splitTopLevelUnion(sqlText: String): (Seq[String], Seq[Boolean]) = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val kinds = scala.collection.mutable.ArrayBuffer[Boolean]()
     var depth = 0
     var inStr = false
     var start = 0
     var i = 0
     val upper = sqlText.toUpperCase
+    def kwAt(kw: String, j: Int): Boolean =
+      upper.startsWith(kw, j) &&
+        (j + kw.length == sqlText.length || !isIdentChar(sqlText.charAt(j + kw.length)))
     while (i < sqlText.length) {
       val ch = sqlText.charAt(i)
       if (inStr) {
@@ -341,23 +513,43 @@ object SqlCompiler {
           i = if (end < 0) sqlText.length else end + 2
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
-        case 'U' | 'u' if depth == 0 && upper.startsWith("UNION", i) &&
-            (i == 0 || !isIdentChar(sqlText.charAt(i - 1))) &&
-            (i + 5 == sqlText.length || !isIdentChar(sqlText.charAt(i + 5))) =>
+        case 'U' | 'u' if depth == 0 && kwAt("UNION", i) &&
+            (i == 0 || !isIdentChar(sqlText.charAt(i - 1))) =>
           var j = i + 5
           while (j < sqlText.length && Character.isWhitespace(sqlText.charAt(j))) j += 1
-          if (upper.startsWith("ALL", j) &&
-              (j + 3 == sqlText.length || !isIdentChar(sqlText.charAt(j + 3)))) {
-            parts += sqlText.substring(start, i)
-            start = j + 3
-            i = j + 3
-          } else fail("top-level UNION (set semantics) is not compiled — " +
-            "use UNION ALL, or add an explicit SELECT DISTINCT view over it")
+          parts += sqlText.substring(start, i)
+          if (kwAt("ALL", j)) { kinds += true; start = j + 3 }
+          else if (kwAt("DISTINCT", j)) { kinds += false; start = j + 8 }
+          else { kinds += false; start = j }
+          i = start
         case _ => i += 1
       }
     }
     parts += sqlText.substring(start)
-    parts.map(_.trim).filter(_.nonEmpty).toSeq
+    (parts.map(_.trim).filter(_.nonEmpty).toSeq, kinds.toSeq)
+  }
+
+  /** The bag-union split — every top-level separator must be
+    * `UNION ALL`; a set-semantics `UNION` routes to
+    * [[compileUnionDistinct]] instead. */
+  private[graft] def splitTopLevelUnionAll(sqlText: String): Seq[String] = {
+    val (parts, kinds) = splitTopLevelUnion(sqlText)
+    if (kinds.exists(k => !k))
+      fail("top-level UNION (set semantics) — compile it with " +
+        "compileUnionDistinct; mixing UNION and UNION ALL at one level " +
+        "is not compiled (parenthesize to fix the association)")
+    parts
+  }
+
+  /** The set-union split — every top-level separator must be a bare
+    * `UNION` (or `UNION DISTINCT`). */
+  private[graft] def splitTopLevelUnionDistinct(sqlText: String): Seq[String] = {
+    val (parts, kinds) = splitTopLevelUnion(sqlText)
+    if (kinds.exists(identity))
+      fail("compileUnionDistinct expects set-semantics UNION between every " +
+        "branch — mixing UNION ALL at one level is not compiled " +
+        "(parenthesize to fix the association)")
+    parts
   }
 
   /** Conservative syntactic proof that a WHERE conjunct evaluates to

@@ -1531,7 +1531,10 @@ class SqlCompilerSpec extends AnyFunSuite {
     // fences
     val exAll = intercept[IllegalArgumentException](
       SqlCompiler.compileSetOp(s, d, s"$lhs\nINTERSECT ALL\n$rhs"))
-    assert(exAll.getMessage.contains("ALL"), exAll.getMessage)
+    assert(exAll.getMessage.contains("compileBagSetOp"), exAll.getMessage)
+    val exSet = intercept[IllegalArgumentException](
+      SqlCompiler.compileBagSetOp(s, d, s"$lhs\nINTERSECT\n$rhs"))
+    assert(exSet.getMessage.contains("compileSetOp"), exSet.getMessage)
     val exAgg = intercept[IllegalArgumentException](SqlCompiler.compileSetOp(s, d,
       """SELECT n_name, COUNT(*) AS n FROM nation
         |JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name
@@ -1794,10 +1797,24 @@ class SqlCompilerSpec extends AnyFunSuite {
     // the UNION ALL here is still inside the string
     assert(splitTopLevelUnionAll(
       "SELECT 'it''s a UNION ALL trap' AS x FROM t").size == 1)
-    // bare UNION (set semantics) is loudly uncompiled
+    // bare UNION (set semantics) routes to the set compiler, not this one
     val ex = intercept[IllegalArgumentException](
       splitTopLevelUnionAll("SELECT 1 UNION SELECT 2"))
-    assert(ex.getMessage.contains("UNION ALL"), ex.getMessage)
+    assert(ex.getMessage.contains("compileUnionDistinct"), ex.getMessage)
+    // ... and the set splitter takes bare UNION / UNION DISTINCT, not ALL
+    import graft.streaming.SqlCompiler.splitTopLevelUnionDistinct
+    assert(splitTopLevelUnionDistinct("SELECT 1 UNION SELECT 2").size == 2)
+    assert(splitTopLevelUnionDistinct(
+      "SELECT 1 UNION DISTINCT SELECT 2 UNION SELECT 3").size == 3)
+    val exMix = intercept[IllegalArgumentException](
+      splitTopLevelUnionDistinct("SELECT 1 UNION SELECT 2 UNION ALL SELECT 3"))
+    assert(exMix.getMessage.contains("mixing"), exMix.getMessage)
+    val exMix2 = intercept[IllegalArgumentException](
+      splitTopLevelUnionAll("SELECT 1 UNION SELECT 2 UNION ALL SELECT 3"))
+    assert(exMix2.getMessage.contains("mixing"), exMix2.getMessage)
+    // an identifier containing 'union' must not split the set form either
+    assert(splitTopLevelUnionDistinct("SELECT reunion FROM t UNION SELECT x FROM u").size == 2)
+    assert(splitTopLevelUnionDistinct("SELECT union_flag FROM t").size == 1)
     // schema misalignment across branches is loud
     val ex2 = intercept[IllegalArgumentException](SqlCompiler.compileUnionAll(s, d,
       """SELECT n_name, COUNT(*) AS n FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name
