@@ -707,5 +707,72 @@ object TextAnalysis {
               sum(col("n") * col("tok"))).as("chars_per_token"),
             (sum(col("n") * col("tok")).cast("double") /
               sum(col("n"))).as("fertility"))
+    },
+
+    // N-GRAM LM PERPLEXITY quality filter — the classic LLM data-quality
+    // scorer: a bigram language model with add-1 smoothing trained ON
+    // the corpus itself scores every document; documents the model
+    // finds surprising (high perplexity = improbable word transitions)
+    // are flagged. Determinism: per-term probability
+    // p = (c12+1)/(c1+V) is converted to FIXED-POINT e6 by exact
+    // half-up integer division q = (num·2e6 + den) div (2·den) — no
+    // per-term transcendentals to drift cross-engine (the same
+    // no-ln trade as the TF-IDF entry) — summed exactly per doc, and
+    // the reported perplexity proxy n·1e6/Σq (the harmonic-mean
+    // inverse probability, a monotone perplexity stand-in) is ONE
+    // IEEE division of exact integers. The low_quality flag is an
+    // exact integer cross-multiply (proxy > 29.5 ⟺ 2n·1e6 > 59·Σq).
+    // Shape at scale: one scan → bigram explode; counts and the
+    // prefix rollup are hash aggregates; scoring re-joins on the
+    // bigram key (hash-partitioned, never all-pairs); V is a
+    // distinct-word reduce collected as a literal (the DSIR pattern).
+    // 100 TB note: the e6 intermediate (c12+1)·2e6 overflows BIGINT
+    // only past ~4.6e12 occurrences of one bigram — lift to
+    // DECIMAL(38,0) (decSum's trick) if a corpus ever gets there.
+    sql("text_lm_perplexity",
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |           FROM documents),
+        |d2 AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM d2)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |pc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM d2)),
+        |terms AS (SELECT doc_id,
+        |   ((c12 + 1) * 2000000 + (c1 + v)) // (2 * (c1 + v)) AS q
+        |  FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1), vv),
+        |doc AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(q) AS BIGINT) AS sum_p_e6
+        |        FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_p_e6,
+        | CAST(n_bigrams * 1000000 AS DOUBLE) / NULLIF(sum_p_e6, 0) AS ppl_proxy,
+        | 2 * n_bigrams * 1000000 > 59 * sum_p_e6 AS low_quality
+        |FROM doc""".stripMargin) {
+      (s, d) =>
+        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+        val bg = docs
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+          .select(col("doc_id"),
+            element_at(col("t"), col("i")).as("w1"),
+            element_at(col("t"), col("i") + 1).as("w2"))
+        val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val pc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        // vocab size: distinct-word reduce to ONE value, embedded as a
+        // literal (no one-row cross join enters the plan)
+        val v = docs.select(explode(col("t")).as("w"))
+          .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+        bg.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
+          .select(col("doc_id"),
+            expr(s"((c12 + 1) * 2000000 + (c1 + $v)) div (2 * (c1 + $v))").as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_p_e6"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_p_e6"),
+            ((col("n_bigrams") * 1000000L).cast("double") /
+              nullif(col("sum_p_e6"), lit(0L))).as("ppl_proxy"),
+            (lit(2L) * col("n_bigrams") * 1000000L > lit(59L) * col("sum_p_e6"))
+              .as("low_quality"))
     })
 }
