@@ -1213,6 +1213,93 @@ object IncrementalQueries {
     runBagSetOpStreamed(s, dir, bagSetOpLhs + "\nEXCEPT ALL\n" + bagSetOpRhs,
       "incremental_sql_except_all_leaf")
 
+  // ---- ASOF JOIN from SQL text ---------------------------------------
+
+  /** The ASOF dialect text the SQL-surface entries compile — the same
+    * enrichment events_asof_join runs through the API. */
+  private val asofSql =
+    """SELECT p.event_id, p.user_id, p.ts,
+      | c.click_id AS asof_click_id, c.ts AS asof_click_ts
+      |FROM p ASOF LEFT JOIN c
+      |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  /** The prepared branches (CTE bodies stay DataFrame code): clicks
+    * deduped to one per (user, ts) for a deterministic match. */
+  private def asofInputs(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val ev = Tables.events(s, dir)
+    Map(
+      "c" -> ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id")),
+      "p" -> ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")))
+  }
+
+  def incrementalSqlAsOf(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileAsOf(s, asofSql).run(asofInputs(s, dir))
+
+  /** The compiled ASOF spec lowered onto the CONTINUOUS operator
+    * (StreamingAnalytics.streamAsOfJoin): the spec names the key, the
+    * two timestamps, the left id and the right value the harness
+    * feeds — so the SQL surface, not a hand-wired copy of it, is what
+    * the stream gate runs. The continuous lowering supports ONE bigint
+    * key and ONE bigint right value (the streaming operator's state
+    * row); wider shapes run the batch lowering. */
+  def incrementalSqlAsOfStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingAnalytics.{streamAsOfJoin, AsOfIn}
+    val c = SqlCompiler.compileAsOf(s, asofSql)
+    require(c.keyPairs.size == 1 && c.leftOuter,
+      "the continuous as-of lowering takes ASOF LEFT JOIN with one key")
+    val (lKey, rKey) = c.keyPairs.head
+    val lId = c.items.collectFirst {
+      case (false, src, _) if src != lKey && src != c.leftTs => src
+    }.getOrElse(sys.error("no left id column in the select list"))
+    val rVal = c.items.collectFirst {
+      case (true, src, _) if src != rKey && src != c.rightTs => src
+    }.getOrElse(sys.error("no right value column in the select list"))
+    val rels = asofInputs(s, dir)
+    val ss = replaySession(s)
+    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import s.implicits._
+    val feed = rels(c.leftRel)
+        .select(col(lKey).cast("long"), col(c.leftTs),
+          lit(false).as("isRight"), col(lId).cast("long"))
+        .unionAll(rels(c.rightRel)
+          .select(col(rKey).cast("long"), col(c.rightTs),
+            lit(true).as("isRight"), col(rVal).cast("long")))
+        .as[(Long, java.sql.Timestamp, Boolean, Long)]
+    val collected = boundedReplayCollect("incremental_sql_asof_stream", feed)
+    val ev = collected.map(r => AsOfIn(r._1, r._2, r._3, r._4))
+      .sortBy(e => (e.ts.getTime, e.id))
+    val src = MemoryStream[AsOfIn]
+    val out = streamAsOfJoin(src.toDS(), delay = "1 second")
+    val query = out.writeStream
+      .format("memory").queryName("incremental_sql_asof_stream_sink")
+      .outputMode("append").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      src.addData(first)
+      query.processAllAvailable()
+      src.addData(second)
+      query.processAllAvailable()
+      // sentinel: unused key far past every event, flushes the tail
+      src.addData(AsOfIn(-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        isRight = false, id = -1L))
+      query.processAllAvailable()
+    } finally query.stop()
+    ss.table("incremental_sql_asof_stream_sink")
+      .filter(col("key") >= 0)
+      .select(c.items.map {
+        case (false, src, out0) if src == lKey => col("key").as(out0)
+        case (false, src, out0) if src == c.leftTs => col("left_ts").as(out0)
+        case (false, _, out0) => col("left_id").as(out0)
+        case (true, src, out0) if src == rKey => col("key").as(out0)
+        case (true, src, out0) if src == c.rightTs => col("asof_ts").as(out0)
+        case (true, _, out0) => col("asof_id").as(out0)
+      }: _*)
+  }
+
   /** The continuous form: both branch trees AND the set stages in one
     * streaming query — right-side deletes must flip tuples INTO an
     * EXCEPT result (and out of an INTERSECT) through held state. */
@@ -2326,6 +2413,30 @@ object IncrementalQueries {
         |SELECT n_name FROM nation
         |JOIN s ON s_nationkey = n_nationkey
         |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlExceptAllStream),
+
+    // ASOF JOIN from SQL TEXT — the as-of machinery green via the API
+    // since r8, now reachable from a query string: compileAsOf parses
+    // the DuckDB spelling (inequality in ON; Snowflake MATCH_CONDITION
+    // accepted) and lowers onto the union-window operator. Same oracle
+    // as events_asof_join.
+    sql("incremental_sql_asof",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
+      incrementalSqlAsOf),
+
+    // … and the same compiled spec lowered onto the CONTINUOUS
+    // operator (streamAsOfJoin micro-batch replay), same oracle — the
+    // SQL surface drives the stream, not a hand-wired twin.
+    sql("incremental_sql_asof_stream",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
+      incrementalSqlAsOfStream),
 
     // … both through the CONTINUOUS engine: branch trees AND set
     // stages in one streaming query, flips crossing micro-batches.

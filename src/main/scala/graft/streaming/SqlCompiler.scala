@@ -375,6 +375,154 @@ object SqlCompiler {
     }
   }
 
+  /** AS-OF JOIN from SQL text — the dialect is DuckDB's spelling
+    * (the inequality rides in ON):
+    *
+    * {{{
+    * SELECT l.a, l.ts, r.v AS out [, ...]
+    * FROM lrel [AS] l ASOF [LEFT] JOIN rrel [AS] r
+    * ON l.k = r.k [AND ...] AND l.ts >= r.ts
+    * }}}
+    *
+    * Snowflake's `MATCH_CONDITION (l.ts >= r.ts)` between the right
+    * relation and ON is accepted as the same thing (ON then carries
+    * only equalities). Exactly one inequality (`>=`, or `<=` written
+    * right-to-left) is required — strict bounds would change the
+    * operator's semantics and fail loudly. Inputs are named
+    * DataFrames (the caller's prepared branches — CTE bodies stay
+    * ordinary DataFrame code); select items must be qualified
+    * columns. Lowering is [[graft.operators.AsOfJoin.asOfLeft]]'s
+    * union-window plan: one shuffle on the key, one sort, never the
+    * O(|L|·|R|) per-key range explode. */
+  def compileAsOf(spark: SparkSession, sqlText: String): CompiledAsOf = {
+    val m = java.util.regex.Pattern.compile(
+      """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+ASOF\s+(LEFT\s+)?JOIN\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?(?:\s+MATCH_CONDITION\s*\(([^)]*)\))?\s+ON\s+(.+)$""")
+      .matcher(sqlText.trim)
+    if (!m.matches())
+      fail("compileAsOf expects SELECT <qualified cols> FROM <rel> [AS a] " +
+        "ASOF [LEFT] JOIN <rel> [AS b] [MATCH_CONDITION (a.ts >= b.ts)] ON <equalities [AND inequality]>")
+    val (selList, leftRel, rightRel) = (m.group(1), m.group(2), m.group(5))
+    val leftAlias = Option(m.group(3)).getOrElse(leftRel)
+    val rightAlias = Option(m.group(6)).getOrElse(rightRel)
+    val leftOuter = m.group(4) != null
+    val matchCond = Option(m.group(7))
+    val onFrag = m.group(8)
+
+    def attr2(e: Expression, what: String): (String, String) = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 2 =>
+        (a.nameParts.head, a.nameParts(1))
+      case other => fail(s"compileAsOf: $what must be a qualified column, got ${other.sql}")
+    }
+    def side(q: String): Boolean = q match { // true = right
+      case `leftAlias` => false
+      case `rightAlias` => true
+      case other => fail(s"compileAsOf: unknown qualifier '$other' " +
+        s"(aliases are '$leftAlias' and '$rightAlias')")
+    }
+    var keyPairs = Seq.empty[(String, String)]
+    var tsPair: Option[(String, String)] = None // (left ts, right ts)
+    def addIneq(l: Expression, r: Expression): Unit = {
+      val (lq, lc) = attr2(l, "the as-of bound's left side")
+      val (rq, rc) = attr2(r, "the as-of bound's right side")
+      if (side(lq) || !side(rq))
+        fail("compileAsOf: the as-of inequality must bound left.ts against right.ts")
+      if (tsPair.isDefined) fail("compileAsOf: more than one inequality in ON")
+      tsPair = Some((lc, rc))
+    }
+    def classify(e: Expression): Unit = e match {
+      case EqualTo(a, b) =>
+        val (aq, ac) = attr2(a, "an ON equality side")
+        val (bq, bc) = attr2(b, "an ON equality side")
+        (side(aq), side(bq)) match {
+          case (false, true) => keyPairs :+= (ac, bc)
+          case (true, false) => keyPairs :+= (bc, ac)
+          case _ => fail("compileAsOf: ON equality must relate the two sides")
+        }
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(a, b) => addIneq(a, b)
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(a, b) => addIneq(b, a)
+      case other => fail("compileAsOf: ON accepts key equalities and one " +
+        s"'left.ts >= right.ts' bound; got ${other.sql}")
+    }
+    splitConjuncts(spark.sessionState.sqlParser.parseExpression(onFrag)).foreach(classify)
+    matchCond.foreach { frag =>
+      if (tsPair.isDefined)
+        fail("compileAsOf: the as-of bound appears in BOTH MATCH_CONDITION and ON")
+      spark.sessionState.sqlParser.parseExpression(frag) match {
+        case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(a, b) => addIneq(a, b)
+        case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(a, b) => addIneq(b, a)
+        case other => fail(s"compileAsOf: MATCH_CONDITION must be the as-of " +
+          s"inequality, got ${other.sql}")
+      }
+    }
+    val (lTs, rTs) = tsPair.getOrElse(
+      fail("compileAsOf: no as-of inequality (left.ts >= right.ts) found"))
+    if (keyPairs.isEmpty) fail("compileAsOf: at least one key equality is required")
+
+    // SELECT list: top-level comma split, each a qualified column with
+    // an optional alias
+    val items = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      var depth = 0; var start = 0
+      selList.zipWithIndex.foreach { case (c, i) =>
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0) { parts += selList.substring(start, i); start = i + 1 }
+      }
+      parts += selList.substring(start)
+      parts.map(_.trim).filter(_.nonEmpty).toSeq.map { frag =>
+        spark.sessionState.sqlParser.parseExpression(frag) match {
+          case a: UnresolvedAttribute if a.nameParts.size == 2 =>
+            (side(a.nameParts.head), a.nameParts(1), a.nameParts(1))
+          case Alias(a: UnresolvedAttribute, name) if a.nameParts.size == 2 =>
+            (side(a.nameParts.head), a.nameParts(1), name)
+          case other => fail("compileAsOf: select items must be qualified " +
+            s"columns (optionally aliased), got ${other.sql}")
+        }
+      }
+    }
+    CompiledAsOf(leftRel, rightRel, keyPairs, lTs, rTs, leftOuter, items)
+  }
+
+  /** The compiled ASOF JOIN — see [[compileAsOf]]. */
+  final case class CompiledAsOf(
+      leftRel: String, rightRel: String,
+      keyPairs: Seq[(String, String)], // (left col, right col)
+      leftTs: String, rightTs: String,
+      leftOuter: Boolean,
+      items: Seq[(Boolean, String, String)]) { // (fromRight, src col, out name)
+    import org.apache.spark.sql.functions._
+
+    /** Lower onto the union-window as-of operator: right key/ts
+      * columns rename to the left's names (the operator keys both
+      * sides by one name), right values surface under its `asof_`
+      * prefix, INNER drops the null extensions. */
+    def run(relations: Map[String, DataFrame]): DataFrame = {
+      def rel(n: String) = relations.getOrElse(n,
+        fail(s"compileAsOf.run: no relation named '$n' provided"))
+      val l = rel(leftRel)
+      val renames = (keyPairs :+ (leftTs -> rightTs)).filter { case (lc, rc) => lc != rc }
+      val r = renames.foldLeft(rel(rightRel)) { case (df, (lc, rc)) =>
+        df.withColumnRenamed(rc, lc) }
+      val joined = graft.operators.AsOfJoin.asOfLeft(l, r,
+        keyCols = keyPairs.map(_._1), ts = leftTs)
+      // a matched right row always carries a non-null ts (null-ts
+      // rights are dropped before the join), so the match's ts is the
+      // existence witness for INNER
+      val filtered = if (leftOuter) joined
+        else joined.filter(col(s"asof_$leftTs").isNotNull)
+      filtered.select(items.map {
+        case (false, src, out) => col(src).as(out)
+        case (true, src, out) =>
+          val lName = keyPairs.collectFirst { case (lc, rc) if rc == src => lc }
+          lName match {
+            case Some(lc) => col(lc).as(out) // right key == left key by the join
+            case None if src == rightTs => col(s"asof_$leftTs").as(out)
+            case None => col(s"asof_$src").as(out)
+          }
+      }: _*)
+    }
+  }
+
   /** The compiled bag set operation — see [[compileBagSetOp]]. The
     * side marker rides in `fromParent` (the engine never reads that
     * field past the leaf; here the "tree" is the two branch trees

@@ -1822,4 +1822,39 @@ class SqlCompilerSpec extends AnyFunSuite {
         |SELECT n_name, COUNT(*) AS m FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin))
     assert(ex2.getMessage.contains("does not match"), ex2.getMessage)
   }
+
+  test("compileAsOf: ON and MATCH_CONDITION spellings agree, INNER drops nulls, fences are loud") {
+    val ev = Tables.events(s, d)
+    val rels = Map(
+      "c" -> ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id")),
+      "p" -> ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")))
+    val sel = "SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts"
+    val onForm = SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+    val mcForm = SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF LEFT JOIN c MATCH_CONDITION (p.ts >= c.ts) ON p.user_id = c.user_id")
+    val a = onForm.run(rels).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == mcForm.run(rels).collect().map(_.toSeq).toSet)
+    // the flipped spelling r.ts <= l.ts is the same bound
+    val flipped = SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts")
+    assert(flipped.run(rels).collect().map(_.toSeq).toSet == a)
+    // INNER = LEFT minus the null extensions
+    val inner = SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+    assert(inner.run(rels).collect().map(_.toSeq).toSet ==
+      a.filter(r => r(3) != null))
+    // fences: strict bound, unknown qualifier, double inequality
+    val exStrict = intercept[IllegalArgumentException](SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts"))
+    assert(exStrict.getMessage.contains("equalities"), exStrict.getMessage)
+    val exQual = intercept[IllegalArgumentException](SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF LEFT JOIN c ON x.user_id = c.user_id AND p.ts >= c.ts"))
+    assert(exQual.getMessage.contains("unknown qualifier"), exQual.getMessage)
+    val exTwo = intercept[IllegalArgumentException](SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts AND p.event_id >= c.click_id"))
+    assert(exTwo.getMessage.contains("more than one inequality"), exTwo.getMessage)
+  }
 }
