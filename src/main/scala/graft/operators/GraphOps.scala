@@ -237,18 +237,26 @@ object GraphOps {
     def degrees(ae: DataFrame): DataFrame =
       ae.select(col("u").as("node")).unionAll(ae.select(col("v")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    def peel(alive: DataFrame): DataFrame =
+      degrees(aliveEdges(alive)).filter(col("core_deg") >= k).select("node")
     var alive = edges.select(col("u").as("node")).unionAll(edges.select(col("v")))
       .distinct().localCheckpoint(eager = true)
     var n = alive.count()
     var converged = false
     var r = 0
+    // TWO peels per materialization: the cost of this loop is job and
+    // checkpoint overhead, not data (the 0.99 sf0.01→sf0.1 time ratio
+    // proved it), so halving the checkpoint+count rounds is the lever.
+    // The inner peel's Dataset feeds BOTH semi-join sides of the outer
+    // one, so ReuseExchange dedups it — lazy 2-composition costs one
+    // inner peel, not two (the LPA/HITS lazy-loop lesson). Fixpoint
+    // test across the stride stays sound: peel is monotone shrinking,
+    // so alive = peel(peel(alive)) forces peel(alive) = alive.
     while (!converged && r < maxRounds) {
-      val next = degrees(aliveEdges(alive))
-        .filter(col("core_deg") >= k).select("node")
-        .localCheckpoint(eager = true)
+      val next = peel(peel(alive)).localCheckpoint(eager = true)
       val m = next.count()
       converged = m == n
-      alive = next; n = m; r += 1
+      alive = next; n = m; r += 2
     }
     require(converged, s"k-core peel did not converge within $maxRounds rounds")
     degrees(aliveEdges(alive))
@@ -434,10 +442,18 @@ object GraphOps {
     // at sf0.01; the oracle unrolls 16 — identity past convergence).
     sql("graph_kcore", kcoreOracleSql(k = 3, rounds = 16)) {
       (s, d) =>
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
-        val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
+        // co-occurrence pairs WITHOUT the distinct+self-join: collect
+        // each order's part set (bounded by order size) and generate
+        // its in-order pairs — one shuffle on the order key, one on
+        // the pair, no join. Same edge set as the oracle's self-join
+        // spelling: pair count = #orders containing both parts.
+        val edges = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(col("ps"), posexplode(col("ps")).as(Seq("i", "u")))
+          .select(col("u"),
+            explode(slice(col("ps"), col("i") + lit(2),
+              size(col("ps")) - col("i") - lit(1))).as("v"))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select("u", "v")
           .localCheckpoint(eager = true)
