@@ -2590,6 +2590,99 @@ object IncrementalQueries {
         | FULL JOIN l ON l_orderkey = o_orderkey
         |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuterAncestorDel),
 
+    // TWO NESTED FULL OUTER boundaries × WHERE — the r10 verdict's
+    // last compile fence, lifted. SQL's double FULL OUTER decomposes
+    // into six row classes (see SqlCompiler's NESTED TWO-BOUNDARY
+    // section); the WHERE on the leaf kills the three classes whose
+    // lineitem side is NULL, so this maintains the main tree PLUS the
+    // two genuinely new plans: orphan-orders ⋈ their lineitems
+    // (a customer delete moves whole order subtrees into it) and
+    // orphan-lineitems keyed off orders' RAW changelog (an orders
+    // delete moves rows into it). Deletes on all three levels.
+    sql("incremental_sql_q10_fullouter_two_boundary",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_linenumber <> 3)
+        |SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY n_name, o_orderpriority""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+          | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_e2
+          |FROM nation
+          |JOIN customer ON c_nationkey = n_nationkey
+          |FULL OUTER JOIN orders ON o_custkey = c_custkey
+          |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY n_name, o_orderpriority""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "lineitem" -> (col("l_linenumber") === 3)))
+    },
+
+    // … and WITHOUT a WHERE: all SIX classes maintained at once,
+    // including orphan-orders-with-no-lineitems (the NOT EXISTS wiring
+    // over the orphan hop's emissions — the one class the filtered
+    // entry's WHERE kills). Same triple-level deletes.
+    sql("incremental_sql_q10_fullouter_two_boundary_all",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_linenumber <> 3)
+        |SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY n_name, o_orderpriority""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+          | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_e2
+          |FROM nation
+          |JOIN customer ON c_nationkey = n_nationkey
+          |FULL OUTER JOIN orders ON o_custkey = c_custkey
+          |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+          |GROUP BY n_name, o_orderpriority""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "lineitem" -> (col("l_linenumber") === 3)))
+    },
+
+    // … the filtered two-boundary view through the CONTINUOUS engine,
+    // same oracle: six plans' state across micro-batches, deletes
+    // retracting in later batches than their inserts.
+    sql("incremental_sql_q10_fullouter_two_boundary_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_linenumber <> 3)
+        |SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY n_name, o_orderpriority""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+            | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_e2
+            |FROM nation
+            |JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN orders ON o_custkey = c_custkey
+            |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE l_returnflag = 'R'
+            |GROUP BY n_name, o_orderpriority""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "lineitem" -> (col("l_linenumber") === 3)),
+        "incremental_sql_q10_fullouter_two_boundary_stream_leaf")
+    },
+
     // … the same compiled FULL OUTER (fused leaf + anti plan, ancestor
     // deletes) through the TRANSFORMWITHSTATE driver — the compiler's
     // hardest maintained shape on the supported state API, same

@@ -1829,13 +1829,66 @@ object SqlCompiler {
     val fullOuterDropAnti = scala.collection.mutable.Set[String]()
     var fullOuterOrphanOnly = false
     var fullOuterAntiOnly = false
+    // two-boundary classes 3 and 4 (orphan-B rows with / without C
+    // children) — see the NESTED TWO-BOUNDARY section below
+    var dropOrphanBWithC = false
+    var dropOrphanBNoC = false
     val fullOuterIsNullConjuncts = scala.collection.mutable.ArrayBuffer[Expression]()
+    if (fullOuterRels.size > 2)
+      fail("more than two FULL OUTER boundaries are not compiled — the " +
+        "preservation-plan matrix grows a plan per boundary-state combination")
+    // NESTED TWO-BOUNDARY pair (b, c): c's boundary parent is b itself.
+    // SQL's double FULL OUTER decomposes into SIX disjoint row classes —
+    //   1 inner⋈inner (main tree)      4 orphan-B with NO C child
+    //   2 anti-B (P rows w/o B; C nul) 5 anti-C (tree-alive B w/o C)
+    //   3 orphan-B ⋈ its C children    6 orphan-C (C w/o ANY B parent)
+    // — because a FULL boundary at b keeps EVERY b row in the joined
+    // left side: an orphaned b still parents its c children (class 3)
+    // and c-orphanhood is against ALL b rows, not tree-alive ones
+    // (class 6 keys off b's RAW changelog). Classes 2 and 5 are the
+    // ordinary anti plans; 3, 4, 6 are built in the orphan section.
+    val twoBoundary: Option[(String, String)] =
+      if (fullOuterRels.size != 2) None
+      else {
+        def boundaryParentOf(r: String): Option[String] =
+          outerOn.filter(_._1 == r).flatMap(_._2).collectFirst {
+            case EqualTo(a: UnresolvedAttribute, b0: UnresolvedAttribute)
+                if ownerOf(a) != ownerOf(b0) =>
+              if (ownerOf(a) == r) ownerOf(b0) else ownerOf(a)
+          }
+        val nested = fullOuterRels.toSeq
+          .flatMap(r => boundaryParentOf(r).filter(fullOuterRels).map(b0 => (b0, r)))
+        if (nested.size != 1)
+          fail("two FULL OUTER boundaries compile only when NESTED (the second " +
+            "boundary joins the first boundary's child) — independent FULL " +
+            "boundaries are not compiled")
+        Some(nested.head)
+      }
     if (fullOuterRels.nonEmpty) {
-      if (plainFilterConjuncts.nonEmpty) {
-        if (fullOuterRels.size > 1)
-          fail("WHERE with more than one FULL OUTER boundary is not compiled — " +
-            "each conjunct NULL-interacts with every boundary's preserved rows; " +
-            "split the query or model restrictions as changelog deletes")
+      if (plainFilterConjuncts.nonEmpty && twoBoundary.isDefined) {
+        // the two-boundary WHERE matrix: a null-rejecting conjunct
+        // kills every class in which one of its relations is on a
+        // NULL-extended side; survivors keep the conjunct as an
+        // ordinary scan filter (its relations are non-NULL there)
+        val (bRel, cRel) = twoBoundary.get
+        plainFilterConjuncts.foreach { conj =>
+          if (!nullRejecting(conj))
+            fail(s"two-boundary FULL OUTER WHERE predicate '${fragment(conj)}' " +
+              "is not provably NULL-rejecting — the IS [NOT] NULL boundary-key " +
+              "plan-selection readings are single-boundary only")
+          conj.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct.foreach {
+            case o if o == bRel => // b is NULL in classes 2 and 6
+              fullOuterDropAnti += bRel; fullOuterDropOrphan += cRel
+            case o if o == cRel => // c is NULL in classes 2, 4 and 5
+              fullOuterDropAnti += bRel; fullOuterDropAnti += cRel
+              dropOrphanBNoC = true
+            case _ => // prefix side: NULL in classes 3, 4 and 6
+              dropOrphanBWithC = true; dropOrphanBNoC = true
+              fullOuterDropOrphan += cRel
+          }
+        }
+      }
+      if (plainFilterConjuncts.nonEmpty && twoBoundary.isEmpty) {
         val r = fullOuterRels.head
         // the boundary's two key columns, read from the bare FK
         // equality in this boundary's ON (validated just below):
@@ -2148,6 +2201,10 @@ object SqlCompiler {
     // tree prefix's merged emissions. The separate plan remains for
     // orphan-only views and non-leaf/non-chain topologies.
     val fusedOrphanRels: Set[String] = fullOuterRels.toSet.filter { r =>
+      // single-boundary only: with a nested second boundary, the fused
+      // leaf would gate C-orphanhood on B's TREE liveness, but an
+      // orphaned B still parents its C children (class 3)
+      fullOuterRels.size == 1 &&
       !fullOuterDropOrphan(r) && !fullOuterOrphanOnly && !fullOuterAntiOnly &&
         stages.count(_.spec.relation == r) == 1 && {
           val k = stages.indexWhere(_.spec.relation == r)
@@ -2218,7 +2275,93 @@ object SqlCompiler {
     // topologies (pair stages, branch-interleaved prefixes) fall back
     // to the 2-stage raw-parent-changelog plan with the delete scope
     // restricted to the boundary pair (Compiled.run enforces).
-    fullOuterRels.toSeq.sorted.filterNot(fullOuterDropOrphan)
+    (twoBoundary match {
+      case Some((bRel, cRel)) =>
+        // NESTED TWO-BOUNDARY preservation plans (classes 3, 4, 6 of
+        // the matrix above). Scope: the two boundaries are the chain's
+        // LAST TWO HOPS over a chain-shaped prefix — loud otherwise.
+        val bEdge = queryEdges.find(_.child == bRel).getOrElse(
+          fail(s"FULL OUTER '$bRel' must be the FK child of its ON equality"))
+        val cEdge = queryEdges.find(_.child == cRel).getOrElse(
+          fail(s"FULL OUTER '$cRel' must be the FK child of its ON equality"))
+        val kB = stages.indexWhere(_.spec.relation == bRel)
+        val kC = stages.indexWhere(_.spec.relation == cRel)
+        if (kC != stages.length - 1 || kB != kC - 1 ||
+            stages.count(_.spec.relation == bRel) != 1 ||
+            stages.count(_.spec.relation == cRel) != 1 ||
+            stages(kB).ownStage.nonEmpty || stages(kB).pairStage.nonEmpty ||
+            stages(kC).ownStage.nonEmpty || stages(kC).pairStage.nonEmpty)
+          fail("two FULL OUTER boundaries compile only as the join chain's " +
+            "last two hops (b then c at the leaf, no pair/gate stages on them)")
+        val kept = stages.take(kB)
+        val chainShaped = kept.nonEmpty &&
+          kept.last.spec.relation == bEdge.parent &&
+          kept.last.spec.nextKeyCol == bEdge.parentCol &&
+          kept.forall(_.pairStage.isEmpty)
+        if (!chainShaped)
+          fail("two-boundary FULL OUTER needs a chain-shaped prefix above the " +
+            "first boundary (its orphan plans key off the prefix's merged " +
+            "emissions)")
+        // shared orphan-B prefix: parent liveness from the TREE
+        // PREFIX's merged emissions (ancestor deletes orphan
+        // transitively), anti hop emitting orphan-b rows RE-KEYED to
+        // the second boundary's parent key so the C subtree hangs below
+        val keysB = DeltaEngine.Stage("__orphan2_b_keys",
+          NodeSpec(bEdge.parent, bEdge.parentCol, bEdge.parentCol,
+            isRoot = true, setSemantics = true),
+          ownStage = Some(kept.last.name), keyOnlyRows = true)
+        val hopB = DeltaEngine.Stage("__orphan2_b_hop",
+          NodeSpec(bRel, bEdge.fkCol, cEdge.parentCol, antiParent = true),
+          parentStage = Some(keysB.name))
+        // class 3: orphan-B joined with its C children — the main
+        // tree's own C stage re-parented under the orphan hop
+        val orphanBWithC =
+          if (dropOrphanBWithC) None
+          else {
+            val cStage = stages(kC).copy(name = "__orphan2_c_stage",
+              spec = stages(kC).spec.copy(fullOuterLeaf = false),
+              parentStage = Some(hopB.name))
+            val planStages = kept ++ Seq(keysB, hopB, cStage)
+            Some(OuterPlan(planStages,
+              planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), None))
+          }
+        // class 4: orphan-B with NO C child — the NOT EXISTS wiring
+        // applied to the orphan hop's emissions
+        val orphanBNoC =
+          if (dropOrphanBNoC) None
+          else {
+            val keysC = DeltaEngine.Stage("__orphan2_c_keys",
+              NodeSpec(cRel, cEdge.fkCol, cEdge.fkCol,
+                isRoot = true, setSemantics = true),
+              keyOnlyRows = true)
+            val hop2 = DeltaEngine.Stage("__orphan2_bnoc_hop",
+              NodeSpec(bRel, cEdge.parentCol, cEdge.parentCol, antiParent = true),
+              parentStage = Some(keysC.name), ownStage = Some(hopB.name))
+            val planStages = kept ++ Seq(keysB, hopB, keysC, hop2)
+            Some(OuterPlan(planStages,
+              planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), None))
+          }
+        // class 6: C rows with NO B parent AT ALL — keys off b's RAW
+        // changelog, because a FULL boundary at b keeps every b row in
+        // the joined left side regardless of b's own ancestors (this is
+        // exact here, unlike the single-boundary fallback: no delete
+        // scope restriction is needed)
+        val orphanC =
+          if (fullOuterDropOrphan(cRel)) None
+          else {
+            val keysB6 = DeltaEngine.Stage("__orphan2_cparent_keys",
+              NodeSpec(bRel, cEdge.parentCol, cEdge.parentCol,
+                isRoot = true, setSemantics = true),
+              keyOnlyRows = true)
+            val hopC = DeltaEngine.Stage("__orphan2_c_hop",
+              NodeSpec(cRel, cEdge.fkCol, cEdge.fkCol, antiParent = true),
+              parentStage = Some(keysB6.name))
+            Some(OuterPlan(Seq(keysB6, hopC), Seq(bRel, cRel),
+              Some((bRel, cEdge.parentCol))))
+          }
+        Seq(orphanBWithC, orphanBNoC, orphanC).flatten
+      case None =>
+        fullOuterRels.toSeq.sorted.filterNot(fullOuterDropOrphan)
       .filterNot(fusedOrphanRels).map { r =>
       val edge = queryEdges.find(_.child == r).get // validated above
       val k = stages.indexWhere(_.spec.relation == r)
@@ -2254,6 +2397,7 @@ object SqlCompiler {
           Some((edge.parent, edge.parentCol)))
       }
     }
+    })
 
     // local predicates become per-relation scan filters (original text)
     val wheres: Map[String, String] = localPreds.groupBy { c =>

@@ -1482,16 +1482,42 @@ class SqlCompilerSpec extends AnyFunSuite {
     val ex2 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
       base.format(" AND l_returnflag = 'R'")))
     assert(ex2.getMessage.contains("bare FK equality"), ex2.getMessage)
-    // WHERE with two FULL boundaries rejected (the NULL-interaction
-    // matrix is not compiled)
-    val ex3 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+    // TWO nested FULL boundaries × WHERE compile: a prefix-side
+    // conjunct kills the classes whose prefix side is NULL (all three
+    // orphan classes), leaving the two anti plans
+    val c3 = SqlCompiler.compile(s, d,
       """SELECT c_custkey, COUNT(*) AS n
         |FROM customer
         |FULL OUTER JOIN orders ON o_custkey = c_custkey
         |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_acctbal > 0
-        |GROUP BY c_custkey""".stripMargin))
-    assert(ex3.getMessage.contains("more than one FULL OUTER"), ex3.getMessage)
+        |GROUP BY c_custkey""".stripMargin)
+    assert(c3.outerPlans.size == 2, c3.outerPlans.size)
+    // without WHERE all six classes maintain: two anti plans plus the
+    // three orphan-side plans (orphan-B⋈C, orphan-B-no-C, orphan-C)
+    val c4 = SqlCompiler.compile(s, d,
+      """SELECT c_custkey, COUNT(*) AS n
+        |FROM customer
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey""".stripMargin)
+    assert(c4.outerPlans.size == 5, c4.outerPlans.size)
+    // three boundaries and non-nested (sibling) pairs stay loud
+    val ex3 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n
+        |FROM nation
+        |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY n_name""".stripMargin))
+    assert(ex3.getMessage.contains("more than two FULL OUTER"), ex3.getMessage)
+    val ex4 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n
+        |FROM nation
+        |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+        |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin))
+    assert(ex4.getMessage.contains("NESTED"), ex4.getMessage)
   }
 
   test("INTERSECT/EXCEPT compile as maintained set ops; the fences stay loud") {
