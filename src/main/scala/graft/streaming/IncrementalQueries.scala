@@ -1300,6 +1300,28 @@ object IncrementalQueries {
       }: _*)
   }
 
+  /** A maintained view OVER A VERSIONED TABLE: the `orders` relation
+    * resolves through a version-pinned SHALLOW BRANCH of the snapshot
+    * log (SqlCompiler.compileOver) — the lakehouse read path and the
+    * incremental engine composed. The branch is created fresh per run
+    * (replay-idempotent branchAt; its pin keeps source vacuums from
+    * reclaiming the pinned version underneath the view). */
+  def incrementalSqlOverBranch(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val root = SnapshotLog.ordersTableRoot(s, dir)
+    val branch = java.nio.file.Files.createTempDirectory("graft_sql_branch").toString + "/b"
+    SnapshotLog.branchAt(root, 1, branch)
+    SqlCompiler.compileOver(s, dir,
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin,
+      overrides = Map("orders" ->
+        ((ss, _) => SnapshotLog.readVersion(ss, branch, 0).drop("b"))))
+      .run(s, dir, deletes = Map("customer" -> (col("c_custkey") % 13 === 0)))
+  }
+
   /** The continuous form: both branch trees AND the set stages in one
     * streaming query — right-side deletes must flip tuples INTO an
     * EXCEPT result (and out of an INTERSECT) through held state. */
@@ -2437,6 +2459,28 @@ object IncrementalQueries {
         |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
       incrementalSqlAsOfStream),
+
+    // MAINTAINED VIEW OVER A VERSIONED TABLE (the r10 stretch): orders
+    // resolves through a version-pinned shallow branch of the snapshot
+    // log via SqlCompiler.compileOver — schemas, FK derivation,
+    // changelogs and deletes all flow through the override. Oracle:
+    // the branch head reconstructed in SQL (v1 = update + delete +
+    // shifted-insert batches applied to the parquet base).
+    sql("incremental_sql_over_branch",
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 160 = 1 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 160 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        | FROM orders WHERE o_orderkey % 160 = 2),
+        |c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT n_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |JOIN o ON o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin)(incrementalSqlOverBranch),
 
     // … both through the CONTINUOUS engine: branch trees AND set
     // stages in one streaming query, flips crossing micro-batches.

@@ -1527,6 +1527,24 @@ object SqlCompiler {
         compileWith(spark, dir, sqlText, explicitFk, Tables.load, tolerateFloatFolds)
     }
 
+  /** [[compile]] with RELATION OVERRIDES: the named relations resolve
+    * through the given loaders instead of the parquet fixture — the
+    * seam that lets a maintained view be defined OVER a versioned
+    * table ([[graft.sources.SnapshotLog]] version-pinned branch or
+    * as-of reads) or any other table-valued source. Schema probing,
+    * FK derivation, changelog construction and scan filters all flow
+    * through the override. Not combined with self-join expansion. */
+  def compileOver(spark: SparkSession, dir: String, sqlText: String,
+                  overrides: Map[String, (SparkSession, String) => DataFrame],
+                  explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): Compiled = {
+    val loader: (SparkSession, String, String) => DataFrame =
+      (ss, d, name) => overrides.get(name) match {
+        case Some(f) => f(ss, d)
+        case None => Tables.load(ss, d, name)
+      }
+    compileWith(spark, dir, sqlText, explicitFk, loader)
+  }
+
   private def compileWith(spark: SparkSession, dir: String, sqlText: String,
               explicitFk: Option[Seq[TreeCompiler.FkEdge]],
               loadRel: (SparkSession, String, String) => DataFrame,
