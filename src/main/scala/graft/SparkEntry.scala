@@ -98,7 +98,12 @@ object SparkEntry {
       // join-per-round Pregel shape, checkpoint-truncated) and the
       // windowed maintained view (the decoration must stay
       // group-cardinality work on top of the incremental fold)
-      "graph_label_propagation", "incremental_sql_window_rank")
+      "graph_label_propagation", "incremental_sql_window_rank",
+      // round 11: the nested double-FULL-OUTER maintained view (the
+      // six-class preservation matrix — its cost IS the three extra
+      // plans) and the corpus-trained bigram LM scorer (bigram-keyed
+      // scoring join over one scan)
+      "incremental_sql_q10_fullouter_two_boundary", "text_lm_perplexity")
     val have = queries.keySet
     preferred.filter(have)
   }

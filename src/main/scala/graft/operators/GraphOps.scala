@@ -406,6 +406,23 @@ object GraphOps {
        |ORDER BY a DESC, p LIMIT 20""".stripMargin
   }
 
+  /** The SUPPORT-≥2 part co-occurrence edge set, derived WITHOUT the
+    * distinct+self-join: collect each order's part set (bounded by
+    * order size) and generate its in-order pairs — one shuffle on the
+    * order key, one on the pair, no join. Same edge set as the
+    * oracles' self-join spelling: pair count = #orders containing
+    * both parts. Shared by the kcore/CC/triangle/LPA entries. */
+  private def partCoEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "u")))
+      .select(col("u"),
+        explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("u", "v")
+
   val defs: Seq[GraftQuery] = Seq(
     // HITS AUTHORITIES on the supplier→part supply graph — "which
     // parts are supplied by the best-connected suppliers" (the
@@ -426,14 +443,7 @@ object GraphOps {
     // communities). 4 synchronous rounds with the deterministic vote;
     // both engines run the identical trajectory.
     sql("graph_label_propagation", lpaOracleSql(rounds = 4)) {
-      (s, d) =>
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
-        val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select("u", "v")
-        labelPropagation(edges, rounds = 4)
+      (s, d) => labelPropagation(partCoEdges(s, d), rounds = 4)
     },
 
     // 3-CORE of the support-≥2 part co-occurrence graph (the same
@@ -442,22 +452,8 @@ object GraphOps {
     // at sf0.01; the oracle unrolls 16 — identity past convergence).
     sql("graph_kcore", kcoreOracleSql(k = 3, rounds = 16)) {
       (s, d) =>
-        // co-occurrence pairs WITHOUT the distinct+self-join: collect
-        // each order's part set (bounded by order size) and generate
-        // its in-order pairs — one shuffle on the order key, one on
-        // the pair, no join. Same edge set as the oracle's self-join
-        // spelling: pair count = #orders containing both parts.
-        val edges = Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(col("ps"), posexplode(col("ps")).as(Seq("i", "u")))
-          .select(col("u"),
-            explode(slice(col("ps"), col("i") + lit(2),
-              size(col("ps")) - col("i") - lit(1))).as("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select("u", "v")
-          .localCheckpoint(eager = true)
-        kcore(edges, k = 3, maxRounds = 16)
+        kcore(partCoEdges(s, d).localCheckpoint(eager = true),
+          k = 3, maxRounds = 16)
     },
     // CONNECTED COMPONENTS at the graph surface: the support-≥2 part
     // co-occurrence graph labeled by the O(log²)-round large-star/
@@ -484,13 +480,7 @@ object GraphOps {
         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src)
         |SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node""".stripMargin) {
       (s, d) =>
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
-        val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select("u", "v")
-        Dedup.ccLargeSmallStar(edges)
+        Dedup.ccLargeSmallStar(partCoEdges(s, d))
           .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
     },
 
@@ -514,15 +504,8 @@ object GraphOps {
         | UNION ALL SELECT c FROM tri) t
         |GROUP BY node ORDER BY tri_count DESC, node LIMIT 50""".stripMargin) {
       (s, d) =>
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-        val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
         // materialized ONCE: the edge set feeds three join legs
-        val edges = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select("u", "v")
-          .localCheckpoint(eager = true)
-        triangleCounts(edges)
+        triangleCounts(partCoEdges(s, d).localCheckpoint(eager = true))
           .orderBy(col("tri_count").desc, col("node")).limit(50)
     },
 

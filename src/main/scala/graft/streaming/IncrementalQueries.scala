@@ -1114,10 +1114,15 @@ object IncrementalQueries {
 
   /** The continuous form of the set-semantics UNION: every branch
     * tree and the netting node in one streaming query. */
-  def incrementalSqlUnionDistinctStream(s: SparkSession, dir: String): DataFrame = {
+  def incrementalSqlUnionDistinctStream(s: SparkSession, dir: String,
+      tws: Boolean = false): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val sinkName = "incremental_sql_union_distinct_leaf"
+    val sinkName =
+      if (tws) "incremental_sql_union_distinct_tws_leaf"
+      else "incremental_sql_union_distinct_leaf"
     val ss = replaySession(s)
+    if (tws) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
     val c = SqlCompiler.compileUnionDistinct(s, dir, unionDistinctSql)
@@ -1127,7 +1132,7 @@ object IncrementalQueries {
           rel -> boundedReplayCollect(s"$sinkName(b$i.$rel)", ds).toSeq }.toMap
       (logs, logs.map { case (rel, _) => rel -> MemoryStream[Evt] })
     }
-    val leaf = c.runStream(sides.map(_._2.view.mapValues(_.toDS()).toMap))
+    val leaf = c.runStream(sides.map(_._2.view.mapValues(_.toDS()).toMap), tws = tws)
     val query = leaf.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
@@ -1238,6 +1243,15 @@ object IncrementalQueries {
   def incrementalSqlAsOf(s: SparkSession, dir: String): DataFrame =
     SqlCompiler.compileAsOf(s, asofSql).run(asofInputs(s, dir))
 
+  def incrementalSqlAsOfTolerance(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileAsOf(s,
+      """SELECT p.event_id, p.user_id, p.ts,
+        | c.click_id AS asof_click_id, c.ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |ON p.user_id = c.user_id AND p.ts >= c.ts
+        | AND p.ts - c.ts <= INTERVAL 1 HOUR""".stripMargin)
+      .run(asofInputs(s, dir))
+
   /** The compiled ASOF spec lowered onto the CONTINUOUS operator
     * (StreamingAnalytics.streamAsOfJoin): the spec names the key, the
     * two timestamps, the left id and the right value the harness
@@ -1326,9 +1340,12 @@ object IncrementalQueries {
     * streaming query — right-side deletes must flip tuples INTO an
     * EXCEPT result (and out of an INTERSECT) through held state. */
   private def runSetOpStreamed(s: SparkSession, dir: String, opSql: String,
-                               sinkName: String): DataFrame = {
+                               sinkName: String, tws: Boolean = false): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = replaySession(s)
+    if (tws) // transformWithState's documented store requirement
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
     val c = SqlCompiler.compileSetOp(s, dir, opSql)
@@ -1342,7 +1359,7 @@ object IncrementalQueries {
     val (lLogs, lStreams) = side(c.left, "l")
     val (rLogs, rStreams) = side(c.right, "r")
     val leaf = c.runStream(lStreams.view.mapValues(_.toDS()).toMap,
-      rStreams.view.mapValues(_.toDS()).toMap)
+      rStreams.view.mapValues(_.toDS()).toMap, tws = tws)
     val query = leaf.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
@@ -1370,6 +1387,13 @@ object IncrementalQueries {
   def incrementalSqlExceptStream(s: SparkSession, dir: String): DataFrame =
     runSetOpStreamed(s, dir, setOpLhs + "\nEXCEPT\n" + setOpRhs,
       "incremental_sql_except_leaf")
+
+  /** The set-op wiring on the TRANSFORMWITHSTATE drivers — same oracle
+    * as the batch/flatMap forms: three state implementations, one
+    * truth, now for cross-branch netting too. */
+  def incrementalSqlIntersectTws(s: SparkSession, dir: String): DataFrame =
+    runSetOpStreamed(s, dir, setOpLhs + "\nINTERSECT\n" + setOpRhs,
+      "incremental_sql_intersect_tws_leaf", tws = true)
 
   def incrementalSqlUnionStream(s: SparkSession, dir: String): DataFrame =
     SqlCompiler.compileUnionAll(s, dir, unionSql).zipWithIndex
@@ -2387,7 +2411,32 @@ object IncrementalQueries {
         |UNION
         |SELECT n_name FROM nation
         |JOIN s ON s_nationkey = n_nationkey
-        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlUnionDistinctStream),
+        |WHERE s_acctbal > 5000""".stripMargin)((s, d) => incrementalSqlUnionDistinctStream(s, d)),
+
+    // … and on the TRANSFORMWITHSTATE driver — the cross-branch
+    // netting node as a StatefulProcessor, same oracle.
+    sql("incremental_sql_union_distinct_tws",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |UNION
+        |SELECT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(
+      (s, d) => incrementalSqlUnionDistinctStream(s, d, tws = true)),
+
+    // INTERSECT's liveness-gated hop on the TWS drivers, same oracle
+    // as incremental_sql_intersect.
+    sql("incremental_sql_intersect_tws",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN c ON c_nationkey = n_nationkey WHERE c_acctbal > 8000
+        |INTERSECT
+        |SELECT DISTINCT n_name FROM nation
+        |JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 5000""".stripMargin)(incrementalSqlIntersectTws),
 
     // INTERSECT ALL — bag multiplicities via counts-based netting:
     // per nation, min(#qualifying customers, #qualifying suppliers)
@@ -2448,6 +2497,20 @@ object IncrementalQueries {
         |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
       incrementalSqlAsOf),
+
+    // … with a TOLERANCE bound in the ON clause (kdb aj / pandas
+    // merge_asof): `p.ts - c.ts <= INTERVAL 1 HOUR` compiles onto the
+    // operator's staleness conditional. Same oracle as
+    // events_asof_tolerance.
+    sql("incremental_sql_asof_tolerance",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        | CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_id END AS asof_click_id,
+        | CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.ts END AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
+      incrementalSqlAsOfTolerance),
 
     // … and the same compiled spec lowered onto the CONTINUOUS
     // operator (streamAsOfJoin micro-batch replay), same oracle — the

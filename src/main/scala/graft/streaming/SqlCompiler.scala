@@ -421,6 +421,7 @@ object SqlCompiler {
     }
     var keyPairs = Seq.empty[(String, String)]
     var tsPair: Option[(String, String)] = None // (left ts, right ts)
+    var tolPair: Option[((String, String), Long)] = None // ((l ts, r ts), micros)
     def addIneq(l: Expression, r: Expression): Unit = {
       val (lq, lc) = attr2(l, "the as-of bound's left side")
       val (rq, rc) = attr2(r, "the as-of bound's right side")
@@ -439,9 +440,32 @@ object SqlCompiler {
           case _ => fail("compileAsOf: ON equality must relate the two sides")
         }
       case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(a, b) => addIneq(a, b)
+      // TOLERANCE (kdb aj / pandas merge_asof): a staleness bound
+      // `left.ts - right.ts <= INTERVAL ...` — the match older than the
+      // bound reverts to the NULL extension
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(lhs, rhs: Literal)
+          if lhs.nodeName == "Subtract" =>
+        val attrs = lhs.collect { case a: UnresolvedAttribute => a }
+        if (attrs.size != 2)
+          fail(s"compileAsOf: tolerance bound must be 'l.ts - r.ts <= INTERVAL ...', " +
+            s"got ${lhs.sql} <= ${rhs.sql}")
+        val (aq, ac) = attr2(attrs(0), "the tolerance bound's minuend")
+        val (bq, bc) = attr2(attrs(1), "the tolerance bound's subtrahend")
+        if (side(aq) || !side(bq))
+          fail("compileAsOf: the tolerance bound must be left.ts - right.ts")
+        if (tolPair.isDefined) fail("compileAsOf: more than one tolerance bound")
+        val micros = rhs match {
+          case Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) => v
+          case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, _)
+              if ci.months == 0 =>
+            ci.days * 86400000000L + ci.microseconds
+          case other => fail("compileAsOf: tolerance bound must be a day-time " +
+            s"interval literal, got ${other.sql}")
+        }
+        tolPair = Some(((ac, bc), micros))
       case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(a, b) => addIneq(b, a)
-      case other => fail("compileAsOf: ON accepts key equalities and one " +
-        s"'left.ts >= right.ts' bound; got ${other.sql}")
+      case other => fail("compileAsOf: ON accepts key equalities, one " +
+        s"'left.ts >= right.ts' bound and an optional tolerance; got ${other.sql}")
     }
     splitConjuncts(spark.sessionState.sqlParser.parseExpression(onFrag)).foreach(classify)
     matchCond.foreach { frag =>
@@ -457,6 +481,11 @@ object SqlCompiler {
     val (lTs, rTs) = tsPair.getOrElse(
       fail("compileAsOf: no as-of inequality (left.ts >= right.ts) found"))
     if (keyPairs.isEmpty) fail("compileAsOf: at least one key equality is required")
+    tolPair.foreach { case ((ac, bc), _) =>
+      if ((ac, bc) != ((lTs, rTs)))
+        fail(s"compileAsOf: tolerance bounds ($ac, $bc) but the as-of " +
+          s"inequality is on ($lTs, $rTs) — they must match")
+    }
 
     // SELECT list: top-level comma split, each a qualified column with
     // an optional alias
@@ -480,7 +509,8 @@ object SqlCompiler {
         }
       }
     }
-    CompiledAsOf(leftRel, rightRel, keyPairs, lTs, rTs, leftOuter, items)
+    CompiledAsOf(leftRel, rightRel, keyPairs, lTs, rTs, leftOuter, items,
+      tolPair.map(_._2))
   }
 
   /** The compiled ASOF JOIN — see [[compileAsOf]]. */
@@ -489,7 +519,8 @@ object SqlCompiler {
       keyPairs: Seq[(String, String)], // (left col, right col)
       leftTs: String, rightTs: String,
       leftOuter: Boolean,
-      items: Seq[(Boolean, String, String)]) { // (fromRight, src col, out name)
+      items: Seq[(Boolean, String, String)], // (fromRight, src col, out name)
+      toleranceMicros: Option[Long] = None) {
     import org.apache.spark.sql.functions._
 
     /** Lower onto the union-window as-of operator: right key/ts
@@ -504,7 +535,9 @@ object SqlCompiler {
       val r = renames.foldLeft(rel(rightRel)) { case (df, (lc, rc)) =>
         df.withColumnRenamed(rc, lc) }
       val joined = graft.operators.AsOfJoin.asOfLeft(l, r,
-        keyCols = keyPairs.map(_._1), ts = leftTs)
+        keyCols = keyPairs.map(_._1), ts = leftTs,
+        tolerance = toleranceMicros.map(m => (lt: Column, rt: Column) =>
+          unix_micros(lt) - unix_micros(rt) <= m))
       // a matched right row always carries a non-null ts (null-ts
       // rights are dropped before the join), so the match's ts is the
       // existence witness for INNER

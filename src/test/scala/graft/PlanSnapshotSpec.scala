@@ -69,7 +69,14 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // headliners now — gated via benchNames)
     "incremental_sql_quantile",
     "incremental_sql_argmax", "events_ohlc_bars",
-    "snapshot_point_lookup")
+    "snapshot_point_lookup",
+    // round-11 shapes whose POINT is the plan: the set-semantics UNION
+    // netting node, the bag INTERSECT ALL counts-netting, the SQL-text
+    // as-of lowering (must stay the one-shuffle union-window plan),
+    // and the view over a version-pinned branch (manifest-resolved
+    // scans, no extra exchange)
+    "incremental_sql_union_distinct", "incremental_sql_intersect_all",
+    "incremental_sql_asof", "incremental_sql_over_branch")
   private def gated: Seq[String] = SparkEntry.benchNames ++ extras
 
   test("headline queries keep their committed plan shape") {
