@@ -1259,10 +1259,12 @@ object IncrementalQueries {
     * the stream gate runs. The continuous lowering supports ONE bigint
     * key and ONE bigint right value (the streaming operator's state
     * row); wider shapes run the batch lowering. */
-  def incrementalSqlAsOfStream(s: SparkSession, dir: String): DataFrame = {
+  def incrementalSqlAsOfStream(s: SparkSession, dir: String,
+      sqlText: String = asofSql,
+      sinkName: String = "incremental_sql_asof_stream"): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingAnalytics.{streamAsOfJoin, AsOfIn}
-    val c = SqlCompiler.compileAsOf(s, asofSql)
+    val c = SqlCompiler.compileAsOf(s, sqlText)
     require(c.keyPairs.size == 1 && c.leftOuter,
       "the continuous as-of lowering takes ASOF LEFT JOIN with one key")
     val (lKey, rKey) = c.keyPairs.head
@@ -1283,13 +1285,14 @@ object IncrementalQueries {
           .select(col(rKey).cast("long"), col(c.rightTs),
             lit(true).as("isRight"), col(rVal).cast("long")))
         .as[(Long, java.sql.Timestamp, Boolean, Long)]
-    val collected = boundedReplayCollect("incremental_sql_asof_stream", feed)
+    val collected = boundedReplayCollect(sinkName, feed)
     val ev = collected.map(r => AsOfIn(r._1, r._2, r._3, r._4))
       .sortBy(e => (e.ts.getTime, e.id))
     val src = MemoryStream[AsOfIn]
-    val out = streamAsOfJoin(src.toDS(), delay = "1 second")
+    val out = streamAsOfJoin(src.toDS(), delay = "1 second",
+      toleranceMicros = c.toleranceMicros)
     val query = out.writeStream
-      .format("memory").queryName("incremental_sql_asof_stream_sink")
+      .format("memory").queryName(sinkName + "_sink")
       .outputMode("append").start()
     try {
       val (first, second) = ev.splitAt(ev.length / 2)
@@ -1302,7 +1305,7 @@ object IncrementalQueries {
         isRight = false, id = -1L))
       query.processAllAvailable()
     } finally query.stop()
-    ss.table("incremental_sql_asof_stream_sink")
+    ss.table(sinkName + "_sink")
       .filter(col("key") >= 0)
       .select(c.items.map {
         case (false, src, out0) if src == lKey => col("key").as(out0)
@@ -2512,6 +2515,25 @@ object IncrementalQueries {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
       incrementalSqlAsOfTolerance),
 
+    // … and the tolerance bound through the CONTINUOUS operator: the
+    // compiled spec's toleranceMicros drives streamAsOfJoin's
+    // staleness conditional, same oracle as the batch tolerance form.
+    sql("incremental_sql_asof_tolerance_stream",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        | CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_id END AS asof_click_id,
+        | CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.ts END AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
+      (s, d) => incrementalSqlAsOfStream(s, d,
+        sqlText = """SELECT p.event_id, p.user_id, p.ts,
+          | c.click_id AS asof_click_id, c.ts AS asof_click_ts
+          |FROM p ASOF LEFT JOIN c
+          |ON p.user_id = c.user_id AND p.ts >= c.ts
+          | AND p.ts - c.ts <= INTERVAL 1 HOUR""".stripMargin,
+        sinkName = "incremental_sql_asof_tolerance_stream")),
+
     // … and the same compiled spec lowered onto the CONTINUOUS
     // operator (streamAsOfJoin micro-batch replay), same oracle — the
     // SQL surface drives the stream, not a hand-wired twin.
@@ -2521,7 +2543,7 @@ object IncrementalQueries {
         |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
-      incrementalSqlAsOfStream),
+      (s, d) => incrementalSqlAsOfStream(s, d)),
 
     // MAINTAINED VIEW OVER A VERSIONED TABLE (the r10 stretch): orders
     // resolves through a version-pinned shallow branch of the snapshot

@@ -141,7 +141,9 @@ object StreamingAnalytics {
     * larger id (mirror the registered query's max() dedup). Emission
     * order inside a batch is deterministic (ts, then id). */
   def streamAsOfJoin(events: org.apache.spark.sql.Dataset[AsOfIn],
-                     delay: String = "1 hour"): org.apache.spark.sql.Dataset[AsOfMatch] = {
+                     delay: String = "1 hour",
+                     toleranceMicros: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[AsOfMatch] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -165,7 +167,11 @@ object StreamingAnalytics {
           // conservative and require wm beyond the left's ts)
           val (done, pending) = lefts.partition(_._1 < wmMicros)
           val out = done.sortBy(identity).map { case (lts, lid) =>
+            // tolerance: a match older than the bound reverts to the
+            // NULL extension (same conditional as the batch operator —
+            // the latest preceding right is also the nearest one)
             val m = rights.takeWhile(_._1 <= lts).lastOption
+              .filter(r => toleranceMicros.forall(t => lts - r._1 <= t))
             AsOfMatch(key, lid, toTs(lts), m.map(_._2), m.map(r => toTs(r._1)))
           }
           // evict: rights newer than the watermark stay (future lefts
