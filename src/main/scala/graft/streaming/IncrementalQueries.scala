@@ -1323,7 +1323,7 @@ object IncrementalQueries {
     * incremental engine composed. The branch is created fresh per run
     * (replay-idempotent branchAt; its pin keeps source vacuums from
     * reclaiming the pinned version underneath the view). */
-  def incrementalSqlOverBranch(s: SparkSession, dir: String): DataFrame = {
+  private def compileOverBranch(s: SparkSession, dir: String): SqlCompiler.Compiled = {
     import graft.sources.SnapshotLog
     val root = SnapshotLog.ordersTableRoot(s, dir)
     val branch = java.nio.file.Files.createTempDirectory("graft_sql_branch").toString + "/b"
@@ -1336,8 +1336,19 @@ object IncrementalQueries {
         |GROUP BY n_name""".stripMargin,
       overrides = Map("orders" ->
         ((ss, _) => SnapshotLog.readVersion(ss, branch, 0).drop("b"))))
-      .run(s, dir, deletes = Map("customer" -> (col("c_custkey") % 13 === 0)))
   }
+
+  def incrementalSqlOverBranch(s: SparkSession, dir: String): DataFrame =
+    compileOverBranch(s, dir)
+      .run(s, dir, deletes = Map("customer" -> (col("c_custkey") % 13 === 0)))
+
+  /** The branch-sourced view through the CONTINUOUS engine: the
+    * override's changelog (the branch head read per relation) replays
+    * as micro-batches — the lakehouse read path feeding the stream. */
+  def incrementalSqlOverBranchStream(s: SparkSession, dir: String): DataFrame =
+    runSqlStreamed(s, compileOverBranch(s, dir), dir,
+      Map("customer" -> (col("c_custkey") % 13 === 0)),
+      "incremental_sql_over_branch_stream_leaf")
 
   /** The continuous form: both branch trees AND the set stages in one
     * streaming query — right-side deletes must flip tuples INTO an
@@ -2567,6 +2578,24 @@ object IncrementalQueries {
         |JOIN o ON o_custkey = c_custkey
         |GROUP BY n_name""".stripMargin)(incrementalSqlOverBranch),
 
+    // … and the branch-sourced maintained view through the CONTINUOUS
+    // engine, same oracle.
+    sql("incremental_sql_over_branch_stream",
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 160 = 1 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 160 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        | FROM orders WHERE o_orderkey % 160 = 2),
+        |c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT n_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |JOIN o ON o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin)(incrementalSqlOverBranchStream),
+
     // … both through the CONTINUOUS engine: branch trees AND set
     // stages in one streaming query, flips crossing micro-batches.
     sql("incremental_sql_intersect_stream",
@@ -2810,6 +2839,36 @@ object IncrementalQueries {
           "orders" -> (col("o_orderkey") % 50 === 0),
           "lineitem" -> (col("l_linenumber") === 3)),
         "incremental_sql_q10_fullouter_two_boundary_stream_leaf")
+    },
+
+    // … and the same six-plan compile on the TRANSFORMWITHSTATE
+    // drivers, same oracle — the orphan-subtree chains (stages
+    // consuming other stages' emissions) on the supported state API.
+    sql("incremental_sql_q10_fullouter_two_boundary_tws",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_linenumber <> 3)
+        |SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY n_name, o_orderpriority""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+            | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_e2
+            |FROM nation
+            |JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN orders ON o_custkey = c_custkey
+            |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE l_returnflag = 'R'
+            |GROUP BY n_name, o_orderpriority""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "lineitem" -> (col("l_linenumber") === 3)),
+        "incremental_sql_q10_fullouter_two_boundary_tws_leaf", tws = true)
     },
 
     // … the same compiled FULL OUTER (fused leaf + anti plan, ancestor
