@@ -853,5 +853,84 @@ object Curation {
           .select(col("doc_id"), col("lang"),
             when(h < "cc", "train").when(h < "e6", "val")
               .otherwise("test").as("split"))
+    },
+
+    // --- the CURATION FUNNEL: the pipeline stages composed -------------
+    // What an actual pre-training data run reports: survivor counts
+    // through held-out exclusion → language ID → quality gate (length
+    // + lexical diversity) → boilerplate-prefix dedup (keep the
+    // smallest doc_id per 16-token opening — templated near-copies
+    // share openings; the fixture has no byte-exact dupes) →
+    // 3-gram decontamination against the held-out set. Every stage is
+    // a scan/hash-aggregate/equi-join shape — the funnel inherits each
+    // operator's 100 TB posture; the six 1-row stage aggregates union
+    // into the report (no driver-side counting).
+    sql("curation_funnel",
+      """WITH d0 AS (SELECT doc_id, lang, text FROM documents),
+        |d1 AS (SELECT * FROM d0 WHERE doc_id % 97 <> 0),
+        |d2 AS (SELECT * FROM d1 WHERE lang = 'en'),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM d2),
+        |q3 AS (SELECT d2.* FROM d2 JOIN (
+        |        SELECT doc_id FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |        GROUP BY doc_id
+        |        HAVING COUNT(*) >= 30 AND COUNT(DISTINCT w) * 10 >= COUNT(*) * 4) k USING (doc_id)),
+        |p AS (SELECT doc_id, md5(array_to_string(
+        |        list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 16), ' ')) AS pfx
+        |      FROM q3),
+        |d4 AS (SELECT q3.* FROM q3 JOIN (SELECT MIN(doc_id) AS doc_id FROM p GROUP BY pfx) k USING (doc_id)),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+        |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM d0)
+        |       WHERE len(tk) >= 3),
+        |ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |ev AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 97 = 0),
+        |contam AS (SELECT DISTINCT t2.doc_id
+        |           FROM (SELECT doc_id, g FROM ex WHERE doc_id % 97 <> 0) t2
+        |           JOIN ev USING (g) GROUP BY t2.doc_id, eval_id HAVING COUNT(*) >= 3),
+        |d5 AS (SELECT * FROM d4 WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT * FROM (VALUES
+        | (1, 'total', (SELECT COUNT(*) FROM d0)),
+        | (2, 'not_heldout', (SELECT COUNT(*) FROM d1)),
+        | (3, 'lang_en', (SELECT COUNT(*) FROM d2)),
+        | (4, 'quality', (SELECT COUNT(*) FROM q3)),
+        | (5, 'prefix_dedup', (SELECT COUNT(*) FROM d4)),
+        | (6, 'decontaminated', (SELECT COUNT(*) FROM d5))) v(stage, stage_name, n_docs)""".stripMargin) {
+      (s, d) =>
+        import graft.functions.WordShingles.word_shingles
+        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        val d0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        val d1 = d0.filter(col("doc_id") % 97 =!= 0)
+        val d2 = d1.filter(col("lang") === "en")
+        val quality = d2.select(col("doc_id"), explode(toks).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("nd"))
+          .filter(col("n") >= 30 && col("nd") * 10 >= col("n") * 4)
+          .select("doc_id")
+        val q3 = d2.join(quality, "doc_id")
+        val keep4 = q3.select(col("doc_id"),
+            md5(to_binary(concat_ws(" ", slice(toks, 1, 16)), lit("utf-8"))).as("pfx"))
+          .groupBy(col("pfx")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val d4 = q3.join(keep4, "doc_id")
+        val ex = d0.select(col("doc_id"), toks.as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(word_shingles(col("tk"), 3)).as("g"))
+        val ev = ex.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("g"))
+        val contam = ex.filter(col("doc_id") % 97 =!= 0)
+          .join(ev, "g")
+          .groupBy(col("doc_id"), col("eval_id"))
+          .agg(count(lit(1)).as("sg")).filter(col("sg") >= 3)
+          .select("doc_id").distinct()
+        val d5 = d4.join(contam, Seq("doc_id"), "left_anti")
+        def stage(i: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(i).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+        stage(1, "total", d0)
+          .unionAll(stage(2, "not_heldout", d1))
+          .unionAll(stage(3, "lang_en", d2))
+          .unionAll(stage(4, "quality", q3))
+          .unionAll(stage(5, "prefix_dedup", d4))
+          .unionAll(stage(6, "decontaminated", d5))
     })
 }
