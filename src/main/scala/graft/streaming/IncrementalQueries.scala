@@ -2871,6 +2871,37 @@ object IncrementalQueries {
         "incremental_sql_q10_fullouter_two_boundary_tws_leaf", tws = true)
     },
 
+    // … and the FIND-THE-ORPHANS reading across both boundaries:
+    // `c_custkey IS NULL` selects exactly the classes whose customer
+    // side is nulled (orphan-orders ⋈ lineitems + orphan-lineitems;
+    // the main tree never runs — suppressMainLeaf), composed with the
+    // null-rejecting lineitem conjunct that drops the no-C class.
+    sql("incremental_sql_q10_fullouter_two_boundary_isnull",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_linenumber <> 3)
+        |SELECT o_orderpriority, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE c_custkey IS NULL AND l_returnflag = 'R'
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT o_orderpriority, COUNT(*) AS n_rows,
+          | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_e2
+          |FROM nation
+          |JOIN customer ON c_nationkey = n_nationkey
+          |FULL OUTER JOIN orders ON o_custkey = c_custkey
+          |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_custkey IS NULL AND l_returnflag = 'R'
+          |GROUP BY o_orderpriority""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "lineitem" -> (col("l_linenumber") === 3)))
+    },
+
     // … the same compiled FULL OUTER (fused leaf + anti plan, ancestor
     // deletes) through the TRANSFORMWITHSTATE driver — the compiler's
     // hardest maintained shape on the supported state API, same

@@ -1884,6 +1884,7 @@ object SqlCompiler {
     // children) — see the NESTED TWO-BOUNDARY section below
     var dropOrphanBWithC = false
     var dropOrphanBNoC = false
+    var twoBoundaryMainSuppressed = false
     val fullOuterIsNullConjuncts = scala.collection.mutable.ArrayBuffer[Expression]()
     if (fullOuterRels.size > 2)
       fail("more than two FULL OUTER boundaries are not compiled — the " +
@@ -1917,27 +1918,57 @@ object SqlCompiler {
       }
     if (fullOuterRels.nonEmpty) {
       if (plainFilterConjuncts.nonEmpty && twoBoundary.isDefined) {
-        // the two-boundary WHERE matrix: a null-rejecting conjunct
-        // kills every class in which one of its relations is on a
-        // NULL-extended side; survivors keep the conjunct as an
-        // ordinary scan filter (its relations are non-NULL there)
+        // the two-boundary WHERE matrix over the six classes: each
+        // class has a NULL-side relation set (which relations the
+        // extension nulls out), and every conjunct INTERSECTS the kept
+        // set — a null-rejecting predicate keeps the classes where its
+        // relations are non-NULL; a boundary-key IS NULL keeps exactly
+        // the classes where that key's owner IS nulled (the
+        // find-the-orphans idiom, consumed as plan selection, never a
+        // scan filter); IS NOT NULL keeps the complement AND stays a
+        // scan filter (a base-data NULL key never joins).
         val (bRel, cRel) = twoBoundary.get
-        plainFilterConjuncts.foreach { conj =>
-          if (!nullRejecting(conj))
-            fail(s"two-boundary FULL OUTER WHERE predicate '${fragment(conj)}' " +
-              "is not provably NULL-rejecting — the IS [NOT] NULL boundary-key " +
-              "plan-selection readings are single-boundary only")
-          conj.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct.foreach {
-            case o if o == bRel => // b is NULL in classes 2 and 6
-              fullOuterDropAnti += bRel; fullOuterDropOrphan += cRel
-            case o if o == cRel => // c is NULL in classes 2, 4 and 5
-              fullOuterDropAnti += bRel; fullOuterDropAnti += cRel
-              dropOrphanBNoC = true
-            case _ => // prefix side: NULL in classes 3, 4 and 6
-              dropOrphanBWithC = true; dropOrphanBNoC = true
-              fullOuterDropOrphan += cRel
-          }
+        val allClasses = Set(1, 2, 3, 4, 5, 6)
+        def nullClassesOf(rel: String): Set[Int] =
+          if (rel == bRel) Set(2, 6)
+          else if (rel == cRel) Set(2, 4, 5)
+          else Set(3, 4, 6) // prefix side
+        // boundary join-key columns, read from the two FULL ONs
+        val boundaryKeyOwners: Map[(String, String), String] =
+          outerOn.filter(e => fullOuterRels(e._1)).flatMap(_._2).flatMap {
+            case EqualTo(a: UnresolvedAttribute, b0: UnresolvedAttribute)
+                if ownerOf(a) != ownerOf(b0) =>
+              Seq((ownerOf(a), a.nameParts.last) -> ownerOf(a),
+                (ownerOf(b0), b0.nameParts.last) -> ownerOf(b0))
+            case _ => Nil
+          }.toMap
+        def keyOwnerOf(a: UnresolvedAttribute): Option[String] =
+          boundaryKeyOwners.get((ownerOf(a), a.nameParts.last))
+        var kept: Set[Int] = allClasses
+        plainFilterConjuncts.foreach {
+          case conj @ IsNull(a: UnresolvedAttribute) if keyOwnerOf(a).isDefined =>
+            fullOuterIsNullConjuncts += conj
+            kept = kept.intersect(nullClassesOf(keyOwnerOf(a).get))
+          case IsNotNull(a: UnresolvedAttribute) if keyOwnerOf(a).isDefined =>
+            kept = kept.diff(nullClassesOf(keyOwnerOf(a).get))
+          case conj =>
+            if (!nullRejecting(conj))
+              fail(s"two-boundary FULL OUTER WHERE predicate '${fragment(conj)}' " +
+                "is not provably NULL-rejecting (and not a boundary-key " +
+                "IS [NOT] NULL test) — it could hold on NULL-extended rows, " +
+                "which this compile cannot maintain")
+            conj.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct
+              .foreach(o => kept = kept.diff(nullClassesOf(o)))
         }
+        if (kept.isEmpty)
+          fail("two-boundary FULL OUTER WHERE conjuncts select no class — " +
+            "the view is provably empty (contradictory boundary-key tests)")
+        if (!kept(1)) twoBoundaryMainSuppressed = true
+        if (!kept(2)) fullOuterDropAnti += bRel
+        if (!kept(3)) dropOrphanBWithC = true
+        if (!kept(4)) dropOrphanBNoC = true
+        if (!kept(5)) fullOuterDropAnti += cRel
+        if (!kept(6)) fullOuterDropOrphan += cRel
       }
       if (plainFilterConjuncts.nonEmpty && twoBoundary.isEmpty) {
         val r = fullOuterRels.head
@@ -2838,7 +2869,7 @@ object SqlCompiler {
       neededRaw, present, loadRel, viewMode, rollupSets, groupingFlagBuf.toSeq,
       outerPlans,
       restrictedFullOuter.toSeq.sorted,
-      suppressMainLeaf = fullOuterOrphanOnly || fullOuterAntiOnly,
+      suppressMainLeaf = fullOuterOrphanOnly || fullOuterAntiOnly || twoBoundaryMainSuppressed,
       windowItems = windowBuf.toSeq,
       havingCount = plan.collect { case _: UnresolvedHaving => () }.size,
       scalarGates = scalarGates)
