@@ -1518,6 +1518,25 @@ class SqlCompilerSpec extends AnyFunSuite {
         |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin))
     assert(ex4.getMessage.contains("NESTED"), ex4.getMessage)
+    // two-boundary boundary-key IS NULL = class selection: orphan
+    // classes only (anti plans dropped, main suppressed)
+    val c5 = SqlCompiler.compile(s, d,
+      """SELECT o_orderkey, COUNT(*) AS n
+        |FROM customer
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_custkey IS NULL
+        |GROUP BY o_orderkey""".stripMargin)
+    assert(c5.suppressMainLeaf && c5.outerPlans.size == 3, c5.outerPlans.size)
+    // contradictory selections are loud (b NULL ∩ b NOT NULL = ∅)
+    val ex5 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT c_custkey, COUNT(*) AS n
+        |FROM customer
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey IS NULL AND o_custkey IS NOT NULL
+        |GROUP BY c_custkey""".stripMargin))
+    assert(ex5.getMessage.contains("no class"), ex5.getMessage)
   }
 
   test("INTERSECT/EXCEPT compile as maintained set ops; the fences stay loud") {
