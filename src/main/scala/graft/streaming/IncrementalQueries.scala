@@ -2871,6 +2871,34 @@ object IncrementalQueries {
         "incremental_sql_q10_fullouter_two_boundary_tws_leaf", tws = true)
     },
 
+    // … and the UNFILTERED six-class view through the CONTINUOUS
+    // engine — all five preservation plans' state across micro-batches
+    // at once, same oracle as the batch _all entry.
+    sql("incremental_sql_q10_fullouter_two_boundary_all_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_linenumber <> 3)
+        |SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY n_name, o_orderpriority""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+            | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_e2
+            |FROM nation
+            |JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN orders ON o_custkey = c_custkey
+            |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+            |GROUP BY n_name, o_orderpriority""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "lineitem" -> (col("l_linenumber") === 3)),
+        "incremental_sql_q10_fullouter_two_boundary_all_stream_leaf")
+    },
+
     // … and the FIND-THE-ORPHANS reading across both boundaries:
     // `c_custkey IS NULL` selects exactly the classes whose customer
     // side is nulled (orphan-orders ⋈ lineitems + orphan-lineitems;
