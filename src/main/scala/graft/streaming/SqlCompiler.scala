@@ -570,28 +570,23 @@ object SqlCompiler {
         .withColumn("fromParent", lit(right)).as[Evt]
     }
 
-    /** Bag-formula multiplicities from the netted per-side counts,
-      * exploded back to rows in the left branch's column order. */
+    /** Bag-formula multiplicities from the netted per-side counts —
+      * ONE conditional aggregation per tuple (no per-side self-join:
+      * both sides net in the same hash aggregate, keyed by the tuple
+      * hash), exploded back to rows in the left branch's column order.
+      * A tuple with no left rows nets __nl = 0, so both formulas give
+      * m = 0 and its (NULL) row canon is never decoded. */
     def present(leaf: Dataset): DataFrame = {
+      val signed = (col("tag") * col("mult")).cast("long")
       val nets = leaf.toDF()
-        .groupBy(col("fromParent"), col("key"))
-        .agg(sum((col("tag") * col("mult")).cast("long")).as("__n"),
-          max(col("row")).as("__row"))
-      // fresh aliases per side: both sides descend from the SAME plan
-      // (one changelog), so a name-join would see conflicting
-      // attribute references (the streaming memory sink defeats
-      // Spark's self-join dedup)
-      val l = nets.filter(!col("fromParent"))
-        .select(col("key").as("__kl"), col("__n").as("__nl"), col("__row"))
-      val r = nets.filter(col("fromParent"))
-        .select(col("key").as("__kr"), col("__n").as("__nr"))
+        .groupBy(col("key"))
+        .agg(
+          sum(when(!col("fromParent"), signed).otherwise(lit(0L))).as("__nl"),
+          sum(when(col("fromParent"), signed).otherwise(lit(0L))).as("__nr"),
+          max(when(!col("fromParent"), col("row"))).as("__row"))
       val counted =
-        if (except)
-          l.join(r, col("__kl") === col("__kr"), "left_outer")
-            .withColumn("__m", greatest(col("__nl") - coalesce(col("__nr"), lit(0L)), lit(0L)))
-        else
-          l.join(r, col("__kl") === col("__kr"))
-            .withColumn("__m", least(col("__nl"), col("__nr")))
+        if (except) nets.withColumn("__m", greatest(col("__nl") - col("__nr"), lit(0L)))
+        else nets.withColumn("__m", least(col("__nl"), col("__nr")))
       val m = str_to_map(col("__row"), lit(FS.toString), lit(KV.toString))
       val typed = left.outputSel.map { case (src, name) =>
         m.getItem(name).cast(left.colType(src)).as(name)
