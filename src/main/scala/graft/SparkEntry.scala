@@ -38,8 +38,13 @@ object SparkEntry {
     operators.Relational.q10(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate GraftQuery registrations (a Map would silently keep the last): ${dups.mkString(", ")}")
     all.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

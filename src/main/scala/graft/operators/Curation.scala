@@ -932,5 +932,160 @@ object Curation {
           .unionAll(stage(4, "quality", q3))
           .unionAll(stage(5, "prefix_dedup", d4))
           .unionAll(stage(6, "decontaminated", d5))
-    })
+    },
+
+    // The funnel MAINTAINED under a document changelog: per-stage
+    // counts update incrementally as docs insert and delete — batch 1
+    // inserts the corpus, batch 2 deletes a churn set (keeper handoff:
+    // deleting a prefix-dedup keeper promotes the runner-up, possibly
+    // flipping the decontaminated count), batch 3 re-inserts it, so
+    // the final state equals the corpus and the SAME 6-row oracle
+    // gates the result. Same per-stage semantics as curation_funnel.
+    sql("curation_funnel_stream",
+      """WITH d0 AS (SELECT doc_id, lang, text FROM documents),
+        |d1 AS (SELECT * FROM d0 WHERE doc_id % 97 <> 0),
+        |d2 AS (SELECT * FROM d1 WHERE lang = 'en'),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM d2),
+        |q3 AS (SELECT d2.* FROM d2 JOIN (
+        |        SELECT doc_id FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |        GROUP BY doc_id
+        |        HAVING COUNT(*) >= 30 AND COUNT(DISTINCT w) * 10 >= COUNT(*) * 4) k USING (doc_id)),
+        |p AS (SELECT doc_id, md5(array_to_string(
+        |        list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 16), ' ')) AS pfx
+        |      FROM q3),
+        |d4 AS (SELECT q3.* FROM q3 JOIN (SELECT MIN(doc_id) AS doc_id FROM p GROUP BY pfx) k USING (doc_id)),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS grams
+        |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM d0)
+        |       WHERE len(tk) >= 3),
+        |ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |ev AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 97 = 0),
+        |contam AS (SELECT DISTINCT t2.doc_id
+        |           FROM (SELECT doc_id, g FROM ex WHERE doc_id % 97 <> 0) t2
+        |           JOIN ev USING (g) GROUP BY t2.doc_id, eval_id HAVING COUNT(*) >= 3),
+        |d5 AS (SELECT * FROM d4 WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT * FROM (VALUES
+        | (1, 'total', (SELECT COUNT(*) FROM d0)),
+        | (2, 'not_heldout', (SELECT COUNT(*) FROM d1)),
+        | (3, 'lang_en', (SELECT COUNT(*) FROM d2)),
+        | (4, 'quality', (SELECT COUNT(*) FROM q3)),
+        | (5, 'prefix_dedup', (SELECT COUNT(*) FROM d4)),
+        | (6, 'decontaminated', (SELECT COUNT(*) FROM d5))) v(stage, stage_name, n_docs)""".stripMargin)(
+      funnelStream)
+  )
+
+  /** Streamed-funnel event: one signed document with its STATIC
+    * per-doc stage attributes (held-out flag, language, quality pass,
+    * dedup prefix, contamination vs the FIXED eval set — the eval
+    * benchmark is not part of corpus churn, so these ride each event
+    * unchanged). */
+  final case class FunnelDoc(seq: Long, sign: Int, docId: Long, held: Boolean,
+                             en: Boolean, quality: Boolean, pfx: String,
+                             contam: Boolean)
+  /** Per-prefix dedup-group state: the LIVE quality docs (docId →
+    * contaminated). The group's keeper is its min docId; stages 5/6
+    * are keeper-existence / keeper-cleanliness flips. */
+  final case class FunnelState(live: List[(Long, Boolean)])
+  final case class FunnelDelta(s1: Long, s2: Long, s3: Long, s4: Long,
+                               s5: Long, s6: Long)
+
+  /** `curation_funnel` through the CONTINUOUS engine: stages 1–4 are
+    * signed counts (memoryless per event); stages 5–6 are per-prefix
+    * keeper flips maintained in `flatMapGroupsWithState` — a keeper
+    * delete promotes the group's runner-up (and its contamination
+    * status decides the stage-6 move) without rescanning the corpus.
+    * Per-doc attributes are enriched ONCE batch-side (the same kernels
+    * as the batch entry) and ride the events; at 100 TB the enrichment
+    * is the one corpus scan and the maintenance is per-group state. */
+  def funnelStream(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.WordShingles.word_shingles
+    import graft.streaming.IncrementalQueries.{boundedReplayCollect, replaySession}
+    val ss = replaySession(s)
+    implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import ss.implicits._
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val d0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val qual = d0.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("nd"))
+    val sh = d0.select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(word_shingles(col("tk"), 3)).as("g"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val contam = sh.filter(col("doc_id") % 97 =!= 0).join(ev, "g")
+      .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("sg"))
+      .filter(col("sg") >= 3).select("doc_id").distinct()
+      .withColumn("is_contam", lit(true))
+    val enriched = d0
+      .join(qual, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") % 97 === 0).as("held"),
+        (col("lang") === "en").as("en"),
+        (col("doc_id") % 97 =!= 0 && col("lang") === "en" &&
+          coalesce(col("n"), lit(0L)) >= 30 &&
+          coalesce(col("nd"), lit(0L)) * 10 >= coalesce(col("n"), lit(0L)) * 4)
+          .as("quality"),
+        md5(to_binary(concat_ws(" ", slice(toks, 1, 16)), lit("utf-8"))).as("pfx"),
+        coalesce(col("is_contam"), lit(false)).as("contam"))
+      .as[(Long, Boolean, Boolean, Boolean, String, Boolean)]
+    val base = boundedReplayCollect("curation_funnel_stream", enriched).toSeq
+    def evt(seq: Long, sign: Int, r: (Long, Boolean, Boolean, Boolean, String, Boolean)) =
+      FunnelDoc(seq, sign, r._1, r._2, r._3, r._4, r._5, r._6)
+    // churn NON-eval docs only: the eval set defines contamination and
+    // is a fixed benchmark, not corpus churn
+    val churn = base.filter(r => !r._2 && r._1 % 5 == 0)
+    val batches = Seq(base.map(evt(0, 1, _)),
+      churn.map(evt(1, -1, _)), churn.map(evt(2, 1, _)))
+    val src = MemoryStream[FunnelDoc]
+    val out = src.toDS().groupByKey(_.pfx)
+      .flatMapGroupsWithState[FunnelState, FunnelDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          val in = it.toList
+          def cnt(p: FunnelDoc => Boolean): Long =
+            in.collect { case e if p(e) => e.sign.toLong }.sum
+          val beforeMap = state.getOption.map(_.live.toMap)
+            .getOrElse(Map.empty[Long, Boolean])
+          val afterMap = in.filter(_.quality)
+            .groupBy(_.docId).view
+            .mapValues(es => (es.map(_.sign).sum, es.head.contam))
+            .foldLeft(beforeMap) { case (m, (id, (net, c))) =>
+              if (net > 0) m + (id -> c)
+              else if (net < 0) m - id
+              else m
+            }
+          def keeper(m: Map[Long, Boolean]): Option[(Long, Boolean)] =
+            if (m.isEmpty) None else Some(m.minBy(_._1))
+          val (kb, ka) = (keeper(beforeMap), keeper(afterMap))
+          if (afterMap.isEmpty) state.remove()
+          else state.update(FunnelState(afterMap.toList))
+          Iterator.single(FunnelDelta(
+            cnt(_ => true), cnt(!_.held), cnt(e => !e.held && e.en),
+            cnt(_.quality),
+            ka.size.toLong - kb.size.toLong,
+            (if (ka.exists(!_._2)) 1L else 0L) - (if (kb.exists(!_._2)) 1L else 0L)))
+      }
+    val sinkName = "curation_funnel_stream_sink"
+    val query = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { src.addData(b); query.processAllAvailable() }
+      }
+    } finally query.stop()
+    val sums = ss.table(sinkName).agg(
+      sum("s1").as("s1"), sum("s2").as("s2"), sum("s3").as("s3"),
+      sum("s4").as("s4"), sum("s5").as("s5"), sum("s6").as("s6"))
+    Seq((1, "total", "s1"), (2, "not_heldout", "s2"), (3, "lang_en", "s3"),
+      (4, "quality", "s4"), (5, "prefix_dedup", "s5"), (6, "decontaminated", "s6"))
+      .map { case (i, nm, c) =>
+        sums.select(lit(i).as("stage"), lit(nm).as("stage_name"),
+          coalesce(col(c), lit(0L)).cast("long").as("n_docs"))
+      }.reduce(_ unionAll _)
+  }
 }

@@ -747,32 +747,45 @@ object TextAnalysis {
         | CAST(n_bigrams * 1000000 AS DOUBLE) / NULLIF(sum_p_e6, 0) AS ppl_proxy,
         | 2 * n_bigrams * 1000000 > 59 * sum_p_e6 AS low_quality
         |FROM doc""".stripMargin) {
-      (s, d) =>
-        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("t"))
-          .filter(size(col("t")) >= 2)
-        val bg = docs
-          .select(col("doc_id"), col("t"),
-            explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
-          .select(col("doc_id"),
-            element_at(col("t"), col("i")).as("w1"),
-            element_at(col("t"), col("i") + 1).as("w2"))
-        val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-        val pc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        // vocab size: distinct-word reduce to ONE value, embedded as a
-        // literal (no one-row cross join enters the plan)
-        val v = docs.select(explode(col("t")).as("w"))
-          .agg(countDistinct(col("w"))).collect()(0).getLong(0)
-        bg.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
-          .select(col("doc_id"),
-            expr(s"((c12 + 1) * 2000000 + (c1 + $v)) div (2 * (c1 + $v))").as("q"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_p_e6"))
-          .select(col("doc_id"), col("n_bigrams"), col("sum_p_e6"),
-            ((col("n_bigrams") * 1000000L).cast("double") /
-              nullif(col("sum_p_e6"), lit(0L))).as("ppl_proxy"),
-            (lit(2L) * col("n_bigrams") * 1000000L > lit(59L) * col("sum_p_e6"))
-              .as("low_quality"))
+      (s, d) => lmPerplexity(s, d)
     })
+
+  /** The bigram-LM scorer behind `text_lm_perplexity`, with the quality
+    * gate PARAMETERIZED: `thresholdE1` is the proxy threshold ×10 as an
+    * exact integer (default 295 = 29.5, the gated entry's oracle
+    * constant), so the flag stays an exact integer cross-multiply —
+    * proxy > thr/10 ⟺ 10·n·1e6 > thr·Σq — with no per-row floating
+    * comparison to drift cross-engine. Callers tuning a real corpus
+    * pass their own threshold (or derive one from a quantile of
+    * ppl_proxy) without touching the scoring plan. */
+  def lmPerplexity(s: org.apache.spark.sql.SparkSession, d: String,
+                   thresholdE1: Long = 295L): org.apache.spark.sql.DataFrame = {
+    require(thresholdE1 > 0, s"thresholdE1 must be positive, got $thresholdE1")
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = docs
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val pc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // vocab size: distinct-word reduce to ONE value, embedded as a
+    // literal (no one-row cross join enters the plan)
+    val v = docs.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    bg.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
+      .select(col("doc_id"),
+        expr(s"((c12 + 1) * 2000000 + (c1 + $v)) div (2 * (c1 + $v))").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_p_e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_p_e6"),
+        ((col("n_bigrams") * 1000000L).cast("double") /
+          nullif(col("sum_p_e6"), lit(0L))).as("ppl_proxy"),
+        (lit(10L) * col("n_bigrams") * 1000000L >
+          lit(thresholdE1) * col("sum_p_e6")).as("low_quality"))
+  }
 }

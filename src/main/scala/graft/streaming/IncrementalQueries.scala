@@ -1326,7 +1326,12 @@ object IncrementalQueries {
   private def compileOverBranch(s: SparkSession, dir: String): SqlCompiler.Compiled = {
     import graft.sources.SnapshotLog
     val root = SnapshotLog.ordersTableRoot(s, dir)
-    val branch = java.nio.file.Files.createTempDirectory("graft_sql_branch").toString + "/b"
+    // ONE deterministic branch path per source root: branchAt is
+    // replay-idempotent, so every run reuses the same pin instead of
+    // minting a fresh temp-dir pin per run (unreleased pins would
+    // accumulate in the root's _branches registry and permanently
+    // block vacuum of the pinned version)
+    val branch = root + "_sqlbranch/b"
     SnapshotLog.branchAt(root, 1, branch)
     SqlCompiler.compileOver(s, dir,
       """SELECT n_name, COUNT(*) AS n_orders,
@@ -1464,7 +1469,9 @@ object IncrementalQueries {
     * entries. */
   private def runSqlStreamed(s: SparkSession, c: SqlCompiler.Compiled, dir: String,
       deletes: Map[String, org.apache.spark.sql.Column], sinkName: String,
-      tws: Boolean = false): DataFrame = {
+      tws: Boolean = false,
+      transformLogs: Map[String, Dataset[Evt]] => Map[String, Dataset[Evt]] = identity)
+      : DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = replaySession(s)
     if (tws) // transformWithState's documented store requirement
@@ -1472,7 +1479,7 @@ object IncrementalQueries {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
-    val logs = c.sourceChangelogs(s, dir, deletes, filtered = false)
+    val logs = transformLogs(c.sourceChangelogs(s, dir, deletes, filtered = false))
       .view
       .map { case (rel, ds) =>
         rel -> boundedReplayCollect(s"$sinkName($rel)", ds).toSeq }
@@ -3876,43 +3883,6 @@ object IncrementalQueries {
           |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin,
         deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
     },
-    // CORR × ROLLUP on the CONTINUOUS engine — same oracle as
-    // incremental_sql_corr_rollup: the per-grouping-set co-moment
-    // folds (delta-side Expand) under micro-batch replay.
-    sql("incremental_sql_corr_rollup_stream",
-      """WITH t AS (
-        | SELECT n_name, o_orderstatus,
-        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x, o_custkey AS y
-        | FROM nation, customer, orders
-        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
-        |  AND o_orderkey % 6 <> 0),
-        |m AS (SELECT n_name, o_orderstatus,
-        |  COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
-        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sx,
-        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) END) AS sy,
-        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx,
-        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS HUGEINT) * y END) AS syy,
-        |  SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS HUGEINT) * y END) AS sxy,
-        |  COUNT(*) AS n_rows
-        | FROM t GROUP BY ROLLUP (n_name, o_orderstatus))
-        |SELECT n_name, o_orderstatus,
-        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |  / NULLIF(sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
-        |    * sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 0.0) AS r,
-        | n_rows
-        |FROM m""".stripMargin) {
-      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
-          """SELECT n_name, o_orderstatus,
-            | CORR(CAST(round(o_totalprice * 100, 0) AS BIGINT), o_custkey) AS r,
-            | COUNT(*) AS n_rows
-            |FROM nation, customer, orders
-            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
-            |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin),
-        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
-        "incremental_sql_corr_rollup_stream_leaf")
-    },
 
     // INCREMENTAL CUBE with COUNT(DISTINCT) — the per-value rollup
     // runs inside EVERY grouping set including the grand total (the
@@ -4578,5 +4548,691 @@ object IncrementalQueries {
           "lineitem" -> (col("l_linenumber") === 3),
           "orders" -> (col("o_orderkey") % 50 === 0),
           "part" -> (col("p_partkey") % 10 === 0)))
+    }) ++ streamTwinDefs
+
+  // ROUND 12: the stream-twin completion — every remaining batch-only
+  // compiled view gains a CONTINUOUS sibling on the generic
+  // [[runSqlStreamed]] machinery, gated against the SAME oracle as its
+  // batch twin (shared SQL text), so any stream/batch divergence fails
+  // the hash. The changelog surface is this engine's identity: a view
+  // that can only batch-refresh is half a view.
+  private def streamTwinDefs: Seq[GraftQuery] = Seq(
+
+    // The FULL flagship decoration chain (HAVING + ORDER BY + LIMIT)
+    // over the CONTINUOUS engine's streamed leaf — the presentation
+    // wrappers run per refresh over the group-cardinality view, the
+    // fold underneath replays as micro-batches.
+    sql("incremental_sql_q10_full_stream",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |HAVING COUNT(*) >= 2
+         |ORDER BY revenue_e4 DESC, c_custkey
+         |LIMIT 20""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+             | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+             | COUNT(*) AS n_rows
+             |FROM nation, customer, orders, lineitem
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             | AND c_nationkey = n_nationkey
+             | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+             | AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |HAVING n_rows >= 2
+             |ORDER BY revenue_e4 DESC, c_custkey
+             |LIMIT 20""".stripMargin),
+        dir, Map(
+          "lineitem" -> (col("l_linenumber") === 3),
+          "orders" -> (col("o_orderkey") % 50 === 0)),
+        "incremental_sql_q10_full_stream_leaf")
+    },
+
+    // The BRANCHING (multi-parent lineitem) compiled tree streamed —
+    // both parents' liveness flips propagate to the same leaf state
+    // across micro-batches.
+    sql("incremental_sql_part_revenue_stream",
+      s"""SELECT n_name, p_brand,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation, customer, orders, lineitem, part
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND l_orderkey = o_orderkey AND l_partkey = p_partkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R' AND p_size <= 25
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0 AND p_partkey % 10 <> 0
+         |GROUP BY n_name, p_brand""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          s"""SELECT n_name, p_brand,
+             | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+             | COUNT(*) AS n_rows
+             |FROM nation, customer, orders, lineitem, part
+             |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+             | AND l_orderkey = o_orderkey AND l_partkey = p_partkey
+             | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+             | AND l_returnflag = 'R' AND p_size <= 25
+             |GROUP BY n_name, p_brand""".stripMargin),
+        dir, Map(
+          "lineitem" -> (col("l_linenumber") === 3),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "part" -> (col("p_partkey") % 10 === 0)),
+        "incremental_sql_part_revenue_stream_leaf")
+    },
+
+    // The compiled PAIR-GLUE (shared dimension) streamed through the
+    // SQL path — the tree-API twin (incremental_shared_dim_stream)
+    // already exists; this one proves the COMPILER's stage layout
+    // streams too.
+    sql("incremental_sql_shared_dim_stream",
+      s"""SELECT n_name,
+         | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e2,
+         | COUNT(*) AS n_pairs
+         |FROM nation, customer, orders, supplier
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         | AND s_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0 AND s_acctbal >= 0
+         |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          s"""SELECT n_name,
+             | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_e2,
+             | COUNT(*) AS n_pairs
+             |FROM nation, customer, orders, supplier
+             |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+             | AND s_nationkey = n_nationkey
+             | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+             | AND s_acctbal >= 0
+             |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "orders" -> (col("o_orderkey") % 7 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)),
+        "incremental_sql_shared_dim_stream_leaf")
+    },
+
+    // Shared dimension WITH an ancestor above the trunk, streamed —
+    // region's liveness threads through the pair glue across
+    // micro-batches.
+    sql("incremental_sql_shared_parent_stream",
+      """SELECT n_name,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2,
+        | COUNT(*) AS n_pairs
+        |FROM region, nation, customer, supplier
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND s_nationkey = n_nationkey
+        | AND r_name <> 'ASIA' AND c_custkey % 6 <> 0 AND s_suppkey % 5 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name,
+            | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2,
+            | COUNT(*) AS n_pairs
+            |FROM region, nation, customer, supplier
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND s_nationkey = n_nationkey AND r_name <> 'ASIA'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 6 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)),
+        "incremental_sql_shared_parent_stream_leaf")
+    },
+
+    // BOTH glue kinds in one streamed graph: the nation pair stage and
+    // the self-join customer pair, with deletes crossing each product.
+    sql("incremental_sql_two_pairs_stream",
+      """SELECT n_name, COUNT(*) AS n_quads,
+        | CAST(SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS low_rev_e2
+        |FROM nation, customer, supplier, orders o1, orders o2
+        |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+        | AND o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+        | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+        | AND s_acctbal >= 0
+        | AND o1.o_orderkey % 7 <> 0 AND s_suppkey % 5 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, COUNT(*) AS n_quads,
+            | SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS low_rev_e2
+            |FROM nation, customer, supplier, orders o1, orders o2
+            |WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+            | AND o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+            | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+            | AND s_acctbal >= 0
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "o1" -> (col("o1_o_orderkey") % 7 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)),
+        "incremental_sql_two_pairs_stream_leaf")
+    },
+
+    // The SQL-text self-join streamed — each aliased instance is its
+    // own changelog identity; instance-independent deletes retract
+    // across the pair product through held state.
+    sql("incremental_sql_self_join_stream",
+      """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+        | CAST(SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS low_rev_e2
+        |FROM customer, orders o1, orders o2
+        |WHERE o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+        | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+        | AND o1.o_orderkey % 7 <> 0 AND o2.o_orderkey % 5 <> 0
+        |GROUP BY c_mktsegment""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+            | SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS low_rev_e2
+            |FROM customer, orders o1, orders o2
+            |WHERE o1.o_custkey = c_custkey AND o2.o_custkey = c_custkey
+            | AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+            |GROUP BY c_mktsegment""".stripMargin),
+        dir, Map(
+          "o1" -> (col("o1_o_orderkey") % 7 === 0),
+          "o2" -> (col("o2_o_orderkey") % 5 === 0)),
+        "incremental_sql_self_join_stream_leaf")
+    },
+
+    // The maintained BAG VIEW streamed under the batch entry's own
+    // name family (incremental_sql_view_stream predates the twin
+    // naming convention; this sibling closes the name-matched matrix).
+    sql("incremental_sql_join_view_stream",
+      """SELECT n_name, o_orderpriority
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderstatus = 'F'
+        | AND o_orderkey % 10 <> 0 AND c_custkey % 13 <> 0""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderpriority
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            | AND o_orderstatus = 'F'""".stripMargin),
+        dir, Map(
+          "orders" -> (col("o_orderkey") % 10 === 0),
+          "customer" -> (col("c_custkey") % 13 === 0)),
+        "incremental_sql_join_view_stream_leaf")
+    },
+
+    // The maintained SET VIEW (SELECT DISTINCT) streamed — presence
+    // flips (net > 0) assert and retract across micro-batches.
+    sql("incremental_sql_distinct_view_stream",
+      """SELECT DISTINCT n_name, o_orderpriority, o_orderstatus
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 10 <> 0 AND c_custkey % 13 <> 0""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT DISTINCT n_name, o_orderpriority, o_orderstatus
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey""".stripMargin),
+        dir, Map(
+          "orders" -> (col("o_orderkey") % 10 === 0),
+          "customer" -> (col("c_custkey") % 13 === 0)),
+        "incremental_sql_distinct_view_stream_leaf")
+    },
+
+    // RIGHT JOIN (parsed as the mirrored LEFT) streamed — the
+    // NULL-extension anti plan holds state across micro-batches.
+    sql("incremental_sql_q10_right_stream",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM nation
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |LEFT JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+         | AND l_linenumber <> 3
+         |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+             | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+             | COUNT(*) AS n_rows
+             |FROM lineitem
+             |RIGHT JOIN (nation
+             | JOIN customer ON c_nationkey = n_nationkey
+             | JOIN orders ON o_custkey = c_custkey)
+             | ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+             |WHERE o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin),
+        dir, q10OuterDeletes, "incremental_sql_q10_right_stream_leaf")
+    },
+
+    // The BLOOM-REDUCED compiled tree streamed: the leaf changelog is
+    // pre-filtered by a STATIC bloom built from the parent's key
+    // universe before entering the stream — the standard deployment
+    // shape for a pre-built reduction filter — and the reduction must
+    // be answer-invariant through the replay (same oracle as
+    // incremental_sql_q10).
+    sql("incremental_sql_q10_bloom_stream",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin) {
+      (s, dir) =>
+        val ss = s.newSession()
+        ss.conf.set(BloomPrefilterConf, "true")
+        runSqlStreamed(ss, SqlCompiler.compile(ss, dir,
+            s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+               | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+               | COUNT(*) AS n_rows
+               |FROM nation, customer, orders, lineitem
+               |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+               | AND c_nationkey = n_nationkey
+               | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+               | AND l_returnflag = 'R'
+               |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin),
+          dir, Map(
+            "lineitem" -> (col("l_linenumber") === 3),
+            "orders" -> (col("o_orderkey") % 50 === 0)),
+          "incremental_sql_q10_bloom_stream_leaf",
+          transformLogs = logs => bloomPrefilterChild(logs,
+            parentRel = "orders", parentChildKey = "o_orderkey",
+            childRel = "lineitem", expectedItems = 200000L, fpp = 0.01))
+    },
+
+    // The SALTED compiled tree streamed: the salt widening is baked
+    // into the stages at COMPILE time (own events bucket by row hash,
+    // liveness deltas replicate ×8), so the identical stage list runs
+    // on the streaming tree runner — de-skew must be answer-invariant
+    // through micro-batch replay too.
+    sql("incremental_sql_q10_salted_stream",
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+         | COUNT(*) AS n_rows
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         | AND c_nationkey = n_nationkey
+         | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+         | AND l_returnflag = 'R'
+         | AND l_linenumber <> 3 AND o_orderkey % 50 <> 0
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin) {
+      (s, dir) =>
+        val ss = s.newSession()
+        ss.conf.set(SaltRelationConf, "lineitem")
+        ss.conf.set(SaltWidthConf, "8")
+        runSqlStreamed(ss, SqlCompiler.compile(ss, dir,
+            s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+               | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+               | COUNT(*) AS n_rows
+               |FROM nation, customer, orders, lineitem
+               |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+               | AND c_nationkey = n_nationkey
+               | AND o_orderdate >= TIMESTAMP '$dateLo' AND o_orderdate < TIMESTAMP '$dateHi'
+               | AND l_returnflag = 'R'
+               |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin),
+          dir, Map(
+            "lineitem" -> (col("l_linenumber") === 3),
+            "orders" -> (col("o_orderkey") % 50 === 0)),
+          "incremental_sql_q10_salted_stream_leaf")
+    },
+
+    // The aggregate FILTER clause family streamed — per-clause signed
+    // folds (conditional sums, the distinct-value rollup) across
+    // micro-batches.
+    sql("incremental_sql_filter_stream",
+      """SELECT n_name,
+        | COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS big_rev_e2,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE)
+        |   / COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS avg_even_e2,
+        | MAX(o_orderkey) FILTER (WHERE o_orderkey % 2 = 1) AS max_odd,
+        | COUNT(DISTINCT CASE WHEN o_totalprice > 100000 THEN o_orderpriority END) AS n_prio_big,
+        | COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name,
+            | COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+            | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            |   FILTER (WHERE o_totalprice > 150000) AS big_rev_e2,
+            | AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            |   FILTER (WHERE o_orderkey % 2 = 0) AS avg_even_e2,
+            | MAX(o_orderkey) FILTER (WHERE o_orderkey % 2 = 1) AS max_odd,
+            | COUNT(DISTINCT o_orderpriority) FILTER (WHERE o_totalprice > 100000) AS n_prio_big,
+            | COUNT(*) AS n_rows
+            |FROM region, nation, customer, orders
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND o_custkey = c_custkey
+            | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)),
+        "incremental_sql_filter_stream_leaf")
+    },
+
+    // AVG's retractable SUM/COUNT pair streamed — exact integral folds
+    // across micro-batches, one double division per group at read.
+    sql("incremental_sql_avg_stream",
+      """SELECT n_name,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |   / COUNT(*) AS avg_price_e2,
+        | COUNT(*) AS n_rows
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        | AND o_custkey = c_custkey
+        | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+        | AND c_custkey % 11 <> 0 AND o_orderkey % 7 <> 0
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name,
+            | AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS avg_price_e2,
+            | COUNT(*) AS n_rows
+            |FROM region, nation, customer, orders
+            |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            | AND o_custkey = c_custkey
+            | AND r_name <> 'AFRICA' AND o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 11 === 0),
+          "orders" -> (col("o_orderkey") % 7 === 0)),
+        "incremental_sql_avg_stream_leaf")
+    },
+
+    // COMPUTED grouping keys streamed — the year() expression
+    // evaluates over the typed leaf deltas per micro-batch.
+    sql("incremental_sql_group_expr_stream",
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_e2,
+        | COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 4 <> 0
+        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+            | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_e2,
+            | COUNT(*) AS n_orders
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 4 === 0)),
+        "incremental_sql_group_expr_stream_leaf")
+    },
+
+    // The EXISTS semi gate streamed — the subquery's set-semantics key
+    // node and the liveness hop hold state across micro-batches, so a
+    // late order insert must re-admit its customer (and a delete
+    // re-evict it).
+    sql("incremental_sql_exists_stream",
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_e2
+        |FROM customer
+        |WHERE c_custkey % 30 <> 0
+        | AND EXISTS (SELECT 1 FROM orders
+        |             WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |               AND o_orderkey % 40 <> 0)
+        |GROUP BY c_nationkey""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT c_nationkey, COUNT(*) AS n_cust,
+            | SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS acctbal_e2
+            |FROM customer
+            |WHERE EXISTS (SELECT 1 FROM orders
+            |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+            |GROUP BY c_nationkey""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 30 === 0),
+          "orders" -> (col("o_orderkey") % 40 === 0)),
+        "incremental_sql_exists_stream_leaf")
+    },
+
+    // The NOT EXISTS anti gate composed with an outer FK tree,
+    // streamed — an order insert must EVICT its customer from the
+    // view (and the order's later delete re-admit it) through held
+    // state.
+    sql("incremental_sql_not_exists_stream",
+      """SELECT n_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_e2
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey
+        | AND c_custkey % 30 <> 0
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |                 WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |                   AND o_orderkey % 40 <> 0)
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, COUNT(*) AS n_cust,
+            | SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS acctbal_e2
+            |FROM nation, customer
+            |WHERE c_nationkey = n_nationkey
+            | AND NOT EXISTS (SELECT 1 FROM orders
+            |                 WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+            |GROUP BY n_name""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 30 === 0),
+          "orders" -> (col("o_orderkey") % 40 === 0)),
+        "incremental_sql_not_exists_stream_leaf")
+    },
+
+    // IN (subquery) streamed — the matching-set gate's admissions and
+    // evictions replay as micro-batches (a customer delete retracts
+    // every order it admitted).
+    sql("incremental_sql_in_stream",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey % 6 <> 0
+        | AND o_custkey IN (SELECT c_custkey FROM customer
+        |                   WHERE c_acctbal > 1000 AND c_custkey % 30 <> 0)
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT o_orderpriority, COUNT(*) AS n_orders
+            |FROM orders
+            |WHERE o_custkey IN (SELECT c_custkey FROM customer
+            |                    WHERE c_acctbal > 1000)
+            |GROUP BY o_orderpriority""".stripMargin),
+        dir, Map(
+          "orders" -> (col("o_orderkey") % 6 === 0),
+          "customer" -> (col("c_custkey") % 30 === 0)),
+        "incremental_sql_in_stream_leaf")
+    },
+
+    // ROLLUP with GROUPING() flags streamed — the per-set constants
+    // decorate the streamed grouping-set fold.
+    sql("incremental_sql_rollup_grouping_stream",
+      """SELECT n_name, o_orderstatus,
+        | CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        | COUNT(*) AS n_orders
+        |FROM nation, customer, orders
+        |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        | AND o_orderkey % 6 <> 0
+        |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderstatus,
+            | GROUPING(n_name) AS g_nation, GROUPING(o_orderstatus) AS g_status,
+            | COUNT(*) AS n_orders
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin),
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_rollup_grouping_stream_leaf")
+    },
+
+    // The two-boundary FIND-THE-ORPHANS reading streamed: only the
+    // three selected orphan-class plans run (suppressMainLeaf — the
+    // inner tree is never built), their state holding across
+    // micro-batches; same oracle as the batch _isnull entry.
+    sql("incremental_sql_q10_fullouter_two_boundary_isnull_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_linenumber <> 3)
+        |SELECT o_orderpriority, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE c_custkey IS NULL AND l_returnflag = 'R'
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT o_orderpriority, COUNT(*) AS n_rows,
+            | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_e2
+            |FROM nation
+            |JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN orders ON o_custkey = c_custkey
+            |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE c_custkey IS NULL AND l_returnflag = 'R'
+            |GROUP BY o_orderpriority""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "lineitem" -> (col("l_linenumber") === 3)),
+        "incremental_sql_q10_fullouter_two_boundary_isnull_stream_leaf")
+    }) ++ round12Defs
+
+  private def starFullOuterSql =
+    """SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+      | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+      |FROM nation
+      |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+      |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+      |GROUP BY n_name, c_mktsegment""".stripMargin
+
+  private def starFullOuterOracle =
+    """WITH n AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 0),
+      |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+      |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0)
+      |SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+      | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2
+      |FROM n FULL JOIN c ON c_nationkey = n_nationkey
+      |FULL JOIN s ON s_nationkey = n_nationkey
+      |GROUP BY n_name, c_mktsegment""".stripMargin
+
+  private def starFullOuterDeletes = Map(
+    "nation" -> (col("n_nationkey") % 7 === 0),
+    "customer" -> (col("c_custkey") % 13 === 0),
+    "supplier" -> (col("s_suppkey") % 5 === 0))
+
+  // Further round-12 compiler-scope entries.
+  private def round12Defs: Seq[GraftQuery] = Seq(
+
+    // INDEPENDENT (star) double FULL OUTER — two boundaries hanging
+    // off the SAME inner parent factorize into the per-boundary
+    // product: the pair-product main tree plus five chain/gate plans
+    // (a-no-b, b-no-a, bare parent, and the two orphan directions).
+    // Nation deletes orphan BOTH boundary sides at once — the class
+    // the nested shape cannot produce. DuckDB runs the literal double
+    // FULL JOIN natively as the oracle.
+    sql("incremental_sql_q10_fullouter_star", starFullOuterOracle) {
+      (s, dir) => SqlCompiler.run(s, dir, starFullOuterSql,
+        deletes = starFullOuterDeletes)
+    },
+
+    // … and through the CONTINUOUS engine: all six preservation plans
+    // hold state across micro-batches; a nation delete in batch 2 must
+    // retract its pair products AND assert both orphan directions.
+    sql("incremental_sql_q10_fullouter_star_stream", starFullOuterOracle) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compile(s, dir, starFullOuterSql),
+        dir, starFullOuterDeletes,
+        "incremental_sql_q10_fullouter_star_stream_leaf")
+    },
+
+    // NOT IN (subquery) — the null-free-provable case: both columns
+    // are FK-graph key columns (NOT NULL by the engine's key
+    // contract), so NOT IN lowers to the anti gate; a nullable column
+    // on either side keeps the loud three-valued fence
+    // (SqlCompilerSpec exercises the rejection). A customer delete
+    // must ADMIT every order it was excluding.
+    sql("incremental_sql_not_in",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey % 6 <> 0
+        | AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                       WHERE c_acctbal > 1000 AND c_custkey % 30 <> 0)
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT o_orderpriority, COUNT(*) AS n_orders
+          |FROM orders
+          |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+          |                        WHERE c_acctbal > 1000)
+          |GROUP BY o_orderpriority""".stripMargin,
+        deletes = Map(
+          "orders" -> (col("o_orderkey") % 6 === 0),
+          "customer" -> (col("c_custkey") % 30 === 0)))
+    },
+
+    // … and through the CONTINUOUS engine: exclusion-set admissions
+    // and evictions replay as micro-batches through the anti gate's
+    // held state.
+    sql("incremental_sql_not_in_stream",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey % 6 <> 0
+        | AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                       WHERE c_acctbal > 1000 AND c_custkey % 30 <> 0)
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT o_orderpriority, COUNT(*) AS n_orders
+            |FROM orders
+            |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+            |                        WHERE c_acctbal > 1000)
+            |GROUP BY o_orderpriority""".stripMargin),
+        dir, Map(
+          "orders" -> (col("o_orderkey") % 6 === 0),
+          "customer" -> (col("c_custkey") % 30 === 0)),
+        "incremental_sql_not_in_stream_leaf")
+    },
+
+    // The self-join written in EXPLICIT `JOIN t alias ON …` syntax —
+    // the spelling a real user writes first; same alias expansion,
+    // same oracle family as the comma-form incremental_sql_self_join.
+    sql("incremental_sql_self_alias",
+      """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+        | CAST(SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS low_rev_e2
+        |FROM customer
+        |JOIN orders o1 ON o1.o_custkey = c_custkey
+        |JOIN orders o2 ON o2.o_custkey = c_custkey
+        |WHERE o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+        | AND o1.o_orderkey % 7 <> 0 AND o2.o_orderkey % 5 <> 0
+        |GROUP BY c_mktsegment""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+          | SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS low_rev_e2
+          |FROM customer
+          |JOIN orders o1 ON o1.o_custkey = c_custkey
+          |JOIN orders o2 ON o2.o_custkey = c_custkey
+          |WHERE o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+          |GROUP BY c_mktsegment""".stripMargin,
+        deletes = Map(
+          "o1" -> (col("o1_o_orderkey") % 7 === 0),
+          "o2" -> (col("o2_o_orderkey") % 5 === 0)))
+    },
+
+    // … and streamed: the aliased instances replay as independent
+    // event streams through the pair product's held state.
+    sql("incremental_sql_self_alias_stream",
+      """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+        | CAST(SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS low_rev_e2
+        |FROM customer
+        |JOIN orders o1 ON o1.o_custkey = c_custkey
+        |JOIN orders o2 ON o2.o_custkey = c_custkey
+        |WHERE o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+        | AND o1.o_orderkey % 7 <> 0 AND o2.o_orderkey % 5 <> 0
+        |GROUP BY c_mktsegment""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+            | SUM(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) AS low_rev_e2
+            |FROM customer
+            |JOIN orders o1 ON o1.o_custkey = c_custkey
+            |JOIN orders o2 ON o2.o_custkey = c_custkey
+            |WHERE o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+            |GROUP BY c_mktsegment""".stripMargin),
+        dir, Map(
+          "o1" -> (col("o1_o_orderkey") % 7 === 0),
+          "o2" -> (col("o2_o_orderkey") % 5 === 0)),
+        "incremental_sql_self_alias_stream_leaf")
     })
 }

@@ -548,7 +548,13 @@ object SqlCompiler {
         case (true, src, out) =>
           val lName = keyPairs.collectFirst { case (lc, rc) if rc == src => lc }
           lName match {
-            case Some(lc) => col(lc).as(out) // right key == left key by the join
+            // right key == left key by the join, but ONLY on matched
+            // rows — under LEFT OUTER the null extension must surface
+            // NULL for right columns (DuckDB/Snowflake semantics), so
+            // gate the substitution on the match witness
+            case Some(lc) if leftOuter =>
+              when(col(s"asof_$leftTs").isNotNull, col(lc)).as(out)
+            case Some(lc) => col(lc).as(out)
             case None if src == rightTs => col(s"asof_$leftTs").as(out)
             case None => col(s"asof_$src").as(out)
           }
@@ -1800,10 +1806,20 @@ object SqlCompiler {
             s"'${other.map(fragment).mkString(", ")}'")
         }
         rawGates += ((in.query.plan, Some(outerA), false)); false
-      case Not(_: InSubquery) =>
-        fail("NOT IN (subquery) is not compiled: its three-valued semantics " +
-          "diverge from NOT EXISTS whenever the subquery side holds NULLs — " +
-          "rewrite as NOT EXISTS with an explicit correlation equality")
+      // NOT IN (subquery): three-valued — one NULL on EITHER side makes
+      // the predicate UNKNOWN (row dropped) where an anti join keeps
+      // two-valued semantics. It lowers to the anti gate ONLY in the
+      // null-free-provable case, validated at the gate compile below:
+      // both the subquery's selected column and the outer column must
+      // be FK-graph key columns (non-null by the engine-wide key
+      // contract); anything else stays loudly fenced there.
+      case Not(in: InSubquery) =>
+        val outerA = in.values match {
+          case Seq(a: UnresolvedAttribute) => a
+          case other => fail(s"NOT IN-subquery left side must be a plain column, " +
+            s"got '${other.map(fragment).mkString(", ")}'")
+        }
+        rawGates += ((in.query.plan, Some(outerA), true)); false
       case _ => true
     }
 
@@ -1894,8 +1910,16 @@ object SqlCompiler {
     // and c-orphanhood is against ALL b rows, not tree-alive ones
     // (class 6 keys off b's RAW changelog). Classes 2 and 5 are the
     // ordinary anti plans; 3, 4, 6 are built in the orphan section.
-    val twoBoundary: Option[(String, String)] =
-      if (fullOuterRels.size != 2) None
+    // STAR pair (a, b): two FULL boundaries whose parents are both
+    // INNER relations — their preservation plans factorize (one
+    // boundary's extension rows carry NULL join keys for the other,
+    // so extensions cannot interact) into the per-boundary product:
+    //   1 inner⋈a⋈b (the pair-product main tree)
+    //   2 inner⋈a, no b        4 inner, no a, no b
+    //   3 inner⋈b, no a        5/6 a-orphans / b-orphans
+    // Built in the STAR section of the plan construction below.
+    val (twoBoundary, starBoundary): (Option[(String, String)], Option[(String, String)]) =
+      if (fullOuterRels.size != 2) (None, None)
       else {
         def boundaryParentOf(r: String): Option[String] =
           outerOn.filter(_._1 == r).flatMap(_._2).collectFirst {
@@ -1905,11 +1929,14 @@ object SqlCompiler {
           }
         val nested = fullOuterRels.toSeq
           .flatMap(r => boundaryParentOf(r).filter(fullOuterRels).map(b0 => (b0, r)))
-        if (nested.size != 1)
-          fail("two FULL OUTER boundaries compile only when NESTED (the second " +
-            "boundary joins the first boundary's child) — independent FULL " +
-            "boundaries are not compiled")
-        Some(nested.head)
+        nested match {
+          case Seq(pair) => (Some(pair), None)
+          case Seq() =>
+            val Seq(a, b) = fullOuterRels.toSeq.sorted
+            (None, Some((a, b)))
+          case _ => fail("the two FULL OUTER boundaries reference each other's " +
+            "keys in both ONs — not a tree shape")
+        }
       }
     if (fullOuterRels.nonEmpty) {
       if (plainFilterConjuncts.nonEmpty && twoBoundary.isDefined) {
@@ -1939,6 +1966,15 @@ object SqlCompiler {
           }.toMap
         def keyOwnerOf(a: UnresolvedAttribute): Option[String] =
           boundaryKeyOwners.get((ownerOf(a), a.nameParts.last))
+        // PRECONDITION (same as the single-boundary path below): class
+        // selection reads `key IS NULL` as "this side was null-EXTENDED
+        // by the outer join", which is only equivalent to SQL when the
+        // boundary join keys are never NULL in base data. A preserved
+        // row carrying a genuinely NULL key satisfies IS NULL in SQL
+        // but belongs to a deselected class here. The keys are FK/PK
+        // columns of the schema-derived FK graph (validated below),
+        // which this engine requires NOT NULL — rows violating that
+        // never join and are out of contract for maintained views.
         var kept: Set[Int] = allClasses
         plainFilterConjuncts.foreach {
           case conj @ IsNull(a: UnresolvedAttribute) if keyOwnerOf(a).isDefined =>
@@ -1965,7 +2001,13 @@ object SqlCompiler {
         if (!kept(5)) fullOuterDropAnti += cRel
         if (!kept(6)) fullOuterDropOrphan += cRel
       }
-      if (plainFilterConjuncts.nonEmpty && twoBoundary.isEmpty) {
+      if (plainFilterConjuncts.nonEmpty && starBoundary.isDefined)
+        fail("WHERE with two independent (star) FULL OUTER boundaries is not " +
+          "compiled yet — the class-selection matrix is the per-boundary " +
+          "product; model the filters as changelog deletes, or use the " +
+          "nested two-boundary shape whose matrix is compiled")
+      if (plainFilterConjuncts.nonEmpty && twoBoundary.isEmpty &&
+          starBoundary.isEmpty) {
         val r = fullOuterRels.head
         // the boundary's two key columns, read from the bare FK
         // equality in this boundary's ON (validated just below):
@@ -2081,8 +2123,9 @@ object SqlCompiler {
     // EXISTS). Each gate costs one co-partitioned shuffle on the
     // correlation key; chained gates on one relation compose like the
     // multi-parent decomposition. NULL keys match NULL keys — the
-    // engine-wide non-null FK-key assumption; NOT IN is rejected above
-    // for exactly that reason.
+    // engine-wide non-null FK-key assumption; NOT IN lowers onto the
+    // anti gate only when both its columns are key columns under that
+    // contract (validated below), and stays loudly fenced otherwise.
     def parseGatePlan(p: LogicalPlan): (Seq[Expression], Seq[Expression], String) = p match {
       case Project(items, child) =>
         val (_, cs, r) = parseGatePlan(child); (items, cs, r)
@@ -2141,6 +2184,23 @@ object SqlCompiler {
               s"of '$subRel', got '${other.map(fragment).mkString(", ")}'")
           }
           if (!subCols(k)) fail(s"IN subquery selects '$k', not a column of '$subRel'")
+          if (anti) {
+            // NOT IN's null-free-provable case: both sides must be
+            // key-convention columns of the FK graph — the engine-wide
+            // contract holds them NOT NULL, so NOT IN ≡ the anti gate.
+            // A nullable (non-key) column on EITHER side keeps the
+            // loud three-valued fence: an outer NULL makes NOT IN
+            // UNKNOWN (row dropped) while the gate would KEEP the row;
+            // a subquery-side NULL empties NOT IN entirely.
+            def keyCol(c: String) = c.toLowerCase.endsWith("key")
+            val oc = outerA.nameParts.last
+            if (!keyCol(k) || !keyCol(oc))
+              fail(s"NOT IN (subquery) compiles only when both columns are " +
+                s"FK-graph key columns (NOT NULL by the engine's key contract); " +
+                s"got '$oc' NOT IN (SELECT $k ...) — a NULL on either side makes " +
+                "NOT IN three-valued where the anti join is two-valued. Rewrite " +
+                "as NOT EXISTS with an explicit correlation equality to opt in.")
+          }
           (k, outerA)
         case None => corr match {
           case Seq(EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)) =>
@@ -2297,7 +2357,104 @@ object SqlCompiler {
         }
     }
     val restrictedFullOuter = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    val outerPlans: Seq[OuterPlan] = outerOn.map(_._1).distinct.toSeq.flatMap { r =>
+
+    // STAR TWO-BOUNDARY preservation plans: both FULL boundaries hang
+    // off ONE inner relation (the root), so SQL's double FULL OUTER is
+    // the per-boundary product — the main tree is the pair-product
+    // (a × b per parent), and the five remaining classes are chains
+    // with NOT-EXISTS gates plus the two per-boundary orphan plans:
+    //   P_a∅  parent⋈a where b-absent     (class 2)
+    //   P_∅b  parent⋈b where a-absent     (class 3)
+    //   P_∅∅  bare parent, both absent    (class 4)
+    //   P_5/6 a-orphans / b-orphans (no live parent; EXACT — the
+    //         parent is the ROOT, so its changelog IS its liveness)
+    // Scope (loud): exactly one inner relation (the shared root), both
+    // boundaries FK children of it ON THE SAME parent key column, no
+    // LEFT JOINs or gates alongside. A deeper inner chain would need
+    // the orphan key nodes to consume the chain's merged emissions —
+    // not wired yet.
+    def starOuterPlans(aRel: String, bRel: String): Seq[OuterPlan] = {
+      def edgeOf(r: String) = queryEdges.find(_.child == r).getOrElse(
+        fail(s"FULL OUTER '$r' must be the FK child side of its ON equality"))
+      val (aEdge, bEdge) = (edgeOf(aRel), edgeOf(bRel))
+      if (outerOn.map(_._1).distinct.size != 2)
+        fail("star FULL OUTER boundaries cannot be combined with LEFT JOIN " +
+          "boundaries — the preservation classes would multiply")
+      if (aEdge.parent != bEdge.parent)
+        fail("independent (star) FULL OUTER boundaries compile only when both " +
+          s"hang off the SAME inner relation, got '${aEdge.parent}' and " +
+          s"'${bEdge.parent}'")
+      val pRel = aEdge.parent
+      if (aEdge.parentCol != bEdge.parentCol)
+        fail("star FULL OUTER boundaries must join the parent on the SAME " +
+          s"parent key column, got '${aEdge.parentCol}' and '${bEdge.parentCol}'")
+      val pKey = aEdge.parentCol
+      val innerRels = relations.filterNot(fullOuterRels)
+      if (innerRels != Seq(pRel))
+        fail("star FULL OUTER boundaries compile only over a SINGLE inner " +
+          s"parent relation, got inner relations ${innerRels.mkString(", ")} — " +
+          "a deeper inner chain is not wired (its orphan key nodes would need " +
+          "the chain's merged emissions)")
+      if (gates.nonEmpty)
+        fail("subquery gates alongside star FULL OUTER boundaries are not compiled")
+      // chain plan parent⋈child, gated by the OTHER boundary's absence
+      // at the parent key (the gate-surgery shape: set-semantics key
+      // node over the absent side, anti hop on the parent)
+      def gatedChain(tag: String, childEdge: TreeCompiler.FkEdge,
+                     absent: TreeCompiler.FkEdge): Seq[DeltaEngine.Stage] = {
+        val chain = TreeCompiler.stagesFor(Seq(childEdge), Seq(pRel, childEdge.child))
+        val pIdx = chain.indexWhere(st =>
+          st.spec.relation == pRel && st.ownStage.isEmpty)
+        val pEntry = chain(pIdx)
+        val keys = DeltaEngine.Stage(s"__star_${tag}_keys",
+          NodeSpec(absent.child, absent.fkCol, absent.fkCol,
+            isRoot = true, setSemantics = true),
+          keyOnlyRows = true)
+        val hop = DeltaEngine.Stage(s"__star_${tag}_hop",
+          NodeSpec(pRel, pKey, pEntry.spec.childKeyCol, antiParent = true),
+          parentStage = Some(keys.name))
+        chain.patch(pIdx, Seq(keys, hop, pEntry.copy(ownStage = Some(hop.name))), 1)
+      }
+      // class 4: the bare parent gated by BOTH absences — two chained
+      // anti hops; the second hop IS the leaf (the soloGated shape)
+      val bothAbsent: Seq[DeltaEngine.Stage] = {
+        val keysA = DeltaEngine.Stage("__star_noa_keys",
+          NodeSpec(aRel, aEdge.fkCol, aEdge.fkCol,
+            isRoot = true, setSemantics = true),
+          keyOnlyRows = true)
+        val hopA = DeltaEngine.Stage("__star_noa_hop",
+          NodeSpec(pRel, pKey, pKey, antiParent = true),
+          parentStage = Some(keysA.name))
+        val keysB = DeltaEngine.Stage("__star_nob_keys",
+          NodeSpec(bRel, bEdge.fkCol, bEdge.fkCol,
+            isRoot = true, setSemantics = true),
+          keyOnlyRows = true)
+        val hopB = DeltaEngine.Stage("__star_nob_hop",
+          NodeSpec(pRel, pKey, pKey, antiParent = true),
+          parentStage = Some(keysB.name), ownStage = Some(hopA.name))
+        Seq(keysA, hopA, keysB, hopB)
+      }
+      // classes 5/6: boundary rows with NO live parent — exact here
+      // (the parent is the root: its changelog IS its tree liveness)
+      def orphans(tag: String, edge: TreeCompiler.FkEdge): Seq[DeltaEngine.Stage] = {
+        val keysP = DeltaEngine.Stage(s"__star_orph_${tag}_keys",
+          NodeSpec(pRel, pKey, pKey, isRoot = true, setSemantics = true),
+          keyOnlyRows = true)
+        val hop = DeltaEngine.Stage(s"__star_orph_${tag}_hop",
+          NodeSpec(edge.child, edge.fkCol, edge.fkCol, antiParent = true),
+          parentStage = Some(keysP.name))
+        Seq(keysP, hop)
+      }
+      Seq(gatedChain("anob", aEdge, bEdge), gatedChain("bnoa", bEdge, aEdge),
+          bothAbsent, orphans("a", aEdge), orphans("b", bEdge))
+        .map(planStages => OuterPlan(planStages,
+          planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), None))
+    }
+
+    val outerPlans: Seq[OuterPlan] =
+      if (starBoundary.isDefined)
+        starOuterPlans(starBoundary.get._1, starBoundary.get._2)
+      else outerOn.map(_._1).distinct.toSeq.flatMap { r =>
       if (stages.count(_.spec.relation == r) != 1)
         fail(s"LEFT-JOINed relation '$r' cannot also carry subquery gates " +
           "or pair stages")

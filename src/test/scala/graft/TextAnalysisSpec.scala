@@ -144,4 +144,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got(w) == encodeRef(w), s"word '$w': ${got(w)} vs ${encodeRef(w)}")
     }
   }
+
+  test("lmPerplexity quality gate is parameterized; default preserves the oracle constant") {
+    // scoring columns are threshold-independent; only the flag moves
+    val byDefault = TextAnalysis.lmPerplexity(spark, sfTiny)
+      .select("doc_id", "ppl_proxy", "low_quality").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    // default 295 (= 29.5) must equal the gated entry's hardwired
+    // 2n·1e6 > 59·Σq cross-multiply
+    byDefault.foreach { case (_, (proxy, flag)) =>
+      assert(flag == (proxy > 29.5) || proxy == 29.5)
+    }
+    // a stricter gate (threshold 10 = proxy > 1.0) must flag a strict
+    // superset, and a looser one (10x the default) a strict subset
+    val strict = TextAnalysis.lmPerplexity(spark, sfTiny, thresholdE1 = 10L)
+      .filter(col("low_quality")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val loose = TextAnalysis.lmPerplexity(spark, sfTiny, thresholdE1 = 2950L)
+      .filter(col("low_quality")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val default = byDefault.collect { case (id, (_, true)) => id }.toSet
+    assert(default.subsetOf(strict), "default-flagged docs must stay flagged under a stricter gate")
+    assert(loose.subsetOf(default), "loose-flagged docs must be a subset of the default's")
+    assert(strict.size > default.size, "the stricter gate should flag more docs on the fixture")
+  }
 }
