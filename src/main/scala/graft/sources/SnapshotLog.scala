@@ -987,6 +987,59 @@ object SnapshotLog {
         readVersion(ss, root, 3)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // END-TO-END LAKEHOUSE CDC LOOP: branch → maintained view over the
+    // branch → merge-back → source-side refresh ≡ rebuild. CDC lands on
+    // a zero-copy BRANCH of v1 while the source stays pinned; the
+    // maintained view refreshes over the branch head; tableDiff (whose
+    // output IS commitMerge's change-set shape) merges the branch back
+    // as source v2 — and the branch-maintained view's final state must
+    // equal a from-scratch rebuild over the merged source BIT-FOR-BIT
+    // (the require), so after merge-back the view needs NO rebuild.
+    // The gated value is the rebuilt view against DuckDB running the
+    // same aggregate over the whole-change-set final state.
+    sql("snapshot_cdc_loop",
+      s"""WITH o AS ($appliedChangesSql)
+         |SELECT n_name, COUNT(*) AS n_orders,
+         | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+         |FROM nation, customer, o
+         |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+         |GROUP BY n_name""".stripMargin) {
+      (s, d) =>
+        import graft.streaming.SqlCompiler
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_cdcloop").toString
+        val branch = java.nio.file.Files.createTempDirectory("graft_snap_cdcloop_b").toString + "/b"
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        commitMerge(s, root, 1, "o_orderkey", payload, updateBatch(orders))
+        branchAt(root, 1, branch) // pins v1 against source vacuums
+        // CDC lands on the branch; the source is untouched
+        commitMerge(s, branch, 1, "o_orderkey", payload, deleteInsertBatch(orders))
+        val viewSql =
+          """SELECT n_name, COUNT(*) AS n_orders,
+            | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+            |FROM nation, customer, orders
+            |WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+            |GROUP BY n_name""".stripMargin
+        def viewOver(ver: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          SqlCompiler.compileOver(s, d, viewSql,
+            overrides = Map("orders" -> ((_, _) => ver.drop("b")))).run(s, d)
+        // the branch-maintained view's refresh at the branch head
+        val refresh = viewOver(readVersion(s, branch, 1))
+        // merge back: the branch diff is the landing change set
+        val landing = tableDiff(readVersion(s, branch, 0),
+          readVersion(s, branch, 1), "o_orderkey", payload)
+        commitMerge(s, root, 2, "o_orderkey", payload, landing)
+        val rebuild = viewOver(readVersion(s, root, 2))
+        val got = refresh.collect().map(_.toString).sorted
+        val want = rebuild.collect().map(_.toString).sorted
+        require(java.util.Arrays.equals(got.asInstanceOf[Array[AnyRef]],
+            want.asInstanceOf[Array[AnyRef]]),
+          "branch-maintained view refresh diverged from the source rebuild " +
+            "after merge-back — the CDC loop leaked state")
+        dropBranch(root, branch) // release the pin: the loop is closed
+        rebuild
     })
 
   /** Rewrite version `v`'s resolved file set into `root/compact_v<v>`

@@ -5140,6 +5140,101 @@ object IncrementalQueries {
         "incremental_sql_q10_fullouter_star_stream_leaf")
     },
 
+    // Star × WHERE class selection: the parent-side conjunct kills
+    // exactly the two orphan classes; the three gated-extension plans
+    // and the pair-product main tree maintain the rest. DuckDB runs
+    // the literal double FULL JOIN + WHERE as the oracle.
+    sql("incremental_sql_q10_fullouter_star_filtered",
+      """WITH n AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 0),
+        |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0)
+        |SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2
+        |FROM n FULL JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN s ON s_nationkey = n_nationkey
+        |WHERE n_name <> 'KENYA'
+        |GROUP BY n_name, c_mktsegment""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+          | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+          |FROM nation
+          |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+          |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+          |WHERE n_name <> 'KENYA'
+          |GROUP BY n_name, c_mktsegment""".stripMargin,
+        deletes = starFullOuterDeletes)
+    },
+
+    // Star × parent-key IS NULL — the find-the-orphans reading across
+    // BOTH boundaries at once: only the two orphan plans run (main
+    // suppressed, extension classes dropped); nation deletes must
+    // assert orphans on BOTH sides.
+    sql("incremental_sql_q10_fullouter_star_isnull",
+      """WITH n AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 0),
+        |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2
+        |FROM n FULL JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN s ON s_nationkey = n_nationkey
+        |WHERE n_nationkey IS NULL
+        |GROUP BY c_mktsegment""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT c_mktsegment, COUNT(*) AS n_rows,
+          | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+          |FROM nation
+          |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+          |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+          |WHERE n_nationkey IS NULL
+          |GROUP BY c_mktsegment""".stripMargin,
+        deletes = starFullOuterDeletes)
+    },
+
+    // … and both through the CONTINUOUS engine, same oracles.
+    sql("incremental_sql_q10_fullouter_star_filtered_stream",
+      """WITH n AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 0),
+        |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0)
+        |SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2
+        |FROM n FULL JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN s ON s_nationkey = n_nationkey
+        |WHERE n_name <> 'KENYA'
+        |GROUP BY n_name, c_mktsegment""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+            | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+            |FROM nation
+            |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+            |WHERE n_name <> 'KENYA'
+            |GROUP BY n_name, c_mktsegment""".stripMargin),
+        dir, starFullOuterDeletes,
+        "incremental_sql_q10_fullouter_star_filtered_stream_leaf")
+    },
+
+    sql("incremental_sql_q10_fullouter_star_isnull_stream",
+      """WITH n AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 0),
+        |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2
+        |FROM n FULL JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN s ON s_nationkey = n_nationkey
+        |WHERE n_nationkey IS NULL
+        |GROUP BY c_mktsegment""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT c_mktsegment, COUNT(*) AS n_rows,
+            | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+            |FROM nation
+            |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+            |WHERE n_nationkey IS NULL
+            |GROUP BY c_mktsegment""".stripMargin),
+        dir, starFullOuterDeletes,
+        "incremental_sql_q10_fullouter_star_isnull_stream_leaf")
+    },
+
     // NOT IN (subquery) — the null-free-provable case: both columns
     // are FK-graph key columns (NOT NULL by the engine's key
     // contract), so NOT IN lowers to the anti gate; a nullable column

@@ -1896,6 +1896,9 @@ object SqlCompiler {
     var dropOrphanBWithC = false
     var dropOrphanBNoC = false
     var twoBoundaryMainSuppressed = false
+    // star two-boundary classes dropped by WHERE class selection
+    // (2 a-no-b, 3 b-no-a, 4 both-absent, 5 a-orphans, 6 b-orphans)
+    val starDrop = scala.collection.mutable.Set[Int]()
     val fullOuterIsNullConjuncts = scala.collection.mutable.ArrayBuffer[Expression]()
     if (fullOuterRels.size > 2)
       fail("more than two FULL OUTER boundaries are not compiled — the " +
@@ -2001,11 +2004,51 @@ object SqlCompiler {
         if (!kept(5)) fullOuterDropAnti += cRel
         if (!kept(6)) fullOuterDropOrphan += cRel
       }
-      if (plainFilterConjuncts.nonEmpty && starBoundary.isDefined)
-        fail("WHERE with two independent (star) FULL OUTER boundaries is not " +
-          "compiled yet — the class-selection matrix is the per-boundary " +
-          "product; model the filters as changelog deletes, or use the " +
-          "nested two-boundary shape whose matrix is compiled")
+      if (plainFilterConjuncts.nonEmpty && starBoundary.isDefined) {
+        // the STAR WHERE matrix: six classes again, but the NULL-side
+        // sets are the per-boundary PRODUCT (extensions cannot
+        // interact) — a is null in {3,4,6}, b in {2,4,5}, the shared
+        // parent side exactly in the two orphan classes {5,6}. The
+        // same selection rules as the nested matrix apply, including
+        // the non-null-key precondition documented there.
+        val (aRel, bRel) = starBoundary.get
+        val allClasses = Set(1, 2, 3, 4, 5, 6)
+        def nullClassesOf(rel: String): Set[Int] =
+          if (rel == aRel) Set(3, 4, 6)
+          else if (rel == bRel) Set(2, 4, 5)
+          else Set(5, 6) // the shared inner parent side
+        val boundaryKeyOwners: Map[(String, String), String] =
+          outerOn.filter(e => fullOuterRels(e._1)).flatMap(_._2).flatMap {
+            case EqualTo(a: UnresolvedAttribute, b0: UnresolvedAttribute)
+                if ownerOf(a) != ownerOf(b0) =>
+              Seq((ownerOf(a), a.nameParts.last) -> ownerOf(a),
+                (ownerOf(b0), b0.nameParts.last) -> ownerOf(b0))
+            case _ => Nil
+          }.toMap
+        def keyOwnerOf(a: UnresolvedAttribute): Option[String] =
+          boundaryKeyOwners.get((ownerOf(a), a.nameParts.last))
+        var kept: Set[Int] = allClasses
+        plainFilterConjuncts.foreach {
+          case conj @ IsNull(a: UnresolvedAttribute) if keyOwnerOf(a).isDefined =>
+            fullOuterIsNullConjuncts += conj
+            kept = kept.intersect(nullClassesOf(keyOwnerOf(a).get))
+          case IsNotNull(a: UnresolvedAttribute) if keyOwnerOf(a).isDefined =>
+            kept = kept.diff(nullClassesOf(keyOwnerOf(a).get))
+          case conj =>
+            if (!nullRejecting(conj))
+              fail(s"star FULL OUTER WHERE predicate '${fragment(conj)}' " +
+                "is not provably NULL-rejecting (and not a boundary-key " +
+                "IS [NOT] NULL test) — it could hold on NULL-extended rows, " +
+                "which this compile cannot maintain")
+            conj.collect { case a: UnresolvedAttribute => ownerOf(a) }.distinct
+              .foreach(o => kept = kept.diff(nullClassesOf(o)))
+        }
+        if (kept.isEmpty)
+          fail("star FULL OUTER WHERE conjuncts select no class — the view " +
+            "is provably empty (contradictory boundary-key tests)")
+        if (!kept(1)) twoBoundaryMainSuppressed = true
+        starDrop ++= allClasses.diff(kept + 1)
+      }
       if (plainFilterConjuncts.nonEmpty && twoBoundary.isEmpty &&
           starBoundary.isEmpty) {
         val r = fullOuterRels.head
@@ -2445,8 +2488,12 @@ object SqlCompiler {
           parentStage = Some(keysP.name))
         Seq(keysP, hop)
       }
-      Seq(gatedChain("anob", aEdge, bEdge), gatedChain("bnoa", bEdge, aEdge),
-          bothAbsent, orphans("a", aEdge), orphans("b", bEdge))
+      Seq(2 -> (() => gatedChain("anob", aEdge, bEdge)),
+          3 -> (() => gatedChain("bnoa", bEdge, aEdge)),
+          4 -> (() => bothAbsent),
+          5 -> (() => orphans("a", aEdge)),
+          6 -> (() => orphans("b", bEdge)))
+        .collect { case (cls, mk) if !starDrop(cls) => mk() }
         .map(planStages => OuterPlan(planStages,
           planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), None))
     }

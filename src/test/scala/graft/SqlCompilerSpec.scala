@@ -1256,10 +1256,21 @@ class SqlCompilerSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, sqlText))
       assert(ex.getMessage.contains(needle), s"message: ${ex.getMessage}")
     }
-    // NOT IN diverges from NOT EXISTS on NULLs — rejected, not guessed
+    // NOT IN diverges from NOT EXISTS on NULLs — it lowers to the anti
+    // gate ONLY when both columns are FK-graph key columns (non-null by
+    // the engine's key contract); a nullable column on either side
+    // keeps the loud three-valued fence
     bad("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
-          |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-          |GROUP BY o_orderpriority""".stripMargin, "NOT IN")
+          |WHERE o_orderstatus NOT IN (SELECT c_mktsegment FROM customer)
+          |GROUP BY o_orderpriority""".stripMargin, "three-valued")
+    bad("""SELECT c_nationkey, COUNT(*) AS n FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_orderstatus FROM orders)
+          |GROUP BY c_nationkey""".stripMargin, "three-valued")
+    // the null-free-provable case compiles (both sides key columns)
+    SqlCompiler.compile(s, d,
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |GROUP BY o_orderpriority""".stripMargin)
     // a subquery under OR is not a top-level conjunct
     bad("""SELECT n_name, COUNT(*) AS n FROM nation, customer
           |WHERE c_nationkey = n_nationkey
@@ -1511,13 +1522,59 @@ class SqlCompilerSpec extends AnyFunSuite {
         |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY n_name""".stripMargin))
     assert(ex3.getMessage.contains("more than two FULL OUTER"), ex3.getMessage)
-    val ex4 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+    // INDEPENDENT (star) sibling boundaries off one parent now compile:
+    // the pair-product main tree plus five factorized plans (a-no-b,
+    // b-no-a, both-absent, and the two orphan directions)
+    val cStar = SqlCompiler.compile(s, d,
       """SELECT n_name, COUNT(*) AS n
         |FROM nation
         |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
         |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    assert(cStar.outerPlans.size == 5, cStar.outerPlans.size)
+    // star × WHERE class selection: a parent-side null-rejecting
+    // conjunct kills exactly the two orphan classes (5, 6), leaving
+    // the three gated-extension plans
+    val cStarW = SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n
+        |FROM nation
+        |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+        |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+        |WHERE n_name <> 'KENYA'
+        |GROUP BY n_name""".stripMargin)
+    assert(cStarW.outerPlans.size == 3 && !cStarW.suppressMainLeaf,
+      cStarW.outerPlans.size)
+    // star × boundary-key IS NULL on the parent key: ONLY the two
+    // orphan classes survive (main suppressed, extensions dropped)
+    val cStarNull = SqlCompiler.compile(s, d,
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM nation
+        |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+        |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+        |WHERE n_nationkey IS NULL
+        |GROUP BY c_mktsegment""".stripMargin)
+    assert(cStarNull.suppressMainLeaf && cStarNull.outerPlans.size == 2,
+      cStarNull.outerPlans.size)
+    // a non-null-rejecting conjunct stays loud
+    val exStarCoalesce = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n
+        |FROM nation
+        |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+        |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+        |WHERE COALESCE(c_acctbal, 1) > 0
         |GROUP BY n_name""".stripMargin))
-    assert(ex4.getMessage.contains("NESTED"), ex4.getMessage)
+    assert(exStarCoalesce.getMessage.contains("NULL-rejecting"),
+      exStarCoalesce.getMessage)
+    // … and a deeper inner chain above the shared parent stays loud
+    // (the orphan key nodes would need the chain's merged emissions)
+    val exStarChain = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+        |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin))
+    assert(exStarChain.getMessage.contains("SINGLE inner"), exStarChain.getMessage)
     // two-boundary boundary-key IS NULL = class selection: orphan
     // classes only (anti plans dropped, main suppressed)
     val c5 = SqlCompiler.compile(s, d,
