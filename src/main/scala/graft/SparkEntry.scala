@@ -108,7 +108,11 @@ object SparkEntry {
       // six-class preservation matrix — its cost IS the three extra
       // plans) and the corpus-trained bigram LM scorer (bigram-keyed
       // scoring join over one scan)
-      "incremental_sql_q10_fullouter_two_boundary", "text_lm_perplexity")
+      "incremental_sql_q10_fullouter_two_boundary", "text_lm_perplexity",
+      // round 12: the star double FULL OUTER maintained view (the
+      // per-boundary-product factorization — its cost IS the pair
+      // tree plus five gated plans in one entry)
+      "incremental_sql_q10_fullouter_star")
     val have = queries.keySet
     preferred.filter(have)
   }

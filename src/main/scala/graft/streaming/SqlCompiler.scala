@@ -2443,53 +2443,68 @@ object SqlCompiler {
       // chain plan parent⋈child, gated by the OTHER boundary's absence
       // at the parent key (the gate-surgery shape: set-semantics key
       // node over the absent side, anti hop on the parent)
-      def gatedChain(tag: String, childEdge: TreeCompiler.FkEdge,
-                     absent: TreeCompiler.FkEdge): Seq[DeltaEngine.Stage] = {
+      // SHARED nodes, constructed ONCE and reused by object identity
+      // across the plans below — the batch runner (runTreeShared)
+      // caches stage outputs in an IdentityHashMap, so each shared key
+      // node / anti hop shuffles and folds ONCE for all its consumers:
+      //   keysA (a's key set)      → plans 3 and 4
+      //   keysB (b's key set)      → plans 2 and 4
+      //   hopNoA (parent gated ¬a) → plans 3 and 4
+      //   keysP (parent key set)   → plans 5 and 6
+      // (the stream runner keeps independent chains — state stores are
+      // per-operator — exactly as the nested two-boundary path does)
+      val keysA = DeltaEngine.Stage("__star_noa_keys",
+        NodeSpec(aRel, aEdge.fkCol, aEdge.fkCol,
+          isRoot = true, setSemantics = true),
+        keyOnlyRows = true)
+      val keysB = DeltaEngine.Stage("__star_nob_keys",
+        NodeSpec(bRel, bEdge.fkCol, bEdge.fkCol,
+          isRoot = true, setSemantics = true),
+        keyOnlyRows = true)
+      val keysP = DeltaEngine.Stage("__star_p_keys",
+        NodeSpec(pRel, pKey, pKey, isRoot = true, setSemantics = true),
+        keyOnlyRows = true)
+      val hopNoA = DeltaEngine.Stage("__star_noa_hop",
+        NodeSpec(pRel, pKey, pKey, antiParent = true),
+        parentStage = Some(keysA.name))
+      val hopNoB = DeltaEngine.Stage("__star_nob_hop",
+        NodeSpec(pRel, pKey, pKey, antiParent = true),
+        parentStage = Some(keysB.name))
+      // chain plan parent⋈child, gated by the OTHER boundary's absence
+      // at the parent key (the gate-surgery shape)
+      def gatedChain(childEdge: TreeCompiler.FkEdge,
+                     keysAbsent: DeltaEngine.Stage,
+                     hopAbsent: DeltaEngine.Stage): Seq[DeltaEngine.Stage] = {
         val chain = TreeCompiler.stagesFor(Seq(childEdge), Seq(pRel, childEdge.child))
         val pIdx = chain.indexWhere(st =>
           st.spec.relation == pRel && st.ownStage.isEmpty)
         val pEntry = chain(pIdx)
-        val keys = DeltaEngine.Stage(s"__star_${tag}_keys",
-          NodeSpec(absent.child, absent.fkCol, absent.fkCol,
-            isRoot = true, setSemantics = true),
-          keyOnlyRows = true)
-        val hop = DeltaEngine.Stage(s"__star_${tag}_hop",
-          NodeSpec(pRel, pKey, pEntry.spec.childKeyCol, antiParent = true),
-          parentStage = Some(keys.name))
-        chain.patch(pIdx, Seq(keys, hop, pEntry.copy(ownStage = Some(hop.name))), 1)
+        if (pEntry.spec.childKeyCol != pKey)
+          fail(s"star FULL OUTER: the parent chain must route by '$pKey', " +
+            s"got '${pEntry.spec.childKeyCol}'")
+        chain.patch(pIdx,
+          Seq(keysAbsent, hopAbsent, pEntry.copy(ownStage = Some(hopAbsent.name))), 1)
       }
-      // class 4: the bare parent gated by BOTH absences — two chained
-      // anti hops; the second hop IS the leaf (the soloGated shape)
+      // class 4: the bare parent gated by BOTH absences — keysA/hopNoA
+      // shared with plan 3, keysB shared with plan 2; the second hop
+      // IS the leaf (the soloGated shape)
       val bothAbsent: Seq[DeltaEngine.Stage] = {
-        val keysA = DeltaEngine.Stage("__star_noa_keys",
-          NodeSpec(aRel, aEdge.fkCol, aEdge.fkCol,
-            isRoot = true, setSemantics = true),
-          keyOnlyRows = true)
-        val hopA = DeltaEngine.Stage("__star_noa_hop",
+        val hopB = DeltaEngine.Stage("__star_nob2_hop",
           NodeSpec(pRel, pKey, pKey, antiParent = true),
-          parentStage = Some(keysA.name))
-        val keysB = DeltaEngine.Stage("__star_nob_keys",
-          NodeSpec(bRel, bEdge.fkCol, bEdge.fkCol,
-            isRoot = true, setSemantics = true),
-          keyOnlyRows = true)
-        val hopB = DeltaEngine.Stage("__star_nob_hop",
-          NodeSpec(pRel, pKey, pKey, antiParent = true),
-          parentStage = Some(keysB.name), ownStage = Some(hopA.name))
-        Seq(keysA, hopA, keysB, hopB)
+          parentStage = Some(keysB.name), ownStage = Some(hopNoA.name))
+        Seq(keysA, hopNoA, keysB, hopB)
       }
       // classes 5/6: boundary rows with NO live parent — exact here
-      // (the parent is the root: its changelog IS its tree liveness)
+      // (the parent is the root: its changelog IS its tree liveness);
+      // keysP shared between the two directions
       def orphans(tag: String, edge: TreeCompiler.FkEdge): Seq[DeltaEngine.Stage] = {
-        val keysP = DeltaEngine.Stage(s"__star_orph_${tag}_keys",
-          NodeSpec(pRel, pKey, pKey, isRoot = true, setSemantics = true),
-          keyOnlyRows = true)
         val hop = DeltaEngine.Stage(s"__star_orph_${tag}_hop",
           NodeSpec(edge.child, edge.fkCol, edge.fkCol, antiParent = true),
           parentStage = Some(keysP.name))
         Seq(keysP, hop)
       }
-      Seq(2 -> (() => gatedChain("anob", aEdge, bEdge)),
-          3 -> (() => gatedChain("bnoa", bEdge, aEdge)),
+      Seq(2 -> (() => gatedChain(aEdge, keysB, hopNoB)),
+          3 -> (() => gatedChain(bEdge, keysA, hopNoA)),
           4 -> (() => bothAbsent),
           5 -> (() => orphans("a", aEdge)),
           6 -> (() => orphans("b", bEdge)))

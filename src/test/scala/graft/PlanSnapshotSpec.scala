@@ -76,7 +76,14 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // and the view over a version-pinned branch (manifest-resolved
     // scans, no extra exchange)
     "incremental_sql_union_distinct", "incremental_sql_intersect_all",
-    "incremental_sql_asof", "incremental_sql_over_branch")
+    "incremental_sql_asof", "incremental_sql_over_branch",
+    // round-12 shapes whose POINT is the plan: the star orphans-only
+    // IS NULL selection (two plans, no main tree) and the NOT IN
+    // anti-gate lowering (one extra co-partitioned shuffle, no
+    // three-valued rewrite); the full star view is a headliner —
+    // gated via benchNames
+    "incremental_sql_q10_fullouter_star_isnull",
+    "incremental_sql_not_in")
   private def gated: Seq[String] = SparkEntry.benchNames ++ extras
 
   test("headline queries keep their committed plan shape") {
