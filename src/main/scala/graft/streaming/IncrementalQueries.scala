@@ -5140,6 +5140,72 @@ object IncrementalQueries {
         "incremental_sql_q10_fullouter_star_stream_leaf")
     },
 
+    // … and the star view on the TRANSFORMWITHSTATE drivers — all six
+    // preservation plans' state on the supported arbitrary-state API,
+    // same oracle: three state implementations, one truth.
+    sql("incremental_sql_q10_fullouter_star_tws", starFullOuterOracle) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compile(s, dir, starFullOuterSql),
+        dir, starFullOuterDeletes,
+        "incremental_sql_q10_fullouter_star_tws_leaf", tws = true)
+    },
+
+    // Star boundaries under an inner CHAIN (region→nation): the five
+    // factorized plans build on the chain prefix — a REGION delete
+    // must retract its nations' pair products and orphan their
+    // customers AND suppliers transitively (the orphan key nodes ride
+    // the prefix's merged emissions, not the parent's raw changelog).
+    sql("incremental_sql_q10_fullouter_star_chain",
+      """WITH r AS (SELECT * FROM region WHERE r_regionkey % 2 <> 0),
+        |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0)
+        |SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2
+        |FROM r JOIN nation ON n_regionkey = r_regionkey
+        |FULL JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN s ON s_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+          | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+          |FROM region
+          |JOIN nation ON n_regionkey = r_regionkey
+          |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+          |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+          |GROUP BY n_name, c_mktsegment""".stripMargin,
+        deletes = Map(
+          "region" -> (col("r_regionkey") % 2 === 0),
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)))
+    },
+
+    // … and streamed: batch 2's region deletes flip orphanhood on BOTH
+    // boundary sides through the prefix-fed key-node state.
+    sql("incremental_sql_q10_fullouter_star_chain_stream",
+      """WITH r AS (SELECT * FROM region WHERE r_regionkey % 2 <> 0),
+        |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0)
+        |SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2
+        |FROM r JOIN nation ON n_regionkey = r_regionkey
+        |FULL JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN s ON s_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+            | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+            |FROM region
+            |JOIN nation ON n_regionkey = r_regionkey
+            |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+            |GROUP BY n_name, c_mktsegment""".stripMargin),
+        dir, Map(
+          "region" -> (col("r_regionkey") % 2 === 0),
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)),
+        "incremental_sql_q10_fullouter_star_chain_stream_leaf")
+    },
+
     // Star × WHERE class selection: the parent-side conjunct kills
     // exactly the two orphan classes; the three gated-extension plans
     // and the pair-product main tree maintain the rest. DuckDB runs

@@ -2432,24 +2432,66 @@ object SqlCompiler {
         fail("star FULL OUTER boundaries must join the parent on the SAME " +
           s"parent key column, got '${aEdge.parentCol}' and '${bEdge.parentCol}'")
       val pKey = aEdge.parentCol
-      val innerRels = relations.filterNot(fullOuterRels)
-      if (innerRels != Seq(pRel))
-        fail("star FULL OUTER boundaries compile only over a SINGLE inner " +
-          s"parent relation, got inner relations ${innerRels.mkString(", ")} — " +
-          "a deeper inner chain is not wired (its orphan key nodes would need " +
-          "the chain's merged emissions)")
       if (gates.nonEmpty)
         fail("subquery gates alongside star FULL OUTER boundaries are not compiled")
-      // chain plan parent⋈child, gated by the OTHER boundary's absence
-      // at the parent key (the gate-surgery shape: set-semantics key
-      // node over the absent side, anti hop on the parent)
+      // The INNER relations plus ONE boundary must plan as a pure
+      // CHAIN ending parent-then-boundary: the chain's prefix (ending
+      // at the shared parent, keyed to pKey) is what every factorized
+      // plan builds on — gate hops splice in front of the parent's
+      // stage, and the orphan key nodes consume the prefix's merged
+      // emissions, so ancestor deletes orphan transitively.
+      val innerRels = relations.filterNot(fullOuterRels)
+      val innerEdges = queryEdges.filter(e =>
+        !fullOuterRels(e.child) && !fullOuterRels(e.parent))
+      val chainA = TreeCompiler.stagesFor(innerEdges :+ aEdge, innerRels :+ aRel)
+      val chainB = TreeCompiler.stagesFor(innerEdges :+ bEdge, innerRels :+ bRel)
+      def checkChain(ch: Seq[DeltaEngine.Stage], child: String): Unit = {
+        if (ch.exists(st => st.pairStage.nonEmpty || st.ownStage.nonEmpty))
+          fail("star FULL OUTER: the inner relations above the shared parent " +
+            "must form a CHAIN (pair/shared-dimension prefixes are not wired)")
+        if (ch.last.spec.relation != child ||
+            ch(ch.size - 2).spec.relation != pRel)
+          fail("star FULL OUTER: the shared parent must be the chain's " +
+            "leaf-most inner relation")
+      }
+      checkChain(chainA, aRel)
+      checkChain(chainB, bRel)
+      val prefix = chainA.dropRight(1) // the inner chain, ending at pRel
+      val pEntry = prefix.last
+      if (pEntry.spec.nextKeyCol != pKey)
+        fail(s"star FULL OUTER: the inner chain must emit keyed to '$pKey', " +
+          s"got '${pEntry.spec.nextKeyCol}'")
+      val aStage = chainA.last
+      val bStage = chainB.last
+      if (!bStage.parentStage.contains(pEntry.name))
+        fail("star FULL OUTER: the two boundary chains disagree on the " +
+          "shared parent stage")
+      val pIdx = prefix.size - 1
+      val pCk = pEntry.spec.childKeyCol
+      // the gate hops route the parent's OWN changelog by pKey; the
+      // shared changelogs are keyed by the MAIN (pair) tree's routing
+      // key — re-key per plan when they differ. The prefix's own
+      // stages must agree with the main keys (loud otherwise: a plan
+      // cannot re-key two relations).
+      val mainPKey = stages.find(st =>
+        st.spec.relation == pRel && st.ownStage.isEmpty)
+        .map(_.spec.childKeyCol).getOrElse(pKey)
+      val hopRekey: Option[(String, String)] =
+        if (mainPKey == pKey) None else Some((pRel, pKey))
+      prefix.filter(_.ownStage.isEmpty).foreach { st =>
+        stages.find(m => m.spec.relation == st.spec.relation && m.ownStage.isEmpty)
+          .filter(_.spec.childKeyCol != st.spec.childKeyCol)
+          .foreach(m => fail(s"star FULL OUTER: chain stage " +
+            s"'${st.spec.relation}' routes by '${st.spec.childKeyCol}' but the " +
+            s"main tree routes it by '${m.spec.childKeyCol}' — not re-keyable"))
+      }
       // SHARED nodes, constructed ONCE and reused by object identity
       // across the plans below — the batch runner (runTreeShared)
       // caches stage outputs in an IdentityHashMap, so each shared key
-      // node / anti hop shuffles and folds ONCE for all its consumers:
+      // node / prefix stage shuffles and folds ONCE for all consumers:
+      //   prefix (the inner chain) → plans 2, 3, 4, 5, 6
       //   keysA (a's key set)      → plans 3 and 4
       //   keysB (b's key set)      → plans 2 and 4
-      //   hopNoA (parent gated ¬a) → plans 3 and 4
       //   keysP (parent key set)   → plans 5 and 6
       // (the stream runner keeps independent chains — state stores are
       // per-operator — exactly as the nested two-boundary path does)
@@ -2461,56 +2503,64 @@ object SqlCompiler {
         NodeSpec(bRel, bEdge.fkCol, bEdge.fkCol,
           isRoot = true, setSemantics = true),
         keyOnlyRows = true)
+      // the parent's TREE liveness (its key set under all ancestors):
+      // consumes the prefix's merged emissions, set-dedup'd to pKey —
+      // except when the parent IS the root, where its raw changelog
+      // already is its liveness (no prefix fold to ride)
       val keysP = DeltaEngine.Stage("__star_p_keys",
         NodeSpec(pRel, pKey, pKey, isRoot = true, setSemantics = true),
+        ownStage = if (prefix.size == 1) None else Some(pEntry.name),
         keyOnlyRows = true)
       val hopNoA = DeltaEngine.Stage("__star_noa_hop",
-        NodeSpec(pRel, pKey, pKey, antiParent = true),
+        NodeSpec(pRel, pKey, pCk, antiParent = true),
         parentStage = Some(keysA.name))
       val hopNoB = DeltaEngine.Stage("__star_nob_hop",
-        NodeSpec(pRel, pKey, pKey, antiParent = true),
+        NodeSpec(pRel, pKey, pCk, antiParent = true),
         parentStage = Some(keysB.name))
       // chain plan parent⋈child, gated by the OTHER boundary's absence
-      // at the parent key (the gate-surgery shape)
-      def gatedChain(childEdge: TreeCompiler.FkEdge,
+      // at the parent key (the gate-surgery shape: set-semantics key
+      // node over the absent side, anti hop on the parent)
+      def gatedChain(childStage: DeltaEngine.Stage,
                      keysAbsent: DeltaEngine.Stage,
-                     hopAbsent: DeltaEngine.Stage): Seq[DeltaEngine.Stage] = {
-        val chain = TreeCompiler.stagesFor(Seq(childEdge), Seq(pRel, childEdge.child))
-        val pIdx = chain.indexWhere(st =>
-          st.spec.relation == pRel && st.ownStage.isEmpty)
-        val pEntry = chain(pIdx)
-        if (pEntry.spec.childKeyCol != pKey)
-          fail(s"star FULL OUTER: the parent chain must route by '$pKey', " +
-            s"got '${pEntry.spec.childKeyCol}'")
-        chain.patch(pIdx,
-          Seq(keysAbsent, hopAbsent, pEntry.copy(ownStage = Some(hopAbsent.name))), 1)
-      }
-      // class 4: the bare parent gated by BOTH absences — keysA/hopNoA
-      // shared with plan 3, keysB shared with plan 2; the second hop
-      // IS the leaf (the soloGated shape)
+                     hopAbsent: DeltaEngine.Stage): Seq[DeltaEngine.Stage] =
+        prefix.patch(pIdx,
+          Seq(keysAbsent, hopAbsent, pEntry.copy(ownStage = Some(hopAbsent.name))),
+          1) :+ childStage
+      // class 4: the parent (alive under its ancestors) gated by BOTH
+      // absences — the second hop feeds the parent's chain entry
       val bothAbsent: Seq[DeltaEngine.Stage] = {
-        val hopB = DeltaEngine.Stage("__star_nob2_hop",
-          NodeSpec(pRel, pKey, pKey, antiParent = true),
-          parentStage = Some(keysB.name), ownStage = Some(hopNoA.name))
-        Seq(keysA, hopNoA, keysB, hopB)
+        val hopA4 =
+          if (pCk == pKey) hopNoA // identical shape: share with plan 3
+          else DeltaEngine.Stage("__star_noa4_hop",
+            NodeSpec(pRel, pKey, pKey, antiParent = true),
+            parentStage = Some(keysA.name))
+        val hopB4 = DeltaEngine.Stage("__star_nob2_hop",
+          NodeSpec(pRel, pKey, pCk, antiParent = true),
+          parentStage = Some(keysB.name), ownStage = Some(hopA4.name))
+        // root parent: the second hop IS the leaf (the soloGated
+        // shape — no ancestor fold to thread the gated rows through)
+        if (prefix.size == 1) Seq(keysA, hopA4, keysB, hopB4)
+        else prefix.patch(pIdx,
+          Seq(keysA, hopA4, keysB, hopB4, pEntry.copy(ownStage = Some(hopB4.name))),
+          1)
       }
-      // classes 5/6: boundary rows with NO live parent — exact here
-      // (the parent is the root: its changelog IS its tree liveness);
-      // keysP shared between the two directions
+      // classes 5/6: boundary rows with NO tree-alive parent — the key
+      // node rides the prefix's emissions, so an ancestor delete
+      // orphans transitively; keysP shared between the two directions
       def orphans(tag: String, edge: TreeCompiler.FkEdge): Seq[DeltaEngine.Stage] = {
         val hop = DeltaEngine.Stage(s"__star_orph_${tag}_hop",
           NodeSpec(edge.child, edge.fkCol, edge.fkCol, antiParent = true),
           parentStage = Some(keysP.name))
-        Seq(keysP, hop)
+        if (prefix.size == 1) Seq(keysP, hop) else prefix ++ Seq(keysP, hop)
       }
-      Seq(2 -> (() => gatedChain(aEdge, keysB, hopNoB)),
-          3 -> (() => gatedChain(bEdge, keysA, hopNoA)),
-          4 -> (() => bothAbsent),
-          5 -> (() => orphans("a", aEdge)),
-          6 -> (() => orphans("b", bEdge)))
+      Seq(2 -> (() => (gatedChain(aStage, keysB, hopNoB), hopRekey)),
+          3 -> (() => (gatedChain(bStage, keysA, hopNoA), hopRekey)),
+          4 -> (() => (bothAbsent, hopRekey)),
+          5 -> (() => (orphans("a", aEdge), None)),
+          6 -> (() => (orphans("b", bEdge), None)))
         .collect { case (cls, mk) if !starDrop(cls) => mk() }
-        .map(planStages => OuterPlan(planStages,
-          planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), None))
+        .map { case (planStages, rekey) => OuterPlan(planStages,
+          planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), rekey) }
     }
 
     val outerPlans: Seq[OuterPlan] =

@@ -1565,16 +1565,17 @@ class SqlCompilerSpec extends AnyFunSuite {
         |GROUP BY n_name""".stripMargin))
     assert(exStarCoalesce.getMessage.contains("NULL-rejecting"),
       exStarCoalesce.getMessage)
-    // … and a deeper inner chain above the shared parent stays loud
-    // (the orphan key nodes would need the chain's merged emissions)
-    val exStarChain = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+    // … and a deeper inner CHAIN above the shared parent compiles too:
+    // the factorized plans build on the chain prefix (orphan key nodes
+    // ride its merged emissions)
+    val cStarChain = SqlCompiler.compile(s, d,
       """SELECT n_name, COUNT(*) AS n
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
         |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
         |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin))
-    assert(exStarChain.getMessage.contains("SINGLE inner"), exStarChain.getMessage)
+        |GROUP BY n_name""".stripMargin)
+    assert(cStarChain.outerPlans.size == 5, cStarChain.outerPlans.size)
     // two-boundary boundary-key IS NULL = class selection: orphan
     // classes only (anti plans dropped, main suppressed)
     val c5 = SqlCompiler.compile(s, d,
