@@ -1243,6 +1243,23 @@ object IncrementalQueries {
   def incrementalSqlAsOf(s: SparkSession, dir: String): DataFrame =
     SqlCompiler.compileAsOf(s, asofSql).run(asofInputs(s, dir))
 
+  /** The ASOF dialect with the RIGHT KEY in the select list: under
+    * ASOF LEFT JOIN the null extension must surface NULL for right
+    * columns (DuckDB/Snowflake semantics) even though a MATCHED right
+    * key equals the left's — the lowering substitutes the left key
+    * gated on the match witness, never unconditionally. 143 of the
+    * 1981 sf0.01 purchases have no prior click, so the NULL path is
+    * genuinely exercised. */
+  private val asofRightKeySql =
+    """SELECT p.event_id, p.user_id, p.ts,
+      | c.click_id AS asof_click_id, c.user_id AS asof_click_user,
+      | c.ts AS asof_click_ts
+      |FROM p ASOF LEFT JOIN c
+      |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  def incrementalSqlAsOfRightKey(s: SparkSession, dir: String): DataFrame =
+    SqlCompiler.compileAsOf(s, asofRightKeySql).run(asofInputs(s, dir))
+
   def incrementalSqlAsOfTolerance(s: SparkSession, dir: String): DataFrame =
     SqlCompiler.compileAsOf(s,
       """SELECT p.event_id, p.user_id, p.ts,
@@ -1311,7 +1328,11 @@ object IncrementalQueries {
         case (false, src, out0) if src == lKey => col("key").as(out0)
         case (false, src, out0) if src == c.leftTs => col("left_ts").as(out0)
         case (false, _, out0) => col("left_id").as(out0)
-        case (true, src, out0) if src == rKey => col("key").as(out0)
+        // right key == left key ONLY on matched rows — the null
+        // extension must surface NULL for right columns (same match
+        // witness as the batch lowering's gated substitution)
+        case (true, src, out0) if src == rKey =>
+          when(col("asof_ts").isNotNull, col("key")).as(out0)
         case (true, src, out0) if src == c.rightTs => col("asof_ts").as(out0)
         case (true, _, out0) => col("asof_id").as(out0)
       }: _*)
@@ -2562,6 +2583,33 @@ object IncrementalQueries {
         |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id, c.ts AS asof_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
       (s, d) => incrementalSqlAsOfStream(s, d)),
+
+    // … with the RIGHT KEY in the select list: under LEFT the null
+    // extension must surface NULL for c.user_id (matched rows carry
+    // the key) — the lowering gates the left-key substitution on the
+    // match witness instead of substituting unconditionally. 143 of
+    // the 1981 sf0.01 purchases take the NULL path.
+    sql("incremental_sql_asof_rightkey",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id,
+        | c.user_id AS asof_click_user, c.ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
+      incrementalSqlAsOfRightKey),
+
+    // … and the same right-key select through the CONTINUOUS
+    // operator — the stream lowering's final projection carries the
+    // identical match-witness gate. Same oracle.
+    sql("incremental_sql_asof_rightkey_stream",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id AS asof_click_id,
+        | c.user_id AS asof_click_user, c.ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)(
+      (s, d) => incrementalSqlAsOfStream(s, d, sqlText = asofRightKeySql,
+        sinkName = "incremental_sql_asof_rightkey_stream")),
 
     // MAINTAINED VIEW OVER A VERSIONED TABLE (the r10 stretch): orders
     // resolves through a version-pinned shallow branch of the snapshot
@@ -4364,6 +4412,54 @@ object IncrementalQueries {
         deletes = Map(
           "orders" -> (col("o_orderkey") % 10 === 0),
           "customer" -> (col("c_custkey") % 13 === 0)))
+    },
+
+    // SELECT * — the first query a real user types: the star expands
+    // to the FROM relations' columns (schema order, FROM order; the
+    // FK graph's bare-name uniqueness makes it unambiguous) and the
+    // FULL-WIDTH join view is maintained. Every column type rides the
+    // canonical row's string codec (BIGINT, VARCHAR and the DOUBLE
+    // c_acctbal — Java's toString/parse roundtrip is exact).
+    sql("incremental_sql_select_star",
+      """SELECT * FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 13 <> 0""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        "SELECT * FROM nation JOIN customer ON c_nationkey = n_nationkey",
+        deletes = Map("customer" -> (col("c_custkey") % 13 === 0)))
+    },
+
+    // … through the CONTINUOUS engine, same oracle.
+    sql("incremental_sql_select_star_stream",
+      """SELECT * FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 13 <> 0""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          "SELECT * FROM nation JOIN customer ON c_nationkey = n_nationkey"),
+        dir, Map("customer" -> (col("c_custkey") % 13 === 0)),
+        "incremental_sql_select_star_stream_leaf")
+    },
+
+    // QUALIFIED star (n.*) resolving through a table alias, mixed with
+    // an explicit column — DuckDB runs the identical spelling.
+    sql("incremental_sql_select_star_qualified",
+      """SELECT c_mktsegment, n.*
+        |FROM nation n JOIN customer c ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 13 <> 0""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT c_mktsegment, n.*
+          |FROM nation n JOIN customer c ON c_nationkey = n_nationkey""".stripMargin,
+        deletes = Map("customer" -> (col("c_custkey") % 13 === 0)))
+    },
+
+    // … through the CONTINUOUS engine, same oracle.
+    sql("incremental_sql_select_star_qualified_stream",
+      """SELECT c_mktsegment, n.*
+        |FROM nation n JOIN customer c ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 13 <> 0""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT c_mktsegment, n.*
+            |FROM nation n JOIN customer c ON c_nationkey = n_nationkey""".stripMargin),
+        dir, Map("customer" -> (col("c_custkey") % 13 === 0)),
+        "incremental_sql_select_star_qualified_stream_leaf")
     },
 
     // VIEW MODE through the CONTINUOUS engine — same oracle as

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, BinaryComparison, CaseWhen, Coalesce, EqualNullSafe, EqualTo, Expression, If, In, IsNotNull, IsNull, Like, Literal, Not, NullsFirst, Or, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, BaseGroupingSets, BinaryComparison, CaseWhen, Coalesce, EqualNullSafe, EqualTo, Expression, If, In, IsNotNull, IsNull, Like, Literal, NamedExpression, Not, NullsFirst, Or, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
@@ -1584,7 +1584,56 @@ object SqlCompiler {
               loadRel: (SparkSession, String, String) => DataFrame,
               tolerateFloatFolds: Boolean = false): Compiled = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
-    val (corePlan, present, presExprs) = unwrapPresentation(spark, plan)
+    val (corePlan0, present, presExprs) = unwrapPresentation(spark, plan)
+
+    // SELECT * / t.* EXPANSION (view mode): a star expands to the FROM
+    // relations' columns — schema order within a relation, FROM order
+    // across relations; a qualified star resolves through the alias
+    // (or the base name when unaliased). Bare column names are unique
+    // across the FK graph (enforced below), so the expansion is
+    // unambiguous. Aggregate queries keep their existing shape checks
+    // (COUNT(*) parses as a function argument, not a select-item star,
+    // and is untouched here).
+    def starSources(p: LogicalPlan): Seq[(String, String)] = p match {
+      case Join(l, r, _, _, _) => starSources(l) ++ starSources(r)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        starSources(a.child) match {
+          case Seq((_, rel)) => Seq((a.alias.toLowerCase, rel))
+          case multi => multi // alias over a join subtree: base names stand
+        }
+      case Filter(_, c) => starSources(c)
+      case u: UnresolvedRelation =>
+        Seq((u.multipartIdentifier.last.toLowerCase, u.multipartIdentifier.last))
+      case _ => Seq.empty // unsupported FROM shapes fail in the join walk below
+    }
+    def expandStars(items: Seq[NamedExpression], child: LogicalPlan): Seq[NamedExpression] = {
+      val srcs = starSources(child)
+      def colsOf(rel: String): Seq[NamedExpression] =
+        loadRel(spark, dir, rel).schema.fieldNames.toSeq
+          .map(n => UnresolvedAttribute(Seq(n)))
+      items.flatMap {
+        case st: UnresolvedStar => st.target match {
+          case None =>
+            if (srcs.isEmpty) fail("SELECT *: no base relations found in FROM")
+            srcs.map(_._2).distinct.flatMap(colsOf)
+          case Some(Seq(q)) =>
+            val rel = srcs.collectFirst { case (al, r) if al == q.toLowerCase => r }
+              .getOrElse(fail(s"SELECT $q.*: '$q' names no relation or alias in FROM"))
+            colsOf(rel)
+          case Some(parts) =>
+            fail(s"SELECT ${parts.mkString(".")}.*: only a single-part " +
+              "qualifier is supported")
+        }
+        case e => Seq(e)
+      }
+    }
+    val corePlan = corePlan0 match {
+      case Project(items, child) if items.exists(_.isInstanceOf[UnresolvedStar]) =>
+        Project(expandStars(items, child), child)
+      case Distinct(Project(items, child)) if items.exists(_.isInstanceOf[UnresolvedStar]) =>
+        Distinct(Project(expandStars(items, child), child))
+      case other => other
+    }
 
     // VIEW MODE: a SELECT with no aggregate maintains the JOIN ITSELF —
     // an incrementally maintained materialized view of the FK tree.

@@ -1960,4 +1960,57 @@ class SqlCompilerSpec extends AnyFunSuite {
       s"$sel FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts AND p.event_id >= c.click_id"))
     assert(exTwo.getMessage.contains("more than one inequality"), exTwo.getMessage)
   }
+
+  test("compileAsOf: right KEY column under LEFT is NULL on the null extension") {
+    val ev = Tables.events(s, d)
+    val rels = Map(
+      "c" -> ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id")),
+      "p" -> ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")))
+    val sel = "SELECT p.user_id, c.user_id AS r_user, c.click_id AS asof_click_id"
+    val left = SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+      .run(rels).collect()
+    // unmatched rows exist in the fixture and surface NULL for the
+    // right key (the match witness gates the left-key substitution);
+    // matched rows carry the key by the join equality
+    val unmatched = left.filter(_.isNullAt(2))
+    assert(unmatched.nonEmpty)
+    assert(unmatched.forall(_.isNullAt(1)))
+    assert(left.filterNot(_.isNullAt(2)).forall(r => r.getLong(1) == r.getLong(0)))
+    // INNER: every surviving row is a match, so the key never nulls
+    val inner = SqlCompiler.compileAsOf(s,
+      s"$sel FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+      .run(rels).collect()
+    assert(inner.nonEmpty && inner.forall(r => !r.isNullAt(1) && r.getLong(1) == r.getLong(0)))
+  }
+
+  test("SELECT * / t.* expand to the FROM relations' columns") {
+    val full = SqlCompiler.run(s, d,
+      "SELECT * FROM nation JOIN customer ON c_nationkey = n_nationkey")
+    assert(full.columns.toSeq == Seq(
+      "n_nationkey", "n_name", "n_regionkey",
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    // bag multiplicity = the inner join itself (every column type
+    // roundtrips the canonical row codec, incl. the DOUBLE c_acctbal)
+    val nation = Tables.load(s, d, "nation")
+    val customer = Tables.load(s, d, "customer")
+    val expect = nation.join(customer, col("c_nationkey") === col("n_nationkey"))
+    assert(full.count() == expect.count())
+    // exact value roundtrip through the canonical row codec: the
+    // DOUBLE column's multiset of values is bit-identical (sum order
+    // varies, so compare sorted values, not a float fold)
+    assert(full.select(col("c_acctbal")).collect().map(_.getDouble(0)).sorted.toSeq ==
+      expect.select(col("c_acctbal")).collect().map(_.getDouble(0)).sorted.toSeq)
+    // qualified star through a table alias, mixed with a plain column
+    val nOnly = SqlCompiler.run(s, d,
+      "SELECT c_mktsegment, n.* FROM nation n JOIN customer c ON c_nationkey = n_nationkey")
+    assert(nOnly.columns.toSeq ==
+      Seq("c_mktsegment", "n_nationkey", "n_name", "n_regionkey"))
+    // an unknown qualifier is loud
+    val ex = intercept[IllegalArgumentException](SqlCompiler.run(s, d,
+      "SELECT x.* FROM nation n JOIN customer c ON c_nationkey = n_nationkey"))
+    assert(ex.getMessage.contains("names no relation"), ex.getMessage)
+  }
 }
