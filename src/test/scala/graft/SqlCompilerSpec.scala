@@ -668,9 +668,11 @@ class SqlCompilerSpec extends AnyFunSuite {
       assert(ex.getMessage.contains(needle), s"message: ${ex.getMessage}")
     }
     // no aggregate now compiles as a maintained join VIEW (see the
-    // VIEW MODE spec); a star select still has no column list to carry
-    bad("SELECT * FROM customer, nation WHERE c_nationkey = n_nationkey",
-      "SELECT *")
+    // VIEW MODE spec), and a bare star EXPANDS to the FROM relations'
+    // columns (see the SELECT * expansion spec) — but a qualified star
+    // must still name a FROM relation or alias
+    bad("SELECT z.* FROM customer, nation WHERE c_nationkey = n_nationkey",
+      "names no relation")
     // single relation: nothing to maintain incrementally
     bad("SELECT n_name, COUNT(*) AS n FROM nation GROUP BY n_name",
       ">= 2 relations")
@@ -906,11 +908,17 @@ class SqlCompilerSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
     assert(gotD == want.distinct.sorted, "distinct view equals the deduped batch join")
 
-    // SELECT * has no column list to carry — loud rejection
-    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+    // bare SELECT * now EXPANDS to the FROM relations' columns and
+    // compiles as the same bag view (the expansion spec covers the
+    // column-order contract); a multi-part star qualifier stays loud
+    val cs = SqlCompiler.compile(s, d,
       """SELECT * FROM nation, customer
+        |WHERE c_nationkey = n_nationkey""".stripMargin)
+    assert(cs.viewMode.contains("bag"))
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT db.nation.* FROM nation, customer
         |WHERE c_nationkey = n_nationkey""".stripMargin))
-    assert(ex.getMessage.contains("SELECT *"))
+    assert(ex.getMessage.contains("single-part"))
   }
 
   test("tolerateFloatFolds compiles the DOUBLE folds the default rejects (named in the error)") {
