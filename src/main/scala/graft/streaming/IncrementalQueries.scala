@@ -1522,6 +1522,34 @@ object IncrementalQueries {
     c.aggregate(ss.table(sinkName).toDF())
   }
 
+  /** WITH (CTE) query through the CONTINUOUS engine: every CTE's
+    * maintained view replays as its own streaming query
+    * ([[runSqlStreamed]]), the refreshed outputs re-home into one
+    * session under the CTE names (group-cardinality rows, bounded by
+    * the same replay guard as the inputs), and the outer query
+    * evaluates over them exactly as [[SqlCompiler.CompiledCte.run]]
+    * does. Production form: each view is a foreachBatch upsert into a
+    * table the outer query reads — the collect here is the fixture
+    * harness's stand-in for that sink. */
+  private def runCteStreamed(s: SparkSession, sqlText: String, dir: String,
+      deletes: Map[String, org.apache.spark.sql.Column], sinkPrefix: String): DataFrame = {
+    val cc = SqlCompiler.compileCte(s, dir, sqlText)
+    val ss = replaySession(s)
+    cc.ctes.foreach { case (name, c) =>
+      val d = deletes.filter { case (rel, _) => c.path.contains(rel) }
+      val view = runSqlStreamed(s, c, dir, d, s"${sinkPrefix}_$name")
+      val rows = boundedReplayCollect(s"$sinkPrefix($name)", view)
+      ss.createDataFrame(ss.sparkContext.parallelize(rows.toSeq), view.schema)
+        .createOrReplaceTempView(name)
+    }
+    cc.outerBaseRels.foreach { rel =>
+      val base = Tables.load(ss, dir, rel)
+      deletes.get(rel).map(cond => base.filter(!cond)).getOrElse(base)
+        .createOrReplaceTempView(rel)
+    }
+    ss.sql(cc.outerSql)
+  }
+
   /** [[Evt]] changelog from a [[CdcParser.parseRelation]] frame:
     * tag/seq derive from the parsed `action` (Insert → +1 @ seq 0,
     * Delete → −1 @ seq 1), `where` is the node predicate on the
@@ -5491,5 +5519,266 @@ object IncrementalQueries {
           "o1" -> (col("o1_o_orderkey") % 7 === 0),
           "o2" -> (col("o2_o_orderkey") % 5 === 0)),
         "incremental_sql_self_alias_stream_leaf")
+    },
+
+    // ---- WITH (CTE): maintained views composed under an outer query --
+    // SqlCompiler.compileCte splits the WITH prefix textually
+    // (paren/quote/comment-aware, like the set-op splitter), compiles
+    // every CTE body as its OWN incrementally maintained view, and
+    // evaluates the outer query as stock Spark SQL over the refreshed
+    // view outputs — so the input-proportional work stays inside the
+    // incremental folds and the outer side gets the FULL SQL surface
+    // (presentation, re-aggregation, view⋈view joins, windows over
+    // dims). Oracles are the same WITH text in DuckDB with the delete
+    // predicates folded in. Chained/recursive CTEs and column-alias
+    // lists stay loudly fenced (SqlCompilerSpec).
+
+    // presentation outer: threshold + ORDER BY/LIMIT over a maintained
+    // per-(nation, customer) revenue view — the "top-N over a view"
+    // idiom with the top-N OUTSIDE the maintained fold
+    sql("incremental_sql_cte_topn",
+      """WITH rev AS (
+        | SELECT n_name, c_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderstatus = 'F'
+        |  AND c_custkey % 13 <> 0 AND o_orderkey % 10 <> 0
+        | GROUP BY n_name, c_custkey)
+        |SELECT n_name, c_custkey, rev_e2 FROM rev
+        |WHERE rev_e2 > 20000000
+        |ORDER BY rev_e2 DESC, c_custkey LIMIT 10""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """WITH rev AS (
+          | SELECT n_name, c_custkey,
+          |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+          | FROM nation, customer, orders
+          | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |  AND o_orderstatus = 'F'
+          | GROUP BY n_name, c_custkey)
+          |SELECT n_name, c_custkey, rev_e2 FROM rev
+          |WHERE rev_e2 > 20000000
+          |ORDER BY rev_e2 DESC, c_custkey LIMIT 10""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 10 === 0)))
+    },
+
+    // re-aggregation outer: a histogram OVER the maintained per-customer
+    // order-count view — the second aggregate's input is the view's
+    // output (group cardinality), so re-running it per refresh is
+    // presentation-class work, not input-class
+    sql("incremental_sql_cte_reagg",
+      """WITH per_cust AS (
+        | SELECT c_custkey, COUNT(*) AS n_orders
+        | FROM customer, orders
+        | WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |  AND o_orderkey % 10 <> 0
+        | GROUP BY c_custkey)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM per_cust GROUP BY n_orders""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """WITH per_cust AS (
+          | SELECT c_custkey, COUNT(*) AS n_orders
+          | FROM customer, orders
+          | WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+          | GROUP BY c_custkey)
+          |SELECT n_orders, COUNT(*) AS n_customers
+          |FROM per_cust GROUP BY n_orders""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 10 === 0)))
+    },
+
+    // view ⋈ view outer: two independently maintained per-nation views
+    // (customer balances, supplier balances) joined in the outer — the
+    // dashboard idiom; each side refreshes from its own changelogs
+    sql("incremental_sql_cte_join",
+      """WITH cust AS (
+        | SELECT n_nationkey AS nk, n_name,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS cust_bal_e2,
+        |  COUNT(*) AS n_cust
+        | FROM nation, customer
+        | WHERE c_nationkey = n_nationkey AND c_custkey % 13 <> 0
+        | GROUP BY n_nationkey, n_name),
+        |supp AS (
+        | SELECT n_nationkey AS nk,
+        |  CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS supp_bal_e2,
+        |  COUNT(*) AS n_supp
+        | FROM nation, supplier
+        | WHERE s_nationkey = n_nationkey AND s_suppkey % 7 <> 0
+        | GROUP BY n_nationkey)
+        |SELECT c.n_name, c.n_cust, s.n_supp,
+        | c.cust_bal_e2 + s.supp_bal_e2 AS total_bal_e2
+        |FROM cust c JOIN supp s ON c.nk = s.nk""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """WITH cust AS (
+          | SELECT n_nationkey AS nk, n_name,
+          |  SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS cust_bal_e2,
+          |  COUNT(*) AS n_cust
+          | FROM nation, customer
+          | WHERE c_nationkey = n_nationkey
+          | GROUP BY n_nationkey, n_name),
+          |supp AS (
+          | SELECT n_nationkey AS nk,
+          |  SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS supp_bal_e2,
+          |  COUNT(*) AS n_supp
+          | FROM nation, supplier
+          | WHERE s_nationkey = n_nationkey
+          | GROUP BY n_nationkey)
+          |SELECT c.n_name, c.n_cust, s.n_supp,
+          | c.cust_bal_e2 + s.supp_bal_e2 AS total_bal_e2
+          |FROM cust c JOIN supp s ON c.nk = s.nk""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 7 === 0)))
+    },
+
+    // dimension-decorated outer: the maintained per-nation revenue view
+    // joined to the nation/region dims with a window RANK — base
+    // relations in the outer see the same deletes-applied state as the
+    // views' changelogs
+    sql("incremental_sql_cte_dim",
+      """WITH rev AS (
+        | SELECT c_nationkey AS nk,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        | FROM customer, orders
+        | WHERE o_custkey = c_custkey AND o_orderkey % 6 <> 0
+        | GROUP BY c_nationkey)
+        |SELECT r_name, n_name, rev_e2,
+        | CAST(RANK() OVER (PARTITION BY r_name ORDER BY rev_e2 DESC, n_name) AS BIGINT) AS rnk
+        |FROM rev JOIN nation ON n_nationkey = nk
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """WITH rev AS (
+          | SELECT c_nationkey AS nk,
+          |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+          | FROM customer, orders
+          | WHERE o_custkey = c_custkey
+          | GROUP BY c_nationkey)
+          |SELECT r_name, n_name, rev_e2,
+          | CAST(RANK() OVER (PARTITION BY r_name ORDER BY rev_e2 DESC, n_name) AS BIGINT) AS rnk
+          |FROM rev JOIN nation ON n_nationkey = nk
+          |JOIN region ON r_regionkey = n_regionkey""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+    },
+
+    // … and each CTE shape through the CONTINUOUS engine: every view
+    // replays as its own streaming query, the outer evaluates over the
+    // final maintained states. Same oracles.
+    sql("incremental_sql_cte_topn_stream",
+      """WITH rev AS (
+        | SELECT n_name, c_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderstatus = 'F'
+        |  AND c_custkey % 13 <> 0 AND o_orderkey % 10 <> 0
+        | GROUP BY n_name, c_custkey)
+        |SELECT n_name, c_custkey, rev_e2 FROM rev
+        |WHERE rev_e2 > 20000000
+        |ORDER BY rev_e2 DESC, c_custkey LIMIT 10""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH rev AS (
+          | SELECT n_name, c_custkey,
+          |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+          | FROM nation, customer, orders
+          | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |  AND o_orderstatus = 'F'
+          | GROUP BY n_name, c_custkey)
+          |SELECT n_name, c_custkey, rev_e2 FROM rev
+          |WHERE rev_e2 > 20000000
+          |ORDER BY rev_e2 DESC, c_custkey LIMIT 10""".stripMargin,
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 10 === 0)),
+        "incremental_sql_cte_topn_stream")
+    },
+
+    sql("incremental_sql_cte_reagg_stream",
+      """WITH per_cust AS (
+        | SELECT c_custkey, COUNT(*) AS n_orders
+        | FROM customer, orders
+        | WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |  AND o_orderkey % 10 <> 0
+        | GROUP BY c_custkey)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM per_cust GROUP BY n_orders""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH per_cust AS (
+          | SELECT c_custkey, COUNT(*) AS n_orders
+          | FROM customer, orders
+          | WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+          | GROUP BY c_custkey)
+          |SELECT n_orders, COUNT(*) AS n_customers
+          |FROM per_cust GROUP BY n_orders""".stripMargin,
+        dir, Map("orders" -> (col("o_orderkey") % 10 === 0)),
+        "incremental_sql_cte_reagg_stream")
+    },
+
+    sql("incremental_sql_cte_join_stream",
+      """WITH cust AS (
+        | SELECT n_nationkey AS nk, n_name,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS cust_bal_e2,
+        |  COUNT(*) AS n_cust
+        | FROM nation, customer
+        | WHERE c_nationkey = n_nationkey AND c_custkey % 13 <> 0
+        | GROUP BY n_nationkey, n_name),
+        |supp AS (
+        | SELECT n_nationkey AS nk,
+        |  CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS supp_bal_e2,
+        |  COUNT(*) AS n_supp
+        | FROM nation, supplier
+        | WHERE s_nationkey = n_nationkey AND s_suppkey % 7 <> 0
+        | GROUP BY n_nationkey)
+        |SELECT c.n_name, c.n_cust, s.n_supp,
+        | c.cust_bal_e2 + s.supp_bal_e2 AS total_bal_e2
+        |FROM cust c JOIN supp s ON c.nk = s.nk""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH cust AS (
+          | SELECT n_nationkey AS nk, n_name,
+          |  SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS cust_bal_e2,
+          |  COUNT(*) AS n_cust
+          | FROM nation, customer
+          | WHERE c_nationkey = n_nationkey
+          | GROUP BY n_nationkey, n_name),
+          |supp AS (
+          | SELECT n_nationkey AS nk,
+          |  SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS supp_bal_e2,
+          |  COUNT(*) AS n_supp
+          | FROM nation, supplier
+          | WHERE s_nationkey = n_nationkey
+          | GROUP BY n_nationkey)
+          |SELECT c.n_name, c.n_cust, s.n_supp,
+          | c.cust_bal_e2 + s.supp_bal_e2 AS total_bal_e2
+          |FROM cust c JOIN supp s ON c.nk = s.nk""".stripMargin,
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 7 === 0)),
+        "incremental_sql_cte_join_stream")
+    },
+
+    sql("incremental_sql_cte_dim_stream",
+      """WITH rev AS (
+        | SELECT c_nationkey AS nk,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        | FROM customer, orders
+        | WHERE o_custkey = c_custkey AND o_orderkey % 6 <> 0
+        | GROUP BY c_nationkey)
+        |SELECT r_name, n_name, rev_e2,
+        | CAST(RANK() OVER (PARTITION BY r_name ORDER BY rev_e2 DESC, n_name) AS BIGINT) AS rnk
+        |FROM rev JOIN nation ON n_nationkey = nk
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH rev AS (
+          | SELECT c_nationkey AS nk,
+          |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+          | FROM customer, orders
+          | WHERE o_custkey = c_custkey
+          | GROUP BY c_nationkey)
+          |SELECT r_name, n_name, rev_e2,
+          | CAST(RANK() OVER (PARTITION BY r_name ORDER BY rev_e2 DESC, n_name) AS BIGINT) AS rnk
+          |FROM rev JOIN nation ON n_nationkey = nk
+          |JOIN region ON r_regionkey = n_regionkey""".stripMargin,
+        dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
+        "incremental_sql_cte_dim_stream")
     })
 }

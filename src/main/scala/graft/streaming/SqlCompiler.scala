@@ -1584,6 +1584,12 @@ object SqlCompiler {
               loadRel: (SparkSession, String, String) => DataFrame,
               tolerateFloatFolds: Boolean = false): Compiled = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    // a WITH query reaching this path would die in the FROM walk with
+    // an unhelpful shape error — redirect to the CTE front end
+    if (plan.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith]))
+      fail("WITH (CTE) queries compile via SqlCompiler.compileCte / runCte — " +
+        "each CTE body becomes its own maintained view and the outer query " +
+        "evaluates over the views' output")
     val (corePlan0, present, presExprs) = unwrapPresentation(spark, plan)
 
     // SELECT * / t.* EXPANSION (view mode): a star expands to the FROM
@@ -3317,4 +3323,190 @@ object SqlCompiler {
           deletes: Map[String, Column] = Map.empty,
           explicitFk: Option[Seq[TreeCompiler.FkEdge]] = None): DataFrame =
     compile(spark, dir, sqlText, explicitFk).run(spark, dir, deletes)
+
+  // ------------------------------------------------------------------
+  // WITH (CTE) queries: maintained views composed under an outer query
+  // ------------------------------------------------------------------
+
+  /** Split a leading `WITH name AS (body) [, name2 AS (body2) ...]`
+    * prefix off `sqlText` — paren/quote/comment-aware like
+    * [[splitTopLevelUnion]]. Returns the (name, bodyText) list plus
+    * the outer query text, or None when the text does not start with
+    * WITH. `WITH RECURSIVE` and CTE column-alias lists
+    * (`name(c1, c2) AS ...`) fail loudly. */
+  private[graft] def splitWith(sqlText: String): Option[(Seq[(String, String)], String)] = {
+    var i = 0
+    def skipWsAndComments(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (i < sqlText.length && Character.isWhitespace(sqlText.charAt(i))) { i += 1; moved = true }
+        if (i + 1 < sqlText.length && sqlText.charAt(i) == '-' && sqlText.charAt(i + 1) == '-') {
+          while (i < sqlText.length && sqlText.charAt(i) != '\n') i += 1
+          moved = true
+        }
+        if (i + 1 < sqlText.length && sqlText.charAt(i) == '/' && sqlText.charAt(i + 1) == '*') {
+          val end = sqlText.indexOf("*/", i + 2)
+          i = if (end < 0) sqlText.length else end + 2
+          moved = true
+        }
+      }
+    }
+    def kwAt(kw: String): Boolean =
+      sqlText.regionMatches(true, i, kw, 0, kw.length) &&
+        (i + kw.length == sqlText.length || !isIdentChar(sqlText.charAt(i + kw.length)))
+    skipWsAndComments()
+    if (!kwAt("WITH")) return None
+    i += 4
+    skipWsAndComments()
+    if (kwAt("RECURSIVE"))
+      fail("WITH RECURSIVE is not compiled — a recursive CTE has no " +
+        "fixed FK tree to maintain; model the iteration as the graph " +
+        "operators do (checkpointed fixpoint loops)")
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var more = true
+    while (more) {
+      skipWsAndComments()
+      val nameStart = i
+      while (i < sqlText.length && isIdentChar(sqlText.charAt(i))) i += 1
+      val name = sqlText.substring(nameStart, i)
+      if (name.isEmpty) fail(s"WITH: expected a CTE name at offset $nameStart")
+      skipWsAndComments()
+      if (i < sqlText.length && sqlText.charAt(i) == '(')
+        fail(s"WITH $name(...): CTE column-alias lists are not compiled — " +
+          "alias the columns inside the CTE's SELECT instead")
+      if (!kwAt("AS")) fail(s"WITH $name: expected AS")
+      i += 2
+      skipWsAndComments()
+      if (i >= sqlText.length || sqlText.charAt(i) != '(')
+        fail(s"WITH $name AS: expected a parenthesized subquery")
+      val bodyStart = i + 1
+      var depth = 1; var inStr = false
+      i += 1
+      while (i < sqlText.length && depth > 0) {
+        val ch = sqlText.charAt(i)
+        if (inStr) {
+          if (ch == '\'' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '\'') i += 1
+          else if (ch == '\'') inStr = false
+        } else ch match {
+          case '\'' => inStr = true
+          case '-' if i + 1 < sqlText.length && sqlText.charAt(i + 1) == '-' =>
+            while (i < sqlText.length && sqlText.charAt(i) != '\n') i += 1
+          case '/' if i + 1 < sqlText.length && sqlText.charAt(i + 1) == '*' =>
+            val end = sqlText.indexOf("*/", i + 2)
+            i = if (end < 0) sqlText.length else end + 1
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth != 0) fail(s"WITH $name AS (: unbalanced parentheses")
+      ctes += ((name.toLowerCase, sqlText.substring(bodyStart, i - 1).trim))
+      skipWsAndComments()
+      more = i < sqlText.length && sqlText.charAt(i) == ','
+      if (more) i += 1
+    }
+    Some((ctes.toSeq, sqlText.substring(i).trim))
+  }
+
+  /** A compiled WITH query: each CTE body is an incrementally
+    * maintained view ([[Compiled]]); the OUTER query evaluates as
+    * stock Spark SQL over the refreshed view outputs (registered
+    * under the CTE names) plus any base relations it decorates with.
+    *
+    * Scale contract: the incremental work — the part proportional to
+    * the INPUT — is entirely inside the maintained views; the outer
+    * query's input is the views' output (group-cardinality, not
+    * input-cardinality) joined at most against base dimensions, so
+    * re-evaluating it per refresh is the same cost class as the
+    * presentation transforms (HAVING/ORDER BY/windows) the compiler
+    * already re-runs per refresh. In exchange the outer side has the
+    * FULL Spark SQL surface: re-aggregation over a view, view⋈view
+    * joins, window decorations, expressions the incremental fold
+    * could not maintain. */
+  final case class CompiledCte(
+      ctes: Seq[(String, Compiled)],
+      outerSql: String,
+      /** Base relations the outer query reads directly (dimension
+        * decoration); they see the SAME deletes-applied state as the
+        * maintained views' changelogs. */
+      outerBaseRels: Seq[String]) {
+
+    def run(spark: SparkSession, dir: String,
+            deletes: Map[String, Column] = Map.empty): DataFrame = {
+      // a delete must land somewhere — a typo'd relation name that
+      // silently no-ops would make a stale view read as maintained
+      val known = ctes.flatMap(_._2.path).toSet ++ outerBaseRels
+      (deletes.keySet -- known).foreach(rel =>
+        fail(s"delete condition on '$rel' references no relation of this " +
+          s"WITH query (relations: ${known.toSeq.sorted.mkString(", ")})"))
+      // temp-view isolation: CTE names must not leak into (or read
+      // from) the caller's session
+      val ss = spark.newSession()
+      ctes.foreach { case (name, c) =>
+        val d = deletes.filter { case (rel, _) => c.path.contains(rel) }
+        c.run(ss, dir, d).createOrReplaceTempView(name)
+      }
+      outerBaseRels.foreach { rel =>
+        val base = Tables.load(ss, dir, rel)
+        deletes.get(rel).map(cond => base.filter(!cond)).getOrElse(base)
+          .createOrReplaceTempView(rel)
+      }
+      ss.sql(outerSql)
+    }
+  }
+
+  /** Compile a `WITH ... SELECT ...` query: every CTE body through
+    * [[compile]] (each must be a maintainable view on its own — the
+    * loud fences apply per body), the outer query validated to read
+    * at least one CTE. Chained CTEs (a body reading an earlier CTE)
+    * are not compiled: the inner view's changelog is not a base
+    * relation, so the chain would need view-over-view delta
+    * propagation — inline the earlier body instead. */
+  def compileCte(spark: SparkSession, dir: String, sqlText: String): CompiledCte = {
+    val (cteDefs, outerSql) = splitWith(sqlText).getOrElse(
+      fail("compileCte: the query does not start with WITH"))
+    val dups = cteDefs.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    if (dups.nonEmpty) fail(s"duplicate CTE name(s): ${dups.mkString(", ")}")
+    val cteNames = cteDefs.map(_._1).toSet
+    def relsOf(text: String): Seq[String] =
+      spark.sessionState.sqlParser.parsePlan(text).collect {
+        case u: UnresolvedRelation => u.multipartIdentifier.last.toLowerCase
+      }.distinct
+    val compiled = cteDefs.map { case (name, body) =>
+      val refs = relsOf(body).filter(cteNames)
+      if (refs.contains(name))
+        fail(s"CTE '$name' references itself — recursive CTEs are not compiled")
+      if (refs.nonEmpty)
+        fail(s"CTE '$name' reads CTE(s) ${refs.mkString(", ")} — chained CTEs " +
+          "are not compiled (a maintained view's changelog is not a base " +
+          "relation); inline the earlier body")
+      try name -> compile(spark, dir, body)
+      catch { case e: IllegalArgumentException =>
+        fail(s"CTE '$name': ${e.getMessage}")
+      }
+    }
+    val outerRels = relsOf(outerSql)
+    val (cteRefs, baseRels) = outerRels.partition(cteNames)
+    // probe base relations FIRST (schema load fails loudly for a name
+    // that is neither a CTE nor a fixture table — e.g. a typo'd CTE —
+    // which is the likelier mistake than a genuinely CTE-free outer)
+    baseRels.foreach { rel =>
+      try Tables.load(spark, dir, rel).schema
+      catch { case scala.util.control.NonFatal(_) =>
+        fail(s"outer query relation '$rel' is neither a CTE of this query " +
+          "nor a base table")
+      }
+    }
+    if (cteRefs.isEmpty)
+      fail("the outer query reads no CTE — drop the WITH clause and " +
+        "compile the query directly")
+    CompiledCte(compiled, outerSql, baseRels)
+  }
+
+  /** [[compileCte]] + refresh in one call. */
+  def runCte(spark: SparkSession, dir: String, sqlText: String,
+             deletes: Map[String, Column] = Map.empty): DataFrame =
+    compileCte(spark, dir, sqlText).run(spark, dir, deletes)
 }

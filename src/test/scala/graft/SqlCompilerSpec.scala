@@ -2021,4 +2021,114 @@ class SqlCompilerSpec extends AnyFunSuite {
       "SELECT x.* FROM nation n JOIN customer c ON c_nationkey = n_nationkey"))
     assert(ex.getMessage.contains("names no relation"), ex.getMessage)
   }
+
+  test("WITH (CTE): maintained views compose under an outer query; fences stay loud") {
+    Seq("region", "nation", "customer", "supplier", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // splitWith: comments, string literals containing commas/parens,
+    // and nested parens must not confuse the clause scan
+    val split = SqlCompiler.splitWith(
+      """WITH a AS (SELECT 1 -- not a ')' terminator
+        | FROM x WHERE y = 'lit with , and )'),
+        |/* b is the (second) one */ b AS (SELECT 2 FROM (SELECT 3) t)
+        |SELECT * FROM a JOIN b""".stripMargin)
+    assert(split.isDefined)
+    val (defs, outer) = split.get
+    assert(defs.map(_._1) == Seq("a", "b"))
+    assert(defs.head._2.contains("'lit with , and )'"))
+    assert(defs(1)._2 == "SELECT 2 FROM (SELECT 3) t")
+    assert(outer == "SELECT * FROM a JOIN b")
+    assert(SqlCompiler.splitWith("SELECT 1 FROM t").isEmpty)
+
+    // insert-only: the composed result equals stock spark.sql of the
+    // same WITH text — presentation + re-aggregation outer
+    val cteSql =
+      """WITH per_cust AS (
+        | SELECT c_custkey, COUNT(*) AS n_orders
+        | FROM customer, orders
+        | WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        | GROUP BY c_custkey)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM per_cust GROUP BY n_orders""".stripMargin
+    val cc = SqlCompiler.compileCte(s, d, cteSql)
+    assert(cc.ctes.map(_._1) == Seq("per_cust") && cc.outerBaseRels.isEmpty)
+    val got = cc.run(s, d).orderBy("n_orders").collect().toSeq
+    val want = s.sql(cteSql).orderBy("n_orders").collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    // deletes flow into the views' changelogs AND into base relations
+    // the outer reads directly (the dim-decorated shape)
+    val dimSql =
+      """WITH rev AS (
+        | SELECT c_nationkey AS nk,
+        |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+        | FROM customer, orders
+        | WHERE o_custkey = c_custkey
+        | GROUP BY c_nationkey)
+        |SELECT r_name, n_name, rev_e2
+        |FROM rev JOIN nation ON n_nationkey = nk
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin
+    val ccDim = SqlCompiler.compileCte(s, d, dimSql)
+    assert(ccDim.outerBaseRels.toSet == Set("nation", "region"))
+    val gotDel = ccDim.run(s, d,
+        deletes = Map("orders" -> (col("o_orderkey") % 6 === 0)))
+      .orderBy("n_name").collect().toSeq
+    val wantDel = s.sql(
+      """WITH rev AS (
+        | SELECT c_nationkey AS nk,
+        |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+        | FROM customer, orders
+        | WHERE o_custkey = c_custkey AND o_orderkey % 6 <> 0
+        | GROUP BY c_nationkey)
+        |SELECT r_name, n_name, rev_e2
+        |FROM rev JOIN nation ON n_nationkey = nk
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin)
+      .orderBy("n_name").collect().toSeq
+    assert(gotDel == wantDel && gotDel.nonEmpty)
+
+    // two views joined in the outer: each side refreshes independently
+    val joinSql =
+      """WITH cust AS (
+        | SELECT n_nationkey AS nk, SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS bal
+        | FROM nation, customer WHERE c_nationkey = n_nationkey GROUP BY n_nationkey),
+        |supp AS (
+        | SELECT n_nationkey AS nk, COUNT(*) AS n_supp
+        | FROM nation, supplier WHERE s_nationkey = n_nationkey GROUP BY n_nationkey)
+        |SELECT c.nk, c.bal, s.n_supp FROM cust c JOIN supp s ON c.nk = s.nk""".stripMargin
+    val two = SqlCompiler.compileCte(s, d, joinSql)
+    assert(two.ctes.map(_._1) == Seq("cust", "supp"))
+    assert(two.run(s, d).count() == s.sql(joinSql).count())
+
+    def bad(text: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](SqlCompiler.compileCte(s, d, text))
+      assert(ex.getMessage.contains(needle), s"message: ${ex.getMessage}")
+    }
+    // recursive / chained / alias-list / no-CTE-read fences
+    bad("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r", "RECURSIVE")
+    bad("""WITH a AS (SELECT n_name, COUNT(*) AS n FROM nation, customer
+          | WHERE c_nationkey = n_nationkey GROUP BY n_name),
+          |b AS (SELECT n_name, n FROM a)
+          |SELECT * FROM b""".stripMargin, "chained CTEs")
+    bad("WITH a AS (SELECT * FROM a) SELECT * FROM a", "references itself")
+    bad("""WITH a(x, y) AS (SELECT n_name, COUNT(*) FROM nation, customer
+          | WHERE c_nationkey = n_nationkey GROUP BY n_name)
+          |SELECT * FROM a""".stripMargin, "column-alias lists")
+    bad("""WITH a AS (SELECT n_name, COUNT(*) AS n FROM nation, customer
+          | WHERE c_nationkey = n_nationkey GROUP BY n_name)
+          |SELECT r_name FROM region""".stripMargin, "reads no CTE")
+    // a CTE body that the view compiler cannot maintain names the CTE
+    bad("""WITH a AS (SELECT n_name, COUNT(*) AS n FROM nation GROUP BY n_name)
+          |SELECT n_name FROM a""".stripMargin, "CTE 'a'")
+    // a typo'd outer relation (neither CTE nor base table) is loud
+    bad("""WITH a AS (SELECT n_name, COUNT(*) AS n FROM nation, customer
+          | WHERE c_nationkey = n_nationkey GROUP BY n_name)
+          |SELECT * FROM aa""".stripMargin, "neither a CTE")
+    // the plain compiler redirects WITH text to the CTE front end
+    val red = intercept[IllegalArgumentException](SqlCompiler.compile(s, d, cteSql))
+    assert(red.getMessage.contains("compileCte"), red.getMessage)
+    // a delete naming no relation of the query is loud, not a no-op
+    val exDel = intercept[IllegalArgumentException](
+      cc.run(s, d, deletes = Map("lineitem" -> (col("l_linenumber") === 1))))
+    assert(exDel.getMessage.contains("references no relation"), exDel.getMessage)
+  }
 }
