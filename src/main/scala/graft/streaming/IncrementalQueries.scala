@@ -5780,5 +5780,56 @@ object IncrementalQueries {
           |JOIN region ON r_regionkey = n_regionkey""".stripMargin,
         dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
         "incremental_sql_cte_dim_stream")
+    },
+
+    // DERIVED TABLE spelling of the same composition: an aliased
+    // FROM (SELECT ...) t lifts to an anonymous CTE named by its
+    // alias (SqlCompiler.liftDerivedTables) — the subquery is the
+    // maintained view, the outer re-aggregates it against a dim.
+    // Subquery PREDICATES (IN/EXISTS/scalar) are untouched by the
+    // lift and stay on the gate compilers.
+    sql("incremental_sql_from_subquery",
+      """SELECT n_name, COUNT(*) AS n_customers,
+        | CAST(SUM(t.n_orders) AS BIGINT) AS sum_orders
+        |FROM (SELECT c_custkey, c_nationkey, COUNT(*) AS n_orders
+        |      FROM customer, orders
+        |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |       AND o_orderkey % 8 <> 0
+        |      GROUP BY c_custkey, c_nationkey) t
+        |JOIN nation ON n_nationkey = t.c_nationkey
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """SELECT n_name, COUNT(*) AS n_customers,
+          | SUM(t.n_orders) AS sum_orders
+          |FROM (SELECT c_custkey, c_nationkey, COUNT(*) AS n_orders
+          |      FROM customer, orders
+          |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+          |      GROUP BY c_custkey, c_nationkey) t
+          |JOIN nation ON n_nationkey = t.c_nationkey
+          |GROUP BY n_name""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 8 === 0)))
+    },
+
+    sql("incremental_sql_from_subquery_stream",
+      """SELECT n_name, COUNT(*) AS n_customers,
+        | CAST(SUM(t.n_orders) AS BIGINT) AS sum_orders
+        |FROM (SELECT c_custkey, c_nationkey, COUNT(*) AS n_orders
+        |      FROM customer, orders
+        |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |       AND o_orderkey % 8 <> 0
+        |      GROUP BY c_custkey, c_nationkey) t
+        |JOIN nation ON n_nationkey = t.c_nationkey
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """SELECT n_name, COUNT(*) AS n_customers,
+          | SUM(t.n_orders) AS sum_orders
+          |FROM (SELECT c_custkey, c_nationkey, COUNT(*) AS n_orders
+          |      FROM customer, orders
+          |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+          |      GROUP BY c_custkey, c_nationkey) t
+          |JOIN nation ON n_nationkey = t.c_nationkey
+          |GROUP BY n_name""".stripMargin,
+        dir, Map("orders" -> (col("o_orderkey") % 8 === 0)),
+        "incremental_sql_from_subquery_stream")
     })
 }

@@ -1590,6 +1590,21 @@ object SqlCompiler {
       fail("WITH (CTE) queries compile via SqlCompiler.compileCte / runCte — " +
         "each CTE body becomes its own maintained view and the outer query " +
         "evaluates over the views' output")
+    // likewise FROM (SELECT ...) t — the derived-table spelling of the
+    // same composition (subquery predicates live in EXPRESSIONS, which
+    // plan.exists does not traverse, so gates stay on this path; an
+    // aliased base relation or a parenthesized JOIN subtree under an
+    // alias carries no SELECT node and stays compiled here)
+    if (plan.exists {
+        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          a.child match {
+            case _: Project | _: Aggregate | _: Distinct | _: Sort | _: GlobalLimit => true
+            case _ => false
+          }
+        case _ => false })
+      fail("FROM (SELECT ...) derived tables compile via " +
+        "SqlCompiler.compileCte / runCte — the subquery becomes its own " +
+        "maintained view named by its alias")
     val (corePlan0, present, presExprs) = unwrapPresentation(spark, plan)
 
     // SELECT * / t.* EXPANSION (view mode): a star expands to the FROM
@@ -3410,6 +3425,114 @@ object SqlCompiler {
     Some((ctes.toSeq, sqlText.substring(i).trim))
   }
 
+  /** Lift aliased DERIVED TABLES — `FROM (SELECT ...) [AS] t` — out of
+    * `sqlText`: each becomes an anonymous CTE named by its alias, and
+    * the span is replaced by the bare alias, so the derived-table
+    * spelling rides the same [[CompiledCte]] machinery as WITH.
+    * Detection is the same quote/comment-aware depth-0 scan as
+    * [[splitWith]]: a `(` whose first token is SELECT *and* whose
+    * close paren is followed by an identifier (optionally after AS)
+    * that is not a clause keyword. Subquery PREDICATES — `IN
+    * (SELECT ...)`, `EXISTS (...)`, scalar `(SELECT max ...)`
+    * comparisons — are never followed by an alias, so they stay
+    * untouched for the gate/scalar compilers. Unaliased derived
+    * tables and alias column lists (`t(a, b)`) fail loudly. */
+  private[graft] def liftDerivedTables(sqlText: String): (Seq[(String, String)], String) = {
+    val defs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    val clauseKw = Set("ON", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+      "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ASOF", "USING",
+      "UNION", "INTERSECT", "EXCEPT", "AND", "OR", "WINDOW", "QUALIFY")
+    def skipWs(j0: Int): Int = {
+      var j = j0
+      var moved = true
+      while (moved) {
+        moved = false
+        while (j < sqlText.length && Character.isWhitespace(sqlText.charAt(j))) { j += 1; moved = true }
+        if (j + 1 < sqlText.length && sqlText.charAt(j) == '-' && sqlText.charAt(j + 1) == '-') {
+          while (j < sqlText.length && sqlText.charAt(j) != '\n') j += 1; moved = true
+        }
+        if (j + 1 < sqlText.length && sqlText.charAt(j) == '/' && sqlText.charAt(j + 1) == '*') {
+          val end = sqlText.indexOf("*/", j + 2)
+          j = if (end < 0) sqlText.length else end + 2; moved = true
+        }
+      }
+      j
+    }
+    def identAt(j0: Int): (String, Int) = {
+      var j = j0
+      while (j < sqlText.length && isIdentChar(sqlText.charAt(j))) j += 1
+      (sqlText.substring(j0, j), j)
+    }
+    while (i < sqlText.length) {
+      val ch = sqlText.charAt(i)
+      if (inStr) {
+        if (ch == '\'' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '\'') {
+          out.append("''"); i += 2
+        } else { if (ch == '\'') inStr = false; out.append(ch); i += 1 }
+      } else ch match {
+        case '\'' => inStr = true; out.append(ch); i += 1
+        case '-' if i + 1 < sqlText.length && sqlText.charAt(i + 1) == '-' =>
+          while (i < sqlText.length && sqlText.charAt(i) != '\n') { out.append(sqlText.charAt(i)); i += 1 }
+        case '/' if i + 1 < sqlText.length && sqlText.charAt(i + 1) == '*' =>
+          val end = sqlText.indexOf("*/", i + 2)
+          val stop = if (end < 0) sqlText.length else end + 2
+          out.append(sqlText.substring(i, stop)); i = stop
+        case '(' =>
+          val bodyStart = skipWs(i + 1)
+          val isSelect = sqlText.regionMatches(true, bodyStart, "SELECT", 0, 6) &&
+            (bodyStart + 6 == sqlText.length || !isIdentChar(sqlText.charAt(bodyStart + 6)))
+          if (!isSelect) { out.append(ch); i += 1 }
+          else {
+            // matching close paren, quote/comment aware
+            var depth = 1; var j = i + 1; var s = false
+            while (j < sqlText.length && depth > 0) {
+              val c = sqlText.charAt(j)
+              if (s) {
+                if (c == '\'' && j + 1 < sqlText.length && sqlText.charAt(j + 1) == '\'') j += 1
+                else if (c == '\'') s = false
+              } else c match {
+                case '\'' => s = true
+                case '-' if j + 1 < sqlText.length && sqlText.charAt(j + 1) == '-' =>
+                  while (j < sqlText.length && sqlText.charAt(j) != '\n') j += 1
+                case '/' if j + 1 < sqlText.length && sqlText.charAt(j + 1) == '*' =>
+                  val end = sqlText.indexOf("*/", j + 2)
+                  j = if (end < 0) sqlText.length else end + 1
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case _ =>
+              }
+              j += 1
+            }
+            if (depth != 0) fail("unbalanced parentheses in FROM subquery")
+            val body = sqlText.substring(i + 1, j - 1).trim
+            // alias? [AS] ident not a clause keyword → derived table
+            var k = skipWs(j)
+            val hadAs = sqlText.regionMatches(true, k, "AS", 0, 2) &&
+              (k + 2 == sqlText.length || !isIdentChar(sqlText.charAt(k + 2)))
+            if (hadAs) k = skipWs(k + 2)
+            val (alias, k2) = identAt(k)
+            if (alias.nonEmpty && (hadAs || !clauseKw(alias.toUpperCase))) {
+              val after = skipWs(k2)
+              if (after < sqlText.length && sqlText.charAt(after) == '(')
+                fail(s"derived table ($alias): alias column lists are not " +
+                  "compiled — alias the columns inside the subquery's SELECT")
+              defs += ((alias.toLowerCase, body))
+              out.append(alias)
+              i = k2
+            } else {
+              // subquery predicate (IN/EXISTS/scalar) — leave verbatim
+              out.append(sqlText.substring(i, j)); i = j
+            }
+          }
+        case _ => out.append(ch); i += 1
+      }
+    }
+    (defs.toSeq, out.toString)
+  }
+
   /** A compiled WITH query: each CTE body is an incrementally
     * maintained view ([[Compiled]]); the OUTER query evaluates as
     * stock Spark SQL over the refreshed view outputs (registered
@@ -3465,8 +3588,15 @@ object SqlCompiler {
     * relation, so the chain would need view-over-view delta
     * propagation — inline the earlier body instead. */
   def compileCte(spark: SparkSession, dir: String, sqlText: String): CompiledCte = {
-    val (cteDefs, outerSql) = splitWith(sqlText).getOrElse(
-      fail("compileCte: the query does not start with WITH"))
+    val (withDefs, outer0) = splitWith(sqlText)
+      .getOrElse((Seq.empty[(String, String)], sqlText))
+    // aliased FROM (SELECT ...) t derived tables lift to anonymous
+    // CTEs named by their alias — same machinery, second spelling
+    val (derivedDefs, outerSql) = liftDerivedTables(outer0)
+    val cteDefs = withDefs ++ derivedDefs
+    if (cteDefs.isEmpty)
+      fail("compileCte: the query has neither a WITH clause nor an " +
+        "aliased FROM (SELECT ...) derived table")
     val dups = cteDefs.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
     if (dups.nonEmpty) fail(s"duplicate CTE name(s): ${dups.mkString(", ")}")
     val cteNames = cteDefs.map(_._1).toSet

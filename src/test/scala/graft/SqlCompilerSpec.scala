@@ -2131,4 +2131,56 @@ class SqlCompilerSpec extends AnyFunSuite {
       cc.run(s, d, deletes = Map("lineitem" -> (col("l_linenumber") === 1))))
     assert(exDel.getMessage.contains("references no relation"), exDel.getMessage)
   }
+
+  test("derived tables lift to anonymous CTEs; subquery predicates stay put") {
+    Seq("nation", "customer", "orders").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    // the lift rewrites ( SELECT ... ) [AS] alias and nothing else
+    val (defs, rewritten) = SqlCompiler.liftDerivedTables(
+      """SELECT n_name, COUNT(*) AS n FROM (SELECT c_custkey, c_nationkey
+        | FROM customer WHERE c_acctbal > 0) AS t
+        |JOIN nation ON n_nationkey = t.c_nationkey
+        |WHERE n_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        |GROUP BY n_name""".stripMargin)
+    assert(defs.map(_._1) == Seq("t"))
+    assert(defs.head._2.startsWith("SELECT c_custkey"))
+    assert(rewritten.contains("FROM t\nJOIN nation") ||
+      rewritten.replaceAll("\\s+", " ").contains("FROM t JOIN nation"))
+    // the IN (SELECT ...) predicate is untouched
+    assert(rewritten.contains("IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)"))
+
+    // end-to-end: derived spelling equals the WITH spelling's result
+    val derivedSql =
+      """SELECT n_orders, COUNT(*) AS n_customers
+        |FROM (SELECT c_custkey, COUNT(*) AS n_orders
+        |      FROM customer, orders
+        |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |      GROUP BY c_custkey) t
+        |GROUP BY n_orders""".stripMargin
+    val cc = SqlCompiler.compileCte(s, d, derivedSql)
+    assert(cc.ctes.map(_._1) == Seq("t"))
+    val got = cc.run(s, d,
+        deletes = Map("orders" -> (col("o_orderkey") % 4 === 0)))
+      .orderBy("n_orders").collect().toSeq
+    val want = s.sql(
+      """SELECT n_orders, COUNT(*) AS n_customers
+        |FROM (SELECT c_custkey, COUNT(*) AS n_orders
+        |      FROM customer, orders
+        |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |       AND o_orderkey % 4 <> 0
+        |      GROUP BY c_custkey) t
+        |GROUP BY n_orders""".stripMargin)
+      .orderBy("n_orders").collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    // alias column lists are loud; the plain compiler redirects the
+    // derived-table spelling to the CTE front end
+    val exCols = intercept[IllegalArgumentException](
+      SqlCompiler.compileCte(s, d,
+        """SELECT x FROM (SELECT c_custkey FROM customer) t(x)"""))
+    assert(exCols.getMessage.contains("alias column lists"), exCols.getMessage)
+    val red = intercept[IllegalArgumentException](
+      SqlCompiler.compile(s, d, derivedSql))
+    assert(red.getMessage.contains("compileCte"), red.getMessage)
+  }
 }
