@@ -1547,6 +1547,11 @@ object IncrementalQueries {
       deletes.get(rel).map(cond => base.filter(!cond)).getOrElse(base)
         .createOrReplaceTempView(rel)
     }
+    // presentation CTEs evaluate over the final maintained states, in
+    // definition order (view output in, view output out — stock SQL)
+    cc.presentation.foreach { case (name, body) =>
+      ss.sql(body).createOrReplaceTempView(name)
+    }
     ss.sql(cc.outerSql)
   }
 
@@ -5831,5 +5836,77 @@ object IncrementalQueries {
           |GROUP BY n_name""".stripMargin,
         dir, Map("orders" -> (col("o_orderkey") % 8 === 0)),
         "incremental_sql_from_subquery_stream")
+    },
+
+    // CHAINED CTEs — the staged-SQL idiom: stage 1 (rev) reads base
+    // relations, so it is the MAINTAINED view; stage 2 (ranked) reads
+    // stage 1, so it classifies as a PRESENTATION CTE and evaluates as
+    // stock SQL over the refreshed view (group-cardinality input) —
+    // only the stage touching base data is input-proportional.
+    sql("incremental_sql_cte_chain",
+      """WITH rev AS (
+        | SELECT n_name, c_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderstatus = 'F' AND o_orderkey % 9 <> 0
+        | GROUP BY n_name, c_custkey),
+        |ranked AS (
+        | SELECT n_name, c_custkey, rev_e2,
+        |  CAST(RANK() OVER (PARTITION BY n_name
+        |    ORDER BY rev_e2 DESC, c_custkey) AS BIGINT) AS rk
+        | FROM rev)
+        |SELECT n_name, c_custkey, rev_e2, rk
+        |FROM ranked WHERE rk <= 3""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """WITH rev AS (
+          | SELECT n_name, c_custkey,
+          |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+          | FROM nation, customer, orders
+          | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |  AND o_orderstatus = 'F'
+          | GROUP BY n_name, c_custkey),
+          |ranked AS (
+          | SELECT n_name, c_custkey, rev_e2,
+          |  CAST(RANK() OVER (PARTITION BY n_name
+          |    ORDER BY rev_e2 DESC, c_custkey) AS BIGINT) AS rk
+          | FROM rev)
+          |SELECT n_name, c_custkey, rev_e2, rk
+          |FROM ranked WHERE rk <= 3""".stripMargin,
+        deletes = Map("orders" -> (col("o_orderkey") % 9 === 0)))
+    },
+
+    sql("incremental_sql_cte_chain_stream",
+      """WITH rev AS (
+        | SELECT n_name, c_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderstatus = 'F' AND o_orderkey % 9 <> 0
+        | GROUP BY n_name, c_custkey),
+        |ranked AS (
+        | SELECT n_name, c_custkey, rev_e2,
+        |  CAST(RANK() OVER (PARTITION BY n_name
+        |    ORDER BY rev_e2 DESC, c_custkey) AS BIGINT) AS rk
+        | FROM rev)
+        |SELECT n_name, c_custkey, rev_e2, rk
+        |FROM ranked WHERE rk <= 3""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH rev AS (
+          | SELECT n_name, c_custkey,
+          |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+          | FROM nation, customer, orders
+          | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |  AND o_orderstatus = 'F'
+          | GROUP BY n_name, c_custkey),
+          |ranked AS (
+          | SELECT n_name, c_custkey, rev_e2,
+          |  CAST(RANK() OVER (PARTITION BY n_name
+          |    ORDER BY rev_e2 DESC, c_custkey) AS BIGINT) AS rk
+          | FROM rev)
+          |SELECT n_name, c_custkey, rev_e2, rk
+          |FROM ranked WHERE rk <= 3""".stripMargin,
+        dir, Map("orders" -> (col("o_orderkey") % 9 === 0)),
+        "incremental_sql_cte_chain_stream")
     })
 }

@@ -3550,10 +3550,18 @@ object SqlCompiler {
     * could not maintain. */
   final case class CompiledCte(
       ctes: Seq[(String, Compiled)],
+      /** PRESENTATION CTEs: bodies that read earlier CTEs. They are
+        * never compiled — their input is already view output
+        * (group-cardinality), so they evaluate as stock Spark SQL in
+        * the outer session, registered in definition order on top of
+        * the refreshed maintained views. This is how staged SQL
+        * (view → ranked → filtered) rides the incremental engine:
+        * only the stage touching base data is input-proportional. */
+      presentation: Seq[(String, String)],
       outerSql: String,
-      /** Base relations the outer query reads directly (dimension
-        * decoration); they see the SAME deletes-applied state as the
-        * maintained views' changelogs. */
+      /** Base relations the outer query (or a presentation CTE) reads
+        * directly (dimension decoration); they see the SAME
+        * deletes-applied state as the maintained views' changelogs. */
       outerBaseRels: Seq[String]) {
 
     def run(spark: SparkSession, dir: String,
@@ -3576,17 +3584,27 @@ object SqlCompiler {
         deletes.get(rel).map(cond => base.filter(!cond)).getOrElse(base)
           .createOrReplaceTempView(rel)
       }
+      presentation.foreach { case (name, body) =>
+        ss.sql(body).createOrReplaceTempView(name)
+      }
       ss.sql(outerSql)
     }
   }
 
-  /** Compile a `WITH ... SELECT ...` query: every CTE body through
-    * [[compile]] (each must be a maintainable view on its own — the
-    * loud fences apply per body), the outer query validated to read
-    * at least one CTE. Chained CTEs (a body reading an earlier CTE)
-    * are not compiled: the inner view's changelog is not a base
-    * relation, so the chain would need view-over-view delta
-    * propagation — inline the earlier body instead. */
+  /** Compile a `WITH ... SELECT ...` query. CTEs classify by what
+    * they read, in definition order:
+    *
+    *  - a body reading ONLY base relations is a MAINTAINED view —
+    *    compiled through [[compile]] (the loud fences apply per
+    *    body);
+    *  - a body reading at least one EARLIER CTE is a PRESENTATION
+    *    CTE — its input is already view output, so it evaluates as
+    *    stock SQL over the refreshed views (mixed reads are fine:
+    *    base relations it touches get the deletes-applied state,
+    *    like the outer query's).
+    *
+    * Forward references and self references (recursion) fail loudly;
+    * so do duplicate names and column-alias lists. */
   def compileCte(spark: SparkSession, dir: String, sqlText: String): CompiledCte = {
     val (withDefs, outer0) = splitWith(sqlText)
       .getOrElse((Seq.empty[(String, String)], sqlText))
@@ -3604,21 +3622,32 @@ object SqlCompiler {
       spark.sessionState.sqlParser.parsePlan(text).collect {
         case u: UnresolvedRelation => u.multipartIdentifier.last.toLowerCase
       }.distinct
-    val compiled = cteDefs.map { case (name, body) =>
+    val compiled = scala.collection.mutable.ArrayBuffer[(String, Compiled)]()
+    val presentation = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val presBaseRels = scala.collection.mutable.ArrayBuffer[String]()
+    val seen = scala.collection.mutable.Set[String]()
+    cteDefs.foreach { case (name, body) =>
       val refs = relsOf(body).filter(cteNames)
       if (refs.contains(name))
         fail(s"CTE '$name' references itself — recursive CTEs are not compiled")
-      if (refs.nonEmpty)
-        fail(s"CTE '$name' reads CTE(s) ${refs.mkString(", ")} — chained CTEs " +
-          "are not compiled (a maintained view's changelog is not a base " +
-          "relation); inline the earlier body")
-      try name -> compile(spark, dir, body)
-      catch { case e: IllegalArgumentException =>
-        fail(s"CTE '$name': ${e.getMessage}")
+      val forward = refs.filterNot(seen)
+      if (forward.nonEmpty)
+        fail(s"CTE '$name' reads CTE(s) ${forward.mkString(", ")} defined " +
+          "after it — reorder the WITH clause (references flow backward)")
+      if (refs.nonEmpty) {
+        presentation += ((name, body))
+        presBaseRels ++= relsOf(body).filterNot(cteNames)
+      } else {
+        try compiled += (name -> compile(spark, dir, body))
+        catch { case e: IllegalArgumentException =>
+          fail(s"CTE '$name': ${e.getMessage}")
+        }
       }
+      seen += name
     }
     val outerRels = relsOf(outerSql)
-    val (cteRefs, baseRels) = outerRels.partition(cteNames)
+    val (cteRefs, outerOnlyBase) = outerRels.partition(cteNames)
+    val baseRels = (outerOnlyBase ++ presBaseRels).distinct
     // probe base relations FIRST (schema load fails loudly for a name
     // that is neither a CTE nor a fixture table — e.g. a typo'd CTE —
     // which is the likelier mistake than a genuinely CTE-free outer)
@@ -3632,7 +3661,7 @@ object SqlCompiler {
     if (cteRefs.isEmpty)
       fail("the outer query reads no CTE — drop the WITH clause and " +
         "compile the query directly")
-    CompiledCte(compiled, outerSql, baseRels)
+    CompiledCte(compiled.toSeq, presentation.toSeq, outerSql, baseRels)
   }
 
   /** [[compileCte]] + refresh in one call. */

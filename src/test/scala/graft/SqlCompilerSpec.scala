@@ -2103,12 +2103,37 @@ class SqlCompilerSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException](SqlCompiler.compileCte(s, d, text))
       assert(ex.getMessage.contains(needle), s"message: ${ex.getMessage}")
     }
-    // recursive / chained / alias-list / no-CTE-read fences
+    // a CTE reading an EARLIER CTE classifies as PRESENTATION: it
+    // evaluates as stock SQL over the refreshed maintained view — the
+    // staged-SQL idiom (view → filtered/ranked stage → outer)
+    val chainSql =
+      """WITH a AS (SELECT n_name, COUNT(*) AS n FROM nation, customer
+        | WHERE c_nationkey = n_nationkey GROUP BY n_name),
+        |b AS (SELECT n_name, n FROM a WHERE n > 6)
+        |SELECT n_name, n FROM b""".stripMargin
+    val chain = SqlCompiler.compileCte(s, d, chainSql)
+    assert(chain.ctes.map(_._1) == Seq("a"))
+    assert(chain.presentation.map(_._1) == Seq("b"))
+    assert(chain.run(s, d).orderBy("n_name").collect().toSeq ==
+      s.sql(chainSql).orderBy("n_name").collect().toSeq)
+    // a presentation CTE may MIX view and base-relation reads; the base
+    // side sees the deletes-applied state
+    val mixSql =
+      """WITH a AS (SELECT c_nationkey AS nk, COUNT(*) AS n FROM nation, customer
+        | WHERE c_nationkey = n_nationkey GROUP BY c_nationkey),
+        |decorated AS (SELECT n_name, n FROM a JOIN nation ON n_nationkey = nk)
+        |SELECT n_name, n FROM decorated""".stripMargin
+    val mix = SqlCompiler.compileCte(s, d, mixSql)
+    assert(mix.presentation.map(_._1) == Seq("decorated"))
+    assert(mix.outerBaseRels.contains("nation"))
+    assert(mix.run(s, d).count() == s.sql(mixSql).count())
+
+    // recursive / forward-reference / alias-list / no-CTE-read fences
     bad("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r", "RECURSIVE")
-    bad("""WITH a AS (SELECT n_name, COUNT(*) AS n FROM nation, customer
-          | WHERE c_nationkey = n_nationkey GROUP BY n_name),
-          |b AS (SELECT n_name, n FROM a)
-          |SELECT * FROM b""".stripMargin, "chained CTEs")
+    bad("""WITH b AS (SELECT n_name, n FROM a),
+          |a AS (SELECT n_name, COUNT(*) AS n FROM nation, customer
+          | WHERE c_nationkey = n_nationkey GROUP BY n_name)
+          |SELECT * FROM b""".stripMargin, "defined after")
     bad("WITH a AS (SELECT * FROM a) SELECT * FROM a", "references itself")
     bad("""WITH a(x, y) AS (SELECT n_name, COUNT(*) FROM nation, customer
           | WHERE c_nationkey = n_nationkey GROUP BY n_name)
