@@ -36,4 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark whole-stage codegen emits one compiled class per plan shape;
+  // a bench/verify JVM runs hundreds of distinct shapes, which can
+  // exhaust HotSpot's 240m default and trigger code-cache FLUSHING
+  // (methods then re-run interpreted). Headroom removes that failure
+  // mode from the harness; the residual heavy-entry warm-up that
+  // remains after this bump is driver-side Catalyst planning of the
+  // multi-plan FULL OUTER views (profiled standalone), which the
+  // bench's per-query `min` already floors.
+  "-XX:ReservedCodeCacheSize=512m",
 )
