@@ -1532,14 +1532,21 @@ object IncrementalQueries {
     * table the outer query reads — the collect here is the fixture
     * harness's stand-in for that sink. */
   private def runCteStreamed(s: SparkSession, sqlText: String, dir: String,
-      deletes: Map[String, org.apache.spark.sql.Column], sinkPrefix: String): DataFrame = {
+      deletes: Map[String, org.apache.spark.sql.Column], sinkPrefix: String,
+      tws: Boolean = false): DataFrame = {
     val cc = SqlCompiler.compileCte(s, dir, sqlText)
     val ss = replaySession(s)
-    cc.ctes.foreach { case (name, c) =>
-      val d = deletes.filter { case (rel, _) => c.path.contains(rel) }
-      val view = runSqlStreamed(s, c, dir, d, s"${sinkPrefix}_$name")
-      val rows = boundedReplayCollect(s"$sinkPrefix($name)", view)
-      ss.createDataFrame(ss.sparkContext.parallelize(rows.toSeq), view.schema)
+    cc.ctes.foreach { case (name, branches) =>
+      // each branch (one for a plain body, one per UNION ALL arm)
+      // replays as its own streaming query; the collected final states
+      // concatenate under the CTE's name
+      val views = branches.zipWithIndex.map { case (c, i) =>
+        val d = deletes.filter { case (rel, _) => c.path.contains(rel) }
+        val suffix = if (branches.size == 1) "" else s"_b$i"
+        runSqlStreamed(s, c, dir, d, s"${sinkPrefix}_$name$suffix", tws = tws)
+      }
+      val rows = views.flatMap(v => boundedReplayCollect(s"$sinkPrefix($name)", v))
+      ss.createDataFrame(ss.sparkContext.parallelize(rows), views.head.schema)
         .createOrReplaceTempView(name)
     }
     cc.outerBaseRels.foreach { rel =>
@@ -5908,5 +5915,128 @@ object IncrementalQueries {
           |FROM ranked WHERE rk <= 3""".stripMargin,
         dir, Map("orders" -> (col("o_orderkey") % 9 === 0)),
         "incremental_sql_cte_chain_stream")
+    },
+
+    // … and the chained view's maintained stage on the
+    // TRANSFORMWITHSTATE drivers (the supported arbitrary-state API),
+    // presentation stage over the final state — same oracle.
+    sql("incremental_sql_cte_chain_tws",
+      """WITH rev AS (
+        | SELECT n_name, c_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        | FROM nation, customer, orders
+        | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND o_orderstatus = 'F' AND o_orderkey % 9 <> 0
+        | GROUP BY n_name, c_custkey),
+        |ranked AS (
+        | SELECT n_name, c_custkey, rev_e2,
+        |  CAST(RANK() OVER (PARTITION BY n_name
+        |    ORDER BY rev_e2 DESC, c_custkey) AS BIGINT) AS rk
+        | FROM rev)
+        |SELECT n_name, c_custkey, rev_e2, rk
+        |FROM ranked WHERE rk <= 3""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH rev AS (
+          | SELECT n_name, c_custkey,
+          |  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_e2
+          | FROM nation, customer, orders
+          | WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |  AND o_orderstatus = 'F'
+          | GROUP BY n_name, c_custkey),
+          |ranked AS (
+          | SELECT n_name, c_custkey, rev_e2,
+          |  CAST(RANK() OVER (PARTITION BY n_name
+          |    ORDER BY rev_e2 DESC, c_custkey) AS BIGINT) AS rk
+          | FROM rev)
+          |SELECT n_name, c_custkey, rev_e2, rk
+          |FROM ranked WHERE rk <= 3""".stripMargin,
+        dir, Map("orders" -> (col("o_orderkey") % 9 === 0)),
+        "incremental_sql_cte_chain_tws", tws = true)
+    },
+
+    // UNION ALL as a CTE body: each arm is its own maintained tree
+    // (customer balances / supplier balances per nation), unioned at
+    // refresh under the CTE's name; the outer re-aggregates the two
+    // sides into one per-nation report — per-branch deletes flow to
+    // whichever arm owns the relation.
+    sql("incremental_sql_cte_union",
+      """WITH bal AS (
+        | SELECT n_name,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_e2,
+        |  COUNT(*) AS n
+        | FROM nation, customer
+        | WHERE c_nationkey = n_nationkey AND c_custkey % 13 <> 0
+        | GROUP BY n_name
+        | UNION ALL
+        | SELECT n_name,
+        |  CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_e2,
+        |  COUNT(*) AS n
+        | FROM nation, supplier
+        | WHERE s_nationkey = n_nationkey AND s_suppkey % 7 <> 0
+        | GROUP BY n_name)
+        |SELECT n_name, CAST(SUM(bal_e2) AS BIGINT) AS total_bal_e2,
+        | CAST(SUM(n) AS BIGINT) AS n_parties
+        |FROM bal GROUP BY n_name""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """WITH bal AS (
+          | SELECT n_name,
+          |  SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS bal_e2,
+          |  COUNT(*) AS n
+          | FROM nation, customer
+          | WHERE c_nationkey = n_nationkey
+          | GROUP BY n_name
+          | UNION ALL
+          | SELECT n_name,
+          |  SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS bal_e2,
+          |  COUNT(*) AS n
+          | FROM nation, supplier
+          | WHERE s_nationkey = n_nationkey
+          | GROUP BY n_name)
+          |SELECT n_name, SUM(bal_e2) AS total_bal_e2, SUM(n) AS n_parties
+          |FROM bal GROUP BY n_name""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 7 === 0)))
+    },
+
+    sql("incremental_sql_cte_union_stream",
+      """WITH bal AS (
+        | SELECT n_name,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_e2,
+        |  COUNT(*) AS n
+        | FROM nation, customer
+        | WHERE c_nationkey = n_nationkey AND c_custkey % 13 <> 0
+        | GROUP BY n_name
+        | UNION ALL
+        | SELECT n_name,
+        |  CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_e2,
+        |  COUNT(*) AS n
+        | FROM nation, supplier
+        | WHERE s_nationkey = n_nationkey AND s_suppkey % 7 <> 0
+        | GROUP BY n_name)
+        |SELECT n_name, CAST(SUM(bal_e2) AS BIGINT) AS total_bal_e2,
+        | CAST(SUM(n) AS BIGINT) AS n_parties
+        |FROM bal GROUP BY n_name""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH bal AS (
+          | SELECT n_name,
+          |  SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS bal_e2,
+          |  COUNT(*) AS n
+          | FROM nation, customer
+          | WHERE c_nationkey = n_nationkey
+          | GROUP BY n_name
+          | UNION ALL
+          | SELECT n_name,
+          |  SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS bal_e2,
+          |  COUNT(*) AS n
+          | FROM nation, supplier
+          | WHERE s_nationkey = n_nationkey
+          | GROUP BY n_name)
+          |SELECT n_name, SUM(bal_e2) AS total_bal_e2, SUM(n) AS n_parties
+          |FROM bal GROUP BY n_name""".stripMargin,
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 7 === 0)),
+        "incremental_sql_cte_union_stream")
     })
 }

@@ -3549,7 +3549,12 @@ object SqlCompiler {
     * joins, window decorations, expressions the incremental fold
     * could not maintain. */
   final case class CompiledCte(
-      ctes: Seq[(String, Compiled)],
+      /** Maintained CTEs as BRANCH GROUPS: a plain body is one
+        * [[Compiled]]; a top-level UNION ALL body is one compiled
+        * tree per branch, unioned at refresh (each branch maintains
+        * independently — the same per-branch shape as
+        * [[compileUnionAll]], registered under the CTE's name). */
+      ctes: Seq[(String, Seq[Compiled])],
       /** PRESENTATION CTEs: bodies that read earlier CTEs. They are
         * never compiled — their input is already view output
         * (group-cardinality), so they evaluate as stock Spark SQL in
@@ -3568,16 +3573,18 @@ object SqlCompiler {
             deletes: Map[String, Column] = Map.empty): DataFrame = {
       // a delete must land somewhere — a typo'd relation name that
       // silently no-ops would make a stale view read as maintained
-      val known = ctes.flatMap(_._2.path).toSet ++ outerBaseRels
+      val known = ctes.flatMap(_._2).flatMap(_.path).toSet ++ outerBaseRels
       (deletes.keySet -- known).foreach(rel =>
         fail(s"delete condition on '$rel' references no relation of this " +
           s"WITH query (relations: ${known.toSeq.sorted.mkString(", ")})"))
       // temp-view isolation: CTE names must not leak into (or read
       // from) the caller's session
       val ss = spark.newSession()
-      ctes.foreach { case (name, c) =>
-        val d = deletes.filter { case (rel, _) => c.path.contains(rel) }
-        c.run(ss, dir, d).createOrReplaceTempView(name)
+      ctes.foreach { case (name, branches) =>
+        branches.map { c =>
+          val d = deletes.filter { case (rel, _) => c.path.contains(rel) }
+          c.run(ss, dir, d)
+        }.reduce(_ union _).createOrReplaceTempView(name)
       }
       outerBaseRels.foreach { rel =>
         val base = Tables.load(ss, dir, rel)
@@ -3622,7 +3629,7 @@ object SqlCompiler {
       spark.sessionState.sqlParser.parsePlan(text).collect {
         case u: UnresolvedRelation => u.multipartIdentifier.last.toLowerCase
       }.distinct
-    val compiled = scala.collection.mutable.ArrayBuffer[(String, Compiled)]()
+    val compiled = scala.collection.mutable.ArrayBuffer[(String, Seq[Compiled])]()
     val presentation = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val presBaseRels = scala.collection.mutable.ArrayBuffer[String]()
     val seen = scala.collection.mutable.Set[String]()
@@ -3638,7 +3645,15 @@ object SqlCompiler {
         presentation += ((name, body))
         presBaseRels ++= relsOf(body).filterNot(cteNames)
       } else {
-        try compiled += (name -> compile(spark, dir, body))
+        // a top-level UNION ALL body compiles per branch (alignment
+        // validated by compileUnionAll); set-semantics UNION stays on
+        // its own netting machinery and is not a CTE shape
+        val (bparts, bkinds) = splitTopLevelUnion(body)
+        try compiled += (name -> (
+          if (bparts.size == 1) Seq(compile(spark, dir, body))
+          else if (bkinds.forall(identity)) compileUnionAll(spark, dir, body)
+          else fail("set-semantics UNION CTE bodies are not compiled — " +
+            "spell UNION ALL (bag) or use compileUnionDistinct directly")))
         catch { case e: IllegalArgumentException =>
           fail(s"CTE '$name': ${e.getMessage}")
         }

@@ -2128,6 +2128,22 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(mix.outerBaseRels.contains("nation"))
     assert(mix.run(s, d).count() == s.sql(mixSql).count())
 
+    // UNION ALL as a CTE body: one compiled tree per arm, unioned at
+    // refresh; set-semantics UNION stays loud
+    Tables.load(s, d, "supplier").createOrReplaceTempView("supplier")
+    val unionSql =
+      """WITH bal AS (
+        | SELECT n_name, COUNT(*) AS n FROM nation, customer
+        |  WHERE c_nationkey = n_nationkey GROUP BY n_name
+        | UNION ALL
+        | SELECT n_name, COUNT(*) AS n FROM nation, supplier
+        |  WHERE s_nationkey = n_nationkey GROUP BY n_name)
+        |SELECT n_name, SUM(n) AS n_parties FROM bal GROUP BY n_name""".stripMargin
+    val u = SqlCompiler.compileCte(s, d, unionSql)
+    assert(u.ctes.map { case (n, bs) => (n, bs.size) } == Seq(("bal", 2)))
+    assert(u.run(s, d).orderBy("n_name").collect().toSeq ==
+      s.sql(unionSql).orderBy("n_name").collect().toSeq)
+
     // recursive / forward-reference / alias-list / no-CTE-read fences
     bad("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r", "RECURSIVE")
     bad("""WITH b AS (SELECT n_name, n FROM a),
