@@ -93,6 +93,62 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_e6"))
   }
 
+  /** PERSONALIZED PageRank (random walk with restart): the teleport
+    * mass lands only on the SEED set — r₀ = Scale·1[v∈S], and each
+    * step's base term is BaseE6·1[v∈S] instead of a uniform BaseE6.
+    * Ranks then measure proximity to the seeds (the
+    * recommendation/similar-entities readout), not global centrality.
+    * Same exact-integer scheme as [[pagerankInt]]: the damped product
+    * widens to DECIMAL(38,0), divisions are integer `div`, so the
+    * trajectory is bit-identical cross-engine. `seeds` is one column
+    * `node`; non-seed unreachable nodes legitimately hold rank 0. */
+  def personalizedPagerankInt(edges: DataFrame, seeds: DataFrame,
+                              iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeded = nodes
+      .join(seeds.select(col("node"), lit(1L).as("s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("is_seed"))
+    var ranks = seeded.select(col("node"), (col("is_seed") * Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = seeded.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * BaseE6 + expr(
+            s"(CAST(${DampE6} AS DECIMAL(38,0)) * coalesce(contrib, 0L)) div ${Scale}"
+          )).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_e6"))
+  }
+
+  /** The DuckDB mirror of [[personalizedPagerankInt]]: `seedPred` is a
+    * predicate over the tagged `node` string. */
+  private def personalizedPagerankSql(edgesCte: String, seedPred: String,
+                                      iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         | CAST(n.is_seed * $BaseE6 + (CAST($DampE6 AS HUGEINT) * COALESCE(c.contrib, 0)) // $Scale AS BIGINT) AS r
+         | FROM ns n LEFT JOIN (
+         |  SELECT e.dst AS node, SUM(r.r // d.d) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |n AS (SELECT DISTINCT src AS node FROM edges),
+       |ns AS (SELECT node, CASE WHEN $seedPred THEN 1 ELSE 0 END AS is_seed FROM n),
+       |r0 AS (SELECT node, CAST(is_seed * $Scale AS BIGINT) AS r FROM ns),
+       |$steps
+       |SELECT node, r AS rank_e6 FROM r$iters
+       |ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
   /** The DuckDB mirror: one CTE per iteration (same integer ops). */
   private def pagerankSql(edgesCte: String, iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -528,6 +584,33 @@ object GraphOps {
           .distinct()
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         pagerankInt(edges, iters = 3)
+          .orderBy(col("rank_e6").desc, col("node")).limit(50)
+    },
+
+    // PERSONALIZED PageRank on the same customer↔supplier graph:
+    // teleport mass restricted to the customer seeds c_custkey%37=1 —
+    // ranks measure proximity to those customers (the "suppliers/
+    // customers similar to this cohort" recommendation readout).
+    // 3 exact-integer iterations, top-50.
+    sql("graph_personalized_pagerank",
+      personalizedPagerankSql(
+        """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+          | FROM orders, lineitem WHERE l_orderkey = o_orderkey""".stripMargin,
+        seedPred = "node LIKE 'c%' AND CAST(SUBSTR(node, 2) AS BIGINT) % 37 = 1",
+        iters = 3)) {
+      (s, d) =>
+        val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(col("node").startsWith("c") &&
+            expr("CAST(substring(node, 2) AS BIGINT) % 37 = 1"))
+        personalizedPagerankInt(edges, seeds, iters = 3)
           .orderBy(col("rank_e6").desc, col("node")).limit(50)
     },
 

@@ -38,6 +38,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("personalized pagerank restricts teleport mass to the seeds") {
+    // path graph a—b—c—d (bidirectional), seed = {a}: mass flows out
+    // from a only; d is two hops away and gets rank only at iter >= 2
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    def run(iters: Int): Map[String, Long] =
+      GraphOps.personalizedPagerankInt(edges, seeds, iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scalar reference of the seeded integer iteration
+    def ref(iters: Int): Map[String, Long] = {
+      val es = path ++ path.map(_.swap)
+      val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = es.map(_._1).distinct
+      var r = nodes.map(n => n -> (if (n == "a") 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val contrib = es.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+        r = nodes.map(n => n ->
+          ((if (n == "a") 150000L else 0L) +
+            850000L * contrib.getOrElse(n, 0L) / 1000000L)).toMap
+      }
+      r
+    }
+    val it1 = run(1)
+    assert(it1 == ref(1), s"$it1 vs ${ref(1)}")
+    // one hop: all of a's mass lands on b; c and d untouched
+    assert(it1("b") == 850000L && it1("c") == 0L && it1("d") == 0L, it1)
+    val it3 = run(3)
+    assert(it3 == ref(3), s"$it3 vs ${ref(3)}")
+    // the seed keeps its restart floor; distance ordering holds
+    assert(it3("a") >= 150000L && it3("b") > it3("d"))
+  }
+
   test("triangle counts match brute force on a known graph") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
     // edge 4-5 (no triangle) and an isolated edge 6-7
