@@ -41,11 +41,35 @@ object SnapshotLog {
     * split-on-`,`-then-`:` silently corrupted such roots. */
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def manifestJson(m: Map[Int, String], digest: String): String = {
+  private def manifestJson(m: Map[Int, String], digest: String,
+                           dv: Map[Int, Seq[String]] = Map.empty): String = {
     val node = mapper.createObjectNode()
     node.put("_digest", digest)
+    // DELETION VECTORS (merge-on-read): "_dv" maps bucket -> the DV
+    // dirs whose key tombstones still apply to that bucket. Metadata
+    // fields are `_`-prefixed, so pre-DV readers of the bucket map
+    // (readManifest filters them) are untouched.
+    if (dv.nonEmpty) {
+      val dnode = node.putObject("_dv")
+      dv.toSeq.sortBy(_._1).foreach { case (b, dirs) =>
+        val arr = dnode.putArray(b.toString)
+        dirs.foreach(arr.add)
+      }
+    }
     m.toSeq.sortBy(_._1).foreach { case (b, dir) => node.put(b.toString, dir) }
     node.toString
+  }
+
+  /** The deletion-vector map version `v` recorded (empty for pre-DV
+    * manifests and bucket-rewrite-only tables). */
+  private[sources] def readDv(root: String, v: Int): Map[Int, Seq[String]] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(manifestPath(root, v)))
+    import scala.jdk.CollectionConverters._
+    Option(mapper.readTree(txt).get("_dv")).map { d =>
+      d.properties().asScala.map { e =>
+        e.getKey.toInt -> e.getValue.elements().asScala.map(_.asText).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** Order-independent content digest of a commit's logical input —
@@ -78,10 +102,11 @@ object SnapshotLog {
     * put-if-absent / a conditional write — the manifest is the only
     * thing that needs it; data files are write-once by construction.) */
   private[sources] def tryCommitManifest(root: String, v: Int, m: Map[Int, String],
-                                          digest: String = ""): Boolean = {
+                                          digest: String = "",
+                                          dv: Map[Int, Seq[String]] = Map.empty): Boolean = {
     val target = java.nio.file.Paths.get(manifestPath(root, v))
     val tmp = java.nio.file.Files.createTempFile(target.getParent, s"_mtmp_v$v", ".json")
-    java.nio.file.Files.writeString(tmp, manifestJson(m, digest))
+    java.nio.file.Files.writeString(tmp, manifestJson(m, digest, dv))
     try { java.nio.file.Files.createLink(target, tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally { java.nio.file.Files.deleteIfExists(tmp); () }
@@ -115,19 +140,31 @@ object SnapshotLog {
     * replay and have its data silently discarded. Anything else
     * aborts so the caller re-reads and retries at `v+1`. */
   private def publishAttempt(root: String, v: Int, m: Map[Int, String], dir: String,
-                             digest: String): Unit =
-    if (!tryCommitManifest(root, v, m, digest)) {
+                             digest: String,
+                             dv: Map[Int, Seq[String]] = Map.empty): Unit =
+    if (!tryCommitManifest(root, v, m, digest, dv)) {
       rmTree(new java.io.File(dir))
       val winner = readManifest(root, v)
-      val winnerDirs = m.collect { case (b, d) if d == dir => winner.get(b) }.toSet
+      val winnerDv = readDv(root, v)
+      // this attempt's dir appears in the BUCKET map (rewrite commits)
+      // or in the DV map (deletion-vector commits); the winner's
+      // corresponding dir is the substitution candidate either way
+      val candidates = (m.collect { case (b, d) if d == dir => winner.get(b) } ++
+        dv.toSeq.flatMap { case (b, ds) =>
+          ds.zipWithIndex.collect { case (d, i) if d == dir =>
+            winnerDv.get(b).flatMap(_.lift(i)) } }).toSet
       val sameLogicalCommit =
-        winnerDirs.size == 1 && winnerDirs.head.isDefined &&
-          m.map { case (b, d) => b -> (if (d == dir) winnerDirs.head.get else d) } == winner &&
+        candidates.size == 1 && candidates.head.isDefined && {
+          val w = candidates.head.get
+          def sub(d: String) = if (d == dir) w else d
+          m.map { case (b, d) => b -> sub(d) } == winner &&
+          dv.map { case (b, ds) => b -> ds.map(sub) } == winnerDv &&
           // Option-equality so the both-absent case matches: a replayed
           // commit from a pre-digest manifest records digest "" which
           // readDigest also normalizes to None — `.contains("")` could
           // never succeed and threw on every legitimate replay.
           readDigest(root, v) == Option(digest).filter(_.nonEmpty)
+        }
       if (!sameLogicalCommit)
         throw new java.util.ConcurrentModificationException(
           s"snapshot version $v at $root was committed concurrently with different content")
@@ -194,15 +231,76 @@ object SnapshotLog {
         key, payloadCols :+ "b")
     val dir = newAttemptDir(root, s"v$v")
     merged.write.mode("overwrite").partitionBy("b").parquet(dir)
+    // rewritten buckets MATERIALIZE their deletion vectors (`current0`
+    // reads dv-applied), so their coverage drops — a later re-insert
+    // of a tombstoned key into a rewritten bucket must survive;
+    // untouched buckets keep their tombstones
+    val dvCarried = readDv(root, v - 1).filter { case (b, _) => !touched(b) }
     publishAttempt(root, v, prev ++ touched.map(_ -> dir), dir,
-      contentDigest(changes))
+      contentDigest(changes), dvCarried)
+  }
+
+  /** DELETION VECTORS — merge-on-read row deletes: version `v` keeps
+    * v−1's bucket dirs UNCHANGED and records per-bucket key TOMBSTONES
+    * in a sidecar dir instead, so a delete commit costs
+    * O(|deleted keys|) regardless of table size (the copy-on-write
+    * alternative rewrites every touched bucket). [[readVersion]]
+    * anti-joins the applicable tombstones at read (the small side —
+    * broadcastable); the next [[commitMerge]] or [[compactVersion]]
+    * touching a bucket materializes and DROPS its coverage, and
+    * [[vacuum]] treats referenced DV dirs like data dirs. Stacked DV
+    * commits accumulate per bucket. `deleteKeys` carries the key
+    * column; keys absent from the table are harmless no-ops (exactly
+    * SQL DELETE's answer). */
+  def commitDeleteVector(spark: SparkSession, root: String, v: Int, key: String,
+                         deleteKeys: DataFrame): Unit = {
+    val prevDv = readDv(root, v - 1)
+    val keyed = deleteKeys.select(col(key)).distinct()
+      .withColumn("b", pmod(col(key), lit(Buckets)))
+    val touched = keyed.select(col("b").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    require(touched.nonEmpty, "empty delete set — nothing to commit")
+    val dir = newAttemptDir(root, s"v${v}dv")
+    keyed.write.mode("overwrite").partitionBy("b").parquet(dir)
+    val dv = prevDv ++ touched.map(b => b -> (prevDv.getOrElse(b, Nil) :+ dir))
+    publishAttempt(root, v, readManifest(root, v - 1), dir,
+      contentDigest(keyed.select(col(key))), dv)
   }
 
   /** Resolve version `v` to its file set and read it — one parquet
     * read per version directory (partition column `b` recovered via
     * basePath), unioned. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame =
-    readBuckets(spark, readManifest(root, v))
+    applyDv(spark, readBuckets(spark, readManifest(root, v)), readDv(root, v))
+
+  /** Merge-on-read: drop `base` rows whose key is tombstoned by an
+    * applicable deletion vector. Each DV dir is read restricted to the
+    * buckets the manifest says it still covers (a bucket rewritten
+    * since the DV was written materialized those tombstones — applying
+    * them again would wrongly delete re-inserted keys), then ONE anti
+    * join on the key column (keys are globally unique, so restricting
+    * the tombstone set to covered buckets makes the global anti join
+    * exactly per-bucket semantics). The tombstone side is
+    * O(|deleted keys|) — the broadcastable small side at any table
+    * size. */
+  private def applyDv(spark: SparkSession, base: DataFrame,
+                      dv: Map[Int, Seq[String]]): DataFrame =
+    if (dv.isEmpty) base
+    else {
+      val reads = dv.toSeq.flatMap { case (b, dirs) => dirs.map(d => (d, b)) }
+        .groupBy(_._1).toSeq.flatMap { case (d, entries) =>
+          val parts = entries.map { case (_, b) => s"$d/b=$b" }
+            .filter(p => new java.io.File(p).exists())
+          if (parts.isEmpty) None
+          else Some(spark.read.option("basePath", d).parquet(parts: _*))
+        }
+      if (reads.isEmpty) base
+      else {
+        val tomb = reads.reduce(_.unionByName(_))
+        val keyCol = tomb.columns.filterNot(_ == "b").head
+        base.join(tomb.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      }
+    }
 
   private def readBuckets(spark: SparkSession, m: Map[Int, String]): DataFrame =
     m.toSeq
@@ -235,7 +333,11 @@ object SnapshotLog {
     val m = readManifest(root, v).filter { case (b, _) => wanted(b.toLong) }
     require(m.nonEmpty, s"no manifest entry for buckets $wanted at version $v " +
       "(a fully-empty pruned read has no schema to return)")
-    readBuckets(spark, m).filter(col(key).isin(keys.map(Long.box): _*))
+    // deletion vectors prune the same way: only the wanted buckets'
+    // tombstone partitions are even listed
+    val dv = readDv(root, v).filter { case (b, _) => wanted(b.toLong) }
+    applyDv(spark, readBuckets(spark, m), dv)
+      .filter(col(key).isin(keys.map(Long.box): _*))
   }
 
   /** Row-level CHANGE DATA FEED between two snapshots: full-outer join
@@ -313,8 +415,11 @@ object SnapshotLog {
       versions.partition(v => v < retainFrom && !pinned.contains(v))
     require(kept.nonEmpty, s"vacuum($retainFrom) would delete every manifest at $root")
     def canon(vs: Seq[Int]): Set[String] =
-      vs.flatMap(v => readManifest(root, v).values).toSet
-        .map((p: String) => new java.io.File(p).getCanonicalPath)
+      // deletion-vector dirs are referenced data like bucket dirs: a
+      // kept version's tombstones must survive, an expired-only DV dir
+      // is reclaimable
+      vs.flatMap(v => readManifest(root, v).values ++ readDv(root, v).values.flatten)
+        .toSet.map((p: String) => new java.io.File(p).getCanonicalPath)
     val retained = canon(kept)
     val provablyDead = canon(expired) -- retained // published, then aged below the horizon
     def rm(f: java.io.File): Unit = {
@@ -465,9 +570,13 @@ object SnapshotLog {
     try {
       val m = readManifest(srcRoot, v)
       val digest = readDigest(srcRoot, v).getOrElse("")
-      if (!tryCommitManifest(dstRoot, 0, m, digest)) {
+      // the branch head must carry the source's deletion vectors too —
+      // a dv-blind branch would resurrect tombstoned rows
+      val dv = readDv(srcRoot, v)
+      if (!tryCommitManifest(dstRoot, 0, m, digest, dv)) {
         val sameLogicalBranch =
-          readManifest(dstRoot, 0) == m && readDigest(dstRoot, 0) == Option(digest).filter(_.nonEmpty)
+          readManifest(dstRoot, 0) == m && readDv(dstRoot, 0) == dv &&
+            readDigest(dstRoot, 0) == Option(digest).filter(_.nonEmpty)
         if (!sameLogicalBranch)
           throw new java.util.ConcurrentModificationException(
             s"branch root $dstRoot already has a DIFFERENT version 0")
@@ -492,6 +601,36 @@ object SnapshotLog {
   }
 
   private val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** v0 = orders; v1 = a DELETION-VECTOR commit tombstoning
+    * o_orderkey % 45 = 0 (no bucket rewritten; the tombstones land in
+    * every bucket); v2 = a MERGE re-inserting the tombstoned keys of
+    * BUCKETS 0–7 only (rewrites exactly those buckets — which must
+    * MATERIALIZE and drop their tombstone coverage, or the re-inserted
+    * rows would be wrongly re-deleted at read; buckets 8–15 keep
+    * theirs). */
+  private val dvRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dvTableRoot(s: SparkSession, d: String): String =
+    dvRoots.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snap_dv").toString
+      val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+      commitInitial(orders, root, "o_orderkey")
+      commitDeleteVector(s, root, 1, "o_orderkey",
+        orders.filter(col("o_orderkey") % 45 === 0).select("o_orderkey"))
+      commitMerge(s, root, 2, "o_orderkey", payload,
+        orders.filter(col("o_orderkey") % 45 === 0 && col("o_orderkey") % 16 < 8)
+          .select(col("o_orderkey"), lit("I").as("op"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
+      root
+    })
+  sys.addShutdownHook {
+    dvRoots.values().forEach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 
   /** The canonical three-residue change set over `orders` (mod 160 —
     * and 160 ≡ 0 mod 16, so each residue pins one bucket), split in
@@ -838,6 +977,46 @@ object SnapshotLog {
         val after = parquetFiles(m2.values.toSet)
         require(after == Buckets && after <= before,
           s"compaction must leave one file per bucket ($Buckets), got $after (before: $before)")
+        readVersion(s, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // DELETION VECTORS — merge-on-read row deletes: the DV commit
+    // writes only per-bucket key tombstones (v1's bucket map must BE
+    // v0's — zero data rewritten), reads anti-join the tombstones,
+    // point lookups prune tombstones by bucket, and a later MERGE
+    // rewriting buckets 0-7 MATERIALIZES and drops their coverage —
+    // so the keys it re-inserts there survive where a coverage-blind
+    // read would wrongly re-delete them (buckets 8-15 keep their
+    // tombstones). Gated value = the v2 read; the fn self-asserts
+    // each structural claim.
+    sql("snapshot_deletion_vectors",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 45 <> 0 OR o_orderkey % 16 < 8""".stripMargin) {
+      (s, d) =>
+        val root = dvTableRoot(s, d)
+        // (1) the DV commit rewrote nothing: v1 buckets == v0 buckets
+        require(readManifest(root, 1) == readManifest(root, 0),
+          "a deletion-vector commit must not rewrite any bucket")
+        require(readDv(root, 0).isEmpty && readDv(root, 1).nonEmpty,
+          "v1 must carry tombstones; v0 none")
+        // (2) time travel below the DV commit reads every row
+        val nAll = Tables.orders(s, d).count()
+        require(readVersion(s, root, 0).count() == nAll,
+          "v0 must still read the full table")
+        // (3) a tombstoned key: pruned point lookup empty at v1, live at v0
+        val k = Tables.orders(s, d).filter(col("o_orderkey") % 45 === 0)
+          .agg(min(col("o_orderkey"))).head().getLong(0)
+        require(readKeys(s, root, 1, "o_orderkey", Seq(k)).isEmpty,
+          s"tombstoned key $k must be dead at v1")
+        require(readKeys(s, root, 0, "o_orderkey", Seq(k)).count() == 1,
+          s"key $k must be live at v0")
+        // (4) the v2 merge dropped coverage exactly on its rewritten buckets
+        val (dv1, dv2) = (readDv(root, 1), readDv(root, 2))
+        require(dv2.nonEmpty && dv2.keySet.subsetOf(dv1.keySet) && dv2 != dv1,
+          s"v2 must keep tombstones only on unrewritten buckets (v1=${dv1.keySet}, v2=${dv2.keySet})")
         readVersion(s, root, 2)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))

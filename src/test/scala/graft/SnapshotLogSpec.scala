@@ -342,4 +342,63 @@ class SnapshotLogSpec extends AnyFunSuite {
     // nothing below the horizon left -> second call no-ops
     assert(SnapshotLog.vacuumOlderThan(dir, horizonMs = now - 2000).isEmpty)
   }
+
+  test("deletion vectors: stack, materialize on rewrite, compact, vacuum, branch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv_spec").toString
+    // 64 keys, 4 per bucket (pmod(k, 16))
+    val base = (1L to 64L).map(k => (k, s"p$k")).toDF("k", "p")
+    SnapshotLog.commitInitial(base, root, "k")
+    def live(v: Int) = SnapshotLog.readVersion(spark, root, v).drop("b")
+
+    // v1: tombstone multiples of 4 (16 keys) — merge-on-read
+    val dead1 = base.filter(col("k") % 4 === 0).select("k")
+    SnapshotLog.commitDeleteVector(spark, root, 1, "k", dead1)
+    assert(live(0).count() == 64 && live(1).count() == 48)
+    assert(live(1).filter(col("k") % 4 === 0).isEmpty)
+    // replay (the foreachBatch retry contract): same delete set no-ops
+    SnapshotLog.commitDeleteVector(spark, root, 1, "k", dead1)
+    assert(live(1).count() == 48)
+    // a DIFFERENT delete set racing version 1 loses loudly
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commitDeleteVector(spark, root, 1, "k",
+        base.filter(col("k") % 4 === 1).select("k"))
+    }
+
+    // v2: a SECOND vector stacks (k % 16 == 1: keys 1,17,33,49)
+    SnapshotLog.commitDeleteVector(spark, root, 2, "k",
+      base.filter(col("k") % 16 === 1).select("k"))
+    assert(live(2).count() == 44)
+
+    // v3: MERGE re-inserts tombstoned keys 4 and 8 with new payloads —
+    // buckets 4 and 8 rewrite and MATERIALIZE their tombstones: the
+    // re-inserted keys live, sibling tombstoned keys (20, 24) stay
+    // dead, untouched buckets (12) keep their vectors
+    SnapshotLog.commitMerge(spark, root, 3, "k", Seq("p"),
+      Seq((4L, "I", "new4"), (8L, "I", "new8")).toDF("k", "op", "p"))
+    val v3 = live(3)
+    assert(v3.count() == 46, v3.count())
+    assert(v3.filter(col("k") === 4).select("p").head().getString(0) == "new4")
+    assert(v3.filter(col("k").isin(20L, 24L, 12L)).isEmpty)
+    // point lookups prune tombstones by bucket too
+    assert(SnapshotLog.readKeys(spark, root, 3, "k", Seq(12L)).isEmpty)
+    assert(SnapshotLog.readKeys(spark, root, 3, "k", Seq(4L)).count() == 1)
+
+    // a BRANCH at the tombstoned version carries the vectors
+    val branch = root + "_br"
+    SnapshotLog.branchAt(root, 3, branch)
+    val br = SnapshotLog.readVersion(spark, branch, 0).drop("b")
+    assert(br.exceptAll(v3).isEmpty && v3.exceptAll(br).isEmpty)
+    assert(SnapshotLog.dropBranch(root, branch))
+
+    // COMPACTION materializes every vector; vacuum past the DV
+    // versions reclaims the now-unreferenced tombstone dirs and the
+    // compacted read survives complete
+    SnapshotLog.compactVersion(spark, root, 3, 4)
+    val v4 = live(4)
+    assert(v4.exceptAll(v3).isEmpty && v3.exceptAll(v4).isEmpty)
+    val reclaimed = SnapshotLog.vacuum(root, retainFrom = 4)
+    assert(reclaimed.exists(_.contains("dv")), reclaimed)
+    assert(live(4).count() == 46)
+    intercept[Exception] { live(1).collect() }
+  }
 }
