@@ -285,6 +285,72 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic GRADIENT PNG per document, for the
+    * perceptual-hash entry: 18×16 gray pixels
+    * `v(x, y) = ((id%40)·31 + x·7 + y·11) % 200 + id%3` — the image
+    * CONTENT is a pure function of `id % 40` (the near-dup group) and
+    * the `id % 3` term is a constant brightness offset, which a
+    * difference hash cancels by construction. Gray means r=g=b=v, so
+    * integer Rec.601 luma `(299r+587g+114b)/1000` is EXACTLY v and the
+    * real decode's dHash equals the oracle's closed-form one. */
+  def synthGradAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 18) {
+            val v = (((id % 40) * 31 + x * 7 + y * 11) % 200 + id % 3).toInt
+            img.setRGB(x, y, v << 16 | v << 8 | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaAsset(id, "image/png", bos.toByteArray)
+      }
+    }
+  }
+
+  /** 63-bit DIFFERENCE HASH (dHash) of a decoded image — all integer
+    * arithmetic, so the value is exact and cross-engine mirrorable:
+    * integer Rec.601 luma per pixel, 2×2 mean-pool to a 9×8 cell grid
+    * (`//4` — our own pooling, not the codec's resampler, precisely so
+    * the oracle can reproduce it), bit `i = cy·8+cx` set when
+    * `cell(cx,cy) < cell(cx+1,cy)`, bits 0..62 only (bit 63 would make
+    * the BIGINT negative and poison shift/band arithmetic). Brightness
+    * shifts cancel: pooling a +k image yields +k cells, and the
+    * comparisons are translation-invariant — the property that makes
+    * dHash a PERCEPTUAL (not exact) fingerprint. */
+  def dHash63(img: java.awt.image.BufferedImage): Long = {
+    require(img.getWidth == 18 && img.getHeight == 16,
+      s"dHash63 pools a fixed 18x16 frame, got ${img.getWidth}x${img.getHeight}")
+    def luma(x: Int, y: Int): Long = {
+      val p = img.getRGB(x, y)
+      (299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) + 114L * (p & 255)) / 1000L
+    }
+    def cell(cx: Int, cy: Int): Long =
+      (luma(2 * cx, 2 * cy) + luma(2 * cx + 1, 2 * cy) +
+        luma(2 * cx, 2 * cy + 1) + luma(2 * cx + 1, 2 * cy + 1)) / 4L
+    var h = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val i = cy * 8 + cx
+        if (i < 63 && cell(cx, cy) < cell(cx + 1, cy)) h |= 1L << i
+        cx += 1
+      }
+      cy += 1
+    }
+    h
+  }
+
   /** documents → media assets (text bytes stand in for image bytes). */
   def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
@@ -357,6 +423,76 @@ object Multimodal {
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
             floorRound6(col("mean_luma")).as("mean_luma"))
+    },
+
+    // PERCEPTUAL-HASH IMAGE DEDUP — the multimodal near-dup pipeline:
+    // REAL PNG decode → integer dHash (2×2 mean-pool, 63 comparison
+    // bits) → 16-bit LSH bands → band equi-join candidates → hamming
+    // confirm (never all-pairs — the same blocking discipline as
+    // every dedup entry). The synthetic gradients group by id%40 with
+    // an id%3 brightness offset the dHash must CANCEL (translation
+    // invariance is the perceptual property under test); the oracle
+    // computes the identical hash from the closed-form pixel formula
+    // WITHOUT decoding, so codec, luma, pooling or banding drift all
+    // fail the value hash. At corpus scale: hash is per-image map
+    // work, candidates partition by (band, value), the confirm is one
+    // xor+popcount per candidate pair.
+    sql("multimodal_phash_dedup",
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |cells AS (
+        | SELECT id, cx.cx AS cx, cy.cy AS cy,
+        |  ((((id%40)*31 + (2*cx.cx)*7   + (2*cy.cy)*11)   % 200 + id%3)
+        | + (((id%40)*31 + (2*cx.cx+1)*7 + (2*cy.cy)*11)   % 200 + id%3)
+        | + (((id%40)*31 + (2*cx.cx)*7   + (2*cy.cy+1)*11) % 200 + id%3)
+        | + (((id%40)*31 + (2*cx.cx+1)*7 + (2*cy.cy+1)*11) % 200 + id%3)) // 4 AS cell
+        | FROM ids
+        | CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS cx) cx
+        | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cy) cy),
+        |bits AS (
+        | SELECT a.id, a.cy * 8 + a.cx AS i,
+        |  CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS bit
+        | FROM cells a JOIN cells b ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
+        | WHERE a.cx < 8 AND a.cy * 8 + a.cx < 63),
+        |hashes AS (SELECT id AS doc_id,
+        |  CAST(SUM(bit * (1::BIGINT << i)) AS BIGINT) AS phash
+        | FROM bits GROUP BY id),
+        |bands AS (SELECT doc_id, phash, k.k AS k,
+        |  (phash >> (16 * k.k)) & (CASE WHEN k.k = 3 THEN 32767 ELSE 65535 END) AS bv
+        | FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ha,
+        |                b.doc_id AS doc_b, b.phash AS hb
+        | FROM bands a JOIN bands b
+        |  ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val hashes = synthGradAssets(s, d).mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { a =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.payload))
+            (a.doc_id, dHash63(img))
+          }
+        }.toDF("doc_id", "phash")
+        val bands = hashes.select(col("doc_id"), col("phash"),
+          explode(array((0 to 3).map { k =>
+            struct(lit(k).as("k"),
+              shiftrightunsigned(col("phash"), 16 * k)
+                .bitwiseAND(lit(if (k == 3) 32767L else 65535L)).as("bv"))
+          }: _*)).as("s"))
+          .select(col("doc_id"), col("phash"),
+            col("s.k").as("k"), col("s.bv").as("bv"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("a.phash").as("ha"),
+            col("b.doc_id").as("doc_b"), col("b.phash").as("hb"))
+          .distinct()
+        cand
+          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+          .filter(col("hamming") <= 4)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
     },
 
     // Frame sampling behind the hash gate: offsets are integer

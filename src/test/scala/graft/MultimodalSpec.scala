@@ -74,6 +74,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(back.mean_luma - 0.5) < 0.1, s"luma ${back.mean_luma}")
   }
 
+  test("dHash is brightness-invariant and content-sensitive") {
+    def grad(off: Int, slope: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val v = ((x * slope + y * 11) % 200 + off).min(255)
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      img
+    }
+    // a constant brightness shift must CANCEL (pooling a +k image
+    // yields +k cells; the comparisons are translation-invariant)
+    val h0 = Multimodal.dHash63(grad(0, 7))
+    assert(h0 == Multimodal.dHash63(grad(2, 7)))
+    assert(h0 == Multimodal.dHash63(grad(50, 7)))
+    // a different CONTENT (slope) must move many bits
+    val hOther = Multimodal.dHash63(grad(0, 193))
+    assert(java.lang.Long.bitCount(h0 ^ hOther) > 4,
+      s"slope change must move the hash: ${java.lang.Long.bitCount(h0 ^ hOther)} bits")
+    // bit 63 is never set (the sign bit would poison band arithmetic)
+    assert(h0 >= 0 && hOther >= 0)
+    // the hash survives the REAL PNG encode/decode round trip
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grad(0, 7), "png", bos)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(Multimodal.dHash63(back) == h0)
+  }
+
   test("frame sampling fans out exactly n frames with increasing offsets") {
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sfTiny), 8).collect()
     val docs = Tables.documents(spark, sfTiny).count()
