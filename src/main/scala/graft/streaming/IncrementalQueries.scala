@@ -6038,5 +6038,46 @@ object IncrementalQueries {
           "customer" -> (col("c_custkey") % 13 === 0),
           "supplier" -> (col("s_suppkey") % 7 === 0)),
         "incremental_sql_cte_union_stream")
+    },
+
+    // UNALIASED aggregates in HAVING — the common SQL spelling: each
+    // distinct aggregate fragment joins the incremental fold under a
+    // hidden alias (a second maintained fold when it also appears in
+    // SELECT), the condition rewrites to the alias, and the hidden
+    // columns drop after the filter. One aggregate here (the SUM) is
+    // in no SELECT item at all — the case the old fence rejected.
+    sql("incremental_sql_having_agg",
+      """SELECT c_nationkey, COUNT(*) AS n_cust
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey AND c_custkey % 12 <> 0
+        |GROUP BY c_nationkey
+        |HAVING COUNT(*) > 20
+        | AND SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) > 0""".stripMargin) {
+      (s, dir) => SqlCompiler.run(s, dir,
+        """SELECT c_nationkey, COUNT(*) AS n_cust
+          |FROM nation, customer
+          |WHERE c_nationkey = n_nationkey
+          |GROUP BY c_nationkey
+          |HAVING COUNT(*) > 20
+          | AND SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) > 0""".stripMargin,
+        deletes = Map("customer" -> (col("c_custkey") % 12 === 0)))
+    },
+
+    sql("incremental_sql_having_agg_stream",
+      """SELECT c_nationkey, COUNT(*) AS n_cust
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey AND c_custkey % 12 <> 0
+        |GROUP BY c_nationkey
+        |HAVING COUNT(*) > 20
+        | AND SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) > 0""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT c_nationkey, COUNT(*) AS n_cust
+            |FROM nation, customer
+            |WHERE c_nationkey = n_nationkey
+            |GROUP BY c_nationkey
+            |HAVING COUNT(*) > 20
+            | AND SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) > 0""".stripMargin),
+        dir, Map("customer" -> (col("c_custkey") % 12 === 0)),
+        "incremental_sql_having_agg_stream_leaf")
     })
 }

@@ -1526,10 +1526,45 @@ object SqlCompiler {
           es ++ srt.order.map(_.child).filterNot(
             _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal]))
       case h: UnresolvedHaving =>
-        noAggCalls(h.havingCondition, "HAVING")
-        val frag = dequalify(spark, fragment(h.havingCondition))
-        val (core, fs, es) = unwrapPresentation(spark, h.child)
-        (core, fs :+ ((df: DataFrame) => df.filter(expr(frag))), es :+ h.havingCondition)
+        val aggCalls = h.havingCondition.collect {
+          case f: UnresolvedFunction if isAggregateCall(spark, f) => f
+        }
+        if (aggCalls.isEmpty) {
+          val frag = dequalify(spark, fragment(h.havingCondition))
+          val (core, fs, es) = unwrapPresentation(spark, h.child)
+          (core, fs :+ ((df: DataFrame) => df.filter(expr(frag))), es :+ h.havingCondition)
+        } else h.child match {
+          // UNALIASED aggregates in HAVING (`HAVING COUNT(*) > 6`):
+          // each distinct aggregate fragment joins the fold under a
+          // HIDDEN alias, the condition text rewrites to reference it,
+          // and the presentation filter drops the hidden columns after
+          // filtering — so the common SQL spelling maintains exactly
+          // like its aliased form. (A fragment already aliased in
+          // SELECT still works: the hidden column is simply a second
+          // maintained copy of the same fold.)
+          case agg: Aggregate =>
+            val uniq = aggCalls.map(fragment).distinct
+            val names = uniq.indices.map(i => s"__having_$i")
+            var condFrag = fragment(h.havingCondition)
+            uniq.zip(names).sortBy(-_._1.length).foreach { case (fr, nm) =>
+              condFrag = condFrag.replace(fr, nm)
+            }
+            val hidden = uniq.zip(names).map { case (fr, nm) =>
+              Alias(spark.sessionState.sqlParser.parseExpression(fr), nm)()
+            }
+            val agg2 = agg.copy(
+              aggregateExpressions = agg.aggregateExpressions ++ hidden)
+            val frag = dequalify(spark, condFrag)
+            val (core, fs, es) = unwrapPresentation(spark, agg2)
+            (core,
+              fs :+ ((df: DataFrame) => df.filter(expr(frag)).drop(names: _*)),
+              // the ORIGINAL condition rides along for qualifier-scope
+              // validation (its aggregate args carry the qualifiers)
+              es :+ h.havingCondition)
+          case _ =>
+            fail(s"HAVING with aggregate calls requires a GROUP BY query: " +
+              s"'${fragment(h.havingCondition)}'")
+        }
       case other => (other, Nil, Nil)
     }
   }

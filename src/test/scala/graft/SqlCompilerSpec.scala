@@ -338,11 +338,26 @@ class SqlCompilerSpec extends AnyFunSuite {
     val got = SqlCompiler.run(s, d, fullQ10).collect().toSeq
     val want = s.sql(fullQ10).collect().toSeq
     assert(got == want && got.nonEmpty)
-    // sort keys / having conditions over aggregate CALLS fail loudly
+    // sort keys over aggregate CALLS fail loudly
     val ex = intercept[IllegalArgumentException] {
       SqlCompiler.compile(s, d, q10Sql + "\nORDER BY SUM(l_discount) DESC")
     }
     assert(ex.getMessage.contains("alias the aggregate"))
+    // UNALIASED aggregates in HAVING compile: each distinct fragment
+    // joins the fold under a hidden alias (dropped after the filter) —
+    // including one that appears in no SELECT item (the MIN here)
+    val unaliased =
+      """SELECT n_name, COUNT(*) AS n_rows
+        |FROM nation, customer
+        |WHERE c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING COUNT(*) > 6 AND MIN(c_acctbal) < 9000
+        |ORDER BY n_name""".stripMargin
+    val gotU = SqlCompiler.run(s, d, unaliased).collect().toSeq
+    val wantU = s.sql(unaliased).collect().toSeq
+    assert(gotU == wantU && gotU.nonEmpty)
+    assert(gotU.head.schema.fieldNames.toSeq == Seq("n_name", "n_rows"),
+      "hidden HAVING columns must not leak into the output")
     // ordinals resolve to the n-th output column (SQL semantics) —
     // compiling them as literal constants would silently unsort
     val ordQ = fullQ10.replace("ORDER BY revenue_e4 DESC, c_custkey", "ORDER BY 5 DESC, 1")
