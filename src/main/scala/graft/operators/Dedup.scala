@@ -550,6 +550,41 @@ object Dedup {
             col("n_tokens"), col("n_members"))
     },
 
+    // LEAKAGE-SAFE TRAIN/VALID/TEST SPLIT — the split decision hashes
+    // the near-dup CLUSTER id, not the doc id, so two near-duplicate
+    // documents can never land on opposite sides of the train/test
+    // boundary (the classic eval-contamination leak: a test document
+    // whose 0.9-Jaccard twin sits in train). Singletons (no near-dup)
+    // are their own cluster. One CC pass + one broadcast-size label
+    // join + a stateless hash — the split of a 100 TB corpus costs its
+    // dedup clustering plus one map, and rerunning it is reproducible
+    // (pure function of doc ids, no RNG state). Buckets 0-7 train /
+    // 8 valid / 9 test from the repo's portable 15-hex md5 prefix.
+    sql("split_leakage_safe",
+      s"""WITH RECURSIVE $ccCteSql,
+         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |asg AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+         | FROM asg)""".stripMargin) {
+      (s, d) =>
+        val labels = connectedComponents(s, d)
+        val asg = Tables.documents(s, d).select(col("doc_id"))
+          .join(labels.withColumnRenamed("doc_id", "ldoc"),
+            col("doc_id") === col("ldoc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        val b = conv(substring(md5(to_binary(
+          col("cluster_id").cast("string"), lit("utf-8"))), 1, 15), 16, 10)
+          .cast("long") % 10
+        asg.select(col("doc_id"), col("cluster_id"),
+          when(b <= 7, "train").when(b === 8, "valid").otherwise("test")
+            .as("split"))
+    },
+
     // CROSS-SOURCE DUPLICATION MATRIX — which sources copy from
     // which: near-dup pair counts per (source_a, source_b) over the
     // minhash/CC clusters, computed ARITHMETICALLY from per-(cluster,

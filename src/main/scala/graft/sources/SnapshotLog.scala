@@ -267,6 +267,76 @@ object SnapshotLog {
       contentDigest(keyed.select(col(key))), dv)
   }
 
+  // ---- CHECK constraints (write-path governance) -----------------------
+
+  private def constraintsPath(root: String) = s"$root/_constraints.json"
+
+  /** Register named CHECK constraints — ANSI boolean predicates over
+    * the table's columns — enforced by [[commitMergeChecked]] on every
+    * subsequent write. Stored as a sidecar JSON registry at the table
+    * root (the `ALTER TABLE ADD CONSTRAINT` shape): constraints are
+    * table METADATA, not data, so they sit outside the manifest chain
+    * and govern writes from registration onward. Validating EXISTING
+    * data at registration time is the caller's call —
+    * [[constraintViolations]] over a [[readVersion]] is that one scan. */
+  def setConstraints(root: String, cs: Map[String, String]): Unit = {
+    val node = mapper.createObjectNode()
+    cs.toSeq.sortBy(_._1).foreach { case (n, p) => node.put(n, p) }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(constraintsPath(root)), node.toString)
+    ()
+  }
+
+  def constraints(root: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(constraintsPath(root))
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(java.nio.file.Files.readString(p))
+        .properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }
+  }
+
+  /** Violation count per constraint over `df`, in ONE aggregate pass —
+    * every predicate evaluates inside the same HashAggregate, so a
+    * 100 TB change set pays one scan however many constraints are
+    * registered. A NULL predicate result counts as a violation: CHECK
+    * admits only rows the predicate proves TRUE (the conservative
+    * reading — a row the constraint cannot evaluate must not slide
+    * through on UNKNOWN). */
+  def constraintViolations(df: DataFrame, cs: Map[String, String]): Map[String, Long] = {
+    if (cs.isEmpty) return Map.empty
+    val names = cs.keys.toSeq.sorted
+    val aggs = names.map(n =>
+      sum(when(coalesce(expr(cs(n)).cast("boolean"), lit(false)), 0L)
+        .otherwise(1L)).as(n))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    names.zipWithIndex.map { case (n, i) =>
+      n -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
+  }
+
+  /** [[commitMerge]] with the registered CHECK constraints enforced on
+    * the change set's surviving row states (U and I carry new rows; a
+    * D row removes data and cannot violate a row-level constraint). A
+    * violation aborts BEFORE any data or manifest write: version `v`
+    * never exists, concurrent readers never observe a bad row, and the
+    * error names every violated constraint with its offending row
+    * count — the write-path contract that keeps a governed table
+    * trustworthy without a read-side audit. */
+  def commitMergeChecked(spark: SparkSession, root: String, v: Int, key: String,
+                         payloadCols: Seq[String], changes: DataFrame): Unit = {
+    val cs = constraints(root)
+    val bad = constraintViolations(changes.filter(col("op") =!= "D"), cs)
+      .filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violation — commit aborted, version $v not written: " +
+          bad.toSeq.sortBy(_._1).map { case (n, c) =>
+            s"$n ('${cs(n)}') fails on $c row(s)" }.mkString("; "))
+    commitMerge(spark, root, v, key, payloadCols, changes)
+  }
+
   /** Resolve version `v` to its file set and read it — one parquet
     * read per version directory (partition column `b` recovered via
     * basePath), unioned. */
@@ -682,6 +752,33 @@ object SnapshotLog {
       root
     })
 
+  /** v0 = orders snapshot under two registered CHECK constraints;
+    * v1 = the update batch (passes); then the SAME batch with prices
+    * negated MUST abort with the constraint named and leave no v2 —
+    * both asserted here, so the gated read of v1 proves the reject
+    * path ran and the accept path landed. */
+  private val checkedRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def checkedTableRoot(s: SparkSession, d: String): String =
+    checkedRoots.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snap_checked").toString
+      val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+      commitInitial(orders, root, "o_orderkey")
+      setConstraints(root, Map(
+        "positive_price" -> "o_totalprice > 0",
+        "status_known"   -> "o_orderstatus IN ('O', 'F', 'P')"))
+      commitMergeChecked(s, root, 1, "o_orderkey", payload, updateBatch(orders))
+      val bad = updateBatch(orders)
+        .withColumn("o_totalprice", -col("o_totalprice"))
+      val rejected =
+        try { commitMergeChecked(s, root, 2, "o_orderkey", payload, bad); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("positive_price") }
+      require(rejected, "violating batch must be rejected naming positive_price")
+      require(!new java.io.File(manifestPath(root, 2)).exists(),
+        "a rejected commit must leave no version-2 manifest")
+      root
+    })
+
   import org.apache.spark.sql.types.DecimalType
   private def snap2(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(18, 2)).cast("double")
@@ -704,6 +801,29 @@ object SnapshotLog {
         require(reused == Buckets - 3,
           s"v1 must reuse ${Buckets - 3} untouched v0 buckets, reuses $reused")
         readVersion(s, root, 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // CHECK CONSTRAINTS ON THE WRITE PATH: the fixture registers two
+    // named predicates, lands the passing update batch as v1, and
+    // proves a violating batch ABORTS (error names the constraint; no
+    // v2 manifest, no data dirs) — the gated value is v1, which must
+    // equal the update applied to the snapshot. Violations are counted
+    // in ONE aggregate pass over the change set however many
+    // constraints are registered, so governance costs one scan of the
+    // (small) change set per commit, never a table scan.
+    sql("snapshot_check_constraints",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(CASE WHEN o_orderkey % 160 = 1
+        |      THEN o_totalprice + 1000 ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE)
+        |  AS o_totalprice
+        |FROM orders""".stripMargin) {
+      (s, d) =>
+        val root = checkedTableRoot(s, d)
+        require(constraints(root).keySet == Set("positive_price", "status_known"),
+          "constraint registry must survive the round trip")
+        readVersion(s, root, 1)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
     },

@@ -33,6 +33,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("split_leakage_safe: every doc assigned once; no cluster straddles splits") {
+    val df = SparkEntry.queries("split_leakage_safe")(spark, sfTiny)
+    val docs = Tables.documents(spark, sfTiny).count()
+    assert(df.count() == docs)
+    assert(df.select("doc_id").distinct().count() == docs)
+    // the leakage invariant: a cluster maps to exactly one split
+    val straddlers = df.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(straddlers == 0L)
+    // all three splits non-degenerate names
+    val splits = df.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")) && splits.contains("train"))
+  }
+
   test("large-star/small-star CC equals brute components on adversarial graphs") {
     val s = SparkTestSession.spark
     import s.implicits._

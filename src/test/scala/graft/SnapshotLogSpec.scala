@@ -31,6 +31,31 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(v1Buckets == Set("b=0", "b=1", "b=2"), v1Buckets)
   }
 
+  test("CHECK constraints: one-pass counting, NULL=violation, D rows exempt, reject leaves no trace") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_check").toString
+    val t = (0L until 32L).map(k => (k, k * 10.0)).toDF("k", "price")
+    SnapshotLog.commitInitial(t, dir, "k")
+    SnapshotLog.setConstraints(dir, Map("pos" -> "price > 0", "cap" -> "price < 1e6"))
+    assert(SnapshotLog.constraints(dir) == Map("pos" -> "price > 0", "cap" -> "price < 1e6"))
+    // NULL predicate result counts as a violation (CHECK admits only proven-TRUE)
+    val probe = Seq(Some(5.0), None, Some(-1.0)).toDF("price")
+    val v = SnapshotLog.constraintViolations(probe, Map("pos" -> "price > 0"))
+    assert(v == Map("pos" -> 2L))
+    // a D row carrying a violating payload must NOT block the delete
+    val del = Seq((3L, "D", -99.0)).toDF("k", "op", "price")
+    SnapshotLog.commitMergeChecked(spark, dir, 1, "k", Seq("price"), del)
+    assert(SnapshotLog.readVersion(spark, dir, 1).count() == 31)
+    // a violating U aborts naming BOTH failed constraints; no v2 artifacts
+    val bad = Seq((4L, "U", -1.0), (5L, "U", 2e6)).toDF("k", "op", "price")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.commitMergeChecked(spark, dir, 2, "k", Seq("price"), bad)
+    }
+    assert(e.getMessage.contains("pos") && e.getMessage.contains("cap"))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!files.exists(_.startsWith("_manifest_v2")), files.toSeq)
+    assert(!files.exists(_.startsWith("v2-")), files.toSeq)
+  }
+
   test("a bucket emptied by deletes disappears from the later snapshot only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
     // keys 0..31 → buckets 0..15 with two rows each
