@@ -748,6 +748,46 @@ object TextAnalysis {
         | 2 * n_bigrams * 1000000 > 59 * sum_p_e6 AS low_quality
         |FROM doc""".stripMargin) {
       (s, d) => lmPerplexity(s, d)
+    },
+
+    // QUANTILE-DERIVED LM GATE — the threshold the fixed constant above
+    // stands in for, derived FROM the corpus: flag the worst decile by
+    // perplexity proxy (rank·10 ≤ n — the corpus tells you where "bad"
+    // starts, no magic number survives a domain shift). Rank is the
+    // scale-safe [[DistributedRank.withGlobalRank]] (range repartition
+    // + per-partition row_number + broadcast offsets), never a
+    // single-partition window; the order key is ONE IEEE division of
+    // exact integers (bit-identical cross-engine) with doc_id
+    // tie-break, so the decile boundary is deterministic.
+    sql("text_lm_quantile_gate",
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |           FROM documents),
+        |d2 AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM d2)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |pc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM d2)),
+        |terms AS (SELECT doc_id,
+        |   ((c12 + 1) * 2000000 + (c1 + v)) // (2 * (c1 + v)) AS q
+        |  FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1), vv),
+        |doc AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(q) AS BIGINT) AS sum_p_e6
+        |        FROM terms GROUP BY doc_id),
+        |scored AS (SELECT doc_id,
+        |   CAST(n_bigrams * 1000000 AS DOUBLE) / NULLIF(sum_p_e6, 0) AS ppl_proxy
+        |  FROM doc)
+        |SELECT doc_id, ppl_proxy,
+        | CAST(ROW_NUMBER() OVER (ORDER BY ppl_proxy DESC, doc_id) AS BIGINT) AS ppl_rank,
+        | ROW_NUMBER() OVER (ORDER BY ppl_proxy DESC, doc_id) * 10
+        |   <= (SELECT COUNT(*) FROM scored) AS low_quality
+        |FROM scored""".stripMargin) {
+      (s, d) =>
+        val scored = lmPerplexity(s, d)
+          .select(col("doc_id"), col("ppl_proxy"))
+        val (ranked, n) = DistributedRank.withGlobalRank(scored, "ppl_rank",
+          col("ppl_proxy").desc, col("doc_id"))
+        ranked.select(col("doc_id"), col("ppl_proxy"), col("ppl_rank"),
+          (col("ppl_rank") * 10 <= n).as("low_quality"))
     })
 
   /** The bigram-LM scorer behind `text_lm_perplexity`, with the quality

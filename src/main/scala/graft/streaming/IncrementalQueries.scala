@@ -980,6 +980,36 @@ object IncrementalQueries {
     runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterChildFilteredSql), dir,
       q10FullOuterDeletes, "incremental_sql_q10_fullouter_cf_leaf")
 
+  /** FULL OUTER × [NOT] EXISTS gate on an INNER relation — the
+    * join-then-filter corner: SQL evaluates the gate on the JOINED
+    * row, so (a) children of a gate-failing nation matched at join
+    * time and are WHERE-dropped as matched rows — they must NOT
+    * resurrect as orphans (the orphan plan keys off the UNGATED
+    * join-time prefix), and (b) on a right-preserved row the
+    * correlation column is the structural NULL of an absent relation:
+    * EXISTS is FALSE there (the orphan class is not built at all)
+    * while NOT EXISTS is trivially TRUE (orphans pass ungated). */
+  private def q10FullOuterGatedSql(anti: String) =
+    s"""SELECT c_custkey, n_name,
+       | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+       | COUNT(*) AS n_rows
+       |FROM nation
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE ${anti}EXISTS (SELECT 1 FROM region
+       |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+       |GROUP BY c_custkey, n_name""".stripMargin
+
+  def incrementalSqlQ10FullOuterGated(s: SparkSession, dir: String, anti: String): DataFrame =
+    SqlCompiler.compile(s, dir, q10FullOuterGatedSql(anti))
+      .run(s, dir, q10FullOuterDeletes)
+
+  def incrementalSqlQ10FullOuterGatedStream(s: SparkSession, dir: String,
+                                            anti: String, leaf: String): DataFrame =
+    runSqlStreamed(s, SqlCompiler.compile(s, dir, q10FullOuterGatedSql(anti)), dir,
+      q10FullOuterDeletes, leaf)
+
   /** The FIND-THE-ORPHANS idiom — FULL OUTER with `WHERE o_orderkey
     * IS NULL` (the r9 fence lifted): the parent boundary key is NULL
     * exactly on the right-preserved rows (the engine-wide non-null
@@ -2730,6 +2760,76 @@ object IncrementalQueries {
         | JOIN o ON o_custkey = c_custkey
         | FULL JOIN l ON l_orderkey = o_orderkey
         |GROUP BY c_custkey, n_name""".stripMargin)(incrementalSqlQ10FullOuter),
+
+    // FULL OUTER × EXISTS gate on an inner relation: the gate is FALSE
+    // on every right-preserved row (structural NULL correlation), so
+    // the orphan class is not built; children of gate-failing nations
+    // were MATCHED rows at join time and are WHERE-dropped — the
+    // ungated-prefix orphan plan must not resurrect them. Oracle is
+    // the literal FULL JOIN + WHERE EXISTS over the post-delete state,
+    // so DuckDB performs the same join-then-filter independently.
+    sql("incremental_sql_q10_fullouter_gated",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        |GROUP BY c_custkey, n_name""".stripMargin) {
+      (s, dir) => incrementalSqlQ10FullOuterGated(s, dir, "")
+    },
+    sql("incremental_sql_q10_fullouter_gated_stream",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        |GROUP BY c_custkey, n_name""".stripMargin) {
+      (s, dir) => incrementalSqlQ10FullOuterGatedStream(s, dir, "",
+        "incremental_sql_q10_fullouter_gated_leaf")
+    },
+
+    // … and the NOT EXISTS mirror: trivially TRUE on the structural
+    // NULLs, so the orphan group (lineitems whose order died, under
+    // the delete set) IS emitted while every ASIA-matched row drops.
+    sql("incremental_sql_q10_fullouter_gated_anti",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE NOT EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        |GROUP BY c_custkey, n_name""".stripMargin) {
+      (s, dir) => incrementalSqlQ10FullOuterGated(s, dir, "NOT ")
+    },
+    sql("incremental_sql_q10_fullouter_gated_anti_stream",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE NOT EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        |GROUP BY c_custkey, n_name""".stripMargin) {
+      (s, dir) => incrementalSqlQ10FullOuterGatedStream(s, dir, "NOT ",
+        "incremental_sql_q10_fullouter_gated_anti_leaf")
+    },
 
     // FULL OUTER + WHERE on the preserved side (r8's loud rejection,
     // now planned): the date conjunct NULL-rejects every orphan row

@@ -2286,7 +2286,8 @@ object SqlCompiler {
         "a gate subquery is a single base relation with an optional WHERE")
     }
     final case class Gate(subRel: String, subKey: String, outerRel: String,
-                          outerCol: String, anti: Boolean, subWheres: Seq[Expression])
+                          outerCol: String, anti: Boolean, inGate: Boolean,
+                          subWheres: Seq[Expression])
     val gates: Seq[Gate] = rawGates.toSeq.map { case (subPlan, inValue, anti) =>
       val (items, subConjs, subRel) = parseGatePlan(subPlan)
       if (relations.contains(subRel))
@@ -2357,7 +2358,8 @@ object SqlCompiler {
             s"correlation equality <$subRel column> = <outer column>, got ${other.size}")
         }
       }
-      Gate(subRel, subKey, ownerOf(outerAttr), outerAttr.nameParts.last, anti, local)
+      Gate(subRel, subKey, ownerOf(outerAttr), outerAttr.nameParts.last, anti,
+        inValue.isDefined, local)
     }
     if (gates.map(_.subRel).distinct.size != gates.size)
       fail(s"multiple subquery gates over one relation " +
@@ -2366,6 +2368,37 @@ object SqlCompiler {
       fail(s"[NOT] EXISTS correlated to LEFT-JOINed relation '${g.outerRel}' — " +
         "a WHERE-level gate rejects its NULL-extended rows (three-valued " +
         "semantics); gate an inner relation instead"))
+
+    // GATES × FULL OUTER: SQL evaluates WHERE-level gates on the
+    // JOINED row (join-then-filter), which pins two things the naive
+    // gate-as-liveness reading gets wrong. (1) On a right-preserved
+    // (orphan) row every inner column is the structural NULL of an
+    // absent relation, so the gate decides the orphan CLASS statically:
+    // NOT EXISTS over an empty correlation is TRUE — orphans pass
+    // untouched; EXISTS and IN are FALSE/UNKNOWN — the orphan class is
+    // simply not built; NOT IN is UNKNOWN on a NULL left side even when
+    // null-free-provable over base data (the orphan NULL is structural,
+    // not data) — not built either. (2) Children of a gate-FAILING
+    // parent matched at JOIN time and are WHERE-dropped as matched
+    // rows — they must NOT resurrect as orphans, so the orphan plan
+    // below keys off the UNGATED prefix (join-time liveness).
+    if (gates.nonEmpty && fullOuterRels.nonEmpty) {
+      if (twoBoundary.isDefined || starBoundary.isDefined)
+        fail("subquery gates alongside TWO FULL OUTER boundaries are not " +
+          "compiled — the per-class gate/NULL analysis would multiply; gate a " +
+          "maintained view over the single-boundary query instead")
+      if (gates.exists(g => !g.anti || g.inGate)) {
+        fullOuterRels.foreach(fullOuterDropOrphan += _)
+        if (fullOuterOrphanOnly)
+          fail("the view is provably EMPTY: IS NULL selects only the " +
+            "right-preserved class, but an EXISTS/IN gate on an inner " +
+            "relation is never TRUE on its structural NULLs")
+      }
+    }
+    if (rawScalarGates.nonEmpty && fullOuterRels.nonEmpty)
+      fail("scalar-subquery gates alongside FULL OUTER boundaries are not " +
+        "compiled — the gate applies as a scan filter (filter-then-join), " +
+        "which would manufacture preserved rows SQL's join-then-filter drops")
 
     // SCALAR-SUBQUERY gates: an UNCORRELATED single-relation aggregate
     // subquery compared against one relation's expression. The scalar
@@ -2447,21 +2480,29 @@ object SqlCompiler {
     // the canon as always. Compiled HERE so every consumer — batch
     // run, runStream, and the LEFT-JOIN anti plans built from this
     // stage list — inherits the widened exchange.
-    val stages = spark.conf.getOption(IncrementalQueries.SaltRelationConf) match {
-      case None => unsaltedStages
-      case Some(rel) =>
-        val width = spark.conf.getOption(IncrementalQueries.SaltWidthConf)
-          .map(_.toInt).getOrElse(8)
-        if (width < 2) fail(s"${IncrementalQueries.SaltWidthConf} must be >= 2, got $width")
-        val idx = unsaltedStages.indexWhere(st =>
-          st.spec.relation == rel && st.ownStage.isEmpty && st.pairStage.isEmpty &&
-            !st.spec.isRoot)
-        if (idx < 0)
-          fail(s"${IncrementalQueries.SaltRelationConf} names '$rel', which has no " +
-            "non-root liveness stage in this plan (roots and pair stages are not " +
-            "salted here; pair glue salting is TreeCompiler.swapPairOrientation)")
-        unsaltedStages.updated(idx, unsaltedStages(idx).copy(salts = width))
-    }
+    def applySalt(sts: Seq[DeltaEngine.Stage]): Seq[DeltaEngine.Stage] =
+      spark.conf.getOption(IncrementalQueries.SaltRelationConf) match {
+        case None => sts
+        case Some(rel) =>
+          val width = spark.conf.getOption(IncrementalQueries.SaltWidthConf)
+            .map(_.toInt).getOrElse(8)
+          if (width < 2) fail(s"${IncrementalQueries.SaltWidthConf} must be >= 2, got $width")
+          val idx = sts.indexWhere(st =>
+            st.spec.relation == rel && st.ownStage.isEmpty && st.pairStage.isEmpty &&
+              !st.spec.isRoot)
+          if (idx < 0)
+            fail(s"${IncrementalQueries.SaltRelationConf} names '$rel', which has no " +
+              "non-root liveness stage in this plan (roots and pair stages are not " +
+              "salted here; pair glue salting is TreeCompiler.swapPairOrientation)")
+          sts.updated(idx, sts(idx).copy(salts = width))
+      }
+    val stages = applySalt(unsaltedStages)
+    // the JOIN-TIME (pre-gate) stage list: a FULL OUTER orphan plan
+    // keys off this one, because SQL decides orphan-ness BEFORE
+    // WHERE-level gates apply (see the GATES × FULL OUTER note above —
+    // a gate-failing parent still matched its children at join time)
+    val ungatedStages =
+      if (gates.isEmpty) stages else applySalt(baseStages)
     // relation order with every parent before its children (the order
     // the stages consume their changelogs in)
     val path = stages.filter(_.ownStage.isEmpty).map(_.spec.relation)
@@ -2488,8 +2529,12 @@ object SqlCompiler {
     val fusedOrphanRels: Set[String] = fullOuterRels.toSet.filter { r =>
       // single-boundary only: with a nested second boundary, the fused
       // leaf would gate C-orphanhood on B's TREE liveness, but an
-      // orphaned B still parents its C children (class 3)
-      fullOuterRels.size == 1 &&
+      // orphaned B still parents its C children (class 3). Gate-free
+      // only: the fused leaf reads the GATED prefix's liveness, but
+      // orphan-ness is decided at JOIN time, before gates (see the
+      // GATES × FULL OUTER note) — the separate ungated-prefix orphan
+      // plan carries that direction instead.
+      fullOuterRels.size == 1 && gates.isEmpty &&
       !fullOuterDropOrphan(r) && !fullOuterOrphanOnly && !fullOuterAntiOnly &&
         stages.count(_.spec.relation == r) == 1 && {
           val k = stages.indexWhere(_.spec.relation == r)
@@ -2815,8 +2860,11 @@ object SqlCompiler {
         fullOuterRels.toSeq.sorted.filterNot(fullOuterDropOrphan)
       .filterNot(fusedOrphanRels).map { r =>
       val edge = queryEdges.find(_.child == r).get // validated above
-      val k = stages.indexWhere(_.spec.relation == r)
-      val kept = stages.take(k)
+      // join-time prefix: gate hops must NOT filter the parent
+      // liveness this plan keys off (orphan-ness precedes WHERE)
+      val src = ungatedStages
+      val k = src.indexWhere(_.spec.relation == r)
+      val kept = src.take(k)
       val keysName = s"__orphan_${r}_keys"
       val hop = DeltaEngine.Stage(s"__orphan_${r}_hop",
         NodeSpec(r, edge.fkCol, edge.fkCol, antiParent = true),

@@ -2239,4 +2239,40 @@ class SqlCompilerSpec extends AnyFunSuite {
       SqlCompiler.compile(s, d, derivedSql))
     assert(red.getMessage.contains("compileCte"), red.getMessage)
   }
+
+  test("gates × FULL OUTER: fences stay loud; EXISTS empties the orphan-only view") {
+    val gate =
+      "EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')"
+    // two FULL boundaries + a gate: per-class analysis not compiled
+    val ex1 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      s"""SELECT c_custkey, COUNT(*) AS n_rows
+         |FROM nation
+         |JOIN customer ON c_nationkey = n_nationkey
+         |FULL OUTER JOIN orders ON o_custkey = c_custkey
+         |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE $gate
+         |GROUP BY c_custkey""".stripMargin))
+    assert(ex1.getMessage.contains("TWO FULL OUTER"), ex1.getMessage)
+    // scalar-subquery gate + FULL OUTER: filter-then-join would
+    // manufacture preserved rows — loud
+    val ex2 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT c_custkey, COUNT(*) AS n_rows
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_acctbal > (SELECT AVG(n_nationkey) FROM nation)
+        |GROUP BY c_custkey""".stripMargin))
+    assert(ex2.getMessage.contains("scalar-subquery gates alongside FULL OUTER"),
+      ex2.getMessage)
+    // IS NULL selects only the orphan class, but an EXISTS gate on an
+    // inner relation is never TRUE on its structural NULLs
+    val ex3 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      s"""SELECT COUNT(*) AS n_rows
+         |FROM nation
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderkey IS NULL AND $gate""".stripMargin))
+    assert(ex3.getMessage.contains("provably EMPTY"), ex3.getMessage)
+  }
 }
