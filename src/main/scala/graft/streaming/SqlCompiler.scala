@@ -2383,16 +2383,40 @@ object SqlCompiler {
     // rows — they must NOT resurrect as orphans, so the orphan plan
     // below keys off the UNGATED prefix (join-time liveness).
     if (gates.nonEmpty && fullOuterRels.nonEmpty) {
-      if (twoBoundary.isDefined || starBoundary.isDefined)
-        fail("subquery gates alongside TWO FULL OUTER boundaries are not " +
-          "compiled — the per-class gate/NULL analysis would multiply; gate a " +
-          "maintained view over the single-boundary query instead")
-      if (gates.exists(g => !g.anti || g.inGate)) {
-        fullOuterRels.foreach(fullOuterDropOrphan += _)
-        if (fullOuterOrphanOnly)
-          fail("the view is provably EMPTY: IS NULL selects only the " +
-            "right-preserved class, but an EXISTS/IN gate on an inner " +
-            "relation is never TRUE on its structural NULLs")
+      val nonAnti = gates.exists(g => !g.anti || g.inGate)
+      (twoBoundary, starBoundary) match {
+        case (Some((bR, cR)), _) =>
+          // nested classes 3/4/6 carry the prefix's structural NULLs —
+          // the gate decides them statically; 1/2/5 have a live prefix
+          // and gate dynamically through the gated stage list
+          if (nonAnti) {
+            dropOrphanBWithC = true; dropOrphanBNoC = true
+            fullOuterDropOrphan += cR
+            if (twoBoundaryMainSuppressed && fullOuterDropAnti(bR) &&
+                fullOuterDropAnti(cR))
+              fail("the view is provably EMPTY: the WHERE selects only " +
+                "prefix-NULL classes, but an EXISTS/IN gate on an inner " +
+                "relation is never TRUE on their structural NULLs")
+          }
+        case (_, Some(_)) =>
+          // star classes 5/6 (boundary orphans, parent side NULL) decide
+          // statically; 1-4 have a live parent and gate dynamically
+          if (nonAnti) {
+            starDrop ++= Set(5, 6)
+            if (twoBoundaryMainSuppressed && starDrop(2) && starDrop(3) &&
+                starDrop(4))
+              fail("the view is provably EMPTY: the WHERE selects only the " +
+                "orphan classes, but an EXISTS/IN gate on an inner relation " +
+                "is never TRUE on their structural NULLs")
+          }
+        case _ =>
+          if (nonAnti) {
+            fullOuterRels.foreach(fullOuterDropOrphan += _)
+            if (fullOuterOrphanOnly)
+              fail("the view is provably EMPTY: IS NULL selects only the " +
+                "right-preserved class, but an EXISTS/IN gate on an inner " +
+                "relation is never TRUE on its structural NULLs")
+          }
       }
     }
     if (rawScalarGates.nonEmpty && fullOuterRels.nonEmpty)
@@ -2503,6 +2527,30 @@ object SqlCompiler {
     // a gate-failing parent still matched its children at join time)
     val ungatedStages =
       if (gates.isEmpty) stages else applySalt(baseStages)
+    // Source changelogs arrive keyed per the MAIN list's first raw
+    // stage of each relation — which is the GATE HOP's correlation
+    // column when the relation carries a gate. A preservation plan
+    // whose own raw consumers expect a different key re-keys that
+    // relation's changelog from the canon (OuterPlan.rekey): key-only
+    // liveness nodes rebuild their canon from Evt.key, so a drifted
+    // key would silently track the wrong entity.
+    def rekeyFor(planStages: Seq[DeltaEngine.Stage]): Option[(String, String)] = {
+      def logKey(rel: String): Option[String] =
+        stages.find(st => st.spec.relation == rel && st.ownStage.isEmpty)
+          .map(_.spec.childKeyCol)
+      val wants = planStages.filter(_.ownStage.isEmpty)
+        .map(st => (st.spec.relation, st.spec.childKeyCol)).distinct
+      wants.groupBy(_._1).foreach { case (rel, ws) =>
+        if (ws.size > 1)
+          fail(s"preservation plan consumes '$rel' raw under two keys " +
+            s"${ws.map(_._2).mkString(", ")} — not wired")
+      }
+      val drifts = wants.filter { case (rel, want) => logKey(rel).exists(_ != want) }
+      if (drifts.size > 1)
+        fail(s"preservation plan needs re-keying ${drifts.size} relations " +
+          s"(${drifts.map(_._1).mkString(", ")}) — one rekey per plan is wired")
+      drifts.headOption
+    }
     // relation order with every parent before its children (the order
     // the stages consume their changelogs in)
     val path = stages.filter(_.ownStage.isEmpty).map(_.spec.relation)
@@ -2582,8 +2630,6 @@ object SqlCompiler {
         fail("star FULL OUTER boundaries must join the parent on the SAME " +
           s"parent key column, got '${aEdge.parentCol}' and '${bEdge.parentCol}'")
       val pKey = aEdge.parentCol
-      if (gates.nonEmpty)
-        fail("subquery gates alongside star FULL OUTER boundaries are not compiled")
       // The INNER relations plus ONE boundary must plan as a pure
       // CHAIN ending parent-then-boundary: the chain's prefix (ending
       // at the shared parent, keyed to pKey) is what every factorized
@@ -2618,18 +2664,42 @@ object SqlCompiler {
           "shared parent stage")
       val pIdx = prefix.size - 1
       val pCk = pEntry.spec.childKeyCol
+      // GATES × star (see the GATES × FULL OUTER note): classes 2-4
+      // have a LIVE parent — every inner column is present, so gates
+      // apply dynamically there; splice them into the chain prefix
+      // exactly as the main tree's surgery does. Classes 5/6 (boundary
+      // orphans) decided statically above and key off the UNGATED
+      // prefix (orphan-ness precedes WHERE). Gates on pRel are fenced;
+      // prefix.size == 1 therefore implies gates is empty here.
+      val gatedPrefix = gates.zipWithIndex.foldLeft(prefix) { case (sts, (g, i)) =>
+        val idx = sts.indexWhere(st =>
+          st.spec.relation == g.outerRel && st.ownStage.isEmpty)
+        if (idx < 0)
+          fail(s"gate over '${g.subRel}' correlates to '${g.outerRel}', " +
+            "which is not in the star FULL OUTER inner chain")
+        val entry = sts(idx)
+        val keys = DeltaEngine.Stage(s"__sgate${i}_keys",
+          NodeSpec(g.subRel, g.subKey, g.subKey, isRoot = true, setSemantics = true))
+        val hop = DeltaEngine.Stage(s"__sgate${i}_hop",
+          NodeSpec(g.outerRel, g.outerCol, entry.spec.childKeyCol,
+            antiParent = g.anti),
+          parentStage = Some(keys.name))
+        sts.patch(idx, Seq(keys, hop, entry.copy(ownStage = Some(hop.name))), 1)
+      }
+      val gIdx = gatedPrefix.size - 1
       // the gate hops route the parent's OWN changelog by pKey; the
       // shared changelogs are keyed by the MAIN (pair) tree's routing
       // key — re-key per plan when they differ. The prefix's own
       // stages must agree with the main keys (loud otherwise: a plan
       // cannot re-key two relations).
-      val mainPKey = stages.find(st =>
-        st.spec.relation == pRel && st.ownStage.isEmpty)
-        .map(_.spec.childKeyCol).getOrElse(pKey)
-      val hopRekey: Option[(String, String)] =
-        if (mainPKey == pKey) None else Some((pRel, pKey))
       prefix.filter(_.ownStage.isEmpty).foreach { st =>
-        stages.find(m => m.spec.relation == st.spec.relation && m.ownStage.isEmpty)
+        // compare against the main tree's LIVENESS stage for the
+        // relation: a gate-hop stage (same relation, routed by the
+        // gate's correlation column) is not a routing authority, and a
+        // gated entry (ownStage → its gate hop) still is
+        stages.find(m => m.spec.relation == st.spec.relation &&
+            !m.name.startsWith("__gate") &&
+            (m.ownStage.isEmpty || m.ownStage.exists(_.startsWith("__gate"))))
           .filter(_.spec.childKeyCol != st.spec.childKeyCol)
           .foreach(m => fail(s"star FULL OUTER: chain stage " +
             s"'${st.spec.relation}' routes by '${st.spec.childKeyCol}' but the " +
@@ -2661,19 +2731,24 @@ object SqlCompiler {
         NodeSpec(pRel, pKey, pKey, isRoot = true, setSemantics = true),
         ownStage = if (prefix.size == 1) None else Some(pEntry.name),
         keyOnlyRows = true)
+      // a gate ON the shared parent relation chains the absence hops
+      // onto its gate hop (ownStage): the hops then consume the
+      // gate-filtered parent changelog instead of the raw one — classes
+      // 2-4 have a live parent, so the gate applies dynamically there
+      val pOwn = gatedPrefix(gIdx).ownStage
       val hopNoA = DeltaEngine.Stage("__star_noa_hop",
         NodeSpec(pRel, pKey, pCk, antiParent = true),
-        parentStage = Some(keysA.name))
+        parentStage = Some(keysA.name), ownStage = pOwn)
       val hopNoB = DeltaEngine.Stage("__star_nob_hop",
         NodeSpec(pRel, pKey, pCk, antiParent = true),
-        parentStage = Some(keysB.name))
+        parentStage = Some(keysB.name), ownStage = pOwn)
       // chain plan parent⋈child, gated by the OTHER boundary's absence
       // at the parent key (the gate-surgery shape: set-semantics key
       // node over the absent side, anti hop on the parent)
       def gatedChain(childStage: DeltaEngine.Stage,
                      keysAbsent: DeltaEngine.Stage,
                      hopAbsent: DeltaEngine.Stage): Seq[DeltaEngine.Stage] =
-        prefix.patch(pIdx,
+        gatedPrefix.patch(gIdx,
           Seq(keysAbsent, hopAbsent, pEntry.copy(ownStage = Some(hopAbsent.name))),
           1) :+ childStage
       // class 4: the parent (alive under its ancestors) gated by BOTH
@@ -2683,14 +2758,16 @@ object SqlCompiler {
           if (pCk == pKey) hopNoA // identical shape: share with plan 3
           else DeltaEngine.Stage("__star_noa4_hop",
             NodeSpec(pRel, pKey, pKey, antiParent = true),
-            parentStage = Some(keysA.name))
+            parentStage = Some(keysA.name), ownStage = pOwn)
         val hopB4 = DeltaEngine.Stage("__star_nob2_hop",
           NodeSpec(pRel, pKey, pCk, antiParent = true),
           parentStage = Some(keysB.name), ownStage = Some(hopA4.name))
         // root parent: the second hop IS the leaf (the soloGated
-        // shape — no ancestor fold to thread the gated rows through)
-        if (prefix.size == 1) Seq(keysA, hopA4, keysB, hopB4)
-        else prefix.patch(pIdx,
+        // shape — no ancestor fold to thread the gated rows through);
+        // a parent gate's keys/hop stages still precede the hops
+        if (prefix.size == 1) gatedPrefix.dropRight(1) ++
+          Seq(keysA, hopA4, keysB, hopB4)
+        else gatedPrefix.patch(gIdx,
           Seq(keysA, hopA4, keysB, hopB4, pEntry.copy(ownStage = Some(hopB4.name))),
           1)
       }
@@ -2703,14 +2780,15 @@ object SqlCompiler {
           parentStage = Some(keysP.name))
         if (prefix.size == 1) Seq(keysP, hop) else prefix ++ Seq(keysP, hop)
       }
-      Seq(2 -> (() => (gatedChain(aStage, keysB, hopNoB), hopRekey)),
-          3 -> (() => (gatedChain(bStage, keysA, hopNoA), hopRekey)),
-          4 -> (() => (bothAbsent, hopRekey)),
-          5 -> (() => (orphans("a", aEdge), None)),
-          6 -> (() => (orphans("b", bEdge), None)))
+      Seq(2 -> (() => gatedChain(aStage, keysB, hopNoB)),
+          3 -> (() => gatedChain(bStage, keysA, hopNoA)),
+          4 -> (() => bothAbsent),
+          5 -> (() => orphans("a", aEdge)),
+          6 -> (() => orphans("b", bEdge)))
         .collect { case (cls, mk) if !starDrop(cls) => mk() }
-        .map { case (planStages, rekey) => OuterPlan(planStages,
-          planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), rekey) }
+        .map { planStages => OuterPlan(planStages,
+          planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
+          rekeyFor(planStages)) }
     }
 
     val outerPlans: Seq[OuterPlan] =
@@ -2755,7 +2833,7 @@ object SqlCompiler {
       if (fullOuterDropAnti(r)) None
       else Some(OuterPlan(planStages,
         planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
-        Some((edge.parent, edge.parentCol))))
+        rekeyFor(planStages)))
     } ++
     // FULL OUTER boundaries additionally get the ORPHAN plan — the
     // mirror image of the anti plan above. Its leaf deltas are
@@ -2798,6 +2876,12 @@ object SqlCompiler {
           fail("two-boundary FULL OUTER needs a chain-shaped prefix above the " +
             "first boundary (its orphan plans key off the prefix's merged " +
             "emissions)")
+        // classes 3/4 key off the JOIN-TIME prefix: orphan-ness is
+        // decided before WHERE-level gates (GATES × FULL OUTER note),
+        // so a gate-failing ancestor must not orphan b's subtree here
+        val keptU =
+          if (gates.isEmpty) kept
+          else ungatedStages.take(ungatedStages.indexWhere(_.spec.relation == bRel))
         // shared orphan-B prefix: parent liveness from the TREE
         // PREFIX's merged emissions (ancestor deletes orphan
         // transitively), anti hop emitting orphan-b rows RE-KEYED to
@@ -2805,7 +2889,7 @@ object SqlCompiler {
         val keysB = DeltaEngine.Stage("__orphan2_b_keys",
           NodeSpec(bEdge.parent, bEdge.parentCol, bEdge.parentCol,
             isRoot = true, setSemantics = true),
-          ownStage = Some(kept.last.name), keyOnlyRows = true)
+          ownStage = Some(keptU.last.name), keyOnlyRows = true)
         val hopB = DeltaEngine.Stage("__orphan2_b_hop",
           NodeSpec(bRel, bEdge.fkCol, cEdge.parentCol, antiParent = true),
           parentStage = Some(keysB.name))
@@ -2817,9 +2901,10 @@ object SqlCompiler {
             val cStage = stages(kC).copy(name = "__orphan2_c_stage",
               spec = stages(kC).spec.copy(fullOuterLeaf = false),
               parentStage = Some(hopB.name))
-            val planStages = kept ++ Seq(keysB, hopB, cStage)
+            val planStages = keptU ++ Seq(keysB, hopB, cStage)
             Some(OuterPlan(planStages,
-              planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), None))
+              planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
+              rekeyFor(planStages)))
           }
         // class 4: orphan-B with NO C child — the NOT EXISTS wiring
         // applied to the orphan hop's emissions
@@ -2833,9 +2918,10 @@ object SqlCompiler {
             val hop2 = DeltaEngine.Stage("__orphan2_bnoc_hop",
               NodeSpec(bRel, cEdge.parentCol, cEdge.parentCol, antiParent = true),
               parentStage = Some(keysC.name), ownStage = Some(hopB.name))
-            val planStages = kept ++ Seq(keysB, hopB, keysC, hop2)
+            val planStages = keptU ++ Seq(keysB, hopB, keysC, hop2)
             Some(OuterPlan(planStages,
-              planStages.filter(_.ownStage.isEmpty).map(_.spec.relation), None))
+              planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
+              rekeyFor(planStages)))
           }
         // class 6: C rows with NO B parent AT ALL — keys off b's RAW
         // changelog, because a FULL boundary at b keeps every b row in
@@ -2885,7 +2971,7 @@ object SqlCompiler {
         val planStages = kept ++ Seq(keys, hop)
         OuterPlan(planStages,
           planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
-          rekey = None)
+          rekeyFor(planStages))
       } else {
         restrictedFullOuter += ((r, edge.parent))
         val keys = DeltaEngine.Stage(keysName,

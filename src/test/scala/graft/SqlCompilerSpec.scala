@@ -2243,16 +2243,27 @@ class SqlCompilerSpec extends AnyFunSuite {
   test("gates × FULL OUTER: fences stay loud; EXISTS empties the orphan-only view") {
     val gate =
       "EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')"
-    // two FULL boundaries + a gate: per-class analysis not compiled
-    val ex1 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+    // nested two-boundary + gate on a prefix relation COMPILES (the
+    // prefix-NULL classes 3/4/6 decide statically; here EXISTS drops
+    // them) — the class analysis extends, it does not fence
+    SqlCompiler.compile(s, d,
       s"""SELECT c_custkey, COUNT(*) AS n_rows
          |FROM nation
          |JOIN customer ON c_nationkey = n_nationkey
          |FULL OUTER JOIN orders ON o_custkey = c_custkey
          |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
          |WHERE $gate
-         |GROUP BY c_custkey""".stripMargin))
-    assert(ex1.getMessage.contains("TWO FULL OUTER"), ex1.getMessage)
+         |GROUP BY c_custkey""".stripMargin)
+    // star boundaries + a gate on the SHARED PARENT compile too — the
+    // absence hops chain onto the gate hop, orphan classes decide
+    // statically (EXISTS drops 5/6 here)
+    SqlCompiler.compile(s, d,
+      s"""SELECT n_name, COUNT(*) AS n_rows
+         |FROM nation
+         |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+         |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+         |WHERE $gate
+         |GROUP BY n_name""".stripMargin)
     // scalar-subquery gate + FULL OUTER: filter-then-join would
     // manufacture preserved rows — loud
     val ex2 = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
