@@ -2875,6 +2875,29 @@ object IncrementalQueries {
           |GROUP BY c_custkey, n_name""".stripMargin)
         .run(s, dir, q10FullOuterDeletes)
     },
+    sql("incremental_sql_q10_fullouter_gated_in_stream",
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_partkey % 3 <> 0)
+        |SELECT c_custkey, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | JOIN o ON o_custkey = c_custkey
+        | FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+        |GROUP BY c_custkey, n_name""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT c_custkey, n_name,
+            | SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS revenue_e4,
+            | COUNT(*) AS n_rows
+            |FROM nation
+            |JOIN customer ON c_nationkey = n_nationkey
+            |JOIN orders ON o_custkey = c_custkey
+            |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+            |GROUP BY c_custkey, n_name""".stripMargin),
+        dir, q10FullOuterDeletes, "incremental_sql_q10_fullouter_gated_in_leaf")
+    },
 
     // FULL OUTER + WHERE on the preserved side (r8's loud rejection,
     // now planned): the date conjunct NULL-rejects every orphan row
@@ -5615,6 +5638,35 @@ object IncrementalQueries {
           "lineitem" -> (col("l_linenumber") === 3)))
     },
 
+    sql("incremental_sql_q10_fullouter_two_boundary_gated_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     o AS (SELECT * FROM orders WHERE o_orderkey % 50 <> 0),
+        |     l AS (SELECT * FROM lineitem WHERE l_linenumber <> 3)
+        |SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_orderkey = o_orderkey
+        |WHERE EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        |GROUP BY n_name, o_orderpriority""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, o_orderpriority, COUNT(*) AS n_rows,
+            | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_e2
+            |FROM nation
+            |JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN orders ON o_custkey = c_custkey
+            |FULL OUTER JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE EXISTS (SELECT 1 FROM region
+            |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+            |GROUP BY n_name, o_orderpriority""".stripMargin),
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "orders" -> (col("o_orderkey") % 50 === 0),
+          "lineitem" -> (col("l_linenumber") === 3)),
+        "incremental_sql_q10_fullouter_2b_gated_leaf")
+    },
+
     // … NOT EXISTS keeps classes 3/4/6 — and they must key off the
     // JOIN-TIME prefix: an ASIA customer is gate-dead but join-alive,
     // so its orders must NOT resurrect as orphan-order classes. The
@@ -5706,6 +5758,32 @@ object IncrementalQueries {
           "nation" -> (col("n_nationkey") % 7 === 0),
           "customer" -> (col("c_custkey") % 13 === 0),
           "supplier" -> (col("s_suppkey") % 5 === 0)))
+    },
+    sql("incremental_sql_q10_fullouter_star_gated_stream",
+      """WITH n AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 0),
+        |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0)
+        |SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sbal_e2
+        |FROM n FULL JOIN c ON c_nationkey = n_nationkey
+        |FULL JOIN s ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        |GROUP BY n_name, c_mktsegment""".stripMargin) {
+      (s, dir) => runSqlStreamed(s, SqlCompiler.compile(s, dir,
+          """SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+            | SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS sbal_e2
+            |FROM nation
+            |FULL OUTER JOIN customer ON c_nationkey = n_nationkey
+            |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+            |WHERE EXISTS (SELECT 1 FROM region
+            |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+            |GROUP BY n_name, c_mktsegment""".stripMargin),
+        dir, Map(
+          "nation" -> (col("n_nationkey") % 7 === 0),
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 5 === 0)),
+        "incremental_sql_q10_fullouter_star_gated_leaf")
     },
     sql("incremental_sql_q10_fullouter_star_gated_anti",
       """WITH n AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 0),
