@@ -828,6 +828,36 @@ object SnapshotLog {
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
 
+    // CONSTRAINT AUDIT — the ADD CONSTRAINT-time scan over EXISTING
+    // data: one aggregate pass over the current snapshot reports each
+    // candidate constraint's violation count (register only the clean
+    // ones, or clean the data first — either way the decision needs
+    // these numbers). NULL predicate results count as violations on
+    // both sides (COALESCE(pred, FALSE) in the oracle mirrors the
+    // engine's conservative CHECK reading).
+    sql("snapshot_constraint_audit",
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 160 = 1 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS o_totalprice
+        | FROM orders)
+        |SELECT 'price_cap' AS constraint_name,
+        | CAST(SUM(CASE WHEN COALESCE(o_totalprice < 300000, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+        |FROM v1
+        |UNION ALL
+        |SELECT 'status_known',
+        | CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM v1""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val root = checkedTableRoot(s, d)
+        val candidates = Map(
+          "price_cap" -> "o_totalprice < 300000",
+          "status_known" -> "o_orderstatus IN ('O', 'F', 'P')")
+        constraintViolations(readVersion(s, root, 1), candidates)
+          .toSeq.sortBy(_._1)
+          .toDF("constraint_name", "n_violations")
+    },
+
     // SHALLOW BRANCH + COPY-ON-WRITE ISOLATION: branch the table after
     // the update-only commit (v0 of the branch REFERENCES the source's
     // v1 dirs — zero bytes copied, self-asserted), apply the
