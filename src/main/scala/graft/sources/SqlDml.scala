@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical._
+import graft.streaming.SqlCompiler.fragment
+
+/** The remaining SQL DML statements — UPDATE, DELETE, INSERT INTO —
+  * compiled from text onto the snapshot log, completing the surface
+  * [[MergeIntoSql]] opened. Each statement lowers to the cheapest
+  * commit the log offers:
+  *
+  *  - `UPDATE t SET c = e, ... [WHERE p]` → one predicate-pushed scan
+  *    selects the hit rows, the assignments evaluate as codegen'd
+  *    Columns over them, and the resulting U change set lands through
+  *    [[SnapshotLog.commitMergeChecked]] (copy-on-write of the touched
+  *    buckets only, CHECK constraints enforced).
+  *  - `DELETE FROM t WHERE p` → the hit KEYS feed
+  *    [[SnapshotLog.commitDeleteVector]]: a merge-on-read tombstone
+  *    commit costing O(|deleted keys|) — no bucket is rewritten, the
+  *    100 TB-friendly delete (the scan that finds the keys is still
+  *    predicate-pushed and column-pruned to the key).
+  *  - `INSERT INTO t [(cols)] <query>` → the query body runs as
+  *    ordinary Spark SQL against caller-bound views; rows land as an
+  *    I change set. On a keyed table an INSERT of an existing key is
+  *    an upsert ([[graft.operators.MergeOps.mergeUpsert]]: matched I
+  *    resolves as update) — documented, matching the log's MERGE
+  *    semantics rather than heap-table duplicate rows.
+  *
+  * A statement whose predicate matches no row is a committed no-op:
+  * it returns false and mints NO version (an empty change set has
+  * nothing to rewrite; readers keep the prior version).
+  */
+object SqlDml {
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def tableAlias(p: LogicalPlan): String = p match {
+    case SubqueryAlias(id, _: UnresolvedRelation) => id.name
+    case u: UnresolvedRelation => u.multipartIdentifier.last
+    case f: Filter => tableAlias(f.child) // DELETE parses WHERE into the child
+    case other => fail(s"statement target must be a named relation, got ${other.nodeName}")
+  }
+
+  /** UPDATE: returns true when a version was committed, false for the
+    * zero-row no-op. */
+  def updateSql(spark: SparkSession, root: String, v: Int, key: String,
+                payloadCols: Seq[String], sqlText: String): Boolean =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case UpdateTable(tbl, assignments, cond) =>
+        val alias = tableAlias(tbl)
+        val cur = SnapshotLog.readVersion(spark, root, v - 1).as(alias)
+        val asg: Map[String, Column] = assignments.map { a =>
+          val c = a.key match {
+            case u: UnresolvedAttribute if u.nameParts.size == 1 => u.nameParts.head
+            case u: UnresolvedAttribute if u.nameParts.size == 2 &&
+              u.nameParts.head.toLowerCase == alias.toLowerCase => u.nameParts.last
+            case other => fail(s"assignment target must be a column of $alias, got $other")
+          }
+          if (!payloadCols.contains(c))
+            fail(if (c == key) s"UPDATE may not assign the bucket key '$key' " +
+              "(a key change is a DELETE + INSERT)"
+            else s"assignment to unknown column '$c'")
+          c -> expr(fragment(a.value))
+        }.toMap
+        val hit = cond.map(c => cur.filter(expr(fragment(c)))).getOrElse(cur)
+        val changes = hit.select(col(key) +: lit("U").as("op") +:
+          payloadCols.map(c => asg.getOrElse(c, col(c))
+            .cast(cur.schema(c).dataType).as(c)): _*)
+        if (changes.isEmpty) false
+        else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
+      case other => fail(s"expected an UPDATE statement, got ${other.nodeName}")
+    }
+
+  /** DELETE: lowers to a deletion-vector commit — O(|deleted keys|),
+    * no bucket rewrite. Returns false for the zero-row no-op. */
+  def deleteSql(spark: SparkSession, root: String, v: Int, key: String,
+                sqlText: String): Boolean =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case DeleteFromTable(tbl, cond) =>
+        val alias = tableAlias(tbl)
+        val cur = SnapshotLog.readVersion(spark, root, v - 1).as(alias)
+        // an omitted WHERE parses as a TRUE literal (delete everything)
+        val hit = cond match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.value == true => cur
+          case c => cur.filter(expr(fragment(c)))
+        }
+        val keys = hit.select(col(key)) // column-pruned: key + predicate cols only
+        if (keys.isEmpty) false
+        else { SnapshotLog.commitDeleteVector(spark, root, v, key, keys); true }
+      case other => fail(s"expected a DELETE statement, got ${other.nodeName}")
+    }
+
+  /** INSERT INTO [(cols)] <query>: the query body executes as plain
+    * Spark SQL (bind its relations as temp views first); output maps
+    * POSITIONALLY to the specified column list (or to key+payload when
+    * none is given), unlisted columns backfill typed NULL. Returns
+    * false when the query yields no rows. */
+  def insertSql(spark: SparkSession, root: String, v: Int, key: String,
+                payloadCols: Seq[String], sqlText: String): Boolean =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case ins: InsertIntoStatement =>
+        if (ins.overwrite) fail("INSERT OVERWRITE is not compiled — " +
+          "a keyed snapshot table replaces rows by MERGE, not by partition overwrite")
+        val m = java.util.regex.Pattern
+          .compile("(?is)^\\s*INSERT\\s+INTO\\s+[\\w.`]+\\s*(\\([^)]*\\))?\\s*")
+          .matcher(sqlText)
+        if (!m.find()) fail("cannot locate the query body of the INSERT statement")
+        val body = sqlText.substring(m.end())
+        val rows = spark.sql(body)
+        val outCols = key +: payloadCols
+        val listed = if (ins.userSpecifiedCols.nonEmpty) ins.userSpecifiedCols else outCols
+        listed.foreach(c => if (!outCols.contains(c)) fail(s"unknown INSERT column '$c'"))
+        if (!listed.contains(key)) fail(s"INSERT must assign the key column '$key'")
+        if (rows.columns.length != listed.size)
+          fail(s"INSERT column list has ${listed.size} columns, query yields " +
+            s"${rows.columns.length}")
+        val byPos = rows.toDF(listed: _*)
+        val target = SnapshotLog.readVersion(spark, root, v - 1)
+        val changes = byPos.select(col(key) +: lit("I").as("op") +:
+          payloadCols.map(c =>
+            (if (listed.contains(c)) col(c) else lit(null))
+              .cast(target.schema(c).dataType).as(c)): _*)
+        if (changes.isEmpty) false
+        else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
+      case other => fail(s"expected an INSERT INTO statement, got ${other.nodeName}")
+    }
+}

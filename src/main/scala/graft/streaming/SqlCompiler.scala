@@ -1409,7 +1409,7 @@ object SqlCompiler {
     * / `x IN (...)` the parser anchors the root origin at the keyword,
     * excluding the left operand — the operand's own origin restores
     * it. */
-  private def fragment(e: Expression): String = {
+  private[graft] def fragment(e: Expression): String = {
     val text = e.origin.sqlText.getOrElse(
       fail(s"cannot recover the SQL fragment of $e"))
     val starts = e.collect { case x if x.origin.startIndex.isDefined => x.origin.startIndex.get }

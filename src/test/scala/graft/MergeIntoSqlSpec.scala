@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{MergeIntoSql, SnapshotLog}
+
+class MergeIntoSqlSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def base(n: Long = 10L) =
+    (0L until n).map(k => (k, k * 10.0, s"row$k")).toDF("k", "price", "tag")
+
+  private def state(root: String, v: Int): Map[Long, (Double, String)] =
+    SnapshotLog.readVersion(spark, root, v)
+      .select("k", "price", "tag").as[(Long, Double, String)]
+      .collect().map { case (k, p, t) => k -> (p, t) }.toMap
+
+  test("clause precedence: the FIRST satisfied WHEN MATCHED clause wins") {
+    val root = freshRoot("graft_msql_prec")
+    SnapshotLog.commitInitial(base(), root, "k")
+    // key 1 satisfies BOTH conditions — the UPDATE (listed first) must win;
+    // key 2 satisfies only the second — DELETE
+    val src = Seq((1L, true), (2L, true)).toDF("k", "flag")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s ON t.k = s.k
+        |WHEN MATCHED AND t.k = 1 THEN UPDATE SET price = t.price + 1
+        |WHEN MATCHED AND s.flag THEN DELETE""".stripMargin, src)
+    val st = state(root, 1)
+    assert(st(1L) == (11.0, "row1"))
+    assert(!st.contains(2L) && st.size == 9)
+  }
+
+  test("INSERT with a partial column list backfills typed NULLs; unconditional clauses") {
+    val root = freshRoot("graft_msql_ins")
+    SnapshotLog.commitInitial(base(), root, "k")
+    val src = Seq((100L, 7.5)).toDF("k", "p")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.p)""".stripMargin, src)
+    val row = SnapshotLog.readVersion(spark, root, 1).filter(col("k") === 100L)
+      .select("price", "tag").collect().head
+    assert(row.getDouble(0) == 7.5 && row.isNullAt(1))
+  }
+
+  test("NOT MATCHED BY SOURCE: conditional UPDATE and DELETE over target-only rows") {
+    val root = freshRoot("graft_msql_nmbs")
+    SnapshotLog.commitInitial(base(4), root, "k") // keys 0..3
+    val src = Seq((0L, 99.0)).toDF("k", "p")      // only key 0 survives in source
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET price = s.p
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET tag = 'orphaned'
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN DELETE""".stripMargin, src)
+    val st = state(root, 1)
+    assert(st(0L) == (99.0, "row0"))
+    assert(st(1L) == (10.0, "orphaned"))
+    assert(!st.contains(2L))
+    assert(st(3L) == (30.0, "row3")) // no NMBS clause matched → untouched
+  }
+
+  test("cardinality violation: a duplicate source key fails loudly, nothing commits") {
+    val root = freshRoot("graft_msql_card")
+    SnapshotLog.commitInitial(base(), root, "k")
+    val src = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "p")
+    val e = intercept[IllegalArgumentException] {
+      MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+        """MERGE INTO tgt t USING src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin, src)
+    }
+    assert(e.getMessage.contains("cardinality"))
+    assert(!new java.io.File(s"$root/_manifest_v1.json").exists())
+  }
+
+  test("loud fences: unqualified refs, key assignment, keyless INSERT, source refs in NMBS") {
+    val root = freshRoot("graft_msql_fence")
+    SnapshotLog.commitInitial(base(), root, "k")
+    val src = Seq((1L, 1.0)).toDF("k", "p")
+    def run(sql: String): String =
+      intercept[IllegalArgumentException] {
+        MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"), sql, src)
+      }.getMessage
+    assert(run("""MERGE INTO tgt t USING src s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET price = p""".stripMargin).contains("qualify"))
+    assert(run("""MERGE INTO tgt t USING src s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET k = s.k + 1""".stripMargin).contains("may not assign"))
+    assert(run("""MERGE INTO tgt t USING src s ON t.k = s.k
+      |WHEN NOT MATCHED THEN INSERT (price) VALUES (s.p)""".stripMargin)
+      .contains("must assign the key"))
+    assert(run("""MERGE INTO tgt t USING src s ON t.k = s.k
+      |WHEN NOT MATCHED BY SOURCE AND s.p > 0 THEN DELETE""".stripMargin)
+      .contains("no source row"))
+    assert(run("""MERGE INTO tgt t USING src s ON t.k < s.k
+      |WHEN MATCHED THEN DELETE""".stripMargin).contains("key equality"))
+  }
+
+  test("MERGE lands through the CHECK-constraint gate: a violating UPDATE aborts") {
+    val root = freshRoot("graft_msql_check")
+    SnapshotLog.commitInitial(base(), root, "k")
+    SnapshotLog.setConstraints(root, Map("pos" -> "price > 0"))
+    val src = Seq((1L, -5.0)).toDF("k", "p")
+    val e = intercept[IllegalArgumentException] {
+      MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+        """MERGE INTO tgt t USING src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin, src)
+    }
+    assert(e.getMessage.contains("pos"))
+    assert(!new java.io.File(s"$root/_manifest_v1.json").exists())
+  }
+
+  test("UPDATE SET * takes every source column by name") {
+    val root = freshRoot("graft_msql_star")
+    SnapshotLog.commitInitial(base(), root, "k")
+    val src = Seq((1L, 111.0, "repl")).toDF("k", "price", "tag")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin, src)
+    assert(state(root, 1)(1L) == (111.0, "repl"))
+  }
+}

@@ -56,6 +56,56 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(!files.exists(_.startsWith("v2-")), files.toSeq)
   }
 
+  test("preImages: bucket-pruned lookup of exactly the asked keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_pre").toString
+    // keys 0..31 → buckets 0..15, two rows each
+    val t = (0L until 32L).map(k => (k, k * 10.0)).toDF("k", "price")
+    SnapshotLog.commitInitial(t, dir, "k")
+    // keys 0 and 16 share bucket 0; 99 is absent (bucket 3)
+    val asked = Seq(0L, 16L, 99L).toDF("k")
+    val pre = SnapshotLog.preImages(spark, dir, 0, "k", asked)
+    assert(pre.select("k", "price").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((0L, 0.0), (16L, 160.0)))
+    // pruning reached the scan: every file read lives under b=0 or b=3
+    val files = pre.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("/b=0/") || f.contains("/b=3/")), files.toSeq)
+    assert(!files.exists(_.contains("/b=1/")))
+    // empty key set: typed empty result, no manifest requirement tripped
+    assert(SnapshotLog.preImages(spark, dir, 0, "k", Seq.empty[Long].toDF("k")).isEmpty)
+  }
+
+  test("auditDelta: fold equals rescan across mixed U/D/I commits incl. matched-I and unmatched-U") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_audit").toString
+    val cs = Map("pos" -> "price > 0", "cap" -> "price < 100")
+    // v0: keys 0..9, prices -5,5,15,...,85 → pos fails on key 0, cap on none
+    val t = (0L until 10L).map(k => (k, k * 10.0 - 5.0)).toDF("k", "price")
+    SnapshotLog.commitInitial(t, dir, "k")
+    var audit = SnapshotLog.constraintViolations(
+      SnapshotLog.readVersion(spark, dir, 0), cs)
+    def commitAndFold(v: Int, changes: org.apache.spark.sql.DataFrame): Unit = {
+      val d = SnapshotLog.auditDelta(spark, dir, v, "k", Seq("price"), cs, changes)
+      SnapshotLog.commitMerge(spark, dir, v, "k", Seq("price"), changes)
+      audit = audit.map { case (n, c) => n -> (c + d(n)) }
+      assert(audit == SnapshotLog.constraintViolations(
+        SnapshotLog.readVersion(spark, dir, v), cs),
+        s"fold diverged from rescan at v$v")
+    }
+    // v1: U fixes key 0 (pos violation leaves), U breaks key 1 (cap enters),
+    //     D removes key 2, I adds a NULL price (violates BOTH — NULL=violation)
+    commitAndFold(1, Seq(
+      (0L, "U", Some(5.0)), (1L, "U", Some(500.0)),
+      (2L, "D", Some(0.0)), (100L, "I", Option.empty[Double])
+    ).toDF("k", "op", "price"))
+    assert(audit == Map("pos" -> 1L, "cap" -> 2L))
+    // v2: matched I (resolves as update — pre-image must leave),
+    //     unmatched U (resolves as insert — nothing leaves)
+    commitAndFold(2, Seq(
+      (100L, "I", Some(50.0)), (200L, "U", Some(-1.0))
+    ).toDF("k", "op", "price"))
+    assert(audit == Map("pos" -> 1L, "cap" -> 1L))
+  }
+
   test("a bucket emptied by deletes disappears from the later snapshot only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
     // keys 0..31 → buckets 0..15 with two rows each

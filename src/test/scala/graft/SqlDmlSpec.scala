@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{SnapshotLog, SqlDml}
+
+class SqlDmlSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def base(n: Long = 10L) =
+    (0L until n).map(k => (k, k * 10.0, s"row$k")).toDF("k", "price", "tag")
+
+  private def state(root: String, v: Int): Map[Long, (Double, String)] =
+    SnapshotLog.readVersion(spark, root, v)
+      .select("k", "price", "tag").as[(Long, Double, String)]
+      .collect().map { case (k, p, t) => k -> (p, t) }.toMap
+
+  test("UPDATE: alias-scoped assignments, unassigned columns keep their value") {
+    val root = freshRoot("graft_dml_upd")
+    SnapshotLog.commitInitial(base(), root, "k")
+    assert(SqlDml.updateSql(spark, root, 1, "k", Seq("price", "tag"),
+      "UPDATE tgt t SET t.price = t.price * 2 WHERE t.k >= 8"))
+    val st = state(root, 1)
+    assert(st(8L) == (160.0, "row8") && st(9L) == (180.0, "row9"))
+    assert(st(7L) == (70.0, "row7"))
+  }
+
+  test("UPDATE matching no row is a no-op: false, no version minted") {
+    val root = freshRoot("graft_dml_noop")
+    SnapshotLog.commitInitial(base(), root, "k")
+    assert(!SqlDml.updateSql(spark, root, 1, "k", Seq("price", "tag"),
+      "UPDATE tgt SET price = 0 WHERE k > 1000"))
+    assert(!new java.io.File(s"$root/_manifest_v1.json").exists())
+  }
+
+  test("UPDATE may not assign the key; CHECK constraints gate the commit") {
+    val root = freshRoot("graft_dml_fence")
+    SnapshotLog.commitInitial(base(), root, "k")
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.updateSql(spark, root, 1, "k", Seq("price", "tag"),
+        "UPDATE tgt SET k = k + 1")
+    }.getMessage.contains("may not assign"))
+    SnapshotLog.setConstraints(root, Map("pos" -> "price > 0"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.updateSql(spark, root, 1, "k", Seq("price", "tag"),
+        "UPDATE tgt SET price = -1 WHERE k = 3")
+    }.getMessage.contains("pos"))
+  }
+
+  test("DELETE lowers to a deletion-vector commit; WHERE-less DELETE empties the table") {
+    val root = freshRoot("graft_dml_del")
+    SnapshotLog.commitInitial(base(), root, "k")
+    assert(SqlDml.deleteSql(spark, root, 1, "k", "DELETE FROM tgt WHERE k % 2 = 0"))
+    assert(state(root, 1).keySet == Set(1L, 3L, 5L, 7L, 9L))
+    // merge-on-read: v1 wrote only tombstones, no data bucket
+    val v1Dirs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v1") && !n.startsWith("_"))
+    assert(v1Dirs.nonEmpty && v1Dirs.forall(_.startsWith("v1dv")), v1Dirs.toSeq)
+    assert(SqlDml.deleteSql(spark, root, 2, "k", "DELETE FROM tgt"))
+    assert(SnapshotLog.readVersion(spark, root, 2).isEmpty)
+  }
+
+  test("INSERT INTO: positional column list, NULL backfill, existing key upserts") {
+    val root = freshRoot("graft_dml_ins")
+    SnapshotLog.commitInitial(base(), root, "k")
+    Seq((100L, 1.5), (3L, 99.0)).toDF("a", "b").createOrReplaceTempView("dml_src")
+    assert(SqlDml.insertSql(spark, root, 1, "k", Seq("price", "tag"),
+      "INSERT INTO tgt (k, price) SELECT a, b FROM dml_src"))
+    val st = state(root, 1)
+    assert(st.size == 11)
+    val r100 = SnapshotLog.readVersion(spark, root, 1).filter(col("k") === 100L)
+      .select("price", "tag").collect().head
+    assert(r100.getDouble(0) == 1.5 && r100.isNullAt(1))
+    // keyed-table INSERT of an existing key is an upsert (matched-I = update)
+    val r3 = SnapshotLog.readVersion(spark, root, 1).filter(col("k") === 3L)
+      .select("price", "tag").collect().head
+    assert(r3.getDouble(0) == 99.0 && r3.isNullAt(1))
+  }
+
+  test("INSERT fences: key must be listed, arity must match, no OVERWRITE") {
+    val root = freshRoot("graft_dml_insfence")
+    SnapshotLog.commitInitial(base(), root, "k")
+    Seq((100L, 1.5)).toDF("a", "b").createOrReplaceTempView("dml_src2")
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.insertSql(spark, root, 1, "k", Seq("price", "tag"),
+        "INSERT INTO tgt (price, tag) SELECT a, b FROM dml_src2")
+    }.getMessage.contains("must assign the key"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.insertSql(spark, root, 1, "k", Seq("price", "tag"),
+        "INSERT INTO tgt SELECT a, b FROM dml_src2")
+    }.getMessage.contains("yields"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.insertSql(spark, root, 1, "k", Seq("price", "tag"),
+        "INSERT OVERWRITE tgt SELECT a, b, 'x' FROM dml_src2")
+    }.getMessage.contains("OVERWRITE"))
+  }
+}
