@@ -1008,6 +1008,30 @@ object SnapshotLog {
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
 
+    // TIME-TRAVEL SQL — `VERSION AS OF` table factors in one ordinary
+    // SQL statement: the cross-version DIFF JOIN (which keys changed
+    // between v0 and v1, and by how much) without materializing either
+    // side. Each factor rebinds to readVersion in a child session;
+    // Spark's own parser validates the syntax. The price delta is one
+    // IEEE subtraction of identically-derived doubles — bit-identical
+    // cross-engine.
+    sql("snapshot_sql_time_travel",
+      """SELECT o_orderkey,
+        | CAST(CAST((o_totalprice + 1000) - o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |  AS price_delta
+        |FROM orders WHERE o_orderkey % 160 = 1""".stripMargin) {
+      (s, d) =>
+        val root = ordersTableRoot(s, d)
+        SqlDml.timeTravelSql(s,
+          """SELECT t1.o_orderkey AS o_orderkey,
+            | CAST(CAST(t1.o_totalprice - t0.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+            |  AS price_delta
+            |FROM tgt VERSION AS OF 1 AS t1
+            |JOIN tgt VERSION AS OF 0 AS t0 ON t1.o_orderkey = t0.o_orderkey
+            |WHERE t1.o_totalprice <> t0.o_totalprice""".stripMargin,
+          Map("tgt" -> root))
+    },
+
     // MERGE AS FULL SYNC — make the table equal the source: matched
     // rows take the source state, unmatched source rows INSERT * (by
     // name), and NOT MATCHED BY SOURCE THEN DELETE drops everything

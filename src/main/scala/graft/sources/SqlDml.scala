@@ -127,4 +127,60 @@ object SqlDml {
         else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
       case other => fail(s"expected an INSERT INTO statement, got ${other.nodeName}")
     }
+
+  private val ttPattern = java.util.regex.Pattern.compile(
+    "(?is)\\b(\\w+)\\s+(?:FOR\\s+)?(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\\s+AS\\s+OF\\s+('[^']*'|[\\w.:\\-]+)")
+
+  /** Time-travel SQL over snapshot tables: every `name VERSION AS OF
+    * n` / `name TIMESTAMP AS OF ts` table factor whose `name` is bound
+    * in `tables` resolves to [[SnapshotLog.readVersion]] /
+    * [[SnapshotLog.readAsOf]] of that root, and the remaining query
+    * runs as ordinary Spark SQL — so cross-version queries (the
+    * time-travel DIFF join, per-version aggregates) are one statement.
+    * The statement is parsed first (syntax + time-travel arity are
+    * validated against Spark's own [[RelationTimeTravel]] nodes);
+    * the factors are then rebound as temp views in a CHILD session, so
+    * the caller's catalog is untouched. Plain (non-travel) relation
+    * names are NOT rebound — bind them as views yourself. */
+  def timeTravelSql(spark: SparkSession, sqlText: String,
+                    tables: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+    val ttCount = parsed.collect { case tt: RelationTimeTravel => tt }.size
+    val s = spark.newSession()
+    val m = ttPattern.matcher(sqlText)
+    val out = new StringBuilder
+    var last = 0
+    var n = 0
+    while (m.find()) {
+      val (name, kind, value) = (m.group(1), m.group(2).toUpperCase, m.group(3))
+      val root = tables.getOrElse(name,
+        fail(s"time-travel relation '$name' is not bound — tables binds " +
+          tables.keys.mkString("{", ", ", "}")))
+      val df =
+        if (kind == "VERSION" || kind == "SYSTEM_VERSION")
+          SnapshotLog.readVersion(s, root, value.toInt)
+        else {
+          val tsMs =
+            if (value.matches("\\d+")) value.toLong
+            else s.range(1)
+              .select(to_timestamp(lit(value.stripPrefix("'").stripSuffix("'"))))
+              .head().getTimestamp(0).getTime
+          SnapshotLog.readAsOf(s, root, tsMs)
+        }
+      val view = s"__graft_tt_$n"
+      df.createOrReplaceTempView(view)
+      out.append(sqlText.substring(last, m.start())).append(view)
+      last = m.end()
+      n += 1
+    }
+    out.append(sqlText.substring(last))
+    if (n != ttCount)
+      fail(s"matched $n time-travel factors in text but the parser sees " +
+        s"$ttCount — unsupported AS OF operand shape (use an integer " +
+        "version or a literal timestamp)")
+    if (n == 0) fail("no VERSION/TIMESTAMP AS OF factor found — use plain " +
+      "Spark SQL for current-version queries")
+    s.sql(out.toString)
+  }
 }

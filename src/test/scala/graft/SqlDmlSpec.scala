@@ -81,6 +81,33 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(r3.getDouble(0) == 99.0 && r3.isNullAt(1))
   }
 
+  test("timeTravelSql: VERSION and TIMESTAMP factors, per-version aggregate, fences") {
+    val root = freshRoot("graft_dml_tt")
+    SnapshotLog.commitInitial(base(), root, "k")
+    assert(SqlDml.deleteSql(spark, root, 1, "k", "DELETE FROM tgt WHERE k >= 5"))
+    val counts = SqlDml.timeTravelSql(spark,
+      """SELECT 'v0' AS ver, COUNT(*) AS n FROM t VERSION AS OF 0
+        |UNION ALL
+        |SELECT 'v1' AS ver, COUNT(*) AS n FROM t VERSION AS OF 1""".stripMargin,
+      Map("t" -> root)).orderBy("ver").as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("v0", 10L), ("v1", 5L)))
+    // TIMESTAMP AS OF far in the future resolves to the newest version
+    val horizon = java.lang.System.currentTimeMillis() + 3600000L
+    val future = SqlDml.timeTravelSql(spark,
+      s"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF $horizon",
+      Map("t" -> root)).head().getLong(0)
+    assert(future == 5L)
+    // an unbound time-travel name fails loudly
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark, "SELECT * FROM other VERSION AS OF 0",
+        Map("t" -> root))
+    }.getMessage.contains("not bound"))
+    // a statement with no time-travel factor is redirected to plain SQL
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark, "SELECT 1", Map("t" -> root))
+    }.getMessage.contains("no VERSION/TIMESTAMP"))
+  }
+
   test("INSERT fences: key must be listed, arity must match, no OVERWRITE") {
     val root = freshRoot("graft_dml_insfence")
     SnapshotLog.commitInitial(base(), root, "k")
