@@ -455,6 +455,32 @@ object SnapshotLog {
       n -> (entering.getOrElse(n, 0L) - leaving.getOrElse(n, 0L))).toMap
   }
 
+  /** DESCRIBE HISTORY — one metadata row per committed version, read
+    * from manifests alone (no data scan): how many distinct data dirs
+    * the version references, how many buckets it REWROTE vs its
+    * predecessor (0 for a pure deletion-vector commit), and how many
+    * tombstone dirs apply. The storage-shape audit trail: a version
+    * with 16 rewritten buckets was a full rewrite, one with 0 was
+    * merge-on-read, and n_dirs growth shows when compaction is due. */
+  def history(root: String): Seq[(Int, Int, Int, Int)] = {
+    val vs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .map(_.getName)
+      .collect { case n if n.startsWith("_manifest_v") =>
+        n.stripPrefix("_manifest_v").stripSuffix(".json").toInt }
+      .sorted
+    vs.zip(None +: vs.init.map(Option(_))).map { case (v, prevV) =>
+      val m = readManifest(root, v)
+      // vs the previous RETAINED version (vacuum may have dropped v−1)
+      val rewritten = prevV match {
+        case None => m.size
+        case Some(pv) =>
+          val prev = readManifest(root, pv)
+          m.count { case (b, dir) => !prev.get(b).contains(dir) }
+      }
+      (v, m.values.toSet.size, rewritten, readDv(root, v).values.map(_.size).sum)
+    }
+  }
+
   /** Row-level CHANGE DATA FEED between two snapshots: full-outer join
     * on the key → I (new key), D (gone key), U (payload changed).
     * Unchanged rows are dropped. */
@@ -1006,6 +1032,31 @@ object SnapshotLog {
         readVersion(s, root, 3)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // DESCRIBE HISTORY — the manifest-only audit trail: v0 full write
+    // (one dir, 16 buckets), v1 copy-on-write merge (3 buckets
+    // rewritten, 2 dirs referenced), v2 deletion-vector delete (ZERO
+    // buckets rewritten, one tombstone dir). Values are storage-shape
+    // facts fully determined by the commit protocol, so the oracle is
+    // a literal table — and the entry proves the protocol writes
+    // exactly what it claims, without scanning any data.
+    sql("snapshot_history",
+      """SELECT * FROM (VALUES
+        | (0, 1, 16, 0),
+        | (1, 2, 3, 0),
+        | (2, 2, 0, 1)) AS h(version, n_dirs, n_rewritten, n_tombstone_dirs)""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_hist").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        commitMerge(s, root, 1, "o_orderkey", payload,
+          updateBatch(orders).unionAll(deleteInsertBatch(orders)))
+        commitDeleteVector(s, root, 2, "o_orderkey",
+          orders.filter(col("o_orderkey") % 160 === 3).select("o_orderkey"))
+        history(root)
+          .toDF("version", "n_dirs", "n_rewritten", "n_tombstone_dirs")
     },
 
     // TIME-TRAVEL SQL — `VERSION AS OF` table factors in one ordinary

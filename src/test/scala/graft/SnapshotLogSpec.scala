@@ -106,6 +106,21 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(audit == Map("pos" -> 1L, "cap" -> 1L))
   }
 
+  test("history: manifest-only audit rows, rewritten counted vs the previous RETAINED version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_hist_spec").toString
+    val t = (0L until 32L).map(k => (k, k * 10.0)).toDF("k", "price")
+    SnapshotLog.commitInitial(t, dir, "k")
+    // v1 touches buckets 1 and 2; v2 is a DV delete (no rewrite)
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("price"),
+      Seq((1L, "U", 11.0), (2L, "U", 22.0)).toDF("k", "op", "price"))
+    SnapshotLog.commitDeleteVector(spark, dir, 2, "k", Seq(5L).toDF("k"))
+    assert(SnapshotLog.history(dir) ==
+      Seq((0, 1, 16, 0), (1, 2, 2, 0), (2, 2, 0, 1)))
+    // vacuum away v0+v1: v2 becomes the baseline row (its full footprint)
+    SnapshotLog.vacuum(dir, 2)
+    assert(SnapshotLog.history(dir) == Seq((2, 2, 16, 1)))
+  }
+
   test("a bucket emptied by deletes disappears from the later snapshot only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
     // keys 0..31 → buckets 0..15 with two rows each
