@@ -52,10 +52,12 @@ object MergeIntoSql {
   /** Every column reference in a clause expression must be a
     * two-part alias-qualified name — unqualified columns would
     * resolve against the join frame's internals, not the statement's
-    * scoping. NMBS clauses may reference only the target (per SQL:
-    * there IS no source row). */
+    * scoping. Per SQL:2003 scoping, NOT MATCHED clauses may reference
+    * only the source (there is no target row — a target ref would
+    * silently read NULL) and NOT MATCHED BY SOURCE clauses only the
+    * target (there is no source row). */
   private def validateRefs(e: Expression, tAlias: String, sAlias: String,
-                           allowSource: Boolean): Unit =
+                           allowTarget: Boolean, allowSource: Boolean): Unit =
     e.foreach {
       case a: UnresolvedAttribute =>
         if (a.nameParts.size != 2)
@@ -63,10 +65,15 @@ object MergeIntoSql {
             s"source alias ($tAlias / $sAlias) — unqualified references are " +
             "not compiled")
         val q = a.nameParts.head.toLowerCase
-        if (q != tAlias.toLowerCase && (!allowSource || q != sAlias.toLowerCase))
-          fail(s"'${a.nameParts.mkString(".")}': unknown qualifier '$q'" +
+        val ok = (allowTarget && q == tAlias.toLowerCase) ||
+          (allowSource && q == sAlias.toLowerCase)
+        if (!ok)
+          fail(s"'${a.nameParts.mkString(".")}': qualifier '$q' is not in scope" +
             (if (!allowSource && q == sAlias.toLowerCase)
-              " — NOT MATCHED BY SOURCE clauses have no source row" else ""))
+              " — NOT MATCHED BY SOURCE clauses have no source row"
+            else if (!allowTarget && q == tAlias.toLowerCase)
+              " — NOT MATCHED clauses have no target row (SQL scopes them to the source)"
+            else ""))
       case _ => ()
     }
 
@@ -129,15 +136,17 @@ object MergeIntoSql {
       fail(s"MERGE cardinality violation: source key ${dup.head.get(0)} " +
         s"occurs ${dup.head.getLong(1)} times")
 
-    def guard(base: Column, cond: Option[Expression], allowSource: Boolean) = {
-      cond.foreach(validateRefs(_, tAlias, sAlias, allowSource))
+    def guard(base: Column, cond: Option[Expression],
+              allowTarget: Boolean, allowSource: Boolean) = {
+      cond.foreach(validateRefs(_, tAlias, sAlias, allowTarget, allowSource))
       cond.map(c => base && expr(fragment(c))).getOrElse(base)
     }
-    def asgMap(asg: Seq[Assignment], allowSource: Boolean): Map[String, Column] =
+    def asgMap(asg: Seq[Assignment], allowTarget: Boolean,
+               allowSource: Boolean): Map[String, Column] =
       asg.map { a =>
         val c = assignmentTarget(a, tAlias)
         if (!outCols.contains(c)) fail(s"assignment to unknown column '$c'")
-        validateRefs(a.value, tAlias, sAlias, allowSource)
+        validateRefs(a.value, tAlias, sAlias, allowTarget, allowSource)
         c -> expr(fragment(a.value))
       }.toMap
     def tCol(c: String) = col(s"$tAlias.$c")
@@ -163,21 +172,21 @@ object MergeIntoSql {
     val sourceClauses: Seq[Clause] =
       matched.map {
         case UpdateAction(c, asg, _) =>
-          Clause(guard(matchedFlag, c, allowSource = true), "U",
-            updateValues(asgMap(asg, allowSource = true)))
+          Clause(guard(matchedFlag, c, allowTarget = true, allowSource = true), "U",
+            updateValues(asgMap(asg, allowTarget = true, allowSource = true)))
         case UpdateStarAction(c) =>
-          Clause(guard(matchedFlag, c, allowSource = true), "U",
+          Clause(guard(matchedFlag, c, allowTarget = true, allowSource = true), "U",
             updateValues(starValues - key))
         case DeleteAction(c) =>
-          Clause(guard(matchedFlag, c, allowSource = true), "D",
+          Clause(guard(matchedFlag, c, allowTarget = true, allowSource = true), "D",
             outCols.map(c0 => c0 -> tCol(c0)).toMap)
         case other => fail(s"unsupported WHEN MATCHED action ${other.getClass.getSimpleName}")
       } ++ notMatched.map {
         case InsertAction(c, asg) =>
-          Clause(guard(!matchedFlag, c, allowSource = true), "I",
-            insertValues(asgMap(asg, allowSource = true)))
+          Clause(guard(!matchedFlag, c, allowTarget = false, allowSource = true), "I",
+            insertValues(asgMap(asg, allowTarget = false, allowSource = true)))
         case InsertStarAction(c) =>
-          Clause(guard(!matchedFlag, c, allowSource = true), "I",
+          Clause(guard(!matchedFlag, c, allowTarget = false, allowSource = true), "I",
             insertValues(starValues))
         case other => fail(s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
       }
@@ -221,10 +230,10 @@ object MergeIntoSql {
       else {
         val clauses = nmbs.map {
           case UpdateAction(c, asg, _) =>
-            Clause(guard(lit(true), c, allowSource = false), "U",
-              updateValues(asgMap(asg, allowSource = false)))
+            Clause(guard(lit(true), c, allowTarget = true, allowSource = false), "U",
+              updateValues(asgMap(asg, allowTarget = true, allowSource = false)))
           case DeleteAction(c) =>
-            Clause(guard(lit(true), c, allowSource = false), "D",
+            Clause(guard(lit(true), c, allowTarget = true, allowSource = false), "D",
               outCols.map(c0 => c0 -> tCol(c0)).toMap)
           case other =>
             fail(s"unsupported WHEN NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")

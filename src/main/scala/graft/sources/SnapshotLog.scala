@@ -423,9 +423,13 @@ object SnapshotLog {
                 keys: DataFrame): DataFrame = {
     val wanted = keys.select(pmod(col(key), lit(Buckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSet // bounded: ≤ Buckets ints
-    val m = readManifest(root, v).filter { case (b, _) => wanted(b) }
+    // a wanted bucket whose dir lacks the b=<i> subdir is EMPTY at `v`
+    // (every row deleted) — without this filter readBuckets would
+    // reduce over nothing when ALL wanted buckets are empty
+    val m = readManifest(root, v).filter { case (b, dir) =>
+      wanted(b) && new java.io.File(s"$dir/b=$b").exists() }
     val base =
-      if (m.isEmpty) readVersion(spark, root, v).limit(0) // empty key set: typed empty
+      if (m.isEmpty) readVersion(spark, root, v).limit(0) // no live bucket: typed empty
       else applyDv(spark, readBuckets(spark, m),
         readDv(root, v).filter { case (b, _) => wanted(b) })
     base.join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
@@ -477,7 +481,8 @@ object SnapshotLog {
           val prev = readManifest(root, pv)
           m.count { case (b, dir) => !prev.get(b).contains(dir) }
       }
-      (v, m.values.toSet.size, rewritten, readDv(root, v).values.map(_.size).sum)
+      (v, m.values.toSet.size, rewritten,
+        readDv(root, v).values.flatten.toSet.size) // DISTINCT tombstone dirs
     }
   }
 

@@ -65,11 +65,16 @@ object SqlDml {
           c -> expr(fragment(a.value))
         }.toMap
         val hit = cond.map(c => cur.filter(expr(fragment(c)))).getOrElse(cur)
+        // persist: the commit path re-reads the change set several
+        // times (constraint scan, touched-bucket collect, digest,
+        // write) — one predicate-pushed scan, not five
         val changes = hit.select(col(key) +: lit("U").as("op") +:
           payloadCols.map(c => asg.getOrElse(c, col(c))
-            .cast(cur.schema(c).dataType).as(c)): _*)
-        if (changes.isEmpty) false
-        else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
+            .cast(cur.schema(c).dataType).as(c)): _*).persist()
+        try {
+          if (changes.isEmpty) false
+          else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
+        } finally { changes.unpersist(); () }
       case other => fail(s"expected an UPDATE statement, got ${other.nodeName}")
     }
 
@@ -87,9 +92,13 @@ object SqlDml {
             if l.value == true => cur
           case c => cur.filter(expr(fragment(c)))
         }
-        val keys = hit.select(col(key)) // column-pruned: key + predicate cols only
-        if (keys.isEmpty) false
-        else { SnapshotLog.commitDeleteVector(spark, root, v, key, keys); true }
+        // column-pruned scan (key + predicate cols only), persisted so
+        // the emptiness probe and the tombstone write share one pass
+        val keys = hit.select(col(key)).persist()
+        try {
+          if (keys.isEmpty) false
+          else { SnapshotLog.commitDeleteVector(spark, root, v, key, keys); true }
+        } finally { keys.unpersist(); () }
       case other => fail(s"expected a DELETE statement, got ${other.nodeName}")
     }
 
@@ -104,8 +113,11 @@ object SqlDml {
       case ins: InsertIntoStatement =>
         if (ins.overwrite) fail("INSERT OVERWRITE is not compiled — " +
           "a keyed snapshot table replaces rows by MERGE, not by partition overwrite")
+        // the optional group is a COLUMN LIST only — a '(' opening a
+        // parenthesized query body (SELECT/WITH/VALUES) must not match
         val m = java.util.regex.Pattern
-          .compile("(?is)^\\s*INSERT\\s+INTO\\s+[\\w.`]+\\s*(\\([^)]*\\))?\\s*")
+          .compile("(?is)^\\s*INSERT\\s+INTO\\s+[\\w.`]+\\s*" +
+            "(\\((?!\\s*(?:SELECT|WITH|VALUES)\\b)[^)]*\\))?\\s*")
           .matcher(sqlText)
         if (!m.find()) fail("cannot locate the query body of the INSERT statement")
         val body = sqlText.substring(m.end())
@@ -122,14 +134,26 @@ object SqlDml {
         val changes = byPos.select(col(key) +: lit("I").as("op") +:
           payloadCols.map(c =>
             (if (listed.contains(c)) col(c) else lit(null))
-              .cast(target.schema(c).dataType).as(c)): _*)
-        if (changes.isEmpty) false
-        else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
+              .cast(target.schema(c).dataType).as(c)): _*).persist()
+        try {
+          // a duplicate key WITHIN one INSERT would land two rows for
+          // the same key and corrupt the keyed-table invariant every
+          // read path relies on — same rule MERGE enforces
+          val dup = changes.groupBy(col(key)).count()
+            .filter(col("count") > 1).limit(1).collect() // bounded: ≤ 1 row
+          if (dup.nonEmpty)
+            fail(s"INSERT cardinality violation: key ${dup.head.get(0)} " +
+              s"occurs ${dup.head.getLong(1)} times in the query output")
+          if (changes.isEmpty) false
+          else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
+        } finally { changes.unpersist(); () }
       case other => fail(s"expected an INSERT INTO statement, got ${other.nodeName}")
     }
 
+  // lookbehind rejects qualified names (db.tgt): the replacement would
+  // otherwise splice a view name into the MIDDLE of the identifier
   private val ttPattern = java.util.regex.Pattern.compile(
-    "(?is)\\b(\\w+)\\s+(?:FOR\\s+)?(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\\s+AS\\s+OF\\s+('[^']*'|[\\w.:\\-]+)")
+    "(?is)(?<![\\w.])(\\w+)\\s+(?:FOR\\s+)?(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\\s+AS\\s+OF\\s+('[^']*'|[\\w.:\\-]+)")
 
   /** Time-travel SQL over snapshot tables: every `name VERSION AS OF
     * n` / `name TIMESTAMP AS OF ts` table factor whose `name` is bound
@@ -138,34 +162,55 @@ object SqlDml {
     * runs as ordinary Spark SQL — so cross-version queries (the
     * time-travel DIFF join, per-version aggregates) are one statement.
     * The statement is parsed first (syntax + time-travel arity are
-    * validated against Spark's own [[RelationTimeTravel]] nodes);
-    * the factors are then rebound as temp views in a CHILD session, so
-    * the caller's catalog is untouched. Plain (non-travel) relation
-    * names are NOT rebound — bind them as views yourself. */
+    * validated against Spark's own [[RelationTimeTravel]] nodes); the
+    * factors are then rebound as `__graft_tt_<i>` temp views in the
+    * CALLER's session — so a statement can freely mix time-travel
+    * factors with the caller's own temp views (dimension tables,
+    * other snapshots). The `__graft_tt_*` names are overwritten per
+    * call; don't use them yourself. */
   def timeTravelSql(spark: SparkSession, sqlText: String,
                     tables: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
     val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
     val ttCount = parsed.collect { case tt: RelationTimeTravel => tt }.size
-    val s = spark.newSession()
+    val s = spark
     val m = ttPattern.matcher(sqlText)
     val out = new StringBuilder
     var last = 0
     var n = 0
     while (m.find()) {
+      // matches inside string literals don't name relations: skip any
+      // hit preceded by an odd number of single quotes
+      if (sqlText.substring(0, m.start()).count(_ == '\'') % 2 == 1) {
+        out.append(sqlText.substring(last, m.end())); last = m.end()
+      } else {
       val (name, kind, value) = (m.group(1), m.group(2).toUpperCase, m.group(3))
       val root = tables.getOrElse(name,
         fail(s"time-travel relation '$name' is not bound — tables binds " +
           tables.keys.mkString("{", ", ", "}")))
+      val bare = value.stripPrefix("'").stripSuffix("'")
       val df =
-        if (kind == "VERSION" || kind == "SYSTEM_VERSION")
-          SnapshotLog.readVersion(s, root, value.toInt)
-        else {
+        if (kind == "VERSION" || kind == "SYSTEM_VERSION") {
+          if (!bare.matches("\\d+"))
+            fail(s"VERSION AS OF expects an integer version, got $value")
+          SnapshotLog.readVersion(s, root, bare.toInt)
+        } else {
           val tsMs =
-            if (value.matches("\\d+")) value.toLong
-            else s.range(1)
-              .select(to_timestamp(lit(value.stripPrefix("'").stripSuffix("'"))))
-              .head().getTimestamp(0).getTime
+            if (bare.matches("\\d+")) bare.toLong
+            else {
+              // ANSI sessions throw on a bad literal, non-ANSI yield
+              // NULL — both become the same diagnosable error
+              val ts = try s.range(1).select(to_timestamp(lit(bare))).head().get(0)
+              catch {
+                case e @ (_: org.apache.spark.SparkException |
+                          _: java.time.DateTimeException) =>
+                  fail(s"TIMESTAMP AS OF: cannot parse $value as a timestamp " +
+                    s"(${e.getMessage.split("\n").head})")
+              }
+              if (ts == null)
+                fail(s"TIMESTAMP AS OF: cannot parse $value as a timestamp")
+              ts.asInstanceOf[java.sql.Timestamp].getTime
+            }
           SnapshotLog.readAsOf(s, root, tsMs)
         }
       val view = s"__graft_tt_$n"
@@ -173,6 +218,7 @@ object SqlDml {
       out.append(sqlText.substring(last, m.start())).append(view)
       last = m.end()
       n += 1
+      }
     }
     out.append(sqlText.substring(last))
     if (n != ttCount)

@@ -95,6 +95,10 @@ class MergeIntoSqlSpec extends AnyFunSuite {
       .contains("no source row"))
     assert(run("""MERGE INTO tgt t USING src s ON t.k < s.k
       |WHEN MATCHED THEN DELETE""".stripMargin).contains("key equality"))
+    // SQL scoping: a NOT MATCHED clause has no target row
+    assert(run("""MERGE INTO tgt t USING src s ON t.k = s.k
+      |WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, t.price + s.p)""".stripMargin)
+      .contains("no target row"))
   }
 
   test("MERGE lands through the CHECK-constraint gate: a violating UPDATE aborts") {

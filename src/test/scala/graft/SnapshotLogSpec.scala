@@ -73,6 +73,11 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(!files.exists(_.contains("/b=1/")))
     // empty key set: typed empty result, no manifest requirement tripped
     assert(SnapshotLog.preImages(spark, dir, 0, "k", Seq.empty[Long].toDF("k")).isEmpty)
+    // a bucket fully EMPTIED by deletes: pre-image read of its keys is
+    // empty, not a crash (the dir exists but has no b=<i> subdir)
+    val wipe = Seq((3L, "D", 0.0), (19L, "D", 0.0)).toDF("k", "op", "price")
+    SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("price"), wipe)
+    assert(SnapshotLog.preImages(spark, dir, 1, "k", Seq(3L, 19L).toDF("k")).isEmpty)
   }
 
   test("auditDelta: fold equals rescan across mixed U/D/I commits incl. matched-I and unmatched-U") {
@@ -113,7 +118,8 @@ class SnapshotLogSpec extends AnyFunSuite {
     // v1 touches buckets 1 and 2; v2 is a DV delete (no rewrite)
     SnapshotLog.commitMerge(spark, dir, 1, "k", Seq("price"),
       Seq((1L, "U", 11.0), (2L, "U", 22.0)).toDF("k", "op", "price"))
-    SnapshotLog.commitDeleteVector(spark, dir, 2, "k", Seq(5L).toDF("k"))
+    // ONE DV commit spanning two buckets is ONE tombstone dir
+    SnapshotLog.commitDeleteVector(spark, dir, 2, "k", Seq(5L, 6L).toDF("k"))
     assert(SnapshotLog.history(dir) ==
       Seq((0, 1, 16, 0), (1, 2, 2, 0), (2, 2, 0, 1)))
     // vacuum away v0+v1: v2 becomes the baseline row (its full footprint)

@@ -124,5 +124,37 @@ class SqlDmlSpec extends AnyFunSuite {
       SqlDml.insertSql(spark, root, 1, "k", Seq("price", "tag"),
         "INSERT OVERWRITE tgt SELECT a, b, 'x' FROM dml_src2")
     }.getMessage.contains("OVERWRITE"))
+    // duplicate keys within one INSERT would corrupt the keyed table
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.insertSql(spark, root, 1, "k", Seq("price", "tag"),
+        "INSERT INTO tgt (k, price) SELECT a, b FROM dml_src2 UNION ALL SELECT a, b FROM dml_src2")
+    }.getMessage.contains("cardinality"))
+  }
+
+  test("timeTravelSql mixes with caller views; literals and qualified names are safe") {
+    val root = freshRoot("graft_dml_tt2")
+    SnapshotLog.commitInitial(base(4), root, "k")
+    Seq((0L, "zero"), (1L, "one")).toDF("k", "label").createOrReplaceTempView("tt_dims")
+    // a time-travel factor JOINed to a caller temp view in one statement
+    val joined = SqlDml.timeTravelSql(spark,
+      """SELECT d.label AS label FROM t VERSION AS OF 0 AS v
+        |JOIN tt_dims d ON v.k = d.k""".stripMargin,
+      Map("t" -> root)).orderBy("label").as[String].collect().toSeq
+    assert(joined == Seq("one", "zero"))
+    // TT-shaped text inside a string literal is not a relation
+    val lit0 = SqlDml.timeTravelSql(spark,
+      "SELECT COUNT(*) AS n FROM t VERSION AS OF 0 WHERE 'x VERSION AS OF 9' <> tag",
+      Map("t" -> root)).head().getLong(0)
+    assert(lit0 == 4L)
+    // a qualified name is not rewritten mid-identifier: arity check trips
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark, "SELECT * FROM db.t VERSION AS OF 0",
+        Map("t" -> root))
+    }.getMessage.contains("parser sees"))
+    // an unparseable timestamp fails loudly, not with an NPE
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark, "SELECT * FROM t TIMESTAMP AS OF 'not-a-time'",
+        Map("t" -> root))
+    }.getMessage.contains("cannot parse"))
   }
 }
