@@ -127,6 +127,14 @@ object MergeIntoSql {
     val dtypes = outCols.map(c => c -> target.schema(c).dataType).toMap
     def typedNull(c: String) = lit(null).cast(dtypes(c))
 
+    // a NULL source key has no bucket: one such row would die deep in
+    // the commit path with an opaque NPE, two would be misreported as
+    // a cardinality violation — fail it by name first
+    if (source.filter(col(keySource).isNull).limit(1).collect().nonEmpty)
+      fail(s"MERGE source key '$keySource' is NULL on at least one row — " +
+        "a NULL key matches nothing and has no bucket; filter or repair " +
+        "those rows upstream")
+
     // SQL:2003 cardinality rule: a duplicate source key would match one
     // target row twice (and a duplicate unmatched key would insert the
     // same key twice). One aggregate over the change-set-sized source.

@@ -282,8 +282,15 @@ object SnapshotLog {
   def setConstraints(root: String, cs: Map[String, String]): Unit = {
     val node = mapper.createObjectNode()
     cs.toSeq.sortBy(_._1).foreach { case (n, p) => node.put(n, p) }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(constraintsPath(root)), node.toString)
+    // tmp + atomic move, same publish protocol as the manifests: a
+    // concurrent commitMergeChecked reading the registry mid-write
+    // must see the old set or the new set, never a torn JSON
+    val target = java.nio.file.Paths.get(constraintsPath(root))
+    val tmp = java.nio.file.Files.createTempFile(target.getParent, "_ctmp", ".json")
+    java.nio.file.Files.writeString(tmp, node.toString)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 

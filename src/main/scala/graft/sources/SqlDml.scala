@@ -23,10 +23,12 @@ import graft.streaming.SqlCompiler.fragment
   *    predicate-pushed and column-pruned to the key).
   *  - `INSERT INTO t [(cols)] <query>` → the query body runs as
   *    ordinary Spark SQL against caller-bound views; rows land as an
-  *    I change set. On a keyed table an INSERT of an existing key is
-  *    an upsert ([[graft.operators.MergeOps.mergeUpsert]]: matched I
-  *    resolves as update) — documented, matching the log's MERGE
-  *    semantics rather than heap-table duplicate rows.
+  *    I change set. On a keyed table a FULL-column-list INSERT of an
+  *    existing key is an upsert ([[graft.operators.MergeOps.mergeUpsert]]:
+  *    matched I resolves as update) — documented, matching the log's
+  *    MERGE semantics rather than heap-table duplicate rows. A
+  *    PARTIAL column list that touches an existing key fails loudly:
+  *    the upsert would NULL the unlisted columns of the existing row.
   *
   * A statement whose predicate matches no row is a committed no-op:
   * it returns false and mints NO version (an empty change set has
@@ -131,11 +133,23 @@ object SqlDml {
             s"${rows.columns.length}")
         val byPos = rows.toDF(listed: _*)
         val target = SnapshotLog.readVersion(spark, root, v - 1)
-        val changes = byPos.select(col(key) +: lit("I").as("op") +:
+        // the KEY is cast to the target type too: an INSERT body
+        // yielding e.g. INT against a BIGINT table would otherwise
+        // drift the stored key type across version directories via
+        // union coercion (changing bucket digests and read schemas)
+        val changes = byPos.select(
+          col(key).cast(target.schema(key).dataType).as(key) +:
+          lit("I").as("op") +:
           payloadCols.map(c =>
             (if (listed.contains(c)) col(c) else lit(null))
               .cast(target.schema(c).dataType).as(c)): _*).persist()
         try {
+          // a NULL key has no bucket: it would die deep in the commit
+          // path with an opaque NPE (or masquerade as a cardinality
+          // violation when two rows carry it) — fail it by name here
+          if (changes.filter(col(key).isNull).limit(1).collect().nonEmpty)
+            fail(s"INSERT key '$key' is NULL on at least one query row — " +
+              "a NULL key has no bucket; filter or repair those rows upstream")
           // a duplicate key WITHIN one INSERT would land two rows for
           // the same key and corrupt the keyed-table invariant every
           // read path relies on — same rule MERGE enforces
@@ -144,6 +158,19 @@ object SqlDml {
           if (dup.nonEmpty)
             fail(s"INSERT cardinality violation: key ${dup.head.get(0)} " +
               s"occurs ${dup.head.getLong(1)} times in the query output")
+          // a PARTIAL column list may not touch an EXISTING key: the
+          // upsert would overwrite the unlisted columns of the
+          // existing row to NULL — silent data loss vs standard SQL.
+          // The probe is a bucket-pruned pre-image read, limit 1.
+          if (listed.toSet != outCols.toSet) {
+            val existing = SnapshotLog.preImages(spark, root, v - 1, key,
+              changes.select(col(key))).select(col(key)).limit(1).collect()
+            if (existing.nonEmpty)
+              fail(s"INSERT with a partial column list may not touch existing " +
+                s"key ${existing.head.get(0)} — the unlisted columns of that row " +
+                "would be overwritten to NULL; list every column (full-list " +
+                "INSERT upserts), or use UPDATE / MERGE")
+          }
           if (changes.isEmpty) false
           else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
         } finally { changes.unpersist(); () }
@@ -155,6 +182,36 @@ object SqlDml {
   private val ttPattern = java.util.regex.Pattern.compile(
     "(?is)(?<![\\w.])(\\w+)\\s+(?:FOR\\s+)?(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\\s+AS\\s+OF\\s+('[^']*'|[\\w.:\\-]+)")
 
+  /** Blank out `--` line comments and (non-nested) block comments with
+    * SPACES of the same length, honoring single-quoted strings — so
+    * offsets into the masked text remain valid in the original and an
+    * `AS OF` phrase inside a comment can never bind (or desync the
+    * arity guard against) a time-travel factor. */
+  private def maskComments(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    var inStr = false
+    while (i < out.length) {
+      val c = out(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '-' && i + 1 < out.length && out(i + 1) == '-') {
+        while (i < out.length && out(i) != '\n') { out(i) = ' '; i += 1 }
+      } else if (c == '/' && i + 1 < out.length && out(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        val stop = if (end < 0) out.length else end + 2
+        while (i < stop) { out(i) = ' '; i += 1 }
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  /** Per-call uniqueness for the rebound view names: two concurrent
+    * timeTravelSql calls on one session must never read each other's
+    * bindings (a fixed name raced createOrReplaceTempView vs sql and
+    * returned WRONG DATA, not an error). */
+  private val ttCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Time-travel SQL over snapshot tables: every `name VERSION AS OF
     * n` / `name TIMESTAMP AS OF ts` table factor whose `name` is bound
     * in `tables` resolves to [[SnapshotLog.readVersion]] /
@@ -163,25 +220,33 @@ object SqlDml {
     * time-travel DIFF join, per-version aggregates) are one statement.
     * The statement is parsed first (syntax + time-travel arity are
     * validated against Spark's own [[RelationTimeTravel]] nodes); the
-    * factors are then rebound as `__graft_tt_<i>` temp views in the
-    * CALLER's session — so a statement can freely mix time-travel
-    * factors with the caller's own temp views (dimension tables,
-    * other snapshots). The `__graft_tt_*` names are overwritten per
-    * call; don't use them yourself. */
+    * factors are then rebound as UNIQUE-per-call `__graft_tt_*` temp
+    * views in the CALLER's session — so a statement can freely mix
+    * time-travel factors with the caller's own temp views (dimension
+    * tables, other snapshots), and concurrent calls on one session
+    * cannot read each other's bindings. The views are dropped again
+    * once the statement is analyzed (analysis is eager and resolves
+    * them into the returned plan). Comment text is masked before
+    * matching, so an `AS OF` phrase inside `--` or a block comment
+    * neither binds nor trips the arity guard. */
   def timeTravelSql(spark: SparkSession, sqlText: String,
                     tables: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
     val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
     val ttCount = parsed.collect { case tt: RelationTimeTravel => tt }.size
     val s = spark
-    val m = ttPattern.matcher(sqlText)
+    val masked = maskComments(sqlText)
+    val token = ttCounter.incrementAndGet()
+    val created = scala.collection.mutable.ArrayBuffer[String]()
+    val m = ttPattern.matcher(masked)
     val out = new StringBuilder
     var last = 0
     var n = 0
     while (m.find()) {
       // matches inside string literals don't name relations: skip any
-      // hit preceded by an odd number of single quotes
-      if (sqlText.substring(0, m.start()).count(_ == '\'') % 2 == 1) {
+      // hit preceded by an odd number of single quotes (counted on the
+      // masked text — quotes inside comments are gone)
+      if (masked.substring(0, m.start()).count(_ == '\'') % 2 == 1) {
         out.append(sqlText.substring(last, m.end())); last = m.end()
       } else {
       val (name, kind, value) = (m.group(1), m.group(2).toUpperCase, m.group(3))
@@ -213,20 +278,23 @@ object SqlDml {
             }
           SnapshotLog.readAsOf(s, root, tsMs)
         }
-      val view = s"__graft_tt_$n"
+      val view = s"__graft_tt_${token}_$n"
       df.createOrReplaceTempView(view)
+      created += view
       out.append(sqlText.substring(last, m.start())).append(view)
       last = m.end()
       n += 1
       }
     }
     out.append(sqlText.substring(last))
-    if (n != ttCount)
-      fail(s"matched $n time-travel factors in text but the parser sees " +
-        s"$ttCount — unsupported AS OF operand shape (use an integer " +
-        "version or a literal timestamp)")
-    if (n == 0) fail("no VERSION/TIMESTAMP AS OF factor found — use plain " +
-      "Spark SQL for current-version queries")
-    s.sql(out.toString)
+    try {
+      if (n != ttCount)
+        fail(s"matched $n time-travel factors in text but the parser sees " +
+          s"$ttCount — unsupported AS OF operand shape (use an integer " +
+          "version or a literal timestamp)")
+      if (n == 0) fail("no VERSION/TIMESTAMP AS OF factor found — use plain " +
+        "Spark SQL for current-version queries")
+      s.sql(out.toString) // Dataset analysis is eager: views resolve here
+    } finally { created.foreach(v => s.catalog.dropTempView(v)); () }
   }
 }

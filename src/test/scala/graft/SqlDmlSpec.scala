@@ -64,10 +64,10 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(SnapshotLog.readVersion(spark, root, 2).isEmpty)
   }
 
-  test("INSERT INTO: positional column list, NULL backfill, existing key upserts") {
+  test("INSERT INTO: positional column list, NULL backfill, partial-list upsert fenced") {
     val root = freshRoot("graft_dml_ins")
     SnapshotLog.commitInitial(base(), root, "k")
-    Seq((100L, 1.5), (3L, 99.0)).toDF("a", "b").createOrReplaceTempView("dml_src")
+    Seq((100L, 1.5)).toDF("a", "b").createOrReplaceTempView("dml_src")
     assert(SqlDml.insertSql(spark, root, 1, "k", Seq("price", "tag"),
       "INSERT INTO tgt (k, price) SELECT a, b FROM dml_src"))
     val st = state(root, 1)
@@ -75,10 +75,48 @@ class SqlDmlSpec extends AnyFunSuite {
     val r100 = SnapshotLog.readVersion(spark, root, 1).filter(col("k") === 100L)
       .select("price", "tag").collect().head
     assert(r100.getDouble(0) == 1.5 && r100.isNullAt(1))
-    // keyed-table INSERT of an existing key is an upsert (matched-I = update)
-    val r3 = SnapshotLog.readVersion(spark, root, 1).filter(col("k") === 3L)
-      .select("price", "tag").collect().head
-    assert(r3.getDouble(0) == 99.0 && r3.isNullAt(1))
+    // a PARTIAL column list touching an EXISTING key is fenced: the
+    // upsert would NULL the unlisted columns (silent data loss)
+    Seq((3L, 99.0)).toDF("a", "b").createOrReplaceTempView("dml_src_existing")
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.insertSql(spark, root, 2, "k", Seq("price", "tag"),
+        "INSERT INTO tgt (k, price) SELECT a, b FROM dml_src_existing")
+    }.getMessage.contains("partial column list"))
+    // the FULL-list insert of an existing key upserts (matched-I = update)
+    Seq((3L, 99.0, "three")).toDF("a", "b", "c").createOrReplaceTempView("dml_src_full")
+    assert(SqlDml.insertSql(spark, root, 2, "k", Seq("price", "tag"),
+      "INSERT INTO tgt SELECT a, b, c FROM dml_src_full"))
+    assert(state(root, 2)(3L) == (99.0, "three"))
+    // the key column is cast to the target type: an INT-keyed body
+    // must not drift the stored BIGINT key via union coercion
+    Seq((200, 2.5, "two-hundred")).toDF("a", "b", "c").createOrReplaceTempView("dml_src_int")
+    assert(SqlDml.insertSql(spark, root, 3, "k", Seq("price", "tag"),
+      "INSERT INTO tgt SELECT a, b, c FROM dml_src_int"))
+    assert(SnapshotLog.readVersion(spark, root, 3).schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(state(root, 3)(200L) == (2.5, "two-hundred"))
+  }
+
+  test("INSERT / MERGE NULL source keys fail by name, not with an NPE") {
+    val root = freshRoot("graft_dml_nullkey")
+    SnapshotLog.commitInitial(base(), root, "k")
+    Seq((Some(300L), 1.0), (None, 2.0)).toDF("a", "b")
+      .createOrReplaceTempView("dml_src_null")
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.insertSql(spark, root, 1, "k", Seq("price", "tag"),
+        "INSERT INTO tgt (k, price) SELECT a, b FROM dml_src_null")
+    }.getMessage.contains("NULL"))
+    val src = Seq((Some(300L), 1.0), (None, 2.0)).toDF("k", "price")
+      .withColumn("tag", lit("x"))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.MergeIntoSql.commitMergeSql(spark, root, 1, "k",
+        Seq("price", "tag"),
+        """MERGE INTO tgt t USING src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET price = s.price
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin, src)
+    }.getMessage.contains("NULL"))
+    // nothing committed on either path
+    assert(!new java.io.File(s"$root/_manifest_v1.json").exists())
   }
 
   test("timeTravelSql: VERSION and TIMESTAMP factors, per-version aggregate, fences") {
@@ -156,5 +194,22 @@ class SqlDmlSpec extends AnyFunSuite {
       SqlDml.timeTravelSql(spark, "SELECT * FROM t TIMESTAMP AS OF 'not-a-time'",
         Map("t" -> root))
     }.getMessage.contains("cannot parse"))
+  }
+
+  test("timeTravelSql: AS OF text inside comments is masked; views are dropped after") {
+    val root = freshRoot("graft_dml_tt3")
+    SnapshotLog.commitInitial(base(4), root, "k")
+    // a `--` comment and a block comment both carrying AS OF phrases:
+    // the parser ignores them and so must the regex (r12 hardening) —
+    // a desynced count would fail this legitimate statement
+    val n = SqlDml.timeTravelSql(spark,
+      """-- baseline was t VERSION AS OF 9 before the migration
+        |SELECT COUNT(*) AS n
+        |FROM t VERSION AS OF 0 /* not t TIMESTAMP AS OF '2020-01-01' */""".stripMargin,
+      Map("t" -> root)).head().getLong(0)
+    assert(n == 4L)
+    // the per-call rebound views are dropped once analyzed
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__graft_tt_")))
   }
 }
