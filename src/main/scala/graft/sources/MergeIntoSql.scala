@@ -19,6 +19,14 @@ import graft.streaming.SqlCompiler.fragment
   *   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *
   *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
   *
+  * ON accepts a CONJUNCTION of alias-qualified equalities as long as
+  * one of them equates the table's bucket key; the rest are residual
+  * match guards (a key-matched row failing them is NOT MATCHED per
+  * SQL — and an INSERT that would then collide with the existing key
+  * is fenced by name). USING accepts a named relation (bound by the
+  * caller-passed DataFrame) or a `(subquery)` source, which runs as
+  * ordinary Spark SQL and IS the change set.
+  *
   * Execution shape, sized for 100 TB:
   *  - MATCHED / NOT MATCHED resolution never scans the target: the
   *    matched side is a [[SnapshotLog.preImages]] read — bucket-pruned
@@ -47,6 +55,55 @@ object MergeIntoSql {
     case u: UnresolvedRelation =>
       (u.multipartIdentifier.last, u.multipartIdentifier.last)
     case other => fail(s"MERGE $what must be a named relation, got ${other.nodeName}")
+  }
+
+  /** Extract the text of a `USING (...)` source subquery — the
+    * balanced-paren group after the USING keyword, honoring
+    * single-quoted strings (Catalyst's parsed plan does not carry the
+    * body text in a runnable form, but the statement text does). */
+  private def usingSubqueryText(sqlText: String): Option[String] = {
+    val m = java.util.regex.Pattern.compile("(?is)\\bUSING\\s*\\(").matcher(sqlText)
+    if (!m.find()) return None
+    var i = m.end()
+    var depth = 1
+    var inStr = false
+    val start = i
+    while (i < sqlText.length && depth > 0) {
+      val c = sqlText.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth != 0) None else Some(sqlText.substring(start, i - 1))
+  }
+
+  /** Resolve the statement's USING relation to (alias, DataFrame):
+    * a NAMED relation binds the caller-provided `source`; a
+    * parenthesized SUBQUERY runs as ordinary Spark SQL (bind any
+    * relations it references as temp views first) and IS the source —
+    * passing a DataFrame alongside a subquery is ambiguous and fails. */
+  private def sourceBinding(p: LogicalPlan, sqlText: String, spark: SparkSession,
+                            provided: Option[DataFrame]): (String, DataFrame) = p match {
+    case SubqueryAlias(id, _: UnresolvedRelation) =>
+      (id.name, provided.getOrElse(fail(
+        "MERGE USING a named relation: pass the source DataFrame argument")))
+    case u: UnresolvedRelation =>
+      (u.multipartIdentifier.last, provided.getOrElse(fail(
+        "MERGE USING a named relation: pass the source DataFrame argument")))
+    case SubqueryAlias(id, _) =>
+      if (provided.nonEmpty)
+        fail("MERGE USING (subquery): the subquery IS the source — don't " +
+          "also pass a source DataFrame")
+      val body = usingSubqueryText(sqlText).getOrElse(fail(
+        "cannot locate the USING (...) subquery text"))
+      (id.name, spark.sql(body))
+    case other => fail(s"MERGE source must be a named relation or an aliased " +
+      s"(subquery), got ${other.nodeName}")
   }
 
   /** Every column reference in a clause expression must be a
@@ -96,30 +153,51 @@ object MergeIntoSql {
     * statement's USING relation. */
   def changeSet(spark: SparkSession, sqlText: String, key: String,
                 payloadCols: Seq[String], target: DataFrame,
-                lookup: DataFrame => DataFrame, source: DataFrame): DataFrame = {
-    val (tAlias, sAlias, keySource, matched, notMatched, nmbs) =
+                lookup: DataFrame => DataFrame, source: DataFrame): DataFrame =
+    changeSet(spark, sqlText, key, payloadCols, target, lookup, Option(source))
+
+  /** As [[changeSet]]; `providedSource = None` requires the statement's
+    * USING clause to be a subquery (which then IS the source). */
+  def changeSet(spark: SparkSession, sqlText: String, key: String,
+                payloadCols: Seq[String], target: DataFrame,
+                lookup: DataFrame => DataFrame,
+                providedSource: Option[DataFrame]): DataFrame = {
+    val (tAlias, sAlias, keySource, residualPairs, matched, notMatched, nmbs, source) =
       spark.sessionState.sqlParser.parsePlan(sqlText) match {
         case MergeIntoTable(t, s, cond, ma, nma, nmbsa, _) =>
           val (_, ta) = nameAlias(t, "target")
-          val (_, sa) = nameAlias(s, "source")
+          val (sa, srcDf) = sourceBinding(s, sqlText, spark, providedSource)
           if (ta.toLowerCase == sa.toLowerCase)
             fail(s"target and source aliases collide ('$ta') — alias one of them")
-          val ks = cond match {
+          // ON: a CONJUNCTION of alias-qualified equalities, one of
+          // which must equate the table's bucket key (the snapshot log
+          // merges by it); the remaining equalities become RESIDUAL
+          // match guards — a key-matched row whose residuals fail is
+          // NOT MATCHED per SQL (and fenced if an INSERT would then
+          // collide with the existing key).
+          def eqPairs(e: Expression): Seq[(String, String)] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              eqPairs(l) ++ eqPairs(r)
             case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
               if l.nameParts.size == 2 && r.nameParts.size == 2 =>
               val sides = Map(l.nameParts.head.toLowerCase -> l.nameParts.last,
                 r.nameParts.head.toLowerCase -> r.nameParts.last)
-              val tKey = sides.getOrElse(ta.toLowerCase,
-                fail(s"ON must equate a $ta column with a $sa column"))
-              if (tKey.toLowerCase != key.toLowerCase)
-                fail(s"ON must join on the table's bucket key '$key' " +
-                  s"(the snapshot log merges by it), got '$tKey'")
-              sides.getOrElse(sa.toLowerCase,
-                fail(s"ON must equate a $ta column with a $sa column"))
-            case other => fail("ON must be a single key equality " +
-              s"(t.$key = s.<col>), got '${fragment(other)}'")
+              val tc = sides.getOrElse(ta.toLowerCase,
+                fail(s"ON must equate a $ta column with a $sa column, got " +
+                  s"'${fragment(e)}'"))
+              val sc = sides.getOrElse(sa.toLowerCase,
+                fail(s"ON must equate a $ta column with a $sa column, got " +
+                  s"'${fragment(e)}'"))
+              Seq((tc, sc))
+            case other => fail("ON must be a key equality (or a conjunction " +
+              s"of equalities including t.$key = s.<col>), got '${fragment(other)}'")
           }
-          (ta, sa, ks, ma, nma, nmbsa)
+          val pairs = eqPairs(cond).distinct
+          val (keyPairs, residuals) = pairs.partition(_._1.toLowerCase == key.toLowerCase)
+          if (keyPairs.size != 1)
+            fail(s"ON must equate the table's bucket key '$key' exactly once " +
+              s"(the snapshot log merges by it), got ${keyPairs.size} key equalities")
+          (ta, sa, keyPairs.head._2, residuals, ma, nma, nmbsa, srcDf)
         case other => fail(s"expected a MERGE INTO statement, got ${other.nodeName}")
       }
 
@@ -176,7 +254,12 @@ object MergeIntoSql {
       outCols.map(c => c -> asg.getOrElse(c, typedNull(c))).toMap
     }
 
-    val matchedFlag = col(s"__graft_tkey").isNotNull
+    // a key-matched row must also satisfy the ON residual equalities to
+    // be MATCHED; a NULL residual routes the row to NO clause (SQL's
+    // three-valued ON — neither guard proves true)
+    val matchedFlag = residualPairs
+      .map { case (tc, sc) => col(s"$tAlias.$tc") === col(s"$sAlias.$sc") }
+      .foldLeft(col(s"__graft_tkey").isNotNull)(_ && _)
     val sourceClauses: Seq[Clause] =
       matched.map {
         case UpdateAction(c, asg, _) =>
@@ -199,7 +282,8 @@ object MergeIntoSql {
         case other => fail(s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
       }
 
-    def resolve(frame: DataFrame, clauses: Seq[Clause]): DataFrame = {
+    def resolve(frame: DataFrame, clauses: Seq[Clause],
+                carry: Seq[String] = Nil): DataFrame = {
       val opCol = clauses.tail
         .foldLeft(when(clauses.head.guard, clauses.head.op)) {
           (acc, cl) => acc.when(cl.guard, cl.op)
@@ -209,9 +293,9 @@ object MergeIntoSql {
           (acc, cl) => acc.when(cl.guard, cl.values(c))
         }.otherwise(typedNull(c)).cast(dtypes(c)).as(c)
       }
-      frame.select((opCol.as("op") +: valueCols): _*)
+      frame.select((opCol.as("op") +: valueCols) ++ carry.map(col): _*)
         .filter(col("op").isNotNull)
-        .select((key +: "op" +: payloadCols).map(col): _*)
+        .select((key +: "op" +: (payloadCols ++ carry)).map(col): _*)
     }
 
     // MATCHED / NOT MATCHED: source LEFT JOIN the bucket-pruned
@@ -227,7 +311,24 @@ object MergeIntoSql {
             col(s"__graft_t.$key").as("__graft_tkey"),
             struct(outCols.map(c => col(s"__graft_t.$c").as(c)): _*).as(tAlias),
             struct(source.columns.map(c => col(s"__graft_s.$c").as(c)): _*).as(sAlias))
-        Some(resolve(joined, sourceClauses))
+        // with ON residuals, a key-present-but-residual-failed row is
+        // NOT MATCHED per SQL — but an INSERT firing for it would
+        // collide with the key the table already holds (the keyed-table
+        // invariant every read path relies on). Fence it by name.
+        if (residualPairs.nonEmpty && notMatched.nonEmpty) {
+          val r = resolve(joined.withColumn("__graft_keypresent",
+              col("__graft_tkey").isNotNull),
+            sourceClauses, Seq("__graft_keypresent"))
+          val bad = r.filter(col("op") === "I" && col("__graft_keypresent"))
+            .select(col(key)).limit(1).collect() // bounded: ≤ 1 row
+          if (bad.nonEmpty)
+            fail(s"MERGE INSERT collides with existing key ${bad.head.get(0)}: " +
+              "the ON residual equalities did not match that target row, so " +
+              "SQL routes the source row to NOT MATCHED — but inserting would " +
+              "duplicate a key the table already holds; refine the ON " +
+              "condition or guard the INSERT clause")
+          Some(r.drop("__graft_keypresent"))
+        } else Some(resolve(joined, sourceClauses))
       }
 
     // NOT MATCHED BY SOURCE quantifies over the whole target — the one
@@ -246,9 +347,19 @@ object MergeIntoSql {
           case other =>
             fail(s"unsupported WHEN NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
         }
+        // residual equalities ride on the anti condition: a target row
+        // whose key appears in the source but whose residuals fail IS
+        // "not matched by source" — a key-only anti would wrongly keep it
+        val srcResCols = residualPairs.map(_._2).distinct
+        val srcKeys = source.select(col(keySource).as(key) +:
+          srcResCols.map(sc => col(sc).as(s"__graft_r_$sc")): _*)
+        val antiCond = residualPairs.foldLeft(
+          col(s"__graft_t.$key") === col(s"__graft_s.$key")) {
+          case (acc, (tc, sc)) =>
+            acc && col(s"__graft_t.$tc") === col(s"__graft_s.__graft_r_$sc")
+        }
         val anti = target.as("__graft_t")
-          .join(source.select(col(keySource).as(key)).as("__graft_s"),
-            col(s"__graft_t.$key") === col(s"__graft_s.$key"), "left_anti")
+          .join(srcKeys.as("__graft_s"), antiCond, "left_anti")
           .select(struct(outCols.map(c => col(s"__graft_t.$c").as(c)): _*).as(tAlias))
         Some(resolve(anti, clauses))
       }
@@ -266,7 +377,19 @@ object MergeIntoSql {
     * CHECK-constraint-enforcing commit. */
   def commitMergeSql(spark: SparkSession, root: String, v: Int, key: String,
                      payloadCols: Seq[String], sqlText: String,
-                     source: DataFrame): Unit = {
+                     source: DataFrame): Unit =
+    commitMergeSql(spark, root, v, key, payloadCols, sqlText, Option(source))
+
+  /** As above with no source DataFrame — the statement's USING clause
+    * must then be a `(subquery)`, which runs as ordinary Spark SQL
+    * against caller-bound views and IS the change-set source. */
+  def commitMergeSql(spark: SparkSession, root: String, v: Int, key: String,
+                     payloadCols: Seq[String], sqlText: String): Unit =
+    commitMergeSql(spark, root, v, key, payloadCols, sqlText, None)
+
+  private def commitMergeSql(spark: SparkSession, root: String, v: Int, key: String,
+                             payloadCols: Seq[String], sqlText: String,
+                             source: Option[DataFrame]): Unit = {
     val target = SnapshotLog.readVersion(spark, root, v - 1)
     val cs = changeSet(spark, sqlText, key, payloadCols, target,
       keys => SnapshotLog.preImages(spark, root, v - 1, key, keys), source)

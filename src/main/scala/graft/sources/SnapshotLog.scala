@@ -1015,6 +1015,78 @@ object SnapshotLog {
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
 
+    // MERGE ON A COMPOSITE CONDITION — the ON clause as real CDC
+    // pipelines write it: bucket-key equality PLUS a residual equality
+    // (status). Residuals become match guards: the 'miss' class's key
+    // EXISTS in the target but its status differs, so SQL routes it to
+    // NOT MATCHED, where the guarded INSERT ignores it — the table
+    // must end in exactly the canonical applied-changes state, proving
+    // residual-failed rows touched nothing.
+    sql("snapshot_merge_into_composite", appliedChangesSql) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_mcomp").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        def cls(residue: Int, kind: String, shift: Long, status: org.apache.spark.sql.Column) =
+          orders.filter(col("o_orderkey") % 160 === residue)
+            .select((col("o_orderkey") + lit(shift)).as("o_orderkey"),
+              lit(kind).as("kind"), lit(1000.0).as("amount"),
+              col("o_custkey"), status.as("o_orderstatus"), col("o_totalprice"))
+        val src = cls(1, "bump", 0L, col("o_orderstatus"))
+          .unionAll(cls(0, "drop", 0L, col("o_orderstatus")))
+          .unionAll(cls(2, "add", 10000000L, col("o_orderstatus")))
+          .unionAll(cls(3, "miss", 0L, lit("X"))) // residual fails: key present, status differs
+        MergeIntoSql.commitMergeSql(s, root, 1, "o_orderkey", payload,
+          """MERGE INTO tgt t USING src s
+            |ON t.o_orderkey = s.o_orderkey AND t.o_orderstatus = s.o_orderstatus
+            |WHEN MATCHED AND s.kind = 'bump'
+            |  THEN UPDATE SET o_totalprice = t.o_totalprice + s.amount
+            |WHEN MATCHED AND s.kind = 'drop' THEN DELETE
+            |WHEN NOT MATCHED AND s.kind = 'add'
+            |  THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice)""".stripMargin,
+          src)
+        readVersion(s, root, 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // MERGE USING (SUBQUERY) — the source as a parenthesized query
+    // over a caller-bound view instead of a pre-built DataFrame: the
+    // subquery body runs as ordinary Spark SQL and IS the change set.
+    // Same canonical three-class statement, same applied-changes
+    // oracle — however the source is spelled, v1 must read the same.
+    sql("snapshot_merge_into_subquery", appliedChangesSql) {
+      (s0, d) =>
+        val s = s0.newSession()
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_msub").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        orders.createOrReplaceTempView("msub_orders")
+        MergeIntoSql.commitMergeSql(s, root, 1, "o_orderkey", payload,
+          """MERGE INTO tgt t USING (
+            |  SELECT o_orderkey, 'bump' AS kind, 1000.0 AS amount,
+            |         o_custkey, o_orderstatus, o_totalprice
+            |  FROM msub_orders WHERE o_orderkey % 160 = 1
+            |  UNION ALL
+            |  SELECT o_orderkey, 'drop', 0.0, o_custkey, o_orderstatus, o_totalprice
+            |  FROM msub_orders WHERE o_orderkey % 160 = 0
+            |  UNION ALL
+            |  SELECT o_orderkey + 10000000, 'add', 0.0,
+            |         o_custkey, o_orderstatus, o_totalprice
+            |  FROM msub_orders WHERE o_orderkey % 160 = 2
+            |) s ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND s.kind = 'bump'
+            |  THEN UPDATE SET o_totalprice = t.o_totalprice + s.amount
+            |WHEN MATCHED AND s.kind = 'drop' THEN DELETE
+            |WHEN NOT MATCHED AND s.kind = 'add'
+            |  THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice)""".stripMargin)
+        readVersion(s, root, 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
     // SQL DML PIPELINE — the same canonical change set driven entirely
     // by SQL statements: UPDATE (copy-on-write U commit), DELETE (a
     // DELETION-VECTOR commit — O(|deleted keys|), self-asserted: v2
@@ -1042,6 +1114,39 @@ object SnapshotLog {
             |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
             |FROM src_orders WHERE o_orderkey % 160 = 2""".stripMargin))
         readVersion(s, root, 3)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // UPDATE ... FROM (JOIN-UPDATE) — assignments referencing a joined
+    // source relation, the other statement every CDC pipeline writes.
+    // The WHERE's bucket-key equality keeps the hit scan a
+    // bucket-pruned preImages read joined under the source (cost ∝
+    // source, never a target scan) — self-asserted here: the update
+    // touches ONE bucket (residue 1 mod 160 ≡ bucket 1) and v1's
+    // manifest must reuse every other bucket's v0 file. Oracle: the
+    // update-only half of the canonical change set.
+    sql("snapshot_sql_update_from",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(CASE WHEN o_orderkey % 160 = 1
+        |      THEN o_totalprice + 1000 ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE)
+        |  AS o_totalprice
+        |FROM orders""".stripMargin) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_updf").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        val src = orders.filter(col("o_orderkey") % 160 === 1)
+          .select(col("o_orderkey").as("k"), lit(1000.0).as("amount"),
+            lit("bump").as("kind"))
+        require(SqlDml.updateFromSql(s, root, 1, "o_orderkey", payload,
+          """UPDATE tgt t SET o_totalprice = t.o_totalprice + s.amount
+            |FROM src s WHERE t.o_orderkey = s.k AND s.kind = 'bump'""".stripMargin,
+          src))
+        val (m0, m1) = (readManifest(root, 0), readManifest(root, 1))
+        require(m1.count { case (b, dir) => m0(b) == dir } == Buckets - 1,
+          "join-update must rewrite ONLY the touched bucket and reuse the rest")
+        readVersion(s, root, 1)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
     },

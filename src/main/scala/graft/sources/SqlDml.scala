@@ -80,6 +80,132 @@ object SqlDml {
       case other => fail(s"expected an UPDATE statement, got ${other.nodeName}")
     }
 
+  // the T-SQL join-update shape (Spark's parser does not accept an
+  // UPDATE with a FROM clause, so the clause structure is split here —
+  // on COMMENT-MASKED text — and every expression inside it still
+  // parses/validates through Spark)
+  private val updateFromPattern = java.util.regex.Pattern.compile(
+    "(?is)^\\s*UPDATE\\s+([\\w.`]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+SET\\s+(.*?)" +
+      "\\s+FROM\\s+([\\w.`]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+WHERE\\s+(.*)$")
+
+  /** `UPDATE t [alias] SET col = expr, ... FROM s [alias] WHERE cond` —
+    * the JOIN-UPDATE every CDC pipeline writes: assignments may
+    * reference the joined source relation (`s.delta`), and the target
+    * rows to update are those with a WHERE-matching source row.
+    *
+    * Execution shape, sized for 100 TB: the WHERE must equate the
+    * table's bucket key with a source column (`t.<key> = s.<col>`, as
+    * a top-level conjunct); the hit scan is then the BUCKET-PRUNED
+    * [[SnapshotLog.preImages]] of the source's keys INNER-joined to
+    * the source under the full WHERE — cost ∝ source size, never a
+    * target scan, and the commit rewrites only the touched buckets.
+    * Two source rows updating one target row is nondeterministic in
+    * engines that allow it; here it fails loudly (same cardinality
+    * rule as MERGE). Returns false for the zero-row no-op.
+    *
+    * `source` binds the statement's FROM relation (same contract as
+    * [[MergeIntoSql.commitMergeSql]]'s named-relation source). */
+  def updateFromSql(spark: SparkSession, root: String, v: Int, key: String,
+                    payloadCols: Seq[String], sqlText: String,
+                    source: DataFrame): Boolean = {
+    val m = updateFromPattern.matcher(maskComments(sqlText))
+    if (!m.matches())
+      fail("expected UPDATE <t> [alias] SET <assignments> FROM <s> [alias] " +
+        "WHERE <cond> — for a sourceless update use updateSql")
+    def grp(i: Int, fallback: Int): String =
+      Option(m.group(i)).getOrElse(m.group(fallback).split("\\.").last)
+    val (tAlias, sAlias) = (grp(2, 1), grp(5, 4))
+    if (tAlias.toLowerCase == sAlias.toLowerCase)
+      fail(s"target and source aliases collide ('$tAlias') — alias one of them")
+    val (setText, whereText) = (m.group(3), m.group(6))
+
+    // assignments: split on top-level commas, LHS is a (possibly
+    // alias-qualified) column name, RHS is any Spark expression over
+    // the two aliases
+    val asg: Map[String, String] = splitTopLevel(setText).map { a =>
+      val am = java.util.regex.Pattern
+        .compile("(?s)^\\s*(?:(\\w+)\\s*\\.\\s*)?(\\w+)\\s*=(?!=)(.*)$").matcher(a)
+      if (!am.matches()) fail(s"cannot parse assignment '$a'")
+      val q = Option(am.group(1))
+      if (q.exists(_.toLowerCase != tAlias.toLowerCase))
+        fail(s"assignment target must be a column of $tAlias, got '${a.trim}'")
+      val c = am.group(2)
+      if (!payloadCols.contains(c))
+        fail(if (c == key) s"UPDATE may not assign the bucket key '$key' " +
+          "(a key change is a DELETE + INSERT)"
+        else s"assignment to unknown column '$c'")
+      c -> am.group(3)
+    }.toMap
+
+    // the WHERE must carry the bucket-key equality as a top-level
+    // conjunct — that is what makes the hit scan bucket-prunable
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val whereExpr = spark.sessionState.sqlParser.parseExpression(whereText)
+    val sKeyCol = conjuncts(whereExpr).collectFirst {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          l: UnresolvedAttribute, r: UnresolvedAttribute)
+        if l.nameParts.size == 2 && r.nameParts.size == 2 &&
+          (Map(l.nameParts.head.toLowerCase -> l.nameParts.last,
+               r.nameParts.head.toLowerCase -> r.nameParts.last) match {
+            case sides => sides.get(tAlias.toLowerCase).exists(_.toLowerCase == key.toLowerCase) &&
+              sides.contains(sAlias.toLowerCase)
+          }) =>
+        Map(l.nameParts.head.toLowerCase -> l.nameParts.last,
+            r.nameParts.head.toLowerCase -> r.nameParts.last)(sAlias.toLowerCase)
+    }.getOrElse(fail(s"UPDATE ... FROM requires a top-level WHERE conjunct " +
+      s"$tAlias.$key = $sAlias.<col> — the key equality is what keeps the " +
+      "hit scan bucket-pruned instead of a full target scan"))
+
+    // bucket-pruned pre-images of the source's keys, inner-joined to
+    // the source under the FULL where — cost ∝ source, never the table
+    val pre = SnapshotLog.preImages(spark, root, v - 1, key,
+      source.select(col(sKeyCol).as(key)))
+    val hit = pre.as(tAlias).join(source.as(sAlias), expr(whereText), "inner")
+    val dtypes = payloadCols.map(c => c -> pre.schema(c).dataType).toMap
+    val changes = hit.select(col(s"$tAlias.$key").as(key) +:
+      lit("U").as("op") +:
+      payloadCols.map(c => asg.get(c).map(expr).getOrElse(col(s"$tAlias.$c"))
+        .cast(dtypes(c)).as(c)): _*).persist()
+    try {
+      val dup = changes.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).collect() // bounded: ≤ 1 row
+      if (dup.nonEmpty)
+        fail(s"UPDATE ... FROM cardinality violation: target key " +
+          s"${dup.head.get(0)} has ${dup.head.getLong(1)} matching source rows " +
+          "— an engine that allowed this would pick one arbitrarily")
+      if (changes.isEmpty) false
+      else { SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, changes); true }
+    } finally { changes.unpersist(); () }
+  }
+
+  /** Split on top-level commas — paren- and quote-aware. */
+  private def splitTopLevel(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += text.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += text.substring(start)
+    out.toSeq
+  }
+
   /** DELETE: lowers to a deletion-vector commit — O(|deleted keys|),
     * no bucket rewrite. Returns false for the zero-row no-op. */
   def deleteSql(spark: SparkSession, root: String, v: Int, key: String,

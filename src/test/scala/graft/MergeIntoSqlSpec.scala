@@ -115,6 +115,71 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/_manifest_v1.json").exists())
   }
 
+  test("composite ON: residual equality routes, INSERT key-collision is fenced") {
+    val root = freshRoot("graft_msql_comp")
+    SnapshotLog.commitInitial(base(), root, "k")
+    // key 1 matches key+tag → UPDATE; key 2's tag differs → NOT MATCHED,
+    // but its guarded INSERT is off (flag=false) so it touches nothing;
+    // key 100 is absent → INSERT
+    val src = Seq((1L, "row1", 111.0, false), (2L, "other", 222.0, false),
+      (100L, "new", 7.0, true)).toDF("k", "tag", "p", "flag")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s ON t.k = s.k AND t.tag = s.tag
+        |WHEN MATCHED THEN UPDATE SET price = s.p
+        |WHEN NOT MATCHED AND s.flag THEN INSERT (k, price, tag) VALUES (s.k, s.p, s.tag)""".stripMargin,
+      src)
+    val st = state(root, 1)
+    assert(st(1L) == (111.0, "row1"))
+    assert(st(2L) == (20.0, "row2")) // residual failed, guarded INSERT off → untouched
+    assert(st(100L) == (7.0, "new"))
+    // an UNGUARDED INSERT would collide with existing key 2 → loud fence
+    val e = intercept[IllegalArgumentException] {
+      MergeIntoSql.commitMergeSql(spark, root, 2, "k", Seq("price", "tag"),
+        """MERGE INTO tgt t USING src s ON t.k = s.k AND t.tag = s.tag
+          |WHEN NOT MATCHED THEN INSERT (k, price, tag) VALUES (s.k, s.p, s.tag)""".stripMargin,
+        Seq((2L, "other", 222.0)).toDF("k", "tag", "p"))
+    }
+    assert(e.getMessage.contains("collides with existing key 2"))
+    assert(!new java.io.File(s"$root/_manifest_v2.json").exists())
+  }
+
+  test("composite ON: NOT MATCHED BY SOURCE honors residual equalities") {
+    val root = freshRoot("graft_msql_compnmbs")
+    SnapshotLog.commitInitial(base(4), root, "k") // keys 0..3
+    // key 0 matches key+tag (true match); key 1 appears in the source
+    // but with a DIFFERENT tag → "not matched by source" per SQL
+    val src = Seq((0L, "row0", 99.0), (1L, "different", 0.0)).toDF("k", "tag", "p")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s ON t.k = s.k AND t.tag = s.tag
+        |WHEN MATCHED THEN UPDATE SET price = s.p
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin, src)
+    val st = state(root, 1)
+    assert(st.keySet == Set(0L)) // 1 (residual miss), 2, 3 all deleted
+    assert(st(0L) == (99.0, "row0"))
+  }
+
+  test("USING (subquery) binds the source from SQL; passing both is ambiguous") {
+    val root = freshRoot("graft_msql_subq")
+    SnapshotLog.commitInitial(base(), root, "k")
+    base().createOrReplaceTempView("msql_subq_base")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t
+        |USING (SELECT k, price * 2 AS p FROM msql_subq_base WHERE k < 2) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin)
+    val st = state(root, 1)
+    assert(st(0L) == (0.0, "row0") && st(1L) == (20.0, "row1"))
+    assert(st(2L) == (20.0, "row2"))
+    val e = intercept[IllegalArgumentException] {
+      MergeIntoSql.commitMergeSql(spark, root, 2, "k", Seq("price", "tag"),
+        """MERGE INTO tgt t
+          |USING (SELECT k, price FROM msql_subq_base) s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin,
+        base())
+    }
+    assert(e.getMessage.contains("subquery IS the source"))
+  }
+
   test("UPDATE SET * takes every source column by name") {
     val root = freshRoot("graft_msql_star")
     SnapshotLog.commitInitial(base(), root, "k")

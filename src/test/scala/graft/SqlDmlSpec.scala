@@ -119,6 +119,54 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/_manifest_v1.json").exists())
   }
 
+  test("UPDATE ... FROM: source-referencing assignments, bucket-pruned hit scan") {
+    val root = freshRoot("graft_dml_updfrom")
+    SnapshotLog.commitInitial(base(), root, "k")
+    val src = Seq((1L, 100.0, true), (3L, 300.0, true), (5L, 0.0, false))
+      .toDF("id", "delta", "apply")
+    assert(SqlDml.updateFromSql(spark, root, 1, "k", Seq("price", "tag"),
+      """UPDATE tgt t SET price = t.price + s.delta, tag = concat(t.tag, '!')
+        |FROM src s WHERE t.k = s.id AND s.apply""".stripMargin, src))
+    val st = state(root, 1)
+    assert(st(1L) == (110.0, "row1!"))
+    assert(st(3L) == (330.0, "row3!"))
+    assert(st(5L) == (50.0, "row5")) // s.apply false → untouched
+    assert(st(2L) == (20.0, "row2"))
+    // the hit scan is the bucket-pruned preImages of the SOURCE's keys:
+    // keys {1,3,5} live in buckets {1,3,5} of 16, so the pre-image read
+    // must list only those buckets' files — never the whole table
+    val pre = SnapshotLog.preImages(spark, root, 0, "k",
+      src.select(col("id").as("k")))
+    assert(pre.inputFiles.nonEmpty &&
+      pre.inputFiles.forall(f => f.contains("/b=1/") || f.contains("/b=3/") || f.contains("/b=5/")),
+      pre.inputFiles.toSeq)
+  }
+
+  test("UPDATE ... FROM fences: missing key equality, cardinality, key assignment") {
+    val root = freshRoot("graft_dml_updfrom_f")
+    SnapshotLog.commitInitial(base(), root, "k")
+    val src = Seq((1L, 100.0)).toDF("id", "delta")
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.updateFromSql(spark, root, 1, "k", Seq("price", "tag"),
+        "UPDATE tgt t SET price = s.delta FROM src s WHERE t.price > s.delta", src)
+    }.getMessage.contains("key equality"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.updateFromSql(spark, root, 1, "k", Seq("price", "tag"),
+        "UPDATE tgt t SET k = s.id FROM src s WHERE t.k = s.id", src)
+    }.getMessage.contains("may not assign"))
+    // two source rows hitting one target key is nondeterministic → loud
+    val dupSrc = Seq((1L, 100.0), (1L, 200.0)).toDF("id", "delta")
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.updateFromSql(spark, root, 1, "k", Seq("price", "tag"),
+        "UPDATE tgt t SET price = s.delta FROM src s WHERE t.k = s.id", dupSrc)
+    }.getMessage.contains("cardinality"))
+    // no matching row → committed no-op
+    val missSrc = Seq((999L, 1.0)).toDF("id", "delta")
+    assert(!SqlDml.updateFromSql(spark, root, 1, "k", Seq("price", "tag"),
+      "UPDATE tgt t SET price = s.delta FROM src s WHERE t.k = s.id", missSrc))
+    assert(!new java.io.File(s"$root/_manifest_v1.json").exists())
+  }
+
   test("timeTravelSql: VERSION and TIMESTAMP factors, per-version aggregate, fences") {
     val root = freshRoot("graft_dml_tt")
     SnapshotLog.commitInitial(base(), root, "k")
