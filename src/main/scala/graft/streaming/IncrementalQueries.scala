@@ -1914,6 +1914,49 @@ object IncrementalQueries {
 
   val defs: Seq[GraftQuery] = Seq(
 
+    // WITH RECURSIVE — linear recursion compiled onto the checkpointed
+    // fixpoint loop (RecursiveSql): reachability from nation-1's
+    // suppliers over the customer↔supplier co-purchase graph, standard
+    // working-table semantics (UNION dedups against the accumulator,
+    // so the cyclic bipartite graph terminates — the BFS shape: one
+    // frontier ⋈ edges equi-join + one distinct per round, lineage
+    // truncated per round). Oracle: DuckDB runs the statement's
+    // NATIVE recursive CTE — two engines, two recursion runtimes, one
+    // fixpoint.
+    sql("incremental_sql_recursive_paths",
+      """WITH RECURSIVE r AS (
+        | SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        | FROM supplier WHERE s_nationkey = 1
+        | UNION
+        | SELECT e.dst AS node FROM (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |         'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        | ) e JOIN r ON r.node = e.src
+        |)
+        |SELECT node FROM r""".stripMargin) {
+      (s, d) => RecursiveSql.run(s, d,
+        """WITH RECURSIVE r AS (
+          | SELECT 's' || CAST(s_suppkey AS STRING) AS node
+          | FROM supplier WHERE s_nationkey = 1
+          | UNION
+          | SELECT e.dst AS node FROM (
+          |  SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+          |         's' || CAST(l_suppkey AS STRING) AS dst
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  UNION ALL
+          |  SELECT 's' || CAST(l_suppkey AS STRING) AS src,
+          |         'c' || CAST(o_custkey AS STRING) AS dst
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          | ) e JOIN r ON r.node = e.src
+          |)
+          |SELECT node FROM r""".stripMargin)
+    },
+
     sql("cdc_roundtrip_lineitem",
       """SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'Insert' ELSE 'Delete' END AS action,
         | l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -667,7 +667,7 @@ object SqlCompiler {
     * [[splitTopLevelUnionAll]] / [[splitTopLevelUnionDistinct]]
     * wrappers enforce a single kind per level (mixing associates
     * left in standard SQL; parenthesize to compile it). */
-  private def splitTopLevelUnion(sqlText: String): (Seq[String], Seq[Boolean]) = {
+  private[graft] def splitTopLevelUnion(sqlText: String): (Seq[String], Seq[Boolean]) = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     val kinds = scala.collection.mutable.ArrayBuffer[Boolean]()
     var depth = 0
