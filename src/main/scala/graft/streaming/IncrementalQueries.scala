@@ -1146,18 +1146,28 @@ object IncrementalQueries {
     * tree and the netting node in one streaming query. */
   def incrementalSqlUnionDistinctStream(s: SparkSession, dir: String,
       tws: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val sinkName =
       if (tws) "incremental_sql_union_distinct_tws_leaf"
       else "incremental_sql_union_distinct_leaf"
+    streamUnionDistinct(s, SqlCompiler.compileUnionDistinct(s, dir, unionDistinctSql),
+      dir, setOpDeletes, sinkName, tws)
+  }
+
+  /** Replay a [[SqlCompiler.CompiledUnionDistinct]] continuously:
+    * every branch tree plus the shared netting node in ONE streaming
+    * query, micro-batches interleaved across branches in seq order. */
+  private def streamUnionDistinct(s: SparkSession,
+      c: SqlCompiler.CompiledUnionDistinct, dir: String,
+      deletes: Map[String, org.apache.spark.sql.Column], sinkName: String,
+      tws: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = replaySession(s)
     if (tws) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
     import s.implicits._
-    val c = SqlCompiler.compileUnionDistinct(s, dir, unionDistinctSql)
     val sides = c.branches.zipWithIndex.map { case (cc, i) =>
-      val logs = cc.sourceChangelogs(s, dir, setOpDeletes, filtered = false)
+      val logs = cc.sourceChangelogs(s, dir, deletes, filtered = false)
         .view.map { case (rel, ds) =>
           rel -> boundedReplayCollect(s"$sinkName(b$i.$rel)", ds).toSeq }.toMap
       (logs, logs.map { case (rel, _) => rel -> MemoryStream[Evt] })
@@ -1576,7 +1586,19 @@ object IncrementalQueries {
         runSqlStreamed(s, c, dir, d, s"${sinkPrefix}_$name$suffix", tws = tws)
       }
       val rows = views.flatMap(v => boundedReplayCollect(s"$sinkPrefix($name)", v))
-      ss.createDataFrame(ss.sparkContext.parallelize(rows), views.head.schema)
+      cc.applyAliases(name,
+          ss.createDataFrame(ss.sparkContext.parallelize(rows), views.head.schema))
+        .createOrReplaceTempView(name)
+    }
+    // set-semantics UNION CTEs: branch trees + netting node in one
+    // streaming query each, final state registered under the CTE name
+    cc.setCtes.foreach { case (name, c) =>
+      val d = deletes.filter { case (rel, _) =>
+        c.branches.exists(_.path.contains(rel)) }
+      val v = streamUnionDistinct(s, c, dir, d, s"${sinkPrefix}_$name", tws = tws)
+      val rows = boundedReplayCollect(s"$sinkPrefix($name)", v)
+      cc.applyAliases(name,
+          ss.createDataFrame(ss.sparkContext.parallelize(rows), v.schema))
         .createOrReplaceTempView(name)
     }
     cc.outerBaseRels.foreach { rel =>
@@ -1587,7 +1609,7 @@ object IncrementalQueries {
     // presentation CTEs evaluate over the final maintained states, in
     // definition order (view output in, view output out — stock SQL)
     cc.presentation.foreach { case (name, body) =>
-      ss.sql(body).createOrReplaceTempView(name)
+      cc.applyAliases(name, ss.sql(body)).createOrReplaceTempView(name)
     }
     ss.sql(cc.outerSql)
   }
@@ -5985,8 +6007,9 @@ object IncrementalQueries {
     // incremental folds and the outer side gets the FULL SQL surface
     // (presentation, re-aggregation, view⋈view joins, windows over
     // dims). Oracles are the same WITH text in DuckDB with the delete
-    // predicates folded in. Chained/recursive CTEs and column-alias
-    // lists stay loudly fenced (SqlCompilerSpec).
+    // predicates folded in. Column-alias lists rename view output;
+    // set-semantics UNION bodies maintain via the netting node;
+    // recursion routes to RecursiveSql (SqlCompilerSpec).
 
     // presentation outer: threshold + ORDER BY/LIMIT over a maintained
     // per-(nation, customer) revenue view — the "top-N over a view"
@@ -6235,6 +6258,109 @@ object IncrementalQueries {
           |JOIN region ON r_regionkey = n_regionkey""".stripMargin,
         dir, Map("orders" -> (col("o_orderkey") % 6 === 0)),
         "incremental_sql_cte_dim_stream")
+    },
+
+    // CTE COLUMN-ALIAS LIST — `WITH bal(a, b, c) AS (...)`: the alias
+    // list renames the maintained view's output POSITIONALLY (ANSI),
+    // and the outer query reads the aliased names. The inner SELECT's
+    // own names differ on purpose: what's gated is the rename.
+    sql("incremental_sql_cte_alias",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |bal(nation_name, total_bal_e2, n_cust) AS (
+        | SELECT n_name, CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT),
+        |  COUNT(*)
+        | FROM nation JOIN c ON c_nationkey = n_nationkey
+        | WHERE c_acctbal > 0
+        | GROUP BY n_name)
+        |SELECT nation_name, total_bal_e2, n_cust FROM bal
+        |WHERE n_cust > 5""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """WITH bal(nation_name, total_bal_e2, n_cust) AS (
+          | SELECT n_name AS x1,
+          |  SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS x2,
+          |  COUNT(*) AS x3
+          | FROM nation JOIN customer ON c_nationkey = n_nationkey
+          | WHERE c_acctbal > 0
+          | GROUP BY n_name)
+          |SELECT nation_name, total_bal_e2, n_cust FROM bal
+          |WHERE n_cust > 5""".stripMargin,
+        deletes = Map("customer" -> (col("c_custkey") % 13 === 0)))
+    },
+
+    sql("incremental_sql_cte_alias_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |bal(nation_name, total_bal_e2, n_cust) AS (
+        | SELECT n_name, CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT),
+        |  COUNT(*)
+        | FROM nation JOIN c ON c_nationkey = n_nationkey
+        | WHERE c_acctbal > 0
+        | GROUP BY n_name)
+        |SELECT nation_name, total_bal_e2, n_cust FROM bal
+        |WHERE n_cust > 5""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH bal(nation_name, total_bal_e2, n_cust) AS (
+          | SELECT n_name AS x1,
+          |  SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS x2,
+          |  COUNT(*) AS x3
+          | FROM nation JOIN customer ON c_nationkey = n_nationkey
+          | WHERE c_acctbal > 0
+          | GROUP BY n_name)
+          |SELECT nation_name, total_bal_e2, n_cust FROM bal
+          |WHERE n_cust > 5""".stripMargin,
+        dir, Map("customer" -> (col("c_custkey") % 13 === 0)),
+        "incremental_sql_cte_alias_stream")
+    },
+
+    // SET-SEMANTICS UNION CTE BODY — the UNION (not ALL) body
+    // maintains through the CompiledUnionDistinct netting node (a
+    // nation leaves the view only when NO branch still produces it),
+    // and the outer query re-aggregates over the set. Deletes flip
+    // tuples in both branches.
+    sql("incremental_sql_cte_union_distinct",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0),
+        |nat AS (
+        | SELECT n_name FROM nation JOIN c ON c_nationkey = n_nationkey
+        | WHERE c_acctbal > 8000
+        | UNION
+        | SELECT n_name FROM nation JOIN s ON s_nationkey = n_nationkey
+        | WHERE s_acctbal > 5000)
+        |SELECT COUNT(*) AS n_nations FROM nat""".stripMargin) {
+      (s, dir) => SqlCompiler.runCte(s, dir,
+        """WITH nat AS (
+          | SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+          | WHERE c_acctbal > 8000
+          | UNION
+          | SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+          | WHERE s_acctbal > 5000)
+          |SELECT COUNT(*) AS n_nations FROM nat""".stripMargin,
+        deletes = Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 7 === 0)))
+    },
+
+    sql("incremental_sql_cte_union_distinct_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0),
+        |nat AS (
+        | SELECT n_name FROM nation JOIN c ON c_nationkey = n_nationkey
+        | WHERE c_acctbal > 8000
+        | UNION
+        | SELECT n_name FROM nation JOIN s ON s_nationkey = n_nationkey
+        | WHERE s_acctbal > 5000)
+        |SELECT COUNT(*) AS n_nations FROM nat""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH nat AS (
+          | SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+          | WHERE c_acctbal > 8000
+          | UNION
+          | SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+          | WHERE s_acctbal > 5000)
+          |SELECT COUNT(*) AS n_nations FROM nat""".stripMargin,
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 7 === 0)),
+        "incremental_sql_cte_union_distinct_stream")
     },
 
     // DERIVED TABLE spelling of the same composition: an aliased

@@ -3536,9 +3536,11 @@ object SqlCompiler {
     * prefix off `sqlText` — paren/quote/comment-aware like
     * [[splitTopLevelUnion]]. Returns the (name, bodyText) list plus
     * the outer query text, or None when the text does not start with
-    * WITH. `WITH RECURSIVE` and CTE column-alias lists
-    * (`name(c1, c2) AS ...`) fail loudly. */
-  private[graft] def splitWith(sqlText: String): Option[(Seq[(String, String)], String)] = {
+    * WITH. Each CTE returns (name, columnAliases, bodyText) — the
+    * alias list (`name(c1, c2) AS ...`) renames the view's output.
+    * `WITH RECURSIVE` redirects to [[RecursiveSql]]. */
+  private[graft] def splitWith(sqlText: String)
+      : Option[(Seq[(String, Seq[String], String)], String)] = {
     var i = 0
     def skipWsAndComments(): Unit = {
       var moved = true
@@ -3564,10 +3566,10 @@ object SqlCompiler {
     i += 4
     skipWsAndComments()
     if (kwAt("RECURSIVE"))
-      fail("WITH RECURSIVE is not compiled — a recursive CTE has no " +
-        "fixed FK tree to maintain; model the iteration as the graph " +
-        "operators do (checkpointed fixpoint loops)")
-    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      fail("WITH RECURSIVE compiles via RecursiveSql.run — the bounded " +
+        "checkpointed fixpoint loop; this front end maintains only " +
+        "non-recursive views")
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, Seq[String], String)]()
     var more = true
     while (more) {
       skipWsAndComments()
@@ -3576,9 +3578,20 @@ object SqlCompiler {
       val name = sqlText.substring(nameStart, i)
       if (name.isEmpty) fail(s"WITH: expected a CTE name at offset $nameStart")
       skipWsAndComments()
-      if (i < sqlText.length && sqlText.charAt(i) == '(')
-        fail(s"WITH $name(...): CTE column-alias lists are not compiled — " +
-          "alias the columns inside the CTE's SELECT instead")
+      // optional COLUMN-ALIAS LIST: `name(a, b) AS (...)` — plain
+      // identifiers only; the aliases rename the view's output
+      var aliases = Seq.empty[String]
+      if (i < sqlText.length && sqlText.charAt(i) == '(') {
+        val close = sqlText.indexOf(')', i + 1)
+        if (close < 0) fail(s"WITH $name(: unclosed column-alias list")
+        val inner = sqlText.substring(i + 1, close)
+        aliases = inner.split(",").map(_.trim).toSeq
+        if (aliases.isEmpty || aliases.exists(a => a.isEmpty || !a.forall(isIdentChar)))
+          fail(s"WITH $name(...): expected a comma-separated list of column " +
+            s"aliases, got '$inner'")
+        i = close + 1
+        skipWsAndComments()
+      }
       if (!kwAt("AS")) fail(s"WITH $name: expected AS")
       i += 2
       skipWsAndComments()
@@ -3606,7 +3619,7 @@ object SqlCompiler {
         i += 1
       }
       if (depth != 0) fail(s"WITH $name AS (: unbalanced parentheses")
-      ctes += ((name.toLowerCase, sqlText.substring(bodyStart, i - 1).trim))
+      ctes += ((name.toLowerCase, aliases, sqlText.substring(bodyStart, i - 1).trim))
       skipWsAndComments()
       more = i < sqlText.length && sqlText.charAt(i) == ','
       if (more) i += 1
@@ -3756,13 +3769,32 @@ object SqlCompiler {
       /** Base relations the outer query (or a presentation CTE) reads
         * directly (dimension decoration); they see the SAME
         * deletes-applied state as the maintained views' changelogs. */
-      outerBaseRels: Seq[String]) {
+      outerBaseRels: Seq[String],
+      /** SET-SEMANTICS UNION bodies: maintained through the
+        * [[CompiledUnionDistinct]] netting node (a tuple leaves only
+        * when NO branch still produces it) and registered under the
+        * CTE's name like any other view. */
+      setCtes: Seq[(String, CompiledUnionDistinct)] = Nil,
+      /** Per-CTE column-alias lists (`WITH t(a, b) AS ...`): rename
+        * the view's output positionally before registration. */
+      cteAliases: Map[String, Seq[String]] = Map.empty) {
+
+    private[graft] def applyAliases(name: String, df: DataFrame): DataFrame =
+      cteAliases.get(name) match {
+        case None => df
+        case Some(as) =>
+          if (as.size != df.columns.length)
+            fail(s"WITH $name(${as.mkString(", ")}): ${as.size} aliases for " +
+              s"${df.columns.length} output column(s)")
+          df.toDF(as: _*)
+      }
 
     def run(spark: SparkSession, dir: String,
             deletes: Map[String, Column] = Map.empty): DataFrame = {
       // a delete must land somewhere — a typo'd relation name that
       // silently no-ops would make a stale view read as maintained
-      val known = ctes.flatMap(_._2).flatMap(_.path).toSet ++ outerBaseRels
+      val known = ctes.flatMap(_._2).flatMap(_.path).toSet ++
+        setCtes.flatMap(_._2.branches).flatMap(_.path).toSet ++ outerBaseRels
       (deletes.keySet -- known).foreach(rel =>
         fail(s"delete condition on '$rel' references no relation of this " +
           s"WITH query (relations: ${known.toSeq.sorted.mkString(", ")})"))
@@ -3770,10 +3802,15 @@ object SqlCompiler {
       // from) the caller's session
       val ss = spark.newSession()
       ctes.foreach { case (name, branches) =>
-        branches.map { c =>
+        applyAliases(name, branches.map { c =>
           val d = deletes.filter { case (rel, _) => c.path.contains(rel) }
           c.run(ss, dir, d)
-        }.reduce(_ union _).createOrReplaceTempView(name)
+        }.reduce(_ union _)).createOrReplaceTempView(name)
+      }
+      setCtes.foreach { case (name, c) =>
+        val d = deletes.filter { case (rel, _) =>
+          c.branches.exists(_.path.contains(rel)) }
+        applyAliases(name, c.run(ss, dir, d)).createOrReplaceTempView(name)
       }
       outerBaseRels.foreach { rel =>
         val base = Tables.load(ss, dir, rel)
@@ -3781,7 +3818,7 @@ object SqlCompiler {
           .createOrReplaceTempView(rel)
       }
       presentation.foreach { case (name, body) =>
-        ss.sql(body).createOrReplaceTempView(name)
+        applyAliases(name, ss.sql(body)).createOrReplaceTempView(name)
       }
       ss.sql(outerSql)
     }
@@ -3799,33 +3836,39 @@ object SqlCompiler {
     *    base relations it touches get the deletes-applied state,
     *    like the outer query's).
     *
-    * Forward references and self references (recursion) fail loudly;
-    * so do duplicate names and column-alias lists. */
+    * Column-alias lists (`WITH t(a, b) AS ...`) rename the view's
+    * output; set-semantics UNION bodies maintain through the
+    * [[CompiledUnionDistinct]] netting node. Forward references,
+    * self references (recursion — see [[RecursiveSql]]) and duplicate
+    * names fail loudly. */
   def compileCte(spark: SparkSession, dir: String, sqlText: String): CompiledCte = {
     val (withDefs, outer0) = splitWith(sqlText)
-      .getOrElse((Seq.empty[(String, String)], sqlText))
+      .getOrElse((Seq.empty[(String, Seq[String], String)], sqlText))
     // aliased FROM (SELECT ...) t derived tables lift to anonymous
     // CTEs named by their alias — same machinery, second spelling
     val (derivedDefs, outerSql) = liftDerivedTables(outer0)
-    val cteDefs = withDefs ++ derivedDefs
+    val cteDefs = withDefs ++ derivedDefs.map { case (n, b) => (n, Seq.empty[String], b) }
     if (cteDefs.isEmpty)
       fail("compileCte: the query has neither a WITH clause nor an " +
         "aliased FROM (SELECT ...) derived table")
     val dups = cteDefs.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
     if (dups.nonEmpty) fail(s"duplicate CTE name(s): ${dups.mkString(", ")}")
     val cteNames = cteDefs.map(_._1).toSet
+    val cteAliases = cteDefs.collect { case (n, as, _) if as.nonEmpty => n -> as }.toMap
     def relsOf(text: String): Seq[String] =
       spark.sessionState.sqlParser.parsePlan(text).collect {
         case u: UnresolvedRelation => u.multipartIdentifier.last.toLowerCase
       }.distinct
     val compiled = scala.collection.mutable.ArrayBuffer[(String, Seq[Compiled])]()
+    val setCompiled = scala.collection.mutable.ArrayBuffer[(String, CompiledUnionDistinct)]()
     val presentation = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val presBaseRels = scala.collection.mutable.ArrayBuffer[String]()
     val seen = scala.collection.mutable.Set[String]()
-    cteDefs.foreach { case (name, body) =>
+    cteDefs.foreach { case (name, _, body) =>
       val refs = relsOf(body).filter(cteNames)
       if (refs.contains(name))
-        fail(s"CTE '$name' references itself — recursive CTEs are not compiled")
+        fail(s"CTE '$name' references itself — recursive CTEs compile via " +
+          "RecursiveSql.run")
       val forward = refs.filterNot(seen)
       if (forward.nonEmpty)
         fail(s"CTE '$name' reads CTE(s) ${forward.mkString(", ")} defined " +
@@ -3835,14 +3878,19 @@ object SqlCompiler {
         presBaseRels ++= relsOf(body).filterNot(cteNames)
       } else {
         // a top-level UNION ALL body compiles per branch (alignment
-        // validated by compileUnionAll); set-semantics UNION stays on
-        // its own netting machinery and is not a CTE shape
+        // validated by compileUnionAll); a set-semantics UNION body
+        // maintains through the CompiledUnionDistinct netting node;
+        // MIXING the two at one level stays fenced (association)
         val (bparts, bkinds) = splitTopLevelUnion(body)
-        try compiled += (name -> (
-          if (bparts.size == 1) Seq(compile(spark, dir, body))
-          else if (bkinds.forall(identity)) compileUnionAll(spark, dir, body)
-          else fail("set-semantics UNION CTE bodies are not compiled — " +
-            "spell UNION ALL (bag) or use compileUnionDistinct directly")))
+        try {
+          if (bparts.size == 1) compiled += (name -> Seq(compile(spark, dir, body)))
+          else if (bkinds.forall(identity))
+            compiled += (name -> compileUnionAll(spark, dir, body))
+          else if (!bkinds.exists(identity))
+            setCompiled += (name -> compileUnionDistinct(spark, dir, body))
+          else fail("mixing UNION and UNION ALL at one level is not " +
+            "compiled (parenthesize to fix the association)")
+        }
         catch { case e: IllegalArgumentException =>
           fail(s"CTE '$name': ${e.getMessage}")
         }
@@ -3865,7 +3913,8 @@ object SqlCompiler {
     if (cteRefs.isEmpty)
       fail("the outer query reads no CTE — drop the WITH clause and " +
         "compile the query directly")
-    CompiledCte(compiled.toSeq, presentation.toSeq, outerSql, baseRels)
+    CompiledCte(compiled.toSeq, presentation.toSeq, outerSql, baseRels,
+      setCompiled.toSeq, cteAliases)
   }
 
   /** [[compileCte]] + refresh in one call. */

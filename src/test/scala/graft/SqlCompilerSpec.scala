@@ -2050,8 +2050,8 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(split.isDefined)
     val (defs, outer) = split.get
     assert(defs.map(_._1) == Seq("a", "b"))
-    assert(defs.head._2.contains("'lit with , and )'"))
-    assert(defs(1)._2 == "SELECT 2 FROM (SELECT 3) t")
+    assert(defs.head._3.contains("'lit with , and )'"))
+    assert(defs(1)._3 == "SELECT 2 FROM (SELECT 3) t")
     assert(outer == "SELECT * FROM a JOIN b")
     assert(SqlCompiler.splitWith("SELECT 1 FROM t").isEmpty)
 
@@ -2166,9 +2166,37 @@ class SqlCompilerSpec extends AnyFunSuite {
           | WHERE c_nationkey = n_nationkey GROUP BY n_name)
           |SELECT * FROM b""".stripMargin, "defined after")
     bad("WITH a AS (SELECT * FROM a) SELECT * FROM a", "references itself")
-    bad("""WITH a(x, y) AS (SELECT n_name, COUNT(*) FROM nation, customer
-          | WHERE c_nationkey = n_nationkey GROUP BY n_name)
-          |SELECT * FROM a""".stripMargin, "column-alias lists")
+    // a column-alias list renames the view's output positionally
+    val aliased = SqlCompiler.runCte(s, d,
+      """WITH a(x, y) AS (SELECT n_name AS c1, COUNT(*) AS c2 FROM nation, customer
+        | WHERE c_nationkey = n_nationkey GROUP BY n_name)
+        |SELECT x, y FROM a""".stripMargin)
+    assert(aliased.columns.toSeq == Seq("x", "y") && aliased.count() > 0)
+    // an arity-mismatched alias list is loud
+    val exAl = intercept[IllegalArgumentException](SqlCompiler.runCte(s, d,
+      """WITH a(x) AS (SELECT n_name AS c1, COUNT(*) AS c2 FROM nation, customer
+        | WHERE c_nationkey = n_nationkey GROUP BY n_name)
+        |SELECT x FROM a""".stripMargin))
+    assert(exAl.getMessage.contains("aliases"), exAl.getMessage)
+    // a set-semantics UNION body maintains through the netting node
+    val setCte = SqlCompiler.compileCte(s, d,
+      """WITH nat AS (
+        | SELECT n_name FROM nation, customer
+        |  WHERE c_nationkey = n_nationkey AND c_acctbal > 8000
+        | UNION
+        | SELECT n_name FROM nation, supplier
+        |  WHERE s_nationkey = n_nationkey AND s_acctbal > 5000)
+        |SELECT COUNT(*) AS n FROM nat""".stripMargin)
+    assert(setCte.setCtes.map(_._1) == Seq("nat"))
+    assert(setCte.run(s, d).head().getLong(0) > 0)
+    // mixing UNION and UNION ALL at one level stays fenced
+    bad("""WITH nat AS (
+          | SELECT n_name FROM nation, customer WHERE c_nationkey = n_nationkey
+          | UNION
+          | SELECT n_name FROM nation, supplier WHERE s_nationkey = n_nationkey
+          | UNION ALL
+          | SELECT n_name FROM nation, supplier WHERE s_nationkey = n_nationkey)
+          |SELECT COUNT(*) AS n FROM nat""".stripMargin, "mixing UNION")
     bad("""WITH a AS (SELECT n_name, COUNT(*) AS n FROM nation, customer
           | WHERE c_nationkey = n_nationkey GROUP BY n_name)
           |SELECT r_name FROM region""".stripMargin, "reads no CTE")
