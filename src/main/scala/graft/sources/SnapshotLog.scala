@@ -344,6 +344,53 @@ object SnapshotLog {
     commitMerge(spark, root, v, key, payloadCols, changes)
   }
 
+  // ---- maintained REFERENTIAL (FK) audit -------------------------------
+
+  /** The rescan ground truth: child rows whose `fkCol` has no parent
+    * row — one anti join (what `quality_constraints_orders` computes
+    * batch-side). The maintained path below folds the SAME number
+    * under commits without re-running this join. */
+  def fkViolations(child: DataFrame, fkCol: String,
+                   parent: DataFrame, parentKey: String): Long =
+    child.join(parent.select(col(parentKey)),
+      child(fkCol) === parent(parentKey), "left_anti").count()
+
+  /** Signed FK-violation delta of a PARENT-side delete (child fixed):
+    * every child row referencing a deleted parent key BECOMES a
+    * violation — the parent-side delete is exactly the liveness-flip
+    * event the delta engine tracks, priced here as one child scan
+    * filtered by a broadcast semi join on the (change-set-sized)
+    * deleted key set. At 100 TB, bucket the child by its FK to make
+    * this lookup partition-pruned too; the join itself never
+    * shuffles the child (broadcast). Parent keys are unique, so a
+    * deleted key cannot leave a surviving parent row behind. */
+  def fkDeltaParentDelete(child: DataFrame, fkCol: String,
+                          deletedParentKeys: DataFrame, parentKey: String): Long =
+    child.join(broadcast(deletedParentKeys.select(col(parentKey)).distinct()),
+      child(fkCol) === col(parentKey), "left_semi").count()
+
+  /** Signed FK-violation delta of a CHILD-side U/D/I change set
+    * (parent fixed at `parentRoot`@`parentV`): entering rows (U/I new
+    * states) add a violation when their FK has no parent; leaving
+    * rows (the bucket-pruned pre-images of EVERY change-set key)
+    * remove one when theirs had none. Cost ∝ change set: two
+    * [[preImages]] reads (child buckets for the leaving rows, parent
+    * buckets for the FK lookups) — never a table scan. */
+  def fkDeltaChild(spark: SparkSession, childRoot: String, v: Int,
+                   childKey: String, fkCol: String, changes: DataFrame,
+                   parentRoot: String, parentV: Int, parentKey: String): Long = {
+    def dangling(fks: DataFrame): Long = {
+      val present = preImages(spark, parentRoot, parentV, parentKey,
+        fks.select(col(fkCol).as(parentKey)))
+      fks.join(broadcast(present.select(col(parentKey))),
+        fks(fkCol) === col(parentKey), "left_anti").count()
+    }
+    val entering = changes.filter(col("op") =!= "D").select(col(fkCol))
+    val leaving = preImages(spark, childRoot, v - 1, childKey,
+      changes.select(col(childKey))).select(col(fkCol))
+    dangling(entering) - dangling(leaving)
+  }
+
   /** Resolve version `v` to its file set and read it — one parquet
     * read per version directory (partition column `b` recovered via
     * basePath), unioned. */
@@ -1149,6 +1196,63 @@ object SnapshotLog {
         readVersion(s, root, 1)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // MAINTAINED REFERENTIAL (FK) AUDIT — the violation count as a
+    // per-commit FOLD, never a re-run of the anti join: a parent-side
+    // DV-delete contributes +(child rows referencing the deleted keys)
+    // via one broadcast-semi lookup; a child-side U/D/I change set
+    // contributes (entering-dangling − leaving-dangling) via two
+    // bucket-pruned preImages reads. Both deltas are change-set-sized.
+    // The fn asserts fold ≡ the full anti-join rescan of the final
+    // state, and the gate proves both equal DuckDB's independent
+    // NOT EXISTS count.
+    sql("snapshot_fk_audit_maintained",
+      """SELECT 'fk_customer' AS constraint_name,
+        | CAST(COUNT(*) AS BIGINT) AS n_violations
+        |FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderkey % 160 <> 0
+        | UNION ALL
+        | SELECT o_custkey + 90000000 FROM orders WHERE o_orderkey % 160 = 2
+        |) ch(o_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = ch.o_custkey AND c.c_custkey % 160 <> 1)""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val parentRoot = java.nio.file.Files.createTempDirectory("graft_snap_fkp").toString
+        val childRoot = java.nio.file.Files.createTempDirectory("graft_snap_fkc").toString
+        val customer = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(customer, parentRoot, "c_custkey")
+        commitInitial(orders, childRoot, "o_orderkey")
+        // v0 baseline: TPC-H data is referentially clean
+        val viol0 = fkViolations(readVersion(s, childRoot, 0), "o_custkey",
+          readVersion(s, parentRoot, 0), "c_custkey")
+        // parent commit: DV-delete customers ≡1 mod 160 (child fixed at v0)
+        val delKeys = customer.filter(col("c_custkey") % 160 === 1)
+          .select("c_custkey")
+        commitDeleteVector(s, parentRoot, 1, "c_custkey", delKeys)
+        val dParent = fkDeltaParentDelete(readVersion(s, childRoot, 0),
+          "o_custkey", delKeys, "c_custkey")
+        // child commit: delete ≡0, insert shifted ≡2 rows with DANGLING
+        // custkeys (+90M) — entering violations (parent now at v1)
+        val changes = orders.filter(col("o_orderkey") % 160 === 0)
+          .select(col("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(orders.filter(col("o_orderkey") % 160 === 2)
+            .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+              lit("I").as("op"), (col("o_custkey") + lit(90000000L)).as("o_custkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+        commitMerge(s, childRoot, 1, "o_orderkey", payload, changes)
+        val dChild = fkDeltaChild(s, childRoot, 1, "o_orderkey", "o_custkey",
+          changes, parentRoot, 1, "c_custkey")
+        val maintained = viol0 + dParent + dChild
+        val rescan = fkViolations(readVersion(s, childRoot, 1), "o_custkey",
+          readVersion(s, parentRoot, 1), "c_custkey")
+        require(maintained == rescan,
+          s"maintained FK audit ($maintained) must equal the anti-join rescan ($rescan)")
+        Seq(("fk_customer", maintained)).toDF("constraint_name", "n_violations")
     },
 
     // DESCRIBE HISTORY — the manifest-only audit trail: v0 full write

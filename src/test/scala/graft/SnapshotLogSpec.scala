@@ -497,4 +497,37 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(live(4).count() == 46)
     intercept[Exception] { live(1).collect() }
   }
+
+  test("maintained FK audit: parent-delete and child-change deltas fold to the rescan") {
+    val pRoot = java.nio.file.Files.createTempDirectory("graft_fk_p").toString
+    val cRoot = java.nio.file.Files.createTempDirectory("graft_fk_c").toString
+    // parents 0..9; children reference parent k%10 (clean at v0)
+    val parents = (0L until 10L).map(k => (k, s"p$k")).toDF("pk", "pname")
+    val children = (0L until 40L).map(k => (k, k % 10, k * 1.0)).toDF("ck", "fk", "m")
+    SnapshotLog.commitInitial(parents, pRoot, "pk")
+    SnapshotLog.commitInitial(children, cRoot, "ck")
+    assert(SnapshotLog.fkViolations(
+      SnapshotLog.readVersion(spark, cRoot, 0), "fk",
+      SnapshotLog.readVersion(spark, pRoot, 0), "pk") == 0L)
+    // parent delete of pk ∈ {3, 7}: 8 children dangle
+    val del = Seq(3L, 7L).toDF("pk")
+    SnapshotLog.commitDeleteVector(spark, pRoot, 1, "pk", del)
+    val dP = SnapshotLog.fkDeltaParentDelete(
+      SnapshotLog.readVersion(spark, cRoot, 0), "fk", del, "pk")
+    assert(dP == 8L)
+    // child change set: delete ck=3 (was dangling → −1), update ck=5's
+    // fk to 3 (dangling → +1, leaving row was clean), insert ck=100
+    // with fk=99 (dangling → +1), insert ck=101 with fk=0 (clean → 0)
+    val changes = Seq(
+      (3L, "D", 3L, 0.0), (5L, "U", 3L, 5.0),
+      (100L, "I", 99L, 1.0), (101L, "I", 0L, 1.0)).toDF("ck", "op", "fk", "m")
+    SnapshotLog.commitMerge(spark, cRoot, 1, "ck", Seq("fk", "m"), changes)
+    val dC = SnapshotLog.fkDeltaChild(spark, cRoot, 1, "ck", "fk", changes,
+      pRoot, 1, "pk")
+    assert(dC == 1L, dC) // −1 (del ck=3) + 1 (ck=5 re-ref) + 1 (ck=100) + 0
+    val rescan = SnapshotLog.fkViolations(
+      SnapshotLog.readVersion(spark, cRoot, 1), "fk",
+      SnapshotLog.readVersion(spark, pRoot, 1), "pk")
+    assert(0L + dP + dC == rescan, s"fold ${dP + dC} vs rescan $rescan")
+  }
 }
