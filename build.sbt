@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// r13 suite-wall-time: run suites on a thread pool inside the forked
+// JVM (they share one SparkTestSession — Spark schedulers are
+// thread-safe, fixture temp views bind identical content, and the
+// streaming sinks carry per-entry names). Sequential was 20m46s with
+// the TWS/streaming suites dominating; parallel overlaps their
+// processAllAvailable waits with CPU-bound suites.
+Test / testForkedParallel := true
 run / fork := true
 // Pass the forked runMain's stdout through RAW (no "[info] " log-prefix):
 // the bench driver machine-parses the final JSON line of stdout, and the

@@ -5484,6 +5484,54 @@ object IncrementalQueries {
     "customer" -> (col("c_custkey") % 13 === 0),
     "supplier" -> (col("s_suppkey") % 5 === 0))
 
+  // PAIR-STAR fixtures: the boundary fact tables shrink via RELATION
+  // OVERRIDES (urgent orders, quantity ≤ 2 lineitems — compileOver's
+  // loader seam, mirroring the oracle's CTE pre-filters): expressing
+  // the restriction as WHERE would NULL-reject the preservation
+  // classes, and expressing it as changelog DELETES makes the replay
+  // materialize the UNSHRUNK per-(customer, supplier) double product
+  // before retracting 90% of it — quadratic in fact size (it OOMed a
+  // sf0.01 stream replay). Deletes stay on all four non-dim relations
+  // for the retraction dynamics the entry exists to gate.
+  private def pairStarSql =
+    """SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+      | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS ord_e2,
+      | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS li_e2
+      |FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |FULL OUTER JOIN orders ON o_custkey = c_custkey
+      |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
+      |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin
+
+  private def pairStarOracle =
+    """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+      |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0),
+      |     o AS (SELECT * FROM orders
+      |           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 <> 0),
+      |     l AS (SELECT * FROM lineitem
+      |           WHERE l_quantity <= 2 AND l_linenumber <> 3)
+      |SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+      | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS ord_e2,
+      | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS li_e2
+      |FROM nation JOIN c ON c_nationkey = n_nationkey
+      |JOIN s ON s_nationkey = n_nationkey
+      |FULL JOIN o ON o_custkey = c_custkey
+      |FULL JOIN l ON l_suppkey = s_suppkey
+      |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin
+
+  private def pairStarOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "orders" -> ((s, dir) => Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")),
+    "lineitem" -> ((s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_quantity") <= 2)))
+
+  private def pairStarDeletes = Map(
+    "customer" -> (col("c_custkey") % 13 === 0),
+    "supplier" -> (col("s_suppkey") % 5 === 0),
+    "orders" -> (col("o_orderkey") % 7 === 0),
+    "lineitem" -> (col("l_linenumber") === 3))
+
   // Further round-12 compiler-scope entries.
   private def round12Defs: Seq[GraftQuery] = Seq(
 
@@ -5517,6 +5565,37 @@ object IncrementalQueries {
         SqlCompiler.compile(s, dir, starFullOuterSql),
         dir, starFullOuterDeletes,
         "incremental_sql_q10_fullouter_star_tws_leaf", tws = true)
+    },
+
+    // PAIR-STAR double FULL OUTER — the two boundaries hang off
+    // DIFFERENT relations of a dimension-bridged core (orders off
+    // customer, lineitem off supplier, customer⟂supplier bridged by
+    // nation: the `incremental_shared_dim` composition under FULL
+    // OUTER, r12's remaining star fence). The main tree is the
+    // four-way pair product; the five preservation plans re-plan the
+    // pair with one boundary removed (absence-gated parents) or ride
+    // the bare core's pair emissions (the orphan key nodes — so a
+    // customer delete orphans its orders even though orders' own
+    // changelog never fires, and a nation losing all suppliers
+    // orphans its customers' orders by PAIR-EMPTINESS, SQL's exact
+    // answer). Deletes on all four non-dim relations; the
+    // boundary-shrinking predicates ride as changelog deletes, which
+    // is what keeps the pair product bounded at any SF. DuckDB runs
+    // the literal nested double FULL JOIN natively.
+    sql("incremental_sql_q10_fullouter_star_pair", pairStarOracle) {
+      (s, dir) => SqlCompiler.compileOver(s, dir, pairStarSql, pairStarOverrides)
+        .run(s, dir, pairStarDeletes)
+    },
+
+    // … and through the CONTINUOUS engine: the pair product AND all
+    // five factorized plans hold state across micro-batches — batch-2
+    // deletes must retract pair products and flip both orphan
+    // directions through held state.
+    sql("incremental_sql_q10_fullouter_star_pair_stream", pairStarOracle) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarSql, pairStarOverrides),
+        dir, pairStarDeletes,
+        "incremental_sql_q10_fullouter_star_pair_stream_leaf")
     },
 
     // Star boundaries under an inner CHAIN (region→nation): the five

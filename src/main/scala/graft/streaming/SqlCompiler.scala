@@ -96,14 +96,15 @@ object SqlCompiler {
     * the shared fold reads them as NULL); when a first matching child
     * appears, the key node's 0→1 flip retracts the buffered parent
     * rows — the outer row's NULL-extension retracts exactly as the
-    * inner plan asserts the joined row. `rekey`: when set, that
+    * inner plan asserts the joined row. `rekey`: each listed
     * relation's own changelog re-keys (engine-side, from the canon)
-    * to the correlation column its stage shuffles on; None when every
-    * stage consumes its changelog under the main tree's keying. */
+    * to the correlation column its stage shuffles on; empty when
+    * every stage consumes its changelog under the main tree's keying
+    * (pair-star both-absent plans re-key both boundary parents). */
   final case class OuterPlan(
       stages: Seq[DeltaEngine.Stage],
       path: Seq[String],
-      rekey: Option[(String, String)])
+      rekey: Seq[(String, String)])
 
   /** Top-level `UNION ALL` of independently compilable queries: each
     * branch is its own maintained tree/aggregate (they may join
@@ -1319,9 +1320,9 @@ object SqlCompiler {
           (if (suppressMainLeaf) Nil else Seq((stages, logs))) ++
             outerPlans.map { p =>
               val planLogs = p.path.map { rel =>
-                rel -> (p.rekey match {
-                  case Some((rr, rc)) if rr == rel => rekeyByCanon(logs(rel), rc)
-                  case _ => logs(rel)
+                rel -> (p.rekey.collectFirst { case (rr, rc) if rr == rel => rc } match {
+                  case Some(rc) => rekeyByCanon(logs(rel), rc)
+                  case None => logs(rel)
                 })
               }.toMap
               (p.stages, planLogs)
@@ -1341,9 +1342,9 @@ object SqlCompiler {
         runner: (Seq[DeltaEngine.Stage], Map[String, Dataset]) => Dataset): Dataset = {
       val planLeaves = outerPlans.map { p =>
         val planLogs = p.path.map { rel =>
-          rel -> (p.rekey match {
-            case Some((rr, rc)) if rr == rel => rekeyByCanon(logs(rel), rc)
-            case _ => logs(rel)
+          rel -> (p.rekey.collectFirst { case (rr, rc) if rr == rel => rc } match {
+            case Some(rc) => rekeyByCanon(logs(rel), rc)
+            case None => logs(rel)
           })
         }.toMap
         runner(p.stages, planLogs)
@@ -2554,7 +2555,7 @@ object SqlCompiler {
     // relation's changelog from the canon (OuterPlan.rekey): key-only
     // liveness nodes rebuild their canon from Evt.key, so a drifted
     // key would silently track the wrong entity.
-    def rekeyFor(planStages: Seq[DeltaEngine.Stage]): Option[(String, String)] = {
+    def rekeyFor(planStages: Seq[DeltaEngine.Stage]): Seq[(String, String)] = {
       def logKey(rel: String): Option[String] =
         stages.find(st => st.spec.relation == rel && st.ownStage.isEmpty)
           .map(_.spec.childKeyCol)
@@ -2565,11 +2566,9 @@ object SqlCompiler {
           fail(s"preservation plan consumes '$rel' raw under two keys " +
             s"${ws.map(_._2).mkString(", ")} — not wired")
       }
-      val drifts = wants.filter { case (rel, want) => logKey(rel).exists(_ != want) }
-      if (drifts.size > 1)
-        fail(s"preservation plan needs re-keying ${drifts.size} relations " +
-          s"(${drifts.map(_._1).mkString(", ")}) — one rekey per plan is wired")
-      drifts.headOption
+      // every drifted relation re-keys engine-side from the canon (the
+      // pair-star both-absent plan drifts BOTH boundary parents)
+      wants.filter { case (rel, want) => logKey(rel).exists(_ != want) }
     }
     // relation order with every parent before its children (the order
     // the stages consume their changelogs in)
@@ -2634,6 +2633,106 @@ object SqlCompiler {
     // LEFT JOINs or gates alongside. A deeper inner chain would need
     // the orphan key nodes to consume the chain's merged emissions —
     // not wired yet.
+    // PAIR-STAR preservation plans: the two FULL boundaries hang off
+    // DIFFERENT inner relations of a dimension-bridged core (orders
+    // off customer, lineitem off supplier, customer and supplier
+    // bridged by nation — the `incremental_shared_dim` composition).
+    // The factorization is still exact: boundary a correlates on a
+    // core attribute boundary b's NULL-extensions carry as NULL, so
+    // extensions cannot interact, and SQL's nested double FULL OUTER
+    // decomposes into the per-core-row product of the six classes:
+    //   1 core⋈a⋈b (the pair-product main tree — `stages` itself)
+    //   2 core⋈a where pb has no b-match (pb's entry gated NOT EXISTS b)
+    //   3 core⋈b where pa has no a-match
+    //   4 bare core rows, both parents gated
+    //   5 a rows whose pa key is ABSENT FROM THE CORE — which covers
+    //     both a dead parent AND pair-emptiness (a nation with
+    //     customers but no surviving supplier produces NO core rows,
+    //     so those customers' orders orphan — exactly SQL's answer);
+    //     the key node rides the CORE's merged pair emissions
+    //   6 b rows whose pb key is absent from the core
+    // Classes 2-4 re-gate a core sub-plan (stagesFor replans the pair
+    // with the un-needed boundary removed); 5/6 share ONE core plan by
+    // object identity (runTreeShared refuses reuse when inputs differ,
+    // so sharing is always sound). WHERE class selection (starDrop)
+    // carries over verbatim: the NULL-side class sets coincide with
+    // the same-parent star's. Subquery gates stay fenced.
+    def pairStarOuterPlans(aRel: String, bRel: String,
+                           aEdge: TreeCompiler.FkEdge,
+                           bEdge: TreeCompiler.FkEdge): Seq[OuterPlan] = {
+      if (gates.nonEmpty || rawScalarGates.nonEmpty)
+        fail("pair-star FULL OUTER (boundaries off two different inner " +
+          "relations) with subquery gates is not wired")
+      val coreOrder = relations.filterNot(fullOuterRels)
+      val coreEdges = queryEdges.filterNot(e =>
+        fullOuterRels(e.child) || fullOuterRels(e.parent))
+      Seq(aEdge, bEdge).foreach(e =>
+        if (!coreOrder.contains(e.parent))
+          fail(s"FULL OUTER '${e.child}' must hang off an INNER relation, " +
+            s"got '${e.parent}'"))
+      if (coreOrder.size < 2)
+        fail("pair-star FULL OUTER needs at least two inner relations — " +
+          "a single shared parent is the same-parent star above")
+      def planFor(extraEdges: Seq[TreeCompiler.FkEdge], rels: Seq[String]) =
+        TreeCompiler.stagesFor(coreEdges ++ extraEdges, rels)
+      // NOT-EXISTS-boundary surgery on a parent's entry stage (the
+      // gate-surgery shape: set-semantics key node over the absent
+      // boundary, anti hop on the parent, entry re-chained)
+      def gateAbsent(sts: Seq[DeltaEngine.Stage], pRel: String, pKey: String,
+                     keys: DeltaEngine.Stage, tag: String): Seq[DeltaEngine.Stage] = {
+        val idx = sts.indexWhere(st =>
+          st.spec.relation == pRel && st.ownStage.isEmpty)
+        if (idx < 0)
+          fail(s"pair-star: no raw entry stage for boundary parent '$pRel'")
+        val entry = sts(idx)
+        val hop = DeltaEngine.Stage(s"__pstar_${tag}_hop",
+          NodeSpec(pRel, pKey, entry.spec.childKeyCol, antiParent = true),
+          parentStage = Some(keys.name))
+        sts.patch(idx, Seq(keys, hop, entry.copy(ownStage = Some(hop.name))), 1)
+      }
+      val keysNoA = DeltaEngine.Stage("__pstar_noa_keys",
+        NodeSpec(aRel, aEdge.fkCol, aEdge.fkCol, isRoot = true, setSemantics = true),
+        keyOnlyRows = true)
+      val keysNoB = DeltaEngine.Stage("__pstar_nob_keys",
+        NodeSpec(bRel, bEdge.fkCol, bEdge.fkCol, isRoot = true, setSemantics = true),
+        keyOnlyRows = true)
+      // classes 5/6 share the bare-core plan's PREFIX; each orphan
+      // direction re-keys the core's leaf emissions (from the canon —
+      // a leaf copy with nextKeyCol overridden, the subPlan re-key
+      // idiom) onto its boundary parent's key, so the key node sees
+      // "parent present in the core", and pair-emptiness orphans
+      // transitively
+      val core = planFor(Nil, coreOrder)
+      def orphan(tag: String, edge: TreeCompiler.FkEdge): Seq[DeltaEngine.Stage] = {
+        val leaf = core.last.copy(
+          name = s"${core.last.name}__pstar_$tag",
+          spec = core.last.spec.copy(nextKeyCol = edge.parentCol))
+        val keysP = DeltaEngine.Stage(s"__pstar_p${tag}_keys",
+          NodeSpec(edge.parent, edge.parentCol, edge.parentCol,
+            isRoot = true, setSemantics = true),
+          ownStage = Some(leaf.name), keyOnlyRows = true)
+        val hop = DeltaEngine.Stage(s"__pstar_orph_${tag}_hop",
+          NodeSpec(edge.child, edge.fkCol, edge.fkCol, antiParent = true),
+          parentStage = Some(keysP.name))
+        core.init ++ Seq(leaf, keysP, hop)
+      }
+      Seq(
+        2 -> (() => gateAbsent(planFor(Seq(aEdge), coreOrder :+ aRel),
+          bEdge.parent, bEdge.parentCol, keysNoB, "nob2")),
+        3 -> (() => gateAbsent(planFor(Seq(bEdge), coreOrder :+ bRel),
+          aEdge.parent, aEdge.parentCol, keysNoA, "noa3")),
+        4 -> (() => gateAbsent(
+          gateAbsent(planFor(Nil, coreOrder),
+            aEdge.parent, aEdge.parentCol, keysNoA, "noa4"),
+          bEdge.parent, bEdge.parentCol, keysNoB, "nob4")),
+        5 -> (() => orphan("a", aEdge)),
+        6 -> (() => orphan("b", bEdge)))
+        .collect { case (cls, mk) if !starDrop(cls) => mk() }
+        .map { planStages => OuterPlan(planStages,
+          planStages.filter(_.ownStage.isEmpty).map(_.spec.relation),
+          rekeyFor(planStages)) }
+    }
+
     def starOuterPlans(aRel: String, bRel: String): Seq[OuterPlan] = {
       def edgeOf(r: String) = queryEdges.find(_.child == r).getOrElse(
         fail(s"FULL OUTER '$r' must be the FK child side of its ON equality"))
@@ -2642,9 +2741,7 @@ object SqlCompiler {
         fail("star FULL OUTER boundaries cannot be combined with LEFT JOIN " +
           "boundaries — the preservation classes would multiply")
       if (aEdge.parent != bEdge.parent)
-        fail("independent (star) FULL OUTER boundaries compile only when both " +
-          s"hang off the SAME inner relation, got '${aEdge.parent}' and " +
-          s"'${bEdge.parent}'")
+        return pairStarOuterPlans(aRel, bRel, aEdge, bEdge)
       val pRel = aEdge.parent
       if (aEdge.parentCol != bEdge.parentCol)
         fail("star FULL OUTER boundaries must join the parent on the SAME " +
@@ -2959,7 +3056,7 @@ object SqlCompiler {
               NodeSpec(cRel, cEdge.fkCol, cEdge.fkCol, antiParent = true),
               parentStage = Some(keysB6.name))
             Some(OuterPlan(Seq(keysB6, hopC), Seq(bRel, cRel),
-              Some((bRel, cEdge.parentCol))))
+              Seq((bRel, cEdge.parentCol))))
           }
         Seq(orphanBWithC, orphanBNoC, orphanC).flatten
       case None =>
@@ -2999,7 +3096,7 @@ object SqlCompiler {
             isRoot = true, setSemantics = true),
           keyOnlyRows = true)
         OuterPlan(Seq(keys, hop), Seq(edge.parent, r),
-          Some((edge.parent, edge.parentCol)))
+          Seq((edge.parent, edge.parentCol)))
       }
     }
     })

@@ -9,10 +9,14 @@ import graft.sources.Bucketing
   * join key, then every join on that key plans with ZERO shuffle
   * exchanges — the storage layout IS the partitioning. */
 class BucketingSpec extends AnyFunSuite {
-  import SparkTestSession.{spark, sfTiny}
+  import SparkTestSession.sfTiny
+  // a CHILD session: the forced non-broadcast threshold must never
+  // leak into concurrently running suites (plan snapshots read the
+  // shared session's conf) — session-level conf is isolated, the
+  // catalog (bucketed tables) is shared
+  private val spark = SparkTestSession.spark.newSession()
 
   test("join of two tables bucketed on the join key plans without a shuffle") {
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
       Bucketing.writeBucketed(
@@ -36,7 +40,6 @@ class BucketingSpec extends AnyFunSuite {
       assert(shuffles.isEmpty,
         s"bucketed join must not shuffle, found: ${shuffles.map(_.nodeName)}")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }

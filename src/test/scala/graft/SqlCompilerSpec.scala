@@ -2216,6 +2216,49 @@ class SqlCompilerSpec extends AnyFunSuite {
     assert(exDel.getMessage.contains("references no relation"), exDel.getMessage)
   }
 
+  test("pair-star FULL OUTER: boundaries off two core relations equal stock SQL") {
+    val sql =
+      """SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+        | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS li_e2
+        |FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
+        |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin
+    // PAIR-EMPTINESS is the class this shape adds: nation 1 loses ALL
+    // suppliers, so its customers produce NO core rows and their
+    // orders must orphan (NULL n_name groups) — SQL's nested answer
+    val deletes = Map(
+      "customer" -> (col("c_custkey") % 13 === 0),
+      "supplier" -> ((col("s_suppkey") % 5 === 0) || (col("s_nationkey") === 1)),
+      "orders" -> (col("o_orderkey") % 7 === 0),
+      "lineitem" -> (col("l_linenumber") =!= 1))
+    val got = SqlCompiler.run(s, d, sql, deletes)
+    val ss = s.newSession()
+    Seq("nation", "customer", "supplier", "orders", "lineitem").foreach { t =>
+      val base = Tables.load(ss, d, t)
+      deletes.get(t).map(c => base.filter(!c)).getOrElse(base)
+        .createOrReplaceTempView(t)
+    }
+    val want = ss.sql(sql)
+    val gotC = got.collect().map(_.toSeq).toSet
+    val wantC = want.collect().map(_.toSeq).toSet
+    assert(gotC == wantC, s"missing ${(wantC -- gotC).take(3)} extra ${(gotC -- wantC).take(3)}")
+    // the orphaned-orders direction really fired (NULL core groups)
+    assert(gotC.exists(r => r.head == null && r(1) != null))
+    // subquery gates on a pair-star stay loudly fenced
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
+      """SELECT n_name, COUNT(*) AS n FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+        |GROUP BY n_name""".stripMargin))
+    assert(ex.getMessage.contains("pair-star"), ex.getMessage)
+  }
+
   test("derived tables lift to anonymous CTEs; subquery predicates stay put") {
     Seq("nation", "customer", "orders").foreach(t =>
       Tables.load(s, d, t).createOrReplaceTempView(t))
