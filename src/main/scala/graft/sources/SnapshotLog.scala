@@ -267,6 +267,77 @@ object SnapshotLog {
       contentDigest(keyed.select(col(key))), dv)
   }
 
+  /** DV-AWARE DELETE POLICY — the compaction trade every lakehouse
+    * table faces: stacking deletion vectors keeps a delete commit
+    * O(|deleted keys|) but taxes EVERY subsequent read with one more
+    * anti-join side, while materializing (rewriting the touched
+    * buckets) pays the write once and clears the read-side debt. This
+    * picks per commit, from the manifests plus parquet metadata
+    * counts (no data scan):
+    *
+    *  - STACK (commitDeleteVector) while every touched bucket stays
+    *    under `maxStackedDvs` pending vector dirs AND the touched
+    *    buckets' pending+new tombstones stay under `maxTombstoneRatio`
+    *    of their raw row count;
+    *  - REWRITE (a D-change-set commitMerge) past either bound — the
+    *    copy-on-write path materializes every pending tombstone on
+    *    the buckets it rewrites, so their read plans drop to plain
+    *    scans again.
+    *
+    * Returns the mode chosen ("stack" | "rewrite") so callers and the
+    * gated entry can assert the storage shape. At 100 TB both bounds
+    * matter: stacked-vector COUNT prices the read-side plan tax
+    * (joins per scan), the ratio prices wasted I/O (dead rows read
+    * then dropped). */
+  def commitDeleteAuto(spark: SparkSession, root: String, v: Int, key: String,
+                       payloadCols: Seq[String], deleteKeys: DataFrame,
+                       maxStackedDvs: Int = 3,
+                       maxTombstoneRatio: Double = 0.2): String = {
+    val prevDv = readDv(root, v - 1)
+    val keyed = deleteKeys.select(col(key)).distinct()
+      .withColumn("b", pmod(col(key), lit(Buckets))).persist()
+    try {
+      val touched = keyed.select(col("b").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ Buckets ints
+      require(touched.nonEmpty, "empty delete set — nothing to commit")
+      val stacked = touched.map(b => prevDv.getOrElse(b, Nil).size).max
+      val newCnt = keyed.count()
+      val pendingDirs = touched.toSeq.flatMap(b => prevDv.getOrElse(b, Nil)).distinct
+      // metadata-only counts: a filterless parquet count reads row-group
+      // footers, and the raw (pre-DV) bucket count over-counts live
+      // rows only by the tombstones themselves — conservative for a
+      // policy heuristic, never a table scan
+      val pendingCnt = pendingDirs.map(d0 => spark.read.parquet(d0).count()).sum
+      val m = readManifest(root, v - 1).filter { case (b, dir) =>
+        touched(b) && new java.io.File(s"$dir/b=$b").exists() }
+      val rawCnt = if (m.isEmpty) 0L else readBuckets(spark, m).count()
+      val overStack = stacked + 1 > maxStackedDvs
+      val overRatio = rawCnt > 0 &&
+        (newCnt + pendingCnt).toDouble / rawCnt > maxTombstoneRatio
+      if (!overStack && !overRatio) {
+        commitDeleteVector(spark, root, v, key, keyed.select(col(key)))
+        "stack"
+      } else {
+        // the D change set carries the pre-images' payload (bucket-
+        // pruned read); commitMerge's rewrite then materializes EVERY
+        // pending tombstone on the touched buckets and drops their
+        // coverage
+        val changes = preImages(spark, root, v - 1, key, keyed.select(col(key)))
+          .select(col(key) +: lit("D").as("op") +: payloadCols.map(col): _*)
+          .persist()
+        try {
+          if (changes.isEmpty) { // every key phantom: nothing to rewrite
+            commitDeleteVector(spark, root, v, key, keyed.select(col(key)))
+            "stack"
+          } else {
+            commitMerge(spark, root, v, key, payloadCols, changes)
+            "rewrite"
+          }
+        } finally { changes.unpersist(); () }
+      }
+    } finally { keyed.unpersist(); () }
+  }
+
   // ---- CHECK constraints (write-path governance) -----------------------
 
   private def constraintsPath(root: String) = s"$root/_constraints.json"
@@ -1648,6 +1719,44 @@ object SnapshotLog {
         require(dv2.nonEmpty && dv2.keySet.subsetOf(dv1.keySet) && dv2 != dv1,
           s"v2 must keep tombstones only on unrewritten buckets (v1=${dv1.keySet}, v2=${dv2.keySet})")
         readVersion(s, root, 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // DV-AWARE COMPACTION POLICY — three delete commits aimed at ONE
+    // bucket (residues 0/16/32 mod 160 all hash to bucket 0) under a
+    // two-vector stacking budget: the first two STACK (merge-on-read
+    // tombstone dirs, no bucket rewritten), the third trips the budget
+    // and REWRITES — materializing both pending vectors and dropping
+    // the bucket's read-side join tax. The fn asserts the mode
+    // sequence AND the storage shape per version (v1/v2 wrote only dv
+    // dirs; v3 wrote a data dir and bucket 0's dv coverage is gone);
+    // the gate proves the policy never changed the answer.
+    sql("snapshot_dv_compaction_policy",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 160 NOT IN (0, 16, 32)""".stripMargin) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_dvpol").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        def del(v: Int, residue: Int): String =
+          commitDeleteAuto(s, root, v, "o_orderkey", payload,
+            orders.filter(col("o_orderkey") % 160 === residue).select("o_orderkey"),
+            maxStackedDvs = 2, maxTombstoneRatio = 0.5)
+        val modes = Seq(del(1, 0), del(2, 16), del(3, 32))
+        require(modes == Seq("stack", "stack", "rewrite"),
+          s"policy must stack twice then rewrite, chose $modes")
+        def dirsOf(v: Int) = new java.io.File(root).listFiles().map(_.getName)
+          .filter(n => n.startsWith(s"v$v") && !n.startsWith("_")).toSeq
+        require(dirsOf(1).forall(_.startsWith("v1dv")) &&
+          dirsOf(2).forall(_.startsWith("v2dv")),
+          "stacked commits must write tombstone dirs only")
+        require(dirsOf(3).nonEmpty && !dirsOf(3).exists(_.startsWith("v3dv")),
+          s"the rewrite commit must write a data dir, wrote ${dirsOf(3)}")
+        require(!readDv(root, 3).contains(0),
+          "the rewrite must materialize and drop bucket 0's tombstones")
+        readVersion(s, root, 3)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             snap2(col("o_totalprice")).as("o_totalprice"))
     },

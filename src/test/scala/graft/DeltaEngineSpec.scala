@@ -11,7 +11,7 @@ import graft.streaming.DeltaEngine._
   * These are exactly the bug classes the reference itself has (quirks
   * Q1–Q6).
   */
-class DeltaEngineSpec extends AnyFunSuite {
+class DeltaEngineSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
 
   /** Net signed multiset of emitted rows — the spec-side fold every
     * engine test compares on (nonzero nets only). */

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-class RelationalSpec extends AnyFunSuite {
+class RelationalSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
   import SparkTestSession.{spark, sfTiny}
 
   test("every registered query runs, has a schema, and plans no nested loop") {

@@ -498,6 +498,40 @@ class SnapshotLogSpec extends AnyFunSuite {
     intercept[Exception] { live(1).collect() }
   }
 
+  test("commitDeleteAuto pins the policy boundary: stack budget, ratio, phantom keys") {
+    // keys 0..47 → 3 rows per bucket (pmod 16)
+    def base48 = (0L until 48L).map(k => (k, k * 1.0, s"r$k")).toDF("k", "price", "tag")
+    def freshRoot(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val root = freshRoot("graft_dvpol_stack")
+    SnapshotLog.commitInitial(base48, root, "k")
+    // stacking budget 1: first bucket-0 delete stacks, second rewrites
+    def del(r: String, v: Int, keys: Seq[Long], maxStacked: Int = 1,
+            ratio: Double = 0.9): String =
+      SnapshotLog.commitDeleteAuto(spark, r, v, "k", Seq("price", "tag"),
+        keys.toDF("k"), maxStackedDvs = maxStacked, maxTombstoneRatio = ratio)
+    assert(del(root, 1, Seq(16L)) == "stack")
+    assert(del(root, 2, Seq(32L)) == "rewrite")
+    assert(SnapshotLog.readVersion(spark, root, 2)
+      .filter(col("k").isin(16L, 32L)).isEmpty)
+    assert(!new java.io.File(root).listFiles().map(_.getName)
+      .exists(_.startsWith("v2dv")))
+    // ratio boundary: deleting 2 of a bucket's 3 rows exceeds 0.5 even
+    // with zero stacked vectors → immediate rewrite
+    val root2 = freshRoot("graft_dvpol_ratio")
+    SnapshotLog.commitInitial(base48, root2, "k")
+    assert(del(root2, 1, Seq(0L, 16L), maxStacked = 5, ratio = 0.5) == "rewrite")
+    // …while the same delete under a lax ratio stacks
+    val root3 = freshRoot("graft_dvpol_lax")
+    SnapshotLog.commitInitial(base48, root3, "k")
+    assert(del(root3, 1, Seq(0L, 16L), maxStacked = 5, ratio = 0.9) == "stack")
+    // phantom keys past the stacking budget cannot rewrite (no
+    // pre-images) — they fall back to a tombstone no-op commit
+    assert(del(root3, 2, Seq(999L), maxStacked = 5) == "stack")
+    assert(del(root3, 3, Seq(998L), maxStacked = 1) == "stack")
+    assert(SnapshotLog.readVersion(spark, root3, 3).count() == 46)
+  }
+
   test("maintained FK audit: parent-delete and child-change deltas fold to the rescan") {
     val pRoot = java.nio.file.Files.createTempDirectory("graft_fk_p").toString
     val cRoot = java.nio.file.Files.createTempDirectory("graft_fk_c").toString

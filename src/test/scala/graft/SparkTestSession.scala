@@ -6,10 +6,14 @@ import org.apache.spark.sql.SparkSession
   * active session across suites; tearing it down per-suite thrashes). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // local[16]: every suite shares this ONE context, and with the
+    // suites (and the heavy suites' tests) running in parallel,
+    // 4 executor threads were the whole run's throughput ceiling —
+    // the 20-minute wall was scheduler starvation, not test work
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[16]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{IncrementalQueries, SqlCompiler}
 
-class SqlCompilerSpec extends AnyFunSuite {
+class SqlCompilerSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
   private def s = SparkTestSession.spark
   private val d = SparkTestSession.sfTiny
 
@@ -1698,20 +1698,21 @@ class SqlCompilerSpec extends AnyFunSuite {
       val mod = 5 + rnd.nextInt(10)
       val res = rnd.nextInt(mod)
       val dels = Map("customer" -> (col("c_custkey") % mod === res))
-      // stock reference: spark.sql's own set op over the SURVIVOR views
-      Tables.load(s, d, "nation").createOrReplaceTempView("nation")
-      Tables.load(s, d, "customer").filter(col("c_custkey") % mod =!= res)
+      // stock reference: spark.sql's own set op over the SURVIVOR
+      // views, bound in a CHILD session so concurrently running tests
+      // (ParallelTestExecution) never see the filtered binding
+      val sref = s.newSession()
+      Tables.load(sref, d, "nation").createOrReplaceTempView("nation")
+      Tables.load(sref, d, "customer").filter(col("c_custkey") % mod =!= res)
         .createOrReplaceTempView("customer")
       for (op <- Seq("INTERSECT", "EXCEPT")) {
-        val want = s.sql(s"$lhs\n$op\n$rhs")
+        val want = sref.sql(s"$lhs\n$op\n$rhs")
           .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
         val got = SqlCompiler.compileSetOp(s, d, s"$lhs\n$op\n$rhs")
           .run(s, d, dels)
           .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
         assert(got == want, s"trial $trial $op (mod=$mod res=$res)")
       }
-      // restore the base view for other tests that may resolve it
-      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
     }
   }
 
@@ -1761,16 +1762,19 @@ class SqlCompilerSpec extends AnyFunSuite {
         |       top_order, bottom_order, n_rows
         |FROM ab JOIN md ON ab.n_name = md.n_name
         |        JOIN qq ON ab.n_name = qq.n_name""".stripMargin
-    Seq("nation", "customer").foreach(t =>
-      Tables.load(s, d, t).createOrReplaceTempView(t))
     val rnd = new scala.util.Random(20260815L)
     for (trial <- 0 until 3) {
       val mod = 4 + rnd.nextInt(9)
       val res = rnd.nextInt(mod)
       val dels = Map("orders" -> (col("o_orderkey") % mod === res))
-      Tables.load(s, d, "orders").filter(col("o_orderkey") % mod =!= res)
+      // child session: the filtered survivor view must not race
+      // concurrently running tests that bind the same names
+      val sref = s.newSession()
+      Seq("nation", "customer").foreach(t =>
+        Tables.load(sref, d, t).createOrReplaceTempView(t))
+      Tables.load(sref, d, "orders").filter(col("o_orderkey") % mod =!= res)
         .createOrReplaceTempView("surv_orders")
-      val want = s.sql(reference).orderBy("n_name").collect().toSeq
+      val want = sref.sql(reference).orderBy("n_name").collect().toSeq
       val got = SqlCompiler.run(s, d, maintained, deletes = dels)
         .orderBy("n_name").collect().toSeq
       assert(got == want, s"trial $trial (mod=$mod res=$res)")
@@ -1779,12 +1783,14 @@ class SqlCompilerSpec extends AnyFunSuite {
 
 
   test("window SELECT items decorate the maintained view; the fences stay loud") {
-    // maintained-with-deletes == stock windows over the survivor recompute
+    // maintained-with-deletes == stock windows over the survivor
+    // recompute, in a child session (parallel-suite isolation)
+    val sref = s.newSession()
     Seq("nation", "customer").foreach(t =>
-      Tables.load(s, d, t).createOrReplaceTempView(t))
-    Tables.load(s, d, "orders").filter(col("o_orderkey") % 7 =!= 0)
+      Tables.load(sref, d, t).createOrReplaceTempView(t))
+    Tables.load(sref, d, "orders").filter(col("o_orderkey") % 7 =!= 0)
       .createOrReplaceTempView("surv_orders")
-    val want = s.sql(
+    val want = sref.sql(
       """SELECT n_name, o_orderpriority, price_e2,
         | RANK() OVER (PARTITION BY n_name ORDER BY price_e2 DESC, o_orderpriority) AS prio_rank,
         | SUM(price_e2) OVER (PARTITION BY n_name) AS nation_total_e2
@@ -1845,15 +1851,16 @@ class SqlCompilerSpec extends AnyFunSuite {
         | AND CAST(round(o_totalprice * 100, 0) AS BIGINT) >
         |     (SELECT AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT)) FROM orders)
         |GROUP BY n_name""".stripMargin
-    Seq("nation", "customer").foreach(t =>
-      Tables.load(s, d, t).createOrReplaceTempView(t))
     val rnd = new scala.util.Random(20260816L)
     for (trial <- 0 until 3) {
       val mod = 4 + rnd.nextInt(9)
       val res = rnd.nextInt(mod)
-      Tables.load(s, d, "orders").filter(col("o_orderkey") % mod =!= res)
+      val sref = s.newSession() // parallel-suite isolation
+      Seq("nation", "customer").foreach(t =>
+        Tables.load(sref, d, t).createOrReplaceTempView(t))
+      Tables.load(sref, d, "orders").filter(col("o_orderkey") % mod =!= res)
         .createOrReplaceTempView("surv_orders")
-      val want = s.sql(
+      val want = sref.sql(
         """SELECT n_name, COUNT(*) AS n_big
           |FROM nation JOIN customer ON c_nationkey = n_nationkey
           | JOIN surv_orders ON o_custkey = c_custkey

@@ -10,7 +10,7 @@ import graft.streaming.DeltaEngine._
   * batches by the state store. Net leaf deltas must cancel to the
   * surviving view.
   */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
   import SparkTestSession.spark
 
   private val parentSpec = NodeSpec("P", "pk", "pk", isRoot = true, setSemantics = true)
