@@ -112,7 +112,13 @@ object SparkEntry {
       // round 12: the star double FULL OUTER maintained view (the
       // per-boundary-product factorization — its cost IS the pair
       // tree plus five gated plans in one entry)
-      "incremental_sql_q10_fullouter_star")
+      "incremental_sql_q10_fullouter_star",
+      // round 13: bounded WITH RECURSIVE — the checkpointed BFS
+      // fixpoint over the 2.4M-edge co-purchase graph (per-round
+      // frontier join + distinct + lineage truncation priced
+      // end-to-end; the pair-star entry stays OFF this list — its
+      // cost is the quadratic pair product, gated at sf0.01)
+      "incremental_sql_recursive_paths")
     val have = queries.keySet
     preferred.filter(have)
   }

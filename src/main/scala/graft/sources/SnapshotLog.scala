@@ -1950,10 +1950,11 @@ object SnapshotLog {
           readVersion(s, branch, 1), "o_orderkey", payload)
         commitMerge(s, root, 2, "o_orderkey", payload, landing)
         val rebuild = viewOver(readVersion(s, root, 2))
-        val got = refresh.collect().map(_.toString).sorted
-        val want = rebuild.collect().map(_.toString).sorted
-        require(java.util.Arrays.equals(got.asInstanceOf[Array[AnyRef]],
-            want.asInstanceOf[Array[AnyRef]]),
+        // DISTRIBUTED equality (the idiom a 100 TB view needs): two
+        // bag-difference emptiness probes, each a limit-1 anti check —
+        // neither side is ever collected to the driver
+        require(refresh.exceptAll(rebuild).isEmpty &&
+            rebuild.exceptAll(refresh).isEmpty,
           "branch-maintained view refresh diverged from the source rebuild " +
             "after merge-back — the CDC loop leaked state")
         dropBranch(root, branch) // release the pin: the loop is closed

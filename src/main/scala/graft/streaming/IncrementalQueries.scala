@@ -5578,10 +5578,13 @@ object IncrementalQueries {
     // customer delete orphans its orders even though orders' own
     // changelog never fires, and a nation losing all suppliers
     // orphans its customers' orders by PAIR-EMPTINESS, SQL's exact
-    // answer). Deletes on all four non-dim relations; the
-    // boundary-shrinking predicates ride as changelog deletes, which
-    // is what keeps the pair product bounded at any SF. DuckDB runs
-    // the literal nested double FULL JOIN natively.
+    // answer). Deletes on all four non-dim relations. The relation
+    // overrides shrink both boundary facts, but the view's cost is
+    // inherently the per-nation trunk×branch PRODUCT the query asks
+    // for (~290M joined rows at sf0.1, ~90 s) — quadratic in SF like
+    // any shared-dimension product, so it is correctness-gated at
+    // sf0.01 and deliberately NOT a bench headliner. DuckDB runs the
+    // literal nested double FULL JOIN natively.
     sql("incremental_sql_q10_fullouter_star_pair", pairStarOracle) {
       (s, dir) => SqlCompiler.compileOver(s, dir, pairStarSql, pairStarOverrides)
         .run(s, dir, pairStarDeletes)
@@ -5596,6 +5599,16 @@ object IncrementalQueries {
         SqlCompiler.compileOver(s, dir, pairStarSql, pairStarOverrides),
         dir, pairStarDeletes,
         "incremental_sql_q10_fullouter_star_pair_stream_leaf")
+    },
+
+    // … and on the TRANSFORMWITHSTATE drivers — the pair product plus
+    // all five factorized plans' state on the supported arbitrary-
+    // state API, same oracle: three state implementations, one truth.
+    sql("incremental_sql_q10_fullouter_star_pair_tws", pairStarOracle) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarSql, pairStarOverrides),
+        dir, pairStarDeletes,
+        "incremental_sql_q10_fullouter_star_pair_tws_leaf", tws = true)
     },
 
     // Star boundaries under an inner CHAIN (region→nation): the five
@@ -6440,6 +6453,32 @@ object IncrementalQueries {
           "customer" -> (col("c_custkey") % 13 === 0),
           "supplier" -> (col("s_suppkey") % 7 === 0)),
         "incremental_sql_cte_union_distinct_stream")
+    },
+
+    // … and on the TWS drivers: the set-CTE's branch trees + netting
+    // node replay through transformWithState, same oracle.
+    sql("incremental_sql_cte_union_distinct_tws",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0),
+        |nat AS (
+        | SELECT n_name FROM nation JOIN c ON c_nationkey = n_nationkey
+        | WHERE c_acctbal > 8000
+        | UNION
+        | SELECT n_name FROM nation JOIN s ON s_nationkey = n_nationkey
+        | WHERE s_acctbal > 5000)
+        |SELECT COUNT(*) AS n_nations FROM nat""".stripMargin) {
+      (s, dir) => runCteStreamed(s,
+        """WITH nat AS (
+          | SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+          | WHERE c_acctbal > 8000
+          | UNION
+          | SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+          | WHERE s_acctbal > 5000)
+          |SELECT COUNT(*) AS n_nations FROM nat""".stripMargin,
+        dir, Map(
+          "customer" -> (col("c_custkey") % 13 === 0),
+          "supplier" -> (col("s_suppkey") % 7 === 0)),
+        "incremental_sql_cte_union_distinct_tws", tws = true)
     },
 
     // DERIVED TABLE spelling of the same composition: an aliased
