@@ -2603,6 +2603,61 @@ object IncrementalQueries {
         |WHERE s_acctbal > 5000""".stripMargin)(
       (s, d) => incrementalSqlUnionDistinctStream(s, d, tws = true)),
 
+    // MIXED union ASSOCIATION under set semantics: a parenthesized
+    // UNION ALL group beneath a set UNION flattens exactly under the
+    // netting node (DISTINCT of any ⊎/DISTINCT tree = DISTINCT of its
+    // leaves), so `(A UNION ALL B) UNION C` compiles — the r12
+    // "parenthesize to fix the association" fence, now a plan. The
+    // converse (a set group under UNION ALL) stays fenced: it does
+    // not collapse.
+    sql("incremental_sql_union_mixed",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM (
+        | SELECT n_name FROM nation JOIN c ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal > 8000
+        | UNION ALL
+        | SELECT n_name FROM nation JOIN s ON s_nationkey = n_nationkey
+        |  WHERE s_acctbal > 5000) u
+        |UNION
+        |SELECT n_name FROM nation JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 9000""".stripMargin) {
+      (s, dir) => SqlCompiler.compileUnionDistinct(s, dir,
+        """(SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+          |  WHERE c_acctbal > 8000
+          | UNION ALL
+          | SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+          |  WHERE s_acctbal > 5000)
+          |UNION
+          |SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+          |WHERE s_acctbal > 9000""".stripMargin)
+        .run(s, dir, setOpDeletes)
+    },
+
+    sql("incremental_sql_union_mixed_stream",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0)
+        |SELECT n_name FROM (
+        | SELECT n_name FROM nation JOIN c ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal > 8000
+        | UNION ALL
+        | SELECT n_name FROM nation JOIN s ON s_nationkey = n_nationkey
+        |  WHERE s_acctbal > 5000) u
+        |UNION
+        |SELECT n_name FROM nation JOIN s ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 9000""".stripMargin) {
+      (s, dir) => streamUnionDistinct(s, SqlCompiler.compileUnionDistinct(s, dir,
+        """(SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+          |  WHERE c_acctbal > 8000
+          | UNION ALL
+          | SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+          |  WHERE s_acctbal > 5000)
+          |UNION
+          |SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+          |WHERE s_acctbal > 9000""".stripMargin),
+        dir, setOpDeletes, "incremental_sql_union_mixed_stream_leaf")
+    },
+
     // INTERSECT's liveness-gated hop on the TWS drivers, same oracle
     // as incremental_sql_intersect.
     sql("incremental_sql_intersect_tws",

@@ -195,12 +195,50 @@ object SqlCompiler {
     * still produces it. `UNION DISTINCT` spells the same thing. */
   def compileUnionDistinct(spark: SparkSession, dir: String,
                            sqlText: String): CompiledUnionDistinct = {
-    val parts = splitTopLevelUnionDistinct(sqlText)
+    val parts = splitTopLevelUnionDistinct(sqlText).flatMap(flattenUnionGroup)
     if (parts.size < 2)
       fail("compileUnionDistinct expects a top-level UNION of two or more queries")
     val cs = parts.map(p => compile(spark, dir, p))
     checkSetBranches(cs, "UNION")
     CompiledUnionDistinct(cs)
+  }
+
+  /** Flatten a PARENTHESIZED union group under a set-semantics UNION:
+    * `(A UNION ALL B) UNION C` — and any deeper nesting of either
+    * union kind — collapses exactly under the outer netting node,
+    * because DISTINCT of any tree of ⊎/DISTINCT equals DISTINCT of
+    * all its leaves. (The converse, a set-semantics group under
+    * UNION ALL, does NOT collapse — compileUnionAll keeps its fence.) */
+  private def flattenUnionGroup(p: String): Seq[String] =
+    stripOuterParens(p) match {
+      case Some(inner) =>
+        val (ps, _) = splitTopLevelUnion(inner)
+        if (ps.size <= 1) Seq(inner) else ps.flatMap(flattenUnionGroup)
+      case None => Seq(p)
+    }
+
+  /** The text without its single outer paren pair, when the trimmed
+    * text is exactly `( ... )` with that pair matching (string-aware);
+    * None otherwise. */
+  private def stripOuterParens(p0: String): Option[String] = {
+    val p = p0.trim
+    if (!p.startsWith("(")) return None
+    var i = 1
+    var depth = 1
+    var inStr = false
+    while (i < p.length && depth > 0) {
+      val c = p.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth == 0 && p.substring(i).trim.isEmpty) Some(p.substring(1, i - 1))
+    else None
   }
 
   /** The cross-branch alignment every set-semantics composition

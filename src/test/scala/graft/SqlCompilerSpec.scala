@@ -1683,6 +1683,34 @@ class SqlCompilerSpec extends AnyFunSuite with org.scalatest.ParallelTestExecuti
     assert(exCmt.getMessage.contains("top-level INTERSECT"), exCmt.getMessage)
   }
 
+  test("mixed union association: parenthesized UNION ALL groups flatten under set UNION") {
+    val text =
+      """(SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal > 8000
+        | UNION ALL
+        | SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |  WHERE s_acctbal > 5000)
+        |UNION
+        |SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 9000""".stripMargin
+    val c = SqlCompiler.compileUnionDistinct(s, d, text)
+    assert(c.branches.size == 3) // the group flattened into the netting node
+    val got = c.run(s, d).orderBy("n_name").collect().map(_.getString(0)).toSeq
+    val sref = s.newSession()
+    Seq("nation", "customer", "supplier").foreach(t =>
+      Tables.load(sref, d, t).createOrReplaceTempView(t))
+    val want = sref.sql(text).orderBy("n_name").collect().map(_.getString(0)).toSeq
+    assert(got == want && got.nonEmpty)
+    // the converse does NOT collapse: a set group under UNION ALL
+    val ex = intercept[IllegalArgumentException](SqlCompiler.compileUnionAll(s, d,
+      """(SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | UNION
+        | SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey)
+        |UNION ALL
+        |SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey""".stripMargin))
+    assert(ex.getMessage.nonEmpty)
+  }
+
   test("PROPERTY: set ops equal stock spark.sql across random delete sets, multi-column too") {
     // two-column outputs (the row-identity canon must agree on every
     // column) over branches sharing a relation; random delete
