@@ -2292,6 +2292,37 @@ class SqlCompilerSpec extends AnyFunSuite with org.scalatest.ParallelTestExecuti
         |WHERE EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
         |GROUP BY n_name""".stripMargin))
     assert(ex.getMessage.contains("pair-star"), ex.getMessage)
+
+    // CHAIN PREFIX above the bridge: region→nation→{customer,supplier}
+    // core — a REGION delete must orphan its nations' customers' orders
+    // and suppliers' lineitems transitively (the orphan key nodes ride
+    // the core's pair emissions, which fold the whole prefix)
+    val sqlR =
+      """SELECT r_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
+        |GROUP BY r_name, o_orderpriority, l_returnflag""".stripMargin
+    val deletesR = Map(
+      "region" -> (col("r_regionkey") === 2),
+      "customer" -> (col("c_custkey") % 13 === 0),
+      "orders" -> (col("o_orderkey") % 7 === 0),
+      "lineitem" -> (col("l_linenumber") =!= 1))
+    val gotR = SqlCompiler.run(s, d, sqlR, deletesR)
+    val ssR = s.newSession()
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem").foreach { t =>
+      val base = Tables.load(ssR, d, t)
+      deletesR.get(t).map(c => base.filter(!c)).getOrElse(base)
+        .createOrReplaceTempView(t)
+    }
+    val gotRC = gotR.collect().map(_.toSeq).toSet
+    val wantRC = ssR.sql(sqlR).collect().map(_.toSeq).toSet
+    assert(gotRC == wantRC,
+      s"missing ${(wantRC -- gotRC).take(3)} extra ${(gotRC -- wantRC).take(3)}")
+    assert(gotRC.exists(r => r.head == null)) // orphan classes fired
   }
 
   test("derived tables lift to anonymous CTEs; subquery predicates stay put") {
