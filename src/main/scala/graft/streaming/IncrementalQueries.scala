@@ -5656,6 +5656,43 @@ object IncrementalQueries {
         "incremental_sql_q10_fullouter_star_pair_stream_leaf")
     },
 
+    // WHERE × pair-star: the boundary predicate NULL-rejects every
+    // class whose lineitem side is NULL, so only the pair product,
+    // core⋈lineitem, and lineitem-orphan plans build ({1, 3, 6} of
+    // the matrix — the same per-boundary-product class selection as
+    // the same-parent star, now on the pair shape). The predicate
+    // also lands as a lineitem scan filter.
+    sql("incremental_sql_q10_fullouter_star_pair_filtered",
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0),
+        |     o AS (SELECT * FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 <> 0),
+        |     l AS (SELECT * FROM lineitem
+        |           WHERE l_quantity <= 2 AND l_linenumber <> 3)
+        |SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS ord_e2,
+        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS li_e2
+        |FROM nation JOIN c ON c_nationkey = n_nationkey
+        |JOIN s ON s_nationkey = n_nationkey
+        |FULL JOIN o ON o_custkey = c_custkey
+        |FULL JOIN l ON l_suppkey = s_suppkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin) {
+      (s, dir) => SqlCompiler.compileOver(s, dir,
+        """SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+          | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS ord_e2,
+          | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS li_e2
+          |FROM nation
+          |JOIN customer ON c_nationkey = n_nationkey
+          |JOIN supplier ON s_nationkey = n_nationkey
+          |FULL OUTER JOIN orders ON o_custkey = c_custkey
+          |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin,
+        pairStarOverrides)
+        .run(s, dir, pairStarDeletes)
+    },
+
     // … and on the TRANSFORMWITHSTATE drivers — the pair product plus
     // all five factorized plans' state on the supported arbitrary-
     // state API, same oracle: three state implementations, one truth.
