@@ -19,11 +19,13 @@ import graft.streaming.SqlCompiler.fragment
   *   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *
   *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
   *
-  * ON accepts a CONJUNCTION of alias-qualified equalities as long as
-  * one of them equates the table's bucket key; the rest are residual
-  * match guards (a key-matched row failing them is NOT MATCHED per
-  * SQL — and an INSERT that would then collide with the existing key
-  * is fenced by name). USING accepts a named relation (bound by the
+  * ON accepts a CONJUNCTION of alias-qualified predicates as long as
+  * one of them is an EQUALITY on the table's bucket key; the rest —
+  * equalities or arbitrary predicates (`AND s.ts > t.ts`, the CDC
+  * freshness guard) — are residual match guards (a key-matched row
+  * failing them, or evaluating UNKNOWN, is NOT MATCHED per SQL — and
+  * an INSERT that would then collide with the existing key is fenced
+  * by name). USING accepts a named relation (bound by the
   * caller-passed DataFrame) or a `(subquery)` source, which runs as
   * ordinary Spark SQL and IS the change set.
   *
@@ -60,16 +62,20 @@ object MergeIntoSql {
   /** Extract the text of a `USING (...)` source subquery — the
     * balanced-paren group after the USING keyword, honoring
     * single-quoted strings (Catalyst's parsed plan does not carry the
-    * body text in a runnable form, but the statement text does). */
+    * body text in a runnable form, but the statement text does). The
+    * scan runs on COMMENT-MASKED text (offset-preserving, so the
+    * extracted range maps back to the original) — a leading `--` or
+    * block comment containing `USING (` must not bind the match. */
   private def usingSubqueryText(sqlText: String): Option[String] = {
-    val m = java.util.regex.Pattern.compile("(?is)\\bUSING\\s*\\(").matcher(sqlText)
+    val masked = SqlDml.maskComments(sqlText)
+    val m = java.util.regex.Pattern.compile("(?is)\\bUSING\\s*\\(").matcher(masked)
     if (!m.find()) return None
     var i = m.end()
     var depth = 1
     var inStr = false
     val start = i
-    while (i < sqlText.length && depth > 0) {
-      val c = sqlText.charAt(i)
+    while (i < masked.length && depth > 0) {
+      val c = masked.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
@@ -162,24 +168,35 @@ object MergeIntoSql {
                 payloadCols: Seq[String], target: DataFrame,
                 lookup: DataFrame => DataFrame,
                 providedSource: Option[DataFrame]): DataFrame = {
-    val (tAlias, sAlias, keySource, residualPairs, matched, notMatched, nmbs, source) =
+    val (tAlias, sAlias, keySource, residualPairs, residualExprs,
+         matched, notMatched, nmbs, source) =
       spark.sessionState.sqlParser.parsePlan(sqlText) match {
         case MergeIntoTable(t, s, cond, ma, nma, nmbsa, _) =>
           val (_, ta) = nameAlias(t, "target")
           val (sa, srcDf) = sourceBinding(s, sqlText, spark, providedSource)
           if (ta.toLowerCase == sa.toLowerCase)
             fail(s"target and source aliases collide ('$ta') — alias one of them")
-          // ON: a CONJUNCTION of alias-qualified equalities, one of
-          // which must equate the table's bucket key (the snapshot log
-          // merges by it); the remaining equalities become RESIDUAL
-          // match guards — a key-matched row whose residuals fail is
-          // NOT MATCHED per SQL (and fenced if an INSERT would then
-          // collide with the existing key).
-          def eqPairs(e: Expression): Seq[(String, String)] = e match {
+          // ON: a CONJUNCTION of predicates, one of which must be an
+          // alias-qualified equality on the table's bucket key (the
+          // snapshot log merges by it); every other conjunct —
+          // equality or not (the CDC freshness guard `s.ts > t.ts` is
+          // the canonical range residual) — becomes a RESIDUAL match
+          // guard. A key-matched row whose residuals fail OR evaluate
+          // UNKNOWN is NOT MATCHED per SQL's three-valued ON (and
+          // fenced if an INSERT would then collide with the existing
+          // key).
+          def conjs(e: Expression): Seq[Expression] = e match {
             case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-              eqPairs(l) ++ eqPairs(r)
-            case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
-              if l.nameParts.size == 2 && r.nameParts.size == 2 =>
+              conjs(l) ++ conjs(r)
+            case other => Seq(other)
+          }
+          val (eqConjs, predConjs) = conjs(cond).partition {
+            case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+              l.nameParts.size == 2 && r.nameParts.size == 2
+            case _ => false
+          }
+          val pairs = eqConjs.map {
+            case e @ EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
               val sides = Map(l.nameParts.head.toLowerCase -> l.nameParts.last,
                 r.nameParts.head.toLowerCase -> r.nameParts.last)
               val tc = sides.getOrElse(ta.toLowerCase,
@@ -188,16 +205,16 @@ object MergeIntoSql {
               val sc = sides.getOrElse(sa.toLowerCase,
                 fail(s"ON must equate a $ta column with a $sa column, got " +
                   s"'${fragment(e)}'"))
-              Seq((tc, sc))
-            case other => fail("ON must be a key equality (or a conjunction " +
-              s"of equalities including t.$key = s.<col>), got '${fragment(other)}'")
-          }
-          val pairs = eqPairs(cond).distinct
+              (tc, sc)
+            case other => fail(s"unreachable: $other")
+          }.distinct
+          predConjs.foreach(validateRefs(_, ta, sa,
+            allowTarget = true, allowSource = true))
           val (keyPairs, residuals) = pairs.partition(_._1.toLowerCase == key.toLowerCase)
           if (keyPairs.size != 1)
             fail(s"ON must equate the table's bucket key '$key' exactly once " +
               s"(the snapshot log merges by it), got ${keyPairs.size} key equalities")
-          (ta, sa, keyPairs.head._2, residuals, ma, nma, nmbsa, srcDf)
+          (ta, sa, keyPairs.head._2, residuals, predConjs, ma, nma, nmbsa, srcDf)
         case other => fail(s"expected a MERGE INTO statement, got ${other.nodeName}")
       }
 
@@ -213,14 +230,22 @@ object MergeIntoSql {
         "a NULL key matches nothing and has no bucket; filter or repair " +
         "those rows upstream")
 
-    // SQL:2003 cardinality rule: a duplicate source key would match one
-    // target row twice (and a duplicate unmatched key would insert the
-    // same key twice). One aggregate over the change-set-sized source.
-    val dup = source.groupBy(col(keySource)).count()
-      .filter(col("count") > 1).limit(1).collect() // bounded: ≤ 1 row
-    if (dup.nonEmpty)
-      fail(s"MERGE cardinality violation: source key ${dup.head.get(0)} " +
-        s"occurs ${dup.head.getLong(1)} times")
+    // SQL:2003 cardinality rule. Without ON residuals a duplicate
+    // source KEY is already a violation (both rows would act on the
+    // same target row / insert the same key) — one aggregate over the
+    // change-set-sized source catches it before any join. WITH
+    // residuals, duplicate keys are SQL-legal when the residuals
+    // disambiguate (the stated use case for composite ON) — the check
+    // moves to the RESOLVED change set below: any key receiving more
+    // than one action is the violation.
+    val hasResiduals = residualPairs.nonEmpty || residualExprs.nonEmpty
+    if (!hasResiduals) {
+      val dup = source.groupBy(col(keySource)).count()
+        .filter(col("count") > 1).limit(1).collect() // bounded: ≤ 1 row
+      if (dup.nonEmpty)
+        fail(s"MERGE cardinality violation: source key ${dup.head.get(0)} " +
+          s"occurs ${dup.head.getLong(1)} times")
+    }
 
     def guard(base: Column, cond: Option[Expression],
               allowTarget: Boolean, allowSource: Boolean) = {
@@ -254,11 +279,21 @@ object MergeIntoSql {
       outCols.map(c => c -> asg.getOrElse(c, typedNull(c))).toMap
     }
 
-    // a key-matched row must also satisfy the ON residual equalities to
-    // be MATCHED; a NULL residual routes the row to NO clause (SQL's
-    // three-valued ON — neither guard proves true)
-    val matchedFlag = residualPairs
-      .map { case (tc, sc) => col(s"$tAlias.$tc") === col(s"$sAlias.$sc") }
+    // the ON residuals as raw (three-valued) predicates — reused by
+    // the NOT-MATCHED-BY-SOURCE anti condition, where a NULL already
+    // routes to "no match" (kept by the anti) without any coalesce
+    val residualRaw: Seq[Column] =
+      residualPairs.map { case (tc, sc) =>
+        col(s"$tAlias.$tc") === col(s"$sAlias.$sc") } ++
+      residualExprs.map(e => expr(fragment(e)))
+    // a key-matched row must also satisfy the ON residuals to be
+    // MATCHED; per SQL an UNKNOWN ON means the pair is NOT matched, so
+    // a NULL residual (nullable target/source column) routes to NOT
+    // MATCHED exactly like FALSE — coalesce makes ¬matched TRUE there,
+    // letting NOT MATCHED INSERT fire (and reach the key-collision
+    // fence) instead of silently dropping the row
+    val matchedFlag = residualRaw
+      .map(c => coalesce(c, lit(false)))
       .foldLeft(col(s"__graft_tkey").isNotNull)(_ && _)
     val sourceClauses: Seq[Clause] =
       matched.map {
@@ -315,20 +350,37 @@ object MergeIntoSql {
         // NOT MATCHED per SQL — but an INSERT firing for it would
         // collide with the key the table already holds (the keyed-table
         // invariant every read path relies on). Fence it by name.
-        if (residualPairs.nonEmpty && notMatched.nonEmpty) {
-          val r = resolve(joined.withColumn("__graft_keypresent",
-              col("__graft_tkey").isNotNull),
-            sourceClauses, Seq("__graft_keypresent"))
-          val bad = r.filter(col("op") === "I" && col("__graft_keypresent"))
-            .select(col(key)).limit(1).collect() // bounded: ≤ 1 row
-          if (bad.nonEmpty)
-            fail(s"MERGE INSERT collides with existing key ${bad.head.get(0)}: " +
-              "the ON residual equalities did not match that target row, so " +
-              "SQL routes the source row to NOT MATCHED — but inserting would " +
-              "duplicate a key the table already holds; refine the ON " +
-              "condition or guard the INSERT clause")
-          Some(r.drop("__graft_keypresent"))
-        } else Some(resolve(joined, sourceClauses))
+        val resolved =
+          if (hasResiduals && notMatched.nonEmpty) {
+            val r = resolve(joined.withColumn("__graft_keypresent",
+                col("__graft_tkey").isNotNull),
+              sourceClauses, Seq("__graft_keypresent"))
+            val bad = r.filter(col("op") === "I" && col("__graft_keypresent"))
+              .select(col(key)).limit(1).collect() // bounded: ≤ 1 row
+            if (bad.nonEmpty)
+              fail(s"MERGE INSERT collides with existing key ${bad.head.get(0)}: " +
+                "the ON residuals did not match that target row, so " +
+                "SQL routes the source row to NOT MATCHED — but inserting would " +
+                "duplicate a key the table already holds; refine the ON " +
+                "condition or guard the INSERT clause")
+            r.drop("__graft_keypresent")
+          } else resolve(joined, sourceClauses)
+        // the residual-aware cardinality rule: duplicate source keys
+        // were admitted above because residuals may disambiguate — any
+        // key that still receives MORE THAN ONE action violates
+        // SQL:2003 (two U's hit one target row twice; two I's would
+        // double-insert the key). One aggregate over the resolved
+        // change set, which is already change-set-sized.
+        if (hasResiduals) {
+          val dup = resolved.groupBy(col(key)).count()
+            .filter(col("count") > 1).limit(1).collect() // bounded: ≤ 1 row
+          if (dup.nonEmpty)
+            fail(s"MERGE cardinality violation: key ${dup.head.get(0)} " +
+              s"receives ${dup.head.getLong(1)} actions — with ON residuals, " +
+              "source rows sharing a key are legal only while at most one " +
+              "of them fires a clause")
+        }
+        Some(resolved)
       }
 
     // NOT MATCHED BY SOURCE quantifies over the whole target — the one
@@ -347,20 +399,24 @@ object MergeIntoSql {
           case other =>
             fail(s"unsupported WHEN NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
         }
-        // residual equalities ride on the anti condition: a target row
-        // whose key appears in the source but whose residuals fail IS
-        // "not matched by source" — a key-only anti would wrongly keep it
-        val srcResCols = residualPairs.map(_._2).distinct
-        val srcKeys = source.select(col(keySource).as(key) +:
-          srcResCols.map(sc => col(sc).as(s"__graft_r_$sc")): _*)
-        val antiCond = residualPairs.foldLeft(
-          col(s"__graft_t.$key") === col(s"__graft_s.$key")) {
-          case (acc, (tc, sc)) =>
-            acc && col(s"__graft_t.$tc") === col(s"__graft_s.__graft_r_$sc")
-        }
-        val anti = target.as("__graft_t")
-          .join(srcKeys.as("__graft_s"), antiCond, "left_anti")
-          .select(struct(outCols.map(c => col(s"__graft_t.$c").as(c)): _*).as(tAlias))
+        // ON residuals ride on the anti condition: a target row whose
+        // key appears in the source but whose residuals fail — or
+        // evaluate UNKNOWN (join-condition NULL is already "no match",
+        // SQL's exact three-valued answer) — IS "not matched by
+        // source"; a key-only anti would wrongly keep it. The source
+        // side is column-pruned to the key plus the residuals' own
+        // source references before the shuffle.
+        val sCols = (keySource +: (residualPairs.map(_._2) ++
+          residualExprs.flatMap(_.collect {
+            case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+              a.nameParts.head.toLowerCase == sAlias.toLowerCase => a.nameParts.last
+          }))).distinct.map(c =>
+            source.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+        val antiCond = residualRaw.foldLeft(
+          col(s"$tAlias.$key") === col(s"$sAlias.$keySource"))(_ && _)
+        val anti = target.as(tAlias)
+          .join(source.select(sCols.map(col): _*).as(sAlias), antiCond, "left_anti")
+          .select(struct(outCols.map(c => col(c).as(c)): _*).as(tAlias))
         Some(resolve(anti, clauses))
       }
 

@@ -1169,6 +1169,44 @@ object SnapshotLog {
             snap2(col("o_totalprice")).as("o_totalprice"))
     },
 
+    // MERGE ON A RESIDUAL RANGE — the classic CDC freshness guard:
+    // `AND s.ts > t.o_totalprice` is a NON-equality ON conjunct, so it
+    // compiles as a residual match guard exactly like residual
+    // equalities. The 'stale' class ships ts BELOW the target's value
+    // → per SQL the pair is NOT matched, its guarded INSERT stays off,
+    // and the row touches nothing; fresh rows carry ts above it and
+    // act. Same applied-changes oracle: the guard's routing must leave
+    // the table byte-identical to the canonical three-class outcome.
+    sql("snapshot_merge_into_residual_range", appliedChangesSql) {
+      (s, d) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_mrange").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        def cls(residue: Int, kind: String, shift: Long, tsOff: Double) =
+          orders.filter(col("o_orderkey") % 160 === residue)
+            .select((col("o_orderkey") + lit(shift)).as("o_orderkey"),
+              lit(kind).as("kind"), lit(1000.0).as("amount"),
+              (col("o_totalprice") + lit(tsOff)).as("ts"),
+              col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        val src = cls(1, "bump", 0L, 1.0)
+          .unionAll(cls(0, "drop", 0L, 1.0))
+          .unionAll(cls(2, "add", 10000000L, 1.0))
+          .unionAll(cls(3, "stale", 0L, -1.0)) // ts below target → not matched
+        MergeIntoSql.commitMergeSql(s, root, 1, "o_orderkey", payload,
+          """MERGE INTO tgt t USING src s
+            |ON t.o_orderkey = s.o_orderkey AND s.ts > t.o_totalprice
+            |WHEN MATCHED AND s.kind = 'bump'
+            |  THEN UPDATE SET o_totalprice = t.o_totalprice + s.amount
+            |WHEN MATCHED AND s.kind = 'drop' THEN DELETE
+            |WHEN NOT MATCHED AND s.kind = 'add'
+            |  THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice)""".stripMargin,
+          src)
+        readVersion(s, root, 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            snap2(col("o_totalprice")).as("o_totalprice"))
+    },
+
     // MERGE USING (SUBQUERY) — the source as a parenthesized query
     // over a caller-bound view instead of a pre-built DataFrame: the
     // subquery body runs as ordinary Spark SQL and IS the change set.

@@ -312,8 +312,13 @@ object SqlDml {
     * SPACES of the same length, honoring single-quoted strings — so
     * offsets into the masked text remain valid in the original and an
     * `AS OF` phrase inside a comment can never bind (or desync the
-    * arity guard against) a time-travel factor. */
-  private def maskComments(sql: String): String = {
+    * arity guard against) a time-travel factor. Shared (`private[graft]`)
+    * with every other text-level SQL scanner in the engine —
+    * [[MergeIntoSql.usingSubqueryText]] and
+    * [[graft.streaming.RecursiveSql]] run the same pass before their
+    * regex / balanced-paren scans, so a comment mentioning `USING (`
+    * or a CTE name can never bind or desync them. */
+  private[graft] def maskComments(sql: String): String = {
     val out = sql.toCharArray
     var i = 0
     var inStr = false

@@ -94,7 +94,8 @@ class MergeIntoSqlSpec extends AnyFunSuite {
       |WHEN NOT MATCHED BY SOURCE AND s.p > 0 THEN DELETE""".stripMargin)
       .contains("no source row"))
     assert(run("""MERGE INTO tgt t USING src s ON t.k < s.k
-      |WHEN MATCHED THEN DELETE""".stripMargin).contains("key equality"))
+      |WHEN MATCHED THEN DELETE""".stripMargin)
+      .contains("bucket key 'k' exactly once"))
     // SQL scoping: a NOT MATCHED clause has no target row
     assert(run("""MERGE INTO tgt t USING src s ON t.k = s.k
       |WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, t.price + s.p)""".stripMargin)
@@ -178,6 +179,104 @@ class MergeIntoSqlSpec extends AnyFunSuite {
         base())
     }
     assert(e.getMessage.contains("subquery IS the source"))
+  }
+
+  test("NULL residual routes to NOT MATCHED like FALSE (never a silent drop)") {
+    val root = freshRoot("graft_msql_nullres")
+    // target tag for key 1 is NULL → the residual t.tag = s.tag is
+    // UNKNOWN; per SQL the pair is NOT matched, so the INSERT fires —
+    // and must reach the loud key-collision fence, not silently no-op
+    SnapshotLog.commitInitial(
+      Seq((1L, 10.0, null.asInstanceOf[String])).toDF("k", "price", "tag"),
+      root, "k")
+    val src = Seq((1L, "t1", 99.0)).toDF("k", "tag", "p")
+    val e = intercept[IllegalArgumentException] {
+      MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+        """MERGE INTO tgt t USING src s ON t.k = s.k AND t.tag = s.tag
+          |WHEN MATCHED THEN UPDATE SET price = s.p
+          |WHEN NOT MATCHED THEN INSERT (k, price, tag) VALUES (s.k, s.p, s.tag)""".stripMargin,
+        src)
+    }
+    assert(e.getMessage.contains("collides with existing key 1"))
+    // without the INSERT clause the row fires no clause at all — the
+    // MERGE's change set is empty, which the commit path reports
+    // LOUDLY (never a silent version mint), and nothing lands
+    val e2 = intercept[IllegalArgumentException] {
+      MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+        """MERGE INTO tgt t USING src s ON t.k = s.k AND t.tag = s.tag
+          |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin, src)
+    }
+    assert(e2.getMessage.contains("empty change set"))
+    assert(!new java.io.File(s"$root/_manifest_v1.json").exists())
+  }
+
+  test("ON residual RANGE predicate is a match guard (the CDC freshness shape)") {
+    val root = freshRoot("graft_msql_range")
+    SnapshotLog.commitInitial(
+      Seq((1L, 10.0, "v5"), (2L, 20.0, "v5")).toDF("k", "price", "tag"),
+      root, "k")
+    // s.ts > CAST(substr(t.tag, 2) AS INT): key 1 carries a FRESHER
+    // source row (ts=9 > 5) → MATCHED UPDATE; key 2's source row is
+    // STALE (ts=3) → not matched, no clause, untouched
+    val src = Seq((1L, 9, 111.0), (2L, 3, 222.0)).toDF("k", "ts", "p")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s
+        |ON t.k = s.k AND s.ts > CAST(substr(t.tag, 2) AS INT)
+        |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin, src)
+    val st = state(root, 1)
+    assert(st(1L) == (111.0, "v5"))
+    assert(st(2L) == (20.0, "v5"))
+  }
+
+  test("ON residual range rides the NOT MATCHED BY SOURCE anti condition") {
+    val root = freshRoot("graft_msql_rangenmbs")
+    SnapshotLog.commitInitial(
+      Seq((1L, 10.0, "v5"), (2L, 20.0, "v5")).toDF("k", "price", "tag"),
+      root, "k")
+    // key 1 has a fresh source row → truly matched, survives; key 2's
+    // source row is stale → "not matched by source" per SQL → deleted
+    val src = Seq((1L, 9, 111.0), (2L, 3, 222.0)).toDF("k", "ts", "p")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s
+        |ON t.k = s.k AND s.ts > CAST(substr(t.tag, 2) AS INT)
+        |WHEN MATCHED THEN UPDATE SET price = s.p
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin, src)
+    val st = state(root, 1)
+    assert(st.keySet == Set(1L) && st(1L) == (111.0, "v5"))
+  }
+
+  test("with ON residuals, duplicate source keys are legal while at most one acts") {
+    val root = freshRoot("graft_msql_dupres")
+    SnapshotLog.commitInitial(base(), root, "k")
+    // two source rows share key 1; the residual (t.tag = s.tag)
+    // disambiguates — only the 'row1' row matches → legal, one UPDATE
+    val ok = Seq((1L, "row1", 111.0), (1L, "other", 222.0)).toDF("k", "tag", "p")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """MERGE INTO tgt t USING src s ON t.k = s.k AND t.tag = s.tag
+        |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin, ok)
+    assert(state(root, 1)(1L) == (111.0, "row1"))
+    // both rows matching the same target row is the SQL:2003 violation
+    val bad = Seq((2L, "row2", 1.0), (2L, "row2", 2.0)).toDF("k", "tag", "p")
+    val e = intercept[IllegalArgumentException] {
+      MergeIntoSql.commitMergeSql(spark, root, 2, "k", Seq("price", "tag"),
+        """MERGE INTO tgt t USING src s ON t.k = s.k AND t.tag = s.tag
+          |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin, bad)
+    }
+    assert(e.getMessage.contains("cardinality"))
+    assert(!new java.io.File(s"$root/_manifest_v2.json").exists())
+  }
+
+  test("a comment containing 'USING (' does not bind the subquery extraction") {
+    val root = freshRoot("graft_msql_comment")
+    SnapshotLog.commitInitial(base(), root, "k")
+    base().createOrReplaceTempView("msql_comment_base")
+    MergeIntoSql.commitMergeSql(spark, root, 1, "k", Seq("price", "tag"),
+      """-- CDC compaction; previously ran USING (SELECT * FROM legacy) s
+        |MERGE INTO tgt t
+        |USING (SELECT k, price * 3 AS p FROM msql_comment_base WHERE k = 1) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin)
+    assert(state(root, 1)(1L) == (30.0, "row1"))
   }
 
   test("UPDATE SET * takes every source column by name") {
