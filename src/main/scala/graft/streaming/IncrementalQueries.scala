@@ -1934,6 +1934,29 @@ object IncrementalQueries {
   private val lineitemCdcCols =
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
 
+  // Reachability from nation-1's suppliers over the customer↔supplier
+  // co-purchase graph — the recursion statement shared by the batch
+  // headliner, its insert-only maintained twin, and (with helpers
+  // split out) the CTE-mix entry. DuckDB (VARCHAR) and Spark (STRING)
+  // spell the cast differently; the statements are otherwise
+  // identical.
+  private def recursivePathsSql(cast: String) =
+    s"""WITH RECURSIVE r AS (
+       | SELECT 's' || CAST(s_suppkey AS $cast) AS node
+       | FROM supplier WHERE s_nationkey = 1
+       | UNION
+       | SELECT e.dst AS node FROM (
+       |  SELECT 'c' || CAST(o_custkey AS $cast) AS src,
+       |         's' || CAST(l_suppkey AS $cast) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  UNION ALL
+       |  SELECT 's' || CAST(l_suppkey AS $cast) AS src,
+       |         'c' || CAST(o_custkey AS $cast) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       | ) e JOIN r ON r.node = e.src
+       |)
+       |SELECT node FROM r""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
 
     // WITH RECURSIVE — linear recursion compiled onto the checkpointed
@@ -1945,38 +1968,71 @@ object IncrementalQueries {
     // truncated per round). Oracle: DuckDB runs the statement's
     // NATIVE recursive CTE — two engines, two recursion runtimes, one
     // fixpoint.
-    sql("incremental_sql_recursive_paths",
+    sql("incremental_sql_recursive_paths", recursivePathsSql("VARCHAR")) {
+      (s, d) => RecursiveSql.run(s, d, recursivePathsSql("STRING"))
+    },
+
+    // … MAINTAINED under an insert-only base changelog: orders and
+    // lineitem arrive in three batches; each batch seeds a semi-naive
+    // frontier from the accumulated closure (per-changed-relation
+    // delta binding — the statement is branch-linear, each relation
+    // occurs once per join scope within a UNION branch) and continues
+    // the SAME checkpointed loop, so per-batch cost is proportional to
+    // the new derivations. The final closure must equal DuckDB's
+    // from-scratch native recursive CTE over the full tables — the
+    // exact twin contract. Deletes stay fenced (re-derivation/DRed).
+    sql("incremental_sql_recursive_paths_stream", recursivePathsSql("VARCHAR")) {
+      (s, d) => RecursiveSql.runIncremental(s, d, recursivePathsSql("STRING"),
+        batches = Seq(
+          Map("orders" -> (col("o_orderkey") % 3 === 0),
+            "lineitem" -> (col("l_orderkey") % 3 === 0)),
+          Map("orders" -> (col("o_orderkey") % 3 === 1),
+            "lineitem" -> (col("l_orderkey") % 3 === 1)),
+          Map("orders" -> (col("o_orderkey") % 3 === 2),
+            "lineitem" -> (col("l_orderkey") % 3 === 2))),
+        deltaLinear = true)
+    },
+
+    // WITH RECURSIVE alongside HELPER CTEs: `edges` (no r reference)
+    // binds before the loop and the recursive term reads it; `reached`
+    // reads r, so it binds after the fixpoint for the outer query.
+    // DuckDB runs the same mixed WITH natively.
+    sql("incremental_sql_recursive_cte_mix",
       """WITH RECURSIVE r AS (
         | SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
         | FROM supplier WHERE s_nationkey = 1
         | UNION
-        | SELECT e.dst AS node FROM (
-        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
-        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |  UNION ALL
-        |  SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-        |         'c' || CAST(o_custkey AS VARCHAR) AS dst
-        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        | ) e JOIN r ON r.node = e.src
+        | SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src
+        |), edges AS (
+        | SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        | UNION ALL
+        | SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), reached AS (
+        | SELECT substr(node, 1, 1) AS kind, COUNT(*) AS n FROM r GROUP BY 1
         |)
-        |SELECT node FROM r""".stripMargin) {
+        |SELECT kind, n FROM reached""".stripMargin) {
       (s, d) => RecursiveSql.run(s, d,
         """WITH RECURSIVE r AS (
           | SELECT 's' || CAST(s_suppkey AS STRING) AS node
           | FROM supplier WHERE s_nationkey = 1
           | UNION
-          | SELECT e.dst AS node FROM (
-          |  SELECT 'c' || CAST(o_custkey AS STRING) AS src,
-          |         's' || CAST(l_suppkey AS STRING) AS dst
-          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-          |  UNION ALL
-          |  SELECT 's' || CAST(l_suppkey AS STRING) AS src,
-          |         'c' || CAST(o_custkey AS STRING) AS dst
-          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-          | ) e JOIN r ON r.node = e.src
+          | SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src
+          |), edges AS (
+          | SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+          |        's' || CAST(l_suppkey AS STRING) AS dst
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          | UNION ALL
+          | SELECT 's' || CAST(l_suppkey AS STRING) AS src,
+          |        'c' || CAST(o_custkey AS STRING) AS dst
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |), reached AS (
+          | SELECT substr(node, 1, 1) AS kind, COUNT(*) AS n FROM r GROUP BY 1
           |)
-          |SELECT node FROM r""".stripMargin)
+          |SELECT kind, n FROM reached""".stripMargin)
     },
 
     sql("cdc_roundtrip_lineitem",

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.Tables
+import graft.sources.SqlDml
 
 /** Bounded `WITH RECURSIVE` — SQL:1999 linear recursion compiled onto
   * the engine's checkpointed fixpoint loop (the same distributed shape
@@ -12,8 +13,8 @@ import graft.Tables
   *   <anchor query>            -- must not reference r
   *   UNION [ALL]
   *   <recursive query>         -- must reference r exactly ONCE
-  * )
-  * <outer query over r>
+  * ) [, helper[(cols)] AS ( <non-recursive query> )]*
+  * <outer query over r and the helpers>
   * }}}
   *
   * Standard working-table semantics (Postgres/DuckDB): each iteration
@@ -25,13 +26,37 @@ import graft.Tables
   * equi-join per round against the frontier, lineage truncated per
   * round via eager localCheckpoint so the plan never grows with depth.
   *
+  * The ACCUMULATOR is a lazy union of the per-round checkpointed
+  * deltas — each round checkpoints O(|delta|), never O(|acc|), so a
+  * depth-D recursion pays checkpoint I/O linear in |result| (the old
+  * shape re-checkpointed the whole accumulator every round:
+  * O(D·|result|), quadratic on constant-rate growth). When the union
+  * grows past [[compactEvery]] legs the accumulator compacts into one
+  * checkpoint so per-round plan width stays bounded. [[lastStats]]
+  * exposes the round's checkpoint accounting for exactly this claim.
+  *
+  * HELPER CTEs — additional non-recursive CTEs in the WITH — compile
+  * as named subqueries: one not referencing the recursive CTE binds as
+  * a temp view BEFORE the loop (the anchor and recursive term may read
+  * it); one referencing the recursive CTE binds AFTER the fixpoint
+  * (only the outer query may read it — the loop reading it would be
+  * recursion through a helper, fenced as non-linear). References flow
+  * backward, as in [[SqlCompiler.compileCte]].
+  *
+  * All text-level scanning (the CTE-list walk, balanced-paren body
+  * extraction, reference counting) runs on COMMENT-MASKED text
+  * (offset-preserving — [[SqlDml.maskComments]]), so a `--` comment
+  * mentioning the CTE name neither counts as a reference nor desyncs
+  * the paren scan.
+  *
   * Loud fences, never wrong answers:
   *  - NON-LINEAR recursion (the recursive term referencing r twice —
-  *    e.g. a self-join of the working table) fails at compile;
+  *    e.g. a self-join of the working table — or reading a helper
+  *    that itself reads r) fails at compile;
   *  - a recursion still producing new rows after `maxIters` fails
   *    loudly — a truncated result is NOT the statement's fixpoint;
-  *  - additional CTEs in the WITH are not compiled (pre-bind them as
-  *    temp views instead).
+  *  - more than one self-referencing CTE fails (one recursion per
+  *    statement).
   *
   * At 100 TB the loop is diameter-bounded BFS: every round is a
   * key-partitioned join frontier ⋈ edges plus a distinct — both
@@ -46,60 +71,141 @@ object RecursiveSql {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
+  /** Checkpoint accounting for the most recent run in this JVM —
+    * `deltaRows` is what the per-round delta checkpoints wrote (linear
+    * in |result| by construction), `compactedRows` what the periodic
+    * accumulator compactions re-wrote (at most every [[compactEvery]]
+    * rounds). Diagnostic surface for specs and MiniBench, not a
+    * driver contract. */
+  final case class Stats(rounds: Int, deltaRows: Long,
+                         compactions: Int, compactedRows: Long)
+  private val lastStatsRef =
+    new java.util.concurrent.atomic.AtomicReference[Stats](Stats(0, 0L, 0, 0L))
+  def lastStats: Stats = lastStatsRef.get
+
+  /** Accumulator legs before a compaction folds them into one
+    * checkpoint: bounds per-round plan width (≤ this many union legs)
+    * while keeping compaction I/O amortized (|acc| written once per
+    * `compactEvery` rounds, not once per round). */
+  private val compactEvery = 16
+
+  private[graft] final case class Cte(name: String, aliases: Seq[String], body: String)
+
   private val headPattern = java.util.regex.Pattern.compile(
-    "(?is)^\\s*WITH\\s+RECURSIVE\\s+(\\w+)(?:\\s*\\(([^)]*)\\))?\\s+AS\\s*\\(")
+    "(?is)^\\s*WITH\\s+RECURSIVE\\b")
+  private val ctePattern = java.util.regex.Pattern.compile(
+    "(?is)^\\s*,?\\s*(\\w+)(?:\\s*\\(([^)]*)\\))?\\s+AS\\s*\\(")
+
+  /** Split the statement into its CTE definitions (in order) and the
+    * outer query text. Scanning runs on the comment-masked text; the
+    * extracted substrings come from the ORIGINAL (masking preserves
+    * offsets), so comments inside bodies survive into Spark's parser,
+    * which handles them natively. */
+  private[graft] def parseAll(sqlText: String): (Seq[Cte], String) = {
+    val masked = SqlDml.maskComments(sqlText)
+    val h = headPattern.matcher(masked)
+    if (!h.find())
+      fail("expected WITH RECURSIVE <name>[(cols)] AS ( ... ) [, <helper> AS ( ... )]* <outer query>")
+    var pos = h.end()
+    val ctes = scala.collection.mutable.ArrayBuffer[Cte]()
+    var more = true
+    while (more) {
+      val m = ctePattern.matcher(masked.substring(pos))
+      if (!m.lookingAt())
+        fail(s"cannot parse CTE definition at: '${sqlText.substring(pos).take(60)}...'")
+      val name = m.group(1)
+      val aliases = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Nil)
+      // balanced-paren body extraction on the masked text (string
+      // literals still present and honored; comment parens are gone)
+      var i = pos + m.end()
+      var depth = 1
+      var inStr = false
+      val start = i
+      while (i < masked.length && depth > 0) {
+        val c = masked.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (depth != 0) fail(s"unbalanced parentheses in the body of CTE '$name'")
+      ctes += Cte(name, aliases, sqlText.substring(start, i - 1))
+      pos = i
+      while (pos < masked.length && Character.isWhitespace(masked.charAt(pos))) pos += 1
+      more = pos < masked.length && masked.charAt(pos) == ','
+    }
+    (ctes.toSeq, sqlText.substring(pos))
+  }
 
   /** Split `sqlText` into (cteName, colAliases, anchorText,
-    * recursiveText, unionAll, outerText). */
+    * recursiveText, unionAll, outerText) for the single-CTE form —
+    * retained for callers/specs that address the recursion directly;
+    * [[run]] goes through [[parseAll]] and supports helpers. */
   private[graft] def parse(sqlText: String)
       : (String, Seq[String], String, String, Boolean, String) = {
-    val m = headPattern.matcher(sqlText)
-    if (!m.find()) fail("expected WITH RECURSIVE <name>[(cols)] AS ( ... ) <outer query>")
-    val name = m.group(1)
-    val aliases = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(Nil)
-    // balanced-paren body extraction, string-aware
-    var i = m.end()
-    var depth = 1
-    var inStr = false
-    val start = i
-    while (i < sqlText.length && depth > 0) {
-      val c = sqlText.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ => ()
-      }
-      i += 1
+    val (ctes, outer) = parseAll(sqlText)
+    val rec = soleRecursive(ctes)
+    if (ctes.size != 1)
+      fail("parse() addresses the single-CTE form; use parseAll for helpers")
+    val (anchor, recText, unionAll) = splitRecursiveBody(rec)
+    (rec.name, rec.aliases, anchor, recText, unionAll, outer)
+  }
+
+  /** Exactly ONE CTE may reference itself — that one is the
+    * recursion; every other is a helper. A reference CYCLE with no
+    * direct self-reference (r reads h, h reads r) is recursion
+    * through a helper — fenced by name, never misread as "no
+    * recursion". */
+  private def soleRecursive(ctes: Seq[Cte]): Cte = {
+    val masked = ctes.map(c => c.name -> SqlDml.maskComments(c.body)).toMap
+    val names = ctes.map(_.name)
+    val selfRef = ctes.filter(c => countRefs(masked(c.name), c.name) > 0)
+    if (selfRef.isEmpty) {
+      // cycle detection over the CTE reference graph
+      def reaches(from: String, to: String,
+                  seen: Set[String] = Set.empty): Boolean =
+        !seen(from) && names.filter(n => countRefs(masked(from), n) > 0)
+          .exists(n => n == to || reaches(n, to, seen + from))
+      names.find(n => reaches(n, n)).foreach(n =>
+        fail(s"CTE '$n' references itself only THROUGH other CTEs — " +
+          "recursion through a helper is non-linear and has no bounded " +
+          "fixpoint plan; fold the cycle into one recursive CTE"))
+      fail("no CTE references itself — use a plain WITH (no recursion here)")
     }
-    if (depth != 0) fail("unbalanced parentheses in the recursive CTE body")
-    val body = sqlText.substring(start, i - 1)
-    val rest = sqlText.substring(i).trim
-    if (rest.startsWith(","))
-      fail("WITH RECURSIVE with additional CTEs is not compiled — bind the " +
-        "other tables as temp views (or inline them) and keep ONE recursive CTE")
-    val (parts, kinds) = SqlCompiler.splitTopLevelUnion(body)
+    if (selfRef.size > 1)
+      fail(s"CTEs ${selfRef.map(_.name).mkString(", ")} each reference " +
+        "themselves — one recursion per statement")
+    selfRef.head
+  }
+
+  private def splitRecursiveBody(rec: Cte): (String, String, Boolean) = {
+    val (parts, kinds) = SqlCompiler.splitTopLevelUnion(rec.body)
     if (parts.size != 2)
       fail(s"the recursive CTE body must be <anchor> UNION [ALL] <recursive " +
         s"term> — found ${parts.size} branch(es)")
-    val refs = countRefs(parts(1), name)
-    if (countRefs(parts(0), name) != 0)
-      fail(s"the anchor term may not reference '$name' (it seeds the recursion)")
+    val refs = countRefs(SqlDml.maskComments(parts(1)), rec.name)
+    if (countRefs(SqlDml.maskComments(parts(0)), rec.name) != 0)
+      fail(s"the anchor term may not reference '${rec.name}' (it seeds the recursion)")
     if (refs == 0)
-      fail(s"the recursive term does not reference '$name' — use a plain WITH")
+      fail(s"the recursive term does not reference '${rec.name}' — use a plain WITH")
     if (refs > 1)
-      fail(s"non-linear recursion: the recursive term references '$name' $refs " +
+      fail(s"non-linear recursion: the recursive term references '${rec.name}' $refs " +
         "times; SQL's working-table semantics admit exactly one reference " +
         "(a self-join of the working table has no bounded fixpoint plan)")
-    (name, aliases, parts(0), parts(1), kinds.head, rest)
+    (parts(0), parts(1), kinds.head)
   }
 
   /** Occurrences of `name` as a standalone TABLE identifier, outside
     * string literals: a `name.` qualifier is a COLUMN reference to the
     * same table factor (not a second reference), and `x.name` is a
-    * different qualified name entirely — both are skipped. */
+    * different qualified name entirely — both are skipped. Callers
+    * pass comment-MASKED text (a comment mentioning the name must not
+    * count). */
   private def countRefs(text: String, name: String): Int = {
     var i = 0
     var inStr = false
@@ -122,60 +228,324 @@ object RecursiveSql {
     n
   }
 
-  /** Run the statement against the parquet fixture at `dir`: every
-    * base table name in [[Tables.names]] is bound as a temp view in a
-    * CHILD session (so caller bindings are untouched), the anchor
-    * seeds the accumulator, and the loop iterates the recursive term
-    * over the frontier until it adds nothing (or fails at `maxIters`).
-    */
-  def run(spark: SparkSession, dir: String, sqlText: String,
-          maxIters: Int = 100): DataFrame = {
-    val (name, aliases, anchorText, recText, unionAll, outerText) = parse(sqlText)
-    val s = spark.newSession()
-    Tables.names.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
-
-    def renamed(df: DataFrame): DataFrame =
-      if (aliases.isEmpty) df
-      else if (aliases.size != df.columns.length)
-        fail(s"column alias list (${aliases.size}) does not match the anchor's " +
-          s"output arity (${df.columns.length})")
-      else df.toDF(aliases: _*)
-
-    var acc = renamed(s.sql(anchorText))
-    if (!unionAll) acc = acc.distinct()
-    acc = acc.localCheckpoint(true)
-    val accCols = acc.columns.toSeq
-    // UNION aligns branches POSITIONALLY per SQL: the recursive term's
-    // output takes the anchor's column names whatever it calls them
-    def aligned(df: DataFrame): DataFrame = {
-      if (df.columns.length != accCols.length)
-        fail(s"the recursive term yields ${df.columns.length} column(s), " +
-          s"the anchor ${accCols.length} — UNION branches must agree")
-      df.toDF(accCols: _*)
-    }
-    var frontier = acc
+  /** The lazy-union accumulator + per-round frontier bookkeeping:
+    * every delta checkpoints ONCE (O(|delta|)); the accumulator is the
+    * union of those checkpoints, compacted into a single checkpoint
+    * only when the union grows past [[compactEvery]] legs. */
+  private final class Fixpoint(unionAll: Boolean) {
+    private val deltas = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var rounds = 0
-    var done = frontier.isEmpty
-    while (!done) {
-      if (rounds >= maxIters)
-        fail(s"recursion still producing rows after $maxIters iterations — " +
-          "a truncated result is not the statement's fixpoint; raise maxIters " +
-          "or bound the recursion in the query")
-      frontier.createOrReplaceTempView(name)
-      val step = aligned(renamed(s.sql(recText)))
-      val delta =
-        if (unionAll) step.localCheckpoint(true)
-        // UNION: only rows not already accumulated enter (null-safe,
-        // EXCEPT's equality) — the termination argument on cyclic data
-        else step.distinct().except(acc).localCheckpoint(true)
-      if (delta.isEmpty) done = true
+    var deltaRows = 0L
+    var compactions = 0
+    var compactedRows = 0L
+
+    def acc: DataFrame = deltas.reduce(_ unionAll _)
+
+    /** Checkpoint `df`; returns it as the next frontier, or None when
+      * it is empty (fixpoint reached / nothing new this seed). */
+    def push(df: DataFrame): Option[DataFrame] = {
+      val d = df.localCheckpoint(true)
+      val n = d.count() // cached blocks — the emptiness probe AND the stats
+      if (n == 0) None
       else {
-        acc = acc.unionAll(delta).localCheckpoint(true)
-        frontier = delta
-        rounds += 1
+        deltas += d
+        deltaRows += n
+        if (deltas.size > compactEvery) {
+          val c = acc.localCheckpoint(true)
+          compactedRows += c.count()
+          deltas.clear()
+          deltas += c
+          compactions += 1
+        }
+        Some(d)
       }
     }
-    acc.createOrReplaceTempView(name)
+
+    /** New rows of `step` relative to the accumulator under the
+      * statement's union semantics. */
+    def dedupNew(step: DataFrame): DataFrame =
+      if (unionAll) step
+      else if (deltas.isEmpty) step.distinct()
+      else step.distinct().except(acc)
+
+    /** Iterate the recursive term from `frontier0` to fixpoint:
+      * one frontier ⋈ edges job per round, delta-checkpointed. */
+    def loop(s: SparkSession, name: String, recText: String,
+             shape: DataFrame => DataFrame, frontier0: DataFrame,
+             maxIters: Int): Unit = {
+      var frontier = frontier0
+      var live = true
+      while (live) {
+        if (rounds >= maxIters)
+          fail(s"recursion still producing rows after $maxIters iterations — " +
+            "a truncated result is not the statement's fixpoint; raise maxIters " +
+            "or bound the recursion in the query")
+        frontier.createOrReplaceTempView(name)
+        val step = shape(s.sql(recText))
+        push(dedupNew(step)) match {
+          case Some(d) => frontier = d; rounds += 1
+          case None => live = false
+        }
+      }
+    }
+
+    def publish(): Unit =
+      lastStatsRef.set(Stats(rounds, deltaRows, compactions, compactedRows))
+  }
+
+  /** Build the rename (column alias list) + positional-alignment shape
+    * for a recursion: UNION aligns branches POSITIONALLY per SQL, so
+    * the recursive term's output takes the anchor's column names
+    * whatever it calls them. */
+  private def shaperFor(rec: Cte, anchorCols: => Seq[String])
+      : (DataFrame => DataFrame, DataFrame => DataFrame) = {
+    def renamed(df: DataFrame): DataFrame =
+      if (rec.aliases.isEmpty) df
+      else if (rec.aliases.size != df.columns.length)
+        fail(s"column alias list (${rec.aliases.size}) does not match the anchor's " +
+          s"output arity (${df.columns.length})")
+      else df.toDF(rec.aliases: _*)
+    def aligned(df: DataFrame): DataFrame = {
+      val cols = anchorCols
+      if (df.columns.length != cols.length)
+        fail(s"the recursive term yields ${df.columns.length} column(s), " +
+          s"the anchor ${cols.length} — UNION branches must agree")
+      df.toDF(cols: _*)
+    }
+    (renamed, aligned)
+  }
+
+  private def bindHelper(s: SparkSession, h: Cte): Unit = {
+    val df = s.sql(h.body)
+    val out =
+      if (h.aliases.isEmpty) df
+      else if (h.aliases.size != df.columns.length)
+        fail(s"column alias list (${h.aliases.size}) of helper CTE '${h.name}' " +
+          s"does not match its output arity (${df.columns.length})")
+      else df.toDF(h.aliases: _*)
+    out.createOrReplaceTempView(h.name)
+  }
+
+  /** Run the statement against the parquet fixture at `dir`: every
+    * base table name in [[Tables.names]] is bound as a temp view in a
+    * CHILD session (so caller bindings are untouched), pre-fixpoint
+    * helpers bind next, the anchor seeds the accumulator, the loop
+    * iterates the recursive term over the frontier until it adds
+    * nothing (or fails at `maxIters`), post-fixpoint helpers bind
+    * last, and the outer query runs over all of them. */
+  def run(spark: SparkSession, dir: String, sqlText: String,
+          maxIters: Int = 100): DataFrame = {
+    val (ctes, outerText) = parseAll(sqlText)
+    val rec = soleRecursive(ctes)
+    val (anchorText, recText, unionAll) = splitRecursiveBody(rec)
+    val helpers = ctes.filterNot(_.name == rec.name)
+    // classify helpers around the fixpoint; enforce backward reference
+    // flow among CTEs (as compileCte does) and fence recursion THROUGH
+    // a helper — the loop reading a helper that reads r is non-linear
+    val names = ctes.map(_.name)
+    helpers.foreach { h =>
+      val hMasked = SqlDml.maskComments(h.body)
+      val before = names.takeWhile(_ != h.name).toSet + rec.name
+      names.filterNot(before).filterNot(_ == h.name).foreach { later =>
+        if (countRefs(hMasked, later) > 0)
+          fail(s"CTE '${h.name}' reads CTE '$later' defined after it — " +
+            "reorder the WITH clause (references flow backward)")
+      }
+    }
+    // TRANSITIVE classification: a helper reading r — or reading any
+    // helper that (transitively) reads r — can only bind after the
+    // fixpoint; a direct-only test would bind its reader too early and
+    // die with an opaque missing-view error
+    val afterNames = scala.collection.mutable.Set[String]()
+    var grew = true
+    while (grew) {
+      grew = false
+      helpers.foreach { h =>
+        if (!afterNames(h.name)) {
+          val m = SqlDml.maskComments(h.body)
+          if (countRefs(m, rec.name) > 0 ||
+              afterNames.exists(a => countRefs(m, a) > 0)) {
+            afterNames += h.name
+            grew = true
+          }
+        }
+      }
+    }
+    val (helpersAfter, helpersBefore) = helpers.partition(h => afterNames(h.name))
+    helpersAfter.foreach { h =>
+      Seq("anchor" -> anchorText, "recursive term" -> recText).foreach {
+        case (what, text) =>
+          if (countRefs(SqlDml.maskComments(text), h.name) > 0)
+            fail(s"the $what reads helper CTE '${h.name}', which reads " +
+              s"'${rec.name}' — recursion through a helper is non-linear " +
+              "and has no bounded fixpoint plan")
+      }
+    }
+
+    val s = spark.newSession()
+    Tables.names.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    helpersBefore.foreach(bindHelper(s, _))
+
+    val fp = new Fixpoint(unionAll)
+    var anchorCols: Seq[String] = Nil
+    val (renamed, aligned) = shaperFor(rec, anchorCols)
+    val shape: DataFrame => DataFrame = df => aligned(renamed(df))
+
+    val anchor = renamed(s.sql(anchorText))
+    anchorCols = anchor.columns.toSeq
+    fp.push(if (unionAll) anchor else anchor.distinct()).foreach { frontier =>
+      fp.loop(s, rec.name, recText, shape, frontier, maxIters)
+    }
+    fp.publish()
+    val result =
+      if (fp.deltaRows == 0) anchor.limit(0) // empty anchor → empty recursion
+      else fp.acc
+    result.createOrReplaceTempView(rec.name)
+    helpersAfter.foreach(bindHelper(s, _))
+    s.sql(outerText)
+  }
+
+  /** MAINTAINED recursion under an INSERT-ONLY base-table changelog —
+    * semi-naive evaluation (the textbook incremental Datalog step):
+    * after batch 0 runs the ordinary fixpoint, each later batch of
+    * base inserts seeds a NEW frontier from the accumulated closure
+    * and continues the same loop, so per-batch work is proportional to
+    * the new derivations, never a from-scratch re-run.
+    *
+    * `batches(k)` filters each named base relation to the rows ARRIVING
+    * in batch k (cumulative state = OR of the filters so far);
+    * relations absent from every batch map are fully present from the
+    * start. The final result equals the from-scratch fixpoint over the
+    * full tables — the same oracle as the batch entry.
+    *
+    * Seeding, per batch: with `deltaLinear = false` (default, always
+    * sound) the seed is one FULL-width delta round — T(acc) over the
+    * new cumulative base minus acc, i.e. every one-step consequence of
+    * the closure under the new edges (complete for arbitrary linear
+    * terms: the first new tuple of any derivation chain is such a
+    * consequence). With `deltaLinear = true` the seed evaluates the
+    * term once PER CHANGED RELATION with that relation bound to its
+    * DELTA only (others at full new state) — changelog-proportional,
+    * exact when each base relation occurs at most once per join scope
+    * in the recursive term (occurrences in different UNION ALL
+    * branches are fine — union is linear; a base self-JOIN is not,
+    * old×new derivations would be missed, so only assert it for
+    * branch-linear statements).
+    *
+    * The seed binds r to the ACCUMULATED closure (a superset of any
+    * frontier), which is sound exactly because linear BFS-style terms
+    * are MONOTONE (joins/filters/projections over r and base tables);
+    * that is the assumed contract here, as in semi-naive Datalog.
+    *
+    * DELETES are fenced loudly: removing a base row invalidates every
+    * derivation through it — that is re-derivation territory
+    * (DRed/DBSP), not a frontier seed; re-run the batch fixpoint.
+    * Bag recursion (`UNION ALL`) is fenced too: without derivation
+    * counting, appending new derivations of already-present rows
+    * cannot be reconciled with the from-scratch multiset.
+    * Helper CTEs are fenced (their views would silently freeze the
+    * batch-0 base state). */
+  def runIncremental(spark: SparkSession, dir: String, sqlText: String,
+                     batches: Seq[Map[String, Column]],
+                     deletes: Map[String, Column] = Map.empty,
+                     deltaLinear: Boolean = false,
+                     maxIters: Int = 100): DataFrame = {
+    if (deletes.nonEmpty)
+      fail("recursion maintenance under DELETES is not wired: a deleted base " +
+        "row invalidates every derivation through it, which needs " +
+        "re-derivation (DRed) — re-run the from-scratch fixpoint instead")
+    if (batches.isEmpty) fail("runIncremental needs at least one batch")
+    val (ctes, outerText) = parseAll(sqlText)
+    val rec = soleRecursive(ctes)
+    if (ctes.size > 1)
+      fail("helper CTEs under a changelog are not wired — their bound views " +
+        "would freeze the batch-0 base state; inline them")
+    val (anchorText, recText, unionAll) = splitRecursiveBody(rec)
+    if (unionAll)
+      fail("maintained recursion requires set-semantics UNION — bag (UNION " +
+        "ALL) recursion under inserts would need derivation counting")
+    val changing = batches.flatMap(_.keys).distinct
+    changing.foreach(t => if (!Tables.names.contains(t))
+      fail(s"batch filter names unknown base relation '$t'"))
+
+    val s = spark.newSession()
+    val base: Map[String, DataFrame] =
+      Tables.names.map(t => t -> Tables.load(s, dir, t)).toMap
+    // bind each relation to a specific state for the next SQL evals
+    def bind(state: Map[String, DataFrame]): Unit =
+      state.foreach { case (t, df) => df.createOrReplaceTempView(t) }
+    def cumulative(k: Int): Map[String, DataFrame] =
+      Tables.names.map { t =>
+        val filters = batches.take(k + 1).flatMap(_.get(t))
+        t -> (if (batches.forall(!_.contains(t))) base(t)
+              else if (filters.isEmpty) base(t).limit(0)
+              else base(t).filter(filters.reduce(_ || _)))
+      }.toMap
+
+    val fp = new Fixpoint(unionAll = false)
+    var anchorCols: Seq[String] = Nil
+    val (renamed, aligned) = shaperFor(rec, anchorCols)
+    val shape: DataFrame => DataFrame = df => aligned(renamed(df))
+    val anchorMasked = SqlDml.maskComments(anchorText)
+
+    // batch 0: the ordinary fixpoint over the initial base state
+    bind(cumulative(0))
+    val anchor0 = renamed(s.sql(anchorText)).distinct()
+    anchorCols = anchor0.columns.toSeq
+    fp.push(anchor0).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
+
+    // batches 1..n: semi-naive — seed a frontier from the closure +
+    // the new base rows, then continue the SAME loop over the new
+    // cumulative state
+    val recMasked = SqlDml.maskComments(recText)
+    (1 until batches.size).foreach { k =>
+      val cum = cumulative(k)
+      val changed = changing.filter(t => batches(k).contains(t))
+      def evalSeed(state: Map[String, DataFrame]): DataFrame = {
+        bind(state)
+        // an empty closure still binds r (the term may read it — e.g.
+        // while the anchor stays empty until a later batch): an empty
+        // anchor-shaped frame IS the current working table
+        (if (fp.deltaRows == 0) anchor0.limit(0) else fp.acc)
+          .createOrReplaceTempView(rec.name)
+        shape(s.sql(recText))
+      }
+      // passes for relations the term never reads would re-derive
+      // exactly acc (their delta binding is invisible to the plan) —
+      // skip the jobs, the except() would discard the rows anyway
+      val readByTerm = changed.filter(t => countRefs(recMasked, t) > 0)
+      val recursiveParts: Seq[DataFrame] =
+        if (deltaLinear)
+          // one pass per changed relation, that relation at its DELTA:
+          // every derivation using ≥1 new tuple of it appears here
+          // (other relations at FULL new state)
+          readByTerm.map { t =>
+            evalSeed(cum + (t -> base(t).filter(batches(k)(t))))
+          }
+        else if (readByTerm.nonEmpty)
+          Seq(evalSeed(cum)) // full-width delta round — always sound
+        else Nil
+      // anchor deltas: only when the anchor actually reads a changed
+      // relation (otherwise it re-derives the same seeds, which the
+      // except() would discard anyway — skip the job)
+      val anchorParts: Seq[DataFrame] =
+        if (changed.exists(t => countRefs(anchorMasked, t) > 0)) {
+          bind(cum)
+          Seq(renamed(s.sql(anchorText)))
+        } else Nil
+      val parts = recursiveParts ++ anchorParts
+      if (parts.nonEmpty) {
+        bind(cum) // the continuing loop evaluates over the full new state
+        val seed = fp.dedupNew(parts.reduce(_ unionAll _))
+        fp.push(seed).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
+      }
+    }
+    fp.publish()
+    bind(cumulative(batches.size - 1))
+    val result =
+      if (fp.deltaRows == 0) renamed(s.sql(anchorText)).limit(0)
+      else fp.acc
+    result.createOrReplaceTempView(rec.name)
     s.sql(outerText)
   }
 }

@@ -1636,14 +1636,14 @@ object SqlCompiler {
     // parse + schema probing ONCE per session — timed re-runs measure
     // execution, not recompilation. Keyed by session identity so
     // cached presentation closures never outlive their session, and by
-    // the compile-time session confs (the salt knobs) so re-tuning a
+    // the compile-time session confs (compileRelevantConfs — the ONE
+    // list, kept next to this key construction) so re-tuning a
     // session recompiles rather than replaying a stale plan.
-    val confKey = Seq(IncrementalQueries.SaltRelationConf,
-      IncrementalQueries.SaltWidthConf)
+    val confKey = compileRelevantConfs
       .map(c => spark.conf.getOption(c).getOrElse("")).mkString(" ")
-    val k = (spark, dir, sqlText,
+    val k = (dir, sqlText,
       explicitFk.fold("")(_.mkString("|")) + " " + confKey, tolerateFloatFolds)
-    compileCache.computeIfAbsent(k, _ =>
+    sessionCompileCache(spark).computeIfAbsent(k, _ =>
       expandSelfJoins(spark, dir, sqlText, explicitFk) match {
         case Some((newText, mappedFk, loader)) =>
           compileWith(spark, dir, newText, Some(mappedFk), loader, tolerateFloatFolds)
@@ -1652,8 +1652,39 @@ object SqlCompiler {
       })
   }
 
-  private val compileCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String, String, Boolean), Compiled]()
+  /** EVERY session conf that can change what [[compile]] produces,
+    * centralized beside the memo-key construction above — a new
+    * compile-affecting knob must be added HERE, or a session re-tuned
+    * through it would replay a stale plan. */
+  private val compileRelevantConfs: Seq[String] = Seq(
+    IncrementalQueries.SaltRelationConf,
+    IncrementalQueries.SaltWidthConf)
+
+  private type CompileKey = (String, String, String, Boolean)
+
+  /** Compile memo, WEAK-keyed by session (a closed or discarded
+    * session's cached plans — and their presentation closures —
+    * become collectible with it instead of living for the JVM) and
+    * BOUNDED per session (access-order LRU, [[compileCacheMax]]
+    * entries) so a long-lived session compiling many distinct
+    * statements cannot grow without limit. The standard WeakHashMap
+    * caveat applies: a [[Compiled]] capturing its own session keeps
+    * that session's entry reachable — the per-session bound caps what
+    * such retention can cost. */
+  private val compileCacheMax = 64
+  private val compileCache: java.util.Map[
+      SparkSession, java.util.Map[CompileKey, Compiled]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Map[CompileKey, Compiled]]())
+
+  private def sessionCompileCache(spark: SparkSession): java.util.Map[CompileKey, Compiled] =
+    compileCache.computeIfAbsent(spark, _ =>
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[CompileKey, Compiled](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[CompileKey, Compiled]): Boolean =
+            size() > compileCacheMax
+        }))
 
   /** [[compile]] with RELATION OVERRIDES: the named relations resolve
     * through the given loaders instead of the parquet fixture — the

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.streaming.RecursiveSql
 
 class RecursiveSqlSpec extends AnyFunSuite {
@@ -47,7 +48,122 @@ class RecursiveSqlSpec extends AnyFunSuite {
     assert(n == want && n > 0)
   }
 
-  test("fences: non-linear recursion, anchor self-reference, extra CTEs, runaway depth") {
+  test("helper CTEs: pre-fixpoint feeds the loop, post-fixpoint reads the result") {
+    // `edges` (no r reference) binds BEFORE the loop and the recursive
+    // term reads it; `tops` reads r so it binds AFTER the fixpoint and
+    // only the outer query may use it
+    val got = RecursiveSql.run(spark, d,
+      """WITH RECURSIVE r(x) AS (
+        | SELECT 1
+        | UNION
+        | SELECT e.dst FROM edges e JOIN r ON r.x = e.src
+        |), edges(src, dst) AS (
+        | SELECT 1, 2 UNION ALL SELECT 2, 3 UNION ALL SELECT 3, 1
+        | UNION ALL SELECT 7, 8
+        |), tops AS (
+        | SELECT MAX(x) AS mx FROM r
+        |)
+        |SELECT r.x, tops.mx FROM r CROSS JOIN tops""".stripMargin)
+      .collect().map(row => (row.getInt(0), row.getInt(1))).sorted.toSeq
+    assert(got == Seq((1, 3), (2, 3), (3, 3))) // 7→8 unreachable from 1
+  }
+
+  test("comments are masked: CTE-name mentions and parens in comments cannot bind") {
+    val got = RecursiveSql.run(spark, d,
+      """WITH RECURSIVE r(x) AS (
+        | -- r seeds at 1 (see note(
+        | SELECT 1
+        | UNION ALL
+        | /* r reads r via the working table ( */
+        | SELECT x + 1 FROM r WHERE x < 3
+        |)
+        |SELECT x FROM r -- outer over r""".stripMargin)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(1, 2, 3))
+  }
+
+  test("checkpoint accounting: deep chain writes O(|result|), not O(depth·|result|)") {
+    val depth = 40
+    val got = RecursiveSql.run(spark, d,
+      s"""WITH RECURSIVE r(x) AS (
+         | SELECT 1
+         | UNION
+         | SELECT x + 1 FROM r WHERE x < $depth
+         |)
+         |SELECT x FROM r""".stripMargin).count()
+    assert(got == depth)
+    val st = RecursiveSql.lastStats
+    // each round checkpoints only its delta (1 row here): linear in
+    // |result|; compactions re-write the accumulator only every
+    // compactEvery rounds. The OLD shape (re-checkpoint acc each
+    // round) would have written depth·(depth+1)/2 = 820 rows.
+    assert(st.rounds == depth - 1)
+    assert(st.deltaRows == depth)
+    assert(st.compactions >= 1) // depth 40 > compactEvery
+    assert(st.deltaRows + st.compactedRows < 4L * depth,
+      s"checkpointed ${st.deltaRows} + ${st.compactedRows} rows — not linear")
+  }
+
+  private val reachSql =
+    """WITH RECURSIVE r AS (
+      | SELECT 's' || CAST(s_suppkey AS STRING) AS node
+      | FROM supplier WHERE s_nationkey = 3
+      | UNION
+      | SELECT e.dst AS node FROM (
+      |  SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+      |         's' || CAST(l_suppkey AS STRING) AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 's' || CAST(l_suppkey AS STRING) AS src,
+      |         'c' || CAST(o_custkey AS STRING) AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      | ) e JOIN r ON r.node = e.src
+      |)
+      |SELECT node FROM r""".stripMargin
+
+  test("insert-only maintenance equals the from-scratch fixpoint (both seed modes)") {
+    val want = RecursiveSql.run(spark, d, reachSql)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(want.nonEmpty)
+    val batches = Seq(
+      Map("orders" -> (col("o_orderkey") % 3 === 0),
+        "lineitem" -> (col("l_orderkey") % 3 === 0)),
+      Map("orders" -> (col("o_orderkey") % 3 === 1),
+        "lineitem" -> (col("l_orderkey") % 3 === 1)),
+      Map("orders" -> (col("o_orderkey") % 3 === 2),
+        "lineitem" -> (col("l_orderkey") % 3 === 2)))
+    // changelog-proportional seeds (the statement is branch-linear)
+    val gotLinear = RecursiveSql.runIncremental(spark, d, reachSql, batches,
+        deltaLinear = true)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(gotLinear == want)
+    // the always-sound full-width seed
+    val gotFull = RecursiveSql.runIncremental(spark, d, reachSql, batches)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(gotFull == want)
+  }
+
+  test("incremental fences: deletes, bag recursion, helpers under a changelog") {
+    val batches = Seq(Map("orders" -> (col("o_orderkey") % 2 === 0)),
+      Map("orders" -> (col("o_orderkey") % 2 === 1)))
+    def err(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(err(RecursiveSql.runIncremental(spark, d, reachSql, batches,
+      deletes = Map("orders" -> (col("o_orderkey") % 7 === 0))))
+      .contains("DRed"))
+    assert(err(RecursiveSql.runIncremental(spark, d,
+      """WITH RECURSIVE r(x) AS (
+        | SELECT 1 UNION ALL SELECT x + 1 FROM r WHERE x < 3
+        |) SELECT x FROM r""".stripMargin, batches))
+      .contains("set-semantics"))
+    assert(err(RecursiveSql.runIncremental(spark, d,
+      """WITH RECURSIVE r(x) AS (
+        | SELECT 1 UNION SELECT x + 1 FROM r WHERE x < 3
+        |), h AS (SELECT 1 AS y) SELECT x FROM r""".stripMargin, batches))
+      .contains("changelog"))
+  }
+
+  test("fences: non-linear recursion, anchor self-reference, runaway depth") {
     def err(sql: String, maxIters: Int = 100): String =
       intercept[IllegalArgumentException](
         RecursiveSql.run(spark, d, sql, maxIters)).getMessage
@@ -63,11 +179,22 @@ class RecursiveSqlSpec extends AnyFunSuite {
         | UNION ALL
         | SELECT 1 AS n
         |) SELECT n FROM r""".stripMargin).contains("anchor"))
+    // recursion THROUGH a helper (the loop reading an r-reading CTE)
     assert(err(
-      """WITH RECURSIVE r AS (
-        | SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 2
-        |), s AS (SELECT * FROM r) SELECT n FROM s""".stripMargin)
-      .contains("additional CTEs"))
+      """WITH RECURSIVE r(n) AS (
+        | SELECT 1
+        | UNION
+        | SELECT h.n + 1 FROM h WHERE h.n < 3
+        |), h AS (SELECT n FROM r) SELECT n FROM r""".stripMargin)
+      .contains("through a helper"))
+    // two self-referencing CTEs: one recursion per statement
+    assert(err(
+      """WITH RECURSIVE r(n) AS (
+        | SELECT 1 UNION SELECT n + 1 FROM r WHERE n < 2
+        |), q(m) AS (
+        | SELECT 1 UNION SELECT m + 1 FROM q WHERE m < 2
+        |) SELECT n FROM r""".stripMargin)
+      .contains("one recursion per statement"))
     // unbounded UNION ALL: a truncated result would NOT be the fixpoint
     assert(err(
       """WITH RECURSIVE r AS (
@@ -75,8 +202,14 @@ class RecursiveSqlSpec extends AnyFunSuite {
         | UNION ALL
         | SELECT n + 1 FROM r
         |) SELECT n FROM r""".stripMargin, maxIters = 5).contains("fixpoint"))
-    // a single-branch body is not a recursion
+    // a body that never references itself is not a recursion
     assert(err("WITH RECURSIVE r AS (SELECT 1 AS n) SELECT n FROM r")
-      .contains("branch"))
+      .contains("plain WITH"))
+    // …and a two-branch body whose second branch ignores r is caught
+    // by the same classification, at the UNION-shape fence
+    assert(err(
+      """WITH RECURSIVE r AS (
+        | SELECT 1 AS n UNION ALL SELECT 2 AS n
+        |) SELECT n FROM r""".stripMargin).contains("plain WITH"))
   }
 }

@@ -2423,4 +2423,20 @@ class SqlCompilerSpec extends AnyFunSuite with org.scalatest.ParallelTestExecuti
          |WHERE o_orderkey IS NULL AND $gate""".stripMargin))
     assert(ex3.getMessage.contains("provably EMPTY"), ex3.getMessage)
   }
+
+  test("compile memo: per-session identity hit, conf-change miss, session isolation") {
+    val s1 = s.newSession()
+    val c1 = SqlCompiler.compile(s1, d, q10Sql)
+    // same session + text + confs -> the SAME Compiled object (no re-parse)
+    assert(SqlCompiler.compile(s1, d, q10Sql) eq c1)
+    // a compile-relevant conf change must recompile, not replay
+    s1.conf.set(IncrementalQueries.SaltRelationConf, "lineitem")
+    val c2 = SqlCompiler.compile(s1, d, q10Sql)
+    assert(!(c2 eq c1))
+    s1.conf.unset(IncrementalQueries.SaltRelationConf)
+    assert(SqlCompiler.compile(s1, d, q10Sql) eq c1)
+    // another session never sees this session's cached closures
+    val s2 = s.newSession()
+    assert(!(SqlCompiler.compile(s2, d, q10Sql) eq c1))
+  }
 }
