@@ -5643,6 +5643,35 @@ object IncrementalQueries {
     "orders" -> (col("o_orderkey") % 7 === 0),
     "lineitem" -> (col("l_linenumber") === 3))
 
+  private def pairStarFilteredOracle =
+    """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+      |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0),
+      |     o AS (SELECT * FROM orders
+      |           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 <> 0),
+      |     l AS (SELECT * FROM lineitem
+      |           WHERE l_quantity <= 2 AND l_linenumber <> 3)
+      |SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+      | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS ord_e2,
+      | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS li_e2
+      |FROM nation JOIN c ON c_nationkey = n_nationkey
+      |JOIN s ON s_nationkey = n_nationkey
+      |FULL JOIN o ON o_custkey = c_custkey
+      |FULL JOIN l ON l_suppkey = s_suppkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin
+
+  private def pairStarFilteredSql =
+    """SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+      | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS ord_e2,
+      | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS li_e2
+      |FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |FULL OUTER JOIN orders ON o_custkey = c_custkey
+      |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin
+
   // Further round-12 compiler-scope entries.
   private def round12Defs: Seq[GraftQuery] = Seq(
 
@@ -5719,34 +5748,23 @@ object IncrementalQueries {
     // the same-parent star, now on the pair shape). The predicate
     // also lands as a lineitem scan filter.
     sql("incremental_sql_q10_fullouter_star_pair_filtered",
-      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
-        |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0),
-        |     o AS (SELECT * FROM orders
-        |           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 <> 0),
-        |     l AS (SELECT * FROM lineitem
-        |           WHERE l_quantity <= 2 AND l_linenumber <> 3)
-        |SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
-        | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS ord_e2,
-        | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS li_e2
-        |FROM nation JOIN c ON c_nationkey = n_nationkey
-        |JOIN s ON s_nationkey = n_nationkey
-        |FULL JOIN o ON o_custkey = c_custkey
-        |FULL JOIN l ON l_suppkey = s_suppkey
-        |WHERE l_returnflag = 'R'
-        |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin) {
-      (s, dir) => SqlCompiler.compileOver(s, dir,
-        """SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
-          | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS ord_e2,
-          | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS li_e2
-          |FROM nation
-          |JOIN customer ON c_nationkey = n_nationkey
-          |JOIN supplier ON s_nationkey = n_nationkey
-          |FULL OUTER JOIN orders ON o_custkey = c_custkey
-          |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
-          |WHERE l_returnflag = 'R'
-          |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin,
+      pairStarFilteredOracle) {
+      (s, dir) => SqlCompiler.compileOver(s, dir, pairStarFilteredSql,
         pairStarOverrides)
         .run(s, dir, pairStarDeletes)
+    },
+
+    // … and through the CONTINUOUS engine: the three surviving classes
+    // ({1, 3, 6} — the WHERE NULL-rejects every lineitem-NULL class)
+    // hold state across micro-batches; batch-2 deletes must retract
+    // pair products and flip the lineitem-orphan direction through
+    // held state, under the same class selection.
+    sql("incremental_sql_q10_fullouter_star_pair_filtered_stream",
+      pairStarFilteredOracle) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarFilteredSql, pairStarOverrides),
+        dir, pairStarDeletes,
+        "incremental_sql_q10_fullouter_star_pair_filtered_stream_leaf")
     },
 
     // … and on the TRANSFORMWITHSTATE drivers — the pair product plus
