@@ -5643,6 +5643,17 @@ object IncrementalQueries {
     "orders" -> (col("o_orderkey") % 7 === 0),
     "lineitem" -> (col("l_linenumber") === 3))
 
+  // WHERE-level gate on the bridging dimension: EXISTS drops the
+  // orphan classes statically; NOT EXISTS keeps all six, gating
+  // classes 1-4 dynamically through spliced gate hops.
+  private def pairStarGate(neg: String) =
+    s"""WHERE ${neg}EXISTS (SELECT 1 FROM region
+       |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')""".stripMargin
+  private def pairStarGatedSql(neg: String) =
+    pairStarSql.replace("GROUP BY", pairStarGate(neg) + "\nGROUP BY")
+  private def pairStarGatedOracle(neg: String) =
+    pairStarOracle.replace("GROUP BY", pairStarGate(neg) + "\nGROUP BY")
+
   private def pairStarFilteredOracle =
     """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
       |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0),
@@ -5765,6 +5776,36 @@ object IncrementalQueries {
         SqlCompiler.compileOver(s, dir, pairStarFilteredSql, pairStarOverrides),
         dir, pairStarDeletes,
         "incremental_sql_q10_fullouter_star_pair_filtered_stream_leaf")
+    },
+
+    // GATES × PAIR-STAR: a NOT EXISTS gate on the bridging dimension
+    // keeps all six classes (trivially TRUE on the orphans' structural
+    // NULLs) and gates the pair product and classes 2-4 DYNAMICALLY —
+    // a region flip must retract/assert its nations' pair products
+    // through the spliced gate hops, while orphan-ness stays join-time
+    // (the orphan key nodes ride the UNGATED core).
+    sql("incremental_sql_q10_fullouter_star_pair_gated",
+      pairStarGatedOracle("NOT ")) {
+      (s, dir) => SqlCompiler.compileOver(s, dir, pairStarGatedSql("NOT "),
+        pairStarOverrides)
+        .run(s, dir, pairStarDeletes)
+    },
+    sql("incremental_sql_q10_fullouter_star_pair_gated_stream",
+      pairStarGatedOracle("NOT ")) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarGatedSql("NOT "), pairStarOverrides),
+        dir, pairStarDeletes,
+        "incremental_sql_q10_fullouter_star_pair_gated_stream_leaf")
+    },
+
+    // … and the EXISTS direction: never TRUE on structural NULLs, so
+    // classes 5/6 are DROPPED statically (starDrop) and only the live
+    // classes build — the other half of the static/dynamic split.
+    sql("incremental_sql_q10_fullouter_star_pair_gated_exists",
+      pairStarGatedOracle("")) {
+      (s, dir) => SqlCompiler.compileOver(s, dir, pairStarGatedSql(""),
+        pairStarOverrides)
+        .run(s, dir, pairStarDeletes)
     },
 
     // … and on the TRANSFORMWITHSTATE drivers — the pair product plus

@@ -2725,13 +2725,14 @@ object SqlCompiler {
     // object identity (runTreeShared refuses reuse when inputs differ,
     // so sharing is always sound). WHERE class selection (starDrop)
     // carries over verbatim: the NULL-side class sets coincide with
-    // the same-parent star's. Subquery gates stay fenced.
+    // the same-parent star's. EXISTS/NOT-EXISTS/IN gates compose (see
+    // the GATES x PAIR-STAR note inside); scalar gates stay fenced.
     def pairStarOuterPlans(aRel: String, bRel: String,
                            aEdge: TreeCompiler.FkEdge,
                            bEdge: TreeCompiler.FkEdge): Seq[OuterPlan] = {
-      if (gates.nonEmpty || rawScalarGates.nonEmpty)
+      if (rawScalarGates.nonEmpty)
         fail("pair-star FULL OUTER (boundaries off two different inner " +
-          "relations) with subquery gates is not wired")
+          "relations) with scalar-subquery gates is not wired")
       val coreOrder = relations.filterNot(fullOuterRels)
       val coreEdges = queryEdges.filterNot(e =>
         fullOuterRels(e.child) || fullOuterRels(e.parent))
@@ -2749,16 +2750,52 @@ object SqlCompiler {
       // boundary, anti hop on the parent, entry re-chained)
       def gateAbsent(sts: Seq[DeltaEngine.Stage], pRel: String, pKey: String,
                      keys: DeltaEngine.Stage, tag: String): Seq[DeltaEngine.Stage] = {
+        // the relation's routing ENTRY — raw, or already chained onto a
+        // WHERE-gate hop (never one of the synthetic hop/keys stages
+        // themselves): with a gate on the boundary parent, the absence
+        // hop consumes the gate-filtered changelog, exactly as the
+        // same-parent star chains its hops onto pOwn
         val idx = sts.indexWhere(st =>
-          st.spec.relation == pRel && st.ownStage.isEmpty)
+          st.spec.relation == pRel && !st.name.startsWith("__pstar") &&
+            !st.name.startsWith("__psgate") &&
+            (st.ownStage.isEmpty || st.ownStage.exists(_.startsWith("__psgate"))))
         if (idx < 0)
-          fail(s"pair-star: no raw entry stage for boundary parent '$pRel'")
+          fail(s"pair-star: no entry stage for boundary parent '$pRel'")
         val entry = sts(idx)
         val hop = DeltaEngine.Stage(s"__pstar_${tag}_hop",
           NodeSpec(pRel, pKey, entry.spec.childKeyCol, antiParent = true),
-          parentStage = Some(keys.name))
+          parentStage = Some(keys.name), ownStage = entry.ownStage)
         sts.patch(idx, Seq(keys, hop, entry.copy(ownStage = Some(hop.name))), 1)
       }
+      // GATES x PAIR-STAR (see the GATES x FULL OUTER note): classes
+      // 2-4 have a LIVE core row, so WHERE-level EXISTS/NOT-EXISTS
+      // gates apply dynamically — splice each gate into the replanned
+      // core at its correlated relation's entry, the same surgery the
+      // main pair tree gets from the generic fold. Classes 5/6
+      // (boundary orphans) decide statically (an EXISTS/IN gate is
+      // never TRUE on their structural NULLs -> starDrop; NOT EXISTS
+      // is trivially TRUE -> pass untouched) and key off the UNGATED
+      // core: orphan-ness is join-time, a gate-failing core row still
+      // matched its boundary children.
+      gates.foreach(g => if (!coreOrder.contains(g.outerRel))
+        fail(s"gate over '${g.subRel}' correlates to '${g.outerRel}', " +
+          "which is not in the pair-star core"))
+      def gateFold(sts: Seq[DeltaEngine.Stage], tag: String): Seq[DeltaEngine.Stage] =
+        gates.zipWithIndex.foldLeft(sts) { case (acc, (g, i)) =>
+          val idx = acc.indexWhere(st =>
+            st.spec.relation == g.outerRel && st.ownStage.isEmpty &&
+              !st.name.startsWith("__pstar") && !st.name.startsWith("__psgate"))
+          if (idx < 0)
+            fail(s"pair-star: no entry stage for gated relation '${g.outerRel}'")
+          val entry = acc(idx)
+          val keys = DeltaEngine.Stage(s"__psgate_${tag}_${i}_keys",
+            NodeSpec(g.subRel, g.subKey, g.subKey, isRoot = true, setSemantics = true))
+          val hop = DeltaEngine.Stage(s"__psgate_${tag}_${i}_hop",
+            NodeSpec(g.outerRel, g.outerCol, entry.spec.childKeyCol,
+              antiParent = g.anti),
+            parentStage = Some(keys.name))
+          acc.patch(idx, Seq(keys, hop, entry.copy(ownStage = Some(hop.name))), 1)
+        }
       val keysNoA = DeltaEngine.Stage("__pstar_noa_keys",
         NodeSpec(aRel, aEdge.fkCol, aEdge.fkCol, isRoot = true, setSemantics = true),
         keyOnlyRows = true)
@@ -2786,12 +2823,12 @@ object SqlCompiler {
         core.init ++ Seq(leaf, keysP, hop)
       }
       Seq(
-        2 -> (() => gateAbsent(planFor(Seq(aEdge), coreOrder :+ aRel),
+        2 -> (() => gateAbsent(gateFold(planFor(Seq(aEdge), coreOrder :+ aRel), "c2"),
           bEdge.parent, bEdge.parentCol, keysNoB, "nob2")),
-        3 -> (() => gateAbsent(planFor(Seq(bEdge), coreOrder :+ bRel),
+        3 -> (() => gateAbsent(gateFold(planFor(Seq(bEdge), coreOrder :+ bRel), "c3"),
           aEdge.parent, aEdge.parentCol, keysNoA, "noa3")),
         4 -> (() => gateAbsent(
-          gateAbsent(planFor(Nil, coreOrder),
+          gateAbsent(gateFold(planFor(Nil, coreOrder), "c4"),
             aEdge.parent, aEdge.parentCol, keysNoA, "noa4"),
           bEdge.parent, bEdge.parentCol, keysNoB, "nob4")),
         5 -> (() => orphan("a", aEdge)),

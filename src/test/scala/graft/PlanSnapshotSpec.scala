@@ -83,7 +83,12 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // three-valued rewrite); the full star view is a headliner —
     // gated via benchNames
     "incremental_sql_q10_fullouter_star_isnull",
-    "incremental_sql_not_in")
+    "incremental_sql_not_in",
+    // round-14 shapes whose POINT is the plan: gates on the pair-star —
+    // NOT EXISTS keeps all six classes (gate hops spliced into the
+    // replanned cores), EXISTS drops the orphan classes statically
+    "incremental_sql_q10_fullouter_star_pair_gated",
+    "incremental_sql_q10_fullouter_star_pair_gated_exists")
   private def gated: Seq[String] = SparkEntry.benchNames ++ extras
 
   test("headline queries keep their committed plan shape") {
