@@ -251,6 +251,114 @@ object Dedup {
       .filter(col("jacc") >= 0.01)
   }
 
+  /** MAINTAINED near-dup: the MinHash-LSH band buckets AND the
+    * confirmed pair set kept incremental under a document CHANGELOG —
+    * the batch pipeline above answers "dedup this corpus once", this
+    * answers the training-data reality of continuous re-ingest.
+    *
+    * State per batch: the exploded (doc_id, shingle) rows, the (doc_id,
+    * band, h) bucket rows, per-doc shingle counts, and the confirmed
+    * pair set — each carried forward via localCheckpoint (at corpus
+    * scale this state lives bucket-partitioned by doc_id in a
+    * snapshot table / state store, so the per-batch joins below are
+    * bucket-local instead of state-wide shuffles).
+    *
+    *  - INSERTS are changelog-proportional and never all-pairs: a new
+    *    doc's band rows probe the EXISTING buckets (Δ ⋈ (state ∪ Δ) on
+    *    the (band, h) equi-key — the same blocking join as the batch
+    *    path, with Δ on the build side), and only the surviving
+    *    candidates pay the exact-Jaccard confirm. Old-old pairs can
+    *    never re-emerge: every candidate has a Δ doc on one side.
+    *  - DELETES retract by anti-join: state rows and every pair
+    *    touching a deleted doc_id drop — O(|pairs of the deleted|),
+    *    the signed-delta discipline of the rest of the engine.
+    *
+    * The registered entry drives a 4-step changelog — three insert
+    * slices of the corpus, plus GHOST copies (same text, shifted ids)
+    * injected mid-stream whose jacc=1.0 pairs must appear and then
+    * fully RETRACT when a later batch deletes them — and must land
+    * hash-equal to the one-shot batch oracle over the full corpus. */
+  private def minhashPairsMaintained(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ghosts = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    val ghostIds = ghosts.select(col("doc_id"))
+
+    def shingleRowsOf(dd: DataFrame): DataFrame =
+      dd.select(col("doc_id"),
+          graft.functions.WordShingles.word_shingles(
+            regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)), 3)
+            .as("shingles"))
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+    def bandsOf(ex: DataFrame): DataFrame =
+      ex.select(col("doc_id"), baseHash(col("s")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(minhashAggCols.head, minhashAggCols.tail: _*)
+        .select(col("doc_id"),
+          explode(array((0 until NumHashes).map(j =>
+            struct(lit(j).as("band"), col(s"h$j").as("h"))): _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+
+    var exState: DataFrame = null    // (doc_id, s)
+    var bandState: DataFrame = null  // (doc_id, band, h)
+    var nState: DataFrame = null     // (doc_id, n)
+    var pairState: DataFrame = null  // (doc_a, doc_b, jacc)
+
+    def insert(inserts: DataFrame): Unit = {
+      val exNew = shingleRowsOf(inserts).localCheckpoint()
+      val bandsNew = bandsOf(exNew)
+      val bandAll =
+        if (bandState == null) bandsNew else bandState.unionAll(bandsNew)
+      // Δ probes the buckets: every candidate carries a NEW doc on the
+      // `a` side; least/greatest + distinct canonicalizes Δ-Δ pairs
+      // seen from both sides
+      val cand = bandsNew.as("a").join(bandAll.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+      val exAll = if (exState == null) exNew else exState.unionAll(exNew)
+      val nNew = exNew.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
+      val nAll = if (nState == null) nNew else nState.unionAll(nNew)
+      val confirmed = cand
+        .join(exAll.as("xa"), col("xa.doc_id") === col("doc_a"))
+        .join(exAll.as("xb"),
+          col("xb.doc_id") === col("doc_b") && col("xa.s") === col("xb.s"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+        .join(nAll.as("na"), col("na.doc_id") === col("doc_a"))
+        .join(nAll.as("nb"), col("nb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni")))
+            .as("jacc"))
+        .filter(col("jacc") >= 0.01)
+      pairState =
+        (if (pairState == null) confirmed else pairState.unionAll(confirmed))
+          .localCheckpoint()
+      exState = exAll.localCheckpoint()
+      bandState = bandAll.localCheckpoint()
+      nState = nAll.localCheckpoint()
+    }
+
+    def delete(ids: DataFrame): Unit = {
+      exState = exState.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+      bandState = bandState.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+      nState = nState.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+      pairState = pairState
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+        .localCheckpoint()
+    }
+
+    insert(docs.filter(col("doc_id") % 3 === 0))
+    insert(docs.filter(col("doc_id") % 3 === 1).unionAll(ghosts))
+    insert(docs.filter(col("doc_id") % 3 === 2))
+    delete(ghostIds)
+    // USING-column joins (the deletes) move the key column first —
+    // pin the contract order
+    pairState.select(col("doc_a"), col("doc_b"), col("jacc"))
+  }
+
   // ---- sign-LSH banding for embedding near-dup ------------------------
   // 16 bands × 4 sign-bits (one axis-sign hyperplane per element, 64-d
   // vectors): candidates agree on ALL bits of at least one band.
@@ -450,6 +558,13 @@ object Dedup {
     // jacc = ni / (na + nb − ni) over the same integers DuckDB's
     // len(∩)/len(∪) produces, so the doubles match exactly.
     sql("dedup_minhash_pairs", minhashPairsSql)(minhashPairs),
+
+    // --- maintained near-dup under a document changelog -----------------
+    // Same oracle as the one-shot batch pipeline: three insert slices
+    // plus ghost duplicates injected then DELETED must converge to the
+    // identical pair set — inserts probe existing LSH buckets
+    // (changelog-proportional), deletes retract by anti-join.
+    sql("dedup_minhash_maintained", minhashPairsSql)(minhashPairsMaintained),
 
     // EDIT-DISTANCE CONFIRM over the LSH candidates — the classic
     // fuzzy-dedup pipeline shape (block cheaply, confirm exactly):

@@ -169,4 +169,18 @@ class DedupSpec extends AnyFunSuite {
     val found = rows.map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(found.subsetOf(brute))
   }
+
+  test("maintained minhash pairs converge to the batch pair set; ghosts fully retract") {
+    def keyed(name: String) =
+      SparkEntry.queries(name)(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9))
+        .toMap
+    val batch = keyed("dedup_minhash_pairs")
+    val maintained = keyed("dedup_minhash_maintained")
+    assert(maintained == batch)
+    // the ghost docs (ids shifted by 1e9) were inserted mid-changelog
+    // and deleted later — no pair touching them may survive
+    assert(maintained.keys.forall { case (a, b) =>
+      a < 1000000000L && b < 1000000000L })
+  }
 }
