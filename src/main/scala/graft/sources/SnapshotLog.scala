@@ -1413,6 +1413,30 @@ object SnapshotLog {
           Map("tgt" -> root))
     },
 
+    // TIME-TRAVEL OPERAND ERGONOMICS — the same cross-version diff
+    // join spelled with the round-14 operand forms: a RELATIVE version
+    // ('-1' = one before the latest, resolved from the manifest
+    // listing at bind time) and a parenthesized timestamp EXPRESSION
+    // folded at bind time (far future → the newest version). Same
+    // oracle as the absolute-operand entry: however the operands are
+    // spelled, the diff must read identically.
+    sql("snapshot_sql_time_travel_relative",
+      """SELECT o_orderkey,
+        | CAST(CAST((o_totalprice + 1000) - o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |  AS price_delta
+        |FROM orders WHERE o_orderkey % 160 = 1""".stripMargin) {
+      (s, d) =>
+        val root = ordersTableRoot(s, d)
+        SqlDml.timeTravelSql(s,
+          """SELECT t1.o_orderkey AS o_orderkey,
+            | CAST(CAST(t1.o_totalprice - t0.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+            |  AS price_delta
+            |FROM tgt TIMESTAMP AS OF (timestamp'2200-01-01 00:00:00' - INTERVAL 1 DAY) AS t1
+            |JOIN tgt VERSION AS OF '-1' AS t0 ON t1.o_orderkey = t0.o_orderkey
+            |WHERE t1.o_totalprice <> t0.o_totalprice""".stripMargin,
+          Map("tgt" -> root))
+    },
+
     // MERGE AS FULL SYNC — make the table equal the source: matched
     // rows take the source state, unmatched source rows INSERT * (by
     // name), and NOT MATCHED BY SOURCE THEN DELETE drops everything

@@ -304,9 +304,24 @@ object SqlDml {
     }
 
   // lookbehind rejects qualified names (db.tgt): the replacement would
-  // otherwise splice a view name into the MIDDLE of the identifier
+  // otherwise splice a view name into the MIDDLE of the identifier.
+  // The operand alternatives: quoted literal, a PARENTHESIZED
+  // expression (one nesting level — deeper goes unmatched and trips
+  // the arity guard loudly), or a bare token.
   private val ttPattern = java.util.regex.Pattern.compile(
-    "(?is)(?<![\\w.])(\\w+)\\s+(?:FOR\\s+)?(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\\s+AS\\s+OF\\s+('[^']*'|[\\w.:\\-]+)")
+    "(?is)(?<![\\w.])(\\w+)\\s+(?:FOR\\s+)?(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\\s+AS\\s+OF\\s+" +
+      "('[^']*'|\\((?:[^()']|'[^']*'|\\([^()]*\\))*\\)|[\\w.:\\-]+)")
+
+  /** Highest committed version at `root` — resolves the RELATIVE
+    * `VERSION AS OF '-k'` operand (k versions before the latest). */
+  private def latestVersion(root: String): Int = {
+    val vs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .map(_.getName)
+      .collect { case n if n.startsWith("_manifest_v") && n.endsWith(".json") =>
+        n.stripPrefix("_manifest_v").stripSuffix(".json").toInt }
+    if (vs.isEmpty) fail(s"no committed versions under $root")
+    vs.max
+  }
 
   /** Blank out `--` line comments and (non-nested) block comments with
     * SPACES of the same length, honoring single-quoted strings — so
@@ -387,12 +402,60 @@ object SqlDml {
       val bare = value.stripPrefix("'").stripSuffix("'")
       val df =
         if (kind == "VERSION" || kind == "SYSTEM_VERSION") {
-          if (!bare.matches("\\d+"))
-            fail(s"VERSION AS OF expects an integer version, got $value")
-          SnapshotLog.readVersion(s, root, bare.toInt)
+          val vNum =
+            if (bare.matches("\\d+")) bare.toInt
+            else if (bare.matches("-\\d+")) {
+              // RELATIVE version: '-k' = k versions before the LATEST
+              // committed one ('-1' is the previous version) — resolved
+              // at bind time from the manifest listing, so the
+              // statement stays valid as the table advances
+              val latest = latestVersion(root)
+              val v = latest + bare.toInt
+              if (v < 0)
+                fail(s"VERSION AS OF $value: resolves to $v but versions " +
+                  s"at $root reach only back to 0 (latest is $latest)")
+              v
+            } else fail(s"VERSION AS OF expects an integer version (or a " +
+              s"relative '-k'), got $value")
+          SnapshotLog.readVersion(s, root, vNum)
         } else {
           val tsMs =
             if (bare.matches("\\d+")) bare.toLong
+            else if (bare.startsWith("(")) {
+              // PARENTHESIZED timestamp EXPRESSION, folded at bind
+              // time: parsed for validation (no subqueries — their
+              // result could change between bind and run; no column
+              // references — there is no row scope here), then
+              // evaluated once via a one-row projection
+              val inner = bare.substring(1, bare.length - 1)
+              val parsed =
+                try s.sessionState.sqlParser.parseExpression(inner)
+                catch {
+                  case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+                    fail(s"TIMESTAMP AS OF: cannot parse expression $value " +
+                      s"(${e.getMessage.split("\n").head})")
+                }
+              if (parsed.exists(_.isInstanceOf[
+                  org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+                fail("TIMESTAMP AS OF (subquery) is not compiled — a " +
+                  "subquery's value can drift between bind and run; fold " +
+                  "the timestamp to a literal first")
+              if (parsed.exists(_.isInstanceOf[UnresolvedAttribute]))
+                fail(s"TIMESTAMP AS OF expression $value references a " +
+                  "column — the operand must fold to a constant at bind time")
+              val ts =
+                try s.range(1).select(expr(inner).cast("timestamp")).head().get(0)
+                catch {
+                  case e @ (_: org.apache.spark.SparkException |
+                            _: java.time.DateTimeException |
+                            _: org.apache.spark.sql.AnalysisException) =>
+                    fail(s"TIMESTAMP AS OF: cannot evaluate $value as a " +
+                      s"timestamp (${e.getMessage.split("\n").head})")
+                }
+              if (ts == null)
+                fail(s"TIMESTAMP AS OF: expression $value evaluates to NULL")
+              ts.asInstanceOf[java.sql.Timestamp].getTime
+            }
             else {
               // ANSI sessions throw on a bad literal, non-ANSI yield
               // NULL — both become the same diagnosable error

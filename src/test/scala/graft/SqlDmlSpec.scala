@@ -244,6 +244,53 @@ class SqlDmlSpec extends AnyFunSuite {
     }.getMessage.contains("cannot parse"))
   }
 
+  test("timeTravelSql: relative VERSION and folded TIMESTAMP expressions") {
+    val root = freshRoot("graft_dml_tt4")
+    SnapshotLog.commitInitial(base(), root, "k")            // v0: 10 rows
+    assert(SqlDml.deleteSql(spark, root, 1, "k", "DELETE FROM tgt WHERE k >= 5")) // v1: 5
+    assert(SqlDml.deleteSql(spark, root, 2, "k", "DELETE FROM tgt WHERE k >= 3")) // v2: 3
+    // '-1' = one version before the latest, resolved at bind time
+    val prev = SqlDml.timeTravelSql(spark,
+      "SELECT COUNT(*) AS n FROM t VERSION AS OF '-1'",
+      Map("t" -> root)).head().getLong(0)
+    assert(prev == 5L)
+    val twoBack = SqlDml.timeTravelSql(spark,
+      "SELECT COUNT(*) AS n FROM t VERSION AS OF '-2'",
+      Map("t" -> root)).head().getLong(0)
+    assert(twoBack == 10L)
+    // beyond-horizon relative version names the real range
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark,
+        "SELECT * FROM t VERSION AS OF '-9'", Map("t" -> root))
+    }.getMessage.contains("latest is 2"))
+    // a parenthesized timestamp EXPRESSION folds at bind time
+    val n = SqlDml.timeTravelSql(spark,
+      "SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF " +
+        "(timestamp'2200-01-01 00:00:00' - INTERVAL 1 DAY)",
+      Map("t" -> root)).head().getLong(0)
+    assert(n == 3L) // far future → the newest version
+    // subqueries stay fenced — their value could drift between bind and run
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark,
+        "SELECT * FROM t TIMESTAMP AS OF ((SELECT k FROM u))",
+        Map("t" -> root))
+    }.getMessage.toLowerCase.contains("subquery"))
+    // deeper operand nesting than the matcher follows still fails
+    // LOUDLY through the arity guard, never silently
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark,
+        "SELECT * FROM t TIMESTAMP AS OF ((SELECT MAX(k) FROM u))",
+        Map("t" -> root))
+    }.getMessage.contains("parser sees"))
+    // column references are rejected by Spark's own parser before the
+    // rebinding even starts (our bind-time fence is defense-in-depth)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      SqlDml.timeTravelSql(spark,
+        "SELECT * FROM t TIMESTAMP AS OF (some_col + 1)",
+        Map("t" -> root))
+    }
+  }
+
   test("timeTravelSql: AS OF text inside comments is masked; views are dropped after") {
     val root = freshRoot("graft_dml_tt3")
     SnapshotLog.commitInitial(base(4), root, "k")
