@@ -1940,7 +1940,7 @@ object IncrementalQueries {
   // split out) the CTE-mix entry. DuckDB (VARCHAR) and Spark (STRING)
   // spell the cast differently; the statements are otherwise
   // identical.
-  private def recursivePathsSql(cast: String) =
+  private def recursivePathsSql(cast: String, ordersRel: String = "orders") =
     s"""WITH RECURSIVE r AS (
        | SELECT 's' || CAST(s_suppkey AS $cast) AS node
        | FROM supplier WHERE s_nationkey = 1
@@ -1948,14 +1948,22 @@ object IncrementalQueries {
        | SELECT e.dst AS node FROM (
        |  SELECT 'c' || CAST(o_custkey AS $cast) AS src,
        |         's' || CAST(l_suppkey AS $cast) AS dst
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  FROM $ordersRel JOIN lineitem ON l_orderkey = o_orderkey
        |  UNION ALL
        |  SELECT 's' || CAST(l_suppkey AS $cast) AS src,
        |         'c' || CAST(o_custkey AS $cast) AS dst
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  FROM $ordersRel JOIN lineitem ON l_orderkey = o_orderkey
        | ) e JOIN r ON r.node = e.src
        |)
        |SELECT node FROM r""".stripMargin
+
+  private def recursivePathsBatches = Seq(
+    Map("orders" -> (col("o_orderkey") % 3 === 0),
+      "lineitem" -> (col("l_orderkey") % 3 === 0)),
+    Map("orders" -> (col("o_orderkey") % 3 === 1),
+      "lineitem" -> (col("l_orderkey") % 3 === 1)),
+    Map("orders" -> (col("o_orderkey") % 3 === 2),
+      "lineitem" -> (col("l_orderkey") % 3 === 2)))
 
   val defs: Seq[GraftQuery] = Seq(
 
@@ -1983,13 +1991,22 @@ object IncrementalQueries {
     // exact twin contract. Deletes stay fenced (re-derivation/DRed).
     sql("incremental_sql_recursive_paths_stream", recursivePathsSql("VARCHAR")) {
       (s, d) => RecursiveSql.runIncremental(s, d, recursivePathsSql("STRING"),
-        batches = Seq(
-          Map("orders" -> (col("o_orderkey") % 3 === 0),
-            "lineitem" -> (col("l_orderkey") % 3 === 0)),
-          Map("orders" -> (col("o_orderkey") % 3 === 1),
-            "lineitem" -> (col("l_orderkey") % 3 === 1)),
-          Map("orders" -> (col("o_orderkey") % 3 === 2),
-            "lineitem" -> (col("l_orderkey") % 3 === 2))),
+        batches = recursivePathsBatches, deltaLinear = true)
+    },
+
+    // … and under a MIXED changelog (DRed-lite): batch 2 DELETES every
+    // %10==0 order inserted so far before adding its own slice — the
+    // over-delete pass marks derivations through the deleted edges
+    // (per-relation delta binding, propagation bounded by the affected
+    // component), survivors replace the accumulator, and one support
+    // probe + the frontier loop re-derive every node still reachable.
+    // Oracle: DuckDB's native recursion over the FINAL table state.
+    sql("incremental_sql_recursive_paths_dred",
+      recursivePathsSql("VARCHAR",
+        "(SELECT * FROM orders WHERE o_orderkey % 10 <> 0) odel")) {
+      (s, d) => RecursiveSql.runIncremental(s, d, recursivePathsSql("STRING"),
+        batches = recursivePathsBatches,
+        deletesAt = Map(2 -> Map("orders" -> (col("o_orderkey") % 10 === 0))),
         deltaLinear = true)
     },
 

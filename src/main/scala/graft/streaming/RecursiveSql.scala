@@ -241,6 +241,21 @@ object RecursiveSql {
 
     def acc: DataFrame = deltas.reduce(_ unionAll _)
 
+    /** Whether any accumulator leg exists yet (an existing leg may
+      * still be an EMPTY frame after a reset — that is a valid empty
+      * working table, not "no accumulator"). */
+    def hasAcc: Boolean = deltas.nonEmpty
+
+    /** Replace the accumulator wholesale — the DRed over-delete step:
+      * the survivor set becomes the single checkpointed leg. */
+    def reset(df: DataFrame): Unit = {
+      val c = df.localCheckpoint(true)
+      compactedRows += c.count()
+      deltas.clear()
+      deltas += c
+      compactions += 1
+    }
+
     /** Checkpoint `df`; returns it as the next frontier, or None when
       * it is empty (fixpoint reached / nothing new this seed). */
     def push(df: DataFrame): Option[DataFrame] = {
@@ -405,56 +420,78 @@ object RecursiveSql {
     s.sql(outerText)
   }
 
-  /** MAINTAINED recursion under an INSERT-ONLY base-table changelog —
-    * semi-naive evaluation (the textbook incremental Datalog step):
-    * after batch 0 runs the ordinary fixpoint, each later batch of
-    * base inserts seeds a NEW frontier from the accumulated closure
-    * and continues the same loop, so per-batch work is proportional to
-    * the new derivations, never a from-scratch re-run.
+  /** MAINTAINED recursion under a base-table CHANGELOG — semi-naive
+    * evaluation for inserts plus DRed-style delete/re-derive (the
+    * textbook incremental Datalog pair): batch 0 runs the ordinary
+    * fixpoint; each later batch first applies its DELETES, then seeds
+    * a frontier from the accumulated closure for its INSERTS and
+    * continues the same checkpointed loop — per-batch work
+    * proportional to the affected derivations, never a from-scratch
+    * re-run.
     *
     * `batches(k)` filters each named base relation to the rows ARRIVING
     * in batch k (cumulative state = OR of the filters so far);
     * relations absent from every batch map are fully present from the
-    * start. The final result equals the from-scratch fixpoint over the
-    * full tables — the same oracle as the batch entry.
+    * start. `deletesAt(k)` filters each named relation to the
+    * previously-present rows REMOVED at batch k (applied before batch
+    * k's inserts). The final result equals the from-scratch fixpoint
+    * over the final table states — the same oracle as the batch entry.
     *
-    * Seeding, per batch: with `deltaLinear = false` (default, always
-    * sound) the seed is one FULL-width delta round — T(acc) over the
-    * new cumulative base minus acc, i.e. every one-step consequence of
-    * the closure under the new edges (complete for arbitrary linear
-    * terms: the first new tuple of any derivation chain is such a
-    * consequence). With `deltaLinear = true` the seed evaluates the
-    * term once PER CHANGED RELATION with that relation bound to its
-    * DELTA only (others at full new state) — changelog-proportional,
-    * exact when each base relation occurs at most once per join scope
-    * in the recursive term (occurrences in different UNION ALL
-    * branches are fine — union is linear; a base self-JOIN is not,
-    * old×new derivations would be missed, so only assert it for
-    * branch-linear statements).
+    * INSERT seeding, per batch: with `deltaLinear = false` (default,
+    * always sound) the seed is one FULL-width delta round — T(acc)
+    * over the new cumulative base minus acc, i.e. every one-step
+    * consequence of the closure under the new edges (complete for
+    * arbitrary linear terms: the first new tuple of any derivation
+    * chain is such a consequence). With `deltaLinear = true` the seed
+    * evaluates the term once PER CHANGED RELATION with that relation
+    * bound to its DELTA only (others at full new state) —
+    * changelog-proportional, exact when each base relation occurs at
+    * most once per join scope in the recursive term (occurrences in
+    * different UNION ALL branches are fine — union is linear; a base
+    * self-JOIN is not, old×new derivations would be missed, so only
+    * assert it for branch-linear statements).
     *
-    * The seed binds r to the ACCUMULATED closure (a superset of any
-    * frontier), which is sound exactly because linear BFS-style terms
-    * are MONOTONE (joins/filters/projections over r and base tables);
+    * DELETE maintenance (DRed-lite) REQUIRES `deltaLinear` — the
+    * over-delete seed identifies derivations that USED a deleted base
+    * row by the same per-relation delta binding:
+    *  1. OVER-DELETE: seed = term/anchor evaluated with each deleted
+    *     relation bound to its deleted rows (r → acc, other relations
+    *     at the pre-delete state), then propagate — rows derivable
+    *     from already-marked rows over the post-delete base join the
+    *     mark set until it stops growing. Bounded by the affected
+    *     component.
+    *  2. RE-DERIVE: survivors replace the accumulator; one support
+    *     probe T(r → survivors) over the post-delete base (plus the
+    *     anchor) re-seeds every over-deleted row that still has a
+    *     derivation, and the ordinary frontier loop re-derives the
+    *     rest. The probe is one fixpoint-round's width — strictly
+    *     cheaper than the from-scratch diameter×rounds; a production
+    *     refinement would maintain per-row support counts to make it
+    *     component-local too.
+    *
+    * The seeds bind r to the ACCUMULATED closure (a superset of any
+    * frontier), sound exactly because linear BFS-style terms are
+    * MONOTONE (joins/filters/projections over r and base tables);
     * that is the assumed contract here, as in semi-naive Datalog.
     *
-    * DELETES are fenced loudly: removing a base row invalidates every
-    * derivation through it — that is re-derivation territory
-    * (DRed/DBSP), not a frontier seed; re-run the batch fixpoint.
-    * Bag recursion (`UNION ALL`) is fenced too: without derivation
+    * Bag recursion (`UNION ALL`) is fenced: without derivation
     * counting, appending new derivations of already-present rows
     * cannot be reconciled with the from-scratch multiset.
     * Helper CTEs are fenced (their views would silently freeze the
     * batch-0 base state). */
   def runIncremental(spark: SparkSession, dir: String, sqlText: String,
                      batches: Seq[Map[String, Column]],
-                     deletes: Map[String, Column] = Map.empty,
+                     deletesAt: Map[Int, Map[String, Column]] = Map.empty,
                      deltaLinear: Boolean = false,
                      maxIters: Int = 100): DataFrame = {
-    if (deletes.nonEmpty)
-      fail("recursion maintenance under DELETES is not wired: a deleted base " +
-        "row invalidates every derivation through it, which needs " +
-        "re-derivation (DRed) — re-run the from-scratch fixpoint instead")
     if (batches.isEmpty) fail("runIncremental needs at least one batch")
+    deletesAt.keys.foreach(k => if (k < 0 || k >= batches.size)
+      fail(s"deletesAt names batch $k — batches run 0..${batches.size - 1}"))
+    if (deletesAt.values.exists(_.nonEmpty) && !deltaLinear)
+      fail("DRed deletion maintenance requires deltaLinear: identifying the " +
+        "derivations that used a deleted base row needs per-relation delta " +
+        "binding (sound only for branch-linear terms) — assert deltaLinear, " +
+        "or re-run the from-scratch fixpoint")
     val (ctes, outerText) = parseAll(sqlText)
     val rec = soleRecursive(ctes)
     if (ctes.size > 1)
@@ -465,7 +502,8 @@ object RecursiveSql {
       fail("maintained recursion requires set-semantics UNION — bag (UNION " +
         "ALL) recursion under inserts would need derivation counting")
     val changing = batches.flatMap(_.keys).distinct
-    changing.foreach(t => if (!Tables.names.contains(t))
+    val delRels = deletesAt.values.flatMap(_.keys).toSeq.distinct
+    (changing ++ delRels).distinct.foreach(t => if (!Tables.names.contains(t))
       fail(s"batch filter names unknown base relation '$t'"))
 
     val s = spark.newSession()
@@ -474,56 +512,125 @@ object RecursiveSql {
     // bind each relation to a specific state for the next SQL evals
     def bind(state: Map[String, DataFrame]): Unit =
       state.foreach { case (t, df) => df.createOrReplaceTempView(t) }
-    def cumulative(k: Int): Map[String, DataFrame] =
-      Tables.names.map { t =>
-        val filters = batches.take(k + 1).flatMap(_.get(t))
-        t -> (if (batches.forall(!_.contains(t))) base(t)
-              else if (filters.isEmpty) base(t).limit(0)
-              else base(t).filter(filters.reduce(_ || _)))
-      }.toMap
+    def delFilter(t: String, throughK: Int): Option[Column] =
+      (0 to throughK).flatMap(j => deletesAt.get(j).flatMap(_.get(t)))
+        .reduceOption(_ || _)
+    /** Rows of `t` present with inserts through `insK` and deletes
+      * through `delK` applied. */
+    def stateOf(t: String, insK: Int, delK: Int): DataFrame = {
+      val afterIns =
+        if (!batches.exists(_.contains(t))) base(t)
+        else batches.take(insK + 1).flatMap(_.get(t)).reduceOption(_ || _) match {
+          case Some(f) => base(t).filter(f)
+          case None => base(t).limit(0)
+        }
+      delFilter(t, delK).map(f => afterIns.filter(!f)).getOrElse(afterIns)
+    }
+    def stateMap(insK: Int, delK: Int): Map[String, DataFrame] =
+      Tables.names.map(t => t -> stateOf(t, insK, delK)).toMap
 
     val fp = new Fixpoint(unionAll = false)
     var anchorCols: Seq[String] = Nil
     val (renamed, aligned) = shaperFor(rec, anchorCols)
     val shape: DataFrame => DataFrame = df => aligned(renamed(df))
     val anchorMasked = SqlDml.maskComments(anchorText)
+    val recMasked = SqlDml.maskComments(recText)
 
     // batch 0: the ordinary fixpoint over the initial base state
-    bind(cumulative(0))
+    // (deletes at batch 0 simply never appear in the state)
+    bind(stateMap(0, 0))
     val anchor0 = renamed(s.sql(anchorText)).distinct()
     anchorCols = anchor0.columns.toSeq
     fp.push(anchor0).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
 
-    // batches 1..n: semi-naive — seed a frontier from the closure +
-    // the new base rows, then continue the SAME loop over the new
-    // cumulative state
-    val recMasked = SqlDml.maskComments(recText)
+    /** Evaluate the recursive term with r bound to the closure and the
+      * base relations bound per `state`. */
+    def evalTerm(state: Map[String, DataFrame], r: DataFrame): DataFrame = {
+      bind(state)
+      r.createOrReplaceTempView(rec.name)
+      shape(s.sql(recText))
+    }
+    def closure: DataFrame = if (fp.hasAcc) fp.acc else anchor0.limit(0)
+
     (1 until batches.size).foreach { k =>
-      val cum = cumulative(k)
-      val changed = changing.filter(t => batches(k).contains(t))
-      def evalSeed(state: Map[String, DataFrame]): DataFrame = {
-        bind(state)
-        // an empty closure still binds r (the term may read it — e.g.
-        // while the anchor stays empty until a later batch): an empty
-        // anchor-shaped frame IS the current working table
-        (if (fp.deltaRows == 0) anchor0.limit(0) else fp.acc)
-          .createOrReplaceTempView(rec.name)
-        shape(s.sql(recText))
+      // ---- phase A: deletes (applied before this batch's inserts) --
+      val delSpec = deletesAt.getOrElse(k, Map.empty)
+      if (delSpec.nonEmpty && fp.hasAcc) {
+        val preDel = stateMap(k - 1, k - 1)
+        val postDel = stateMap(k - 1, k)
+        // deleted rows per relation: present before, matched now
+        def deletedRows(t: String): DataFrame =
+          stateOf(t, k - 1, k - 1).filter(delSpec(t))
+        // over-delete seed: derivations that USED a deleted row — the
+        // per-relation delta binding, deleted rows as the delta,
+        // everything else at the PRE-delete state, r at the closure
+        val seedParts =
+          delSpec.keys.toSeq.filter(t => countRefs(recMasked, t) > 0).map { t =>
+            evalTerm(preDel + (t -> deletedRows(t)), closure)
+          } ++
+          delSpec.keys.toSeq.filter(t => countRefs(anchorMasked, t) > 0).map { t =>
+            bind(preDel + (t -> deletedRows(t)))
+            renamed(s.sql(anchorText))
+          }
+        if (seedParts.nonEmpty) {
+          // propagate marks over the POST-delete base: rows derivable
+          // from marked rows through surviving edges join the set
+          // (every step intersects the old closure — marks can only
+          // name rows that exist)
+          var dAll = seedParts.reduce(_ unionAll _).distinct()
+            .localCheckpoint(true)
+          var frontier = dAll
+          var live = frontier.count() > 0
+          var rounds = 0
+          while (live) {
+            if (rounds >= maxIters)
+              fail(s"over-delete propagation still growing after $maxIters " +
+                "rounds — raise maxIters")
+            val step = evalTerm(postDel, frontier).distinct()
+            val next = step.intersect(fp.acc).except(dAll).localCheckpoint(true)
+            if (next.count() == 0) live = false
+            else {
+              dAll = dAll.unionAll(next).localCheckpoint(true)
+              frontier = next
+              rounds += 1
+            }
+          }
+          // survivors replace the accumulator; then RE-DERIVE: one
+          // support probe over the survivors + the anchor re-seeds
+          // every marked row that still has a derivation, and the
+          // ordinary loop does the rest
+          val survivors = fp.acc.except(dAll)
+          fp.reset(survivors)
+          bind(postDel)
+          val reSeed = fp.dedupNew(
+            evalTerm(postDel, fp.acc).unionAll {
+              bind(postDel)
+              renamed(s.sql(anchorText))
+            })
+          bind(postDel)
+          fp.push(reSeed).foreach(f =>
+            fp.loop(s, rec.name, recText, shape, f, maxIters))
+        }
       }
+      // ---- phase B: inserts ---------------------------------------
+      val cum = stateMap(k, k)
+      val changed = changing.filter(t => batches(k).contains(t))
       // passes for relations the term never reads would re-derive
       // exactly acc (their delta binding is invisible to the plan) —
       // skip the jobs, the except() would discard the rows anyway
       val readByTerm = changed.filter(t => countRefs(recMasked, t) > 0)
+      def insertedRows(t: String): DataFrame = {
+        val ins = base(t).filter(batches(k)(t))
+        delFilter(t, k).map(f => ins.filter(!f)).getOrElse(ins)
+      }
       val recursiveParts: Seq[DataFrame] =
         if (deltaLinear)
           // one pass per changed relation, that relation at its DELTA:
           // every derivation using ≥1 new tuple of it appears here
           // (other relations at FULL new state)
-          readByTerm.map { t =>
-            evalSeed(cum + (t -> base(t).filter(batches(k)(t))))
-          }
+          readByTerm.map(t => evalTerm(cum + (t -> insertedRows(t)), closure))
         else if (readByTerm.nonEmpty)
-          Seq(evalSeed(cum)) // full-width delta round — always sound
+          Seq(evalTerm(cum, closure)) // full-width delta round — always sound
         else Nil
       // anchor deltas: only when the anchor actually reads a changed
       // relation (otherwise it re-derives the same seeds, which the
@@ -541,9 +648,9 @@ object RecursiveSql {
       }
     }
     fp.publish()
-    bind(cumulative(batches.size - 1))
+    bind(stateMap(batches.size - 1, batches.size - 1))
     val result =
-      if (fp.deltaRows == 0) renamed(s.sql(anchorText)).limit(0)
+      if (!fp.hasAcc) renamed(s.sql(anchorText)).limit(0)
       else fp.acc
     result.createOrReplaceTempView(rec.name)
     s.sql(outerText)

@@ -143,14 +143,41 @@ class RecursiveSqlSpec extends AnyFunSuite {
     assert(gotFull == want)
   }
 
-  test("incremental fences: deletes, bag recursion, helpers under a changelog") {
+  test("DRed deletes: mixed changelog equals the from-scratch fixpoint over final state") {
+    val batches = Seq(
+      Map("orders" -> (col("o_orderkey") % 3 === 0),
+        "lineitem" -> (col("l_orderkey") % 3 === 0)),
+      Map("orders" -> (col("o_orderkey") % 3 === 1),
+        "lineitem" -> (col("l_orderkey") % 3 === 1)),
+      Map("orders" -> (col("o_orderkey") % 3 === 2),
+        "lineitem" -> (col("l_orderkey") % 3 === 2)))
+    // batch 2 deletes every %10==0 order inserted so far — the DRed
+    // over-delete must retract their reachability contributions and
+    // the re-derive pass must restore rows still supported elsewhere
+    val got = RecursiveSql.runIncremental(spark, d, reachSql, batches,
+        deletesAt = Map(2 -> Map("orders" -> (col("o_orderkey") % 10 === 0))),
+        deltaLinear = true)
+      .collect().map(_.getString(0)).sorted.toSeq
+    // reference: the single-batch fixpoint over the FINAL table state
+    val want = RecursiveSql.runIncremental(spark, d, reachSql,
+        batches = Seq(Map("orders" -> (col("o_orderkey") % 10 =!= 0))))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("incremental fences: deletes need deltaLinear, bag recursion, helpers") {
     val batches = Seq(Map("orders" -> (col("o_orderkey") % 2 === 0)),
       Map("orders" -> (col("o_orderkey") % 2 === 1)))
     def err(f: => Any): String =
       intercept[IllegalArgumentException](f).getMessage
     assert(err(RecursiveSql.runIncremental(spark, d, reachSql, batches,
-      deletes = Map("orders" -> (col("o_orderkey") % 7 === 0))))
-      .contains("DRed"))
+      deletesAt = Map(1 -> Map("orders" -> (col("o_orderkey") % 7 === 0)))))
+      .contains("deltaLinear"))
+    assert(err(RecursiveSql.runIncremental(spark, d, reachSql, batches,
+      deletesAt = Map(5 -> Map("orders" -> (col("o_orderkey") % 7 === 0))),
+      deltaLinear = true))
+      .contains("batches run 0..1"))
     assert(err(RecursiveSql.runIncremental(spark, d,
       """WITH RECURSIVE r(x) AS (
         | SELECT 1 UNION ALL SELECT x + 1 FROM r WHERE x < 3
