@@ -46,15 +46,32 @@ class RelationalSpec extends AnyFunSuite with org.scalatest.ParallelTestExecutio
       // four ONE-ROW learned-merge broadcasts (the training loop's
       // argmax result applied to the next iteration's encode)
       "text_bpe_train")
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, sfTiny)
-      assert(df.schema.nonEmpty, s"$name has empty schema")
-      if (!nljAllowed(name)) {
-        val plan = df.queryExecution.executedPlan.toString
-        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-          s"$name plans a nested-loop join:\n$plan")
+    // the whole-registry audit is the suite's long pole: many entries
+    // EXECUTE work while building (snapshot commits, streaming
+    // replays, fixpoint loops), and ~460 of them sequentially ran ~10
+    // minutes AFTER every other suite had finished. Audit them on a
+    // thread pool instead, each in its OWN child session so entries
+    // that bind temp views can never race each other (Spark schedules
+    // concurrent jobs from one context fine).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val audits = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future {
+          val df = fn(spark.newSession(), sfTiny)
+          assert(df.schema.nonEmpty, s"$name has empty schema")
+          if (!nljAllowed(name)) {
+            val plan = df.queryExecution.executedPlan.toString
+            assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+              s"$name plans a nested-loop join:\n$plan")
+          }
+        }
       }
-    }
+      Await.result(Future.sequence(audits), 25.minutes)
+      ()
+    } finally { pool.shutdown(); () }
   }
 
   test("every oracle key has a matching query") {

@@ -2271,7 +2271,7 @@ class SqlCompilerSpec extends AnyFunSuite with org.scalatest.ParallelTestExecuti
       "lineitem" -> (col("l_linenumber") =!= 1))
     val got = SqlCompiler.run(s, d, sql, deletes)
     val ss = s.newSession()
-    Seq("nation", "customer", "supplier", "orders", "lineitem").foreach { t =>
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem").foreach { t =>
       val base = Tables.load(ss, d, t)
       deletes.get(t).map(c => base.filter(!c)).getOrElse(base)
         .createOrReplaceTempView(t)
@@ -2282,16 +2282,27 @@ class SqlCompilerSpec extends AnyFunSuite with org.scalatest.ParallelTestExecuti
     assert(gotC == wantC, s"missing ${(wantC -- gotC).take(3)} extra ${(gotC -- wantC).take(3)}")
     // the orphaned-orders direction really fired (NULL core groups)
     assert(gotC.exists(r => r.head == null && r(1) != null))
-    // subquery gates on a pair-star stay loudly fenced
-    val ex = intercept[IllegalArgumentException](SqlCompiler.compile(s, d,
-      """SELECT n_name, COUNT(*) AS n FROM nation
+    // subquery gates COMPOSE with the pair-star (round 14): the
+    // NOT EXISTS direction keeps all six classes and must equal stock
+    // SQL under the same deletes — including the pair-emptiness
+    // orphans, which ride the UNGATED core (orphan-ness precedes
+    // WHERE) while passing the gate trivially on their structural NULLs
+    val gatedSql =
+      """SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows
+        |FROM nation
         |JOIN customer ON c_nationkey = n_nationkey
         |JOIN supplier ON s_nationkey = n_nationkey
         |FULL OUTER JOIN orders ON o_custkey = c_custkey
         |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
-        |WHERE EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
-        |GROUP BY n_name""".stripMargin))
-    assert(ex.getMessage.contains("pair-star"), ex.getMessage)
+        |WHERE NOT EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin
+    val gotG = SqlCompiler.run(s, d, gatedSql, deletes)
+      .collect().map(_.toSeq).toSet
+    val wantG = ss.sql(gatedSql).collect().map(_.toSeq).toSet
+    assert(gotG == wantG,
+      s"missing ${(wantG -- gotG).take(3)} extra ${(gotG -- wantG).take(3)}")
+    assert(gotG.exists(r => r.head == null && r(1) != null)) // orphans survive NOT EXISTS
 
     // CHAIN PREFIX above the bridge: region→nation→{customer,supplier}
     // core — a REGION delete must orphan its nations' customers' orders
