@@ -386,6 +386,12 @@ object MergeIntoSql {
     // NOT MATCHED BY SOURCE quantifies over the whole target — the one
     // clause family that inherently costs a target scan (anti-joined
     // against the source's keys, so the join itself stays key-local).
+    // 100 TB refinement: when EVERY clause carries a condition, a
+    // target row matching none of them takes no action — so the scan
+    // pre-filters on their disjunction (clause conditions are
+    // target-only by SQL scoping, already validated), and Catalyst
+    // pushes the predicate to the files. An unconditional clause
+    // keeps the full scan (it acts on every unmatched row).
     val nmbsPart =
       if (nmbs.isEmpty) None
       else {
@@ -414,7 +420,18 @@ object MergeIntoSql {
             source.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
         val antiCond = residualRaw.foldLeft(
           col(s"$tAlias.$key") === col(s"$sAlias.$keySource"))(_ && _)
-        val anti = target.as(tAlias)
+        val nmbsConds: Seq[Option[Expression]] = nmbs.map {
+          case UpdateAction(c, _, _) => c
+          case DeleteAction(c) => c
+          case other =>
+            fail(s"unsupported WHEN NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
+        }
+        val scanSide =
+          if (nmbsConds.forall(_.isDefined))
+            target.as(tAlias).filter(
+              nmbsConds.flatten.map(c => expr(fragment(c))).reduce(_ || _))
+          else target.as(tAlias)
+        val anti = scanSide
           .join(source.select(sCols.map(col): _*).as(sAlias), antiCond, "left_anti")
           .select(struct(outCols.map(c => col(c).as(c)): _*).as(tAlias))
         Some(resolve(anti, clauses))

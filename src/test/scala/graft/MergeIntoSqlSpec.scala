@@ -279,6 +279,25 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     assert(state(root, 1)(1L) == (30.0, "row1"))
   }
 
+  test("NMBS with all-conditional clauses prunes the target scan") {
+    val root = freshRoot("graft_msql_nmbsprune")
+    SnapshotLog.commitInitial(base(), root, "k")
+    val src = Seq((0L, 1.0)).toDF("k", "p")
+    val target = SnapshotLog.readVersion(spark, root, 0)
+    val cs = MergeIntoSql.changeSet(spark,
+      """MERGE INTO tgt t USING src s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.k >= 8 THEN DELETE""".stripMargin,
+      "k", Seq("price", "tag"), target,
+      keys => SnapshotLog.preImages(spark, root, 0, "k", keys), src)
+    // keys 8 and 9: >= 8 and absent from the source
+    assert(cs.select("k").as[Long].collect().sorted.toSeq == Seq(8L, 9L))
+    // the clause disjunction reaches the parquet scan as a pushed
+    // filter — the whole point of the pruning: a 100 TB target pays
+    // only the rows any clause could touch
+    val plan = cs.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(k,8)"), plan)
+  }
+
   test("UPDATE SET * takes every source column by name") {
     val root = freshRoot("graft_msql_star")
     SnapshotLog.commitInitial(base(), root, "k")

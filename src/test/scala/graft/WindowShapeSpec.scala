@@ -28,16 +28,29 @@ class WindowShapeSpec extends AnyFunSuite {
   private val allowlist: Map[String, String] = Map.empty
 
   test("no registered entry plans an unpartitioned Window") {
-    val offenders = SparkEntry.all.filterNot(q => isReplay(q.name)).flatMap { q =>
-      val plan =
-        try q.fn(spark, sfTiny).queryExecution.optimizedPlan
-        catch {
-          case e: Throwable =>
-            fail(s"${q.name}: builder failed on $sfTiny: ${e.getMessage}")
-        }
-      val global = plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
-      if (global.nonEmpty && !allowlist.contains(q.name)) Some(q.name) else None
-    }
+    // the sweep EXECUTES every builder (snapshot commits, fixpoint
+    // loops) — fan out over a pool with one child session per entry,
+    // like RelationalSpec's registry audit, so this suite is not a
+    // sequential long pole
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val offenders =
+      try Await.result(Future.sequence(
+        SparkEntry.all.filterNot(q => isReplay(q.name)).map { q =>
+          Future {
+            val plan =
+              try q.fn(spark.newSession(), sfTiny).queryExecution.optimizedPlan
+              catch {
+                case e: Throwable =>
+                  fail(s"${q.name}: builder failed on $sfTiny: ${e.getMessage}")
+              }
+            val global = plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
+            if (global.nonEmpty && !allowlist.contains(q.name)) Some(q.name) else None
+          }
+        }), 25.minutes).flatten
+      finally { pool.shutdown(); () }
     assert(offenders.isEmpty,
       s"unpartitioned Window (single-task total sort) in: ${offenders.mkString(", ")} — " +
         "replace with DistributedRank / TakeOrdered, or allowlist with a justification")
