@@ -388,6 +388,86 @@ object Dedup {
       s"(CASE WHEN v[$LshBits*j+$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END)")
       .mkString(" + ")
 
+  /** The sign-LSH embedding near-dup pipeline as ONE oracle text,
+    * shared by the batch entry and its maintained twin. */
+  private lazy val embeddingLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bb AS (SELECT vec_id, j AS band, $bandBucketSqlJ AS bucket
+       |       FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${LshBands - 1})) AS j)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bb a JOIN bb b
+       |          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       | FLOOR(list_cosine_similarity(x.v, y.v) * 1000000 + 0.5) / 1000000 AS cos_sim
+       |FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b
+       |WHERE list_cosine_similarity(x.v, y.v) >= 0.3""".stripMargin
+
+  /** MAINTAINED embedding near-dup — the sign-LSH sibling of
+    * [[minhashPairsMaintained]]: band buckets, the vector store, and
+    * the confirmed cosine-pair set maintained under an embeddings
+    * changelog. Inserts probe the existing buckets (Δ ⋈ (state ∪ Δ) on
+    * the (band, bucket) equi-key — changelog-proportional, never
+    * all-pairs) and only the surviving candidates pay the exact cosine
+    * confirm; deletes retract state rows and every pair touching a
+    * deleted vec_id by anti-join. The registered entry injects GHOST
+    * copies (same embedding, shifted ids — cos 1.0 pairs with their
+    * originals) mid-changelog and deletes them later; the final pair
+    * set must hash-equal the one-shot batch oracle. */
+  private def embeddingLshMaintained(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorOps.{dot, floorRound6, normSq, toDoubleVec}
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(normSq(col("v"))))
+    val ghosts = all.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("v"), col("nrm"))
+    def bandsOf(e: DataFrame): DataFrame =
+      e.select(col("vec_id"),
+          explode(array((0 until LshBands).map(j =>
+            struct(lit(j).as("band"), bandBucket(col("v"), j).as("bucket"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.band").as("band"), col("s.bucket").as("bucket"))
+    var eState: DataFrame = null
+    var bandState: DataFrame = null
+    var pairState: DataFrame = null
+    def insert(ins: DataFrame): Unit = {
+      val eNew = ins.localCheckpoint()
+      val bNew = bandsOf(eNew)
+      val bAll = if (bandState == null) bNew else bandState.unionAll(bNew)
+      val cand = bNew.as("a").join(bAll.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+        .distinct()
+      val eAll = if (eState == null) eNew else eState.unionAll(eNew)
+      val cos = dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
+      val confirmed = cand
+        .join(eAll.as("x"), col("x.vec_id") === col("vec_a"))
+        .join(eAll.as("y"), col("y.vec_id") === col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          floorRound6(cos).as("cos_sim"), cos.as("_raw"))
+        .filter(col("_raw") >= 0.3)
+        .drop("_raw")
+      pairState =
+        (if (pairState == null) confirmed else pairState.unionAll(confirmed))
+          .localCheckpoint()
+      eState = eAll.localCheckpoint()
+      bandState = bAll.localCheckpoint()
+    }
+    def delete(ids: DataFrame): Unit = {
+      eState = eState.join(ids, Seq("vec_id"), "left_anti").localCheckpoint()
+      bandState = bandState.join(ids, Seq("vec_id"), "left_anti").localCheckpoint()
+      pairState = pairState
+        .join(ids.withColumnRenamed("vec_id", "vec_a"), Seq("vec_a"), "left_anti")
+        .join(ids.withColumnRenamed("vec_id", "vec_b"), Seq("vec_b"), "left_anti")
+        .localCheckpoint()
+    }
+    insert(all.filter(col("vec_id") % 3 === 0))
+    insert(all.filter(col("vec_id") % 3 === 1).unionAll(ghosts))
+    insert(all.filter(col("vec_id") % 3 === 2))
+    delete(ghosts.select(col("vec_id")))
+    pairState.select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
   /** Shared oracle CTE chain: minhash pairs at τ=0.5 → symmetric edge
     * set → recursive min-label reachability (`reach(doc, lbl)`). */
   private val ccCteSql: String =
@@ -993,17 +1073,7 @@ object Dedup {
     // shape and τ as dedup_embedding_cosine, so brute is the recall
     // oracle of record: 92% measured on the fixture (see the banding
     // note above; DedupSpec asserts the plan shape and the recall).
-    sql("dedup_embedding_lsh",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |bb AS (SELECT vec_id, j AS band, $bandBucketSqlJ AS bucket
-         |       FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${LshBands - 1})) AS j)),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM bb a JOIN bb b
-         |          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT c.vec_a, c.vec_b,
-         | FLOOR(list_cosine_similarity(x.v, y.v) * 1000000 + 0.5) / 1000000 AS cos_sim
-         |FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b
-         |WHERE list_cosine_similarity(x.v, y.v) >= 0.3""".stripMargin) {
+    sql("dedup_embedding_lsh", embeddingLshOracle) {
       (s, d) =>
         import graft.functions.VectorOps.{dot, floorRound6, normSq, toDoubleVec}
         val e = Tables.embeddings(s, d)
@@ -1027,6 +1097,12 @@ object Dedup {
           .filter(col("_raw") >= 0.3)
           .drop("_raw")
     },
+
+    // --- maintained embedding near-dup under a changelog -----------------
+    // The sign-LSH sibling of dedup_minhash_maintained: same oracle as
+    // the one-shot batch entry; ghost embeddings injected then deleted
+    // must leave the pair set identical.
+    sql("dedup_embedding_lsh_maintained", embeddingLshOracle)(embeddingLshMaintained),
 
     // --- semantic dedup (SemDeDup shape): k-means, then in-cluster -------
     // Lloyd's algorithm made cross-engine deterministic: seed centroids

@@ -183,4 +183,16 @@ class DedupSpec extends AnyFunSuite {
     assert(maintained.keys.forall { case (a, b) =>
       a < 1000000000L && b < 1000000000L })
   }
+
+  test("maintained embedding-LSH pairs converge to the batch pair set; ghosts retract") {
+    def keyed(name: String) =
+      SparkEntry.queries(name)(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9))
+        .toMap
+    val batch = keyed("dedup_embedding_lsh")
+    val maintained = keyed("dedup_embedding_lsh_maintained")
+    assert(maintained == batch)
+    assert(maintained.keys.forall { case (a, b) =>
+      a < 1000000000L && b < 1000000000L })
+  }
 }
