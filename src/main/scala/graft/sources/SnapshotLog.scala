@@ -1426,7 +1426,15 @@ object SnapshotLog {
         |  AS price_delta
         |FROM orders WHERE o_orderkey % 160 = 1""".stripMargin) {
       (s, d) =>
-        val root = ordersTableRoot(s, d)
+        // OWN root, not the shared ordersTableRoot: '-1' resolves
+        // against the LATEST version, and sibling entries (compaction)
+        // mint further versions on the shared root — the relative
+        // operand needs a root whose version count it controls
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_ttrel").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        commitMerge(s, root, 1, "o_orderkey", payload,
+          updateBatch(orders).unionAll(deleteInsertBatch(orders)))
         SqlDml.timeTravelSql(s,
           """SELECT t1.o_orderkey AS o_orderkey,
             | CAST(CAST(t1.o_totalprice - t0.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.WordShingles.word_ngrams
 
-class CurationSpec extends AnyFunSuite {
+class CurationSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
   private def s = SparkTestSession.spark
   private val d = SparkTestSession.sfTiny
   private def q(name: String) = SparkEntry.queries(name)(s, d)

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-class DedupSpec extends AnyFunSuite {
+class DedupSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
   import SparkTestSession.{spark, sfTiny}
 
   test("dedup_exact groups cover all docs exactly once (no dups in corpus)") {

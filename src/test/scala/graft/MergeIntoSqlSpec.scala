@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.sources.{MergeIntoSql, SnapshotLog}
 
-class MergeIntoSqlSpec extends AnyFunSuite {
+class MergeIntoSqlSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
   import SparkTestSession.spark
   import spark.implicits._
 

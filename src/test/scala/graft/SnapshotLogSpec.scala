@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.sources.SnapshotLog
 
-class SnapshotLogSpec extends AnyFunSuite {
+class SnapshotLogSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
   import SparkTestSession.{spark, sfTiny}
   import spark.implicits._
 

@@ -4,6 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.sources.{SnapshotLog, SqlDml}
 
+// NOT ParallelTestExecution: the time-travel tests assert the session
+// catalog holds no transient __graft_tt_* views after a call — a
+// concurrently-running sibling's in-flight views would flake that.
 class SqlDmlSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
 
-class TextAnalysisSpec extends AnyFunSuite {
+class TextAnalysisSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
   import SparkTestSession.{spark, sfTiny}
 
   test("winnowing GUARANTEE: docs sharing a substring >= k+w-1 share a fingerprint") {
