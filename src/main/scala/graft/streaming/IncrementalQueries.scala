@@ -1976,8 +1976,29 @@ object IncrementalQueries {
     // truncated per round). Oracle: DuckDB runs the statement's
     // NATIVE recursive CTE — two engines, two recursion runtimes, one
     // fixpoint.
+    // The Spark-side spelling lifts the edge set into a HELPER CTE,
+    // which RecursiveSql MATERIALIZES once (the helper is
+    // loop-invariant — base tables don't change within a run) instead
+    // of recomputing the orders⋈lineitem join twice per BFS round.
+    // Same fixpoint, same oracle statement for DuckDB (which plans the
+    // inline form its own way).
     sql("incremental_sql_recursive_paths", recursivePathsSql("VARCHAR")) {
-      (s, d) => RecursiveSql.run(s, d, recursivePathsSql("STRING"))
+      (s, d) => RecursiveSql.run(s, d,
+        """WITH RECURSIVE r AS (
+          | SELECT 's' || CAST(s_suppkey AS STRING) AS node
+          | FROM supplier WHERE s_nationkey = 1
+          | UNION
+          | SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src
+          |), edges AS (
+          | SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+          |        's' || CAST(l_suppkey AS STRING) AS dst
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          | UNION ALL
+          | SELECT 's' || CAST(l_suppkey AS STRING) AS src,
+          |        'c' || CAST(o_custkey AS STRING) AS dst
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |)
+          |SELECT node FROM r""".stripMargin)
     },
 
     // … MAINTAINED under an insert-only base changelog: orders and

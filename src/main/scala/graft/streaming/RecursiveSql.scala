@@ -330,7 +330,15 @@ object RecursiveSql {
     (renamed, aligned)
   }
 
-  private def bindHelper(s: SparkSession, h: Cte): Unit = {
+  /** Bind helper CTE `h` as a temp view. `materialize` checkpoints it
+    * first — pre-fixpoint helpers read by the RECURSIVE TERM are
+    * loop-invariant (base relations don't change within a run), so
+    * without it every round would recompute the helper's whole plan
+    * (the classic case: an `edges` helper joining two fact tables —
+    * recomputed twice per BFS round vs read once from checkpointed
+    * rows). Helpers read only by the anchor or outer query evaluate
+    * once either way and stay lazy. */
+  private def bindHelper(s: SparkSession, h: Cte, materialize: Boolean): Unit = {
     val df = s.sql(h.body)
     val out =
       if (h.aliases.isEmpty) df
@@ -338,7 +346,8 @@ object RecursiveSql {
         fail(s"column alias list (${h.aliases.size}) of helper CTE '${h.name}' " +
           s"does not match its output arity (${df.columns.length})")
       else df.toDF(h.aliases: _*)
-    out.createOrReplaceTempView(h.name)
+    (if (materialize) out.localCheckpoint(true) else out)
+      .createOrReplaceTempView(h.name)
   }
 
   /** Run the statement against the parquet fixture at `dir`: every
@@ -399,7 +408,9 @@ object RecursiveSql {
 
     val s = spark.newSession()
     Tables.names.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
-    helpersBefore.foreach(bindHelper(s, _))
+    val recMasked0 = SqlDml.maskComments(recText)
+    helpersBefore.foreach(h =>
+      bindHelper(s, h, materialize = countRefs(recMasked0, h.name) > 0))
 
     val fp = new Fixpoint(unionAll)
     var anchorCols: Seq[String] = Nil
@@ -416,7 +427,7 @@ object RecursiveSql {
       if (fp.deltaRows == 0) anchor.limit(0) // empty anchor → empty recursion
       else fp.acc
     result.createOrReplaceTempView(rec.name)
-    helpersAfter.foreach(bindHelper(s, _))
+    helpersAfter.foreach(bindHelper(s, _, materialize = false))
     s.sql(outerText)
   }
 
