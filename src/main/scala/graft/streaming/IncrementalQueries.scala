@@ -5836,6 +5836,18 @@ object IncrementalQueries {
         "incremental_sql_q10_fullouter_star_pair_gated_stream_leaf")
     },
 
+    // … and on the TRANSFORMWITHSTATE drivers — the gate key nodes,
+    // the gated replanned cores, and the ungated orphan plans all on
+    // the supported arbitrary-state API: three state implementations,
+    // one truth, now for the gated pair-star too.
+    sql("incremental_sql_q10_fullouter_star_pair_gated_tws",
+      pairStarGatedOracle("NOT ")) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarGatedSql("NOT "), pairStarOverrides),
+        dir, pairStarDeletes,
+        "incremental_sql_q10_fullouter_star_pair_gated_tws_leaf", tws = true)
+    },
+
     // … and the EXISTS direction: never TRUE on structural NULLs, so
     // classes 5/6 are DROPPED statically (starDrop) and only the live
     // classes build — the other half of the static/dynamic split.
