@@ -78,12 +78,15 @@ object Dedup {
     * alnum token stream (single joined string for <3-token docs).
     * Native [[graft.functions.WordShingles]] — one linear codegen'd
     * pass; see its scaladoc for why the composed HOF form is O(n²). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       graft.functions.WordShingles.word_shingles(
         regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)), 3)
         .as("shingles"))
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingledOf(Tables.documents(s, d))
 
   private val shingledSql: String =
     s"""SELECT doc_id,
@@ -209,6 +212,20 @@ object Dedup {
         .localCheckpoint())
   }
 
+  /** (doc_id, band, h) bucket rows from exploded (doc_id, shingle)
+    * rows — the scalable LSH shape: signature → (band, hash) rows →
+    * equi-join on long keys (never an OR-of-bands theta join). ONE
+    * definition for the batch pipeline and the maintained twin, so
+    * the two can never silently diverge on hashing or banding. */
+  private def bandRows(ex: DataFrame): DataFrame =
+    ex.select(col("doc_id"), baseHash(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minhashAggCols.head, minhashAggCols.tail: _*)
+      .select(col("doc_id"),
+        explode(array((0 until NumHashes).map(j =>
+          struct(lit(j).as("band"), col(s"h$j").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // The shingle pipeline feeds FOUR consumers (sig, both confirm
     // sides, the per-doc counts). The wide array<string> `sh` frame
@@ -219,16 +236,7 @@ object Dedup {
     // tokenize+shingle work once and every consumer reads rows, not
     // array cells.
     val ex = shingleRows(s, d)
-    val sig = ex
-      .select(col("doc_id"), baseHash(col("s")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(minhashAggCols.head, minhashAggCols.tail: _*)
-    // Scalable LSH shape: signature → (band, hash) rows → equi-join
-    // on long keys (never an OR-of-bands theta join).
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until NumHashes).map(j =>
-        struct(lit(j).as("band"), col(s"h$j").as("h"))): _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val bands = bandRows(ex)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -285,19 +293,8 @@ object Dedup {
     val ghostIds = ghosts.select(col("doc_id"))
 
     def shingleRowsOf(dd: DataFrame): DataFrame =
-      dd.select(col("doc_id"),
-          graft.functions.WordShingles.word_shingles(
-            regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)), 3)
-            .as("shingles"))
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-    def bandsOf(ex: DataFrame): DataFrame =
-      ex.select(col("doc_id"), baseHash(col("s")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(minhashAggCols.head, minhashAggCols.tail: _*)
-        .select(col("doc_id"),
-          explode(array((0 until NumHashes).map(j =>
-            struct(lit(j).as("band"), col(s"h$j").as("h"))): _*)).as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      shingledOf(dd).select(col("doc_id"), explode(col("shingles")).as("s"))
+    def bandsOf(ex: DataFrame): DataFrame = bandRows(ex)
 
     var exState: DataFrame = null    // (doc_id, s)
     var bandState: DataFrame = null  // (doc_id, band, h)
@@ -381,6 +378,14 @@ object Dedup {
       when(element_at(v, LshBits * j + i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** (vec_id, band, bucket) rows for a (vec_id, v, …) frame — ONE
+    * definition for the batch entry and the maintained twin. */
+  private def embBandRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(array((0 until LshBands).map(j =>
+          struct(lit(j).as("band"), bandBucket(col("v"), j).as("bucket"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.bucket").as("bucket"))
+
   /** DuckDB mirror of [[bandBucket]] with the band index as a column
     * `j` (the oracle enumerates bands via generate_series). */
   private val bandBucketSqlJ: String =
@@ -420,11 +425,7 @@ object Dedup {
       .withColumn("nrm", sqrt(normSq(col("v"))))
     val ghosts = all.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("v"), col("nrm"))
-    def bandsOf(e: DataFrame): DataFrame =
-      e.select(col("vec_id"),
-          explode(array((0 until LshBands).map(j =>
-            struct(lit(j).as("band"), bandBucket(col("v"), j).as("bucket"))): _*)).as("s"))
-        .select(col("vec_id"), col("s.band").as("band"), col("s.bucket").as("bucket"))
+    def bandsOf(e: DataFrame): DataFrame = embBandRows(e)
     var eState: DataFrame = null
     var bandState: DataFrame = null
     var pairState: DataFrame = null
@@ -1079,10 +1080,7 @@ object Dedup {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(normSq(col("v"))))
-        val bb = e.select(col("vec_id"),
-          explode(array((0 until LshBands).map(j =>
-            struct(lit(j).as("band"), bandBucket(col("v"), j).as("bucket"))): _*)).as("s"))
-          .select(col("vec_id"), col("s.band").as("band"), col("s.bucket").as("bucket"))
+        val bb = embBandRows(e)
         val cand = bb.as("a").join(bb.as("b"),
             col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
               col("a.vec_id") < col("b.vec_id"))

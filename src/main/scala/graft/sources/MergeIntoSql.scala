@@ -350,6 +350,14 @@ object MergeIntoSql {
         // NOT MATCHED per SQL — but an INSERT firing for it would
         // collide with the key the table already holds (the keyed-table
         // invariant every read path relies on). Fence it by name.
+        // with residuals the change set is otherwise executed up to
+        // three times (collision fence, cardinality probe, the commit
+        // itself) — persist the RETURNED frame so the later consumers
+        // share one pass (commitMergeSql unpersists after the commit;
+        // direct changeSet callers may unpersist() when done). Only
+        // when it IS the returned frame: with an NMBS part the caller
+        // gets a union and unpersist() could not reach this child.
+        val persistHere = hasResiduals && nmbs.isEmpty
         val resolved =
           if (hasResiduals && notMatched.nonEmpty) {
             val r = resolve(joined.withColumn("__graft_keypresent",
@@ -363,8 +371,10 @@ object MergeIntoSql {
                 "SQL routes the source row to NOT MATCHED — but inserting would " +
                 "duplicate a key the table already holds; refine the ON " +
                 "condition or guard the INSERT clause")
-            r.drop("__graft_keypresent")
-          } else resolve(joined, sourceClauses)
+            val out = r.drop("__graft_keypresent")
+            if (persistHere) out.persist() else out
+          } else if (persistHere) resolve(joined, sourceClauses).persist()
+          else resolve(joined, sourceClauses)
         // the residual-aware cardinality rule: duplicate source keys
         // were admitted above because residuals may disambiguate — any
         // key that still receives MORE THAN ONE action violates
@@ -466,6 +476,9 @@ object MergeIntoSql {
     val target = SnapshotLog.readVersion(spark, root, v - 1)
     val cs = changeSet(spark, sqlText, key, payloadCols, target,
       keys => SnapshotLog.preImages(spark, root, v - 1, key, keys), source)
-    SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, cs)
+    // release the residual-path persist once the commit lands (a
+    // no-op when changeSet didn't persist)
+    try SnapshotLog.commitMergeChecked(spark, root, v, key, payloadCols, cs)
+    finally { cs.unpersist(); () }
   }
 }

@@ -290,15 +290,20 @@ object RecursiveSql {
              maxIters: Int): Unit = {
       var frontier = frontier0
       var live = true
+      // the fence counts THIS loop's iterations — `rounds` accumulates
+      // across every batch of a maintained run for stats, and a
+      // long-lived changelog converging in one round per batch must
+      // never trip a fence meant for non-terminating recursion
+      var iters = 0
       while (live) {
-        if (rounds >= maxIters)
+        if (iters >= maxIters)
           fail(s"recursion still producing rows after $maxIters iterations — " +
             "a truncated result is not the statement's fixpoint; raise maxIters " +
             "or bound the recursion in the query")
         frontier.createOrReplaceTempView(name)
         val step = shape(s.sql(recText))
         push(dedupNew(step)) match {
-          case Some(d) => frontier = d; rounds += 1
+          case Some(d) => frontier = d; rounds += 1; iters += 1
           case None => live = false
         }
       }

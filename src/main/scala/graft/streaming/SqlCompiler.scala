@@ -2782,9 +2782,12 @@ object SqlCompiler {
           "which is not in the pair-star core"))
       def gateFold(sts: Seq[DeltaEngine.Stage], tag: String): Seq[DeltaEngine.Stage] =
         gates.zipWithIndex.foldLeft(sts) { case (acc, (g, i)) =>
+          // EXACTLY the generic fold's search: the first ownStage-free
+          // stage of the relation — for a second gate on the SAME
+          // relation that is the first gate's hop, so the gates chain
+          // (hop1 consumes hop2's output), as the plain shapes compile
           val idx = acc.indexWhere(st =>
-            st.spec.relation == g.outerRel && st.ownStage.isEmpty &&
-              !st.name.startsWith("__pstar") && !st.name.startsWith("__psgate"))
+            st.spec.relation == g.outerRel && st.ownStage.isEmpty)
           if (idx < 0)
             fail(s"pair-star: no entry stage for gated relation '${g.outerRel}'")
           val entry = acc(idx)

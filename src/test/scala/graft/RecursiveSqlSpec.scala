@@ -166,6 +166,34 @@ class RecursiveSqlSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("DRed deletes on the ANCHOR relation: seeds retract, full seed loss empties") {
+    // supplier feeds ONLY the anchor in reachSql — this drives the
+    // anchor-delta over-delete branch the orders/lineitem case never
+    // touches. Partial seed deletion (ALL-supplier anchor, a third of
+    // the seeds removed) must equal the from-scratch fixpoint over the
+    // final state…
+    val allSeedsSql = reachSql.replace("WHERE s_nationkey = 3", "")
+    val batches = Seq(
+      Map("supplier" -> (col("s_suppkey") % 2 === 0)),
+      Map("supplier" -> (col("s_suppkey") % 2 === 1)))
+    val got = RecursiveSql.runIncremental(spark, d, allSeedsSql, batches,
+        deletesAt = Map(1 -> Map("supplier" -> (col("s_suppkey") % 3 === 0))),
+        deltaLinear = true)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val want = RecursiveSql.runIncremental(spark, d, allSeedsSql,
+        Seq(Map("supplier" -> (col("s_suppkey") % 3 =!= 0))))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+    // …and deleting EVERY nation-3 seed must empty the closure — a
+    // broken over-delete that marks nothing would leave the whole
+    // reachable set behind and fail here loudly
+    val gone = RecursiveSql.runIncremental(spark, d, reachSql, batches,
+        deletesAt = Map(1 -> Map("supplier" -> (col("s_nationkey") === 3))),
+        deltaLinear = true)
+      .collect()
+    assert(gone.isEmpty)
+  }
+
   test("incremental fences: deletes need deltaLinear, bag recursion, helpers") {
     val batches = Seq(Map("orders" -> (col("o_orderkey") % 2 === 0)),
       Map("orders" -> (col("o_orderkey") % 2 === 1)))

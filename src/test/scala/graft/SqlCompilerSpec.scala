@@ -2303,6 +2303,26 @@ class SqlCompilerSpec extends AnyFunSuite with org.scalatest.ParallelTestExecuti
     assert(gotG == wantG,
       s"missing ${(wantG -- gotG).take(3)} extra ${(gotG -- wantG).take(3)}")
     assert(gotG.exists(r => r.head == null && r(1) != null)) // orphans survive NOT EXISTS
+    // TWO gates on the SAME core relation chain (hop1 consumes hop2),
+    // exactly as the plain shapes compile them
+    val twoGateSql =
+      """SELECT n_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows
+        |FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |FULL OUTER JOIN orders ON o_custkey = c_custkey
+        |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
+        |WHERE NOT EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        | AND NOT EXISTS (SELECT 1 FROM part
+        |  WHERE p_partkey = n_nationkey AND p_size > 40)
+        |GROUP BY n_name, o_orderpriority, l_returnflag""".stripMargin
+    Seq("part").foreach(t => Tables.load(ss, d, t).createOrReplaceTempView(t))
+    val got2 = SqlCompiler.run(s, d, twoGateSql, deletes)
+      .collect().map(_.toSeq).toSet
+    val want2 = ss.sql(twoGateSql).collect().map(_.toSeq).toSet
+    assert(got2 == want2,
+      s"missing ${(want2 -- got2).take(3)} extra ${(got2 -- want2).take(3)}")
 
     // CHAIN PREFIX above the bridge: region→nation→{customer,supplier}
     // core — a REGION delete must orphan its nations' customers' orders
