@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -52,6 +53,29 @@ object Curation {
   final case class PackIn(lang: String, bucket: Long, doc_id: Long, n_tokens: Long)
   final case class PackOut(doc_id: Long, lang: String, bucket: Long,
                            bin: Long, n_tokens: Long)
+
+  /** The BM25 statement as ONE oracle text, shared by the batch entry
+    * and its maintained twin. */
+  private lazy val bm25OracleSql: String =
+    """WITH d2 AS (
+        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents) z),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d2),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, dl, unnest(toks) AS term FROM d2) u
+        | WHERE term IN ('join', 'filter', 'window') GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |  CAST(FLOOR((st.n - df.dfd + 0.5) / (df.dfd + 0.5)
+        |    * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / st.avgdl))))
+        |    * 1000000000 + 0.5) AS BIGINT) AS cq
+        | FROM tf JOIN df ON df.term = tf.term, st)
+        |SELECT doc_id, CAST(SUM(cq) AS DOUBLE) / 1000000000 AS score
+        |FROM c GROUP BY doc_id
+        |ORDER BY SUM(cq) DESC, doc_id LIMIT 20""".stripMargin
 
   val defs: Seq[GraftQuery] = Seq(
 
@@ -628,26 +652,7 @@ object Curation {
     // explode (the frame never holds the full vocabulary), df as a
     // second aggregate of the SAME counts, corpus stats (N, avgdl) as
     // the one-row broadcast; k1 = 1.2, b = 0.75.
-    sql("text_bm25_topk",
-      """WITH d2 AS (
-        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents) z),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d2),
-        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
-        |  SELECT doc_id, dl, unnest(toks) AS term FROM d2) u
-        | WHERE term IN ('join', 'filter', 'window') GROUP BY doc_id, dl, term),
-        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf GROUP BY term),
-        |c AS (SELECT tf.doc_id,
-        |  CAST(FLOOR((st.n - df.dfd + 0.5) / (df.dfd + 0.5)
-        |    * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
-        |        + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / st.avgdl))))
-        |    * 1000000000 + 0.5) AS BIGINT) AS cq
-        | FROM tf JOIN df ON df.term = tf.term, st)
-        |SELECT doc_id, CAST(SUM(cq) AS DOUBLE) / 1000000000 AS score
-        |FROM c GROUP BY doc_id
-        |ORDER BY SUM(cq) DESC, doc_id LIMIT 20""".stripMargin) {
+    sql("text_bm25_topk", bm25OracleSql) {
       (s, d) =>
         val d2 = Tables.documents(s, d)
           .select(col("doc_id"),
@@ -665,6 +670,69 @@ object Curation {
             lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("__avgdl"))))
         val cq = floor(idfOdds * tfNorm * lit(1000000000L) + lit(0.5)).cast("long")
         tf.join(dfr, "term").crossJoin(broadcast(st))
+          .select(col("doc_id"), cq.as("cq"))
+          .groupBy("doc_id").agg(sum(col("cq")).as("score_e9"))
+          .orderBy(col("score_e9").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), (col("score_e9").cast("double") / lit(1000000000L)).as("score"))
+    },
+
+    // --- maintained ranked retrieval under a document changelog --------
+    // BM25's sufficient statistics maintained incrementally: N and
+    // Σdl as exact signed longs (insert batches ADD their one-row
+    // aggregate, deletes SUBTRACT the departing docs' — both
+    // changelog-proportional), per-(doc, term) tf rows appended /
+    // anti-joined. The read derives df + avgdl from the maintained
+    // state (query-term rows only; a full-vocabulary deployment would
+    // maintain df additively too) and scores with the IDENTICAL
+    // quantized arithmetic as the batch entry — ghost docs injected
+    // mid-changelog shift df/avgdl while present and must leave every
+    // statistic exactly restored when deleted, proven by the shared
+    // oracle.
+    sql("text_bm25_maintained", bm25OracleSql) {
+      (s, d) =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val ghosts = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+        def tok(dd: DataFrame) = dd.select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+        var dlState: DataFrame = null // (doc_id, dl)
+        var tfState: DataFrame = null // (doc_id, dl, term, tf)
+        var n = 0L
+        var totDl = 0L
+        def insert(ins: DataFrame): Unit = {
+          val t = tok(ins).localCheckpoint()
+          val st = t.agg(count(lit(1)), sum(col("dl"))).collect()(0) // one row
+          n += st.getLong(0)
+          totDl += (if (st.isNullAt(1)) 0L else st.getLong(1))
+          val tf = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+            .filter(col("term").isin("join", "filter", "window"))
+            .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
+          tfState = (if (tfState == null) tf else tfState.unionAll(tf)).localCheckpoint()
+          val dl = t.select(col("doc_id"), col("dl"))
+          dlState = (if (dlState == null) dl else dlState.unionAll(dl)).localCheckpoint()
+        }
+        def delete(ids: DataFrame): Unit = {
+          val gone = dlState.join(ids, Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)), sum(col("dl"))).collect()(0) // one row
+          n -= gone.getLong(0)
+          totDl -= (if (gone.isNullAt(1)) 0L else gone.getLong(1))
+          dlState = dlState.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+          tfState = tfState.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+        }
+        insert(docs.filter(col("doc_id") % 3 === 0))
+        insert(docs.filter(col("doc_id") % 3 === 1).unionAll(ghosts))
+        insert(docs.filter(col("doc_id") % 3 === 2))
+        delete(ghosts.select(col("doc_id")))
+        // read: the batch entry's exact arithmetic over maintained stats
+        val avgdl = totDl.toDouble / n
+        val dfr = tfState.groupBy("term").agg(count(lit(1)).cast("double").as("dfd"))
+        val idfOdds = (lit(n.toDouble) - col("dfd") + lit(0.5)) / (col("dfd") + lit(0.5))
+        val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+        val cq = floor(idfOdds * tfNorm * lit(1000000000L) + lit(0.5)).cast("long")
+        tfState.join(dfr, "term")
           .select(col("doc_id"), cq.as("cq"))
           .groupBy("doc_id").agg(sum(col("cq")).as("score_e9"))
           .orderBy(col("score_e9").desc, col("doc_id")).limit(20)

@@ -5857,6 +5857,13 @@ object IncrementalQueries {
         pairStarOverrides)
         .run(s, dir, pairStarDeletes)
     },
+    sql("incremental_sql_q10_fullouter_star_pair_gated_exists_stream",
+      pairStarGatedOracle("")) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarGatedSql(""), pairStarOverrides),
+        dir, pairStarDeletes,
+        "incremental_sql_q10_fullouter_star_pair_gated_exists_stream_leaf")
+    },
 
     // … and on the TRANSFORMWITHSTATE drivers — the pair product plus
     // all five factorized plans' state on the supported arbitrary-

@@ -228,4 +228,16 @@ class CurationSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution 
       .filter(col("split") =!= col("split2")).count()
     assert(drift == 0)
   }
+
+  test("maintained BM25 equals the batch ranking after ghost churn") {
+    import SparkTestSession.{spark, sfTiny}
+    def ranked(name: String) =
+      SparkEntry.queries(name)(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val batch = ranked("text_bm25_topk")
+    val maintained = ranked("text_bm25_maintained")
+    assert(batch.nonEmpty && maintained == batch)
+    // ghosts (ids shifted by 1e9) were deleted — none may rank
+    assert(maintained.forall(_._1 < 1000000000L))
+  }
 }
