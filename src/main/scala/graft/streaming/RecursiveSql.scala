@@ -32,8 +32,10 @@ import graft.sources.SqlDml
   * shape re-checkpointed the whole accumulator every round:
   * O(D·|result|), quadratic on constant-rate growth). When the union
   * grows past [[compactEvery]] legs the accumulator compacts into one
-  * checkpoint so per-round plan width stays bounded. [[lastStats]]
-  * exposes the round's checkpoint accounting for exactly this claim.
+  * checkpoint so per-round plan width stays bounded. [[runWithStats]]
+  * returns the run's checkpoint accounting for exactly this claim —
+  * per run, not a JVM global, so concurrent fixpoints can't clobber
+  * each other's diagnostics.
   *
   * HELPER CTEs — additional non-recursive CTEs in the WITH — compile
   * as named subqueries: one not referencing the recursive CTE binds as
@@ -71,17 +73,18 @@ object RecursiveSql {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
-  /** Checkpoint accounting for the most recent run in this JVM —
-    * `deltaRows` is what the per-round delta checkpoints wrote (linear
-    * in |result| by construction), `compactedRows` what the periodic
-    * accumulator compactions re-wrote (at most every [[compactEvery]]
-    * rounds). Diagnostic surface for specs and MiniBench, not a
-    * driver contract. */
+  /** Checkpoint accounting for ONE run — `deltaRows` is what the
+    * per-round delta checkpoints wrote (linear in |result| by
+    * construction), `compactedRows` what the periodic accumulator
+    * compactions re-wrote (at most every [[compactEvery]] rounds).
+    * Returned PER RUN by [[runWithStats]]/[[runIncrementalWithStats]]
+    * — deliberately NOT a JVM global: parallel suites run many
+    * fixpoints concurrently in one JVM, and a shared "last run"
+    * diagnostic races (a spec would read another run's stats).
+    * Diagnostic surface for specs and MiniBench, not a driver
+    * contract. */
   final case class Stats(rounds: Int, deltaRows: Long,
                          compactions: Int, compactedRows: Long)
-  private val lastStatsRef =
-    new java.util.concurrent.atomic.AtomicReference[Stats](Stats(0, 0L, 0, 0L))
-  def lastStats: Stats = lastStatsRef.get
 
   /** Accumulator legs before a compaction folds them into one
     * checkpoint: bounds per-round plan width (≤ this many union legs)
@@ -205,7 +208,17 @@ object RecursiveSql {
     * same table factor (not a second reference), and `x.name` is a
     * different qualified name entirely — both are skipped. Callers
     * pass comment-MASKED text (a comment mentioning the name must not
-    * count). */
+    * count).
+    *
+    * KNOWN LIMIT (textual, not a parse): an UNQUALIFIED column that
+    * happens to share the CTE's name (`SELECT r FROM t` inside a
+    * helper, with the recursion named `r`) counts as a reference —
+    * the helper is then classified post-fixpoint (harmless: it binds
+    * later than needed) or, if the loop reads it, trips the
+    * recursion-through-helper fence LOUDLY. Conservative by
+    * construction: a shadowing name can only over-count, never
+    * under-count, so no misclassification silently reads stale state.
+    * Qualify the column (`t.r`) or rename the CTE to avoid it. */
   private def countRefs(text: String, name: String): Int = {
     var i = 0
     var inStr = false
@@ -309,8 +322,18 @@ object RecursiveSql {
       }
     }
 
-    def publish(): Unit =
-      lastStatsRef.set(Stats(rounds, deltaRows, compactions, compactedRows))
+    def stats: Stats = Stats(rounds, deltaRows, compactions, compactedRows)
+
+    /** Fold another fixpoint's accounting into this one — the DRed
+      * mark loop runs on its own [[Fixpoint]] (its accumulator is the
+      * mark set, not the closure) but its checkpoint I/O belongs in
+      * the run's totals. */
+    def absorb(other: Fixpoint): Unit = {
+      rounds += other.rounds
+      deltaRows += other.deltaRows
+      compactions += other.compactions
+      compactedRows += other.compactedRows
+    }
   }
 
   /** Build the rename (column alias list) + positional-alignment shape
@@ -363,7 +386,14 @@ object RecursiveSql {
     * nothing (or fails at `maxIters`), post-fixpoint helpers bind
     * last, and the outer query runs over all of them. */
   def run(spark: SparkSession, dir: String, sqlText: String,
-          maxIters: Int = 100): DataFrame = {
+          maxIters: Int = 100): DataFrame =
+    runWithStats(spark, dir, sqlText, maxIters)._1
+
+  /** [[run]] plus the run's own checkpoint accounting — per-run, so
+    * concurrent fixpoints in one JVM cannot clobber each other's
+    * diagnostics. */
+  def runWithStats(spark: SparkSession, dir: String, sqlText: String,
+                   maxIters: Int = 100): (DataFrame, Stats) = {
     val (ctes, outerText) = parseAll(sqlText)
     val rec = soleRecursive(ctes)
     val (anchorText, recText, unionAll) = splitRecursiveBody(rec)
@@ -427,13 +457,12 @@ object RecursiveSql {
     fp.push(if (unionAll) anchor else anchor.distinct()).foreach { frontier =>
       fp.loop(s, rec.name, recText, shape, frontier, maxIters)
     }
-    fp.publish()
     val result =
       if (fp.deltaRows == 0) anchor.limit(0) // empty anchor → empty recursion
       else fp.acc
     result.createOrReplaceTempView(rec.name)
     helpersAfter.foreach(bindHelper(s, _, materialize = false))
-    s.sql(outerText)
+    (s.sql(outerText), fp.stats)
   }
 
   /** MAINTAINED recursion under a base-table CHANGELOG — semi-naive
@@ -499,7 +528,18 @@ object RecursiveSql {
                      batches: Seq[Map[String, Column]],
                      deletesAt: Map[Int, Map[String, Column]] = Map.empty,
                      deltaLinear: Boolean = false,
-                     maxIters: Int = 100): DataFrame = {
+                     maxIters: Int = 100): DataFrame =
+    runIncrementalWithStats(spark, dir, sqlText, batches, deletesAt,
+      deltaLinear, maxIters)._1
+
+  /** [[runIncremental]] plus the run's checkpoint accounting. The
+    * DRed mark loops' checkpoint I/O is folded into the same totals,
+    * so a spec can assert the DELETE path is delta-linear too. */
+  def runIncrementalWithStats(spark: SparkSession, dir: String, sqlText: String,
+                     batches: Seq[Map[String, Column]],
+                     deletesAt: Map[Int, Map[String, Column]] = Map.empty,
+                     deltaLinear: Boolean = false,
+                     maxIters: Int = 100): (DataFrame, Stats) = {
     if (batches.isEmpty) fail("runIncremental needs at least one batch")
     deletesAt.keys.foreach(k => if (k < 0 || k >= batches.size)
       fail(s"deletesAt names batch $k — batches run 0..${batches.size - 1}"))
@@ -592,40 +632,45 @@ object RecursiveSql {
           // propagate marks over the POST-delete base: rows derivable
           // from marked rows through surviving edges join the set
           // (every step intersects the old closure — marks can only
-          // name rows that exist)
-          var dAll = seedParts.reduce(_ unionAll _).distinct()
-            .localCheckpoint(true)
-          var frontier = dAll
-          var live = frontier.count() > 0
+          // name rows that exist). The mark set runs on its OWN
+          // Fixpoint: each round checkpoints only its delta
+          // (O(|new marks|)), the accumulator stays a lazy union
+          // compacted every compactEvery legs — same delta-only
+          // discipline as the main fixpoint; a deep delete cascade
+          // pays O(|marks|) checkpoint I/O, not O(rounds·|marks|).
+          val marks = new Fixpoint(unionAll = false)
+          var frontierOpt =
+            marks.push(seedParts.reduce(_ unionAll _).distinct())
           var rounds = 0
-          while (live) {
+          while (frontierOpt.isDefined) {
             if (rounds >= maxIters)
               fail(s"over-delete propagation still growing after $maxIters " +
                 "rounds — raise maxIters")
-            val step = evalTerm(postDel, frontier).distinct()
-            val next = step.intersect(fp.acc).except(dAll).localCheckpoint(true)
-            if (next.count() == 0) live = false
-            else {
-              dAll = dAll.unionAll(next).localCheckpoint(true)
-              frontier = next
-              rounds += 1
-            }
+            val step = evalTerm(postDel, frontierOpt.get).distinct()
+            frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.acc)))
+            rounds += 1
           }
-          // survivors replace the accumulator; then RE-DERIVE: one
-          // support probe over the survivors + the anchor re-seeds
-          // every marked row that still has a derivation, and the
-          // ordinary loop does the rest
-          val survivors = fp.acc.except(dAll)
-          fp.reset(survivors)
-          bind(postDel)
-          val reSeed = fp.dedupNew(
-            evalTerm(postDel, fp.acc).unionAll {
-              bind(postDel)
-              renamed(s.sql(anchorText))
-            })
-          bind(postDel)
-          fp.push(reSeed).foreach(f =>
-            fp.loop(s, rec.name, recText, shape, f, maxIters))
+          // an empty seed marks nothing: the closure is untouched, so
+          // skip the reset (it would re-checkpoint the whole
+          // accumulator) and the re-derive (it would add nothing)
+          if (marks.hasAcc) {
+            // survivors replace the accumulator; then RE-DERIVE: one
+            // support probe over the survivors + the anchor re-seeds
+            // every marked row that still has a derivation, and the
+            // ordinary loop does the rest
+            val survivors = fp.acc.except(marks.acc)
+            fp.absorb(marks)
+            fp.reset(survivors)
+            bind(postDel)
+            val reSeed = fp.dedupNew(
+              evalTerm(postDel, fp.acc).unionAll {
+                bind(postDel)
+                renamed(s.sql(anchorText))
+              })
+            bind(postDel)
+            fp.push(reSeed).foreach(f =>
+              fp.loop(s, rec.name, recText, shape, f, maxIters))
+          }
         }
       }
       // ---- phase B: inserts ---------------------------------------
@@ -663,12 +708,11 @@ object RecursiveSql {
         fp.push(seed).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
       }
     }
-    fp.publish()
     bind(stateMap(batches.size - 1, batches.size - 1))
     val result =
       if (!fp.hasAcc) renamed(s.sql(anchorText)).limit(0)
       else fp.acc
     result.createOrReplaceTempView(rec.name)
-    s.sql(outerText)
+    (s.sql(outerText), fp.stats)
   }
 }

@@ -84,15 +84,17 @@ class RecursiveSqlSpec extends AnyFunSuite {
 
   test("checkpoint accounting: deep chain writes O(|result|), not O(depth·|result|)") {
     val depth = 40
-    val got = RecursiveSql.run(spark, d,
+    // stats are PER RUN (returned, not a JVM global) — parallel suites
+    // run other fixpoints concurrently in this JVM, and a shared
+    // "last run" diagnostic would hand this test another run's numbers
+    val (df, st) = RecursiveSql.runWithStats(spark, d,
       s"""WITH RECURSIVE r(x) AS (
          | SELECT 1
          | UNION
          | SELECT x + 1 FROM r WHERE x < $depth
          |)
-         |SELECT x FROM r""".stripMargin).count()
-    assert(got == depth)
-    val st = RecursiveSql.lastStats
+         |SELECT x FROM r""".stripMargin)
+    assert(df.count() == depth)
     // each round checkpoints only its delta (1 row here): linear in
     // |result|; compactions re-write the accumulator only every
     // compactEvery rounds. The OLD shape (re-checkpoint acc each
@@ -102,6 +104,35 @@ class RecursiveSqlSpec extends AnyFunSuite {
     assert(st.compactions >= 1) // depth 40 > compactEvery
     assert(st.deltaRows + st.compactedRows < 4L * depth,
       s"checkpointed ${st.deltaRows} + ${st.compactedRows} rows — not linear")
+  }
+
+  test("DRed mark loop is delta-linear: deep delete cascade writes O(|marks|)") {
+    // a 60-link chain over customer keys (1 → 2 → … → 60); deleting
+    // customer 5 severs the chain, cascading marks over the 55
+    // downstream nodes ONE PER ROUND — the worst case for the mark
+    // accumulator. Delta-only checkpoints write O(|marks|) total; the
+    // old shape (re-checkpoint the whole mark set each round) would
+    // write Σ1..55 ≈ 1540 rows for the marks alone.
+    val chainSql =
+      """WITH RECURSIVE r AS (
+        | SELECT CAST(1 AS BIGINT) AS x
+        | UNION
+        | SELECT c.c_custkey + 1 AS x FROM customer c
+        | JOIN r ON r.x = c.c_custkey WHERE c.c_custkey < 60
+        |)
+        |SELECT x FROM r""".stripMargin
+    val (df, st) = RecursiveSql.runIncrementalWithStats(spark, d, chainSql,
+      batches = Seq(Map.empty, Map.empty),
+      deletesAt = Map(1 -> Map("customer" -> (col("c_custkey") === 5))),
+      deltaLinear = true)
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 5L)) // nothing past the severed link survives
+    // totals cover batch-0 build (60 delta rows) + the 55-mark cascade
+    // + periodic compactions + the survivor reset — all linear in the
+    // closure; the quadratic shape would exceed this bound 5× over
+    assert(st.deltaRows + st.compactedRows < 600,
+      s"checkpointed ${st.deltaRows} + ${st.compactedRows} rows — " +
+        "the delete cascade is not delta-linear")
   }
 
   private val reachSql =
