@@ -2073,6 +2073,54 @@ object IncrementalQueries {
           |SELECT kind, n FROM reached""".stripMargin)
     },
 
+    // … the CTE-mix MAINTAINED under the same insert-only changelog as
+    // the recursive_paths twin: the pre-fixpoint `edges` helper view is
+    // RE-CREATED per state binding (a temp view captures its plan at
+    // creation — without the re-bind the batch-0 base would freeze),
+    // delta bindings of orders/lineitem flow THROUGH it (the term reads
+    // them only via edges — the transitive read set drives the
+    // per-relation delta seeds), and the post-fixpoint `reached` helper
+    // binds after the final closure for the outer query. Oracle:
+    // DuckDB's native mixed WITH over the full tables.
+    sql("incremental_sql_recursive_cte_mix_stream",
+      """WITH RECURSIVE r AS (
+        | SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        | FROM supplier WHERE s_nationkey = 1
+        | UNION
+        | SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src
+        |), edges AS (
+        | SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        | UNION ALL
+        | SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), reached AS (
+        | SELECT substr(node, 1, 1) AS kind, COUNT(*) AS n FROM r GROUP BY 1
+        |)
+        |SELECT kind, n FROM reached""".stripMargin) {
+      (s, d) => RecursiveSql.runIncremental(s, d,
+        """WITH RECURSIVE r AS (
+          | SELECT 's' || CAST(s_suppkey AS STRING) AS node
+          | FROM supplier WHERE s_nationkey = 1
+          | UNION
+          | SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src
+          |), edges AS (
+          | SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+          |        's' || CAST(l_suppkey AS STRING) AS dst
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          | UNION ALL
+          | SELECT 's' || CAST(l_suppkey AS STRING) AS src,
+          |        'c' || CAST(o_custkey AS STRING) AS dst
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |), reached AS (
+          | SELECT substr(node, 1, 1) AS kind, COUNT(*) AS n FROM r GROUP BY 1
+          |)
+          |SELECT kind, n FROM reached""".stripMargin,
+        batches = recursivePathsBatches, deltaLinear = true)
+    },
+
     sql("cdc_roundtrip_lineitem",
       """SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'Insert' ELSE 'Delete' END AS action,
         | l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -389,18 +389,13 @@ object RecursiveSql {
           maxIters: Int = 100): DataFrame =
     runWithStats(spark, dir, sqlText, maxIters)._1
 
-  /** [[run]] plus the run's own checkpoint accounting — per-run, so
-    * concurrent fixpoints in one JVM cannot clobber each other's
-    * diagnostics. */
-  def runWithStats(spark: SparkSession, dir: String, sqlText: String,
-                   maxIters: Int = 100): (DataFrame, Stats) = {
-    val (ctes, outerText) = parseAll(sqlText)
-    val rec = soleRecursive(ctes)
-    val (anchorText, recText, unionAll) = splitRecursiveBody(rec)
+  /** Classify helper CTEs around the fixpoint — (pre, post) in
+    * definition order; enforce backward reference flow among CTEs (as
+    * compileCte does) and fence recursion THROUGH a helper — the loop
+    * reading a helper that (transitively) reads r is non-linear. */
+  private def classifyHelpers(ctes: Seq[Cte], rec: Cte, anchorText: String,
+                              recText: String): (Seq[Cte], Seq[Cte]) = {
     val helpers = ctes.filterNot(_.name == rec.name)
-    // classify helpers around the fixpoint; enforce backward reference
-    // flow among CTEs (as compileCte does) and fence recursion THROUGH
-    // a helper — the loop reading a helper that reads r is non-linear
     val names = ctes.map(_.name)
     helpers.foreach { h =>
       val hMasked = SqlDml.maskComments(h.body)
@@ -440,6 +435,19 @@ object RecursiveSql {
               "and has no bounded fixpoint plan")
       }
     }
+    (helpersBefore, helpersAfter)
+  }
+
+  /** [[run]] plus the run's own checkpoint accounting — per-run, so
+    * concurrent fixpoints in one JVM cannot clobber each other's
+    * diagnostics. */
+  def runWithStats(spark: SparkSession, dir: String, sqlText: String,
+                   maxIters: Int = 100): (DataFrame, Stats) = {
+    val (ctes, outerText) = parseAll(sqlText)
+    val rec = soleRecursive(ctes)
+    val (anchorText, recText, unionAll) = splitRecursiveBody(rec)
+    val (helpersBefore, helpersAfter) =
+      classifyHelpers(ctes, rec, anchorText, recText)
 
     val s = spark.newSession()
     Tables.names.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
@@ -522,8 +530,21 @@ object RecursiveSql {
     * Bag recursion (`UNION ALL`) is fenced: without derivation
     * counting, appending new derivations of already-present rows
     * cannot be reconciled with the from-scratch multiset.
-    * Helper CTEs are fenced (their views would silently freeze the
-    * batch-0 base state). */
+    *
+    * HELPER CTEs participate in the maintenance: a temp view captures
+    * its plan at creation, so PRE-fixpoint helper views are RE-CREATED
+    * after every state rebinding — a delta binding of `orders` is then
+    * visible through an `edges` helper instead of freezing the batch-0
+    * state. Delta-linearity and seed-skipping decisions see THROUGH
+    * helpers (a term reading `edges` over orders⋈lineitem reads orders
+    * and lineitem); the branch-linearity requirement for `deltaLinear`
+    * extends through helper EXPANSION — each base relation must occur
+    * at most once per join scope after inlining the helpers it flows
+    * through (a term joining a helper with itself would make both
+    * sides delta under one binding and miss old×new derivations).
+    * POST-fixpoint helpers bind after the loop, for the outer query,
+    * exactly as in [[run]]. Term-read helpers are materialized once
+    * per batch (loop-invariant within a batch), not once per round. */
   def runIncremental(spark: SparkSession, dir: String, sqlText: String,
                      batches: Seq[Map[String, Column]],
                      deletesAt: Map[Int, Map[String, Column]] = Map.empty,
@@ -550,10 +571,9 @@ object RecursiveSql {
         "or re-run the from-scratch fixpoint")
     val (ctes, outerText) = parseAll(sqlText)
     val rec = soleRecursive(ctes)
-    if (ctes.size > 1)
-      fail("helper CTEs under a changelog are not wired — their bound views " +
-        "would freeze the batch-0 base state; inline them")
     val (anchorText, recText, unionAll) = splitRecursiveBody(rec)
+    val (helpersBefore, helpersAfter) =
+      classifyHelpers(ctes, rec, anchorText, recText)
     if (unionAll)
       fail("maintained recursion requires set-semantics UNION — bag (UNION " +
         "ALL) recursion under inserts would need derivation counting")
@@ -565,9 +585,43 @@ object RecursiveSql {
     val s = spark.newSession()
     val base: Map[String, DataFrame] =
       Tables.names.map(t => t -> Tables.load(s, dir, t)).toMap
-    // bind each relation to a specific state for the next SQL evals
-    def bind(state: Map[String, DataFrame]): Unit =
+    // Base relations each PRE-FIXPOINT helper transitively reads
+    // (helpers may read earlier helpers — definition-order fold). A
+    // temp view captures its plan at creation, so helper views must be
+    // RE-CREATED after every state rebinding — that is what keeps a
+    // delta binding of `orders` visible through an `edges` helper
+    // instead of freezing the batch-0 state.
+    val helperRels: Map[String, Set[String]] =
+      helpersBefore.foldLeft(Map.empty[String, Set[String]]) { (acc, h) =>
+        val m = SqlDml.maskComments(h.body)
+        val direct = Tables.names.filter(t => countRefs(m, t) > 0).toSet
+        val viaEarlier = acc.collect {
+          case (hn, rels) if countRefs(m, hn) > 0 => rels
+        }.flatten.toSet
+        acc + (h.name -> (direct ++ viaEarlier))
+      }
+    /** Base relations the (masked) text reads, directly or through a
+      * pre-fixpoint helper — the delta-binding and seed-skipping
+      * decisions must see THROUGH helpers. */
+    def textReads(masked: String): Set[String] =
+      Tables.names.filter(t => countRefs(masked, t) > 0).toSet ++
+        helperRels.collect {
+          case (hn, rels) if countRefs(masked, hn) > 0 => rels
+        }.flatten
+    // bind each relation to a specific state for the next SQL evals,
+    // then re-create the pre-fixpoint helper views over that state
+    // (definition order — later helpers may read earlier ones).
+    // `materialize` checkpoints term-read helpers once per call: the
+    // state is loop-invariant WITHIN a batch's fixpoint loop, so the
+    // loop reads checkpointed rows instead of recomputing the helper's
+    // join every round (same reasoning as [[bindHelper]] in [[run]]).
+    val recMaskedForBind = SqlDml.maskComments(recText)
+    def bind(state: Map[String, DataFrame],
+             materialize: Boolean = false): Unit = {
       state.foreach { case (t, df) => df.createOrReplaceTempView(t) }
+      helpersBefore.foreach(h => bindHelper(s, h,
+        materialize = materialize && countRefs(recMaskedForBind, h.name) > 0))
+    }
     def delFilter(t: String, throughK: Int): Option[Column] =
       (0 to throughK).flatMap(j => deletesAt.get(j).flatMap(_.get(t)))
         .reduceOption(_ || _)
@@ -591,10 +645,14 @@ object RecursiveSql {
     val shape: DataFrame => DataFrame = df => aligned(renamed(df))
     val anchorMasked = SqlDml.maskComments(anchorText)
     val recMasked = SqlDml.maskComments(recText)
+    // base relations the term/anchor read THROUGH helpers too — a term
+    // reading `edges` (a helper over orders join lineitem) reads orders
+    val recReads = textReads(recMasked)
+    val anchorReads = textReads(anchorMasked)
 
     // batch 0: the ordinary fixpoint over the initial base state
     // (deletes at batch 0 simply never appear in the state)
-    bind(stateMap(0, 0))
+    bind(stateMap(0, 0), materialize = true)
     val anchor0 = renamed(s.sql(anchorText)).distinct()
     anchorCols = anchor0.columns.toSeq
     fp.push(anchor0).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
@@ -621,10 +679,10 @@ object RecursiveSql {
         // per-relation delta binding, deleted rows as the delta,
         // everything else at the PRE-delete state, r at the closure
         val seedParts =
-          delSpec.keys.toSeq.filter(t => countRefs(recMasked, t) > 0).map { t =>
+          delSpec.keys.toSeq.filter(recReads).map { t =>
             evalTerm(preDel + (t -> deletedRows(t)), closure)
           } ++
-          delSpec.keys.toSeq.filter(t => countRefs(anchorMasked, t) > 0).map { t =>
+          delSpec.keys.toSeq.filter(anchorReads).map { t =>
             bind(preDel + (t -> deletedRows(t)))
             renamed(s.sql(anchorText))
           }
@@ -641,12 +699,18 @@ object RecursiveSql {
           val marks = new Fixpoint(unionAll = false)
           var frontierOpt =
             marks.push(seedParts.reduce(_ unionAll _).distinct())
+          // the seeds' delta-bound plans are captured above (s.sql
+          // resolves at call time), so the loop can bind the
+          // post-delete state ONCE, materialized — term-read helpers
+          // checkpoint here instead of recomputing per round
+          bind(postDel, materialize = frontierOpt.isDefined)
           var rounds = 0
           while (frontierOpt.isDefined) {
             if (rounds >= maxIters)
               fail(s"over-delete propagation still growing after $maxIters " +
                 "rounds — raise maxIters")
-            val step = evalTerm(postDel, frontierOpt.get).distinct()
+            frontierOpt.get.createOrReplaceTempView(rec.name)
+            val step = shape(s.sql(recText)).distinct()
             frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.acc)))
             rounds += 1
           }
@@ -667,7 +731,7 @@ object RecursiveSql {
                 bind(postDel)
                 renamed(s.sql(anchorText))
               })
-            bind(postDel)
+            bind(postDel, materialize = true)
             fp.push(reSeed).foreach(f =>
               fp.loop(s, rec.name, recText, shape, f, maxIters))
           }
@@ -679,7 +743,7 @@ object RecursiveSql {
       // passes for relations the term never reads would re-derive
       // exactly acc (their delta binding is invisible to the plan) —
       // skip the jobs, the except() would discard the rows anyway
-      val readByTerm = changed.filter(t => countRefs(recMasked, t) > 0)
+      val readByTerm = changed.filter(recReads)
       def insertedRows(t: String): DataFrame = {
         val ins = base(t).filter(batches(k)(t))
         delFilter(t, k).map(f => ins.filter(!f)).getOrElse(ins)
@@ -697,13 +761,14 @@ object RecursiveSql {
       // relation (otherwise it re-derives the same seeds, which the
       // except() would discard anyway — skip the job)
       val anchorParts: Seq[DataFrame] =
-        if (changed.exists(t => countRefs(anchorMasked, t) > 0)) {
+        if (changed.exists(anchorReads)) {
           bind(cum)
           Seq(renamed(s.sql(anchorText)))
         } else Nil
       val parts = recursiveParts ++ anchorParts
       if (parts.nonEmpty) {
-        bind(cum) // the continuing loop evaluates over the full new state
+        // the continuing loop evaluates over the full new state
+        bind(cum, materialize = true)
         val seed = fp.dedupNew(parts.reduce(_ unionAll _))
         fp.push(seed).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
       }
@@ -713,6 +778,8 @@ object RecursiveSql {
       if (!fp.hasAcc) renamed(s.sql(anchorText)).limit(0)
       else fp.acc
     result.createOrReplaceTempView(rec.name)
+    // post-fixpoint helpers (they read r) bind last, for the outer query
+    helpersAfter.foreach(bindHelper(s, _, materialize = false))
     (s.sql(outerText), fp.stats)
   }
 }

@@ -225,7 +225,7 @@ class RecursiveSqlSpec extends AnyFunSuite {
     assert(gone.isEmpty)
   }
 
-  test("incremental fences: deletes need deltaLinear, bag recursion, helpers") {
+  test("incremental fences: deletes need deltaLinear, bag recursion") {
     val batches = Seq(Map("orders" -> (col("o_orderkey") % 2 === 0)),
       Map("orders" -> (col("o_orderkey") % 2 === 1)))
     def err(f: => Any): String =
@@ -242,11 +242,62 @@ class RecursiveSqlSpec extends AnyFunSuite {
         | SELECT 1 UNION ALL SELECT x + 1 FROM r WHERE x < 3
         |) SELECT x FROM r""".stripMargin, batches))
       .contains("set-semantics"))
-    assert(err(RecursiveSql.runIncremental(spark, d,
-      """WITH RECURSIVE r(x) AS (
-        | SELECT 1 UNION SELECT x + 1 FROM r WHERE x < 3
-        |), h AS (SELECT 1 AS y) SELECT x FROM r""".stripMargin, batches))
-      .contains("changelog"))
+  }
+
+  // the CTE-mix shape: edge set lifted into a PRE-fixpoint helper (the
+  // term reads orders/lineitem only THROUGH it), plus a POST-fixpoint
+  // helper over r for the outer query — the maintenance must re-create
+  // the helper views per state binding or the batch-0 base would freeze
+  private val helperReachSql =
+    """WITH RECURSIVE r AS (
+      | SELECT 's' || CAST(s_suppkey AS STRING) AS node
+      | FROM supplier WHERE s_nationkey = 3
+      | UNION
+      | SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src
+      |), edges AS (
+      | SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+      |        's' || CAST(l_suppkey AS STRING) AS dst
+      | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      | UNION ALL
+      | SELECT 's' || CAST(l_suppkey AS STRING) AS src,
+      |        'c' || CAST(o_custkey AS STRING) AS dst
+      | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |), reached AS (
+      | SELECT substr(node, 1, 1) AS kind, COUNT(*) AS n FROM r GROUP BY 1
+      |)
+      |SELECT kind, n FROM reached""".stripMargin
+
+  test("helper CTEs maintain under a changelog: delta bindings flow THROUGH the helper") {
+    val want = RecursiveSql.run(spark, d, helperReachSql)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(want.nonEmpty)
+    val batches = Seq(
+      Map("orders" -> (col("o_orderkey") % 3 === 0),
+        "lineitem" -> (col("l_orderkey") % 3 === 0)),
+      Map("orders" -> (col("o_orderkey") % 3 === 1),
+        "lineitem" -> (col("l_orderkey") % 3 === 1)),
+      Map("orders" -> (col("o_orderkey") % 3 === 2),
+        "lineitem" -> (col("l_orderkey") % 3 === 2)))
+    // the term reads orders/lineitem only through `edges`: a direct-ref
+    // test would see no changed relation and silently skip every seed —
+    // the transitive read set is what makes these equal
+    val gotLinear = RecursiveSql.runIncremental(spark, d, helperReachSql,
+        batches, deltaLinear = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(gotLinear == want)
+    val gotFull = RecursiveSql.runIncremental(spark, d, helperReachSql, batches)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(gotFull == want)
+    // …and DRed deletes also flow through the helper: orders rows
+    // removed at batch 2 must retract their edges' derivations
+    val got = RecursiveSql.runIncremental(spark, d, helperReachSql, batches,
+        deletesAt = Map(2 -> Map("orders" -> (col("o_orderkey") % 10 === 0))),
+        deltaLinear = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val wantDel = RecursiveSql.runIncremental(spark, d, helperReachSql,
+        batches = Seq(Map("orders" -> (col("o_orderkey") % 10 =!= 0))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(wantDel.nonEmpty && got == wantDel)
   }
 
   test("fences: non-linear recursion, anchor self-reference, runaway depth") {
