@@ -356,6 +356,139 @@ object Dedup {
     pairState.select(col("doc_a"), col("doc_b"), col("jacc"))
   }
 
+  /** The maintained near-dup pipeline with its state PERSISTED to the
+    * snapshot log — the operational shape of continuous re-ingest.
+    * [[minhashPairsMaintained]] carries state as in-JVM localCheckpoint
+    * chains, which die with the JVM; here the per-doc state (shingles
+    * + LSH band rows packed one row per doc_id, hash-bucketed by
+    * doc_id) and the confirmed pair set (keyed by a packed
+    * `doc_a·2³² + doc_b` long) are versioned snapshot TABLES, so the
+    * pipeline can stop, a NEW session can reopen from the log, and
+    * ingestion resumes — which this entry proves by switching sessions
+    * mid-changelog.
+    *
+    *  - INSERT batch: Δ docs commit as I-rows ([[SnapshotLog.commitMerge]]
+    *    rewrites only the touched doc_id buckets); Δ band rows probe
+    *    state ∪ Δ on the (band, h) equi-key — state bands come from
+    *    EXPLODING the persisted array, not re-hashing text — and only
+    *    surviving candidates pay the exact-Jaccard confirm. Same
+    *    Δ-probes-buckets discipline as the in-JVM twin: old-old pairs
+    *    cannot re-emerge.
+    *  - DELETE batch: doc rows drop via a DELETION-VECTOR commit
+    *    (O(|deleted keys|)); affected pairs resolve by two semi-joins
+    *    (one per side) and drop the same way — O(|pairs of the
+    *    deleted|), never a pair-table rewrite.
+    *  - RESTART: every handle below derives from the log roots alone
+    *    (latest version = max committed manifest); nothing in-JVM
+    *    survives the mid-run `newSession()`, which is the point.
+    *
+    * At corpus scale the doc-state table is the bucket-partitioned
+    * store the maintained twin's scaladoc promises: the per-batch
+    * probe shuffles Δ against the persisted band rows (state-side
+    * shuffle on (band, h)), commits rewrite O(touched buckets), and a
+    * crashed ingester resumes from the last committed version. */
+  private def minhashPairsPersist(s0: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val docsRoot = java.nio.file.Files.createTempDirectory("graft_mh_docs").toString
+    val pairsRoot = java.nio.file.Files.createTempDirectory("graft_mh_pairs").toString
+
+    def latest(root: String): Int =
+      SnapshotLog.history(root).map(_._1).maxOption.getOrElse(-1)
+    def docState(s: SparkSession): Option[DataFrame] = {
+      val v = latest(docsRoot)
+      if (v < 0) None else Some(SnapshotLog.readVersion(s, docsRoot, v).drop("b"))
+    }
+    def pairState(s: SparkSession): Option[DataFrame] = {
+      val v = latest(pairsRoot)
+      if (v < 0) None else Some(SnapshotLog.readVersion(s, pairsRoot, v).drop("b"))
+    }
+    // doc ids stay under 2³¹ (ghost shift included), so the packed
+    // pair key is collision-free in a long
+    def pairId = (col("doc_a") * lit(1L << 32) + col("doc_b")).as("pair_id")
+
+    def insert(s: SparkSession, inserts: DataFrame): Unit = {
+      val shNew = shingledOf(inserts) // (doc_id, shingles)
+      val exNew = shNew.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val bandsNew = bandRows(exNew)  // (doc_id, band, h)
+      val stateNew = shNew.join(
+        bandsNew.groupBy("doc_id")
+          .agg(collect_list(struct(col("band"), col("h"))).as("bands")),
+        Seq("doc_id"))
+      val prev = docState(s)
+      val bandPrev = prev.map(_
+        .select(col("doc_id"), explode(col("bands")).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h")))
+      val bandAll = bandPrev.map(_.unionAll(bandsNew)).getOrElse(bandsNew)
+      val cand = bandsNew.as("a").join(bandAll.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+      val exPrev = prev.map(_.select(col("doc_id"), explode(col("shingles")).as("s")))
+      val exAll = exPrev.map(_.unionAll(exNew)).getOrElse(exNew)
+      // shingles are distinct per doc, so array size IS the count
+      def nOf(df: DataFrame) =
+        df.select(col("doc_id"), size(col("shingles")).cast("int").as("n"))
+      val nAll = prev.map(p => nOf(p).unionAll(nOf(shNew))).getOrElse(nOf(shNew))
+      val confirmed = cand
+        .join(exAll.as("xa"), col("xa.doc_id") === col("doc_a"))
+        .join(exAll.as("xb"),
+          col("xb.doc_id") === col("doc_b") && col("xa.s") === col("xb.s"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+        .join(nAll.as("na"), col("na.doc_id") === col("doc_a"))
+        .join(nAll.as("nb"), col("nb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni")))
+            .as("jacc"))
+        .filter(col("jacc") >= 0.01)
+      val vD = latest(docsRoot)
+      if (vD < 0) SnapshotLog.commitInitial(stateNew, docsRoot, "doc_id")
+      else SnapshotLog.commitMerge(s, docsRoot, vD + 1, "doc_id",
+        Seq("shingles", "bands"), stateNew.withColumn("op", lit("I")))
+      val pNew = confirmed.select(pairId, col("doc_a"), col("doc_b"), col("jacc"))
+      if (!pNew.isEmpty) { // a batch may confirm nothing — no commit then
+        val vP = latest(pairsRoot)
+        if (vP < 0) SnapshotLog.commitInitial(pNew, pairsRoot, "pair_id")
+        else SnapshotLog.commitMerge(s, pairsRoot, vP + 1, "pair_id",
+          Seq("doc_a", "doc_b", "jacc"), pNew.withColumn("op", lit("I")))
+      }
+    }
+
+    def delete(s: SparkSession, ids: DataFrame): Unit = {
+      SnapshotLog.commitDeleteVector(s, docsRoot, latest(docsRoot) + 1,
+        "doc_id", ids)
+      pairState(s).foreach { pairs =>
+        val pa = pairs.join(ids.withColumnRenamed("doc_id", "doc_a"),
+          Seq("doc_a"), "left_semi")
+        val pb = pairs.join(ids.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b"), "left_semi")
+        val affected = pa.select("pair_id").unionAll(pb.select("pair_id")).distinct()
+        if (!affected.isEmpty)
+          SnapshotLog.commitDeleteVector(s, pairsRoot, latest(pairsRoot) + 1,
+            "pair_id", affected)
+      }
+    }
+
+    // the same 4-step changelog as the in-JVM twin — with a session
+    // RESTART in the middle: steps 3-4 run in a fresh session whose
+    // only link to steps 1-2 is the committed log
+    val docsA = Tables.documents(s0, d).select(col("doc_id"), col("text"))
+    val ghostsA = docsA.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    insert(s0, docsA.filter(col("doc_id") % 3 === 0))
+    insert(s0, docsA.filter(col("doc_id") % 3 === 1).unionAll(ghostsA))
+
+    val s2 = s0.newSession()
+    val docsB = Tables.documents(s2, d).select(col("doc_id"), col("text"))
+    insert(s2, docsB.filter(col("doc_id") % 3 === 2))
+    delete(s2, docsB.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id")))
+    pairState(s2).map(_.select(col("doc_a"), col("doc_b"), col("jacc")))
+      .getOrElse(sys.error("no pairs committed — the fixture corpus " +
+        "must produce near-dup pairs"))
+  }
+
   // ---- sign-LSH banding for embedding near-dup ------------------------
   // 16 bands × 4 sign-bits (one axis-sign hyperplane per element, 64-d
   // vectors): candidates agree on ALL bits of at least one band.
@@ -646,6 +779,12 @@ object Dedup {
     // identical pair set — inserts probe existing LSH buckets
     // (changelog-proportional), deletes retract by anti-join.
     sql("dedup_minhash_maintained", minhashPairsSql)(minhashPairsMaintained),
+
+    // … with the state PERSISTED to the snapshot log, proven by a
+    // mid-changelog session restart: steps 3-4 reopen from the
+    // committed versions alone and the final pair table still lands
+    // hash-equal to the one-shot batch oracle.
+    sql("dedup_minhash_persist", minhashPairsSql)(minhashPairsPersist),
 
     // EDIT-DISTANCE CONFIRM over the LSH candidates — the classic
     // fuzzy-dedup pipeline shape (block cheaply, confirm exactly):

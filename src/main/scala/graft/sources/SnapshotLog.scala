@@ -597,6 +597,9 @@ object SnapshotLog {
       .collect { case n if n.startsWith("_manifest_v") =>
         n.stripPrefix("_manifest_v").stripSuffix(".json").toInt }
       .sorted
+    // a root with no committed version has an empty history — callers
+    // probe "does this table exist yet" through exactly this
+    if (vs.isEmpty) return Seq.empty
     vs.zip(None +: vs.init.map(Option(_))).map { case (v, prevV) =>
       val m = readManifest(root, v)
       // vs the previous RETAINED version (vacuum may have dropped v−1)
