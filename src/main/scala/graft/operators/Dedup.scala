@@ -286,24 +286,24 @@ object Dedup {
     * injected mid-stream whose jacc=1.0 pairs must appear and then
     * fully RETRACT when a later batch deletes them — and must land
     * hash-equal to the one-shot batch oracle over the full corpus. */
-  private def minhashPairsMaintained(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val ghosts = docs.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
-    val ghostIds = ghosts.select(col("doc_id"))
+  /** In-JVM maintained MinHash state — the localCheckpoint twin of the
+    * persisted form below. `insert` returns the batch's NEWLY CONFIRMED
+    * pairs (every one has a Δ endpoint — old-old pairs cannot
+    * re-emerge, so the per-batch streams are disjoint); `delete`
+    * retracts by anti-join. Shared by [[minhashPairsMaintained]] and
+    * the maintained-CC entry so the two can never diverge on the pair
+    * stream. */
+  private final class MaintainedMinhash {
+    private var exState: DataFrame = null    // (doc_id, s)
+    private var bandState: DataFrame = null  // (doc_id, band, h)
+    private var nState: DataFrame = null     // (doc_id, n)
+    private var pairState: DataFrame = null  // (doc_a, doc_b, jacc)
 
-    def shingleRowsOf(dd: DataFrame): DataFrame =
-      shingledOf(dd).select(col("doc_id"), explode(col("shingles")).as("s"))
-    def bandsOf(ex: DataFrame): DataFrame = bandRows(ex)
-
-    var exState: DataFrame = null    // (doc_id, s)
-    var bandState: DataFrame = null  // (doc_id, band, h)
-    var nState: DataFrame = null     // (doc_id, n)
-    var pairState: DataFrame = null  // (doc_a, doc_b, jacc)
-
-    def insert(inserts: DataFrame): Unit = {
-      val exNew = shingleRowsOf(inserts).localCheckpoint()
-      val bandsNew = bandsOf(exNew)
+    def insert(inserts: DataFrame): DataFrame = {
+      val exNew = shingledOf(inserts)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .localCheckpoint()
+      val bandsNew = bandRows(exNew)
       val bandAll =
         if (bandState == null) bandsNew else bandState.unionAll(bandsNew)
       // Δ probes the buckets: every candidate carries a NEW doc on the
@@ -329,12 +329,14 @@ object Dedup {
           (col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni")))
             .as("jacc"))
         .filter(col("jacc") >= 0.01)
+        .localCheckpoint()
       pairState =
         (if (pairState == null) confirmed else pairState.unionAll(confirmed))
           .localCheckpoint()
       exState = exAll.localCheckpoint()
       bandState = bandAll.localCheckpoint()
       nState = nAll.localCheckpoint()
+      confirmed
     }
 
     def delete(ids: DataFrame): Unit = {
@@ -347,13 +349,139 @@ object Dedup {
         .localCheckpoint()
     }
 
-    insert(docs.filter(col("doc_id") % 3 === 0))
-    insert(docs.filter(col("doc_id") % 3 === 1).unionAll(ghosts))
-    insert(docs.filter(col("doc_id") % 3 === 2))
-    delete(ghostIds)
+    def pairs: DataFrame = pairState
+  }
+
+  private def minhashPairsMaintained(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ghosts = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    val ghostIds = ghosts.select(col("doc_id"))
+
+    val mh = new MaintainedMinhash
+    mh.insert(docs.filter(col("doc_id") % 3 === 0))
+    mh.insert(docs.filter(col("doc_id") % 3 === 1).unionAll(ghosts))
+    mh.insert(docs.filter(col("doc_id") % 3 === 2))
+    mh.delete(ghostIds)
     // USING-column joins (the deletes) move the key column first —
     // pin the contract order
-    pairState.select(col("doc_a"), col("doc_b"), col("jacc"))
+    mh.pairs.select(col("doc_a"), col("doc_b"), col("jacc"))
+  }
+
+  /** MAINTAINED connected-component labels under an edge changelog —
+    * the cluster-resolution half of continuous re-ingest that the
+    * maintained PAIR set alone doesn't give (the r14 gap: a delete
+    * that split a cluster needed a full re-clustering).
+    *
+    *  - INSERT edges: affected clusters = clusters containing an
+    *    endpoint of a new edge. Their current labels are themselves
+    *    STAR EDGES (doc → cluster-min) encoding exactly the old
+    *    connectivity, so re-clustering runs [[ccLargeSmallStar]] over
+    *    (affected star edges ∪ Δ edges) — O(|affected docs| + |Δ|),
+    *    never the full edge set; unaffected clusters' labels are
+    *    carried over untouched.
+    *  - DELETE docs: the DRed discipline proven on recursion — the
+    *    affected components re-cluster from their SURVIVING REAL edges
+    *    (star edges would be wrong here: deletion can SPLIT a
+    *    component, and the star collapses the very connectivity in
+    *    question), members left edgeless drop their label (the oracle
+    *    labels only edge endpoints). Component-local: unaffected
+    *    clusters never enter the job.
+    *
+    * The undirected edge state is kept canonical (doc_a < doc_b,
+    * per-batch streams disjoint by the Δ-endpoint property). */
+  private[graft] final class MaintainedCc {
+    private var edgeState: DataFrame = null   // canonical (doc_a, doc_b)
+    private var labelState: DataFrame = null  // (doc_id, cluster_id)
+
+    def insertEdges(newEdges: DataFrame): Unit = {
+      if (newEdges.isEmpty) return
+      val ne = newEdges.select(col("doc_a"), col("doc_b")).localCheckpoint()
+      edgeState =
+        (if (edgeState == null) ne else edgeState.unionAll(ne)).localCheckpoint()
+      val endpoints = ne.select(col("doc_a").as("doc_id"))
+        .unionAll(ne.select(col("doc_b").as("doc_id"))).distinct()
+      val (rest, starEdges) =
+        if (labelState == null) (null: DataFrame, ne)
+        else {
+          val affCl = labelState.join(endpoints, Seq("doc_id"), "left_semi")
+            .select(col("cluster_id")).distinct()
+          val aff = labelState.join(affCl, Seq("cluster_id"), "left_semi")
+          // a labeled cluster has ≥2 members, so its center always
+          // appears on the b side of some (member, center) star edge —
+          // dropping the center's self-row loses nothing
+          val stars = aff.filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+          // USING-column join moves cluster_id FIRST — re-pin the
+          // column order before the positional unionAll below
+          (labelState.join(affCl, Seq("cluster_id"), "left_anti")
+            .select(col("doc_id"), col("cluster_id")),
+            stars.unionAll(ne))
+        }
+      val relabeled = ccLargeSmallStar(starEdges)
+      labelState =
+        (if (rest == null) relabeled else rest.unionAll(relabeled))
+          .localCheckpoint()
+    }
+
+    def deleteDocs(ids: DataFrame): Unit = {
+      if (edgeState == null || labelState == null) return
+      val affCl = labelState.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      edgeState = edgeState
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+        .localCheckpoint()
+      if (affCl.isEmpty) return // deleted docs were never labeled
+      // USING-column join moves cluster_id FIRST — re-pin the order
+      // before the positional unionAll below
+      val rest = labelState.join(affCl, Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+      // surviving edges of the affected components (components are
+      // closed under edges, so one endpoint's membership suffices)
+      val affDocs = labelState.join(affCl, Seq("cluster_id"), "left_semi")
+        .select(col("doc_id").as("doc_a"))
+      val subEdges = edgeState.join(affDocs, Seq("doc_a"), "left_semi")
+      val relabeled = ccLargeSmallStar(subEdges)
+      labelState = rest.unionAll(relabeled).localCheckpoint()
+    }
+
+    def labels: DataFrame = labelState
+  }
+
+  /** The gated maintained-CC entry: the [[MaintainedMinhash]] pair
+    * stream (τ ≥ 0.5 edges) drives [[MaintainedCc]] through a
+    * changelog with real churn — ghost duplicates injected then
+    * deleted, AND a mid-stream delete + re-insert of a REAL doc slice
+    * (at the partially-ingested state, removing a slice severs chain
+    * links, so affected clusters genuinely split and later re-merge).
+    * Final labels must equal the from-scratch recursive-CTE oracle
+    * over the full corpus. */
+  private def ccMaintained(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ghosts = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    val ghostIds = ghosts.select(col("doc_id"))
+    // churn slice: present in batches 0-1, deleted, re-inserted with
+    // batch 2 (disjoint from slice 2 so the re-insert can't duplicate)
+    val churn = docs.filter(col("doc_id") % 40 === 7 && col("doc_id") % 3 =!= 2)
+
+    val mh = new MaintainedMinhash
+    val cc = new MaintainedCc
+    def ins(dd: DataFrame): Unit =
+      cc.insertEdges(mh.insert(dd).filter(col("jacc") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
+    def del(ids: DataFrame): Unit = { mh.delete(ids); cc.deleteDocs(ids) }
+
+    ins(docs.filter(col("doc_id") % 3 === 0))
+    ins(docs.filter(col("doc_id") % 3 === 1).unionAll(ghosts))
+    del(churn.select(col("doc_id")))
+    ins(docs.filter(col("doc_id") % 3 === 2).unionAll(churn))
+    del(ghostIds)
+    Option(cc.labels)
+      .map(_.select(col("doc_id"), col("cluster_id")))
+      .getOrElse(sys.error("no clusters formed — the fixture corpus " +
+        "must produce near-dup pairs at τ ≥ 0.5"))
   }
 
   /** The maintained near-dup pipeline with its state PERSISTED to the
@@ -829,6 +957,18 @@ object Dedup {
       s"""WITH RECURSIVE $ccCteSql
          |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin)(
       connectedComponentsStars),
+
+    // MAINTAINED cluster labels (see [[MaintainedCc]]): inserts
+    // re-cluster affected components over their label STAR edges ∪ Δ;
+    // deletes re-cluster from the surviving REAL edges (a delete can
+    // SPLIT a component — the star trick would collapse exactly the
+    // connectivity in question). Changelog: 3 insert slices, ghost
+    // dupes injected then deleted, plus a real slice deleted
+    // mid-stream and re-inserted — same from-scratch oracle.
+    sql("dedup_cc_maintained",
+      s"""WITH RECURSIVE $ccCteSql
+         |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin)(
+      ccMaintained),
 
     // CLUSTER SIZE HISTOGRAM — the dedup-health report (a corpus whose
     // near-dup clusters are mostly pairs is crawl noise; a few

@@ -195,4 +195,35 @@ class DedupSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
     assert(maintained.keys.forall { case (a, b) =>
       a < 1000000000L && b < 1000000000L })
   }
+
+  test("maintained CC: inserts merge component-locally, a cut-vertex delete SPLITS") {
+    val ss = spark
+    import ss.implicits._
+    def edges(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
+    def ids(xs: Long*) = xs.toDF("doc_id")
+    def snapshot(cc: graft.operators.Dedup.MaintainedCc): Map[Long, Long] =
+      cc.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val cc = new graft.operators.Dedup.MaintainedCc
+    // batch 1: two separate clusters {1,2,4} (1-2, 2-4) and {10,11}
+    cc.insertEdges(edges((1L, 2L), (2L, 4L), (10L, 11L)))
+    assert(snapshot(cc) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // batch 2: bridge 4-10 MERGES them (star edges ∪ Δ, not full edges)
+    cc.insertEdges(edges((4L, 10L)))
+    assert(snapshot(cc) ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 10L -> 1L, 11L -> 1L))
+    // delete the cut vertex 4: the component must SPLIT back into
+    // {1,2} and {10,11} — re-clustering over star edges would keep
+    // them merged (the collapsed star hides which paths died)
+    cc.deleteDocs(ids(4L))
+    assert(snapshot(cc) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // delete 11: {10,11} dissolves — 10 is edgeless and must DROP its
+    // label (the oracle labels only edge endpoints); {1,2} untouched
+    cc.deleteDocs(ids(11L))
+    assert(snapshot(cc) == Map(1L -> 1L, 2L -> 1L))
+    // re-insert a bridge through NEW node 3: merge again, min label 1
+    cc.insertEdges(edges((2L, 3L), (3L, 10L), (10L, 11L)))
+    assert(snapshot(cc) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
 }
