@@ -54,10 +54,12 @@ object Curation {
   final case class PackOut(doc_id: Long, lang: String, bucket: Long,
                            bin: Long, n_tokens: Long)
 
-  /** The BM25 statement as ONE oracle text, shared by the batch entry
-    * and its maintained twin. */
-  private lazy val bm25OracleSql: String =
-    """WITH d2 AS (
+  /** The BM25 statement parameterized by its query-term set — ONE
+    * oracle text shape shared by the batch entry, its maintained twin,
+    * and both halves of the full-vocabulary twin's two-query read. */
+  private def bm25OracleSqlFor(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d2 AS (
         | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |  FROM documents) z),
@@ -65,7 +67,7 @@ object Curation {
         |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d2),
         |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         |  SELECT doc_id, dl, unnest(toks) AS term FROM d2) u
-        | WHERE term IN ('join', 'filter', 'window') GROUP BY doc_id, dl, term),
+        | WHERE term IN ($inList) GROUP BY doc_id, dl, term),
         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf GROUP BY term),
         |c AS (SELECT tf.doc_id,
         |  CAST(FLOOR((st.n - df.dfd + 0.5) / (df.dfd + 0.5)
@@ -76,6 +78,14 @@ object Curation {
         |SELECT doc_id, CAST(SUM(cq) AS DOUBLE) / 1000000000 AS score
         |FROM c GROUP BY doc_id
         |ORDER BY SUM(cq) DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  private val bm25QueryTerms = Seq("join", "filter", "window")
+  /** A second, AD-HOC query-term set for the full-vocabulary
+    * maintained entry — chosen at read time, after the changelog. */
+  private val bm25QueryTerms2 = Seq("scan", "merge", "stream")
+
+  private lazy val bm25OracleSql: String = bm25OracleSqlFor(bm25QueryTerms)
 
   val defs: Seq[GraftQuery] = Seq(
 
@@ -737,6 +747,86 @@ object Curation {
           .groupBy("doc_id").agg(sum(col("cq")).as("score_e9"))
           .orderBy(col("score_e9").desc, col("doc_id")).limit(20)
           .select(col("doc_id"), (col("score_e9").cast("double") / lit(1000000000L)).as("score"))
+    },
+
+    // --- … with FULL-VOCABULARY df ------------------------------------
+    // The deployment shape the query-term-restricted twin documents as
+    // its gap: the inverted index (per-(doc, term) tf over ALL terms)
+    // and per-term df both maintained under the changelog — df as
+    // SIGNED delta rows appended per batch (+1 per (term, arriving
+    // doc), −1 per (term, departing doc) derived from the departing
+    // docs' own tf rows BEFORE they drop), never a vocabulary rebuild.
+    // The READ then serves AD-HOC query terms: two different term
+    // sets, both chosen after the changelog replays, score from the
+    // same state — the df aggregation at read time touches only the
+    // query's terms. Oracle: both queries from scratch, qid-tagged.
+    sql("text_bm25_maintained_vocab",
+      s"""SELECT 1 AS qid, doc_id, score FROM (
+         |${bm25OracleSqlFor(bm25QueryTerms)}) q1
+         |UNION ALL
+         |SELECT 2 AS qid, doc_id, score FROM (
+         |${bm25OracleSqlFor(bm25QueryTerms2)}) q2""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val ghosts = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+        def tok(dd: DataFrame) = dd.select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+        var tfState: DataFrame = null // (doc_id, dl, term, tf) — ALL terms
+        var dfState: DataFrame = null // (term, ddf) SIGNED delta rows
+        var n = 0L
+        var totDl = 0L
+        def insert(ins: DataFrame): Unit = {
+          val t = tok(ins).localCheckpoint()
+          val st = t.agg(count(lit(1)), sum(col("dl"))).collect()(0) // one row
+          n += st.getLong(0)
+          totDl += (if (st.isNullAt(1)) 0L else st.getLong(1))
+          val tf = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+            .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
+            .localCheckpoint()
+          // +1 per (term, arriving doc): one aggregate of the batch's
+          // OWN tf rows — O(|batch vocabulary|), not the state's
+          val ddf = tf.groupBy("term").agg(count(lit(1)).cast("long").as("ddf"))
+          tfState = (if (tfState == null) tf else tfState.unionAll(tf)).localCheckpoint()
+          dfState = (if (dfState == null) ddf else dfState.unionAll(ddf)).localCheckpoint()
+        }
+        def delete(ids: DataFrame): Unit = {
+          val going = tfState.join(ids, Seq("doc_id"), "left_semi").localCheckpoint()
+          val gone = going.select(col("doc_id"), col("dl")).distinct()
+            .agg(count(lit(1)), sum(col("dl"))).collect()(0) // one row
+          n -= gone.getLong(0)
+          totDl -= (if (gone.isNullAt(1)) 0L else gone.getLong(1))
+          // −1 per (term, departing doc), from the departing rows
+          val ddf = going.groupBy("term")
+            .agg((-count(lit(1))).cast("long").as("ddf"))
+          dfState = dfState.unionAll(ddf).localCheckpoint()
+          tfState = tfState.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+        }
+        insert(docs.filter(col("doc_id") % 3 === 0))
+        insert(docs.filter(col("doc_id") % 3 === 1).unionAll(ghosts))
+        insert(docs.filter(col("doc_id") % 3 === 2))
+        delete(ghosts.select(col("doc_id")))
+        // READ: ad-hoc terms against the maintained state — df sums
+        // the signed deltas for the QUERY terms only
+        val avgdl = totDl.toDouble / n
+        def score(terms: Seq[String], qid: Int): DataFrame = {
+          val tfq = tfState.filter(col("term").isin(terms: _*))
+          val dfr = dfState.filter(col("term").isin(terms: _*))
+            .groupBy("term").agg(sum(col("ddf")).cast("double").as("dfd"))
+          val idfOdds = (lit(n.toDouble) - col("dfd") + lit(0.5)) / (col("dfd") + lit(0.5))
+          val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+          val cq = floor(idfOdds * tfNorm * lit(1000000000L) + lit(0.5)).cast("long")
+          tfq.join(dfr, "term")
+            .select(col("doc_id"), cq.as("cq"))
+            .groupBy("doc_id").agg(sum(col("cq")).as("score_e9"))
+            .orderBy(col("score_e9").desc, col("doc_id")).limit(20)
+            .select(lit(qid).as("qid"), col("doc_id"),
+              (col("score_e9").cast("double") / lit(1000000000L)).as("score"))
+        }
+        score(bm25QueryTerms, 1).unionAll(score(bm25QueryTerms2, 2))
     },
 
     // --- the composed pipeline -----------------------------------------
