@@ -63,6 +63,33 @@ object SimilaritySearch {
       out
     })
 
+  /** The ghost-changelog maintained index for `ann_ivf_maintained` —
+    * the unified harness the dedup/BM25 maintained entries use, on the
+    * ANN surface: build from the batch-0 slice (the quantizer freezes
+    * there), insert the remaining slices PLUS ghost copies (same
+    * vectors, shifted ids), then delete the ghosts. Every step is a
+    * cell-pruned [[graft.sources.IvfIndex.upsert]]; the final index
+    * must hold exactly the full corpus under the batch-0-frozen
+    * quantizer, and the ghosts must leave no trace — proven against a
+    * from-scratch oracle over the final corpus. */
+  private def maintainedIvfDir(s: SparkSession, d: String): String =
+    ivfDirs.computeIfAbsent(s"$d#maintained", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivf_maint_").toString
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
+      val ghosts = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("v"))
+      graft.sources.IvfIndex.build(e.filter(col("vec_id") % 3 === 0), out, IvfCells)
+      graft.sources.IvfIndex.upsert(s, out,
+        e.filter(col("vec_id") % 3 === 1).unionAll(ghosts).withColumn("tag", lit(1)))
+      graft.sources.IvfIndex.upsert(s, out,
+        e.filter(col("vec_id") % 3 === 2).withColumn("tag", lit(1)))
+      // the delete events carry the before-image vector (the CDC
+      // contract) so routing finds the ghost's cell without a lookup
+      graft.sources.IvfIndex.upsert(s, out, ghosts.withColumn("tag", lit(-1)))
+      out
+    })
+
   /** IVF cell count — a PARAMETER, not a function of the corpus (take
     * ≈ √n in production; 32 suits the fixture). The broadcast centroid
     * set and the per-vector assignment cost stay k × dim at any scale. */
@@ -449,6 +476,63 @@ object SimilaritySearch {
          | FROM cand) t WHERE rnk <= $K""".stripMargin) {
       (s, d) =>
         val path = incrementalIvfDir(s, d)
+        val assigned = graft.sources.IvfIndex.read(s, path)
+        val cents = graft.sources.IvfIndex.centroids(s, path)
+        val q = assigned.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val probeW = Window.partitionBy(col("query_id"))
+          .orderBy(cosineExact(col("qv"), col("cv")).desc, col("cent_id"))
+        val probes = q.join(broadcast(cents))
+          .withColumn("r", row_number().over(probeW)).filter(col("r") <= 2)
+          .select(col("query_id"), col("qv"), col("cent_id"))
+        val rankW = Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
+        probes.join(assigned, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosineExact(col("qv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(rankW)).filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            floorRound6(col("c")).as("cos_sim"))
+    },
+
+    // … and under the GHOST changelog (see [[maintainedIvfDir]]): the
+    // unified inject-then-delete harness on the ANN surface — ghost
+    // copies of every 50th vector ride insert batches and are later
+    // deleted, all via cell-pruned upserts, so insert AND delete
+    // maintenance is oracle-gated end-to-end. The oracle assigns the
+    // FINAL corpus (ghosts gone) under the batch-0-frozen quantizer:
+    // a leaked ghost, a lost real vector, or a mis-routed cell all
+    // break the hash.
+    sql("ann_ivf_maintained",
+      s"""WITH e0 AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e0 WHERE vec_id % 3 = 0
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCells),
+         |assigned AS (
+         | SELECT vec_id, v, cent_id FROM (
+         |  SELECT f.vec_id, f.v, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |     ORDER BY ${simRank7Sql(cosineExactSql("f.v", "c.cv"))} DESC, c.cent_id) AS r
+         |  FROM e0 f, c) t WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e0 WHERE vec_id < $QuerySetSize),
+         |probe AS (
+         | SELECT query_id, qv, cent_id FROM (
+         |  SELECT q.query_id, q.qv, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY ${cosineExactSql("q.qv", "c.cv")} DESC, c.cent_id) AS r
+         |  FROM q, c) t WHERE r <= 2),
+         |cand AS (
+         | SELECT p.query_id, p.qv, a.vec_id, a.v
+         | FROM probe p JOIN assigned a ON a.cent_id = p.cent_id
+         | WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
+         | SELECT query_id, vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosineExactSql("qv", "v")} DESC, vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("qv", "v")} * 1000000 + 0.5) / 1000000 AS cos_sim
+         | FROM cand) t WHERE rnk <= $K""".stripMargin) {
+      (s, d) =>
+        val path = maintainedIvfDir(s, d)
         val assigned = graft.sources.IvfIndex.read(s, path)
         val cents = graft.sources.IvfIndex.centroids(s, path)
         val q = assigned.filter(col("vec_id") < QuerySetSize)
