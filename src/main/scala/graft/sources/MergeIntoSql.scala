@@ -382,13 +382,23 @@ object MergeIntoSql {
         // double-insert the key). One aggregate over the resolved
         // change set, which is already change-set-sized.
         if (hasResiduals) {
-          val dup = resolved.groupBy(col(key)).count()
-            .filter(col("count") > 1).limit(1).collect() // bounded: ≤ 1 row
-          if (dup.nonEmpty)
+          val dup =
+            try resolved.groupBy(col(key)).count()
+              .filter(col("count") > 1).limit(1).collect() // bounded: ≤ 1 row
+            catch { case e: Throwable =>
+              // the probe itself failing must not leak the cache
+              if (persistHere) resolved.unpersist()
+              throw e
+            }
+          if (dup.nonEmpty) {
+            // failing the cardinality rule aborts the MERGE before the
+            // caller's finally-unpersist exists — release the cache here
+            if (persistHere) resolved.unpersist()
             fail(s"MERGE cardinality violation: key ${dup.head.get(0)} " +
               s"receives ${dup.head.getLong(1)} actions — with ON residuals, " +
               "source rows sharing a key are legal only while at most one " +
               "of them fires a clause")
+          }
         }
         Some(resolved)
       }

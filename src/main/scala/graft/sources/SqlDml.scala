@@ -38,6 +38,18 @@ object SqlDml {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
+  /** Epoch millis of a timestamp row value — Spark surfaces
+    * TimestampType as java.sql.Timestamp by default and as
+    * java.time.Instant under spark.sql.datetime.java8API.enabled;
+    * both are valid session configs, so both must fold instead of
+    * dying in a raw ClassCastException. */
+  private def timestampMillis(v: Any, what: => String): Long = v match {
+    case t: java.sql.Timestamp => t.getTime
+    case i: java.time.Instant => i.toEpochMilli
+    case other => fail(s"$what evaluated to unexpected type " +
+      s"${other.getClass.getName} — expected a timestamp")
+  }
+
   private def tableAlias(p: LogicalPlan): String = p match {
     case SubqueryAlias(id, _: UnresolvedRelation) => id.name
     case u: UnresolvedRelation => u.multipartIdentifier.last
@@ -454,7 +466,7 @@ object SqlDml {
                 }
               if (ts == null)
                 fail(s"TIMESTAMP AS OF: expression $value evaluates to NULL")
-              ts.asInstanceOf[java.sql.Timestamp].getTime
+              timestampMillis(ts, s"TIMESTAMP AS OF expression $value")
             }
             else {
               // ANSI sessions throw on a bad literal, non-ANSI yield
@@ -468,7 +480,7 @@ object SqlDml {
               }
               if (ts == null)
                 fail(s"TIMESTAMP AS OF: cannot parse $value as a timestamp")
-              ts.asInstanceOf[java.sql.Timestamp].getTime
+              timestampMillis(ts, s"TIMESTAMP AS OF literal $value")
             }
           SnapshotLog.readAsOf(s, root, tsMs)
         }

@@ -5735,10 +5735,18 @@ object IncrementalQueries {
   private def pairStarGate(neg: String) =
     s"""WHERE ${neg}EXISTS (SELECT 1 FROM region
        |  WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')""".stripMargin
+  /** Splice the gate before the statement's FINAL GROUP BY only — a
+    * blanket String.replace would corrupt both statements if the pair
+    * statement ever grows a subquery containing its own GROUP BY. */
+  private def spliceBeforeLastGroupBy(sqlText: String, gate: String): String = {
+    val at = sqlText.lastIndexOf("GROUP BY")
+    require(at >= 0, "pair-star statement lost its GROUP BY")
+    sqlText.substring(0, at) + gate + "\n" + sqlText.substring(at)
+  }
   private def pairStarGatedSql(neg: String) =
-    pairStarSql.replace("GROUP BY", pairStarGate(neg) + "\nGROUP BY")
+    spliceBeforeLastGroupBy(pairStarSql, pairStarGate(neg))
   private def pairStarGatedOracle(neg: String) =
-    pairStarOracle.replace("GROUP BY", pairStarGate(neg) + "\nGROUP BY")
+    spliceBeforeLastGroupBy(pairStarOracle, pairStarGate(neg))
 
   private def pairStarFilteredOracle =
     """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
