@@ -126,6 +126,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // SOLO FLOORS (the r14 adjudication, automated): the interleaved
+    // record's per-query minimums are CO-RESIDENCY minimums — any
+    // heavy JVM-co-resident neighbor inflates them (proven by the
+    // committed 3-configuration MiniBench matrix in
+    // bench/ADJUDICATION_r14.md). Re-measuring the heaviest queries
+    // SOLO — consecutive runs with a quiesce, nothing else in
+    // flight — commits a true floor beside the interleaved record, so
+    // the next floor drift is self-adjudicating instead of a
+    // per-round investigation. Capped to the heaviest K so the
+    // compact stdout line stays under the driver's ~2 KB tail capture
+    // (the full per-run detail rides in the committed record).
+    val soloRuns = sys.env.getOrElse("SPARK_GRAFT_SOLO_RUNS", "3").toInt.max(1)
+    val soloK = sys.env.getOrElse("SPARK_GRAFT_SOLO_QUERIES", "6").toInt.max(0)
+    val heaviest = results.filter(_._2 > 0).sortBy(-_._2).take(soloK).map(_._1)
+    val soloSamples: Seq[(String, Seq[Double])] = heaviest.map { nm =>
+      quiesce()
+      nm -> (1 to soloRuns).map(_ => timeOne(nm))
+    }
+    val soloFloors: Seq[(String, Double)] = soloSamples.map { case (nm, ts) =>
+      nm -> ts.filter(_ >= 0).minOption.getOrElse(-1.0)
+    }
+    val soloJson = soloFloors.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val soloFullJson = soloSamples.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+
     // SCALE-PROPORTIONALITY CHECK: the same headliners at a ~10x
     // smaller SF in the same JVM, and the per-query time ratio. An
     // absolute number can hide a driver-side loop or an all-pairs
@@ -166,7 +193,7 @@ object Bench {
     // only, ~1.2 KB for 32 headliners — printed LAST so the tail
     // capture always contains it whole.
     val fullRecord =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"$scaleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"soloFloors":{"runsPerQuery":$soloRuns,"samples":$soloFullJson},"sf":"$sfDir"$scaleJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest_full.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -179,7 +206,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath (${e.getMessage}); full record follows")
       System.err.println(fullRecord)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","format":"name:[median_sec,min_sec]","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","format":"name:[median_sec,min_sec]","queries":$qs,"soloFloors":$soloJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
