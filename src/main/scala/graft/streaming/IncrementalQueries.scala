@@ -5729,6 +5729,46 @@ object IncrementalQueries {
     "orders" -> (col("o_orderkey") % 7 === 0),
     "lineitem" -> (col("l_linenumber") === 3))
 
+  // The pair-star with an inner CHAIN PREFIX above the bridge:
+  // region→nation→{customer, supplier}, boundaries off the two bridge
+  // relations. The region delete drives the transitive orphan path.
+  private def pairStarChainSql =
+    """SELECT r_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+      | SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS ord_e2,
+      | SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS li_e2
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |FULL OUTER JOIN orders ON o_custkey = c_custkey
+      |FULL OUTER JOIN lineitem ON l_suppkey = s_suppkey
+      |GROUP BY r_name, o_orderpriority, l_returnflag""".stripMargin
+
+  private def pairStarChainOracle =
+    """WITH r AS (SELECT * FROM region WHERE r_regionkey % 2 <> 0),
+      |     c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+      |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0),
+      |     o AS (SELECT * FROM orders
+      |           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 <> 0),
+      |     l AS (SELECT * FROM lineitem
+      |           WHERE l_quantity <= 2 AND l_linenumber <> 3)
+      |SELECT r_name, o_orderpriority, l_returnflag, COUNT(*) AS n_rows,
+      | CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS ord_e2,
+      | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS li_e2
+      |FROM r JOIN nation ON n_regionkey = r_regionkey
+      |JOIN c ON c_nationkey = n_nationkey
+      |JOIN s ON s_nationkey = n_nationkey
+      |FULL JOIN o ON o_custkey = c_custkey
+      |FULL JOIN l ON l_suppkey = s_suppkey
+      |GROUP BY r_name, o_orderpriority, l_returnflag""".stripMargin
+
+  private def pairStarChainDeletes = Map(
+    "region" -> (col("r_regionkey") % 2 === 0),
+    "customer" -> (col("c_custkey") % 13 === 0),
+    "supplier" -> (col("s_suppkey") % 5 === 0),
+    "orders" -> (col("o_orderkey") % 7 === 0),
+    "lineitem" -> (col("l_linenumber") === 3))
+
   // WHERE-level gate on the bridging dimension: EXISTS drops the
   // orphan classes statically; NOT EXISTS keeps all six, gating
   // classes 1-4 dynamically through spliced gate hops.
@@ -5929,6 +5969,27 @@ object IncrementalQueries {
         SqlCompiler.compileOver(s, dir, pairStarSql, pairStarOverrides),
         dir, pairStarDeletes,
         "incremental_sql_q10_fullouter_star_pair_tws_leaf", tws = true)
+    },
+
+    // PAIR-star under an inner CHAIN PREFIX (region→nation→{customer,
+    // supplier}): the six-class factorization carries over with the
+    // whole prefix folded into the core — a REGION delete retracts its
+    // nations' pair products and transitively orphans their customers'
+    // orders AND suppliers' lineitems (classes 5/6 ride the core's
+    // merged pair emissions, which already fold the prefix — the same
+    // move that closed ancestor deletes in r9). Spec-asserted against
+    // stock SQL; this is the gated DuckDB entry.
+    sql("incremental_sql_q10_fullouter_star_pair_chain",
+      pairStarChainOracle) {
+      (s, dir) => SqlCompiler.compileOver(s, dir, pairStarChainSql,
+        pairStarOverrides).run(s, dir, pairStarChainDeletes)
+    },
+    sql("incremental_sql_q10_fullouter_star_pair_chain_stream",
+      pairStarChainOracle) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarChainSql, pairStarOverrides),
+        dir, pairStarChainDeletes,
+        "incremental_sql_q10_fullouter_star_pair_chain_stream_leaf")
     },
 
     // Star boundaries under an inner CHAIN (region→nation): the five

@@ -2697,11 +2697,13 @@ object SqlCompiler {
     //   P_∅∅  bare parent, both absent    (class 4)
     //   P_5/6 a-orphans / b-orphans (no live parent; EXACT — the
     //         parent is the ROOT, so its changelog IS its liveness)
-    // Scope (loud): exactly one inner relation (the shared root), both
-    // boundaries FK children of it ON THE SAME parent key column, no
-    // LEFT JOINs or gates alongside. A deeper inner chain would need
-    // the orphan key nodes to consume the chain's merged emissions —
-    // not wired yet.
+    // Scope (loud): both boundaries FK children of the shared root ON
+    // THE SAME parent key column, no LEFT JOINs alongside; the inner
+    // relations above the root may form a CHAIN — every factorized
+    // plan builds on the chain prefix, and the orphan key nodes
+    // consume the prefix's merged emissions, so ancestor deletes
+    // orphan transitively (boundaries off DIFFERENT inner relations
+    // route to the pair-star path below, chain prefixes included).
     // PAIR-STAR preservation plans: the two FULL boundaries hang off
     // DIFFERENT inner relations of a dimension-bridged core (orders
     // off customer, lineitem off supplier, customer and supplier
