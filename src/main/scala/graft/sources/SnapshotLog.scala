@@ -1448,6 +1448,41 @@ object SnapshotLog {
           Map("tgt" -> root))
     },
 
+    // TIME-TRAVEL SUBQUERY OPERANDS — `VERSION AS OF (SELECT … FROM
+    // __history)`: the version picked by a scalar subquery over the
+    // table's OWN DESCRIBE HISTORY (manifest-only, no data scan),
+    // folded at bind time. Here: t1 = the latest version that REWROTE
+    // buckets (the copy-on-write merge), t0 = the first version —
+    // "diff against the last compaction-shaped commit" without the
+    // caller ever naming a number. Correlated forms stay fenced. Same
+    // oracle as the absolute-operand entry: however the operands are
+    // spelled, the diff must read identically.
+    sql("snapshot_sql_time_travel_subquery",
+      """SELECT o_orderkey,
+        | CAST(CAST((o_totalprice + 1000) - o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |  AS price_delta
+        |FROM orders WHERE o_orderkey % 160 = 1""".stripMargin) {
+      (s, d) =>
+        // OWN root (the relative entry's lesson): the subquery resolves
+        // against this table's full history, which must not grow under
+        // sibling entries' commits
+        val root = java.nio.file.Files.createTempDirectory("graft_snap_ttsub").toString
+        val orders = Tables.orders(s, d).select(("o_orderkey" +: payload).map(col): _*)
+        commitInitial(orders, root, "o_orderkey")
+        commitMerge(s, root, 1, "o_orderkey", payload,
+          updateBatch(orders).unionAll(deleteInsertBatch(orders)))
+        SqlDml.timeTravelSql(s,
+          """SELECT t1.o_orderkey AS o_orderkey,
+            | CAST(CAST(t1.o_totalprice - t0.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+            |  AS price_delta
+            |FROM tgt VERSION AS OF (SELECT MAX(version) FROM __history
+            |  WHERE n_rewritten > 0 AND version > 0) AS t1
+            |JOIN tgt VERSION AS OF (SELECT MIN(version) FROM __history) AS t0
+            | ON t1.o_orderkey = t0.o_orderkey
+            |WHERE t1.o_totalprice <> t0.o_totalprice""".stripMargin,
+          Map("tgt" -> root))
+    },
+
     // MERGE AS FULL SYNC — make the table equal the source: matched
     // rows take the source state, unmatched source rows INSERT * (by
     // name), and NOT MATCHED BY SOURCE THEN DELETE drops everything

@@ -390,10 +390,31 @@ object SqlDml {
   def timeTravelSql(spark: SparkSession, sqlText: String,
                     tables: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
-    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
-    val ttCount = parsed.collect { case tt: RelationTimeTravel => tt }.size
     val s = spark
     val masked = maskComments(sqlText)
+    // Spark's own grammar accepts EXPRESSIONS but not SUBQUERIES as
+    // AS OF operands — substitute a placeholder version for the
+    // validation parse only (the real subquery folds at bind time
+    // below, and the arity guard still counts the factor)
+    val validationText = {
+      val mm = ttPattern.matcher(masked)
+      val sb = new StringBuilder
+      var l = 0
+      while (mm.find()) {
+        val kindU = mm.group(2).toUpperCase
+        val v = mm.group(3)
+        if ((kindU == "VERSION" || kindU == "SYSTEM_VERSION") &&
+            v.startsWith("(") &&
+            v.substring(1).trim.toUpperCase.startsWith("SELECT") &&
+            masked.substring(0, mm.start()).count(_ == '\'') % 2 == 0) {
+          sb.append(sqlText.substring(l, mm.start(3))).append("0")
+          l = mm.end(3)
+        }
+      }
+      sb.append(sqlText.substring(l)).toString
+    }
+    val parsed = spark.sessionState.sqlParser.parsePlan(validationText)
+    val ttCount = parsed.collect { case tt: RelationTimeTravel => tt }.size
     val token = ttCounter.incrementAndGet()
     val created = scala.collection.mutable.ArrayBuffer[String]()
     val m = ttPattern.matcher(masked)
@@ -427,8 +448,53 @@ object SqlDml {
                 fail(s"VERSION AS OF $value: resolves to $v but versions " +
                   s"at $root reach only back to 0 (latest is $latest)")
               v
+            } else if (bare.startsWith("(")) {
+              // SCALAR SUBQUERY over this table's DESCRIBE HISTORY,
+              // folded at BIND time ("the version before the last
+              // compaction"): inside the operand, `__history` names
+              // the traveled table's history — (version, n_dirs,
+              // n_rewritten, n_tombstone_dirs), manifest-only, no data
+              // scan. The view binds under a per-call name (two
+              // concurrent calls must never read each other's
+              // bindings) and the subquery evaluates standalone, so a
+              // CORRELATED form (referencing the outer statement's
+              // columns) cannot analyze — the loud fence, not a drift
+              // hazard. Folding at bind time is the whole contract:
+              // the version is pinned before the statement runs.
+              val inner = bare.substring(1, bare.length - 1).trim
+              if (!inner.toUpperCase.startsWith("SELECT"))
+                fail(s"VERSION AS OF expression $value: expected an integer " +
+                  "version, a relative '-k', or a scalar (SELECT ... FROM " +
+                  "__history) subquery")
+              val histView = s"__graft_hist_${token}_$n"
+              locally {
+                import s.implicits._
+                SnapshotLog.history(root)
+                  .toDF("version", "n_dirs", "n_rewritten", "n_tombstone_dirs")
+                  .createOrReplaceTempView(histView)
+              }
+              val innerSql = inner.replaceAll(
+                "(?i)(?<![\\w.])__history(?![\\w.])",
+                java.util.regex.Matcher.quoteReplacement(histView))
+              val vRaw =
+                try s.sql(s"SELECT CAST(($innerSql) AS INT)").head().get(0)
+                catch {
+                  case e: org.apache.spark.sql.AnalysisException =>
+                    fail(s"VERSION AS OF (subquery): cannot analyze $value " +
+                      "— the subquery may read only __history (correlated " +
+                      s"forms stay fenced): ${e.getMessage.split("\n").head}")
+                } finally { s.catalog.dropTempView(histView); () }
+              if (vRaw == null)
+                fail(s"VERSION AS OF (subquery): $value evaluates to NULL " +
+                  "(no history row matched)")
+              val v = vRaw.asInstanceOf[Int]
+              val latest = latestVersion(root)
+              if (v < 0 || v > latest)
+                fail(s"VERSION AS OF (subquery): $value resolves to $v but " +
+                  s"versions at $root run 0..$latest")
+              v
             } else fail(s"VERSION AS OF expects an integer version (or a " +
-              s"relative '-k'), got $value")
+              s"relative '-k', or a scalar (SELECT ...) over __history), got $value")
           SnapshotLog.readVersion(s, root, vNum)
         } else {
           val tsMs =

@@ -294,6 +294,64 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("timeTravelSql: VERSION AS OF scalar subquery over __history, fences") {
+    val root = freshRoot("graft_dml_tt5")
+    SnapshotLog.commitInitial(base(), root, "k")             // v0: 16 rewritten
+    SnapshotLog.commitDeleteVector(spark, root, 1, "k",      // v1: 0 rewritten (DV)
+      (5L until 10L).toDF("k"))
+    SnapshotLog.commitMerge(spark, root, 2, "k",             // v2: rewrites buckets
+      Seq("price", "tag"),
+      Seq((0L, "U", 999.0, "row0")).toDF("k", "op", "price", "tag"))
+    // "the last version that rewrote data" = v2; "the one before it
+    // that did" = v0; a pure metadata-read subquery, folded at bind
+    val nLast = SqlDml.timeTravelSql(spark,
+      "SELECT COUNT(*) AS n FROM t VERSION AS OF " +
+        "(SELECT MAX(version) FROM __history WHERE n_rewritten > 0)",
+      Map("t" -> root)).head().getLong(0)
+    assert(nLast == 5L) // v2 carries v1's tombstones forward
+    val nDvOnly = SqlDml.timeTravelSql(spark,
+      "SELECT COUNT(*) AS n FROM t VERSION AS OF " +
+        "(SELECT MAX(version) FROM __history WHERE n_rewritten = 0)",
+      Map("t" -> root)).head().getLong(0)
+    assert(nDvOnly == 5L) // v1: the deletion-vector commit
+    val nFirst = SqlDml.timeTravelSql(spark,
+      "SELECT COUNT(*) AS n FROM t VERSION AS OF " +
+        "(SELECT MIN(version) FROM __history)",
+      Map("t" -> root)).head().getLong(0)
+    assert(nFirst == 10L)
+    // fences: a non-SELECT parenthesized operand dies in Spark's OWN
+    // parser (VERSION operands are literals or our substituted
+    // subquery — plain expressions were never in the grammar); then a
+    // NULL-producing subquery, an out-of-range result, correlation
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      SqlDml.timeTravelSql(spark,
+        "SELECT * FROM t VERSION AS OF (1 + 1)", Map("t" -> root))
+    }
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark,
+        "SELECT * FROM t VERSION AS OF " +
+          "(SELECT MAX(version) FROM __history WHERE n_dirs > 99)",
+        Map("t" -> root))
+    }.getMessage.contains("NULL"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark,
+        "SELECT * FROM t VERSION AS OF " +
+          "(SELECT MAX(version) + 7 FROM __history)",
+        Map("t" -> root))
+    }.getMessage.contains("0..2"))
+    // a CORRELATED form (outer column) cannot analyze standalone —
+    // the loud fence, not silent drift
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.timeTravelSql(spark,
+        "SELECT * FROM t VERSION AS OF " +
+          "(SELECT MAX(version) FROM __history WHERE version = outer_col)",
+        Map("t" -> root))
+    }.getMessage.contains("correlated"))
+    // the per-call history view is dropped again even on the fenced paths
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__graft_hist")))
+  }
+
   test("timeTravelSql: AS OF text inside comments is masked; views are dropped after") {
     val root = freshRoot("graft_dml_tt3")
     SnapshotLog.commitInitial(base(4), root, "k")
