@@ -730,6 +730,122 @@ object Dedup {
     pairState.select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** [[embeddingLshMaintained]] with its state PERSISTED to the
+    * snapshot log — the sign-LSH sibling of [[minhashPairsPersist]],
+    * proven by the same mid-changelog session restart. Only the
+    * VECTOR STORE (vec_id, v, nrm — one row per key, hash-bucketed)
+    * and the confirmed pair set persist: band rows are 64 integer ops
+    * per vector, recomputed from the persisted vectors at probe time
+    * (cheaper than storing 16 rows per vector; the minhash twin
+    * persists its bands because re-hashing TEXT is the expensive
+    * step there — the split is deliberate). */
+  private def embeddingLshPersist(s0: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorOps.{dot, floorRound6, normSq, toDoubleVec}
+    import graft.sources.SnapshotLog
+    val vecsRoot = java.nio.file.Files.createTempDirectory("graft_lsh_vecs").toString
+    val pairsRoot = java.nio.file.Files.createTempDirectory("graft_lsh_pairs").toString
+    def latest(root: String): Int =
+      SnapshotLog.history(root).map(_._1).maxOption.getOrElse(-1)
+    def vecState(s: SparkSession): Option[DataFrame] = {
+      val v = latest(vecsRoot)
+      if (v < 0) None
+      else Some(SnapshotLog.readVersion(s, vecsRoot, v)
+        .select(col("vec_id"), col("v"), col("nrm")))
+    }
+    def pairState(s: SparkSession): Option[DataFrame] = {
+      val v = latest(pairsRoot)
+      if (v < 0) None else Some(SnapshotLog.readVersion(s, pairsRoot, v).drop("b"))
+    }
+    def pairKey = (col("vec_a") * lit(1L << 32) + col("vec_b")).as("pair_id")
+
+    def insert(s: SparkSession, ins: DataFrame): Unit = {
+      val eNew = ins.localCheckpoint() // reused by bands + confirm below
+      val bNew = embBandRows(eNew)
+      val prev = vecState(s)
+      val bAll = prev.map(p => embBandRows(p).unionAll(bNew)).getOrElse(bNew)
+      val cand = bNew.as("a").join(bAll.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+        .distinct()
+      val eAll = prev.map(_.unionAll(eNew)).getOrElse(eNew)
+      val cos = dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
+      val confirmed = cand
+        .join(eAll.as("x"), col("x.vec_id") === col("vec_a"))
+        .join(eAll.as("y"), col("y.vec_id") === col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          floorRound6(cos).as("cos_sim"), cos.as("_raw"))
+        .filter(col("_raw") >= 0.3)
+        .drop("_raw")
+      val vV = latest(vecsRoot)
+      if (vV < 0) SnapshotLog.commitInitial(eNew, vecsRoot, "vec_id")
+      else SnapshotLog.commitMerge(s, vecsRoot, vV + 1, "vec_id",
+        Seq("v", "nrm"), eNew.withColumn("op", lit("I")))
+      val pNew = confirmed.select(pairKey, col("vec_a"), col("vec_b"), col("cos_sim"))
+      if (!pNew.isEmpty) {
+        val vP = latest(pairsRoot)
+        if (vP < 0) SnapshotLog.commitInitial(pNew, pairsRoot, "pair_id")
+        else SnapshotLog.commitMerge(s, pairsRoot, vP + 1, "pair_id",
+          Seq("vec_a", "vec_b", "cos_sim"), pNew.withColumn("op", lit("I")))
+      }
+    }
+
+    def delete(s: SparkSession, ids: DataFrame): Unit = {
+      SnapshotLog.commitDeleteVector(s, vecsRoot, latest(vecsRoot) + 1,
+        "vec_id", ids)
+      pairState(s).foreach { pairs =>
+        val pa = pairs.join(ids.withColumnRenamed("vec_id", "vec_a"),
+          Seq("vec_a"), "left_semi")
+        val pb = pairs.join(ids.withColumnRenamed("vec_id", "vec_b"),
+          Seq("vec_b"), "left_semi")
+        val affected = pa.select("pair_id").unionAll(pb.select("pair_id")).distinct()
+        if (!affected.isEmpty)
+          SnapshotLog.commitDeleteVector(s, pairsRoot, latest(pairsRoot) + 1,
+            "pair_id", affected)
+      }
+    }
+
+    def vecs(s: SparkSession): DataFrame = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(normSq(col("v"))))
+    val allA = vecs(s0)
+    val ghostsA = allA.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("v"), col("nrm"))
+    insert(s0, allA.filter(col("vec_id") % 3 === 0))
+    insert(s0, allA.filter(col("vec_id") % 3 === 1).unionAll(ghostsA))
+
+    // RESTART: a fresh session reopens both tables from the log
+    val s2 = s0.newSession()
+    val allB = vecs(s2)
+    insert(s2, allB.filter(col("vec_id") % 3 === 2))
+    delete(s2, allB.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id")))
+    pairState(s2).map(_.select(col("vec_a"), col("vec_b"), col("cos_sim")))
+      .getOrElse(sys.error("no pairs committed — the fixture corpus " +
+        "must produce near-dup embedding pairs"))
+  }
+
+  /** Per-cluster representative selection (max token count, doc_id
+    * tie-break) over a label set — shared by the batch and maintained
+    * keeper entries so the decoration cannot diverge. */
+  private def keepersOf(s: SparkSession, d: String, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = Tables.documents(s, d).select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)))
+        .cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val cnt = Window.partitionBy(col("cluster_id"))
+    labels.join(stats, "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("n_tokens"),
+        row_number().over(w).as("rnk"),
+        count(lit(1)).over(cnt).cast("long").as("n_members"))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+        col("n_tokens"), col("n_members"))
+  }
+
   /** Shared oracle CTE chain: minhash pairs at τ=0.5 → symmetric edge
     * set → recursive min-label reachability (`reach(doc, lbl)`). */
   private val ccCteSql: String =
@@ -1007,22 +1123,29 @@ object Dedup {
          | FROM labels l JOIN stats s ON s.doc_id = l.doc_id)
          |SELECT cluster_id, doc_id AS keeper_doc_id, n_tokens, n_members
          |FROM ranked WHERE rnk = 1""".stripMargin) {
-      (s, d) =>
-        import org.apache.spark.sql.expressions.Window
-        val labels = connectedComponents(s, d)
-        val stats = Tables.documents(s, d).select(col("doc_id"),
-          size(regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0)))
-            .cast("long").as("n_tokens"))
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col("n_tokens").desc, col("doc_id"))
-        val cnt = Window.partitionBy(col("cluster_id"))
-        labels.join(stats, "doc_id")
-          .select(col("cluster_id"), col("doc_id"), col("n_tokens"),
-            row_number().over(w).as("rnk"),
-            count(lit(1)).over(cnt).cast("long").as("n_members"))
-          .filter(col("rnk") === 1)
-          .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
-            col("n_tokens"), col("n_members"))
+      (s, d) => keepersOf(s, d, connectedComponents(s, d))
+    },
+
+    // … RESOLUTION over the MAINTAINED labels (the r14 gap closed one
+    // step further: cluster labels maintain under the changelog, and
+    // the keeper read composes on them — same window decoration, same
+    // from-scratch oracle, so a label the maintenance got wrong fails
+    // here too).
+    sql("dedup_keepers_maintained",
+      s"""WITH RECURSIVE $ccCteSql,
+         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |stats AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '$tokenPattern')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |ranked AS (
+         | SELECT l.cluster_id, l.doc_id, s.n_tokens,
+         |  ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |    ORDER BY s.n_tokens DESC, l.doc_id) AS rnk,
+         |  CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS n_members
+         | FROM labels l JOIN stats s ON s.doc_id = l.doc_id)
+         |SELECT cluster_id, doc_id AS keeper_doc_id, n_tokens, n_members
+         |FROM ranked WHERE rnk = 1""".stripMargin) {
+      (s, d) => keepersOf(s, d, ccMaintained(s, d))
     },
 
     // LEAKAGE-SAFE TRAIN/VALID/TEST SPLIT — the split decision hashes
@@ -1380,6 +1503,12 @@ object Dedup {
     // the one-shot batch entry; ghost embeddings injected then deleted
     // must leave the pair set identical.
     sql("dedup_embedding_lsh_maintained", embeddingLshOracle)(embeddingLshMaintained),
+
+    // … with the vector store + pair set PERSISTED to the snapshot
+    // log (bands recomputed from the persisted vectors — 64 integer
+    // ops each), proven by a mid-changelog session restart on the
+    // same one-shot batch oracle.
+    sql("dedup_embedding_lsh_persist", embeddingLshOracle)(embeddingLshPersist),
 
     // --- semantic dedup (SemDeDup shape): k-means, then in-cluster -------
     // Lloyd's algorithm made cross-engine deterministic: seed centroids

@@ -27,8 +27,10 @@ class RelationalSpec extends AnyFunSuite with org.scalatest.ParallelTestExecutio
       "dedup_semantic_kmeans", "mixture_weights", "text_top_terms", "text_boilerplate_ngrams",
       "text_bm25_topk",
       // same FIXED-k centroid broadcast as ann_ivf_topk, over the
-      // incrementally maintained / resplit on-disk index
-      "ann_ivf_incremental", "ann_ivf_resplit", "embedding_label_margin",
+      // incrementally maintained / resplit / ghost-changelog on-disk
+      // index
+      "ann_ivf_incremental", "ann_ivf_resplit", "ann_ivf_maintained",
+      "embedding_label_margin",
       // ONE-ROW global-scalar broadcasts (the Q11/Q15/Q22 shapes:
       // share-of-total, argmax-of-aggregate, above-global-average;
       // the skew advisor joins its two one-row aggregate frames)
