@@ -826,6 +826,23 @@ object Dedup {
         "must produce near-dup embedding pairs"))
   }
 
+  /** The cluster-hashed train/valid/test assignment over a label set
+    * (singletons are their own cluster) — shared by the batch and
+    * maintained split entries so the decision rule cannot diverge. */
+  private def splitOf(s: SparkSession, d: String, labels: DataFrame): DataFrame = {
+    val asg = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "ldoc"),
+        col("doc_id") === col("ldoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val b = conv(substring(md5(to_binary(
+      col("cluster_id").cast("string"), lit("utf-8"))), 1, 15), 16, 10)
+      .cast("long") % 10
+    asg.select(col("doc_id"), col("cluster_id"),
+      when(b <= 7, "train").when(b === 8, "valid").otherwise("test")
+        .as("split"))
+  }
+
   /** Per-cluster representative selection (max token count, doc_id
     * tie-break) over a label set — shared by the batch and maintained
     * keeper entries so the decoration cannot diverge. */
@@ -1168,19 +1185,26 @@ object Dedup {
          |FROM (SELECT doc_id, cluster_id,
          |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
          | FROM asg)""".stripMargin) {
-      (s, d) =>
-        val labels = connectedComponents(s, d)
-        val asg = Tables.documents(s, d).select(col("doc_id"))
-          .join(labels.withColumnRenamed("doc_id", "ldoc"),
-            col("doc_id") === col("ldoc"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        val b = conv(substring(md5(to_binary(
-          col("cluster_id").cast("string"), lit("utf-8"))), 1, 15), 16, 10)
-          .cast("long") % 10
-        asg.select(col("doc_id"), col("cluster_id"),
-          when(b <= 7, "train").when(b === 8, "valid").otherwise("test")
-            .as("split"))
+      (s, d) => splitOf(s, d, connectedComponents(s, d))
+    },
+
+    // … the SPLIT over the MAINTAINED labels: the same cluster-hashed
+    // decision rides [[MaintainedCc]]'s incrementally-kept labels, so
+    // continuous re-ingest keeps the train/test boundary leakage-safe
+    // without a batch re-clustering — and the shared from-scratch
+    // oracle fails if maintenance drifted any cluster id (which would
+    // silently move documents across the split boundary).
+    sql("split_leakage_safe_maintained",
+      s"""WITH RECURSIVE $ccCteSql,
+         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |asg AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+         | FROM asg)""".stripMargin) {
+      (s, d) => splitOf(s, d, ccMaintained(s, d))
     },
 
     // CROSS-SOURCE DUPLICATION MATRIX — which sources copy from
