@@ -856,8 +856,9 @@ object Curation {
     // aggregate, deletes SUBTRACT the departing docs' — both
     // changelog-proportional), per-(doc, term) tf rows appended /
     // anti-joined. The read derives df + avgdl from the maintained
-    // state (query-term rows only; a full-vocabulary deployment would
-    // maintain df additively too) and scores with the IDENTICAL
+    // state (query-term rows only — the full-vocabulary form is
+    // text_bm25_maintained_vocab below; the PERSISTED inverted index
+    // is text_bm25_persist) and scores with the IDENTICAL
     // quantized arithmetic as the batch entry — ghost docs injected
     // mid-changelog shift df/avgdl while present and must leave every
     // statistic exactly restored when deleted, proven by the shared

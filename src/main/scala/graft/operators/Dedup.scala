@@ -266,10 +266,10 @@ object Dedup {
     *
     * State per batch: the exploded (doc_id, shingle) rows, the (doc_id,
     * band, h) bucket rows, per-doc shingle counts, and the confirmed
-    * pair set — each carried forward via localCheckpoint (at corpus
-    * scale this state lives bucket-partitioned by doc_id in a
-    * snapshot table / state store, so the per-batch joins below are
-    * bucket-local instead of state-wide shuffles).
+    * pair set — carried forward via localCheckpoint here, and as
+    * bucket-partitioned SNAPSHOT TABLES in [[minhashPairsPersist]]
+    * (the restartable form — the corpus-scale shape this twin's state
+    * approximates in-JVM).
     *
     *  - INSERTS are changelog-proportional and never all-pairs: a new
     *    doc's band rows probe the EXISTING buckets (Δ ⋈ (state ∪ Δ) on
