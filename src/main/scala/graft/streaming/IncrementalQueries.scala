@@ -2015,6 +2015,31 @@ object IncrementalQueries {
         batches = recursivePathsBatches, deltaLinear = true)
     },
 
+    // … RESUMED ACROSS A SESSION RESTART: batches 0-1 run in one
+    // session, the closure persists to a snapshot table (keyed by a
+    // node hash), and a FRESH session reopens it from the log and
+    // processes batch 2 via the resume hook (initialClosure +
+    // startBatch) — per-batch semi-naive work continues exactly where
+    // the dead JVM stopped, never a from-scratch re-run. Same oracle
+    // as the uninterrupted twin: the restart must be invisible.
+    sql("incremental_sql_recursive_paths_resume",
+      recursivePathsSql("VARCHAR")) {
+      (s, d) =>
+        import graft.sources.SnapshotLog
+        val partial = RecursiveSql.runIncremental(s, d,
+          recursivePathsSql("STRING"),
+          batches = recursivePathsBatches.take(2), deltaLinear = true)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_rec_resume").toString
+        SnapshotLog.commitInitial(
+          partial.select(xxhash64(col("node")).as("k"), col("node")), root, "k")
+        val s2 = s.newSession()
+        val c0 = SnapshotLog.readVersion(s2, root, 0).select("node")
+        RecursiveSql.runIncremental(s2, d, recursivePathsSql("STRING"),
+          batches = recursivePathsBatches, deltaLinear = true,
+          initialClosure = Some(c0), startBatch = 2)
+    },
+
     // … and under a MIXED changelog (DRed-lite): batch 2 DELETES every
     // %10==0 order inserted so far before adding its own slice — the
     // over-delete pass marks derivations through the deleted edges

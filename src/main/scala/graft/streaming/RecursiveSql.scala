@@ -549,21 +549,43 @@ object RecursiveSql {
                      batches: Seq[Map[String, Column]],
                      deletesAt: Map[Int, Map[String, Column]] = Map.empty,
                      deltaLinear: Boolean = false,
-                     maxIters: Int = 100): DataFrame =
+                     maxIters: Int = 100,
+                     initialClosure: Option[DataFrame] = None,
+                     startBatch: Int = 0): DataFrame =
     runIncrementalWithStats(spark, dir, sqlText, batches, deletesAt,
-      deltaLinear, maxIters)._1
+      deltaLinear, maxIters, initialClosure, startBatch)._1
 
   /** [[runIncremental]] plus the run's checkpoint accounting. The
     * DRed mark loops' checkpoint I/O is folded into the same totals,
-    * so a spec can assert the DELETE path is delta-linear too. */
+    * so a spec can assert the DELETE path is delta-linear too.
+    *
+    * RESUME: `initialClosure` (with `startBatch` ≥ 1) seeds the
+    * accumulator with a PREVIOUSLY-COMPUTED closure — the fixpoint
+    * over batches `0..startBatch-1`'s final state — instead of running
+    * batch 0 from scratch, and processing continues at `startBatch`.
+    * This is the restart hook for a maintained recursion whose closure
+    * persists in a snapshot table between JVMs: the caller exports the
+    * closure (for a `SELECT * FROM r` outer query, the result IS the
+    * closure), reopens it from the log in a fresh session, and passes
+    * it here with the SAME batches/deletesAt lists (state filters are
+    * pure expressions — respecifying them reconstructs every base
+    * state without re-running prior batches). */
   def runIncrementalWithStats(spark: SparkSession, dir: String, sqlText: String,
                      batches: Seq[Map[String, Column]],
                      deletesAt: Map[Int, Map[String, Column]] = Map.empty,
                      deltaLinear: Boolean = false,
-                     maxIters: Int = 100): (DataFrame, Stats) = {
+                     maxIters: Int = 100,
+                     initialClosure: Option[DataFrame] = None,
+                     startBatch: Int = 0): (DataFrame, Stats) = {
     if (batches.isEmpty) fail("runIncremental needs at least one batch")
     deletesAt.keys.foreach(k => if (k < 0 || k >= batches.size)
       fail(s"deletesAt names batch $k — batches run 0..${batches.size - 1}"))
+    if (initialClosure.isDefined != (startBatch > 0))
+      fail("resume takes BOTH an initialClosure and a startBatch >= 1 " +
+        "(the closure is the fixpoint over batches 0..startBatch-1)")
+    if (startBatch < 0 || startBatch > batches.size)
+      fail(s"startBatch $startBatch is outside the batch list " +
+        s"(0..${batches.size})")
     if (deletesAt.values.exists(_.nonEmpty) && !deltaLinear)
       fail("DRed deletion maintenance requires deltaLinear: identifying the " +
         "derivations that used a deleted base row needs per-relation delta " +
@@ -651,11 +673,27 @@ object RecursiveSql {
     val anchorReads = textReads(anchorMasked)
 
     // batch 0: the ordinary fixpoint over the initial base state
-    // (deletes at batch 0 simply never appear in the state)
-    bind(stateMap(0, 0), materialize = true)
-    val anchor0 = renamed(s.sql(anchorText)).distinct()
-    anchorCols = anchor0.columns.toSeq
-    fp.push(anchor0).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
+    // (deletes at batch 0 simply never appear in the state) — or, on
+    // RESUME, the imported closure becomes the single accumulator leg
+    // (anchor runs for its SCHEMA only; .columns analyzes, no job)
+    val anchor0 = initialClosure match {
+      case Some(c0raw) =>
+        bind(stateMap(startBatch - 1, startBatch - 1))
+        val a = renamed(s.sql(anchorText)).distinct()
+        anchorCols = a.columns.toSeq
+        // re-home the imported closure into THIS child session: the
+        // loop binds frontier temp views via the frame's OWN session,
+        // and a caller-session frame would bind into the wrong catalog
+        val c0 = s.createDataFrame(c0raw.rdd, c0raw.schema)
+        fp.push(shape(c0))
+        a
+      case None =>
+        bind(stateMap(0, 0), materialize = true)
+        val a = renamed(s.sql(anchorText)).distinct()
+        anchorCols = a.columns.toSeq
+        fp.push(a).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
+        a
+    }
 
     /** Evaluate the recursive term with r bound to the closure and the
       * base relations bound per `state`. */
@@ -666,7 +704,7 @@ object RecursiveSql {
     }
     def closure: DataFrame = if (fp.hasAcc) fp.acc else anchor0.limit(0)
 
-    (1 until batches.size).foreach { k =>
+    (math.max(1, startBatch) until batches.size).foreach { k =>
       // ---- phase A: deletes (applied before this batch's inserts) --
       val delSpec = deletesAt.getOrElse(k, Map.empty)
       if (delSpec.nonEmpty && fp.hasAcc) {

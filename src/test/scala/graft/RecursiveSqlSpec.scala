@@ -225,6 +225,39 @@ class RecursiveSqlSpec extends AnyFunSuite {
     assert(gone.isEmpty)
   }
 
+  test("resume: imported closure + startBatch equals the uninterrupted run, deletes included") {
+    val batches = Seq(
+      Map("orders" -> (col("o_orderkey") % 3 === 0),
+        "lineitem" -> (col("l_orderkey") % 3 === 0)),
+      Map("orders" -> (col("o_orderkey") % 3 === 1),
+        "lineitem" -> (col("l_orderkey") % 3 === 1)),
+      Map("orders" -> (col("o_orderkey") % 3 === 2),
+        "lineitem" -> (col("l_orderkey") % 3 === 2)))
+    val dels = Map(2 -> Map("orders" -> (col("o_orderkey") % 10 === 0)))
+    val want = RecursiveSql.runIncremental(spark, d, reachSql, batches,
+        deletesAt = dels, deltaLinear = true)
+      .collect().map(_.getString(0)).sorted.toSeq
+    // stop after batches 0-1, then resume with the exported closure —
+    // batch 2's inserts AND its DRed deletes run on the resumed state
+    val partial = RecursiveSql.runIncremental(spark, d, reachSql,
+      batches.take(2), deltaLinear = true)
+    val got = RecursiveSql.runIncremental(spark, d, reachSql, batches,
+        deletesAt = dels, deltaLinear = true,
+        initialClosure = Some(partial), startBatch = 2)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+    // fences: both resume params or neither
+    def err(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(err(RecursiveSql.runIncremental(spark, d, reachSql, batches,
+      initialClosure = Some(partial))).contains("BOTH"))
+    assert(err(RecursiveSql.runIncremental(spark, d, reachSql, batches,
+      startBatch = 2)).contains("BOTH"))
+    assert(err(RecursiveSql.runIncremental(spark, d, reachSql, batches,
+      initialClosure = Some(partial), startBatch = 9))
+      .contains("outside the batch list"))
+  }
+
   test("incremental fences: deletes need deltaLinear, bag recursion") {
     val batches = Seq(Map("orders" -> (col("o_orderkey") % 2 === 0)),
       Map("orders" -> (col("o_orderkey") % 2 === 1)))

@@ -19,7 +19,11 @@ class TwinMatrixSpec extends AnyFunSuite {
         ("IS the maintenance form — a mixed insert+delete changelog run " +
           "(DRed over-delete / re-derive) of the statement whose batch " +
           "entry is incremental_sql_recursive_paths; a _stream twin of a " +
-          "maintenance run would be maintenance of maintenance"))
+          "maintenance run would be maintenance of maintenance"),
+      "incremental_sql_recursive_paths_resume" ->
+        ("IS a maintenance run too — the _stream changelog with a " +
+          "mid-run session restart resumed from the persisted closure; " +
+          "its batch base is incremental_sql_recursive_paths"))
     val missing = bases.filterNot(exempt.contains)
       .filterNot(b => names.contains(b + "_stream"))
     assert(missing.isEmpty,
