@@ -2029,12 +2029,22 @@ object IncrementalQueries {
         val partial = RecursiveSql.runIncremental(s, d,
           recursivePathsSql("STRING"),
           batches = recursivePathsBatches.take(2), deltaLinear = true)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_rec_resume").toString
-        SnapshotLog.commitInitial(
-          partial.select(xxhash64(col("node")).as("k"), col("node")), root, "k")
         val s2 = s.newSession()
-        val c0 = SnapshotLog.readVersion(s2, root, 0).select("node")
+        // an EMPTY partial closure (the tiny fixture has no nation-1
+        // suppliers) has nothing to persist — an empty partitioned
+        // parquet write carries no schema to reopen; resume with the
+        // empty frame directly (the seeding handles it: no accumulator
+        // leg, batch 2 re-derives from its own anchor deltas)
+        val c0 =
+          if (partial.isEmpty) partial
+          else {
+            val root = java.nio.file.Files
+              .createTempDirectory("graft_rec_resume").toString
+            SnapshotLog.commitInitial(
+              partial.select(xxhash64(col("node")).as("k"), col("node")),
+              root, "k")
+            SnapshotLog.readVersion(s2, root, 0).select("node")
+          }
         RecursiveSql.runIncremental(s2, d, recursivePathsSql("STRING"),
           batches = recursivePathsBatches, deltaLinear = true,
           initialClosure = Some(c0), startBatch = 2)
