@@ -137,9 +137,14 @@ object Curation {
       val tf = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
         .localCheckpoint()
-      // docs rows: (doc_id, dl, terms) — delete routing + dl retraction
-      val docRows = tf.groupBy(col("doc_id"), col("dl"))
-        .agg(collect_list(col("term")).as("terms"))
+      // docs rows: (doc_id, dl, terms) — delete routing + dl retraction.
+      // Derived from tok() DIRECTLY (not from the exploded tf rows) so
+      // a ZERO-TOKEN document still gets a state row with an empty
+      // terms array: its insert counts into the persisted N/Σdl stats,
+      // so its delete must find it here to decrement them — deriving
+      // from tf would leave n permanently inflated after that delete
+      val docRows = t.select(col("doc_id"), col("dl"),
+        array_distinct(col("toks")).as("terms"))
       val vD = latest(docsRoot)
       if (vD < 0) SnapshotLog.commitInitial(docRows, docsRoot, "doc_id")
       else SnapshotLog.commitMerge(s, docsRoot, vD + 1, "doc_id",

@@ -466,24 +466,27 @@ object SqlDml {
                 fail(s"VERSION AS OF expression $value: expected an integer " +
                   "version, a relative '-k', or a scalar (SELECT ... FROM " +
                   "__history) subquery")
-              val histView = s"__graft_hist_${token}_$n"
+              // the operand evaluates in a BARE child session whose
+              // only binding is __history — "the subquery may read
+              // only __history" is enforced by the catalog, not just
+              // documented: a reference to any caller temp view/table
+              // (or a correlated outer column) fails to analyze here.
+              // Per-call session → concurrent calls can't cross-read.
+              val sub = s.newSession()
               locally {
-                import s.implicits._
+                import sub.implicits._
                 SnapshotLog.history(root)
                   .toDF("version", "n_dirs", "n_rewritten", "n_tombstone_dirs")
-                  .createOrReplaceTempView(histView)
+                  .createOrReplaceTempView("__history")
               }
-              val innerSql = inner.replaceAll(
-                "(?i)(?<![\\w.])__history(?![\\w.])",
-                java.util.regex.Matcher.quoteReplacement(histView))
               val vRaw =
-                try s.sql(s"SELECT CAST(($innerSql) AS INT)").head().get(0)
+                try sub.sql(s"SELECT CAST(($inner) AS INT)").head().get(0)
                 catch {
                   case e: org.apache.spark.sql.AnalysisException =>
                     fail(s"VERSION AS OF (subquery): cannot analyze $value " +
                       "— the subquery may read only __history (correlated " +
                       s"forms stay fenced): ${e.getMessage.split("\n").head}")
-                } finally { s.catalog.dropTempView(histView); () }
+                }
               if (vRaw == null)
                 fail(s"VERSION AS OF (subquery): $value evaluates to NULL " +
                   "(no history row matched)")

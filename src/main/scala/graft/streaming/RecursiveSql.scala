@@ -259,8 +259,12 @@ object RecursiveSql {
       * working table, not "no accumulator"). */
     def hasAcc: Boolean = deltas.nonEmpty
 
-    /** Replace the accumulator wholesale — the DRed over-delete step:
-      * the survivor set becomes the single checkpointed leg. */
+    /** Replace the accumulator wholesale — the DRed over-delete step
+      * (survivors become the single checkpointed leg) and the RESUME
+      * import (a previously-computed closure seeds the accumulator).
+      * Accounted as a compaction, never as delta I/O: `deltaRows`
+      * stays the per-round delta diagnostic ("checkpoint I/O linear
+      * in delta"), which an |closure|-sized import would swamp. */
     def reset(df: DataFrame): Unit = {
       val c = df.localCheckpoint(true)
       compactedRows += c.count()
@@ -685,7 +689,10 @@ object RecursiveSql {
         // loop binds frontier temp views via the frame's OWN session,
         // and a caller-session frame would bind into the wrong catalog
         val c0 = s.createDataFrame(c0raw.rdd, c0raw.schema)
-        fp.push(shape(c0))
+        // reset-style import: the closure is NOT a delta — crediting
+        // it to deltaRows would swamp the "checkpoint I/O linear in
+        // delta" diagnostic on every resumed run
+        fp.reset(shape(c0))
         a
       case None =>
         bind(stateMap(0, 0), materialize = true)
@@ -750,6 +757,11 @@ object RecursiveSql {
             frontierOpt.get.createOrReplaceTempView(rec.name)
             val step = shape(s.sql(recText)).distinct()
             frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.acc)))
+            // count productive mark rounds on the marks Fixpoint itself
+            // (push() alone never bumps rounds — only loop() does), so
+            // absorb() folds the DRed rounds into the run's Stats as
+            // the scaladoc promises
+            if (frontierOpt.isDefined) marks.rounds += 1
             rounds += 1
           }
           // an empty seed marks nothing: the closure is untouched, so
@@ -769,9 +781,13 @@ object RecursiveSql {
                 bind(postDel)
                 renamed(s.sql(anchorText))
               })
-            bind(postDel, materialize = true)
-            fp.push(reSeed).foreach(f =>
-              fp.loop(s, rec.name, recText, shape, f, maxIters))
+            // materialize term-read helpers only when the loop will
+            // actually run — an empty re-seed (nothing to re-derive)
+            // must not pay a helper checkpoint job
+            fp.push(reSeed).foreach { f =>
+              bind(postDel, materialize = true)
+              fp.loop(s, rec.name, recText, shape, f, maxIters)
+            }
           }
         }
       }
@@ -805,10 +821,14 @@ object RecursiveSql {
         } else Nil
       val parts = recursiveParts ++ anchorParts
       if (parts.nonEmpty) {
-        // the continuing loop evaluates over the full new state
-        bind(cum, materialize = true)
         val seed = fp.dedupNew(parts.reduce(_ unionAll _))
-        fp.push(seed).foreach(f => fp.loop(s, rec.name, recText, shape, f, maxIters))
+        // the continuing loop evaluates over the full new state;
+        // term-read helpers materialize only when the seed is
+        // non-empty — a quiet batch pays no helper checkpoint job
+        fp.push(seed).foreach { f =>
+          bind(cum, materialize = true)
+          fp.loop(s, rec.name, recText, shape, f, maxIters)
+        }
       }
     }
     bind(stateMap(batches.size - 1, batches.size - 1))
