@@ -2066,6 +2066,45 @@ object IncrementalQueries {
         deltaLinear = true)
     },
 
+    // … RESUME × DRed — the two maintenance disciplines COMPOSED:
+    // batches 0-1 build the closure in one session and persist it;
+    // a FRESH session reopens the closure from the log and processes
+    // batch 2's MIXED changelog — the over-delete mark pass, the
+    // survivor reset, the support-probe re-derive, and the insert
+    // frontier all run against the REOPENED accumulator plus the
+    // respecified delta bindings (state filters are pure expressions,
+    // so the resumed run reconstructs every pre/post-delete base state
+    // without re-running prior batches). An operational maintained
+    // recursion needs exactly this: a restarted ingester that can
+    // still retract. Oracle: DuckDB's native recursion over the FINAL
+    // table state — identical to the uninterrupted DRed twin's.
+    sql("incremental_sql_recursive_paths_dred_resume",
+      recursivePathsSql("VARCHAR",
+        "(SELECT * FROM orders WHERE o_orderkey % 10 <> 0) odel")) {
+      (s, d) =>
+        import graft.sources.SnapshotLog
+        val partial = RecursiveSql.runIncremental(s, d,
+          recursivePathsSql("STRING"),
+          batches = recursivePathsBatches.take(2), deltaLinear = true)
+        val s2 = s.newSession()
+        // empty-partial guard as in the insert-only resume twin: an
+        // empty partitioned parquet write has no schema to reopen
+        val c0 =
+          if (partial.isEmpty) partial
+          else {
+            val root = java.nio.file.Files
+              .createTempDirectory("graft_rec_dred_resume").toString
+            SnapshotLog.commitInitial(
+              partial.select(xxhash64(col("node")).as("k"), col("node")),
+              root, "k")
+            SnapshotLog.readVersion(s2, root, 0).select("node")
+          }
+        RecursiveSql.runIncremental(s2, d, recursivePathsSql("STRING"),
+          batches = recursivePathsBatches,
+          deletesAt = Map(2 -> Map("orders" -> (col("o_orderkey") % 10 === 0))),
+          deltaLinear = true, initialClosure = Some(c0), startBatch = 2)
+    },
+
     // WITH RECURSIVE alongside HELPER CTEs: `edges` (no r reference)
     // binds before the loop and the recursive term reads it; `reached`
     // reads r, so it binds after the fixpoint for the outer query.

@@ -234,9 +234,9 @@ class RecursiveSqlSpec extends AnyFunSuite {
       Map("orders" -> (col("o_orderkey") % 3 === 2),
         "lineitem" -> (col("l_orderkey") % 3 === 2)))
     val dels = Map(2 -> Map("orders" -> (col("o_orderkey") % 10 === 0)))
-    val want = RecursiveSql.runIncremental(spark, d, reachSql, batches,
-        deletesAt = dels, deltaLinear = true)
-      .collect().map(_.getString(0)).sorted.toSeq
+    val wantDf = RecursiveSql.runIncremental(spark, d, reachSql, batches,
+      deletesAt = dels, deltaLinear = true)
+    val want = wantDf.collect().map(_.getString(0)).sorted.toSeq
     // stop after batches 0-1, then resume with the exported closure —
     // batch 2's inserts AND its DRed deletes run on the resumed state
     val partial = RecursiveSql.runIncremental(spark, d, reachSql,
@@ -246,6 +246,18 @@ class RecursiveSqlSpec extends AnyFunSuite {
         initialClosure = Some(partial), startBatch = 2)
       .collect().map(_.getString(0)).sorted.toSeq
     assert(want.nonEmpty && got == want)
+    // reset-style import accounting: resuming at the very END (no
+    // batches left to process) does ZERO delta work — the imported
+    // closure lands as a compaction leg, never in deltaRows, so the
+    // "checkpoint I/O linear in delta" diagnostic stays honest on
+    // resumed runs instead of being swamped by |closure|
+    val (atEnd, stEnd) = RecursiveSql.runIncrementalWithStats(spark, d,
+      reachSql, batches, deletesAt = dels, deltaLinear = true,
+      initialClosure = Some(wantDf), startBatch = 3)
+    assert(atEnd.collect().map(_.getString(0)).sorted.toSeq == want)
+    assert(stEnd.deltaRows == 0,
+      s"imported closure credited to deltaRows: ${stEnd.deltaRows}")
+    assert(stEnd.compactedRows == want.size.toLong)
     // fences: both resume params or neither
     def err(f: => Any): String =
       intercept[IllegalArgumentException](f).getMessage

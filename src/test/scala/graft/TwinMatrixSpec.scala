@@ -23,7 +23,11 @@ class TwinMatrixSpec extends AnyFunSuite {
       "incremental_sql_recursive_paths_resume" ->
         ("IS a maintenance run too — the _stream changelog with a " +
           "mid-run session restart resumed from the persisted closure; " +
-          "its batch base is incremental_sql_recursive_paths"))
+          "its batch base is incremental_sql_recursive_paths"),
+      "incremental_sql_recursive_paths_dred_resume" ->
+        ("resume × DRed composed — a mixed insert+delete changelog " +
+          "resumed from the persisted closure in a fresh session; a " +
+          "maintenance run itself, like both of its parents above"))
     val missing = bases.filterNot(exempt.contains)
       .filterNot(b => names.contains(b + "_stream"))
     assert(missing.isEmpty,
