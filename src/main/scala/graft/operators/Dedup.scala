@@ -484,6 +484,175 @@ object Dedup {
         "must produce near-dup pairs at τ ≥ 0.5"))
   }
 
+  /** [[ccMaintained]] memoized per fixture: the multi-batch changelog
+    * replays once per JVM; the labels entry, the maintained keepers,
+    * and the maintained split all re-read the materialized labels. */
+  private def ccMaintainedLabels(s: SparkSession, d: String): DataFrame =
+    FixtureMemo(s"$d#cc_maintained", s)(ccMaintained(s, d))
+
+  /** [[MaintainedCc]] with its state PERSISTED to the snapshot log —
+    * cluster RESOLUTION that survives a JVM: the undirected edge set
+    * (keyed by the packed `doc_a·2³² + doc_b` long, the
+    * [[PersistedMinhash]] pair-key discipline) and the labels (keyed
+    * by doc_id) are versioned snapshot TABLES; every method derives
+    * its state from the log roots alone, so a fresh session resumes
+    * exactly where a dead JVM stopped.
+    *
+    *  - INSERT edges: Δ edges commit as I-rows (only their buckets
+    *    rewrite); the relabel runs over the affected clusters' label
+    *    STAR edges ∪ Δ — O(|affected| + |Δ|) — and commits as keyed
+    *    upserts, so unaffected clusters' label rows are never touched.
+    *  - DELETE docs: pairs touching a deleted doc drop via a
+    *    DELETION-VECTOR commit (O(|pairs of the deleted|)); affected
+    *    components re-cluster from their SURVIVING REAL edges (the
+    *    star shortcut would collapse exactly the connectivity a split
+    *    questions); members left edgeless drop their label rows by DV.
+    *
+    * At corpus scale both tables are the hash-bucketed stores the
+    * in-JVM twin's scaladoc promises: commits rewrite O(touched
+    * buckets), deletes are O(|keys|), and a crashed ingester reopens
+    * from the last committed version — the gap the keepers and the
+    * leakage-safe split inherit the moment they ride these labels. */
+  private[graft] final class PersistedCc {
+    import graft.sources.SnapshotLog
+    val edgesRoot: String =
+      java.nio.file.Files.createTempDirectory("graft_cc_edges").toString
+    val labelsRoot: String =
+      java.nio.file.Files.createTempDirectory("graft_cc_labels").toString
+
+    private def latest(root: String): Int =
+      SnapshotLog.history(root).map(_._1).maxOption.getOrElse(-1)
+    private def pairId = (col("doc_a") * lit(1L << 32) + col("doc_b")).as("pair_id")
+    def edgeState(s: SparkSession): Option[DataFrame] = {
+      val v = latest(edgesRoot)
+      if (v < 0) None
+      else Some(SnapshotLog.readVersion(s, edgesRoot, v)
+        .select(col("pair_id"), col("doc_a"), col("doc_b")))
+    }
+    def labelState(s: SparkSession): Option[DataFrame] = {
+      val v = latest(labelsRoot)
+      if (v < 0) None
+      else Some(SnapshotLog.readVersion(s, labelsRoot, v)
+        .select(col("doc_id"), col("cluster_id")))
+    }
+
+    def insertEdges(s: SparkSession, newEdges: DataFrame): Unit = {
+      if (newEdges.isEmpty) return
+      val ne = newEdges.select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val vE = latest(edgesRoot)
+      val eRows = ne.select(pairId, col("doc_a"), col("doc_b"))
+      if (vE < 0) SnapshotLog.commitInitial(eRows, edgesRoot, "pair_id")
+      else SnapshotLog.commitMerge(s, edgesRoot, vE + 1, "pair_id",
+        Seq("doc_a", "doc_b"), eRows.withColumn("op", lit("I")))
+      val endpoints = ne.select(col("doc_a").as("doc_id"))
+        .unionAll(ne.select(col("doc_b").as("doc_id"))).distinct()
+      labelState(s) match {
+        case None =>
+          SnapshotLog.commitInitial(ccLargeSmallStar(ne), labelsRoot, "doc_id")
+        case Some(labels) =>
+          val affCl = labels.join(endpoints, Seq("doc_id"), "left_semi")
+            .select(col("cluster_id")).distinct()
+          val aff = labels.join(affCl, Seq("cluster_id"), "left_semi")
+          // a labeled cluster has ≥2 members, so its center always
+          // appears on the b side of some (member, center) star edge
+          val stars = aff.filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+          val relabeled = ccLargeSmallStar(stars.unionAll(ne))
+          // keyed UPSERT: every member of an affected cluster appears
+          // in `relabeled` (inserts only merge components, never
+          // shrink them), so the untouched rows are exactly the
+          // unaffected clusters' — their buckets never rewrite
+          SnapshotLog.commitMerge(s, labelsRoot, latest(labelsRoot) + 1,
+            "doc_id", Seq("cluster_id"), relabeled.withColumn("op", lit("U")))
+      }
+    }
+
+    def deleteDocs(s: SparkSession, ids0: DataFrame): Unit = {
+      (edgeState(s), labelState(s)) match {
+        case (Some(edges), Some(labels)) =>
+          val ids = ids0.select(col("doc_id")).localCheckpoint()
+          // pairs touching a deleted doc: two semi-joins, one DV commit
+          val affPairs = edges
+            .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+            .select(col("pair_id"))
+            .unionAll(edges
+              .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+              .select(col("pair_id")))
+            .distinct()
+          if (!affPairs.isEmpty)
+            SnapshotLog.commitDeleteVector(s, edgesRoot, latest(edgesRoot) + 1,
+              "pair_id", affPairs)
+          val affCl = labels.join(ids, Seq("doc_id"), "left_semi")
+            .select(col("cluster_id")).distinct()
+          if (affCl.isEmpty) return // deleted docs were never labeled
+          // USING-column join moves cluster_id FIRST — re-pin the order
+          val affMembers = labels.join(affCl, Seq("cluster_id"), "left_semi")
+            .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+          // surviving edges of the affected components, read from the
+          // POST-delete edge state (components are closed under edges,
+          // so one endpoint's membership suffices)
+          val subEdges = edgeState(s).get
+            .join(affMembers.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+            .select(col("doc_a"), col("doc_b"))
+          val relabeled = ccLargeSmallStar(subEdges).localCheckpoint()
+          // label rows to DROP: the deleted docs + members left
+          // edgeless by the delete (neither survives in `relabeled`)
+          val dropIds = affMembers.select(col("doc_id"))
+            .join(relabeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          if (!dropIds.isEmpty)
+            SnapshotLog.commitDeleteVector(s, labelsRoot, latest(labelsRoot) + 1,
+              "doc_id", dropIds)
+          if (!relabeled.isEmpty)
+            SnapshotLog.commitMerge(s, labelsRoot, latest(labelsRoot) + 1,
+              "doc_id", Seq("cluster_id"), relabeled.withColumn("op", lit("U")))
+        case _ => ()
+      }
+    }
+  }
+
+  /** The persisted detect→cluster pipeline: [[PersistedMinhash]]
+    * produces the per-batch confirmed pairs (τ ≥ 0.5 edges) and
+    * [[PersistedCc]] maintains edges + labels, ALL FOUR state tables
+    * in the snapshot log — so the whole near-dup resolution survives
+    * a JVM. Same changelog as [[ccMaintained]] (ghost dupes injected
+    * then deleted, a real slice deleted mid-stream and re-inserted)
+    * with a session RESTART placed between the churn DELETE and its
+    * re-insert: steps after the restart reopen every handle from the
+    * committed logs alone. Memoized per fixture ([[FixtureMemo]]) —
+    * the labels entry and the persisted split share one replay. */
+  private def ccPersistLabels(s0: SparkSession, d: String): DataFrame =
+    FixtureMemo(s"$d#cc_persist", s0) {
+      val mh = new PersistedMinhash
+      val cc = new PersistedCc
+      def ins(s: SparkSession, dd: DataFrame): Unit =
+        cc.insertEdges(s, mh.insert(s, dd).filter(col("jacc") >= 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      def del(s: SparkSession, ids: DataFrame): Unit = {
+        mh.delete(s, ids); cc.deleteDocs(s, ids)
+      }
+      val docsA = Tables.documents(s0, d).select(col("doc_id"), col("text"))
+      val ghostsA = docsA.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+      val churnA = docsA.filter(col("doc_id") % 40 === 7 && col("doc_id") % 3 =!= 2)
+      ins(s0, docsA.filter(col("doc_id") % 3 === 0))
+      ins(s0, docsA.filter(col("doc_id") % 3 === 1).unionAll(ghostsA))
+      del(s0, churnA.select(col("doc_id")))
+
+      // RESTART between the churn delete and its re-insert: nothing
+      // in-JVM survives the newSession(); the resumed ingest must
+      // re-merge the split components from the log state alone
+      val s2 = s0.newSession()
+      val docsB = Tables.documents(s2, d).select(col("doc_id"), col("text"))
+      val churnB = docsB.filter(col("doc_id") % 40 === 7 && col("doc_id") % 3 =!= 2)
+      ins(s2, docsB.filter(col("doc_id") % 3 === 2).unionAll(churnB))
+      del(s2, docsB.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id")))
+      cc.labelState(s2)
+        .map(_.select(col("doc_id"), col("cluster_id")))
+        .getOrElse(sys.error("no clusters committed — the fixture corpus " +
+          "must produce near-dup pairs at τ ≥ 0.5"))
+    }
+
   /** The maintained near-dup pipeline with its state PERSISTED to the
     * snapshot log — the operational shape of continuous re-ingest.
     * [[minhashPairsMaintained]] carries state as in-JVM localCheckpoint
@@ -516,11 +685,44 @@ object Dedup {
     * shuffle on (band, h)), commits rewrite O(touched buckets), and a
     * crashed ingester resumes from the last committed version. */
   private def minhashPairsPersist(s0: SparkSession, d: String): DataFrame = {
-    import graft.sources.SnapshotLog
-    val docsRoot = java.nio.file.Files.createTempDirectory("graft_mh_docs").toString
-    val pairsRoot = java.nio.file.Files.createTempDirectory("graft_mh_pairs").toString
+    val mh = new PersistedMinhash
 
-    def latest(root: String): Int =
+    // the same 4-step changelog as the in-JVM twin — with a session
+    // RESTART in the middle: steps 3-4 run in a fresh session whose
+    // only link to steps 1-2 is the committed log
+    val docsA = Tables.documents(s0, d).select(col("doc_id"), col("text"))
+    val ghostsA = docsA.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    mh.insert(s0, docsA.filter(col("doc_id") % 3 === 0))
+    mh.insert(s0, docsA.filter(col("doc_id") % 3 === 1).unionAll(ghostsA))
+
+    val s2 = s0.newSession()
+    val docsB = Tables.documents(s2, d).select(col("doc_id"), col("text"))
+    mh.insert(s2, docsB.filter(col("doc_id") % 3 === 2))
+    mh.delete(s2, docsB.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id")))
+    mh.pairState(s2).map(_.select(col("doc_a"), col("doc_b"), col("jacc")))
+      .getOrElse(sys.error("no pairs committed — the fixture corpus " +
+        "must produce near-dup pairs"))
+  }
+
+  /** The persisted MinHash near-dup STATE MACHINE (extracted from the
+    * `dedup_minhash_persist` entry so the persisted CC pipeline can
+    * ride the same replay): per-doc state (shingles + packed LSH band
+    * rows, one row per doc_id, hash-bucketed) and the confirmed pair
+    * set (keyed by the packed doc_a·2³²+doc_b long) live in versioned
+    * snapshot TABLES, so ingestion can stop, a NEW session can reopen
+    * from the log, and the changelog resumes. [[insert]] RETURNS the
+    * batch's newly-confirmed pairs so a downstream consumer (cluster
+    * resolution) composes on the replay without re-deriving them. */
+  private[graft] final class PersistedMinhash {
+    import graft.sources.SnapshotLog
+    val docsRoot: String =
+      java.nio.file.Files.createTempDirectory("graft_mh_docs").toString
+    val pairsRoot: String =
+      java.nio.file.Files.createTempDirectory("graft_mh_pairs").toString
+
+    private def latest(root: String): Int =
       SnapshotLog.history(root).map(_._1).maxOption.getOrElse(-1)
     def docState(s: SparkSession): Option[DataFrame] = {
       val v = latest(docsRoot)
@@ -532,9 +734,11 @@ object Dedup {
     }
     // doc ids stay under 2³¹ (ghost shift included), so the packed
     // pair key is collision-free in a long
-    def pairId = (col("doc_a") * lit(1L << 32) + col("doc_b")).as("pair_id")
+    private def pairId = (col("doc_a") * lit(1L << 32) + col("doc_b")).as("pair_id")
 
-    def insert(s: SparkSession, inserts: DataFrame): Unit = {
+    /** Apply an insert batch; returns the batch's NEWLY-CONFIRMED
+      * pairs (doc_a, doc_b, jacc), checkpointed. */
+    def insert(s: SparkSession, inserts: DataFrame): DataFrame = {
       val shNew = shingledOf(inserts) // (doc_id, shingles)
       val exNew = shNew.select(col("doc_id"), explode(col("shingles")).as("s"))
       val bandsNew = bandRows(exNew)  // (doc_id, band, h)
@@ -570,6 +774,7 @@ object Dedup {
           (col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni")))
             .as("jacc"))
         .filter(col("jacc") >= 0.01)
+        .localCheckpoint() // returned to the caller after the commits
       val vD = latest(docsRoot)
       if (vD < 0) SnapshotLog.commitInitial(stateNew, docsRoot, "doc_id")
       else SnapshotLog.commitMerge(s, docsRoot, vD + 1, "doc_id",
@@ -581,6 +786,7 @@ object Dedup {
         else SnapshotLog.commitMerge(s, pairsRoot, vP + 1, "pair_id",
           Seq("doc_a", "doc_b", "jacc"), pNew.withColumn("op", lit("I")))
       }
+      confirmed
     }
 
     def delete(s: SparkSession, ids: DataFrame): Unit = {
@@ -597,24 +803,6 @@ object Dedup {
             "pair_id", affected)
       }
     }
-
-    // the same 4-step changelog as the in-JVM twin — with a session
-    // RESTART in the middle: steps 3-4 run in a fresh session whose
-    // only link to steps 1-2 is the committed log
-    val docsA = Tables.documents(s0, d).select(col("doc_id"), col("text"))
-    val ghostsA = docsA.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
-    insert(s0, docsA.filter(col("doc_id") % 3 === 0))
-    insert(s0, docsA.filter(col("doc_id") % 3 === 1).unionAll(ghostsA))
-
-    val s2 = s0.newSession()
-    val docsB = Tables.documents(s2, d).select(col("doc_id"), col("text"))
-    insert(s2, docsB.filter(col("doc_id") % 3 === 2))
-    delete(s2, docsB.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id")))
-    pairState(s2).map(_.select(col("doc_a"), col("doc_b"), col("jacc")))
-      .getOrElse(sys.error("no pairs committed — the fixture corpus " +
-        "must produce near-dup pairs"))
   }
 
   // ---- sign-LSH banding for embedding near-dup ------------------------
@@ -1039,13 +1227,15 @@ object Dedup {
     // plus ghost duplicates injected then DELETED must converge to the
     // identical pair set — inserts probe existing LSH buckets
     // (changelog-proportional), deletes retract by anti-join.
-    sql("dedup_minhash_maintained", minhashPairsSql)(minhashPairsMaintained),
+    sql("dedup_minhash_maintained", minhashPairsSql)(
+      (s, d) => FixtureMemo(s"$d#minhash_maintained", s)(minhashPairsMaintained(s, d))),
 
     // … with the state PERSISTED to the snapshot log, proven by a
     // mid-changelog session restart: steps 3-4 reopen from the
     // committed versions alone and the final pair table still lands
     // hash-equal to the one-shot batch oracle.
-    sql("dedup_minhash_persist", minhashPairsSql)(minhashPairsPersist),
+    sql("dedup_minhash_persist", minhashPairsSql)(
+      (s, d) => FixtureMemo(s"$d#minhash_persist", s)(minhashPairsPersist(s, d))),
 
     // EDIT-DISTANCE CONFIRM over the LSH candidates — the classic
     // fuzzy-dedup pipeline shape (block cheaply, confirm exactly):
@@ -1101,7 +1291,18 @@ object Dedup {
     sql("dedup_cc_maintained",
       s"""WITH RECURSIVE $ccCteSql
          |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin)(
-      ccMaintained),
+      ccMaintainedLabels),
+
+    // … with edge AND label state PERSISTED to the snapshot log (see
+    // [[PersistedCc]]), driven by the persisted MinHash pipeline —
+    // the whole detect→cluster resolution survives a JVM, proven by a
+    // session restart placed between the churn DELETE (which splits
+    // components) and its re-insert (which must re-merge them from
+    // the reopened log state alone). Same from-scratch oracle.
+    sql("dedup_cc_persist",
+      s"""WITH RECURSIVE $ccCteSql
+         |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin)(
+      ccPersistLabels),
 
     // CLUSTER SIZE HISTOGRAM — the dedup-health report (a corpus whose
     // near-dup clusters are mostly pairs is crawl noise; a few
@@ -1162,7 +1363,7 @@ object Dedup {
          | FROM labels l JOIN stats s ON s.doc_id = l.doc_id)
          |SELECT cluster_id, doc_id AS keeper_doc_id, n_tokens, n_members
          |FROM ranked WHERE rnk = 1""".stripMargin) {
-      (s, d) => keepersOf(s, d, ccMaintained(s, d))
+      (s, d) => keepersOf(s, d, ccMaintainedLabels(s, d))
     },
 
     // LEAKAGE-SAFE TRAIN/VALID/TEST SPLIT — the split decision hashes
@@ -1204,7 +1405,25 @@ object Dedup {
          |FROM (SELECT doc_id, cluster_id,
          |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
          | FROM asg)""".stripMargin) {
-      (s, d) => splitOf(s, d, ccMaintained(s, d))
+      (s, d) => splitOf(s, d, ccMaintainedLabels(s, d))
+    },
+
+    // … the SPLIT over the PERSISTED labels: the cluster-hashed
+    // train/valid/test decision rides [[PersistedCc]]'s log-backed
+    // labels — a restarted ingester keeps the boundary leakage-safe
+    // without re-clustering from scratch, and the shared from-scratch
+    // oracle fails if the restart drifted any cluster id.
+    sql("split_leakage_safe_persist",
+      s"""WITH RECURSIVE $ccCteSql,
+         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |asg AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+         | FROM asg)""".stripMargin) {
+      (s, d) => splitOf(s, d, ccPersistLabels(s, d))
     },
 
     // CROSS-SOURCE DUPLICATION MATRIX — which sources copy from
@@ -1526,13 +1745,15 @@ object Dedup {
     // The sign-LSH sibling of dedup_minhash_maintained: same oracle as
     // the one-shot batch entry; ghost embeddings injected then deleted
     // must leave the pair set identical.
-    sql("dedup_embedding_lsh_maintained", embeddingLshOracle)(embeddingLshMaintained),
+    sql("dedup_embedding_lsh_maintained", embeddingLshOracle)(
+      (s, d) => FixtureMemo(s"$d#emb_lsh_maintained", s)(embeddingLshMaintained(s, d))),
 
     // … with the vector store + pair set PERSISTED to the snapshot
     // log (bands recomputed from the persisted vectors — 64 integer
     // ops each), proven by a mid-changelog session restart on the
     // same one-shot batch oracle.
-    sql("dedup_embedding_lsh_persist", embeddingLshOracle)(embeddingLshPersist),
+    sql("dedup_embedding_lsh_persist", embeddingLshOracle)(
+      (s, d) => FixtureMemo(s"$d#emb_lsh_persist", s)(embeddingLshPersist(s, d))),
 
     // --- semantic dedup (SemDeDup shape): k-means, then in-cluster -------
     // Lloyd's algorithm made cross-engine deterministic: seed centroids

@@ -226,4 +226,39 @@ class DedupSpec extends AnyFunSuite with org.scalatest.ParallelTestExecution {
     assert(snapshot(cc) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
   }
+
+  test("persisted CC: same semantics through the snapshot log, across a session restart") {
+    val ss = spark
+    import ss.implicits._
+    def edges(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
+    def ids(xs: Long*) = xs.toDF("doc_id")
+    val cc = new graft.operators.Dedup.PersistedCc
+    def snap(s: org.apache.spark.sql.SparkSession): Map[Long, Long] =
+      cc.labelState(s).map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty)
+
+    cc.insertEdges(spark, edges((1L, 2L), (2L, 4L), (10L, 11L)))
+    cc.insertEdges(spark, edges((4L, 10L)))
+    assert(snap(spark) ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 10L -> 1L, 11L -> 1L))
+    // RESTART: a fresh session sees only the committed log — and the
+    // cut-vertex delete (the hardest maintenance case: the component
+    // must SPLIT from surviving real edges) runs entirely on the
+    // reopened state
+    val s2 = spark.newSession()
+    cc.deleteDocs(s2, ids(4L))
+    assert(snap(s2) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // edgeless member drops its label row (a DV commit, not a rewrite)
+    cc.deleteDocs(s2, ids(11L))
+    assert(snap(s2) == Map(1L -> 1L, 2L -> 1L))
+    // resumed ingest merges again through a new bridge node
+    cc.insertEdges(s2, edges((2L, 3L), (3L, 10L), (10L, 11L)))
+    assert(snap(s2) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
+    // the edge table tracked the deletes: only surviving pairs remain
+    val pairs = cc.edgeState(s2).get
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (3L, 10L), (10L, 11L)))
+  }
 }
