@@ -89,14 +89,16 @@ object Curation {
 
   /** BM25 state persisted as a lakehouse INVERTED INDEX — see the
     * `text_bm25_persist` registration comment for the table layout.
-    * The mid-changelog `newSession()` proves every handle rebuilds
-    * from the log roots alone. */
-  private def bm25Persist(s0: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    * The ONE BM25 state implementation: the persisted entry proves the
+    * restart story on it, and the full-vocabulary maintained entry is
+    * a READ over the same index (affected-terms point lookups, df from
+    * the postings rows) instead of a parallel in-JVM tf/df state. */
+  private[graft] final class Bm25Index {
     import graft.sources.SnapshotLog
-    val postRoot = java.nio.file.Files.createTempDirectory("graft_bm25_post").toString
-    val docsRoot = java.nio.file.Files.createTempDirectory("graft_bm25_docs").toString
-    val statsRoot = java.nio.file.Files.createTempDirectory("graft_bm25_stats").toString
-    type S = org.apache.spark.sql.SparkSession
+    val postRoot: String = java.nio.file.Files.createTempDirectory("graft_bm25_post").toString
+    val docsRoot: String = java.nio.file.Files.createTempDirectory("graft_bm25_docs").toString
+    val statsRoot: String = java.nio.file.Files.createTempDirectory("graft_bm25_stats").toString
+    private type S = org.apache.spark.sql.SparkSession
     def latest(root: String): Int =
       SnapshotLog.history(root).map(_._1).maxOption.getOrElse(-1)
     def postState(s: S): Option[DataFrame] = {
@@ -241,20 +243,28 @@ object Curation {
           (col("score_e9").cast("double") / lit(1000000000L)).as("score"))
     }
 
-    val docsA = Tables.documents(s0, d).select(col("doc_id"), col("text"))
-    val ghostsA = docsA.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
-    insert(s0, docsA.filter(col("doc_id") % 3 === 0))
-    insert(s0, docsA.filter(col("doc_id") % 3 === 1).unionAll(ghostsA))
-
-    // RESTART: a fresh session rebuilds everything from the log roots
-    val s2 = s0.newSession()
-    val docsB = Tables.documents(s2, d).select(col("doc_id"), col("text"))
-    insert(s2, docsB.filter(col("doc_id") % 3 === 2))
-    delete(s2, docsB.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id")))
-    score(s2, bm25QueryTerms, 1).unionAll(score(s2, bm25QueryTerms2, 2))
   }
+
+  /** The persisted-index entry body: the mid-changelog `newSession()`
+    * proves every [[Bm25Index]] handle rebuilds from the log roots
+    * alone. Memoized per fixture — the replay runs once per JVM. */
+  private def bm25Persist(s0: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.operators.FixtureMemo(s"$d#bm25_persist", s0) {
+      val ix = new Bm25Index
+      val docsA = Tables.documents(s0, d).select(col("doc_id"), col("text"))
+      val ghostsA = docsA.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+      ix.insert(s0, docsA.filter(col("doc_id") % 3 === 0))
+      ix.insert(s0, docsA.filter(col("doc_id") % 3 === 1).unionAll(ghostsA))
+
+      // RESTART: a fresh session rebuilds everything from the log roots
+      val s2 = s0.newSession()
+      val docsB = Tables.documents(s2, d).select(col("doc_id"), col("text"))
+      ix.insert(s2, docsB.filter(col("doc_id") % 3 === 2))
+      ix.delete(s2, docsB.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id")))
+      ix.score(s2, bm25QueryTerms, 1).unionAll(ix.score(s2, bm25QueryTerms2, 2))
+    }
 
   val defs: Seq[GraftQuery] = Seq(
 
@@ -936,67 +946,28 @@ object Curation {
          |UNION ALL
          |SELECT 2 AS qid, doc_id, score FROM (
          |${bm25OracleSqlFor(bm25QueryTerms2)}) q2""".stripMargin) {
+      // ONE STATE TRUTH: the maintained full-vocabulary read is a VIEW
+      // over the persisted inverted index ([[Bm25Index]]) — per-term
+      // df comes from the postings row, the read is the same
+      // bucket-pruned readKeys point lookup, and the previous parallel
+      // in-JVM tf/df frames are gone (two state implementations of one
+      // capability can silently diverge; a view over the index
+      // cannot). The changelog replays without the restart — that is
+      // text_bm25_persist's claim; this entry's claim is the
+      // maintained full-vocab df serving AD-HOC query-term sets chosen
+      // after the replay.
       (s, d) =>
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val ghosts = docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
-        def tok(dd: DataFrame) = dd.select(col("doc_id"),
-            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
-          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
-        var tfState: DataFrame = null // (doc_id, dl, term, tf) — ALL terms
-        var dfState: DataFrame = null // (term, ddf) SIGNED delta rows
-        var n = 0L
-        var totDl = 0L
-        def insert(ins: DataFrame): Unit = {
-          val t = tok(ins).localCheckpoint()
-          val st = t.agg(count(lit(1)), sum(col("dl"))).collect()(0) // one row
-          n += st.getLong(0)
-          totDl += (if (st.isNullAt(1)) 0L else st.getLong(1))
-          val tf = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-            .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
-            .localCheckpoint()
-          // +1 per (term, arriving doc): one aggregate of the batch's
-          // OWN tf rows — O(|batch vocabulary|), not the state's
-          val ddf = tf.groupBy("term").agg(count(lit(1)).cast("long").as("ddf"))
-          tfState = (if (tfState == null) tf else tfState.unionAll(tf)).localCheckpoint()
-          dfState = (if (dfState == null) ddf else dfState.unionAll(ddf)).localCheckpoint()
+        graft.operators.FixtureMemo(s"$d#bm25_maintained_vocab", s) {
+          val ix = new Bm25Index
+          val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          val ghosts = docs.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+          ix.insert(s, docs.filter(col("doc_id") % 3 === 0))
+          ix.insert(s, docs.filter(col("doc_id") % 3 === 1).unionAll(ghosts))
+          ix.insert(s, docs.filter(col("doc_id") % 3 === 2))
+          ix.delete(s, ghosts.select(col("doc_id")))
+          ix.score(s, bm25QueryTerms, 1).unionAll(ix.score(s, bm25QueryTerms2, 2))
         }
-        def delete(ids: DataFrame): Unit = {
-          val going = tfState.join(ids, Seq("doc_id"), "left_semi").localCheckpoint()
-          val gone = going.select(col("doc_id"), col("dl")).distinct()
-            .agg(count(lit(1)), sum(col("dl"))).collect()(0) // one row
-          n -= gone.getLong(0)
-          totDl -= (if (gone.isNullAt(1)) 0L else gone.getLong(1))
-          // −1 per (term, departing doc), from the departing rows
-          val ddf = going.groupBy("term")
-            .agg((-count(lit(1))).cast("long").as("ddf"))
-          dfState = dfState.unionAll(ddf).localCheckpoint()
-          tfState = tfState.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
-        }
-        insert(docs.filter(col("doc_id") % 3 === 0))
-        insert(docs.filter(col("doc_id") % 3 === 1).unionAll(ghosts))
-        insert(docs.filter(col("doc_id") % 3 === 2))
-        delete(ghosts.select(col("doc_id")))
-        // READ: ad-hoc terms against the maintained state — df sums
-        // the signed deltas for the QUERY terms only
-        val avgdl = totDl.toDouble / n
-        def score(terms: Seq[String], qid: Int): DataFrame = {
-          val tfq = tfState.filter(col("term").isin(terms: _*))
-          val dfr = dfState.filter(col("term").isin(terms: _*))
-            .groupBy("term").agg(sum(col("ddf")).cast("double").as("dfd"))
-          val idfOdds = (lit(n.toDouble) - col("dfd") + lit(0.5)) / (col("dfd") + lit(0.5))
-          val tfNorm = (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") +
-              lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
-          val cq = floor(idfOdds * tfNorm * lit(1000000000L) + lit(0.5)).cast("long")
-          tfq.join(dfr, "term")
-            .select(col("doc_id"), cq.as("cq"))
-            .groupBy("doc_id").agg(sum(col("cq")).as("score_e9"))
-            .orderBy(col("score_e9").desc, col("doc_id")).limit(20)
-            .select(lit(qid).as("qid"), col("doc_id"),
-              (col("score_e9").cast("double") / lit(1000000000L)).as("score"))
-        }
-        score(bm25QueryTerms, 1).unionAll(score(bm25QueryTerms2, 2))
     },
 
     // --- … PERSISTED as a lakehouse inverted index ----------------------
