@@ -90,6 +90,41 @@ object SimilaritySearch {
       out
     })
 
+  /** The maintained index with the RESPLIT wired into the ingest loop
+    * (`ann_ivf_maintained_resplit`): build over the full corpus, then
+    * a changelog that DELIBERATELY overfills one cell — four ghost
+    * generations of the largest cell's members (same vectors, shifted
+    * ids: identical routing, so the cell grows 5×) — followed by the
+    * post-upsert maintenance check ([[graft.sources.IvfIndex.maintain]],
+    * relative bound corpus/8). Pigeonhole guarantees the trigger: the
+    * largest cell holds ≥ n/32, so after the ghosts it holds 5m >
+    * (n+4m)/8 ⟺ 36m > n, true at every fixture scale. The oracle
+    * re-derives the post-split assignment from scratch, so a split
+    * that fires on the wrong cell, re-routes a member wrong, or fails
+    * to fire at all breaks the hash. */
+  private def maintainedResplitIvfDir(s: SparkSession, d: String): String =
+    ivfDirs.computeIfAbsent(s"$d#maintresplit", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivf_mres_").toString
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), quantVec7(col("embedding")).as("v"))
+      graft.sources.IvfIndex.build(e, out, IvfCells)
+      val tgt = graft.sources.IvfIndex.read(s, out)
+        .groupBy("cent_id").count()
+        .orderBy(col("count").desc, col("cent_id"))
+        .limit(1).collect()(0).getLong(0)
+      val members = graft.sources.Bucketing.readPartition(s, out, "cent_id", Seq(tgt))
+        .select(col("vec_id"), col("v"))
+      val ghosts = (1 to 4).map(g => members.select(
+          (col("vec_id") + lit(g * 1000000000L)).as("vec_id"), col("v")))
+        .reduce(_ unionAll _)
+      graft.sources.IvfIndex.upsert(s, out, ghosts.withColumn("tag", lit(1)))
+      val split = graft.sources.IvfIndex.maintain(s, out, denom = 8,
+        subCells = ResplitSubCells)
+      require(split.nonEmpty,
+        "the ghost overfill must trigger a maintained resplit")
+      out
+    })
+
   /** IVF cell count — a PARAMETER, not a function of the corpus (take
     * ≈ √n in production; 32 suits the fixture). The broadcast centroid
     * set and the per-vector assignment cost stay k × dim at any scale. */
@@ -535,6 +570,90 @@ object SimilaritySearch {
         val path = maintainedIvfDir(s, d)
         val assigned = graft.sources.IvfIndex.read(s, path)
         val cents = graft.sources.IvfIndex.centroids(s, path)
+        val q = assigned.filter(col("vec_id") < QuerySetSize)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val probeW = Window.partitionBy(col("query_id"))
+          .orderBy(cosineExact(col("qv"), col("cv")).desc, col("cent_id"))
+        val probes = q.join(broadcast(cents))
+          .withColumn("r", row_number().over(probeW)).filter(col("r") <= 2)
+          .select(col("query_id"), col("qv"), col("cent_id"))
+        val rankW = Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))
+        probes.join(assigned, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosineExact(col("qv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(rankW)).filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            floorRound6(col("c")).as("cos_sim"))
+    },
+
+    // … and with the RESPLIT inside the maintained path (see
+    // [[maintainedResplitIvfDir]]): a changelog concentrates mass into
+    // one cell until the post-upsert maintenance check fires and
+    // splits it locally — the drift recourse the frozen-quantizer
+    // contract needs under a long changelog. The oracle re-derives
+    // build → ghost upsert → threshold → sub-seeds → local re-route
+    // from scratch, then probes the post-split centroid set.
+    sql("ann_ivf_maintained_resplit",
+      s"""WITH e AS (SELECT vec_id, ${quantVec7Sql("embedding")} AS v FROM embeddings),
+         |c0 AS ${seedCentroidsSql(IvfCells)},
+         |a0e AS (
+         | SELECT vec_id, v, cent_id FROM (
+         |  SELECT f.vec_id, f.v, c0.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |     ORDER BY ${simRank7Sql(cosineExactSql("f.v", "c0.cv"))} DESC, c0.cent_id) AS r
+         |  FROM e f, c0) t WHERE r = 1),
+         |tgt AS (SELECT cent_id FROM (
+         |  SELECT cent_id, COUNT(*) AS n FROM a0e GROUP BY cent_id) s
+         | ORDER BY n DESC, cent_id LIMIT 1),
+         |gh AS (SELECT a.vec_id + g.g * 1000000000 AS vec_id, a.v, a.cent_id
+         |       FROM a0e a JOIN tgt t ON t.cent_id = a.cent_id
+         |       CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS g) g),
+         |a0 AS (SELECT vec_id, v, cent_id FROM a0e
+         |       UNION ALL SELECT vec_id, v, cent_id FROM gh),
+         |ov AS (SELECT cent_id FROM (SELECT cent_id, COUNT(*) AS n FROM a0 GROUP BY cent_id) s
+         |       WHERE n > (SELECT COUNT(*) // 8 FROM a0)),
+         |sub AS (
+         | SELECT old_cent, new_cent, cv FROM (
+         |  SELECT a0.cent_id AS old_cent, a0.vec_id AS new_cent, a0.v AS cv,
+         |   ROW_NUMBER() OVER (PARTITION BY a0.cent_id
+         |     ORDER BY md5(CAST(a0.vec_id AS VARCHAR)), a0.vec_id) AS r
+         |  FROM a0 JOIN ov ON ov.cent_id = a0.cent_id
+         |  WHERE a0.vec_id NOT IN (SELECT cent_id FROM c0)) t WHERE r <= $ResplitSubCells),
+         |rea AS (
+         | SELECT vec_id, v, cent_id FROM (
+         |  SELECT a0.vec_id, a0.v, s.new_cent AS cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY a0.vec_id
+         |     ORDER BY ${simRank7Sql(cosineExactSql("a0.v", "s.cv"))} DESC, s.new_cent) AS r
+         |  FROM a0 JOIN sub s ON s.old_cent = a0.cent_id) t WHERE r = 1),
+         |a1 AS (SELECT vec_id, v, cent_id FROM a0 WHERE cent_id NOT IN (SELECT cent_id FROM ov)
+         |       UNION ALL SELECT vec_id, v, cent_id FROM rea),
+         |c1 AS (SELECT cent_id, cv FROM c0 WHERE cent_id NOT IN (SELECT cent_id FROM ov)
+         |       UNION ALL SELECT new_cent, cv FROM sub),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QuerySetSize),
+         |probe AS (
+         | SELECT query_id, qv, cent_id FROM (
+         |  SELECT q.query_id, q.qv, c1.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY ${cosineExactSql("q.qv", "c1.cv")} DESC, c1.cent_id) AS r
+         |  FROM q, c1) t WHERE r <= 2),
+         |cand AS (
+         | SELECT p.query_id, p.qv, a.vec_id, a.v
+         | FROM probe p JOIN a1 a ON a.cent_id = p.cent_id
+         | WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM (
+         | SELECT query_id, vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosineExactSql("qv", "v")} DESC, vec_id) AS rnk,
+         |  FLOOR(${cosineExactSql("qv", "v")} * 1000000 + 0.5) / 1000000 AS cos_sim
+         | FROM cand) t WHERE rnk <= $K""".stripMargin) {
+      (s, d) =>
+        val path = maintainedResplitIvfDir(s, d)
+        val assigned = graft.sources.IvfIndex.read(s, path)
+        val cents = graft.sources.IvfIndex.centroids(s, path)
+        require(cents.count() > IvfCells,
+          "maintenance must have split at least one overfilled cell")
         val q = assigned.filter(col("vec_id") < QuerySetSize)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val probeW = Window.partitionBy(col("query_id"))

@@ -154,6 +154,21 @@ object IvfIndex {
     splittable
   }
 
+  /** POST-UPSERT maintenance hook — [[resplit]] wired into the
+    * maintained path: when ingestion has pushed any cell past the
+    * RELATIVE bound (corpus/`denom` — relative, so the check stays
+    * meaningful as the corpus grows), split it locally. Returns the
+    * split cell ids (empty when every cell is within bound). Cost:
+    * one metadata count + the resplit's own oversized-cell work —
+    * O(hot cells' data), never the index. A maintained ingest loop
+    * calls this after its upserts, restoring the corpus/C × nprobe
+    * probe contract that a mass-concentrating changelog erodes. */
+  def maintain(spark: SparkSession, path: String, denom: Long,
+               subCells: Int = 2): Seq[Long] = {
+    val total = read(spark, path).count()
+    if (total == 0) Nil else resplit(spark, path, total / denom, subCells)
+  }
+
   /** Apply a `(vec_id, v, tag)` changelog to the index, rewriting only
     * the affected cells. */
   def upsert(spark: SparkSession, path: String, changelog: DataFrame): Unit = {

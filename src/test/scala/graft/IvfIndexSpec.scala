@@ -226,4 +226,57 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.8,
       s"post-split nprobe=1 recall degraded: $recalls")
   }
+
+  test("maintained path auto-resplits past the relative bound; recall holds on the maintained index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maintain").toString
+    // the same 3-cluster fixture as the resplit test, arriving as a
+    // CHANGELOG: 40 vectors build the (single-cell) index, 20 more
+    // upsert in — then the post-upsert maintenance check fires because
+    // the cell holds all 60 > total/2 = 30, and splits it locally
+    val vecs = (0 until 60).map { i =>
+      val axis = i % 3
+      val base = Array.fill(6)(0.0)
+      base(axis) = 1.0
+      base((axis + 3) % 6) = 0.01 * (i / 3 % 5)
+      (i.toLong, base.toSeq)
+    }
+    val (initial, arriving) = vecs.partition(_._1 < 40)
+    IvfIndex.build(initial.toDF("vec_id", "v"), dir, cells = 1)
+    IvfIndex.upsert(spark, dir,
+      arriving.toDF("vec_id", "v").withColumn("tag", org.apache.spark.sql.functions.lit(1)))
+    // below-bound maintenance is a no-op (60 <= 60/1)
+    assert(IvfIndex.maintain(spark, dir, denom = 1, subCells = 3).isEmpty)
+    val split = IvfIndex.maintain(spark, dir, denom = 2, subCells = 3)
+    assert(split.size == 1)
+    val cents = IvfIndex.centroids(spark, dir).collect()
+    assert(cents.length == 3, s"1 hot cell -> 3 sub-cells, got ${cents.length}")
+    val idx = IvfIndex.read(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getLong(r.fieldIndex("cent_id"))))
+    assert(idx.map(_._1).toSet == (0L until 60L).toSet && idx.length == 60)
+    // recall vs brute force on the MAINTAINED index — same contract as
+    // the one-shot resplit: nprobe=1 finds the true neighborhood
+    val centVecs = cents.map(r => r.getLong(r.fieldIndex("cent_id")) ->
+      r.getSeq[Double](r.fieldIndex("cv")).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val byId = vecs.map { case (id, v) => id -> v.toArray }.toMap
+    val recalls = Seq(0L, 1L, 2L).map { q =>
+      val qv = byId(q)
+      val brute = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, math.floor(cos(qv, v.toArray) * 1e7 + 0.5)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val probeCell = centVecs.toSeq
+        .map { case (cid, cv) => (cid, math.floor(cos(qv, cv) * 1e7 + 0.5)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      val got = idx.filter { case (id, cid) => cid == probeCell && id != q }
+        .map { case (id, _) => (id, math.floor(cos(qv, byId(id)) * 1e7 + 0.5)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"maintained-index nprobe=1 recall degraded: $recalls")
+  }
 }

@@ -30,6 +30,7 @@ class RelationalSpec extends AnyFunSuite with org.scalatest.ParallelTestExecutio
       // incrementally maintained / resplit / ghost-changelog on-disk
       // index
       "ann_ivf_incremental", "ann_ivf_resplit", "ann_ivf_maintained",
+      "ann_ivf_maintained_resplit",
       "embedding_label_margin",
       // ONE-ROW global-scalar broadcasts (the Q11/Q15/Q22 shapes:
       // share-of-total, argmax-of-aggregate, above-global-average;
