@@ -5862,6 +5862,37 @@ object IncrementalQueries {
   private def pairStarGatedOracle(neg: String) =
     spliceBeforeLastGroupBy(pairStarOracle, pairStarGate(neg))
 
+  // CHAIN × GATE: the un-prefixed pair-star gates the bridge dimension
+  // on region — but region IS the chain's prefix root here, and a gate
+  // subquery over a FROM relation is the loudly-fenced self-semi
+  // shape (boundary-side gates are fenced too: three-valued
+  // semantics; and non-root inner gates like customer trip the hop
+  // key-alignment fence). So the chain composition gates the BRIDGE
+  // NATION — now a CHILD of the folded region prefix, unlike the
+  // un-prefixed twin where it was the tree root — on `events`
+  // activity ("nations with a high-value click"), correlated on
+  // n_nationkey: batch-2 deletes retract through the gate hops AND
+  // the region prefix in one changelog. EXISTS is FALSE on the
+  // core-NULL classes' structural NULLs (static drop); NOT EXISTS
+  // keeps all six.
+  private def pairStarChainGate(neg: String) =
+    s"""WHERE ${neg}EXISTS (SELECT 1 FROM events
+       |  WHERE user_id = n_nationkey AND event_type = 'click' AND value > 180)""".stripMargin
+  private def pairStarChainGatedSql(neg: String) =
+    spliceBeforeLastGroupBy(pairStarChainSql, pairStarChainGate(neg))
+  private def pairStarChainGatedOracle(neg: String) =
+    spliceBeforeLastGroupBy(pairStarChainOracle, pairStarChainGate(neg))
+
+  // CHAIN × WHERE: the boundary predicate on the chain-prefixed pair
+  // shape — same class selection as the un-prefixed filtered twin
+  // ({1, 3, 6}: every lineitem-NULL class is NULL-rejected), now with
+  // the prefix folded into the surviving classes' cores, so a REGION
+  // delete must retract transitively through the filtered plans.
+  private def pairStarChainFilteredSql =
+    spliceBeforeLastGroupBy(pairStarChainSql, "WHERE l_returnflag = 'R'")
+  private def pairStarChainFilteredOracle =
+    spliceBeforeLastGroupBy(pairStarChainOracle, "WHERE l_returnflag = 'R'")
+
   private def pairStarFilteredOracle =
     """WITH c AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
       |     s AS (SELECT * FROM supplier WHERE s_suppkey % 5 <> 0),
@@ -6064,6 +6095,66 @@ object IncrementalQueries {
         SqlCompiler.compileOver(s, dir, pairStarChainSql, pairStarOverrides),
         dir, pairStarChainDeletes,
         "incremental_sql_q10_fullouter_star_pair_chain_stream_leaf")
+    },
+
+    // CHAIN × GATE (NOT EXISTS): region feeds BOTH the folded prefix
+    // and the spliced gate hop — a batch-2 region delete retracts its
+    // nations' pair products through the prefix AND flips the gate for
+    // any nation whose ASIA witness died, in one changelog. All six
+    // classes survive (NOT EXISTS is TRUE on the orphans' structural
+    // NULLs); the orphan key nodes ride the UNGATED prefix-folded core.
+    sql("incremental_sql_q10_fullouter_star_pair_chain_gated",
+      pairStarChainGatedOracle("NOT ")) {
+      (s, dir) => SqlCompiler.compileOver(s, dir,
+        pairStarChainGatedSql("NOT "), pairStarOverrides)
+        .run(s, dir, pairStarChainDeletes)
+    },
+    sql("incremental_sql_q10_fullouter_star_pair_chain_gated_stream",
+      pairStarChainGatedOracle("NOT ")) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarChainGatedSql("NOT "),
+          pairStarOverrides),
+        dir, pairStarChainDeletes,
+        "incremental_sql_q10_fullouter_star_pair_chain_gated_stream_leaf")
+    },
+
+    // … and the EXISTS direction on the chain: never TRUE on
+    // structural NULLs, so the orphan classes drop statically and only
+    // the live prefix-folded classes build — the static/dynamic split,
+    // now composed under the chain prefix.
+    sql("incremental_sql_q10_fullouter_star_pair_chain_gated_exists",
+      pairStarChainGatedOracle("")) {
+      (s, dir) => SqlCompiler.compileOver(s, dir,
+        pairStarChainGatedSql(""), pairStarOverrides)
+        .run(s, dir, pairStarChainDeletes)
+    },
+    sql("incremental_sql_q10_fullouter_star_pair_chain_gated_exists_stream",
+      pairStarChainGatedOracle("")) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarChainGatedSql(""),
+          pairStarOverrides),
+        dir, pairStarChainDeletes,
+        "incremental_sql_q10_fullouter_star_pair_chain_gated_exists_stream_leaf")
+    },
+
+    // CHAIN × WHERE (boundary predicate): the lineitem-side conjunct
+    // NULL-rejects every lineitem-NULL class — the {1, 3, 6} selection
+    // of the r12 matrix — on the chain-prefixed shape, so a region
+    // delete retracts transitively through the surviving filtered
+    // plans and the lineitem-orphan direction still flips dynamically.
+    sql("incremental_sql_q10_fullouter_star_pair_chain_filtered",
+      pairStarChainFilteredOracle) {
+      (s, dir) => SqlCompiler.compileOver(s, dir,
+        pairStarChainFilteredSql, pairStarOverrides)
+        .run(s, dir, pairStarChainDeletes)
+    },
+    sql("incremental_sql_q10_fullouter_star_pair_chain_filtered_stream",
+      pairStarChainFilteredOracle) {
+      (s, dir) => runSqlStreamed(s,
+        SqlCompiler.compileOver(s, dir, pairStarChainFilteredSql,
+          pairStarOverrides),
+        dir, pairStarChainDeletes,
+        "incremental_sql_q10_fullouter_star_pair_chain_filtered_stream_leaf")
     },
 
     // Star boundaries under an inner CHAIN (region→nation): the five
