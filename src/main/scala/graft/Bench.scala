@@ -140,8 +140,21 @@ object Bench {
     val soloRuns = sys.env.getOrElse("SPARK_GRAFT_SOLO_RUNS", "3").toInt.max(1)
     val soloK = sys.env.getOrElse("SPARK_GRAFT_SOLO_QUERIES", "6").toInt.max(0)
     val heaviest = results.filter(_._2 > 0).sortBy(-_._2).take(soloK).map(_._1)
-    val soloSamples: Seq[(String, Seq[Double])] = heaviest.map { nm =>
+    // PINNED solo entries beyond the heaviest-K: a floor that moved
+    // without a diff touching it gets a committed solo floor from then
+    // on, so the next drift self-adjudicates (r15: q8's min moved +10%
+    // with nothing touching it, and it was outside the heaviest set).
+    val pinned = Seq("q8_like_market_share")
+      .filter(nm => results.exists(r => r._1 == nm && r._2 > 0) &&
+        !heaviest.contains(nm))
+    val soloSamples: Seq[(String, Seq[Double])] = (heaviest ++ pinned).map { nm =>
       quiesce()
+      // one DISCARDED warm-up before the timed runs: the first solo
+      // execution re-pays plan/memo warm-up that the interleaved
+      // record amortizes, which left memo-heavy solo floors ABOVE
+      // their interleaved minimums (cold-skew, r15 What's-wrong #3) —
+      // the floor should read the warm steady state
+      timeOne(nm)
       nm -> (1 to soloRuns).map(_ => timeOne(nm))
     }
     val soloFloors: Seq[(String, Double)] = soloSamples.map { case (nm, ts) =>

@@ -57,7 +57,7 @@ object Curation {
   /** The BM25 statement parameterized by its query-term set — ONE
     * oracle text shape shared by the batch entry, its maintained twin,
     * and both halves of the full-vocabulary twin's two-query read. */
-  private def bm25OracleSqlFor(terms: Seq[String]): String = {
+  private[graft] def bm25OracleSqlFor(terms: Seq[String]): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH d2 AS (
         | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM (
@@ -80,10 +80,10 @@ object Curation {
         |ORDER BY SUM(cq) DESC, doc_id LIMIT 20""".stripMargin
   }
 
-  private val bm25QueryTerms = Seq("join", "filter", "window")
+  private[graft] val bm25QueryTerms = Seq("join", "filter", "window")
   /** A second, AD-HOC query-term set for the full-vocabulary
     * maintained entry — chosen at read time, after the changelog. */
-  private val bm25QueryTerms2 = Seq("scan", "merge", "stream")
+  private[graft] val bm25QueryTerms2 = Seq("scan", "merge", "stream")
 
   private lazy val bm25OracleSql: String = bm25OracleSqlFor(bm25QueryTerms)
 

@@ -1237,6 +1237,90 @@ object Dedup {
     sql("dedup_minhash_persist", minhashPairsSql)(
       (s, d) => FixtureMemo(s"$d#minhash_persist", s)(minhashPairsPersist(s, d))),
 
+    // GDPR ERASURE THROUGH THE PERSISTED PIPELINES — a data subject's
+    // forget-request chained across EVERY persisted maintained state
+    // the corpus flowed into: the MinHash doc store, the confirmed
+    // pair table, the BM25 inverted index (postings + doc store +
+    // stats). The subject's documents (ghost copies of every 50th doc)
+    // are ingested into both pipelines, then forgotten: deletes land
+    // as DV / affected-bucket commits, each root COMPACTS (the live
+    // file set stops referencing any pre-delete directory) and
+    // VACUUMS past the delete, and the fn proves PHYSICAL erasure —
+    // only the compact dir survives on disk and a raw scan of it
+    // holds zero subject rows (doc stores, pair endpoints, posting
+    // entries). The gated value is the post-erasure read of BOTH
+    // pipelines vs never-ingested oracles: the forget leaves no
+    // logical trace either. O(|subject's data|) deletes + one
+    // compaction per root — the erasure of a 100 TB corpus costs its
+    // subject-touched buckets plus the compaction it owed anyway.
+    sql("gdpr_forget_persisted",
+      s"""SELECT 'pair' AS kind, doc_a AS k1, doc_b AS k2, jacc AS val
+         |FROM ($minhashPairsSql)
+         |UNION ALL
+         |SELECT 'bm25' AS kind, CAST(qid AS BIGINT) AS k1, doc_id AS k2, score AS val
+         |FROM (
+         | SELECT 1 AS qid, doc_id, score FROM (
+         |${Curation.bm25OracleSqlFor(Curation.bm25QueryTerms)}) q1
+         | UNION ALL
+         | SELECT 2 AS qid, doc_id, score FROM (
+         |${Curation.bm25OracleSqlFor(Curation.bm25QueryTerms2)}) q2) b""".stripMargin) {
+      (s, d) => FixtureMemo(s"$d#gdpr_forget", s) {
+        import graft.sources.SnapshotLog
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val ghosts = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+        val mh = new PersistedMinhash
+        val ix = new Curation.Bm25Index
+        mh.insert(s, docs): Unit
+        ix.insert(s, docs)
+        mh.insert(s, ghosts): Unit
+        ix.insert(s, ghosts)
+        // the forget-request: one id set, every persisted state
+        val ghostIds = ghosts.select(col("doc_id"))
+        mh.delete(s, ghostIds)
+        ix.delete(s, ghostIds)
+        val roots = Seq(mh.docsRoot, mh.pairsRoot, ix.postRoot, ix.docsRoot,
+          ix.statsRoot)
+        roots.foreach { root =>
+          val v = SnapshotLog.history(root).map(_._1).max
+          SnapshotLog.compactVersion(s, root, v, v + 1)
+          SnapshotLog.vacuum(root, retainFrom = v + 1): Unit
+        }
+        // PHYSICAL-erasure proof: per root, only the compact dir
+        // remains, and a raw scan of its files holds no subject row
+        def survivors(root: String): DataFrame = {
+          val dataDirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+          require(dataDirs.length == 1 &&
+            dataDirs.head.getName.startsWith("compact_"),
+            s"physical erasure requires exactly the compact dir to survive " +
+              s"at $root: ${dataDirs.map(_.getName).toSeq}")
+          s.read.parquet(dataDirs.head.getPath)
+        }
+        val ghostMin = lit(1000000000L)
+        require(survivors(mh.docsRoot).filter(col("doc_id") >= ghostMin).isEmpty,
+          "subject rows physically present in the MinHash doc store after vacuum")
+        require(survivors(mh.pairsRoot)
+          .filter(col("doc_a") >= ghostMin || col("doc_b") >= ghostMin).isEmpty,
+          "subject pairs physically present after vacuum")
+        require(survivors(ix.docsRoot).filter(col("doc_id") >= ghostMin).isEmpty,
+          "subject rows physically present in the BM25 doc store after vacuum")
+        require(survivors(ix.postRoot)
+          .select(explode(col("postings")).as("e"))
+          .filter(col("e.doc_id") >= ghostMin).isEmpty,
+          "subject posting entries physically present after vacuum")
+        // gated read: post-erasure state vs the never-ingested oracles
+        val pairs = mh.pairState(s)
+          .getOrElse(sys.error("no pairs committed"))
+          .select(lit("pair").as("kind"), col("doc_a").as("k1"),
+            col("doc_b").as("k2"), col("jacc").as("val"))
+        val scores = ix.score(s, Curation.bm25QueryTerms, 1)
+          .unionAll(ix.score(s, Curation.bm25QueryTerms2, 2))
+          .select(lit("bm25").as("kind"), col("qid").cast("long").as("k1"),
+            col("doc_id").as("k2"), col("score").as("val"))
+        pairs.unionAll(scores)
+      }
+    },
+
     // EDIT-DISTANCE CONFIRM over the LSH candidates — the classic
     // fuzzy-dedup pipeline shape (block cheaply, confirm exactly):
     // Levenshtein on a 200-char prefix is O(200²) per PAIR, affordable
