@@ -63,7 +63,7 @@ class RelationalSpec extends AnyFunSuite with org.scalatest.ParallelTestExecutio
     try {
       val audits = SparkEntry.queries.toSeq.map { case (name, fn) =>
         Future {
-          val df = fn(spark.newSession(), sfTiny)
+          val df = SparkTestSession.sweepFrame(name, sfTiny, fn)
           assert(df.schema.nonEmpty, s"$name has empty schema")
           if (!nljAllowed(name)) {
             val plan = df.queryExecution.executedPlan.toString

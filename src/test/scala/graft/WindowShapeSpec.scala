@@ -41,7 +41,8 @@ class WindowShapeSpec extends AnyFunSuite {
         SparkEntry.all.filterNot(q => isReplay(q.name)).map { q =>
           Future {
             val plan =
-              try q.fn(spark.newSession(), sfTiny).queryExecution.optimizedPlan
+              try SparkTestSession.sweepFrame(q.name, sfTiny, q.fn)
+                .queryExecution.optimizedPlan
               catch {
                 case e: Throwable =>
                   fail(s"${q.name}: builder failed on $sfTiny: ${e.getMessage}")
