@@ -295,24 +295,31 @@ object GraphOps {
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
     def peel(alive: DataFrame): DataFrame =
       degrees(aliveEdges(alive)).filter(col("core_deg") >= k).select("node")
-    var alive = edges.select(col("u").as("node")).unionAll(edges.select(col("v")))
-      .distinct().localCheckpoint(eager = true)
+    // ROUND 1 SPECIALIZED: alive₀ is every endpoint, so
+    // aliveEdges(alive₀) ≡ edges — the two semi-joins of an ordinary
+    // peel are identities there, and the distinct-endpoints frame
+    // itself exists only to seed them. Peel 1 is therefore computed
+    // straight off the edge degrees (one aggregate, no joins, no
+    // endpoints materialization+count cycle).
+    var alive = degrees(edges).filter(col("core_deg") >= k).select("node")
+      .localCheckpoint(eager = true)
     var n = alive.count()
     var converged = false
-    var r = 0
-    // TWO peels per materialization: the cost of this loop is job and
+    var r = 1
+    // THREE peels per materialization: the cost of this loop is job and
     // checkpoint overhead, not data (the 0.99 sf0.01→sf0.1 time ratio
-    // proved it), so halving the checkpoint+count rounds is the lever.
-    // The inner peel's Dataset feeds BOTH semi-join sides of the outer
-    // one, so ReuseExchange dedups it — lazy 2-composition costs one
-    // inner peel, not two (the LPA/HITS lazy-loop lesson). Fixpoint
-    // test across the stride stays sound: peel is monotone shrinking,
-    // so alive = peel(peel(alive)) forces peel(alive) = alive.
+    // proved it), so cutting the checkpoint+count cycles is the lever.
+    // Within the lazy 3-composition each peel's Dataset feeds BOTH
+    // semi-join sides of the next, and the checkpointed edge set's
+    // per-key exchanges recur identically across the levels, so
+    // ReuseExchange dedups them (the LPA/HITS lazy-loop lesson).
+    // Fixpoint test across the stride stays sound: peel is monotone
+    // shrinking, so alive = peel³(alive) forces peel(alive) = alive.
     while (!converged && r < maxRounds) {
-      val next = peel(peel(alive)).localCheckpoint(eager = true)
+      val next = peel(peel(peel(alive))).localCheckpoint(eager = true)
       val m = next.count()
       converged = m == n
-      alive = next; n = m; r += 2
+      alive = next; n = m; r += 3
     }
     require(converged, s"k-core peel did not converge within $maxRounds rounds")
     degrees(aliveEdges(alive))

@@ -294,11 +294,17 @@ object RecursiveSql {
     }
 
     /** New rows of `step` relative to the accumulator under the
-      * statement's union semantics. */
+      * statement's union semantics. `except` IS set difference
+      * (EXCEPT DISTINCT — Spark plans it as one aggregate over a
+      * left-anti join), so no separate `distinct()` precedes it: that
+      * spelling paid a full extra shuffle+aggregate over the
+      * UN-deduplicated step output every single round — the widest
+      * frame of the loop — for rows the except's own aggregate was
+      * about to dedup anyway. */
     def dedupNew(step: DataFrame): DataFrame =
       if (unionAll) step
       else if (deltas.isEmpty) step.distinct()
-      else step.distinct().except(acc)
+      else step.except(acc)
 
     /** Iterate the recursive term from `frontier0` to fixpoint:
       * one frontier ⋈ edges job per round, delta-checkpointed. */
@@ -755,7 +761,11 @@ object RecursiveSql {
               fail(s"over-delete propagation still growing after $maxIters " +
                 "rounds — raise maxIters")
             frontierOpt.get.createOrReplaceTempView(rec.name)
-            val step = shape(s.sql(recText)).distinct()
+            // `intersect` is INTERSECT DISTINCT — it dedups both sides
+            // itself, so no separate distinct() on the step (that paid
+            // an extra shuffle+aggregate over the full step output per
+            // mark round, same redundancy dedupNew used to carry)
+            val step = shape(s.sql(recText))
             frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.acc)))
             // count productive mark rounds on the marks Fixpoint itself
             // (push() alone never bumps rounds — only loop() does), so
