@@ -805,17 +805,30 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 2)
+    // ONE tokenize+explode pass: the bigram rows feed the model counts
+    // (bc/pc), the vocab-size action AND the scoring probe — lazily
+    // composed, the regex tokenizer ran three times per call (the v
+    // count was its own action, and the probe side re-derived the
+    // explode). Narrow (doc_id, w1, w2) string rows checkpoint cheaply
+    // — the same exploded-rows-not-array-cells discipline as the
+    // minhash shingle pipeline.
     val bg = docs
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
       .select(col("doc_id"),
         element_at(col("t"), col("i")).as("w1"),
         element_at(col("t"), col("i") + 1).as("w2"))
+      .localCheckpoint()
     val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds pc, the scoring join AND the v action
     val pc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     // vocab size: distinct-word reduce to ONE value, embedded as a
-    // literal (no one-row cross join enters the plan)
-    val v = docs.select(explode(col("t")).as("w"))
+    // literal (no one-row cross join enters the plan). Every word of a
+    // ≥2-token doc occurs in some bigram of that doc (as w1 if not
+    // last, as w2 if not first), so the distinct-(w1,w2) frame covers
+    // exactly the docs' vocabulary — counting it off the aggregated bc
+    // rows skips a full re-tokenization of the corpus.
+    val v = bc.select(col("w1").as("w")).unionAll(bc.select(col("w2")))
       .agg(countDistinct(col("w"))).collect()(0).getLong(0)
     bg.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
       .select(col("doc_id"),
