@@ -2736,28 +2736,43 @@ object Relational {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) {
       (s, d) =>
+        // Both correlated subqueries collapse to PER-ORDER AGGREGATES
+        // instead of joins back into the fact table:
+        //   EXISTS l2 (another supplier touched the order)
+        //     ⟺ the order's supplier set is not a singleton
+        //     ⟺ min(l_suppkey) ≠ max(l_suppkey) over its lines;
+        //   NOT EXISTS l3 (no OTHER supplier was also late)
+        //     ⟺ the order's LATE lines name exactly one supplier
+        //     ⟺ late min = late max (and every late row then belongs
+        //       to that one supplier, so numwait adds COUNT(late)).
+        // That replaces the fact×fact LEFT SEMI (a full shuffle+sort of
+        // lineitem against the late set) and the LEFT ANTI with two
+        // hash aggregates — the late aggregate even reuses the
+        // lineitem⋈orders join's o_orderkey partitioning, so no new
+        // exchange. Row-for-row the same qualifying l1 multiset as the
+        // subquery spelling (the oracle is unchanged and hash-gates it).
         val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val l1 = Tables.lineitem(s, d)
+        val suppSpan = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey")
+          .groupBy(col("l_orderkey").as("a_orderkey"))
+          .agg(min(col("l_suppkey")).as("supp_lo"), max(col("l_suppkey")).as("supp_hi"))
+          .filter(col("supp_lo") =!= col("supp_hi"))
+          .select("a_orderkey")
+        val lateAgg = Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
-          .select("l_orderkey", "l_suppkey")
-        val others = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
-        val lateSet = l1
-          .select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
-          .distinct()
-        l1
-          .join(others,
-            col("l_orderkey") === col("x_orderkey") &&
-              col("l_suppkey") =!= col("x_suppkey"), "left_semi")
-          .join(lateSet,
-            col("l_orderkey") === col("y_orderkey") &&
-              col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+          .groupBy(col("l_orderkey"))
+          .agg(min(col("l_suppkey")).as("late_lo"), max(col("l_suppkey")).as("late_hi"),
+            count(lit(1)).as("n_late"))
+          .filter(col("late_lo") === col("late_hi"))
+          .select(col("l_orderkey"), col("late_lo").as("l_suppkey"), col("n_late"))
+        lateAgg
+          .join(suppSpan, col("l_orderkey") === col("a_orderkey"), "left_semi")
           .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
             col("l_suppkey") === col("s_suppkey"))
-          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+          .groupBy(col("s_name")).agg(sum(col("n_late")).cast("long").as("numwait"))
           .orderBy(col("numwait").desc, col("s_name")).limit(20)
     },
 
