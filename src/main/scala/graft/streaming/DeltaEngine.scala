@@ -850,12 +850,17 @@ object DeltaEngine {
       // intra-group evtOrder rides the shuffle's Tungsten sort (binary,
       // spill-safe) instead of a per-key toArray + JVM comparator sort
       // in the fold — `fromParent DESC` puts parent deltas first,
-      // matching evtOrder's parent-before-own rule
+      // matching evtOrder's parent-before-own rule. Grouping is BY THE
+      // `key` COLUMN (groupBy(col).as[K, T]), not groupByKey(_.key):
+      // the lambda form appends its key via a per-event object
+      // deserialization pass BEFORE the exchange, while the column form
+      // groups the serialized rows directly — each stage then
+      // deserializes every event exactly once, at the fold.
       val fold: (String, Iterator[Evt]) => Iterator[Evt] =
         if (st.pairStage.isDefined) processPairKeyBatch(spec, preFiltered = true, preSorted = true)
         else processKeyBatch(spec, preFiltered = true, preSorted = true)
-      outputs(st.name) = events
-        .groupByKey(_.key)
+      outputs(st.name) = events.toDF()
+        .groupBy(col("key")).as[String, Evt]
         .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(
           (k: String, it: Iterator[Evt]) => {
             val out = fold(
@@ -878,7 +883,8 @@ object DeltaEngine {
       if (st.pairStage.isDefined)
         processPairKeyBatch(st.spec, preFiltered = true, preSorted = true)
       else processKeyBatch(st.spec, preFiltered = true, preSorted = true)
-    events.groupByKey(_.key)
+    // column grouping, not groupByKey(_.key) — see [[runTree]]
+    events.toDF().groupBy(col("key")).as[String, Evt]
       .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(
         (k: String, it: Iterator[Evt]) => fold(k, it))
   }
@@ -974,12 +980,13 @@ object DeltaEngine {
       val fold: (String, Iterator[Evt]) => Iterator[Evt] =
         if (isPair) processPairKeyBatch(spec, preFiltered = true, preSorted = true)
         else processKeyBatch(spec, preFiltered = true, preSorted = true)
-      outputs(st.name) = events
-        .groupByKey(_.key)
+      outputs(st.name) = events.toDF()
+        .groupBy(col("key")).as[String, Evt]
         .flatMapSortedGroups(col("seq"), col("fromParent").desc, col("row"))(fold)
       // the metrics pass: fold again with state export (foldKey sorts
       // per key itself when not pre-sorted)
-      val perKey: Dataset[(Long, Long)] = events.groupByKey(_.key).mapGroups { (_, it) =>
+      val perKey: Dataset[(Long, Long)] = events.toDF()
+        .groupBy(col("key")).as[String, Evt].mapGroups { (_, it) =>
         if (isPair) {
           val s2 = foldPairKey(spec, it, emptyPairState,
             exportState = true, preFiltered = true)._2.get
