@@ -384,11 +384,17 @@ object GraphOps {
     var labels = undirected.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
+      // the deterministic vote in ONE aggregate: mode(lbl, true) is
+      // "most frequent, ties to the LOWEST value" — exactly the
+      // (count DESC, label ASC) contract the oracle spells as a
+      // window. The previous two-level spelling (count per (src, lbl),
+      // then a struct-argmax per src) paid a second exchange + hash
+      // aggregate per round; mode's partial maps fold map-side and
+      // shuffle one buffer per src.
       labels = undirected.join(labels, col("dst") === col("node"))
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
-        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("src").as("node"), (-col("m").getField("neg")).as("lbl"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
     }
     labels.select(col("node"), col("lbl").as("community_id"))
   }
