@@ -1352,20 +1352,40 @@ object SqlCompiler {
       // OUTER entry prices one tree + two deltas, not three trees
       // (stream keeps independent chains: state stores are
       // per-operator — see withOuterLeaves/runStream).
+      //
+      // A changelog consumed by SEVERAL plans is MATERIALIZED once
+      // first: stage-output sharing dedups identical (stage, inputs)
+      // subtrees, but a plan re-keying or re-staging the same relation
+      // consumes the changelog under a DIFFERENT exchange, and exchange
+      // reuse cannot dedup the scans below different keys — the star
+      // FULL OUTER entry's single job held 64 parquet scans (the same
+      // three relations re-decoded and re-canon-encoded per consuming
+      // plan branch). One eager localCheckpoint per multi-consumer
+      // relation turns those into block reads; single-consumer logs
+      // stay lazy (a checkpoint there is pure overhead).
       val leaf =
         if (outerPlans.isEmpty) DeltaEngine.runTree(stages, logs, sourceFiltered = true)
-        else DeltaEngine.runTreeShared(
-          (if (suppressMainLeaf) Nil else Seq((stages, logs))) ++
-            outerPlans.map { p =>
-              val planLogs = p.path.map { rel =>
-                rel -> (p.rekey.collectFirst { case (rr, rc) if rr == rel => rc } match {
-                  case Some(rc) => rekeyByCanon(logs(rel), rc)
-                  case None => logs(rel)
-                })
-              }.toMap
-              (p.stages, planLogs)
-            },
-          sourceFiltered = true)
+        else {
+          val consumers: Map[String, Int] = path.map { rel =>
+            rel -> ((if (suppressMainLeaf) 0 else 1) +
+              outerPlans.count(_.path.contains(rel)))
+          }.toMap
+          val shared = logs.map { case (rel, ds) =>
+            rel -> (if (consumers.getOrElse(rel, 1) > 1) ds.localCheckpoint() else ds)
+          }
+          DeltaEngine.runTreeShared(
+            (if (suppressMainLeaf) Nil else Seq((stages, shared))) ++
+              outerPlans.map { p =>
+                val planLogs = p.path.map { rel =>
+                  rel -> (p.rekey.collectFirst { case (rr, rc) if rr == rel => rc } match {
+                    case Some(rc) => rekeyByCanon(shared(rel), rc)
+                    case None => shared(rel)
+                  })
+                }.toMap
+                (p.stages, planLogs)
+              },
+            sourceFiltered = true)
+        }
       leaf
     }
 
