@@ -843,27 +843,21 @@ object Curation {
     // the one-row broadcast; k1 = 1.2, b = 0.75.
     sql("text_bm25_topk", bm25OracleSql) {
       (s, d) =>
-        // ONE tokenize pass: the exploded (doc_id, term) rows checkpoint
-        // once and feed per-doc lengths, the corpus stats AND the
-        // query-term tf (the lazy d2 spelling re-ran the regex
-        // tokenizer for the stats aggregate and the tf explode). N
-        // comes from a doc_id-only scan — no text decode — so
-        // zero-token documents still count toward N/avgdl exactly as
-        // before.
-        val tok = Tables.documents(s, d)
+        // Two lazy tokenize passes ON PURPOSE (stats + tf): a
+        // checkpoint-the-exploded-tokens spelling with a dl re-join was
+        // tried this round and measured SLOWER at sf0.1 (+0.2 s) — the
+        // extra shuffles and the checkpoint job outweigh one saved
+        // regex pass at this corpus size, where both passes run fully
+        // parallel over the page-cached parquet.
+        val d2 = Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
-          .localCheckpoint()
-        val nDocs = Tables.documents(s, d).select("doc_id")
-          .agg(count(lit(1)).cast("double").as("__n"))
-        val st = nDocs.crossJoin(
-          tok.agg(count(lit(1)).cast("double").as("__sumdl")))
-          .select(col("__n"), (col("__sumdl") / col("__n")).as("__avgdl"))
-        val dlDf = tok.groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl"))
-        val tf = tok
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+          .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+        val st = d2.agg(count(lit(1)).cast("double").as("__n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+        val tf = d2.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
           .filter(col("term").isin("join", "filter", "window"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
-          .join(dlDf, "doc_id")
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
         val dfr = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfd"))
         val idfOdds = (col("__n") - col("dfd") + lit(0.5)) / (col("dfd") + lit(0.5))
         val tfNorm = (col("tf").cast("double") * lit(2.2)) /

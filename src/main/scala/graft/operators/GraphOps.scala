@@ -306,20 +306,22 @@ object GraphOps {
     var n = alive.count()
     var converged = false
     var r = 1
-    // THREE peels per materialization: the cost of this loop is job and
+    // TWO peels per materialization: the cost of this loop is job and
     // checkpoint overhead, not data (the 0.99 sf0.01→sf0.1 time ratio
-    // proved it), so cutting the checkpoint+count cycles is the lever.
-    // Within the lazy 3-composition each peel's Dataset feeds BOTH
-    // semi-join sides of the next, and the checkpointed edge set's
-    // per-key exchanges recur identically across the levels, so
-    // ReuseExchange dedups them (the LPA/HITS lazy-loop lesson).
-    // Fixpoint test across the stride stays sound: peel is monotone
-    // shrinking, so alive = peel³(alive) forces peel(alive) = alive.
+    // proved it). The inner peel's Dataset feeds BOTH semi-join sides
+    // of the outer one, so ReuseExchange dedups it — lazy
+    // 2-composition costs one inner peel, not two (the LPA/HITS
+    // lazy-loop lesson). A 3-peel stride was tried this round and
+    // measured SLOWER (+0.8 s at sf0.1): past two compositions the
+    // un-deduped portion of the wider plan outgrows the saved
+    // checkpoint+count cycle. Fixpoint test across the stride stays
+    // sound: peel is monotone shrinking, so alive = peel²(alive)
+    // forces peel(alive) = alive.
     while (!converged && r < maxRounds) {
-      val next = peel(peel(peel(alive))).localCheckpoint(eager = true)
+      val next = peel(peel(alive)).localCheckpoint(eager = true)
       val m = next.count()
       converged = m == n
-      alive = next; n = m; r += 3
+      alive = next; n = m; r += 2
     }
     require(converged, s"k-core peel did not converge within $maxRounds rounds")
     degrees(aliveEdges(alive))

@@ -91,31 +91,24 @@ object IncrementalQueries {
     val rowCanon = concat_ws(FS.toString,
       cols.sorted.map(c =>
         concat(lit(c + KV.toString), coalesce(col(c).cast("string"), lit("null")))): _*)
+    // Two scans ON PURPOSE: a one-scan spelling (conditional
+    // explode(array(insert, delete)) per row) was tried this round and
+    // measured SLOWER at sf0.1 (+0.3 s on the compiled entries): the
+    // Generate + per-row struct/array build taxes EVERY row of the
+    // relation, while the second scan is an embarrassingly parallel
+    // re-read the OS page cache mostly absorbs — and it keeps the
+    // whole changelog a flat codegen'd projection over the vectorized
+    // reader.
+    val inserts = df.select(lit(0L).as("seq"), lit(false).as("fromParent"),
+      lit(1).as("tag"), lit(1).as("mult"),
+      col(keyCol).cast("string").as("key"), rowCanon.as("row")).as[Evt]
     deleteWhen match {
-      case None =>
-        df.select(lit(0L).as("seq"), lit(false).as("fromParent"),
-          lit(1).as("tag"), lit(1).as("mult"),
-          col(keyCol).cast("string").as("key"), rowCanon.as("row")).as[Evt]
+      case None => inserts
       case Some(cond) =>
-        // ONE scan emits both event kinds: rows matching `cond` explode
-        // into their insert (seq 0) AND delete (seq 1) events. The old
-        // `inserts.union(deletes)` spelling scanned the parquet twice —
-        // and because a row-level delete predicate (l_linenumber = 3)
-        // prunes no row groups, the delete leg re-decoded and
-        // re-canon-encoded nearly the full relation for a fraction of
-        // its rows. Same event multiset (event order within a key is
-        // re-established by the engine's seq sort, so union order never
-        // mattered); codegen CSE shares the canon build across the two
-        // struct branches.
-        val key = col(keyCol).cast("string")
-        def evt(seq: Long, tag: Int) =
-          struct(lit(seq).as("seq"), lit(false).as("fromParent"),
-            lit(tag).as("tag"), lit(1).as("mult"),
-            key.as("key"), rowCanon.as("row"))
-        df.select(explode(when(cond, array(evt(0L, 1), evt(1L, -1)))
-            .otherwise(array(evt(0L, 1)))).as("e"))
-          .select(col("e.seq"), col("e.fromParent"), col("e.tag"),
-            col("e.mult"), col("e.key"), col("e.row")).as[Evt]
+        val deletes = df.filter(cond).select(lit(1L).as("seq"), lit(false).as("fromParent"),
+          lit(-1).as("tag"), lit(1).as("mult"),
+          col(keyCol).cast("string").as("key"), rowCanon.as("row")).as[Evt]
+        inserts.union(deletes)
     }
   }
 
@@ -1998,12 +1991,12 @@ object IncrementalQueries {
     // Same fixpoint, same oracle statement for DuckDB (which plans the
     // inline form its own way).
     sql("incremental_sql_recursive_paths", recursivePathsSql("VARCHAR")) {
-      // The helper generates BOTH edge directions from ONE
-      // orders⋈lineitem pass via inline(array(...)) — the UNION ALL
-      // spelling ran the join twice (ReuseExchange dedups the
-      // exchanges, but each branch still paid its own join + string
-      // concat projection before the helper's one-time checkpoint).
-      // Same edge multiset, same oracle statement for DuckDB.
+      // The two-branch UNION ALL helper is kept ON PURPOSE: a
+      // one-join inline(array(struct…)) spelling was tried this round
+      // and measured +0.24 s at sf0.1 — ReuseExchange already dedups
+      // the two branches' exchanges, both branch joins run in the same
+      // parallel job, and the Generate breaks the flat codegen'd
+      // projection feeding the helper's one-time checkpoint.
       (s, d) => RecursiveSql.run(s, d,
         """WITH RECURSIVE r AS (
           | SELECT 's' || CAST(s_suppkey AS STRING) AS node
@@ -2011,11 +2004,13 @@ object IncrementalQueries {
           | UNION
           | SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src
           |), edges AS (
-          | SELECT inline(array(struct(c AS src, sp AS dst),
-          |                     struct(sp AS src, c AS dst)))
-          | FROM (SELECT 'c' || CAST(o_custkey AS STRING) AS c,
-          |              's' || CAST(l_suppkey AS STRING) AS sp
-          |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+          | SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+          |        's' || CAST(l_suppkey AS STRING) AS dst
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          | UNION ALL
+          | SELECT 's' || CAST(l_suppkey AS STRING) AS src,
+          |        'c' || CAST(o_custkey AS STRING) AS dst
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
           |)
           |SELECT node FROM r""".stripMargin)
     },

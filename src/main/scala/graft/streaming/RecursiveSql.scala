@@ -294,17 +294,19 @@ object RecursiveSql {
     }
 
     /** New rows of `step` relative to the accumulator under the
-      * statement's union semantics. `except` IS set difference
-      * (EXCEPT DISTINCT — Spark plans it as one aggregate over a
-      * left-anti join), so no separate `distinct()` precedes it: that
-      * spelling paid a full extra shuffle+aggregate over the
-      * UN-deduplicated step output every single round — the widest
-      * frame of the loop — for rows the except's own aggregate was
-      * about to dedup anyway. */
+      * statement's union semantics. The `distinct()` BEFORE the except
+      * is deliberate, not redundant: `except` is EXCEPT DISTINCT, but
+      * Spark plans it as Distinct(LeftAnti(left, acc)) — the raw step
+      * (the widest frame of the loop, every matched edge) would shuffle
+      * straight into the anti join un-reduced. A leading distinct is a
+      * hash aggregate whose MAP-SIDE partials collapse the step to
+      * ~|new frontier| rows before any exchange, so the anti join and
+      * the final distinct touch thousands of rows, not millions
+      * (removing it measured +0.4 s on the BFS headliner at sf0.1). */
     def dedupNew(step: DataFrame): DataFrame =
       if (unionAll) step
       else if (deltas.isEmpty) step.distinct()
-      else step.except(acc)
+      else step.distinct().except(acc)
 
     /** Iterate the recursive term from `frontier0` to fixpoint:
       * one frontier ⋈ edges job per round, delta-checkpointed. */
@@ -761,11 +763,10 @@ object RecursiveSql {
               fail(s"over-delete propagation still growing after $maxIters " +
                 "rounds — raise maxIters")
             frontierOpt.get.createOrReplaceTempView(rec.name)
-            // `intersect` is INTERSECT DISTINCT — it dedups both sides
-            // itself, so no separate distinct() on the step (that paid
-            // an extra shuffle+aggregate over the full step output per
-            // mark round, same redundancy dedupNew used to carry)
-            val step = shape(s.sql(recText))
+            // distinct() BEFORE the intersect for the same map-side
+            // combine reason as dedupNew: intersect dedups too, but
+            // only after shuffling the raw step into its join
+            val step = shape(s.sql(recText)).distinct()
             frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.acc)))
             // count productive mark rounds on the marks Fixpoint itself
             // (push() alone never bumps rounds — only loop() does), so

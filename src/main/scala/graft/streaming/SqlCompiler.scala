@@ -1353,16 +1353,18 @@ object SqlCompiler {
       // (stream keeps independent chains: state stores are
       // per-operator — see withOuterLeaves/runStream).
       //
-      // A changelog consumed by SEVERAL plans is MATERIALIZED once
-      // first: stage-output sharing dedups identical (stage, inputs)
-      // subtrees, but a plan re-keying or re-staging the same relation
-      // consumes the changelog under a DIFFERENT exchange, and exchange
-      // reuse cannot dedup the scans below different keys — the star
-      // FULL OUTER entry's single job held 64 parquet scans (the same
-      // three relations re-decoded and re-canon-encoded per consuming
-      // plan branch). One eager localCheckpoint per multi-consumer
-      // relation turns those into block reads; single-consumer logs
-      // stay lazy (a checkpoint there is pure overhead).
+      // A changelog consumed by MANY plans is MATERIALIZED once first:
+      // stage-output sharing dedups identical (stage, inputs) subtrees,
+      // but a plan re-keying or re-staging the same relation consumes
+      // the changelog under a DIFFERENT exchange, and exchange reuse
+      // cannot dedup the scans below different keys — the star FULL
+      // OUTER entry's single job held 64 parquet scans (the same three
+      // relations re-decoded and re-canon-encoded per consuming plan
+      // branch). The threshold is ≥ 3 consumers: at two, the lazy
+      // re-scan is parallel work the page cache mostly absorbs and the
+      // serial checkpoint job costs MORE (measured +0.8 s on the
+      // two-plan ancestor_del at sf0.1, vs −0.6 s on the six-plan
+      // star); from three consumers on, materialization wins.
       val leaf =
         if (outerPlans.isEmpty) DeltaEngine.runTree(stages, logs, sourceFiltered = true)
         else {
@@ -1371,7 +1373,7 @@ object SqlCompiler {
               outerPlans.count(_.path.contains(rel)))
           }.toMap
           val shared = logs.map { case (rel, ds) =>
-            rel -> (if (consumers.getOrElse(rel, 1) > 1) ds.localCheckpoint() else ds)
+            rel -> (if (consumers.getOrElse(rel, 1) >= 3) ds.localCheckpoint() else ds)
           }
           DeltaEngine.runTreeShared(
             (if (suppressMainLeaf) Nil else Seq((stages, shared))) ++
