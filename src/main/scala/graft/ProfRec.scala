@@ -25,8 +25,13 @@ object ProfRec {
       println(f"[profrec] $what%-28s ${(t1 - t0) / 1e9}%7.3f s")
       t0 = t1
     }
-    // warm-up pass on tiny to exclude codegen/JIT
-    (1 to 2).foreach { pass =>
+    // passes 1-2: the current shape (pass1 pays codegen/JIT);
+    // passes 3-4: count-driven broadcast hints on the frontier view and
+    // the accumulator's anti side (we KNOW their exact row counts from
+    // the checkpoint counts — the planner does not, so it starts at SMJ
+    // and relies on AQE conversions every round)
+    (1 to 4).foreach { pass =>
+      val hinted = pass >= 3
       val edges = s.sql(
         """SELECT 'c' || CAST(o_custkey AS STRING) AS src,
           |       's' || CAST(l_suppkey AS STRING) AS dst
@@ -50,9 +55,12 @@ object ProfRec {
       var live = true
       while (live && round < 20) {
         round += 1
-        frontier.createOrReplaceTempView("r")
+        (if (hinted) frontier.hint("broadcast") else frontier)
+          .createOrReplaceTempView("r")
         val step = s.sql("SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src")
-        val fresh = step.distinct().except(deltas.reduce(_ unionAll _))
+        val accU = deltas.reduce(_ unionAll _)
+        val fresh = step.distinct()
+          .except(if (hinted) accU.hint("broadcast") else accU)
           .localCheckpoint(true)
         val m = fresh.count()
         mark(s"pass$pass round$round ($m new)")

@@ -241,16 +241,52 @@ object RecursiveSql {
     n
   }
 
+  /** Session conf: row threshold under which the fixpoint's frontier
+    * and accumulator carry an explicit broadcast hint into the
+    * per-round joins (frontier ⋈ edges, the except's anti join). The
+    * working frames are RDD-backed checkpoints whose statistics the
+    * planner does NOT know — it starts every round at sort-merge and
+    * relies on AQE runtime conversion — while the DRIVER knows their
+    * EXACT row counts from the checkpoint counts it already takes.
+    * Feeding that knowledge back as a count-gated hint removed
+    * ~0.2-0.25 s of planning/exchange detours per BFS round at sf0.1
+    * (profiled in ProfRec). Scale-safe by construction: a closure or
+    * frontier past the threshold (any serious corpus) gets no hint and
+    * plans exactly as before; tune per deployment via this conf. */
+  val BroadcastRowsConf = "spark.graft.recursion.broadcastRows"
+  private val BroadcastRowsDefault = 1000000L
+
+  /** The count-gated hint threshold for a session (see
+    * [[BroadcastRowsConf]]). */
+  private def broadcastRowsOf(s: SparkSession): Long =
+    s.conf.getOption(BroadcastRowsConf).map(_.toLong)
+      .getOrElse(BroadcastRowsDefault)
+
   /** The lazy-union accumulator + per-round frontier bookkeeping:
     * every delta checkpoints ONCE (O(|delta|)); the accumulator is the
     * union of those checkpoints, compacted into a single checkpoint
-    * only when the union grows past [[compactEvery]] legs. */
-  private final class Fixpoint(unionAll: Boolean) {
+    * only when the union grows past [[compactEvery]] legs.
+    * `broadcastRows` gates the count-driven hint above (0 = off). */
+  private final class Fixpoint(unionAll: Boolean, broadcastRows: Long = 0L) {
     private val deltas = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var rounds = 0
     var deltaRows = 0L
     var compactions = 0
     var compactedRows = 0L
+    /** Exact row count of the accumulator (disjoint deltas by
+      * construction; reset replaces it wholesale). */
+    var accRows = 0L
+    /** Rows of the most recently pushed/reset frame — the frontier's
+      * exact size for the next round's hint decision. */
+    var lastRows = 0L
+
+    /** Count-gated broadcast hint (see [[BroadcastRowsConf]]). */
+    def hinted(df: DataFrame, rows: Long): DataFrame =
+      if (broadcastRows > 0 && rows <= broadcastRows) df.hint("broadcast") else df
+
+    /** The accumulator as the right side of a dedup/anti join, hinted
+      * when its exact size is known-small. */
+    def accForAnti: DataFrame = hinted(acc, accRows)
 
     def acc: DataFrame = deltas.reduce(_ unionAll _)
 
@@ -267,7 +303,10 @@ object RecursiveSql {
       * in delta"), which an |closure|-sized import would swamp. */
     def reset(df: DataFrame): Unit = {
       val c = df.localCheckpoint(true)
-      compactedRows += c.count()
+      val n = c.count()
+      compactedRows += n
+      accRows = n
+      lastRows = n
       deltas.clear()
       deltas += c
       compactions += 1
@@ -282,6 +321,8 @@ object RecursiveSql {
       else {
         deltas += d
         deltaRows += n
+        accRows += n
+        lastRows = n
         if (deltas.size > compactEvery) {
           val c = acc.localCheckpoint(true)
           compactedRows += c.count()
@@ -306,7 +347,7 @@ object RecursiveSql {
     def dedupNew(step: DataFrame): DataFrame =
       if (unionAll) step
       else if (deltas.isEmpty) step.distinct()
-      else step.distinct().except(acc)
+      else step.distinct().except(accForAnti)
 
     /** Iterate the recursive term from `frontier0` to fixpoint:
       * one frontier ⋈ edges job per round, delta-checkpointed. */
@@ -314,6 +355,7 @@ object RecursiveSql {
              shape: DataFrame => DataFrame, frontier0: DataFrame,
              maxIters: Int): Unit = {
       var frontier = frontier0
+      var frontierRows = lastRows // frontier0 came from push/reset
       var live = true
       // the fence counts THIS loop's iterations — `rounds` accumulates
       // across every batch of a maintained run for stats, and a
@@ -325,10 +367,13 @@ object RecursiveSql {
           fail(s"recursion still producing rows after $maxIters iterations — " +
             "a truncated result is not the statement's fixpoint; raise maxIters " +
             "or bound the recursion in the query")
-        frontier.createOrReplaceTempView(name)
+        // count-gated broadcast hint on the frontier view: the
+        // recursive term's join sees r's EXACT size instead of an
+        // RDD-backed unknown (see BroadcastRowsConf)
+        hinted(frontier, frontierRows).createOrReplaceTempView(name)
         val step = shape(s.sql(recText))
         push(dedupNew(step)) match {
-          case Some(d) => frontier = d; rounds += 1; iters += 1
+          case Some(d) => frontier = d; frontierRows = lastRows; rounds += 1; iters += 1
           case None => live = false
         }
       }
@@ -467,7 +512,7 @@ object RecursiveSql {
     helpersBefore.foreach(h =>
       bindHelper(s, h, materialize = countRefs(recMasked0, h.name) > 0))
 
-    val fp = new Fixpoint(unionAll)
+    val fp = new Fixpoint(unionAll, broadcastRowsOf(s))
     var anchorCols: Seq[String] = Nil
     val (renamed, aligned) = shaperFor(rec, anchorCols)
     val shape: DataFrame => DataFrame = df => aligned(renamed(df))
@@ -673,7 +718,7 @@ object RecursiveSql {
     def stateMap(insK: Int, delK: Int): Map[String, DataFrame] =
       Tables.names.map(t => t -> stateOf(t, insK, delK)).toMap
 
-    val fp = new Fixpoint(unionAll = false)
+    val fp = new Fixpoint(unionAll = false, broadcastRowsOf(s))
     var anchorCols: Seq[String] = Nil
     val (renamed, aligned) = shaperFor(rec, anchorCols)
     val shape: DataFrame => DataFrame = df => aligned(renamed(df))
@@ -714,7 +759,9 @@ object RecursiveSql {
       * base relations bound per `state`. */
     def evalTerm(state: Map[String, DataFrame], r: DataFrame): DataFrame = {
       bind(state)
-      r.createOrReplaceTempView(rec.name)
+      // every call site binds the ACCUMULATOR as r, whose exact row
+      // count the driver knows — count-gated broadcast hint as in loop()
+      fp.hinted(r, fp.accRows).createOrReplaceTempView(rec.name)
       shape(s.sql(recText))
     }
     def closure: DataFrame = if (fp.hasAcc) fp.acc else anchor0.limit(0)
@@ -749,7 +796,7 @@ object RecursiveSql {
           // compacted every compactEvery legs — same delta-only
           // discipline as the main fixpoint; a deep delete cascade
           // pays O(|marks|) checkpoint I/O, not O(rounds·|marks|).
-          val marks = new Fixpoint(unionAll = false)
+          val marks = new Fixpoint(unionAll = false, broadcastRowsOf(s))
           var frontierOpt =
             marks.push(seedParts.reduce(_ unionAll _).distinct())
           // the seeds' delta-bound plans are captured above (s.sql
@@ -762,12 +809,13 @@ object RecursiveSql {
             if (rounds >= maxIters)
               fail(s"over-delete propagation still growing after $maxIters " +
                 "rounds — raise maxIters")
-            frontierOpt.get.createOrReplaceTempView(rec.name)
+            marks.hinted(frontierOpt.get, marks.lastRows)
+              .createOrReplaceTempView(rec.name)
             // distinct() BEFORE the intersect for the same map-side
             // combine reason as dedupNew: intersect dedups too, but
             // only after shuffling the raw step into its join
             val step = shape(s.sql(recText)).distinct()
-            frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.acc)))
+            frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.accForAnti)))
             // count productive mark rounds on the marks Fixpoint itself
             // (push() alone never bumps rounds — only loop() does), so
             // absorb() folds the DRed rounds into the run's Stats as
@@ -783,7 +831,7 @@ object RecursiveSql {
             // support probe over the survivors + the anchor re-seeds
             // every marked row that still has a derivation, and the
             // ordinary loop does the rest
-            val survivors = fp.acc.except(marks.acc)
+            val survivors = fp.acc.except(marks.accForAnti)
             fp.absorb(marks)
             fp.reset(survivors)
             bind(postDel)
