@@ -287,14 +287,27 @@ object GraphOps {
     * not converge — a silent cap would report a non-core. Returns
     * `(node, core_deg)` with degrees measured inside the core. */
   def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    def aliveEdges(alive: DataFrame): DataFrame = edges
-      .join(alive.select(col("node").as("u")), "u")
-      .join(alive.select(col("node").as("v")), "v")
+    // Count-gated broadcast hint (the RecursiveSql discipline): the
+    // alive set is an RDD-backed checkpoint whose statistics the
+    // planner does not know — it starts each cycle's semi-joins at
+    // sort-merge and leans on AQE conversion — while the loop already
+    // COUNTS it every cycle. Below the row threshold the known-small
+    // side hints broadcast; past it (any serious graph) planning is
+    // unchanged. Only the materialized alive (known count) is hinted;
+    // the lazy inner peel of a composition keeps default planning.
+    val bcRows = edges.sparkSession.conf
+      .getOption("spark.graft.graph.broadcastRows").map(_.toLong)
+      .getOrElse(1000000L)
+    def hinted(df: DataFrame, rows: Long): DataFrame =
+      if (rows >= 0 && rows <= bcRows) df.hint("broadcast") else df
+    def aliveEdges(alive: DataFrame, rows: Long = -1L): DataFrame = edges
+      .join(hinted(alive.select(col("node").as("u")), rows), "u")
+      .join(hinted(alive.select(col("node").as("v")), rows), "v")
     def degrees(ae: DataFrame): DataFrame =
       ae.select(col("u").as("node")).unionAll(ae.select(col("v")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
-    def peel(alive: DataFrame): DataFrame =
-      degrees(aliveEdges(alive)).filter(col("core_deg") >= k).select("node")
+    def peel(alive: DataFrame, rows: Long = -1L): DataFrame =
+      degrees(aliveEdges(alive, rows)).filter(col("core_deg") >= k).select("node")
     // ROUND 1 SPECIALIZED: alive₀ is every endpoint, so
     // aliveEdges(alive₀) ≡ edges — the two semi-joins of an ordinary
     // peel are identities there, and the distinct-endpoints frame
@@ -318,13 +331,13 @@ object GraphOps {
     // sound: peel is monotone shrinking, so alive = peel²(alive)
     // forces peel(alive) = alive.
     while (!converged && r < maxRounds) {
-      val next = peel(peel(alive)).localCheckpoint(eager = true)
+      val next = peel(peel(alive, n)).localCheckpoint(eager = true)
       val m = next.count()
       converged = m == n
       alive = next; n = m; r += 2
     }
     require(converged, s"k-core peel did not converge within $maxRounds rounds")
-    degrees(aliveEdges(alive))
+    degrees(aliveEdges(alive, n))
   }
 
   /** [[kcore]]'s oracle: the peel unrolled to a FIXED `rounds` chain
