@@ -1115,21 +1115,24 @@ object DeltaEngine {
       outputs(st.name) =
         (st.pairStage.isDefined, eventTtl) match {
           case (true, Some(t)) =>
-            withEventTime(events, t).groupByKey(_.key)
+            // column grouping, not groupByKey(_.key) — see [[runTree]]:
+            // the lambda form re-deserializes every event per
+            // micro-batch just to re-extract the key column
+            withEventTime(events, t).toDF().groupBy(col("key")).as[String, EvtWithTs]
               .flatMapGroupsWithState[PairNState, Evt](OutputMode.Append, timeout)(
                 (k, it, s) =>
                   processPairKeyStreamEventTtl(spec, t, preFiltered = true)(k, it, s))
           case (true, None) =>
-            events.groupByKey(_.key)
+            events.toDF().groupBy(col("key")).as[String, Evt]
               .flatMapGroupsWithState[PairNState, Evt](OutputMode.Append, timeout)(
                 (k, it, s) => processPairKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
           case (false, Some(t)) =>
-            withEventTime(events, t).groupByKey(_.key)
+            withEventTime(events, t).toDF().groupBy(col("key")).as[String, EvtWithTs]
               .flatMapGroupsWithState[NState, Evt](OutputMode.Append, timeout)(
                 (k, it, s) =>
                   processKeyStreamEventTtl(spec, t, preFiltered = true)(k, it, s))
           case (false, None) =>
-            events.groupByKey(_.key)
+            events.toDF().groupBy(col("key")).as[String, Evt]
               .flatMapGroupsWithState[NState, Evt](OutputMode.Append, timeout)(
                 (k, it, s) => processKeyStream(spec, stateTtl, preFiltered = true)(k, it, s))
         }
@@ -1355,7 +1358,8 @@ object DeltaEngine {
       val processor: org.apache.spark.sql.streaming.StatefulProcessor[String, Evt, Evt] =
         if (st.pairStage.isDefined) new PairNodeProcessor(st.spec, stateTtl, preFiltered = true)
         else new TreeNodeProcessor(st.spec, stateTtl, preFiltered = true)
-      outputs(st.name) = events.groupByKey(_.key)
+      // column grouping, not groupByKey(_.key) — see [[runTree]]
+      outputs(st.name) = events.toDF().groupBy(col("key")).as[String, Evt]
         .transformWithState(processor, timeMode, OutputMode.Append())
     }
     outputs(stages.last.name)
