@@ -5,7 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Scratch profiler: phase timing of the recursive-paths BFS (dev tool).
   * Reproduces RecursiveSql.run's work step by step with timestamps so
   * the per-phase cost (helper materialize, anchor, each BFS round's
-  * step/dedup/checkpoint) is visible without the Spark UI. */
+  * step/dedup/checkpoint) is visible without the Spark UI.
+  *
+  * Passes 1-2: round 16's shape — eager localCheckpoint + separate
+  * count per round, count-gated broadcast HINTS on the frontier view
+  * and the accumulator's anti side.
+  * Passes 3-4: round 17's shape — GraftBridge.localCheckpointCounted
+  * fuses the materializing job with the count and stamps each frame
+  * with exact statistics; NO hints (the planner broadcasts from the
+  * real sizes under spark.sql.autoBroadcastJoinThreshold).
+  * Same JVM, interleaved, so the comparison is noise-controlled. */
 object ProfRec {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,14 +34,19 @@ object ProfRec {
       println(f"[profrec] $what%-28s ${(t1 - t0) / 1e9}%7.3f s")
       t0 = t1
     }
-    // passes 1-2: the current shape (pass1 pays codegen/JIT);
-    // passes 3-4: count-driven broadcast hints on the frontier view and
-    // the accumulator's anti side (we KNOW their exact row counts from
-    // the checkpoint counts — the planner does not, so it starts at SMJ
-    // and relies on AQE conversions every round)
-    (1 to 4).foreach { pass =>
-      val hinted = pass >= 3
-      val edges = s.sql(
+    import org.apache.spark.sql.{DataFrame, GraftBridge}
+    // old: eager checkpoint then a SECOND count job; new: one fused job
+    def ckptOld(df: DataFrame): (DataFrame, Long) = {
+      val c = df.localCheckpoint(true); (c, c.count())
+    }
+    def ckptNew(df: DataFrame): (DataFrame, Long) =
+      GraftBridge.localCheckpointCounted(df)
+    (1 to 6).foreach { pass =>
+      val fused = pass >= 4 || pass == 2
+      val hinted = !fused // old shape used hints; new relies on stats
+      val ckpt: DataFrame => (DataFrame, Long) =
+        if (fused) ckptNew else ckptOld
+      val edgesSql = s.sql(
         """SELECT 'c' || CAST(o_custkey AS STRING) AS src,
           |       's' || CAST(l_suppkey AS STRING) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -40,17 +54,18 @@ object ProfRec {
           |SELECT 's' || CAST(l_suppkey AS STRING) AS src,
           |       'c' || CAST(o_custkey AS STRING) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin)
-        .localCheckpoint(true)
+      val edges =
+        if (fused) GraftBridge.localCheckpointStats(edgesSql)
+        else edgesSql.localCheckpoint(true)
       edges.createOrReplaceTempView("edges")
       mark(s"pass$pass edges checkpoint")
       val anchor = s.sql(
         "SELECT 's' || CAST(s_suppkey AS STRING) AS node FROM supplier WHERE s_nationkey = 1")
         .distinct()
-      var acc = anchor.localCheckpoint(true)
-      var n = acc.count()
-      mark(s"pass$pass anchor ($n rows)")
-      var frontier = acc
-      var deltas = Seq(acc)
+      val (acc0, n0) = ckpt(anchor)
+      mark(s"pass$pass anchor ($n0 rows)")
+      var frontier = acc0
+      var deltas = Seq(acc0)
       var round = 0
       var live = true
       while (live && round < 20) {
@@ -59,10 +74,8 @@ object ProfRec {
           .createOrReplaceTempView("r")
         val step = s.sql("SELECT e.dst AS node FROM edges e JOIN r ON r.node = e.src")
         val accU = deltas.reduce(_ unionAll _)
-        val fresh = step.distinct()
-          .except(if (hinted) accU.hint("broadcast") else accU)
-          .localCheckpoint(true)
-        val m = fresh.count()
+        val (fresh, m) = ckpt(step.distinct()
+          .except(if (hinted) accU.hint("broadcast") else accU))
         mark(s"pass$pass round$round ($m new)")
         if (m == 0) live = false
         else { deltas = deltas :+ fresh; frontier = fresh }

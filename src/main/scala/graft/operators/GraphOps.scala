@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.GraftQuery.sql
@@ -287,36 +287,34 @@ object GraphOps {
     * not converge — a silent cap would report a non-core. Returns
     * `(node, core_deg)` with degrees measured inside the core. */
   def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    // Count-gated broadcast hint (the RecursiveSql discipline): the
-    // alive set is an RDD-backed checkpoint whose statistics the
-    // planner does not know — it starts each cycle's semi-joins at
-    // sort-merge and leans on AQE conversion — while the loop already
-    // COUNTS it every cycle. Below the row threshold the known-small
-    // side hints broadcast; past it (any serious graph) planning is
-    // unchanged. Only the materialized alive (known count) is hinted;
-    // the lazy inner peel of a composition keeps default planning.
-    val bcRows = edges.sparkSession.conf
-      .getOption("spark.graft.graph.broadcastRows").map(_.toLong)
-      .getOrElse(1000000L)
-    def hinted(df: DataFrame, rows: Long): DataFrame =
-      if (rows >= 0 && rows <= bcRows) df.hint("broadcast") else df
-    def aliveEdges(alive: DataFrame, rows: Long = -1L): DataFrame = edges
-      .join(hinted(alive.select(col("node").as("u")), rows), "u")
-      .join(hinted(alive.select(col("node").as("v")), rows), "v")
+    // STATISTICS FEEDBACK (replaces round 16's count-gated broadcast
+    // hints, same discipline as RecursiveSql's Fixpoint): the alive
+    // set is an RDD-backed checkpoint whose statistics the planner
+    // would otherwise read as unknown — it started each cycle's
+    // semi-joins at sort-merge and leaned on AQE conversion. The loop
+    // already counts alive every cycle for the fixpoint test, so the
+    // checkpoint now fuses that count into the materializing job
+    // (GraftBridge.localCheckpointCounted — one job per cycle instead
+    // of checkpoint + count) and stamps the frame with its exact row
+    // count and byte size. The semi-joins then plan broadcast from
+    // REAL sizes under spark.sql.autoBroadcastJoinThreshold — byte-
+    // gated, so a corpus-scale alive set plans exactly as before.
+    def aliveEdges(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("node").as("u")), "u")
+      .join(alive.select(col("node").as("v")), "v")
     def degrees(ae: DataFrame): DataFrame =
       ae.select(col("u").as("node")).unionAll(ae.select(col("v")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
-    def peel(alive: DataFrame, rows: Long = -1L): DataFrame =
-      degrees(aliveEdges(alive, rows)).filter(col("core_deg") >= k).select("node")
+    def peel(alive: DataFrame): DataFrame =
+      degrees(aliveEdges(alive)).filter(col("core_deg") >= k).select("node")
     // ROUND 1 SPECIALIZED: alive₀ is every endpoint, so
     // aliveEdges(alive₀) ≡ edges — the two semi-joins of an ordinary
     // peel are identities there, and the distinct-endpoints frame
     // itself exists only to seed them. Peel 1 is therefore computed
     // straight off the edge degrees (one aggregate, no joins, no
     // endpoints materialization+count cycle).
-    var alive = degrees(edges).filter(col("core_deg") >= k).select("node")
-      .localCheckpoint(eager = true)
-    var n = alive.count()
+    var (alive, n) = GraftBridge.localCheckpointCounted(
+      degrees(edges).filter(col("core_deg") >= k).select("node"))
     var converged = false
     var r = 1
     // TWO peels per materialization: the cost of this loop is job and
@@ -324,20 +322,19 @@ object GraphOps {
     // proved it). The inner peel's Dataset feeds BOTH semi-join sides
     // of the outer one, so ReuseExchange dedups it — lazy
     // 2-composition costs one inner peel, not two (the LPA/HITS
-    // lazy-loop lesson). A 3-peel stride was tried this round and
+    // lazy-loop lesson). A 3-peel stride was tried in round 16 and
     // measured SLOWER (+0.8 s at sf0.1): past two compositions the
     // un-deduped portion of the wider plan outgrows the saved
     // checkpoint+count cycle. Fixpoint test across the stride stays
     // sound: peel is monotone shrinking, so alive = peel²(alive)
     // forces peel(alive) = alive.
     while (!converged && r < maxRounds) {
-      val next = peel(peel(alive, n)).localCheckpoint(eager = true)
-      val m = next.count()
+      val (next, m) = GraftBridge.localCheckpointCounted(peel(peel(alive)))
       converged = m == n
       alive = next; n = m; r += 2
     }
     require(converged, s"k-core peel did not converge within $maxRounds rounds")
-    degrees(aliveEdges(alive, n))
+    degrees(aliveEdges(alive))
   }
 
   /** [[kcore]]'s oracle: the peel unrolled to a FIXED `rounds` chain

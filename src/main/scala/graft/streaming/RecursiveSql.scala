@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import graft.Tables
 import graft.sources.SqlDml
 
@@ -241,52 +241,36 @@ object RecursiveSql {
     n
   }
 
-  /** Session conf: row threshold under which the fixpoint's frontier
-    * and accumulator carry an explicit broadcast hint into the
-    * per-round joins (frontier ⋈ edges, the except's anti join). The
-    * working frames are RDD-backed checkpoints whose statistics the
-    * planner does NOT know — it starts every round at sort-merge and
-    * relies on AQE runtime conversion — while the DRIVER knows their
-    * EXACT row counts from the checkpoint counts it already takes.
-    * Feeding that knowledge back as a count-gated hint removed
-    * ~0.2-0.25 s of planning/exchange detours per BFS round at sf0.1
-    * (profiled in ProfRec). Scale-safe by construction: a closure or
-    * frontier past the threshold (any serious corpus) gets no hint and
-    * plans exactly as before; tune per deployment via this conf. */
-  val BroadcastRowsConf = "spark.graft.recursion.broadcastRows"
-  private val BroadcastRowsDefault = 1000000L
-
-  /** The count-gated hint threshold for a session (see
-    * [[BroadcastRowsConf]]). */
-  private def broadcastRowsOf(s: SparkSession): Long =
-    s.conf.getOption(BroadcastRowsConf).map(_.toLong)
-      .getOrElse(BroadcastRowsDefault)
-
   /** The lazy-union accumulator + per-round frontier bookkeeping:
     * every delta checkpoints ONCE (O(|delta|)); the accumulator is the
     * union of those checkpoints, compacted into a single checkpoint
     * only when the union grows past [[compactEvery]] legs.
-    * `broadcastRows` gates the count-driven hint above (0 = off). */
-  private final class Fixpoint(unionAll: Boolean, broadcastRows: Long = 0L) {
+    *
+    * STATISTICS FEEDBACK (replaces round 16's count-gated broadcast
+    * hints): the working frames are RDD-backed checkpoints whose
+    * statistics the planner would otherwise read as unknown
+    * (`Long.MaxValue` size — it started every round at sort-merge and
+    * leaned on AQE runtime conversion). Each delta now checkpoints
+    * through [[GraftBridge.localCheckpointCounted]], which fuses the
+    * materialization job with the emptiness-probe count (ONE job per
+    * round instead of checkpoint + count) and stamps the frame's
+    * `LogicalRDD` with its EXACT measured row count and byte size.
+    * Joins against the frontier and the accumulator then plan their
+    * strategy from real sizes: a frame under
+    * `spark.sql.autoBroadcastJoinThreshold` broadcasts at planning
+    * time with no hint (and none of round 16's HintErrorLogger spam on
+    * non-join references), and — unlike the row-count gate — a WIDE
+    * row (path-string closures) past the byte threshold never builds
+    * a runaway broadcast regardless of its row count. A corpus-scale
+    * closure exceeds the byte threshold and plans exactly as before;
+    * the knob is Spark's own broadcast threshold, the deployment's to
+    * size. */
+  private final class Fixpoint(unionAll: Boolean) {
     private val deltas = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var rounds = 0
     var deltaRows = 0L
     var compactions = 0
     var compactedRows = 0L
-    /** Exact row count of the accumulator (disjoint deltas by
-      * construction; reset replaces it wholesale). */
-    var accRows = 0L
-    /** Rows of the most recently pushed/reset frame — the frontier's
-      * exact size for the next round's hint decision. */
-    var lastRows = 0L
-
-    /** Count-gated broadcast hint (see [[BroadcastRowsConf]]). */
-    def hinted(df: DataFrame, rows: Long): DataFrame =
-      if (broadcastRows > 0 && rows <= broadcastRows) df.hint("broadcast") else df
-
-    /** The accumulator as the right side of a dedup/anti join, hinted
-      * when its exact size is known-small. */
-    def accForAnti: DataFrame = hinted(acc, accRows)
 
     def acc: DataFrame = deltas.reduce(_ unionAll _)
 
@@ -302,30 +286,26 @@ object RecursiveSql {
       * stays the per-round delta diagnostic ("checkpoint I/O linear
       * in delta"), which an |closure|-sized import would swamp. */
     def reset(df: DataFrame): Unit = {
-      val c = df.localCheckpoint(true)
-      val n = c.count()
+      val (c, n) = GraftBridge.localCheckpointCounted(df)
       compactedRows += n
-      accRows = n
-      lastRows = n
       deltas.clear()
       deltas += c
       compactions += 1
     }
 
     /** Checkpoint `df`; returns it as the next frontier, or None when
-      * it is empty (fixpoint reached / nothing new this seed). */
+      * it is empty (fixpoint reached / nothing new this seed). The
+      * materializing job IS the emptiness probe — one job, not
+      * checkpoint + count — and the frame carries its exact stats. */
     def push(df: DataFrame): Option[DataFrame] = {
-      val d = df.localCheckpoint(true)
-      val n = d.count() // cached blocks — the emptiness probe AND the stats
+      val (d, n) = GraftBridge.localCheckpointCounted(df)
       if (n == 0) None
       else {
         deltas += d
         deltaRows += n
-        accRows += n
-        lastRows = n
         if (deltas.size > compactEvery) {
-          val c = acc.localCheckpoint(true)
-          compactedRows += c.count()
+          val (c, cn) = GraftBridge.localCheckpointCounted(acc)
+          compactedRows += cn
           deltas.clear()
           deltas += c
           compactions += 1
@@ -347,7 +327,7 @@ object RecursiveSql {
     def dedupNew(step: DataFrame): DataFrame =
       if (unionAll) step
       else if (deltas.isEmpty) step.distinct()
-      else step.distinct().except(accForAnti)
+      else step.distinct().except(acc)
 
     /** Iterate the recursive term from `frontier0` to fixpoint:
       * one frontier ⋈ edges job per round, delta-checkpointed. */
@@ -355,7 +335,6 @@ object RecursiveSql {
              shape: DataFrame => DataFrame, frontier0: DataFrame,
              maxIters: Int): Unit = {
       var frontier = frontier0
-      var frontierRows = lastRows // frontier0 came from push/reset
       var live = true
       // the fence counts THIS loop's iterations — `rounds` accumulates
       // across every batch of a maintained run for stats, and a
@@ -367,13 +346,13 @@ object RecursiveSql {
           fail(s"recursion still producing rows after $maxIters iterations — " +
             "a truncated result is not the statement's fixpoint; raise maxIters " +
             "or bound the recursion in the query")
-        // count-gated broadcast hint on the frontier view: the
-        // recursive term's join sees r's EXACT size instead of an
-        // RDD-backed unknown (see BroadcastRowsConf)
-        hinted(frontier, frontierRows).createOrReplaceTempView(name)
+        // the frontier view carries its exact stats (see the Fixpoint
+        // scaladoc): the recursive term's join sees r's REAL size
+        // instead of an RDD-backed unknown
+        frontier.createOrReplaceTempView(name)
         val step = shape(s.sql(recText))
         push(dedupNew(step)) match {
-          case Some(d) => frontier = d; frontierRows = lastRows; rounds += 1; iters += 1
+          case Some(d) => frontier = d; rounds += 1; iters += 1
           case None => live = false
         }
       }
@@ -431,7 +410,10 @@ object RecursiveSql {
         fail(s"column alias list (${h.aliases.size}) of helper CTE '${h.name}' " +
           s"does not match its output arity (${df.columns.length})")
       else df.toDF(h.aliases: _*)
-    (if (materialize) out.localCheckpoint(true) else out)
+    // materialized helpers carry exact stats too (same single job as a
+    // plain eager localCheckpoint): the loop's frontier ⋈ edges join
+    // then sees the REAL edge-set size on its probe side every round
+    (if (materialize) GraftBridge.localCheckpointStats(out) else out)
       .createOrReplaceTempView(h.name)
   }
 
@@ -512,7 +494,7 @@ object RecursiveSql {
     helpersBefore.foreach(h =>
       bindHelper(s, h, materialize = countRefs(recMasked0, h.name) > 0))
 
-    val fp = new Fixpoint(unionAll, broadcastRowsOf(s))
+    val fp = new Fixpoint(unionAll)
     var anchorCols: Seq[String] = Nil
     val (renamed, aligned) = shaperFor(rec, anchorCols)
     val shape: DataFrame => DataFrame = df => aligned(renamed(df))
@@ -718,7 +700,7 @@ object RecursiveSql {
     def stateMap(insK: Int, delK: Int): Map[String, DataFrame] =
       Tables.names.map(t => t -> stateOf(t, insK, delK)).toMap
 
-    val fp = new Fixpoint(unionAll = false, broadcastRowsOf(s))
+    val fp = new Fixpoint(unionAll = false)
     var anchorCols: Seq[String] = Nil
     val (renamed, aligned) = shaperFor(rec, anchorCols)
     val shape: DataFrame => DataFrame = df => aligned(renamed(df))
@@ -759,9 +741,9 @@ object RecursiveSql {
       * base relations bound per `state`. */
     def evalTerm(state: Map[String, DataFrame], r: DataFrame): DataFrame = {
       bind(state)
-      // every call site binds the ACCUMULATOR as r, whose exact row
-      // count the driver knows — count-gated broadcast hint as in loop()
-      fp.hinted(r, fp.accRows).createOrReplaceTempView(rec.name)
+      // every call site binds the ACCUMULATOR as r — its checkpointed
+      // legs carry exact stats, so the term's joins plan from real sizes
+      r.createOrReplaceTempView(rec.name)
       shape(s.sql(recText))
     }
     def closure: DataFrame = if (fp.hasAcc) fp.acc else anchor0.limit(0)
@@ -796,7 +778,7 @@ object RecursiveSql {
           // compacted every compactEvery legs — same delta-only
           // discipline as the main fixpoint; a deep delete cascade
           // pays O(|marks|) checkpoint I/O, not O(rounds·|marks|).
-          val marks = new Fixpoint(unionAll = false, broadcastRowsOf(s))
+          val marks = new Fixpoint(unionAll = false)
           var frontierOpt =
             marks.push(seedParts.reduce(_ unionAll _).distinct())
           // the seeds' delta-bound plans are captured above (s.sql
@@ -809,13 +791,12 @@ object RecursiveSql {
             if (rounds >= maxIters)
               fail(s"over-delete propagation still growing after $maxIters " +
                 "rounds — raise maxIters")
-            marks.hinted(frontierOpt.get, marks.lastRows)
-              .createOrReplaceTempView(rec.name)
+            frontierOpt.get.createOrReplaceTempView(rec.name)
             // distinct() BEFORE the intersect for the same map-side
             // combine reason as dedupNew: intersect dedups too, but
             // only after shuffling the raw step into its join
             val step = shape(s.sql(recText)).distinct()
-            frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.accForAnti)))
+            frontierOpt = marks.push(marks.dedupNew(step.intersect(fp.acc)))
             // count productive mark rounds on the marks Fixpoint itself
             // (push() alone never bumps rounds — only loop() does), so
             // absorb() folds the DRed rounds into the run's Stats as
@@ -831,7 +812,7 @@ object RecursiveSql {
             // support probe over the survivors + the anchor re-seeds
             // every marked row that still has a derivation, and the
             // ordinary loop does the rest
-            val survivors = fp.acc.except(marks.accForAnti)
+            val survivors = fp.acc.except(marks.acc)
             fp.absorb(marks)
             fp.reset(survivors)
             bind(postDel)
