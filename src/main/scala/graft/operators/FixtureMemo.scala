@@ -30,13 +30,29 @@ private[graft] object FixtureMemo {
     }
   }
 
+  /** BENCH GUARD: this memo is only non-gaming while no memoized
+    * entry is a bench headliner — a headliner reading memoized rows
+    * would time a cache hit instead of the computation. Call sites
+    * declare the registry entry they serve ([[apply]]'s `entry`);
+    * the guard fails LOUDLY the day such an entry joins
+    * `SparkEntry.benchNames`, in every context (Bench, Verify, tests)
+    * rather than silently flattering the bench record. */
+  private[graft] def assertNotBenchHeadliner(entry: String): Unit =
+    require(!graft.SparkEntry.benchNames.contains(entry),
+      s"registry entry '$entry' is a bench headliner and must not route " +
+        "through FixtureMemo: a memoized result would turn its bench " +
+        "timing into a cache read (result caching, not optimization). " +
+        "Drop the entry from benchNames or remove the memo from its path.")
+
   /** Build-once, read-many. `build` runs in the FIRST caller's session
     * (computeIfAbsent serializes racing builders per key; a failed
     * build leaves the key absent, so the next caller retries instead
     * of caching the failure); readers load the parquet in their own
     * session. An empty result repartitions to one task so the write
-    * still carries a schema footer to reopen. */
-  def apply(key: String, s: SparkSession)(build: => DataFrame): DataFrame = {
+    * still carries a schema footer to reopen. `entry` is the registry
+    * entry this memo serves — see the bench guard above. */
+  def apply(key: String, entry: String, s: SparkSession)(build: => DataFrame): DataFrame = {
+    assertNotBenchHeadliner(entry)
     val dir = dirs.computeIfAbsent(key, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft_memo_").toString
       val df = build

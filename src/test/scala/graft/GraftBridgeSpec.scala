@@ -69,4 +69,17 @@ class GraftBridgeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"),
       s"a 128 MB frame must not plan a broadcast build:\n$plan")
   }
+
+  test("FixtureMemo refuses bench headliners (result caching is gaming, not optimization)") {
+    // a memoized entry joining benchNames must fail loudly, not
+    // silently flatter the bench record with a cache read
+    val headliner = SparkEntry.benchNames.head
+    val e = intercept[IllegalArgumentException] {
+      operators.FixtureMemo.assertNotBenchHeadliner(headliner)
+    }
+    assert(e.getMessage.contains(headliner))
+    // every CURRENT memo user passes the guard
+    operators.FixtureMemo.assertNotBenchHeadliner("dedup_cc_persist")
+    operators.FixtureMemo.assertNotBenchHeadliner("text_bm25_persist")
+  }
 }
