@@ -1083,7 +1083,7 @@ object DeltaEngine {
     import spark.implicits._
     ds.toDF()
       .withColumn("__evtts", to_timestamp(
-        str_to_map(col("row"), lit(FS.toString), lit(KV.toString)).getItem(ttl.tsCol)))
+        graft.functions.CanonGet.canon_get(col("row"), ttl.tsCol)))
       .withWatermark("__evtts", s"${ttl.delay.toMillis} milliseconds")
       .as[EvtWithTs]
   }

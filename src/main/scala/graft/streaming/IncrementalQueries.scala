@@ -1103,6 +1103,14 @@ object IncrementalQueries {
       |GROUP BY n_name""".stripMargin
   private val unionDeletes = Map("lineitem" -> (col("l_partkey") % 3 === 0))
 
+  // Cross-branch changelog sharing (SqlCompiler.sharedBranchChangelogs
+  // — lineitem feeds both branches under the same filter) was tried in
+  // round 17 and measured SLOWER at sf0.1: min 2.65 -> 2.89 s with the
+  // control query FASTER in the same window (the r16 two-consumer
+  // lesson again — the shared canon's serial checkpoint barrier costs
+  // more than the lazy re-scan, which pipelines into each branch's
+  // first shuffle map stage and is page-cache absorbed). The helper
+  // stays for >= 3-branch compositions, where the math flips.
   def incrementalSqlUnion(s: SparkSession, dir: String): DataFrame =
     SqlCompiler.compileUnionAll(s, dir, unionSql)
       .map(_.run(s, dir, unionDeletes)).reduce(_ unionAll _)

@@ -132,6 +132,33 @@ object SqlCompiler {
     cs
   }
 
+  /** Changelogs SHARED across sibling branches (the UNION ALL
+    * composition): a relation read by two or more branches under the
+    * SAME scan filter gets its changelog built once — union of every
+    * branch's carried columns plus every branch's routing key —
+    * materialized with exact stats, and each branch re-keys from the
+    * shared canon ([[Compiled.leafDeltas]]'s `sharedLogs`). Without
+    * this, each branch re-scans and re-canon-encodes the relation's
+    * parquet independently (insert AND delete legs: 2 scans per
+    * branch). Branches whose filters differ keep their own builds —
+    * a shared canon cannot carry two different scan predicates. */
+  def sharedBranchChangelogs(spark: SparkSession, dir: String,
+      branches: Seq[Compiled],
+      deletes: Map[String, Column] = Map.empty): Map[String, Dataset] = {
+    import org.apache.spark.sql.GraftBridge
+    val usages = branches.flatMap(b => b.path.map(rel => rel -> b))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    usages.collect {
+      case (rel, bs) if bs.size >= 2 &&
+          bs.map(_.wheres.get(rel)).distinct.size == 1 =>
+        val cols = bs.flatMap(b => b.needed(rel) :+ b.keyCol(rel)).distinct
+        val raw = IncrementalQueries.changelog(
+          bs.head.loadRel(spark, dir, rel), bs.head.keyCol(rel), cols,
+          deletes.get(rel), bs.head.wheres.get(rel).map(expr))
+        rel -> GraftBridge.localCheckpointStats(raw.toDF()).as[Evt](raw.encoder)
+    }
+  }
+
   /** Top-level `INTERSECT` / `EXCEPT` (SET semantics) of two
     * independently compilable NON-AGGREGATE view branches, maintained
     * incrementally — the cross-branch netting the UNION ALL path
@@ -346,9 +373,10 @@ object SqlCompiler {
     import org.apache.spark.sql.functions._
     val spark = leaf.sparkSession
     import spark.implicits._
-    val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     val pairs = c.outputSel.sortBy(_._2).map { case (src, name) =>
-      concat(lit(name + KV), m.getItem(src).cast(c.colType(src)).cast("string"))
+      concat(lit(name + KV),
+        graft.functions.CanonGet.canon_get(col("row"), src)
+          .cast(c.colType(src)).cast("string"))
     }
     val canonOut = concat_ws(FS.toString, pairs: _*)
     val keyed = md5(canonOut)
@@ -362,9 +390,9 @@ object SqlCompiler {
     * order, re-typed through `c`'s column types. */
   private def presentOutputRows(c: Compiled, leaf: Dataset): DataFrame = {
     import org.apache.spark.sql.functions._
-    val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     val typedCols = c.outputSel.map { case (src, name) =>
-      m.getItem(name).cast(c.colType(src)).as(name)
+      graft.functions.CanonGet.canon_get(col("row"), name)
+        .cast(c.colType(src)).as(name)
     }
     leaf.toDF()
       .select((col("tag") * col("mult")).cast("long").as("__sign") +: typedCols: _*)
@@ -632,9 +660,9 @@ object SqlCompiler {
       val counted =
         if (except) nets.withColumn("__m", greatest(col("__nl") - col("__nr"), lit(0L)))
         else nets.withColumn("__m", least(col("__nl"), col("__nr")))
-      val m = str_to_map(col("__row"), lit(FS.toString), lit(KV.toString))
       val typed = left.outputSel.map { case (src, name) =>
-        m.getItem(name).cast(left.colType(src)).as(name)
+        graft.functions.CanonGet.canon_get(col("__row"), name)
+          .cast(left.colType(src)).as(name)
       }
       counted.filter(col("__m") > 0)
         .select(col("__m") +: typed: _*)
@@ -969,14 +997,18 @@ object SqlCompiler {
       * [[runStream]] output. */
     def aggregate(leaf: DataFrame): DataFrame = {
       val spark = leaf.sparkSession
-      val m = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
       val dataCols = (groups.flatMap(g => exprColumns(spark, g.frag)) ++
         aggs.flatMap(a =>
           (if (a.frag.isEmpty) Nil else exprColumns(spark, a.frag)) ++
             (if (a.frag2.isEmpty) Nil else exprColumns(spark, a.frag2)))).distinct
+      // canon_get: one codegen'd byte scan per column instead of the
+      // per-row str_to_map map build (see graft.functions.CanonGet) —
+      // this select runs once per leaf delta of every compiled entry
       val typed = leaf.select(
         (col("tag") * col("mult")).cast(LongType).as("__sign") +:
-          dataCols.map(n => m.getItem(n).cast(colType(n)).as(n)): _*)
+          dataCols.map(n =>
+            graft.functions.CanonGet.canon_get(col("row"), n)
+              .cast(colType(n)).as(n)): _*)
       val (valueAggs, plainAggs) =
         aggs.partition(a =>
           Set("count_distinct", "sum_distinct", "avg_distinct", "min", "max",
@@ -1272,10 +1304,11 @@ object SqlCompiler {
       * given per-relation delete conditions; returns the maintained
       * aggregate (groups with net rows > 0, like any GROUP BY). */
     def run(spark: SparkSession, dir: String,
-            deletes: Map[String, Column] = Map.empty): DataFrame =
+            deletes: Map[String, Column] = Map.empty,
+            sharedLogs: Map[String, Dataset] = Map.empty): DataFrame =
       if (scalarGates.nonEmpty)
-        withScalarGatesResolved(spark, dir, deletes).run(spark, dir, deletes)
-      else aggregate(leafDeltas(spark, dir, deletes).toDF())
+        withScalarGatesResolved(spark, dir, deletes).run(spark, dir, deletes, sharedLogs)
+      else aggregate(leafDeltas(spark, dir, deletes, sharedLogs).toDF())
 
     /** Resolve every [[ScalarGateSpec]] against the CURRENT survivor
       * inputs (base parquet minus the delete conditions, the same
@@ -1317,8 +1350,19 @@ object SqlCompiler {
       * composition surface: set-operation compilation feeds branch
       * deltas into further engine stages. */
     def leafDeltas(spark: SparkSession, dir: String,
-                   deletes: Map[String, Column] = Map.empty): Dataset = {
-      val logs0 = sourceChangelogs(spark, dir, deletes) // enforces the FULL OUTER delete scope
+                   deletes: Map[String, Column] = Map.empty,
+                   sharedLogs: Map[String, Dataset] = Map.empty): Dataset = {
+      // cross-branch sharing: a relation whose changelog was built
+      // ONCE for several sibling branches (see [[sharedBranchChangelogs]])
+      // re-keys from the shared materialized canon instead of
+      // re-scanning and re-encoding the parquet per branch
+      val logs00 = sourceChangelogs(spark, dir, deletes) // enforces the FULL OUTER delete scope
+      val logs0 = logs00.map { case (rel, ds) =>
+        rel -> (sharedLogs.get(rel) match {
+          case Some(sh) => rekeyByCanon(sh, keyCol(rel))
+          case None => ds
+        })
+      }
       // OPT-IN bloom semi-join reduction, applied by the COMPILER: with
       // [[IncrementalQueries.BloomPrefilterConf]] set on this session,
       // the leaf (largest) changelog is pre-filtered by a bloom over
@@ -1458,7 +1502,7 @@ object SqlCompiler {
     import spark.implicits._
     ds.toDF()
       .withColumn("key",
-        str_to_map(col("row"), lit(FS.toString), lit(KV.toString)).getItem(colName))
+        graft.functions.CanonGet.canon_get(col("row"), colName))
       .as[Evt]
   }
 
