@@ -243,7 +243,19 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // shingles are distinct per doc, so the per-doc count IS the
-    // exploded row count — derived from `ex`, no re-shingle
+    // exploded row count — derived from `ex`, no re-shingle.
+    //
+    // ROUND-17 NEGATIVE RESULT (do not retry): the confirm was
+    // rewritten as per-doc sorted-array intersection
+    // (groupBy(doc_id).agg(sort_array(collect_list)) + array_intersect
+    // per candidate pair) in three variants — corpus-wide arrays
+    // (min 1.57 -> 2.52 s at sf0.1), candidate-semi-filtered arrays
+    // (-> 3.29 s: the lazy cand re-derived the LSH self-join for the
+    // filter), and candidate-filtered with cand checkpointed+stats
+    // (-> 2.21 s). All lose: the exploded confirm below runs as TWO
+    // BROADCAST-probe passes over the checkpointed (doc_id, shingle)
+    // rows with no corpus-wide shuffle at all, while any array build
+    // pays a real exchange + collect before the first probe.
     val nDf = ex.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
     val inter = cand
       .join(ex.as("xa"), col("xa.doc_id") === col("doc_a"))
