@@ -42,6 +42,13 @@ object IncrementalQueries {
     * [[boundedReplayCollect]]). */
   val ReplayMaxRows = 2000000
 
+  /** Typed lookup on the canonical row — the codegen'd byte-scan
+    * (graft.functions.CanonGet) that replaced the per-row
+    * `str_to_map(row)[name]` map build in every leaf-delta aggregate
+    * (round 17; same swap as SqlCompiler.aggregate). */
+  private def canonCol(name: String): org.apache.spark.sql.Column =
+    graft.functions.CanonGet.canon_get(col("row"), name)
+
   /** Child session for a stream-replay gate entry, sized by
     * [[ReplayShufflePartitions]] — never mutates the caller's session. */
   def replaySession(s: SparkSession): SparkSession = {
@@ -190,8 +197,7 @@ object IncrementalQueries {
     if (!child.sparkSession.conf.getOption(BloomPrefilterConf).contains("true")) logs
     else {
       val parentKeys = logs(parentRel).toDF().select(
-        str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
-          .getItem(parentChildKey).as("k"))
+        canonCol(parentChildKey).as("k"))
       graft.operators.BloomJoin.bloomBytesRaw(parentKeys, col("k"),
           expectedItems, fpp) match {
         case None => logs.updated(childRel, child.filter(lit(false)))
@@ -219,15 +225,14 @@ object IncrementalQueries {
     * exact because the true product has 4 decimals (2dp × 2dp). */
   private def q10Aggregate(leaf: Dataset[Evt]): DataFrame = {
     val df = leaf.toDF()
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     df.select(
         (col("tag") * col("mult")).as("sign"),
-        c.getItem("c_custkey").cast(LongType).as("c_custkey"),
-        c.getItem("c_name").as("c_name"),
-        c.getItem("c_acctbal").cast(DoubleType).as("c_acctbal"),
-        c.getItem("n_name").as("n_name"),
-        round(c.getItem("l_extendedprice").cast(DoubleType) *
-          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+        canonCol("c_custkey").cast(LongType).as("c_custkey"),
+        canonCol("c_name").as("c_name"),
+        canonCol("c_acctbal").cast(DoubleType).as("c_acctbal"),
+        canonCol("n_name").as("n_name"),
+        round(canonCol("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - canonCol("l_discount").cast(DoubleType)) * 10000, 0)
           .cast(LongType).as("rev_e4"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
@@ -265,12 +270,11 @@ object IncrementalQueries {
   def incrementalSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
     val leaf = runBatch(supplierTree, supplierChangelogs(s, dir), sourceFiltered = true)
     val df = leaf.toDF()
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     df.select(
         (col("tag") * col("mult")).as("sign"),
-        c.getItem("n_name").as("n_name"),
-        round(c.getItem("l_extendedprice").cast(DoubleType) *
-          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+        canonCol("n_name").as("n_name"),
+        round(canonCol("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - canonCol("l_discount").cast(DoubleType)) * 10000, 0)
           .cast(LongType).as("rev_e4"))
       .groupBy(col("n_name"))
       .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
@@ -310,11 +314,10 @@ object IncrementalQueries {
     val leaf = runBatch(orderRevenueTree(s, dir), orderRevenueChangelogs(s, dir),
       sourceFiltered = true)
     val df = leaf.toDF()
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     df.select(
         (col("tag") * col("mult")).as("sign"),
-        c.getItem("n_name").as("n_name"),
-        round(c.getItem("o_totalprice").cast(DoubleType) * 100, 0)
+        canonCol("n_name").as("n_name"),
+        round(canonCol("o_totalprice").cast(DoubleType) * 100, 0)
           .cast(LongType).as("price_e2"))
       .groupBy(col("n_name"))
       .agg(sum(col("sign") * col("price_e2")).as("totalprice_e2"),
@@ -335,13 +338,12 @@ object IncrementalQueries {
     * neighboring one. */
   private def monthlyAggregate(leaf: Dataset[Evt]): DataFrame = {
     val df = leaf.toDF()
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     df.select(
         (col("tag") * col("mult")).as("sign"),
-        c.getItem("n_name").as("n_name"),
-        substring(c.getItem("o_orderdate"), 1, 7).as("order_month"),
-        round(c.getItem("l_extendedprice").cast(DoubleType) *
-          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+        canonCol("n_name").as("n_name"),
+        substring(canonCol("o_orderdate"), 1, 7).as("order_month"),
+        round(canonCol("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - canonCol("l_discount").cast(DoubleType)) * 10000, 0)
           .cast(LongType).as("rev_e4"))
       .groupBy(col("n_name"), col("order_month"))
       .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
@@ -394,11 +396,10 @@ object IncrementalQueries {
 
   private def existsAggregate(leaf: Dataset[Evt]): DataFrame = {
     val df = leaf.toDF()
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     df.select(
         (col("tag") * col("mult")).as("sign"),
-        c.getItem("c_nationkey").cast(LongType).as("c_nationkey"),
-        round(c.getItem("c_acctbal").cast(DoubleType) * 100, 0)
+        canonCol("c_nationkey").cast(LongType).as("c_nationkey"),
+        round(canonCol("c_acctbal").cast(DoubleType) * 100, 0)
           .cast(LongType).as("bal_e2"))
       .groupBy(col("c_nationkey"))
       .agg(sum(col("sign")).cast(LongType).as("n_cust"),
@@ -465,13 +466,12 @@ object IncrementalQueries {
   def incrementalPartRevenue(s: SparkSession, dir: String): DataFrame = {
     val leaf = runTree(partRevenueStages, partRevenueChangelogs(s, dir),
       sourceFiltered = true).toDF()
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     leaf.select(
         (col("tag") * col("mult")).as("sign"),
-        c.getItem("n_name").as("n_name"),
-        c.getItem("p_brand").as("p_brand"),
-        round(c.getItem("l_extendedprice").cast(DoubleType) *
-          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+        canonCol("n_name").as("n_name"),
+        canonCol("p_brand").as("p_brand"),
+        round(canonCol("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - canonCol("l_discount").cast(DoubleType)) * 10000, 0)
           .cast(LongType).as("rev_e4"))
       .groupBy(col("n_name"), col("p_brand"))
       .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
@@ -539,11 +539,10 @@ object IncrementalQueries {
       sourceFiltered = true))
 
   private def sharedAggregate(leaf: Dataset[Evt]): DataFrame = {
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     leaf.toDF().select(
         (col("tag") * col("mult")).as("sign"),
-        c.getItem("n_name").as("n_name"),
-        round(c.getItem("o_totalprice").cast(DoubleType) * 100, 0)
+        canonCol("n_name").as("n_name"),
+        round(canonCol("o_totalprice").cast(DoubleType) * 100, 0)
           .cast(LongType).as("price_e2"))
       .groupBy(col("n_name"))
       .agg(sum(col("sign") * col("price_e2")).as("revenue_e2"),
@@ -720,15 +719,14 @@ object IncrementalQueries {
     val goldPayload = Seq("c_name", "c_acctbal", "n_name", "revenue_e4", "n_rows")
     val version = new java.util.concurrent.atomic.AtomicInteger(-1)
     def deltaAgg(batch: Dataset[Evt]): DataFrame = {
-      val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
       batch.toDF().select(
           (col("tag") * col("mult")).as("sign"),
-          c.getItem("c_custkey").cast("long").as("c_custkey"),
-          c.getItem("c_name").as("c_name"),
-          c.getItem("c_acctbal").cast("double").as("c_acctbal"),
-          c.getItem("n_name").as("n_name"),
-          round(c.getItem("l_extendedprice").cast("double") *
-            (lit(1.0) - c.getItem("l_discount").cast("double")) * 10000, 0)
+          canonCol("c_custkey").cast("long").as("c_custkey"),
+          canonCol("c_name").as("c_name"),
+          canonCol("c_acctbal").cast("double").as("c_acctbal"),
+          canonCol("n_name").as("n_name"),
+          round(canonCol("l_extendedprice").cast("double") *
+            (lit(1.0) - canonCol("l_discount").cast("double")) * 10000, 0)
             .cast("long").as("rev_e4"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(sum(col("sign") * col("rev_e4")).as("d_rev"),
@@ -1884,15 +1882,14 @@ object IncrementalQueries {
     * survivor filter — a group at net zero must still reach the upsert
     * to delete its row). */
   private def q10BatchPartial(leaf: Dataset[Evt]): DataFrame = {
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     leaf.toDF().select(
         (col("tag") * col("mult")).cast(LongType).as("sign"),
-        c.getItem("c_custkey").cast(LongType).as("c_custkey"),
-        c.getItem("c_name").as("c_name"),
-        c.getItem("c_acctbal").cast(DoubleType).as("c_acctbal"),
-        c.getItem("n_name").as("n_name"),
-        round(c.getItem("l_extendedprice").cast(DoubleType) *
-          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+        canonCol("c_custkey").cast(LongType).as("c_custkey"),
+        canonCol("c_name").as("c_name"),
+        canonCol("c_acctbal").cast(DoubleType).as("c_acctbal"),
+        canonCol("n_name").as("n_name"),
+        round(canonCol("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - canonCol("l_discount").cast(DoubleType)) * 10000, 0)
           .cast(LongType).as("rev_e4"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(sum(col("sign") * col("rev_e4")).as("revenue_e4"),
@@ -1917,7 +1914,6 @@ object IncrementalQueries {
   def incrementalQ10Running(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leaf = runBatch(q10Tree, q10Changelogs(s, dir), sourceFiltered = true).toDF()
-    val c = str_to_map(col("row"), lit(FS.toString), lit(KV.toString))
     // mult > 1 events (a parent flip replaying n identical buffered
     // children) EXPAND to n unit rows: the reference emits one Output
     // per base row, and the oracle counts per-row — a packed sign=±n
@@ -1927,11 +1923,11 @@ object IncrementalQueries {
       .select(
         col("seq"),
         col("tag").cast(LongType).as("sign"),
-        c.getItem("c_custkey").cast(LongType).as("c_custkey"),
-        c.getItem("l_orderkey").cast(LongType).as("l_orderkey"),
-        c.getItem("l_linenumber").cast(LongType).as("l_linenumber"),
-        round(c.getItem("l_extendedprice").cast(DoubleType) *
-          (lit(1.0) - c.getItem("l_discount").cast(DoubleType)) * 10000, 0)
+        canonCol("c_custkey").cast(LongType).as("c_custkey"),
+        canonCol("l_orderkey").cast(LongType).as("l_orderkey"),
+        canonCol("l_linenumber").cast(LongType).as("l_linenumber"),
+        round(canonCol("l_extendedprice").cast(DoubleType) *
+          (lit(1.0) - canonCol("l_discount").cast(DoubleType)) * 10000, 0)
           .cast(LongType).as("rev_e4"))
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
     // (no composite-PK guarantee), so sign + rev_e4 join the sort key;
