@@ -54,6 +54,23 @@ object IncrementalQueries {
   def replaySession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    // FIXTURE-REPLAY state-store posture (round 17): these child
+    // sessions run short-lived MemoryStream replays whose checkpoints
+    // are throwaway temp dirs — the HDFS-backed store's background
+    // maintenance (snapshot consolidation + old-version cleanup every
+    // 60 s) and its 100-version retention exist for RECOVERY of
+    // long-running production queries and are pure overhead here:
+    // every store instance (one per shuffle partition per stateful
+    // operator per query) schedules maintenance and fsyncs delta files
+    // it will never reread. 2 m (not longer): the maintenance thread
+    // is ALSO what unloads finished queries' providers — a first try
+    // at 1 h let hundreds of finished replays' providers pile up in
+    // the shared suite JVM and the suite wall grew 18 -> 25 min; 2 m
+    // still outlives a fixture replay (so zero mid-query churn) while
+    // unloading promptly. Production guidance unchanged — a real
+    // deployment keeps the defaults (or RocksDB) on its own sessions.
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "2m")
     ss
   }
 

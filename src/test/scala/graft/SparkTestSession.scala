@@ -18,6 +18,14 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // suite-wide state-store posture (round 17, same rationale as
+      // IncrementalQueries.replaySession): every streaming test's
+      // checkpoints are throwaway temp dirs, so the HDFS-backed
+      // store's 60 s background maintenance and 100-version retention
+      // are pure fsync/cleanup churn across the hundreds of
+      // short-lived queries a suite run spins up
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "2m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
